@@ -1,0 +1,58 @@
+"""Loaders for the driver's synthetic testdata tables (TESTDATA.md).
+
+Central place for two environment quirks:
+
+* ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS),
+  which Spark 4.x rejects by default — we flip
+  ``spark.sql.legacy.parquet.nanosAsLong`` (runtime-settable) and
+  rebuild a microsecond TimestampType column.
+* the interactions mapping (FIXTURES.md §8): ``events`` plays the
+  interactions log with ``user_id → query_id``, item id extracted
+  from the ``props`` JSON, ``value → rating``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["read_table", "load_interactions", "TABLES"]
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata parquet table, normalizing nano timestamps."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # ts arrives as int64 nanoseconds → truncate to microseconds
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → canonical interactions log (query_id, item_id, timestamp, rating).
+
+    The item id lives in the ``props`` JSON payload as ``{"k": N}``.
+    """
+    events = read_table(spark, sf_dir, "events")
+    return events.select(
+        F.col("user_id").cast("long").alias("query_id"),
+        F.get_json_object("props", "$.k").cast("long").alias("item_id"),
+        F.col("ts").alias("timestamp"),
+        F.col("value").alias("rating"),
+    )

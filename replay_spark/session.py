@@ -1,0 +1,74 @@
+"""Spark session management.
+
+Counterpart of the reference's ``State`` singleton
+(``replay/utils/session_handler.py:22-143``), rebuilt Spark-first:
+AQE + skew-join handling on by default, Arrow transfer enabled for
+pandas-UDF paths, shuffle partitions sized to cores (AQE coalesces
+at runtime so oversizing is safe at scale).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark_session", "State"]
+
+
+def get_spark_session(
+    app_name: str = "replay_spark",
+    master: Optional[str] = None,
+    shuffle_partitions: Optional[int] = None,
+    extra_conf: Optional[dict] = None,
+) -> SparkSession:
+    """Return the active SparkSession or build a sensible local one.
+
+    On a real cluster the user supplies their own session (we never
+    override an active one); locally we mirror the reference's
+    defaults (``session_handler.py:70-97``) with modern additions:
+    adaptive query execution, skew-join splitting, and Arrow.
+    """
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or max(int(cpus) * 2, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("REPLAY_SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if extra_conf:
+        for key, value in extra_conf.items():
+            builder = builder.config(key, value)
+    return builder.getOrCreate()
+
+
+class State:
+    """Singleton holder mirroring the reference API (``session_handler.py:118``)."""
+
+    _instance: Optional["State"] = None
+
+    def __new__(cls, session: Optional[SparkSession] = None):
+        if session is not None:
+            inst = super().__new__(cls)
+            inst.session = session
+            cls._instance = inst
+            return inst
+        if cls._instance is None:
+            inst = super().__new__(cls)
+            inst.session = get_spark_session()
+            cls._instance = inst
+        return cls._instance

@@ -1,0 +1,296 @@
+"""Generic relational operators shared by every model/metric.
+
+Rebuild of the reference's operator library
+(``replay/utils/spark_utils.py``) with two deliberate departures:
+
+* vector math uses Spark SQL higher-order functions
+  (``aggregate``/``zip_with``) instead of Python UDFs over
+  ``VectorUDT`` (reference ``spark_utils.py:186-298``) — the
+  expressions stay JVM-side inside whole-stage codegen;
+* all top-k paths keep the reference's deterministic tie-break
+  (rating desc, item asc — ``spark_utils.py:172-174``) so results
+  are hash-stable under an order-insensitive oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional, Union
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "get_top_k",
+    "get_top_k_recs",
+    "filter_cold",
+    "get_unique_entities",
+    "fallback",
+    "join_or_return",
+    "horizontal_explode",
+    "get_stats",
+    "get_log_info",
+    "process_timestamp_column",
+    "vector_dot_expr",
+    "cosine_similarity_expr",
+    "vector_euclidean_similarity_expr",
+    "multiply_vector_expr",
+]
+
+
+def get_top_k(
+    dataframe: DataFrame,
+    partition_by_col: Column,
+    order_by: list,
+    k: int,
+) -> DataFrame:
+    """Top-k rows per partition under an explicit ordering.
+
+    Parity: reference ``spark_utils.py:101-153``. The caller supplies
+    the full ordering (including tie-breaks) so output is
+    deterministic.
+    """
+    return (
+        dataframe.withColumn(
+            "temp_rank",
+            F.row_number().over(Window.partitionBy(partition_by_col).orderBy(*order_by)),
+        )
+        .filter(F.col("temp_rank") <= k)
+        .drop("temp_rank")
+    )
+
+
+def get_top_k_recs(
+    recs: DataFrame,
+    k: int,
+    query_column: str = "query_id",
+    item_column: str = "item_id",
+    rating_column: str = "rating",
+) -> DataFrame:
+    """Top-k recommendations per query: rating desc, item asc tie-break.
+
+    Parity: reference ``spark_utils.py:156-181``.
+    """
+    return get_top_k(
+        recs,
+        F.col(query_column),
+        [F.col(rating_column).desc(), F.col(item_column).asc()],
+        k,
+    )
+
+
+def filter_cold(
+    df: Optional[DataFrame],
+    warm_df: DataFrame,
+    col_name: str,
+) -> tuple[int, Optional[DataFrame]]:
+    """Drop rows whose ``col_name`` is absent from ``warm_df``.
+
+    Returns ``(num_cold, filtered_df)``. Parity: reference
+    ``spark_utils.py:724-747`` (anti-join count + semi join). The
+    warm universe is usually small (distinct ids) → broadcast it.
+    """
+    if df is None:
+        return 0, None
+    warm = warm_df.select(col_name).distinct()
+    num_cold = df.join(F.broadcast(warm), on=col_name, how="left_anti").count()
+    if num_cold == 0:
+        return 0, df
+    return num_cold, df.join(F.broadcast(warm), on=col_name, how="left_semi")
+
+
+def get_unique_entities(
+    df: Union[DataFrame, Iterable],
+    column: str,
+    spark: Optional[SparkSession] = None,
+) -> DataFrame:
+    """One-column DataFrame of distinct entities.
+
+    Parity: reference ``spark_utils.py:750-768`` — accepts a
+    DataFrame or an iterable of ids.
+    """
+    if isinstance(df, DataFrame):
+        return df.select(column).distinct()
+    spark = spark or SparkSession.getActiveSession()
+    values = list(df)
+    return spark.createDataFrame([(v,) for v in values], [column]).distinct()
+
+
+def join_or_return(first: DataFrame, second: Optional[DataFrame], on, how: str) -> DataFrame:
+    """Join if ``second`` is not None, else pass-through.
+
+    Parity: reference ``spark_utils.py:465-477``.
+    """
+    if second is None:
+        return first
+    return first.join(second, on=on, how=how)
+
+
+def fallback(
+    base: DataFrame,
+    fill: DataFrame,
+    k: int,
+    query_column: str = "query_id",
+    item_column: str = "item_id",
+    rating_column: str = "rating",
+) -> DataFrame:
+    """Complete short recommendation lists in ``base`` with ``fill``.
+
+    Fallback ratings are shifted strictly below the minimum base
+    rating so they never displace a base rec, then both sets merge
+    through a full-outer join + coalesce + top-k window. Parity:
+    reference ``spark_utils.py:480-514``.
+    """
+    if fill is None:
+        return base
+    margin = 0.1
+    min_max_margin = (
+        fill.agg(
+            F.min(rating_column).alias("min"),
+            F.max(rating_column).alias("max"),
+        )
+        .withColumn("margin", F.lit(margin))
+        .first()
+    )
+    base_min = base.agg(F.min(rating_column).alias("min")).first()["min"]
+    if base_min is None:
+        base_min = 0.0
+    diff = min_max_margin["max"] - base_min + min_max_margin["margin"]
+    fill = fill.withColumnRenamed(rating_column, "rating_fallback").withColumn(
+        "rating_fallback", F.col("rating_fallback") - F.lit(diff)
+    )
+    recs = base.join(fill, on=[query_column, item_column], how="full_outer")
+    recs = recs.withColumn(
+        rating_column, F.coalesce(F.col(rating_column), F.col("rating_fallback"))
+    ).select(query_column, item_column, rating_column)
+    return get_top_k_recs(recs, k, query_column, item_column, rating_column)
+
+
+def horizontal_explode(
+    dataframe: DataFrame,
+    column_to_explode: str,
+    prefix: str,
+    other_columns: list,
+) -> DataFrame:
+    """array<T> column → ``{prefix}_0 .. {prefix}_{n-1}`` scalar columns.
+
+    Parity: reference ``spark_utils.py:419-462``. Array length is
+    probed from one row (driver scalar pull, same as reference).
+    """
+    num_columns = len(dataframe.select(column_to_explode).head()[0])
+    return dataframe.select(
+        *other_columns,
+        *[
+            F.element_at(F.col(column_to_explode), i + 1).alias(f"{prefix}_{i}")
+            for i in range(num_columns)
+        ],
+    )
+
+
+def get_stats(
+    log: DataFrame,
+    group_by: str = "query_id",
+    target_column: str = "rating",
+) -> DataFrame:
+    """Per-entity rating stats: mean/max/min/median/count.
+
+    Parity: reference ``spark_utils.py:362-405``.
+    """
+    agg = [
+        F.avg(target_column).alias(f"mean_{target_column}"),
+        F.max(target_column).alias(f"max_{target_column}"),
+        F.min(target_column).alias(f"min_{target_column}"),
+        F.count(target_column).alias(f"{target_column}_count"),
+        F.expr(f"percentile_approx({target_column}, 0.5)").alias(f"median_{target_column}"),
+    ]
+    return log.groupBy(group_by).agg(*agg)
+
+
+def get_log_info(
+    log: DataFrame,
+    query_column: str = "query_id",
+    item_column: str = "item_id",
+) -> str:
+    """'total lines / distinct users / distinct items' summary string.
+
+    Parity: reference ``spark_utils.py:325-359``. Single pass —
+    counts computed in one aggregate instead of three jobs.
+    """
+    row = log.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.countDistinct(query_column).alias("queries"),
+        F.countDistinct(item_column).alias("items"),
+    ).first()
+    return f"total lines: {row['total']}, total users: {row['queries']}, total items: {row['items']}"
+
+
+def process_timestamp_column(
+    dataframe: DataFrame,
+    column_name: str,
+    date_format: Optional[str] = None,
+) -> DataFrame:
+    """Normalize a timestamp column to TimestampType.
+
+    Accepts native timestamps, unix seconds (int/long), or formatted
+    strings. Parity: reference ``spark_utils.py:573-609``.
+    """
+    dtype = dict(dataframe.dtypes)[column_name]
+    if dtype == "timestamp":
+        return dataframe
+    if dtype in ("int", "bigint", "long", "smallint"):
+        return dataframe.withColumn(
+            column_name, F.to_timestamp(F.from_unixtime(F.col(column_name)))
+        )
+    return dataframe.withColumn(
+        column_name, F.to_timestamp(F.col(column_name), date_format)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vector expressions (JVM-side; replace the reference's Python/Scala UDFs:
+# spark_utils.py:186-298, ScalaPySparkUDFs.scala:11-17)
+# ---------------------------------------------------------------------------
+
+
+def vector_dot_expr(left: Union[str, Column], right: Union[str, Column]) -> Column:
+    """Dot product of two array<numeric> columns, fully JVM-side."""
+    left = F.col(left) if isinstance(left, str) else left
+    right = F.col(right) if isinstance(right, str) else right
+    return F.aggregate(
+        F.zip_with(left, right, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm_expr(col: Column) -> Column:
+    return F.sqrt(F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_similarity_expr(left: Union[str, Column], right: Union[str, Column]) -> Column:
+    """Cosine similarity of two array<numeric> columns."""
+    left = F.col(left) if isinstance(left, str) else left
+    right = F.col(right) if isinstance(right, str) else right
+    return vector_dot_expr(left, right) / (_norm_expr(left) * _norm_expr(right))
+
+
+def vector_euclidean_similarity_expr(
+    left: Union[str, Column], right: Union[str, Column]
+) -> Column:
+    """1 / (1 + euclidean distance) similarity (reference ``spark_utils.py:637``)."""
+    left = F.col(left) if isinstance(left, str) else left
+    right = F.col(right) if isinstance(right, str) else right
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(left, right, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return F.lit(1.0) / (F.lit(1.0) + dist)
+
+
+def multiply_vector_expr(scalar: Union[str, Column], vec: Union[str, Column]) -> Column:
+    """scalar * array<numeric> (reference Scala ``multiplyUDF``)."""
+    scalar = F.col(scalar) if isinstance(scalar, str) else scalar
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(vec, lambda x: x * scalar)

@@ -1,0 +1,81 @@
+import pyspark.sql.functions as F
+import pytest
+
+from replay_spark.utils import (
+    cosine_similarity_expr,
+    fallback,
+    filter_cold,
+    get_log_info,
+    get_top_k_recs,
+    get_unique_entities,
+    process_timestamp_column,
+    vector_dot_expr,
+)
+
+
+def test_get_top_k_recs_deterministic_tiebreak(spark):
+    recs = spark.createDataFrame(
+        [(0, 5, 1.0), (0, 3, 1.0), (0, 1, 0.5), (1, 2, 2.0)],
+        "query_id int, item_id int, rating double",
+    )
+    out = get_top_k_recs(recs, k=1).orderBy("query_id").collect()
+    assert [(r.query_id, r.item_id) for r in out] == [(0, 3), (1, 2)]
+
+
+def test_filter_cold(spark):
+    df = spark.createDataFrame([(0,), (1,), (2,)], "item_id int")
+    warm = spark.createDataFrame([(0,), (1,)], "item_id int")
+    n, filtered = filter_cold(df, warm, "item_id")
+    assert n == 1
+    assert filtered.count() == 2
+    n2, same = filter_cold(df, df, "item_id")
+    assert n2 == 0 and same.count() == 3
+
+
+def test_get_unique_entities(spark):
+    df = spark.createDataFrame([(1,), (1,), (2,)], "query_id int")
+    assert get_unique_entities(df, "query_id").count() == 2
+    assert get_unique_entities([1, 2, 3], "query_id", spark).count() == 3
+
+
+def test_vector_exprs(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "a array<double>, b array<double>"
+    )
+    row = df.select(
+        vector_dot_expr("a", "b").alias("dot"),
+        cosine_similarity_expr("a", "b").alias("cos"),
+    ).first()
+    assert row["dot"] == pytest.approx(32.0)
+    assert row["cos"] == pytest.approx(32.0 / (14.0**0.5 * 77.0**0.5))
+
+
+def test_fallback_merge(spark):
+    base = spark.createDataFrame([(0, 10, 5.0)], "query_id int, item_id int, rating double")
+    fill = spark.createDataFrame(
+        [(0, 10, 9.0), (0, 11, 8.0), (1, 12, 7.0)],
+        "query_id int, item_id int, rating double",
+    )
+    out = fallback(base, fill, k=2).orderBy("query_id", "item_id").collect()
+    # base rec for user 0 survives on top; fill adds item 11 below; user 1 filled
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.query_id, []).append(r.item_id)
+    assert by_user[0][0] == 10 or by_user[0] == [10, 11]
+    assert 11 in by_user[0]
+    assert by_user[1] == [12]
+    top0 = [r for r in out if r.query_id == 0]
+    assert max(top0, key=lambda r: r.rating).item_id == 10
+
+
+def test_process_timestamp_column(spark):
+    df = spark.createDataFrame([(1566426000,)], "ts long")
+    out = process_timestamp_column(df, "ts")
+    assert dict(out.dtypes)["ts"] == "timestamp"
+
+
+def test_get_log_info(interactions):
+    info = get_log_info(interactions)
+    assert "total lines: 7" in info
+    assert "total users: 3" in info
+    assert "total items: 4" in info
