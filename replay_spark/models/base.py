@@ -1,0 +1,453 @@
+"""Base recommender machinery.
+
+Fresh implementation of the reference's base classes
+(``replay/models/base_rec.py``): fit/predict wrappers, cold-entity
+filtering, seen-item removal, deterministic top-k truncation, and
+the popularity-based (non-personalized) base with optional
+per-query weighted sampling.
+
+Scale design: the fit_queries/fit_items universes are broadcast
+(they are distinct-id tables, small relative to interactions);
+seen-filtering is an anti join on (query, item); all ranking is a
+single window per query partition. No driver-side data paths except
+tiny scalar pulls (max_seen, fill value).
+"""
+
+from __future__ import annotations
+
+import json
+from abc import ABC, abstractmethod
+from pathlib import Path
+from typing import Iterable, Optional, Union
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from replay_spark.data.dataset import Dataset
+from replay_spark.utils.spark_utils import (
+    filter_cold,
+    get_top_k_recs,
+    get_unique_entities,
+)
+
+__all__ = ["BaseRecommender", "NonPersonalizedRecommender"]
+
+
+class BaseRecommender(ABC):
+    """Abstract fit/predict recommender (reference ``base_rec.py:99-700``)."""
+
+    can_predict_cold_queries: bool = False
+    can_predict_cold_items: bool = False
+
+    query_column: str = "query_id"
+    item_column: str = "item_id"
+    rating_column: str = "rating"
+    timestamp_column: str = "timestamp"
+
+    # -- fit ---------------------------------------------------------------
+    def fit(self, dataset: Dataset) -> "BaseRecommender":
+        """Bind schema columns, materialize id universes, delegate to _fit."""
+        self.query_column = dataset.feature_schema.query_id_column
+        self.item_column = dataset.feature_schema.item_id_column
+        self.rating_column = (
+            dataset.feature_schema.interactions_rating_column or "rating"
+        )
+        self.timestamp_column = (
+            dataset.feature_schema.interactions_timestamp_column or "timestamp"
+        )
+        queries = dataset.interactions.select(self.query_column)
+        if dataset.query_features is not None:
+            queries = queries.union(dataset.query_features.select(self.query_column))
+        items = dataset.interactions.select(self.item_column)
+        if dataset.item_features is not None:
+            items = items.union(dataset.item_features.select(self.item_column))
+        self.fit_queries = F.broadcast(queries.distinct())
+        self.fit_items = F.broadcast(items.distinct())
+        self._num_queries = self.fit_queries.count()
+        self._num_items = self.fit_items.count()
+        self._fit(dataset)
+        return self
+
+    @property
+    def queries_count(self) -> int:
+        return self._num_queries
+
+    @property
+    def items_count(self) -> int:
+        return self._num_items
+
+    @abstractmethod
+    def _fit(self, dataset: Dataset) -> None:
+        ...
+
+    # -- predict -----------------------------------------------------------
+    def predict(
+        self,
+        dataset: Optional[Dataset],
+        k: int,
+        queries: Union[DataFrame, Iterable, None] = None,
+        items: Union[DataFrame, Iterable, None] = None,
+        filter_seen_items: bool = True,
+        recs_file_path: Optional[str] = None,
+    ) -> Optional[DataFrame]:
+        """Top-k recommendations per query: ``[query_id, item_id, rating]``."""
+        dataset, queries, items = self._prepare_predict_inputs(dataset, queries, items)
+        recs = self._predict(dataset, k, queries, items, filter_seen_items)
+        if filter_seen_items and dataset is not None:
+            recs = self._filter_seen(recs, dataset.interactions, k, queries)
+        recs = get_top_k_recs(
+            recs, k, self.query_column, self.item_column, self.rating_column
+        ).select(self.query_column, self.item_column, self.rating_column)
+        if recs_file_path is not None:
+            recs.write.mode("overwrite").parquet(recs_file_path)
+            return None
+        recs = recs.cache()
+        recs.count()
+        return recs
+
+    def fit_predict(
+        self,
+        dataset: Dataset,
+        k: int,
+        queries: Union[DataFrame, Iterable, None] = None,
+        items: Union[DataFrame, Iterable, None] = None,
+        filter_seen_items: bool = True,
+        recs_file_path: Optional[str] = None,
+    ) -> Optional[DataFrame]:
+        self.fit(dataset)
+        return self.predict(
+            dataset, k, queries, items, filter_seen_items, recs_file_path
+        )
+
+    def predict_pairs(
+        self,
+        pairs: DataFrame,
+        dataset: Optional[Dataset] = None,
+        recs_file_path: Optional[str] = None,
+        k: Optional[int] = None,
+    ) -> Optional[DataFrame]:
+        """Score provided (query, item) pairs."""
+        if sorted(pairs.columns) != sorted([self.query_column, self.item_column]):
+            raise ValueError(
+                "pairs must contain exactly the query and item id columns"
+            )
+        pred = self._predict_pairs(pairs, dataset)
+        if k is not None:
+            pred = get_top_k_recs(
+                pred, k, self.query_column, self.item_column, self.rating_column
+            )
+        if recs_file_path is not None:
+            pred.write.mode("overwrite").parquet(recs_file_path)
+            return None
+        return pred
+
+    @abstractmethod
+    def _predict(
+        self,
+        dataset: Optional[Dataset],
+        k: int,
+        queries: DataFrame,
+        items: DataFrame,
+        filter_seen_items: bool = True,
+    ) -> DataFrame:
+        ...
+
+    def _predict_pairs(
+        self, pairs: DataFrame, dataset: Optional[Dataset] = None
+    ) -> DataFrame:
+        """Default: full predict joined back onto the pairs."""
+        queries = pairs.select(self.query_column).distinct()
+        items = pairs.select(self.item_column).distinct()
+        full = self._predict(dataset, self._num_items, queries, items, False)
+        return full.join(pairs, on=[self.query_column, self.item_column], how="inner")
+
+    # -- shared helpers ----------------------------------------------------
+    def _prepare_predict_inputs(self, dataset, queries, items):
+        spark = SparkSession.getActiveSession()
+        if queries is None:
+            if dataset is not None:
+                queries = dataset.interactions.select(self.query_column).distinct()
+            else:
+                queries = self.fit_queries
+        elif not isinstance(queries, DataFrame):
+            queries = get_unique_entities(queries, self.query_column, spark)
+        else:
+            queries = queries.select(self.query_column).distinct()
+        if items is None:
+            items = self.fit_items
+        elif not isinstance(items, DataFrame):
+            items = get_unique_entities(items, self.item_column, spark)
+        else:
+            items = items.select(self.item_column).distinct()
+        interactions = dataset.interactions if dataset is not None else None
+        if not self.can_predict_cold_queries:
+            _, queries = filter_cold(queries, self.fit_queries, self.query_column)
+            if interactions is not None:
+                _, interactions = filter_cold(
+                    interactions, self.fit_queries, self.query_column
+                )
+        if not self.can_predict_cold_items:
+            _, items = filter_cold(items, self.fit_items, self.item_column)
+            if interactions is not None:
+                _, interactions = filter_cold(
+                    interactions, self.fit_items, self.item_column
+                )
+        if dataset is not None and interactions is not None:
+            dataset = Dataset(
+                feature_schema=dataset.feature_schema,
+                interactions=interactions,
+                query_features=dataset.query_features,
+                item_features=dataset.item_features,
+                check_consistency=False,
+            )
+        return dataset, queries, items
+
+    def _filter_seen(
+        self, recs: DataFrame, interactions: DataFrame, k: int, queries: DataFrame
+    ) -> DataFrame:
+        """Remove items already seen by each query; keep enough depth.
+
+        Parity: reference ``base_rec.py:152-201`` — rank cap at
+        ``k + max_seen``, per-query cap at ``k + seen_count``, then
+        anti join on the seen pairs.
+        """
+        queries_interactions = interactions.join(queries, on=self.query_column)
+        num_seen = queries_interactions.groupBy(self.query_column).agg(
+            F.count(self.item_column).alias("seen_count")
+        )
+        max_seen_row = num_seen.agg(F.max("seen_count")).first()
+        max_seen = max_seen_row[0] if max_seen_row and max_seen_row[0] else 0
+        recs = recs.withColumn(
+            "temp_rank",
+            F.row_number().over(
+                Window.partitionBy(self.query_column).orderBy(
+                    F.col(self.rating_column).desc(), F.col(self.item_column).asc()
+                )
+            ),
+        ).filter(F.col("temp_rank") <= F.lit(max_seen + k))
+        recs = (
+            recs.join(num_seen, on=self.query_column, how="left")
+            .fillna(0, subset=["seen_count"])
+            .filter(F.col("temp_rank") <= F.col("seen_count") + F.lit(k))
+            .drop("temp_rank", "seen_count")
+        )
+        seen_pairs = queries_interactions.select(
+            F.col(self.query_column), F.col(self.item_column)
+        )
+        return recs.join(
+            seen_pairs, on=[self.query_column, self.item_column], how="left_anti"
+        )
+
+    # -- persistence -------------------------------------------------------
+    @property
+    def _dataframes(self) -> dict:
+        return {}
+
+    @property
+    def _init_args(self) -> dict:
+        return {}
+
+    def save(self, path: str) -> None:
+        base = Path(path)
+        base.mkdir(parents=True, exist_ok=True)
+        meta = {
+            "class": type(self).__name__,
+            "init_args": self._init_args,
+            "columns": {
+                "query_column": self.query_column,
+                "item_column": self.item_column,
+                "rating_column": self.rating_column,
+                "timestamp_column": self.timestamp_column,
+            },
+            "scalars": self._save_scalars(),
+        }
+        (base / "meta.json").write_text(json.dumps(meta, default=str))
+        for name, df in self._dataframes.items():
+            if df is not None:
+                df.write.mode("overwrite").parquet(str(base / f"{name}.parquet"))
+        if hasattr(self, "fit_queries"):
+            self.fit_queries.write.mode("overwrite").parquet(str(base / "fit_queries.parquet"))
+            self.fit_items.write.mode("overwrite").parquet(str(base / "fit_items.parquet"))
+
+    def _save_scalars(self) -> dict:
+        out = {}
+        for attr in ("fill", "_num_queries", "_num_items", "full_count"):
+            if hasattr(self, attr):
+                out[attr] = getattr(self, attr)
+        return out
+
+    def _load_from(self, path: str, spark: SparkSession) -> None:
+        base = Path(path)
+        meta = json.loads((base / "meta.json").read_text())
+        for col, val in meta["columns"].items():
+            setattr(self, col, val)
+        for p in base.glob("*.parquet"):
+            name = p.name[: -len(".parquet")]
+            if name in ("fit_queries", "fit_items"):
+                continue
+            setattr(self, name, spark.read.parquet(str(p)))
+        for attr, val in meta["scalars"].items():
+            setattr(self, attr, val)
+        if (base / "fit_queries.parquet").exists():
+            self.fit_queries = spark.read.parquet(str(base / "fit_queries.parquet"))
+            self.fit_items = spark.read.parquet(str(base / "fit_items.parquet"))
+
+    @classmethod
+    def load(cls, path: str, spark: Optional[SparkSession] = None, **init_kwargs):
+        spark = spark or SparkSession.getActiveSession()
+        meta = json.loads((Path(path) / "meta.json").read_text())
+        model = cls(**{**meta["init_args"], **init_kwargs})
+        model._load_from(path, spark)
+        return model
+
+
+class NonPersonalizedRecommender(BaseRecommender, ABC):
+    """Popularity-table models (reference ``base_rec.py:1143-1398``).
+
+    ``_fit`` must set ``self.item_popularity``
+    (``[item_id, rating]``) and ``self.fill`` (rating assigned to
+    cold items = min(pop) * cold_weight).
+    """
+
+    can_predict_cold_queries = True
+    can_predict_cold_items = True
+    sample: bool = False
+    seed: Optional[int] = None
+
+    def __init__(self, add_cold_items: bool = True, cold_weight: float = 0.5):
+        if not 0 < cold_weight <= 1:
+            raise ValueError("`cold_weight` value should be in interval (0, 1]")
+        self.add_cold_items = add_cold_items
+        self.cold_weight = cold_weight
+
+    @property
+    def _dataframes(self):
+        return {"item_popularity": self.item_popularity}
+
+    @staticmethod
+    def _calc_fill(item_popularity: DataFrame, weight: float, rating_column: str) -> float:
+        return item_popularity.agg(F.min(rating_column)).first()[0] * weight
+
+    @staticmethod
+    def _check_rating(dataset: Dataset):
+        rating_column = dataset.feature_schema.interactions_rating_column
+        bad = dataset.interactions.where(
+            (F.col(rating_column) != 1) & (F.col(rating_column) != 0)
+        )
+        if bad.count() > 0:
+            raise ValueError("Rating values in interactions must be 0 or 1")
+
+    def _get_selected_item_popularity(self, items: DataFrame) -> DataFrame:
+        return self.item_popularity.join(
+            items,
+            on=self.item_column,
+            how="right" if self.add_cold_items else "inner",
+        ).fillna(value=self.fill, subset=[self.rating_column])
+
+    def _predict(
+        self,
+        dataset: Optional[Dataset],
+        k: int,
+        queries: DataFrame,
+        items: DataFrame,
+        filter_seen_items: bool = True,
+    ) -> DataFrame:
+        if self.sample:
+            return self._predict_with_sampling(dataset, k, queries, items)
+        selected = self._get_selected_item_popularity(items).withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col(self.rating_column).desc(), F.col(self.item_column).desc()
+                )
+            ),
+        )
+        if filter_seen_items and dataset is not None:
+            query_to_num_items = (
+                dataset.interactions.join(queries, on=self.query_column)
+                .groupBy(self.query_column)
+                .agg(F.countDistinct(self.item_column).alias("num_items"))
+            )
+            queries_with_num = queries.join(
+                query_to_num_items, on=self.query_column, how="left"
+            ).fillna(0, subset=["num_items"])
+            max_seen = (
+                queries_with_num.agg(F.coalesce(F.max("num_items"), F.lit(0))).first()[0]
+            )
+            selected = selected.filter(F.col("rank") <= k + max_seen)
+            return queries_with_num.join(
+                selected, on=(F.col("rank") <= k + F.col("num_items")), how="left"
+            ).drop("rank", "num_items")
+        return queries.crossJoin(selected.filter(F.col("rank") <= k)).drop("rank")
+
+    def _predict_with_sampling(
+        self, dataset: Optional[Dataset], k: int, queries: DataFrame, items: DataFrame
+    ) -> DataFrame:
+        """Per-query weighted sampling without replacement
+        (reference ``base_rec.py:1283-1364``) via ``applyInPandas``."""
+        selected = self._get_selected_item_popularity(items).withColumn(
+            self.rating_column,
+            F.when(F.col(self.rating_column) == F.lit(0.0), 0.1**6).otherwise(
+                F.col(self.rating_column)
+            ),
+        )
+        items_pd = selected.toPandas()
+        if len(items_pd) == 0:
+            return queries.withColumn(self.item_column, F.lit(None)).withColumn(
+                self.rating_column, F.lit(None)
+            )
+        total = items_pd[self.rating_column].sum()
+        items_pd["probability"] = items_pd[self.rating_column] / total
+        query_col = self.query_column
+        item_col = self.item_column
+        rating_col = self.rating_column
+        seed = self.seed
+        item_ids = items_pd[item_col].values
+        probs = items_pd["probability"].values
+        ratings = items_pd[rating_col].values
+        k_local = min(k, len(items_pd))
+
+        if dataset is not None:
+            queries = queries.join(
+                dataset.interactions.join(queries, on=query_col)
+                .groupBy(query_col)
+                .agg(F.countDistinct(item_col).alias("num_items")),
+                on=query_col,
+                how="left",
+            ).fillna(0, subset=["num_items"])
+        else:
+            queries = queries.withColumn("num_items", F.lit(0))
+
+        import numpy as np
+
+        def sample_for_query(pdf: pd.DataFrame) -> pd.DataFrame:
+            query_id = pdf[query_col].iloc[0]
+            n = int(min(k_local + pdf["num_items"].iloc[0], len(item_ids)))
+            local_rng = np.random.default_rng(
+                None if seed is None else seed + int(query_id)
+            )
+            chosen = local_rng.choice(len(item_ids), size=n, p=probs, replace=False)
+            return pd.DataFrame(
+                {
+                    query_col: [query_id] * n,
+                    item_col: item_ids[chosen],
+                    rating_col: ratings[chosen],
+                }
+            )
+
+        schema_item_type = dict(selected.dtypes)[item_col]
+        return queries.groupBy(query_col).applyInPandas(
+            sample_for_query,
+            schema=f"{query_col} long, {item_col} {schema_item_type}, {rating_col} double",
+        )
+
+    def _predict_pairs(
+        self, pairs: DataFrame, dataset: Optional[Dataset] = None
+    ) -> DataFrame:
+        return (
+            pairs.join(self.item_popularity, on=self.item_column, how="left")
+            .fillna(value=self.fill, subset=[self.rating_column])
+            .select(self.query_column, self.item_column, self.rating_column)
+        )
