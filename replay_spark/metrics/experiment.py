@@ -1,0 +1,86 @@
+"""OfflineMetrics shared-pass computation + Experiment results table.
+
+Parity: reference ``metrics/offline_metrics.py`` and
+``metrics/experiment.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from replay_spark.metrics.metrics import Coverage, Novelty, Surprisal, Unexpectedness
+
+__all__ = ["OfflineMetrics", "Experiment"]
+
+
+class OfflineMetrics:
+    """Compute many metrics in one call, routing the ones that need
+    ``train`` (Coverage/Novelty/Surprisal) or base recommendations
+    (Unexpectedness)."""
+
+    def __init__(self, metrics: list):
+        self.metrics = metrics
+
+    def __call__(
+        self,
+        recommendations: DataFrame,
+        ground_truth: DataFrame,
+        train: Optional[DataFrame] = None,
+        base_recommendations: Optional[DataFrame] = None,
+    ) -> dict:
+        results: dict = {}
+        for metric in self.metrics:
+            if isinstance(metric, (Coverage, Novelty, Surprisal)):
+                if train is None:
+                    raise ValueError(
+                        f"{type(metric).__name__} requires the train dataframe"
+                    )
+                results.update(metric(recommendations, train))
+            elif isinstance(metric, Unexpectedness):
+                if base_recommendations is None:
+                    raise ValueError(
+                        "Unexpectedness requires base_recommendations"
+                    )
+                results.update(metric(recommendations, base_recommendations))
+            else:
+                results.update(metric(recommendations, ground_truth))
+        return results
+
+
+class Experiment:
+    """Accumulate per-model metric values into a pandas comparison table."""
+
+    def __init__(
+        self,
+        metrics: list,
+        ground_truth: DataFrame,
+        train: Optional[DataFrame] = None,
+        base_recommendations: Optional[DataFrame] = None,
+    ):
+        self.metrics = metrics
+        self.ground_truth = ground_truth
+        self.train = train
+        self.base_recommendations = base_recommendations
+        self.results = pd.DataFrame()
+
+    def add_result(self, name: str, recommendations: DataFrame) -> None:
+        values = OfflineMetrics(self.metrics)(
+            recommendations,
+            self.ground_truth,
+            self.train,
+            self.base_recommendations,
+        )
+        for metric_name, value in values.items():
+            self.results.loc[name, metric_name] = value
+
+    def compare(self, baseline: str) -> pd.DataFrame:
+        """Percent change of every row vs the named baseline row."""
+        if baseline not in self.results.index:
+            raise KeyError(f"No results for {baseline}")
+        base = self.results.loc[baseline]
+        diff = (self.results - base) / base
+        return diff.drop(index=baseline)

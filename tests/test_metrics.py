@@ -1,0 +1,147 @@
+import pytest
+
+from replay_spark.metrics import (
+    MAP,
+    MRR,
+    NDCG,
+    ConfidenceInterval,
+    Coverage,
+    Experiment,
+    HitRate,
+    Mean,
+    Median,
+    Novelty,
+    OfflineMetrics,
+    PerUser,
+    Precision,
+    Recall,
+    RocAuc,
+    Surprisal,
+    Unexpectedness,
+)
+
+
+@pytest.fixture(scope="module")
+def recs(spark):
+    """Reference doctest frame (ndcg.py/experiment.py doctests):
+    3 users x 5 ranked items each, rating = 5-rank."""
+    rows = []
+    preds = {1: [3, 7, 10, 11, 2], 2: [5, 8, 11, 7, 10], 3: [4, 9, 2, 5, 1]}
+    for u, items in preds.items():
+        for rank, i in enumerate(items):
+            rows.append((u, i, float(len(items) - rank)))
+    return spark.createDataFrame(rows, "query_id int, item_id int, rating double")
+
+
+@pytest.fixture(scope="module")
+def ground_truth(spark):
+    # reference doctest groundtruth (ndcg.py:30-46)
+    rows = [
+        (1, 5), (1, 6), (1, 7), (1, 8), (1, 9), (1, 10),
+        (2, 6), (2, 7), (2, 4), (2, 10), (2, 11),
+        (3, 1), (3, 2), (3, 3), (3, 4), (3, 5),
+    ]
+    return spark.createDataFrame(rows, "query_id int, item_id int")
+
+
+def test_ndcg_golden(recs, ground_truth):
+    """Reference golden: NDCG@2 == 0.3333333333333333 with per-user
+    values {1: 0.38685, 2: 0.0, 3: 0.61315}."""
+    out = NDCG(2)(recs, ground_truth)
+    assert out["NDCG@2"] == pytest.approx(0.3333333333, abs=1e-9)
+    per_user = NDCG(2, mode=PerUser())(recs, ground_truth)["NDCG-PerUser@2"]
+    assert per_user[1] == pytest.approx(0.38685280723454163)
+    assert per_user[2] == pytest.approx(0.0)
+    assert per_user[3] == pytest.approx(0.6131471927654584)
+    med = NDCG(2, mode=Median())(recs, ground_truth)["NDCG-Median@2"]
+    assert med == pytest.approx(0.38685280723454163)
+    ci = NDCG(2, mode=ConfidenceInterval(0.95))(recs, ground_truth)[
+        "NDCG-ConfidenceInterval@2"
+    ]
+    assert ci == pytest.approx(0.3508565839953337, rel=1e-4)
+
+
+def test_map_golden(recs, ground_truth):
+    out = MAP(2, mode=PerUser())(recs, ground_truth)["MAP-PerUser@2"]
+    assert out[1] == pytest.approx(0.25)
+    assert out[2] == pytest.approx(0.0)
+    assert out[3] == pytest.approx(0.5)
+
+
+def test_hitrate_precision_recall(recs, ground_truth):
+    hr = HitRate(2)(recs, ground_truth)["HitRate@2"]
+    assert hr == pytest.approx(2 / 3)
+    prec = Precision(2, mode=PerUser())(recs, ground_truth)["Precision-PerUser@2"]
+    assert prec == {1: 0.5, 2: 0.0, 3: 0.5}
+    rec = Recall(2, mode=PerUser())(recs, ground_truth)["Recall-PerUser@2"]
+    assert rec[1] == pytest.approx(1 / 6)
+    assert rec[3] == pytest.approx(1 / 5)
+
+
+def test_mrr(recs, ground_truth):
+    out = MRR(2, mode=PerUser())(recs, ground_truth)["MRR-PerUser@2"]
+    assert out[1] == pytest.approx(0.5)  # second item (7) is a hit
+    assert out[2] == pytest.approx(0.0)
+    assert out[3] == pytest.approx(1.0)
+
+
+def test_rocauc(recs, ground_truth):
+    out = RocAuc(2, mode=PerUser())(recs, ground_truth)["RocAuc-PerUser@2"]
+    # user1: pred [3,7]; 3 miss, 7 hit → fp_cur=1, fp_cum=1 → 1-1/(1*1)=0
+    assert out[1] == pytest.approx(0.0)
+    # user3: [1,2] both hits → fp_cum=0 → 1.0
+    assert out[3] == pytest.approx(1.0)
+
+
+def test_novelty(recs, spark):
+    train = spark.createDataFrame([(1, 3), (2, 100), (3, 1)], "query_id int, item_id int")
+    out = Novelty(2, mode=PerUser())(recs, train)["Novelty-PerUser@2"]
+    assert out[1] == pytest.approx(0.5)  # 3 seen, 7 new
+    assert out[2] == pytest.approx(1.0)
+    assert out[3] == pytest.approx(1.0)  # top-2 [4,9] disjoint from train {1}
+
+
+def test_surprisal_golden(spark):
+    """Reference golden (surprisal.py:73-80): Surprisal(2) == 0.6845351232142715."""
+    recs = spark.createDataFrame(
+        [
+            (1, 3, 0.6), (1, 7, 0.5), (1, 10, 0.4), (1, 11, 0.3), (1, 2, 0.2),
+            (2, 5, 0.6), (2, 8, 0.5), (2, 11, 0.4), (2, 7, 0.3), (2, 10, 0.2),
+            (3, 4, 1.0), (3, 9, 0.5), (3, 2, 0.1),
+        ],
+        "query_id int, item_id int, rating double",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, 5), (1, 6), (1, 7), (1, 8), (1, 9), (1, 10),
+            (2, 6), (2, 7), (2, 4), (2, 10), (2, 11),
+            (3, 1), (3, 2), (3, 3), (3, 4), (3, 5),
+        ],
+        "query_id int, item_id int",
+    )
+    out = Surprisal(2)(recs, train)["Surprisal@2"]
+    assert out == pytest.approx(0.6845351232142715, abs=1e-10)
+
+
+def test_coverage(recs, spark):
+    train = spark.createDataFrame(
+        [(1, i) for i in range(1, 12)], "query_id int, item_id int"
+    )
+    out = Coverage(2)(recs, train)["Coverage@2"]
+    # top-2 per user: {3,7},{5,8},{1,2} → 6 distinct / 11 train items
+    assert out == pytest.approx(6 / 11)
+
+
+def test_unexpectedness(recs):
+    out = Unexpectedness(2)(recs, recs)["Unexpectedness@2"]
+    assert out == pytest.approx(0.0)
+
+
+def test_offline_metrics_and_experiment(recs, ground_truth, spark):
+    train = spark.createDataFrame([(1, 3), (3, 1)], "query_id int, item_id int")
+    om = OfflineMetrics([NDCG(2), HitRate(2), Coverage(2)])
+    out = om(recs, ground_truth, train=train)
+    assert set(out.keys()) == {"NDCG@2", "HitRate@2", "Coverage@2"}
+    exp = Experiment([NDCG(2)], ground_truth)
+    exp.add_result("model_a", recs)
+    assert "NDCG@2" in exp.results.columns
