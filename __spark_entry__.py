@@ -1,38 +1,731 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship PopRec end-to-end recommendation query.
+``queries()`` — one callable per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent SQL for the correctness gate.
+
+Cross-engine conventions (so value hashes match):
+* events.ts is parquet TIMESTAMP(NANOS): Spark floors to micros via
+  ``ts div 1000`` (replay_spark.datasets), DuckDB via
+  ``CAST(ts AS TIMESTAMP)`` — identical values;
+* timestamps in outputs are emitted as epoch microseconds
+  (``unix_micros`` / ``epoch_us``) to avoid timezone ambiguity;
+* float aggregates are rounded (2-6 decimals) in BOTH engines;
+  rankings use unrounded exact values where the math is
+  integer-derived (hence bit-identical across engines).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+import replay_spark.datasets as rsd
+from replay_spark.data import Dataset, FeatureHint, FeatureInfo, FeatureSchema, FeatureType
+
+# Wilson critical value for alpha=0.05: norm.isf(0.025); embedded as a
+# shared constant so Spark and DuckDB use the same number.
+WILSON_CRIT = 1.959963984540054
+
+_SCHEMA = FeatureSchema(
+    [
+        FeatureInfo("query_id", FeatureType.CATEGORICAL, FeatureHint.QUERY_ID),
+        FeatureInfo("item_id", FeatureType.CATEGORICAL, FeatureHint.ITEM_ID),
+        FeatureInfo("timestamp", FeatureType.NUMERICAL, FeatureHint.TIMESTAMP),
+        FeatureInfo("rating", FeatureType.NUMERICAL, FeatureHint.RATING),
+    ]
+)
+
+# DuckDB prelude mapping events → the canonical interactions frame.
+_ORACLE_INTERACTIONS = """
+interactions AS (
+    SELECT user_id AS query_id,
+           CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS item_id,
+           CAST(ts AS TIMESTAMP) AS ts,
+           value AS rating
+    FROM events
+)
+"""
+
+
+def _interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rsd.load_interactions(spark, sf_dir)
+
+
+def _dataset(spark: SparkSession, sf_dir: str) -> Dataset:
+    return Dataset(_SCHEMA, _interactions(spark, sf_dir), check_consistency=False)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style relational queries (generic utility layer)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style aggregate over lineitem with predicate pushdown."""
+    li = rsd.read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") < 30)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way broadcast join: orders ⋈ customer ⋈ nation, revenue per nation."""
+    orders = rsd.read_table(spark, sf_dir, "orders")
+    customer = rsd.read_table(spark, sf_dir, "customer")
+    nation = rsd.read_table(spark, sf_dir, "nation")
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("num_orders"),
+        )
+    )
+
+
+def q_top_parts_by_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k: 3 most expensive parts per p_size."""
+    part = rsd.read_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_size").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_size", "p_partkey", "p_retailprice", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational utility layer (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+def q_top_k_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from replay_spark.utils import get_top_k_recs
+
+    inter = _interactions(spark, sf_dir)
+    return get_top_k_recs(
+        inter.select("query_id", "item_id", "rating"), k=5
+    )
+
+
+def q_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inter = _interactions(spark, sf_dir)
+    return inter.groupBy("query_id").agg(
+        F.round(F.avg("rating"), 6).alias("mean_rating"),
+        F.max("rating").alias("max_rating"),
+        F.min("rating").alias("min_rating"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.expr("percentile(rating, 0.5)"), 6).alias("median_rating"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters (SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+
+def _emit(inter: DataFrame) -> DataFrame:
+    """Standard filtered-log output with tz-free timestamps."""
+    return inter.select(
+        "query_id", "item_id", F.unix_micros("timestamp").alias("ts_us"), "rating"
+    )
+
+
+def q_filter_min_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from replay_spark.preprocessing import MinCountFilter
+
+    return _emit(
+        MinCountFilter(40, "query_id").transform(_interactions(spark, sf_dir))
+    )
+
+
+def q_filter_num_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from replay_spark.preprocessing import NumInteractionsFilter
+
+    return _emit(
+        NumInteractionsFilter(
+            5, False, query_column="query_id", item_column="item_id"
+        ).transform(_interactions(spark, sf_dir))
+    )
+
+
+def q_filter_entity_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from replay_spark.preprocessing import EntityDaysFilter
+
+    return _emit(
+        EntityDaysFilter(30, True, entity_column="query_id").transform(
+            _interactions(spark, sf_dir)
+        )
+    )
+
+
+def q_filter_global_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from replay_spark.preprocessing import GlobalDaysFilter
+
+    return _emit(
+        GlobalDaysFilter(60, True).transform(_interactions(spark, sf_dir))
+    )
+
+
+def q_filter_time_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from replay_spark.preprocessing import TimePeriodFilter
+
+    return _emit(
+        TimePeriodFilter("2024-01-10 00:00:00", "2024-01-20 00:00:00").transform(
+            _interactions(spark, sf_dir)
+        )
+    )
+
+
+def q_filter_consecutive_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from replay_spark.preprocessing import ConsecutiveDuplicatesFilter
+
+    return _emit(
+        ConsecutiveDuplicatesFilter(query_column="query_id").transform(
+            _interactions(spark, sf_dir)
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Splitters (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+def q_time_split_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from replay_spark.splitters import TimeSplitter
+
+    _, test = TimeSplitter(0.2).split(_interactions(spark, sf_dir))
+    return _emit(test)
+
+
+def q_ratio_split_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from replay_spark.splitters import RatioSplitter
+
+    _, test = RatioSplitter(0.3).split(_interactions(spark, sf_dir))
+    return _emit(test)
+
+
+def q_last_n_split_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from replay_spark.splitters import LastNSplitter
+
+    _, test = LastNSplitter(5, divide_column="query_id").split(
+        _interactions(spark, sf_dir)
+    )
+    return _emit(test)
+
+
+# ---------------------------------------------------------------------------
+# Models (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+def q_poprec_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from replay_spark.models import PopRec
+
+    model = PopRec().fit(_dataset(spark, sf_dir))
+    return model.item_popularity.select(
+        "item_id", F.round("rating", 6).alias("rating")
+    )
+
+
+def q_poprec_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from replay_spark.models import PopRec
+
+    ds = _dataset(spark, sf_dir)
+    recs = PopRec().fit_predict(ds, k=5)
+    return recs.select("query_id", "item_id", F.round("rating", 6).alias("rating"))
+
+
+def q_querypoprec_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from replay_spark.models import QueryPopRec
+
+    model = QueryPopRec().fit(_dataset(spark, sf_dir))
+    return model.query_item_popularity.select(
+        "query_id", "item_id", F.round("rating", 6).alias("rating")
+    )
+
+
+def _binary_dataset(spark: SparkSession, sf_dir: str) -> Dataset:
+    inter = _interactions(spark, sf_dir).withColumn(
+        "rating", (F.col("rating") > 100).cast("double")
+    )
+    return Dataset(_SCHEMA, inter, check_consistency=False)
+
+
+def q_wilson_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from replay_spark.models import Wilson
+
+    model = Wilson().fit(_binary_dataset(spark, sf_dir))
+    return model.item_popularity.select(
+        "item_id", F.round("rating", 6).alias("rating")
+    )
+
+
+def q_ucb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from replay_spark.models import UCB
+
+    model = UCB(coef=2.0).fit(_binary_dataset(spark, sf_dir))
+    return model.item_popularity.select(
+        "item_id", F.round("rating", 6).alias("rating")
+    )
+
+
+def q_itemknn_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from replay_spark.models import ItemKNN
+
+    model = ItemKNN(num_neighbours=10, max_history_per_user=None).fit(
+        _dataset(spark, sf_dir)
+    )
+    return model.similarity.select(
+        "item_idx_one",
+        "item_idx_two",
+        F.round("similarity", 6).alias("similarity"),
+    )
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from replay_spark.models import AssociationRulesItemRec
+
+    model = AssociationRulesItemRec(
+        session_column="query_id",
+        min_item_count=2,
+        min_pair_count=2,
+        num_neighbours=None,
+    ).fit(_dataset(spark, sf_dir))
+    return model.similarity.select(
+        "item_idx_one",
+        "item_idx_two",
+        F.round("confidence", 6).alias("confidence"),
+        F.round("lift", 6).alias("lift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (north star): dedup, text stats, ANN
+# ---------------------------------------------------------------------------
+
+
+def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-group documents by content."""
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_count")
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts + quality ratios per document."""
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    trimmed = F.trim(F.col("text"))
+    tokens = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("len_chars"),
+        tokens.alias("num_tokens"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+            / F.length("text"),
+            6,
+        ).alias("alpha_ratio"),
+    )
+
+
+def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbours for query vectors vec_id < 5.
+
+    Ranking uses the rounded similarity + id tiebreak so that 1-ulp
+    cross-engine float differences cannot flip the cut.
+    """
+    emb = rsd.read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm_q = F.sqrt(F.aggregate("qv", F.lit(0.0), lambda a, x: a + x * x))
+    norm_v = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot / (norm_q * norm_v), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contract functions
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: PopRec top-5 recommendations on sf0.001."""
+    return q_poprec_recs(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q_pricing_summary": q_pricing_summary,
+        "q_nation_revenue": q_nation_revenue,
+        "q_top_parts_by_size": q_top_parts_by_size,
+        "q_top_k_recs": q_top_k_recs,
+        "q_user_stats": q_user_stats,
+        "q_filter_min_count": q_filter_min_count,
+        "q_filter_num_interactions": q_filter_num_interactions,
+        "q_filter_entity_days": q_filter_entity_days,
+        "q_filter_global_days": q_filter_global_days,
+        "q_filter_time_period": q_filter_time_period,
+        "q_filter_consecutive_dups": q_filter_consecutive_dups,
+        "q_time_split_test": q_time_split_test,
+        "q_ratio_split_test": q_ratio_split_test,
+        "q_last_n_split_test": q_last_n_split_test,
+        "q_poprec_popularity": q_poprec_popularity,
+        "q_poprec_recs": q_poprec_recs,
+        "q_querypoprec_scores": q_querypoprec_scores,
+        "q_wilson_scores": q_wilson_scores,
+        "q_ucb_scores": q_ucb_scores,
+        "q_itemknn_similarity": q_itemknn_similarity,
+        "q_assoc_rules": q_assoc_rules,
+        "q_doc_dedup_exact": q_doc_dedup_exact,
+        "q_text_stats": q_text_stats,
+        "q_embedding_cosine_topk": q_embedding_cosine_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    W = _ORACLE_INTERACTIONS
+    return {
+        "q_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_quantity < 30
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_nation_revenue": """
+            SELECT n_name,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS num_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "q_top_parts_by_size": """
+            SELECT p_size, p_partkey, p_retailprice, rn FROM (
+                SELECT p_size, p_partkey, p_retailprice,
+                       row_number() OVER (
+                           PARTITION BY p_size
+                           ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+                FROM part) t
+            WHERE rn <= 3
+        """,
+        "q_top_k_recs": f"""
+            WITH {W}
+            SELECT query_id, item_id, rating FROM (
+                SELECT query_id, item_id, rating,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY rating DESC, item_id ASC) AS rn
+                FROM interactions) t
+            WHERE rn <= 5
+        """,
+        "q_user_stats": f"""
+            WITH {W}
+            SELECT query_id,
+                   round(avg(rating), 6) AS mean_rating,
+                   max(rating) AS max_rating,
+                   min(rating) AS min_rating,
+                   count(*) AS cnt,
+                   round(quantile_cont(rating, 0.5), 6) AS median_rating
+            FROM interactions GROUP BY query_id
+        """,
+        "q_filter_min_count": f"""
+            WITH {W}
+            SELECT query_id, item_id, epoch_us(ts) AS ts_us, rating FROM (
+                SELECT *, count(*) OVER (PARTITION BY query_id) AS cnt
+                FROM interactions) t
+            WHERE cnt >= 40
+        """,
+        "q_filter_num_interactions": f"""
+            WITH {W}
+            SELECT query_id, item_id, epoch_us(ts) AS ts_us, rating FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY ts DESC, item_id DESC) AS rn
+                FROM interactions) t
+            WHERE rn <= 5
+        """,
+        "q_filter_entity_days": f"""
+            WITH {W}
+            SELECT query_id, item_id, epoch_us(ts) AS ts_us, rating FROM (
+                SELECT *, min(ts) OVER (PARTITION BY query_id) AS min_ts
+                FROM interactions) t
+            WHERE ts < min_ts + INTERVAL 30 DAY
+        """,
+        "q_filter_global_days": f"""
+            WITH {W}
+            SELECT query_id, item_id, epoch_us(ts) AS ts_us, rating
+            FROM interactions
+            WHERE ts < (SELECT min(ts) FROM interactions) + INTERVAL 60 DAY
+        """,
+        "q_filter_time_period": f"""
+            WITH {W}
+            SELECT query_id, item_id, epoch_us(ts) AS ts_us, rating
+            FROM interactions
+            WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+              AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        """,
+        "q_filter_consecutive_dups": f"""
+            WITH {W}
+            SELECT query_id, item_id, epoch_us(ts) AS ts_us, rating FROM (
+                SELECT *, lag(item_id) OVER (
+                    PARTITION BY query_id ORDER BY ts) AS prev_item
+                FROM interactions) t
+            WHERE prev_item IS NULL OR item_id <> prev_item
+        """,
+        "q_time_split_test": f"""
+            WITH {W},
+            numbered AS (
+                SELECT ts, row_number() OVER (ORDER BY ts) AS rn
+                FROM interactions),
+            cut AS (
+                SELECT ts AS cut_ts FROM numbered
+                WHERE rn = CAST(floor((SELECT count(*) FROM interactions) * 0.8) AS BIGINT) + 1)
+            SELECT query_id, item_id, epoch_us(ts) AS ts_us, rating
+            FROM interactions WHERE ts >= (SELECT cut_ts FROM cut)
+        """,
+        "q_ratio_split_test": f"""
+            WITH {W}
+            SELECT query_id, item_id, epoch_us(ts) AS ts_us, rating FROM (
+                SELECT *,
+                       row_number() OVER (PARTITION BY query_id ORDER BY ts) AS rn,
+                       count(*) OVER (PARTITION BY query_id) AS cnt
+                FROM interactions) t
+            WHERE round(rn / CAST(cnt AS DOUBLE), 10) > 0.7
+        """,
+        "q_last_n_split_test": f"""
+            WITH {W}
+            SELECT query_id, item_id, epoch_us(ts) AS ts_us, rating FROM (
+                SELECT *,
+                       row_number() OVER (PARTITION BY query_id ORDER BY ts) AS rn,
+                       count(*) OVER (PARTITION BY query_id) AS cnt
+                FROM interactions) t
+            WHERE rn > cnt - 5.0
+        """,
+        "q_poprec_popularity": f"""
+            WITH {W}
+            SELECT item_id,
+                   round(count(DISTINCT query_id) /
+                         CAST((SELECT count(DISTINCT query_id) FROM interactions) AS DOUBLE),
+                         6) AS rating
+            FROM interactions GROUP BY item_id
+        """,
+        "q_poprec_recs": f"""
+            WITH {W},
+            users AS (SELECT DISTINCT query_id FROM interactions),
+            pop AS (
+                SELECT item_id,
+                       count(DISTINCT query_id) /
+                       CAST((SELECT count(*) FROM users) AS DOUBLE) AS rating
+                FROM interactions GROUP BY item_id),
+            ranked AS (
+                SELECT item_id, rating,
+                       row_number() OVER (ORDER BY rating DESC, item_id DESC) AS rnk
+                FROM pop),
+            seen_counts AS (
+                SELECT query_id, count(DISTINCT item_id) AS num_items
+                FROM interactions GROUP BY query_id),
+            candidates AS (
+                SELECT u.query_id, r.item_id, r.rating
+                FROM users u
+                JOIN seen_counts s ON u.query_id = s.query_id
+                JOIN ranked r ON r.rnk <= 5 + s.num_items),
+            unseen AS (
+                SELECT c.* FROM candidates c
+                ANTI JOIN interactions i
+                ON c.query_id = i.query_id AND c.item_id = i.item_id),
+            final AS (
+                SELECT query_id, item_id, rating,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY rating DESC, item_id ASC) AS rn
+                FROM unseen)
+            SELECT query_id, item_id, round(rating, 6) AS rating
+            FROM final WHERE rn <= 5
+        """,
+        "q_querypoprec_scores": f"""
+            WITH {W},
+            user_sums AS (
+                SELECT query_id, sum(rating) AS total
+                FROM interactions GROUP BY query_id)
+            SELECT i.query_id, i.item_id,
+                   round(sum(i.rating) / any_value(u.total), 6) AS rating
+            FROM interactions i JOIN user_sums u ON i.query_id = u.query_id
+            GROUP BY i.query_id, i.item_id
+        """,
+        "q_wilson_scores": f"""
+            WITH {W},
+            bin_r AS (
+                SELECT item_id,
+                       CAST(rating > 100 AS DOUBLE) AS rating
+                FROM interactions),
+            counts AS (
+                SELECT item_id, sum(rating) AS pos, count(*) AS total
+                FROM bin_r GROUP BY item_id)
+            SELECT item_id,
+                   round(
+                     (pos + 0.5 * {WILSON_CRIT}*{WILSON_CRIT}) / (total + {WILSON_CRIT}*{WILSON_CRIT})
+                     - {WILSON_CRIT} / (total + {WILSON_CRIT}*{WILSON_CRIT})
+                       * sqrt((total - pos) * pos / total + {WILSON_CRIT}*{WILSON_CRIT} / 4),
+                   6) AS rating
+            FROM counts
+        """,
+        "q_ucb_scores": f"""
+            WITH {W},
+            bin_r AS (
+                SELECT item_id, CAST(rating > 100 AS DOUBLE) AS rating
+                FROM interactions),
+            counts AS (
+                SELECT item_id, sum(rating) AS pos, count(*) AS total
+                FROM bin_r GROUP BY item_id)
+            SELECT item_id,
+                   round(pos / total +
+                         sqrt(2.0 * ln((SELECT count(*) FROM interactions)) / total),
+                   6) AS rating
+            FROM counts
+        """,
+        "q_itemknn_similarity": f"""
+            WITH {W},
+            r AS (SELECT query_id, item_id, 1.0 AS rating FROM interactions),
+            dot AS (
+                SELECT a.item_id AS item_idx_one, b.item_id AS item_idx_two,
+                       sum(a.rating * b.rating) AS dot_product
+                FROM r a JOIN r b
+                ON a.query_id = b.query_id AND a.item_id <> b.item_id
+                GROUP BY 1, 2),
+            norms AS (
+                SELECT item_id, sqrt(sum(rating * rating)) AS norm
+                FROM r GROUP BY item_id),
+            sim AS (
+                SELECT d.item_idx_one, d.item_idx_two,
+                       d.dot_product / (n1.norm * n2.norm + 0.0) AS similarity
+                FROM dot d
+                JOIN norms n1 ON d.item_idx_one = n1.item_id
+                JOIN norms n2 ON d.item_idx_two = n2.item_id)
+            SELECT item_idx_one, item_idx_two, round(similarity, 6) AS similarity
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY item_idx_one
+                    ORDER BY similarity DESC, item_idx_two DESC) AS rn
+                FROM sim) t
+            WHERE rn <= 10
+        """,
+        "q_assoc_rules": f"""
+            WITH {W},
+            sess AS (
+                SELECT DISTINCT query_id AS session_id, item_id, 1 AS rating
+                FROM interactions),
+            freq AS (
+                SELECT item_id, count(*) AS item_count, sum(rating) AS item_rating
+                FROM sess GROUP BY item_id HAVING count(*) >= 2),
+            fs AS (
+                SELECT s.* FROM sess s JOIN freq f ON s.item_id = f.item_id),
+            pairs AS (
+                SELECT a.item_id AS antecedent, b.item_id AS consequent,
+                       count(*) AS pair_count,
+                       sum(least(a.rating, b.rating)) AS pair_rating
+                FROM fs a JOIN fs b
+                ON a.session_id = b.session_id AND a.item_id < b.item_id
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+            sym AS (
+                SELECT antecedent, consequent, pair_rating FROM pairs
+                UNION ALL
+                SELECT consequent, antecedent, pair_rating FROM pairs),
+            m AS (
+                SELECT s.antecedent AS item_idx_one, s.consequent AS item_idx_two,
+                       s.pair_rating / fa.item_rating AS confidence,
+                       (SELECT count(DISTINCT session_id) FROM sess)
+                         * (s.pair_rating / fa.item_rating) / fc.item_rating AS lift
+                FROM sym s
+                JOIN freq fa ON s.antecedent = fa.item_id
+                JOIN freq fc ON s.consequent = fc.item_id)
+            SELECT item_idx_one, item_idx_two,
+                   round(confidence, 6) AS confidence, round(lift, 6) AS lift
+            FROM m
+        """,
+        "q_doc_dedup_exact": """
+            SELECT md5(text) AS text_hash,
+                   min(doc_id) AS keep_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY md5(text)
+        """,
+        "q_text_stats": """
+            SELECT doc_id,
+                   length(text) AS len_chars,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS num_tokens,
+                   round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                         / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio
+            FROM documents
+        """,
+        "q_embedding_cosine_topk": """
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+            q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+            scored AS (
+                SELECT q.qid, e.vec_id AS neighbor_id,
+                       round(
+                           list_dot_product(q.qv, e.v) /
+                           (sqrt(list_dot_product(q.qv, q.qv)) *
+                            sqrt(list_dot_product(e.v, e.v))),
+                       6) AS cos_sim
+                FROM q, e WHERE e.vec_id <> q.qid)
+            SELECT qid, neighbor_id, cos_sim FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY qid
+                    ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+                FROM scored) t
+            WHERE rn <= 10
+        """,
+    }

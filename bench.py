@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+{"metric": "...", "value": <total_sec>, "unit": "sec",
+ "queries": {"q1": sec, ...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+
+# Headline set: one per operator family — scan/agg, joins, windows,
+# the quadratic self-joins, the full recommend path, splitters,
+# text/dedup/ANN pipeline ops.
+BENCH_QUERIES = [
+    "q_pricing_summary",
+    "q_nation_revenue",
+    "q_top_parts_by_size",
+    "q_top_k_recs",
+    "q_user_stats",
+    "q_filter_num_interactions",
+    "q_ratio_split_test",
+    "q_poprec_recs",
+    "q_wilson_scores",
+    "q_itemknn_similarity",
+    "q_assoc_rules",
+    "q_doc_dedup_exact",
+    "q_text_stats",
+    "q_embedding_cosine_topk",
+]
+
+
+def main():
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .config("spark.sql.shuffle.partitions", str(int(CPUS)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("REPLAY_SPARK_DRIVER_MEM", "16g"))
+        .appName("replay_spark_bench")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+    timings = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        start = time.time()
+        try:
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            elapsed = round(time.time() - start, 3)
+            timings[name] = elapsed
+            total += elapsed
+            print(f"# {name}: {n} rows in {elapsed}s", file=sys.stderr)
+        except Exception as exc:
+            timings[name] = None
+            print(f"# {name}: ERROR {exc}", file=sys.stderr)
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf = float(sf)
+    except ValueError:
+        pass
+    print(
+        json.dumps(
+            {
+                "metric": "replay_spark_headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

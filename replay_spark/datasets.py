@@ -37,10 +37,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        # ts arrives as int64 nanoseconds → truncate to microseconds
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        # ts arrives as int64 nanoseconds → floor to microseconds with
+        # integer division (a double `/1000` can round up across the next
+        # microsecond; DuckDB floors, so we must too for oracle parity)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
