@@ -388,6 +388,60 @@ def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) with reference id arithmetic."""
+    from replay_spark.preprocessing import Sessionizer
+
+    inter = _interactions(spark, sf_dir)
+    out = Sessionizer(
+        user_column="query_id", time_column="timestamp", session_gap=1800
+    ).transform(inter)
+    return out.select(
+        "query_id",
+        "item_id",
+        F.unix_timestamp("timestamp").alias("ts_s"),
+        "session_id",
+    )
+
+
+def q_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense label codes for event_type via join-based LabelEncoder."""
+    from replay_spark.preprocessing import LabelEncodingRule
+
+    events = rsd.read_table(spark, sf_dir, "events").select("event_id", "event_type")
+    rule = LabelEncodingRule("event_type")
+    return rule.fit_transform(events).select("event_id", "event_type")
+
+
+def q_log_stat_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user history statistics (deterministic subset of columns)."""
+    from replay_spark.preprocessing import LogStatFeaturesProcessor
+
+    proc = LogStatFeaturesProcessor().fit(_interactions(spark, sf_dir))
+    u = proc.user_log_features
+    return u.select(
+        "query_id",
+        F.round("u_log_num_interact", 6).alias("u_log_num_interact"),
+        F.round("u_log_interact_days_count", 6).alias("u_log_days"),
+        F.unix_micros("u_min_interact_date").alias("min_ts_us"),
+        F.unix_micros("u_max_interact_date").alias("max_ts_us"),
+        F.col("u_history_length_days").alias("hist_days"),
+        F.round("u_std", 4).alias("u_std"),
+        F.round("u_mean", 4).alias("u_mean"),
+        F.round("abnormality", 4).alias("abnormality"),
+    )
+
+
+def q_discretize_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy-binned event values -> per-bin counts (rows-only check:
+    the greedy bound search is not SQL-expressible)."""
+    from replay_spark.preprocessing import GreedyDiscretizingRule
+
+    events = rsd.read_table(spark, sf_dir, "events").select("value")
+    out = GreedyDiscretizingRule("value", n_bins=10).fit_transform(events)
+    return out.groupBy("value").count().withColumnRenamed("value", "bin")
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -421,6 +475,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ucb_scores": q_ucb_scores,
         "q_itemknn_similarity": q_itemknn_similarity,
         "q_assoc_rules": q_assoc_rules,
+        "q_sessionize": q_sessionize,
+        "q_label_encode": q_label_encode,
+        "q_log_stat_features": q_log_stat_features,
+        "q_discretize_greedy": q_discretize_greedy,
         "q_doc_dedup_exact": q_doc_dedup_exact,
         "q_text_stats": q_text_stats,
         "q_embedding_cosine_topk": q_embedding_cosine_topk,
@@ -691,6 +749,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT item_idx_one, item_idx_two,
                    round(confidence, 6) AS confidence, round(lift, 6) AS lift
             FROM m
+        """,
+        "q_sessionize": f"""
+            WITH {W},
+            base AS (
+                SELECT query_id, item_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+                FROM interactions),
+            b AS (
+                SELECT *, CASE WHEN lag(ts_s) OVER w IS NULL
+                                 OR ts_s - lag(ts_s) OVER w >= 1800
+                               THEN 1 ELSE 0 END AS boundary
+                FROM base WINDOW w AS (PARTITION BY query_id ORDER BY ts_s)),
+            o AS (
+                SELECT *, sum(boundary) OVER (
+                    PARTITION BY query_id
+                    ORDER BY ts_s, boundary DESC) AS ordinal
+                FROM b),
+            uc AS (SELECT query_id, count(*) AS c FROM base GROUP BY query_id),
+            cum AS (
+                SELECT query_id, sum(c) OVER (ORDER BY query_id) AS cum_c
+                FROM uc)
+            SELECT o.query_id, o.item_id, o.ts_s,
+                   cum.cum_c - o.ordinal AS session_id
+            FROM o JOIN cum ON o.query_id = cum.query_id
+        """,
+        "q_label_encode": """
+            SELECT event_id,
+                   dense_rank() OVER (ORDER BY event_type) - 1 AS event_type
+            FROM events
+        """,
+        "q_log_stat_features": f"""
+            WITH {W},
+            u AS (
+                SELECT query_id,
+                       round(ln(count(*)), 6) AS u_log_num_interact,
+                       round(ln(count(DISTINCT date_trunc('day', ts))), 6) AS u_log_days,
+                       epoch_us(min(ts)) AS min_ts_us,
+                       epoch_us(max(ts)) AS max_ts_us,
+                       date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS hist_days,
+                       round(stddev_samp(rating), 4) AS u_std,
+                       round(avg(rating), 4) AS u_mean
+                FROM interactions GROUP BY query_id),
+            imeans AS (
+                SELECT item_id, avg(rating) AS i_mean, stddev_samp(rating) AS i_std
+                FROM interactions GROUP BY item_id),
+            bounds AS (SELECT max(i_std) AS mx, min(i_std) AS mn FROM imeans),
+            ab AS (
+                SELECT i.query_id,
+                       round(avg(abs(i.rating - m.i_mean)), 4) AS abnormality
+                FROM interactions i JOIN imeans m ON i.item_id = m.item_id
+                GROUP BY i.query_id)
+            SELECT u.*, ab.abnormality
+            FROM u JOIN ab ON u.query_id = ab.query_id
         """,
         "q_doc_dedup_exact": """
             SELECT md5(text) AS text_hash,

@@ -1,0 +1,140 @@
+import pytest
+
+from replay_spark.preprocessing import (
+    Discretizer,
+    GreedyDiscretizingRule,
+    LabelEncoder,
+    LabelEncodingRule,
+    LogStatFeaturesProcessor,
+    QuantileDiscretizingRule,
+    SequenceEncodingRule,
+    Sessionizer,
+)
+
+
+def test_label_encoder_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("a",), ("c",), ("b",), ("a",)], "item_id string"
+    )
+    rule = LabelEncodingRule("item_id")
+    out = rule.fit_transform(df)
+    vals = [r.item_id for r in out.collect()]
+    assert sorted(set(vals)) == [0, 1, 2]
+    mapping = rule.get_mapping()
+    assert mapping == {"a": 0, "b": 1, "c": 2}
+    back = rule.inverse_transform(out)
+    assert sorted(r.item_id for r in back.collect()) == ["a", "a", "b", "c"]
+
+
+def test_label_encoder_partial_fit(spark):
+    df1 = spark.createDataFrame([("a",), ("b",)], "item_id string")
+    df2 = spark.createDataFrame([("c",), ("a",)], "item_id string")
+    rule = LabelEncodingRule("item_id").fit(df1)
+    rule.partial_fit(df2)
+    assert rule.get_mapping() == {"a": 0, "b": 1, "c": 2}
+
+
+def test_label_encoder_unknown_policies(spark):
+    train = spark.createDataFrame([("a",), ("b",)], "item_id string")
+    test = spark.createDataFrame([("a",), ("z",)], "item_id string")
+    with pytest.raises(ValueError):
+        LabelEncodingRule("item_id").fit(train).transform(test)
+    dropped = (
+        LabelEncodingRule("item_id", handle_unknown="drop").fit(train).transform(test)
+    )
+    assert dropped.count() == 1
+    filled = (
+        LabelEncodingRule("item_id", handle_unknown="use_default_value", default_value=-1)
+        .fit(train)
+        .transform(test)
+    )
+    assert sorted(r.item_id for r in filled.collect()) == [-1, 0]
+
+
+def test_sequence_encoder(spark):
+    df = spark.createDataFrame([(["a", "b"],), (["b", "c"],)], "items array<string>")
+    rule = SequenceEncodingRule("items")
+    out = rule.fit_transform(df)
+    rows = sorted(r.items for r in out.collect())
+    assert rows == [[0, 1], [1, 2]]
+
+
+def test_label_encoder_save_load(tmp_path, spark):
+    df = spark.createDataFrame([("x",), ("y",)], "item_id string")
+    enc = LabelEncoder([LabelEncodingRule("item_id")]).fit(df)
+    enc.save(str(tmp_path / "enc"))
+    loaded = LabelEncoder.load(str(tmp_path / "enc"), spark)
+    out = loaded.transform(df)
+    assert sorted(r.item_id for r in out.collect()) == [0, 1]
+
+
+def test_sessionizer_golden(spark):
+    """Reference doctest (sessionizer.py:19-48): session_gap=5 over the
+    10-row fixture yields session ids [2,2,2,5,5,5,9,8,9,9]."""
+    rows = [
+        (1, 1, 1), (1, 2, 2), (1, 3, 3),
+        (2, 1, 1), (2, 2, 2), (2, 3, 3),
+        (3, 1, 1), (3, 2, 10), (3, 3, 3),
+        (3, 4, 2),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, item_id int, timestamp long")
+    out = Sessionizer(session_gap=5).transform(df)
+    got = {
+        (r.user_id, r.item_id): r.session_id
+        for r in out.collect()
+    }
+    expected = {
+        (1, 1): 2, (1, 2): 2, (1, 3): 2,
+        (2, 1): 5, (2, 2): 5, (2, 3): 5,
+        (3, 1): 9, (3, 2): 8, (3, 3): 9, (3, 4): 9,
+    }
+    assert got == expected
+
+
+def test_sessionizer_filters(spark):
+    rows = [
+        (1, 1, 1), (1, 2, 2),
+        (2, 1, 1), (2, 2, 100), (2, 3, 101),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, item_id int, timestamp long")
+    out = Sessionizer(session_gap=5, min_inter_per_session=2).transform(df)
+    # user 2's singleton first session dropped
+    assert out.count() == 4
+
+
+def test_quantile_discretizer(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    rule = QuantileDiscretizingRule("v", n_bins=4)
+    out = rule.fit_transform(df)
+    counts = {r.v: r["count"] for r in out.groupBy("v").count().collect()}
+    assert set(counts.keys()) == {0.0, 1.0, 2.0, 3.0}
+    assert all(20 <= c <= 30 for c in counts.values())
+
+
+def test_greedy_discretizer(spark):
+    df = spark.createDataFrame([(float(i % 10),) for i in range(100)], "v double")
+    rule = GreedyDiscretizingRule("v", n_bins=5)
+    out = rule.fit_transform(df)
+    assert out.select("v").distinct().count() <= 6
+
+
+def test_discretizer_save_load(tmp_path, spark):
+    df = spark.createDataFrame([(float(i),) for i in range(50)], "v double")
+    disc = Discretizer([QuantileDiscretizingRule("v", 3)]).fit(df)
+    disc.save(str(tmp_path / "disc"))
+    loaded = Discretizer.load(str(tmp_path / "disc"))
+    out1 = sorted(r.v for r in disc.transform(df).collect())
+    out2 = sorted(r.v for r in loaded.transform(df).collect())
+    assert out1 == out2
+
+
+def test_log_stat_features(spark, interactions):
+    proc = LogStatFeaturesProcessor().fit(interactions)
+    users = proc.user_log_features
+    assert users.count() == 3
+    cols = users.columns
+    assert "u_log_num_interact" in cols
+    assert "u_history_length_days" in cols
+    assert "abnormality" in cols
+    out = proc.transform(interactions)
+    assert "u_log_num_interact" in out.columns and "i_log_num_interact" in out.columns
