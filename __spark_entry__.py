@@ -442,6 +442,92 @@ def q_discretize_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("value").count().withColumnRenamed("value", "bin")
 
 
+def q_doc_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-fingerprint dedup: keep min doc_id per fingerprint."""
+    from replay_spark.preprocessing.dedup import ExactDeduplicator
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    out = ExactDeduplicator(normalize=True).transform(docs)
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QualityScorer signals per document."""
+    from replay_spark.preprocessing.text import QualityScorer
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    out = QualityScorer().transform(docs)
+    return out.select(
+        "doc_id",
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("quality_score", 6).alias("quality_score"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID per document."""
+    from replay_spark.preprocessing.text import LanguageIdentifier
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    return LanguageIdentifier().transform(docs).select("doc_id", "detected_lang")
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.2)."""
+    from replay_spark.preprocessing.dedup import NGramJaccardDeduplicator
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    pairs = NGramJaccardDeduplicator(n=3, threshold=0.2).pairs(docs)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-duplicate vector pairs (threshold 0.3 — the synthetic vectors have no true near-dups; 0.3 exercises the cut)."""
+    from replay_spark.preprocessing.dedup import EmbeddingDeduplicator
+
+    emb = rsd.read_table(spark, sf_dir, "embeddings")
+    pairs = EmbeddingDeduplicator(
+        dim=64, threshold=0.3, num_planes=0
+    ).pairs(emb)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (rows-only: xxhash64 signatures are
+    engine-specific; exact-Jaccard parity is gated by
+    q_ngram_jaccard_pairs instead)."""
+    from replay_spark.preprocessing.dedup import MinHashLSHDeduplicator
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    return MinHashLSHDeduplicator(
+        n=3, num_hashes=32, bands=16, threshold=0.3
+    ).candidate_pairs(docs)
+
+
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (rows-only: bit mix is hash-specific)."""
+    from replay_spark.preprocessing.dedup import SimHashDeduplicator
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    return SimHashDeduplicator().fingerprints(docs)
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: treat utf-8 text bytes as an opaque
+    payload, compute byte length + content hash (JVM-side)."""
+    from replay_spark.multimodal import attach_media_metadata
+
+    docs = rsd.read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return attach_media_metadata(docs).select(
+        "media_id", "num_bytes", "content_hash"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -482,6 +568,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_dedup_exact": q_doc_dedup_exact,
         "q_text_stats": q_text_stats,
         "q_embedding_cosine_topk": q_embedding_cosine_topk,
+        "q_doc_dedup_normalized": q_doc_dedup_normalized,
+        "q_text_quality": q_text_quality,
+        "q_lang_id": q_lang_id,
+        "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "q_embedding_neardup": q_embedding_neardup,
+        "q_minhash_candidates": q_minhash_candidates,
+        "q_simhash_fingerprints": q_simhash_fingerprints,
+        "q_multimodal_meta": q_multimodal_meta,
     }
 
 
@@ -802,6 +896,102 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY i.query_id)
             SELECT u.*, ab.abnormality
             FROM u JOIN ab ON u.query_id = ab.query_id
+        """,
+        "q_doc_dedup_normalized": """
+            SELECT doc_id, lang, source, n_chars FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                    ORDER BY doc_id) AS rn
+                FROM documents) t
+            WHERE rn = 1
+        """,
+        "q_text_quality": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       CAST(length(text) AS DOUBLE) AS n,
+                       CASE WHEN length(trim(text)) = 0 THEN []
+                            ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+                FROM documents),
+            r AS (
+                SELECT doc_id,
+                       CASE WHEN n > 0 THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / n ELSE 0.0 END AS alpha_ratio,
+                       CASE WHEN n > 0 THEN length(regexp_replace(text, '[^0-9]', '', 'g')) / n ELSE 0.0 END AS digit_ratio,
+                       CASE WHEN len(toks) > 0
+                            THEN len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','that','it','for'], x))) / CAST(len(toks) AS DOUBLE)
+                            ELSE 0.0 END AS stopword_ratio
+                FROM t)
+            SELECT doc_id,
+                   round(alpha_ratio, 6) AS alpha_ratio,
+                   round(digit_ratio, 6) AS digit_ratio,
+                   round(stopword_ratio, 6) AS stopword_ratio,
+                   round(least(1.0, alpha_ratio * 0.5 + stopword_ratio * 0.3 + (1 - digit_ratio) * 0.2), 6) AS quality_score
+            FROM r
+        """,
+        "q_lang_id": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN []
+                            ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+                FROM documents),
+            h AS (
+                SELECT doc_id,
+                   len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','von','mit','ein','zu','den'], x))) AS hits_de,
+                   len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','that','it','for'], x))) AS hits_en,
+                   len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un','es','los','por'], x))) AS hits_es,
+                   len(list_filter(toks, x -> list_contains(['le','la','de','et','les','des','un','une','est','dans'], x))) AS hits_fr,
+                   len(list_filter(toks, x -> list_contains(['и','в','не','на','что','с','по','это','как','из'], x))) AS hits_ru
+                FROM t)
+            SELECT doc_id, CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr, hits_ru) = 0 THEN 'und'
+                 WHEN hits_ru >= hits_de AND hits_ru >= hits_en AND hits_ru >= hits_es AND hits_ru >= hits_fr THEN 'ru'
+                 WHEN hits_fr >= hits_de AND hits_fr >= hits_en AND hits_fr >= hits_es THEN 'fr'
+                 WHEN hits_es >= hits_de AND hits_es >= hits_en THEN 'es'
+                 WHEN hits_en >= hits_de THEN 'en'
+                 ELSE 'de' END AS detected_lang
+            FROM h
+        """,
+        "q_ngram_jaccard_pairs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS tk
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id, shingle FROM (
+                    SELECT doc_id,
+                           CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                                ELSE list_transform(range(1, len(tk) - 1),
+                                     i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+                           END AS shingles
+                    FROM toks) t, unnest(t.shingles) AS u(shingle)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON id_a = sa.doc_id
+            JOIN sizes sb ON id_b = sb.doc_id
+            WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.2
+        """,
+        "q_embedding_neardup": """
+            WITH e AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v) /
+                         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                   6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+        """,
+        "q_multimodal_meta": """
+            SELECT doc_id AS media_id,
+                   octet_length(encode(text)) AS num_bytes,
+                   md5(text) AS content_hash
+            FROM documents
         """,
         "q_doc_dedup_exact": """
             SELECT md5(text) AS text_hash,

@@ -1,0 +1,464 @@
+"""Deduplication operators for 100 TB-scale corpora.
+
+Five strategies, all expressed as DataFrame plans:
+
+* ``ExactDeduplicator`` — hash-groupBy on content (or a normalized
+  fingerprint). One shuffle on the hash key.
+* ``NGramJaccardDeduplicator`` — exact word-n-gram Jaccard via an
+  inverted shingle index: pairs are generated only for documents
+  sharing a shingle (never the full cross join), hot shingles are
+  dropped by document frequency (they only ever create popular-pair
+  noise), then Jaccard = |∩| / |∪| exactly.
+* ``MinHashLSHDeduplicator`` — k seeded xxhash64 min-hashes per
+  document → b bands → bucket join → candidate pairs with estimated
+  Jaccard (fraction of matching signature slots). Cost is linear in
+  corpus size; only banded collisions are compared.
+* ``SimHashDeduplicator`` — 64-bit simhash over token hashes;
+  candidates via 4×16-bit band blocking (Hamming ≤ 3 guaranteed to
+  collide in ≥1 band by pigeonhole).
+* ``EmbeddingDeduplicator`` — cosine near-dup over an embedding
+  column; random-hyperplane sign buckets prune the pair space, exact
+  cosine verifies.
+
+Everything uses JVM hash functions (xxhash64) and higher-order
+array expressions — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from replay_spark.preprocessing.text import fingerprint_expr
+
+__all__ = [
+    "ExactDeduplicator",
+    "NGramJaccardDeduplicator",
+    "MinHashLSHDeduplicator",
+    "SimHashDeduplicator",
+    "EmbeddingDeduplicator",
+]
+
+
+class ExactDeduplicator:
+    """Exact (optionally normalized) content dedup.
+
+    ``transform`` keeps the smallest id per content group;
+    ``duplicates`` returns the group table.
+    """
+
+    def __init__(
+        self,
+        id_column: str = "doc_id",
+        text_column: str = "text",
+        normalize: bool = False,
+    ):
+        self.id_column = id_column
+        self.text_column = text_column
+        self.normalize = normalize
+
+    def _key(self):
+        if self.normalize:
+            return fingerprint_expr(F.col(self.text_column))
+        return F.md5(F.col(self.text_column))
+
+    def duplicates(self, df: DataFrame) -> DataFrame:
+        return df.groupBy(self._key().alias("content_hash")).agg(
+            F.min(self.id_column).alias("keep_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(self._key()).orderBy(self.id_column)
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+
+def _word_ngrams(tokens, n: int):
+    """array<string> word n-grams via transform over index sequence."""
+    return F.when(
+        F.size(tokens) < n, F.array(F.concat_ws(" ", tokens))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens) - n),
+            lambda i: F.concat_ws(
+                " ", F.slice(tokens, i + 1, n)
+            ),
+        )
+    )
+
+
+class NGramJaccardDeduplicator:
+    """Exact n-gram Jaccard similarity pairs above a threshold."""
+
+    def __init__(
+        self,
+        id_column: str = "doc_id",
+        text_column: str = "text",
+        n: int = 3,
+        threshold: float = 0.8,
+        max_shingle_df: Optional[int] = None,
+    ):
+        self.id_column = id_column
+        self.text_column = text_column
+        self.n = n
+        self.threshold = threshold
+        self.max_shingle_df = max_shingle_df
+
+    def _shingles(self, df: DataFrame) -> DataFrame:
+        tokens = F.split(F.trim(F.lower(F.col(self.text_column))), r"\s+")
+        return df.select(
+            self.id_column,
+            F.explode(
+                F.array_distinct(_word_ngrams(tokens, self.n))
+            ).alias("shingle"),
+        )
+
+    def pairs(self, df: DataFrame) -> DataFrame:
+        """(id_a, id_b, jaccard) for all pairs ≥ threshold, id_a < id_b."""
+        shingles = self._shingles(df).cache()
+        if self.max_shingle_df is not None:
+            hot = (
+                shingles.groupBy("shingle")
+                .count()
+                .filter(F.col("count") > self.max_shingle_df)
+                .select("shingle")
+            )
+            shingles = shingles.join(hot, on="shingle", how="left_anti")
+        sizes = shingles.groupBy(self.id_column).agg(
+            F.count(F.lit(1)).alias("_size")
+        )
+        left = shingles.withColumnRenamed(self.id_column, "id_a")
+        right = shingles.withColumnRenamed(self.id_column, "id_b")
+        inter = (
+            left.join(right, on="shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("_inter"))
+        )
+        out = (
+            inter.join(
+                sizes.select(
+                    F.col(self.id_column).alias("id_a"),
+                    F.col("_size").alias("_size_a"),
+                ),
+                on="id_a",
+            )
+            .join(
+                sizes.select(
+                    F.col(self.id_column).alias("id_b"),
+                    F.col("_size").alias("_size_b"),
+                ),
+                on="id_b",
+            )
+            .withColumn(
+                "jaccard",
+                F.col("_inter")
+                / (F.col("_size_a") + F.col("_size_b") - F.col("_inter")),
+            )
+            .filter(F.col("jaccard") >= self.threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+        return out
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """Drop the higher-id member of every near-duplicate pair."""
+        dupes = self.pairs(df).select(F.col("id_b").alias(self.id_column)).distinct()
+        return df.join(dupes, on=self.id_column, how="left_anti")
+
+
+class MinHashLSHDeduplicator:
+    """MinHash signatures + banded LSH candidate generation.
+
+    signature[i] = min over shingles of xxhash64(shingle, seed_i);
+    b bands of r rows each (k = b*r); documents colliding on any
+    band's slice are candidates; estimated Jaccard = matching slots / k.
+    """
+
+    def __init__(
+        self,
+        id_column: str = "doc_id",
+        text_column: str = "text",
+        n: int = 3,
+        num_hashes: int = 64,
+        bands: int = 16,
+        threshold: float = 0.7,
+    ):
+        assert num_hashes % bands == 0, "bands must divide num_hashes"
+        self.id_column = id_column
+        self.text_column = text_column
+        self.n = n
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.rows_per_band = num_hashes // bands
+        self.threshold = threshold
+
+    def signatures(self, df: DataFrame) -> DataFrame:
+        """(id, signature array<long>) — one shuffle (groupBy id)."""
+        tokens = F.split(F.trim(F.lower(F.col(self.text_column))), r"\s+")
+        shingled = df.select(
+            self.id_column,
+            F.explode(
+                F.array_distinct(_word_ngrams(tokens, self.n))
+            ).alias("shingle"),
+        )
+        mins = [
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"_h{i}")
+            for i in range(self.num_hashes)
+        ]
+        sig = shingled.groupBy(self.id_column).agg(*mins)
+        return sig.select(
+            self.id_column,
+            F.array(*[f"_h{i}" for i in range(self.num_hashes)]).alias("signature"),
+        )
+
+    def candidate_pairs(self, df: DataFrame) -> DataFrame:
+        """(id_a, id_b, est_jaccard) for banded collisions ≥ threshold."""
+        sigs = self.signatures(df).cache()
+        bands = sigs.select(
+            self.id_column,
+            "signature",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                F.transform(
+                                    F.slice(
+                                        "signature",
+                                        b * self.rows_per_band + 1,
+                                        self.rows_per_band,
+                                    ),
+                                    lambda x: x.cast("string"),
+                                ),
+                            )
+                        )
+                        for b in range(self.bands)
+                    ]
+                )
+            ).alias("band", "band_hash"),
+        )
+        left = bands.select(
+            F.col(self.id_column).alias("id_a"),
+            F.col("signature").alias("sig_a"),
+            "band",
+            "band_hash",
+        )
+        right = bands.select(
+            F.col(self.id_column).alias("id_b"),
+            F.col("signature").alias("sig_b"),
+            "band",
+            "band_hash",
+        )
+        cands = (
+            left.join(right, on=["band", "band_hash"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sig_a", "sig_b")
+            .distinct()
+        )
+        est = F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
+                lambda x: x == 1,
+            )
+        ) / F.lit(float(self.num_hashes))
+        return (
+            cands.withColumn("est_jaccard", est)
+            .filter(F.col("est_jaccard") >= self.threshold)
+            .select("id_a", "id_b", "est_jaccard")
+        )
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        dupes = (
+            self.candidate_pairs(df)
+            .select(F.col("id_b").alias(self.id_column))
+            .distinct()
+        )
+        return df.join(dupes, on=self.id_column, how="left_anti")
+
+
+class SimHashDeduplicator:
+    """64-bit SimHash with 16-bit band blocking.
+
+    bit_i(doc) = sign of Σ_tokens (±1 depending on bit i of
+    xxhash64(token)); candidates share one of four 16-bit chunks,
+    verified by Hamming distance ≤ max_hamming.
+    """
+
+    def __init__(
+        self,
+        id_column: str = "doc_id",
+        text_column: str = "text",
+        max_hamming: int = 3,
+    ):
+        self.id_column = id_column
+        self.text_column = text_column
+        self.max_hamming = max_hamming
+
+    def fingerprints(self, df: DataFrame) -> DataFrame:
+        tokens = F.split(F.trim(F.lower(F.col(self.text_column))), r"\s+")
+        exploded = df.select(
+            self.id_column, F.explode(tokens).alias("token")
+        ).withColumn("h", F.xxhash64("token"))
+        bit_sums = [
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"_b{i}")
+            for i in range(64)
+        ]
+        agg = exploded.groupBy(self.id_column).agg(*bit_sums)
+        fingerprint = None
+        for i in range(64):
+            bit = F.when(F.col(f"_b{i}") > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            term = F.shiftleft(bit, i)
+            fingerprint = term if fingerprint is None else fingerprint.bitwiseXOR(term)
+        return agg.select(self.id_column, fingerprint.alias("simhash"))
+
+    def candidate_pairs(self, df: DataFrame) -> DataFrame:
+        fps = self.fingerprints(df).cache()
+        chunks = fps.select(
+            self.id_column,
+            "simhash",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned(F.col("simhash"), 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        for c in range(4)
+                    ]
+                )
+            ).alias("chunk", "chunk_val"),
+        )
+        left = chunks.select(
+            F.col(self.id_column).alias("id_a"),
+            F.col("simhash").alias("fp_a"),
+            "chunk",
+            "chunk_val",
+        )
+        right = chunks.select(
+            F.col(self.id_column).alias("id_b"),
+            F.col("simhash").alias("fp_b"),
+            "chunk",
+            "chunk_val",
+        )
+        cands = (
+            left.join(right, on=["chunk", "chunk_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "fp_a", "fp_b")
+            .distinct()
+        )
+        hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+        return (
+            cands.withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= self.max_hamming)
+            .select("id_a", "id_b", "hamming")
+        )
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        dupes = (
+            self.candidate_pairs(df)
+            .select(F.col("id_b").alias(self.id_column))
+            .distinct()
+        )
+        return df.join(dupes, on=self.id_column, how="left_anti")
+
+
+class EmbeddingDeduplicator:
+    """Cosine near-duplicate pairs over an embedding column.
+
+    Random-hyperplane sign buckets (seeded, driver-generated,
+    embedded as literals) prune candidates; exact cosine verifies.
+    ``num_planes=0`` disables pruning (exact brute force).
+    """
+
+    def __init__(
+        self,
+        id_column: str = "vec_id",
+        vector_column: str = "embedding",
+        dim: int = 64,
+        threshold: float = 0.95,
+        num_planes: int = 8,
+        seed: int = 42,
+    ):
+        self.id_column = id_column
+        self.vector_column = vector_column
+        self.dim = dim
+        self.threshold = threshold
+        self.num_planes = num_planes
+        self.seed = seed
+
+    def _planes(self):
+        rng = random.Random(self.seed)
+        return [
+            [rng.gauss(0.0, 1.0) for _ in range(self.dim)]
+            for _ in range(self.num_planes)
+        ]
+
+    def _prepared(self, df: DataFrame) -> DataFrame:
+        v = F.transform(F.col(self.vector_column), lambda x: x.cast("double"))
+        out = df.select(F.col(self.id_column).alias("_id"), v.alias("_v"))
+        if self.num_planes:
+            bucket = None
+            for i, plane in enumerate(self._planes()):
+                lit_plane = F.array(*[F.lit(p) for p in plane])
+                dot = F.aggregate(
+                    F.zip_with("_v", lit_plane, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                bit = F.shiftleft(
+                    F.when(dot >= 0, F.lit(1).cast("long")).otherwise(
+                        F.lit(0).cast("long")
+                    ),
+                    i,
+                )
+                bucket = bit if bucket is None else bucket.bitwiseXOR(bit)
+            out = out.withColumn("_bucket", bucket)
+        else:
+            out = out.withColumn("_bucket", F.lit(0))
+        norm = F.sqrt(
+            F.aggregate("_v", F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+        return out.withColumn("_norm", norm)
+
+    def pairs(self, df: DataFrame) -> DataFrame:
+        prepared = self._prepared(df).cache()
+        left = prepared.select(
+            F.col("_id").alias("id_a"),
+            F.col("_v").alias("va"),
+            F.col("_norm").alias("na"),
+            "_bucket",
+        )
+        right = prepared.select(
+            F.col("_id").alias("id_b"),
+            F.col("_v").alias("vb"),
+            F.col("_norm").alias("nb"),
+            "_bucket",
+        )
+        dot = F.aggregate(
+            F.zip_with("va", "vb", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            left.join(right, on="_bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
+            .filter(F.col("cosine") >= self.threshold)
+            .select("id_a", "id_b", "cosine")
+        )
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        dupes = self.pairs(df).select(F.col("id_b").alias(self.id_column)).distinct()
+        return df.join(dupes, on=self.id_column, how="left_anti")

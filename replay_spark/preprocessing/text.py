@@ -1,0 +1,170 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are built-in Spark SQL functions (JVM-side,
+whole-stage codegen): tokenization via regex split, quality ratios
+via regexp_replace/length arithmetic, language ID via stopword-hit
+counting over literal arrays, fingerprints via md5 of normalized
+text. At 100 TB these are embarrassingly parallel scans — no
+shuffle at all until an aggregation is requested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokenize_expr",
+    "token_count_expr",
+    "TextStats",
+    "QualityScorer",
+    "LanguageIdentifier",
+    "fingerprint_expr",
+    "LANG_STOPWORDS",
+]
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# Deliberately small and embedded so the operator is self-contained
+# and the DuckDB oracle can replicate it exactly.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "den"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "los", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"],
+    "ru": ["и", "в", "не", "на", "что", "с", "по", "это", "как", "из"],
+}
+
+
+def tokenize_expr(text: Column) -> Column:
+    """Whitespace tokenization; empty string → empty array."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count_expr(text: Column) -> Column:
+    return F.size(tokenize_expr(text))
+
+
+def fingerprint_expr(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized, lower-cased text — robust to formatting
+    noise, usable as an exact near-normal-form dedup key."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+
+
+class TextStats:
+    """Per-document structural statistics."""
+
+    def __init__(self, text_column: str = "text"):
+        self.text_column = text_column
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        text = F.col(self.text_column)
+        tokens = tokenize_expr(text)
+        return df.withColumn("num_chars", F.length(text)).withColumn(
+            "num_tokens", F.size(tokens)
+        ).withColumn(
+            "mean_token_len",
+            F.when(
+                F.size(tokens) > 0,
+                F.aggregate(
+                    F.transform(tokens, F.length),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                )
+                / F.size(tokens),
+            ).otherwise(F.lit(0.0)),
+        ).withColumn(
+            "num_lines", F.size(F.split(text, "\n"))
+        )
+
+
+class QualityScorer:
+    """Heuristic quality signals: alpha/digit/punct/space ratios,
+    stopword ratio, mean word length, and a composite [0,1] score.
+
+    The formula is deliberately simple arithmetic over counts so the
+    operator is exactly reproducible in any SQL engine (and in the
+    DuckDB oracle).
+    """
+
+    def __init__(self, text_column: str = "text", lang: str = "en"):
+        self.text_column = text_column
+        self.stopwords = LANG_STOPWORDS[lang]
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        text = F.col(self.text_column)
+        n = F.length(text).cast("double")
+        tokens = tokenize_expr(F.lower(text))
+        stop_lit = F.array(*[F.lit(s) for s in self.stopwords])
+        stop_hits = F.size(F.filter(tokens, lambda t: F.array_contains(stop_lit, t)))
+        out = (
+            df.withColumn(
+                "alpha_ratio",
+                F.when(n > 0, F.length(F.regexp_replace(text, "[^a-zA-Z]", "")) / n)
+                .otherwise(0.0),
+            )
+            .withColumn(
+                "digit_ratio",
+                F.when(n > 0, F.length(F.regexp_replace(text, "[^0-9]", "")) / n)
+                .otherwise(0.0),
+            )
+            .withColumn(
+                "space_ratio",
+                F.when(n > 0, F.length(F.regexp_replace(text, "[^ ]", "")) / n)
+                .otherwise(0.0),
+            )
+            .withColumn(
+                "stopword_ratio",
+                F.when(
+                    F.size(tokens) > 0, stop_hits / F.size(tokens).cast("double")
+                ).otherwise(0.0),
+            )
+        )
+        return out.withColumn(
+            "quality_score",
+            F.least(
+                F.lit(1.0),
+                F.col("alpha_ratio") * 0.5
+                + F.col("stopword_ratio") * 0.3
+                + (1 - F.col("digit_ratio")) * 0.2,
+            ),
+        )
+
+
+class LanguageIdentifier:
+    """Stopword-hit language ID: argmax over per-language stopword
+    counts; 'und' (undetermined) when nothing matches.
+
+    Ties break lexicographically by language code for determinism.
+    """
+
+    def __init__(self, text_column: str = "text", output_column: str = "detected_lang"):
+        self.text_column = text_column
+        self.output_column = output_column
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        tokens = tokenize_expr(F.lower(F.col(self.text_column)))
+        scores = []
+        for lang in sorted(LANG_STOPWORDS):
+            stop_lit = F.array(*[F.lit(s) for s in LANG_STOPWORDS[lang]])
+            scores.append(
+                F.struct(
+                    F.size(
+                        F.filter(tokens, lambda t: F.array_contains(stop_lit, t))
+                    ).alias("hits"),
+                    F.lit(lang).alias("lang"),
+                )
+            )
+        # array_max on struct(hits, lang): max hits, then max lang —
+        # to get lexicographically-smallest lang on ties we compare on
+        # (hits, reversed-rank) instead: sort desc and take first.
+        best = F.sort_array(
+            F.array(*scores), asc=False
+        )[0]
+        return df.withColumn(
+            self.output_column,
+            F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
+        )

@@ -1,0 +1,158 @@
+import pytest
+
+import pyspark.sql.functions as F
+
+from replay_spark.ann import BruteForceANN, IVFANN, LSHANN
+from replay_spark.datasets import read_table
+from replay_spark.multimodal import MediaProcessor, attach_media_metadata
+from replay_spark.preprocessing.dedup import (
+    EmbeddingDeduplicator,
+    ExactDeduplicator,
+    MinHashLSHDeduplicator,
+    NGramJaccardDeduplicator,
+    SimHashDeduplicator,
+)
+from replay_spark.preprocessing.text import (
+    LanguageIdentifier,
+    QualityScorer,
+    TextStats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over a lazy dog"),  # near dup
+        (3, "completely different content about spark engines"),
+        (4, "der schnelle braune fuchs und der faule hund ist von"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),  # near dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_exact_dedup(docs):
+    out = ExactDeduplicator().transform(docs)
+    assert out.count() == 5
+    kept = {r.doc_id for r in out.collect()}
+    assert 0 in kept and 1 not in kept
+    groups = ExactDeduplicator().duplicates(docs)
+    assert groups.filter("group_size = 2").count() == 1
+
+
+def test_ngram_jaccard(docs):
+    dd = NGramJaccardDeduplicator(n=2, threshold=0.5)
+    pairs = dd.pairs(docs)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got  # identical
+    assert (0, 2) in got or (1, 2) in got  # near dup
+    out = dd.transform(docs)
+    assert out.filter("doc_id = 1").count() == 0
+
+
+def test_minhash_lsh(docs):
+    dd = MinHashLSHDeduplicator(n=2, num_hashes=32, bands=16, threshold=0.5)
+    sigs = dd.signatures(docs)
+    assert sigs.count() == 6  # empty doc still yields one (empty-ish) shingle
+    row = {r.doc_id: r.signature for r in sigs.collect()}
+    assert row[0] == row[1]  # identical docs → identical signatures
+    pairs = dd.candidate_pairs(docs)
+    got = {(r.id_a, r.id_b): r.est_jaccard for r in pairs.collect()}
+    assert got[(0, 1)] == pytest.approx(1.0)
+
+
+def test_simhash(docs):
+    dd = SimHashDeduplicator(max_hamming=3)
+    fps = dd.fingerprints(docs.filter("doc_id < 5"))
+    vals = {r.doc_id: r.simhash for r in fps.collect()}
+    assert vals[0] == vals[1]
+    pairs = dd.candidate_pairs(docs.filter("doc_id < 5"))
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got[(0, 1)] == 0
+
+
+def test_embedding_dedup(vectors):
+    dd = EmbeddingDeduplicator(dim=4, threshold=0.95, num_planes=0)
+    pairs = dd.pairs(vectors)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(0, 1)}
+    # bucketed variant still finds the pair (same orthant)
+    dd_lsh = EmbeddingDeduplicator(dim=4, threshold=0.95, num_planes=4)
+    got2 = {(r.id_a, r.id_b) for r in dd_lsh.pairs(vectors).collect()}
+    assert (0, 1) in got2
+
+
+def test_text_stats_and_quality(docs):
+    out = TextStats().transform(docs)
+    row = out.filter("doc_id = 0").first()
+    assert row.num_tokens == 9
+    assert out.filter("doc_id = 5").first().num_tokens == 0
+    q = QualityScorer().transform(docs)
+    r0 = q.filter("doc_id = 0").first()
+    assert 0 < r0.quality_score <= 1.0
+    assert r0.stopword_ratio == pytest.approx(2 / 9)  # the, the
+
+
+def test_language_identifier(docs):
+    out = LanguageIdentifier().transform(docs)
+    got = {r.doc_id: r.detected_lang for r in out.collect()}
+    assert got[0] == "en"
+    assert got[4] == "de"
+    assert got[5] == "und"
+
+
+def test_brute_force_ann(vectors):
+    ann = BruteForceANN()
+    res = ann.search(vectors.filter("vec_id = 0"), vectors, k=2)
+    rows = res.orderBy("rank").collect()
+    assert rows[0].neighbor_id == 1
+    assert rows[0].cosine == pytest.approx(0.999 / (0.999**2 + 0.01**2) ** 0.5, rel=1e-6)
+
+
+def test_ivf_ann(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    ann = IVFANN(num_clusters=4, nprobe=2, seed=42).fit(emb)
+    res = ann.search(emb.filter("vec_id < 3"), k=5)
+    assert res.groupBy("query_id").count().count() == 3
+    # recall check vs brute force on one query
+    bf = BruteForceANN().search(emb.filter("vec_id = 0"), emb, k=5)
+    bf_ids = {r.neighbor_id for r in bf.collect()}
+    ivf_ids = {r.neighbor_id for r in res.filter("query_id = 0").collect()}
+    assert len(bf_ids & ivf_ids) >= 2  # partial recall is expected
+
+
+def test_lsh_ann(vectors):
+    ann = LSHANN(dim=4, num_planes=2, seed=1)
+    res = ann.search(vectors, vectors, k=3)
+    assert res.count() > 0
+
+
+def test_multimodal_plumbing(spark):
+    rows = [(0, b"fake image bytes"), (1, b"other payload"), (2, None)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    meta = attach_media_metadata(df)
+    got = {r.media_id: r.num_bytes for r in meta.collect()}
+    assert got[0] == 16 and got[2] is None or got[2] == 0  # null payload
+    out = MediaProcessor().transform(df)
+    rows_out = {r.media_id: r for r in out.collect()}
+    assert len(rows_out) == 3
+    assert len(rows_out[0].features) == 16
+    assert 64 <= rows_out[0].width <= 319
+    # determinism
+    out2 = MediaProcessor().transform(df)
+    assert rows_out[1].features == {r.media_id: r for r in out2.collect()}[1].features
+    with pytest.raises(NotImplementedError):
+        MediaProcessor().resize(df, (32, 32))
