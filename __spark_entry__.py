@@ -528,6 +528,79 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fallback_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fallback merge operator: complete short rec lists from a filler
+    set with ratings shifted strictly below the main set's."""
+    from replay_spark.utils import fallback, get_top_k_recs
+
+    inter = _interactions(spark, sf_dir)
+    base = get_top_k_recs(
+        inter.select("query_id", "item_id", "rating"), k=2
+    )
+    fill = get_top_k_recs(
+        inter.select(
+            "query_id", "item_id", F.col("item_id").cast("double").alias("rating")
+        ),
+        k=5,
+    )
+    out = fallback(base, fill, k=5)
+    return out.select(
+        "query_id", "item_id", F.round("rating", 6).alias("rating")
+    )
+
+
+def _metric_frames(spark, sf_dir):
+    inter = _interactions(spark, sf_dir)
+    from replay_spark.utils import get_top_k_recs
+
+    recs = get_top_k_recs(
+        inter.select("query_id", "item_id", "rating").groupBy("query_id", "item_id").agg(F.max("rating").alias("rating")),
+        k=5,
+    )
+    gt = inter.filter(F.col("rating") > 150).select("query_id", "item_id").distinct()
+    return recs, gt
+
+
+def q_metric_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user metric kernels (NDCG/MAP/MRR/HitRate/Precision/Recall
+    @5) computed by the metrics suite's SQL expressions."""
+    from replay_spark.metrics import HitRate, MAP, MRR, NDCG, Precision, Recall
+
+    recs, gt = _metric_frames(spark, sf_dir)
+    m = NDCG(5)
+    enriched = m._get_enriched_recommendations(recs, gt)
+    return enriched.select(
+        "query_id",
+        F.round(NDCG(5)._per_user_value(5), 6).alias("ndcg"),
+        F.round(MAP(5)._per_user_value(5), 6).alias("map"),
+        F.round(MRR(5)._per_user_value(5), 6).alias("mrr"),
+        F.round(HitRate(5)._per_user_value(5), 6).alias("hitrate"),
+        F.round(Precision(5)._per_user_value(5), 6).alias("precision"),
+        F.round(Recall(5)._per_user_value(5), 6).alias("recall"),
+    )
+
+
+def q_metric_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage@5 of the deduplicated top-5 rec set vs the full log."""
+    from replay_spark.metrics import Coverage
+
+    recs, _ = _metric_frames(spark, sf_dir)
+    inter = _interactions(spark, sf_dir)
+    value = Coverage(5)(recs, inter)["Coverage@5"]
+    return spark.createDataFrame([(round(value, 6),)], "coverage double")
+
+
+def q_slim_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIM ElasticNet similarity (rows-only: iterative coordinate
+    descent is not SQL-expressible)."""
+    from replay_spark.models import SLIM
+
+    model = SLIM(beta=0.05, lambda_=0.05, seed=42).fit(_dataset(spark, sf_dir))
+    return model.similarity.select(
+        "item_idx_one", "item_idx_two", F.round("similarity", 4).alias("similarity")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -576,6 +649,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_candidates": q_minhash_candidates,
         "q_simhash_fingerprints": q_simhash_fingerprints,
         "q_multimodal_meta": q_multimodal_meta,
+        "q_fallback_merge": q_fallback_merge,
+        "q_metric_per_user": q_metric_per_user,
+        "q_metric_coverage": q_metric_coverage,
+        "q_slim_similarity": q_slim_similarity,
     }
 
 
@@ -992,6 +1069,112 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS num_bytes,
                    md5(text) AS content_hash
             FROM documents
+        """,
+        "q_fallback_merge": f"""
+            WITH {W},
+            base AS (
+                SELECT query_id, item_id, rating FROM (
+                    SELECT query_id, item_id, rating,
+                           row_number() OVER (PARTITION BY query_id
+                               ORDER BY rating DESC, item_id ASC) AS rn
+                    FROM interactions) t WHERE rn <= 2),
+            fill AS (
+                SELECT query_id, item_id, rating FROM (
+                    SELECT query_id, item_id,
+                           CAST(item_id AS DOUBLE) AS rating,
+                           row_number() OVER (PARTITION BY query_id
+                               ORDER BY CAST(item_id AS DOUBLE) DESC, item_id ASC) AS rn
+                    FROM interactions) t WHERE rn <= 5),
+            shift AS (
+                SELECT (SELECT max(rating) FROM fill)
+                     - (SELECT min(rating) FROM base) + 0.1 AS d),
+            shifted AS (
+                SELECT query_id, item_id,
+                       rating - (SELECT d FROM shift) AS rating_fallback
+                FROM fill),
+            merged AS (
+                SELECT coalesce(b.query_id, s.query_id) AS query_id,
+                       coalesce(b.item_id, s.item_id) AS item_id,
+                       coalesce(b.rating, s.rating_fallback) AS rating
+                FROM base b FULL OUTER JOIN shifted s
+                ON b.query_id = s.query_id AND b.item_id = s.item_id)
+            SELECT query_id, item_id, round(rating, 6) AS rating FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY rating DESC, item_id ASC) AS rn
+                FROM merged) t
+            WHERE rn <= 5
+        """,
+        "q_metric_per_user": f"""
+            WITH {W},
+            dedup AS (
+                SELECT query_id, item_id, max(rating) AS rating
+                FROM interactions GROUP BY query_id, item_id),
+            recs AS (
+                SELECT query_id, item_id, rating,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY rating DESC, item_id ASC) AS pos
+                FROM dedup QUALIFY pos <= 5),
+            gt AS (
+                SELECT DISTINCT query_id, item_id
+                FROM interactions WHERE rating > 150),
+            gt_sizes AS (
+                SELECT query_id, count(*) AS gt_n FROM gt GROUP BY query_id),
+            marked AS (
+                SELECT r.query_id, r.pos,
+                       CASE WHEN g.item_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+                FROM recs r LEFT JOIN gt g
+                ON r.query_id = g.query_id AND r.item_id = g.item_id),
+            cum AS (
+                SELECT *, sum(hit) OVER (PARTITION BY query_id ORDER BY pos) AS tp
+                FROM marked),
+            per_user AS (
+                SELECT c.query_id,
+                       sum(c.hit / log2(c.pos + 1)) AS dcg,
+                       sum(CASE WHEN c.hit = 1 THEN CAST(c.tp AS DOUBLE) / c.pos ELSE 0 END) AS ap_num,
+                       max(CASE WHEN c.hit = 1 THEN 1.0 / c.pos ELSE 0 END)
+                         FILTER (WHERE c.tp = 1 AND c.hit = 1) AS mrr_raw,
+                       max(c.hit) AS hitrate,
+                       sum(c.hit) / 5.0 AS precision,
+                       CAST(sum(c.hit) AS DOUBLE) AS hits
+                FROM cum c GROUP BY c.query_id),
+            idcg_table AS (
+                SELECT n,
+                       (SELECT sum(1.0 / log2(i + 1))
+                        FROM range(1, 6) t(i) WHERE i <= n) AS idcg_v
+                FROM range(1, 6) r(n)),
+            idcg AS (
+                SELECT s.query_id, s.gt_n, it.idcg_v
+                FROM gt_sizes s JOIN idcg_table it ON it.n = least(5, s.gt_n))
+            SELECT g.query_id,
+                   round(coalesce(p.dcg / i.idcg_v, 0), 6) AS ndcg,
+                   round(coalesce(p.ap_num / least(5, i.gt_n), 0), 6) AS map,
+                   round(coalesce(p.mrr_raw, 0), 6) AS mrr,
+                   round(coalesce(CAST(p.hitrate AS DOUBLE), 0), 6) AS hitrate,
+                   round(coalesce(p.precision, 0), 6) AS precision,
+                   round(coalesce(p.hits / i.gt_n, 0), 6) AS recall
+            FROM gt_sizes g
+            LEFT JOIN per_user p ON g.query_id = p.query_id
+            LEFT JOIN idcg i ON g.query_id = i.query_id
+        """,
+        "q_metric_coverage": f"""
+            WITH {W},
+            dedup AS (
+                SELECT query_id, item_id, max(rating) AS rating
+                FROM interactions GROUP BY query_id, item_id),
+            recs AS (
+                SELECT query_id, item_id, rating,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY rating DESC, item_id ASC) AS pos
+                FROM dedup QUALIFY pos <= 5),
+            ranked AS (
+                SELECT item_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY rating DESC, item_id DESC) AS rnk
+                FROM recs)
+            SELECT round(
+                (SELECT count(DISTINCT item_id) FROM ranked WHERE rnk <= 5) /
+                CAST((SELECT count(DISTINCT item_id) FROM interactions) AS DOUBLE),
+            6) AS coverage
         """,
         "q_doc_dedup_exact": """
             SELECT md5(text) AS text_hash,

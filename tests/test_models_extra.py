@@ -1,0 +1,82 @@
+import datetime
+
+import pytest
+
+from replay_spark.data import (
+    Dataset,
+    FeatureHint,
+    FeatureInfo,
+    FeatureSchema,
+    FeatureType,
+)
+from replay_spark.models import SLIM, CatPopRec, LinUCB, PopRec
+from replay_spark.scenarios import Fallback
+
+
+@pytest.fixture(scope="module")
+def schema():
+    return FeatureSchema(
+        [
+            FeatureInfo("query_id", FeatureType.CATEGORICAL, FeatureHint.QUERY_ID),
+            FeatureInfo("item_id", FeatureType.CATEGORICAL, FeatureHint.ITEM_ID),
+            FeatureInfo("timestamp", FeatureType.NUMERICAL, FeatureHint.TIMESTAMP),
+            FeatureInfo("rating", FeatureType.NUMERICAL, FeatureHint.RATING),
+        ]
+    )
+
+
+@pytest.fixture(scope="module")
+def dataset(spark, interactions, schema):
+    return Dataset(schema, interactions)
+
+
+def test_slim(dataset):
+    model = SLIM(beta=0.01, lambda_=0.01, seed=42)
+    recs = model.fit_predict(dataset, k=2)
+    assert recs.count() > 0
+    sim = model.similarity.collect()
+    assert all(r.similarity > 0 for r in sim)
+    assert all(r.item_idx_one != r.item_idx_two for r in sim)
+
+
+def test_cat_pop_rec(spark):
+    tree = spark.createDataFrame(
+        [(None, "root"), ("root", "a"), ("root", "b"), ("a", "a1"), ("a", "a2")],
+        "parent_cat string, category string",
+    )
+    log = spark.createDataFrame(
+        [
+            (0, 10, "a1", 1.0),
+            (1, 10, "a1", 1.0),
+            (0, 11, "a2", 1.0),
+            (2, 12, "b", 1.0),
+        ],
+        "query_id long, item_id long, category string, rating double",
+    )
+    model = CatPopRec(cat_tree=tree).fit(log)
+    recs = model.predict(["a"], k=2)
+    got = {(r.category, r.item_id): r.rating for r in recs.collect()}
+    # category 'a' rolls up a1 + a2: item 10 has 2/3, item 11 has 1/3
+    assert got[("a", 10)] == pytest.approx(2 / 3)
+    assert got[("a", 11)] == pytest.approx(1 / 3)
+    root = model.predict(["root"], k=3)
+    assert root.count() == 3
+
+
+def test_lin_ucb(spark, dataset, interactions):
+    qf = spark.createDataFrame(
+        [(0, 1.0, 0.1), (1, 0.5, 0.9), (2, 0.2, 0.3)],
+        "query_id int, f0 double, f1 double",
+    )
+    ds = Dataset(dataset.feature_schema, interactions, query_features=qf)
+    model = LinUCB(alpha=0.5)
+    recs = model.fit_predict(ds, k=2)
+    # user 0 saw 3 of 4 items -> only 1 unseen rec; users 1,2 get 2 each
+    assert recs.count() == 5
+    assert recs.filter("rating is null").count() == 0
+
+
+def test_fallback_scenario(dataset):
+    scenario = Fallback(PopRec(), PopRec(use_rating=True))
+    recs = scenario.fit_predict(dataset, k=3)
+    assert recs.groupBy("query_id").count().count() == 3
