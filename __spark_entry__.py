@@ -54,8 +54,17 @@ def _interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rsd.load_interactions(spark, sf_dir)
 
 
+_DATASET_CACHE: dict = {}
+
+
 def _dataset(spark: SparkSession, sf_dir: str) -> Dataset:
-    return Dataset(_SCHEMA, _interactions(spark, sf_dir), check_consistency=False)
+    """Model queries run many jobs over the same interactions — cache
+    the (tiny relative to cluster RAM) canonical frame per sf_dir."""
+    key = ("plain", sf_dir)
+    if key not in _DATASET_CACHE:
+        inter = _interactions(spark, sf_dir).cache()
+        _DATASET_CACHE[key] = Dataset(_SCHEMA, inter, check_consistency=False)
+    return _DATASET_CACHE[key]
 
 
 # ---------------------------------------------------------------------------
@@ -265,10 +274,17 @@ def q_querypoprec_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _binary_dataset(spark: SparkSession, sf_dir: str) -> Dataset:
-    inter = _interactions(spark, sf_dir).withColumn(
-        "rating", (F.col("rating") > 100).cast("double")
-    )
-    return Dataset(_SCHEMA, inter, check_consistency=False)
+    key = ("binary", sf_dir)
+    if key not in _DATASET_CACHE:
+        inter = (
+            _dataset(spark, sf_dir)
+            .interactions.withColumn(
+                "rating", (F.col("rating") > 100).cast("double")
+            )
+            .cache()
+        )
+        _DATASET_CACHE[key] = Dataset(_SCHEMA, inter, check_consistency=False)
+    return _DATASET_CACHE[key]
 
 
 def q_wilson_scores(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -65,8 +65,16 @@ class BaseRecommender(ABC):
             items = items.union(dataset.item_features.select(self.item_column))
         self.fit_queries = F.broadcast(queries.distinct())
         self.fit_items = F.broadcast(items.distinct())
-        self._num_queries = self.fit_queries.count()
-        self._num_items = self.fit_items.count()
+        if dataset.query_features is None and dataset.item_features is None:
+            # both universes come from interactions → one combined job
+            row = dataset.interactions.agg(
+                F.countDistinct(self.query_column).alias("q"),
+                F.countDistinct(self.item_column).alias("i"),
+            ).first()
+            self._num_queries, self._num_items = row["q"], row["i"]
+        else:
+            self._num_queries = self.fit_queries.count()
+            self._num_items = self.fit_items.count()
         self._fit(dataset)
         return self
 
