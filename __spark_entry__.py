@@ -617,6 +617,15 @@ def q_slim_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sequence_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-ordered item sequences (NN data prep)."""
+    from replay_spark.data.nn import SequenceTokenizer
+
+    inter = _dataset(spark, sf_dir).interactions
+    tok = SequenceTokenizer(encode_items=False)
+    return tok.transform(inter).select("query_id", "item_sequence")
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -669,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_metric_per_user": q_metric_per_user,
         "q_metric_coverage": q_metric_coverage,
         "q_slim_similarity": q_slim_similarity,
+        "q_sequence_tokenizer": q_sequence_tokenizer,
     }
 
 
@@ -1191,6 +1201,12 @@ def oracle_sql() -> dict[str, str]:
                 (SELECT count(DISTINCT item_id) FROM ranked WHERE rnk <= 5) /
                 CAST((SELECT count(DISTINCT item_id) FROM interactions) AS DOUBLE),
             6) AS coverage
+        """,
+        "q_sequence_tokenizer": f"""
+            WITH {W}
+            SELECT query_id,
+                   list(item_id ORDER BY ts, item_id) AS item_sequence
+            FROM interactions GROUP BY query_id
         """,
         "q_doc_dedup_exact": """
             SELECT md5(text) AS text_hash,

@@ -18,11 +18,12 @@ from pyspark.sql.types import DoubleType
 
 from replay_spark.data.dataset import Dataset
 from replay_spark.models.base import BaseRecommender
+from replay_spark.models.item_vector import ItemVectorModel
 
 __all__ = ["ALSWrap", "ClusterRec"]
 
 
-class ALSWrap(BaseRecommender):
+class ALSWrap(BaseRecommender, ItemVectorModel):
     """Wrapper over ``pyspark.ml.recommendation.ALS`` (implicit by
     default). Parity: reference ``models/als.py:16-166``.
     """
@@ -134,6 +135,12 @@ class ALSWrap(BaseRecommender):
                 how="left",
             ),
             self.rank,
+        )
+
+    def _get_item_vectors(self):
+        return self.model.itemFactors.select(
+            F.col("id").alias(self.item_column),
+            F.col("features").alias("item_vector"),
         )
 
     def save(self, path: str) -> None:

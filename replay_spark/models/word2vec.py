@@ -24,12 +24,13 @@ from pyspark.sql import types as st
 
 from replay_spark.data.dataset import Dataset
 from replay_spark.models.base import BaseRecommender
+from replay_spark.models.item_vector import ItemVectorModel
 from replay_spark.utils.spark_utils import vector_dot_expr
 
 __all__ = ["Word2VecRec"]
 
 
-class Word2VecRec(BaseRecommender):
+class Word2VecRec(BaseRecommender, ItemVectorModel):
     """Recommend items closest to the query's history embedding."""
 
     can_predict_cold_queries = True

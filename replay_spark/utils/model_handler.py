@@ -1,0 +1,38 @@
+"""Generic model persistence: save/load any recommender by name.
+
+Parity: reference ``utils/model_handler.py`` — a registry keyed by
+the class name stored in the model directory's metadata.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+__all__ = ["save", "load"]
+
+
+def _registry() -> dict:
+    import replay_spark.models as m
+
+    return {
+        name: cls
+        for name, cls in vars(m).items()
+        if isinstance(cls, type)
+    }
+
+
+def save(model, path: str) -> None:
+    model.save(path)
+
+
+def load(path: str, spark: Optional[SparkSession] = None):
+    """Instantiate and restore whatever model class was saved at path."""
+    meta = json.loads((Path(path) / "meta.json").read_text())
+    cls = _registry().get(meta["class"])
+    if cls is None:
+        raise ValueError(f"Unknown model class {meta['class']}")
+    return cls.load(path, spark)

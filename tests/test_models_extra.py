@@ -80,3 +80,50 @@ def test_fallback_scenario(dataset):
     scenario = Fallback(PopRec(), PopRec(use_rating=True))
     recs = scenario.fit_predict(dataset, k=3)
     assert recs.groupBy("query_id").count().count() == 3
+
+
+def test_item_vector_nearest_items(dataset):
+    from replay_spark.models import ALSWrap, Word2VecRec
+
+    model = ALSWrap(rank=4, seed=42).fit(dataset)
+    items = dataset.interactions.select("item_id").distinct()
+    nn = model.get_nearest_items(items, k=2, metric="cosine_similarity")
+    per_item = {r["item_idx_one"] for r in nn.collect()}
+    assert per_item == {0, 1, 2, 3}
+    assert nn.groupBy("item_idx_one").count().agg({"count": "max"}).first()[0] <= 2
+    w2v = Word2VecRec(rank=4, min_count=0, seed=42).fit(dataset)
+    nn2 = w2v.get_nearest_items(items, k=1, metric="dot_product")
+    assert nn2.count() > 0
+
+
+def test_model_handler_roundtrip(tmp_path, dataset, spark):
+    from replay_spark.models import UCB
+    from replay_spark.utils import model_handler
+    import pyspark.sql.functions as F
+
+    binary = Dataset(
+        dataset.feature_schema,
+        dataset.interactions.withColumn("rating", (F.col("rating") > 3).cast("double")),
+    )
+    model = UCB().fit(binary)
+    model_handler.save(model, str(tmp_path / "ucb"))
+    loaded = model_handler.load(str(tmp_path / "ucb"), spark)
+    assert type(loaded).__name__ == "UCB"
+    assert loaded.predict(binary, k=1).count() == 3
+
+
+def test_sequence_tokenizer(spark, interactions):
+    from replay_spark.data.nn import SequenceTokenizer
+
+    tok = SequenceTokenizer(encode_items=False, rating_column="rating")
+    out = tok.fit_transform(interactions)
+    rows = {r.query_id: r for r in out.collect()}
+    assert rows[0].item_sequence == [0, 1, 2]  # time order
+    assert rows[2].item_sequence == [1, 3]  # ts tie broken by item id
+    assert len(rows[0].timestamp_sequence) == 3
+    assert rows[0].rating_sequence == [4.0, 3.0, 2.0]
+    capped = SequenceTokenizer(encode_items=False, max_sequence_length=2).fit_transform(
+        interactions
+    )
+    r0 = {r.query_id: r for r in capped.collect()}[0]
+    assert r0.item_sequence == [1, 2]  # last 2 kept
