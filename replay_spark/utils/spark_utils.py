@@ -165,6 +165,52 @@ def fallback(
     return get_top_k_recs(recs, k, query_column, item_column, rating_column)
 
 
+def convert2spark(data, spark: Optional[SparkSession] = None) -> DataFrame:
+    """pandas (or list-of-rows) → Spark DataFrame (Arrow path).
+
+    Parity: reference ``spark_utils.py:78-98``.
+    """
+    if isinstance(data, DataFrame):
+        return data
+    spark = spark or SparkSession.getActiveSession()
+    return spark.createDataFrame(data)
+
+
+def save_picklable_to_parquet(obj, path: str) -> None:
+    """Pickle an arbitrary object into a 1-row parquet (HDFS-safe).
+
+    Parity: reference ``spark_utils.py:789-818`` — lets model params
+    live next to model dataframes on any Hadoop-compatible FS.
+    """
+    import pickle
+
+    spark = SparkSession.getActiveSession()
+    payload = bytearray(pickle.dumps(obj))
+    spark.createDataFrame([(payload,)], "payload binary").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_pickled_from_parquet(path: str):
+    import pickle
+
+    spark = SparkSession.getActiveSession()
+    row = spark.read.parquet(path).first()
+    return pickle.loads(bytes(row["payload"]))
+
+
+def cache_temp_view(df: DataFrame, name: str) -> None:
+    """Materialize a named cached view (reference ``spark_utils.py:654``)."""
+    spark = SparkSession.getActiveSession()
+    df.createOrReplaceTempView(name)
+    spark.sql(f"CACHE TABLE {name}")
+
+
+def drop_temp_view(name: str) -> None:
+    spark = SparkSession.getActiveSession()
+    spark.catalog.dropTempView(name)
+
+
 def sample_top_k_recs(
     pairs: DataFrame,
     k: int,
