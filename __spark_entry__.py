@@ -626,6 +626,198 @@ def q_sequence_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok.transform(inter).select("query_id", "item_sequence")
 
 
+def q_filter_low_rating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from replay_spark.preprocessing import LowRatingFilter
+
+    return _emit(LowRatingFilter(150.0).transform(_interactions(spark, sf_dir)))
+
+
+def q_filter_quantile_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from replay_spark.preprocessing import QuantileItemsFilter
+
+    return _emit(
+        QuantileItemsFilter(
+            alpha_quantile=0.9,
+            items_proportion=0.5,
+            query_column="query_id",
+            tiebreak_columns=["timestamp", "item_id", "rating"],
+        ).transform(_interactions(spark, sf_dir))
+    )
+
+
+def q_filter_interaction_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixpoint min-interactions filter (rows-only: the alternating
+    user/item passes loop until convergence — not single-pass SQL)."""
+    from replay_spark.preprocessing import InteractionEntriesFilter
+
+    return _emit(
+        InteractionEntriesFilter(
+            query_column="query_id",
+            item_column="item_id",
+            min_inter_per_user=60,
+            min_inter_per_item=60,
+        ).transform(_interactions(spark, sf_dir))
+    )
+
+
+def q_split_new_users_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from replay_spark.splitters import NewUsersSplitter
+
+    _, test = NewUsersSplitter(test_size=0.2).split(_interactions(spark, sf_dir))
+    return _emit(test)
+
+
+def q_split_session_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RatioSplitter with session-atomicity repair: a split session
+    goes entirely to test (strategy 'test' = last is_test in window)."""
+    from replay_spark.preprocessing import Sessionizer
+    from replay_spark.splitters import RatioSplitter
+
+    inter = _dataset(spark, sf_dir).interactions
+    with_sessions = Sessionizer(
+        user_column="query_id", time_column="timestamp", session_gap=1800
+    ).transform(inter)
+    _, test = RatioSplitter(
+        0.3, session_id_column="session_id"
+    ).split(with_sessions)
+    return test.select(
+        "query_id", "item_id", F.unix_micros("timestamp").alias("ts_us"), "rating"
+    )
+
+
+def q_itemknn_bm25_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from replay_spark.models import ItemKNN
+
+    model = ItemKNN(
+        num_neighbours=10**6, weighting="bm25", max_history_per_user=None
+    ).fit(_dataset(spark, sf_dir))
+    # re-rank on the ROUNDED similarity so cross-engine float-sum ulp
+    # differences cannot flip the rank-10 cut
+    sim = model.similarity.select(
+        "item_idx_one",
+        "item_idx_two",
+        F.round("similarity", 6).alias("similarity"),
+    )
+    w = Window.partitionBy("item_idx_one").orderBy(
+        F.col("similarity").desc(), F.col("item_idx_two").desc()
+    )
+    return (
+        sim.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 10)
+        .drop("_rn")
+    )
+
+
+def q_random_rec_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from replay_spark.models import RandomRec
+
+    model = RandomRec(distribution="popular_based", alpha=1.0, seed=42).fit(
+        _dataset(spark, sf_dir)
+    )
+    return model.item_popularity.select(
+        "item_id", F.round("rating", 6).alias("rating")
+    )
+
+
+def q_metric_per_user_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second metric batch: RocAuc, Novelty, Surprisal per user."""
+    from replay_spark.metrics import Novelty, RocAuc, Surprisal
+
+    recs, gt = _metric_frames(spark, sf_dir)
+    train = _dataset(spark, sf_dir).interactions.filter(F.col("rating") <= 150)
+    roc = RocAuc(5)
+    enriched = roc._get_enriched_recommendations(recs, gt)
+    roc_df = enriched.select(
+        "query_id", F.round(roc._per_user_value(5), 6).alias("rocauc")
+    )
+    nov = Novelty(5)
+    nov_df = nov._get_enriched_recommendations(recs, train).select(
+        "query_id", F.round(nov._per_user_value(5), 6).alias("novelty")
+    )
+    sur = Surprisal(5)
+    sur_df = sur._get_enriched_recommendations(recs, train).select(
+        "query_id", F.round(sur._per_user_value(5), 6).alias("surprisal")
+    )
+    return roc_df.join(nov_df, on="query_id", how="full").join(
+        sur_df, on="query_id", how="full"
+    )
+
+
+def q_thompson_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thompson sampling scores (rows-only: seeded Beta draws)."""
+    from replay_spark.models import ThompsonSampling
+
+    model = ThompsonSampling(seed=42).fit(_binary_dataset(spark, sf_dir))
+    return model.item_popularity
+
+
+def q_klucb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL-UCB bounds (rows-only: bisection root-finder)."""
+    from replay_spark.models import KLUCB
+
+    model = KLUCB().fit(_binary_dataset(spark, sf_dir))
+    return model.item_popularity.select(
+        "item_id", F.round("rating", 6).alias("rating")
+    )
+
+
+def q_cluster_rec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClusterRec on per-user behavioral features (rows-only: KMeans)."""
+    from replay_spark.models import ClusterRec
+
+    ds = _dataset(spark, sf_dir)
+    qf = ds.interactions.groupBy("query_id").agg(
+        F.avg("rating").alias("f_mean"),
+        F.count(F.lit(1)).cast("double").alias("f_cnt"),
+    )
+    full = Dataset(_SCHEMA, ds.interactions, query_features=qf, check_consistency=False)
+    model = ClusterRec(num_clusters=4)
+    recs = model.fit_predict(full, k=5)
+    return recs
+
+
+def q_als_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS top-5 (rows-only: iterative factorization)."""
+    from replay_spark.models import ALSWrap
+
+    return ALSWrap(rank=8, seed=42).fit_predict(_dataset(spark, sf_dir), k=5)
+
+
+def q_word2vec_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word2Vec top-5 (rows-only: SGD embeddings)."""
+    from replay_spark.models import Word2VecRec
+
+    return Word2VecRec(rank=16, min_count=0, seed=42).fit_predict(
+        _dataset(spark, sf_dir), k=5
+    )
+
+
+def q_lin_ucb_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LinUCB on behavioral features (rows-only: matrix inversion)."""
+    from replay_spark.models import LinUCB
+
+    ds = _binary_dataset(spark, sf_dir)
+    qf = ds.interactions.groupBy("query_id").agg(
+        F.avg("rating").alias("f_pos_rate"),
+        F.count(F.lit(1)).cast("double").alias("f_cnt"),
+    )
+    full = Dataset(_SCHEMA, ds.interactions, query_features=qf, check_consistency=False)
+    model = LinUCB(alpha=0.5)
+    recs = model.fit_predict(full, k=5)
+    return recs.select(
+        "query_id", "item_id", F.round("rating", 4).alias("rating")
+    )
+
+
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate neighbour search (rows-only: KMeans cells)."""
+    from replay_spark.ann import IVFANN
+
+    emb = rsd.read_table(spark, sf_dir, "embeddings")
+    ann = IVFANN(num_clusters=8, nprobe=2, seed=42).fit(emb)
+    return ann.search(emb.filter("vec_id < 20"), k=5)
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -679,6 +871,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_metric_coverage": q_metric_coverage,
         "q_slim_similarity": q_slim_similarity,
         "q_sequence_tokenizer": q_sequence_tokenizer,
+        "q_filter_low_rating": q_filter_low_rating,
+        "q_filter_quantile_items": q_filter_quantile_items,
+        "q_filter_interaction_entries": q_filter_interaction_entries,
+        "q_split_new_users_test": q_split_new_users_test,
+        "q_split_session_atomic": q_split_session_atomic,
+        "q_itemknn_bm25_similarity": q_itemknn_bm25_similarity,
+        "q_random_rec_distribution": q_random_rec_distribution,
+        "q_metric_per_user_2": q_metric_per_user_2,
+        "q_thompson_scores": q_thompson_scores,
+        "q_klucb_scores": q_klucb_scores,
+        "q_cluster_rec": q_cluster_rec,
+        "q_als_recs": q_als_recs,
+        "q_word2vec_recs": q_word2vec_recs,
+        "q_lin_ucb_recs": q_lin_ucb_recs,
+        "q_ivf_ann": q_ivf_ann,
     }
 
 
@@ -1207,6 +1414,233 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id,
                    list(item_id ORDER BY ts, item_id) AS item_sequence
             FROM interactions GROUP BY query_id
+        """,
+        "q_filter_low_rating": f"""
+            WITH {W}
+            SELECT query_id, item_id, epoch_us(ts) AS ts_us, rating
+            FROM interactions WHERE rating >= 150.0
+        """,
+        "q_filter_quantile_items": f"""
+            WITH {W},
+            idist AS (
+                SELECT item_id, count(*) AS counts_items
+                FROM interactions GROUP BY item_id),
+            udist AS (
+                SELECT query_id, count(*) AS counts_users
+                FROM interactions GROUP BY query_id),
+            thr AS (SELECT quantile_cont(counts_items, 0.9) AS v FROM idist),
+            wc AS (
+                SELECT i.*, d.counts_items, u.counts_users
+                FROM interactions i
+                JOIN idist d ON i.item_id = d.item_id
+                JOIN udist u ON i.query_id = u.query_id),
+            long_tail AS (
+                SELECT * FROM wc WHERE counts_items <= (SELECT v FROM thr)),
+            mlt AS (SELECT coalesce(max(counts_items), 0) AS m FROM long_tail),
+            short_tail AS (
+                SELECT *,
+                       CAST(floor(0.5 * (counts_items - (SELECT m FROM mlt))) AS INT)
+                           AS to_delete,
+                       row_number() OVER (
+                           PARTITION BY item_id
+                           ORDER BY counts_users DESC, ts, item_id, rating) AS idx
+                FROM wc WHERE counts_items > (SELECT v FROM thr))
+            SELECT query_id, item_id, epoch_us(ts) AS ts_us, rating FROM long_tail
+            UNION ALL
+            SELECT query_id, item_id, epoch_us(ts) AS ts_us, rating
+            FROM short_tail WHERE idx > to_delete
+        """,
+        "q_split_new_users_test": f"""
+            WITH {W},
+            start_dates AS (
+                SELECT query_id, min(ts) AS start_dt
+                FROM interactions GROUP BY query_id),
+            by_date AS (
+                SELECT start_dt, count(*) AS num_users
+                FROM start_dates GROUP BY start_dt),
+            cum AS (
+                SELECT start_dt,
+                       sum(num_users) OVER (ORDER BY start_dt DESC) AS cum_users,
+                       (SELECT count(*) FROM start_dates) AS total
+                FROM by_date),
+            cut AS (
+                SELECT max(start_dt) AS cut_dt FROM cum
+                WHERE cum_users >= total * 0.2)
+            SELECT i.query_id, i.item_id, epoch_us(i.ts) AS ts_us, i.rating
+            FROM interactions i
+            JOIN start_dates s ON i.query_id = s.query_id
+            WHERE s.start_dt >= (SELECT cut_dt FROM cut)
+        """,
+        "q_split_session_atomic": f"""
+            WITH {W},
+            base AS (
+                SELECT query_id, item_id, ts, rating,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+                FROM interactions),
+            b AS (
+                SELECT *, CASE WHEN lag(ts_s) OVER w IS NULL
+                                 OR ts_s - lag(ts_s) OVER w >= 1800
+                               THEN 1 ELSE 0 END AS boundary
+                FROM base WINDOW w AS (PARTITION BY query_id ORDER BY ts_s)),
+            o AS (
+                SELECT *, sum(boundary) OVER (
+                    PARTITION BY query_id ORDER BY ts_s, boundary DESC) AS ordinal
+                FROM b),
+            uc AS (SELECT query_id, count(*) AS c FROM base GROUP BY query_id),
+            cumc AS (
+                SELECT query_id, sum(c) OVER (ORDER BY query_id) AS cum_c
+                FROM uc),
+            sess AS (
+                SELECT o.query_id, o.item_id, o.ts, o.rating,
+                       cumc.cum_c - o.ordinal AS session_id
+                FROM o JOIN cumc ON o.query_id = cumc.query_id),
+            ranked AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY query_id ORDER BY ts) AS rn,
+                       count(*) OVER (PARTITION BY query_id) AS cnt
+                FROM sess),
+            flagged AS (
+                SELECT *, round(rn / CAST(cnt AS DOUBLE), 10) > 0.7 AS is_test0
+                FROM ranked),
+            repaired AS (
+                SELECT *, last_value(is_test0) OVER (
+                    PARTITION BY query_id, session_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                    AS is_test
+                FROM flagged)
+            SELECT query_id, item_id, epoch_us(ts) AS ts_us, rating
+            FROM repaired WHERE is_test
+        """,
+        "q_itemknn_bm25_similarity": f"""
+            WITH {W},
+            r0 AS (SELECT query_id, item_id FROM interactions),
+            istats AS (
+                SELECT item_id, count(*) AS n_q FROM r0 GROUP BY item_id),
+            avgdl AS (SELECT avg(n_q) AS v FROM istats),
+            tf AS (
+                SELECT item_id,
+                       (1.2 + 1) / (1.0 + 1.2 * (1 - 0.75 + 0.75 * (n_q / (SELECT v FROM avgdl))))
+                           AS tf_w
+                FROM istats),
+            dfc AS (SELECT query_id, count(*) AS df FROM r0 GROUP BY query_id),
+            nitems AS (SELECT count(DISTINCT item_id) AS n FROM r0),
+            idf AS (
+                SELECT query_id,
+                       ln(1 + ((SELECT n FROM nitems) - df + 0.5) / (df + 0.5)) AS idf_w
+                FROM dfc),
+            rated AS (
+                SELECT r.query_id, r.item_id, t.tf_w * i.idf_w AS rating
+                FROM r0 r
+                JOIN tf t ON r.item_id = t.item_id
+                JOIN idf i ON r.query_id = i.query_id),
+            dot AS (
+                SELECT a.item_id AS item_idx_one, b.item_id AS item_idx_two,
+                       sum(a.rating * b.rating) AS dp
+                FROM rated a JOIN rated b
+                ON a.query_id = b.query_id AND a.item_id <> b.item_id
+                GROUP BY 1, 2),
+            norms AS (
+                SELECT item_id, sqrt(sum(rating * rating)) AS nrm
+                FROM rated GROUP BY item_id),
+            sim AS (
+                SELECT d.item_idx_one, d.item_idx_two,
+                       round(d.dp / (n1.nrm * n2.nrm + 0.0), 6) AS similarity
+                FROM dot d
+                JOIN norms n1 ON d.item_idx_one = n1.item_id
+                JOIN norms n2 ON d.item_idx_two = n2.item_id)
+            SELECT item_idx_one, item_idx_two, similarity FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY item_idx_one
+                    ORDER BY similarity DESC, item_idx_two DESC) AS rn
+                FROM sim) t
+            WHERE rn <= 10
+        """,
+        "q_random_rec_distribution": f"""
+            WITH {W},
+            pop AS (
+                SELECT item_id,
+                       CAST(count(DISTINCT query_id) AS FLOAT) + 1.0 AS w
+                FROM interactions GROUP BY item_id)
+            SELECT item_id,
+                   round(w / (SELECT sum(w) FROM pop), 6) AS rating
+            FROM pop
+        """,
+        "q_metric_per_user_2": f"""
+            WITH {W},
+            dedup AS (
+                SELECT query_id, item_id, max(rating) AS rating
+                FROM interactions GROUP BY query_id, item_id),
+            recs AS (
+                SELECT query_id, item_id, rating,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY rating DESC, item_id ASC) AS pos
+                FROM dedup QUALIFY pos <= 5),
+            gt AS (
+                SELECT DISTINCT query_id, item_id
+                FROM interactions WHERE rating > 150),
+            train AS (
+                SELECT query_id, item_id FROM interactions WHERE rating <= 150),
+            -- RocAuc over gt users
+            marked AS (
+                SELECT r.query_id, r.pos,
+                       CASE WHEN g.item_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+                FROM recs r LEFT JOIN gt g
+                ON r.query_id = g.query_id AND r.item_id = g.item_id),
+            cum AS (
+                SELECT *, sum(1 - hit) OVER (
+                    PARTITION BY query_id ORDER BY pos) AS cum_miss
+                FROM marked),
+            roc AS (
+                SELECT query_id,
+                       count(*) AS n,
+                       sum(1 - hit) AS fp_cur,
+                       sum(hit * cum_miss) AS fp_cum
+                FROM cum GROUP BY query_id),
+            roc_v AS (
+                SELECT g.query_id,
+                       CASE WHEN r.fp_cur = r.n THEN 0.0
+                            WHEN r.fp_cum = 0 THEN 1.0
+                            ELSE 1.0 - CAST(r.fp_cum AS DOUBLE) /
+                                 (r.fp_cur * (r.n - r.fp_cur)) END AS rocauc
+                FROM (SELECT DISTINCT query_id FROM gt) g
+                LEFT JOIN roc r ON g.query_id = r.query_id),
+            -- Novelty over rec users
+            seen AS (
+                SELECT DISTINCT query_id, item_id FROM train),
+            nov AS (
+                SELECT r.query_id,
+                       1.0 - count(s.item_id) / CAST(count(*) AS DOUBLE) AS novelty
+                FROM recs r LEFT JOIN seen s
+                ON r.query_id = s.query_id AND r.item_id = s.item_id
+                GROUP BY r.query_id),
+            nov_users AS (
+                SELECT r.query_id,
+                       CASE WHEN t.query_id IS NULL THEN 1.0 ELSE n.novelty END AS novelty
+                FROM (SELECT DISTINCT query_id FROM recs) r
+                LEFT JOIN (SELECT DISTINCT query_id FROM train) t
+                  ON r.query_id = t.query_id
+                LEFT JOIN nov n ON r.query_id = n.query_id),
+            -- Surprisal over rec users
+            wtrain AS (
+                SELECT item_id,
+                       log2((SELECT count(DISTINCT query_id) FROM train) /
+                            CAST(count(DISTINCT query_id) AS DOUBLE)) /
+                       log2(CAST((SELECT count(DISTINCT query_id) FROM train) AS DOUBLE))
+                           AS w
+                FROM train GROUP BY item_id),
+            sur AS (
+                SELECT r.query_id, sum(coalesce(w.w, 1.0)) / 5.0 AS surprisal
+                FROM recs r LEFT JOIN wtrain w ON r.item_id = w.item_id
+                GROUP BY r.query_id)
+            SELECT u.query_id,
+                   round(rv.rocauc, 6) AS rocauc,
+                   round(nu.novelty, 6) AS novelty,
+                   round(su.surprisal, 6) AS surprisal
+            FROM (SELECT DISTINCT query_id FROM recs
+                  UNION SELECT DISTINCT query_id FROM gt) u
+            LEFT JOIN roc_v rv ON u.query_id = rv.query_id
+            LEFT JOIN nov_users nu ON u.query_id = nu.query_id
+            LEFT JOIN sur su ON u.query_id = su.query_id
         """,
         "q_doc_dedup_exact": """
             SELECT md5(text) AS text_hash,

@@ -298,6 +298,7 @@ class QuantileItemsFilter(_BaseFilter):
         items_proportion: float = 0.5,
         query_column: str = "query_id",
         item_column: str = "item_id",
+        tiebreak_columns: Optional[list] = None,
     ):
         if not 0 < alpha_quantile < 1:
             raise ValueError("`alpha_quantile` value must be in (0, 1)")
@@ -307,6 +308,10 @@ class QuantileItemsFilter(_BaseFilter):
         self.items_proportion = items_proportion
         self.query_column = query_column
         self.item_column = item_column
+        # reference orders only by counts_users desc (filters.py:988) —
+        # nondeterministic among ties; optional extra sort keys make the
+        # drop choice total-ordered (needed for hash-stable results)
+        self.tiebreak_columns = tiebreak_columns or []
 
     def _filter(self, df: DataFrame) -> DataFrame:
         items_distribution = df.groupBy(self.item_column).agg(
@@ -338,7 +343,8 @@ class QuantileItemsFilter(_BaseFilter):
                 "_idx",
                 F.row_number().over(
                     Window.partitionBy(self.item_column).orderBy(
-                        F.col("counts_users").desc()
+                        F.col("counts_users").desc(),
+                        *[F.col(c) for c in self.tiebreak_columns],
                     )
                 ),
             )

@@ -45,27 +45,29 @@ class Sessionizer:
         self.max_sessions_per_user = max_sessions_per_user
 
     def _to_unix(self, interactions: DataFrame) -> DataFrame:
+        """Add a working unix-seconds column; the original time column
+        is left untouched (no precision loss on round-trip)."""
         dtype = dict(interactions.dtypes)[self.time_column]
         if dtype == "timestamp":
             return interactions.withColumn(
-                self.time_column, F.unix_timestamp(self.time_column)
+                "_ts_work", F.unix_timestamp(self.time_column)
             )
         if dtype == "date":
             return interactions.withColumn(
-                self.time_column,
+                "_ts_work",
                 F.unix_timestamp(self.time_column, self.time_column_format),
             )
-        return interactions
+        return interactions.withColumn("_ts_work", F.col(self.time_column))
 
     def _create_sessions(self, data: DataFrame) -> DataFrame:
         user_time_window = Window.partitionBy(self.user_column).orderBy(
-            self.time_column
+            "_ts_work"
         )
         with_diff = data.withColumn(
             "_boundary",
             (
-                F.col(self.time_column)
-                - F.lag(self.time_column, 1).over(user_time_window)
+                F.col("_ts_work")
+                - F.lag("_ts_work", 1).over(user_time_window)
                 >= self.session_gap
             ),
         )
@@ -76,7 +78,7 @@ class Sessionizer:
             "_session_ordinal",
             F.sum("_boundary").over(
                 Window.partitionBy(self.user_column).orderBy(
-                    F.col(self.time_column), F.col("_boundary").desc()
+                    F.col("_ts_work"), F.col("_boundary").desc()
                 )
             ),
         )
@@ -123,10 +125,6 @@ class Sessionizer:
         )
 
     def transform(self, interactions: DataFrame) -> DataFrame:
-        original_time = interactions.select(
-            self.time_column
-        )  # noqa: F841 — dtype probe below decides restoration
-        dtype = dict(interactions.dtypes)[self.time_column]
         data = self._to_unix(interactions)
         data = self._create_sessions(data)
         if any(
@@ -139,8 +137,4 @@ class Sessionizer:
             )
         ):
             data = self._filter_sessions(data)
-        if dtype == "timestamp":
-            data = data.withColumn(
-                self.time_column, F.to_timestamp(F.from_unixtime(self.time_column))
-            )
-        return data
+        return data.drop("_ts_work")
