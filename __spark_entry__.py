@@ -814,7 +814,7 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from replay_spark.ann import IVFANN
 
     emb = rsd.read_table(spark, sf_dir, "embeddings")
-    ann = IVFANN(num_clusters=8, nprobe=2, seed=42).fit(emb)
+    ann = IVFANN(num_clusters=8, nprobe=2, seed=42, max_iter=3).fit(emb)
     return ann.search(emb.filter("vec_id < 20"), k=5)
 
 

@@ -36,6 +36,14 @@ BENCH_QUERIES = [
     "q_doc_dedup_exact",
     "q_text_stats",
     "q_embedding_cosine_topk",
+    "q_minhash_candidates",
+    "q_simhash_fingerprints",
+    "q_ngram_jaccard_pairs",
+    "q_sessionize",
+    "q_metric_per_user",
+    "q_sequence_tokenizer",
+    "q_ivf_ann",
+    "q_split_session_atomic",
 ]
 
 

@@ -88,12 +88,14 @@ class IVFANN:
         num_clusters: int = 16,
         nprobe: int = 2,
         seed: Optional[int] = 42,
+        max_iter: int = 10,
     ):
         self.id_column = id_column
         self.vector_column = vector_column
         self.num_clusters = num_clusters
         self.nprobe = nprobe
         self.seed = seed
+        self.max_iter = max_iter
         self.centroids = None  # list[list[float]]
         self._indexed: Optional[DataFrame] = None
 
@@ -105,7 +107,12 @@ class IVFANN:
             F.col(self.id_column),
             _as_double(F.col(self.vector_column)).alias("v"),
         ).withColumn("features", array_to_vector("v"))
-        kmeans = KMeans(k=self.num_clusters, seed=self.seed, featuresCol="features")
+        kmeans = KMeans(
+            k=self.num_clusters,
+            seed=self.seed,
+            featuresCol="features",
+            maxIter=self.max_iter,
+        )
         model = kmeans.fit(prepared)
         self.centroids = [list(c) for c in model.clusterCenters()]
         self._indexed = (
@@ -121,23 +128,38 @@ class IVFANN:
         self._indexed.count()
         return self
 
-    def _nearest_centroids(self, qv):
-        """array of the nprobe nearest centroid indices (by cosine)."""
-        scored = []
-        for idx, centroid in enumerate(self.centroids):
-            lit_c = F.array(*[F.lit(x) for x in centroid])
-            cos = _dot(qv, lit_c) / (_norm(qv) * _norm(lit_c))
-            scored.append(F.struct(cos.alias("cos"), F.lit(idx).alias("idx")))
-        ranked = F.sort_array(F.array(*scored), asc=False)
-        return F.slice(ranked, 1, self.nprobe)["idx"]
-
     def search(self, queries: DataFrame, k: int = 10) -> DataFrame:
         if self._indexed is None:
             raise RuntimeError("IVFANN is not fitted")
-        q = queries.select(
-            F.col(self.id_column).alias("query_id"),
-            _as_double(F.col(self.vector_column)).alias("qv"),
-        ).withColumn("cluster", F.explode(self._nearest_centroids(F.col("qv"))))
+        spark = queries.sparkSession
+        # centroids as a tiny broadcast table — a join keeps the plan
+        # small, vs embedding num_clusters*dim literals per row
+        centroids = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)],
+            "cluster int, centroid array<double>",
+        )
+        probed = (
+            queries.select(
+                F.col(self.id_column).alias("query_id"),
+                _as_double(F.col(self.vector_column)).alias("qv"),
+            )
+            .crossJoin(F.broadcast(centroids))
+            .withColumn(
+                "_c_cos",
+                _dot(F.col("qv"), F.col("centroid"))
+                / (_norm(F.col("qv")) * _norm(F.col("centroid"))),
+            )
+            .withColumn(
+                "_c_rank",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.col("_c_cos").desc(), F.col("cluster").asc()
+                    )
+                ),
+            )
+            .filter(F.col("_c_rank") <= self.nprobe)
+        )
+        q = probed.select("query_id", "qv", "cluster")
         scored = (
             q.join(self._indexed, on="cluster")
             .filter(F.col("neighbor_id") != F.col("query_id"))
