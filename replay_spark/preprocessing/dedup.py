@@ -81,6 +81,22 @@ class ExactDeduplicator:
         )
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread tiny-file inputs across the cluster before CPU-heavy
+    per-row work (shingling/hashing).
+
+    A small parquet file arrives as one partition; shingling 5k docs
+    on 1 of 32 cores was the dominant MinHash cost locally. Only
+    triggers when the input has far fewer partitions than the
+    default parallelism — a 100 TB source already has thousands of
+    splits and is left untouched.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def _word_ngrams(tokens, n: int):
     """array<string> word n-grams via transform over index sequence."""
     return F.when(
@@ -113,6 +129,7 @@ class NGramJaccardDeduplicator:
         self.max_shingle_df = max_shingle_df
 
     def _shingles(self, df: DataFrame) -> DataFrame:
+        df = _ensure_parallelism(df)
         tokens = F.split(F.trim(F.lower(F.col(self.text_column))), r"\s+")
         return df.select(
             self.id_column,
@@ -202,6 +219,7 @@ class MinHashLSHDeduplicator:
 
     def signatures(self, df: DataFrame) -> DataFrame:
         """(id, signature array<long>) — one shuffle (groupBy id)."""
+        df = _ensure_parallelism(df)
         tokens = F.split(F.trim(F.lower(F.col(self.text_column))), r"\s+")
         shingled = df.select(
             self.id_column,
@@ -304,6 +322,7 @@ class SimHashDeduplicator:
         self.max_hamming = max_hamming
 
     def fingerprints(self, df: DataFrame) -> DataFrame:
+        df = _ensure_parallelism(df)
         tokens = F.split(F.trim(F.lower(F.col(self.text_column))), r"\s+")
         exploded = df.select(
             self.id_column, F.explode(tokens).alias("token")
