@@ -1,0 +1,151 @@
+"""Property-based tests (hypothesis) — invariants the reference's
+example-based suite can't cover.
+
+Kept to few, small examples per property: each example builds a
+Spark DataFrame, so the budget goes to property diversity, not
+example count.
+"""
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from replay_spark.metrics import NDCG, HitRate, Precision, Recall
+from replay_spark.preprocessing import LabelEncodingRule, MinCountFilter
+from replay_spark.splitters import RatioSplitter
+from replay_spark.utils import get_top_k_recs
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+interactions_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 5),  # query
+        st.integers(0, 8),  # item
+        st.integers(0, 1000),  # ts offset
+        st.floats(0.125, 10.0, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=interactions_strategy, k=st.integers(1, 4))
+@settings(**SETTINGS)
+def test_top_k_is_per_user_maximal(spark, rows, k):
+    # dedupe (query, item) so ranking has a unique winner set
+    seen = {}
+    for q, i, t, r in rows:
+        seen[(q, i)] = float(round(r, 3))
+    df = spark.createDataFrame(
+        [(q, i, r) for (q, i), r in seen.items()],
+        "query_id int, item_id int, rating double",
+    )
+    out = get_top_k_recs(df, k).collect()
+    by_user = {}
+    for row in out:
+        by_user.setdefault(row.query_id, []).append((row.rating, row.item_id))
+    source = {}
+    for (q, i), r in seen.items():
+        source.setdefault(q, []).append((r, i))
+    for q, got in by_user.items():
+        assert len(got) <= k
+        expected = sorted(source[q], key=lambda x: (-x[0], x[1]))[:k]
+        assert sorted(got, key=lambda x: (-x[0], x[1])) == expected
+
+
+@given(rows=interactions_strategy, n=st.integers(1, 5))
+@settings(**SETTINGS)
+def test_min_count_filter_threshold(spark, rows, n):
+    df = spark.createDataFrame(
+        [(q, i) for q, i, _, _ in rows], "query_id int, item_id int"
+    )
+    out = MinCountFilter(n, "query_id").transform(df)
+    counts = {
+        r.query_id: r["count"]
+        for r in df.groupBy("query_id").count().collect()
+    }
+    kept = {
+        r.query_id: r["count"]
+        for r in out.groupBy("query_id").count().collect()
+    }
+    for q, c in counts.items():
+        if c >= n:
+            assert kept.get(q) == c
+        else:
+            assert q not in kept
+
+
+@given(rows=interactions_strategy, frac=st.sampled_from([0.2, 0.5, 0.8]))
+@settings(**SETTINGS)
+def test_ratio_splitter_partitions_input(spark, rows, frac):
+    df = spark.createDataFrame(
+        [
+            (q, i, 1577836800 + t, r)
+            for idx, (q, i, t, r) in enumerate(rows)
+        ],
+        "query_id int, item_id int, ts long, rating double",
+    ).withColumn("timestamp", __import__("pyspark").sql.functions.to_timestamp(
+        __import__("pyspark").sql.functions.from_unixtime("ts"))).drop("ts")
+    train, test = RatioSplitter(frac).split(df)
+    assert train.count() + test.count() == df.count()
+    # the split is temporal per user: no test row precedes a train row
+    train_max = {
+        r.query_id: r.m
+        for r in train.groupBy("query_id").agg(
+            __import__("pyspark").sql.functions.max("timestamp").alias("m")
+        ).collect()
+    }
+    test_min = {
+        r.query_id: r.m
+        for r in test.groupBy("query_id").agg(
+            __import__("pyspark").sql.functions.min("timestamp").alias("m")
+        ).collect()
+    }
+    for q, tmin in test_min.items():
+        if q in train_max:
+            assert train_max[q] <= tmin
+
+
+@given(rows=interactions_strategy, k=st.integers(1, 5))
+@settings(**SETTINGS)
+def test_metric_bounds_and_ordering(spark, rows, k):
+    seen = {}
+    for q, i, t, r in rows:
+        seen[(q, i)] = float(round(r, 3))
+    recs = spark.createDataFrame(
+        [(q, i, r) for (q, i), r in seen.items()],
+        "query_id int, item_id int, rating double",
+    )
+    gt = spark.createDataFrame(
+        [(q, i) for (q, i) in list(seen)[::2]], "query_id int, item_id int"
+    )
+    ndcg = NDCG(k)(recs, gt)[f"NDCG@{k}"]
+    hr = HitRate(k)(recs, gt)[f"HitRate@{k}"]
+    prec = Precision(k)(recs, gt)[f"Precision@{k}"]
+    rec = Recall(k)(recs, gt)[f"Recall@{k}"]
+    for v in (ndcg, hr, prec, rec):
+        assert -1e-9 <= v <= 1 + 1e-9
+    # hitrate dominates precision and ndcg per user, hence on average
+    assert hr + 1e-9 >= prec
+    assert hr + 1e-9 >= ndcg
+
+
+@given(
+    values=st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=3),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_label_encoder_roundtrip_property(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "item_id string")
+    rule = LabelEncodingRule("item_id")
+    encoded = rule.fit_transform(df)
+    codes = [r.item_id for r in encoded.collect()]
+    assert set(codes) == set(range(len(set(values))))
+    back = sorted(r.item_id for r in rule.inverse_transform(encoded).collect())
+    assert back == sorted(values)
