@@ -34,6 +34,10 @@ TABLES = [
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata parquet table, normalizing nano timestamps."""
+    # Pin wall-clock interpretation to UTC regardless of the caller's
+    # session: date_trunc/day-diff results must match the (naive)
+    # DuckDB oracle even if the driver session uses another timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
