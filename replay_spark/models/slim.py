@@ -128,6 +128,12 @@ class SLIM(NeighbourRec):
         sc = spark.sparkContext
         bc = sc.broadcast((X_cols, col_sq_norms, item_arr, n_users))
 
+        # note: replay_spark registers itself for cloudpickle by-value
+        # serialization (see replay_spark/__init__.py), so this closure's
+        # reference to _elastic_net_cd ships to executors even when their
+        # workers can't import replay_spark from disk
+        elastic_net_cd = _elastic_net_cd
+
         def slim_column(group: pd.DataFrame) -> pd.DataFrame:
             X_cols_b, sq_norms_b, items_b, n_users_b = bc.value
             target_item = group["item_idx_one"].iloc[0]
@@ -135,7 +141,7 @@ class SLIM(NeighbourRec):
             y = np.zeros(n_users_b)
             t_rows, t_vals = X_cols_b[j]
             y[t_rows] = t_vals
-            w = _elastic_net_cd(
+            w = elastic_net_cd(
                 X_cols_b, y, sq_norms_b, alpha, l1_ratio, skip_idx=j
             )
             good = np.argwhere(w > 0).reshape(-1)
