@@ -62,6 +62,11 @@ def _dataset(spark: SparkSession, sf_dir: str) -> Dataset:
     the (tiny relative to cluster RAM) canonical frame per sf_dir."""
     key = ("plain", sf_dir)
     if key not in _DATASET_CACHE:
+        # deliberately NOT repartitioned: at this scale each model job is
+        # ~100ms of work and task overhead dominates — measured 4.9s vs
+        # 8.3s for the PopRec path with 32 partitions. A real cluster
+        # source arrives pre-split; CPU-heavy per-row ops (dedup
+        # shingling) have their own parallelism guard.
         inter = _interactions(spark, sf_dir).cache()
         _DATASET_CACHE[key] = Dataset(_SCHEMA, inter, check_consistency=False)
     return _DATASET_CACHE[key]
