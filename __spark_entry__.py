@@ -823,6 +823,31 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.search(emb.filter("vec_id < 20"), k=5)
 
 
+def q_e2e_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end offline evaluation mirroring the reference's
+    benchmark shape (BASELINE.md): time split -> fit/predict two
+    models -> metric table. Rows-only (whole-chain float pipeline)."""
+    from replay_spark.metrics import MRR, NDCG, HitRate, Experiment
+    from replay_spark.models import ItemKNN, PopRec
+    from replay_spark.splitters import TimeSplitter
+
+    inter = _dataset(spark, sf_dir).interactions
+    train_df, test_df = TimeSplitter(0.2).split(inter)
+    train = Dataset(_SCHEMA, train_df, check_consistency=False)
+    exp = Experiment([NDCG(10), MRR(10), HitRate(10)], ground_truth=test_df)
+    for name, model in (
+        ("PopRec", PopRec()),
+        ("ItemKNN", ItemKNN(num_neighbours=20)),
+    ):
+        exp.add_result(name, model.fit_predict(train, k=10))
+    rows = [
+        (model, metric, round(float(value), 6))
+        for model, row in exp.results.iterrows()
+        for metric, value in row.items()
+    ]
+    return spark.createDataFrame(rows, "model string, metric string, value double")
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -891,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_word2vec_recs": q_word2vec_recs,
         "q_lin_ucb_recs": q_lin_ucb_recs,
         "q_ivf_ann": q_ivf_ann,
+        "q_e2e_eval": q_e2e_eval,
     }
 
 

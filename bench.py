@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "q_sequence_tokenizer",
     "q_ivf_ann",
     "q_split_session_atomic",
+    "q_e2e_eval",
 ]
 
 
