@@ -848,6 +848,17 @@ def q_e2e_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "model string, metric string, value double")
 
 
+def q_ratio_split_bysize_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RatioSplitter in by-size mode (train_size = cnt - int(cnt*ratio)
+    with the reference's small-group correction)."""
+    from replay_spark.splitters import RatioSplitter
+
+    _, test = RatioSplitter(0.3, split_by_fractions=False).split(
+        _interactions(spark, sf_dir)
+    )
+    return _emit(test)
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -874,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_time_split_test": q_time_split_test,
         "q_ratio_split_test": q_ratio_split_test,
         "q_last_n_split_test": q_last_n_split_test,
+        "q_ratio_split_bysize_test": q_ratio_split_bysize_test,
         "q_poprec_popularity": q_poprec_popularity,
         "q_poprec_recs": q_poprec_recs,
         "q_querypoprec_scores": q_querypoprec_scores,
@@ -1672,6 +1684,25 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN roc_v rv ON u.query_id = rv.query_id
             LEFT JOIN nov_users nu ON u.query_id = nu.query_id
             LEFT JOIN sur su ON u.query_id = su.query_id
+        """,
+        "q_ratio_split_bysize_test": f"""
+            WITH {W},
+            ranked AS (
+                SELECT query_id, item_id, ts, rating,
+                       row_number() OVER (PARTITION BY query_id ORDER BY ts) AS rn,
+                       count(*) OVER (PARTITION BY query_id) AS cnt
+                FROM interactions),
+            sized AS (
+                SELECT *,
+                       cnt - CAST(floor(cnt * 0.3) AS BIGINT) AS ts0
+                FROM ranked),
+            corrected AS (
+                SELECT *,
+                       CASE WHEN cnt * 0.3 > 0 AND cnt * 0.3 < 1 AND ts0 > 1
+                            THEN ts0 - 1 ELSE ts0 END AS train_size
+                FROM sized)
+            SELECT query_id, item_id, epoch_us(ts) AS ts_us, rating
+            FROM corrected WHERE rn > train_size
         """,
         "q_doc_dedup_exact": """
             SELECT md5(text) AS text_hash,
