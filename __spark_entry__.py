@@ -859,6 +859,80 @@ def q_ratio_split_bysize_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _emit(test)
 
 
+def q_metric_unexpectedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unexpectedness@5 per user: rating-ranked recs vs a recency-
+    ranked baseline built from the same log."""
+    from replay_spark.metrics import Unexpectedness
+    from replay_spark.utils import get_top_k_recs
+
+    inter = _dataset(spark, sf_dir).interactions
+    dedup = inter.groupBy("query_id", "item_id").agg(
+        F.max("rating").alias("rating"), F.max("timestamp").alias("ts")
+    )
+    recs = get_top_k_recs(dedup.select("query_id", "item_id", "rating"), k=5)
+    base = get_top_k_recs(
+        dedup.select(
+            "query_id",
+            "item_id",
+            F.unix_micros("ts").cast("double").alias("rating"),
+        ),
+        k=5,
+    )
+    m = Unexpectedness(5)
+    enriched = m._get_enriched_recommendations(recs, base)
+    return enriched.select(
+        "query_id", F.round(m._per_user_value(5), 6).alias("unexpectedness")
+    )
+
+
+def q_metric_cat_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CategoricalDiversity@5 per user over derived item categories
+    (category = item_id mod 7)."""
+    from replay_spark.metrics import CategoricalDiversity, PerUser
+    from replay_spark.utils import get_top_k_recs
+
+    inter = _dataset(spark, sf_dir).interactions
+    dedup = inter.groupBy("query_id", "item_id").agg(
+        F.max("rating").alias("rating")
+    )
+    recs = get_top_k_recs(dedup, k=5).select(
+        "query_id",
+        F.pmod(F.col("item_id"), F.lit(7)).alias("category_id"),
+        "rating",
+        "item_id",
+    )
+    m = CategoricalDiversity(5)
+    enriched = m._get_items_list_per_user(
+        recs.select("query_id", "category_id", "rating")
+    )
+    return enriched.select(
+        "query_id",
+        F.expr(
+            "round(size(array_distinct(slice(pred_item_id, 1, 5))) / 5.0d, 6)"
+        ).alias("diversity"),
+    )
+
+
+def q_filter_entity_days_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from replay_spark.preprocessing import EntityDaysFilter
+
+    return _emit(
+        EntityDaysFilter(7, False, entity_column="query_id").transform(
+            _interactions(spark, sf_dir)
+        )
+    )
+
+
+def q_filter_first_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from replay_spark.preprocessing import NumInteractionsFilter
+
+    return _emit(
+        NumInteractionsFilter(
+            10, True, query_column="query_id", item_column="item_id"
+        ).transform(_interactions(spark, sf_dir))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -929,6 +1003,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lin_ucb_recs": q_lin_ucb_recs,
         "q_ivf_ann": q_ivf_ann,
         "q_e2e_eval": q_e2e_eval,
+        "q_metric_unexpectedness": q_metric_unexpectedness,
+        "q_metric_cat_diversity": q_metric_cat_diversity,
+        "q_filter_entity_days_last": q_filter_entity_days_last,
+        "q_filter_first_interactions": q_filter_first_interactions,
     }
 
 
@@ -1703,6 +1781,61 @@ def oracle_sql() -> dict[str, str]:
                 FROM sized)
             SELECT query_id, item_id, epoch_us(ts) AS ts_us, rating
             FROM corrected WHERE rn > train_size
+        """,
+        "q_metric_unexpectedness": f"""
+            WITH {W},
+            dedup AS (
+                SELECT query_id, item_id, max(rating) AS rating, max(ts) AS ts
+                FROM interactions GROUP BY query_id, item_id),
+            recs AS (
+                SELECT query_id, item_id FROM (
+                    SELECT query_id, item_id,
+                           row_number() OVER (PARTITION BY query_id
+                               ORDER BY rating DESC, item_id ASC) AS rn
+                    FROM dedup) t WHERE rn <= 5),
+            base AS (
+                SELECT query_id, item_id FROM (
+                    SELECT query_id, item_id,
+                           row_number() OVER (PARTITION BY query_id
+                               ORDER BY CAST(epoch_us(ts) AS DOUBLE) DESC,
+                                        item_id ASC) AS rn
+                    FROM dedup) t WHERE rn <= 5)
+            SELECT r.query_id,
+                   round(1.0 - count(b.item_id) / 5.0, 6) AS unexpectedness
+            FROM recs r LEFT JOIN base b
+            ON r.query_id = b.query_id AND r.item_id = b.item_id
+            GROUP BY r.query_id
+        """,
+        "q_metric_cat_diversity": f"""
+            WITH {W},
+            dedup AS (
+                SELECT query_id, item_id, max(rating) AS rating
+                FROM interactions GROUP BY query_id, item_id),
+            recs AS (
+                SELECT query_id, item_id % 7 AS category_id, rating FROM (
+                    SELECT query_id, item_id, rating,
+                           row_number() OVER (PARTITION BY query_id
+                               ORDER BY rating DESC, item_id ASC) AS rn
+                    FROM dedup) t WHERE rn <= 5)
+            SELECT query_id,
+                   round(count(DISTINCT category_id) / 5.0, 6) AS diversity
+            FROM recs GROUP BY query_id
+        """,
+        "q_filter_entity_days_last": f"""
+            WITH {W}
+            SELECT query_id, item_id, epoch_us(ts) AS ts_us, rating FROM (
+                SELECT *, max(ts) OVER (PARTITION BY query_id) AS max_ts
+                FROM interactions) t
+            WHERE ts > max_ts - INTERVAL 7 DAY
+        """,
+        "q_filter_first_interactions": f"""
+            WITH {W}
+            SELECT query_id, item_id, epoch_us(ts) AS ts_us, rating FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY ts ASC, item_id ASC) AS rn
+                FROM interactions) t
+            WHERE rn <= 10
         """,
         "q_doc_dedup_exact": """
             SELECT md5(text) AS text_hash,
