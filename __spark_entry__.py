@@ -410,12 +410,40 @@ def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30 min) with reference id arithmetic."""
+    """Gap-based sessionization (30 min) with reference id arithmetic.
+
+    The events table has duplicate (user, ts) rows; the item_id
+    tiebreak makes the window order total so boundary/ordinal
+    assignment is engine- and partition-independent."""
     from replay_spark.preprocessing import Sessionizer
 
     inter = _interactions(spark, sf_dir)
     out = Sessionizer(
-        user_column="query_id", time_column="timestamp", session_gap=1800
+        user_column="query_id",
+        time_column="timestamp",
+        session_gap=1800,
+        tiebreak_columns=["item_id"],
+        session_id_mode="reference",
+    ).transform(inter)
+    return out.select(
+        "query_id",
+        "item_id",
+        F.unix_timestamp("timestamp").alias("ts_s"),
+        "session_id",
+    )
+
+
+def q_sessionize_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe composite session ids ('{user}_{ordinal}'): no
+    global window anywhere — a single per-user shuffle."""
+    from replay_spark.preprocessing import Sessionizer
+
+    inter = _interactions(spark, sf_dir)
+    out = Sessionizer(
+        user_column="query_id",
+        time_column="timestamp",
+        session_gap=1800,
+        tiebreak_columns=["item_id"],
     ).transform(inter)
     return out.select(
         "query_id",
@@ -628,7 +656,14 @@ def q_sequence_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     inter = _dataset(spark, sf_dir).interactions
     tok = SequenceTokenizer(encode_items=False)
-    return tok.transform(inter).select("query_id", "item_sequence")
+    # concat_ws: the driver canonicalizer sorts rows with pandas, which
+    # cannot hash raw array cells — emit the sequence as a CSV string.
+    return tok.transform(inter).select(
+        "query_id",
+        F.concat_ws(
+            ",", F.col("item_sequence").cast("array<string>")
+        ).alias("item_sequence"),
+    )
 
 
 def q_filter_low_rating(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -757,12 +792,31 @@ def q_thompson_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_klucb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KL-UCB bounds (rows-only: bisection root-finder)."""
+    """KL-UCB bounds. Oracle-checkable: the 50-step bisection is
+    deterministic given (pos, total), mirrored in DuckDB by a
+    recursive CTE running the identical bisection."""
     from replay_spark.models import KLUCB
 
     model = KLUCB().fit(_binary_dataset(spark, sf_dir))
     return model.item_popularity.select(
         "item_id", F.round("rating", 6).alias("rating")
+    )
+
+
+def q_thompson_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thompson posterior (pos, neg) and Beta mean — the deterministic
+    half of the model (the seeded draw stays rows-only in
+    q_thompson_scores)."""
+    from replay_spark.models import ThompsonSampling
+
+    model = ThompsonSampling(seed=42).fit(_binary_dataset(spark, sf_dir))
+    return model.posterior_params.select(
+        "item_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("neg").cast("long").alias("neg"),
+        F.round(
+            (F.col("pos") + 1.0) / (F.col("pos") + F.col("neg") + 2.0), 6
+        ).alias("post_mean"),
     )
 
 
@@ -1007,6 +1061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_metric_cat_diversity": q_metric_cat_diversity,
         "q_filter_entity_days_last": q_filter_entity_days_last,
         "q_filter_first_interactions": q_filter_first_interactions,
+        "q_sessionize_composite": q_sessionize_composite,
+        "q_thompson_params": q_thompson_params,
     }
 
 
@@ -1216,6 +1272,59 @@ def oracle_sql() -> dict[str, str]:
                    6) AS rating
             FROM counts
         """,
+        "q_klucb_scores": f"""
+            WITH RECURSIVE {W},
+            counts AS (
+                SELECT item_id,
+                       sum(CAST(rating > 100 AS DOUBLE)) AS pos,
+                       CAST(count(*) AS DOUBLE) AS total
+                FROM interactions GROUP BY item_id),
+            base AS (
+                SELECT item_id, pos / total AS p_hat,
+                       (SELECT ln(count(*)) FROM interactions) / total AS rhs
+                FROM counts),
+            bis AS (
+                SELECT item_id, p_hat, rhs,
+                       p_hat AS lo, CAST(1.0 AS DOUBLE) AS hi, 0 AS i
+                FROM base
+                UNION ALL
+                SELECT item_id, p_hat, rhs,
+                       CASE WHEN
+                            least(greatest(p_hat, 1e-12), 1 - 1e-12)
+                              * ln(least(greatest(p_hat, 1e-12), 1 - 1e-12)
+                                   / least(greatest((lo + hi) / 2, 1e-12), 1 - 1e-12))
+                            + (1 - least(greatest(p_hat, 1e-12), 1 - 1e-12))
+                              * ln((1 - least(greatest(p_hat, 1e-12), 1 - 1e-12))
+                                   / (1 - least(greatest((lo + hi) / 2, 1e-12), 1 - 1e-12)))
+                            > rhs
+                       THEN lo ELSE (lo + hi) / 2 END,
+                       CASE WHEN
+                            least(greatest(p_hat, 1e-12), 1 - 1e-12)
+                              * ln(least(greatest(p_hat, 1e-12), 1 - 1e-12)
+                                   / least(greatest((lo + hi) / 2, 1e-12), 1 - 1e-12))
+                            + (1 - least(greatest(p_hat, 1e-12), 1 - 1e-12))
+                              * ln((1 - least(greatest(p_hat, 1e-12), 1 - 1e-12))
+                                   / (1 - least(greatest((lo + hi) / 2, 1e-12), 1 - 1e-12)))
+                            > rhs
+                       THEN (lo + hi) / 2 ELSE hi END,
+                       i + 1
+                FROM bis WHERE i < 50)
+            SELECT item_id,
+                   round(CASE WHEN p_hat >= 1.0 THEN 1.0
+                              ELSE (lo + hi) / 2 END, 6) AS rating
+            FROM bis WHERE i = 50
+        """,
+        "q_thompson_params": f"""
+            WITH {W},
+            counts AS (
+                SELECT item_id,
+                       CAST(sum(CASE WHEN rating > 100 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+                       CAST(sum(CASE WHEN rating > 100 THEN 0 ELSE 1 END) AS BIGINT) AS neg
+                FROM interactions GROUP BY item_id)
+            SELECT item_id, pos, neg,
+                   round((pos + 1.0) / (pos + neg + 2.0), 6) AS post_mean
+            FROM counts
+        """,
         "q_itemknn_similarity": f"""
             WITH {W},
             r AS (SELECT query_id, item_id, 1.0 AS rating FROM interactions),
@@ -1285,11 +1394,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT *, CASE WHEN lag(ts_s) OVER w IS NULL
                                  OR ts_s - lag(ts_s) OVER w >= 1800
                                THEN 1 ELSE 0 END AS boundary
-                FROM base WINDOW w AS (PARTITION BY query_id ORDER BY ts_s)),
+                FROM base
+                WINDOW w AS (PARTITION BY query_id ORDER BY ts_s, item_id)),
             o AS (
                 SELECT *, sum(boundary) OVER (
                     PARTITION BY query_id
-                    ORDER BY ts_s, boundary DESC) AS ordinal
+                    ORDER BY ts_s, item_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS ordinal
                 FROM b),
             uc AS (SELECT query_id, count(*) AS c FROM base GROUP BY query_id),
             cum AS (
@@ -1298,6 +1410,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.query_id, o.item_id, o.ts_s,
                    cum.cum_c - o.ordinal AS session_id
             FROM o JOIN cum ON o.query_id = cum.query_id
+        """,
+        "q_sessionize_composite": f"""
+            WITH {W},
+            base AS (
+                SELECT query_id, item_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+                FROM interactions),
+            b AS (
+                SELECT *, CASE WHEN lag(ts_s) OVER w IS NULL
+                                 OR ts_s - lag(ts_s) OVER w >= 1800
+                               THEN 1 ELSE 0 END AS boundary
+                FROM base
+                WINDOW w AS (PARTITION BY query_id ORDER BY ts_s, item_id)),
+            o AS (
+                SELECT *, sum(boundary) OVER (
+                    PARTITION BY query_id
+                    ORDER BY ts_s, item_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS ordinal
+                FROM b)
+            SELECT query_id, item_id, ts_s,
+                   CAST(query_id AS VARCHAR) || '_' ||
+                   CAST(ordinal AS VARCHAR) AS session_id
+            FROM o
         """,
         "q_label_encode": """
             SELECT event_id,
@@ -1533,7 +1669,8 @@ def oracle_sql() -> dict[str, str]:
         "q_sequence_tokenizer": f"""
             WITH {W}
             SELECT query_id,
-                   list(item_id ORDER BY ts, item_id) AS item_sequence
+                   string_agg(CAST(item_id AS VARCHAR), ','
+                              ORDER BY ts, item_id) AS item_sequence
             FROM interactions GROUP BY query_id
         """,
         "q_filter_low_rating": f"""

@@ -292,6 +292,11 @@ class ThompsonSampling(NonPersonalizedRecommender):
             F.sum(self.rating_column).alias("pos"),
             F.count(self.rating_column).alias("total"),
         ).withColumn("neg", F.col("total") - F.col("pos"))
+        # deterministic posterior state (the Beta draw below is seeded);
+        # exposed so the aggregates are oracle-checkable independently
+        self.posterior_params = counts.select(
+            self.item_column, "pos", "neg"
+        )
 
         seed = self.seed
 

@@ -1,19 +1,34 @@
 """Sessionizer — assign session ids by inactivity gap.
 
 Parity: reference ``replay/preprocessing/sessionizer.py:11-263``
-(the doctest golden [2,2,2,5,5,5,9,8,9,9] reproduces exactly):
+(the doctest golden [2,2,2,5,5,5,9,8,9,9] reproduces exactly in
+``session_id_mode="reference"``):
 
 * boundary flag: gap to previous event ≥ ``session_gap`` (first
   event of a user is always a boundary);
 * per-user session ordinal: running sum of boundary flags over the
   (user, time) window;
-* globally unique id: cumulative user row-counts minus the ordinal —
-  the reference's arithmetic, preserved for parity.
+* id modes:
+  - ``"composite"`` (default, scale-safe): ``session_id`` is the
+    string ``"{user}_{ordinal}"`` — no global window anywhere, the
+    whole transform is a single per-user shuffle. This is the mode
+    to use at scale (SURVEY §2.3 recommendation).
+  - ``"reference"``: globally-unique numeric id via cumulative
+    user row-counts minus the ordinal — the reference's arithmetic,
+    preserved for parity. Requires one single-task global window
+    over the (small) per-user count table; fine while #users is
+    driver-scale, wrong shape at 10⁹ users.
+
+Determinism: with duplicate ``(user, timestamp)`` rows the lag-based
+boundary and the running sum are engine-dependent for ties. Pass
+``tiebreak_columns`` (e.g. ``["item_id"]``) to make the ordering
+total — the windows then use an explicit ROWS frame and every engine
+agrees row-for-row.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -33,7 +48,14 @@ class Sessionizer:
         max_inter_per_session: Optional[int] = None,
         min_sessions_per_user: Optional[int] = None,
         max_sessions_per_user: Optional[int] = None,
+        tiebreak_columns: Optional[Sequence[str]] = None,
+        session_id_mode: str = "composite",
     ):
+        if session_id_mode not in ("composite", "reference"):
+            raise ValueError(
+                "session_id_mode must be 'composite' or 'reference', "
+                f"got {session_id_mode!r}"
+            )
         self.user_column = user_column
         self.time_column = time_column
         self.session_column = session_column
@@ -43,6 +65,8 @@ class Sessionizer:
         self.max_inter_per_session = max_inter_per_session
         self.min_sessions_per_user = min_sessions_per_user
         self.max_sessions_per_user = max_sessions_per_user
+        self.tiebreak_columns = list(tiebreak_columns or [])
+        self.session_id_mode = session_id_mode
 
     def _to_unix(self, interactions: DataFrame) -> DataFrame:
         """Add a working unix-seconds column; the original time column
@@ -59,29 +83,55 @@ class Sessionizer:
             )
         return interactions.withColumn("_ts_work", F.col(self.time_column))
 
-    def _create_sessions(self, data: DataFrame) -> DataFrame:
-        user_time_window = Window.partitionBy(self.user_column).orderBy(
-            "_ts_work"
+    def _with_ordinal(self, data: DataFrame) -> DataFrame:
+        """Boundary flags + per-user session ordinal (1-based)."""
+        tiebreaks = [F.col(c) for c in self.tiebreak_columns]
+        lag_window = Window.partitionBy(self.user_column).orderBy(
+            F.col("_ts_work"), *tiebreaks
         )
         with_diff = data.withColumn(
             "_boundary",
             (
                 F.col("_ts_work")
-                - F.lag("_ts_work", 1).over(user_time_window)
+                - F.lag("_ts_work", 1).over(lag_window)
                 >= self.session_gap
             ),
         )
         with_diff = with_diff.na.fill(True, subset=["_boundary"]).withColumn(
             "_boundary", F.col("_boundary").cast("long")
         )
-        with_ordinal = with_diff.withColumn(
-            "_session_ordinal",
-            F.sum("_boundary").over(
-                Window.partitionBy(self.user_column).orderBy(
-                    F.col("_ts_work"), F.col("_boundary").desc()
-                )
-            ),
+        if self.tiebreak_columns:
+            # total order -> an explicit ROWS running sum is exactly
+            # deterministic in every engine (same order as the lag pass,
+            # so tied-timestamp rows land in the boundary row's session)
+            ordinal_window = (
+                Window.partitionBy(self.user_column)
+                .orderBy(F.col("_ts_work"), *tiebreaks)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        else:
+            # RANGE frame (default): ties share one cumulative value
+            ordinal_window = Window.partitionBy(self.user_column).orderBy(
+                F.col("_ts_work"), F.col("_boundary").desc()
+            )
+        return with_diff.withColumn(
+            "_session_ordinal", F.sum("_boundary").over(ordinal_window)
         )
+
+    def _create_sessions(self, data: DataFrame) -> DataFrame:
+        with_ordinal = self._with_ordinal(data)
+        if self.session_id_mode == "composite":
+            return with_ordinal.withColumn(
+                self.session_column,
+                F.concat_ws(
+                    "_",
+                    F.col(self.user_column).cast("string"),
+                    F.col("_session_ordinal").cast("string"),
+                ),
+            ).drop("_boundary", "_session_ordinal")
+        # reference arithmetic: globally-unique numeric ids (parity mode;
+        # the cumulative window runs over the per-user COUNT table, not
+        # the fact table, but is still a single-task global sort)
         user_counts = with_ordinal.groupBy(self.user_column).count()
         cum_counts = user_counts.withColumn(
             "_cum_user_count",

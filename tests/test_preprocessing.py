@@ -78,7 +78,7 @@ def test_sessionizer_golden(spark):
         (3, 4, 2),
     ]
     df = spark.createDataFrame(rows, "user_id int, item_id int, timestamp long")
-    out = Sessionizer(session_gap=5).transform(df)
+    out = Sessionizer(session_gap=5, session_id_mode="reference").transform(df)
     got = {
         (r.user_id, r.item_id): r.session_id
         for r in out.collect()
@@ -89,6 +89,35 @@ def test_sessionizer_golden(spark):
         (3, 1): 9, (3, 2): 8, (3, 3): 9, (3, 4): 9,
     }
     assert got == expected
+
+
+def test_sessionizer_composite_default(spark):
+    """Default mode: '{user}_{ordinal}' ids, no global window; same
+    grouping as the reference arithmetic."""
+    rows = [
+        (1, 1, 1), (1, 2, 2), (1, 3, 3),
+        (3, 1, 1), (3, 2, 10), (3, 3, 3),
+        (3, 4, 2),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, item_id int, timestamp long")
+    out = Sessionizer(session_gap=5, tiebreak_columns=["item_id"]).transform(df)
+    got = {(r.user_id, r.item_id): r.session_id for r in out.collect()}
+    assert got == {
+        (1, 1): "1_1", (1, 2): "1_1", (1, 3): "1_1",
+        (3, 1): "3_1", (3, 4): "3_1", (3, 3): "3_1", (3, 2): "3_2",
+    }
+
+
+def test_sessionizer_tiebreak_total_order(spark):
+    """Duplicate (user, ts) rows: item tiebreak keeps the tied rows in
+    the boundary row's session, deterministically."""
+    rows = [(1, 5, 0), (1, 2, 100), (1, 1, 100), (1, 9, 100)]
+    df = spark.createDataFrame(rows, "user_id int, item_id int, timestamp long")
+    out = Sessionizer(session_gap=50, tiebreak_columns=["item_id"]).transform(df)
+    got = {(r.user_id, r.item_id): r.session_id for r in out.collect()}
+    assert got == {
+        (1, 5): "1_1", (1, 1): "1_2", (1, 2): "1_2", (1, 9): "1_2",
+    }
 
 
 def test_sessionizer_filters(spark):
