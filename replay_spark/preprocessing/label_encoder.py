@@ -21,12 +21,62 @@ __all__ = ["LabelEncodingRule", "SequenceEncodingRule", "LabelEncoder"]
 _HANDLE_UNKNOWN = ("error", "use_default_value", "drop")
 
 
+def _dense_ordered_codes(
+    distinct_df: DataFrame, column: str, encoded_column: str, offset: int = 0
+) -> DataFrame:
+    """Dense codes ``offset..offset+n-1`` in ascending ``column`` order
+    WITHOUT a single-task global sort. Returns a MATERIALIZED
+    (cached) mapping DataFrame.
+
+    Two-phase numbering (the ``zipWithIndex`` pattern):
+    range-partition by the value (contiguous, ordered ranges), number
+    rows within each partition, then add per-partition offsets. The
+    offsets come from an O(#partitions) driver-side cumsum of the
+    per-partition counts — bounded by ``spark.sql.shuffle.partitions``,
+    not by the data — broadcast back as a tiny join table, so the plan
+    has no single-partition exchange at any cardinality.
+    """
+    spark = distinct_df.sparkSession
+    numbered = (
+        distinct_df.repartitionByRange(F.col(column))
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_local",
+            F.row_number()
+            .over(Window.partitionBy("_pid").orderBy(column))
+            .cast("long")
+            - 1,
+        )
+        .persist()
+    )
+    counts = sorted(
+        (r["_pid"], r["count"])
+        for r in numbered.groupBy("_pid").count().collect()
+    )
+    rows, acc = [], int(offset)
+    for pid, cnt in counts:
+        rows.append((pid, acc))
+        acc += cnt
+    offsets = spark.createDataFrame(rows, "_pid int, _offset long")
+    out = numbered.join(F.broadcast(offsets), on="_pid").select(
+        column,
+        (F.col("_local") + F.col("_offset")).alias(encoded_column),
+    )
+    out = out.cache()
+    out.count()
+    numbered.unpersist()
+    return out
+
+
 class LabelEncodingRule:
     """Encode one column to dense codes 0..n-1.
 
-    Fit: ``distinct`` + ``row_number().over(Window.orderBy(col)) - 1``
-    (reference ``label_encoder.py:172-185``). ``partial_fit`` appends
-    codes for unseen values after the current max.
+    Same mapping as the reference's ``distinct`` +
+    ``row_number().over(Window.orderBy(col)) - 1``
+    (``label_encoder.py:172-185``) but numbered with the two-phase
+    range-partition scheme — no single-task global sort.
+    ``partial_fit`` appends codes for unseen values after the
+    current max.
     """
 
     def __init__(
@@ -66,34 +116,30 @@ class LabelEncodingRule:
         }
 
     def fit(self, df: DataFrame) -> "LabelEncodingRule":
-        self._mapping_df = (
-            df.select(self.column)
-            .distinct()
-            .withColumn(
-                self.encoded_column,
-                F.row_number().over(Window.orderBy(self.column)).cast("long") - 1,
-            )
+        self._mapping_df = _dense_ordered_codes(
+            df.select(self.column).distinct(), self.column, self.encoded_column
         )
-        self._mapping_df.cache().count()
         self._is_fitted = True
         return self
 
     def partial_fit(self, df: DataFrame) -> "LabelEncodingRule":
         if not self._is_fitted:
             return self.fit(df)
-        max_code = self._mapping_df.agg(F.max(self.encoded_column)).first()[0]
-        new_values = (
+        old = self._mapping_df
+        max_code = old.agg(F.max(self.encoded_column)).first()[0]
+        new_values = _dense_ordered_codes(
             df.select(self.column)
             .distinct()
-            .join(self._mapping_df.select(self.column), on=self.column, how="left_anti")
-            .withColumn(
-                self.encoded_column,
-                F.row_number().over(Window.orderBy(self.column)).cast("long")
-                + F.lit(max_code),
-            )
+            .join(old.select(self.column), on=self.column, how="left_anti"),
+            self.column,
+            self.encoded_column,
+            offset=max_code + 1,
         )
-        self._mapping_df = self._mapping_df.unionByName(new_values)
-        self._mapping_df.cache().count()
+        merged = old.unionByName(new_values).cache()
+        merged.count()
+        old.unpersist()
+        new_values.unpersist()
+        self._mapping_df = merged
         return self
 
     def transform(self, df: DataFrame) -> DataFrame:
@@ -133,8 +179,15 @@ class LabelEncodingRule:
 class SequenceEncodingRule(LabelEncodingRule):
     """Label encoding for array columns: explode → encode → re-collect.
 
-    Uses a deterministic per-row id so the arrays re-assemble in the
-    original element order. Parity: reference ``label_encoder.py:568``.
+    Single-branch plan: ``posexplode_outer`` keeps empty/null-array
+    rows alive (they re-assemble as a typed empty array, matching the
+    reference's explicit empty-array preservation), and the other
+    columns travel through the explode so the per-row id is evaluated
+    exactly once — no self-join that could mis-associate rows of a
+    nondeterministic input. Under ``handle_unknown='drop'`` unknown
+    ELEMENTS are dropped from the re-collected array; the row itself
+    survives (with a shorter, possibly empty, array).
+    Parity: reference ``label_encoder.py:568``.
     """
 
     def fit(self, df: DataFrame) -> "SequenceEncodingRule":
@@ -149,30 +202,41 @@ class SequenceEncodingRule(LabelEncodingRule):
         if not self._is_fitted:
             raise RuntimeError("SequenceEncodingRule is not fitted")
         other_cols = [c for c in df.columns if c != self.column]
-        with_id = df.withColumn("_row_id", F.monotonically_increasing_id())
-        exploded = with_id.select(
-            "_row_id", F.posexplode(self.column).alias("_pos", self.column)
+        code = self.encoded_column
+        exploded = df.withColumn(
+            "_row_id", F.monotonically_increasing_id()
+        ).select(
+            *other_cols,
+            "_row_id",
+            F.posexplode_outer(self.column).alias("_pos", self.column),
         )
         encoded = exploded.join(self._mapping_df, on=self.column, how="left")
+        known = F.col("_pos").isNotNull() & F.col(code).isNotNull()
+        unknown = F.col("_pos").isNotNull() & F.col(code).isNull()
         if self.handle_unknown == "error":
-            if encoded.filter(F.col(self.encoded_column).isNull()).limit(1).count() > 0:
+            if encoded.filter(unknown).limit(1).count() > 0:
                 raise ValueError(
                     f"Found unknown values in column {self.column} during transform"
                 )
         elif self.handle_unknown == "drop":
-            encoded = encoded.filter(F.col(self.encoded_column).isNotNull())
+            encoded = encoded.filter(F.col("_pos").isNull() | ~unknown)
         else:
             default = -1 if self.default_value is None else self.default_value
-            encoded = encoded.fillna({self.encoded_column: default})
+            encoded = encoded.withColumn(
+                code, F.when(unknown, F.lit(default)).otherwise(F.col(code))
+            )
+            known = F.col("_pos").isNotNull()
         reassembled = encoded.groupBy("_row_id").agg(
+            *[F.first(c).alias(c) for c in other_cols],
             F.array_sort(
-                F.collect_list(F.struct("_pos", self.encoded_column))
-            )[self.encoded_column].alias(self.column)
+                F.collect_list(F.when(known, F.struct("_pos", code)))
+            )[code].alias(self.column),
         )
-        return (
-            with_id.drop(self.column)
-            .join(reassembled, on="_row_id", how="left")
-            .select(*other_cols, self.column)
+        return reassembled.select(
+            *other_cols,
+            F.coalesce(
+                self.column, F.array().cast("array<long>")
+            ).alias(self.column),
         )
 
 
