@@ -1179,7 +1179,7 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY query_id ORDER BY ts) AS rn,
                        count(*) OVER (PARTITION BY query_id) AS cnt
                 FROM interactions) t
-            WHERE round(rn / CAST(cnt AS DOUBLE), 10) > 0.7
+            WHERE round(rn / CAST(cnt AS DOUBLE), 3) > 0.7
         """,
         "q_last_n_split_test": f"""
             WITH {W}
@@ -1686,7 +1686,18 @@ def oracle_sql() -> dict[str, str]:
             udist AS (
                 SELECT query_id, count(*) AS counts_users
                 FROM interactions GROUP BY query_id),
-            thr AS (SELECT quantile_cont(counts_items, 0.9) AS v FROM idist),
+            nidist AS (SELECT count(*) AS c FROM idist),
+            rankedq AS (
+                SELECT counts_items,
+                       row_number() OVER (ORDER BY counts_items) AS rn
+                FROM idist),
+            thr AS (
+                SELECT ((SELECT counts_items FROM rankedq
+                         WHERE rn = CAST(floor((c - 1) * 0.9) AS BIGINT) + 1)
+                      + (SELECT counts_items FROM rankedq
+                         WHERE rn = CAST(ceil((c - 1) * 0.9) AS BIGINT) + 1))
+                       / 2.0 AS v
+                FROM nidist),
             wc AS (
                 SELECT i.*, d.counts_items, u.counts_users
                 FROM interactions i
@@ -1758,7 +1769,7 @@ def oracle_sql() -> dict[str, str]:
                        count(*) OVER (PARTITION BY query_id) AS cnt
                 FROM sess),
             flagged AS (
-                SELECT *, round(rn / CAST(cnt AS DOUBLE), 10) > 0.7 AS is_test0
+                SELECT *, round(rn / CAST(cnt AS DOUBLE), 3) > 0.7 AS is_test0
                 FROM ranked),
             repaired AS (
                 SELECT *, last_value(is_test0) OVER (

@@ -37,7 +37,12 @@ class AssociationRulesItemRec(NeighbourRec):
         num_neighbours: Optional[int] = 1000,
         use_rating: bool = False,
         similarity_metric: str = "confidence",
+        max_session_length: Optional[int] = None,
     ):
+        # max_session_length caps each session to its N highest-rated
+        # items BEFORE the pair self-join (the ItemKNN
+        # max_history_per_user pattern): a 10^5-item session otherwise
+        # contributes 10^10 pairs. None = exact reference behavior.
         if similarity_metric not in self.item_to_item_metrics:
             raise ValueError(
                 f"similarity_metric must be one of {self.item_to_item_metrics}"
@@ -48,6 +53,7 @@ class AssociationRulesItemRec(NeighbourRec):
         self.num_neighbours = num_neighbours
         self.use_rating = use_rating
         self.similarity_metric = similarity_metric
+        self.max_session_length = max_session_length
 
     @property
     def _init_args(self):
@@ -58,6 +64,7 @@ class AssociationRulesItemRec(NeighbourRec):
             "num_neighbours": self.num_neighbours,
             "use_rating": self.use_rating,
             "similarity_metric": self.similarity_metric,
+            "max_session_length": self.max_session_length,
         }
 
     def _fit(self, dataset: Dataset) -> None:
@@ -70,6 +77,17 @@ class AssociationRulesItemRec(NeighbourRec):
             .select(session_column, self.item_column, self.rating_column)
             .distinct()
         )
+        if self.max_session_length is not None:
+            cap_window = Window.partitionBy(session_column).orderBy(
+                F.col(self.rating_column).desc(), F.col(self.item_column).asc()
+            )
+            interactions = (
+                interactions.withColumn(
+                    "_sess_rank", F.row_number().over(cap_window)
+                )
+                .filter(F.col("_sess_rank") <= self.max_session_length)
+                .drop("_sess_rank")
+            )
         num_sessions = interactions.select(session_column).distinct().count()
 
         frequent_items = (

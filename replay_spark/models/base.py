@@ -323,6 +323,11 @@ class NonPersonalizedRecommender(BaseRecommender, ABC):
     can_predict_cold_items = True
     sample: bool = False
     seed: Optional[int] = None
+    # sampling predict ships the whole item-popularity table to every
+    # task (reference semantics, base_rec.py:1283-1364) — driver- and
+    # closure-bounded; the cap makes hitting that bound an explicit
+    # decision rather than an OOM (same contract as SLIM/CSRConverter)
+    max_items_to_collect: int = 10_000_000
 
     def __init__(self, add_cold_items: bool = True, cold_weight: float = 0.5):
         if not 0 < cold_weight <= 1:
@@ -401,6 +406,14 @@ class NonPersonalizedRecommender(BaseRecommender, ABC):
                 F.col(self.rating_column)
             ),
         )
+        n_items = selected.count()
+        if n_items > self.max_items_to_collect:
+            raise ValueError(
+                f"Sampling predict would collect {n_items} items to the "
+                "driver (> max_items_to_collect="
+                f"{self.max_items_to_collect}); raise the cap explicitly "
+                "or use the non-sampling predict at this item scale"
+            )
         items_pd = selected.toPandas()
         if len(items_pd) == 0:
             return queries.withColumn(self.item_column, F.lit(None)).withColumn(

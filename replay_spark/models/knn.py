@@ -118,10 +118,13 @@ class ItemKNN(NeighbourRec):
         use_rating: bool = False,
         shrink: float = 0.0,
         weighting: Optional[str] = None,
-        max_history_per_user: Optional[int] = 1000,
+        max_history_per_user: Optional[int] = None,
         bm25_k1: float = 1.2,
         bm25_b: float = 0.75,
     ):
+        # max_history_per_user=None matches the reference (no silent
+        # truncation); set it at web scale — a user with 10^5 events
+        # creates 10^10 pairs in the similarity self-join otherwise
         if weighting not in (None, "tf_idf", "bm25"):
             raise ValueError("weighting must be one of [None, 'tf_idf', 'bm25']")
         self.num_neighbours = num_neighbours

@@ -286,10 +286,12 @@ class QuantileItemsFilter(_BaseFilter):
     For each such item, drop ``items_proportion`` of the excess over
     the largest below-quantile count, removing the rows of the most
     active users first. Parity: reference ``filters.py:833-993``,
-    with one scale fix: the quantile is computed distributedly with
-    ``percentile`` (linear interpolation) instead of pulling the
-    whole count distribution to the driver via ``toPandas``
-    (reference ``filters.py:972``).
+    with one scale fix: the reference pulls the whole count
+    distribution to the driver (``toPandas`` + pandas
+    ``quantile(..., 'midpoint')``, ``filters.py:972``); here the same
+    midpoint quantile — the mean of the two order statistics around
+    rank (n-1)·alpha — is computed distributedly via exact k-th
+    order statistics.
     """
 
     def __init__(
@@ -320,9 +322,21 @@ class QuantileItemsFilter(_BaseFilter):
         users_distribution = df.groupBy(self.query_column).agg(
             F.count(self.item_column).alias("counts_users")
         )
-        count_threshold = items_distribution.agg(
-            F.expr(f"percentile(counts_items, {self.alpha_quantile})")
-        ).first()[0]
+        import math
+
+        from replay_spark.utils.spark_utils import kth_smallest
+
+        items_distribution = items_distribution.cache()
+        n_items = items_distribution.count()
+        h = (n_items - 1) * self.alpha_quantile
+        lo_k, hi_k = int(math.floor(h)) + 1, int(math.ceil(h)) + 1
+        lo_val = kth_smallest(items_distribution, "counts_items", lo_k)
+        hi_val = (
+            lo_val
+            if hi_k == lo_k
+            else kth_smallest(items_distribution, "counts_items", hi_k)
+        )
+        count_threshold = (lo_val + hi_val) / 2.0
         df_with_counts = df.join(items_distribution, on=self.item_column).join(
             users_distribution, on=self.query_column
         )

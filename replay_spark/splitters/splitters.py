@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType
 
 from replay_spark.splitters.base import Splitter, SplitterReturnType
+from replay_spark.utils.spark_utils import kth_smallest
 
 __all__ = [
     "RatioSplitter",
@@ -44,7 +45,9 @@ class RatioSplitter(Splitter):
       goes to test).
     """
 
-    _precision = 10
+    # reference ratio_splitter.py rounds the fraction and the threshold
+    # to 3 decimals; matching it keeps boundary rows in the same split
+    _precision = 3
 
     def __init__(
         self,
@@ -120,8 +123,13 @@ class TimeSplitter(Splitter):
     """Global time threshold split (reference ``time_splitter.py:20-207``).
 
     ``time_threshold`` may be a datetime/str (absolute cut) or a
-    float: the last ``threshold`` fraction of rows by time → test,
-    with the cut timestamp located via a global ``row_number``.
+    float: the last ``threshold`` fraction of rows by time → test.
+    The fractional cut is the exact k-th order statistic of the
+    timestamp column, located WITHOUT a global sort: approxQuantile
+    brackets the rank with guaranteed error, an exact strictly-less
+    count anchors it, and only the O(relErr·n) bracket slice is
+    top-k-sorted — iterated if the slice is still large, so the plan
+    never funnels the fact table through one task.
     """
 
     def __init__(
@@ -150,23 +158,40 @@ class TimeSplitter(Splitter):
         self.time_threshold = time_threshold
         self.time_column_format = time_column_format
 
+    # shared exact distributed order-statistic helper
+    _kth_smallest = staticmethod(kth_smallest)
+
     def _core_split(self, interactions: DataFrame) -> SplitterReturnType:
         threshold = self.time_threshold
         if isinstance(threshold, str):
             threshold = datetime.strptime(threshold, self.time_column_format)
         if isinstance(threshold, float):
-            dates = interactions.select(self.timestamp_column).withColumn(
-                "_rn", F.row_number().over(Window.orderBy(self.timestamp_column))
+            ts_dtype = dict(interactions.dtypes)[self.timestamp_column]
+            num = (
+                F.unix_micros(F.col(self.timestamp_column))
+                if ts_dtype == "timestamp"
+                else F.col(self.timestamp_column)
             )
-            test_start_idx = int(dates.count() * (1 - threshold)) + 1
-            threshold = (
-                dates.filter(F.col("_rn") == test_start_idx)
-                .select(self.timestamp_column)
-                .first()[0]
+            nums = interactions.select(num.alias("_ts_num"))
+            test_start_idx = int(nums.count() * (1 - threshold)) + 1
+            cut = self._kth_smallest(nums, "_ts_num", test_start_idx)
+            if cut is None:
+                raise ValueError(
+                    "time_threshold fraction leaves no test rows"
+                )
+            # literal comparison on the raw column -> parquet pushdown
+            threshold_col = (
+                F.timestamp_micros(F.lit(cut))
+                if ts_dtype == "timestamp"
+                else F.lit(cut)
             )
-        res = interactions.withColumn(
-            "is_test", F.col(self.timestamp_column) >= F.lit(threshold)
-        )
+            res = interactions.withColumn(
+                "is_test", F.col(self.timestamp_column) >= threshold_col
+            )
+        else:
+            res = interactions.withColumn(
+                "is_test", F.col(self.timestamp_column) >= F.lit(threshold)
+            )
         if self.session_id_column:
             res = self._recalculate_with_session_id_column(res)
         train = res.filter(~F.col("is_test")).drop("is_test")
@@ -484,24 +509,33 @@ class TwoStageSplitter(Splitter):
         self.seed = seed
 
     def _get_test_users(self, interactions: DataFrame) -> DataFrame:
+        """Sample stage-1 users without a global window.
+
+        Float size: seeded-hash threshold (the RandomNextNSplitter
+        pattern) — fully distributed, reproducible regardless of
+        partitioning; the sampled count is Binomial(n, frac) rather
+        than exactly floor(n·frac). Int size: distributed top-N by
+        seeded hash (TakeOrderedAndProject) — only the N sampled ids
+        ever land in one place, never the user universe.
+        """
         all_users = interactions.select(self.first_divide_column).distinct()
+        seed_lit = F.lit(self.seed if self.seed is not None else 0)
+        user_hash = F.xxhash64(F.col(self.first_divide_column), seed_lit)
         if isinstance(self.first_divide_size, float):
             if not 0 < self.first_divide_size < 1:
                 raise ValueError(
                     f"Invalid value for user_test_size: {self.first_divide_size}"
                 )
-            user_count = all_users.count()
-            test_user_count = int(user_count * self.first_divide_size)
-        else:
-            test_user_count = self.first_divide_size
-        return (
-            all_users.withColumn("_rand", F.rand(self.seed))
-            .withColumn(
-                "_row_num",
-                F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("_rand")),
+            modulus = 1 << 30
+            return all_users.filter(
+                F.pmod(user_hash, F.lit(modulus))
+                < int(self.first_divide_size * modulus)
             )
-            .filter(F.col("_row_num") <= test_user_count)
-            .drop("_rand", "_row_num")
+        return (
+            all_users.withColumn("_h", user_hash)
+            .sort("_h", self.first_divide_column)
+            .limit(int(self.first_divide_size))
+            .drop("_h")
         )
 
     def _add_partition_rank(self, df: DataFrame) -> DataFrame:

@@ -113,11 +113,18 @@ def streaming_exact_dedup(
     time_column: Optional[str] = "ts",
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """Exactly-once content dedup within the watermark horizon."""
+    """Exactly-once content dedup within the watermark horizon.
+
+    Dedup keys on the content hash ALONE — identical content arriving
+    at different event times is still a duplicate.
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state to the
+    watermark horizon (content re-appearing after the horizon is
+    emitted again — the state-retention tradeoff of any windowed
+    dedup)."""
     hashed = stream.withColumn("_content_hash", F.md5(F.col(text_column)))
     if time_column is not None:
         hashed = hashed.withWatermark(time_column, watermark)
-        return hashed.dropDuplicates(["_content_hash", time_column]).drop(
+        return hashed.dropDuplicatesWithinWatermark(["_content_hash"]).drop(
             "_content_hash"
         )
     return hashed.dropDuplicates(["_content_hash"]).drop("_content_hash")

@@ -34,7 +34,48 @@ __all__ = [
     "cosine_similarity_expr",
     "vector_euclidean_similarity_expr",
     "multiply_vector_expr",
+    "kth_smallest",
 ]
+
+
+def kth_smallest(
+    df: DataFrame,
+    colname: str,
+    k: int,
+    max_slice: int = 1_000_000,
+    rel_err: float = 1e-4,
+):
+    """Exact k-th smallest value of a numeric column, distributed —
+    no global sort.
+
+    Each pass brackets the target rank with ``approxQuantile`` (rank
+    error ≤ rel_err·n guaranteed), keeps only the bracket slice, and
+    re-anchors k with an exact strictly-less count; the remainder is
+    resolved with a distributed top-k. Two passes suffice at 10^12
+    rows with the defaults. Used by TimeSplitter's fractional cut and
+    QuantileItemsFilter's midpoint quantile.
+    """
+    from pyspark.sql import functions as sfn
+
+    cur, cur_k = df, k
+    for _ in range(8):
+        n = cur.count()
+        if n <= max_slice:
+            break
+        p = cur_k / n
+        lo, hi = cur.stat.approxQuantile(
+            colname,
+            [max(0.0, p - 2 * rel_err), min(1.0, p + 2 * rel_err)],
+            rel_err,
+        )
+        if lo == hi:
+            return lo
+        c_lo = cur.filter(sfn.col(colname) < lo).count()
+        cur = cur.filter(
+            (sfn.col(colname) >= lo) & (sfn.col(colname) <= hi)
+        )
+        cur_k = cur_k - c_lo
+    return cur.sort(colname).limit(cur_k).agg(sfn.max(colname)).first()[0]
 
 
 def get_top_k(

@@ -193,3 +193,30 @@ def test_save_load(tmp_path, dataset, spark):
     recs1 = model.predict(dataset, k=1).collect()
     recs2 = loaded.predict(dataset, k=1).collect()
     assert sorted(map(tuple, recs1)) == sorted(map(tuple, recs2))
+
+
+def test_association_rules_session_cap(dataset):
+    """max_session_length caps pair generation; None keeps parity."""
+    capped = AssociationRulesItemRec(
+        min_item_count=1, min_pair_count=1, max_session_length=1
+    )
+    capped.fit(dataset)
+    # one item per session -> no pairs survive
+    assert capped.similarity.count() == 0
+    uncapped = AssociationRulesItemRec(min_item_count=1, min_pair_count=1)
+    uncapped.fit(dataset)
+    assert uncapped.similarity.count() > 0
+
+
+def test_sampling_collect_cap(dataset):
+    """Sampling predict refuses to collect more items than the cap."""
+    import pytest as _pytest
+
+    from replay_spark.models import RandomRec
+
+    model = RandomRec(seed=1)
+    model.fit(dataset)
+    model.sample = True
+    model.max_items_to_collect = 1
+    with _pytest.raises(ValueError, match="max_items_to_collect"):
+        model.predict(dataset, k=1).collect()

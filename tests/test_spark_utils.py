@@ -79,3 +79,19 @@ def test_get_log_info(interactions):
     assert "total lines: 7" in info
     assert "total users: 3" in info
     assert "total items: 4" in info
+
+
+def test_kth_smallest_exact_forced_bracketing(spark):
+    """kth_smallest must equal the true order statistic even when the
+    bracket loop is forced (max_slice smaller than the data)."""
+    import random
+
+    from replay_spark.utils.spark_utils import kth_smallest
+
+    random.seed(7)
+    vals = [random.randint(0, 10**9) for _ in range(20000)] + [12345] * 2000
+    df = spark.createDataFrame([(v,) for v in vals], "t long")
+    svals = sorted(vals)
+    for k in (1, 100, 11000, 21999, 22000):
+        got = kth_smallest(df, "t", k, max_slice=1500, rel_err=1e-3)
+        assert got == svals[k - 1], (k, got, svals[k - 1])
