@@ -803,6 +803,28 @@ def q_klucb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_item_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item exponential recency weights (reference utils/time.py
+    semantics: weight 0.5 at age==decay days, clamped at limit)."""
+    from replay_spark.utils import get_item_recency
+
+    out = get_item_recency(
+        _interactions(spark, sf_dir), decay=7, limit=0.1, kind="exp"
+    )
+    return out.select("item_id", F.round("rating", 4).alias("rating"))
+
+
+def q_item_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Popularity-bias diagnostic: distinct-user counts per item in
+    the log vs in rating-ranked top-5 'recs' derived from the log."""
+    from replay_spark.utils import item_distribution
+
+    inter = _interactions(spark, sf_dir)
+    return item_distribution(inter, inter, k=5).select(
+        "item_id", "user_count", "rec_count"
+    )
+
+
 def q_thompson_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thompson posterior (pos, neg) and Beta mean — the deterministic
     half of the model (the seeded draw stays rows-only in
@@ -1063,6 +1085,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_filter_first_interactions": q_filter_first_interactions,
         "q_sessionize_composite": q_sessionize_composite,
         "q_thompson_params": q_thompson_params,
+        "q_item_recency": q_item_recency,
+        "q_item_distribution": q_item_distribution,
     }
 
 
@@ -1313,6 +1337,41 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN p_hat >= 1.0 THEN 1.0
                               ELSE (lo + hi) / 2 END, 6) AS rating
             FROM bis WHERE i = 50
+        """,
+        "q_item_recency": f"""
+            WITH {W},
+            im AS (
+                SELECT item_id,
+                       avg(CAST(floor(epoch(ts)) AS BIGINT)) AS mts
+                FROM interactions GROUP BY item_id),
+            mx AS (SELECT max(mts) AS m FROM im)
+            SELECT item_id,
+                   round(greatest(
+                       pow({__import__('math').exp(__import__('math').log(0.5) / 7)!r},
+                           ((SELECT m FROM mx) - mts) / 86400.0),
+                       0.1), 4) AS rating
+            FROM im
+        """,
+        "q_item_distribution": f"""
+            WITH {W},
+            lc AS (
+                SELECT item_id, count(DISTINCT query_id) AS user_count
+                FROM interactions GROUP BY item_id),
+            topk AS (
+                SELECT query_id, item_id FROM (
+                    SELECT query_id, item_id,
+                           row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY rating DESC, item_id ASC) AS rn
+                    FROM interactions) t
+                WHERE rn <= 5),
+            rc AS (
+                SELECT item_id, count(DISTINCT query_id) AS rec_count
+                FROM topk GROUP BY item_id)
+            SELECT coalesce(lc.item_id, rc.item_id) AS item_id,
+                   coalesce(user_count, 0) AS user_count,
+                   coalesce(rec_count, 0) AS rec_count
+            FROM lc FULL OUTER JOIN rc ON lc.item_id = rc.item_id
         """,
         "q_thompson_params": f"""
             WITH {W},

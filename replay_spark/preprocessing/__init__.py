@@ -14,6 +14,7 @@ from replay_spark.preprocessing.label_encoder import (  # noqa: F401
     SequenceEncodingRule,
 )
 from replay_spark.preprocessing.sessionizer import Sessionizer  # noqa: F401
+from replay_spark.preprocessing.utils import merge_subsets  # noqa: F401
 from replay_spark.preprocessing.filters import (  # noqa: F401
     ConsecutiveDuplicatesFilter,
     EntityDaysFilter,

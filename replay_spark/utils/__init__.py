@@ -10,6 +10,12 @@ from replay_spark.utils.spark_utils import (  # noqa: F401
     horizontal_explode,
     join_or_return,
     process_timestamp_column,
+    kth_smallest,
     vector_dot_expr,
     vector_euclidean_similarity_expr,
+)
+from replay_spark.utils.distributions import item_distribution  # noqa: F401
+from replay_spark.utils.time_decay import (  # noqa: F401
+    get_item_recency,
+    smoothe_time,
 )
