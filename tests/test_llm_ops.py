@@ -156,3 +156,64 @@ def test_multimodal_plumbing(spark):
     assert rows_out[1].features == {r.media_id: r for r in out2.collect()}[1].features
     with pytest.raises(NotImplementedError):
         MediaProcessor().resize(df, (32, 32))
+
+
+def _near_dup_corpus():
+    """Seeded corpus: 25 base docs of 40 words, each with a near-dup
+    (1 word substituted -> trigram-shingle Jaccard ~0.85) plus 25
+    unrelated fillers."""
+    import random
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = []
+    doc_id = 0
+    for _ in range(25):
+        words = [rng.choice(vocab) for _ in range(40)]
+        rows.append((doc_id, " ".join(words)))
+        near = list(words)
+        for pos in rng.sample(range(40), 1):
+            near[pos] = rng.choice(vocab)
+        rows.append((doc_id + 1, " ".join(near)))
+        doc_id += 2
+    for _ in range(25):
+        rows.append((doc_id, " ".join(rng.choice(vocab) for _ in range(40))))
+        doc_id += 1
+    return rows
+
+
+def test_minhash_recall_vs_exact(spark):
+    """Banded MinHash recall on true >=0.8-Jaccard pairs must beat a
+    conservative empirical floor; the analytic bound
+    1-(1-s^r)^b for s=0.8, r=2, b=32 is ~1-1e-15."""
+    df = spark.createDataFrame(_near_dup_corpus(), "doc_id long, text string")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in NGramJaccardDeduplicator(n=3, threshold=0.8).pairs(df).collect()
+    }
+    assert len(exact) >= 15  # the construction produced enough true pairs
+    cands = {
+        (r.id_a, r.id_b)
+        for r in MinHashLSHDeduplicator(
+            n=3, num_hashes=64, bands=32, threshold=0.7
+        ).candidate_pairs(df).collect()
+    }
+    recall = len(exact & cands) / len(exact)
+    assert recall >= 0.9, f"minhash recall {recall} below floor"
+
+
+def test_simhash_recall_vs_exact(spark):
+    """SimHash banded blocking must recover the vast majority of true
+    near-duplicate (>=0.8 Jaccard) pairs at a generous hamming cap."""
+    df = spark.createDataFrame(_near_dup_corpus(), "doc_id long, text string")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in NGramJaccardDeduplicator(n=3, threshold=0.8).pairs(df).collect()
+    }
+    assert len(exact) >= 15
+    cands = {
+        (r.id_a, r.id_b)
+        for r in SimHashDeduplicator(max_hamming=12).candidate_pairs(df).collect()
+    }
+    recall = len(exact & cands) / len(exact)
+    assert recall >= 0.8, f"simhash recall {recall} below floor"
