@@ -874,7 +874,9 @@ def q_word2vec_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lin_ucb_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LinUCB on behavioral features (rows-only: matrix inversion)."""
+    """LinUCB top-5 on 2-d behavioral features. Oracle-checkable: with
+    d=2 the per-arm ridge solve is a closed-form 2x2 inversion the
+    oracle mirrors in SQL (cofactor formula)."""
     from replay_spark.models import LinUCB
 
     ds = _binary_dataset(spark, sf_dir)
@@ -1337,6 +1339,70 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN p_hat >= 1.0 THEN 1.0
                               ELSE (lo + hi) / 2 END, 6) AS rating
             FROM bis WHERE i = 50
+        """,
+        "q_lin_ucb_recs": f"""
+            WITH {W},
+            bi AS (
+                SELECT query_id, item_id,
+                       CAST(rating > 100 AS DOUBLE) AS r
+                FROM interactions),
+            feats AS (
+                SELECT query_id, avg(r) AS x1,
+                       CAST(count(*) AS DOUBLE) AS x2
+                FROM bi GROUP BY query_id),
+            j AS (
+                SELECT b.item_id, f.x1, f.x2, b.r
+                FROM bi b JOIN feats f USING (query_id)),
+            arm AS (
+                SELECT item_id,
+                       sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
+                       sum(x2 * x2) AS s22,
+                       sum(r * x1) AS b1, sum(r * x2) AS b2
+                FROM j GROUP BY item_id),
+            inv AS (
+                SELECT item_id, b1, b2,
+                       (s22 + 1.0) / ((s11 + 1.0) * (s22 + 1.0) - s12 * s12) AS i11,
+                       -s12 / ((s11 + 1.0) * (s22 + 1.0) - s12 * s12) AS i12,
+                       (s11 + 1.0) / ((s11 + 1.0) * (s22 + 1.0) - s12 * s12) AS i22
+                FROM arm),
+            th AS (
+                SELECT item_id, i11, i12, i22,
+                       i11 * b1 + i12 * b2 AS t1,
+                       i12 * b1 + i22 * b2 AS t2
+                FROM inv),
+            scores AS (
+                SELECT f.query_id, a.item_id,
+                       t1 * f.x1 + t2 * f.x2 + 0.5 * sqrt(
+                           f.x1 * (i11 * f.x1 + i12 * f.x2)
+                           + f.x2 * (i12 * f.x1 + i22 * f.x2)) AS rating
+                FROM feats f CROSS JOIN th a),
+            seen AS (SELECT DISTINCT query_id, item_id FROM bi),
+            num_seen AS (
+                SELECT query_id, count(item_id) AS seen_count
+                FROM bi GROUP BY query_id),
+            mx AS (SELECT max(seen_count) AS m FROM num_seen),
+            ranked AS (
+                SELECT s.*, row_number() OVER (
+                    PARTITION BY s.query_id
+                    ORDER BY s.rating DESC, s.item_id ASC) AS temp_rank
+                FROM scores s),
+            capped AS (
+                SELECT r.* FROM ranked r
+                JOIN num_seen ns ON r.query_id = ns.query_id
+                WHERE temp_rank <= (SELECT m FROM mx) + 5
+                  AND temp_rank <= ns.seen_count + 5),
+            unseen AS (
+                SELECT c.* FROM capped c
+                ANTI JOIN seen s
+                ON c.query_id = s.query_id AND c.item_id = s.item_id),
+            final AS (
+                SELECT query_id, item_id, rating,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY rating DESC, item_id ASC) AS rn
+                FROM unseen)
+            SELECT query_id, item_id, round(rating, 4) AS rating
+            FROM final WHERE rn <= 5
         """,
         "q_item_recency": f"""
             WITH {W},
