@@ -29,6 +29,12 @@ from replay_spark.data import Dataset, FeatureHint, FeatureInfo, FeatureSchema, 
 # shared constant so Spark and DuckDB use the same number.
 WILSON_CRIT = 1.959963984540054
 
+# z for the 95% ConfidenceInterval descriptor — computed by the SAME
+# Acklam approximation the descriptor uses, so both engines agree.
+from replay_spark.metrics.descriptors import _norm_ppf as _rs_norm_ppf
+
+_NORM_Z975 = _rs_norm_ppf(0.975)
+
 _SCHEMA = FeatureSchema(
     [
         FeatureInfo("query_id", FeatureType.CATEGORICAL, FeatureHint.QUERY_ID),
@@ -803,6 +809,83 @@ def q_klucb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_itemknn_predict_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NeighbourRec predict path: score(u, j) = sum of top-10 item-item
+    similarities over u's history, for a hashed subset of users x all
+    items. No ranking step, so the float sums are rounded for the
+    cross-engine hash."""
+    from replay_spark.models import ItemKNN
+
+    ds = _dataset(spark, sf_dir)
+    model = ItemKNN(num_neighbours=10, use_rating=False).fit(ds)
+    users = (
+        ds.interactions.select("query_id").distinct().filter("query_id % 7 = 0")
+    )
+    items = ds.interactions.select("item_id").distinct()
+    pairs = users.crossJoin(items)
+    out = model.predict_pairs(pairs, ds)
+    return out.select(
+        "query_id", "item_id", F.round("rating", 4).alias("rating")
+    )
+
+
+def q_conditional_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User popularity conditioned on an item categorical feature
+    (share of each user's interactions per item bucket)."""
+    from replay_spark.preprocessing import ConditionalPopularityProcessor
+
+    inter = _interactions(spark, sf_dir)
+    feats = (
+        inter.select("item_id")
+        .distinct()
+        .withColumn("ibucket", F.pmod("item_id", F.lit(7)))
+    )
+    proc = ConditionalPopularityProcessor(["ibucket"]).fit(inter, feats)
+    pop = proc.conditional_pop_dict["ibucket"]
+    return pop.select(
+        "query_id", "ibucket", F.round("q_pop_by_ibucket", 6).alias("pop")
+    )
+
+
+def q_cat_pop_rec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CatPopRec rollup: count popularity within a 3-level category
+    tree (leaves = item_id % 5), top-3 per requested category."""
+    from replay_spark.models import CatPopRec
+
+    inter = _interactions(spark, sf_dir).withColumn(
+        "category", F.pmod("item_id", F.lit(5)).cast("long")
+    )
+    tree = spark.createDataFrame(
+        [(100, 0), (100, 1), (101, 2), (101, 3), (101, 4), (102, 100), (102, 101)],
+        "parent_cat long, category long",
+    )
+    model = CatPopRec(cat_tree=tree, rating_column=None).fit(
+        inter.select("query_id", "item_id", "category")
+    )
+    cats = spark.createDataFrame(
+        [(c,) for c in [0, 1, 2, 3, 4, 100, 101, 102]], "category long"
+    )
+    recs = model.predict(cats, k=3)
+    return recs.select(
+        "category", "item_id", F.round("rating", 6).alias("rating")
+    )
+
+
+def q_metric_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean and normal-CI descriptors over the per-user NDCG@5
+    distribution (the full metric-call path, not just the kernel)."""
+    from replay_spark.metrics import NDCG
+    from replay_spark.metrics.descriptors import ConfidenceInterval, Mean
+
+    recs, gt = _metric_frames(spark, sf_dir)
+    mean_v = list(NDCG(5, mode=Mean())(recs, gt).values())[0]
+    ci_v = list(NDCG(5, mode=ConfidenceInterval(0.95))(recs, gt).values())[0]
+    return spark.createDataFrame(
+        [(round(float(mean_v), 5), round(float(ci_v), 5))],
+        "ndcg_mean double, ndcg_ci double",
+    )
+
+
 def q_item_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-item exponential recency weights (reference utils/time.py
     semantics: weight 0.5 at age==decay days, clamped at limit)."""
@@ -1089,6 +1172,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_thompson_params": q_thompson_params,
         "q_item_recency": q_item_recency,
         "q_item_distribution": q_item_distribution,
+        "q_itemknn_predict_pairs": q_itemknn_predict_pairs,
+        "q_conditional_popularity": q_conditional_popularity,
+        "q_cat_pop_rec": q_cat_pop_rec,
+        "q_metric_mean_ci": q_metric_mean_ci,
     }
 
 
@@ -1438,6 +1525,117 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(user_count, 0) AS user_count,
                    coalesce(rec_count, 0) AS rec_count
             FROM lc FULL OUTER JOIN rc ON lc.item_id = rc.item_id
+        """,
+        "q_itemknn_predict_pairs": f"""
+            WITH {W},
+            r AS (SELECT query_id, item_id, 1.0 AS rating FROM interactions),
+            dot AS (
+                SELECT a.item_id AS item_idx_one, b.item_id AS item_idx_two,
+                       sum(a.rating * b.rating) AS dot_product
+                FROM r a JOIN r b
+                ON a.query_id = b.query_id AND a.item_id <> b.item_id
+                GROUP BY 1, 2),
+            norms AS (
+                SELECT item_id, sqrt(sum(rating * rating)) AS norm
+                FROM r GROUP BY item_id),
+            sim AS (
+                SELECT d.item_idx_one, d.item_idx_two,
+                       d.dot_product / (n1.norm * n2.norm + 0.0) AS similarity
+                FROM dot d
+                JOIN norms n1 ON d.item_idx_one = n1.item_id
+                JOIN norms n2 ON d.item_idx_two = n2.item_id),
+            simtopk AS (
+                SELECT item_idx_one, item_idx_two, similarity FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY item_idx_one
+                        ORDER BY similarity DESC, item_idx_two DESC) AS rn
+                    FROM sim) t
+                WHERE rn <= 10),
+            u7 AS (SELECT DISTINCT query_id FROM interactions
+                   WHERE query_id % 7 = 0)
+            SELECT i.query_id, s.item_idx_two AS item_id,
+                   round(sum(s.similarity), 4) AS rating
+            FROM interactions i
+            JOIN u7 u ON i.query_id = u.query_id
+            JOIN simtopk s ON i.item_id = s.item_idx_one
+            GROUP BY i.query_id, s.item_idx_two
+        """,
+        "q_conditional_popularity": f"""
+            WITH {W},
+            f AS (SELECT DISTINCT item_id, item_id % 7 AS ibucket
+                  FROM interactions),
+            e AS (SELECT i.query_id, f.ibucket
+                  FROM interactions i LEFT JOIN f USING (item_id)),
+            tot AS (SELECT query_id, count(*) AS t FROM e GROUP BY query_id),
+            x AS (SELECT query_id, ibucket, count(*) AS c
+                  FROM e GROUP BY query_id, ibucket)
+            SELECT x.query_id, x.ibucket,
+                   round(c / CAST(t AS DOUBLE), 6) AS pop
+            FROM x JOIN tot USING (query_id)
+        """,
+        "q_cat_pop_rec": f"""
+            WITH {W},
+            pop AS (
+                SELECT item_id % 5 AS category, item_id, count(*) AS cnt
+                FROM interactions GROUP BY 1, 2),
+            mapping(category, leaf_cat) AS (VALUES
+                (100, 0), (100, 1), (101, 2), (101, 3), (101, 4),
+                (102, 0), (102, 1), (102, 2), (102, 3), (102, 4),
+                (0, 0), (1, 1), (2, 2), (3, 3), (4, 4)),
+            res AS (
+                SELECT m.category, p.item_id, sum(p.cnt) AS rating
+                FROM mapping m JOIN pop p ON p.category = m.leaf_cat
+                GROUP BY m.category, p.item_id),
+            tot AS (SELECT category, sum(rating) AS t FROM res GROUP BY category),
+            scored AS (
+                SELECT r.category, r.item_id,
+                       r.rating / CAST(t.t AS DOUBLE) AS rating
+                FROM res r JOIN tot t ON r.category = t.category),
+            final AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY category
+                    ORDER BY rating DESC, item_id ASC) AS rn
+                FROM scored)
+            SELECT category, item_id, round(rating, 6) AS rating
+            FROM final WHERE rn <= 3
+        """,
+        "q_metric_mean_ci": f"""
+            WITH {W},
+            dedup AS (
+                SELECT query_id, item_id, max(rating) AS rating
+                FROM interactions GROUP BY query_id, item_id),
+            recs AS (
+                SELECT query_id, item_id, rating,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY rating DESC, item_id ASC) AS pos
+                FROM dedup QUALIFY pos <= 5),
+            gt AS (
+                SELECT DISTINCT query_id, item_id
+                FROM interactions WHERE rating > 150),
+            gt_sizes AS (
+                SELECT query_id, count(*) AS gt_n FROM gt GROUP BY query_id),
+            marked AS (
+                SELECT r.query_id, r.pos,
+                       CASE WHEN g.item_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+                FROM recs r LEFT JOIN gt g
+                ON r.query_id = g.query_id AND r.item_id = g.item_id),
+            per_user AS (
+                SELECT query_id, sum(hit / log2(pos + 1)) AS dcg
+                FROM marked GROUP BY query_id),
+            idcg_table AS (
+                SELECT n,
+                       (SELECT sum(1.0 / log2(i + 1))
+                        FROM range(1, 6) t(i) WHERE i <= n) AS idcg_v
+                FROM range(1, 6) r(n)),
+            vals AS (
+                SELECT coalesce(p.dcg / it.idcg_v, 0) AS v
+                FROM gt_sizes s
+                JOIN idcg_table it ON it.n = least(5, s.gt_n)
+                LEFT JOIN per_user p ON p.query_id = s.query_id)
+            SELECT round(avg(v), 5) AS ndcg_mean,
+                   round({_NORM_Z975!r} * stddev_samp(v) / sqrt(count(*)), 5)
+                       AS ndcg_ci
+            FROM vals
         """,
         "q_thompson_params": f"""
             WITH {W},

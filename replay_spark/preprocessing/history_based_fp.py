@@ -206,28 +206,32 @@ class ConditionalPopularityProcessor:
         self.entity_column: Optional[str] = None
 
     def fit(self, log: DataFrame, features: DataFrame) -> "ConditionalPopularityProcessor":
-        self.entity_column = (
-            self.query_column
-            if self.query_column in features.columns
-            else self.item_column
-        )
-        join_column = (
-            self.item_column
-            if self.entity_column == self.query_column
-            else self.query_column
-        )
+        """``features`` belongs to ONE side (keyed by query or item);
+        the popularity of the OTHER side (the entity) is computed
+        conditional on each categorical feature — e.g. item
+        popularity among users of the same age group (reference
+        ``history_based_fp.py:321-345``)."""
+        missing = set(self.cat_features_list) - set(features.columns)
+        if missing:
+            raise ValueError(
+                f"cat_features_list columns {sorted(missing)} absent in features"
+            )
+        if self.item_column in features.columns:
+            join_column, self.entity_column = self.item_column, self.query_column
+        else:
+            join_column, self.entity_column = self.query_column, self.item_column
         self.conditional_pop_dict = {}
         enriched = log.join(features, on=join_column, how="left")
+        total = enriched.groupBy(self.entity_column).agg(
+            F.count(join_column).alias("_total")
+        )
         for cat_col in self.cat_features_list:
             col_name = f"{self.entity_column[:1]}_pop_by_{cat_col}"
             intersection = enriched.groupBy(self.entity_column, cat_col).agg(
                 F.count(join_column).alias("_cnt")
             )
-            total = enriched.groupBy(self.entity_column).agg(
-                F.count(join_column).alias("_total")
-            )
             self.conditional_pop_dict[cat_col] = (
-                intersection.join(total, on=self.entity_column)
+                intersection.join(F.broadcast(total), on=self.entity_column)
                 .withColumn(col_name, F.col("_cnt") / F.col("_total"))
                 .drop("_cnt", "_total")
             )
@@ -237,8 +241,12 @@ class ConditionalPopularityProcessor:
     def transform(self, df: DataFrame) -> DataFrame:
         out = df
         for cat_col, pop in self.conditional_pop_dict.items():
+            col_name = f"{self.entity_column[:1]}_pop_by_{cat_col}"
             out = out.join(pop, on=[self.entity_column, cat_col], how="left")
-            out = out.fillna(0, subset=[f"{self.entity_column[:1]}_pop_by_{cat_col}"])
+            # reference keeps an explicit was-missing flag before the fill
+            out = out.withColumn(
+                f"na_{col_name}", F.col(col_name).isNull()
+            ).fillna(0, subset=[col_name])
         return out
 
 

@@ -217,3 +217,22 @@ def test_simhash_recall_vs_exact(spark):
     }
     recall = len(exact & cands) / len(exact)
     assert recall >= 0.8, f"simhash recall {recall} below floor"
+
+
+def test_ivf_recall_floor(spark, sf_dir):
+    """Average IVF recall@5 vs brute force over 20 queries must clear
+    a floor at nprobe=half the cells."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 20")
+    ivf = IVFANN(num_clusters=8, nprobe=4, seed=42).fit(emb).search(queries, k=5)
+    bf = BruteForceANN().search(queries, emb, k=5)
+    ivf_sets, bf_sets = {}, {}
+    for r in ivf.collect():
+        ivf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in bf.collect():
+        bf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(ivf_sets.get(q, set()) & s) / len(s) for q, s in bf_sets.items()
+    ]
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.5, f"IVF avg recall {avg} below floor"

@@ -167,3 +167,47 @@ def test_log_stat_features(spark, interactions):
     assert "abnormality" in cols
     out = proc.transform(interactions)
     assert "u_log_num_interact" in out.columns and "i_log_num_interact" in out.columns
+
+
+def test_conditional_popularity_golden(spark):
+    """Item features -> USER popularity conditioned on the feature
+    (reference history_based_fp.py:321-345 orientation)."""
+    from replay_spark.preprocessing import ConditionalPopularityProcessor
+
+    log = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 10), (2, 20)], "query_id int, item_id int"
+    )
+    feats = spark.createDataFrame(
+        [(10, "a"), (20, "b")], "item_id int, genre string"
+    )
+    proc = ConditionalPopularityProcessor(["genre"]).fit(log, feats)
+    assert proc.entity_column == "query_id"
+    pop = {
+        (r.query_id, r.genre): round(r.q_pop_by_genre, 6)
+        for r in proc.conditional_pop_dict["genre"].collect()
+    }
+    assert pop == {(1, "a"): round(2 / 3, 6), (1, "b"): round(1 / 3, 6), (2, "b"): 1.0}
+    out = proc.transform(
+        spark.createDataFrame([(1, "a"), (2, "a")], "query_id int, genre string")
+    )
+    rows = {r.query_id: (round(r.q_pop_by_genre, 6), r.na_q_pop_by_genre) for r in out.collect()}
+    assert rows == {1: (round(2 / 3, 6), False), 2: (0.0, True)}
+
+
+def test_conditional_popularity_user_features(spark):
+    """User features -> ITEM popularity conditioned on the feature."""
+    from replay_spark.preprocessing import ConditionalPopularityProcessor
+
+    log = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20)], "query_id int, item_id int"
+    )
+    feats = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "x")], "query_id int, seg string"
+    )
+    proc = ConditionalPopularityProcessor(["seg"]).fit(log, feats)
+    assert proc.entity_column == "item_id"
+    pop = {
+        (r.item_id, r.seg): round(r.i_pop_by_seg, 6)
+        for r in proc.conditional_pop_dict["seg"].collect()
+    }
+    assert pop == {(10, "x"): 0.5, (10, "y"): 0.5, (20, "x"): 1.0}
