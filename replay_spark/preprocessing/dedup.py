@@ -194,9 +194,13 @@ class NGramJaccardDeduplicator:
 class MinHashLSHDeduplicator:
     """MinHash signatures + banded LSH candidate generation.
 
-    signature[i] = min over shingles of xxhash64(shingle, seed_i);
+    signature[i] = min over shingles of g_i(shingle) where
+    g_i = h1 + i*h2 (Kirsch-Mitzenmacher double hashing: two xxhash64
+    evaluations per shingle instead of k, same collision statistics);
     b bands of r rows each (k = b*r); documents colliding on any
     band's slice are candidates; estimated Jaccard = matching slots / k.
+    The 31-bit reductions keep ``h1 + i*h2`` far from long overflow
+    (ANSI mode throws on wrap).
     """
 
     def __init__(
@@ -227,8 +231,19 @@ class MinHashLSHDeduplicator:
                 F.array_distinct(_word_ngrams(tokens, self.n))
             ).alias("shingle"),
         )
+        shingled = shingled.withColumn(
+            "_h1", F.pmod(F.xxhash64(F.col("shingle")), F.lit(1 << 31))
+        ).withColumn(
+            "_h2",
+            F.pmod(F.xxhash64(F.col("shingle"), F.lit(1)), F.lit((1 << 31) - 1)),
+        )
+        # the mod-prime reduction is essential: without it the argmin
+        # for large i is dominated by h2 alone and slots correlate
+        mersenne = (1 << 31) - 1
         mins = [
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"_h{i}")
+            F.min(
+                F.pmod(F.col("_h1") + F.lit(i) * F.col("_h2"), F.lit(mersenne))
+            ).alias(f"_h{i}")
             for i in range(self.num_hashes)
         ]
         sig = shingled.groupBy(self.id_column).agg(*mins)
