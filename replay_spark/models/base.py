@@ -46,6 +46,30 @@ class BaseRecommender(ABC):
     rating_column: str = "rating"
     timestamp_column: str = "timestamp"
 
+    def set_params(self, **params) -> None:
+        """Set model hyperparameters and drop fitted state (reference
+        ``models/common.py:20-28``); used by the optimization loop."""
+        for param, value in params.items():
+            setattr(self, param, value)
+        self._clear_cache()
+
+    def _clear_cache(self) -> None:
+        """Unpersist cached fit artifacts; overridden where models
+        cache DataFrames."""
+        try:
+            dataframes = self._dataframes
+        except AttributeError:  # not fitted yet
+            return
+        for df in dataframes.values():
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+
+    def __str__(self) -> str:
+        return type(self).__name__
+
     # -- fit ---------------------------------------------------------------
     def fit(self, dataset: Dataset) -> "BaseRecommender":
         """Bind schema columns, materialize id universes, delegate to _fit."""

@@ -220,3 +220,12 @@ def test_sampling_collect_cap(dataset):
     model.max_items_to_collect = 1
     with _pytest.raises(ValueError, match="max_items_to_collect"):
         model.predict(dataset, k=1).collect()
+
+
+def test_set_params(dataset):
+    model = PopRec()
+    model.set_params(use_rating=True, cold_weight=0.7)
+    assert model.use_rating is True and model.cold_weight == 0.7
+    # refit after set_params works and cached state was dropped
+    model.fit(dataset)
+    assert model.item_popularity.count() > 0
