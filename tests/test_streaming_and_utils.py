@@ -127,3 +127,75 @@ def test_optimize_random_search(spark, interactions):
     )
     assert result["best_params"] is not None
     assert len(result["trials"]) == 2
+
+
+def test_dataframe_bucketizer(spark, tmp_path):
+    """Bucketed table round-trip: a self-join on the bucket key plans
+    without an exchange on the bucketed side."""
+    from replay_spark.utils.dataframe_bucketizer import DataframeBucketizer
+
+    df = spark.createDataFrame(
+        [(i % 7, float(i)) for i in range(100)], "query_id int, v double"
+    )
+    buck = DataframeBucketizer(
+        bucketing_key="query_id", partition_num=4, table_name="t_bucketized"
+    )
+    out = buck.transform(df)
+    assert out.count() == 100
+    agg = out.groupBy("query_id").count()
+    plan = agg.queryExecution if False else agg._jdf.queryExecution().executedPlan().toString()
+    # bucketed scan lets the aggregation skip its shuffle
+    assert "Exchange hashpartitioning(query_id" not in plan
+    spark.sql("DROP TABLE IF EXISTS t_bucketized")
+
+
+def test_splitters_partition_input(spark):
+    """Every splitter yields train∪test == input with no overlap."""
+    from replay_spark.splitters import (
+        ColdUserRandomSplitter,
+        KFolds,
+        LastNSplitter,
+        NewUsersSplitter,
+        RandomNextNSplitter,
+        RandomSplitter,
+        RatioSplitter,
+        TimeSplitter,
+        TwoStageSplitter,
+    )
+
+    rows = [
+        (q, i, 1577836800 + 86400 * t + q, 1.0)
+        for q in range(6)
+        for t, i in enumerate(range(q, q + 5))
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, item_id long, timestamp long, rating double"
+    )
+    n = df.count()
+    splitters = [
+        RatioSplitter(0.3),
+        TimeSplitter(0.25),
+        LastNSplitter(2),
+        RandomSplitter(0.4, seed=7),
+        ColdUserRandomSplitter(0.3, seed=7),
+        NewUsersSplitter(0.3),
+        RandomNextNSplitter(N=2, seed=7),
+        TwoStageSplitter(2, 1, seed=7),
+    ]
+    for sp in splitters:
+        train, test = sp.split(df)
+        name = type(sp).__name__
+        tr, te = train.count(), test.count()
+        if isinstance(sp, (NewUsersSplitter, RandomNextNSplitter)):
+            # these DROP rows by contract (old users' post-cut rows /
+            # rows beyond the per-user cut+N window)
+            assert 0 < tr + te <= n, f"{name}: {tr}+{te} > {n}"
+        else:
+            # cold-drop defaults are off -> exact partition
+            assert tr + te == n, f"{name}: {tr}+{te} != {n}"
+        overlap = train.join(
+            test, on=["query_id", "item_id", "timestamp"], how="inner"
+        ).count()
+        assert overlap == 0, f"{name}: {overlap} overlapping rows"
+    folds = list(KFolds(n_folds=3, seed=7).split(df))
+    assert sum(t.count() for _, t in folds) == n
