@@ -27,7 +27,12 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["StreamingSessionizer", "StreamingUCB", "streaming_exact_dedup"]
+__all__ = [
+    "StreamingSessionizer",
+    "StreamingStatefulSessionizer",
+    "StreamingUCB",
+    "streaming_exact_dedup",
+]
 
 
 class StreamingSessionizer:
@@ -128,3 +133,88 @@ def streaming_exact_dedup(
             "_content_hash"
         )
     return hashed.dropDuplicates(["_content_hash"]).drop("_content_hash")
+
+
+class StreamingStatefulSessionizer:
+    """Per-event session assignment with CUSTOM state
+    (``applyInPandasWithState``) — the streaming twin of the batch
+    ``Sessionizer``'s composite mode: each event is tagged
+    ``"{user}_{ordinal}"`` where the ordinal increments whenever the
+    gap to the user's previous event reaches ``session_gap`` seconds.
+
+    State per user: (last event time, session ordinal) — two longs,
+    so state size is O(active users), independent of history length.
+    Events are processed in event-time order WITHIN each micro-batch;
+    cross-batch reordering must be bounded by an upstream watermark
+    (same contract as any stateful streaming op).
+    """
+
+    def __init__(
+        self,
+        user_column: str = "user_id",
+        time_column: str = "ts",
+        session_gap: int = 1800,
+    ):
+        self.user_column = user_column
+        self.time_column = time_column
+        self.session_gap = session_gap
+
+    def transform(self, stream: DataFrame) -> DataFrame:
+        import pandas as pd
+
+        from pyspark.sql.streaming.state import GroupStateTimeout
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+            TimestampType,
+        )
+
+        user_col, time_col, gap = (
+            self.user_column,
+            self.time_column,
+            self.session_gap,
+        )
+        out_schema = StructType(
+            [
+                StructField(user_col, LongType()),
+                StructField(time_col, TimestampType()),
+                StructField("session_id", StringType()),
+            ]
+        )
+        state_schema = StructType(
+            [StructField("last_ts", LongType()), StructField("ordinal", LongType())]
+        )
+
+        def assign(key, pdf_iter, state):
+            (user,) = key
+            if state.exists:
+                last_ts, ordinal = state.get
+            else:
+                last_ts, ordinal = None, 0
+            for pdf in pdf_iter:
+                pdf = pdf.sort_values(time_col)
+                session_ids = []
+                for ts in pdf[time_col]:
+                    t = int(ts.timestamp())
+                    if last_ts is None or t - last_ts >= gap:
+                        ordinal += 1
+                    last_ts = t
+                    session_ids.append(f"{user}_{ordinal}")
+                yield pd.DataFrame(
+                    {
+                        user_col: pdf[user_col].to_numpy(),
+                        time_col: pdf[time_col].to_numpy(),
+                        "session_id": session_ids,
+                    }
+                )
+            state.update((last_ts, ordinal))
+
+        return stream.groupBy(user_col).applyInPandasWithState(
+            assign,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )

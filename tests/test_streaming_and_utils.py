@@ -199,3 +199,25 @@ def test_splitters_partition_input(spark):
         assert overlap == 0, f"{name}: {overlap} overlapping rows"
     folds = list(KFolds(n_folds=3, seed=7).split(df))
     assert sum(t.count() for _, t in folds) == n
+
+
+def test_streaming_stateful_sessionizer(spark, event_stream_dir):
+    """applyInPandasWithState custom state: per-event composite
+    session ids matching the batch Sessionizer's grouping."""
+    from replay_spark.streaming import StreamingStatefulSessionizer
+
+    schema = "user_id long, ts timestamp, text string, rating double"
+    stream = spark.readStream.schema(schema).parquet(event_stream_dir)
+    tagged = StreamingStatefulSessionizer(session_gap=1800).transform(stream)
+    out = _run_stream_to_memory(spark, tagged, "stateful_sess_out", "append")
+    got = {
+        (r.user_id, r.ts.minute + 60 * r.ts.hour): r.session_id
+        for r in out.collect()
+    }
+    # user 0: events at 0:00 and 0:10 share a session; 2:00 starts a new one
+    assert got == {
+        (0, 0): "0_1",
+        (0, 10): "0_1",
+        (0, 120): "0_2",
+        (1, 60): "1_1",
+    }
