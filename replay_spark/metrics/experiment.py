@@ -12,15 +12,32 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
-from replay_spark.metrics.metrics import Coverage, Novelty, Surprisal, Unexpectedness
+from replay_spark.metrics.metrics import (
+    MAP,
+    MRR,
+    NDCG,
+    Coverage,
+    HitRate,
+    Novelty,
+    Precision,
+    Recall,
+    RocAuc,
+    Surprisal,
+    Unexpectedness,
+)
 
 __all__ = ["OfflineMetrics", "Experiment"]
 
+# rank metrics sharing one identical enrichment plan — computed on a
+# single cached enriched frame (reference offline_metrics.py:139-176)
+_SHARED_PASS = (HitRate, Precision, Recall, MRR, MAP, NDCG, RocAuc)
+
 
 class OfflineMetrics:
-    """Compute many metrics in one call, routing the ones that need
-    ``train`` (Coverage/Novelty/Surprisal) or base recommendations
-    (Unexpectedness)."""
+    """Compute many metrics in one call: the rank metrics share ONE
+    duplicate check + enrichment pass (groupBy collect + gt join);
+    the ones needing ``train`` (Coverage/Novelty/Surprisal) or base
+    recommendations (Unexpectedness) are routed separately."""
 
     def __init__(self, metrics: list):
         self.metrics = metrics
@@ -33,7 +50,18 @@ class OfflineMetrics:
         base_recommendations: Optional[DataFrame] = None,
     ) -> dict:
         results: dict = {}
-        for metric in self.metrics:
+        shared = [m for m in self.metrics if isinstance(m, _SHARED_PASS)]
+        rest = [m for m in self.metrics if m not in shared]
+        if shared:
+            first = shared[0]
+            first._check_duplicates(recommendations)
+            enriched = first._get_enriched_recommendations(
+                recommendations, ground_truth
+            ).cache()
+            for metric in shared:
+                results.update(metric._compute(enriched))
+            enriched.unpersist()
+        for metric in rest:
             if isinstance(metric, (Coverage, Novelty, Surprisal)):
                 if train is None:
                     raise ValueError(
