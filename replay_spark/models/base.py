@@ -393,14 +393,21 @@ class NonPersonalizedRecommender(BaseRecommender, ABC):
     ) -> DataFrame:
         if self.sample:
             return self._predict_with_sampling(dataset, k, queries, items)
-        selected = self._get_selected_item_popularity(items).withColumn(
-            "rank",
-            F.row_number().over(
-                Window.orderBy(
-                    F.col(self.rating_column).desc(), F.col(self.item_column).desc()
-                )
-            ),
-        )
+        selected = self._get_selected_item_popularity(items)
+        rank_order = [
+            F.col(self.rating_column).desc(),
+            F.col(self.item_column).desc(),
+        ]
+        if (getattr(self, "_num_items", 0) or 0) > 1_000_000:
+            # item universe too large for a one-task window: two-phase
+            # range-partition numbering (same ranks, no global sort)
+            from replay_spark.utils.spark_utils import ordered_row_numbers
+
+            selected = ordered_row_numbers(selected, rank_order, "rank")
+        else:
+            selected = selected.withColumn(
+                "rank", F.row_number().over(Window.orderBy(*rank_order))
+            )
         if filter_seen_items and dataset is not None:
             query_to_num_items = (
                 dataset.interactions.join(queries, on=self.query_column)

@@ -35,7 +35,50 @@ __all__ = [
     "vector_euclidean_similarity_expr",
     "multiply_vector_expr",
     "kth_smallest",
+    "ordered_row_numbers",
 ]
+
+
+def ordered_row_numbers(
+    df: DataFrame, order_exprs: list, out_col: str = "rank"
+) -> DataFrame:
+    """Global 1-based ``row_number`` over ``order_exprs`` WITHOUT a
+    single-task sort (generalizes the label encoder's two-phase
+    numbering to arbitrary sort orders).
+
+    Range-partition by the sort keys (ordered, contiguous ranges),
+    number within partitions, add driver-computed per-partition
+    offsets via a broadcast join. Eager (two actions: persist +
+    per-partition counts); the intermediate stays persisted for the
+    caller's downstream action and is evicted LRU. Use for frames too
+    large for a one-task window — callers below a size threshold
+    should keep the plain window (zero extra jobs).
+    """
+    numbered = (
+        df.repartitionByRange(*order_exprs)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_local",
+            F.row_number()
+            .over(Window.partitionBy("_pid").orderBy(*order_exprs))
+            .cast("long"),
+        )
+        .persist()
+    )
+    counts = sorted(
+        (r["_pid"], r["count"])
+        for r in numbered.groupBy("_pid").count().collect()
+    )
+    rows, acc = [], 0
+    for pid, cnt in counts:
+        rows.append((pid, acc))
+        acc += cnt
+    offsets = df.sparkSession.createDataFrame(rows, "_pid int, _offset long")
+    return (
+        numbered.join(F.broadcast(offsets), on="_pid")
+        .withColumn(out_col, F.col("_local") + F.col("_offset"))
+        .drop("_pid", "_local", "_offset")
+    )
 
 
 def kth_smallest(

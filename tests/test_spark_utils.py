@@ -95,3 +95,26 @@ def test_kth_smallest_exact_forced_bracketing(spark):
     for k in (1, 100, 11000, 21999, 22000):
         got = kth_smallest(df, "t", k, max_slice=1500, rel_err=1e-3)
         assert got == svals[k - 1], (k, got, svals[k - 1])
+
+
+def test_ordered_row_numbers_matches_window(spark):
+    """Two-phase global numbering must equal a plain window's ranks
+    for an arbitrary multi-column desc order."""
+    import random
+
+    from pyspark.sql import Window
+
+    from replay_spark.utils.spark_utils import ordered_row_numbers
+
+    random.seed(3)
+    rows = [(i, random.choice([1.0, 2.0, 3.0])) for i in range(5000)]
+    df = spark.createDataFrame(rows, "item_id long, rating double")
+    order = [F.col("rating").desc(), F.col("item_id").desc()]
+    expected = {
+        r.item_id: r.rank
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.orderBy(*order))
+        ).collect()
+    }
+    got = {r.item_id: r.rank for r in ordered_row_numbers(df, order).collect()}
+    assert got == expected
