@@ -886,6 +886,36 @@ def q_metric_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace and BPE-ish-regex token counts per document."""
+    from replay_spark.preprocessing.text import (
+        bpe_token_count_expr,
+        token_count_expr,
+    )
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_expr(F.col("text")).alias("ws_tokens"),
+        bpe_token_count_expr(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k rolling (winnowing-style) fingerprints (rows-only:
+    xxhash64 char-gram sketch is engine-specific)."""
+    from replay_spark.preprocessing.text import rolling_fingerprint_expr
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            ",",
+            rolling_fingerprint_expr(F.col("text")).cast("array<string>"),
+        ).alias("sketch"),
+    )
+
+
 def q_item_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-item exponential recency weights (reference utils/time.py
     semantics: weight 0.5 at age==decay days, clamped at limit)."""
@@ -1176,6 +1206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_conditional_popularity": q_conditional_popularity,
         "q_cat_pop_rec": q_cat_pop_rec,
         "q_metric_mean_ci": q_metric_mean_ci,
+        "q_token_counts": q_token_counts,
+        "q_doc_fingerprints": q_doc_fingerprints,
     }
 
 
@@ -1490,6 +1522,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM unseen)
             SELECT query_id, item_id, round(rating, 4) AS rating
             FROM final WHERE rn <= 5
+        """,
+        "q_token_counts": f"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                   END AS ws_tokens,
+                   len(regexp_extract_all(text,
+                       '{__import__('replay_spark.preprocessing.text', fromlist=['BPE_ISH_PATTERN']).BPE_ISH_PATTERN.replace("'", "''")}'
+                   )) AS bpe_tokens
+            FROM documents
         """,
         "q_item_recency": f"""
             WITH {W},

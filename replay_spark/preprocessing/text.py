@@ -16,12 +16,19 @@ from pyspark.sql import functions as F
 __all__ = [
     "tokenize_expr",
     "token_count_expr",
+    "bpe_token_count_expr",
     "TextStats",
     "QualityScorer",
     "LanguageIdentifier",
     "fingerprint_expr",
+    "rolling_fingerprint_expr",
     "LANG_STOPWORDS",
 ]
+
+# GPT-2-style pre-tokenizer approximation (contractions, letter runs,
+# digit runs, punctuation runs, each with an optional leading space).
+# RE2-compatible (no lookaround) so a DuckDB oracle can mirror it.
+BPE_ISH_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
 # Deliberately small and embedded so the operator is self-contained
@@ -47,11 +54,38 @@ def token_count_expr(text: Column) -> Column:
     return F.size(tokenize_expr(text))
 
 
+def bpe_token_count_expr(text: Column) -> Column:
+    """Token count under the BPE-ish pre-tokenizer regex — a cheap
+    JVM-side stand-in for a real BPE tokenizer's piece count (always
+    ≥ the whitespace count; the shape LLM data pipelines budget by)."""
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN))
+
+
 def fingerprint_expr(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the
     whitespace-normalized, lower-cased text — robust to formatting
     noise, usable as an exact near-normal-form dedup key."""
     return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+
+
+def rolling_fingerprint_expr(
+    text: Column, k: int = 8, gram: int = 8
+) -> Column:
+    """Winnowing-style rolling fingerprint: the k smallest xxhash64
+    values over all character ``gram``-grams of the normalized text
+    (a bottom-k sketch). Containment of two docs' sketches estimates
+    their gram-level overlap; identical-after-normalization docs have
+    identical sketches. Pure expression — array ops stay in codegen,
+    no shuffle."""
+    norm = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.length(norm) - F.lit(gram - 1), F.lit(1))
+    )
+    grams = F.transform(positions, lambda i: norm.substr(i, F.lit(gram)))
+    hashes = F.array_distinct(
+        F.transform(grams, lambda g: F.xxhash64(g))
+    )
+    return F.slice(F.array_sort(hashes), 1, k)
 
 
 class TextStats:

@@ -236,3 +236,49 @@ def test_ivf_recall_floor(spark, sf_dir):
     ]
     avg = sum(recalls) / len(recalls)
     assert avg >= 0.5, f"IVF avg recall {avg} below floor"
+
+
+def test_bpe_token_count(spark):
+    from replay_spark.preprocessing.text import (
+        bpe_token_count_expr,
+        token_count_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "Hello world, it's 42 degrees!"), (1, ""), (2, "one")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.ws, r.bpe)
+        for r in df.select(
+            "doc_id",
+            token_count_expr(F.col("text")).alias("ws"),
+            bpe_token_count_expr(F.col("text")).alias("bpe"),
+        ).collect()
+    }
+    # pieces: Hello | " world" | "," | " it" | "'s" | " 42" | " degrees" | "!"
+    assert out == {0: (5, 8), 1: (0, 0), 2: (1, 1)}
+
+
+def test_rolling_fingerprint_properties(spark):
+    from replay_spark.preprocessing.text import rolling_fingerprint_expr
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [
+        (0, base),
+        (1, base),                      # identical
+        (2, "PREFIX " + base),          # shifted: grams mostly shared
+        (3, "совершенно другой текст " * 8),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sk = {
+        r.doc_id: list(r.s)
+        for r in df.select(
+            "doc_id", rolling_fingerprint_expr(F.col("text"), k=12).alias("s")
+        ).collect()
+    }
+    assert sk[0] == sk[1]
+    overlap_near = len(set(sk[0]) & set(sk[2]))
+    overlap_far = len(set(sk[0]) & set(sk[3]))
+    assert overlap_near >= 8  # prefix shift keeps most bottom-k grams
+    assert overlap_far == 0
