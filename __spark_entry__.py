@@ -886,6 +886,50 @@ def q_metric_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sequence_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SequenceEncodingRule end-to-end: per-user time-ordered item
+    arrays label-encoded elementwise (array emitted as CSV for the
+    harness canonicalizer)."""
+    from replay_spark.data.nn import SequenceTokenizer
+    from replay_spark.preprocessing import SequenceEncodingRule
+
+    inter = _dataset(spark, sf_dir).interactions
+    seqs = SequenceTokenizer(encode_items=False).transform(inter).select(
+        "query_id", "item_sequence"
+    )
+    rule = SequenceEncodingRule("item_sequence").fit(seqs)
+    encoded = rule.transform(seqs)
+    return encoded.select(
+        "query_id",
+        F.concat_ws(
+            ",", F.col("item_sequence").cast("array<string>")
+        ).alias("item_sequence"),
+    )
+
+
+def q_knn_nearest_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-to-item nearest neighbours from the ItemKNN similarity
+    table (rank-safe: binary-rating similarities are bit-identical
+    across engines, tie-broken by item id)."""
+    from replay_spark.models import ItemKNN
+
+    model = ItemKNN(num_neighbours=10, use_rating=False).fit(
+        _dataset(spark, sf_dir)
+    )
+    items = (
+        _dataset(spark, sf_dir)
+        .interactions.select("item_id")
+        .distinct()
+        .filter("item_id % 3 = 0")
+    )
+    out = model.get_nearest_items(items, k=5)
+    return out.select(
+        "item_idx_one",
+        "item_idx_two",
+        F.round("similarity", 6).alias("similarity"),
+    )
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace and BPE-ish-regex token counts per document."""
     from replay_spark.preprocessing.text import (
@@ -1208,6 +1252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_metric_mean_ci": q_metric_mean_ci,
         "q_token_counts": q_token_counts,
         "q_doc_fingerprints": q_doc_fingerprints,
+        "q_sequence_encode": q_sequence_encode,
+        "q_knn_nearest_items": q_knn_nearest_items,
     }
 
 
@@ -1522,6 +1568,52 @@ def oracle_sql() -> dict[str, str]:
                 FROM unseen)
             SELECT query_id, item_id, round(rating, 4) AS rating
             FROM final WHERE rn <= 5
+        """,
+        "q_sequence_encode": f"""
+            WITH {W},
+            mapping AS (
+                SELECT item_id, dense_rank() OVER (ORDER BY item_id) - 1 AS code
+                FROM (SELECT DISTINCT item_id FROM interactions))
+            SELECT i.query_id,
+                   string_agg(CAST(m.code AS VARCHAR), ','
+                              ORDER BY i.ts, i.item_id) AS item_sequence
+            FROM interactions i JOIN mapping m ON i.item_id = m.item_id
+            GROUP BY i.query_id
+        """,
+        "q_knn_nearest_items": f"""
+            WITH {W},
+            r AS (SELECT query_id, item_id, 1.0 AS rating FROM interactions),
+            dot AS (
+                SELECT a.item_id AS item_idx_one, b.item_id AS item_idx_two,
+                       sum(a.rating * b.rating) AS dot_product
+                FROM r a JOIN r b
+                ON a.query_id = b.query_id AND a.item_id <> b.item_id
+                GROUP BY 1, 2),
+            norms AS (
+                SELECT item_id, sqrt(sum(rating * rating)) AS norm
+                FROM r GROUP BY item_id),
+            sim AS (
+                SELECT d.item_idx_one, d.item_idx_two,
+                       d.dot_product / (n1.norm * n2.norm + 0.0) AS similarity
+                FROM dot d
+                JOIN norms n1 ON d.item_idx_one = n1.item_id
+                JOIN norms n2 ON d.item_idx_two = n2.item_id),
+            simtopk AS (
+                SELECT item_idx_one, item_idx_two, similarity FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY item_idx_one
+                        ORDER BY similarity DESC, item_idx_two DESC) AS rn
+                    FROM sim) t
+                WHERE rn <= 10),
+            sel AS (SELECT * FROM simtopk WHERE item_idx_one % 3 = 0)
+            SELECT item_idx_one, item_idx_two,
+                   round(similarity, 6) AS similarity
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY item_idx_one
+                    ORDER BY similarity DESC, item_idx_two DESC) AS rn
+                FROM sel) t
+            WHERE rn <= 5
         """,
         "q_token_counts": f"""
             SELECT doc_id,
