@@ -468,6 +468,18 @@ def q_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rule.fit_transform(events).select("event_id", "event_type")
 
 
+def q_dataset_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-Dataset id encoding: DatasetLabelEncoder fits one rule per
+    hinted categorical column and join-encodes the interactions."""
+    from replay_spark.data import DatasetLabelEncoder
+
+    ds = _dataset(spark, sf_dir)
+    encoded = DatasetLabelEncoder().fit_transform(ds)
+    return encoded.interactions.select(
+        "query_id", "item_id", F.round("rating", 6).alias("rating")
+    )
+
+
 def q_log_stat_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user history statistics (deterministic subset of columns)."""
     from replay_spark.preprocessing import LogStatFeaturesProcessor
@@ -1204,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_assoc_rules": q_assoc_rules,
         "q_sessionize": q_sessionize,
         "q_label_encode": q_label_encode,
+        "q_dataset_encode": q_dataset_encode,
         "q_log_stat_features": q_log_stat_features,
         "q_discretize_greedy": q_discretize_greedy,
         "q_doc_dedup_exact": q_doc_dedup_exact,
@@ -1896,6 +1909,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    dense_rank() OVER (ORDER BY event_type) - 1 AS event_type
             FROM events
+        """,
+        "q_dataset_encode": f"""
+            WITH {W}
+            SELECT dense_rank() OVER (ORDER BY query_id) - 1 AS query_id,
+                   dense_rank() OVER (ORDER BY item_id) - 1 AS item_id,
+                   round(rating, 6) AS rating
+            FROM interactions
         """,
         "q_log_stat_features": f"""
             WITH {W},

@@ -240,12 +240,14 @@ class FeatureSchema(Mapping):
 
     @property
     def categorical_features(self) -> "FeatureSchema":
+        # Hinted id columns are included, matching the reference
+        # (``schema.py:226-232`` filters by type only) — the
+        # DatasetLabelEncoder relies on iterating QUERY_ID/ITEM_ID here.
         return FeatureSchema(
             [
                 f
                 for f in self.all_features
                 if f.feature_type in (FeatureType.CATEGORICAL, FeatureType.CATEGORICAL_LIST)
-                and f.feature_hint is None
             ]
         )
 
@@ -256,7 +258,6 @@ class FeatureSchema(Mapping):
                 f
                 for f in self.all_features
                 if f.feature_type in (FeatureType.NUMERICAL, FeatureType.NUMERICAL_LIST)
-                and f.feature_hint is None
             ]
         )
 
