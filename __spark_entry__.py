@@ -23,7 +23,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 import replay_spark.datasets as rsd
-from replay_spark.data import Dataset, FeatureHint, FeatureInfo, FeatureSchema, FeatureType
+from replay_spark.data import (
+    Dataset,
+    FeatureHint,
+    FeatureInfo,
+    FeatureSchema,
+    FeatureSource,
+    FeatureType,
+)
 
 # Wilson critical value for alpha=0.05: norm.isf(0.025); embedded as a
 # shared constant so Spark and DuckDB use the same number.
@@ -684,6 +691,50 @@ def q_sequence_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tensor_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-driven sequence assembly: TensorSequenceTokenizer encodes
+    ids and emits aligned per-query arrays for every tensor feature;
+    first_rating proves the ride-along array shares the item order."""
+    from replay_spark.data import (
+        TensorFeatureInfo,
+        TensorFeatureSource,
+        TensorSchema,
+    )
+    from replay_spark.data.nn import TensorSequenceTokenizer
+
+    tschema = TensorSchema(
+        [
+            TensorFeatureInfo(
+                "item_id_seq",
+                FeatureType.CATEGORICAL,
+                is_seq=True,
+                feature_hint=FeatureHint.ITEM_ID,
+                feature_sources=[
+                    TensorFeatureSource(FeatureSource.INTERACTIONS, "item_id")
+                ],
+            ),
+            TensorFeatureInfo(
+                "rating_seq",
+                FeatureType.NUMERICAL,
+                is_seq=True,
+                feature_hint=FeatureHint.RATING,
+                feature_sources=[
+                    TensorFeatureSource(FeatureSource.INTERACTIONS, "rating")
+                ],
+            ),
+        ]
+    )
+    seq = TensorSequenceTokenizer(tschema).fit_transform(_dataset(spark, sf_dir))
+    return seq.sequences.select(
+        "query_id",
+        F.concat_ws(",", F.col("item_id_seq").cast("array<string>")).alias(
+            "item_seq"
+        ),
+        F.round(F.element_at(F.col("rating_seq"), 1), 6).alias("first_rating"),
+        F.size("item_id_seq").cast("long").alias("seq_len"),
+    )
+
+
 def q_filter_low_rating(spark: SparkSession, sf_dir: str) -> DataFrame:
     from replay_spark.preprocessing import LowRatingFilter
 
@@ -1235,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_metric_coverage": q_metric_coverage,
         "q_slim_similarity": q_slim_similarity,
         "q_sequence_tokenizer": q_sequence_tokenizer,
+        "q_tensor_sequences": q_tensor_sequences,
         "q_filter_low_rating": q_filter_low_rating,
         "q_filter_quantile_items": q_filter_quantile_items,
         "q_filter_interaction_entries": q_filter_interaction_entries,
@@ -2149,6 +2201,22 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(CAST(item_id AS VARCHAR), ','
                               ORDER BY ts, item_id) AS item_sequence
             FROM interactions GROUP BY query_id
+        """,
+        "q_tensor_sequences": f"""
+            WITH {W},
+            enc AS (
+                SELECT dense_rank() OVER (ORDER BY query_id) - 1 AS qid,
+                       dense_rank() OVER (ORDER BY item_id) - 1 AS iid,
+                       ts, rating
+                FROM interactions
+            )
+            SELECT qid AS query_id,
+                   string_agg(CAST(iid AS VARCHAR), ','
+                              ORDER BY ts, iid, rating) AS item_seq,
+                   round(first(rating ORDER BY ts, iid, rating), 6)
+                       AS first_rating,
+                   count(*) AS seq_len
+            FROM enc GROUP BY qid
         """,
         "q_filter_low_rating": f"""
             WITH {W}

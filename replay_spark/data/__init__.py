@@ -11,3 +11,8 @@ from replay_spark.data.dataset_label_encoder import (  # noqa: F401
     LabelEncoderTransformWarning,
 )
 from replay_spark.data.spark_schema import get_schema  # noqa: F401
+from replay_spark.data.tensor_schema import (  # noqa: F401
+    TensorFeatureInfo,
+    TensorFeatureSource,
+    TensorSchema,
+)

@@ -169,3 +169,140 @@ def test_dataset_label_encoder_roundtrip(spark):
         out2 = enc.transform(ds2)
     assert any(issubclass(w.category, LabelEncoderTransformWarning) for w in caught)
     assert [r["extra"] for r in out2.interactions.collect()] == ["x", "x"]
+
+
+def test_tensor_sequence_tokenizer(spark, tmp_path):
+    """TensorSequenceTokenizer: per-source sequence assembly, encoder
+    reuse, SparkSequentialDataset ops and save/load (reference
+    sequence_tokenizer.py:29, sequential_dataset.py:18)."""
+    import numpy as np
+
+    from replay_spark.data import (
+        Dataset,
+        FeatureHint,
+        FeatureInfo,
+        FeatureSchema,
+        FeatureSource,
+        FeatureType,
+        TensorFeatureInfo,
+        TensorFeatureSource,
+        TensorSchema,
+    )
+    from replay_spark.data.nn import SequenceTokenizer, SparkSequentialDataset
+
+    inter = spark.createDataFrame(
+        [
+            ("u1", "b", 2, 1.0),
+            ("u1", "a", 1, 2.0),
+            ("u2", "c", 1, 3.0),
+            ("u1", "c", 3, 4.0),
+        ],
+        "query_id string, item_id string, ts long, rating double",
+    )
+    qf = spark.createDataFrame(
+        [("u1", "ru"), ("u2", "en")], "query_id string, lang string"
+    )
+    itf = spark.createDataFrame(
+        [("a", 10.0), ("b", 20.0), ("c", 30.0)], "item_id string, price double"
+    )
+    fschema = FeatureSchema(
+        [
+            FeatureInfo("query_id", FeatureType.CATEGORICAL, FeatureHint.QUERY_ID),
+            FeatureInfo("item_id", FeatureType.CATEGORICAL, FeatureHint.ITEM_ID),
+            FeatureInfo("ts", FeatureType.NUMERICAL, FeatureHint.TIMESTAMP),
+            FeatureInfo("rating", FeatureType.NUMERICAL, FeatureHint.RATING),
+            FeatureInfo(
+                "lang",
+                FeatureType.CATEGORICAL,
+                feature_source=FeatureSource.QUERY_FEATURES,
+            ),
+            FeatureInfo(
+                "price",
+                FeatureType.NUMERICAL,
+                feature_source=FeatureSource.ITEM_FEATURES,
+            ),
+        ]
+    )
+    ds = Dataset(fschema, inter, query_features=qf, item_features=itf)
+    tschema = TensorSchema(
+        [
+            TensorFeatureInfo(
+                "item_id_seq",
+                FeatureType.CATEGORICAL,
+                is_seq=True,
+                feature_hint=FeatureHint.ITEM_ID,
+                feature_sources=[
+                    TensorFeatureSource(FeatureSource.INTERACTIONS, "item_id")
+                ],
+            ),
+            TensorFeatureInfo(
+                "rating_seq",
+                FeatureType.NUMERICAL,
+                is_seq=True,
+                feature_hint=FeatureHint.RATING,
+                feature_sources=[
+                    TensorFeatureSource(FeatureSource.INTERACTIONS, "rating")
+                ],
+            ),
+            TensorFeatureInfo(
+                "price_seq",
+                FeatureType.NUMERICAL,
+                is_seq=True,
+                feature_sources=[
+                    TensorFeatureSource(FeatureSource.ITEM_FEATURES, "price")
+                ],
+            ),
+            TensorFeatureInfo(
+                "lang_seq",
+                FeatureType.CATEGORICAL,
+                is_seq=True,
+                feature_sources=[
+                    TensorFeatureSource(FeatureSource.QUERY_FEATURES, "lang")
+                ],
+            ),
+            TensorFeatureInfo(
+                "lang_scalar",
+                FeatureType.CATEGORICAL,
+                feature_sources=[
+                    TensorFeatureSource(FeatureSource.QUERY_FEATURES, "lang")
+                ],
+            ),
+        ]
+    )
+    # reference-signature dispatch: SequenceTokenizer(tensor_schema, ...)
+    tok = SequenceTokenizer(tschema, allow_collect_to_master=True)
+    seq_ds = tok.fit_transform(ds)
+    assert isinstance(seq_ds, SparkSequentialDataset)
+    assert len(seq_ds) == 2
+    # cardinality assigned from the fitted mapping (3 items)
+    assert tschema["item_id_seq"].cardinality == 3
+
+    rows = {r["query_id"]: r for r in seq_ds.sequences.collect()}
+    u1 = rows[tok.query_id_encoder.rules[0].get_mapping()["u1"]]
+    # time order: a(ts1) b(ts2) c(ts3) -> encoded [0,1,2]
+    assert u1["item_id_seq"] == [0, 1, 2]
+    assert u1["rating_seq"] == [2.0, 1.0, 4.0]
+    assert u1["price_seq"] == [10.0, 20.0, 30.0]
+    assert u1["lang_seq"] == [1, 1, 1] and u1["lang_scalar"] == [1]
+
+    assert seq_ds.get_max_sequence_length() == 3
+    np.testing.assert_array_equal(
+        seq_ds.get_sequence_by_query_id(int(u1["query_id"]), "item_id_seq"),
+        [0, 1, 2],
+    )
+    # driver-side index getters (gated)
+    assert seq_ds.get_sequence_length(0) in (1, 3)
+    # filter + keep_common
+    only_u1 = seq_ds.filter_by_query_id([int(u1["query_id"])])
+    assert len(only_u1) == 1
+    a, b = SparkSequentialDataset.keep_common_query_ids(seq_ds, only_u1)
+    assert len(a) == 1 and len(b) == 1
+    # save / load round-trip
+    path = str(tmp_path / "seqds")
+    seq_ds.save(path)
+    loaded = SparkSequentialDataset.load(path, spark)
+    assert loaded.schema.names == tschema.names
+    assert len(loaded) == 2
+    # subset transform
+    sub = tok.transform(ds, tensor_features_to_keep=["item_id_seq"])
+    assert set(sub.sequences.columns) == {"query_id", "item_id_seq"}
