@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from replay_spark.data.schema import FeatureHint, FeatureSource
 from replay_spark.data.tensor_schema import TensorSchema
+from replay_spark.utils.spark_utils import is_timestamp_like
 
 __all__ = [
     "SequenceTokenizer",
@@ -91,8 +92,8 @@ class SequenceTokenizer:
             F.col(f"_seq.{self.item_column}").alias("item_sequence"),
             F.transform(
                 F.col(f"_seq.{self.timestamp_column}"),
-                lambda t: F.unix_micros(t)
-                if dict(df.dtypes)[self.timestamp_column] == "timestamp"
+                lambda t: F.unix_micros(t.cast("timestamp"))
+                if is_timestamp_like(dict(df.dtypes)[self.timestamp_column])
                 else t.cast("long"),
             ).alias("timestamp_sequence"),
             *(

@@ -2,10 +2,14 @@
 
 Central place for two environment quirks:
 
-* ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS),
-  which Spark 4.x rejects by default — we flip
-  ``spark.sql.legacy.parquet.nanosAsLong`` (runtime-settable) and
-  rebuild a microsecond TimestampType column.
+* ``events.parquet`` has shipped ``ts`` under several physical types
+  across testdata refreshes — parquet TIMESTAMP(NANOS) (Spark reads
+  int64 with ``spark.sql.legacy.parquet.nanosAsLong``), parquet
+  ``timestamp[us]`` (Spark reads TIMESTAMP_NTZ), and plain
+  TimestampType. ``read_table`` dispatches on the *actual* read
+  schema and always returns a session-TZ ``TimestampType`` column,
+  asserting the result so the next environment drift fails loudly
+  here instead of in dozens of downstream query stack traces.
 * the interactions mapping (FIXTURES.md §8): ``events`` plays the
   interactions log with ``user_id → query_id``, item id extracted
   from the ``props`` JSON, ``value → rating``.
@@ -15,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 __all__ = ["read_table", "load_interactions", "TABLES"]
 
@@ -41,10 +46,29 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        # ts arrives as int64 nanoseconds → floor to microseconds with
-        # integer division (a double `/1000` can round up across the next
-        # microsecond; DuckDB floors, so we must too for oracle parity)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # parquet TIMESTAMP(NANOS) read as int64 nanoseconds under
+            # nanosAsLong → floor to microseconds with integer division
+            # (a double `/1000` can round up across the next microsecond;
+            # DuckDB floors, so we must too for oracle parity)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            # parquet timestamp[us] without timezone → reinterpret the
+            # naive wall clock as UTC (session TZ pinned above), which
+            # matches DuckDB's naive-timestamp semantics
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif not isinstance(ts_type, TimestampType):
+            raise TypeError(
+                f"events.ts arrived as unsupported type {ts_type}; "
+                "read_table knows int64-nanos, TIMESTAMP_NTZ, and TIMESTAMP"
+            )
+        out_type = df.schema["ts"].dataType
+        assert isinstance(out_type, TimestampType), (
+            f"read_table postcondition violated: events.ts is {out_type}, "
+            "expected TimestampType — testdata environment drifted"
+        )
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -238,18 +238,39 @@ class MinHashLSHDeduplicator:
             F.pmod(F.xxhash64(F.col("shingle"), F.lit(1)), F.lit((1 << 31) - 1)),
         )
         # the mod-prime reduction is essential: without it the argmin
-        # for large i is dominated by h2 alone and slots correlate
+        # for large i is dominated by h2 alone and slots correlate.
+        # The k per-shingle hash values are built as a plain `F.array`
+        # of k codegen'd pmod expressions (NOT a higher-order
+        # `transform` lambda — HOFs evaluate interpreted per element,
+        # measured 200+ s cold at sf0.1) and min-ed per slot via
+        # posexplode + two-phase aggregation: k separate
+        # `min(pmod(...))` aggregate columns compile into one enormous
+        # WholeStageCodegen HashAggregate class (57 s cold at sf0.1
+        # for k=64, recompiled on every fresh executor JVM at cluster
+        # scale), while a k-wide Project + tiny two-column aggregate
+        # keeps every codegen unit small. Both shuffles stay
+        # map-side-combined (post-combine volume is docs*k rows, then
+        # docs rows).
         mersenne = (1 << 31) - 1
-        mins = [
-            F.min(
-                F.pmod(F.col("_h1") + F.lit(i) * F.col("_h2"), F.lit(mersenne))
-            ).alias(f"_h{i}")
-            for i in range(self.num_hashes)
-        ]
-        sig = shingled.groupBy(self.id_column).agg(*mins)
-        return sig.select(
-            self.id_column,
-            F.array(*[f"_h{i}" for i in range(self.num_hashes)]).alias("signature"),
+        slot_hashes = F.array(
+            *[
+                F.pmod(
+                    F.col("_h1") + F.lit(i) * F.col("_h2"), F.lit(mersenne)
+                )
+                for i in range(self.num_hashes)
+            ]
+        )
+        per_slot = shingled.select(
+            self.id_column, F.posexplode(slot_hashes).alias("_slot", "_g")
+        )
+        slot_mins = per_slot.groupBy(self.id_column, "_slot").agg(
+            F.min("_g").alias("_m")
+        )
+        return slot_mins.groupBy(self.id_column).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_slot", "_m"))),
+                lambda s: s["_m"],
+            ).alias("signature")
         )
 
     def candidate_pairs(self, df: DataFrame) -> DataFrame:

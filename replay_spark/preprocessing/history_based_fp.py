@@ -15,6 +15,8 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from replay_spark.utils.spark_utils import is_timestamp_like
+
 __all__ = [
     "LogStatFeaturesProcessor",
     "ConditionalPopularityProcessor",
@@ -121,9 +123,8 @@ class LogStatFeaturesProcessor:
         return enriched.groupBy(self.query_column).agg(*aggs)
 
     def fit(self, log: DataFrame) -> "LogStatFeaturesProcessor":
-        self.calc_timestamp_based = (
-            self.timestamp_column in log.columns
-            and dict(log.dtypes).get(self.timestamp_column) == "timestamp"
+        self.calc_timestamp_based = self.timestamp_column in log.columns and (
+            is_timestamp_like(dict(log.dtypes).get(self.timestamp_column, ""))
         )
         self.calc_relevance_based = self.rating_column in log.columns
 

@@ -33,6 +33,8 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from replay_spark.utils.spark_utils import is_timestamp_like
+
 __all__ = ["Sessionizer"]
 
 
@@ -72,9 +74,12 @@ class Sessionizer:
         """Add a working unix-seconds column; the original time column
         is left untouched (no precision loss on round-trip)."""
         dtype = dict(interactions.dtypes)[self.time_column]
-        if dtype == "timestamp":
+        if is_timestamp_like(dtype):
+            # .cast("timestamp") is identity for TimestampType and
+            # reinterprets TIMESTAMP_NTZ wall clock in the session TZ
             return interactions.withColumn(
-                "_ts_work", F.unix_timestamp(self.time_column)
+                "_ts_work",
+                F.unix_timestamp(F.col(self.time_column).cast("timestamp")),
             )
         if dtype == "date":
             return interactions.withColumn(

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType
 
 from replay_spark.splitters.base import Splitter, SplitterReturnType
-from replay_spark.utils.spark_utils import kth_smallest
+from replay_spark.utils.spark_utils import is_timestamp_like, kth_smallest
 
 __all__ = [
     "RatioSplitter",
@@ -168,8 +168,8 @@ class TimeSplitter(Splitter):
         if isinstance(threshold, float):
             ts_dtype = dict(interactions.dtypes)[self.timestamp_column]
             num = (
-                F.unix_micros(F.col(self.timestamp_column))
-                if ts_dtype == "timestamp"
+                F.unix_micros(F.col(self.timestamp_column).cast("timestamp"))
+                if is_timestamp_like(ts_dtype)
                 else F.col(self.timestamp_column)
             )
             nums = interactions.select(num.alias("_ts_num"))
@@ -180,11 +180,16 @@ class TimeSplitter(Splitter):
                     "time_threshold fraction leaves no test rows"
                 )
             # literal comparison on the raw column -> parquet pushdown
-            threshold_col = (
-                F.timestamp_micros(F.lit(cut))
-                if ts_dtype == "timestamp"
-                else F.lit(cut)
-            )
+            if ts_dtype == "timestamp":
+                threshold_col = F.timestamp_micros(F.lit(cut))
+            elif ts_dtype == "timestamp_ntz":
+                # rebuild the NTZ wall-clock literal in the session TZ so
+                # the comparison stays on the raw column (pushdown-safe)
+                threshold_col = F.timestamp_micros(F.lit(cut)).cast(
+                    "timestamp_ntz"
+                )
+            else:
+                threshold_col = F.lit(cut)
             res = interactions.withColumn(
                 "is_test", F.col(self.timestamp_column) >= threshold_col
             )

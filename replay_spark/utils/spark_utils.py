@@ -30,6 +30,7 @@ __all__ = [
     "get_stats",
     "get_log_info",
     "process_timestamp_column",
+    "is_timestamp_like",
     "vector_dot_expr",
     "cosine_similarity_expr",
     "vector_euclidean_similarity_expr",
@@ -394,6 +395,18 @@ def get_log_info(
     return f"total lines: {row['total']}, total users: {row['queries']}, total items: {row['items']}"
 
 
+def is_timestamp_like(dtype: str) -> bool:
+    """True when a ``df.dtypes`` simple string denotes a timestamp column.
+
+    Spark reads parquet ``timestamp[us]``-without-timezone as
+    TIMESTAMP_NTZ (dtype string ``timestamp_ntz``); any dispatch on
+    ``dtype == "timestamp"`` alone silently misroutes NTZ columns into
+    numeric/string branches. Every dtype-based timestamp check in the
+    package must go through this helper.
+    """
+    return dtype in ("timestamp", "timestamp_ntz")
+
+
 def process_timestamp_column(
     dataframe: DataFrame,
     column_name: str,
@@ -401,12 +414,17 @@ def process_timestamp_column(
 ) -> DataFrame:
     """Normalize a timestamp column to TimestampType.
 
-    Accepts native timestamps, unix seconds (int/long), or formatted
+    Accepts native timestamps (incl. TIMESTAMP_NTZ, reinterpreted in
+    the session timezone), unix seconds (int/long), or formatted
     strings. Parity: reference ``spark_utils.py:573-609``.
     """
     dtype = dict(dataframe.dtypes)[column_name]
     if dtype == "timestamp":
         return dataframe
+    if dtype == "timestamp_ntz":
+        return dataframe.withColumn(
+            column_name, F.col(column_name).cast("timestamp")
+        )
     if dtype in ("int", "bigint", "long", "smallint"):
         return dataframe.withColumn(
             column_name, F.to_timestamp(F.from_unixtime(F.col(column_name)))

@@ -20,6 +20,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from replay_spark.utils.spark_utils import is_timestamp_like
+
 __all__ = ["smoothe_time", "get_item_recency"]
 
 _KINDS = ("power", "exp", "linear")
@@ -27,8 +29,8 @@ _DAY_SECS = 86400
 
 
 def _to_unix_seconds(col, dtype: str):
-    if dtype == "timestamp":
-        return F.unix_timestamp(col)
+    if is_timestamp_like(dtype):
+        return F.unix_timestamp(col.cast("timestamp"))
     if dtype == "string":
         return F.unix_timestamp(F.to_timestamp(col))
     return col.cast("double")
