@@ -1242,59 +1242,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registered queries, ordered for the driver's 50-query window.
+
+    The driver scores the FIRST 50 entries. r1+r2 each scored the
+    same first-50, leaving 24 registered queries with no official
+    CORRECTNESS row. Order for r3: (a) the never-scored 24 first,
+    (b) 26 re-proof rows — components whose only green row predates
+    the round-2 testdata refresh, plus the two never-green queries
+    (q_sessionize, q_sequence_tokenizer) — then (c) double-green and
+    rows-only-contract queries that rotate out of the window (they
+    keep running in tests/check_oracle and bench).
+    """
     return {
-        "q_pricing_summary": q_pricing_summary,
-        "q_nation_revenue": q_nation_revenue,
-        "q_top_parts_by_size": q_top_parts_by_size,
-        "q_top_k_recs": q_top_k_recs,
-        "q_user_stats": q_user_stats,
-        "q_filter_min_count": q_filter_min_count,
-        "q_filter_num_interactions": q_filter_num_interactions,
-        "q_filter_entity_days": q_filter_entity_days,
-        "q_filter_global_days": q_filter_global_days,
-        "q_filter_time_period": q_filter_time_period,
-        "q_filter_consecutive_dups": q_filter_consecutive_dups,
-        "q_time_split_test": q_time_split_test,
-        "q_ratio_split_test": q_ratio_split_test,
-        "q_last_n_split_test": q_last_n_split_test,
-        "q_ratio_split_bysize_test": q_ratio_split_bysize_test,
-        "q_poprec_popularity": q_poprec_popularity,
-        "q_poprec_recs": q_poprec_recs,
-        "q_querypoprec_scores": q_querypoprec_scores,
-        "q_wilson_scores": q_wilson_scores,
-        "q_ucb_scores": q_ucb_scores,
-        "q_itemknn_similarity": q_itemknn_similarity,
-        "q_assoc_rules": q_assoc_rules,
-        "q_sessionize": q_sessionize,
-        "q_label_encode": q_label_encode,
-        "q_dataset_encode": q_dataset_encode,
-        "q_log_stat_features": q_log_stat_features,
-        "q_discretize_greedy": q_discretize_greedy,
-        "q_doc_dedup_exact": q_doc_dedup_exact,
-        "q_text_stats": q_text_stats,
-        "q_embedding_cosine_topk": q_embedding_cosine_topk,
-        "q_doc_dedup_normalized": q_doc_dedup_normalized,
-        "q_text_quality": q_text_quality,
-        "q_lang_id": q_lang_id,
-        "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "q_embedding_neardup": q_embedding_neardup,
-        "q_minhash_candidates": q_minhash_candidates,
-        "q_simhash_fingerprints": q_simhash_fingerprints,
-        "q_multimodal_meta": q_multimodal_meta,
-        "q_fallback_merge": q_fallback_merge,
-        "q_metric_per_user": q_metric_per_user,
-        "q_metric_coverage": q_metric_coverage,
-        "q_slim_similarity": q_slim_similarity,
-        "q_sequence_tokenizer": q_sequence_tokenizer,
-        "q_tensor_sequences": q_tensor_sequences,
-        "q_filter_low_rating": q_filter_low_rating,
-        "q_filter_quantile_items": q_filter_quantile_items,
-        "q_filter_interaction_entries": q_filter_interaction_entries,
-        "q_split_new_users_test": q_split_new_users_test,
-        "q_split_session_atomic": q_split_session_atomic,
-        "q_itemknn_bm25_similarity": q_itemknn_bm25_similarity,
-        "q_random_rec_distribution": q_random_rec_distribution,
-        "q_metric_per_user_2": q_metric_per_user_2,
+        # -- (a) never officially scored in r1/r2 -------------------
         "q_thompson_scores": q_thompson_scores,
         "q_klucb_scores": q_klucb_scores,
         "q_cluster_rec": q_cluster_rec,
@@ -1319,6 +1279,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_fingerprints": q_doc_fingerprints,
         "q_sequence_encode": q_sequence_encode,
         "q_knn_nearest_items": q_knn_nearest_items,
+        # -- (b) re-proof rows under the refreshed testdata ---------
+        "q_sessionize": q_sessionize,
+        "q_sequence_tokenizer": q_sequence_tokenizer,
+        "q_top_k_recs": q_top_k_recs,
+        "q_user_stats": q_user_stats,
+        "q_filter_min_count": q_filter_min_count,
+        "q_filter_time_period": q_filter_time_period,
+        "q_filter_consecutive_dups": q_filter_consecutive_dups,
+        "q_time_split_test": q_time_split_test,
+        "q_ratio_split_test": q_ratio_split_test,
+        "q_poprec_recs": q_poprec_recs,
+        "q_querypoprec_scores": q_querypoprec_scores,
+        "q_wilson_scores": q_wilson_scores,
+        "q_ucb_scores": q_ucb_scores,
+        "q_itemknn_similarity": q_itemknn_similarity,
+        "q_assoc_rules": q_assoc_rules,
+        "q_label_encode": q_label_encode,
+        "q_dataset_encode": q_dataset_encode,
+        "q_log_stat_features": q_log_stat_features,
+        "q_fallback_merge": q_fallback_merge,
+        "q_metric_per_user": q_metric_per_user,
+        "q_metric_coverage": q_metric_coverage,
+        "q_tensor_sequences": q_tensor_sequences,
+        "q_split_new_users_test": q_split_new_users_test,
+        "q_split_session_atomic": q_split_session_atomic,
+        "q_itemknn_bm25_similarity": q_itemknn_bm25_similarity,
+        "q_filter_quantile_items": q_filter_quantile_items,
+        # -- (c) rotated out: green in r1 and/or r2, or rows-only
+        #        contracts already recorded -------------------------
+        "q_pricing_summary": q_pricing_summary,
+        "q_nation_revenue": q_nation_revenue,
+        "q_top_parts_by_size": q_top_parts_by_size,
+        "q_filter_num_interactions": q_filter_num_interactions,
+        "q_filter_entity_days": q_filter_entity_days,
+        "q_filter_global_days": q_filter_global_days,
+        "q_filter_low_rating": q_filter_low_rating,
+        "q_filter_interaction_entries": q_filter_interaction_entries,
+        "q_last_n_split_test": q_last_n_split_test,
+        "q_ratio_split_bysize_test": q_ratio_split_bysize_test,
+        "q_poprec_popularity": q_poprec_popularity,
+        "q_random_rec_distribution": q_random_rec_distribution,
+        "q_metric_per_user_2": q_metric_per_user_2,
+        "q_discretize_greedy": q_discretize_greedy,
+        "q_doc_dedup_exact": q_doc_dedup_exact,
+        "q_text_stats": q_text_stats,
+        "q_embedding_cosine_topk": q_embedding_cosine_topk,
+        "q_doc_dedup_normalized": q_doc_dedup_normalized,
+        "q_text_quality": q_text_quality,
+        "q_lang_id": q_lang_id,
+        "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "q_embedding_neardup": q_embedding_neardup,
+        "q_minhash_candidates": q_minhash_candidates,
+        "q_simhash_fingerprints": q_simhash_fingerprints,
+        "q_multimodal_meta": q_multimodal_meta,
+        "q_slim_similarity": q_slim_similarity,
     }
 
 

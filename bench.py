@@ -68,6 +68,45 @@ def main():
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    # Environment-drift gate: validate every table's schema up front so
+    # a testdata refresh produces ONE clear error here instead of a
+    # null per query (round 2 lost 14/25 headline numbers to a silent
+    # events.ts physical-type change).
+    from replay_spark.datasets import TABLES, read_table
+
+    expected_cols = {
+        "region": {"r_regionkey", "r_name"},
+        "nation": {"n_nationkey", "n_name", "n_regionkey"},
+        "customer": {"c_custkey", "c_name", "c_nationkey", "c_acctbal"},
+        "supplier": {"s_suppkey", "s_name", "s_nationkey", "s_acctbal"},
+        "part": {"p_partkey", "p_name", "p_brand", "p_type", "p_size",
+                 "p_retailprice"},
+        "orders": {"o_orderkey", "o_custkey", "o_orderstatus",
+                   "o_totalprice", "o_orderdate"},
+        "lineitem": {"l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                     "l_extendedprice", "l_discount", "l_tax",
+                     "l_returnflag", "l_linestatus", "l_shipdate"},
+        "events": {"event_id", "ts", "user_id", "event_type", "value", "props"},
+        "documents": {"doc_id", "text", "lang", "source", "n_chars"},
+        "embeddings": {"vec_id", "embedding", "label"},
+    }
+    for tbl in TABLES:
+        df = read_table(spark, SF_DIR, tbl)
+        want = expected_cols.get(tbl)
+        if want is not None and not want <= set(df.columns):
+            raise RuntimeError(
+                f"testdata drift: {tbl} columns {df.columns} missing "
+                f"{sorted(want - set(df.columns))} — fix read_table "
+                "before benchmarking"
+            )
+    ts_type = read_table(spark, SF_DIR, "events").schema["ts"].dataType
+    if str(ts_type) != "TimestampType()":
+        raise RuntimeError(
+            f"testdata drift: events.ts normalized to {ts_type}, "
+            "expected TimestampType — fix read_table before benchmarking"
+        )
+
     queries = entrymod.queries()
 
     def run_once(name):
@@ -81,6 +120,10 @@ def main():
     total = 0.0
     for name in BENCH_QUERIES:
         try:
+            # isolate queries: no query should pay for (or benefit
+            # from) another query's cached intermediates — keeps the
+            # warm number attributable to the query itself
+            spark.catalog.clearCache()
             _, cold = run_once(name)
             cold_timings[name] = cold
             n, elapsed = run_once(name)

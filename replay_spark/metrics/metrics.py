@@ -215,9 +215,15 @@ class Coverage(Metric):
         item_column: str = "item_id",
         rating_column: str = "rating",
         allow_caching: bool = True,
+        approximate_rsd: Optional[float] = None,
     ):
+        # approximate_rsd: opt into HyperLogLog++ distinct counts —
+        # exact distinct over 10^9+ items shuffles every key, while
+        # the sketch merges map-side; coverage is a ratio of two
+        # cardinalities, so an rsd of 0.01 moves it by ~1% worst case
         super().__init__(topk, query_column, item_column, rating_column, Mean())
         self.allow_caching = allow_caching
+        self.approximate_rsd = approximate_rsd
 
     def __call__(self, recommendations: DataFrame, train: DataFrame) -> dict:
         item_ranks = recommendations.withColumn(
@@ -231,15 +237,21 @@ class Coverage(Metric):
         )
         if self.allow_caching:
             item_ranks = item_ranks.cache()
-        n_train_items = train.select(self.item_column).distinct().count()
+        if self.approximate_rsd is not None:
+            def n_distinct(df):
+                return df.agg(
+                    F.approx_count_distinct(
+                        self.item_column, rsd=self.approximate_rsd
+                    )
+                ).first()[0]
+        else:
+            def n_distinct(df):
+                return df.select(self.item_column).distinct().count()
+
+        n_train_items = n_distinct(train)
         results = {}
         for k in self.topk:
-            n_rec_items = (
-                item_ranks.filter(F.col("_rank") <= k)
-                .select(self.item_column)
-                .distinct()
-                .count()
-            )
+            n_rec_items = n_distinct(item_ranks.filter(F.col("_rank") <= k))
             results[f"{self.__name__}@{k}"] = n_rec_items / n_train_items
         if self.allow_caching:
             item_ranks.unpersist()

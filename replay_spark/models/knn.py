@@ -121,12 +121,19 @@ class ItemKNN(NeighbourRec):
         max_history_per_user: Optional[int] = None,
         bm25_k1: float = 1.2,
         bm25_b: float = 0.75,
+        salt_buckets: Optional[int] = None,
     ):
         # max_history_per_user=None matches the reference (no silent
         # truncation); set it at web scale — a user with 10^5 events
-        # creates 10^10 pairs in the similarity self-join otherwise
+        # creates 10^10 pairs in the similarity self-join otherwise.
+        # salt_buckets=S spreads each power-user's pair generation
+        # across S tasks instead (exact results, right-side rows
+        # replicated S times in the shuffle) — use when truncation is
+        # unacceptable but user skew stalls the self-join stage.
         if weighting not in (None, "tf_idf", "bm25"):
             raise ValueError("weighting must be one of [None, 'tf_idf', 'bm25']")
+        if salt_buckets is not None and salt_buckets < 2:
+            raise ValueError("salt_buckets must be >= 2 (or None to disable)")
         self.num_neighbours = num_neighbours
         self.use_rating = use_rating
         self.shrink = shrink
@@ -134,6 +141,7 @@ class ItemKNN(NeighbourRec):
         self.max_history_per_user = max_history_per_user
         self.bm25_k1 = bm25_k1
         self.bm25_b = bm25_b
+        self.salt_buckets = salt_buckets
 
     @property
     def _init_args(self):
@@ -145,6 +153,7 @@ class ItemKNN(NeighbourRec):
             "max_history_per_user": self.max_history_per_user,
             "bm25_k1": self.bm25_k1,
             "bm25_b": self.bm25_b,
+            "salt_buckets": self.salt_buckets,
         }
 
     def _reweight(self, interactions: DataFrame) -> DataFrame:
@@ -216,8 +225,26 @@ class ItemKNN(NeighbourRec):
         right = df.withColumnRenamed(self.item_column, "item_idx_two").withColumnRenamed(
             self.rating_column, "_rel_two"
         )
+        if self.salt_buckets:
+            # skew-salted exact self-join: the left row's bucket is a
+            # hash of its item, the right side is replicated to every
+            # bucket, and the join key becomes (user, bucket) — each
+            # power-user's |I_u|^2 pair generation spreads over
+            # salt_buckets tasks while every (a, b) pair still meets
+            # exactly once (b is replicated to a's one bucket)
+            s = self.salt_buckets
+            left = left.withColumn(
+                "_salt", F.pmod(F.xxhash64("item_idx_one"), F.lit(s))
+            )
+            right = right.withColumn(
+                "_salt",
+                F.explode(F.array(*[F.lit(i).cast("long") for i in range(s)])),
+            )
+            join_keys = [self.query_column, "_salt"]
+        else:
+            join_keys = [self.query_column]
         dot_products = (
-            left.join(right, how="inner", on=self.query_column)
+            left.join(right, how="inner", on=join_keys)
             .filter(F.col("item_idx_one") != F.col("item_idx_two"))
             .groupBy("item_idx_one", "item_idx_two")
             .agg(F.sum(F.col("_rel_one") * F.col("_rel_two")).alias("dot_product"))

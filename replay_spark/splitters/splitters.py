@@ -36,8 +36,9 @@ class RatioSplitter(Splitter):
     Two modes (reference ``ratio_splitter.py:187-340``):
 
     * ``split_by_fractions=True``: a row is test when its per-user
-      rank fraction ``round(row_num/count, 10)`` exceeds
-      ``1 - test_size``;
+      rank fraction ``round(row_num/count, 3)`` exceeds
+      ``round(1 - test_size, 3)`` (the reference's ``_precision=3``,
+      ``ratio_splitter.py:158``);
     * ``split_by_fractions=False``: per-user
       ``train_size = count - int(count * test_size)`` rows stay in
       train, with the reference's small-group correction (when

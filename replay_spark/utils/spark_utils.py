@@ -381,16 +381,27 @@ def get_log_info(
     log: DataFrame,
     query_column: str = "query_id",
     item_column: str = "item_id",
+    approximate_rsd: Optional[float] = None,
 ) -> str:
     """'total lines / distinct users / distinct items' summary string.
 
     Parity: reference ``spark_utils.py:325-359``. Single pass —
     counts computed in one aggregate instead of three jobs.
+
+    ``approximate_rsd`` switches the distinct counts to HyperLogLog++
+    (``approx_count_distinct``) with that relative standard deviation
+    — at 100-TB scale the exact distinct forces a full shuffle of
+    every key while the sketch is a fixed-size map-side merge; use it
+    whenever the summary is informational rather than asserted.
     """
+    if approximate_rsd is not None:
+        distinct = lambda c: F.approx_count_distinct(c, rsd=approximate_rsd)  # noqa: E731
+    else:
+        distinct = F.countDistinct
     row = log.agg(
         F.count(F.lit(1)).alias("total"),
-        F.countDistinct(query_column).alias("queries"),
-        F.countDistinct(item_column).alias("items"),
+        distinct(query_column).alias("queries"),
+        distinct(item_column).alias("items"),
     ).first()
     return f"total lines: {row['total']}, total users: {row['queries']}, total items: {row['items']}"
 

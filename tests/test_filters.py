@@ -127,3 +127,34 @@ def test_filter_cold(spark, time_log):
         filter_cold(time_log, ref, mode="nope")
     with pytest.raises(KeyError):
         filter_cold(time_log, ref, mode="users", query_column="missing")
+
+
+def test_quantile_items_filter_midpoint_interpolation(spark):
+    """Golden for the midpoint quantile (reference filters.py:972-993
+    uses pandas quantile(alpha, 'midpoint') on the item-count
+    distribution; we compute the same midpoint distributedly).
+
+    Counts [1, 2, 4, 6] at alpha=0.5: rank h=(4-1)*0.5=1.5 is
+    fractional, so the threshold is the midpoint of the 2nd and 3rd
+    order statistics = (2+4)/2 = 3. 'lower' interpolation would give
+    2 and 'higher' 4 — only midpoint puts item c (count 4) in the
+    short tail with max_long_tail=2, dropping int(0.5*(4-2))=1 row.
+    """
+    rows = (
+        [(9, "a")]
+        + [(9, "b"), (1, "b")]
+        + [(9, "c"), (1, "c"), (2, "c"), (3, "c")]
+        + [(9, "d"), (1, "d"), (2, "d"), (3, "d"), (4, "d"), (5, "d")]
+    )
+    df = spark.createDataFrame(rows, "user_id long, item_id string")
+    out = QuantileItemsFilter(
+        alpha_quantile=0.5, items_proportion=0.5, query_column="user_id"
+    ).transform(df)
+    got = {
+        r["item_id"]: r["count"]
+        for r in out.groupBy("item_id").count().collect()
+    }
+    # c: 4 -> 3 (one dropped), d: 6 -> 4 (int(0.5*(6-2))=2 dropped)
+    assert got == {"a": 1, "b": 2, "c": 3, "d": 4}
+    # the dropped rows belong to the most active user (user 9: 4 rows)
+    assert out.filter("item_id = 'c' and user_id = 9").count() == 0

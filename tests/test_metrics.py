@@ -130,6 +130,9 @@ def test_coverage(recs, spark):
     out = Coverage(2)(recs, train)["Coverage@2"]
     # top-2 per user: {3,7},{5,8},{1,2} → 6 distinct / 11 train items
     assert out == pytest.approx(6 / 11)
+    # HLL++ opt-in is exact at driver-scale cardinalities
+    approx = Coverage(2, approximate_rsd=0.005)(recs, train)["Coverage@2"]
+    assert approx == pytest.approx(6 / 11)
 
 
 def test_unexpectedness(recs):

@@ -229,3 +229,19 @@ def test_set_params(dataset):
     # refit after set_params works and cached state was dropped
     model.fit(dataset)
     assert model.item_popularity.count() > 0
+
+
+def test_item_knn_salted_matches_unsalted(dataset):
+    """salt_buckets spreads the user self-join without changing results."""
+    plain = ItemKNN(num_neighbours=3)
+    plain.fit(dataset)
+    salted = ItemKNN(num_neighbours=3, salt_buckets=4)
+    salted.fit(dataset)
+
+    def rows(model):
+        return sorted(
+            (r.item_idx_one, r.item_idx_two, round(r.similarity, 9))
+            for r in model.similarity.collect()
+        )
+
+    assert rows(plain) == rows(salted)

@@ -118,3 +118,10 @@ def test_ordered_row_numbers_matches_window(spark):
     }
     got = {r.item_id: r.rank for r in ordered_row_numbers(df, order).collect()}
     assert got == expected
+
+
+def test_get_log_info_approximate(interactions):
+    # HLL++ at rsd=0.005 is exact for driver-scale cardinalities
+    exact = get_log_info(interactions)
+    approx = get_log_info(interactions, approximate_rsd=0.005)
+    assert exact == approx

@@ -117,3 +117,22 @@ def test_kfolds(log):
     assert len(folds) == 5
     total_test = sum(t.count() for _, t in folds)
     assert total_test == 15  # every row lands in exactly one fold's test
+
+
+def test_ratio_splitter_precision_golden(spark):
+    """Golden for the reference's 3-decimal rounding
+    (ratio_splitter.py:158,239): one 1499-row user, test_size=0.333.
+
+    threshold = round(1-0.333, 3) = 0.667; a row is test when
+    round(row_num/1499, 3) > 0.667, i.e. row_num >= 1001 -> 499 test
+    rows. WITHOUT the rounding the boundary would be
+    row_num/1499 > 0.667 -> row_num >= 1000 -> 500 test rows, so this
+    pins the _precision=3 parity exactly.
+    """
+    rows = [(1, i, dt.datetime(2024, 1, 1, 0, 0, i % 60, i), 1.0) for i in range(1499)]
+    df = spark.createDataFrame(
+        rows, "query_id int, item_id int, timestamp timestamp, rating double"
+    )
+    train, test = RatioSplitter(test_size=0.333).split(df)
+    assert test.count() == 499
+    assert train.count() == 1000
