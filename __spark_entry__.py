@@ -1236,6 +1236,65 @@ def q_filter_first_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_horizontal_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array→columns utility over the first 4 embedding dims."""
+    from replay_spark.utils.spark_utils import horizontal_explode
+
+    emb = rsd.read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.slice("embedding", 1, 4).alias("v")
+    )
+    return horizontal_explode(emb, "v", "dim", ["vec_id"])
+
+
+def q_unique_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_unique_entities over the interactions user column."""
+    from replay_spark.utils.spark_utils import get_unique_entities
+
+    inter = rsd.load_interactions(spark, sf_dir)
+    return get_unique_entities(inter, "query_id")
+
+
+def q_log_info_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_log_info summary string as a one-row frame."""
+    from replay_spark.utils.spark_utils import get_log_info
+
+    inter = rsd.load_interactions(spark, sf_dir)
+    info = get_log_info(inter, "query_id", "item_id")
+    return spark.createDataFrame([(info,)], "info string")
+
+
+def q_discretize_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QuantileDiscretizingRule bucket histogram (rows-only contract:
+    the ML QuantileDiscretizer's splits come from approxQuantile, so
+    exact bucket populations aren't SQL-reproducible)."""
+    from replay_spark.preprocessing import QuantileDiscretizingRule
+
+    events = rsd.read_table(spark, sf_dir, "events").select("value")
+    rule = QuantileDiscretizingRule("value", n_bins=8)
+    out = rule.fit_transform(events)
+    return (
+        out.groupBy(F.col("value").alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+def q_kfolds_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KFolds per-fold (train, test) sizes (rows-only: fold
+    assignment is seeded-random, not SQL-reproducible)."""
+    from replay_spark.splitters import KFolds
+
+    inter = rsd.load_interactions(spark, sf_dir)
+    folds = KFolds(n_folds=3, seed=42)
+    rows = [
+        (i, train.count(), test.count())
+        for i, (train, test) in enumerate(folds.split(inter))
+    ]
+    return spark.createDataFrame(
+        rows, "fold int, train_rows long, test_rows long"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: PopRec top-5 recommendations on sf0.001."""
     return q_poprec_recs(spark, "/root/testdata/sf0.001")
@@ -1334,6 +1393,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_fingerprints": q_simhash_fingerprints,
         "q_multimodal_meta": q_multimodal_meta,
         "q_slim_similarity": q_slim_similarity,
+        # -- new in r3 (beyond the current window; rotate into r4) ---
+        "q_horizontal_explode": q_horizontal_explode,
+        "q_unique_entities": q_unique_entities,
+        "q_log_info_row": q_log_info_row,
+        "q_discretize_quantile": q_discretize_quantile,
+        "q_kfolds_sizes": q_kfolds_sizes,
     }
 
 
@@ -2580,5 +2645,24 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
                 FROM scored) t
             WHERE rn <= 10
+        """,
+        "q_horizontal_explode": """
+            SELECT vec_id,
+                   embedding[1] AS dim_0,
+                   embedding[2] AS dim_1,
+                   embedding[3] AS dim_2,
+                   embedding[4] AS dim_3
+            FROM embeddings
+        """,
+        "q_unique_entities": f"""
+            WITH {W}
+            SELECT DISTINCT query_id FROM interactions
+        """,
+        "q_log_info_row": f"""
+            WITH {W}
+            SELECT 'total lines: ' || count(*) ||
+                   ', total users: ' || count(DISTINCT query_id) ||
+                   ', total items: ' || count(DISTINCT item_id) AS info
+            FROM interactions
         """,
     }
