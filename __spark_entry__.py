@@ -1279,6 +1279,21 @@ def q_discretize_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster formation: 3-gram Jaccard candidate pairs →
+    connected components (min-label propagation), component = the
+    smallest doc_id in each duplicate group."""
+    from replay_spark.preprocessing.dedup import (
+        NearDupClusters,
+        NGramJaccardDeduplicator,
+    )
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    pairs = NGramJaccardDeduplicator(n=3, threshold=0.2).pairs(docs)
+    comps = NearDupClusters().components(pairs)
+    return comps.select(F.col("node").alias("doc_id"), "component")
+
+
 def q_kfolds_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KFolds per-fold (train, test) sizes (rows-only: fold
     assignment is seeded-random, not SQL-reproducible)."""
@@ -1399,6 +1414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_log_info_row": q_log_info_row,
         "q_discretize_quantile": q_discretize_quantile,
         "q_kfolds_sizes": q_kfolds_sizes,
+        "q_dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -2664,5 +2680,41 @@ def oracle_sql() -> dict[str, str]:
                    ', total users: ' || count(DISTINCT query_id) ||
                    ', total items: ' || count(DISTINCT item_id) AS info
             FROM interactions
+        """,
+        "q_dedup_clusters": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS tk
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id, shingle FROM (
+                    SELECT doc_id,
+                           CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                                ELSE list_transform(range(1, len(tk) - 1),
+                                     i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+                           END AS shingles
+                    FROM toks) t, unnest(t.shingles) AS u(shingle)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+            pairs AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON id_a = sa.doc_id
+                JOIN sizes sb ON id_b = sb.doc_id
+                WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.2),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs),
+            walk(node, label) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.dst, w.label
+                FROM walk w JOIN edges e ON e.src = w.node)
+            SELECT node AS doc_id, min(label) AS component
+            FROM walk GROUP BY node
         """,
     }

@@ -41,6 +41,7 @@ __all__ = [
     "MinHashLSHDeduplicator",
     "SimHashDeduplicator",
     "EmbeddingDeduplicator",
+    "NearDupClusters",
 ]
 
 
@@ -517,3 +518,105 @@ class EmbeddingDeduplicator:
     def transform(self, df: DataFrame) -> DataFrame:
         dupes = self.pairs(df).select(F.col("id_b").alias(self.id_column)).distinct()
         return df.join(dupes, on=self.id_column, how="left_anti")
+
+
+class NearDupClusters:
+    """Connected components over near-duplicate candidate pairs.
+
+    Candidate generators (MinHash/SimHash/NGramJaccard/Embedding)
+    emit PAIRS; a real dedup pipeline then needs CLUSTERS — if A~B
+    and B~C, all three are one duplicate group even when (A, C) never
+    met a threshold — so each group can keep one canonical document.
+
+    ``components`` runs distributed min-label propagation entirely in
+    DataFrame ops: each round every node takes the minimum label
+    among itself and its neighbors, so labels converge in
+    O(graph diameter) rounds with one shuffle-join + one aggregate
+    per round. Near-dup candidate graphs are near-cliques (diameter
+    2-4 in practice), so the loop exits after a handful of rounds;
+    the driver only ever pulls a one-row convergence count. Each
+    round's result is cached and the previous round unpersisted to
+    keep lineage flat. For adversarially deep graphs (chains) raise
+    ``max_iterations`` or pre-bucket; the round count — not the data
+    volume — is the only scale sensitivity, every round being a
+    plain key-partitioned join.
+    """
+
+    def __init__(self, max_iterations: int = 20):
+        if max_iterations < 1:
+            raise ValueError("max_iterations must be >= 1")
+        self.max_iterations = max_iterations
+
+    def components(
+        self,
+        pairs: DataFrame,
+        id_a: str = "id_a",
+        id_b: str = "id_b",
+    ) -> DataFrame:
+        """(node, component) for every node appearing in ``pairs``;
+        ``component`` is the smallest node id in the group."""
+        edges = (
+            pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+            .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+            .distinct()
+            .cache()
+        )
+        labels = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
+            .cache()
+        )
+        for _ in range(self.max_iterations):
+            neighbor_min = (
+                edges.join(
+                    labels.select(
+                        F.col("node").alias("dst"),
+                        F.col("label").alias("_nlabel"),
+                    ),
+                    on="dst",
+                )
+                .groupBy("src")
+                .agg(F.min("_nlabel").alias("_nmin"))
+            )
+            new_labels = (
+                labels.join(
+                    neighbor_min.select(
+                        F.col("src").alias("node"), "_nmin"
+                    ),
+                    on="node",
+                    how="left",
+                )
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce("_nmin", F.col("label"))
+                    ).alias("label"),
+                    F.col("label").alias("_old"),
+                )
+                .cache()
+            )
+            changed = new_labels.filter(F.col("label") < F.col("_old")).count()
+            old = labels
+            labels = new_labels.select("node", "label").cache()
+            new_labels.unpersist()
+            old.unpersist()
+            if changed == 0:
+                break
+        edges.unpersist()
+        return labels.select("node", F.col("label").alias("component"))
+
+    def transform(
+        self,
+        df: DataFrame,
+        pairs: DataFrame,
+        id_column: str = "doc_id",
+        id_a: str = "id_a",
+        id_b: str = "id_b",
+    ) -> DataFrame:
+        """Keep one canonical row (the smallest id) per cluster."""
+        comps = self.components(pairs, id_a, id_b)
+        dupes = comps.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias(id_column)
+        )
+        return df.join(dupes, on=id_column, how="left_anti")

@@ -282,3 +282,35 @@ def test_rolling_fingerprint_properties(spark):
     overlap_far = len(set(sk[0]) & set(sk[3]))
     assert overlap_near >= 8  # prefix shift keeps most bottom-k grams
     assert overlap_far == 0
+
+
+def test_near_dup_clusters_transitive(spark):
+    """A~B and B~C must land in one component even though (A, C)
+    never met a threshold; D-E form a second component; isolated
+    pairs keep the smallest id as the canonical component."""
+    from replay_spark.preprocessing.dedup import NearDupClusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (3, 4)],
+        "id_a long, id_b long",
+    )
+    comps = {
+        r["node"]: r["component"]
+        for r in NearDupClusters().components(pairs).collect()
+    }
+    assert comps == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20,
+    }
+
+
+def test_near_dup_clusters_transform_keeps_canonical(spark):
+    from replay_spark.preprocessing.dedup import NearDupClusters
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a long, id_b long")
+    kept = NearDupClusters().transform(docs, pairs)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1, 2, 4]
