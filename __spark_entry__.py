@@ -1279,6 +1279,21 @@ def q_discretize_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document."""
+    from replay_spark.preprocessing.text import RepetitionStats
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    out = RepetitionStats().transform(docs)
+    return out.select(
+        "doc_id",
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        F.round("top_bigram_char_frac", 6).alias("top_bigram_char_frac"),
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster formation: 3-gram Jaccard candidate pairs →
     connected components (min-label propagation), component = the
@@ -1415,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_discretize_quantile": q_discretize_quantile,
         "q_kfolds_sizes": q_kfolds_sizes,
         "q_dedup_clusters": q_dedup_clusters,
+        "q_repetition_stats": q_repetition_stats,
     }
 
 
@@ -2680,6 +2696,59 @@ def oracle_sql() -> dict[str, str]:
                    ', total users: ' || count(DISTINCT query_id) ||
                    ', total items: ' || count(DISTINCT item_id) AS info
             FROM interactions
+        """,
+        "q_repetition_stats": """
+            WITH base AS (
+                SELECT doc_id, text, length(text) AS n_chars,
+                       CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                            ELSE string_split_regex(trim(lower(text)), '\\s+')
+                       END AS tk
+                FROM documents),
+            words AS (
+                SELECT doc_id, n_chars, tk,
+                       CASE WHEN len(tk) > 0
+                            THEN 1 - len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE)
+                            ELSE 0.0 END AS dup_word_frac
+                FROM base),
+            lines AS (
+                SELECT doc_id, line FROM (
+                    SELECT doc_id, string_split(text, chr(10)) AS ls
+                    FROM documents) t, unnest(t.ls) AS u(line)),
+            line_counts AS (
+                SELECT doc_id, line, count(*) AS c FROM lines GROUP BY 1, 2),
+            line_stats AS (
+                SELECT doc_id,
+                       1 - count(*) / CAST(sum(c) AS DOUBLE) AS dup_line_frac,
+                       CASE WHEN sum(c * length(line)) > 0
+                            THEN sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END)
+                                 / CAST(sum(c * length(line)) AS DOUBLE)
+                            ELSE 0.0 END AS dup_line_char_frac
+                FROM line_counts GROUP BY doc_id),
+            bigrams AS (
+                SELECT doc_id, bg FROM (
+                    SELECT doc_id,
+                           CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+                                ELSE list_transform(range(1, len(tk)),
+                                     i -> tk[i] || ' ' || tk[i + 1])
+                           END AS bgs
+                    FROM base) t, unnest(t.bgs) AS u(bg)),
+            bg_counts AS (
+                SELECT doc_id, bg, count(*) AS c FROM bigrams GROUP BY 1, 2),
+            top_bg AS (
+                SELECT doc_id, c * length(bg) AS top_chars FROM (
+                    SELECT doc_id, bg, c, row_number() OVER (
+                        PARTITION BY doc_id ORDER BY c DESC, bg ASC) AS rn
+                    FROM bg_counts) r WHERE rn = 1)
+            SELECT w.doc_id,
+                   round(dup_word_frac, 6) AS dup_word_frac,
+                   round(coalesce(dup_line_frac, 0), 6) AS dup_line_frac,
+                   round(coalesce(dup_line_char_frac, 0), 6) AS dup_line_char_frac,
+                   round(CASE WHEN n_chars > 0 AND top_chars IS NOT NULL
+                              THEN top_chars / CAST(n_chars AS DOUBLE)
+                              ELSE 0.0 END, 6) AS top_bigram_char_frac
+            FROM words w
+            LEFT JOIN line_stats USING (doc_id)
+            LEFT JOIN top_bg USING (doc_id)
         """,
         "q_dedup_clusters": """
             WITH RECURSIVE toks AS (

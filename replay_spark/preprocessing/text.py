@@ -10,7 +10,7 @@ shuffle at all until an aggregation is requested.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -22,6 +22,7 @@ __all__ = [
     "LanguageIdentifier",
     "fingerprint_expr",
     "rolling_fingerprint_expr",
+    "RepetitionStats",
     "LANG_STOPWORDS",
 ]
 
@@ -201,4 +202,119 @@ class LanguageIdentifier:
         return df.withColumn(
             self.output_column,
             F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
+        )
+
+
+class RepetitionStats:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    "Scaling Language Models", §A1.1 quality heuristics).
+
+    Per document:
+
+    * ``dup_word_frac`` — 1 − distinct/total whitespace tokens
+      (pure array expression, no shuffle);
+    * ``dup_line_frac`` — 1 − distinct/total '\\n'-lines;
+    * ``dup_line_char_frac`` — fraction of line characters that sit
+      in a line occurring more than once;
+    * ``top_bigram_char_frac`` — (count × chars) of the most frequent
+      word 2-gram over the document's character count (tie-break:
+      count desc, bigram asc — deterministic).
+
+    Line and bigram stats are explode + per-(doc, key) counts +
+    per-doc aggregate — two shuffles keyed on the doc id, scale-safe;
+    definitions are plain arithmetic so a SQL oracle reproduces them
+    exactly.
+    """
+
+    def __init__(self, id_column: str = "doc_id", text_column: str = "text"):
+        self.id_column = id_column
+        self.text_column = text_column
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        text = F.col(self.text_column)
+        tokens = tokenize_expr(F.lower(text))
+        base = df.select(
+            self.id_column,
+            F.length(text).alias("_n_chars"),
+            F.when(
+                F.size(tokens) > 0,
+                1 - F.size(F.array_distinct(tokens)) / F.size(tokens).cast("double"),
+            )
+            .otherwise(0.0)
+            .alias("dup_word_frac"),
+        )
+
+        lines = df.select(
+            self.id_column, F.explode(F.split(text, "\n")).alias("_line")
+        )
+        line_stats = (
+            lines.groupBy(self.id_column, "_line")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .groupBy(self.id_column)
+            .agg(
+                (1 - F.count(F.lit(1)) / F.sum("_c").cast("double")).alias(
+                    "dup_line_frac"
+                ),
+                F.when(
+                    F.sum(F.col("_c") * F.length("_line")) > 0,
+                    F.sum(
+                        F.when(
+                            F.col("_c") > 1, F.col("_c") * F.length("_line")
+                        ).otherwise(0)
+                    )
+                    / F.sum(F.col("_c") * F.length("_line")).cast("double"),
+                )
+                .otherwise(0.0)
+                .alias("dup_line_char_frac"),
+            )
+        )
+
+        bigrams = df.select(
+            self.id_column,
+            F.explode(
+                F.when(F.size(tokens) < 2, F.array().cast("array<string>")).otherwise(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(tokens) - 2),
+                        lambda i: F.concat_ws(
+                            " ", F.slice(tokens, i + 1, 2)
+                        ),
+                    )
+                )
+            ).alias("_bigram"),
+        )
+        top_bigram = (
+            bigrams.groupBy(self.id_column, "_bigram")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy(self.id_column).orderBy(
+                        F.col("_c").desc(), F.col("_bigram").asc()
+                    )
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .select(
+                self.id_column,
+                (F.col("_c") * F.length("_bigram")).alias("_top_chars"),
+            )
+        )
+
+        return (
+            base.join(line_stats, on=self.id_column, how="left")
+            .join(top_bigram, on=self.id_column, how="left")
+            .select(
+                self.id_column,
+                "dup_word_frac",
+                F.coalesce("dup_line_frac", F.lit(0.0)).alias("dup_line_frac"),
+                F.coalesce("dup_line_char_frac", F.lit(0.0)).alias(
+                    "dup_line_char_frac"
+                ),
+                F.when(
+                    (F.col("_n_chars") > 0) & F.col("_top_chars").isNotNull(),
+                    F.col("_top_chars") / F.col("_n_chars").cast("double"),
+                )
+                .otherwise(0.0)
+                .alias("top_bigram_char_frac"),
+            )
         )

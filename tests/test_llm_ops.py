@@ -314,3 +314,30 @@ def test_near_dup_clusters_transform_keeps_canonical(spark):
     pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a long, id_b long")
     kept = NearDupClusters().transform(docs, pairs)
     assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1, 2, 4]
+
+
+def test_repetition_stats_golden(spark):
+    from replay_spark.preprocessing.text import RepetitionStats
+
+    docs = spark.createDataFrame(
+        [
+            # 6 tokens, 4 distinct; 3 lines, 2 distinct ("b b" twice);
+            # top bigram "b b" appears 2x (across lines after lowering)
+            (1, "a a\nb b\nb b"),
+            (2, "unique words only here"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in RepetitionStats().transform(docs).collect()}
+    r1 = out[1]
+    assert r1["dup_word_frac"] == pytest.approx(1 - 2 / 6)
+    assert r1["dup_line_frac"] == pytest.approx(1 - 2 / 3)
+    # chars in duplicated lines: "b b" (3 chars) * 2 / total 9 line chars
+    assert r1["dup_line_char_frac"] == pytest.approx(6 / 9)
+    r2 = out[2]
+    assert r2["dup_word_frac"] == 0.0
+    assert r2["dup_line_frac"] == 0.0
+    r3 = out[3]
+    assert r3["dup_word_frac"] == 0.0
+    assert r3["top_bigram_char_frac"] == 0.0
