@@ -18,6 +18,7 @@ import numpy as np
 
 from pyspark.ml.feature import Bucketizer, QuantileDiscretizer
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 __all__ = ["QuantileDiscretizingRule", "GreedyDiscretizingRule", "Discretizer"]
 
@@ -155,9 +156,29 @@ class GreedyDiscretizingRule(_BaseDiscretizingRule):
         bounds.append(float("inf"))
         return bounds
 
+    # the greedy pass is inherently sequential over the sorted distinct
+    # values, so fit() pulls the (value, count) table to the driver —
+    # reference parity (discretizer.py:63-270). For a continuous column
+    # #distinct ≈ #rows and that pull is a driver OOM at corpus scale;
+    # the guard makes it one clear error instead. Raise the cap when
+    # you know the cardinality, or use QuantileDiscretizingRule (fully
+    # distributed sketch) for high-cardinality columns.
+    MAX_DRIVER_DISTINCT = 5_000_000
+
     def fit(self, df: DataFrame) -> "GreedyDiscretizingRule":
         if self._is_fitted:
             return self
+        n_distinct = df.agg(
+            F.approx_count_distinct(self._col, rsd=0.02).alias("n")
+        ).first()["n"]
+        if n_distinct > self.MAX_DRIVER_DISTINCT:
+            raise ValueError(
+                f"GreedyDiscretizingRule.fit: column {self._col!r} has "
+                f"~{n_distinct:,} distinct values; the greedy algorithm "
+                "collects the full (value, count) table to the driver. "
+                "Use QuantileDiscretizingRule for high-cardinality "
+                "columns, or raise MAX_DRIVER_DISTINCT deliberately."
+            )
         value_counts = (
             df.groupBy(self._col).count().orderBy(self._col).toPandas()
         )

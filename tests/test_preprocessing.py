@@ -211,3 +211,13 @@ def test_conditional_popularity_user_features(spark):
         for r in proc.conditional_pop_dict["seg"].collect()
     }
     assert pop == {(10, "x"): 0.5, (10, "y"): 0.5, (20, "x"): 1.0}
+
+
+def test_greedy_discretizer_cardinality_guard(spark):
+    from replay_spark.preprocessing import GreedyDiscretizingRule
+
+    df = spark.range(100).selectExpr("cast(id as double) as value")
+    rule = GreedyDiscretizingRule("value", n_bins=4)
+    rule.MAX_DRIVER_DISTINCT = 10  # force the guard
+    with pytest.raises(ValueError, match="distinct values"):
+        rule.fit(df)
