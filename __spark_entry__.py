@@ -1279,6 +1279,22 @@ def q_discretize_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + masking over documents (emails / IPv4 /
+    phone-like spans), single-pass regexp expressions."""
+    from replay_spark.preprocessing.text import PIIScrubber
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    out = PIIScrubber().transform(docs)
+    return out.select(
+        "doc_id",
+        "email_count",
+        "ipv4_count",
+        "phone_count",
+        F.md5("scrubbed_text").alias("scrubbed_hash"),
+    )
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per document."""
     from replay_spark.preprocessing.text import RepetitionStats
@@ -1431,6 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kfolds_sizes": q_kfolds_sizes,
         "q_dedup_clusters": q_dedup_clusters,
         "q_repetition_stats": q_repetition_stats,
+        "q_pii_scrub": q_pii_scrub,
     }
 
 
@@ -2696,6 +2713,20 @@ def oracle_sql() -> dict[str, str]:
                    ', total users: ' || count(DISTINCT query_id) ||
                    ', total items: ' || count(DISTINCT item_id) AS info
             FROM interactions
+        """,
+        "q_pii_scrub": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS email_count,
+                   len(regexp_extract_all(text,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS ipv4_count,
+                   len(regexp_extract_all(text,
+                       '\\b\\+?\\d{3}[- ]?\\d{3}[- ]?\\d{4}\\b')) AS phone_count,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IPV4]', 'g'),
+                       '\\b\\+?\\d{3}[- ]?\\d{3}[- ]?\\d{4}\\b', '[PHONE]', 'g')) AS scrubbed_hash
+            FROM documents
         """,
         "q_repetition_stats": """
             WITH base AS (

@@ -10,6 +10,8 @@ shuffle at all until an aggregation is requested.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -23,6 +25,8 @@ __all__ = [
     "fingerprint_expr",
     "rolling_fingerprint_expr",
     "RepetitionStats",
+    "PIIScrubber",
+    "PII_PATTERNS",
     "LANG_STOPWORDS",
 ]
 
@@ -318,3 +322,49 @@ class RepetitionStats:
                 .alias("top_bigram_char_frac"),
             )
         )
+
+
+# RE2-compatible patterns (work identically under Java regex and
+# DuckDB/RE2, so the oracle reproduces the operator exactly):
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\+?\d{3}[- ]?\d{3}[- ]?\d{4}\b",
+}
+
+
+class PIIScrubber:
+    """Detect and mask PII spans (emails, IPv4 addresses, phone-like
+    numbers) — the scrub step corpus pipelines run before training.
+
+    ``transform`` adds a ``{kind}_count`` column per pattern and a
+    ``scrubbed_text`` column with every span replaced by
+    ``[{KIND}]``. Everything is ``regexp_count``/``regexp_replace``
+    — single-pass, codegen, no shuffle, scale-free. Patterns are
+    deliberately RE2-compatible so any SQL engine verifies the
+    output byte-for-byte; swap in stricter patterns per corpus via
+    the ``patterns`` argument.
+    """
+
+    def __init__(
+        self,
+        text_column: str = "text",
+        patterns: Optional[dict] = None,
+        output_column: str = "scrubbed_text",
+    ):
+        self.text_column = text_column
+        self.patterns = dict(patterns or PII_PATTERNS)
+        self.output_column = output_column
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        text = F.col(self.text_column)
+        for kind, pat in self.patterns.items():
+            df = df.withColumn(
+                f"{kind}_count", F.regexp_count(text, F.lit(pat))
+            )
+        scrubbed = text
+        for kind, pat in self.patterns.items():
+            scrubbed = F.regexp_replace(
+                scrubbed, pat, f"[{kind.upper()}]"
+            )
+        return df.withColumn(self.output_column, scrubbed)

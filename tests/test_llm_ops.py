@@ -341,3 +341,26 @@ def test_repetition_stats_golden(spark):
     r3 = out[3]
     assert r3["dup_word_frac"] == 0.0
     assert r3["top_bigram_char_frac"] == 0.0
+
+
+def test_pii_scrubber_golden(spark):
+    from replay_spark.preprocessing.text import PIIScrubber
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob@example.com or alice@test.org, call 555-123-4567"),
+            (2, "server at 10.0.0.1 and 192.168.1.254"),
+            (3, "clean document"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in PIIScrubber().transform(docs).collect()}
+    assert out[1]["email_count"] == 2
+    assert out[1]["phone_count"] == 1
+    assert "[EMAIL]" in out[1]["scrubbed_text"]
+    assert "[PHONE]" in out[1]["scrubbed_text"]
+    assert "bob@example.com" not in out[1]["scrubbed_text"]
+    assert out[2]["ipv4_count"] == 2
+    assert "[IPV4]" in out[2]["scrubbed_text"]
+    assert out[3]["scrubbed_text"] == "clean document"
+    assert out[3]["email_count"] == out[3]["ipv4_count"] == out[3]["phone_count"] == 0
