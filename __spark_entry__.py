@@ -1279,6 +1279,17 @@ def q_discretize_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 64-token non-overlapping chunks."""
+    from replay_spark.preprocessing.text import DocumentChunker
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    out = DocumentChunker(max_tokens=64).transform(docs)
+    return out.select(
+        "doc_id", "chunk_idx", F.md5("chunk_text").alias("chunk_hash"), "n_tokens"
+    )
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + masking over documents (emails / IPv4 /
     phone-like spans), single-pass regexp expressions."""
@@ -1448,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters": q_dedup_clusters,
         "q_repetition_stats": q_repetition_stats,
         "q_pii_scrub": q_pii_scrub,
+        "q_document_chunks": q_document_chunks,
     }
 
 
@@ -2713,6 +2725,20 @@ def oracle_sql() -> dict[str, str]:
                    ', total users: ' || count(DISTINCT query_id) ||
                    ', total items: ' || count(DISTINCT item_id) AS info
             FROM interactions
+        """,
+        "q_document_chunks": """
+            WITH base AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                            ELSE string_split_regex(trim(text), '\\s+')
+                       END AS tk
+                FROM documents)
+            SELECT doc_id, i AS chunk_idx,
+                   md5(array_to_string(
+                       list_slice(tk, i * 64 + 1, (i + 1) * 64), ' ')) AS chunk_hash,
+                   len(list_slice(tk, i * 64 + 1, (i + 1) * 64)) AS n_tokens
+            FROM base, unnest(range(0, CAST(ceil(len(tk) / 64.0) AS BIGINT))) AS u(i)
+            WHERE len(tk) > 0
         """,
         "q_pii_scrub": """
             SELECT doc_id,

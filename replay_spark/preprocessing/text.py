@@ -26,6 +26,7 @@ __all__ = [
     "rolling_fingerprint_expr",
     "RepetitionStats",
     "PIIScrubber",
+    "DocumentChunker",
     "PII_PATTERNS",
     "LANG_STOPWORDS",
 ]
@@ -368,3 +369,62 @@ class PIIScrubber:
                 scrubbed, pat, f"[{kind.upper()}]"
             )
         return df.withColumn(self.output_column, scrubbed)
+
+
+class DocumentChunker:
+    """Split documents into fixed-token-budget training chunks.
+
+    Emits one row per chunk: (id, chunk_idx, chunk_text, n_tokens),
+    where chunks are consecutive non-overlapping windows of up to
+    ``max_tokens`` whitespace tokens (``overlap`` tokens of lookback
+    optional). The chunk text is the whitespace-normalized re-join of
+    its tokens — the form a tokenizer consumes — NOT the original
+    byte span. Pure expression work per row (sequence + slice +
+    posexplode): no shuffle, no UDF; a 100 TB corpus chunks at scan
+    speed. Documents with zero tokens emit no rows.
+    """
+
+    def __init__(
+        self,
+        id_column: str = "doc_id",
+        text_column: str = "text",
+        max_tokens: int = 512,
+        overlap: int = 0,
+    ):
+        if max_tokens < 1:
+            raise ValueError("max_tokens must be >= 1")
+        if not 0 <= overlap < max_tokens:
+            raise ValueError("overlap must be in [0, max_tokens)")
+        self.id_column = id_column
+        self.text_column = text_column
+        self.max_tokens = max_tokens
+        self.overlap = overlap
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        tokens = tokenize_expr(F.col(self.text_column))
+        stride = self.max_tokens - self.overlap
+        # number of chunks = ceil((n - overlap) / stride) for n > 0
+        n = F.size(tokens)
+        n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+            F.ceil((n - F.lit(self.overlap)) / F.lit(stride)).cast("int")
+        )
+        chunks = F.transform(
+            F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+            lambda i: F.slice(
+                tokens, i * stride + 1, self.max_tokens
+            ),
+        )
+        out = df.select(
+            self.id_column,
+            F.posexplode(
+                F.when(n_chunks > 0, chunks).otherwise(
+                    F.array().cast("array<array<string>>")
+                )
+            ).alias("chunk_idx", "_chunk_tokens"),
+        )
+        return out.select(
+            self.id_column,
+            "chunk_idx",
+            F.concat_ws(" ", "_chunk_tokens").alias("chunk_text"),
+            F.size("_chunk_tokens").alias("n_tokens"),
+        )

@@ -364,3 +364,35 @@ def test_pii_scrubber_golden(spark):
     assert "[IPV4]" in out[2]["scrubbed_text"]
     assert out[3]["scrubbed_text"] == "clean document"
     assert out[3]["email_count"] == out[3]["ipv4_count"] == out[3]["phone_count"] == 0
+
+
+def test_document_chunker_golden(spark):
+    from replay_spark.preprocessing.text import DocumentChunker
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "short doc"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = DocumentChunker(max_tokens=4).transform(docs)
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+        for r in out.collect()
+    )
+    assert rows == [
+        (1, 0, "t0 t1 t2 t3", 4),
+        (1, 1, "t4 t5 t6 t7", 4),
+        (1, 2, "t8 t9", 2),
+        (2, 0, "short doc", 2),
+    ]
+
+
+def test_document_chunker_overlap(spark):
+    from replay_spark.preprocessing.text import DocumentChunker
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string"
+    )
+    out = DocumentChunker(max_tokens=4, overlap=2).transform(docs)
+    rows = sorted((r["chunk_idx"], r["chunk_text"]) for r in out.collect())
+    # stride 2: windows [a b c d], [c d e f]
+    assert rows == [(0, "a b c d"), (1, "c d e f")]
