@@ -1279,6 +1279,41 @@ def q_discretize_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_two_stage_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoStageSplitter train/test sizes (rows-only: stage-1 user
+    sampling is seeded-random)."""
+    from replay_spark.splitters import TwoStageSplitter
+
+    inter = rsd.load_interactions(spark, sf_dir)
+    train, test = TwoStageSplitter(
+        first_divide_size=0.5, second_divide_size=0.3, seed=42
+    ).split(inter)
+    return spark.createDataFrame(
+        [(train.count(), test.count())], "train_rows long, test_rows long"
+    )
+
+
+def q_random_next_n_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RandomNextNSplitter test partition (hash-capable in principle
+    via xxhash64, but xxhash64 isn't available in DuckDB — rows-only)."""
+    from replay_spark.splitters import RandomNextNSplitter
+
+    inter = rsd.load_interactions(spark, sf_dir)
+    _, test = RandomNextNSplitter(2, seed=7).split(inter)
+    return test.select("query_id", "item_id")
+
+
+def q_sample_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted top-k sampling (pandas-UDF path; seeded, rows-only)."""
+    from replay_spark.utils.spark_utils import sample_top_k_recs
+
+    inter = rsd.load_interactions(spark, sf_dir)
+    pairs = inter.select(
+        "query_id", "item_id", F.abs(F.col("rating")).alias("rating")
+    )
+    return sample_top_k_recs(pairs, k=3, seed=11)
+
+
 def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: 64-token non-overlapping chunks."""
     from replay_spark.preprocessing.text import DocumentChunker
@@ -1460,6 +1495,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_stats": q_repetition_stats,
         "q_pii_scrub": q_pii_scrub,
         "q_document_chunks": q_document_chunks,
+        "q_two_stage_split_sizes": q_two_stage_split_sizes,
+        "q_random_next_n_split": q_random_next_n_split,
+        "q_sample_top_k": q_sample_top_k,
     }
 
 
