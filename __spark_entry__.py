@@ -1279,6 +1279,26 @@ def q_discretize_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus mixing by source (seeded sampleBy,
+    rows-only): keep two sources whole, downsample the rest."""
+    from replay_spark.preprocessing.text import CorpusMixer
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    mixer = CorpusMixer(
+        stratum_column="source",
+        fractions={"src0": 1.0, "src1": 1.0},
+        default_fraction=0.2,
+        seed=42,
+    )
+    return (
+        mixer.transform(docs)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .orderBy("source")
+    )
+
+
 def q_two_stage_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TwoStageSplitter train/test sizes (rows-only: stage-1 user
     sampling is seeded-random)."""
@@ -1495,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_stats": q_repetition_stats,
         "q_pii_scrub": q_pii_scrub,
         "q_document_chunks": q_document_chunks,
+        "q_corpus_mix": q_corpus_mix,
         "q_two_stage_split_sizes": q_two_stage_split_sizes,
         "q_random_next_n_split": q_random_next_n_split,
         "q_sample_top_k": q_sample_top_k,

@@ -27,6 +27,7 @@ __all__ = [
     "RepetitionStats",
     "PIIScrubber",
     "DocumentChunker",
+    "CorpusMixer",
     "PII_PATTERNS",
     "LANG_STOPWORDS",
 ]
@@ -428,3 +429,69 @@ class DocumentChunker:
             F.concat_ws(" ", "_chunk_tokens").alias("chunk_text"),
             F.size("_chunk_tokens").alias("n_tokens"),
         )
+
+
+class CorpusMixer:
+    """Stratified corpus mixing: sample each stratum (source/domain/
+    language) at its own rate to hit a target mixture.
+
+    ``fractions`` maps stratum value → sampling fraction in [0, 1];
+    strata absent from the map use ``default_fraction`` (0.0 drops
+    them). Sampling is `df.sampleBy` — per-row Bernoulli with a
+    per-stratum rate, seeded, executed entirely at scan time with no
+    shuffle; exact at corpus scale by the law of large numbers.
+    ``plan_fractions`` computes the fractions needed to reach target
+    PROPORTIONS given the observed stratum counts and a total budget
+    (one small groupBy-count, collected — #strata rows, driver-safe).
+    """
+
+    def __init__(
+        self,
+        stratum_column: str = "source",
+        fractions: Optional[dict] = None,
+        default_fraction: float = 0.0,
+        seed: int = 42,
+    ):
+        self.stratum_column = stratum_column
+        self.fractions = dict(fractions or {})
+        self.default_fraction = default_fraction
+        self.seed = seed
+
+    @staticmethod
+    def plan_fractions(
+        df: DataFrame,
+        stratum_column: str,
+        target_proportions: dict,
+        total_rows: int,
+    ) -> dict:
+        """fractions achieving ``target_proportions`` of
+        ``total_rows``, capped at 1.0 (can't upsample without
+        replacement — undershoot is reported by the caller comparing
+        counts)."""
+        counts = {
+            r[stratum_column]: r["count"]
+            for r in df.groupBy(stratum_column).count().collect()
+        }
+        out = {}
+        for stratum, prop in target_proportions.items():
+            have = counts.get(stratum, 0)
+            want = prop * total_rows
+            out[stratum] = min(1.0, want / have) if have else 0.0
+        return out
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        if self.default_fraction > 0:
+            # sampleBy treats unlisted strata as fraction 0, so a
+            # nonzero default needs the stratum universe — one small
+            # distinct collect (#strata rows)
+            strata = [
+                r[self.stratum_column]
+                for r in df.select(self.stratum_column).distinct().collect()
+            ]
+            fractions = {
+                s: float(self.fractions.get(s, self.default_fraction))
+                for s in strata
+            }
+        else:
+            fractions = {k: float(v) for k, v in self.fractions.items()}
+        return df.sampleBy(self.stratum_column, fractions, seed=self.seed)

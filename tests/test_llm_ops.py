@@ -396,3 +396,39 @@ def test_document_chunker_overlap(spark):
     rows = sorted((r["chunk_idx"], r["chunk_text"]) for r in out.collect())
     # stride 2: windows [a b c d], [c d e f]
     assert rows == [(0, "a b c d"), (1, "c d e f")]
+
+
+def test_corpus_mixer(spark):
+    from replay_spark.preprocessing.text import CorpusMixer
+
+    docs = spark.createDataFrame(
+        [(i, "web" if i < 200 else "code") for i in range(300)],
+        "doc_id long, source string",
+    )
+    out = CorpusMixer(
+        stratum_column="source", fractions={"code": 1.0}, default_fraction=0.25
+    ).transform(docs)
+    counts = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    assert counts["code"] == 100            # fraction 1.0 keeps all
+    assert 20 <= counts.get("web", 0) <= 90  # ~50 expected, Bernoulli
+    # seeded -> reproducible
+    out2 = CorpusMixer(
+        stratum_column="source", fractions={"code": 1.0}, default_fraction=0.25
+    ).transform(docs)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in out2.collect()
+    )
+
+
+def test_corpus_mixer_plan_fractions(spark):
+    from replay_spark.preprocessing.text import CorpusMixer
+
+    docs = spark.createDataFrame(
+        [(i, "web" if i < 800 else "code") for i in range(1000)],
+        "doc_id long, source string",
+    )
+    fr = CorpusMixer.plan_fractions(
+        docs, "source", {"web": 0.5, "code": 0.5}, total_rows=400
+    )
+    assert fr["web"] == pytest.approx(200 / 800)
+    assert fr["code"] == pytest.approx(1.0)  # capped: only 200 available
