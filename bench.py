@@ -47,6 +47,10 @@ BENCH_QUERIES = [
     "q_ivf_ann",
     "q_split_session_atomic",
     "q_e2e_eval",
+    "q_repetition_stats",
+    "q_pii_scrub",
+    "q_document_chunks",
+    "q_dedup_clusters",
 ]
 
 

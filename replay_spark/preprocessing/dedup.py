@@ -542,10 +542,21 @@ class NearDupClusters:
     plain key-partitioned join.
     """
 
-    def __init__(self, max_iterations: int = 20):
+    def __init__(
+        self,
+        max_iterations: int = 20,
+        driver_threshold: int = 5_000_000,
+    ):
+        # driver_threshold: candidate-pair sets are tiny relative to
+        # the corpus after LSH/threshold pruning (pairs ≪ docs); below
+        # the threshold a driver-side union-find answers in one pass
+        # instead of O(diameter) Spark rounds whose per-round job
+        # overhead dominates on small graphs. Above it, the
+        # distributed propagation runs — same components either way.
         if max_iterations < 1:
             raise ValueError("max_iterations must be >= 1")
         self.max_iterations = max_iterations
+        self.driver_threshold = driver_threshold
 
     def components(
         self,
@@ -555,6 +566,48 @@ class NearDupClusters:
     ) -> DataFrame:
         """(node, component) for every node appearing in ``pairs``;
         ``component`` is the smallest node id in the group."""
+        if (
+            self.driver_threshold
+            and pairs.limit(self.driver_threshold + 1).count()
+            <= self.driver_threshold
+        ):
+            return self._components_driver(pairs, id_a, id_b)
+        return self._components_distributed(pairs, id_a, id_b)
+
+    def _components_driver(
+        self, pairs: DataFrame, id_a: str, id_b: str
+    ) -> DataFrame:
+        """Union-find over a collected pair list (exact, one pass)."""
+        edge_rows = pairs.select(id_a, id_b).collect()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in edge_rows:
+            a, b = r[id_a], r[id_b]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by smaller id so the root IS the component id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out = [(n, find(n)) for n in parent]
+        spark = pairs.sparkSession
+        schema = pairs.select(
+            F.col(id_a).alias("node"), F.col(id_a).alias("component")
+        ).schema
+        return spark.createDataFrame(out, schema)
+
+    def _components_distributed(
+        self, pairs: DataFrame, id_a: str, id_b: str
+    ) -> DataFrame:
         edges = (
             pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
             .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))

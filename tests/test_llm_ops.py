@@ -432,3 +432,18 @@ def test_corpus_mixer_plan_fractions(spark):
     )
     assert fr["web"] == pytest.approx(200 / 800)
     assert fr["code"] == pytest.approx(1.0)  # capped: only 200 available
+
+
+def test_near_dup_clusters_distributed_matches_driver(spark):
+    """Both execution paths (driver union-find / distributed
+    propagation) must produce identical components."""
+    from replay_spark.preprocessing.dedup import NearDupClusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (3, 4)],
+        "id_a long, id_b long",
+    )
+    via_driver = NearDupClusters(driver_threshold=1000).components(pairs)
+    via_spark = NearDupClusters(driver_threshold=0).components(pairs)
+    as_set = lambda df: {(r["node"], r["component"]) for r in df.collect()}
+    assert as_set(via_driver) == as_set(via_spark)
