@@ -148,7 +148,13 @@ class Sessionizer:
             with_ordinal.join(cum_counts, on=self.user_column, how="left")
             .withColumn(
                 self.session_column,
-                F.col("_cum_user_count") - F.col("_session_ordinal"),
+                # explicit BIGINT: DuckDB's windowed SUM yields HUGEINT /
+                # DECIMAL, whose textual rendering differs from Spark's
+                # long — cast both engines to the same physical type so
+                # value hashes agree (reference sessionizer.py:174-210)
+                (F.col("_cum_user_count") - F.col("_session_ordinal")).cast(
+                    "long"
+                ),
             )
             .drop("_boundary", "_session_ordinal", "_cum_user_count")
         )
