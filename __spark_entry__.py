@@ -2810,11 +2810,11 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS ipv4_count,
                    len(regexp_extract_all(text,
-                       '\\b\\+?\\d{3}[- ]?\\d{3}[- ]?\\d{4}\\b')) AS phone_count,
+                       '(?:\\+|\\b)\\d{3}[- ]?\\d{3}[- ]?\\d{4}\\b')) AS phone_count,
                    md5(regexp_replace(regexp_replace(regexp_replace(text,
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
                        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IPV4]', 'g'),
-                       '\\b\\+?\\d{3}[- ]?\\d{3}[- ]?\\d{4}\\b', '[PHONE]', 'g')) AS scrubbed_hash
+                       '(?:\\+|\\b)\\d{3}[- ]?\\d{3}[- ]?\\d{4}\\b', '[PHONE]', 'g')) AS scrubbed_hash
             FROM documents
         """,
         "q_repetition_stats": """

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import math
 import random
+import warnings
 from typing import Optional
 
 from pyspark.sql import DataFrame, Window
@@ -113,7 +114,21 @@ def _word_ngrams(tokens, n: int):
 
 
 class NGramJaccardDeduplicator:
-    """Exact n-gram Jaccard similarity pairs above a threshold."""
+    """Exact n-gram Jaccard similarity pairs above a threshold.
+
+    ``max_shingle_df`` caps the document frequency of a shingle before
+    the pair join: a shingle shared by d documents contributes O(d²)
+    candidate pairs, so one stop-phrase shingle shared by 10⁶ docs
+    would generate ~10¹² pairs. The default (1000) bounds each
+    shingle's contribution at ~5·10⁵ pairs, which is what makes this
+    operator safe on a 100 TB corpus. Recall consequence: a pair whose
+    ONLY shared shingles are hotter than the cap is missed — but such
+    pairs have Jaccard ≈ (few hot shingles)/(union), far below any
+    sensible threshold, because capped shingles are excluded from both
+    the intersection and the per-doc sizes (consistent Jaccard over
+    retained shingles). Pass ``None`` explicitly to disable at small
+    scale.
+    """
 
     def __init__(
         self,
@@ -121,7 +136,7 @@ class NGramJaccardDeduplicator:
         text_column: str = "text",
         n: int = 3,
         threshold: float = 0.8,
-        max_shingle_df: Optional[int] = None,
+        max_shingle_df: Optional[int] = 1000,
     ):
         self.id_column = id_column
         self.text_column = text_column
@@ -620,6 +635,14 @@ class NearDupClusters:
             .withColumn("label", F.col("node"))
             .cache()
         )
+        # each round keeps exactly one materialized cache alive: the
+        # convergence count scans (and thus populates) new_labels'
+        # cache, the slim `labels` projection reads that same
+        # InMemoryRelation (no second cache), and only THEN is the
+        # previous round's cache dropped — lineage stays one cache
+        # deep instead of recomputing the join chain back to `edges`
+        prev_cache = labels
+        changed = 0
         for _ in range(self.max_iterations):
             neighbor_min = (
                 edges.join(
@@ -650,13 +673,25 @@ class NearDupClusters:
                 .cache()
             )
             changed = new_labels.filter(F.col("label") < F.col("_old")).count()
-            old = labels
-            labels = new_labels.select("node", "label").cache()
-            new_labels.unpersist()
-            old.unpersist()
+            labels = new_labels.select("node", "label")
+            prev_cache.unpersist()
+            prev_cache = new_labels
             if changed == 0:
                 break
+        else:
+            if changed > 0:
+                warnings.warn(
+                    f"NearDupClusters: label propagation did not converge "
+                    f"within max_iterations={self.max_iterations} "
+                    f"({changed} labels still changing); components may be "
+                    f"split — raise max_iterations for deep (chain-like) "
+                    f"candidate graphs",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
         edges.unpersist()
+        # the final round's cache stays persisted: the returned frame
+        # reads from it (callers get memoized components, as before)
         return labels.select("node", F.col("label").alias("component"))
 
     def transform(

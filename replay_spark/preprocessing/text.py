@@ -331,7 +331,10 @@ class RepetitionStats:
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
-    "phone": r"\b\+?\d{3}[- ]?\d{3}[- ]?\d{4}\b",
+    # (?:\+|\b) instead of \b\+?: \b before the non-word '+' fails at
+    # a non-word boundary, so the optional '+' could never match and
+    # international prefixes were left unmasked
+    "phone": r"(?:\+|\b)\d{3}[- ]?\d{3}[- ]?\d{4}\b",
 }
 
 
@@ -382,7 +385,9 @@ class DocumentChunker:
     its tokens — the form a tokenizer consumes — NOT the original
     byte span. Pure expression work per row (sequence + slice +
     posexplode): no shuffle, no UDF; a 100 TB corpus chunks at scan
-    speed. Documents with zero tokens emit no rows.
+    speed. Documents with zero tokens emit no rows; non-empty
+    documents always emit at least one chunk (even when
+    ``n_tokens <= overlap``).
     """
 
     def __init__(
@@ -404,10 +409,16 @@ class DocumentChunker:
     def transform(self, df: DataFrame) -> DataFrame:
         tokens = tokenize_expr(F.col(self.text_column))
         stride = self.max_tokens - self.overlap
-        # number of chunks = ceil((n - overlap) / stride) for n > 0
+        # number of chunks = max(ceil((n - overlap) / stride), 1) for
+        # n > 0: the floor of 1 keeps short documents (0 < n <= overlap,
+        # where the ceil is <= 0) as a single whole-document chunk
+        # instead of silently dropping them
         n = F.size(tokens)
         n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
-            F.ceil((n - F.lit(self.overlap)) / F.lit(stride)).cast("int")
+            F.greatest(
+                F.ceil((n - F.lit(self.overlap)) / F.lit(stride)).cast("int"),
+                F.lit(1),
+            )
         )
         chunks = F.transform(
             F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),

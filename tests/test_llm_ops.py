@@ -398,6 +398,68 @@ def test_document_chunker_overlap(spark):
     assert rows == [(0, "a b c d"), (1, "c d e f")]
 
 
+def test_document_chunker_short_doc_with_overlap(spark):
+    """0 < n_tokens <= overlap must still emit one whole-doc chunk
+    (regression: ceil((n - overlap)/stride) <= 0 dropped the doc)."""
+    from replay_spark.preprocessing.text import DocumentChunker
+
+    docs = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "a b c"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = DocumentChunker(max_tokens=512, overlap=100).transform(docs)
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+        for r in out.collect()
+    )
+    assert rows == [(1, 0, "tiny doc", 2), (2, 0, "a b c", 3)]
+
+
+def test_pii_scrubber_international_phone(spark):
+    """The optional '+' must be consumed by the phone match: the old
+    r'\\b\\+?...' never matched the '+' (word boundary before a
+    non-word char), leaving '+' unmasked."""
+    from replay_spark.preprocessing.text import PIIScrubber
+
+    docs = spark.createDataFrame(
+        [(1, "call +555-123-4567 now")], "doc_id long, text string"
+    )
+    row = PIIScrubber().transform(docs).collect()[0]
+    assert row["phone_count"] == 1
+    assert row["scrubbed_text"] == "call [PHONE] now"
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """max_shingle_df drops shingles shared by more than that many
+    documents before the O(df^2) pair join; pairs whose only overlap
+    is a hot shingle disappear, cold pairs are unaffected."""
+    rows = [(i, "x y") for i in range(1, 5)]  # "x y" has df=4
+    rows += [(10, "p q"), (11, "p q")]        # "p q" has df=2
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = NGramJaccardDeduplicator(
+        n=2, threshold=0.5, max_shingle_df=3
+    ).pairs(df)
+    assert {(r.id_a, r.id_b) for r in capped.collect()} == {(10, 11)}
+    uncapped = NGramJaccardDeduplicator(
+        n=2, threshold=0.5, max_shingle_df=None
+    ).pairs(df)
+    assert uncapped.count() == 6 + 1  # C(4,2) hot pairs + the cold pair
+
+
+def test_near_dup_clusters_max_iterations_warning(spark):
+    """Exhausting max_iterations with labels still changing must warn
+    (silent exit returned split components)."""
+    from replay_spark.preprocessing.dedup import NearDupClusters
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], "id_a long, id_b long"
+    )
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        NearDupClusters(
+            max_iterations=1, driver_threshold=0
+        ).components(chain).collect()
+
+
 def test_corpus_mixer(spark):
     from replay_spark.preprocessing.text import CorpusMixer
 
