@@ -18,6 +18,7 @@ the scoring loop.
 
 from __future__ import annotations
 
+import math
 import random
 from typing import Optional
 
@@ -181,27 +182,53 @@ class IVFANN:
 
 
 class LSHANN:
-    """Sign-random-projection bucketed search."""
+    """Sign-random-projection bucketed search.
+
+    ``num_planes=None`` (default) auto-scales with corpus size —
+    ``ceil(log2(n / target_bucket_size))`` planes — so the in-bucket
+    quadratic join stays bounded at any corpus size; a fixed plane
+    count degenerates to near-all-pairs once the corpus outgrows
+    2^planes buckets. ``num_tables`` independent hyperplane tables
+    multi-probe (candidate = collision in ANY table), recovering the
+    recall that extra planes would otherwise cost:
+    1 - (1 - p^planes)^L for per-plane agreement p = 1 - θ/π.
+    """
 
     def __init__(
         self,
         id_column: str = "vec_id",
         vector_column: str = "embedding",
         dim: int = 64,
-        num_planes: int = 8,
+        num_planes: Optional[int] = None,
+        num_tables: int = 4,
+        target_bucket_size: int = 1024,
         seed: int = 42,
     ):
+        if num_tables < 1:
+            raise ValueError("num_tables must be >= 1")
+        if target_bucket_size < 1:
+            raise ValueError("target_bucket_size must be >= 1")
         self.id_column = id_column
         self.vector_column = vector_column
         self.dim = dim
         self.num_planes = num_planes
+        self.num_tables = num_tables
+        self.target_bucket_size = target_bucket_size
         self.seed = seed
 
-    def _bucket_expr(self, v):
-        rng = random.Random(self.seed)
+    def _resolve_planes(self, corpus: DataFrame) -> int:
+        if self.num_planes is not None:
+            return self.num_planes
+        n = corpus.count()
+        if n <= self.target_bucket_size:
+            return 1
+        return min(24, math.ceil(math.log2(n / self.target_bucket_size)))
+
+    def _bucket_expr(self, v, table: int, num_planes: int):
+        rng = random.Random(self.seed + 7919 * table)
         planes = [
             [rng.gauss(0.0, 1.0) for _ in range(self.dim)]
-            for _ in range(self.num_planes)
+            for _ in range(num_planes)
         ]
         bucket = None
         for i, plane in enumerate(planes):
@@ -215,7 +242,26 @@ class LSHANN:
             bucket = bit if bucket is None else bucket.bitwiseXOR(bit)
         return bucket
 
+    def _with_buckets(self, df: DataFrame, num_planes: int) -> DataFrame:
+        """One row per (vector, table): linear fan-out before the
+        bucket join."""
+        tables = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("_table"),
+                    self._bucket_expr(
+                        F.col(df.columns[1]), t, num_planes
+                    ).alias("_bucket"),
+                )
+                for t in range(self.num_tables)
+            ]
+        )
+        return df.select("*", F.explode(tables).alias("_tb")).select(
+            *df.columns, "_tb._table", "_tb._bucket"
+        )
+
     def search(self, queries: DataFrame, corpus: DataFrame, k: int = 10) -> DataFrame:
+        num_planes = self._resolve_planes(corpus)
         q = queries.select(
             F.col(self.id_column).alias("query_id"),
             _as_double(F.col(self.vector_column)).alias("qv"),
@@ -224,10 +270,10 @@ class LSHANN:
             F.col(self.id_column).alias("neighbor_id"),
             _as_double(F.col(self.vector_column)).alias("cv"),
         )
-        q = q.withColumn("_bucket", self._bucket_expr(F.col("qv")))
-        c = c.withColumn("_bucket", self._bucket_expr(F.col("cv")))
+        q = self._with_buckets(q, num_planes)
+        c = self._with_buckets(c, num_planes)
         scored = (
-            q.join(c, on="_bucket")
+            q.join(c, on=["_table", "_bucket"])
             .filter(F.col("neighbor_id") != F.col("query_id"))
             .select(
                 "query_id",
@@ -236,6 +282,10 @@ class LSHANN:
                     "cosine"
                 ),
             )
+            # a (query, neighbor) colliding in several tables appears
+            # once per table; dedupe before ranking (deterministic
+            # cosine -> plain distinct)
+            .distinct()
         )
         w = Window.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), F.col("neighbor_id").asc()

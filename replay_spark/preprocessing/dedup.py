@@ -450,7 +450,24 @@ class EmbeddingDeduplicator:
 
     Random-hyperplane sign buckets (seeded, driver-generated,
     embedded as literals) prune candidates; exact cosine verifies.
-    ``num_planes=0`` disables pruning (exact brute force).
+
+    Scale controls:
+
+    * ``num_planes=None`` (default) auto-scales with corpus size:
+      ``ceil(log2(n / target_bucket_size))`` planes, so expected
+      bucket occupancy stays ~``target_bucket_size`` and the
+      in-bucket quadratic verify is bounded at any corpus size (a
+      FIXED plane count means 2^planes buckets — at 10⁹ vectors and
+      8 planes that is ~4M rows per bucket, i.e. the verify step
+      degenerates to all-pairs). Resolving the count is one columnar
+      scan job.
+    * more planes shrink buckets but also split true near-dup pairs
+      (P[same bucket] = p^planes with p = 1 - θ/π), so
+      ``num_tables`` independent hyperplane tables multi-probe the
+      space — a pair is a candidate if it collides in ANY table
+      (recall 1 - (1 - p^planes)^L, the same banding trick MinHash
+      uses). Candidates are deduped before the exact-cosine filter.
+    * ``num_planes=0`` disables pruning (exact brute force).
     """
 
     def __init__(
@@ -459,62 +476,101 @@ class EmbeddingDeduplicator:
         vector_column: str = "embedding",
         dim: int = 64,
         threshold: float = 0.95,
-        num_planes: int = 8,
+        num_planes: Optional[int] = None,
+        num_tables: int = 4,
+        target_bucket_size: int = 1024,
         seed: int = 42,
     ):
+        if num_tables < 1:
+            raise ValueError("num_tables must be >= 1")
+        if target_bucket_size < 1:
+            raise ValueError("target_bucket_size must be >= 1")
         self.id_column = id_column
         self.vector_column = vector_column
         self.dim = dim
         self.threshold = threshold
         self.num_planes = num_planes
+        self.num_tables = num_tables
+        self.target_bucket_size = target_bucket_size
         self.seed = seed
 
-    def _planes(self):
-        rng = random.Random(self.seed)
+    def _resolve_planes(self, df: DataFrame) -> int:
+        if self.num_planes is not None:
+            return self.num_planes
+        n = df.count()
+        if n <= self.target_bucket_size:
+            return 0
+        return min(24, math.ceil(math.log2(n / self.target_bucket_size)))
+
+    def _planes(self, table: int, num_planes: int):
+        rng = random.Random(self.seed + 7919 * table)
         return [
             [rng.gauss(0.0, 1.0) for _ in range(self.dim)]
-            for _ in range(self.num_planes)
+            for _ in range(num_planes)
         ]
 
-    def _prepared(self, df: DataFrame) -> DataFrame:
+    def _bucket_expr(self, v, table: int, num_planes: int):
+        bucket = None
+        for i, plane in enumerate(self._planes(table, num_planes)):
+            lit_plane = F.array(*[F.lit(p) for p in plane])
+            dot = F.aggregate(
+                F.zip_with(v, lit_plane, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bit = F.shiftleft(
+                F.when(dot >= 0, F.lit(1).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                ),
+                i,
+            )
+            bucket = bit if bucket is None else bucket.bitwiseXOR(bit)
+        return bucket
+
+    def _prepared(self, df: DataFrame, num_planes: int) -> DataFrame:
+        """(_id, _v, _norm, _table, _bucket); one row per (vector,
+        table) — vectors fan out ``num_tables``× before the bucket
+        join (linear cost, bounds the quadratic in-bucket cost)."""
         v = F.transform(F.col(self.vector_column), lambda x: x.cast("double"))
         out = df.select(F.col(self.id_column).alias("_id"), v.alias("_v"))
-        if self.num_planes:
-            bucket = None
-            for i, plane in enumerate(self._planes()):
-                lit_plane = F.array(*[F.lit(p) for p in plane])
-                dot = F.aggregate(
-                    F.zip_with("_v", lit_plane, lambda a, b: a * b),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                bit = F.shiftleft(
-                    F.when(dot >= 0, F.lit(1).cast("long")).otherwise(
-                        F.lit(0).cast("long")
-                    ),
-                    i,
-                )
-                bucket = bit if bucket is None else bucket.bitwiseXOR(bit)
-            out = out.withColumn("_bucket", bucket)
-        else:
-            out = out.withColumn("_bucket", F.lit(0))
         norm = F.sqrt(
             F.aggregate("_v", F.lit(0.0), lambda acc, x: acc + x * x)
         )
-        return out.withColumn("_norm", norm)
+        out = out.withColumn("_norm", norm)
+        if not num_planes:
+            return out.withColumn("_table", F.lit(0)).withColumn(
+                "_bucket", F.lit(0)
+            )
+        tables = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("_table"),
+                    self._bucket_expr(F.col("_v"), t, num_planes).alias(
+                        "_bucket"
+                    ),
+                )
+                for t in range(self.num_tables)
+            ]
+        )
+        return out.select(
+            "_id", "_v", "_norm", F.explode(tables).alias("_tb")
+        ).select("_id", "_v", "_norm", "_tb._table", "_tb._bucket")
 
     def pairs(self, df: DataFrame) -> DataFrame:
-        prepared = self._prepared(df).cache()
+        num_planes = self._resolve_planes(df)
+        prepared = self._prepared(df, num_planes).cache()
         left = prepared.select(
             F.col("_id").alias("id_a"),
             F.col("_v").alias("va"),
             F.col("_norm").alias("na"),
+            "_table",
             "_bucket",
         )
         right = prepared.select(
             F.col("_id").alias("id_b"),
             F.col("_v").alias("vb"),
             F.col("_norm").alias("nb"),
+            "_table",
             "_bucket",
         )
         dot = F.aggregate(
@@ -523,11 +579,15 @@ class EmbeddingDeduplicator:
             lambda acc, x: acc + x,
         )
         return (
-            left.join(right, on="_bucket")
+            left.join(right, on=["_table", "_bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
             .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
             .filter(F.col("cosine") >= self.threshold)
             .select("id_a", "id_b", "cosine")
+            # a pair colliding in several tables appears once per
+            # collision; the cosine is deterministic so a plain
+            # distinct dedupes (one shuffle on the surviving pairs)
+            .distinct()
         )
 
     def transform(self, df: DataFrame) -> DataFrame:

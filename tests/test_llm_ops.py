@@ -95,6 +95,61 @@ def test_embedding_dedup(vectors):
     assert (0, 1) in got2
 
 
+def test_embedding_dedup_auto_planes(spark):
+    """num_planes=None scales with corpus size (bounded buckets) and
+    the multi-table banding keeps recall on planted near-dup pairs."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows, planted = [], []
+    vid = 0
+    for _ in range(200):
+        v = rng.normal(size=16)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    for _ in range(20):
+        v = rng.normal(size=16)
+        w = v + rng.normal(scale=0.02, size=16)  # cosine ~0.999
+        rows.append((vid, [float(x) for x in v]))
+        rows.append((vid + 1, [float(x) for x in w]))
+        planted.append((vid, vid + 1))
+        vid += 2
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    dd = EmbeddingDeduplicator(
+        dim=16, threshold=0.95, target_bucket_size=16, seed=3
+    )
+    planes = dd._resolve_planes(df)
+    assert planes == 4  # ceil(log2(240/16))
+    got = {(r.id_a, r.id_b) for r in dd.pairs(df).collect()}
+    recall = len(got & set(planted)) / len(planted)
+    assert recall >= 0.8, f"auto-plane LSH recall {recall} below floor"
+    # small corpus (n <= target_bucket_size) -> exact brute force
+    small = df.filter("vec_id < 10")
+    assert dd._resolve_planes(small) == 0
+
+
+def test_lsh_ann_auto_planes(spark):
+    """LSHANN auto mode: buckets scale with the corpus, results stay
+    a subset of brute-force rankings with decent top-1 recall."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ann = LSHANN(dim=8, target_bucket_size=64, num_tables=8, seed=5)
+    assert ann._resolve_planes(df) == 3  # ceil(log2(300/64))
+    res = ann.search(df.filter("vec_id < 10"), df, k=3)
+    per_q = {r["query_id"]: r for r in res.filter("rank = 1").collect()}
+    assert len(per_q) == 10  # every query found candidates
+    # no duplicate (query, neighbor) rows despite multi-table probing
+    assert (
+        res.groupBy("query_id", "neighbor_id").count().filter("count > 1").count()
+        == 0
+    )
+
+
 def test_text_stats_and_quality(docs):
     out = TextStats().transform(docs)
     row = out.filter("doc_id = 0").first()
