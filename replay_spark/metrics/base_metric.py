@@ -123,9 +123,15 @@ class Metric:
             else:
                 key = f"{self.__name__}-{mode_name}@{k}"
             if mode_name == "PerUser":
-                value = {
-                    r[self.query_column]: r["value"] for r in value.collect()
-                }
+                if getattr(self._mode, "as_dict", False):
+                    # reference-parity dict — explicit opt-in, this
+                    # collects one row per user to the driver
+                    value = {
+                        r[self.query_column]: r["value"]
+                        for r in value.collect()
+                    }
+                else:
+                    value = value.select(self.query_column, "value")
             out[key] = value
         return out
 

@@ -44,6 +44,18 @@ class Median(CalculationDescriptor):
 
 
 class PerUser(CalculationDescriptor):
+    """Return the per-user metric distribution itself.
+
+    By default the metric result is the per-user DataFrame
+    (columns: query column + ``value``) — safe at any user count.
+    ``as_dict=True`` reproduces the reference's ``{user: value}``
+    dict (reference ``descriptors.py:50``), which collects the whole
+    distribution to the driver: opt-in only, OOM at ~10⁸ users.
+    """
+
+    def __init__(self, as_dict: bool = False):
+        self.as_dict = as_dict
+
     def spark(self, distribution: DataFrame):
         return distribution
 

@@ -16,6 +16,7 @@ values or non-numeric.
 from __future__ import annotations
 
 import random
+import warnings
 from typing import Callable, Optional
 
 from replay_spark.data.dataset import Dataset
@@ -105,6 +106,16 @@ def optimize(
             "trials": trials,
         }
 
+    # loud fallback, mirroring the reference's FeatureUnavailableWarning
+    # (optuna_mixin.py:235-240): a caller asking for TPE must know they
+    # got random search instead
+    warnings.warn(
+        "optuna is not installed: optimize() is falling back to SEEDED "
+        "RANDOM SEARCH over the same search space and trial budget. "
+        "Install optuna to get TPE sampling.",
+        RuntimeWarning,
+        stacklevel=2,
+    )
     rng = random.Random(seed)
     best_params, best_value = None, None
     for _ in range(budget):

@@ -44,12 +44,26 @@ def ground_truth(spark):
     return spark.createDataFrame(rows, "query_id int, item_id int")
 
 
+def test_per_user_default_returns_dataframe(recs, ground_truth):
+    """PerUser() must NOT collect by default: the result is the
+    per-user DataFrame (scale-safe); as_dict=True opts into the
+    reference's driver-side dict."""
+    from pyspark.sql import DataFrame
+
+    out = NDCG(2, mode=PerUser())(recs, ground_truth)["NDCG-PerUser@2"]
+    assert isinstance(out, DataFrame)
+    assert sorted(out.columns) == ["query_id", "value"]
+    vals = {r["query_id"]: r["value"] for r in out.collect()}
+    assert vals[1] == pytest.approx(0.38685280723454163)
+    assert vals[2] == pytest.approx(0.0)
+
+
 def test_ndcg_golden(recs, ground_truth):
     """Reference golden: NDCG@2 == 0.3333333333333333 with per-user
     values {1: 0.38685, 2: 0.0, 3: 0.61315}."""
     out = NDCG(2)(recs, ground_truth)
     assert out["NDCG@2"] == pytest.approx(0.3333333333, abs=1e-9)
-    per_user = NDCG(2, mode=PerUser())(recs, ground_truth)["NDCG-PerUser@2"]
+    per_user = NDCG(2, mode=PerUser(as_dict=True))(recs, ground_truth)["NDCG-PerUser@2"]
     assert per_user[1] == pytest.approx(0.38685280723454163)
     assert per_user[2] == pytest.approx(0.0)
     assert per_user[3] == pytest.approx(0.6131471927654584)
@@ -62,7 +76,7 @@ def test_ndcg_golden(recs, ground_truth):
 
 
 def test_map_golden(recs, ground_truth):
-    out = MAP(2, mode=PerUser())(recs, ground_truth)["MAP-PerUser@2"]
+    out = MAP(2, mode=PerUser(as_dict=True))(recs, ground_truth)["MAP-PerUser@2"]
     assert out[1] == pytest.approx(0.25)
     assert out[2] == pytest.approx(0.0)
     assert out[3] == pytest.approx(0.5)
@@ -71,22 +85,22 @@ def test_map_golden(recs, ground_truth):
 def test_hitrate_precision_recall(recs, ground_truth):
     hr = HitRate(2)(recs, ground_truth)["HitRate@2"]
     assert hr == pytest.approx(2 / 3)
-    prec = Precision(2, mode=PerUser())(recs, ground_truth)["Precision-PerUser@2"]
+    prec = Precision(2, mode=PerUser(as_dict=True))(recs, ground_truth)["Precision-PerUser@2"]
     assert prec == {1: 0.5, 2: 0.0, 3: 0.5}
-    rec = Recall(2, mode=PerUser())(recs, ground_truth)["Recall-PerUser@2"]
+    rec = Recall(2, mode=PerUser(as_dict=True))(recs, ground_truth)["Recall-PerUser@2"]
     assert rec[1] == pytest.approx(1 / 6)
     assert rec[3] == pytest.approx(1 / 5)
 
 
 def test_mrr(recs, ground_truth):
-    out = MRR(2, mode=PerUser())(recs, ground_truth)["MRR-PerUser@2"]
+    out = MRR(2, mode=PerUser(as_dict=True))(recs, ground_truth)["MRR-PerUser@2"]
     assert out[1] == pytest.approx(0.5)  # second item (7) is a hit
     assert out[2] == pytest.approx(0.0)
     assert out[3] == pytest.approx(1.0)
 
 
 def test_rocauc(recs, ground_truth):
-    out = RocAuc(2, mode=PerUser())(recs, ground_truth)["RocAuc-PerUser@2"]
+    out = RocAuc(2, mode=PerUser(as_dict=True))(recs, ground_truth)["RocAuc-PerUser@2"]
     # user1: pred [3,7]; 3 miss, 7 hit → fp_cur=1, fp_cum=1 → 1-1/(1*1)=0
     assert out[1] == pytest.approx(0.0)
     # user3: [1,2] both hits → fp_cum=0 → 1.0
@@ -95,7 +109,7 @@ def test_rocauc(recs, ground_truth):
 
 def test_novelty(recs, spark):
     train = spark.createDataFrame([(1, 3), (2, 100), (3, 1)], "query_id int, item_id int")
-    out = Novelty(2, mode=PerUser())(recs, train)["Novelty-PerUser@2"]
+    out = Novelty(2, mode=PerUser(as_dict=True))(recs, train)["Novelty-PerUser@2"]
     assert out[1] == pytest.approx(0.5)  # 3 seen, 7 new
     assert out[2] == pytest.approx(1.0)
     assert out[3] == pytest.approx(1.0)  # top-2 [4,9] disjoint from train {1}

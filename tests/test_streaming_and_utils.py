@@ -115,18 +115,69 @@ def test_optimize_random_search(spark, interactions):
         ]
     )
     ds = Dataset(schema, interactions)
-    result = optimize(
-        model_factory=lambda **p: ItemKNN(**p),
-        train_dataset=ds,
-        test_dataset=ds,
-        param_borders={"num_neighbours": [1, 5], "shrink": [0.0, 1.0]},
-        criterion=HitRate(2),
-        k=2,
-        budget=2,
-        seed=7,
-    )
+    with pytest.warns(RuntimeWarning, match="RANDOM SEARCH"):
+        result = optimize(
+            model_factory=lambda **p: ItemKNN(**p),
+            train_dataset=ds,
+            test_dataset=ds,
+            param_borders={"num_neighbours": [1, 5], "shrink": [0.0, 1.0]},
+            criterion=HitRate(2),
+            k=2,
+            budget=2,
+            seed=7,
+        )
     assert result["best_params"] is not None
     assert len(result["trials"]) == 2
+
+
+def test_optimize_fallback_parity_reference_space():
+    """Seeded random search over a reference-shaped ItemKNN space
+    (optuna_mixin.py:168-240 semantics: int / float ranges +
+    categorical list, one objective call per budget unit): correct
+    types and bounds, deterministic under a fixed seed, and the
+    fallback WARNS that TPE was not used."""
+    from types import SimpleNamespace
+
+    space = {
+        "num_neighbours": [1, 10],
+        "shrink": [0.0, 2.0],
+        "weighting": [None, "tf_idf", "bm25"],
+    }
+
+    class _Stub:
+        def __init__(self, **p):
+            self.p = p
+
+        def fit_predict(self, ds, k):
+            return self.p
+
+    def run():
+        with pytest.warns(RuntimeWarning, match="optuna is not installed"):
+            return optimize(
+                model_factory=lambda **p: _Stub(**p),
+                train_dataset=SimpleNamespace(interactions=None),
+                test_dataset=SimpleNamespace(interactions=None),
+                param_borders=space,
+                criterion=lambda recs, gt: (
+                    recs["num_neighbours"] * 0.1 + recs["shrink"]
+                ),
+                budget=6,
+                seed=123,
+            )
+
+    r1, r2 = run(), run()
+    assert len(r1["trials"]) == 6
+    for t in r1["trials"]:
+        p = t["params"]
+        assert isinstance(p["num_neighbours"], int)
+        assert 1 <= p["num_neighbours"] <= 10
+        assert isinstance(p["shrink"], float) and 0.0 <= p["shrink"] <= 2.0
+        assert p["weighting"] in (None, "tf_idf", "bm25")
+    # deterministic: same seed -> identical trial sequence and winner
+    assert r1["trials"] == r2["trials"]
+    assert r1["best_params"] == r2["best_params"]
+    best = max(r1["trials"], key=lambda t: t["value"])
+    assert r1["best_value"] == best["value"]
 
 
 def test_dataframe_bucketizer(spark, tmp_path):
