@@ -126,18 +126,29 @@ class BaseRecommender(ABC):
     ) -> Optional[DataFrame]:
         """Top-k recommendations per query: ``[query_id, item_id, rating]``."""
         dataset, queries, items = self._prepare_predict_inputs(dataset, queries, items)
-        recs = self._predict(dataset, k, queries, items, filter_seen_items)
+        seen_stats = None
         if filter_seen_items and dataset is not None:
-            recs = self._filter_seen(recs, dataset.interactions, k, queries)
-        recs = get_top_k_recs(
-            recs, k, self.query_column, self.item_column, self.rating_column
-        ).select(self.query_column, self.item_column, self.rating_column)
-        if recs_file_path is not None:
-            recs.write.mode("overwrite").parquet(recs_file_path)
-            return None
-        recs = recs.cache()
-        recs.count()
-        return recs
+            seen_stats = self._compute_seen_stats(dataset.interactions, queries)
+        self._shared_seen_stats = seen_stats
+        try:
+            recs = self._predict(dataset, k, queries, items, filter_seen_items)
+            if filter_seen_items and dataset is not None:
+                recs = self._filter_seen(
+                    recs, dataset.interactions, k, queries, seen_stats
+                )
+            recs = get_top_k_recs(
+                recs, k, self.query_column, self.item_column, self.rating_column
+            ).select(self.query_column, self.item_column, self.rating_column)
+            if recs_file_path is not None:
+                recs.write.mode("overwrite").parquet(recs_file_path)
+                return None
+            recs = recs.cache()
+            recs.count()
+            return recs
+        finally:
+            self._shared_seen_stats = None
+            if seen_stats is not None:
+                seen_stats[0].unpersist()
 
     def fit_predict(
         self,
@@ -236,8 +247,37 @@ class BaseRecommender(ABC):
             )
         return dataset, queries, items
 
+    def _compute_seen_stats(self, interactions: DataFrame, queries: DataFrame):
+        """Per-query seen-interaction stats shared across one predict
+        call: (cached stats frame [query, seen_count, num_items],
+        max seen_count, max num_items).
+
+        One interaction scan + one scalar-pull job feed both the
+        global rank cap in ``_predict`` (distinct count) and the
+        depth caps in ``_filter_seen`` (raw count) — previously two
+        independent scans each ending in its own ``first()``.
+        """
+        stats = (
+            interactions.join(queries, on=self.query_column)
+            .groupBy(self.query_column)
+            .agg(
+                F.count(self.item_column).alias("seen_count"),
+                F.countDistinct(self.item_column).alias("num_items"),
+            )
+            .cache()
+        )
+        row = stats.agg(
+            F.max("seen_count").alias("_ms"), F.max("num_items").alias("_md")
+        ).first()
+        return stats, (row["_ms"] or 0), (row["_md"] or 0)
+
     def _filter_seen(
-        self, recs: DataFrame, interactions: DataFrame, k: int, queries: DataFrame
+        self,
+        recs: DataFrame,
+        interactions: DataFrame,
+        k: int,
+        queries: DataFrame,
+        seen_stats=None,
     ) -> DataFrame:
         """Remove items already seen by each query; keep enough depth.
 
@@ -245,12 +285,17 @@ class BaseRecommender(ABC):
         ``k + max_seen``, per-query cap at ``k + seen_count``, then
         anti join on the seen pairs.
         """
-        queries_interactions = interactions.join(queries, on=self.query_column)
-        num_seen = queries_interactions.groupBy(self.query_column).agg(
-            F.count(self.item_column).alias("seen_count")
-        )
-        max_seen_row = num_seen.agg(F.max("seen_count")).first()
-        max_seen = max_seen_row[0] if max_seen_row and max_seen_row[0] else 0
+        if seen_stats is not None:
+            stats, max_seen, _ = seen_stats
+            num_seen = stats.select(self.query_column, "seen_count")
+        else:
+            num_seen = (
+                interactions.join(queries, on=self.query_column)
+                .groupBy(self.query_column)
+                .agg(F.count(self.item_column).alias("seen_count"))
+            )
+            max_seen_row = num_seen.agg(F.max("seen_count")).first()
+            max_seen = max_seen_row[0] if max_seen_row and max_seen_row[0] else 0
         recs = recs.withColumn(
             "temp_rank",
             F.row_number().over(
@@ -265,7 +310,7 @@ class BaseRecommender(ABC):
             .filter(F.col("temp_rank") <= F.col("seen_count") + F.lit(k))
             .drop("temp_rank", "seen_count")
         )
-        seen_pairs = queries_interactions.select(
+        seen_pairs = interactions.join(queries, on=self.query_column).select(
             F.col(self.query_column), F.col(self.item_column)
         )
         return recs.join(
@@ -409,17 +454,30 @@ class NonPersonalizedRecommender(BaseRecommender, ABC):
                 "rank", F.row_number().over(Window.orderBy(*rank_order))
             )
         if filter_seen_items and dataset is not None:
-            query_to_num_items = (
-                dataset.interactions.join(queries, on=self.query_column)
-                .groupBy(self.query_column)
-                .agg(F.countDistinct(self.item_column).alias("num_items"))
-            )
+            shared = getattr(self, "_shared_seen_stats", None)
+            if shared is not None:
+                # predict() already computed + cached per-query stats;
+                # reuse instead of re-scanning interactions
+                stats, _, max_seen = shared
+                query_to_num_items = stats.select(
+                    self.query_column, "num_items"
+                )
+            else:
+                query_to_num_items = (
+                    dataset.interactions.join(queries, on=self.query_column)
+                    .groupBy(self.query_column)
+                    .agg(F.countDistinct(self.item_column).alias("num_items"))
+                )
+                max_seen = None
             queries_with_num = queries.join(
                 query_to_num_items, on=self.query_column, how="left"
             ).fillna(0, subset=["num_items"])
-            max_seen = (
-                queries_with_num.agg(F.coalesce(F.max("num_items"), F.lit(0))).first()[0]
-            )
+            if max_seen is None:
+                max_seen = (
+                    queries_with_num.agg(
+                        F.coalesce(F.max("num_items"), F.lit(0))
+                    ).first()[0]
+                )
             selected = selected.filter(F.col("rank") <= k + max_seen)
             return queries_with_num.join(
                 selected, on=(F.col("rank") <= k + F.col("num_items")), how="left"
@@ -462,13 +520,18 @@ class NonPersonalizedRecommender(BaseRecommender, ABC):
         k_local = min(k, len(items_pd))
 
         if dataset is not None:
-            queries = queries.join(
-                dataset.interactions.join(queries, on=query_col)
-                .groupBy(query_col)
-                .agg(F.countDistinct(item_col).alias("num_items")),
-                on=query_col,
-                how="left",
-            ).fillna(0, subset=["num_items"])
+            shared = getattr(self, "_shared_seen_stats", None)
+            if shared is not None:
+                num_df = shared[0].select(query_col, "num_items")
+            else:
+                num_df = (
+                    dataset.interactions.join(queries, on=query_col)
+                    .groupBy(query_col)
+                    .agg(F.countDistinct(item_col).alias("num_items"))
+                )
+            queries = queries.join(num_df, on=query_col, how="left").fillna(
+                0, subset=["num_items"]
+            )
         else:
             queries = queries.withColumn("num_items", F.lit(0))
 

@@ -47,10 +47,13 @@ class PopRec(NonPersonalizedRecommender):
             .withColumn(
                 self.rating_column, F.col(self.rating_column) / F.lit(self.queries_count)
             )
+            .cache()
         )
-        self.item_popularity.cache().count()
-        self.fill = self._calc_fill(
-            self.item_popularity, self.cold_weight, self.rating_column
+        # one action both materializes the cache and pulls the fill
+        # scalar (was: .count() then a second min-agg job)
+        self.fill = (
+            self.item_popularity.agg(F.min(self.rating_column)).first()[0]
+            * self.cold_weight
         )
 
 
