@@ -466,6 +466,67 @@ def q_sessionize_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming/batch parity gate: StreamingStatefulSessionizer
+    (applyInPandasWithState, O(active users) state) over the events
+    slice as a bounded stream must assign the same composite session
+    ids as the batch Sessionizer — one availableNow pass through a
+    memory sink."""
+    from replay_spark.streaming import StreamingStatefulSessionizer
+
+    # stop any prior instance of this sink (re-entrant across rounds)
+    for q in spark.streams.active:
+        if q.name == "q_streaming_sessionize_sink":
+            q.stop()
+    # the file-stream source requires a DIRECTORY; testdata ships flat
+    # files, so stage a symlink dir under /tmp (content still read
+    # from the original path)
+    import os
+    import tempfile
+
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    link_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"rs_stream_events_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, "events.parquet")
+    if os.path.lexists(link) and os.path.realpath(link) != src:
+        os.unlink(link)
+    if not os.path.lexists(link):
+        os.symlink(src, link)
+    raw_schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(raw_schema).parquet(link_dir)
+    # same ts normalization as datasets.read_table, applied to the
+    # stream (the physical type has drifted across testdata rounds)
+    ts_type = raw_schema["ts"].dataType.simpleString()
+    ts = F.col("ts")
+    if ts_type == "bigint":  # int64 nanos
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    elif ts_type == "timestamp_ntz":
+        ts = F.col("ts").cast("timestamp")
+    inter_stream = stream.select(
+        F.col("user_id").cast("long").alias("query_id"),
+        ts.alias("timestamp"),
+    )
+    tagged = StreamingStatefulSessionizer(
+        user_column="query_id", time_column="timestamp", session_gap=1800
+    ).transform(inter_stream)
+    sq = (
+        tagged.writeStream.format("memory")
+        .queryName("q_streaming_sessionize_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(300)
+    return spark.table("q_streaming_sessionize_sink").select(
+        "query_id",
+        F.unix_timestamp("timestamp").alias("ts_s"),
+        "session_id",
+    )
+
+
 def q_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense label codes for event_type via join-based LabelEncoder."""
     from replay_spark.preprocessing import LabelEncodingRule
@@ -1472,7 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_candidates": q_minhash_candidates,
         "q_simhash_fingerprints": q_simhash_fingerprints,
         # -- (d) new in r4 ------------------------------------------
-        # (inserted here as they are added this round)
+        "q_streaming_sessionize": q_streaming_sessionize,
         # -- (e) officially green in r3; rotate out of the window ---
         "q_sessionize_composite": q_sessionize_composite,
         "q_klucb_scores": q_klucb_scores,
@@ -2157,6 +2218,29 @@ def oracle_sql() -> dict[str, str]:
                 ) AS ordinal
                 FROM b)
             SELECT query_id, item_id, ts_s,
+                   CAST(query_id AS VARCHAR) || '_' ||
+                   CAST(ordinal AS VARCHAR) AS session_id
+            FROM o
+        """,
+        "q_streaming_sessionize": """
+            WITH base AS (
+                SELECT CAST(user_id AS BIGINT) AS query_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+                FROM events),
+            b AS (
+                SELECT *, CASE WHEN lag(ts_s) OVER w IS NULL
+                                 OR ts_s - lag(ts_s) OVER w >= 1800
+                               THEN 1 ELSE 0 END AS boundary
+                FROM base
+                WINDOW w AS (PARTITION BY query_id ORDER BY ts_s)),
+            o AS (
+                SELECT *, sum(boundary) OVER (
+                    PARTITION BY query_id
+                    ORDER BY ts_s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS ordinal
+                FROM b)
+            SELECT query_id, ts_s,
                    CAST(query_id AS VARCHAR) || '_' ||
                    CAST(ordinal AS VARCHAR) AS session_id
             FROM o

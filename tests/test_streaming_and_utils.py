@@ -2,6 +2,7 @@ import datetime as dt
 import tempfile
 
 import pytest
+from pyspark.sql import functions as F
 
 from replay_spark.preprocessing.converter import CSRConverter
 from replay_spark.streaming import (
@@ -250,6 +251,32 @@ def test_splitters_partition_input(spark):
         assert overlap == 0, f"{name}: {overlap} overlapping rows"
     folds = list(KFolds(n_folds=3, seed=7).split(df))
     assert sum(t.count() for _, t in folds) == n
+
+
+def test_streaming_sessionizer_matches_batch(spark, sf_dir):
+    """Parity gate: the stateful streaming sessionizer and the batch
+    Sessionizer (composite mode) must assign identical session ids to
+    the same events slice."""
+    import __spark_entry__ as entry
+    from replay_spark.datasets import load_interactions
+    from replay_spark.preprocessing import Sessionizer
+
+    streamed = entry.queries()["q_streaming_sessionize"](spark, sf_dir)
+    got = sorted(
+        (r["query_id"], r["ts_s"], r["session_id"]) for r in streamed.collect()
+    )
+    batch = Sessionizer(
+        user_column="query_id", time_column="timestamp", session_gap=1800
+    ).transform(load_interactions(spark, sf_dir))
+    want = sorted(
+        (r["query_id"], r["ts_s"], r["session_id"])
+        for r in batch.select(
+            "query_id",
+            F.unix_timestamp("timestamp").alias("ts_s"),
+            "session_id",
+        ).collect()
+    )
+    assert got == want
 
 
 def test_streaming_stateful_sessionizer(spark, event_stream_dir):
