@@ -1406,6 +1406,32 @@ def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_document_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping chunking (64-token windows, 16-token lookback):
+    exercises the stride arithmetic AND the short-doc floor (docs with
+    0 < n_tokens <= overlap emit exactly one whole-doc chunk)."""
+    from replay_spark.preprocessing.text import DocumentChunker
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    out = DocumentChunker(max_tokens=64, overlap=16).transform(docs)
+    return out.select(
+        "doc_id", "chunk_idx", F.md5("chunk_text").alias("chunk_hash"), "n_tokens"
+    )
+
+
+def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard pairs under a hot-shingle DF cap (5): shingles
+    shared by more than 5 docs are excluded from both intersections
+    and sizes — the bounded-pair-blowup semantics used at scale."""
+    from replay_spark.preprocessing.dedup import NGramJaccardDeduplicator
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    pairs = NGramJaccardDeduplicator(
+        n=3, threshold=0.2, max_shingle_df=5
+    ).pairs(docs)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + masking over documents (emails / IPv4 /
     phone-like spans), single-pass regexp expressions."""
@@ -1534,6 +1560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_fingerprints": q_simhash_fingerprints,
         # -- (d) new in r4 ------------------------------------------
         "q_streaming_sessionize": q_streaming_sessionize,
+        "q_document_chunks_overlap": q_document_chunks_overlap,
+        "q_ngram_jaccard_capped": q_ngram_jaccard_capped,
         # -- (e) officially green in r3; rotate out of the window ---
         "q_sessionize_composite": q_sessionize_composite,
         "q_klucb_scores": q_klucb_scores,
@@ -2886,6 +2914,56 @@ def oracle_sql() -> dict[str, str]:
                    len(list_slice(tk, i * 64 + 1, (i + 1) * 64)) AS n_tokens
             FROM base, unnest(range(0, CAST(ceil(len(tk) / 64.0) AS BIGINT))) AS u(i)
             WHERE len(tk) > 0
+        """,
+        "q_document_chunks_overlap": """
+            WITH base AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                            ELSE string_split_regex(trim(text), '\\s+')
+                       END AS tk
+                FROM documents),
+            nc AS (
+                SELECT doc_id, tk,
+                       CASE WHEN len(tk) <= 0 THEN 0
+                            ELSE greatest(
+                                CAST(ceil((len(tk) - 16) / 48.0) AS BIGINT), 1)
+                       END AS n_chunks
+                FROM base)
+            SELECT doc_id, i AS chunk_idx,
+                   md5(array_to_string(
+                       list_slice(tk, i * 48 + 1, i * 48 + 64), ' ')) AS chunk_hash,
+                   len(list_slice(tk, i * 48 + 1, i * 48 + 64)) AS n_tokens
+            FROM nc, unnest(range(0, n_chunks)) AS u(i)
+        """,
+        "q_ngram_jaccard_capped": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS tk
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id, shingle FROM (
+                    SELECT doc_id,
+                           CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                                ELSE list_transform(range(1, len(tk) - 1),
+                                     i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+                           END AS shingles
+                    FROM toks) t, unnest(t.shingles) AS u(shingle)),
+            kept AS (
+                SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 5),
+            shk AS (
+                SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM shk GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                FROM shk a JOIN shk b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON id_a = sa.doc_id
+            JOIN sizes sb ON id_b = sb.doc_id
+            WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.2
         """,
         "q_pii_scrub": """
             SELECT doc_id,
