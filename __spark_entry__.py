@@ -1084,6 +1084,39 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_fingerprints_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k rolling (winnowing-style) fingerprints in portable
+    md5 mode — hash-gated against a DuckDB list-comprehension oracle
+    (the xxhash64 twin ``q_doc_fingerprints`` stays rows-only)."""
+    from replay_spark.preprocessing.text import rolling_fingerprint_expr
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            ",",
+            rolling_fingerprint_expr(F.col("text"), hash_fn="md5"),
+        ).alias("sketch"),
+    )
+
+
+def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-200 tokens by term frequency with
+    document frequencies (tokenizer-training statistics)."""
+    from replay_spark.preprocessing.text import VocabBuilder
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    return VocabBuilder(top_n=200).transform(docs)
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 keywords by smoothed tf-idf."""
+    from replay_spark.preprocessing.text import TfIdfKeywords
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    return TfIdfKeywords(k=5).transform(docs)
+
+
 def q_item_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-item exponential recency weights (reference utils/time.py
     semantics: weight 0.5 at age==decay days, clamped at limit)."""
@@ -1562,6 +1595,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_sessionize": q_streaming_sessionize,
         "q_document_chunks_overlap": q_document_chunks_overlap,
         "q_ngram_jaccard_capped": q_ngram_jaccard_capped,
+        "q_doc_fingerprints_md5": q_doc_fingerprints_md5,
+        "q_vocab_top_tokens": q_vocab_top_tokens,
+        "q_tfidf_keywords": q_tfidf_keywords,
         # -- (e) officially green in r3; rotate out of the window ---
         "q_sessionize_composite": q_sessionize_composite,
         "q_klucb_scores": q_klucb_scores,
@@ -2316,6 +2352,70 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY doc_id) AS rn
                 FROM documents) t
             WHERE rn = 1
+        """,
+        "q_doc_fingerprints_md5": """
+            WITH norm AS (
+                SELECT doc_id,
+                       lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   array_to_string(
+                       (list_sort(list_distinct(list_transform(
+                           range(1, greatest(length(t) - 7, 1) + 1),
+                           i -> md5(substr(t, CAST(i AS INT), 8))
+                       ))))[1:8],
+                       ',') AS sketch
+            FROM norm
+        """,
+        "q_vocab_top_tokens": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+                FROM documents
+                WHERE trim(text) <> ''
+            )
+            SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+            FROM toks GROUP BY token
+            ORDER BY tf DESC, token ASC
+            LIMIT 200
+        """,
+        "q_tfidf_keywords": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+                FROM documents
+                WHERE trim(text) <> ''
+            ),
+            doc_tf AS (
+                SELECT doc_id, token, count(*) AS c
+                FROM toks GROUP BY doc_id, token
+            ),
+            doc_len AS (
+                SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+            ),
+            dfreq AS (
+                SELECT token, count(DISTINCT doc_id) AS df
+                FROM toks GROUP BY token
+            ),
+            corpus AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+                SELECT t.doc_id, t.token,
+                       round(
+                           (t.c * 1.0 / l.n)
+                           * (ln((corpus.n_docs + 1.0) / (d.df + 1.0)) + 1.0),
+                           6) AS score
+                FROM doc_tf t
+                JOIN doc_len l USING (doc_id)
+                JOIN dfreq d USING (token)
+                CROSS JOIN corpus
+            )
+            SELECT doc_id, token, score, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY score DESC, token ASC) AS rank
+                FROM scored) s
+            WHERE rank <= 5
         """,
         "q_text_quality": """
             WITH t AS (

@@ -28,6 +28,8 @@ __all__ = [
     "PIIScrubber",
     "DocumentChunker",
     "CorpusMixer",
+    "VocabBuilder",
+    "TfIdfKeywords",
     "PII_PATTERNS",
     "LANG_STOPWORDS",
 ]
@@ -76,22 +78,30 @@ def fingerprint_expr(text: Column) -> Column:
 
 
 def rolling_fingerprint_expr(
-    text: Column, k: int = 8, gram: int = 8
+    text: Column, k: int = 8, gram: int = 8, hash_fn: str = "xxhash64"
 ) -> Column:
-    """Winnowing-style rolling fingerprint: the k smallest xxhash64
+    """Winnowing-style rolling fingerprint: the k smallest hash
     values over all character ``gram``-grams of the normalized text
     (a bottom-k sketch). Containment of two docs' sketches estimates
     their gram-level overlap; identical-after-normalization docs have
     identical sketches. Pure expression — array ops stay in codegen,
-    no shuffle."""
+    no shuffle.
+
+    ``hash_fn``: ``"xxhash64"`` (default, fastest — JVM-side 64-bit
+    ints) or ``"md5"`` (portable — lowercase hex digests whose
+    lexicographic bottom-k is reproducible in any engine with an md5
+    function, which is what the DuckDB oracle gate uses)."""
     norm = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
     positions = F.sequence(
         F.lit(1), F.greatest(F.length(norm) - F.lit(gram - 1), F.lit(1))
     )
     grams = F.transform(positions, lambda i: norm.substr(i, F.lit(gram)))
-    hashes = F.array_distinct(
-        F.transform(grams, lambda g: F.xxhash64(g))
-    )
+    if hash_fn == "xxhash64":
+        hashes = F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g)))
+    elif hash_fn == "md5":
+        hashes = F.array_distinct(F.transform(grams, lambda g: F.md5(g)))
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     return F.slice(F.array_sort(hashes), 1, k)
 
 
@@ -506,3 +516,139 @@ class CorpusMixer:
         else:
             fractions = {k: float(v) for k, v in self.fractions.items()}
         return df.sampleBy(self.stratum_column, fractions, seed=self.seed)
+
+
+class VocabBuilder:
+    """Corpus vocabulary with term and document frequencies.
+
+    The tokenizer-training / corpus-statistics primitive of an LLM
+    data pipeline: one ``explode`` over documents, one token-keyed
+    aggregation (map-side combined, so the shuffle carries one row
+    per distinct token per partition, not one per occurrence), then
+    an ordered take for the optional top-N truncation — ``orderBy +
+    limit`` compiles to ``TakeOrderedAndProject``, a per-partition
+    heap + driver merge of N rows, never a global sort shuffle.
+
+    Deterministic: ties in term frequency break on the token itself.
+
+    No reference counterpart (LLM-pipeline extension); the closest
+    spirit is RePlay's popularity aggregation
+    (``/root/reference/replay/models/pop_rec.py:121-136``) applied
+    to tokens instead of items.
+    """
+
+    def __init__(
+        self,
+        text_column: str = "text",
+        id_column: str = "doc_id",
+        lowercase: bool = True,
+        min_df: int = 1,
+        top_n: Optional[int] = None,
+    ):
+        if min_df < 1:
+            raise ValueError("min_df must be >= 1")
+        self.text_column = text_column
+        self.id_column = id_column
+        self.lowercase = lowercase
+        self.min_df = min_df
+        self.top_n = top_n
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """Return ``[token, tf, df]`` — corpus-wide term frequency
+        and document frequency."""
+        text = F.col(self.text_column)
+        if self.lowercase:
+            text = F.lower(text)
+        exploded = df.select(
+            F.col(self.id_column).alias("__doc"),
+            F.explode(tokenize_expr(text)).alias("token"),
+        )
+        vocab = exploded.groupBy("token").agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("__doc").alias("df"),
+        )
+        if self.min_df > 1:
+            vocab = vocab.filter(F.col("df") >= self.min_df)
+        if self.top_n is not None:
+            vocab = vocab.orderBy(
+                F.desc("tf"), F.asc("token")
+            ).limit(self.top_n)
+        return vocab
+
+
+class TfIdfKeywords:
+    """Per-document top-k keywords by smoothed tf-idf.
+
+    score(d, t) = (count(t in d) / len(d)) * (ln((N+1)/(df(t)+1)) + 1)
+
+    Plan shape: explode → (doc, token) counts and doc lengths share
+    the same doc-keyed shuffle; document frequency is one token-keyed
+    aggregation; the corpus size N joins in as a broadcast single-row
+    aggregate (no driver pull, so the whole thing stays one lazy
+    plan); final top-k is a per-document ``row_number`` window over
+    the *rounded* score (6 dp) with a token-ascending tie-break, so
+    the ordering — not just the output — is reproducible across
+    engines regardless of last-ulp ``ln`` differences.
+
+    No reference counterpart (LLM-pipeline extension); the idf
+    weighting mirrors RePlay's Word2Vec idf user-vector weighting
+    (``/root/reference/replay/models/word2vec.py:175-198``).
+    """
+
+    def __init__(
+        self,
+        text_column: str = "text",
+        id_column: str = "doc_id",
+        k: int = 5,
+        lowercase: bool = True,
+    ):
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        self.text_column = text_column
+        self.id_column = id_column
+        self.k = k
+        self.lowercase = lowercase
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """Return ``[<id_column>, token, score, rank]`` with
+        ``rank <= k`` per document."""
+        idc = self.id_column
+        text = F.col(self.text_column)
+        if self.lowercase:
+            text = F.lower(text)
+        toks = df.select(
+            F.col(idc), F.explode(tokenize_expr(text)).alias("token")
+        )
+        doc_tf = toks.groupBy(idc, "token").agg(F.count("*").alias("__c"))
+        doc_len = toks.groupBy(idc).agg(F.count("*").alias("__n"))
+        dfreq = toks.groupBy("token").agg(
+            F.countDistinct(idc).alias("__df")
+        )
+        n_docs = df.agg(F.count("*").alias("__ndocs"))
+        scored = (
+            doc_tf.join(doc_len, on=idc)
+            .join(dfreq, on="token")
+            .crossJoin(F.broadcast(n_docs))
+            .withColumn(
+                "score",
+                F.round(
+                    (F.col("__c").cast("double") / F.col("__n"))
+                    * (
+                        F.log(
+                            (F.col("__ndocs") + F.lit(1.0))
+                            / (F.col("__df") + F.lit(1.0))
+                        )
+                        + F.lit(1.0)
+                    ),
+                    6,
+                ),
+            )
+        )
+        w = Window.partitionBy(idc).orderBy(
+            F.desc("score"), F.asc("token")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= self.k)
+            .select(idc, "token", "score", "rank")
+        )

@@ -564,3 +564,90 @@ def test_near_dup_clusters_distributed_matches_driver(spark):
     via_spark = NearDupClusters(driver_threshold=0).components(pairs)
     as_set = lambda df: {(r["node"], r["component"]) for r in df.collect()}
     assert as_set(via_driver) == as_set(via_spark)
+
+
+def test_vocab_builder(spark):
+    from replay_spark.preprocessing.text import VocabBuilder
+
+    df = spark.createDataFrame(
+        [
+            (0, "apple banana apple"),
+            (1, "banana cherry"),
+            (2, "apple"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = {
+        r["token"]: (r["tf"], r["df"])
+        for r in VocabBuilder().transform(df).collect()
+    }
+    assert vocab == {"apple": (3, 2), "banana": (2, 2), "cherry": (1, 1)}
+
+    top = VocabBuilder(top_n=2).transform(df).collect()
+    assert [r["token"] for r in top] == ["apple", "banana"]
+
+    mindf = VocabBuilder(min_df=2).transform(df).collect()
+    assert sorted(r["token"] for r in mindf) == ["apple", "banana"]
+
+    with pytest.raises(ValueError):
+        VocabBuilder(min_df=0)
+
+
+def test_tfidf_keywords(spark):
+    import math
+
+    from replay_spark.preprocessing.text import TfIdfKeywords
+
+    df = spark.createDataFrame(
+        [
+            (0, "apple banana apple"),
+            (1, "banana cherry"),
+            (2, "cherry cherry cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    out = TfIdfKeywords(k=2).transform(df)
+    rows = {
+        (r["doc_id"], r["token"]): (r["score"], r["rank"])
+        for r in out.collect()
+    }
+    # doc 0: apple tf=2/3, df=1 -> idf = ln(4/2)+1; banana tf=1/3, df=2
+    idf_apple = math.log(4 / 2) + 1
+    assert rows[(0, "apple")][1] == 1
+    assert abs(rows[(0, "apple")][0] - round(2 / 3 * idf_apple, 6)) < 1e-9
+    # every doc emits at most k rows, ranks are 1..k
+    per_doc = {}
+    for (d, _), (_, rank) in rows.items():
+        per_doc.setdefault(d, []).append(rank)
+    for ranks in per_doc.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 2
+
+    with pytest.raises(ValueError):
+        TfIdfKeywords(k=0)
+
+
+def test_rolling_fingerprint_md5_mode(spark):
+    from replay_spark.preprocessing.text import rolling_fingerprint_expr
+
+    df = spark.createDataFrame(
+        [
+            (0, "The  Quick   Brown Fox"),
+            (1, "the quick brown fox"),  # same after normalization
+            (2, "something else entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id",
+        rolling_fingerprint_expr(F.col("text"), hash_fn="md5").alias("sk"),
+    ).collect()
+    sk = {r["doc_id"]: tuple(r["sk"]) for r in out}
+    assert sk[0] == sk[1]
+    assert sk[0] != sk[2]
+    assert all(len(h) == 32 for h in sk[0])  # md5 hex digests
+    assert list(sk[0]) == sorted(sk[0])  # bottom-k is sorted
+
+    with pytest.raises(ValueError):
+        rolling_fingerprint_expr(F.col("text"), hash_fn="sha1")
