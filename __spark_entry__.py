@@ -1225,18 +1225,27 @@ def q_e2e_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     inter = _dataset(spark, sf_dir).interactions
     train_df, test_df = TimeSplitter(0.2).split(inter)
+    # both models' fit+predict and every metric re-read the split
+    # frames; one materialization each replaces ~10 re-derivations of
+    # the split lineage (window rank over the full log)
+    train_df = train_df.cache()
+    test_df = test_df.cache()
     train = Dataset(_SCHEMA, train_df, check_consistency=False)
     exp = Experiment([NDCG(10), MRR(10), HitRate(10)], ground_truth=test_df)
     for name, model in (
         ("PopRec", PopRec()),
         ("ItemKNN", ItemKNN(num_neighbours=20)),
     ):
-        exp.add_result(name, model.fit_predict(train, k=10))
+        recs = model.fit_predict(train, k=10)
+        exp.add_result(name, recs)
+        recs.unpersist()
     rows = [
         (model, metric, round(float(value), 6))
         for model, row in exp.results.iterrows()
         for metric, value in row.items()
     ]
+    train_df.unpersist()
+    test_df.unpersist()
     return spark.createDataFrame(rows, "model string, metric string, value double")
 
 
