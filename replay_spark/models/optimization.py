@@ -2,10 +2,12 @@
 
 Parity target: reference Optuna mixin
 (``models/optimization/optuna_mixin.py:168-240``) — a TPE loop over
-fit/predict/metric trials. Optuna is not installed in this
-container, so the optimizer uses Optuna when importable and falls
-back to seeded random search with identical semantics (same search
-space dict, same trial budget, same objective).
+fit/predict/metric trials. Optuna is used when importable; otherwise
+the loop runs a vendored Parzen-estimator sampler (``_TPESampler``,
+Bergstra et al. 2011 — the same family of algorithm as Optuna's
+TPESampler) with identical semantics: same search space dict, same
+trial budget, same objective, seeded/deterministic. A RuntimeWarning
+still flags the substitution.
 
 Search space format: ``{"param": [low, high]}`` for continuous /
 integer ranges (type inferred from the defaults), or
@@ -31,14 +33,19 @@ except ImportError:
     _HAS_OPTUNA = False
 
 
+def _is_range(spec) -> bool:
+    return (
+        isinstance(spec, list)
+        and len(spec) == 2
+        and all(isinstance(v, (int, float)) for v in spec)
+        and not any(isinstance(v, bool) for v in spec)
+    )
+
+
 def _sample(space: dict, rng: random.Random) -> dict:
     params = {}
     for name, spec in space.items():
-        if (
-            isinstance(spec, list)
-            and len(spec) == 2
-            and all(isinstance(v, (int, float)) for v in spec)
-        ):
+        if _is_range(spec):
             low, high = spec
             if isinstance(low, int) and isinstance(high, int):
                 params[name] = rng.randint(low, high)
@@ -47,6 +54,87 @@ def _sample(space: dict, rng: random.Random) -> dict:
         else:
             params[name] = rng.choice(list(spec))
     return params
+
+
+class _TPESampler:
+    """Minimal Tree-structured Parzen Estimator (Bergstra et al. 2011,
+    "Algorithms for Hyper-Parameter Optimization", NeurIPS).
+
+    Vendored stand-in for Optuna's TPESampler when optuna is not
+    installed — same search-space dict, same trial budget,
+    deterministic under a fixed seed. Per trial (after ``n_startup``
+    random trials): split observed trials into good (top ``gamma``
+    fraction by objective, direction-aware) and bad; for numeric
+    params draw ``n_candidates`` from a Parzen (Gaussian-kernel)
+    density over the good values and keep the candidate maximizing
+    the good/bad density ratio l(x)/g(x); for categoricals, weight
+    choices by smoothed good/bad frequency ratio. Independent 1-D
+    estimators per param (as in the paper's non-tree spaces).
+    """
+
+    def __init__(
+        self,
+        space: dict,
+        seed: Optional[int],
+        n_startup: int = 5,
+        n_candidates: int = 24,
+        gamma: float = 0.25,
+    ):
+        self.space = space
+        self.rng = random.Random(seed)
+        self.n_startup = n_startup
+        self.n_candidates = n_candidates
+        self.gamma = gamma
+
+    @staticmethod
+    def _density(x: float, centers: list, bw: float) -> float:
+        import math
+
+        return sum(
+            math.exp(-0.5 * ((x - c) / bw) ** 2) for c in centers
+        ) / len(centers)
+
+    def suggest(self, trials: list, higher_is_better: bool) -> dict:
+        if len(trials) < self.n_startup:
+            return _sample(self.space, self.rng)
+        ordered = sorted(
+            trials, key=lambda t: t["value"], reverse=higher_is_better
+        )
+        n_good = max(1, int(round(self.gamma * len(ordered))))
+        good, bad = ordered[:n_good], ordered[n_good:] or ordered[:n_good]
+        params = {}
+        for name, spec in self.space.items():
+            gvals = [t["params"][name] for t in good]
+            bvals = [t["params"][name] for t in bad]
+            if _is_range(spec):
+                low, high = spec
+                is_int = isinstance(low, int) and isinstance(high, int)
+                bw = max(
+                    (high - low) / (1.0 + len(gvals)) ** 0.5, 1e-12
+                )
+                best_x, best_ratio = None, -1.0
+                for _ in range(self.n_candidates):
+                    x = self.rng.gauss(self.rng.choice(gvals), bw)
+                    x = min(max(x, low), high)
+                    ratio = self._density(x, gvals, bw) / (
+                        self._density(x, bvals, bw) + 1e-12
+                    )
+                    if ratio > best_ratio:
+                        best_x, best_ratio = x, ratio
+                if is_int:
+                    params[name] = int(min(max(round(best_x), low), high))
+                else:
+                    params[name] = float(best_x)
+            else:
+                choices = list(spec)
+                g_n, b_n = len(gvals), len(bvals)
+                weights = [
+                    ((1.0 + gvals.count(c)) / (g_n + len(choices)))
+                    / ((1.0 + bvals.count(c)) / (b_n + len(choices)))
+                    for c in choices
+                ]
+                params[name] = self.rng.choices(choices, weights=weights)[0]
+        return params
 
 
 def optimize(
@@ -107,19 +195,20 @@ def optimize(
         }
 
     # loud fallback, mirroring the reference's FeatureUnavailableWarning
-    # (optuna_mixin.py:235-240): a caller asking for TPE must know they
-    # got random search instead
+    # (optuna_mixin.py:235-240): a caller asking for Optuna must know
+    # what they got instead
     warnings.warn(
-        "optuna is not installed: optimize() is falling back to SEEDED "
-        "RANDOM SEARCH over the same search space and trial budget. "
-        "Install optuna to get TPE sampling.",
+        "optuna is not installed: optimize() is using a vendored "
+        "Parzen-estimator (TPE-style) sampler over the same search "
+        "space and trial budget. Install optuna for the real "
+        "TPESampler.",
         RuntimeWarning,
         stacklevel=2,
     )
-    rng = random.Random(seed)
+    sampler = _TPESampler(param_borders, seed)
     best_params, best_value = None, None
     for _ in range(budget):
-        params = _sample(param_borders, rng)
+        params = sampler.suggest(trials, higher_is_better)
         value = objective(params)
         better = (
             best_value is None

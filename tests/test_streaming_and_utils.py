@@ -116,7 +116,7 @@ def test_optimize_random_search(spark, interactions):
         ]
     )
     ds = Dataset(schema, interactions)
-    with pytest.warns(RuntimeWarning, match="RANDOM SEARCH"):
+    with pytest.warns(RuntimeWarning, match="optuna is not installed"):
         result = optimize(
             model_factory=lambda **p: ItemKNN(**p),
             train_dataset=ds,
@@ -132,7 +132,7 @@ def test_optimize_random_search(spark, interactions):
 
 
 def test_optimize_fallback_parity_reference_space():
-    """Seeded random search over a reference-shaped ItemKNN space
+    """Seeded vendored-TPE search over a reference-shaped ItemKNN space
     (optuna_mixin.py:168-240 semantics: int / float ranges +
     categorical list, one objective call per budget unit): correct
     types and bounds, deterministic under a fixed seed, and the
@@ -299,3 +299,40 @@ def test_streaming_stateful_sessionizer(spark, event_stream_dir):
         (0, 120): "0_2",
         (1, 60): "1_1",
     }
+
+
+def test_tpe_sampler_concentrates():
+    """The vendored Parzen/TPE fallback exploits: on a smooth 1-D
+    objective the post-startup trials concentrate near the optimum
+    (vs the uniform startup draws), and categoricals tilt toward the
+    winning choice. Deterministic under the fixed seed."""
+    from types import SimpleNamespace
+
+    from replay_spark.models.optimization import optimize
+
+    space = {"x": [0.0, 2.0], "flag": ["good", "bad"]}
+
+    def crit(recs, gt):
+        x, flag = recs["x"], recs["flag"]
+        return -((x - 1.234) ** 2) + (0.5 if flag == "good" else 0.0)
+
+    with pytest.warns(RuntimeWarning, match="optuna is not installed"):
+        r = optimize(
+            model_factory=lambda **p: SimpleNamespace(
+                fit_predict=lambda ds, k: p
+            ),
+            train_dataset=SimpleNamespace(interactions=None),
+            test_dataset=SimpleNamespace(interactions=None),
+            param_borders=space,
+            criterion=crit,
+            budget=30,
+            seed=7,
+        )
+    xs = [t["params"]["x"] for t in r["trials"]]
+    startup, refined = xs[:5], xs[15:]
+    mean_gap = lambda vals: sum(abs(v - 1.234) for v in vals) / len(vals)
+    assert mean_gap(refined) < mean_gap(startup)
+    assert abs(r["best_params"]["x"] - 1.234) < 0.3
+    assert r["best_params"]["flag"] == "good"
+    flags = [t["params"]["flag"] for t in r["trials"][15:]]
+    assert flags.count("good") > flags.count("bad")
