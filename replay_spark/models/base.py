@@ -87,8 +87,22 @@ class BaseRecommender(ABC):
         items = dataset.interactions.select(self.item_column)
         if dataset.item_features is not None:
             items = items.union(dataset.item_features.select(self.item_column))
-        self.fit_queries = F.broadcast(queries.distinct())
-        self.fit_items = F.broadcast(items.distinct())
+        # the id universes are derived by a DISTINCT over the full log
+        # (a complete shuffle of the fact table at scale) and consumed
+        # by every predict / filter_cold / predict_pairs — cache them
+        # lazily so the shuffle runs once, not once per consumer
+        old_q = getattr(self, "_fit_queries_base", None)
+        old_i = getattr(self, "_fit_items_base", None)
+        for old in (old_q, old_i):
+            if old is not None:
+                try:
+                    old.unpersist()
+                except Exception:
+                    pass
+        self._fit_queries_base = queries.distinct().cache()
+        self._fit_items_base = items.distinct().cache()
+        self.fit_queries = F.broadcast(self._fit_queries_base)
+        self.fit_items = F.broadcast(self._fit_items_base)
         if dataset.query_features is None and dataset.item_features is None:
             # both universes come from interactions → one combined job
             row = dataset.interactions.agg(
@@ -126,6 +140,14 @@ class BaseRecommender(ABC):
     ) -> Optional[DataFrame]:
         """Top-k recommendations per query: ``[query_id, item_id, rating]``."""
         dataset, queries, items = self._prepare_predict_inputs(dataset, queries, items)
+        # `queries` is usually a DISTINCT over the interaction log and
+        # is consumed by seen-stats, the prediction join AND the final
+        # rank — cache the (small) id frame so the log-wide distinct
+        # shuffle runs once per predict, not once per consumer. Skip
+        # when it's the fit-level universe (already cached in fit).
+        own_queries_cache = queries is not self.fit_queries
+        if own_queries_cache:
+            queries = queries.cache()
         seen_stats = None
         if filter_seen_items and dataset is not None:
             seen_stats = self._compute_seen_stats(dataset.interactions, queries)
@@ -149,6 +171,8 @@ class BaseRecommender(ABC):
             self._shared_seen_stats = None
             if seen_stats is not None:
                 seen_stats[0].unpersist()
+            if own_queries_cache:
+                queries.unpersist()
 
     def fit_predict(
         self,
