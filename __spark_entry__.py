@@ -1117,6 +1117,19 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TfIdfKeywords(k=5).transform(docs)
 
 
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination scan: 8-token-shingle collisions of
+    the training slice (doc_id >= 50) against an eval slice
+    (doc_id < 50); per-doc collision fraction."""
+    from replay_spark.preprocessing.dedup import ContaminationChecker
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    return ContaminationChecker(n=8).report(
+        docs.filter(F.col("doc_id") >= 50),
+        docs.filter(F.col("doc_id") < 50),
+    )
+
+
 def q_item_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-item exponential recency weights (reference utils/time.py
     semantics: weight 0.5 at age==decay days, clamped at limit)."""
@@ -1607,6 +1620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_fingerprints_md5": q_doc_fingerprints_md5,
         "q_vocab_top_tokens": q_vocab_top_tokens,
         "q_tfidf_keywords": q_tfidf_keywords,
+        "q_contamination_report": q_contamination_report,
         # -- (e) officially green in r3; rotate out of the window ---
         "q_sessionize_composite": q_sessionize_composite,
         "q_klucb_scores": q_klucb_scores,
@@ -2388,6 +2402,36 @@ def oracle_sql() -> dict[str, str]:
             FROM toks GROUP BY token
             ORDER BY tf DESC, token ASC
             LIMIT 200
+        """,
+        "q_contamination_report": """
+            WITH sh AS (
+                SELECT doc_id, shingle FROM (
+                    SELECT doc_id,
+                           list_distinct(
+                               CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+                                    ELSE list_transform(range(1, len(tk) - 6),
+                                         i -> array_to_string(list_slice(tk, i, i + 7), ' '))
+                               END) AS shingles
+                    FROM (SELECT doc_id,
+                                 string_split_regex(trim(lower(text)), '\\s+') AS tk
+                          FROM documents) t0) t,
+                unnest(t.shingles) AS u(shingle)),
+            eval_sh AS (
+                SELECT DISTINCT shingle FROM sh WHERE doc_id < 50),
+            train_sh AS (
+                SELECT doc_id, shingle FROM sh WHERE doc_id >= 50),
+            totals AS (
+                SELECT doc_id, count(*) AS n_shingles
+                FROM train_sh GROUP BY doc_id),
+            hits AS (
+                SELECT doc_id, count(*) AS n_contaminated
+                FROM train_sh SEMI JOIN eval_sh USING (shingle)
+                GROUP BY doc_id)
+            SELECT t.doc_id, t.n_shingles,
+                   coalesce(h.n_contaminated, 0) AS n_contaminated,
+                   round(coalesce(h.n_contaminated, 0)
+                         / CAST(t.n_shingles AS DOUBLE), 6) AS contamination_frac
+            FROM totals t LEFT JOIN hits h USING (doc_id)
         """,
         "q_tfidf_keywords": """
             WITH toks AS (

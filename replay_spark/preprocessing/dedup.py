@@ -43,6 +43,7 @@ __all__ = [
     "SimHashDeduplicator",
     "EmbeddingDeduplicator",
     "NearDupClusters",
+    "ContaminationChecker",
 ]
 
 
@@ -776,3 +777,90 @@ class NearDupClusters:
             F.col("node").alias(id_column)
         )
         return df.join(dupes, on=id_column, how="left_anti")
+
+
+class ContaminationChecker:
+    """Benchmark-decontamination scan: measure word-n-gram collisions
+    between a training corpus and an evaluation corpus, and drop
+    contaminated training documents.
+
+    The standard LLM-pipeline rule (GPT-3, Brown et al. 2020 §C;
+    Gopher, Rae et al. 2021): a training document is contaminated if
+    it shares ≥1 (or more than ``max_frac``) n-gram with any eval
+    document. No reference counterpart (LLM-pipeline extension).
+
+    Plan shape: the eval side reduces to DISTINCT shingles (one
+    shuffle over the — typically tiny — eval corpus; AQE broadcasts
+    it when it fits), the training side explodes to per-doc distinct
+    shingles once, and a single ``left_semi`` join + two doc-keyed
+    counts produce the per-document collision fraction. Training data
+    is scanned once; nothing quadratic anywhere.
+    """
+
+    def __init__(
+        self,
+        id_column: str = "doc_id",
+        text_column: str = "text",
+        n: int = 8,
+    ):
+        if n < 1:
+            raise ValueError("n must be >= 1")
+        self.id_column = id_column
+        self.text_column = text_column
+        self.n = n
+
+    def _shingles(self, df: DataFrame) -> DataFrame:
+        df = _ensure_parallelism(df)
+        tokens = F.split(F.trim(F.lower(F.col(self.text_column))), r"\s+")
+        return df.select(
+            self.id_column,
+            F.explode(
+                F.array_distinct(_word_ngrams(tokens, self.n))
+            ).alias("shingle"),
+        )
+
+    def report(self, train_df: DataFrame, eval_df: DataFrame) -> DataFrame:
+        """Per-training-document collision stats:
+        ``[<id>, n_shingles, n_contaminated, contamination_frac]``."""
+        train_sh = self._shingles(train_df).cache()
+        eval_sh = (
+            self._shingles(eval_df).select("shingle").distinct()
+        )
+        totals = train_sh.groupBy(self.id_column).agg(
+            F.count(F.lit(1)).alias("n_shingles")
+        )
+        hits = (
+            train_sh.join(eval_sh, on="shingle", how="left_semi")
+            .groupBy(self.id_column)
+            .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        )
+        out = (
+            totals.join(hits, on=self.id_column, how="left")
+            .withColumn(
+                "n_contaminated", F.coalesce("n_contaminated", F.lit(0))
+            )
+            .withColumn(
+                "contamination_frac",
+                F.round(
+                    F.col("n_contaminated")
+                    / F.col("n_shingles").cast("double"),
+                    6,
+                ),
+            )
+        )
+        return out
+
+    def transform(
+        self,
+        train_df: DataFrame,
+        eval_df: DataFrame,
+        max_frac: float = 0.0,
+    ) -> DataFrame:
+        """Drop training documents whose collision fraction exceeds
+        ``max_frac`` (default 0: any shared n-gram disqualifies)."""
+        dirty = (
+            self.report(train_df, eval_df)
+            .filter(F.col("contamination_frac") > max_frac)
+            .select(self.id_column)
+        )
+        return train_df.join(dirty, on=self.id_column, how="left_anti")

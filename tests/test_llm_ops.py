@@ -651,3 +651,39 @@ def test_rolling_fingerprint_md5_mode(spark):
 
     with pytest.raises(ValueError):
         rolling_fingerprint_expr(F.col("text"), hash_fn="sha1")
+
+
+def test_contamination_checker(spark):
+    from replay_spark.preprocessing.dedup import ContaminationChecker
+
+    train = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta"),  # shares the eval 3-gram
+            (11, "alpha beta gamma epsilon"),  # shares 'alpha beta gamma'
+            (12, "totally unrelated words here"),
+            (13, "x"),  # shorter than n -> whole text is the shingle
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "x")],
+        "doc_id long, text string",
+    )
+    chk = ContaminationChecker(n=3)
+    rep = {
+        r["doc_id"]: (r["n_shingles"], r["n_contaminated"], r["contamination_frac"])
+        for r in chk.report(train, ev).collect()
+    }
+    assert rep[10] == (2, 2, 1.0)  # both 3-grams appear in eval doc 0
+    assert rep[11][1] == 1 and 0 < rep[11][2] < 1
+    assert rep[12] == (2, 0, 0.0)
+    assert rep[13] == (1, 1, 1.0)  # short doc collides with eval 'x'
+
+    kept = chk.transform(train, ev)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [12]
+    # threshold relaxation keeps partially-contaminated docs
+    kept_half = chk.transform(train, ev, max_frac=0.6)
+    assert sorted(r["doc_id"] for r in kept_half.collect()) == [11, 12]
+
+    with pytest.raises(ValueError):
+        ContaminationChecker(n=0)
