@@ -527,6 +527,55 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_ucb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming/batch parity gate: StreamingUCB's stateful per-item
+    (pos, total) aggregation over the events slice as a bounded
+    stream, turned into scores, must HASH-match the batch UCB oracle
+    SQL (same formula, same binarization). Complete-mode memory sink,
+    one availableNow pass; N comes from the sink itself (sum of
+    totals), not a second source scan."""
+    import os
+    import tempfile
+
+    from replay_spark.streaming import StreamingUCB
+
+    for q in spark.streams.active:
+        if q.name == "q_streaming_ucb_sink":
+            q.stop()
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    link_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"rs_stream_events_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, "events.parquet")
+    if os.path.lexists(link) and os.path.realpath(link) != src:
+        os.unlink(link)
+    if not os.path.lexists(link):
+        os.symlink(src, link)
+    raw_schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(raw_schema).parquet(link_dir)
+    inter_stream = stream.select(
+        F.get_json_object("props", "$.k").cast("long").alias("item_id"),
+        (F.col("value") > 100).cast("double").alias("rating"),
+    ).where(F.col("item_id").isNotNull())
+    ucb = StreamingUCB(coef=2.0)
+    sq = (
+        ucb.aggregate(inter_stream)
+        .writeStream.format("memory")
+        .queryName("q_streaming_ucb_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(300)
+    state = spark.table("q_streaming_ucb_sink")
+    full_count = state.agg(F.sum("total")).first()[0]
+    return ucb.scores(state, full_count).select(
+        "item_id", F.round("rating", 6).alias("rating")
+    )
+
+
 def q_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense label codes for event_type via join-based LabelEncoder."""
     from replay_spark.preprocessing import LabelEncodingRule
@@ -1621,6 +1670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vocab_top_tokens": q_vocab_top_tokens,
         "q_tfidf_keywords": q_tfidf_keywords,
         "q_contamination_report": q_contamination_report,
+        "q_streaming_ucb": q_streaming_ucb,
         # -- (e) officially green in r3; rotate out of the window ---
         "q_sessionize_composite": q_sessionize_composite,
         "q_klucb_scores": q_klucb_scores,
@@ -1867,6 +1917,22 @@ def oracle_sql() -> dict[str, str]:
             FROM counts
         """,
         "q_ucb_scores": f"""
+            WITH {W},
+            bin_r AS (
+                SELECT item_id, CAST(rating > 100 AS DOUBLE) AS rating
+                FROM interactions),
+            counts AS (
+                SELECT item_id, sum(rating) AS pos, count(*) AS total
+                FROM bin_r GROUP BY item_id)
+            SELECT item_id,
+                   round(pos / total +
+                         sqrt(2.0 * ln((SELECT count(*) FROM interactions)) / total),
+                   6) AS rating
+            FROM counts
+        """,
+        # streaming parity: the stateful streaming aggregation must
+        # reproduce the BATCH UCB oracle exactly (same SQL)
+        "q_streaming_ucb": f"""
             WITH {W},
             bin_r AS (
                 SELECT item_id, CAST(rating > 100 AS DOUBLE) AS rating
