@@ -51,6 +51,10 @@ BENCH_QUERIES = [
     "q_pii_scrub",
     "q_document_chunks",
     "q_dedup_clusters",
+    "q_vocab_top_tokens",
+    "q_tfidf_keywords",
+    "q_contamination_report",
+    "q_doc_fingerprints_md5",
 ]
 
 
