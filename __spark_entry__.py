@@ -690,6 +690,23 @@ def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).candidate_pairs(docs)
 
 
+def q_minhash_candidates_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs in the portable md5 hash family —
+    HASH-gated end to end against a DuckDB oracle that recomputes the
+    Kirsch-Mitzenmacher signatures, banding and slot-match estimate
+    bit-for-bit (the xxhash64 twin q_minhash_candidates stays
+    rows-only)."""
+    from replay_spark.preprocessing.dedup import MinHashLSHDeduplicator
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    out = MinHashLSHDeduplicator(
+        n=3, num_hashes=64, bands=16, threshold=0.5, hash_family="md5"
+    ).candidate_pairs(docs)
+    return out.select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (rows-only: bit mix is hash-specific)."""
     from replay_spark.preprocessing.dedup import SimHashDeduplicator
@@ -1671,6 +1688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_keywords": q_tfidf_keywords,
         "q_contamination_report": q_contamination_report,
         "q_streaming_ucb": q_streaming_ucb,
+        "q_minhash_candidates_md5": q_minhash_candidates_md5,
         # -- (e) officially green in r3; rotate out of the window ---
         "q_sessionize_composite": q_sessionize_composite,
         "q_klucb_scores": q_klucb_scores,
@@ -2468,6 +2486,54 @@ def oracle_sql() -> dict[str, str]:
             FROM toks GROUP BY token
             ORDER BY tf DESC, token ASC
             LIMIT 200
+        """,
+        "q_minhash_candidates_md5": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id, shingle FROM (
+                    SELECT doc_id,
+                           CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                                ELSE list_transform(range(1, len(tk) - 1),
+                                     i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+                           END AS shingles
+                    FROM toks) t, unnest(t.shingles) AS u(shingle)),
+            hashed AS (
+                SELECT doc_id,
+                    list_reduce(list_transform(range(1, 16),
+                        i -> CAST(strpos('0123456789abcdef',
+                                  substr(md5(shingle), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+                      (acc, x) -> acc * 16 + x) % 2147483648 AS h1,
+                    list_reduce(list_transform(range(1, 16),
+                        i -> CAST(strpos('0123456789abcdef',
+                                  substr(md5('1:' || shingle), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+                      (acc, x) -> acc * 16 + x) % 2147483647 AS h2
+                FROM sh),
+            slots AS (
+                SELECT doc_id, i, min((h1 + i * h2) % 2147483647) AS m
+                FROM hashed, range(64) t(i) GROUP BY doc_id, i),
+            sigs AS (
+                SELECT doc_id, list(m ORDER BY i) AS sig FROM slots GROUP BY doc_id),
+            bands AS (
+                SELECT doc_id, sig, b,
+                       md5(array_to_string(list_transform(
+                           list_slice(sig, CAST(b*4+1 AS INT), CAST(b*4+4 AS INT)),
+                           x -> CAST(x AS VARCHAR)), ',')) AS band_hash
+                FROM sigs, range(16) tb(b)),
+            cands AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.sig AS sig_a, b.sig AS sig_b
+                FROM bands a JOIN bands b
+                ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+            est AS (
+                SELECT id_a, id_b,
+                       list_sum(list_transform(range(1, 65),
+                           i -> CASE WHEN sig_a[CAST(i AS INT)] = sig_b[CAST(i AS INT)]
+                                THEN 1 ELSE 0 END)) / 64.0 AS e
+                FROM cands)
+            SELECT id_a, id_b, round(e, 6) AS est_jaccard
+            FROM est WHERE e >= 0.5
         """,
         "q_contamination_report": """
             WITH sh AS (

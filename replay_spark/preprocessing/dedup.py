@@ -236,8 +236,11 @@ class MinHashLSHDeduplicator:
         num_hashes: int = 64,
         bands: int = 16,
         threshold: float = 0.7,
+        hash_family: str = "xxhash64",
     ):
         assert num_hashes % bands == 0, "bands must divide num_hashes"
+        if hash_family not in ("xxhash64", "md5"):
+            raise ValueError(f"unknown hash_family: {hash_family!r}")
         self.id_column = id_column
         self.text_column = text_column
         self.n = n
@@ -245,6 +248,36 @@ class MinHashLSHDeduplicator:
         self.bands = bands
         self.rows_per_band = num_hashes // bands
         self.threshold = threshold
+        # "xxhash64" (default): fastest, JVM-only — rows-only gate.
+        # "md5": base hashes are the first 15 hex chars of md5 read as
+        # an integer (same 31-bit K-M reductions); any engine with md5
+        # can reproduce the signatures bit-for-bit, which is what the
+        # DuckDB hash oracle (q_minhash_candidates_md5) does.
+        self.hash_family = hash_family
+
+    def _base_hashes(self, shingled: DataFrame) -> DataFrame:
+        if self.hash_family == "xxhash64":
+            return shingled.withColumn(
+                "_h1", F.pmod(F.xxhash64(F.col("shingle")), F.lit(1 << 31))
+            ).withColumn(
+                "_h2",
+                F.pmod(
+                    F.xxhash64(F.col("shingle"), F.lit(1)),
+                    F.lit((1 << 31) - 1),
+                ),
+            )
+        md5_int = lambda c: F.conv(  # noqa: E731
+            F.substring(F.md5(c), 1, 15), 16, 10
+        ).cast("long")
+        return shingled.withColumn(
+            "_h1", F.pmod(md5_int(F.col("shingle")), F.lit(1 << 31))
+        ).withColumn(
+            "_h2",
+            F.pmod(
+                md5_int(F.concat(F.lit("1:"), F.col("shingle"))),
+                F.lit((1 << 31) - 1),
+            ),
+        )
 
     def signatures(self, df: DataFrame) -> DataFrame:
         """(id, signature array<long>) — one shuffle (groupBy id)."""
@@ -256,12 +289,7 @@ class MinHashLSHDeduplicator:
                 F.array_distinct(_word_ngrams(tokens, self.n))
             ).alias("shingle"),
         )
-        shingled = shingled.withColumn(
-            "_h1", F.pmod(F.xxhash64(F.col("shingle")), F.lit(1 << 31))
-        ).withColumn(
-            "_h2",
-            F.pmod(F.xxhash64(F.col("shingle"), F.lit(1)), F.lit((1 << 31) - 1)),
-        )
+        shingled = self._base_hashes(shingled)
         # the mod-prime reduction is essential: without it the argmin
         # for large i is dominated by h2 alone and slots correlate.
         # The k per-shingle hash values are built as a plain `F.array`
@@ -300,6 +328,7 @@ class MinHashLSHDeduplicator:
 
     def candidate_pairs(self, df: DataFrame) -> DataFrame:
         """(id_a, id_b, est_jaccard) for banded collisions ≥ threshold."""
+        band_hasher = F.xxhash64 if self.hash_family == "xxhash64" else F.md5
         sigs = self.signatures(df).cache()
         bands = sigs.select(
             self.id_column,
@@ -307,7 +336,7 @@ class MinHashLSHDeduplicator:
             F.posexplode(
                 F.array(
                     *[
-                        F.xxhash64(
+                        band_hasher(
                             F.concat_ws(
                                 ",",
                                 F.transform(

@@ -687,3 +687,19 @@ def test_contamination_checker(spark):
 
     with pytest.raises(ValueError):
         ContaminationChecker(n=0)
+
+
+def test_minhash_md5_family(docs):
+    from replay_spark.preprocessing.dedup import MinHashLSHDeduplicator
+
+    dd = MinHashLSHDeduplicator(
+        n=3, num_hashes=32, bands=16, threshold=0.3, hash_family="md5"
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in dd.candidate_pairs(docs).collect()}
+    assert (0, 1) in pairs  # exact dups always collide in every band
+    sigs = {r["doc_id"]: r["signature"] for r in dd.signatures(docs).collect()}
+    assert sigs[0] == sigs[1]
+    assert all(0 <= v < (1 << 31) for v in sigs[0])
+
+    with pytest.raises(ValueError):
+        MinHashLSHDeduplicator(hash_family="sha1")
