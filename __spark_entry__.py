@@ -1294,6 +1294,25 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.search(emb.filter("vec_id < 20"), k=5)
 
 
+def q_ivf_ann_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search path with a deterministic quantizer (centroids =
+    embeddings of vec_id < 16, max-cosine assignment): the whole
+    probe → partition-pruned scan → rank pipeline HASH-matches a
+    DuckDB oracle. Gates the IVF *search* logic exactly; production
+    keeps the seeded-KMeans quantizer (q_ivf_ann, rows-only)."""
+    from replay_spark.ann import IVFANN
+
+    emb = rsd.read_table(spark, sf_dir, "embeddings")
+    cents = [
+        r["embedding"]
+        for r in emb.filter("vec_id < 16").orderBy("vec_id").collect()
+    ]
+    ann = IVFANN(num_clusters=16, nprobe=2).fit(emb, centroids=cents)
+    return ann.search(emb.filter("vec_id < 20"), k=5).select(
+        "query_id", "neighbor_id", "cosine", "rank"
+    )
+
+
 def q_e2e_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end offline evaluation mirroring the reference's
     benchmark shape (BASELINE.md): time split -> fit/predict two
@@ -1689,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination_report": q_contamination_report,
         "q_streaming_ucb": q_streaming_ucb,
         "q_minhash_candidates_md5": q_minhash_candidates_md5,
+        "q_ivf_ann_fixed": q_ivf_ann_fixed,
         # -- (e) officially green in r3; rotate out of the window ---
         "q_sessionize_composite": q_sessionize_composite,
         "q_klucb_scores": q_klucb_scores,
@@ -2486,6 +2506,50 @@ def oracle_sql() -> dict[str, str]:
             FROM toks GROUP BY token
             ORDER BY tf DESC, token ASC
             LIMIT 200
+        """,
+        "q_ivf_ann_fixed": """
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+            cents AS (SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < 16),
+            assign AS (
+                SELECT vec_id, cluster FROM (
+                    SELECT e.vec_id, c.cluster,
+                           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                               round(list_dot_product(e.v, c.cv) /
+                                     (sqrt(list_dot_product(e.v, e.v)) *
+                                      sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                               c.cluster ASC) AS rn
+                    FROM e, cents c) t
+                WHERE rn = 1),
+            q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+            probe AS (
+                SELECT qid, cluster FROM (
+                    SELECT q.qid, c.cluster,
+                           row_number() OVER (PARTITION BY q.qid ORDER BY
+                               round(list_dot_product(q.qv, c.cv) /
+                                     (sqrt(list_dot_product(q.qv, q.qv)) *
+                                      sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                               c.cluster ASC) AS rn
+                    FROM q, cents c) t
+                WHERE rn <= 2),
+            scored AS (
+                SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                       round(list_dot_product(q.qv, e.v) /
+                             (sqrt(list_dot_product(q.qv, q.qv)) *
+                              sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+                FROM probe p
+                JOIN q ON p.qid = q.qid
+                JOIN assign a ON a.cluster = p.cluster
+                JOIN e ON e.vec_id = a.vec_id
+                WHERE e.vec_id <> q.qid)
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM scored) t
+            WHERE rank <= 5
         """,
         "q_minhash_candidates_md5": """
             WITH toks AS (

@@ -100,7 +100,56 @@ class IVFANN:
         self.centroids = None  # list[list[float]]
         self._indexed: Optional[DataFrame] = None
 
-    def fit(self, corpus: DataFrame) -> "IVFANN":
+    def fit(self, corpus: DataFrame, centroids=None) -> "IVFANN":
+        """Build the inverted file. With ``centroids`` (a list of
+        vectors) the KMeans step is skipped and each corpus vector is
+        assigned to its max-cosine centroid (rounded to 6 dp, cluster
+        index as tie-break) — a fully deterministic, SQL-reproducible
+        quantizer used by the hash-gated contract query
+        (``q_ivf_ann_fixed``); production defaults to seeded KMeans."""
+        if centroids is not None:
+            self.centroids = [[float(x) for x in c] for c in centroids]
+            spark = corpus.sparkSession
+            cdf = spark.createDataFrame(
+                [(i, c) for i, c in enumerate(self.centroids)],
+                "cluster int, centroid array<double>",
+            )
+            prepared = corpus.select(
+                F.col(self.id_column),
+                _as_double(F.col(self.vector_column)).alias("v"),
+            )
+            assigned = (
+                prepared.crossJoin(F.broadcast(cdf))
+                .withColumn(
+                    "_cos",
+                    F.round(
+                        _dot(F.col("v"), F.col("centroid"))
+                        / (_norm(F.col("v")) * _norm(F.col("centroid"))),
+                        6,
+                    ),
+                )
+                .withColumn(
+                    "_rn",
+                    F.row_number().over(
+                        Window.partitionBy(self.id_column).orderBy(
+                            F.col("_cos").desc(), F.col("cluster").asc()
+                        )
+                    ),
+                )
+                .filter(F.col("_rn") == 1)
+            )
+            self._indexed = (
+                assigned.select(
+                    F.col(self.id_column).alias("neighbor_id"),
+                    F.col("v").alias("cv"),
+                    "cluster",
+                )
+                .repartition("cluster")
+                .cache()
+            )
+            self._indexed.count()
+            return self
+
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
@@ -147,8 +196,14 @@ class IVFANN:
             .crossJoin(F.broadcast(centroids))
             .withColumn(
                 "_c_cos",
-                _dot(F.col("qv"), F.col("centroid"))
-                / (_norm(F.col("qv")) * _norm(F.col("centroid"))),
+                # rounded so probe selection is reproducible across
+                # engines (the hash-gated fixed-centroid query ranks
+                # on exactly this value in SQL)
+                F.round(
+                    _dot(F.col("qv"), F.col("centroid"))
+                    / (_norm(F.col("qv")) * _norm(F.col("centroid"))),
+                    6,
+                ),
             )
             .withColumn(
                 "_c_rank",
@@ -167,9 +222,11 @@ class IVFANN:
             .select(
                 "query_id",
                 "neighbor_id",
-                (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias(
-                    "cosine"
-                ),
+                F.round(
+                    _dot(F.col("qv"), F.col("cv"))
+                    / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                    6,
+                ).alias("cosine"),
             )
         )
         w = Window.partitionBy("query_id").orderBy(
