@@ -690,6 +690,19 @@ def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).candidate_pairs(docs)
 
 
+def q_simhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs in the portable 60-bit md5 family —
+    hash-gated against a DuckDB oracle recomputing the bit-sign sums,
+    4×15-bit banding and Hamming verification bit-for-bit (the 64-bit
+    xxhash64 twin q_simhash_fingerprints stays rows-only)."""
+    from replay_spark.preprocessing.dedup import SimHashDeduplicator
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    return SimHashDeduplicator(
+        max_hamming=3, hash_family="md5"
+    ).candidate_pairs(docs)
+
+
 def q_minhash_candidates_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs in the portable md5 hash family —
     HASH-gated end to end against a DuckDB oracle that recomputes the
@@ -1709,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_ucb": q_streaming_ucb,
         "q_minhash_candidates_md5": q_minhash_candidates_md5,
         "q_ivf_ann_fixed": q_ivf_ann_fixed,
+        "q_simhash_pairs_md5": q_simhash_pairs_md5,
         # -- (e) officially green in r3; rotate out of the window ---
         "q_sessionize_composite": q_sessionize_composite,
         "q_klucb_scores": q_klucb_scores,
@@ -2506,6 +2520,44 @@ def oracle_sql() -> dict[str, str]:
             FROM toks GROUP BY token
             ORDER BY tf DESC, token ASC
             LIMIT 200
+        """,
+        "q_simhash_pairs_md5": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+                FROM documents
+                WHERE trim(text) <> ''),
+            hashed AS (
+                SELECT doc_id,
+                    list_reduce(list_transform(range(1, 16),
+                        i -> CAST(strpos('0123456789abcdef',
+                                  substr(md5(token), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+                      (acc, x) -> acc * 16 + x) AS h
+                FROM toks),
+            bitsums AS (
+                SELECT doc_id, i,
+                       sum(CASE WHEN (h >> CAST(i AS INT)) & 1 = 1
+                           THEN 1 ELSE -1 END) AS s
+                FROM hashed, range(60) t(i) GROUP BY doc_id, i),
+            fps AS (
+                SELECT doc_id,
+                       sum(CASE WHEN s > 0
+                           THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                           ELSE 0 END) AS simhash
+                FROM bitsums GROUP BY doc_id),
+            chunks AS (
+                SELECT doc_id, simhash, c,
+                       (simhash >> CAST(15 * c AS INT)) & 32767 AS chunk_val
+                FROM fps, range(4) tc(c)),
+            cands AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.simhash AS fp_a, b.simhash AS fp_b
+                FROM chunks a JOIN chunks b
+                ON a.c = b.c AND a.chunk_val = b.chunk_val
+                   AND a.doc_id < b.doc_id)
+            SELECT id_a, id_b, bit_count(xor(fp_a, fp_b)) AS hamming
+            FROM cands
+            WHERE bit_count(xor(fp_a, fp_b)) <= 3
         """,
         "q_ivf_ann_fixed": """
             WITH e AS (

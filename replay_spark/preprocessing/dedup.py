@@ -399,6 +399,13 @@ class SimHashDeduplicator:
     bit_i(doc) = sign of Σ_tokens (±1 depending on bit i of
     xxhash64(token)); candidates share one of four 16-bit chunks,
     verified by Hamming distance ≤ max_hamming.
+
+    ``hash_family="md5"`` switches to a 60-bit fingerprint whose token
+    hash is the first 15 hex chars of md5 read as an integer (4×15-bit
+    bands) — bit-for-bit reproducible in any engine with md5, which is
+    what the DuckDB hash oracle (``q_simhash_pairs_md5``) verifies.
+    Pigeonhole band guarantee (Hamming ≤ 3 collides in ≥1 of 4 bands)
+    holds identically.
     """
 
     def __init__(
@@ -406,27 +413,37 @@ class SimHashDeduplicator:
         id_column: str = "doc_id",
         text_column: str = "text",
         max_hamming: int = 3,
+        hash_family: str = "xxhash64",
     ):
+        if hash_family not in ("xxhash64", "md5"):
+            raise ValueError(f"unknown hash_family: {hash_family!r}")
         self.id_column = id_column
         self.text_column = text_column
         self.max_hamming = max_hamming
+        self.hash_family = hash_family
+        self.num_bits = 64 if hash_family == "xxhash64" else 60
+        self.chunk_bits = self.num_bits // 4
 
     def fingerprints(self, df: DataFrame) -> DataFrame:
         df = _ensure_parallelism(df)
         tokens = F.split(F.trim(F.lower(F.col(self.text_column))), r"\s+")
+        if self.hash_family == "xxhash64":
+            h = F.xxhash64("token")
+        else:
+            h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
         exploded = df.select(
             self.id_column, F.explode(tokens).alias("token")
-        ).withColumn("h", F.xxhash64("token"))
+        ).withColumn("h", h)
         bit_sums = [
             F.sum(
                 F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
                 .otherwise(-1)
             ).alias(f"_b{i}")
-            for i in range(64)
+            for i in range(self.num_bits)
         ]
         agg = exploded.groupBy(self.id_column).agg(*bit_sums)
         fingerprint = None
-        for i in range(64):
+        for i in range(self.num_bits):
             bit = F.when(F.col(f"_b{i}") > 0, F.lit(1).cast("long")).otherwise(
                 F.lit(0).cast("long")
             )
@@ -436,14 +453,15 @@ class SimHashDeduplicator:
 
     def candidate_pairs(self, df: DataFrame) -> DataFrame:
         fps = self.fingerprints(df).cache()
+        mask = (1 << self.chunk_bits) - 1
         chunks = fps.select(
             self.id_column,
             "simhash",
             F.posexplode(
                 F.array(
                     *[
-                        F.shiftrightunsigned(F.col("simhash"), 16 * c)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("simhash"), self.chunk_bits * c)
+                        .bitwiseAND(F.lit(mask))
                         for c in range(4)
                     ]
                 )

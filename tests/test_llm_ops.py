@@ -703,3 +703,18 @@ def test_minhash_md5_family(docs):
 
     with pytest.raises(ValueError):
         MinHashLSHDeduplicator(hash_family="sha1")
+
+
+def test_simhash_md5_family(docs):
+    from replay_spark.preprocessing.dedup import SimHashDeduplicator
+
+    dd = SimHashDeduplicator(max_hamming=3, hash_family="md5")
+    fps = {r["doc_id"]: r["simhash"] for r in dd.fingerprints(docs).collect()}
+    assert fps[0] == fps[1]  # exact dups -> identical fingerprint
+    assert all(0 <= v < (1 << 60) for v in fps.values())
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dd.candidate_pairs(docs).collect()}
+    assert pairs[(0, 1)] == 0
+
+    with pytest.raises(ValueError):
+        SimHashDeduplicator(hash_family="crc32")
