@@ -1307,6 +1307,37 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.search(emb.filter("vec_id < 20"), k=5)
 
 
+def q_pipeline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-gated end-to-end pipeline: TimeSplitter(0.2) →
+    PopRec.fit_predict(k=5) on train → HitRate@5 / MRR@5 / NDCG@5
+    means against the test slice — the whole offline-evaluation
+    lifecycle (§3.1+§3.3 of SURVEY.md) verified value-exactly against
+    one composed DuckDB oracle (split + recommend + metric kernels +
+    mean descriptor in a single SQL)."""
+    from replay_spark.metrics import MRR, NDCG, HitRate
+    from replay_spark.models import PopRec
+    from replay_spark.splitters import TimeSplitter
+
+    inter = _dataset(spark, sf_dir).interactions
+    train_df, test_df = TimeSplitter(0.2).split(inter)
+    train_df = train_df.cache()
+    test_df = test_df.cache()
+    train = Dataset(_SCHEMA, train_df, check_consistency=False)
+    recs = PopRec().fit_predict(train, k=5)
+    rows = [
+        (name, round(float(list(metric(recs, test_df).values())[0]), 5))
+        for name, metric in (
+            ("hitrate", HitRate(5)),
+            ("mrr", MRR(5)),
+            ("ndcg", NDCG(5)),
+        )
+    ]
+    recs.unpersist()
+    train_df.unpersist()
+    test_df.unpersist()
+    return spark.createDataFrame(rows, "metric string, value double")
+
+
 def q_ivf_ann_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search path with a deterministic quantizer (centroids =
     embeddings of vec_id < 16, max-cosine assignment): the whole
@@ -1723,6 +1754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_candidates_md5": q_minhash_candidates_md5,
         "q_ivf_ann_fixed": q_ivf_ann_fixed,
         "q_simhash_pairs_md5": q_simhash_pairs_md5,
+        "q_pipeline_eval": q_pipeline_eval,
         # -- (e) officially green in r3; rotate out of the window ---
         "q_sessionize_composite": q_sessionize_composite,
         "q_klucb_scores": q_klucb_scores,
@@ -2520,6 +2552,87 @@ def oracle_sql() -> dict[str, str]:
             FROM toks GROUP BY token
             ORDER BY tf DESC, token ASC
             LIMIT 200
+        """,
+        "q_pipeline_eval": f"""
+            WITH {W},
+            numbered AS (
+                SELECT ts, row_number() OVER (ORDER BY ts) AS rn
+                FROM interactions),
+            cut AS (
+                SELECT ts AS cut_ts FROM numbered
+                WHERE rn = CAST(floor((SELECT count(*) FROM interactions) * 0.8) AS BIGINT) + 1),
+            train AS (
+                SELECT * FROM interactions WHERE ts < (SELECT cut_ts FROM cut)),
+            test AS (
+                SELECT * FROM interactions WHERE ts >= (SELECT cut_ts FROM cut)),
+            users AS (SELECT DISTINCT query_id FROM train),
+            pop AS (
+                SELECT item_id,
+                       count(DISTINCT query_id) /
+                       CAST((SELECT count(*) FROM users) AS DOUBLE) AS rating
+                FROM train GROUP BY item_id),
+            ranked AS (
+                SELECT item_id, rating,
+                       row_number() OVER (ORDER BY rating DESC, item_id DESC) AS rnk
+                FROM pop),
+            seen_counts AS (
+                SELECT query_id, count(DISTINCT item_id) AS num_items
+                FROM train GROUP BY query_id),
+            candidates AS (
+                SELECT u.query_id, r.item_id, r.rating
+                FROM users u
+                JOIN seen_counts s ON u.query_id = s.query_id
+                JOIN ranked r ON r.rnk <= 5 + s.num_items),
+            unseen AS (
+                SELECT c.* FROM candidates c
+                ANTI JOIN train i
+                ON c.query_id = i.query_id AND c.item_id = i.item_id),
+            recs AS (
+                -- PopRec's top-5 CUT breaks ties item ASC; the metric
+                -- then re-ranks the surviving 5 by (rating DESC,
+                -- item DESC) — reference base_metric.py:195-214
+                -- sort_array(struct(rating, item), desc) semantics
+                SELECT query_id, item_id, rating,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY rating DESC, item_id DESC) AS pos
+                FROM (
+                    SELECT query_id, item_id, rating,
+                           row_number() OVER (PARTITION BY query_id
+                               ORDER BY rating DESC, item_id ASC) AS cut_rn
+                    FROM unseen QUALIFY cut_rn <= 5) c),
+            gt AS (SELECT DISTINCT query_id, item_id FROM test),
+            gt_sizes AS (
+                SELECT query_id, count(*) AS gt_n FROM gt GROUP BY query_id),
+            marked AS (
+                SELECT r.query_id, r.pos,
+                       CASE WHEN g.item_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+                FROM recs r LEFT JOIN gt g
+                ON r.query_id = g.query_id AND r.item_id = g.item_id),
+            cum AS (
+                SELECT *, sum(hit) OVER (PARTITION BY query_id ORDER BY pos) AS tp
+                FROM marked),
+            per_user AS (
+                SELECT query_id,
+                       sum(hit / log2(pos + 1)) AS dcg,
+                       max(CASE WHEN hit = 1 THEN 1.0 / pos ELSE 0 END)
+                           FILTER (WHERE tp = 1 AND hit = 1) AS mrr_raw,
+                       max(hit) AS hitrate
+                FROM cum GROUP BY query_id),
+            idcg_table AS (
+                SELECT n,
+                       (SELECT sum(1.0 / log2(i + 1))
+                        FROM range(1, 6) t(i) WHERE i <= n) AS idcg_v
+                FROM range(1, 6) r(n)),
+            vals AS (
+                SELECT coalesce(p.dcg / it.idcg_v, 0) AS ndcg_v,
+                       coalesce(p.mrr_raw, 0) AS mrr_v,
+                       coalesce(CAST(p.hitrate AS DOUBLE), 0) AS hr_v
+                FROM gt_sizes s
+                JOIN idcg_table it ON it.n = least(5, s.gt_n)
+                LEFT JOIN per_user p ON p.query_id = s.query_id)
+            SELECT 'hitrate' AS metric, round(avg(hr_v), 5) AS value FROM vals
+            UNION ALL SELECT 'mrr', round(avg(mrr_v), 5) FROM vals
+            UNION ALL SELECT 'ndcg', round(avg(ndcg_v), 5) FROM vals
         """,
         "q_simhash_pairs_md5": """
             WITH toks AS (
