@@ -149,3 +149,81 @@ def test_label_encoder_roundtrip_property(spark, values):
     assert set(codes) == set(range(len(set(values))))
     back = sorted(r.item_id for r in rule.inverse_transform(encoded).collect())
     assert back == sorted(values)
+
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+        min_size=0,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(token_lists=docs_strategy)
+@settings(**SETTINGS)
+def test_vocab_builder_matches_python_counts(spark, token_lists):
+    from collections import Counter
+
+    from replay_spark.preprocessing.text import VocabBuilder
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["token"]: (r["tf"], r["df"])
+        for r in VocabBuilder().transform(df).collect()
+    }
+    tf = Counter()
+    dfreq = Counter()
+    for toks in token_lists:
+        tf.update(toks)
+        dfreq.update(set(toks))
+    assert got == {t: (tf[t], dfreq[t]) for t in tf}
+
+
+@given(token_lists=docs_strategy)
+@settings(**SETTINGS)
+def test_repetition_stats_match_python(spark, token_lists):
+    from replay_spark.preprocessing.text import RepetitionStats
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["dup_word_frac"], r["top_bigram_char_frac"])
+        for r in RepetitionStats().transform(df).collect()
+    }
+    for i, toks in enumerate(token_lists):
+        text = " ".join(toks)
+        dup = 1 - len(set(toks)) / len(toks) if toks else 0.0
+        assert abs(got[i][0] - dup) < 1e-9
+        bigrams = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+        if bigrams and len(text) > 0:
+            from collections import Counter
+
+            cnt = Counter(bigrams)
+            best = min(((-c, b) for b, c in cnt.items()))
+            expect = (-best[0]) * len(best[1]) / len(text)
+            assert abs(got[i][1] - expect) < 1e-9
+        else:
+            assert got[i][1] == 0.0
+
+
+@given(token_lists=docs_strategy, n=st.integers(1, 3))
+@settings(**SETTINGS)
+def test_contamination_self_is_total(spark, token_lists, n):
+    """A corpus checked against itself is 100% contaminated; against a
+    disjoint-vocabulary corpus, 0%."""
+    from replay_spark.preprocessing.dedup import ContaminationChecker
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists) if toks]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chk = ContaminationChecker(n=n)
+    rep = chk.report(df, df).collect()
+    assert all(r["contamination_frac"] == 1.0 for r in rep)
+    other = spark.createDataFrame([(999, "zeta theta iota")], "doc_id long, text string")
+    rep2 = chk.report(df, other).collect()
+    assert all(r["contamination_frac"] == 0.0 for r in rep2)
