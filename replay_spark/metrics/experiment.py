@@ -53,13 +53,40 @@ class OfflineMetrics:
         shared = [m for m in self.metrics if isinstance(m, _SHARED_PASS)]
         rest = [m for m in self.metrics if m not in shared]
         if shared:
+            from pyspark.sql import functions as F
+
+            from replay_spark.metrics.descriptors import Mean
+
             first = shared[0]
             first._check_duplicates(recommendations)
             enriched = first._get_enriched_recommendations(
                 recommendations, ground_truth
             ).cache()
-            for metric in shared:
+            # Mean-mode metrics fold into ONE aggregation job: every
+            # (metric, k) per-user kernel becomes a column of a single
+            # select and a single avg() pass over the cached enriched
+            # frame — 1 Spark job instead of len(metrics)×len(topk)
+            fused = [m for m in shared if type(m._mode) is Mean]
+            for metric in (m for m in shared if m not in fused):
                 results.update(metric._compute(enriched))
+            if len(fused) == 1:
+                results.update(fused[0]._compute(enriched))
+            elif fused:
+                cols, slots = [], []
+                for m in fused:
+                    for k in m.topk:
+                        slots.append((m, k))
+                        cols.append(
+                            m._per_user_value(k).alias(f"_v{len(cols)}")
+                        )
+                row = enriched.select(*cols).agg(
+                    *[F.avg(f"_v{i}").alias(f"_a{i}") for i in range(len(cols))]
+                ).first()
+                per_metric: dict = {}
+                for i, (m, k) in enumerate(slots):
+                    per_metric.setdefault(id(m), (m, {}))[1][k] = row[f"_a{i}"]
+                for m, values in per_metric.values():
+                    results.update(m._aggregate_results(values))
             enriched.unpersist()
         for metric in rest:
             if isinstance(metric, (Coverage, Novelty, Surprisal)):
