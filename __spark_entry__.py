@@ -576,6 +576,49 @@ def q_streaming_ucb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming/batch parity gate for watermarked exact dedup: the
+    set of surviving content hashes from a bounded-stream
+    dropDuplicates pass must HASH-match batch ``SELECT DISTINCT
+    md5(text)`` (which survivor row wins is arrival-order dependent,
+    the surviving content-hash set is not)."""
+    import os
+    import tempfile
+
+    from replay_spark.streaming import streaming_exact_dedup
+
+    for q in spark.streams.active:
+        if q.name == "q_streaming_dedup_sink":
+            q.stop()
+    src = os.path.abspath(f"{sf_dir}/documents.parquet")
+    link_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"rs_stream_docs_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, "documents.parquet")
+    if os.path.lexists(link) and os.path.realpath(link) != src:
+        os.unlink(link)
+    if not os.path.lexists(link):
+        os.symlink(src, link)
+    raw_schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(raw_schema).parquet(link_dir)
+    deduped = streaming_exact_dedup(stream, text_column="text", time_column=None)
+    sq = (
+        deduped.writeStream.format("memory")
+        .queryName("q_streaming_dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(300)
+    return (
+        spark.table("q_streaming_dedup_sink")
+        .select(F.md5("text").alias("content_hash"))
+        .distinct()
+    )
+
+
 def q_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense label codes for event_type via join-based LabelEncoder."""
     from replay_spark.preprocessing import LabelEncodingRule
@@ -1755,6 +1798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_ann_fixed": q_ivf_ann_fixed,
         "q_simhash_pairs_md5": q_simhash_pairs_md5,
         "q_pipeline_eval": q_pipeline_eval,
+        "q_streaming_dedup": q_streaming_dedup,
         # -- (e) officially green in r3; rotate out of the window ---
         "q_sessionize_composite": q_sessionize_composite,
         "q_klucb_scores": q_klucb_scores,
@@ -2552,6 +2596,9 @@ def oracle_sql() -> dict[str, str]:
             FROM toks GROUP BY token
             ORDER BY tf DESC, token ASC
             LIMIT 200
+        """,
+        "q_streaming_dedup": """
+            SELECT DISTINCT md5(text) AS content_hash FROM documents
         """,
         "q_pipeline_eval": f"""
             WITH {W},
