@@ -619,6 +619,15 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shaped LM quality signal: per-doc mean add-one-smoothed
+    unigram log-probability under a model trained on the corpus."""
+    from replay_spark.preprocessing.text import UnigramLMScorer
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    return UnigramLMScorer().score(docs)
+
+
 def q_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense label codes for event_type via join-based LabelEncoder."""
     from replay_spark.preprocessing import LabelEncodingRule
@@ -1799,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_pairs_md5": q_simhash_pairs_md5,
         "q_pipeline_eval": q_pipeline_eval,
         "q_streaming_dedup": q_streaming_dedup,
+        "q_unigram_lm_scores": q_unigram_lm_scores,
         # -- (e) officially green in r3; rotate out of the window ---
         "q_sessionize_composite": q_sessionize_composite,
         "q_klucb_scores": q_klucb_scores,
@@ -2596,6 +2606,20 @@ def oracle_sql() -> dict[str, str]:
             FROM toks GROUP BY token
             ORDER BY tf DESC, token ASC
             LIMIT 200
+        """,
+        "q_unigram_lm_scores": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+                FROM documents
+                WHERE trim(text) <> ''),
+            model AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+            tot AS (SELECT count(*) AS n, count(DISTINCT token) AS v FROM toks)
+            SELECT t.doc_id, count(*) AS n_tokens,
+                   round(avg(ln((coalesce(m.c, 0) + 1.0) / (tot.n + tot.v))), 6)
+                       AS lm_score
+            FROM toks t LEFT JOIN model m USING (token) CROSS JOIN tot
+            GROUP BY t.doc_id
         """,
         "q_streaming_dedup": """
             SELECT DISTINCT md5(text) AS content_hash FROM documents

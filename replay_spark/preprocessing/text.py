@@ -30,6 +30,7 @@ __all__ = [
     "CorpusMixer",
     "VocabBuilder",
     "TfIdfKeywords",
+    "UnigramLMScorer",
     "PII_PATTERNS",
     "LANG_STOPWORDS",
 ]
@@ -664,4 +665,71 @@ class TfIdfKeywords:
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= self.k)
             .select(idc, "token", "score", "rank")
+        )
+
+
+class UnigramLMScorer:
+    """Per-document unigram language-model score — the shape of
+    CCNet's LM-perplexity quality filter (Wenzek et al. 2020) with a
+    corpus-trained unigram model standing in for the KenLM 5-gram
+    (no native LM libs in scope; the Spark-side plumbing — train a
+    model on one corpus, score another, rank by perplexity — is the
+    real operator).
+
+    score(d) = mean over tokens of ln p(t), with
+    p(t) = (count(t) + 1) / (corpus_tokens + vocab_size)  (add-one
+    smoothing, so unseen tokens score ln(1/(N+V)) instead of -inf).
+    Lower (more negative) = more surprising under the corpus model.
+
+    Plan: one token-keyed aggregation trains the model; corpus totals
+    ride along as a broadcast 1-row aggregate; scoring is an explode
+    + broadcast-or-shuffle join on token + per-doc mean — all
+    JVM-side, one doc-keyed shuffle.
+    """
+
+    def __init__(
+        self,
+        text_column: str = "text",
+        id_column: str = "doc_id",
+        lowercase: bool = True,
+    ):
+        self.text_column = text_column
+        self.id_column = id_column
+        self.lowercase = lowercase
+
+    def _tokens(self, df: DataFrame) -> DataFrame:
+        text = F.col(self.text_column)
+        if self.lowercase:
+            text = F.lower(text)
+        return df.select(
+            F.col(self.id_column), F.explode(tokenize_expr(text)).alias("token")
+        )
+
+    def score(
+        self, df: DataFrame, train_df: Optional[DataFrame] = None
+    ) -> DataFrame:
+        """Return ``[<id_column>, n_tokens, lm_score]``; the model is
+        trained on ``train_df`` (defaults to ``df`` itself)."""
+        idc = self.id_column
+        train_toks = self._tokens(train_df if train_df is not None else df)
+        model = train_toks.groupBy("token").agg(F.count("*").alias("_c"))
+        totals = train_toks.agg(
+            F.count("*").alias("_n"),
+            F.countDistinct("token").alias("_v"),
+        )
+        toks = self._tokens(df)
+        scored = (
+            toks.join(model, on="token", how="left")
+            .crossJoin(F.broadcast(totals))
+            .withColumn(
+                "_lp",
+                F.log(
+                    (F.coalesce(F.col("_c"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("_n") + F.col("_v"))
+                ),
+            )
+        )
+        return scored.groupBy(idc).agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("_lp"), 6).alias("lm_score"),
         )

@@ -718,3 +718,26 @@ def test_simhash_md5_family(docs):
 
     with pytest.raises(ValueError):
         SimHashDeduplicator(hash_family="crc32")
+
+
+def test_unigram_lm_scorer(spark):
+    import math
+
+    from replay_spark.preprocessing.text import UnigramLMScorer
+
+    train = spark.createDataFrame(
+        [(0, "a a b"), (1, "a c")], "doc_id long, text string"
+    )
+    # model: a=3, b=1, c=1; N=5, V=3
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["lm_score"])
+        for r in UnigramLMScorer().score(train).collect()
+    }
+    p = lambda c: math.log((c + 1.0) / (5 + 3))
+    assert out[0][0] == 3
+    assert abs(out[0][1] - round((2 * p(3) + p(1)) / 3, 6)) < 1e-9
+    # scoring a doc with unseen tokens against a train corpus
+    test = spark.createDataFrame([(9, "z z")], "doc_id long, text string")
+    sc = UnigramLMScorer().score(test, train_df=train).collect()[0]
+    assert sc["n_tokens"] == 2
+    assert abs(sc["lm_score"] - round(p(0), 6)) < 1e-9
