@@ -139,6 +139,12 @@ class BaseRecommender(ABC):
         recs_file_path: Optional[str] = None,
     ) -> Optional[DataFrame]:
         """Top-k recommendations per query: ``[query_id, item_id, rating]``."""
+        # default predict (queries=None, dataset given): queries IS the
+        # distinct user set of the (identically cold-filtered)
+        # interactions, so restricting interactions to `queries` in the
+        # seen-stats scan is a provable no-op — skip that join (at
+        # scale it's a full extra pass over the fact table)
+        queries_cover_log = queries is None and dataset is not None
         dataset, queries, items = self._prepare_predict_inputs(dataset, queries, items)
         # `queries` is usually a DISTINCT over the interaction log and
         # is consumed by seen-stats, the prediction join AND the final
@@ -150,13 +156,20 @@ class BaseRecommender(ABC):
             queries = queries.cache()
         seen_stats = None
         if filter_seen_items and dataset is not None:
-            seen_stats = self._compute_seen_stats(dataset.interactions, queries)
+            seen_stats = self._compute_seen_stats(
+                dataset.interactions, queries, join_queries=not queries_cover_log
+            )
         self._shared_seen_stats = seen_stats
         try:
             recs = self._predict(dataset, k, queries, items, filter_seen_items)
             if filter_seen_items and dataset is not None:
                 recs = self._filter_seen(
-                    recs, dataset.interactions, k, queries, seen_stats
+                    recs,
+                    dataset.interactions,
+                    k,
+                    queries,
+                    seen_stats,
+                    join_queries=not queries_cover_log,
                 )
             recs = get_top_k_recs(
                 recs, k, self.query_column, self.item_column, self.rating_column
@@ -271,7 +284,9 @@ class BaseRecommender(ABC):
             )
         return dataset, queries, items
 
-    def _compute_seen_stats(self, interactions: DataFrame, queries: DataFrame):
+    def _compute_seen_stats(
+        self, interactions: DataFrame, queries: DataFrame, join_queries: bool = True
+    ):
         """Per-query seen-interaction stats shared across one predict
         call: (cached stats frame [query, seen_count, num_items],
         max seen_count, max num_items).
@@ -281,9 +296,13 @@ class BaseRecommender(ABC):
         depth caps in ``_filter_seen`` (raw count) — previously two
         independent scans each ending in its own ``first()``.
         """
-        stats = (
+        scoped = (
             interactions.join(queries, on=self.query_column)
-            .groupBy(self.query_column)
+            if join_queries
+            else interactions
+        )
+        stats = (
+            scoped.groupBy(self.query_column)
             .agg(
                 F.count(self.item_column).alias("seen_count"),
                 F.countDistinct(self.item_column).alias("num_items"),
@@ -302,6 +321,7 @@ class BaseRecommender(ABC):
         k: int,
         queries: DataFrame,
         seen_stats=None,
+        join_queries: bool = True,
     ) -> DataFrame:
         """Remove items already seen by each query; keep enough depth.
 
@@ -334,7 +354,12 @@ class BaseRecommender(ABC):
             .filter(F.col("temp_rank") <= F.col("seen_count") + F.lit(k))
             .drop("temp_rank", "seen_count")
         )
-        seen_pairs = interactions.join(queries, on=self.query_column).select(
+        seen_src = (
+            interactions.join(queries, on=self.query_column)
+            if join_queries
+            else interactions
+        )
+        seen_pairs = seen_src.select(
             F.col(self.query_column), F.col(self.item_column)
         )
         return recs.join(
