@@ -55,13 +55,32 @@ class Splitter(ABC):
 
     @property
     def _init_args(self):
-        return {name: getattr(self, name) for name in self._init_arg_names}
+        """Full constructor state for save/load round-trips.
+
+        Derived from the concrete class's ``__init__`` signature (every
+        splitter stores each parameter under the same attribute name),
+        so subclass-specific args — ``time_threshold``, ``N``,
+        ``test_size``, strategies — persist too, not just the base
+        columns. Reference splitters record the same full set
+        (``base_splitter.py:72-86``)."""
+        import inspect
+
+        names = [
+            p
+            for p in inspect.signature(type(self).__init__).parameters
+            if p != "self"
+        ]
+        return {name: getattr(self, name) for name in names}
 
     def save(self, path: str) -> None:
         base_path = Path(path).with_suffix(".replay").resolve()
         base_path.mkdir(parents=True, exist_ok=True)
         payload = {"init_args": self._init_args, "_class_name": str(self)}
-        (base_path / "init_args.json").write_text(json.dumps(payload))
+        # datetime thresholds serialize as their str form, which every
+        # splitter accepts back (TimeSplitter parses str cuts)
+        (base_path / "init_args.json").write_text(
+            json.dumps(payload, default=str)
+        )
 
     @classmethod
     def load(cls, path: str) -> "Splitter":

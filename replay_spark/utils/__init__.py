@@ -19,3 +19,7 @@ from replay_spark.utils.time_decay import (  # noqa: F401
     get_item_recency,
     smoothe_time,
 )
+from replay_spark.utils.common import (  # noqa: F401
+    load_from_replay,
+    save_to_replay,
+)

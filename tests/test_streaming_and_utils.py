@@ -336,3 +336,50 @@ def test_tpe_sampler_concentrates():
     assert r["best_params"]["flag"] == "good"
     flags = [t["params"]["flag"] for t in r["trials"][15:]]
     assert flags.count("good") > flags.count("bad")
+
+
+def test_save_load_from_replay(spark, tmp_path):
+    """Generic persistence entry points dispatch on the recorded
+    class name for both the splitter (.replay/init_args.json) and
+    model (meta.json) formats — reference utils/common.py:62-83."""
+    from replay_spark.splitters import TimeSplitter
+    from replay_spark.utils import load_from_replay, save_to_replay
+
+    sp = TimeSplitter(0.25)
+    p = str(tmp_path / "splitter")
+    save_to_replay(sp, p)
+    sp2 = load_from_replay(p)
+    assert isinstance(sp2, TimeSplitter)
+    assert sp2.time_threshold == 0.25
+
+    import pyspark.sql.functions as F
+
+    from replay_spark.data import (
+        Dataset,
+        FeatureHint,
+        FeatureInfo,
+        FeatureSchema,
+        FeatureType,
+    )
+    from replay_spark.models import PopRec
+
+    inter = spark.createDataFrame(
+        [(0, 0, 1.0, 1.0), (0, 1, 2.0, 1.0), (1, 0, 3.0, 1.0)],
+        "query_id long, item_id long, timestamp double, rating double",
+    )
+    schema = FeatureSchema(
+        [
+            FeatureInfo("query_id", FeatureType.CATEGORICAL, FeatureHint.QUERY_ID),
+            FeatureInfo("item_id", FeatureType.CATEGORICAL, FeatureHint.ITEM_ID),
+            FeatureInfo("timestamp", FeatureType.NUMERICAL, FeatureHint.TIMESTAMP),
+            FeatureInfo("rating", FeatureType.NUMERICAL, FeatureHint.RATING),
+        ]
+    )
+    model = PopRec().fit(Dataset(schema, inter, check_consistency=False))
+    mp = str(tmp_path / "model")
+    save_to_replay(model, mp)
+    m2 = load_from_replay(mp, spark)
+    assert isinstance(m2, PopRec)
+
+    with pytest.raises(FileNotFoundError):
+        load_from_replay(str(tmp_path / "nothing"))
