@@ -51,6 +51,8 @@ class ALSWrap(BaseRecommender, ItemVectorModel):
             "rank": self.rank,
             "implicit_prefs": self.implicit_prefs,
             "seed": self._seed,
+            "num_item_blocks": self._num_item_blocks,
+            "num_query_blocks": self._num_query_blocks,
         }
 
     def _fit(self, dataset: Dataset) -> None:

@@ -65,6 +65,7 @@ class Word2VecRec(BaseRecommender, ItemVectorModel):
             "window_size": self.window_size,
             "use_idf": self.use_idf,
             "seed": self._seed,
+            "num_partitions": self._num_partitions,
         }
 
     @property
