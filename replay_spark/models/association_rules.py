@@ -56,6 +56,17 @@ class AssociationRulesItemRec(NeighbourRec):
         self.max_session_length = max_session_length
 
     @property
+    def _similarity_metric_column(self) -> str:
+        # re-read at every predict so the metric can be switched after
+        # fit, as the reference doctest does (the fit-time "similarity"
+        # alias stays for nearest-items and direct table readers)
+        if self.similarity_metric not in self.item_to_item_metrics:
+            raise ValueError(
+                f"similarity_metric must be one of {self.item_to_item_metrics}"
+            )
+        return self.similarity_metric
+
+    @property
     def _init_args(self):
         return {
             "session_column": self.session_column,

@@ -39,6 +39,14 @@ class NeighbourRec(BaseRecommender):
     def _dataframes(self):
         return {"similarity": self.similarity}
 
+    @property
+    def _similarity_metric_column(self) -> str:
+        """Column of the similarity table summed at predict time.
+        AssociationRulesItemRec overrides this with its CURRENT
+        ``similarity_metric`` so the metric can be switched after fit
+        (reference doctest ``association_rules.py:70-92``)."""
+        return "similarity"
+
     def _predict_pairs_inner(
         self, dataset: Dataset, filter_df: DataFrame, condition, queries: DataFrame
     ) -> DataFrame:
@@ -55,7 +63,9 @@ class NeighbourRec(BaseRecommender):
             )
             .join(filter_df, how="inner", on=condition)
             .groupBy(self.query_column, "item_idx_two")
-            .agg(F.sum("similarity").alias(self.rating_column))
+            .agg(
+                F.sum(self._similarity_metric_column).alias(self.rating_column)
+            )
             .withColumnRenamed("item_idx_two", self.item_column)
         )
 

@@ -245,3 +245,34 @@ def test_item_knn_salted_matches_unsalted(dataset):
         )
 
     assert rows(plain) == rows(salted)
+
+
+def test_association_rules_reference_doctest(spark):
+    """Exact golden from the reference doctest
+    (association_rules.py:36-92): pair (2,1) scores confidence 0.5
+    and lift 1.5 on the 4-row toy log."""
+    inter = spark.createDataFrame(
+        [(1, 1, 2.0), (1, 2, 1.0), (2, 2, 4.0), (3, 3, 1.0)],
+        "query_id long, item_id long, rating double",
+    )
+    schema = FeatureSchema(
+        [
+            FeatureInfo("query_id", FeatureType.CATEGORICAL, FeatureHint.QUERY_ID),
+            FeatureInfo("item_id", FeatureType.CATEGORICAL, FeatureHint.ITEM_ID),
+            FeatureInfo("rating", FeatureType.NUMERICAL, FeatureHint.RATING),
+        ]
+    )
+    ds = Dataset(schema, inter, check_consistency=False)
+    model = AssociationRulesItemRec(
+        min_item_count=1, min_pair_count=0, session_column="query_id"
+    )
+    model.fit(ds)
+    pairs = spark.createDataFrame([(2, 1)], "query_id long, item_id long")
+
+    model.similarity_metric = "confidence"
+    row = model.predict_pairs(pairs, ds).first()
+    assert row["rating"] == pytest.approx(0.5)
+
+    model.similarity_metric = "lift"
+    row = model.predict_pairs(pairs, ds).first()
+    assert row["rating"] == pytest.approx(1.5)
