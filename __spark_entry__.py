@@ -2122,7 +2122,14 @@ def oracle_sql() -> dict[str, str]:
                        i + 1
                 FROM bis WHERE i < 50)
             SELECT item_id,
-                   round(CASE WHEN p_hat >= 1.0 THEN 1.0
+                   -- degenerate arms use the reference's UNSCALED
+                   -- closed forms (kl_ucb.py:151-161):
+                   -- p=0 -> 1 - e^-RHS, p=1 -> e^-RHS with
+                   -- RHS = ln(N) (coef = 0)
+                   round(CASE WHEN p_hat <= 0.0
+                              THEN 1.0 - exp(-(SELECT ln(count(*)) FROM interactions))
+                              WHEN p_hat >= 1.0
+                              THEN exp(-(SELECT ln(count(*)) FROM interactions))
                               ELSE (lo + hi) / 2 END, 6) AS rating
             FROM bis WHERE i = 50
         """,

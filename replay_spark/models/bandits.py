@@ -224,9 +224,15 @@ class KLUCB(NonPersonalizedRecommender):
             def solve(p_hat, n):
                 if n <= 0:
                     return 1.0
-                rhs = rhs_const / n
+                # reference kl_ucb.py:151-161 — the degenerate arms
+                # solve the UNSCALED equations (no ×total), with
+                # closed forms: ln(1/(1-q)) = rhs → q = 1 - e^-rhs,
+                # ln(1/q) = rhs → q = e^-rhs
+                if p_hat <= 0.0:
+                    return 1.0 - math.exp(-rhs_const)
                 if p_hat >= 1.0:
-                    return 1.0
+                    return math.exp(-rhs_const)
+                rhs = rhs_const / n
 
                 def kl(q):
                     eps = 1e-12
@@ -256,7 +262,8 @@ class KLUCB(NonPersonalizedRecommender):
             ),
         )
         self.item_popularity.cache().count()
-        self.fill = 1.0
+        # reference kl_ucb.py:173 — optimistic cold-item fill
+        self.fill = 1.0 + math.sqrt(self.coef * math.log(full_count))
 
 
 class ThompsonSampling(NonPersonalizedRecommender):

@@ -128,11 +128,19 @@ def test_thompson(binary_dataset):
 
 
 def test_klucb(binary_dataset):
+    import math
+
     model = KLUCB()
     model.fit(binary_dataset)
     pops = {r.item_id: r.rating for r in model.item_popularity.collect()}
     assert all(0 <= v <= 1.0 + 1e-9 for v in pops.values())
-    assert pops[0] > pops[1]
+    # reference kl_ucb.py:157-161 degenerate branch: an all-positive
+    # arm solves the UNSCALED ln(1/q) = ln(N) + c·ln(ln(N)), i.e.
+    # q = e^-rhs — reproduced exactly (parity over intuition; the
+    # doctest-pinned p̂=0 branch mirrors it as 1 - e^-rhs)
+    n = 6  # binary_dataset rows
+    rhs = math.log(n)
+    assert pops[0] == pytest.approx(math.exp(-rhs), abs=1e-9)
 
 
 def test_random_rec(dataset):
@@ -276,3 +284,96 @@ def test_association_rules_reference_doctest(spark):
     model.similarity_metric = "lift"
     row = model.predict_pairs(pairs, ds).first()
     assert row["rating"] == pytest.approx(1.5)
+
+
+def _toy_binary_dataset(spark, rows):
+    inter = spark.createDataFrame(
+        rows, "query_id long, item_id long, rating double"
+    )
+    schema = FeatureSchema(
+        [
+            FeatureInfo("query_id", FeatureType.CATEGORICAL, FeatureHint.QUERY_ID),
+            FeatureInfo("item_id", FeatureType.CATEGORICAL, FeatureHint.ITEM_ID),
+            FeatureInfo("rating", FeatureType.NUMERICAL, FeatureHint.RATING),
+        ]
+    )
+    return Dataset(schema, inter, check_consistency=False)
+
+
+def test_ucb_reference_doctest(spark):
+    """Exact goldens from the reference doctest (ucb.py:60-75):
+    cold item 3 gets the optimistic fill 2.665109, seen items score
+    mean + sqrt(2 ln N / n)."""
+    from replay_spark.models import UCB
+
+    ds = _toy_binary_dataset(
+        spark, [(1, 1, 1.0), (2, 2, 0.0), (3, 1, 0.0), (3, 2, 0.0)]
+    )
+    model = UCB()
+    model.fit(ds)
+    recs = model.predict(ds, k=2, queries=[1, 2, 3, 4], items=[1, 2, 3])
+    got = {
+        (r["query_id"], r["item_id"]): round(r["rating"], 6)
+        for r in recs.collect()
+    }
+    expected = {
+        (1, 3): 2.665109, (1, 2): 1.17741,
+        (2, 3): 2.665109, (2, 1): 1.67741,
+        (3, 3): 2.665109,
+        (4, 3): 2.665109, (4, 1): 1.67741,
+    }
+    for pair, val in expected.items():
+        assert pair in got and abs(got[pair] - val) < 1e-5, (pair, got.get(pair))
+
+
+def test_wilson_reference_doctest(spark):
+    """Exact goldens from the reference doctest (wilson.py:60-66)."""
+    from replay_spark.models import Wilson
+
+    ds = _toy_binary_dataset(spark, [(1, 1, 1.0), (2, 2, 1.0)])
+    recs = Wilson().fit_predict(ds, k=1)
+    got = {
+        (r["query_id"], r["item_id"]): round(r["rating"], 6)
+        for r in recs.collect()
+    }
+    assert got == {(1, 2): 0.206549, (2, 1): 0.206549}
+
+
+def test_klucb_reference_doctest(spark):
+    """Exact goldens from the reference doctest (kl_ucb.py:55-70)."""
+    from replay_spark.models import KLUCB
+
+    ds = _toy_binary_dataset(
+        spark, [(1, 1, 1.0), (2, 2, 0.0), (3, 1, 0.0), (3, 2, 0.0)]
+    )
+    model = KLUCB()
+    model.fit(ds)
+    recs = model.predict(ds, k=2, queries=[1, 2, 3, 4], items=[1, 2, 3])
+    got = {
+        (r["query_id"], r["item_id"]): round(r["rating"], 6)
+        for r in recs.collect()
+    }
+    expected = {
+        (1, 3): 1.0, (1, 2): 0.75,
+        (2, 3): 1.0, (2, 1): 0.933013,
+        (3, 3): 1.0,
+        (4, 3): 1.0, (4, 1): 0.933013,
+    }
+    for pair, val in expected.items():
+        assert pair in got and abs(got[pair] - val) < 1e-5, (pair, got.get(pair))
+
+
+def test_query_pop_rec_reference_doctest(spark):
+    """Exact goldens from the reference doctest
+    (query_pop_rec.py:40-50)."""
+    from replay_spark.models import QueryPopRec
+
+    ds = _toy_binary_dataset(spark, [(1, 1, 2.0), (1, 2, 1.0), (3, 3, 1.0)])
+    model = QueryPopRec()
+    recs = model.fit_predict(ds, 1, filter_seen_items=False)
+    assert model.query_item_popularity.count() == 3
+    got = {
+        (r["query_id"], r["item_id"]): round(r["rating"], 6)
+        for r in recs.collect()
+    }
+    assert got == {(1, 1): 0.666667, (3, 3): 1.0}
