@@ -1343,7 +1343,7 @@ def q_lin_ucb_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("f_cnt"),
     )
     full = Dataset(_SCHEMA, ds.interactions, query_features=qf, check_consistency=False)
-    model = LinUCB(alpha=0.5)
+    model = LinUCB(eps=0.5, alpha=1.0)
     recs = model.fit_predict(full, k=5)
     return recs.select(
         "query_id", "item_id", F.round("rating", 4).alias("rating")

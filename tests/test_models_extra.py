@@ -69,7 +69,7 @@ def test_lin_ucb(spark, dataset, interactions):
         "query_id int, f0 double, f1 double",
     )
     ds = Dataset(dataset.feature_schema, interactions, query_features=qf)
-    model = LinUCB(alpha=0.5)
+    model = LinUCB(eps=0.5, alpha=1.0)
     recs = model.fit_predict(ds, k=2)
     # user 0 saw 3 of 4 items -> only 1 unseen rec; users 1,2 get 2 each
     assert recs.count() == 5
@@ -127,3 +127,94 @@ def test_sequence_tokenizer(spark, interactions):
     )
     r0 = {r.query_id: r for r in capped.collect()}[0]
     assert r0.item_sequence == [1, 2]  # last 2 kept
+
+
+def _lin_ucb_doctest_dataset(spark):
+    from replay_spark.data import (
+        Dataset,
+        FeatureHint,
+        FeatureInfo,
+        FeatureSchema,
+        FeatureSource,
+        FeatureType,
+    )
+
+    inter = spark.createDataFrame(
+        [(0, 0, 1.0), (1, 1, 0.0), (2, 0, 0.0), (2, 1, 0.0)],
+        "user_id long, item_id long, rating double",
+    )
+    uf = spark.createDataFrame(
+        [(0, 1.0, 4.0, 7.0), (1, 2.0, 5.0, 8.0), (2, 3.0, 6.0, 9.0)],
+        "user_id long, f1 double, f2 double, f3 double",
+    )
+    itf = spark.createDataFrame(
+        [(i, float(1 + i), float(7 + i), float(13 + i)) for i in range(6)],
+        "item_id long, g1 double, g2 double, g3 double",
+    )
+    schema = FeatureSchema(
+        [
+            FeatureInfo("user_id", FeatureType.CATEGORICAL, FeatureHint.QUERY_ID),
+            FeatureInfo("item_id", FeatureType.CATEGORICAL, FeatureHint.ITEM_ID),
+            FeatureInfo("rating", FeatureType.NUMERICAL, FeatureHint.RATING),
+        ]
+        + [
+            FeatureInfo(c, FeatureType.NUMERICAL, feature_source=FeatureSource.QUERY_FEATURES)
+            for c in ("f1", "f2", "f3")
+        ]
+        + [
+            FeatureInfo(c, FeatureType.NUMERICAL, feature_source=FeatureSource.ITEM_FEATURES)
+            for c in ("g1", "g2", "g3")
+        ]
+    )
+    return Dataset(schema, inter, query_features=uf, item_features=itf, check_consistency=False)
+
+
+def test_lin_ucb_reference_doctest(spark):
+    """Exact goldens from the reference doctest (lin_ucb.py:100-115):
+    disjoint arms, eps=-10, alpha=1; unseen arms keep the zero-init
+    ridge prior and score eps*|x_u|."""
+    from replay_spark.models import LinUCB
+
+    ds = _lin_ucb_doctest_dataset(spark)
+    model = LinUCB(eps=-10.0, alpha=1.0, is_hybrid=False)
+    model.fit(ds)
+    recs = model.predict(ds, k=2, queries=[0, 1, 2])
+    got = {
+        (r["user_id"], r["item_id"]): round(r["rating"], 6)
+        for r in recs.collect()
+    }
+    assert got == {
+        (0, 1): -11.073741, (0, 2): -81.240384,
+        (1, 0): -6.555529, (1, 2): -96.436508,
+        (2, 2): -112.249722, (2, 3): -112.249722,
+    }
+
+
+def test_lin_ucb_hybrid(spark):
+    """Hybrid mode (Li et al. Alg. 2 via Kronecker-factored
+    aggregates): runs distributed, deterministic, and the shared
+    model shifts scores relative to disjoint."""
+    from replay_spark.models import LinUCB
+
+    ds = _lin_ucb_doctest_dataset(spark)
+    model = LinUCB(eps=-10.0, alpha=1.0, is_hybrid=True)
+    model.fit(ds)
+    recs = {
+        (r["user_id"], r["item_id"]): r["rating"]
+        for r in model.predict(ds, k=2, queries=[0, 1, 2]).collect()
+    }
+    assert len(recs) == 6
+    model2 = LinUCB(eps=-10.0, alpha=1.0, is_hybrid=True)
+    model2.fit(ds)
+    recs2 = {
+        (r["user_id"], r["item_id"]): r["rating"]
+        for r in model2.predict(ds, k=2, queries=[0, 1, 2]).collect()
+    }
+    assert recs == recs2  # deterministic
+    dis = LinUCB(eps=-10.0, alpha=1.0, is_hybrid=False)
+    dis.fit(ds)
+    drecs = {
+        (r["user_id"], r["item_id"]): r["rating"]
+        for r in dis.predict(ds, k=2, queries=[0, 1, 2]).collect()
+    }
+    assert any(abs(recs[k] - drecs[k]) > 1e-6 for k in recs if k in drecs)
