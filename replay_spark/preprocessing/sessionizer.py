@@ -52,7 +52,12 @@ class Sessionizer:
         max_sessions_per_user: Optional[int] = None,
         tiebreak_columns: Optional[Sequence[str]] = None,
         session_id_mode: str = "composite",
+        max_single_task_users: int = 5_000_000,
     ):
+        # reference-mode threshold: per-user count tables below this fit
+        # comfortably in one window task; above it the two-phase
+        # distributed prefix sum avoids the single-task global sort
+        self.max_single_task_users = max_single_task_users
         if session_id_mode not in ("composite", "reference"):
             raise ValueError(
                 "session_id_mode must be 'composite' or 'reference', "
@@ -134,16 +139,28 @@ class Sessionizer:
                     F.col("_session_ordinal").cast("string"),
                 ),
             ).drop("_boundary", "_session_ordinal")
-        # reference arithmetic: globally-unique numeric ids (parity mode;
-        # the cumulative window runs over the per-user COUNT table, not
-        # the fact table, but is still a single-task global sort)
+        # reference arithmetic: globally-unique numeric ids (parity
+        # mode). The cumulative window runs over the per-user COUNT
+        # table (not the fact table); below the threshold a plain
+        # one-task window is cheapest, above it the two-phase
+        # distributed prefix sum takes over — identical ids either way
         user_counts = with_ordinal.groupBy(self.user_column).count()
-        cum_counts = user_counts.withColumn(
-            "_cum_user_count",
-            F.sum("count").over(
-                Window.partitionBy(F.lit(0)).orderBy(self.user_column)
-            ),
-        ).drop("count")
+        if user_counts.count() > self.max_single_task_users:
+            from replay_spark.utils.spark_utils import ordered_prefix_sums
+
+            cum_counts = ordered_prefix_sums(
+                user_counts,
+                [F.col(self.user_column)],
+                "count",
+                out_col="_cum_user_count",
+            ).drop("count")
+        else:
+            cum_counts = user_counts.withColumn(
+                "_cum_user_count",
+                F.sum("count").over(
+                    Window.partitionBy(F.lit(0)).orderBy(self.user_column)
+                ),
+            ).drop("count")
         return (
             with_ordinal.join(cum_counts, on=self.user_column, how="left")
             .withColumn(

@@ -37,6 +37,7 @@ __all__ = [
     "multiply_vector_expr",
     "kth_smallest",
     "ordered_row_numbers",
+    "ordered_prefix_sums",
 ]
 
 
@@ -74,6 +75,46 @@ def ordered_row_numbers(
     for pid, cnt in counts:
         rows.append((pid, acc))
         acc += cnt
+    offsets = df.sparkSession.createDataFrame(rows, "_pid int, _offset long")
+    return (
+        numbered.join(F.broadcast(offsets), on="_pid")
+        .withColumn(out_col, F.col("_local") + F.col("_offset"))
+        .drop("_pid", "_local", "_offset")
+    )
+
+
+def ordered_prefix_sums(
+    df: DataFrame, order_exprs: list, value_col: str, out_col: str = "prefix_sum"
+) -> DataFrame:
+    """Global inclusive prefix sum of ``value_col`` over the total
+    order given by ``order_exprs`` WITHOUT a single-task sort — the
+    running-SUM sibling of :func:`ordered_row_numbers`.
+
+    Range-partition by the sort keys, run the prefix sum within each
+    (ordered, contiguous) partition, then add driver-computed
+    per-partition sum offsets via a broadcast join. Two extra jobs
+    (persist + per-partition totals); intermediate evicted LRU."""
+    numbered = (
+        df.repartitionByRange(*order_exprs)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_local",
+            F.sum(value_col)
+            .over(Window.partitionBy("_pid").orderBy(*order_exprs))
+            .cast("long"),
+        )
+        .persist()
+    )
+    totals = sorted(
+        (r["_pid"], r["_t"])
+        for r in numbered.groupBy("_pid")
+        .agg(F.sum(value_col).alias("_t"))
+        .collect()
+    )
+    rows, acc = [], 0
+    for pid, tot in totals:
+        rows.append((pid, acc))
+        acc += tot
     offsets = df.sparkSession.createDataFrame(rows, "_pid int, _offset long")
     return (
         numbered.join(F.broadcast(offsets), on="_pid")

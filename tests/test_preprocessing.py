@@ -221,3 +221,24 @@ def test_greedy_discretizer_cardinality_guard(spark):
     rule.MAX_DRIVER_DISTINCT = 10  # force the guard
     with pytest.raises(ValueError, match="distinct values"):
         rule.fit(df)
+
+
+def test_sessionizer_reference_two_phase_parity(spark):
+    """Reference-id mode: the two-phase distributed prefix sum
+    (max_single_task_users=0 forces it) assigns exactly the ids the
+    single-task window does."""
+    from replay_spark.preprocessing.sessionizer import Sessionizer
+
+    rows = [
+        (u, float(t))
+        for u in range(7)
+        for t in range(0, 400000, 100000)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, timestamp double")
+    a = Sessionizer(session_gap=150000, session_id_mode="reference").transform(df)
+    b = Sessionizer(
+        session_gap=150000,
+        session_id_mode="reference",
+        max_single_task_users=0,
+    ).transform(df)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
