@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import json
 from pathlib import Path
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Union
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -84,10 +84,11 @@ class LabelEncodingRule:
         column: str,
         mapping: Optional[dict] = None,
         handle_unknown: str = "error",
-        default_value: Optional[int] = None,
+        default_value: Optional[Union[int, str]] = None,
     ):
         if handle_unknown not in _HANDLE_UNKNOWN:
             raise ValueError(f"handle_unknown must be one of {_HANDLE_UNKNOWN}")
+        self._validate_default(default_value)
         self.column = column
         self.handle_unknown = handle_unknown
         self.default_value = default_value
@@ -99,6 +100,24 @@ class LabelEncodingRule:
                 schema=f"{column} string, {self.encoded_column} long",
             )
         self._is_fitted = mapping is not None
+
+    @staticmethod
+    def _validate_default(value) -> None:
+        """Reference semantics (label_encoder.py:86-120): an int code,
+        None (unknowns stay null), or the sentinel "last" (= mapping
+        size, the next unassigned code)."""
+        if value is not None and not isinstance(value, int) and value != "last":
+            raise ValueError(
+                f'default_value must be int, None or "last", got {value!r}'
+            )
+
+    def _default_code(self) -> Optional[int]:
+        """Resolve default_value to a concrete code (None = keep null)."""
+        if self.default_value is None:
+            return None
+        if self.default_value == "last":
+            return self._mapping_df.count()
+        return int(self.default_value)
 
     @property
     def encoded_column(self) -> str:
@@ -155,8 +174,10 @@ class LabelEncodingRule:
         elif self.handle_unknown == "drop":
             joined = joined.filter(F.col(self.encoded_column).isNotNull())
         else:  # use_default_value
-            default = -1 if self.default_value is None else self.default_value
-            joined = joined.fillna({self.encoded_column: default})
+            default = self._default_code()
+            if default is not None:
+                joined = joined.fillna({self.encoded_column: default})
+            # default None: unknowns stay null (reference parity)
         return joined.drop(self.column).withColumnRenamed(
             self.encoded_column, self.column
         )
@@ -171,6 +192,15 @@ class LabelEncodingRule:
             .drop(self.encoded_column)
             .withColumnRenamed("_decoded", self.column)
         )
+
+    def set_handle_unknown(self, strategy: str) -> None:
+        if strategy not in _HANDLE_UNKNOWN:
+            raise ValueError(f"handle_unknown must be one of {_HANDLE_UNKNOWN}")
+        self.handle_unknown = strategy
+
+    def set_default_value(self, value) -> None:
+        self._validate_default(value)
+        self.default_value = value
 
     def fit_transform(self, df: DataFrame) -> DataFrame:
         return self.fit(df).transform(df)
@@ -221,10 +251,13 @@ class SequenceEncodingRule(LabelEncodingRule):
         elif self.handle_unknown == "drop":
             encoded = encoded.filter(F.col("_pos").isNull() | ~unknown)
         else:
-            default = -1 if self.default_value is None else self.default_value
-            encoded = encoded.withColumn(
-                code, F.when(unknown, F.lit(default)).otherwise(F.col(code))
-            )
+            default = self._default_code()
+            if default is not None:
+                encoded = encoded.withColumn(
+                    code,
+                    F.when(unknown, F.lit(default)).otherwise(F.col(code)),
+                )
+            # default None leaves unknown elements null in the array
             known = F.col("_pos").isNotNull()
         reassembled = encoded.groupBy("_row_id").agg(
             *[F.first(c).alias(c) for c in other_cols],
@@ -271,6 +304,27 @@ class LabelEncoder:
 
     def fit_transform(self, df: DataFrame) -> DataFrame:
         return self.fit(df).transform(df)
+
+    def _rules_by_column(self) -> dict:
+        return {rule.column: rule for rule in self.rules}
+
+    def set_handle_unknowns(self, strategies: dict) -> None:
+        """Per-column post-fit strategy switch (reference
+        ``label_encoder.py:set_handle_unknowns``)."""
+        rules = self._rules_by_column()
+        for column, strategy in strategies.items():
+            if column not in rules:
+                raise ValueError(f"No rule for column {column}")
+            rules[column].set_handle_unknown(strategy)
+
+    def set_default_values(self, defaults: dict) -> None:
+        """Per-column post-fit default codes: int, None (keep null) or
+        "last" (= mapping size)."""
+        rules = self._rules_by_column()
+        for column, value in defaults.items():
+            if column not in rules:
+                raise ValueError(f"No rule for column {column}")
+            rules[column].set_default_value(value)
 
     def save(self, path: str) -> None:
         base = Path(path)

@@ -242,3 +242,51 @@ def test_sessionizer_reference_two_phase_parity(spark):
         max_single_task_users=0,
     ).transform(df)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_label_encoder_post_fit_unknown_handling(spark):
+    """Reference parity (test_label_encoder_with_handled_null_values_
+    spark): post-fit set_handle_unknowns / set_default_values, with
+    default None -> unknowns stay null and "last" -> mapping size."""
+    from replay_spark.preprocessing import LabelEncoder, LabelEncodingRule
+
+    train = spark.createDataFrame(
+        [("a", "x"), ("b", "y")], "item1 string, item2 string"
+    )
+    test = spark.createDataFrame(
+        [("a", "x"), ("new1", "new2")], "item1 string, item2 string"
+    )
+    enc = LabelEncoder([LabelEncodingRule("item1"), LabelEncodingRule("item2")])
+    enc.fit(train)
+    enc.set_handle_unknowns(
+        {"item1": "use_default_value", "item2": "use_default_value"}
+    )
+    enc.set_default_values({"item1": None, "item2": "last"})
+    out = {
+        (r["item1"], r["item2"])
+        for r in enc.transform(test).collect()
+    }
+    known = {r for r in out if r[0] is not None}
+    unknown = {r for r in out if r[0] is None}
+    assert len(known) == 1 and len(unknown) == 1
+    assert next(iter(unknown))[1] == 2  # "last" = mapping size
+
+    with pytest.raises(ValueError):
+        enc.set_default_values({"missing_col": 0})
+    with pytest.raises(ValueError):
+        enc.set_default_values({"item1": "not-last"})
+    with pytest.raises(ValueError):
+        enc.set_handle_unknowns({"item1": "bogus"})
+
+
+def test_sequence_encoder_default_none_keeps_null_elements(spark):
+    from replay_spark.preprocessing import SequenceEncodingRule
+
+    train = spark.createDataFrame([(["a", "b"],)], "items array<string>")
+    test = spark.createDataFrame([(["a", "zzz"],)], "items array<string>")
+    rule = SequenceEncodingRule(
+        "items", handle_unknown="use_default_value", default_value=None
+    )
+    rule.fit(train)
+    row = rule.transform(test).collect()[0]
+    assert row["items"][0] is not None and row["items"][1] is None
