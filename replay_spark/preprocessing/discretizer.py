@@ -38,6 +38,16 @@ class _BaseDiscretizingRule:
         self._n_bins = n_bins
         self._handle_invalid = handle_invalid
 
+    def set_handle_invalid(self, handle_invalid: str) -> None:
+        """Post-construction strategy switch (reference
+        ``discretizer.py:56``)."""
+        if handle_invalid not in _HANDLE_INVALID:
+            raise ValueError(
+                f"handle_invalid should be one of {_HANDLE_INVALID}, "
+                f"got {handle_invalid}"
+            )
+        self._handle_invalid = handle_invalid
+
     @property
     def column(self) -> str:
         return self._col
@@ -214,6 +224,14 @@ class Discretizer:
 
     def fit_transform(self, df: DataFrame) -> DataFrame:
         return self.fit(df).transform(df)
+
+    def set_handle_invalid(self, strategies: dict) -> None:
+        """Per-column strategy switch (reference Discretizer API)."""
+        rules = {r.column: r for r in self.rules}
+        for column, strategy in strategies.items():
+            if column not in rules:
+                raise ValueError(f"No rule for column {column}")
+            rules[column].set_handle_invalid(strategy)
 
     def save(self, path: str) -> None:
         base = Path(path)

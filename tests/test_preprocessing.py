@@ -290,3 +290,22 @@ def test_sequence_encoder_default_none_keeps_null_elements(spark):
     rule.fit(train)
     row = rule.transform(test).collect()[0]
     assert row["items"][0] is not None and row["items"][1] is None
+
+
+def test_discretizer_set_handle_invalid(spark):
+    from replay_spark.preprocessing import (
+        Discretizer,
+        QuantileDiscretizingRule,
+    )
+
+    rule = QuantileDiscretizingRule("rating", 4)
+    rule.set_handle_invalid("skip")
+    assert rule._handle_invalid == "skip"
+    with pytest.raises(ValueError):
+        rule.set_handle_invalid("bogus")
+
+    disc = Discretizer([QuantileDiscretizingRule("rating", 4)])
+    disc.set_handle_invalid({"rating": "error"})
+    assert disc.rules[0]._handle_invalid == "error"
+    with pytest.raises(ValueError):
+        disc.set_handle_invalid({"other": "skip"})
