@@ -3,10 +3,17 @@
 Media payloads are opaque ``binary`` columns plus typed metadata
 (mime type, width/height, duration, ...). The Spark-side machinery —
 schema, partition-friendly batch iteration, Arrow transfer, UDF
-signatures — is real and tested; the actual codec work (decode,
-resize, frame-sample) is STUBBED behind ``decoder`` callables
-because no image/audio libraries exist in this container. Swap the
-stub for a PIL/ffmpeg-backed callable and nothing else changes.
+signatures — is real and tested. Codecs:
+
+* REAL, dependency-free decoders for formats that need none:
+  PPM/PGM images (binary P5/P6 — numpy), WAV audio (stdlib
+  ``wave``). Decode, feature-extract (grayscale histogram / RMS
+  amplitude), and nearest-neighbour resize with PPM re-encode all
+  actually run.
+* Compressed formats (JPEG/PNG/MP4...) have no codec libraries in
+  this container, so their decode stays behind the deterministic
+  ``stub_image_decoder`` — swap in a PIL/ffmpeg-backed callable and
+  nothing else changes.
 
 At scale: ``mapInPandas`` streams Arrow batches per partition, so a
 1000-executor cluster decodes in parallel with zero driver
@@ -19,6 +26,7 @@ from __future__ import annotations
 import hashlib
 from typing import Callable, Iterator, Optional
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -37,6 +45,11 @@ __all__ = [
     "attach_media_metadata",
     "MediaProcessor",
     "stub_image_decoder",
+    "decode_ppm",
+    "encode_ppm",
+    "ppm_image_decoder",
+    "decode_wav",
+    "wav_audio_decoder",
 ]
 
 # Canonical media-column schema: payload + sidecar metadata.
@@ -62,14 +75,134 @@ def attach_media_metadata(
     ).withColumn("content_hash", F.md5(F.col(payload_column)))
 
 
-def stub_image_decoder(payload: bytes) -> dict:
-    """Deterministic fake decode.
+# -- real, dependency-free codecs -------------------------------------------
 
-    Stands in for a real image decoder (PIL/turbojpeg — NOT available
-    in this container). Produces stable pseudo-dimensions and a
-    16-dim pseudo-feature vector derived from the content hash, so
-    the full pipeline (schema, batching, joins) is exercisable and
-    testable end-to-end.
+
+def decode_ppm(payload: bytes) -> tuple[np.ndarray, str]:
+    """Decode binary PPM (P6, RGB) / PGM (P5, gray) into an ndarray
+    of shape (h, w, 3) or (h, w). Pure numpy — no image libraries.
+    Raises ValueError on anything that isn't binary PPM/PGM."""
+    if payload is None or len(payload) < 2 or payload[:1] != b"P":
+        raise ValueError("not a PPM/PGM payload")
+    magic = payload[:2].decode("ascii", "replace")
+    if magic not in ("P5", "P6"):
+        raise ValueError(f"unsupported netpbm magic {magic!r}")
+    # header = magic, width, height, maxval as whitespace-separated
+    # tokens (comment lines start with '#')
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3 and i < len(payload):
+        c = payload[i : i + 1]
+        if c == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            start = i
+            while i < len(payload) and not payload[i : i + 1].isspace():
+                i += 1
+            tokens.append(payload[start:i])
+    i += 1  # single whitespace after maxval
+    width, height, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    channels = 3 if magic == "P6" else 1
+    need = width * height * channels
+    raster = np.frombuffer(payload, dtype=np.uint8, count=need, offset=i)
+    if channels == 3:
+        return raster.reshape(height, width, 3), magic
+    return raster.reshape(height, width), magic
+
+
+def encode_ppm(array: np.ndarray) -> bytes:
+    """Encode (h, w[, 3]) uint8 ndarray as binary PGM/PPM."""
+    arr = np.asarray(array, dtype=np.uint8)
+    if arr.ndim == 3 and arr.shape[2] == 3:
+        magic = b"P6"
+        h, w = arr.shape[:2]
+    elif arr.ndim == 2:
+        magic = b"P5"
+        h, w = arr.shape
+    else:
+        raise ValueError(f"cannot encode array of shape {arr.shape}")
+    header = magic + b"\n" + f"{w} {h}\n255\n".encode("ascii")
+    return header + arr.tobytes()
+
+
+def _gray(img: np.ndarray) -> np.ndarray:
+    if img.ndim == 3:
+        return (
+            0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+        )
+    return img.astype(np.float64)
+
+
+def ppm_image_decoder(payload: bytes) -> dict:
+    """REAL image decode for binary PPM/PGM: dimensions + a 16-bin
+    normalized grayscale histogram as the feature vector."""
+    img, _ = decode_ppm(payload)
+    gray = _gray(img)
+    hist, _ = np.histogram(gray, bins=16, range=(0.0, 256.0))
+    total = max(int(hist.sum()), 1)
+    return {
+        "width": int(img.shape[1]),
+        "height": int(img.shape[0]),
+        "features": [float(h) / total for h in hist],
+    }
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL audio decode via stdlib ``wave``: sample rate, channels,
+    duration, and RMS amplitude per 16 equal segments as features."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate = w.getframerate()
+        channels = w.getnchannels()
+        sampwidth = w.getsampwidth()
+        n = w.getnframes()
+        raw = w.readframes(n)
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sampwidth)
+    if dtype is None:
+        raise ValueError(f"unsupported WAV sample width {sampwidth}")
+    samples = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if sampwidth == 1:
+        samples -= 128.0
+    duration_ms = int(round(1000.0 * n / rate)) if rate else 0
+    segs = np.array_split(samples, 16) if samples.size else []
+    scale = float(2 ** (8 * sampwidth - 1))
+    features = [
+        float(np.sqrt(np.mean(s**2)) / scale) if s.size else 0.0
+        for s in segs
+    ] or [0.0] * 16
+    return {
+        "sample_rate": rate,
+        "num_channels": channels,
+        "duration_ms": duration_ms,
+        "features": features,
+    }
+
+
+def wav_audio_decoder(payload: bytes) -> dict:
+    """``MediaProcessor``-shaped adapter for WAV payloads (width
+    carries the sample rate, height the channel count)."""
+    meta = decode_wav(payload)
+    return {
+        "width": meta["sample_rate"],
+        "height": meta["num_channels"],
+        "features": meta["features"],
+    }
+
+
+def stub_image_decoder(payload: bytes) -> dict:
+    """Deterministic fake decode for COMPRESSED formats (JPEG/PNG/...)
+    whose codec libraries are not in this container. Produces stable
+    pseudo-dimensions and a 16-dim pseudo-feature vector derived from
+    the content hash, so the full pipeline (schema, batching, joins)
+    is exercisable and testable end-to-end. For uncompressed
+    PPM/PGM/WAV use the REAL decoders above.
     """
     digest = hashlib.sha256(payload if payload is not None else b"").digest()
     width = 64 + digest[0]
@@ -81,14 +214,17 @@ def stub_image_decoder(payload: bytes) -> dict:
 class MediaProcessor:
     """Decode / feature-extract media payloads via mapInPandas.
 
-    ``decoder`` maps raw bytes → dict(width, height, features). The
-    default is the deterministic stub; a real decoder is a drop-in.
+    ``decoder`` maps raw bytes → dict(width, height, features).
+    Defaults to the deterministic stub; pass ``ppm_image_decoder`` /
+    ``wav_audio_decoder`` for real decoding of those formats, or any
+    PIL/ffmpeg-backed callable for compressed ones.
     """
 
     OUTPUT_SCHEMA = (
         "media_id long, num_bytes long, width int, height int, "
         "features array<double>"
     )
+    RESIZE_SCHEMA = "media_id long, payload binary, width int, height int"
 
     def __init__(
         self,
@@ -128,15 +264,46 @@ class MediaProcessor:
         )
 
     def resize(self, df: DataFrame, target: tuple[int, int]) -> DataFrame:
-        """Resize stub — plumbing only; a real implementation would
-        re-encode payloads inside the same mapInPandas pattern."""
-        raise NotImplementedError(
-            "resize requires an image library not present in this container; "
-            "wire a real decoder/encoder into MediaProcessor"
+        """REAL nearest-neighbour resize for binary PPM/PGM payloads,
+        re-encoded in the same format — runs inside mapInPandas, per
+        executor, payloads never touch the driver. Compressed formats
+        raise ValueError per payload (no codec libraries here); wire a
+        PIL-backed callable into ``transform`` for those instead."""
+        id_col = self.id_column
+        payload_col = self.payload_column
+        tw, th = int(target[0]), int(target[1])
+        if tw < 1 or th < 1:
+            raise ValueError("target dimensions must be >= 1")
+
+        def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out_payload, widths, heights = [], [], []
+                for p in pdf[payload_col]:
+                    img, _ = decode_ppm(p)
+                    h, w = img.shape[:2]
+                    rows = (np.arange(th) * h // th).astype(np.int64)
+                    cols = (np.arange(tw) * w // tw).astype(np.int64)
+                    resized = img[rows][:, cols]
+                    out_payload.append(encode_ppm(resized))
+                    widths.append(tw)
+                    heights.append(th)
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf[id_col].values,
+                        "payload": out_payload,
+                        "width": widths,
+                        "height": heights,
+                    }
+                )
+
+        return df.select(id_col, payload_col).mapInPandas(
+            process, schema=self.RESIZE_SCHEMA
         )
 
     def sample_frames(self, df: DataFrame, every_ms: int) -> DataFrame:
-        """Video frame-sampling stub — same contract as resize."""
+        """Video frame-sampling stub — container formats (MP4/WebM)
+        need a video library not present here; wire an ffmpeg-backed
+        callable into the same mapInPandas pattern."""
         raise NotImplementedError(
             "frame sampling requires a video library not present in this "
             "container; wire a real decoder into MediaProcessor"

@@ -209,8 +209,12 @@ def test_multimodal_plumbing(spark):
     # determinism
     out2 = MediaProcessor().transform(df)
     assert rows_out[1].features == {r.media_id: r for r in out2.collect()}[1].features
+    # resize is now a REAL (lazy) plan for netpbm payloads; driving it
+    # on non-netpbm bytes surfaces the per-payload ValueError
+    with pytest.raises(Exception):
+        MediaProcessor().resize(df, (32, 32)).collect()
     with pytest.raises(NotImplementedError):
-        MediaProcessor().resize(df, (32, 32))
+        MediaProcessor().sample_frames(df, every_ms=40)
 
 
 def _near_dup_corpus():
@@ -741,3 +745,74 @@ def test_unigram_lm_scorer(spark):
     sc = UnigramLMScorer().score(test, train_df=train).collect()[0]
     assert sc["n_tokens"] == 2
     assert abs(sc["lm_score"] - round(p(0), 6)) < 1e-9
+
+
+def test_ppm_decode_resize_real(spark):
+    """REAL image path: decode binary PPM/PGM, histogram features,
+    nearest-neighbour resize with re-encode — all inside mapInPandas."""
+    import numpy as np
+
+    from replay_spark.multimodal import (
+        MediaProcessor,
+        decode_ppm,
+        encode_ppm,
+        ppm_image_decoder,
+    )
+
+    rgb = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    gray = np.arange(8 * 8, dtype=np.uint8).reshape(8, 8)
+    p6, p5 = encode_ppm(rgb), encode_ppm(gray)
+    back, magic = decode_ppm(p6)
+    assert magic == "P6" and (back == rgb).all()
+
+    df = spark.createDataFrame(
+        [(0, bytearray(p6)), (1, bytearray(p5))],
+        "media_id long, payload binary",
+    )
+    proc = MediaProcessor(decoder=ppm_image_decoder)
+    meta = {r["media_id"]: r for r in proc.transform(df).collect()}
+    assert (meta[0]["width"], meta[0]["height"]) == (6, 4)
+    assert (meta[1]["width"], meta[1]["height"]) == (8, 8)
+    assert abs(sum(meta[0]["features"]) - 1.0) < 1e-9  # histogram sums to 1
+
+    resized = {r["media_id"]: r for r in proc.resize(df, (3, 2)).collect()}
+    img0, _ = decode_ppm(bytes(resized[0]["payload"]))
+    assert img0.shape == (2, 3, 3)
+    img1, _ = decode_ppm(bytes(resized[1]["payload"]))
+    assert img1.shape == (2, 3)
+
+    with pytest.raises(Exception):
+        decode_ppm(b"\x89PNG not a ppm")
+
+
+def test_wav_decode_real(spark):
+    """REAL audio path: stdlib WAV decode inside mapInPandas."""
+    import io
+    import math
+    import struct
+    import wave
+
+    from replay_spark.multimodal import MediaProcessor, decode_wav, wav_audio_decoder
+
+    buf = io.BytesIO()
+    rate, seconds = 8000, 0.5
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        for i in range(int(rate * seconds)):
+            val = int(1000 * math.sin(2 * math.pi * 440 * i / rate))
+            w.writeframes(struct.pack("<h", val))
+    payload = buf.getvalue()
+
+    meta = decode_wav(payload)
+    assert meta["sample_rate"] == 8000
+    assert meta["num_channels"] == 1
+    assert meta["duration_ms"] == 500
+    assert len(meta["features"]) == 16 and all(f > 0 for f in meta["features"])
+
+    df = spark.createDataFrame(
+        [(7, bytearray(payload))], "media_id long, payload binary"
+    )
+    row = MediaProcessor(decoder=wav_audio_decoder).transform(df).collect()[0]
+    assert row["width"] == 8000 and row["height"] == 1
