@@ -1390,6 +1390,46 @@ def q_pipeline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "metric string, value double")
 
 
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-codec gate: embeddings are quantized to uint8 8×8
+    grayscale PGM payloads (executor-side numpy encode), decoded by
+    MediaProcessor's real netpbm decoder, and the 16-bin histogram
+    features come back out. Encode→decode is lossless, so DuckDB
+    verifies the whole round trip from the raw embeddings."""
+    import numpy as np
+    import pandas as pd
+
+    from replay_spark.multimodal import MediaProcessor, encode_ppm, ppm_image_decoder
+
+    emb = rsd.read_table(spark, sf_dir, "embeddings")
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for vec in pdf["embedding"]:
+                arr = np.asarray(vec, dtype=np.float64)
+                u8 = np.clip(np.floor((arr + 4.0) * 32.0), 0, 255).astype(
+                    np.uint8
+                )
+                payloads.append(encode_ppm(u8.reshape(8, 8)))
+            yield pd.DataFrame(
+                {"media_id": pdf["vec_id"].values, "payload": payloads}
+            )
+
+    media = emb.select("vec_id", "embedding").mapInPandas(
+        build, schema="media_id long, payload binary"
+    )
+    out = MediaProcessor(decoder=ppm_image_decoder).transform(media)
+    return out.select(
+        F.col("media_id").alias("vec_id"),
+        "width",
+        "height",
+        F.concat_ws(
+            ",", F.transform("features", lambda x: x.cast("string"))
+        ).alias("hist"),
+    )
+
+
 def q_ivf_ann_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search path with a deterministic quantizer (centroids =
     embeddings of vec_id < 16, max-cosine assignment): the whole
@@ -1809,6 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pipeline_eval": q_pipeline_eval,
         "q_streaming_dedup": q_streaming_dedup,
         "q_unigram_lm_scores": q_unigram_lm_scores,
+        "q_media_decode": q_media_decode,
         # -- (e) officially green in r3; rotate out of the window ---
         "q_sessionize_composite": q_sessionize_composite,
         "q_klucb_scores": q_klucb_scores,
@@ -2613,6 +2654,24 @@ def oracle_sql() -> dict[str, str]:
             FROM toks GROUP BY token
             ORDER BY tf DESC, token ASC
             LIMIT 200
+        """,
+        "q_media_decode": """
+            WITH u8 AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           e -> CAST(least(greatest(floor((CAST(e AS DOUBLE) + 4.0) * 32.0), 0), 255) AS BIGINT)
+                       ) AS u
+                FROM embeddings),
+            bins AS (
+                SELECT vec_id,
+                       list_transform(range(0, 16),
+                           b -> len(list_filter(u, x -> x // 16 = b)) / 64.0
+                       ) AS hist_list
+                FROM u8)
+            SELECT vec_id, 8 AS width, 8 AS height,
+                   array_to_string(list_transform(hist_list,
+                       x -> CAST(x AS VARCHAR)), ',') AS hist
+            FROM bins
         """,
         "q_unigram_lm_scores": """
             WITH toks AS (
