@@ -1784,10 +1784,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r3 hash-FAIL, fixed by casting the session_id arithmetic to
     BIGINT on both engines), (c) the 26 queries whose only official
     green row predates the round-2 testdata refresh (green in r1,
-    rotated out of the r3 window), (d) queries added this round,
-    (e) the r3-scored queries (officially green under the refreshed
-    testdata) rotating out of the window — they keep running in
-    tests/check_oracle and bench.
+    rotated out of the r3 window), (d) queries added this round —
+    the first 10 fill the window exactly; the 5 newest r4 additions
+    (q_simhash_pairs_md5, q_pipeline_eval, q_streaming_dedup,
+    q_unigram_lm_scores, q_media_decode) sit just past position 50
+    and rotate in next round, (e) the r3-scored queries (officially
+    green under the refreshed testdata) rotating out of the window —
+    they keep running in tests/check_oracle and bench.
     """
     return {
         # -- (a) added in r3, never officially scored ---------------
