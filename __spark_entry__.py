@@ -1390,6 +1390,20 @@ def q_pipeline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "metric string, value double")
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/FineWeb-style filter chain: per-doc keep/drop verdict with
+    named reasons (length, alpha/digit ratios, Gopher repetition)."""
+    from replay_spark.preprocessing.text import QualityFilterPipeline
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    out = QualityFilterPipeline().transform(docs)
+    return out.select(
+        "doc_id",
+        "keep",
+        F.concat_ws(",", "drop_reasons").alias("drop_reasons"),
+    )
+
+
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-codec gate: embeddings are quantized to uint8 8×8
     grayscale PGM payloads (executor-side numpy encode), decoded by
@@ -1853,6 +1867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_dedup": q_streaming_dedup,
         "q_unigram_lm_scores": q_unigram_lm_scores,
         "q_media_decode": q_media_decode,
+        "q_quality_filter": q_quality_filter,
         # -- (e) officially green in r3; rotate out of the window ---
         "q_sessionize_composite": q_sessionize_composite,
         "q_klucb_scores": q_klucb_scores,
@@ -2657,6 +2672,61 @@ def oracle_sql() -> dict[str, str]:
             FROM toks GROUP BY token
             ORDER BY tf DESC, token ASC
             LIMIT 200
+        """,
+        "q_quality_filter": """
+            WITH base AS (
+                SELECT doc_id, text,
+                       CAST(length(text) AS DOUBLE) AS n,
+                       length(text) AS n_chars,
+                       CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                            ELSE string_split_regex(trim(lower(text)), '\\s+')
+                       END AS tk
+                FROM documents),
+            ratios AS (
+                SELECT doc_id,
+                       CASE WHEN n > 0 THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / n ELSE 0.0 END AS alpha_ratio,
+                       CASE WHEN n > 0 THEN length(regexp_replace(text, '[^0-9]', '', 'g')) / n ELSE 0.0 END AS digit_ratio,
+                       len(tk) AS n_tokens,
+                       CASE WHEN len(tk) > 0
+                            THEN 1 - len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE)
+                            ELSE 0.0 END AS dup_word_frac,
+                       n_chars
+                FROM base),
+            bigrams AS (
+                SELECT doc_id, bg FROM (
+                    SELECT doc_id,
+                           CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+                                ELSE list_transform(range(1, len(tk)),
+                                     i -> tk[i] || ' ' || tk[i + 1])
+                           END AS bgs
+                    FROM base) t, unnest(t.bgs) AS u(bg)),
+            bg_counts AS (
+                SELECT doc_id, bg, count(*) AS c FROM bigrams GROUP BY 1, 2),
+            top_bg AS (
+                SELECT doc_id, c * length(bg) AS top_chars FROM (
+                    SELECT doc_id, bg, c, row_number() OVER (
+                        PARTITION BY doc_id ORDER BY c DESC, bg ASC) AS rn
+                    FROM bg_counts) t
+                WHERE rn = 1),
+            verdict AS (
+                SELECT r.doc_id,
+                       list_filter([
+                           CASE WHEN r.n_tokens < 10 THEN 'too_short' END,
+                           CASE WHEN r.n_tokens > 100000 THEN 'too_long' END,
+                           CASE WHEN r.alpha_ratio < 0.6 THEN 'low_alpha' END,
+                           CASE WHEN r.digit_ratio > 0.2 THEN 'high_digit' END,
+                           CASE WHEN r.dup_word_frac > 0.6 THEN 'repeated_words' END,
+                           CASE WHEN coalesce(
+                                    CASE WHEN r.n_chars > 0 AND tb.top_chars IS NOT NULL
+                                         THEN tb.top_chars / CAST(r.n_chars AS DOUBLE)
+                                         ELSE 0.0 END, 0.0) > 0.2
+                                THEN 'repeated_bigram' END
+                       ], x -> x IS NOT NULL) AS reasons
+                FROM ratios r LEFT JOIN top_bg tb ON r.doc_id = tb.doc_id)
+            SELECT doc_id,
+                   len(reasons) = 0 AS keep,
+                   coalesce(array_to_string(reasons, ','), '') AS drop_reasons
+            FROM verdict
         """,
         "q_media_decode": """
             WITH u8 AS (

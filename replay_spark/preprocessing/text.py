@@ -31,6 +31,7 @@ __all__ = [
     "VocabBuilder",
     "TfIdfKeywords",
     "UnigramLMScorer",
+    "QualityFilterPipeline",
     "PII_PATTERNS",
     "LANG_STOPWORDS",
 ]
@@ -732,4 +733,91 @@ class UnigramLMScorer:
         return scored.groupBy(idc).agg(
             F.count("*").alias("n_tokens"),
             F.round(F.avg("_lp"), 6).alias("lm_score"),
+        )
+
+
+class QualityFilterPipeline:
+    """C4/FineWeb-style document filter chain: compose the quality
+    signals (length, alpha/digit ratios, stopword density, Gopher
+    repetition fractions) into a keep/drop verdict with named reasons.
+
+    One scan end-to-end: TextStats/QualityScorer are per-row
+    expressions; RepetitionStats contributes its two doc-keyed
+    aggregations; the verdict is a conjunction evaluated JVM-side and
+    the reasons column materializes WHICH rule fired (the part
+    pipeline operators usually lose). ``transform`` annotates,
+    ``filter`` drops.
+
+    Thresholate defaults follow the published heuristics (C4: short
+    docs, symbol ratios; Gopher §A1.1: repetition fractions) scaled
+    to whitespace tokenization.
+    """
+
+    def __init__(
+        self,
+        text_column: str = "text",
+        id_column: str = "doc_id",
+        min_tokens: int = 10,
+        max_tokens: Optional[int] = 100_000,
+        min_alpha_ratio: float = 0.6,
+        max_digit_ratio: float = 0.2,
+        max_dup_word_frac: float = 0.6,
+        max_top_bigram_char_frac: float = 0.2,
+        lang: str = "en",
+    ):
+        self.text_column = text_column
+        self.id_column = id_column
+        self.min_tokens = min_tokens
+        self.max_tokens = max_tokens
+        self.min_alpha_ratio = min_alpha_ratio
+        self.max_digit_ratio = max_digit_ratio
+        self.max_dup_word_frac = max_dup_word_frac
+        self.max_top_bigram_char_frac = max_top_bigram_char_frac
+        self.lang = lang
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """Annotate with ``keep`` boolean + ``drop_reasons`` array."""
+        scored = QualityScorer(self.text_column, lang=self.lang).transform(df)
+        rep = RepetitionStats(self.id_column, self.text_column).transform(df)
+        joined = scored.join(
+            rep.select(
+                self.id_column, "dup_word_frac", "top_bigram_char_frac"
+            ),
+            on=self.id_column,
+        )
+        n_tokens = token_count_expr(F.col(self.text_column))
+        checks = [
+            ("too_short", n_tokens < self.min_tokens),
+        ]
+        if self.max_tokens is not None:
+            checks.append(("too_long", n_tokens > self.max_tokens))
+        checks += [
+            ("low_alpha", F.col("alpha_ratio") < self.min_alpha_ratio),
+            ("high_digit", F.col("digit_ratio") > self.max_digit_ratio),
+            ("repeated_words", F.col("dup_word_frac") > self.max_dup_word_frac),
+            (
+                "repeated_bigram",
+                F.col("top_bigram_char_frac") > self.max_top_bigram_char_frac,
+            ),
+        ]
+        reasons = F.filter(
+            F.array(
+                *[
+                    F.when(cond, F.lit(name)).otherwise(F.lit(None))
+                    for name, cond in checks
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+        return joined.withColumn("drop_reasons", reasons).withColumn(
+            "keep", F.size("drop_reasons") == 0
+        )
+
+    def filter(self, df: DataFrame) -> DataFrame:
+        """Return only the documents passing every check, original
+        columns only."""
+        return (
+            self.transform(df)
+            .filter(F.col("keep"))
+            .select(*df.columns)
         )

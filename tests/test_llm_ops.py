@@ -816,3 +816,26 @@ def test_wav_decode_real(spark):
     )
     row = MediaProcessor(decoder=wav_audio_decoder).transform(df).collect()[0]
     assert row["width"] == 8000 and row["height"] == 1
+
+
+def test_quality_filter_pipeline(spark):
+    from replay_spark.preprocessing.text import QualityFilterPipeline
+
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog again today ok"),
+            (1, "short"),
+            (2, "num num num num num num num num num num num num"),  # repeats
+            (3, "call 1234567890 1234567890 1234567890 33445 5544 11 22 33"),
+        ],
+        "doc_id long, text string",
+    )
+    pipe = QualityFilterPipeline(min_tokens=6)
+    out = {r["doc_id"]: r for r in pipe.transform(df).collect()}
+    assert out[0]["keep"] and out[0]["drop_reasons"] == []
+    assert not out[1]["keep"] and "too_short" in out[1]["drop_reasons"]
+    assert not out[2]["keep"] and "repeated_words" in out[2]["drop_reasons"]
+    assert not out[3]["keep"] and "high_digit" in out[3]["drop_reasons"]
+    kept = pipe.filter(df)
+    assert [r["doc_id"] for r in kept.collect()] == [0]
+    assert kept.columns == ["doc_id", "text"]
