@@ -55,6 +55,10 @@ BENCH_QUERIES = [
     "q_tfidf_keywords",
     "q_contamination_report",
     "q_doc_fingerprints_md5",
+    "q_quality_filter",
+    "q_unigram_lm_scores",
+    "q_media_decode",
+    "q_pipeline_eval",
 ]
 
 
