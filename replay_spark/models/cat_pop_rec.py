@@ -145,3 +145,49 @@ class CatPopRec:
             .filter(F.col("_rn") <= k)
             .drop("_rn")
         )
+
+    def save(self, path: str) -> None:
+        """Persist fitted state (reference CatPopRec is IsSavable)."""
+        import json
+        from pathlib import Path
+
+        base = Path(path)
+        base.mkdir(parents=True, exist_ok=True)
+        meta = {
+            "class": "CatPopRec",
+            "init_args": {
+                "max_iter": self.max_iter,
+                "query_column": self.query_column,
+                "item_column": self.item_column,
+                "rating_column": self.rating_column,
+                "category_column": self.category_column,
+            },
+        }
+        (base / "meta.json").write_text(json.dumps(meta))
+        if getattr(self, "cat_item_popularity", None) is not None:
+            self.cat_item_popularity.write.mode("overwrite").parquet(
+                str(base / "cat_item_popularity.parquet")
+            )
+        if self.leaf_cat_mapping is not None:
+            self.leaf_cat_mapping.write.mode("overwrite").parquet(
+                str(base / "leaf_cat_mapping.parquet")
+            )
+
+    @classmethod
+    def load(
+        cls, path: str, spark: Optional[SparkSession] = None
+    ) -> "CatPopRec":
+        import json
+        from pathlib import Path
+
+        spark = spark or SparkSession.getActiveSession()
+        base = Path(path)
+        meta = json.loads((base / "meta.json").read_text())
+        model = cls(**meta["init_args"])
+        pop = base / "cat_item_popularity.parquet"
+        if pop.exists():
+            model.cat_item_popularity = spark.read.parquet(str(pop)).cache()
+        mapping = base / "leaf_cat_mapping.parquet"
+        if mapping.exists():
+            model.leaf_cat_mapping = spark.read.parquet(str(mapping))
+        return model

@@ -218,3 +218,28 @@ def test_lin_ucb_hybrid(spark):
         for r in dis.predict(ds, k=2, queries=[0, 1, 2]).collect()
     }
     assert any(abs(recs[k] - drecs[k]) > 1e-6 for k in recs if k in drecs)
+
+
+def test_cat_pop_rec_save_load(spark, tmp_path):
+    from replay_spark.models import CatPopRec
+
+    tree = spark.createDataFrame(
+        [("root", "a"), ("root", "b")], "parent_cat string, category string"
+    )
+    inter = spark.createDataFrame(
+        [(0, 10, "a", 2.0), (1, 11, "b", 1.0), (2, 10, "a", 1.0)],
+        "query_id long, item_id long, category string, rating double",
+    )
+    model = CatPopRec(cat_tree=tree).fit(inter)
+    before = {
+        (r["category"], r["item_id"]): r["rating"]
+        for r in model.predict(["root"], k=5).collect()
+    }
+    p = str(tmp_path / "cpr")
+    model.save(p)
+    loaded = CatPopRec.load(p, spark)
+    after = {
+        (r["category"], r["item_id"]): r["rating"]
+        for r in loaded.predict(["root"], k=5).collect()
+    }
+    assert before == after and len(before) > 0
