@@ -28,6 +28,10 @@ class ALSWrap(BaseRecommender, ItemVectorModel):
     default). Parity: reference ``models/als.py:16-166``.
     """
 
+    _search_space = {
+        "rank": {"type": "loguniform_int", "args": [8, 256]},
+    }
+
     can_predict_cold_queries = False
     can_predict_cold_items = False
 
@@ -160,6 +164,10 @@ class ClusterRec(BaseRecommender):
 
     Parity: reference ``models/cluster.py:14-140``.
     """
+
+    _search_space = {
+        "num_clusters": {"type": "int", "args": [2, 20]},
+    }
 
     can_predict_cold_queries = True
 

@@ -40,6 +40,9 @@ class BaseRecommender(ABC):
 
     can_predict_cold_queries: bool = False
     can_predict_cold_items: bool = False
+    # reference OptunaMixin search space ({param: {"type", "args"}});
+    # None = model has no tunable space
+    _search_space: Optional[dict] = None
 
     query_column: str = "query_id"
     item_column: str = "item_id"
@@ -365,6 +368,52 @@ class BaseRecommender(ABC):
         return recs.join(
             seen_pairs, on=[self.query_column, self.item_column], how="left_anti"
         )
+
+    def optimize(
+        self,
+        train_dataset: Dataset,
+        test_dataset: Dataset,
+        param_borders: Optional[dict] = None,
+        criterion=None,
+        k: int = 10,
+        budget: int = 10,
+        new_study: bool = True,
+    ) -> Optional[dict]:
+        """Hyperparameter search for THIS model (reference
+        ``optuna_mixin.py:168-240`` shape): searches
+        ``param_borders`` (or the class ``_search_space``), applies
+        the best params via ``set_params`` and returns them.
+        ``criterion`` is a metric instance or class (default NDCG@k);
+        accepts both search-space formats (terse lists or the
+        reference's typed dicts, incl. loguniform)."""
+        from replay_spark.models.optimization import optimize as _optimize
+
+        space = param_borders if param_borders is not None else self._search_space
+        if space is None:
+            return None
+        if criterion is None:
+            from replay_spark.metrics import NDCG
+
+            criterion = NDCG(k)
+        elif isinstance(criterion, type):
+            criterion = criterion(k)
+        base_args = dict(self._init_args)
+
+        def factory(**params):
+            return type(self)(**{**base_args, **params})
+
+        result = _optimize(
+            model_factory=factory,
+            train_dataset=train_dataset,
+            test_dataset=test_dataset,
+            param_borders=space,
+            criterion=lambda recs, gt: criterion(recs, gt),
+            k=k,
+            budget=budget,
+        )
+        best = result["best_params"] or {}
+        self.set_params(**best)
+        return best
 
     # -- persistence -------------------------------------------------------
     @property

@@ -122,6 +122,12 @@ class ItemKNN(NeighbourRec):
     (similarity desc, item_idx_two desc) preserved exactly.
     """
 
+    _search_space = {
+        "num_neighbours": {"type": "int", "args": [1, 100]},
+        "shrink": {"type": "int", "args": [0, 100]},
+        "weighting": {"type": "categorical", "args": [None, "tf_idf", "bm25"]},
+    }
+
     def __init__(
         self,
         num_neighbours: int = 10,

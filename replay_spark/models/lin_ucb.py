@@ -48,6 +48,11 @@ class LinUCB(BaseRecommender):
     can_predict_cold_queries = False
     can_predict_cold_items = False
 
+    _search_space = {
+        "eps": {"type": "uniform", "args": [-10.0, 10.0]},
+        "alpha": {"type": "uniform", "args": [0.001, 10.0]},
+    }
+
     def __init__(
         self,
         eps: float = 2.0,

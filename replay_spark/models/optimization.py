@@ -17,6 +17,7 @@ values or non-numeric.
 
 from __future__ import annotations
 
+import math
 import random
 import warnings
 from typing import Callable, Optional
@@ -54,6 +55,65 @@ def _sample(space: dict, rng: random.Random) -> dict:
         else:
             params[name] = rng.choice(list(spec))
     return params
+
+
+def _normalize_space(space: dict) -> dict:
+    """Accept BOTH search-space formats — this package's terse
+    ``{param: [low, high] | [choices...]}`` and the reference's
+    ``{param: {"type": ..., "args": [...]}}`` (optuna_mixin types:
+    int / uniform / loguniform / loguniform_int / categorical) — and
+    normalize to ("num", lo, hi, is_int, is_log) / ("cat", choices)."""
+    norm = {}
+    for name, spec in space.items():
+        if isinstance(spec, dict) and "type" in spec:
+            t, args = spec["type"], list(spec["args"])
+            if t == "categorical":
+                norm[name] = ("cat", args)
+            elif t in ("int", "uniform", "loguniform", "loguniform_int"):
+                lo, hi = float(args[0]), float(args[1])
+                is_int = t in ("int", "loguniform_int")
+                is_log = t.startswith("loguniform")
+                if is_log and lo <= 0:
+                    raise ValueError(f"loguniform bounds must be > 0 for {name}")
+                norm[name] = ("num", lo, hi, is_int, is_log)
+            else:
+                raise ValueError(f"unknown search-space type {t!r} for {name}")
+        elif _is_range(spec):
+            lo, hi = spec
+            is_int = isinstance(lo, int) and isinstance(hi, int)
+            norm[name] = ("num", float(lo), float(hi), is_int, False)
+        else:
+            norm[name] = ("cat", list(spec))
+    return norm
+
+
+def _sampler_space(norm: dict) -> dict:
+    """Sampler-facing space: numeric params become float ranges in
+    (log-)transformed coordinates; the sampler never sees ints."""
+    out = {}
+    for name, d in norm.items():
+        if d[0] == "cat":
+            out[name] = d[1]
+        else:
+            lo, hi = d[1], d[2]
+            if d[4]:
+                lo, hi = math.log(lo), math.log(hi)
+            out[name] = [float(lo), float(hi)]
+    return out
+
+
+def _decode_params(norm: dict, raw: dict) -> dict:
+    out = {}
+    for name, v in raw.items():
+        d = norm[name]
+        if d[0] == "cat":
+            out[name] = v
+        else:
+            x = math.exp(v) if d[4] else v
+            if d[3]:
+                x = int(min(max(round(x), d[1]), d[2]))
+            out[name] = x
+    return out
 
 
 class _TPESampler:
@@ -205,11 +265,15 @@ def optimize(
         RuntimeWarning,
         stacklevel=2,
     )
-    sampler = _TPESampler(param_borders, seed)
+    norm = _normalize_space(param_borders)
+    sampler = _TPESampler(_sampler_space(norm), seed)
+    internal_trials: list = []
     best_params, best_value = None, None
     for _ in range(budget):
-        params = sampler.suggest(trials, higher_is_better)
+        raw = sampler.suggest(internal_trials, higher_is_better)
+        params = _decode_params(norm, raw)
         value = objective(params)
+        internal_trials.append({"params": raw, "value": value})
         better = (
             best_value is None
             or (higher_is_better and value > best_value)

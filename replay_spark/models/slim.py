@@ -76,6 +76,11 @@ def _elastic_net_cd(
 class SLIM(NeighbourRec):
     """ElasticNet item-item similarity model."""
 
+    _search_space = {
+        "beta": {"type": "loguniform", "args": [1e-6, 5]},
+        "lambda_": {"type": "loguniform", "args": [1e-6, 2]},
+    }
+
     def __init__(
         self,
         beta: float = 0.01,

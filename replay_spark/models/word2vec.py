@@ -33,6 +33,12 @@ __all__ = ["Word2VecRec"]
 class Word2VecRec(BaseRecommender, ItemVectorModel):
     """Recommend items closest to the query's history embedding."""
 
+    _search_space = {
+        "rank": {"type": "int", "args": [50, 300]},
+        "window_size": {"type": "int", "args": [1, 100]},
+        "use_idf": {"type": "categorical", "args": [True, False]},
+    }
+
     can_predict_cold_queries = True
 
     def __init__(

@@ -55,3 +55,46 @@ class Fallback:
 
     def fit_predict(self, dataset: Dataset, k: int, **kwargs) -> DataFrame:
         return self.fit(dataset).predict(dataset, k, **kwargs)
+
+    def optimize(
+        self,
+        train_dataset: Dataset,
+        test_dataset: Dataset,
+        param_borders: Optional[dict] = None,
+        criterion=None,
+        k: int = 10,
+        budget: int = 10,
+        new_study: bool = True,
+    ) -> tuple:
+        """Search hyperparameters for both members (reference
+        ``scenarios/fallback.py:125-177``): optimize the main model,
+        apply its best params, then the fallback model if it has a
+        search space. ``param_borders`` = {"main": ..., "fallback":
+        ...} (each None → the model's own ``_search_space``).
+        Returns (main_params, fallback_params)."""
+        if param_borders is None:
+            param_borders = {"main": None, "fallback": None}
+        params = self.main_model.optimize(
+            train_dataset,
+            test_dataset,
+            param_borders.get("main"),
+            criterion,
+            k,
+            budget,
+            new_study,
+        )
+        fb_space = (
+            param_borders.get("fallback") or self.fallback_model._search_space
+        )
+        fb_params = None
+        if fb_space is not None:
+            fb_params = self.fallback_model.optimize(
+                train_dataset,
+                test_dataset,
+                param_borders.get("fallback"),
+                criterion,
+                k,
+                budget,
+                new_study,
+            )
+        return params, fb_params

