@@ -26,6 +26,17 @@ __all__ = ["AssociationRulesItemRec"]
 class AssociationRulesItemRec(NeighbourRec):
     """Item-to-item recommendations from association rules."""
 
+    _search_space = {
+        "min_item_count": {"type": "int", "args": [3, 10]},
+        "min_pair_count": {"type": "int", "args": [3, 10]},
+        "num_neighbours": {"type": "int", "args": [300, 2000]},
+        "use_rating": {"type": "categorical", "args": [True, False]},
+        "similarity_metric": {
+            "type": "categorical",
+            "args": ["confidence", "lift"],
+        },
+    }
+
     item_to_item_metrics = ["confidence", "lift", "confidence_gain"]
     can_change_metric = True
 

@@ -22,6 +22,14 @@ class RandomRec(NonPersonalizedRecommender):
     """Recommend random items: uniformly, ∝ (popularity + alpha), or
     ∝ summed relevance."""
 
+    _search_space = {
+        "distribution": {
+            "type": "categorical",
+            "args": ["popular_based", "relevance", "uniform"],
+        },
+        "alpha": {"type": "uniform", "args": [-0.5, 100]},
+    }
+
     sample = True
 
     def __init__(
