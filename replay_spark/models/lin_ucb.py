@@ -45,6 +45,11 @@ __all__ = ["LinUCB"]
 
 
 class LinUCB(BaseRecommender):
+    """Contextual bandit with per-arm ridge regression — disjoint or
+    hybrid (Li et al. 2010); see the module docstring for the
+    distributed design. Reference signature
+    ``LinUCB(eps, alpha, is_hybrid)`` (``lin_ucb.py:90-104``)."""
+
     can_predict_cold_queries = False
     can_predict_cold_items = False
 
