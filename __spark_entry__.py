@@ -1390,6 +1390,20 @@ def q_pipeline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "metric string, value double")
 
 
+def q_abnormality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAL-01254172 abnormality + controversy-weighted AbnormalityCR
+    per user (the trickiest LogStat formula, pinned on its own)."""
+    from replay_spark.preprocessing import LogStatFeaturesProcessor
+
+    proc = LogStatFeaturesProcessor()
+    proc.fit(_interactions(spark, sf_dir))
+    return proc.user_log_features.select(
+        "query_id",
+        F.round("abnormality", 6).alias("abnormality"),
+        F.round("abnormalityCR", 6).alias("abnormality_cr"),
+    )
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/FineWeb-style filter chain: per-doc keep/drop verdict with
     named reasons (length, alpha/digit ratios, Gopher repetition)."""
@@ -1868,6 +1882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unigram_lm_scores": q_unigram_lm_scores,
         "q_media_decode": q_media_decode,
         "q_quality_filter": q_quality_filter,
+        "q_abnormality": q_abnormality,
         # -- (e) officially green in r3; rotate out of the window ---
         "q_sessionize_composite": q_sessionize_composite,
         "q_klucb_scores": q_klucb_scores,
@@ -2672,6 +2687,26 @@ def oracle_sql() -> dict[str, str]:
             FROM toks GROUP BY token
             ORDER BY tf DESC, token ASC
             LIMIT 200
+        """,
+        "q_abnormality": f"""
+            WITH {W},
+            item_stats AS (
+                SELECT item_id, avg(rating) AS i_mean,
+                       stddev_samp(rating) AS i_std
+                FROM interactions GROUP BY item_id),
+            bounds AS (
+                SELECT max(i_std) AS mx, min(i_std) AS mn FROM item_stats),
+            enr AS (
+                SELECT i.query_id,
+                       abs(i.rating - s.i_mean) AS ab,
+                       1 - (s.i_std - b.mn) / (b.mx - b.mn) AS contr
+                FROM interactions i
+                JOIN item_stats s USING (item_id)
+                CROSS JOIN bounds b)
+            SELECT query_id,
+                   round(avg(ab), 6) AS abnormality,
+                   round(avg((ab * contr) * (ab * contr)), 6) AS abnormality_cr
+            FROM enr GROUP BY query_id
         """,
         "q_quality_filter": """
             WITH base AS (
