@@ -309,3 +309,38 @@ def test_discretizer_set_handle_invalid(spark):
     assert disc.rules[0]._handle_invalid == "error"
     with pytest.raises(ValueError):
         disc.set_handle_invalid({"other": "skip"})
+
+
+def test_abnormality_golden(spark):
+    """HAL-01254172 abnormality + AbnormalityCR against hand-computed
+    values (two items: means 2.0 and 4.0, stds sqrt(2) and 0 after
+    min-max -> controversy 0 and 1)."""
+    import math
+
+    from replay_spark.preprocessing import LogStatFeaturesProcessor
+
+    inter = spark.createDataFrame(
+        [
+            (0, 10, 1.0, 1.0),
+            (1, 10, 1.0, 3.0),
+            (0, 20, 1.0, 4.0),
+            (1, 20, 1.0, 4.0),
+        ],
+        "query_id long, item_id long, timestamp double, rating double",
+    )
+    proc = LogStatFeaturesProcessor()
+    proc.fit(inter)
+    got = {
+        r["query_id"]: (r["abnormality"], r["abnormalityCR"])
+        for r in proc.user_log_features.select(
+            "query_id", "abnormality", "abnormalityCR"
+        ).collect()
+    }
+    # item 10: mean 2, std sqrt(2); item 20: mean 4, std 0
+    # controversy = 1 - (std - 0)/(sqrt(2) - 0): item10 -> 0, item20 -> 1
+    # user 0: |1-2|=1 (c=0), |4-4|=0 (c=1) -> ab=(1+0)/2=0.5, CR=((1*0)^2+(0*1)^2)/2=0
+    # user 1: |3-2|=1 (c=0), |4-4|=0 (c=1) -> same
+    assert got[0][0] == pytest.approx(0.5)
+    assert got[0][1] == pytest.approx(0.0)
+    assert got[1][0] == pytest.approx(0.5)
+    assert got[1][1] == pytest.approx(0.0)
