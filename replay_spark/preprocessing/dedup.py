@@ -839,9 +839,12 @@ class ContaminationChecker:
     Plan shape: the eval side reduces to DISTINCT shingles (one
     shuffle over the — typically tiny — eval corpus; AQE broadcasts
     it when it fits), the training side explodes to per-doc distinct
-    shingles once, and a single ``left_semi`` join + two doc-keyed
-    counts produce the per-document collision fraction. Training data
-    is scanned once; nothing quadratic anywhere.
+    shingles once, LEFT-joins the eval shingles as a hit flag, and a
+    SINGLE doc-keyed aggregation counts both total and contaminated
+    shingles — train shingles are materialized exactly once with no
+    cache (at 100 TB the exploded 8-gram frame is ~10× corpus size;
+    caching it would be the most expensive artifact in the pipeline).
+    Nothing quadratic anywhere.
     """
 
     def __init__(
@@ -869,22 +872,23 @@ class ContaminationChecker:
     def report(self, train_df: DataFrame, eval_df: DataFrame) -> DataFrame:
         """Per-training-document collision stats:
         ``[<id>, n_shingles, n_contaminated, contamination_frac]``."""
-        train_sh = self._shingles(train_df).cache()
+        train_sh = self._shingles(train_df)
+        # distinct eval shingles as a hit flag: the left join cannot
+        # multiply rows, so count(*)/count(flag) in ONE doc-keyed agg
+        # replaces the old totals+hits double aggregation (and the
+        # cache of the exploded train-shingle frame it required)
         eval_sh = (
-            self._shingles(eval_df).select("shingle").distinct()
+            self._shingles(eval_df)
+            .select("shingle")
+            .distinct()
+            .withColumn("_hit", F.lit(1))
         )
-        totals = train_sh.groupBy(self.id_column).agg(
-            F.count(F.lit(1)).alias("n_shingles")
-        )
-        hits = (
-            train_sh.join(eval_sh, on="shingle", how="left_semi")
+        return (
+            train_sh.join(eval_sh, on="shingle", how="left")
             .groupBy(self.id_column)
-            .agg(F.count(F.lit(1)).alias("n_contaminated"))
-        )
-        out = (
-            totals.join(hits, on=self.id_column, how="left")
-            .withColumn(
-                "n_contaminated", F.coalesce("n_contaminated", F.lit(0))
+            .agg(
+                F.count(F.lit(1)).alias("n_shingles"),
+                F.count("_hit").alias("n_contaminated"),
             )
             .withColumn(
                 "contamination_frac",
@@ -895,7 +899,6 @@ class ContaminationChecker:
                 ),
             )
         )
-        return out
 
     def transform(
         self,
