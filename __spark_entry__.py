@@ -3179,11 +3179,11 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(toks, x -> list_contains(['и','в','не','на','что','с','по','это','как','из'], x))) AS hits_ru
                 FROM t)
             SELECT doc_id, CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr, hits_ru) = 0 THEN 'und'
-                 WHEN hits_ru >= hits_de AND hits_ru >= hits_en AND hits_ru >= hits_es AND hits_ru >= hits_fr THEN 'ru'
-                 WHEN hits_fr >= hits_de AND hits_fr >= hits_en AND hits_fr >= hits_es THEN 'fr'
-                 WHEN hits_es >= hits_de AND hits_es >= hits_en THEN 'es'
-                 WHEN hits_en >= hits_de THEN 'en'
-                 ELSE 'de' END AS detected_lang
+                 WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr AND hits_de >= hits_ru THEN 'de'
+                 WHEN hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_ru THEN 'en'
+                 WHEN hits_es >= hits_fr AND hits_es >= hits_ru THEN 'es'
+                 WHEN hits_fr >= hits_ru THEN 'fr'
+                 ELSE 'ru' END AS detected_lang
             FROM h
         """,
         "q_ngram_jaccard_pairs": """

@@ -191,7 +191,9 @@ class LanguageIdentifier:
     """Stopword-hit language ID: argmax over per-language stopword
     counts; 'und' (undetermined) when nothing matches.
 
-    Ties break lexicographically by language code for determinism.
+    Ties break to the lexicographically SMALLEST language code for
+    determinism (pinned by a golden test with deliberately tied
+    stopword hits, and by the q_lang_id DuckDB oracle).
     """
 
     def __init__(self, text_column: str = "text", output_column: str = "detected_lang"):
@@ -205,21 +207,23 @@ class LanguageIdentifier:
             stop_lit = F.array(*[F.lit(s) for s in LANG_STOPWORDS[lang]])
             scores.append(
                 F.struct(
-                    F.size(
-                        F.filter(tokens, lambda t: F.array_contains(stop_lit, t))
-                    ).alias("hits"),
+                    (
+                        -F.size(
+                            F.filter(
+                                tokens, lambda t: F.array_contains(stop_lit, t)
+                            )
+                        )
+                    ).alias("neg_hits"),
                     F.lit(lang).alias("lang"),
                 )
             )
-        # array_max on struct(hits, lang): max hits, then max lang —
-        # to get lexicographically-smallest lang on ties we compare on
-        # (hits, reversed-rank) instead: sort desc and take first.
-        best = F.sort_array(
-            F.array(*scores), asc=False
-        )[0]
+        # ascending sort on struct(-hits, lang): the first element has
+        # the MOST hits, and on tied hits the lexicographically
+        # smallest language code.
+        best = F.sort_array(F.array(*scores))[0]
         return df.withColumn(
             self.output_column,
-            F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
+            F.when(best["neg_hits"] < 0, best["lang"]).otherwise(F.lit("und")),
         )
 
 

@@ -169,6 +169,26 @@ def test_language_identifier(docs):
     assert got[5] == "und"
 
 
+def test_language_identifier_tiebreak(spark):
+    """Golden: tied stopword hits resolve to the lexicographically
+    SMALLEST language code (the documented rule, mirrored by the
+    q_lang_id oracle)."""
+    df = spark.createDataFrame(
+        [
+            (0, "the der"),  # en=1 ('the'), de=1 ('der') -> de
+            (1, "la"),  # es=1, fr=1 -> es
+            (2, "de"),  # es=1, fr=1 ('de' in both) -> es
+            (3, "the the der"),  # en=2 beats de=1 -> en
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.detected_lang
+        for r in LanguageIdentifier().transform(df).collect()
+    }
+    assert got == {0: "de", 1: "es", 2: "es", 3: "en"}
+
+
 def test_brute_force_ann(vectors):
     ann = BruteForceANN()
     res = ann.search(vectors.filter("vec_id = 0"), vectors, k=2)
