@@ -188,6 +188,8 @@ class StreamingStatefulSessionizer:
         )
 
         def assign(key, pdf_iter, state):
+            import numpy as np
+
             (user,) = key
             if state.exists:
                 last_ts, ordinal = state.get
@@ -195,18 +197,31 @@ class StreamingStatefulSessionizer:
                 last_ts, ordinal = None, 0
             for pdf in pdf_iter:
                 pdf = pdf.sort_values(time_col)
-                session_ids = []
-                for ts in pdf[time_col]:
-                    t = int(ts.timestamp())
-                    if last_ts is None or t - last_ts >= gap:
-                        ordinal += 1
-                    last_ts = t
-                    session_ids.append(f"{user}_{ordinal}")
+                # vectorized gap->flag->cumsum with state carry-in: a
+                # synthetic prev[0] of (t0 - gap) forces a new session
+                # when there is no prior state, matching the per-event
+                # rule `new if last is None or t - last >= gap`
+                t = (
+                    pdf[time_col]
+                    .to_numpy()
+                    .astype("datetime64[s]")
+                    .astype(np.int64)
+                )
+                if t.size:
+                    prev = np.empty_like(t)
+                    prev[0] = last_ts if last_ts is not None else t[0] - gap
+                    prev[1:] = t[:-1]
+                    ordinals = ordinal + np.cumsum((t - prev) >= gap)
+                    ordinal = int(ordinals[-1])
+                    last_ts = int(t[-1])
+                    session_ids = f"{user}_" + pd.Series(ordinals).astype(str)
+                else:
+                    session_ids = pd.Series([], dtype=str)
                 yield pd.DataFrame(
                     {
                         user_col: pdf[user_col].to_numpy(),
                         time_col: pdf[time_col].to_numpy(),
-                        "session_id": session_ids,
+                        "session_id": session_ids.to_numpy(),
                     }
                 )
             state.update((last_ts, ordinal))
