@@ -181,6 +181,45 @@ def test_optimize_fallback_parity_reference_space():
     assert r1["best_value"] == best["value"]
 
 
+def test_tpe_sampler_beats_random_search():
+    """Convergence property protecting the optuna-less path from
+    silent degradation (reference behavior shape:
+    optuna_mixin.py:168-240, TPESampler): on a seeded 1-D quadratic
+    over [-100, 100] at equal budget, the vendored Parzen sampler
+    must beat pure random search on regret. All seeds fixed, so the
+    assertions are exact, not statistical."""
+    import random
+
+    from replay_spark.models.optimization import _TPESampler, _sample
+
+    space = {"x": [-100.0, 100.0]}
+    budget, seeds = 30, range(12)
+
+    def f(x):  # maximum value 0 at x = 3
+        return -((x - 3.0) ** 2)
+
+    tpe_regret, rand_regret, tpe_wins = [], [], 0
+    for seed in seeds:
+        sampler = _TPESampler(space, seed)
+        trials = []
+        for _ in range(budget):
+            p = sampler.suggest(trials, higher_is_better=True)
+            trials.append({"params": p, "value": f(p["x"])})
+        best_tpe = max(t["value"] for t in trials)
+
+        rng = random.Random(seed)
+        best_rand = max(f(_sample(space, rng)["x"]) for _ in range(budget))
+
+        tpe_regret.append(-best_tpe)
+        rand_regret.append(-best_rand)
+        tpe_wins += best_tpe > best_rand
+
+    n = len(tpe_regret)
+    assert tpe_wins >= 10  # measured: 12/12
+    assert sum(tpe_regret) / n < sum(rand_regret) / n / 2  # measured 0.35 vs 8.6
+    assert sum(tpe_regret) / n < 1.0  # converges near the optimum
+
+
 def test_dataframe_bucketizer(spark, tmp_path):
     """Bucketed table round-trip: a self-join on the bucket key plans
     without an exchange on the bucketed side."""
