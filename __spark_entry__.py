@@ -1508,6 +1508,67 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-path gate: each embedding becomes a 4-frame
+    concatenated-PGM stream (frame j = the 8×8 quantized image
+    brightened by 16·j, executor-side), MediaProcessor.sample_frames
+    picks frames at 500 ms ticks of a 4 fps stream (indices 0 and 2),
+    and each sampled frame's 16-bin histogram comes back out. The
+    netpbm encode is lossless, so DuckDB verifies split → sample →
+    decode → histogram end to end from the raw embeddings."""
+    import numpy as np
+    import pandas as pd
+
+    from replay_spark.multimodal import (
+        MediaProcessor,
+        encode_ppm,
+        ppm_image_decoder,
+    )
+
+    emb = rsd.read_table(spark, sf_dir, "embeddings")
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for vec in pdf["embedding"]:
+                arr = np.asarray(vec, dtype=np.float64)
+                u8 = np.clip(np.floor((arr + 4.0) * 32.0), 0, 255).astype(
+                    np.int64
+                )
+                frames = [
+                    encode_ppm(
+                        np.clip(u8 + 16 * j, 0, 255)
+                        .astype(np.uint8)
+                        .reshape(8, 8)
+                    )
+                    for j in range(4)
+                ]
+                payloads.append(b"".join(frames))
+            yield pd.DataFrame(
+                {"media_id": pdf["vec_id"].values, "payload": payloads}
+            )
+
+    media = emb.select("vec_id", "embedding").mapInPandas(
+        build, schema="media_id long, payload binary"
+    )
+    frames = MediaProcessor().sample_frames(media, every_ms=500, fps=4.0)
+    decoded = MediaProcessor(decoder=ppm_image_decoder).transform(
+        frames.withColumn(
+            "media_id",
+            F.col("media_id") * 10 + F.col("frame_index"),
+        )
+    )
+    return decoded.select(
+        (F.col("media_id") / 10).cast("long").alias("vec_id"),
+        (F.col("media_id") % 10).cast("int").alias("frame_index"),
+        "width",
+        "height",
+        F.concat_ws(
+            ",", F.transform("features", lambda x: x.cast("string"))
+        ).alias("hist"),
+    )
+
+
 def q_ivf_ann_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search path with a deterministic quantizer (centroids =
     embeddings of vec_id < 16, max-cosine assignment): the whole
@@ -1879,6 +1940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_filter": q_quality_filter,
         "q_abnormality": q_abnormality,
         "q_audio_decode": q_audio_decode,
+        "q_video_frames": q_video_frames,
         # -- (b) cheap official-green refresh ----------------------
         "q_horizontal_explode": q_horizontal_explode,
         "q_unique_entities": q_unique_entities,
@@ -2846,6 +2908,28 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_transform(rms_list,
                        x -> CAST(x AS VARCHAR)), ',') AS rms_u6
             FROM segs
+        """,
+        "q_video_frames": """
+            WITH u8 AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           e -> CAST(least(greatest(floor((CAST(e AS DOUBLE) + 4.0) * 32.0), 0), 255) AS BIGINT)
+                       ) AS u
+                FROM embeddings),
+            fr AS (
+                SELECT vec_id, v.fi AS frame_index,
+                       list_transform(u, x -> least(x + 16 * v.fi, 255)) AS uj
+                FROM u8, (VALUES (0), (2)) v(fi)),
+            bins AS (
+                SELECT vec_id, frame_index,
+                       list_transform(range(0, 16),
+                           b -> len(list_filter(uj, x -> x // 16 = b)) / 64.0
+                       ) AS hist_list
+                FROM fr)
+            SELECT vec_id, frame_index, 8 AS width, 8 AS height,
+                   array_to_string(list_transform(hist_list,
+                       x -> CAST(x AS VARCHAR)), ',') AS hist
+            FROM bins
         """,
         "q_unigram_lm_scores": """
             WITH toks AS (

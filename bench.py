@@ -153,6 +153,45 @@ def main():
             timings[name] = None
             cold_timings[name] = None
             print(f"# {name}: ERROR {exc}", file=sys.stderr)
+    # --- sf1 scale datapoint: the dedup/ANN tier at 10x rows ----------
+    # The 100 TB story otherwise rests on plan-shape argument alone;
+    # one 10x datapoint makes near-linear scaling empirical. The sf1
+    # replica is DERIVED from the sf0.1 testdata (10 near-duplicate
+    # variants per document — conservative: MORE candidate pairs per
+    # row than a real 10x corpus) and cached under .sf1_bench/.
+    sf1_queries = [
+        "q_minhash_candidates_md5",
+        "q_dedup_clusters",
+        "q_ivf_ann",
+        "q_ngram_jaccard_capped",
+    ]
+    sf1_timings = {}
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from make_scale_replica import ensure_replica
+
+        sf1_dir = ensure_replica()
+        for name in sf1_queries:
+            try:
+                # same protocol as the headline set: discard one cold
+                # run, report the best of two warm runs
+                spark.catalog.clearCache()
+                queries[name](spark, sf1_dir).count()
+                warms = []
+                for _ in range(2):
+                    t0 = time.time()
+                    queries[name](spark, sf1_dir).count()
+                    warms.append(time.time() - t0)
+                sf1_timings[name] = round(min(warms), 3)
+                print(
+                    f"# sf1 {name}: {sf1_timings[name]}s", file=sys.stderr
+                )
+            except Exception as exc:  # pragma: no cover - defensive
+                sf1_timings[name] = None
+                print(f"# sf1 {name}: ERROR {exc}", file=sys.stderr)
+    except Exception as exc:  # pragma: no cover - defensive
+        print(f"# sf1 section skipped: {exc}", file=sys.stderr)
+
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
         sf = float(sf)
@@ -167,6 +206,7 @@ def main():
                 "queries": timings,
                 "queries_cold": cold_timings,
                 "sf": sf,
+                "sf1": sf1_timings,
             }
         )
     )

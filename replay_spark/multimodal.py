@@ -7,9 +7,11 @@ signatures — is real and tested. Codecs:
 
 * REAL, dependency-free decoders for formats that need none:
   PPM/PGM images (binary P5/P6 — numpy), WAV audio (stdlib
-  ``wave``). Decode, feature-extract (grayscale histogram / RMS
-  amplitude), and nearest-neighbour resize with PPM re-encode all
-  actually run.
+  ``wave``), and concatenated-netpbm video streams (the
+  ``ffmpeg -f image2pipe -vcodec ppm`` shape). Decode,
+  feature-extract (grayscale histogram / RMS amplitude),
+  nearest-neighbour resize with PPM re-encode, and frame sampling
+  all actually run.
 * Compressed formats (JPEG/PNG/MP4...) have no codec libraries in
   this container, so their decode stays behind the deterministic
   ``stub_image_decoder`` — swap in a PIL/ffmpeg-backed callable and
@@ -47,6 +49,7 @@ __all__ = [
     "stub_image_decoder",
     "decode_ppm",
     "encode_ppm",
+    "split_netpbm_stream",
     "ppm_image_decoder",
     "decode_wav",
     "encode_wav",
@@ -79,19 +82,24 @@ def attach_media_metadata(
 # -- real, dependency-free codecs -------------------------------------------
 
 
-def decode_ppm(payload: bytes) -> tuple[np.ndarray, str]:
-    """Decode binary PPM (P6, RGB) / PGM (P5, gray) into an ndarray
-    of shape (h, w, 3) or (h, w). Pure numpy — no image libraries.
-    Raises ValueError on anything that isn't binary PPM/PGM."""
-    if payload is None or len(payload) < 2 or payload[:1] != b"P":
+def _parse_netpbm_header(
+    payload: bytes, offset: int = 0
+) -> tuple[str, int, int, int, int]:
+    """Parse a binary PPM/PGM header starting at ``offset``; returns
+    (magic, width, height, channels, raster_offset). Header = magic,
+    width, height, maxval as whitespace-separated tokens (comment
+    lines start with '#')."""
+    if (
+        payload is None
+        or len(payload) < offset + 2
+        or payload[offset : offset + 1] != b"P"
+    ):
         raise ValueError("not a PPM/PGM payload")
-    magic = payload[:2].decode("ascii", "replace")
+    magic = payload[offset : offset + 2].decode("ascii", "replace")
     if magic not in ("P5", "P6"):
         raise ValueError(f"unsupported netpbm magic {magic!r}")
-    # header = magic, width, height, maxval as whitespace-separated
-    # tokens (comment lines start with '#')
     tokens: list[bytes] = []
-    i = 2
+    i = offset + 2
     while len(tokens) < 3 and i < len(payload):
         c = payload[i : i + 1]
         if c == b"#":
@@ -109,11 +117,36 @@ def decode_ppm(payload: bytes) -> tuple[np.ndarray, str]:
     if maxval > 255:
         raise ValueError("16-bit netpbm not supported")
     channels = 3 if magic == "P6" else 1
+    return magic, width, height, channels, i
+
+
+def decode_ppm(payload: bytes) -> tuple[np.ndarray, str]:
+    """Decode binary PPM (P6, RGB) / PGM (P5, gray) into an ndarray
+    of shape (h, w, 3) or (h, w). Pure numpy — no image libraries.
+    Raises ValueError on anything that isn't binary PPM/PGM."""
+    magic, width, height, channels, i = _parse_netpbm_header(payload)
     need = width * height * channels
     raster = np.frombuffer(payload, dtype=np.uint8, count=need, offset=i)
     if channels == 3:
         return raster.reshape(height, width, 3), magic
     return raster.reshape(height, width), magic
+
+
+def split_netpbm_stream(payload: bytes) -> list[bytes]:
+    """Split a concatenated binary PPM/PGM stream — the uncompressed
+    video shape ffmpeg emits with ``-f image2pipe -vcodec ppm`` — into
+    single-frame payloads. Frames may vary in size; each is a
+    self-contained PPM/PGM document."""
+    frames: list[bytes] = []
+    off, n = 0, len(payload or b"")
+    while off < n:
+        _, w, h, ch, data_off = _parse_netpbm_header(payload, off)
+        end = data_off + w * h * ch
+        if end > n:
+            raise ValueError("truncated netpbm stream")
+        frames.append(payload[off:end])
+        off = end
+    return frames
 
 
 def encode_ppm(array: np.ndarray) -> bytes:
@@ -245,6 +278,10 @@ class MediaProcessor:
         "features array<double>"
     )
     RESIZE_SCHEMA = "media_id long, payload binary, width int, height int"
+    FRAMES_SCHEMA = (
+        "media_id long, frame_index int, t_ms long, payload binary, "
+        "width int, height int"
+    )
 
     def __init__(
         self,
@@ -320,11 +357,66 @@ class MediaProcessor:
             process, schema=self.RESIZE_SCHEMA
         )
 
-    def sample_frames(self, df: DataFrame, every_ms: int) -> DataFrame:
-        """Video frame-sampling stub — container formats (MP4/WebM)
-        need a video library not present here; wire an ffmpeg-backed
-        callable into the same mapInPandas pattern."""
-        raise NotImplementedError(
-            "frame sampling requires a video library not present in this "
-            "container; wire a real decoder into MediaProcessor"
+    def sample_frames(
+        self, df: DataFrame, every_ms: int, fps: float = 25.0
+    ) -> DataFrame:
+        """REAL frame sampling for uncompressed concatenated-netpbm
+        video streams (the ``ffmpeg -f image2pipe -vcodec ppm``
+        shape): split the stream into frames executor-side, keep the
+        frame under each ``every_ms`` tick (frame index
+        ``floor(t · fps / 1000)``), and emit one row per kept frame.
+        Runs inside mapInPandas — streams never touch the driver, and
+        a 1000-executor cluster samples its partitions independently.
+
+        Container formats (MP4/WebM) still require a video library not
+        present in this container: payloads that are not netpbm raise
+        ValueError; wire an ffmpeg-backed splitter in their place.
+        """
+        if every_ms < 1:
+            raise ValueError("every_ms must be >= 1")
+        if fps <= 0:
+            raise ValueError("fps must be > 0")
+        id_col = self.id_column
+        payload_col = self.payload_column
+
+        def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ids, idxs, t_ms, payloads, widths, heights = (
+                    [], [], [], [], [], []
+                )
+                for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                    frames = split_netpbm_stream(bytes(p))
+                    n = len(frames)
+                    duration_ms = n * 1000.0 / fps
+                    seen: set[int] = set()
+                    t = 0.0
+                    while t < duration_ms:
+                        idx = int(t * fps / 1000.0)
+                        if idx >= n:
+                            break
+                        if idx not in seen:
+                            seen.add(idx)
+                            _, w, h, _, _ = _parse_netpbm_header(
+                                frames[idx]
+                            )
+                            ids.append(mid)
+                            idxs.append(idx)
+                            t_ms.append(int(t))
+                            payloads.append(frames[idx])
+                            widths.append(w)
+                            heights.append(h)
+                        t += every_ms
+                yield pd.DataFrame(
+                    {
+                        "media_id": ids,
+                        "frame_index": idxs,
+                        "t_ms": t_ms,
+                        "payload": payloads,
+                        "width": widths,
+                        "height": heights,
+                    }
+                )
+
+        return df.select(id_col, payload_col).mapInPandas(
+            process, schema=self.FRAMES_SCHEMA
         )

@@ -233,8 +233,10 @@ def test_multimodal_plumbing(spark):
     # on non-netpbm bytes surfaces the per-payload ValueError
     with pytest.raises(Exception):
         MediaProcessor().resize(df, (32, 32)).collect()
-    with pytest.raises(NotImplementedError):
-        MediaProcessor().sample_frames(df, every_ms=40)
+    # frame sampling is likewise a real (lazy) netpbm-stream plan;
+    # non-netpbm payloads surface the per-payload ValueError
+    with pytest.raises(Exception):
+        MediaProcessor().sample_frames(df, every_ms=40).collect()
 
 
 def _near_dup_corpus():
@@ -863,6 +865,46 @@ def test_wav_encode_roundtrip():
     segs = samples.astype(np.float64).reshape(16, 4)
     expect = np.sqrt((segs**2).mean(axis=1)) / 32768.0
     assert np.allclose(meta["features"], expect)
+
+
+def test_video_frame_sampling(spark):
+    """REAL video path: concatenated-netpbm stream split + frame
+    sampling inside mapInPandas."""
+    import numpy as np
+
+    from replay_spark.multimodal import (
+        MediaProcessor,
+        decode_ppm,
+        encode_ppm,
+        split_netpbm_stream,
+    )
+
+    # 6-frame gray video; frame j is a constant image of value 10*j
+    frames = [
+        encode_ppm(np.full((4, 5), 10 * j, dtype=np.uint8)) for j in range(6)
+    ]
+    stream = b"".join(frames)
+    parts = split_netpbm_stream(stream)
+    assert len(parts) == 6 and parts[3] == frames[3]
+
+    df = spark.createDataFrame(
+        [(1, bytearray(stream))], "media_id long, payload binary"
+    )
+    # 10 fps -> 600 ms duration; 250 ms ticks -> t = 0, 250, 500
+    # -> frame indices 0, 2, 5
+    out = (
+        MediaProcessor()
+        .sample_frames(df, every_ms=250, fps=10.0)
+        .orderBy("frame_index")
+        .collect()
+    )
+    assert [(r.frame_index, r.t_ms) for r in out] == [(0, 0), (2, 250), (5, 500)]
+    assert all(r.width == 5 and r.height == 4 for r in out)
+    img, _ = decode_ppm(bytes(out[1].payload))
+    assert img.shape == (4, 5) and int(img[0, 0]) == 20
+
+    with pytest.raises(Exception):
+        split_netpbm_stream(frames[0] + b"P6 truncated")
 
 
 def test_quality_filter_pipeline(spark):
