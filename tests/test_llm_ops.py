@@ -714,6 +714,16 @@ def test_contamination_checker(spark):
     with pytest.raises(ValueError):
         ContaminationChecker(n=0)
 
+    # empty eval corpus: the fused left-join path must report zero
+    # contamination everywhere, not lose rows
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    rep0 = {
+        r["doc_id"]: (r["n_contaminated"], r["contamination_frac"])
+        for r in chk.report(train, empty).collect()
+    }
+    assert set(rep0) == {10, 11, 12, 13}
+    assert all(v == (0, 0.0) for v in rep0.values())
+
 
 def test_minhash_md5_family(docs):
     from replay_spark.preprocessing.dedup import MinHashLSHDeduplicator
