@@ -1418,6 +1418,25 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy document-preserving sequence packing at a 256-token
+    budget: pack id + in-pack token offset per document, verified
+    against a DuckDB running-sum oracle."""
+    from replay_spark.preprocessing.text import SequencePacker
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    return SequencePacker(budget=256).transform(docs)
+
+
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style per-source document cap (cap=10, smallest ids
+    win) over the documents table."""
+    from replay_spark.preprocessing.text import SourceCapFilter
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    return SourceCapFilter(cap=10).transform(docs).select("doc_id", "source")
+
+
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-codec gate: embeddings are quantized to uint8 8×8
     grayscale PGM payloads (executor-side numpy encode), decoded by
@@ -1941,6 +1960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_abnormality": q_abnormality,
         "q_audio_decode": q_audio_decode,
         "q_video_frames": q_video_frames,
+        "q_sequence_pack": q_sequence_pack,
+        "q_source_cap": q_source_cap,
         # -- (b) cheap official-green refresh ----------------------
         "q_horizontal_explode": q_horizontal_explode,
         "q_unique_entities": q_unique_entities,
@@ -2908,6 +2929,32 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_transform(rms_list,
                        x -> CAST(x AS VARCHAR)), ',') AS rms_u6
             FROM segs
+        """,
+        "q_sequence_pack": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END AS n_tokens
+                FROM documents),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       sum(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens AS b
+                FROM toks)
+            SELECT doc_id, n_tokens,
+                   CAST(b // 256 AS BIGINT) AS pack_id,
+                   CAST(b % 256 AS BIGINT) AS pack_offset
+            FROM c
+        """,
+        "q_source_cap": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source ORDER BY doc_id) AS rn
+                FROM documents) t
+            WHERE rn <= 10
         """,
         "q_video_frames": """
             WITH u8 AS (

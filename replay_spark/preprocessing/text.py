@@ -32,6 +32,8 @@ __all__ = [
     "TfIdfKeywords",
     "UnigramLMScorer",
     "QualityFilterPipeline",
+    "SequencePacker",
+    "SourceCapFilter",
     "PII_PATTERNS",
     "LANG_STOPWORDS",
 ]
@@ -825,3 +827,106 @@ class QualityFilterPipeline:
             .filter(F.col("keep"))
             .select(*df.columns)
         )
+
+
+class SequencePacker:
+    """Greedy document-preserving sequence packing: lay documents
+    head-to-tail in a deterministic order and assign each to the
+    fixed-token-budget training window ("pack") where its FIRST token
+    lands — the concat-then-slice layout LLM training pipelines use
+    (Megatron/GPT-style), except documents are never split, so a pack
+    may run over budget by the tail of its last document (consumers
+    truncate or pad; ``pack_offset`` gives the in-pack start).
+
+    No reference counterpart (LLM-pipeline extension).
+
+    Plan shape: per-doc token counts are a map-side expression; the
+    global running total uses the two-phase range-partitioned prefix
+    sum (``ordered_prefix_sums`` — no single-task window, scale-safe
+    past billions of docs; see PLANS.md); pack id/offset are then
+    pure arithmetic. ONE range-partition shuffle total.
+    """
+
+    def __init__(
+        self,
+        budget: int,
+        id_column: str = "doc_id",
+        text_column: str = "text",
+    ):
+        if budget < 1:
+            raise ValueError("budget must be >= 1")
+        self.budget = budget
+        self.id_column = id_column
+        self.text_column = text_column
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from replay_spark.utils.spark_utils import ordered_prefix_sums
+
+        idc, budget = self.id_column, int(self.budget)
+        with_counts = df.select(
+            idc,
+            token_count_expr(F.col(self.text_column))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        summed = ordered_prefix_sums(
+            with_counts, [F.col(idc).asc()], "n_tokens", out_col="_csum"
+        )
+        before = F.col("_csum") - F.col("n_tokens")
+        return summed.select(
+            idc,
+            "n_tokens",
+            F.floor(before / budget).cast("long").alias("pack_id"),
+            (before % budget).cast("long").alias("pack_offset"),
+        )
+
+
+class SourceCapFilter:
+    """Per-source document cap (the FineWeb/CommonCrawl "domain cap"
+    rule): keep at most ``cap`` documents per source, deterministic —
+    the ``cap`` smallest ids win. No reference counterpart
+    (LLM-pipeline extension).
+
+    Plan shape: per-source counts first (map-side combined — tiny);
+    only rows from OVER-cap sources take the ranking shuffle, rows
+    from under-cap sources pass through a broadcast left_anti with no
+    shuffle at all. At 100 TB, where caps bite on a small minority of
+    hot domains, this ranks a fraction of the corpus instead of
+    windowing all of it.
+    """
+
+    def __init__(
+        self,
+        cap: int,
+        partition_column: str = "source",
+        id_column: str = "doc_id",
+    ):
+        if cap < 1:
+            raise ValueError("cap must be >= 1")
+        self.cap = cap
+        self.partition_column = partition_column
+        self.id_column = id_column
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        src, idc, cap = self.partition_column, self.id_column, self.cap
+        over_sources = (
+            df.groupBy(src)
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .filter(F.col("_cnt") > cap)
+            .select(src)
+        )
+        passthrough = df.join(
+            F.broadcast(over_sources), on=src, how="left_anti"
+        )
+        ranked = (
+            df.join(F.broadcast(over_sources), on=src, how="left_semi")
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy(src).orderBy(F.col(idc).asc())
+                ),
+            )
+            .filter(F.col("_rn") <= cap)
+            .drop("_rn")
+        )
+        return passthrough.unionByName(ranked)

@@ -725,6 +725,54 @@ def test_contamination_checker(spark):
     assert all(v == (0, 0.0) for v in rep0.values())
 
 
+def test_sequence_packer(spark):
+    """Golden: greedy head-to-tail layout; a doc belongs to the pack
+    where its first token lands; empty docs take zero width."""
+    from replay_spark.preprocessing.text import SequencePacker
+
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "d e"), (2, "  "), (3, "f g h i"), (4, "j")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: (r.n_tokens, r.pack_id, r.pack_offset)
+        for r in SequencePacker(budget=4).transform(df).collect()
+    }
+    assert rows[0] == (3, 0, 0)
+    assert rows[1] == (2, 0, 3)  # starts in pack 0, overflows its tail
+    assert rows[2] == (0, 1, 1)
+    assert rows[3] == (4, 1, 1)
+    assert rows[4] == (1, 2, 1)
+
+    with pytest.raises(ValueError):
+        SequencePacker(budget=0)
+
+
+def test_source_cap_filter(spark):
+    """Cap bites only over-cap sources; smallest ids win; under-cap
+    sources pass through untouched."""
+    from replay_spark.preprocessing.text import SourceCapFilter
+
+    df = spark.createDataFrame(
+        [(i, "hot", f"t{i}") for i in range(5)]
+        + [(10, "cold", "t10"), (11, "cold", "t11")],
+        "doc_id long, source string, text string",
+    )
+    out = SourceCapFilter(cap=3).transform(df)
+    got = sorted((r.source, r.doc_id) for r in out.collect())
+    assert got == [
+        ("cold", 10),
+        ("cold", 11),
+        ("hot", 0),
+        ("hot", 1),
+        ("hot", 2),
+    ]
+    assert set(out.columns) == {"doc_id", "source", "text"}
+
+    with pytest.raises(ValueError):
+        SourceCapFilter(cap=0)
+
+
 def test_minhash_md5_family(docs):
     from replay_spark.preprocessing.dedup import MinHashLSHDeduplicator
 
