@@ -696,20 +696,42 @@ class NearDupClusters:
         id_b: str = "id_b",
     ) -> DataFrame:
         """(node, component) for every node appearing in ``pairs``;
-        ``component`` is the smallest node id in the group."""
-        if (
-            self.driver_threshold
-            and pairs.limit(self.driver_threshold + 1).count()
-            <= self.driver_threshold
-        ):
-            return self._components_driver(pairs, id_a, id_b)
-        return self._components_distributed(pairs, id_a, id_b)
+        ``component`` is the smallest node id in the group.
+
+        The candidate-pair subtree behind ``pairs`` is typically the
+        most expensive artifact in a dedup pipeline (an LSH/shingle
+        self-join), so it must execute exactly once: the size probe
+        and the driver-path fetch are folded into a single
+        ``limit(N+1).collect()`` — if at most N rows come back that
+        IS the edge list and union-find runs on it directly; only
+        when the probe overflows does the distributed propagation
+        run, with ``pairs`` persisted first because its edge-union
+        reads the frame twice.
+        """
+        if self.driver_threshold:
+            probe = pairs.select(id_a, id_b).limit(
+                self.driver_threshold + 1
+            ).collect()
+            if len(probe) <= self.driver_threshold:
+                return self._components_driver(
+                    pairs, id_a, id_b, edge_rows=probe
+                )
+        pairs = pairs.persist()
+        try:
+            out = self._components_distributed(pairs, id_a, id_b)
+        finally:
+            # the distributed pass materializes (and keeps) its own
+            # label cache via per-round counts, so the candidate
+            # subtree is never re-executed after this point
+            pairs.unpersist()
+        return out
 
     def _components_driver(
-        self, pairs: DataFrame, id_a: str, id_b: str
+        self, pairs: DataFrame, id_a: str, id_b: str, edge_rows=None
     ) -> DataFrame:
         """Union-find over a collected pair list (exact, one pass)."""
-        edge_rows = pairs.select(id_a, id_b).collect()
+        if edge_rows is None:
+            edge_rows = pairs.select(id_a, id_b).collect()
         parent: dict = {}
 
         def find(x):

@@ -887,12 +887,30 @@ class SourceCapFilter:
     the ``cap`` smallest ids win. No reference counterpart
     (LLM-pipeline extension).
 
-    Plan shape: per-source counts first (map-side combined — tiny);
-    only rows from OVER-cap sources take the ranking shuffle, rows
-    from under-cap sources pass through a broadcast left_anti with no
-    shuffle at all. At 100 TB, where caps bite on a small minority of
-    hot domains, this ranks a fraction of the corpus instead of
-    windowing all of it.
+    Plan shape (no per-source total ordering anywhere — a hot domain
+    never lands on one reducer):
+
+    1. per-source counts (map-side combined, tiny) pick the over-cap
+       sources — assumed to be a small minority of hot domains, so
+       they broadcast;
+    2. the per-source cutoff id (the ``cap``-th smallest) is computed
+       on a 2-column ``(source, id)`` projection of only the over-cap
+       rows via a SALTED two-phase top-k: rank within
+       ``(source, salt)`` — each partition holds ~rows/salts ids —
+       keep the local ``cap`` smallest, then rank the surviving
+       ≤ ``salts·cap`` candidates per source (bounded, skew-free) and
+       take the max kept id as the source's threshold (exact: every
+       one of a source's ``cap`` smallest ids is among the ``cap``
+       smallest of its salt bucket);
+    3. one full scan filters the corpus against the broadcast
+       threshold map. Full-width rows are never shuffled at all.
+
+    Requires ``id_column`` unique per source for an exact cap (ids
+    tied at the threshold are all kept — deterministic either way).
+    The input lineage is evaluated three times (counts, id
+    projection, final filter) — scans 1–2 are column-pruned to two
+    columns, but if the upstream pipeline is expensive, persist it
+    before calling ``transform``.
     """
 
     def __init__(
@@ -900,12 +918,16 @@ class SourceCapFilter:
         cap: int,
         partition_column: str = "source",
         id_column: str = "doc_id",
+        salts: int = 32,
     ):
         if cap < 1:
             raise ValueError("cap must be >= 1")
+        if salts < 1:
+            raise ValueError("salts must be >= 1")
         self.cap = cap
         self.partition_column = partition_column
         self.id_column = id_column
+        self.salts = salts
 
     def transform(self, df: DataFrame) -> DataFrame:
         src, idc, cap = self.partition_column, self.id_column, self.cap
@@ -915,18 +937,42 @@ class SourceCapFilter:
             .filter(F.col("_cnt") > cap)
             .select(src)
         )
-        passthrough = df.join(
-            F.broadcast(over_sources), on=src, how="left_anti"
-        )
-        ranked = (
-            df.join(F.broadcast(over_sources), on=src, how="left_semi")
+        over_ids = (
+            df.select(src, idc)
+            .join(F.broadcast(over_sources), on=src, how="left_semi")
             .withColumn(
+                "_salt",
+                F.pmod(F.xxhash64(F.col(idc)), F.lit(self.salts)),
+            )
+        )
+        local_topk = (
+            over_ids.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy(src, "_salt").orderBy(
+                        F.col(idc).asc()
+                    )
+                ),
+            )
+            .filter(F.col("_rn") <= cap)
+            .drop("_rn", "_salt")
+        )
+        thresholds = (
+            local_topk.withColumn(
                 "_rn",
                 F.row_number().over(
                     Window.partitionBy(src).orderBy(F.col(idc).asc())
                 ),
             )
             .filter(F.col("_rn") <= cap)
-            .drop("_rn")
+            .groupBy(src)
+            .agg(F.max(idc).alias("_max_keep_id"))
         )
-        return passthrough.unionByName(ranked)
+        return (
+            df.join(F.broadcast(thresholds), on=src, how="left")
+            .filter(
+                F.col("_max_keep_id").isNull()
+                | (F.col(idc) <= F.col("_max_keep_id"))
+            )
+            .select(df.columns)
+        )
