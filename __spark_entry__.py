@@ -1572,14 +1572,11 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frames = MediaProcessor().sample_frames(media, every_ms=500, fps=4.0)
     decoded = MediaProcessor(decoder=ppm_image_decoder).transform(
-        frames.withColumn(
-            "media_id",
-            F.col("media_id") * 10 + F.col("frame_index"),
-        )
+        frames, passthrough=("frame_index",)
     )
     return decoded.select(
-        (F.col("media_id") / 10).cast("long").alias("vec_id"),
-        (F.col("media_id") % 10).cast("int").alias("frame_index"),
+        F.col("media_id").alias("vec_id"),
+        "frame_index",
         "width",
         "height",
         F.concat_ws(
@@ -1936,94 +1933,27 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered queries, ordered for the driver's 50-query window.
 
-    The driver scores the FIRST 50 entries. Order for r5 (per the
-    round-4 verdict): (a) the 7 queries added late in r4 that were
-    judge-verified locally but never officially scored (they sat at
-    positions 51-57), plus the new-this-round q_audio_decode WAV
-    gate — 8 entries, the last of the window debt; (b) 42 cheap,
-    already-officially-green hash queries filling the rest of the
-    window — deliberately the LIGHT ones (sub-second at sf0.01) so
-    the expensive compositions (q_e2e_eval, q_dedup_clusters,
-    q_als_recs, ...) don't stack into one driver run; (c) everything
-    else, officially green in r3/r4, rotating out of the window —
-    all still run in tests/check_oracle and bench.
+    The driver scores the FIRST 50 entries — (a) + (b) is EXACTLY 50
+    (checked by tests/test_entry_contract.py). Order for r6 (per the
+    round-5 verdict's window-hygiene task): (a) the 2 gates whose
+    operator internals changed this round (NearDupClusters
+    single-execution probe; SourceCapFilter salted two-phase top-k) —
+    their hashes must be re-proved officially; (b) the 48 stalest
+    queries — every r3-era query (none has had an official row since
+    r3) plus the oldest r4-era ones, including the 3 that silently
+    sat at positions 51-53 in r5 (q_wilson_scores, q_ucb_scores,
+    q_discretize_greedy); (c) everything else — all officially green
+    in r4/r5, rotating out of the window — still run in
+    tests/check_oracle and bench.
     """
     return {
-        # -- (a) judge-verified in r4, never officially scored, plus
-        #        the new WAV gate ----------------------------------
-        "q_simhash_pairs_md5": q_simhash_pairs_md5,
-        "q_pipeline_eval": q_pipeline_eval,
-        "q_streaming_dedup": q_streaming_dedup,
-        "q_unigram_lm_scores": q_unigram_lm_scores,
-        "q_media_decode": q_media_decode,
-        "q_quality_filter": q_quality_filter,
-        "q_abnormality": q_abnormality,
-        "q_audio_decode": q_audio_decode,
-        "q_video_frames": q_video_frames,
-        "q_sequence_pack": q_sequence_pack,
+        # -- (a) operator internals changed this round: re-prove --
+        "q_dedup_clusters": q_dedup_clusters,
         "q_source_cap": q_source_cap,
-        # -- (b) cheap official-green refresh ----------------------
-        "q_horizontal_explode": q_horizontal_explode,
-        "q_unique_entities": q_unique_entities,
-        "q_log_info_row": q_log_info_row,
-        "q_pii_scrub": q_pii_scrub,
-        "q_document_chunks": q_document_chunks,
-        "q_document_chunks_overlap": q_document_chunks_overlap,
-        "q_sessionize": q_sessionize,
-        "q_doc_dedup_exact": q_doc_dedup_exact,
-        "q_doc_dedup_normalized": q_doc_dedup_normalized,
-        "q_text_quality": q_text_quality,
-        "q_text_stats": q_text_stats,
-        "q_lang_id": q_lang_id,
-        "q_token_counts": q_token_counts,
-        "q_doc_fingerprints_md5": q_doc_fingerprints_md5,
-        "q_vocab_top_tokens": q_vocab_top_tokens,
-        "q_tfidf_keywords": q_tfidf_keywords,
-        "q_multimodal_meta": q_multimodal_meta,
-        "q_embedding_neardup": q_embedding_neardup,
-        "q_embedding_cosine_topk": q_embedding_cosine_topk,
-        "q_pricing_summary": q_pricing_summary,
-        "q_nation_revenue": q_nation_revenue,
-        "q_top_parts_by_size": q_top_parts_by_size,
-        "q_filter_num_interactions": q_filter_num_interactions,
-        "q_filter_entity_days": q_filter_entity_days,
-        "q_filter_global_days": q_filter_global_days,
-        "q_filter_low_rating": q_filter_low_rating,
-        "q_filter_interaction_entries": q_filter_interaction_entries,
-        "q_filter_min_count": q_filter_min_count,
-        "q_filter_time_period": q_filter_time_period,
-        "q_filter_consecutive_dups": q_filter_consecutive_dups,
-        "q_last_n_split_test": q_last_n_split_test,
-        "q_ratio_split_bysize_test": q_ratio_split_bysize_test,
-        "q_time_split_test": q_time_split_test,
-        "q_poprec_popularity": q_poprec_popularity,
-        "q_random_rec_distribution": q_random_rec_distribution,
-        "q_metric_per_user_2": q_metric_per_user_2,
-        "q_metric_per_user": q_metric_per_user,
-        "q_user_stats": q_user_stats,
-        "q_top_k_recs": q_top_k_recs,
+        # -- (b) stalest official gates: every r3-era query + the
+        #        oldest r4-era ones (48 entries) ------------------
         "q_wilson_scores": q_wilson_scores,
         "q_ucb_scores": q_ucb_scores,
-        "q_discretize_greedy": q_discretize_greedy,
-        # -- (c) officially green in r3/r4; rotate out of the window
-        "q_dedup_clusters": q_dedup_clusters,
-        "q_repetition_stats": q_repetition_stats,
-        "q_discretize_quantile": q_discretize_quantile,
-        "q_kfolds_sizes": q_kfolds_sizes,
-        "q_corpus_mix": q_corpus_mix,
-        "q_two_stage_split_sizes": q_two_stage_split_sizes,
-        "q_random_next_n_split": q_random_next_n_split,
-        "q_sample_top_k": q_sample_top_k,
-        "q_slim_similarity": q_slim_similarity,
-        "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "q_minhash_candidates": q_minhash_candidates,
-        "q_simhash_fingerprints": q_simhash_fingerprints,
-        "q_streaming_sessionize": q_streaming_sessionize,
-        "q_ngram_jaccard_capped": q_ngram_jaccard_capped,
-        "q_contamination_report": q_contamination_report,
-        "q_streaming_ucb": q_streaming_ucb,
-        "q_minhash_candidates_md5": q_minhash_candidates_md5,
-        "q_ivf_ann_fixed": q_ivf_ann_fixed,
         "q_sessionize_composite": q_sessionize_composite,
         "q_klucb_scores": q_klucb_scores,
         "q_lin_ucb_recs": q_lin_ucb_recs,
@@ -2063,6 +1993,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_word2vec_recs": q_word2vec_recs,
         "q_ivf_ann": q_ivf_ann,
         "q_e2e_eval": q_e2e_eval,
+        "q_discretize_greedy": q_discretize_greedy,
+        "q_repetition_stats": q_repetition_stats,
+        "q_discretize_quantile": q_discretize_quantile,
+        "q_kfolds_sizes": q_kfolds_sizes,
+        "q_corpus_mix": q_corpus_mix,
+        "q_two_stage_split_sizes": q_two_stage_split_sizes,
+        "q_random_next_n_split": q_random_next_n_split,
+        # -- (c) officially green in r4/r5; rotate out ------------
+        "q_simhash_pairs_md5": q_simhash_pairs_md5,
+        "q_pipeline_eval": q_pipeline_eval,
+        "q_streaming_dedup": q_streaming_dedup,
+        "q_unigram_lm_scores": q_unigram_lm_scores,
+        "q_media_decode": q_media_decode,
+        "q_quality_filter": q_quality_filter,
+        "q_abnormality": q_abnormality,
+        "q_audio_decode": q_audio_decode,
+        "q_video_frames": q_video_frames,
+        "q_sequence_pack": q_sequence_pack,
+        "q_horizontal_explode": q_horizontal_explode,
+        "q_unique_entities": q_unique_entities,
+        "q_log_info_row": q_log_info_row,
+        "q_pii_scrub": q_pii_scrub,
+        "q_document_chunks": q_document_chunks,
+        "q_document_chunks_overlap": q_document_chunks_overlap,
+        "q_sessionize": q_sessionize,
+        "q_doc_dedup_exact": q_doc_dedup_exact,
+        "q_doc_dedup_normalized": q_doc_dedup_normalized,
+        "q_text_quality": q_text_quality,
+        "q_text_stats": q_text_stats,
+        "q_lang_id": q_lang_id,
+        "q_token_counts": q_token_counts,
+        "q_doc_fingerprints_md5": q_doc_fingerprints_md5,
+        "q_vocab_top_tokens": q_vocab_top_tokens,
+        "q_tfidf_keywords": q_tfidf_keywords,
+        "q_multimodal_meta": q_multimodal_meta,
+        "q_embedding_neardup": q_embedding_neardup,
+        "q_embedding_cosine_topk": q_embedding_cosine_topk,
+        "q_pricing_summary": q_pricing_summary,
+        "q_nation_revenue": q_nation_revenue,
+        "q_top_parts_by_size": q_top_parts_by_size,
+        "q_filter_num_interactions": q_filter_num_interactions,
+        "q_filter_entity_days": q_filter_entity_days,
+        "q_filter_global_days": q_filter_global_days,
+        "q_filter_low_rating": q_filter_low_rating,
+        "q_filter_interaction_entries": q_filter_interaction_entries,
+        "q_filter_min_count": q_filter_min_count,
+        "q_filter_time_period": q_filter_time_period,
+        "q_filter_consecutive_dups": q_filter_consecutive_dups,
+        "q_last_n_split_test": q_last_n_split_test,
+        "q_ratio_split_bysize_test": q_ratio_split_bysize_test,
+        "q_time_split_test": q_time_split_test,
+        "q_poprec_popularity": q_poprec_popularity,
+        "q_random_rec_distribution": q_random_rec_distribution,
+        "q_metric_per_user_2": q_metric_per_user_2,
+        "q_metric_per_user": q_metric_per_user,
+        "q_user_stats": q_user_stats,
+        "q_top_k_recs": q_top_k_recs,
+        "q_sample_top_k": q_sample_top_k,
+        "q_slim_similarity": q_slim_similarity,
+        "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "q_minhash_candidates": q_minhash_candidates,
+        "q_simhash_fingerprints": q_simhash_fingerprints,
+        "q_streaming_sessionize": q_streaming_sessionize,
+        "q_ngram_jaccard_capped": q_ngram_jaccard_capped,
+        "q_contamination_report": q_contamination_report,
+        "q_streaming_ucb": q_streaming_ucb,
+        "q_minhash_candidates_md5": q_minhash_candidates_md5,
+        "q_ivf_ann_fixed": q_ivf_ann_fixed,
     }
 
 

@@ -127,9 +127,11 @@ def main():
         return n, round(time.time() - start, 3)
 
     # warm-run protocol: run 1 absorbs session/JIT/page-cache warm-up
-    # (recorded as queries_cold); the headline is the BEST of two warm
-    # runs — this box has noisy-neighbour CPU (observed 3-10× swings
-    # on identical plans), and min-of-2 recovers the attributable cost
+    # (recorded as queries_cold); the headline is the MEDIAN of three
+    # warm runs — this box has noisy-neighbour CPU (observed 3-10×
+    # swings on identical plans). Best-of-2 let a real 3.4× regression
+    # ship unflagged in round 5 (warm exceeded cold in the same file);
+    # median-of-3 tames outliers in BOTH directions.
     timings, cold_timings = {}, {}
     total = 0.0
     for name in BENCH_QUERIES:
@@ -140,9 +142,11 @@ def main():
             spark.catalog.clearCache()
             _, cold = run_once(name)
             cold_timings[name] = cold
-            n, elapsed = run_once(name)
-            _, elapsed2 = run_once(name)
-            elapsed = min(elapsed, elapsed2)
+            warms = []
+            for _ in range(3):
+                n, w = run_once(name)
+                warms.append(w)
+            elapsed = sorted(warms)[1]
             timings[name] = elapsed
             total += elapsed
             print(
@@ -153,17 +157,24 @@ def main():
             timings[name] = None
             cold_timings[name] = None
             print(f"# {name}: ERROR {exc}", file=sys.stderr)
-    # --- sf1 scale datapoint: the dedup/ANN tier at 10x rows ----------
-    # The 100 TB story otherwise rests on plan-shape argument alone;
-    # one 10x datapoint makes near-linear scaling empirical. The sf1
-    # replica is DERIVED from the sf0.1 testdata (10 near-duplicate
-    # variants per document — conservative: MORE candidate pairs per
-    # row than a real 10x corpus) and cached under .sf1_bench/.
+    # --- sf1 scale datapoint: dedup/ANN + prefix-sum/text tiers at 10x
+    # rows. The 100 TB story otherwise rests on plan-shape argument
+    # alone; one 10x datapoint makes near-linear scaling empirical.
+    # The sf1 replica is DERIVED from the sf0.1 testdata: 10 shards
+    # per document with a per-shard token suffix so shards are
+    # shingle-DISJOINT — candidate pairs scale linearly with rows
+    # (what a real 10x corpus of distinct documents does), instead of
+    # quadratically within artificial near-dup groups. Cached under
+    # .sf1_bench/ with a source-manifest invalidation.
     sf1_queries = [
         "q_minhash_candidates_md5",
         "q_dedup_clusters",
         "q_ivf_ann",
         "q_ngram_jaccard_capped",
+        "q_sequence_pack",
+        "q_source_cap",
+        "q_repetition_stats",
+        "q_contamination_report",
     ]
     sf1_timings = {}
     try:
@@ -174,15 +185,15 @@ def main():
         for name in sf1_queries:
             try:
                 # same protocol as the headline set: discard one cold
-                # run, report the best of two warm runs
+                # run, report the median of three warm runs
                 spark.catalog.clearCache()
                 queries[name](spark, sf1_dir).count()
                 warms = []
-                for _ in range(2):
+                for _ in range(3):
                     t0 = time.time()
                     queries[name](spark, sf1_dir).count()
                     warms.append(time.time() - t0)
-                sf1_timings[name] = round(min(warms), 3)
+                sf1_timings[name] = round(sorted(warms)[1], 3)
                 print(
                     f"# sf1 {name}: {sf1_timings[name]}s", file=sys.stderr
                 )

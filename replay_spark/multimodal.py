@@ -34,7 +34,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -270,7 +272,12 @@ class MediaProcessor:
     ``decoder`` maps raw bytes → dict(width, height, features).
     Defaults to the deterministic stub; pass ``ppm_image_decoder`` /
     ``wav_audio_decoder`` for real decoding of those formats, or any
-    PIL/ffmpeg-backed callable for compressed ones.
+    PIL/ffmpeg-backed callable for compressed ones. ``splitter``
+    (used by :meth:`sample_frames`) maps a container payload → list of
+    single-frame payloads; defaults to the netpbm-stream splitter —
+    wire an ffmpeg-backed callable for MP4/WebM and the rest of the
+    pipeline runs unchanged (the adapter contract is pinned by
+    ``tests/test_llm_ops.py``'s fake-container test).
     """
 
     OUTPUT_SCHEMA = (
@@ -288,36 +295,61 @@ class MediaProcessor:
         id_column: str = "media_id",
         payload_column: str = "payload",
         decoder: Optional[Callable[[bytes], dict]] = None,
+        splitter: Optional[Callable[[bytes], list]] = None,
         batch_size: int = 256,
     ):
         self.id_column = id_column
         self.payload_column = payload_column
         self.decoder = decoder or stub_image_decoder
+        self.splitter = splitter or split_netpbm_stream
         self.batch_size = batch_size
 
-    def transform(self, df: DataFrame) -> DataFrame:
+    def transform(self, df: DataFrame, passthrough: tuple = ()) -> DataFrame:
+        """Decode each payload to (num_bytes, width, height, features).
+
+        ``passthrough`` names input columns carried to the output
+        unchanged (e.g. ``frame_index``/``t_ms`` from
+        :meth:`sample_frames`) — they ride the same Arrow batches, so
+        no join or id-packing round trip is needed downstream.
+        """
         id_col = self.id_column
         payload_col = self.payload_column
         decoder = self.decoder
+        passthrough = tuple(passthrough)
+        reserved = {"media_id", "num_bytes", "width", "height", "features"}
+        clash = reserved.intersection(passthrough)
+        if clash:
+            raise ValueError(f"passthrough clashes with output: {clash}")
 
         def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 decoded = [decoder(p) for p in pdf[payload_col]]
-                yield pd.DataFrame(
-                    {
-                        "media_id": pdf[id_col].values,
-                        "num_bytes": [
-                            len(p) if p is not None else 0
-                            for p in pdf[payload_col]
-                        ],
-                        "width": [d["width"] for d in decoded],
-                        "height": [d["height"] for d in decoded],
-                        "features": [d["features"] for d in decoded],
-                    }
-                )
+                out = {
+                    "media_id": pdf[id_col].values,
+                    "num_bytes": [
+                        len(p) if p is not None else 0
+                        for p in pdf[payload_col]
+                    ],
+                    "width": [d["width"] for d in decoded],
+                    "height": [d["height"] for d in decoded],
+                    "features": [d["features"] for d in decoded],
+                }
+                for c in passthrough:
+                    out[c] = pdf[c].values
+                yield pd.DataFrame(out)
 
-        return df.select(id_col, payload_col).mapInPandas(
-            process, schema=self.OUTPUT_SCHEMA
+        schema = StructType(
+            [
+                StructField("media_id", LongType()),
+                StructField("num_bytes", LongType()),
+                StructField("width", IntegerType()),
+                StructField("height", IntegerType()),
+                StructField("features", ArrayType(DoubleType())),
+            ]
+            + [df.schema[c] for c in passthrough]
+        )
+        return df.select(id_col, payload_col, *passthrough).mapInPandas(
+            process, schema=schema
         )
 
     def resize(self, df: DataFrame, target: tuple[int, int]) -> DataFrame:
@@ -369,8 +401,13 @@ class MediaProcessor:
         a 1000-executor cluster samples its partitions independently.
 
         Container formats (MP4/WebM) still require a video library not
-        present in this container: payloads that are not netpbm raise
-        ValueError; wire an ffmpeg-backed splitter in their place.
+        present in this container: with the default splitter, payloads
+        that are not netpbm raise ValueError; construct the processor
+        with ``splitter=<ffmpeg-backed callable>`` for those. The
+        splitter contract: container bytes → list of single-frame
+        binary netpbm payloads (exactly what an
+        ``ffmpeg -f image2pipe -vcodec ppm`` pipe emits), so the
+        tick-sampling and downstream decode are container-agnostic.
         """
         if every_ms < 1:
             raise ValueError("every_ms must be >= 1")
@@ -378,6 +415,7 @@ class MediaProcessor:
             raise ValueError("fps must be > 0")
         id_col = self.id_column
         payload_col = self.payload_column
+        splitter = self.splitter
 
         def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -385,13 +423,20 @@ class MediaProcessor:
                     [], [], [], [], [], []
                 )
                 for mid, p in zip(pdf[id_col], pdf[payload_col]):
-                    frames = split_netpbm_stream(bytes(p))
+                    if p is None:
+                        raise ValueError(
+                            f"null video payload for media_id={mid}"
+                        )
+                    frames = splitter(bytes(p))
                     n = len(frames)
-                    duration_ms = n * 1000.0 / fps
                     seen: set[int] = set()
-                    t = 0.0
-                    while t < duration_ms:
-                        idx = int(t * fps / 1000.0)
+                    # integer tick walk: tick k is at k*every_ms ms;
+                    # a float accumulator (t += every_ms) can truncate
+                    # int(t*fps/1000) to the wrong frame at tick
+                    # boundaries for non-integer fps
+                    for k in range(0, 10**9):
+                        tick_ms = k * every_ms
+                        idx = int(tick_ms * fps / 1000.0 + 1e-9)
                         if idx >= n:
                             break
                         if idx not in seen:
@@ -401,11 +446,10 @@ class MediaProcessor:
                             )
                             ids.append(mid)
                             idxs.append(idx)
-                            t_ms.append(int(t))
+                            t_ms.append(tick_ms)
                             payloads.append(frames[idx])
                             widths.append(w)
                             heights.append(h)
-                        t += every_ms
                 yield pd.DataFrame(
                     {
                         "media_id": ids,

@@ -1,0 +1,68 @@
+"""Driver-contract checks for __spark_entry__.py — no Spark session.
+
+The driver scores the FIRST 50 entries of ``queries()``; round 5
+shipped a registry whose documented window sections summed to 53, so
+3 queries the round plan meant to refresh silently fell outside the
+scored window. These tests pin the structure so that can't recur.
+"""
+
+import inspect
+import os
+import re
+
+import __spark_entry__ as entrymod
+
+
+def test_registry_keys_unique_and_callable():
+    qs = entrymod.queries()
+    assert len(qs) == len(set(qs)), "duplicate query names"
+    for name, fn in qs.items():
+        assert callable(fn), name
+        assert name.startswith("q_"), name
+
+
+def test_oracle_keys_subset_of_queries():
+    qs = entrymod.queries()
+    extra = set(entrymod.oracle_sql()) - set(qs)
+    assert not extra, f"oracle_sql for unregistered queries: {extra}"
+
+
+def test_scored_window_sections_sum_to_exactly_50():
+    # parse the source: section markers (a)/(b)/(c) in queries();
+    # everything before the (c) marker is the scored window
+    src = inspect.getsource(entrymod.queries)
+    c_marker = src.index("-- (c)")
+    scored = re.findall(r'"(q_[a-z0-9_]+)":', src[:c_marker])
+    assert len(scored) == 50, (
+        f"scored window is {len(scored)} entries, must be exactly 50: "
+        f"sections (a)+(b) drifted"
+    )
+    # and the parsed window must agree with the dict's actual order
+    qs = list(entrymod.queries())
+    assert qs[:50] == scored
+
+
+def test_scored_window_has_oracle_or_documented_rows_only():
+    # every scored query needs an oracle; the known rows-only
+    # contracts are the documented exceptions
+    rows_only = {
+        "q_filter_interaction_entries",  # iterated fixpoint
+        "q_discretize_greedy",  # greedy merge order not SQL-expressible
+        "q_random_next_n_split",  # seeded RNG
+        "q_two_stage_split_sizes",  # seeded sampling
+        "q_kfolds_sizes",  # seeded fold assignment
+        "q_corpus_mix",  # seeded sampling
+        "q_als_recs",  # iterative factorization
+        "q_word2vec_recs",  # iterative embedding
+        "q_thompson_scores",  # seeded posterior draw
+        "q_cluster_rec",  # kmeans iterations
+        "q_slim_similarity",  # coordinate-descent iterations
+        "q_doc_fingerprints",  # md5 variant carries the hash oracle
+        "q_ivf_ann",  # approximate; q_ivf_ann_fixed carries the oracle
+        "q_e2e_eval",  # multi-model composition (ALS inside)
+        "q_discretize_quantile",  # approxQuantile bin edges
+    }
+    oracles = set(entrymod.oracle_sql())
+    scored = list(entrymod.queries())[:50]
+    missing = [q for q in scored if q not in oracles and q not in rows_only]
+    assert not missing, f"scored queries with no oracle and no note: {missing}"

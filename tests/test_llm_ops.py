@@ -965,6 +965,136 @@ def test_video_frame_sampling(spark):
         split_netpbm_stream(frames[0] + b"P6 truncated")
 
 
+def test_video_frames_passthrough_beyond_ten(spark):
+    """frame_index rides MediaProcessor.transform as a passthrough
+    column — no id-packing, so streams with >10 frames are safe
+    (the old media_id*10+frame_index round trip capped at 10)."""
+    import numpy as np
+
+    from replay_spark.multimodal import (
+        MediaProcessor,
+        encode_ppm,
+        ppm_image_decoder,
+    )
+
+    frames = [
+        encode_ppm(np.full((2, 2), 20 * j, dtype=np.uint8)) for j in range(12)
+    ]
+    df = spark.createDataFrame(
+        [(7, bytearray(b"".join(frames)))], "media_id long, payload binary"
+    )
+    # 10 fps, 100 ms ticks -> every frame sampled, indices 0..11
+    sampled = MediaProcessor().sample_frames(df, every_ms=100, fps=10.0)
+    decoded = MediaProcessor(decoder=ppm_image_decoder).transform(
+        sampled, passthrough=("frame_index", "t_ms")
+    )
+    rows = decoded.orderBy("frame_index").collect()
+    assert [r.frame_index for r in rows] == list(range(12))
+    assert [r.t_ms for r in rows] == [100 * k for k in range(12)]
+    assert all(r.media_id == 7 for r in rows)
+    # frame 11 has constant value 220 -> all mass in histogram bin 13
+    assert rows[11].features[13] == 1.0
+
+    with pytest.raises(ValueError, match="passthrough clashes"):
+        MediaProcessor().transform(sampled, passthrough=("width",))
+
+
+def test_sample_frames_integer_ticks_non_integer_fps(spark):
+    """Tick->frame mapping is computed from an integer tick counter:
+    at 29.97 fps with 333 ms ticks the float-accumulator version
+    drifts; floor(k*every_ms*fps/1000) must hold for every k."""
+    import numpy as np
+
+    from replay_spark.multimodal import MediaProcessor, encode_ppm
+
+    n, every_ms, fps = 90, 333, 29.97
+    frames = [
+        encode_ppm(np.full((2, 2), j % 251, dtype=np.uint8)) for j in range(n)
+    ]
+    df = spark.createDataFrame(
+        [(1, bytearray(b"".join(frames)))], "media_id long, payload binary"
+    )
+    out = (
+        MediaProcessor()
+        .sample_frames(df, every_ms=every_ms, fps=fps)
+        .orderBy("t_ms")
+        .collect()
+    )
+    expect = []
+    seen = set()
+    for k in range(10**6):
+        idx = int(k * every_ms * fps / 1000.0 + 1e-9)
+        if idx >= n:
+            break
+        if idx not in seen:
+            seen.add(idx)
+            expect.append((idx, k * every_ms))
+    assert [(r.frame_index, r.t_ms) for r in out] == expect
+
+
+def test_sample_frames_null_payload_raises(spark):
+    from replay_spark.multimodal import MediaProcessor
+
+    df = spark.createDataFrame(
+        [(1, None)], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="null video payload"):
+        MediaProcessor().sample_frames(df, every_ms=100).collect()
+
+
+def test_container_adapter_seam(spark):
+    """Pins the MP4/WebM adapter contract: a fake 'container' format
+    (length-prefixed frame blobs) is wired in ONLY via the
+    ``splitter=`` hook, and the whole sample -> decode -> feature
+    pipeline runs unchanged — exactly the integration an
+    ffmpeg-backed deployment does first."""
+    import struct
+
+    import numpy as np
+
+    from replay_spark.multimodal import (
+        MediaProcessor,
+        encode_ppm,
+        ppm_image_decoder,
+    )
+
+    def build_container(frames):
+        return b"FAKE" + b"".join(
+            struct.pack(">I", len(f)) + f for f in frames
+        )
+
+    def fake_container_splitter(payload: bytes):
+        if payload[:4] != b"FAKE":
+            raise ValueError("not a FAKE container")
+        frames, off = [], 4
+        while off < len(payload):
+            (ln,) = struct.unpack(">I", payload[off : off + 4])
+            frames.append(payload[off + 4 : off + 4 + ln])
+            off += 4 + ln
+        return frames
+
+    frames = [
+        encode_ppm(np.full((3, 3), 40 * j, dtype=np.uint8)) for j in range(5)
+    ]
+    df = spark.createDataFrame(
+        [(1, bytearray(build_container(frames)))],
+        "media_id long, payload binary",
+    )
+    proc = MediaProcessor(splitter=fake_container_splitter)
+    sampled = proc.sample_frames(df, every_ms=500, fps=4.0)  # idx 0, 2, 4
+    decoded = MediaProcessor(decoder=ppm_image_decoder).transform(
+        sampled, passthrough=("frame_index",)
+    )
+    rows = decoded.orderBy("frame_index").collect()
+    assert [r.frame_index for r in rows] == [0, 2, 4]
+    assert all(r.width == 3 and r.height == 3 for r in rows)
+    # frame 4 is constant 160 -> histogram bin 10
+    assert rows[2].features[10] == 1.0
+    # the default (netpbm) splitter rejects the container payload
+    with pytest.raises(Exception, match="netpbm|PPM"):
+        MediaProcessor().sample_frames(df, every_ms=500).collect()
+
+
 def test_quality_filter_pipeline(spark):
     from replay_spark.preprocessing.text import QualityFilterPipeline
 

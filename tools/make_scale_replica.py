@@ -15,12 +15,16 @@ bit-identical. Output parquet keeps the source schema so the same
 ``queries()`` entries run unchanged against the replica dir.
 
 Usage: python tools/make_scale_replica.py [out_dir] [src_dir] [factor]
-Importable: ``ensure_replica(out_dir, src_dir, factor)`` — no-op when
-the output already exists (bench reuses it across rounds).
+Importable: ``ensure_replica(out_dir, src_dir, factor)`` — reuses the
+cached replica across rounds, but rebuilds when the SOURCE parquet
+files change (a manifest of source sizes+mtimes is stored next to the
+replica; the driver has refreshed testdata mid-history before, and a
+pure existence check would silently keep benchmarking the old corpus).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 
@@ -30,6 +34,15 @@ DEFAULT_OUT = os.path.join(
 )
 
 
+def _source_manifest(src_dir: str, factor: int) -> dict:
+    out = {"factor": factor}
+    for name in ("documents.parquet", "embeddings.parquet"):
+        p = os.path.join(src_dir, name)
+        st = os.stat(p)
+        out[name] = [st.st_size, int(st.st_mtime)]
+    return out
+
+
 def ensure_replica(
     out_dir: str = DEFAULT_OUT,
     src_dir: str = DEFAULT_SRC,
@@ -37,8 +50,15 @@ def ensure_replica(
 ) -> str:
     docs_out = os.path.join(out_dir, "documents.parquet")
     embs_out = os.path.join(out_dir, "embeddings.parquet")
+    manifest_path = os.path.join(out_dir, "source_manifest.json")
+    manifest = _source_manifest(src_dir, factor)
     if os.path.exists(docs_out) and os.path.exists(embs_out):
-        return out_dir
+        try:
+            with open(manifest_path) as fh:
+                if json.load(fh) == manifest:
+                    return out_dir
+        except (OSError, ValueError):
+            pass  # missing/corrupt manifest -> rebuild
 
     import duckdb
 
@@ -75,6 +95,8 @@ def ensure_replica(
         """
     )
     con.close()
+    with open(manifest_path, "w") as fh:
+        json.dump(manifest, fh)
     return out_dir
 
 
