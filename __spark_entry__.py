@@ -1437,6 +1437,23 @@ def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SourceCapFilter(cap=10).transform(docs).select("doc_id", "source")
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-style duplicated-paragraph removal: paragraph breaks are
+    derived deterministically (literal ' a ' -> blank line, replicable
+    in SQL), then every corpus-duplicated paragraph is removed except
+    its first (smallest doc_id, pos) occurrence and documents are
+    reassembled in order."""
+    from replay_spark.preprocessing.dedup import ParagraphDeduplicator
+
+    docs = rsd.read_table(spark, sf_dir, "documents").withColumn(
+        "text", F.replace(F.col("text"), F.lit(" a "), F.lit("\n\n"))
+    )
+    out = ParagraphDeduplicator(max_occurrences=1, keep="first").transform(
+        docs
+    )
+    return out.select("doc_id", "text")
+
+
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-codec gate: embeddings are quantized to uint8 8×8
     grayscale PGM payloads (executor-side numpy encode), decoded by
@@ -1947,9 +1964,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/check_oracle and bench.
     """
     return {
-        # -- (a) operator internals changed this round: re-prove --
+        # -- (a) operator internals changed this round, plus the new
+        #        ParagraphDeduplicator debut gate --------------------
         "q_dedup_clusters": q_dedup_clusters,
         "q_source_cap": q_source_cap,
+        "q_paragraph_dedup": q_paragraph_dedup,
         # -- (b) stalest official gates: every r3-era query + the
         #        oldest r4-era ones (48 entries) ------------------
         "q_wilson_scores": q_wilson_scores,
@@ -1999,8 +2018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kfolds_sizes": q_kfolds_sizes,
         "q_corpus_mix": q_corpus_mix,
         "q_two_stage_split_sizes": q_two_stage_split_sizes,
-        "q_random_next_n_split": q_random_next_n_split,
         # -- (c) officially green in r4/r5; rotate out ------------
+        "q_random_next_n_split": q_random_next_n_split,
         "q_simhash_pairs_md5": q_simhash_pairs_md5,
         "q_pipeline_eval": q_pipeline_eval,
         "q_streaming_dedup": q_streaming_dedup,
@@ -2953,6 +2972,32 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY source ORDER BY doc_id) AS rn
                 FROM documents) t
             WHERE rn <= 10
+        """,
+        "q_paragraph_dedup": """
+            WITH split AS (
+                SELECT doc_id,
+                       string_split(
+                           replace(text, ' a ', chr(10)||chr(10)),
+                           chr(10)||chr(10)) AS parts
+                FROM documents),
+            paras AS (
+                SELECT doc_id, g.i - 1 AS pos, parts[g.i] AS para
+                FROM split,
+                     LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i) g
+                WHERE length(parts[g.i]) >= 1),
+            ranked AS (
+                SELECT doc_id, pos, para,
+                       count(*) OVER (PARTITION BY para) AS n,
+                       row_number() OVER (
+                           PARTITION BY para ORDER BY doc_id, pos) AS rn
+                FROM paras)
+            SELECT d.doc_id, coalesce(k.text, '') AS text
+            FROM documents d
+            LEFT JOIN (
+                SELECT doc_id,
+                       string_agg(para, chr(10)||chr(10) ORDER BY pos) AS text
+                FROM ranked WHERE n <= 1 OR rn = 1
+                GROUP BY doc_id) k USING (doc_id)
         """,
         "q_video_frames": """
             WITH u8 AS (

@@ -19,6 +19,9 @@ Five strategies, all expressed as DataFrame plans:
 * ``EmbeddingDeduplicator`` — cosine near-dup over an embedding
   column; random-hyperplane sign buckets prune the pair space, exact
   cosine verifies.
+* ``ParagraphDeduplicator`` — sub-document granularity: corpus-wide
+  duplicated-paragraph (boilerplate) removal with in-order document
+  reassembly.
 
 Everything uses JVM hash functions (xxhash64) and higher-order
 array expressions — no Python in the hot path.
@@ -44,6 +47,7 @@ __all__ = [
     "EmbeddingDeduplicator",
     "NearDupClusters",
     "ContaminationChecker",
+    "ParagraphDeduplicator",
 ]
 
 
@@ -700,38 +704,37 @@ class NearDupClusters:
 
         The candidate-pair subtree behind ``pairs`` is typically the
         most expensive artifact in a dedup pipeline (an LSH/shingle
-        self-join), so it must execute exactly once: the size probe
-        and the driver-path fetch are folded into a single
-        ``limit(N+1).collect()`` — if at most N rows come back that
-        IS the edge list and union-find runs on it directly; only
-        when the probe overflows does the distributed propagation
-        run, with ``pairs`` persisted first because its edge-union
-        reads the frame twice.
+        self-join), so it must execute exactly once, fully parallel:
+        the surviving pairs (a tiny projection — two id columns) are
+        persisted and sized with one plain ``count()``. A
+        ``limit(N+1)`` probe would run the final — most expensive —
+        stage in CollectLimit's serial incremental waves, and a
+        separate fetch would re-execute the subtree (the round-5 2×
+        regression). After the count, either the driver union-find
+        collects the now-cached edges for free, or the distributed
+        propagation runs — its ``src→dst ∪ dst→src`` edge-union reads
+        the cached frame twice without recomputing it. Both branches
+        unpersist once their output no longer depends on ``pairs``.
         """
-        if self.driver_threshold:
-            probe = pairs.select(id_a, id_b).limit(
-                self.driver_threshold + 1
-            ).collect()
-            if len(probe) <= self.driver_threshold:
-                return self._components_driver(
-                    pairs, id_a, id_b, edge_rows=probe
-                )
-        pairs = pairs.persist()
+        pairs = pairs.select(id_a, id_b).persist()
         try:
-            out = self._components_distributed(pairs, id_a, id_b)
-        finally:
+            if (
+                self.driver_threshold
+                and pairs.count() <= self.driver_threshold
+            ):
+                return self._components_driver(pairs, id_a, id_b)
             # the distributed pass materializes (and keeps) its own
             # label cache via per-round counts, so the candidate
             # subtree is never re-executed after this point
+            return self._components_distributed(pairs, id_a, id_b)
+        finally:
             pairs.unpersist()
-        return out
 
     def _components_driver(
-        self, pairs: DataFrame, id_a: str, id_b: str, edge_rows=None
+        self, pairs: DataFrame, id_a: str, id_b: str
     ) -> DataFrame:
         """Union-find over a collected pair list (exact, one pass)."""
-        if edge_rows is None:
-            edge_rows = pairs.select(id_a, id_b).collect()
+        edge_rows = pairs.select(id_a, id_b).collect()
         parent: dict = {}
 
         def find(x):
@@ -936,3 +939,137 @@ class ContaminationChecker:
             .select(self.id_column)
         )
         return train_df.join(dirty, on=self.id_column, how="left_anti")
+
+
+class ParagraphDeduplicator:
+    """Corpus-level duplicated-paragraph removal — the Dolma /
+    RedPajama "paragraph dedup" pass that strips boilerplate (nav
+    bars, cookie banners, license headers) LLM-training corpora are
+    full of. A paragraph whose exact (optionally normalized) content
+    occurs more than ``max_occurrences`` times across the corpus is
+    removed from every document (``keep="none"``) or from every
+    document except its first occurrence — smallest ``(doc_id,
+    position)`` — with the default ``keep="first"``.
+
+    Plan shape (one explode, keyed shuffles only, no Python):
+
+    1. ``posexplode(split(text, split_pattern))`` — map-side;
+    2. per-paragraph-hash frequency + first location in ONE
+       ``groupBy(xxhash-key)`` (map-side combined: the shuffle
+       carries one row per distinct paragraph per input partition,
+       so a million-fold-duplicated cookie banner arrives at its
+       reducer already collapsed — hot paragraphs are NOT hot keys);
+    3. paragraphs join their hash's (count, first-location) row —
+       keyed shuffle join; AQE broadcasts the frequency side when
+       the distinct-paragraph table is small;
+    4. per-document reassembly: ``collect_list(struct(pos, para))``
+       → ``array_sort`` → ``array_join`` — one doc-keyed shuffle,
+       order-exact; documents whose every paragraph was removed
+       survive with empty text via the final left join.
+
+    No reference counterpart (LLM-pipeline extension). Requires
+    ``id_column`` unique; ``normalize=True`` dedupes on the
+    lower-cased whitespace-collapsed fingerprint while emitting the
+    original paragraph text.
+    """
+
+    def __init__(
+        self,
+        max_occurrences: int = 1,
+        keep: str = "first",
+        id_column: str = "doc_id",
+        text_column: str = "text",
+        split_pattern: str = r"\n{2,}",
+        separator: str = "\n\n",
+        min_chars: int = 1,
+        normalize: bool = False,
+    ):
+        if max_occurrences < 1:
+            raise ValueError("max_occurrences must be >= 1")
+        if keep not in ("first", "none"):
+            raise ValueError("keep must be 'first' or 'none'")
+        self.max_occurrences = max_occurrences
+        self.keep = keep
+        self.id_column = id_column
+        self.text_column = text_column
+        self.split_pattern = split_pattern
+        self.separator = separator
+        self.min_chars = min_chars
+        self.normalize = normalize
+
+    def _para_key(self, col):
+        if self.normalize:
+            return fingerprint_expr(col)
+        return F.md5(col)
+
+    def _paragraphs(self, df: DataFrame) -> DataFrame:
+        idc, txt = self.id_column, self.text_column
+        return (
+            df.select(
+                idc,
+                F.posexplode(
+                    F.split(F.col(txt), self.split_pattern)
+                ).alias("pos", "para"),
+            )
+            .filter(F.length("para") >= self.min_chars)
+            .withColumn("_h", self._para_key(F.col("para")))
+        )
+
+    def duplicates(self, df: DataFrame) -> DataFrame:
+        """Boilerplate table: one row per paragraph content exceeding
+        ``max_occurrences`` — (paragraph hash, occurrence count, the
+        first location and its text)."""
+        idc = self.id_column
+        return (
+            self._paragraphs(df)
+            .groupBy("_h")
+            .agg(
+                F.count(F.lit(1)).alias("occurrences"),
+                F.min(F.struct(idc, "pos", "para")).alias("_first"),
+            )
+            .filter(F.col("occurrences") > self.max_occurrences)
+            .select(
+                F.col("_h").alias("para_hash"),
+                "occurrences",
+                F.col(f"_first.{idc}").alias("first_doc_id"),
+                F.col("_first.pos").alias("first_pos"),
+                F.col("_first.para").alias("paragraph"),
+            )
+        )
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        idc, txt = self.id_column, self.text_column
+        paras = self._paragraphs(df)
+        freq = paras.groupBy("_h").agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(F.struct(idc, "pos")).alias("_first"),
+        )
+        over = freq.filter(F.col("_n") > self.max_occurrences)
+        if self.keep == "first":
+            drop_cond = (F.col(f"_first.{idc}") != F.col(idc)) | (
+                F.col("_first.pos") != F.col("pos")
+            )
+        else:
+            drop_cond = F.lit(True)
+        kept = (
+            paras.join(
+                over.select("_h", "_first"), on="_h", how="left"
+            )
+            .filter(F.col("_first").isNull() | ~drop_cond)
+            .select(idc, "pos", "para")
+        )
+        rebuilt = kept.groupBy(idc).agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda s: s["para"],
+                ),
+                self.separator,
+            ).alias("_new_text")
+        )
+        return (
+            df.join(rebuilt, on=idc, how="left")
+            .withColumn(txt, F.coalesce("_new_text", F.lit("")))
+            .drop("_new_text")
+            .select(df.columns)
+        )

@@ -1116,3 +1116,67 @@ def test_quality_filter_pipeline(spark):
     kept = pipe.filter(df)
     assert [r["doc_id"] for r in kept.collect()] == [0]
     assert kept.columns == ["doc_id", "text"]
+
+
+def test_paragraph_dedup_keep_first(spark):
+    from replay_spark.preprocessing.dedup import ParagraphDeduplicator
+
+    B = "subscribe to our newsletter"
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha one\n\n{B}\n\nbeta two"),
+            (2, f"{B}\n\ngamma three"),
+            (3, f"delta four\n\n{B}"),
+            (4, "unique only"),
+            (5, f"{B}"),
+        ],
+        "doc_id long, text string",
+    )
+    dd = ParagraphDeduplicator(max_occurrences=1, keep="first")
+    out = {r.doc_id: r.text for r in dd.transform(df).collect()}
+    # first occurrence = (doc 1, pos 1) keeps the banner; others lose it
+    assert out[1] == f"alpha one\n\n{B}\n\nbeta two"
+    assert out[2] == "gamma three"
+    assert out[3] == "delta four"
+    assert out[4] == "unique only"
+    assert out[5] == ""  # every paragraph removed -> doc survives empty
+
+    none = ParagraphDeduplicator(max_occurrences=1, keep="none")
+    out2 = {r.doc_id: r.text for r in none.transform(df).collect()}
+    assert out2[1] == "alpha one\n\nbeta two"
+    assert out2[5] == ""
+
+    dups = dd.duplicates(df).collect()
+    assert len(dups) == 1
+    assert dups[0].paragraph == B and dups[0].occurrences == 4
+    assert dups[0].first_doc_id == 1 and dups[0].first_pos == 1
+
+
+def test_paragraph_dedup_max_occurrences_and_normalize(spark):
+    from replay_spark.preprocessing.dedup import ParagraphDeduplicator
+
+    df = spark.createDataFrame(
+        [
+            (1, "Common  Para\n\nx"),
+            (2, "common para\n\ny"),
+            (3, "COMMON PARA\n\nz"),
+        ],
+        "doc_id long, text string",
+    )
+    # raw: all three 'common para' spellings differ -> nothing removed
+    raw = ParagraphDeduplicator(max_occurrences=1, keep="none")
+    assert {r.text for r in raw.transform(df).collect()} == {
+        "Common  Para\n\nx", "common para\n\ny", "COMMON PARA\n\nz"
+    }
+    # normalized: they collide; max_occurrences=2 tolerates pairs but
+    # not triples
+    norm = ParagraphDeduplicator(
+        max_occurrences=2, keep="none", normalize=True
+    )
+    out = {r.doc_id: r.text for r in norm.transform(df).collect()}
+    assert out == {1: "x", 2: "y", 3: "z"}
+
+    with pytest.raises(ValueError):
+        ParagraphDeduplicator(max_occurrences=0)
+    with pytest.raises(ValueError):
+        ParagraphDeduplicator(keep="last")
