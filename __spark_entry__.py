@@ -1437,6 +1437,17 @@ def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SourceCapFilter(cap=10).transform(docs).select("doc_id", "source")
 
 
+def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shaped bigram LM quality scores: train on the corpus,
+    score every document by mean ln p(cur|prev) with add-one
+    smoothing."""
+    from replay_spark.preprocessing.text import BigramLMScorer
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    out = BigramLMScorer().score(docs)
+    return out.select("doc_id", "n_bigrams", "lm_score")
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dolma-style duplicated-paragraph removal: paragraph breaks are
     derived deterministically (literal ' a ' -> blank line, replicable
@@ -1969,6 +1980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters": q_dedup_clusters,
         "q_source_cap": q_source_cap,
         "q_paragraph_dedup": q_paragraph_dedup,
+        "q_bigram_lm_scores": q_bigram_lm_scores,
         # -- (b) stalest official gates: every r3-era query + the
         #        oldest r4-era ones (48 entries) ------------------
         "q_wilson_scores": q_wilson_scores,
@@ -2017,8 +2029,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_discretize_quantile": q_discretize_quantile,
         "q_kfolds_sizes": q_kfolds_sizes,
         "q_corpus_mix": q_corpus_mix,
-        "q_two_stage_split_sizes": q_two_stage_split_sizes,
         # -- (c) officially green in r4/r5; rotate out ------------
+        "q_two_stage_split_sizes": q_two_stage_split_sizes,
         "q_random_next_n_split": q_random_next_n_split,
         "q_simhash_pairs_md5": q_simhash_pairs_md5,
         "q_pipeline_eval": q_pipeline_eval,
@@ -2972,6 +2984,38 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY source ORDER BY doc_id) AS rn
                 FROM documents) t
             WHERE rn <= 10
+        """,
+        "q_bigram_lm_scores": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents),
+            bg AS (
+                SELECT doc_id, t[g.i] AS prev, t[g.i + 1] AS cur
+                FROM toks,
+                     LATERAL (SELECT unnest(range(1, len(t))) AS i) g),
+            model AS (
+                SELECT prev, cur, count(*) AS c FROM bg GROUP BY prev, cur),
+            ctx AS (SELECT prev, sum(c) AS cc FROM model GROUP BY prev),
+            vocab AS (
+                SELECT count(DISTINCT u.tok) AS v
+                FROM (SELECT unnest(t) AS tok FROM toks) u),
+            scored AS (
+                SELECT b.doc_id,
+                       ln((coalesce(m.c, 0) + 1.0)
+                          / (coalesce(x.cc, 0) + v.v)) AS lp
+                FROM bg b
+                LEFT JOIN model m USING (prev, cur)
+                LEFT JOIN ctx x USING (prev)
+                CROSS JOIN vocab v)
+            SELECT d.doc_id,
+                   coalesce(s.n, 0) AS n_bigrams,
+                   s.score AS lm_score
+            FROM documents d
+            LEFT JOIN (
+                SELECT doc_id, count(*) AS n,
+                       round(avg(lp), 6) AS score
+                FROM scored GROUP BY doc_id) s USING (doc_id)
         """,
         "q_paragraph_dedup": """
             WITH split AS (

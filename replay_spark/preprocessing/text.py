@@ -31,6 +31,7 @@ __all__ = [
     "VocabBuilder",
     "TfIdfKeywords",
     "UnigramLMScorer",
+    "BigramLMScorer",
     "QualityFilterPipeline",
     "SequencePacker",
     "SourceCapFilter",
@@ -739,6 +740,108 @@ class UnigramLMScorer:
         return scored.groupBy(idc).agg(
             F.count("*").alias("n_tokens"),
             F.round(F.avg("_lp"), 6).alias("lm_score"),
+        )
+
+
+class BigramLMScorer:
+    """Per-document bigram language-model score — one rung up from
+    :class:`UnigramLMScorer` toward CCNet's KenLM perplexity filter
+    (Wenzek et al. 2020): the model now conditions on the previous
+    token, so word-salad documents (right vocabulary, wrong order)
+    score low even when their unigram profile looks fine.
+
+    score(d) = mean over transitions (t_{i-1}, t_i) of
+    ln p(t_i | t_{i-1}), with add-one smoothing over the train
+    vocabulary V: p = (count(prev, cur) + 1) / (count(prev) + V) —
+    unseen contexts fall back to 1/V-ish mass instead of -inf.
+    ``perplexity`` = exp(-score). Documents with fewer than two
+    tokens have no transitions: n_bigrams = 0, null score.
+
+    Plan: transitions come from ``arrays_zip(slice, slice)`` — no
+    second explode pass over text; the model is ONE (prev, cur)-keyed
+    aggregation whose context counts derive from it by a second tiny
+    rollup (never a rescan); scoring is explode → two keyed joins
+    (AQE broadcasts the model when small) → one doc-keyed mean.
+    """
+
+    def __init__(
+        self,
+        text_column: str = "text",
+        id_column: str = "doc_id",
+        lowercase: bool = True,
+    ):
+        self.text_column = text_column
+        self.id_column = id_column
+        self.lowercase = lowercase
+
+    def _bigrams(self, df: DataFrame) -> DataFrame:
+        text = F.col(self.text_column)
+        if self.lowercase:
+            text = F.lower(text)
+        toks = tokenize_expr(text)
+        pairs = F.arrays_zip(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias(
+                "prev"
+            ),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias(
+                "cur"
+            ),
+        )
+        return df.select(
+            F.col(self.id_column),
+            F.explode(pairs).alias("_bg"),
+        ).select(
+            self.id_column,
+            F.col("_bg.prev").alias("prev"),
+            F.col("_bg.cur").alias("cur"),
+        )
+
+    def score(
+        self, df: DataFrame, train_df: Optional[DataFrame] = None
+    ) -> DataFrame:
+        """Return ``[<id_column>, n_bigrams, lm_score, perplexity]``;
+        the model is trained on ``train_df`` (defaults to ``df``)."""
+        idc = self.id_column
+        train = train_df if train_df is not None else df
+        train_bg = self._bigrams(train)
+        model = train_bg.groupBy("prev", "cur").agg(
+            F.count("*").alias("_c")
+        )
+        contexts = model.groupBy("prev").agg(F.sum("_c").alias("_cc"))
+        text = F.col(self.text_column)
+        if self.lowercase:
+            text = F.lower(text)
+        vocab = train.select(
+            F.explode(tokenize_expr(text)).alias("token")
+        ).agg(F.countDistinct("token").alias("_v"))
+        scored = (
+            self._bigrams(df)
+            .join(model, on=["prev", "cur"], how="left")
+            .join(contexts, on="prev", how="left")
+            .crossJoin(F.broadcast(vocab))
+            .withColumn(
+                "_lp",
+                F.log(
+                    (F.coalesce(F.col("_c"), F.lit(0)) + F.lit(1.0))
+                    / (F.coalesce(F.col("_cc"), F.lit(0)) + F.col("_v"))
+                ),
+            )
+            .groupBy(idc)
+            .agg(
+                F.count("*").alias("n_bigrams"),
+                F.round(F.avg("_lp"), 6).alias("lm_score"),
+                F.round(F.exp(-F.avg("_lp")), 4).alias("perplexity"),
+            )
+        )
+        # docs with < 2 tokens have no transitions: keep the row with
+        # n_bigrams = 0 and null scores (a filter pipeline must see
+        # every document, not silently lose the short ones)
+        return (
+            df.select(idc)
+            .join(scored, on=idc, how="left")
+            .withColumn(
+                "n_bigrams", F.coalesce("n_bigrams", F.lit(0))
+            )
         )
 
 

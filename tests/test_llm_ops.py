@@ -1180,3 +1180,55 @@ def test_paragraph_dedup_max_occurrences_and_normalize(spark):
         ParagraphDeduplicator(max_occurrences=0)
     with pytest.raises(ValueError):
         ParagraphDeduplicator(keep="last")
+
+
+def test_bigram_lm_scorer(spark):
+    import math
+
+    from replay_spark.preprocessing.text import BigramLMScorer
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the cat sat"),
+            (3, "sat cat the"),  # same unigrams, reversed order
+            (4, "solo"),  # single token -> no transitions
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in BigramLMScorer().score(df).collect()}
+    # V=4 (the, cat, sat, solo);
+    # model: (the,cat)=2 (cat,sat)=2 (sat,cat)=1 (cat,the)=1
+    # contexts: the=2 cat=3 sat=1
+    lp = lambda c, cc: math.log((c + 1.0) / (cc + 4.0))
+    d1 = (lp(2, 2) + lp(2, 3)) / 2
+    d3 = (lp(1, 1) + lp(1, 3)) / 2
+    assert out[1].lm_score == pytest.approx(round(d1, 6))
+    assert out[2].lm_score == out[1].lm_score
+    assert out[3].lm_score == pytest.approx(round(d3, 6))
+    # the word-salad doc scores lower than the canonical order
+    assert out[3].lm_score < out[1].lm_score
+    assert out[1].n_bigrams == 2
+    assert out[4].n_bigrams == 0 and out[4].lm_score is None
+    assert out[1].perplexity == pytest.approx(round(math.exp(-d1), 4))
+
+
+def test_bigram_lm_scorer_train_corpus(spark):
+    import math
+
+    from replay_spark.preprocessing.text import BigramLMScorer
+
+    train = spark.createDataFrame(
+        [(1, "a b a b a b")], "doc_id long, text string"
+    )
+    test = spark.createDataFrame(
+        [(9, "a b"), (10, "b b"), (11, "x y")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r for r in BigramLMScorer().score(test, train_df=train).collect()
+    }
+    # train model: (a,b)=3 (b,a)=2; contexts a=3 b=2; V=2
+    assert out[9].lm_score == pytest.approx(round(math.log(4 / 5), 6))
+    assert out[10].lm_score == pytest.approx(round(math.log(1 / 4), 6))
+    # unseen context x: (0+1)/(0+2)
+    assert out[11].lm_score == pytest.approx(round(math.log(1 / 2), 6))
