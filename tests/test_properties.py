@@ -227,3 +227,84 @@ def test_contamination_self_is_total(spark, token_lists, n):
     other = spark.createDataFrame([(999, "zeta theta iota")], "doc_id long, text string")
     rep2 = chk.report(df, other).collect()
     assert all(r["contamination_frac"] == 0.0 for r in rep2)
+
+
+docs_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 5),  # source id
+        st.integers(0, 999),  # doc id (may collide across sources)
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t,  # (source, id) unique -> id unique per source
+)
+
+
+@given(rows=docs_strategy, cap=st.integers(1, 6), salts=st.sampled_from([1, 3, 8]))
+@settings(**SETTINGS)
+def test_source_cap_matches_bruteforce(spark, rows, cap, salts):
+    """SourceCapFilter's salted two-phase cutoff == the naive 'cap
+    smallest ids per source' for any corpus/cap/salt count."""
+    from replay_spark.preprocessing.text import SourceCapFilter
+
+    df = spark.createDataFrame(
+        [(doc, f"s{src}") for src, doc in rows],
+        "doc_id long, source string",
+    )
+    got = {
+        (r.source, r.doc_id)
+        for r in SourceCapFilter(cap=cap, salts=salts).transform(df).collect()
+    }
+    expect = set()
+    by_src = {}
+    for src, doc in rows:
+        by_src.setdefault(f"s{src}", []).append(doc)
+    for src, ids in by_src.items():
+        for doc in sorted(ids)[:cap]:
+            expect.add((src, doc))
+    assert got == expect
+
+
+para_docs_strategy = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=0, max_size=4),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(docs=para_docs_strategy, max_occ=st.integers(1, 3),
+       keep=st.sampled_from(["first", "none"]))
+@settings(**SETTINGS)
+def test_paragraph_dedup_matches_bruteforce(spark, docs, max_occ, keep):
+    """ParagraphDeduplicator == the naive corpus-frequency model for
+    arbitrary paragraph multisets, both keep modes."""
+    from collections import Counter
+
+    from replay_spark.preprocessing.dedup import ParagraphDeduplicator
+
+    rows = [(i, "\n\n".join(paras)) for i, paras in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.text
+        for r in ParagraphDeduplicator(max_occurrences=max_occ, keep=keep)
+        .transform(df)
+        .collect()
+    }
+    freq = Counter(p for paras in docs for p in paras if p)
+    first = {}
+    for i, paras in enumerate(docs):
+        for pos, p in enumerate(paras):
+            if p and p not in first:
+                first[p] = (i, pos)
+    expect = {}
+    for i, paras in enumerate(docs):
+        kept = []
+        for pos, p in enumerate(paras):
+            if not p:
+                continue
+            if freq[p] <= max_occ:
+                kept.append(p)
+            elif keep == "first" and first[p] == (i, pos):
+                kept.append(p)
+        expect[i] = "\n\n".join(kept)
+    assert out == expect
