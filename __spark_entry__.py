@@ -1437,6 +1437,54 @@ def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SourceCapFilter(cap=10).transform(docs).select("doc_id", "source")
 
 
+def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image-codec gate: embeddings are quantized to
+    uint8 8×8 grayscale, PNG-encoded executor-side (stdlib zlib,
+    Paeth filter so the decoder's hardest unfilter path runs), decoded
+    by the real PNG decoder, and the 16-bin histogram features come
+    back out. Encode→decode is lossless, so DuckDB verifies the round
+    trip from the raw embeddings — same oracle shape as
+    q_media_decode."""
+    import numpy as np
+    import pandas as pd
+
+    from replay_spark.multimodal import (
+        MediaProcessor,
+        encode_png,
+        png_image_decoder,
+    )
+
+    emb = rsd.read_table(spark, sf_dir, "embeddings")
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for vec in pdf["embedding"]:
+                arr = np.asarray(vec, dtype=np.float64)
+                u8 = np.clip(np.floor((arr + 4.0) * 32.0), 0, 255).astype(
+                    np.uint8
+                )
+                payloads.append(
+                    encode_png(u8.reshape(8, 8), filter_type=4)
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["vec_id"].values, "payload": payloads}
+            )
+
+    media = emb.select("vec_id", "embedding").mapInPandas(
+        build, schema="media_id long, payload binary"
+    )
+    out = MediaProcessor(decoder=png_image_decoder).transform(media)
+    return out.select(
+        F.col("media_id").alias("vec_id"),
+        "width",
+        "height",
+        F.concat_ws(
+            ",", F.transform("features", lambda x: x.cast("string"))
+        ).alias("hist"),
+    )
+
+
 def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-shaped bigram LM quality scores: train on the corpus,
     score every document by mean ln p(cur|prev) with add-one
@@ -1981,6 +2029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_cap": q_source_cap,
         "q_paragraph_dedup": q_paragraph_dedup,
         "q_bigram_lm_scores": q_bigram_lm_scores,
+        "q_png_decode": q_png_decode,
         # -- (b) stalest official gates: every r3-era query + the
         #        oldest r4-era ones (48 entries) ------------------
         "q_wilson_scores": q_wilson_scores,
@@ -2027,9 +2076,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_discretize_greedy": q_discretize_greedy,
         "q_repetition_stats": q_repetition_stats,
         "q_discretize_quantile": q_discretize_quantile,
-        "q_kfolds_sizes": q_kfolds_sizes,
         "q_corpus_mix": q_corpus_mix,
         # -- (c) officially green in r4/r5; rotate out ------------
+        "q_kfolds_sizes": q_kfolds_sizes,
         "q_two_stage_split_sizes": q_two_stage_split_sizes,
         "q_random_next_n_split": q_random_next_n_split,
         "q_simhash_pairs_md5": q_simhash_pairs_md5,
@@ -2923,6 +2972,24 @@ def oracle_sql() -> dict[str, str]:
             FROM verdict
         """,
         "q_media_decode": """
+            WITH u8 AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           e -> CAST(least(greatest(floor((CAST(e AS DOUBLE) + 4.0) * 32.0), 0), 255) AS BIGINT)
+                       ) AS u
+                FROM embeddings),
+            bins AS (
+                SELECT vec_id,
+                       list_transform(range(0, 16),
+                           b -> len(list_filter(u, x -> x // 16 = b)) / 64.0
+                       ) AS hist_list
+                FROM u8)
+            SELECT vec_id, 8 AS width, 8 AS height,
+                   array_to_string(list_transform(hist_list,
+                       x -> CAST(x AS VARCHAR)), ',') AS hist
+            FROM bins
+        """,
+        "q_png_decode": """
             WITH u8 AS (
                 SELECT vec_id,
                        list_transform(embedding,

@@ -1232,3 +1232,53 @@ def test_bigram_lm_scorer_train_corpus(spark):
     assert out[10].lm_score == pytest.approx(round(math.log(1 / 4), 6))
     # unseen context x: (0+1)/(0+2)
     assert out[11].lm_score == pytest.approx(round(math.log(1 / 2), 6))
+
+
+def test_png_roundtrip_all_filters():
+    """REAL PNG codec: zlib + per-row filters, no image libraries.
+    Every filter type must round-trip bit-exactly for gray and RGB."""
+    import numpy as np
+
+    from replay_spark.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(42)
+    gray = rng.integers(0, 256, size=(7, 5), dtype=np.uint8)
+    rgb = rng.integers(0, 256, size=(6, 9, 3), dtype=np.uint8)
+    for ft in range(5):
+        g2, ct_g = decode_png(encode_png(gray, filter_type=ft))
+        assert ct_g == 0 and np.array_equal(g2, gray), f"gray filter {ft}"
+        r2, ct_r = decode_png(encode_png(rgb, filter_type=ft))
+        assert ct_r == 2 and np.array_equal(r2, rgb), f"rgb filter {ft}"
+
+
+def test_png_decoder_features_and_errors(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from replay_spark.multimodal import (
+        MediaProcessor,
+        decode_png,
+        encode_png,
+        png_image_decoder,
+    )
+
+    img = np.full((4, 4), 200, dtype=np.uint8)
+    meta = png_image_decoder(encode_png(img))
+    assert meta["width"] == 4 and meta["height"] == 4
+    assert meta["features"][12] == 1.0  # 200 // 16 == bin 12
+
+    # runs inside the standard mapInPandas pipeline
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(img)))], "media_id long, payload binary"
+    )
+    row = MediaProcessor(decoder=png_image_decoder).transform(df).first()
+    assert row.width == 4 and row.features[12] == 1.0
+
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JFIF not png")
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(None)
+    # truncated raster
+    good = encode_png(img)
+    with _pytest.raises(ValueError):
+        decode_png(good[:40])
