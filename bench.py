@@ -175,6 +175,8 @@ def main():
         "q_source_cap",
         "q_repetition_stats",
         "q_contamination_report",
+        "q_paragraph_dedup",
+        "q_bigram_lm_scores",
     ]
     sf1_timings = {}
     try:
