@@ -1485,6 +1485,56 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG-codec gate: each embedding's mean is quantized to a
+    solid 16×16 grayscale image, encoded as baseline JPEG (pure-numpy
+    huffman + DCT, restart markers every MCU), decoded back, and the
+    16-bin histogram comes out. At quality 90 the solid round trip is
+    the identity for every uint8 value (unit-tested over all 256), so
+    DuckDB verifies the full bitstream round trip from the raw
+    embeddings — the lossy codec's hash-gateable slice. The full
+    lossy path is pinned by PSNR tests in tests/test_llm_ops.py."""
+    import numpy as np
+    import pandas as pd
+
+    from replay_spark.jpeg import encode_jpeg, jpeg_image_decoder
+    from replay_spark.multimodal import MediaProcessor
+
+    emb = rsd.read_table(spark, sf_dir, "embeddings")
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for vec in pdf["embedding"]:
+                arr = np.asarray(vec, dtype=np.float64)
+                c = int(
+                    np.clip(np.floor((arr.mean() + 1.0) * 128.0), 0, 255)
+                )
+                payloads.append(
+                    encode_jpeg(
+                        np.full((16, 16), c, dtype=np.uint8),
+                        quality=90,
+                        restart_interval=1,
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["vec_id"].values, "payload": payloads}
+            )
+
+    media = emb.select("vec_id", "embedding").mapInPandas(
+        build, schema="media_id long, payload binary"
+    )
+    out = MediaProcessor(decoder=jpeg_image_decoder).transform(media)
+    return out.select(
+        F.col("media_id").alias("vec_id"),
+        "width",
+        "height",
+        F.concat_ws(
+            ",", F.transform("features", lambda x: x.cast("string"))
+        ).alias("hist"),
+    )
+
+
 def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-shaped bigram LM quality scores: train on the corpus,
     score every document by mean ln p(cur|prev) with add-one
@@ -2030,6 +2080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_paragraph_dedup": q_paragraph_dedup,
         "q_bigram_lm_scores": q_bigram_lm_scores,
         "q_png_decode": q_png_decode,
+        "q_jpeg_decode": q_jpeg_decode,
         # -- (b) stalest official gates: every r3-era query + the
         #        oldest r4-era ones (48 entries) ------------------
         "q_wilson_scores": q_wilson_scores,
@@ -2076,8 +2127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_discretize_greedy": q_discretize_greedy,
         "q_repetition_stats": q_repetition_stats,
         "q_discretize_quantile": q_discretize_quantile,
-        "q_corpus_mix": q_corpus_mix,
         # -- (c) officially green in r4/r5; rotate out ------------
+        "q_corpus_mix": q_corpus_mix,
         "q_kfolds_sizes": q_kfolds_sizes,
         "q_two_stage_split_sizes": q_two_stage_split_sizes,
         "q_random_next_n_split": q_random_next_n_split,
@@ -2988,6 +3039,21 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_transform(hist_list,
                        x -> CAST(x AS VARCHAR)), ',') AS hist
             FROM bins
+        """,
+        "q_jpeg_decode": """
+            WITH c AS (
+                SELECT vec_id,
+                       CAST(least(greatest(floor(
+                           (list_avg(list_transform(embedding,
+                               e -> CAST(e AS DOUBLE))) + 1.0) * 128.0
+                       ), 0), 255) AS BIGINT) AS v
+                FROM embeddings)
+            SELECT vec_id, 16 AS width, 16 AS height,
+                   array_to_string(list_transform(range(0, 16),
+                       b -> CAST(CASE WHEN v // 16 = b
+                                      THEN 1.0 ELSE 0.0 END AS VARCHAR)
+                   ), ',') AS hist
+            FROM c
         """,
         "q_png_decode": """
             WITH u8 AS (

@@ -13,10 +13,13 @@ signatures — is real and tested. Codecs:
   -vcodec ppm`` shape). Decode, feature-extract (grayscale
   histogram / RMS amplitude), nearest-neighbour resize with PPM
   re-encode, and frame sampling all actually run.
-* Formats that genuinely need codec libraries absent from this
-  container (JPEG's Huffman/DCT, MP4/WebM containers) stay behind
-  the deterministic ``stub_image_decoder`` / the ``splitter=`` hook
-  — swap in a PIL/ffmpeg-backed callable and nothing else changes.
+* REAL baseline JPEG (``replay_spark.jpeg`` — pure numpy huffman +
+  DCT: grayscale/YCbCr decode incl. 4:2:2/4:2:0 chroma upsampling
+  and restart markers; grayscale/4:4:4/4:2:0 encode with the
+  standard Annex-K tables). Progressive JPEG and MP4/WebM containers
+  remain the honest gaps behind the ``decoder=`` / ``splitter=``
+  hooks — swap in a PIL/ffmpeg-backed callable and nothing else
+  changes.
 
 At scale: ``mapInPandas`` streams Arrow batches per partition, so a
 1000-executor cluster decodes in parallel with zero driver
@@ -60,7 +63,19 @@ __all__ = [
     "decode_png",
     "encode_png",
     "png_image_decoder",
+    "decode_jpeg",
+    "encode_jpeg",
+    "jpeg_image_decoder",
 ]
+
+# real baseline-JPEG codec lives in its own module (pure numpy
+# huffman + DCT); re-exported here so every codec is importable from
+# one place
+from replay_spark.jpeg import (  # noqa: E402,F401
+    decode_jpeg,
+    encode_jpeg,
+    jpeg_image_decoder,
+)
 
 # Canonical media-column schema: payload + sidecar metadata.
 MEDIA_SCHEMA = StructType(

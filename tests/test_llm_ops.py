@@ -1282,3 +1282,88 @@ def test_png_decoder_features_and_errors(spark):
     good = encode_png(img)
     with _pytest.raises(ValueError):
         decode_png(good[:40])
+
+
+def _psnr(a, b):
+    import numpy as np
+
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255**2 / mse)
+
+
+def test_jpeg_roundtrip_psnr():
+    """REAL baseline JPEG (pure numpy huffman + DCT): lossy, so the
+    contract is PSNR floors per content class, not bit equality."""
+    import numpy as np
+
+    from replay_spark.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(1)
+    x = np.linspace(0, 255, 37)
+    y = np.linspace(0, 255, 29)
+    rgb = np.clip(
+        np.round(
+            np.stack(
+                [
+                    np.add.outer(y, x) / 2,
+                    np.tile(x, (29, 1)),
+                    np.tile(y[:, None], (1, 37)),
+                ],
+                -1,
+            )
+            + rng.normal(0, 2, (29, 37, 3))
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    for sub in ("444", "420"):
+        for ri in (0, 3):
+            out = decode_jpeg(
+                encode_jpeg(rgb, quality=92, subsampling=sub, restart_interval=ri)
+            )
+            assert out.shape == rgb.shape
+            floor = 40.0 if sub == "444" else 35.0
+            assert _psnr(rgb, out) > floor, (sub, ri)
+    gray = np.clip(np.add.outer(y, x) / 2, 0, 255).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(gray, quality=85, restart_interval=2))
+    assert out.shape == gray.shape and _psnr(gray, out) > 45.0
+
+
+def test_jpeg_solid_identity_all_values():
+    """At quality 90 the solid-image round trip is the identity for
+    every uint8 value — the invariant the q_jpeg_decode hash gate
+    relies on (multi-MCU + restart markers + DC prediction chain)."""
+    import numpy as np
+
+    from replay_spark.jpeg import decode_jpeg, encode_jpeg
+
+    for c in range(0, 256, 1):
+        img = np.full((16, 16), c, dtype=np.uint8)
+        out = decode_jpeg(
+            encode_jpeg(img, quality=90, restart_interval=1)
+        )
+        assert out.shape == (16, 16) and (out == c).all(), c
+
+
+def test_jpeg_decoder_errors_and_pipeline(spark):
+    import numpy as np
+
+    from replay_spark.jpeg import decode_jpeg, encode_jpeg, jpeg_image_decoder
+    from replay_spark.multimodal import MediaProcessor
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x89PNG....")
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(None)
+    with pytest.raises(ValueError):
+        encode_jpeg(np.zeros((0, 4), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        encode_jpeg(np.zeros((4, 4), dtype=np.uint8), quality=0)
+
+    img = np.full((8, 8), 200, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg(img)))], "media_id long, payload binary"
+    )
+    row = MediaProcessor(decoder=jpeg_image_decoder).transform(df).first()
+    assert row.width == 8 and row.height == 8
+    assert row.features[12] == 1.0
