@@ -66,6 +66,7 @@ __all__ = [
     "decode_jpeg",
     "encode_jpeg",
     "jpeg_image_decoder",
+    "auto_image_decoder",
 ]
 
 # real baseline-JPEG codec lives in its own module (pure numpy
@@ -443,6 +444,30 @@ def png_image_decoder(payload: bytes) -> dict:
         "height": int(img.shape[0]),
         "features": [float(v) / total for v in hist],
     }
+
+
+def auto_image_decoder(payload: bytes) -> dict:
+    """Magic-byte dispatch across every REAL image codec — the
+    decoder to use on mixed-format corpora (a real crawl is never
+    single-format): netpbm ``P5``/``P6`` → :func:`ppm_image_decoder`,
+    PNG signature → :func:`png_image_decoder`, JPEG SOI →
+    :func:`jpeg_image_decoder`, RIFF/WAVE → :func:`wav_audio_decoder`.
+    Unknown magic raises ValueError (route those payloads to a
+    PIL-backed decoder via the ``decoder=`` hook)."""
+    if payload is None:
+        raise ValueError("null media payload")
+    head = bytes(payload[:12])
+    if head[:2] in (b"P5", b"P6"):
+        return ppm_image_decoder(payload)
+    if head[:8] == _PNG_SIG:
+        return png_image_decoder(payload)
+    if head[:2] == b"\xff\xd8":
+        return jpeg_image_decoder(payload)
+    if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+        return wav_audio_decoder(payload)
+    raise ValueError(
+        f"unrecognized media magic {head[:4]!r} — wire a custom decoder"
+    )
 
 
 def stub_image_decoder(payload: bytes) -> dict:

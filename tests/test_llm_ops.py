@@ -1367,3 +1367,44 @@ def test_jpeg_decoder_errors_and_pipeline(spark):
     row = MediaProcessor(decoder=jpeg_image_decoder).transform(df).first()
     assert row.width == 8 and row.height == 8
     assert row.features[12] == 1.0
+
+
+def test_auto_image_decoder_mixed_corpus(spark):
+    """One decoder over a mixed netpbm/PNG/JPEG/WAV corpus — the
+    magic-byte dispatch every real crawl needs."""
+    import numpy as np
+
+    from replay_spark.multimodal import (
+        MediaProcessor,
+        auto_image_decoder,
+        encode_jpeg,
+        encode_png,
+        encode_ppm,
+        encode_wav,
+    )
+
+    img = np.full((8, 8), 200, dtype=np.uint8)
+    samples = (np.ones(800) * 1000).astype(np.int16)
+    rows = [
+        (1, bytearray(encode_ppm(img))),
+        (2, bytearray(encode_png(img))),
+        (3, bytearray(encode_jpeg(img, quality=90))),
+        (4, bytearray(encode_wav(samples, sample_rate=8000))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {
+        r.media_id: r
+        for r in MediaProcessor(decoder=auto_image_decoder)
+        .transform(df)
+        .collect()
+    }
+    for mid in (1, 2, 3):  # all three image codecs agree on the pixels
+        assert out[mid].width == 8 and out[mid].features[12] == 1.0
+    assert out[4].width == 8000  # WAV: width carries the sample rate
+
+    with pytest.raises(Exception, match="unrecognized media magic"):
+        MediaProcessor(decoder=auto_image_decoder).transform(
+            spark.createDataFrame(
+                [(9, bytearray(b"GIF89a...."))], "media_id long, payload binary"
+            )
+        ).collect()
