@@ -1485,6 +1485,23 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable BPE: learn 100 merges from the documents corpus,
+    tokenize it, emit per-doc token count + joined tokens (rows-only:
+    the merge loop is iterative, not SQL-expressible; the merge
+    algebra is pinned by golden + parity tests)."""
+    from replay_spark.preprocessing.bpe import BPETokenizer
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    bpe = BPETokenizer(num_merges=100).fit(docs)
+    out = bpe.transform(docs)
+    return out.select(
+        "doc_id",
+        F.size("tokens").alias("n_bpe_tokens"),
+        F.concat_ws(" ", "tokens").alias("bpe_text"),
+    )
+
+
 def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL JPEG-codec gate: each embedding's mean is quantized to a
     solid 16×16 grayscale image, encoded as baseline JPEG (pure-numpy
@@ -2081,6 +2098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bigram_lm_scores": q_bigram_lm_scores,
         "q_png_decode": q_png_decode,
         "q_jpeg_decode": q_jpeg_decode,
+        "q_bpe_tokens": q_bpe_tokens,
         # -- (b) stalest official gates: every r3-era query + the
         #        oldest r4-era ones (48 entries) ------------------
         "q_wilson_scores": q_wilson_scores,
@@ -2124,10 +2142,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_word2vec_recs": q_word2vec_recs,
         "q_ivf_ann": q_ivf_ann,
         "q_e2e_eval": q_e2e_eval,
-        "q_discretize_greedy": q_discretize_greedy,
         "q_repetition_stats": q_repetition_stats,
         "q_discretize_quantile": q_discretize_quantile,
         # -- (c) officially green in r4/r5; rotate out ------------
+        "q_discretize_greedy": q_discretize_greedy,
         "q_corpus_mix": q_corpus_mix,
         "q_kfolds_sizes": q_kfolds_sizes,
         "q_two_stage_split_sizes": q_two_stage_split_sizes,

@@ -61,6 +61,7 @@ def test_scored_window_has_oracle_or_documented_rows_only():
         "q_ivf_ann",  # approximate; q_ivf_ann_fixed carries the oracle
         "q_e2e_eval",  # multi-model composition (ALS inside)
         "q_discretize_quantile",  # approxQuantile bin edges
+        "q_bpe_tokens",  # iterative merge loop (golden+parity tested)
     }
     oracles = set(entrymod.oracle_sql())
     scored = list(entrymod.queries())[:50]

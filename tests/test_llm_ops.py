@@ -1408,3 +1408,75 @@ def test_auto_image_decoder_mixed_corpus(spark):
                 [(9, bytearray(b"GIF89a...."))], "media_id long, payload binary"
             )
         ).collect()
+
+
+def test_bpe_golden_merges(spark):
+    """Classic hug/pug corpus: merge order is hand-computable with
+    the end-of-word scheme — (p,u), (h,u), (pu,n</w>), (hu,g</w>)."""
+    from replay_spark.preprocessing.bpe import BPETokenizer
+
+    text = " ".join(
+        ["hug"] * 10 + ["pug"] * 5 + ["pun"] * 12 + ["bun"] * 4 + ["hugs"] * 5
+    )
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    bpe = BPETokenizer(num_merges=4).fit(df)
+    assert bpe.merges == [
+        ("p", "u"),
+        ("h", "u"),
+        ("pu", "n</w>"),
+        ("hu", "g</w>"),
+    ]
+    out = bpe.transform(
+        spark.createDataFrame(
+            [(1, "hug pun hugs bun")], "doc_id long, text string"
+        )
+    ).first()
+    assert out.tokens == [
+        "hug</w>", "pun</w>", "hu", "g", "s</w>", "b", "u", "n</w>"
+    ]
+    vocab = {r.token: r.token_id for r in bpe.vocabulary(df).collect()}
+    assert sorted(vocab.values()) == list(range(len(vocab)))
+    assert "hug</w>" in vocab and "pun</w>" in vocab
+
+
+def test_bpe_driver_distributed_parity(spark):
+    """The distributed merge loop must learn the identical merge list
+    as the in-memory path (deterministic tie-breaks both sides)."""
+    from replay_spark.preprocessing.bpe import BPETokenizer
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cats sat on the mats"),
+        (2, "a hat and a bat and a mat"),
+        (3, "that cat that bat that hat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    driver = BPETokenizer(num_merges=8).fit(df)
+    dist = BPETokenizer(num_merges=8, driver_threshold=0).fit(df)
+    assert driver.merges == dist.merges
+    assert len(driver.merges) == 8
+
+    t1 = driver.transform(df).orderBy("doc_id").collect()
+    t2 = dist.transform(df).orderBy("doc_id").collect()
+    assert [r.tokens for r in t1] == [r.tokens for r in t2]
+
+
+def test_bpe_edge_cases(spark):
+    from replay_spark.preprocessing.bpe import BPETokenizer
+
+    df = spark.createDataFrame(
+        [(0, "aa aa aa"), (1, "")], "doc_id long, text string"
+    )
+    # min_pair_count stops early; empty text yields empty tokens
+    bpe = BPETokenizer(num_merges=50, min_pair_count=2).fit(df)
+    assert len(bpe.merges) >= 1  # ('a', 'a</w>') merges
+    out = {r.doc_id: r.tokens for r in bpe.transform(df).collect()}
+    assert out[1] == []
+    assert out[0] == ["aa</w>"] * 3
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        BPETokenizer(num_merges=0)
+    with _pytest.raises(ValueError, match="must be fit"):
+        BPETokenizer().transform(df)
