@@ -1485,6 +1485,26 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus rollup: docs/token/char totals,
+    exact min/max token counts, average chars. (The operator also
+    emits a percentile_approx median — excluded here because engines
+    disagree on even-group median conventions; unit-tested instead.)"""
+    from replay_spark.preprocessing.text import CorpusStats
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    return CorpusStats().transform(docs).select(
+        "source",
+        "lang",
+        "num_docs",
+        "total_tokens",
+        "total_chars",
+        "min_tokens",
+        "max_tokens",
+        "avg_chars",
+    )
+
+
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trainable BPE: learn 100 merges from the documents corpus,
     tokenize it, emit per-doc token count + joined tokens (rows-only:
@@ -2099,6 +2119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_png_decode": q_png_decode,
         "q_jpeg_decode": q_jpeg_decode,
         "q_bpe_tokens": q_bpe_tokens,
+        "q_corpus_stats": q_corpus_stats,
         # -- (b) stalest official gates: every r3-era query + the
         #        oldest r4-era ones (48 entries) ------------------
         "q_wilson_scores": q_wilson_scores,
@@ -2143,8 +2164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_ann": q_ivf_ann,
         "q_e2e_eval": q_e2e_eval,
         "q_repetition_stats": q_repetition_stats,
-        "q_discretize_quantile": q_discretize_quantile,
         # -- (c) officially green in r4/r5; rotate out ------------
+        "q_discretize_quantile": q_discretize_quantile,
         "q_discretize_greedy": q_discretize_greedy,
         "q_corpus_mix": q_corpus_mix,
         "q_kfolds_sizes": q_kfolds_sizes,
@@ -3057,6 +3078,23 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_transform(hist_list,
                        x -> CAST(x AS VARCHAR)), ',') AS hist
             FROM bins
+        """,
+        "q_corpus_stats": """
+            SELECT source, lang,
+                   count(*) AS num_docs,
+                   sum(len(string_split_regex(trim(text), '\\s+'))
+                       * CASE WHEN length(trim(text)) = 0
+                              THEN 0 ELSE 1 END) AS total_tokens,
+                   sum(length(text)) AS total_chars,
+                   min(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END) AS min_tokens,
+                   max(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END) AS max_tokens,
+                   round(avg(length(text)), 6) AS avg_chars
+            FROM documents
+            GROUP BY source, lang
         """,
         "q_jpeg_decode": """
             WITH c AS (

@@ -20,6 +20,7 @@ __all__ = [
     "token_count_expr",
     "bpe_token_count_expr",
     "TextStats",
+    "CorpusStats",
     "QualityScorer",
     "LanguageIdentifier",
     "fingerprint_expr",
@@ -134,6 +135,43 @@ class TextStats:
             ).otherwise(F.lit(0.0)),
         ).withColumn(
             "num_lines", F.size(F.split(text, "\n"))
+        )
+
+
+class CorpusStats:
+    """Corpus-level rollup — the summary table every pipeline run
+    reports: per (group columns, default source+lang) document/token/
+    char totals plus exact min/max and a median token length. One
+    explode-free aggregation pass: token counts are array sizes
+    computed in the projection, so the shuffle carries one partial
+    row per group per partition (map-side combined); the median uses
+    ``percentile_approx`` at accuracy 10000 over the group (the
+    sketch merges map-side too — a hot group never ships raw rows).
+    """
+
+    def __init__(
+        self,
+        group_columns: tuple = ("source", "lang"),
+        text_column: str = "text",
+    ):
+        self.group_columns = list(group_columns)
+        self.text_column = text_column
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        text = F.col(self.text_column)
+        prepared = df.select(
+            *self.group_columns,
+            F.length(text).alias("_chars"),
+            F.size(tokenize_expr(text)).alias("_toks"),
+        )
+        return prepared.groupBy(*self.group_columns).agg(
+            F.count(F.lit(1)).alias("num_docs"),
+            F.sum("_toks").alias("total_tokens"),
+            F.sum("_chars").alias("total_chars"),
+            F.min("_toks").alias("min_tokens"),
+            F.max("_toks").alias("max_tokens"),
+            F.percentile_approx("_toks", 0.5, 10000).alias("median_tokens"),
+            F.round(F.avg("_chars"), 6).alias("avg_chars"),
         )
 
 

@@ -1480,3 +1480,27 @@ def test_bpe_edge_cases(spark):
         BPETokenizer(num_merges=0)
     with _pytest.raises(ValueError, match="must be fit"):
         BPETokenizer().transform(df)
+
+
+def test_corpus_stats(spark):
+    from replay_spark.preprocessing.text import CorpusStats
+
+    df = spark.createDataFrame(
+        [
+            (0, "s1", "en", "one two three"),
+            (1, "s1", "en", "four five"),
+            (2, "s1", "en", "six"),
+            (3, "s2", "de", "ein zwei drei vier"),
+            (4, "s2", "en", ""),
+        ],
+        "doc_id long, source string, lang string, text string",
+    )
+    out = {
+        (r.source, r.lang): r for r in CorpusStats().transform(df).collect()
+    }
+    r = out[("s1", "en")]
+    assert r.num_docs == 3 and r.total_tokens == 6
+    assert r.min_tokens == 1 and r.max_tokens == 3
+    assert r.median_tokens == 2  # odd group -> exact middle element
+    assert out[("s2", "de")].total_tokens == 4
+    assert out[("s2", "en")].total_tokens == 0 and out[("s2", "en")].min_tokens == 0
