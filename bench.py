@@ -59,6 +59,12 @@ BENCH_QUERIES = [
     "q_unigram_lm_scores",
     "q_media_decode",
     "q_pipeline_eval",
+    "q_paragraph_dedup",
+    "q_bigram_lm_scores",
+    "q_corpus_stats",
+    "q_png_decode",
+    "q_jpeg_decode",
+    "q_bpe_tokens",
 ]
 
 
