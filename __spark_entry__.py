@@ -1485,6 +1485,28 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_llm_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship LLM-preprocessing composition, fully hash-verified:
+    quality filter (C4/Gopher signals) → normalized exact dedup →
+    per-source cap → greedy sequence packing. The DuckDB oracle
+    replays the same four stages as one CTE chain, so every stage
+    boundary (which docs survive, in what pack, at what offset) is
+    value-checked end to end — the LLM analog of q_e2e_eval."""
+    from replay_spark.preprocessing.dedup import ExactDeduplicator
+    from replay_spark.preprocessing.text import (
+        QualityFilterPipeline,
+        SequencePacker,
+        SourceCapFilter,
+    )
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    kept = QualityFilterPipeline().filter(docs)
+    deduped = ExactDeduplicator(normalize=True).transform(kept)
+    capped = SourceCapFilter(cap=40).transform(deduped)
+    packed = SequencePacker(budget=256).transform(capped)
+    return packed.select("doc_id", "n_tokens", "pack_id", "pack_offset")
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(source, lang) corpus rollup: docs/token/char totals,
     exact min/max token counts, average chars. (The operator also
@@ -2120,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jpeg_decode": q_jpeg_decode,
         "q_bpe_tokens": q_bpe_tokens,
         "q_corpus_stats": q_corpus_stats,
+        "q_llm_e2e": q_llm_e2e,
         # -- (b) stalest official gates: every r3-era query + the
         #        oldest r4-era ones (48 entries) ------------------
         "q_wilson_scores": q_wilson_scores,
@@ -2157,7 +2180,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_split_session_atomic": q_split_session_atomic,
         "q_itemknn_bm25_similarity": q_itemknn_bm25_similarity,
         "q_filter_quantile_items": q_filter_quantile_items,
-        "q_thompson_scores": q_thompson_scores,
         "q_cluster_rec": q_cluster_rec,
         "q_als_recs": q_als_recs,
         "q_word2vec_recs": q_word2vec_recs,
@@ -2165,6 +2187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_e2e_eval": q_e2e_eval,
         "q_repetition_stats": q_repetition_stats,
         # -- (c) officially green in r4/r5; rotate out ------------
+        "q_thompson_scores": q_thompson_scores,
+        "q_sample_top_k": q_sample_top_k,
         "q_discretize_quantile": q_discretize_quantile,
         "q_discretize_greedy": q_discretize_greedy,
         "q_corpus_mix": q_corpus_mix,
@@ -2220,7 +2244,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_metric_per_user": q_metric_per_user,
         "q_user_stats": q_user_stats,
         "q_top_k_recs": q_top_k_recs,
-        "q_sample_top_k": q_sample_top_k,
         "q_slim_similarity": q_slim_similarity,
         "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "q_minhash_candidates": q_minhash_candidates,
@@ -3078,6 +3101,90 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_transform(hist_list,
                        x -> CAST(x AS VARCHAR)), ',') AS hist
             FROM bins
+        """,
+        "q_llm_e2e": """
+            WITH base AS (
+                SELECT doc_id, text,
+                       CAST(length(text) AS DOUBLE) AS n,
+                       length(text) AS n_chars,
+                       CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+                            ELSE string_split_regex(trim(lower(text)), '\\s+')
+                       END AS tk
+                FROM documents),
+            ratios AS (
+                SELECT doc_id,
+                       CASE WHEN n > 0 THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / n ELSE 0.0 END AS alpha_ratio,
+                       CASE WHEN n > 0 THEN length(regexp_replace(text, '[^0-9]', '', 'g')) / n ELSE 0.0 END AS digit_ratio,
+                       len(tk) AS n_tokens,
+                       CASE WHEN len(tk) > 0
+                            THEN 1 - len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE)
+                            ELSE 0.0 END AS dup_word_frac,
+                       n_chars
+                FROM base),
+            bigrams AS (
+                SELECT doc_id, bg FROM (
+                    SELECT doc_id,
+                           CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+                                ELSE list_transform(range(1, len(tk)),
+                                     i -> tk[i] || ' ' || tk[i + 1])
+                           END AS bgs
+                    FROM base) t, unnest(t.bgs) AS u(bg)),
+            bg_counts AS (
+                SELECT doc_id, bg, count(*) AS c FROM bigrams GROUP BY 1, 2),
+            top_bg AS (
+                SELECT doc_id, c * length(bg) AS top_chars FROM (
+                    SELECT doc_id, bg, c, row_number() OVER (
+                        PARTITION BY doc_id ORDER BY c DESC, bg ASC) AS rn
+                    FROM bg_counts) t
+                WHERE rn = 1),
+            verdict AS (
+                SELECT r.doc_id,
+                       list_filter([
+                           CASE WHEN r.n_tokens < 10 THEN 'too_short' END,
+                           CASE WHEN r.n_tokens > 100000 THEN 'too_long' END,
+                           CASE WHEN r.alpha_ratio < 0.6 THEN 'low_alpha' END,
+                           CASE WHEN r.digit_ratio > 0.2 THEN 'high_digit' END,
+                           CASE WHEN r.dup_word_frac > 0.6 THEN 'repeated_words' END,
+                           CASE WHEN coalesce(
+                                    CASE WHEN r.n_chars > 0 AND tb.top_chars IS NOT NULL
+                                         THEN tb.top_chars / CAST(r.n_chars AS DOUBLE)
+                                         ELSE 0.0 END, 0.0) > 0.2
+                                THEN 'repeated_bigram' END
+                       ], x -> x IS NOT NULL) AS reasons
+                FROM ratios r LEFT JOIN top_bg tb ON r.doc_id = tb.doc_id),
+            kept AS (
+                SELECT d.* FROM documents d
+                JOIN verdict v USING (doc_id)
+                WHERE len(v.reasons) = 0),
+            dedup AS (
+                SELECT doc_id, text, source FROM (
+                    SELECT doc_id, text, source, row_number() OVER (
+                        PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                        ORDER BY doc_id) AS rn
+                    FROM kept) t
+                WHERE rn = 1),
+            capped AS (
+                SELECT doc_id, text FROM (
+                    SELECT doc_id, text, row_number() OVER (
+                        PARTITION BY source ORDER BY doc_id) AS srn
+                    FROM dedup) t
+                WHERE srn <= 40),
+            ptoks AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END AS n_tokens
+                FROM capped),
+            packed AS (
+                SELECT doc_id, n_tokens,
+                       sum(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens AS b
+                FROM ptoks)
+            SELECT doc_id, n_tokens,
+                   CAST(b // 256 AS BIGINT) AS pack_id,
+                   CAST(b % 256 AS BIGINT) AS pack_offset
+            FROM packed
         """,
         "q_corpus_stats": """
             SELECT source, lang,

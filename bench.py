@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "q_png_decode",
     "q_jpeg_decode",
     "q_bpe_tokens",
+    "q_llm_e2e",
 ]
 
 
