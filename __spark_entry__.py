@@ -1485,6 +1485,21 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN over the embeddings table: fit m=8
+    sub-codebooks, ADC shortlist on 8-byte codes, exact cosine
+    re-rank (rows-only: k-means training is iterative; recall pinned
+    by the planted-neighbor test)."""
+    from replay_spark.ann import PQANN
+
+    emb = rsd.read_table(spark, sf_dir, "embeddings")
+    ann = PQANN(dim=64, m=8, ksub=32, refine=4, seed=42).fit(emb)
+    res = ann.search(emb.filter("vec_id < 20"), k=5)
+    return res.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 def q_llm_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship LLM-preprocessing composition, fully hash-verified:
     quality filter (C4/Gopher signals) → normalized exact dedup →
@@ -2186,7 +2201,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_ann": q_ivf_ann,
         "q_e2e_eval": q_e2e_eval,
         "q_repetition_stats": q_repetition_stats,
-        # -- (c) officially green in r4/r5; rotate out ------------
+        # -- (c) officially green in r4/r5; rotate out — plus the
+        #        PQANN debut (rows-only; scored next rotation) ------
+        "q_pq_ann": q_pq_ann,
         "q_thompson_scores": q_thompson_scores,
         "q_sample_top_k": q_sample_top_k,
         "q_discretize_quantile": q_discretize_quantile,

@@ -1,1 +1,2 @@
 from replay_spark.ann.search import BruteForceANN, IVFANN, LSHANN  # noqa: F401
+from replay_spark.ann.search import PQANN  # noqa: F401

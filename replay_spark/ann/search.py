@@ -25,7 +25,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["BruteForceANN", "IVFANN", "LSHANN"]
+__all__ = ["BruteForceANN", "IVFANN", "LSHANN", "PQANN"]
 
 
 def _as_double(col):
@@ -349,5 +349,224 @@ class LSHANN:
         )
         return (
             scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
+
+class PQANN:
+    """Product-quantization ANN (Jégou et al. 2011) — the
+    memory-bound scale path: a 100 TB embedding corpus at 768 float32
+    dims is ~3 KB/vector; PQ codes at m=16, 256 centroids are 16
+    BYTES/vector, so the scanned relation shrinks ~200× and the scan
+    becomes integer lookups instead of float dot products.
+
+    * ``fit``: sample ≤ ``train_sample`` vectors to the driver
+      (seeded, documented bound — codebooks are model parameters,
+      like every KMeans), L2-normalize (so squared-L2 ADC order ==
+      cosine order), split dims into ``m`` subspaces, run seeded
+      Lloyd k-means per subspace (numpy).
+    * ``encode``: corpus → ``codes`` array<int> via one vectorized
+      ``mapInPandas`` pass (argmin over ksub centroids per subspace,
+      batched numpy — no per-row Python).
+    * ``search``: asymmetric distance computation stays JVM-side —
+      each query carries its m×ksub lookup table (built in one Arrow
+      batch pass), queries broadcast against the code relation, and
+      the distance is ``aggregate(zip_with(codes, lut, element_at))``
+      — pure higher-order expressions over the 16-byte codes. Top
+      ``k·refine`` ADC candidates are then exactly re-ranked by
+      cosine against the true vectors (a keyed join, k·refine rows
+      per query — the standard PQ refine step).
+
+    Training is iterative ⇒ rows-only gate; recall is pinned by a
+    planted-neighbor test vs BruteForceANN.
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        m: int = 8,
+        ksub: int = 16,
+        iters: int = 10,
+        train_sample: int = 100_000,
+        refine: int = 4,
+        seed: int = 42,
+        id_column: str = "vec_id",
+        vector_column: str = "embedding",
+    ):
+        if dim % m != 0:
+            raise ValueError(f"m={m} must divide dim={dim}")
+        if ksub < 2 or ksub > 256:
+            raise ValueError("ksub must be in 2..256")
+        self.dim = dim
+        self.m = m
+        self.ksub = ksub
+        self.iters = iters
+        self.train_sample = train_sample
+        self.refine = refine
+        self.seed = seed
+        self.id_column = id_column
+        self.vector_column = vector_column
+        self.codebooks = None  # (m, ksub, dsub) after fit
+        self._codes: Optional[DataFrame] = None
+        self._corpus: Optional[DataFrame] = None
+
+    @staticmethod
+    def _normalize(x):
+        import numpy as np
+
+        n = np.linalg.norm(x, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return x / n
+
+    def fit(self, corpus: DataFrame) -> "PQANN":
+        import numpy as np
+
+        n = corpus.count()
+        frac = min(1.0, self.train_sample / max(n, 1))
+        sample = (
+            corpus.sample(fraction=frac, seed=self.seed)
+            .select(self.vector_column)
+            .collect()
+        )
+        x = self._normalize(
+            np.array([r[0] for r in sample], dtype=np.float64)
+        )
+        rng = np.random.default_rng(self.seed)
+        dsub = self.dim // self.m
+        ksub = min(self.ksub, len(x))
+        books = []
+        for j in range(self.m):
+            sub = x[:, j * dsub : (j + 1) * dsub]
+            cents = sub[rng.choice(len(sub), size=ksub, replace=False)].copy()
+            for _ in range(self.iters):
+                d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+                assign = d2.argmin(1)
+                for c in range(ksub):
+                    mask = assign == c
+                    if mask.any():
+                        cents[c] = sub[mask].mean(0)
+            books.append(cents)
+        self.codebooks = np.stack(books)  # (m, ksub, dsub)
+        self._corpus = corpus
+        self._codes = self._encode(corpus).persist()
+        return self
+
+    def _encode(self, df: DataFrame) -> DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        books = self.codebooks
+        m, dsub = self.m, self.dim // self.m
+        idc, vc = self.id_column, self.vector_column
+        normalize = self._normalize
+
+        def enc(batches):
+            for pdf in batches:
+                x = normalize(
+                    np.array(list(pdf[vc]), dtype=np.float64).reshape(
+                        len(pdf), -1
+                    )
+                )
+                codes = np.empty((len(pdf), m), dtype=np.int64)
+                for j in range(m):
+                    sub = x[:, j * dsub : (j + 1) * dsub]
+                    d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+                    codes[:, j] = d2.argmin(1)
+                yield pd.DataFrame(
+                    {"vec_id": pdf[idc].values, "codes": list(codes)}
+                )
+
+        return df.select(idc, vc).mapInPandas(
+            enc, schema="vec_id long, codes array<bigint>"
+        )
+
+    def search(self, queries: DataFrame, k: int = 10) -> DataFrame:
+        """Exactly the BruteForceANN output shape: (query_id,
+        neighbor_id, cosine, rank) — ADC shortlist, exact re-rank."""
+        import numpy as np
+        import pandas as pd
+
+        if self.codebooks is None:
+            raise ValueError("PQANN must be fit before search")
+        books = self.codebooks
+        m, dsub = self.m, self.dim // self.m
+        idc, vc = self.id_column, self.vector_column
+        normalize = self._normalize
+
+        def luts(batches):
+            for pdf in batches:
+                x = normalize(
+                    np.array(list(pdf[vc]), dtype=np.float64).reshape(
+                        len(pdf), -1
+                    )
+                )
+                tables = []
+                for row in x:
+                    lut = [
+                        (
+                            (books[j] - row[j * dsub : (j + 1) * dsub]) ** 2
+                        ).sum(1).tolist()
+                        for j in range(m)
+                    ]
+                    tables.append(lut)
+                yield pd.DataFrame(
+                    {"query_id": pdf[idc].values, "lut": tables}
+                )
+
+        q = queries.select(idc, vc).mapInPandas(
+            luts, schema="query_id long, lut array<array<double>>"
+        )
+        adc = (
+            F.broadcast(q)
+            .crossJoin(self._codes)
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.aggregate(
+                    F.zip_with(
+                        "codes",
+                        "lut",
+                        lambda c, row: F.element_at(row, (c + 1).cast("int")),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("adc_dist"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+        )
+        shortlist = (
+            adc.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= k * self.refine)
+            .select("query_id", "neighbor_id")
+        )
+        # exact re-rank: join true vectors for shortlist rows only
+        qv = queries.select(
+            F.col(idc).alias("query_id"),
+            _as_double(F.col(vc)).alias("qv"),
+        )
+        cv = self._corpus.select(
+            F.col(idc).alias("neighbor_id"),
+            _as_double(F.col(vc)).alias("cv"),
+        )
+        rer = (
+            shortlist.join(F.broadcast(qv), on="query_id")
+            .join(cv, on="neighbor_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                (
+                    _dot(F.col("qv"), F.col("cv"))
+                    / (_norm(F.col("qv")) * _norm(F.col("cv")))
+                ).alias("cosine"),
+            )
+        )
+        w2 = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            rer.withColumn("rank", F.row_number().over(w2))
             .filter(F.col("rank") <= k)
         )

@@ -1504,3 +1504,46 @@ def test_corpus_stats(spark):
     assert r.median_tokens == 2  # odd group -> exact middle element
     assert out[("s2", "de")].total_tokens == 4
     assert out[("s2", "en")].total_tokens == 0 and out[("s2", "en")].min_tokens == 0
+
+
+def test_pq_ann_recall_and_shape(spark):
+    """PQANN: planted near-neighbors must surface at rank 1 through
+    the ADC shortlist + exact re-rank; output shape matches
+    BruteForceANN."""
+    import numpy as np
+
+    from replay_spark.ann import BruteForceANN, PQANN
+
+    rng = np.random.default_rng(5)
+    rows, planted = [], []
+    vid = 0
+    for _ in range(150):
+        rows.append((vid, [float(x) for x in rng.normal(size=16)]))
+        vid += 1
+    for _ in range(15):
+        v = rng.normal(size=16)
+        w = v + rng.normal(scale=0.02, size=16)
+        rows.append((vid, [float(x) for x in v]))
+        rows.append((vid + 1, [float(x) for x in w]))
+        planted.append((vid, vid + 1))
+        vid += 2
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ann = PQANN(dim=16, m=4, ksub=32, refine=4, seed=7).fit(df)
+    qids = [a for a, _ in planted]
+    res = ann.search(df.filter(F.col("vec_id").isin(qids)), k=3)
+    top1 = {r.query_id: r.neighbor_id for r in res.filter("rank = 1").collect()}
+    hits = sum(1 for a, b in planted if top1.get(a) == b)
+    assert hits / len(planted) >= 0.8, f"PQ top-1 recall {hits}/{len(planted)}"
+    # re-ranked cosines are EXACT (match brute force values)
+    bf = BruteForceANN().search(
+        df.filter(F.col("vec_id") == qids[0]), df, k=3
+    )
+    bf_top = bf.filter("rank = 1").first()
+    pq_top = res.filter(F.col("query_id") == qids[0]).filter("rank = 1").first()
+    if bf_top.neighbor_id == pq_top.neighbor_id:
+        assert pq_top.cosine == pytest.approx(bf_top.cosine, rel=1e-9)
+
+    with pytest.raises(ValueError):
+        PQANN(dim=16, m=5)
+    with pytest.raises(ValueError, match="must be fit"):
+        PQANN(dim=16, m=4).search(df, k=2)
