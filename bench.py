@@ -184,6 +184,10 @@ def main():
         "q_contamination_report",
         "q_paragraph_dedup",
         "q_bigram_lm_scores",
+        # BPE at sf1 stresses the bounded-word-type claim directly:
+        # the replica's per-shard token suffixes multiply word TYPES
+        # by ~10x, the worst case for vocabulary-bound training
+        "q_bpe_tokens",
     ]
     sf1_timings = {}
     try:

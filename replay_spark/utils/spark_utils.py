@@ -41,6 +41,85 @@ __all__ = [
 ]
 
 
+def _ordered_partition_scan(
+    df: DataFrame, order_exprs: list, value_col: Optional[str]
+) -> DataFrame:
+    """Shared engine of :func:`ordered_row_numbers` /
+    :func:`ordered_prefix_sums`: range-partition by the sort keys
+    (ordered, contiguous ranges), sort within partitions (narrow,
+    local), then append ``(_pid, _local)`` in ONE Arrow-batched
+    narrow pass — ``_local`` is the within-partition 1-based row
+    number (``value_col is None``) or the inclusive running sum of
+    ``value_col``.
+
+    Earlier revisions computed ``_local`` with a
+    ``Window.partitionBy(_pid)``, which forced a SECOND full-data
+    ``hashpartitioning(_pid)`` exchange carrying zero information —
+    the rows were already laid out by ``_pid``; that is what range
+    partitioning produced. The mapInPandas cumsum is narrow:
+    total shuffle volume is ONE range exchange, halving the shuffle
+    cost of every prefix-sum/numbering consumer (SequencePacker,
+    Sessionizer reference ids, BPE vocabulary, ...). Requires
+    ``order_exprs`` to be a total order (unique keys), which every
+    caller satisfies and the hash gates pin.
+    """
+    import numpy as np
+
+    part = df.repartitionByRange(*order_exprs).sortWithinPartitions(
+        *order_exprs
+    )
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", `_pid` int, `_local` long"
+
+    def scan(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        acc = 0
+        for pdf in batches:
+            n = len(pdf)
+            if value_col is None:
+                local = np.arange(acc + 1, acc + n + 1, dtype="int64")
+                acc += n
+            else:
+                vals = pdf[value_col].to_numpy(dtype="int64")
+                local = acc + np.cumsum(vals)
+                if n:
+                    acc = int(local[-1])
+            pdf = pdf.copy()
+            pdf["_pid"] = pid
+            pdf["_local"] = local
+            yield pdf
+
+    return part.mapInPandas(scan, schema=schema)
+
+
+def _add_partition_offsets(
+    numbered: DataFrame, spark_df: DataFrame, out_col: str
+) -> DataFrame:
+    """Driver-computed per-partition offsets (the per-partition total
+    is simply ``max(_local)``) broadcast-joined back."""
+    totals = sorted(
+        (r["_pid"], r["_t"])
+        for r in numbered.groupBy("_pid").agg(
+            F.max("_local").alias("_t")
+        ).collect()
+    )
+    rows, acc = [], 0
+    for pid, tot in totals:
+        rows.append((pid, acc))
+        acc += tot if tot is not None else 0
+    offsets = spark_df.sparkSession.createDataFrame(
+        rows, "_pid int, _offset long"
+    )
+    return (
+        numbered.join(F.broadcast(offsets), on="_pid")
+        .withColumn(out_col, F.col("_local") + F.col("_offset"))
+        .drop("_pid", "_local", "_offset")
+    )
+
+
 def ordered_row_numbers(
     df: DataFrame, order_exprs: list, out_col: str = "rank"
 ) -> DataFrame:
@@ -48,39 +127,16 @@ def ordered_row_numbers(
     single-task sort (generalizes the label encoder's two-phase
     numbering to arbitrary sort orders).
 
-    Range-partition by the sort keys (ordered, contiguous ranges),
-    number within partitions, add driver-computed per-partition
-    offsets via a broadcast join. Eager (two actions: persist +
-    per-partition counts); the intermediate stays persisted for the
-    caller's downstream action and is evicted LRU. Use for frames too
-    large for a one-task window — callers below a size threshold
-    should keep the plain window (zero extra jobs).
+    One range exchange + a narrow Arrow numbering pass
+    (:func:`_ordered_partition_scan`), then driver-computed
+    per-partition offsets via a broadcast join. Eager (two actions:
+    persist + per-partition totals); the intermediate stays persisted
+    for the caller's downstream action and is evicted LRU. Use for
+    frames too large for a one-task window — callers below a size
+    threshold should keep the plain window (zero extra jobs).
     """
-    numbered = (
-        df.repartitionByRange(*order_exprs)
-        .withColumn("_pid", F.spark_partition_id())
-        .withColumn(
-            "_local",
-            F.row_number()
-            .over(Window.partitionBy("_pid").orderBy(*order_exprs))
-            .cast("long"),
-        )
-        .persist()
-    )
-    counts = sorted(
-        (r["_pid"], r["count"])
-        for r in numbered.groupBy("_pid").count().collect()
-    )
-    rows, acc = [], 0
-    for pid, cnt in counts:
-        rows.append((pid, acc))
-        acc += cnt
-    offsets = df.sparkSession.createDataFrame(rows, "_pid int, _offset long")
-    return (
-        numbered.join(F.broadcast(offsets), on="_pid")
-        .withColumn(out_col, F.col("_local") + F.col("_offset"))
-        .drop("_pid", "_local", "_offset")
-    )
+    numbered = _ordered_partition_scan(df, order_exprs, None).persist()
+    return _add_partition_offsets(numbered, df, out_col)
 
 
 def ordered_prefix_sums(
@@ -88,39 +144,10 @@ def ordered_prefix_sums(
 ) -> DataFrame:
     """Global inclusive prefix sum of ``value_col`` over the total
     order given by ``order_exprs`` WITHOUT a single-task sort — the
-    running-SUM sibling of :func:`ordered_row_numbers`.
-
-    Range-partition by the sort keys, run the prefix sum within each
-    (ordered, contiguous) partition, then add driver-computed
-    per-partition sum offsets via a broadcast join. Two extra jobs
-    (persist + per-partition totals); intermediate evicted LRU."""
-    numbered = (
-        df.repartitionByRange(*order_exprs)
-        .withColumn("_pid", F.spark_partition_id())
-        .withColumn(
-            "_local",
-            F.sum(value_col)
-            .over(Window.partitionBy("_pid").orderBy(*order_exprs))
-            .cast("long"),
-        )
-        .persist()
-    )
-    totals = sorted(
-        (r["_pid"], r["_t"])
-        for r in numbered.groupBy("_pid")
-        .agg(F.sum(value_col).alias("_t"))
-        .collect()
-    )
-    rows, acc = [], 0
-    for pid, tot in totals:
-        rows.append((pid, acc))
-        acc += tot
-    offsets = df.sparkSession.createDataFrame(rows, "_pid int, _offset long")
-    return (
-        numbered.join(F.broadcast(offsets), on="_pid")
-        .withColumn(out_col, F.col("_local") + F.col("_offset"))
-        .drop("_pid", "_local", "_offset")
-    )
+    running-SUM sibling of :func:`ordered_row_numbers`. Same
+    one-exchange plan shape (see :func:`_ordered_partition_scan`)."""
+    numbered = _ordered_partition_scan(df, order_exprs, value_col).persist()
+    return _add_partition_offsets(numbered, df, out_col)
 
 
 def kth_smallest(
