@@ -1500,6 +1500,22 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ over the embeddings table: coarse cells prune the scan
+    (keyed join on cell), residual product codes shrink it, exact
+    cosine re-rank on the shortlist (rows-only: two k-means loops)."""
+    from replay_spark.ann import IVFPQANN
+
+    emb = rsd.read_table(spark, sf_dir, "embeddings")
+    ann = IVFPQANN(
+        dim=64, num_cells=16, nprobe=4, m=8, ksub=32, refine=4, seed=42
+    ).fit(emb)
+    res = ann.search(emb.filter("vec_id < 20"), k=5)
+    return res.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 def q_llm_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship LLM-preprocessing composition, fully hash-verified:
     quality filter (C4/Gopher signals) → normalized exact dedup →
@@ -2204,6 +2220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (c) officially green in r4/r5; rotate out — plus the
         #        PQANN debut (rows-only; scored next rotation) ------
         "q_pq_ann": q_pq_ann,
+        "q_ivfpq_ann": q_ivfpq_ann,
         "q_thompson_scores": q_thompson_scores,
         "q_sample_top_k": q_sample_top_k,
         "q_discretize_quantile": q_discretize_quantile,

@@ -1,2 +1,3 @@
 from replay_spark.ann.search import BruteForceANN, IVFANN, LSHANN  # noqa: F401
 from replay_spark.ann.search import PQANN  # noqa: F401
+from replay_spark.ann.search import IVFPQANN  # noqa: F401

@@ -25,7 +25,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["BruteForceANN", "IVFANN", "LSHANN", "PQANN"]
+__all__ = ["BruteForceANN", "IVFANN", "LSHANN", "PQANN", "IVFPQANN"]
 
 
 def _as_double(col):
@@ -550,6 +550,240 @@ class PQANN:
         cv = self._corpus.select(
             F.col(idc).alias("neighbor_id"),
             _as_double(F.col(vc)).alias("cv"),
+        )
+        rer = (
+            shortlist.join(F.broadcast(qv), on="query_id")
+            .join(cv, on="neighbor_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                (
+                    _dot(F.col("qv"), F.col("cv"))
+                    / (_norm(F.col("qv")) * _norm(F.col("cv")))
+                ).alias("cosine"),
+            )
+        )
+        w2 = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            rer.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+        )
+
+
+class IVFPQANN:
+    """IVF-PQ (Jégou et al. 2011, the faiss ``IVFx,PQy`` shape):
+    coarse k-means cells prune WHERE to scan, residual product codes
+    shrink WHAT is scanned — together the standard billion-vector
+    index. Everything scale-relevant is a DataFrame shape:
+
+    * ``fit``: seeded numpy k-means on a bounded driver sample for
+      the coarse centroids; PQ sub-codebooks trained on RESIDUALS
+      (vector − its cell centroid — the faiss construction, much
+      tighter quantization than raw-vector PQ); ONE vectorized
+      mapInPandas pass assigns every corpus vector its cell and its
+      m-byte residual code. The persisted code relation is keyed by
+      ``cell``.
+    * ``search``: queries compute their ``nprobe`` nearest cells and
+      one m×ksub LUT per probed cell (residual against that cell's
+      centroid) in one Arrow pass, then JOIN the code relation ON
+      ``cell`` — the inverted-file pruning is literally a keyed join,
+      so Spark scans only probed cells' codes. ADC distance stays
+      JVM-side (``aggregate(zip_with(codes, lut, element_at))``);
+      top ``k·refine`` candidates re-rank exactly by cosine.
+
+    Training is iterative ⇒ rows-only gate; recall pinned by the
+    planted-neighbor test.
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        num_cells: int = 16,
+        nprobe: int = 4,
+        m: int = 8,
+        ksub: int = 16,
+        iters: int = 10,
+        train_sample: int = 100_000,
+        refine: int = 4,
+        seed: int = 42,
+        id_column: str = "vec_id",
+        vector_column: str = "embedding",
+    ):
+        if dim % m != 0:
+            raise ValueError(f"m={m} must divide dim={dim}")
+        if nprobe > num_cells:
+            raise ValueError("nprobe must be <= num_cells")
+        self.dim = dim
+        self.num_cells = num_cells
+        self.nprobe = nprobe
+        self.m = m
+        self.ksub = ksub
+        self.iters = iters
+        self.train_sample = train_sample
+        self.refine = refine
+        self.seed = seed
+        self.id_column = id_column
+        self.vector_column = vector_column
+        self.centroids = None  # (num_cells, dim)
+        self.codebooks = None  # (m, ksub, dsub)
+        self._codes: Optional[DataFrame] = None
+        self._corpus: Optional[DataFrame] = None
+
+    def _kmeans(self, x, k, rng):
+        import numpy as np
+
+        k = min(k, len(x))
+        cents = x[rng.choice(len(x), size=k, replace=False)].copy()
+        for _ in range(self.iters):
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = x[mask].mean(0)
+        return cents
+
+    def fit(self, corpus: DataFrame) -> "IVFPQANN":
+        import numpy as np
+
+        n = corpus.count()
+        frac = min(1.0, self.train_sample / max(n, 1))
+        sample = (
+            corpus.sample(fraction=frac, seed=self.seed)
+            .select(self.vector_column)
+            .collect()
+        )
+        x = PQANN._normalize(np.array([r[0] for r in sample], dtype=np.float64))
+        rng = np.random.default_rng(self.seed)
+        self.centroids = self._kmeans(x, self.num_cells, rng)
+        # residual codebooks: train on sample residuals vs own cell
+        d2 = ((x[:, None, :] - self.centroids[None, :, :]) ** 2).sum(-1)
+        resid = x - self.centroids[d2.argmin(1)]
+        dsub = self.dim // self.m
+        self.codebooks = np.stack(
+            [
+                self._kmeans(resid[:, j * dsub : (j + 1) * dsub], self.ksub, rng)
+                for j in range(self.m)
+            ]
+        )
+        self._corpus = corpus
+        self._codes = self._encode(corpus).persist()
+        return self
+
+    def _encode(self, df: DataFrame) -> DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        cents, books = self.centroids, self.codebooks
+        m, dsub = self.m, self.dim // self.m
+        idc, vc = self.id_column, self.vector_column
+
+        def enc(batches):
+            for pdf in batches:
+                x = PQANN._normalize(
+                    np.array(list(pdf[vc]), dtype=np.float64).reshape(
+                        len(pdf), -1
+                    )
+                )
+                d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+                cell = d2.argmin(1)
+                resid = x - cents[cell]
+                codes = np.empty((len(pdf), m), dtype=np.int64)
+                for j in range(m):
+                    sub = resid[:, j * dsub : (j + 1) * dsub]
+                    codes[:, j] = (
+                        ((sub[:, None, :] - books[j][None, :, :]) ** 2)
+                        .sum(-1)
+                        .argmin(1)
+                    )
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf[idc].values,
+                        "cell": cell,
+                        "codes": list(codes),
+                    }
+                )
+
+        return df.select(idc, vc).mapInPandas(
+            enc, schema="vec_id long, cell int, codes array<bigint>"
+        )
+
+    def search(self, queries: DataFrame, k: int = 10) -> DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        if self.codebooks is None:
+            raise ValueError("IVFPQANN must be fit before search")
+        cents, books = self.centroids, self.codebooks
+        m, dsub, nprobe = self.m, self.dim // self.m, self.nprobe
+        idc, vc = self.id_column, self.vector_column
+
+        def luts(batches):
+            for pdf in batches:
+                x = PQANN._normalize(
+                    np.array(list(pdf[vc]), dtype=np.float64).reshape(
+                        len(pdf), -1
+                    )
+                )
+                d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+                probes = np.argsort(d2, axis=1)[:, :nprobe]
+                qids, cells, tables = [], [], []
+                for qi, row in enumerate(x):
+                    for cell in probes[qi]:
+                        r = row - cents[cell]
+                        tables.append(
+                            [
+                                ((books[j] - r[j * dsub : (j + 1) * dsub]) ** 2)
+                                .sum(1)
+                                .tolist()
+                                for j in range(m)
+                            ]
+                        )
+                        qids.append(pdf[idc].values[qi])
+                        cells.append(int(cell))
+                yield pd.DataFrame(
+                    {"query_id": qids, "cell": cells, "lut": tables}
+                )
+
+        q = queries.select(idc, vc).mapInPandas(
+            luts, schema="query_id long, cell int, lut array<array<double>>"
+        )
+        adc = (
+            # keyed join on cell == the inverted-file pruning: only
+            # probed cells' code lists are scanned (AQE broadcasts
+            # the query/LUT side when small)
+            F.broadcast(q)
+            .join(self._codes, on="cell")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.aggregate(
+                    F.zip_with(
+                        "codes",
+                        "lut",
+                        lambda c, row: F.element_at(row, (c + 1).cast("int")),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("adc_dist"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+        )
+        shortlist = (
+            adc.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= k * self.refine)
+            .select("query_id", "neighbor_id")
+        )
+        qv = queries.select(
+            F.col(idc).alias("query_id"), _as_double(F.col(vc)).alias("qv")
+        )
+        cv = self._corpus.select(
+            F.col(idc).alias("neighbor_id"), _as_double(F.col(vc)).alias("cv")
         )
         rer = (
             shortlist.join(F.broadcast(qv), on="query_id")

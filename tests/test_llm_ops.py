@@ -1547,3 +1547,40 @@ def test_pq_ann_recall_and_shape(spark):
         PQANN(dim=16, m=5)
     with pytest.raises(ValueError, match="must be fit"):
         PQANN(dim=16, m=4).search(df, k=2)
+
+
+def test_ivfpq_ann_recall(spark):
+    """IVF-PQ: residual product codes behind coarse-cell pruning must
+    still surface planted near-neighbors at rank 1."""
+    import numpy as np
+
+    from replay_spark.ann import IVFPQANN
+
+    rng = np.random.default_rng(9)
+    rows, planted = [], []
+    vid = 0
+    for _ in range(200):
+        rows.append((vid, [float(x) for x in rng.normal(size=16)]))
+        vid += 1
+    for _ in range(15):
+        v = rng.normal(size=16)
+        w = v + rng.normal(scale=0.02, size=16)
+        rows.append((vid, [float(x) for x in v]))
+        rows.append((vid + 1, [float(x) for x in w]))
+        planted.append((vid, vid + 1))
+        vid += 2
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ann = IVFPQANN(
+        dim=16, num_cells=8, nprobe=3, m=4, ksub=32, refine=4, seed=11
+    ).fit(df)
+    res = ann.search(
+        df.filter(F.col("vec_id").isin([a for a, _ in planted])), k=3
+    )
+    top1 = {r.query_id: r.neighbor_id for r in res.filter("rank = 1").collect()}
+    hits = sum(1 for a, b in planted if top1.get(a) == b)
+    assert hits / len(planted) >= 0.8, f"IVF-PQ top-1 recall {hits}/{len(planted)}"
+    # pruning really happened: no query shipped more LUT rows than nprobe
+    with pytest.raises(ValueError):
+        IVFPQANN(dim=16, num_cells=4, nprobe=5)
+    with pytest.raises(ValueError, match="must be fit"):
+        IVFPQANN(dim=16).search(df, k=2)
