@@ -1,5 +1,6 @@
 from replay_spark.streaming.ops import (  # noqa: F401
     StreamingSessionizer,
+    StreamingSourceCapFilter,
     StreamingStatefulSessionizer,
     StreamingUCB,
     streaming_exact_dedup,

@@ -233,3 +233,58 @@ class StreamingStatefulSessionizer:
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+
+
+class StreamingSourceCapFilter:
+    """Per-source document admission cap with CUSTOM state
+    (``applyInPandasWithState``) — the streaming twin of the batch
+    ``SourceCapFilter``. A streaming ingest cannot know the corpus'
+    "``cap`` smallest ids", so the online rule is the one production
+    ingests use: FIRST ``cap`` arrivals per source win (within a
+    micro-batch, arrival order is made deterministic by sorting on
+    ``id_column``).
+
+    State per source: one admitted-count long, so state size is
+    O(distinct sources) — domains, not documents. Admitted rows are
+    emitted append-mode; over-cap rows are dropped exactly-once per
+    the state counter.
+    """
+
+    def __init__(
+        self,
+        cap: int,
+        partition_column: str = "source",
+        id_column: str = "doc_id",
+    ):
+        if cap < 1:
+            raise ValueError("cap must be >= 1")
+        self.cap = cap
+        self.partition_column = partition_column
+        self.id_column = id_column
+
+    def transform(self, stream: DataFrame) -> DataFrame:
+        from pyspark.sql.streaming.state import GroupStateTimeout
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        cap, src, idc = self.cap, self.partition_column, self.id_column
+        out_schema = stream.schema
+        state_schema = StructType([StructField("admitted", LongType())])
+
+        def admit(key, pdf_iter, state):
+            admitted = state.get[0] if state.exists else 0
+            for pdf in pdf_iter:
+                if admitted >= cap:
+                    continue
+                pdf = pdf.sort_values(idc)
+                take = min(cap - admitted, len(pdf))
+                admitted += take
+                yield pdf.head(take)
+            state.update((admitted,))
+
+        return stream.groupBy(src).applyInPandasWithState(
+            admit,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )

@@ -422,3 +422,39 @@ def test_save_load_from_replay(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         load_from_replay(str(tmp_path / "nothing"))
+
+
+def test_streaming_source_cap(spark, tmp_path_factory):
+    """applyInPandasWithState admission counter: first cap arrivals
+    per source win, state carries across micro-batches."""
+    import datetime as dt
+
+    from replay_spark.streaming import StreamingSourceCapFilter
+
+    path = str(tmp_path_factory.mktemp("capstream"))
+    schema = "doc_id long, source string, text string"
+    # two files -> two micro-batches with availableNow file source
+    spark.createDataFrame(
+        [(3, "hot", "a"), (1, "hot", "b"), (2, "hot", "c"), (10, "cold", "d")],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/f1")
+    spark.createDataFrame(
+        [(4, "hot", "e"), (11, "cold", "f")], schema
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/f2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path + "/*")
+    )
+    capped = StreamingSourceCapFilter(cap=2).transform(stream)
+    out = _run_stream_to_memory(spark, capped, "srccap_out", "append")
+    got = {(r.source, r.doc_id) for r in out.collect()}
+    hot = {d for s, d in got if s == "hot"}
+    cold = {d for s, d in got if s == "cold"}
+    assert len(hot) == 2 and len(cold) == 2
+    # within whichever micro-batch delivered the 3-doc hot file, the
+    # two smallest ids of that batch won
+    assert hot in ({1, 2}, {1, 4}, {2, 4}) and 3 not in hot or hot == {1, 2}
+    with pytest.raises(ValueError):
+        StreamingSourceCapFilter(cap=0)
