@@ -1500,6 +1500,49 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pass: embeddings → 8×8 PGM payloads (as in
+    q_media_decode) plus a PNG re-encode of every 10th image — a
+    cross-codec duplicate a byte hash cannot see; pHash banding must
+    pair each PNG with its PGM original (rows-only: DCT not
+    SQL-expressible; invariants pinned by the codec-collision test)."""
+    import numpy as np
+    import pandas as pd
+
+    from replay_spark.multimodal import (
+        ImagePerceptualDeduplicator,
+        encode_png,
+        encode_ppm,
+    )
+
+    emb = rsd.read_table(spark, sf_dir, "embeddings")
+
+    def build(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for vid, vec in zip(pdf["vec_id"], pdf["embedding"]):
+                arr = np.asarray(vec, dtype=np.float64)
+                u8 = np.clip(np.floor((arr + 4.0) * 32.0), 0, 255).astype(
+                    np.uint8
+                ).reshape(8, 8)
+                ids.append(vid)
+                payloads.append(encode_ppm(u8))
+                if vid % 10 == 0:
+                    ids.append(1_000_000 + vid)
+                    payloads.append(encode_png(u8))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = emb.select("vec_id", "embedding").mapInPandas(
+        build, schema="media_id long, payload binary"
+    )
+    dd = ImagePerceptualDeduplicator(max_hamming=2, num_bands=9)
+    pairs = dd.candidate_pairs(media)
+    # every planted cross-codec duplicate must be found at hamming 0
+    return pairs.filter(
+        (F.col("id_b") == F.col("id_a") + 1_000_000)
+    ).select("id_a", "id_b", "hamming")
+
+
 def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ over the embeddings table: coarse cells prune the scan
     (keyed join on cell), residual product codes shrink it, exact
@@ -2220,6 +2263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (c) officially green in r4/r5; rotate out — plus the
         #        PQANN debut (rows-only; scored next rotation) ------
         "q_pq_ann": q_pq_ann,
+        "q_image_phash_dedup": q_image_phash_dedup,
         "q_ivfpq_ann": q_ivfpq_ann,
         "q_thompson_scores": q_thompson_scores,
         "q_sample_top_k": q_sample_top_k,
@@ -3219,6 +3263,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b // 256 AS BIGINT) AS pack_id,
                    CAST(b % 256 AS BIGINT) AS pack_offset
             FROM packed
+        """,
+        "q_image_phash_dedup": """
+            SELECT vec_id AS id_a,
+                   vec_id + 1000000 AS id_b,
+                   0 AS hamming
+            FROM embeddings WHERE vec_id % 10 = 0
         """,
         "q_corpus_stats": """
             SELECT source, lang,

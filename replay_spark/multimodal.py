@@ -67,6 +67,8 @@ __all__ = [
     "encode_jpeg",
     "jpeg_image_decoder",
     "auto_image_decoder",
+    "perceptual_hash",
+    "ImagePerceptualDeduplicator",
 ]
 
 # real baseline-JPEG codec lives in its own module (pure numpy
@@ -683,3 +685,147 @@ class MediaProcessor:
         return df.select(id_col, payload_col).mapInPandas(
             process, schema=self.FRAMES_SCHEMA
         )
+
+
+def perceptual_hash(payload: bytes, hash_size: int = 8) -> int:
+    """pHash (DCT perceptual hash) of any REAL-codec image payload:
+    auto-decode (netpbm/PNG/JPEG by magic), grayscale, nearest
+    resize to 4·hash_size square, 2-D DCT, keep the low-frequency
+    ``hash_size²`` block (minus DC), threshold at its median →
+    ``hash_size²``-bit integer. Two images' similarity is the
+    Hamming distance between their hashes — robust to re-encoding,
+    resizing, and small edits, which byte hashes are blind to."""
+    from replay_spark.jpeg import decode_jpeg
+
+    head = bytes(payload[:12]) if payload else b""
+    if head[:2] in (b"P5", b"P6"):
+        img, _ = decode_ppm(payload)
+    elif head[:8] == _PNG_SIG:
+        img, _ = decode_png(payload)
+    elif head[:2] == b"\xff\xd8":
+        img = decode_jpeg(payload)
+    else:
+        raise ValueError("perceptual_hash: unsupported image payload")
+    gray = _gray(img)
+    size = hash_size * 4
+    h, w = gray.shape
+    rows = (np.arange(size) * h // size).astype(np.int64)
+    cols = (np.arange(size) * w // size).astype(np.int64)
+    small = gray[rows][:, cols]
+    # full-size DCT via the orthonormal 8x8 basis tiled is wrong; use
+    # an explicit size x size DCT-II matrix
+    k = np.arange(size)
+    c = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / (2 * size))
+    dct = c @ small @ c.T
+    low = dct[:hash_size, :hash_size].flatten()[1:]  # drop DC
+    med = np.median(low)
+    bits = low > med
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+class ImagePerceptualDeduplicator:
+    """Near-duplicate IMAGE detection — the multimodal sibling of
+    ``SimHashDeduplicator``: pHash each payload executor-side
+    (mapInPandas over the real codecs), then find candidate pairs by
+    banded Hamming blocking — the 63-bit hash splits into
+    ``num_bands`` chunks, a pair within Hamming distance
+    ``max_hamming`` ≤ num_bands − 1 collides in ≥ 1 band by
+    pigeonhole, and only band collisions are compared exactly. Never
+    an all-pairs cross join; the band join is keyed on (band,
+    chunk)."""
+
+    def __init__(
+        self,
+        max_hamming: int = 8,
+        num_bands: int = 9,
+        id_column: str = "media_id",
+        payload_column: str = "payload",
+    ):
+        if num_bands < max_hamming + 1:
+            raise ValueError(
+                "num_bands must exceed max_hamming (pigeonhole guarantee)"
+            )
+        self.max_hamming = max_hamming
+        self.num_bands = num_bands
+        self.id_column = id_column
+        self.payload_column = payload_column
+
+    def hashes(self, df: DataFrame) -> DataFrame:
+        idc, pc = self.id_column, self.payload_column
+
+        def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf[idc].values,
+                        "phash": [
+                            perceptual_hash(bytes(p)) for p in pdf[pc]
+                        ],
+                    }
+                )
+
+        return df.select(idc, pc).mapInPandas(
+            compute, schema="media_id long, phash long"
+        )
+
+    def candidate_pairs(self, df: DataFrame) -> DataFrame:
+        nb = self.num_bands
+        hashed = self.hashes(df)
+        width = 63  # 8x8 pHash minus DC
+        bounds = [round(i * width / nb) for i in range(nb + 1)]
+        bands = hashed.select(
+            "media_id",
+            "phash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.shiftrightunsigned(
+                                F.col("phash"), bounds[i]
+                            ).bitwiseAND(
+                                F.lit((1 << (bounds[i + 1] - bounds[i])) - 1)
+                            ).alias("chunk"),
+                        )
+                        for i in range(nb)
+                    ]
+                )
+            ).alias("b"),
+        ).select("media_id", "phash", "b.band", "b.chunk")
+        left = bands.select(
+            F.col("media_id").alias("id_a"),
+            F.col("phash").alias("h_a"),
+            "band",
+            "chunk",
+        )
+        right = bands.select(
+            F.col("media_id").alias("id_b"),
+            F.col("phash").alias("h_b"),
+            "band",
+            "chunk",
+        )
+        return (
+            left.join(right, on=["band", "chunk"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                F.bit_count(
+                    F.col("h_a").bitwiseXOR(F.col("h_b"))
+                ).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= self.max_hamming)
+            .distinct()
+        )
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """Drop the larger id of every near-duplicate pair."""
+        dupes = (
+            self.candidate_pairs(df)
+            .select(F.col("id_b").alias(self.id_column))
+            .distinct()
+        )
+        return df.join(dupes, on=self.id_column, how="left_anti")

@@ -1584,3 +1584,57 @@ def test_ivfpq_ann_recall(spark):
         IVFPQANN(dim=16, num_cells=4, nprobe=5)
     with pytest.raises(ValueError, match="must be fit"):
         IVFPQANN(dim=16).search(df, k=2)
+
+
+def test_image_perceptual_dedup(spark):
+    """pHash near-dup detection across CODECS: the same picture
+    saved as PGM, PNG, and JPEG must collide (tiny Hamming distance),
+    small edits stay close, different pictures stay far."""
+    import numpy as np
+
+    from replay_spark.multimodal import (
+        ImagePerceptualDeduplicator,
+        encode_jpeg,
+        encode_png,
+        encode_ppm,
+        perceptual_hash,
+    )
+
+    rng = np.random.default_rng(3)
+    x = np.linspace(0, 255, 64)
+    picture = np.clip(
+        np.add.outer(np.sin(x / 20) * 120 + 128, np.cos(x / 13) * 60) / 2
+        + np.tile(x / 2, (64, 1)),
+        0,
+        255,
+    ).astype(np.uint8)
+    other = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+    edited = picture.copy()
+    edited[:6, :6] = 0  # small local edit
+
+    h_pgm = perceptual_hash(encode_ppm(picture))
+    h_png = perceptual_hash(encode_png(picture))
+    h_jpg = perceptual_hash(encode_jpeg(picture, quality=90))
+    h_other = perceptual_hash(encode_ppm(other))
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(h_pgm, h_png) == 0  # lossless codecs: identical pixels
+    assert ham(h_pgm, h_jpg) <= 4  # lossy re-encode stays near
+    assert ham(h_pgm, h_other) > 16  # different picture far away
+
+    rows = [
+        (1, bytearray(encode_ppm(picture))),
+        (2, bytearray(encode_png(picture))),
+        (3, bytearray(encode_jpeg(picture, quality=90))),
+        (4, bytearray(encode_ppm(other))),
+        (5, bytearray(encode_ppm(edited))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    dd = ImagePerceptualDeduplicator(max_hamming=8, num_bands=9)
+    pairs = {(r.id_a, r.id_b) for r in dd.candidate_pairs(df).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert not any(4 in p for p in pairs)
+    kept = {r.media_id for r in dd.transform(df).collect()}
+    assert 1 in kept and 4 in kept and 2 not in kept and 3 not in kept
+
+    with pytest.raises(ValueError):
+        ImagePerceptualDeduplicator(max_hamming=9, num_bands=9)
