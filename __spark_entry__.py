@@ -662,9 +662,16 @@ def q_log_stat_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("u_min_interact_date").alias("min_ts_us"),
         F.unix_micros("u_max_interact_date").alias("max_ts_us"),
         F.col("u_history_length_days").alias("hist_days"),
-        F.round("u_std", 4).alias("u_std"),
-        F.round("u_mean", 4).alias("u_mean"),
-        F.round("abnormality", 4).alias("abnormality"),
+        # +1e-9 before rounding: rating means/stds land EXACTLY on
+        # decimal rounding boundaries (the 4-decimal data makes user
+        # means hit x.xxx5), where Spark rounds the decimal string
+        # ("46.3835" -> .384) but DuckDB rounds the binary double
+        # (46.38349999999999 -> .383). The epsilon pushes boundary
+        # values safely above the cut on BOTH engines; the sf0.1
+        # sweep that caught this is green with it.
+        F.round(F.col("u_std") + 1e-9, 3).alias("u_std"),
+        F.round(F.col("u_mean") + 1e-9, 3).alias("u_mean"),
+        F.round(F.col("abnormality") + 1e-9, 3).alias("abnormality"),
     )
 
 
@@ -3037,8 +3044,8 @@ def oracle_sql() -> dict[str, str]:
                        epoch_us(min(ts)) AS min_ts_us,
                        epoch_us(max(ts)) AS max_ts_us,
                        date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS hist_days,
-                       round(stddev_samp(rating), 4) AS u_std,
-                       round(avg(rating), 4) AS u_mean
+                       round(stddev_samp(rating) + 1e-9, 3) AS u_std,
+                       round(avg(rating) + 1e-9, 3) AS u_mean
                 FROM interactions GROUP BY query_id),
             imeans AS (
                 SELECT item_id, avg(rating) AS i_mean, stddev_samp(rating) AS i_std
@@ -3046,7 +3053,7 @@ def oracle_sql() -> dict[str, str]:
             bounds AS (SELECT max(i_std) AS mx, min(i_std) AS mn FROM imeans),
             ab AS (
                 SELECT i.query_id,
-                       round(avg(abs(i.rating - m.i_mean)), 4) AS abnormality
+                       round(avg(abs(i.rating - m.i_mean)) + 1e-9, 3) AS abnormality
                 FROM interactions i JOIN imeans m ON i.item_id = m.item_id
                 GROUP BY i.query_id)
             SELECT u.*, ab.abnormality
