@@ -1638,3 +1638,69 @@ def test_image_perceptual_dedup(spark):
 
     with pytest.raises(ValueError):
         ImagePerceptualDeduplicator(max_hamming=9, num_bands=9)
+
+
+def _build_minimal_mp4(duration_ms=2500, timescale=1000, codec=b"avc1"):
+    """Handcraft a tiny but spec-valid ISO-BMFF payload: ftyp +
+    moov(mvhd, trak(mdia(mdhd, hdlr, minf(stbl(stsd)))))."""
+    import struct
+
+    def box(btype, payload):
+        return struct.pack(">I", len(payload) + 8) + btype + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomavc1")
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation, modification
+        + struct.pack(">II", timescale, duration_ms * timescale // 1000)
+        + b"\x00" * 80,
+    )
+    mdhd = box(
+        b"mdhd",
+        b"\x00\x00\x00\x00"
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", 90000, 90000 * duration_ms // 1000)
+        + b"\x00\x00\x00\x00",
+    )
+    hdlr = box(
+        b"hdlr", b"\x00\x00\x00\x00" + b"\x00" * 4 + b"vide" + b"\x00" * 14
+    )
+    sample_entry = box(codec, b"\x00" * 78)
+    stsd = box(b"stsd", b"\x00\x00\x00\x00" + struct.pack(">I", 1) + sample_entry)
+    stbl = box(b"stbl", stsd)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + moov
+
+
+def test_mp4_metadata_parser(spark):
+    from replay_spark.multimodal import mp4_metadata, parse_mp4_metadata
+
+    payload = _build_minimal_mp4(duration_ms=2500, codec=b"avc1")
+    meta = parse_mp4_metadata(payload)
+    assert meta["brand"] == "isom"
+    assert meta["duration_ms"] == 2500
+    assert len(meta["tracks"]) == 1
+    t = meta["tracks"][0]
+    assert t["handler"] == "vide" and t["codec"] == "avc1"
+    assert t["timescale"] == 90000 and t["duration_ms"] == 2500
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_build_minimal_mp4(1000, codec=b"avc1"))),
+            (2, bytearray(_build_minimal_mp4(64000, codec=b"hvc1"))),
+        ],
+        "media_id long, payload binary",
+    )
+    out = {r.media_id: r for r in mp4_metadata(df).collect()}
+    assert out[1].duration_ms == 1000 and out[1].codecs == ["avc1"]
+    assert out[2].duration_ms == 64000 and out[2].codecs == ["hvc1"]
+    assert out[1].brand == "isom" and out[1].num_tracks == 1
+
+    with pytest.raises(ValueError, match="ISO-BMFF"):
+        parse_mp4_metadata(b"not a video at all....")
+    with pytest.raises(ValueError):
+        parse_mp4_metadata(None)
