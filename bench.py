@@ -188,6 +188,8 @@ def main():
         # the replica's per-shard token suffixes multiply word TYPES
         # by ~10x, the worst case for vocabulary-bound training
         "q_bpe_tokens",
+        "q_pq_ann",
+        "q_ivfpq_ann",
     ]
     sf1_timings = {}
     try:
