@@ -2,14 +2,16 @@
 
 Scope (the honest contract):
 
-* ``decode_jpeg``: baseline sequential DCT (SOF0), 8-bit, grayscale
-  or YCbCr with any of the common sampling factors (4:4:4, 4:2:2,
-  4:2:0 — chroma nearest-neighbour upsampled), restart markers
-  honoured. Progressive (SOF2), arithmetic coding, and 12-bit raise
-  ValueError.
-* ``encode_jpeg``: grayscale or YCbCr 4:4:4 with the standard Annex-K
-  quantization tables (scaled by ``quality``) and the standard
-  Annex-K huffman tables.
+* ``decode_jpeg``: baseline sequential DCT (SOF0/1) AND
+  spectral-selection progressive (SOF2 with Ah=Al=0 scans, EOBRUN
+  semantics), 8-bit, grayscale or YCbCr with any of the common
+  sampling factors (4:4:4, 4:2:2, 4:2:0 — chroma nearest-neighbour
+  upsampled), restart markers honoured. Successive-approximation
+  progressive scans (Ah>0/Al>0), arithmetic coding, and 12-bit raise
+  ValueError — the remaining honest boundary.
+* ``encode_jpeg``: grayscale or YCbCr 4:4:4/4:2:0 with the standard
+  Annex-K tables (scaled by ``quality``); baseline or a
+  spectral-selection progressive scan script (``progressive=True``).
 
 JPEG is lossy, so unlike the PNG/netpbm/WAV codecs there is no
 bit-exact round-trip oracle; correctness is pinned by round-trip
@@ -326,18 +328,24 @@ def encode_jpeg(
     quality: int = 90,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 as baseline
-    JPEG with the standard tables scaled by ``quality``.
+    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 as JPEG with
+    the standard tables scaled by ``quality``.
     ``subsampling``: "444" (every pixel) or "420" (chroma box-averaged
     2x2 — the common web shape). ``restart_interval`` > 0 emits
-    DRI/RSTn markers every N MCUs."""
+    DRI/RSTn markers every N MCUs (baseline only).
+    ``progressive=True`` emits a spectral-selection SOF2 script (DC
+    scan, then AC bands 1–5 and 6–63 per component, Ah=Al=0) — the
+    same pixels, decodable by this module's progressive decoder."""
     arr = np.asarray(array, dtype=np.uint8)
     gray = arr.ndim == 2
     if not gray and not (arr.ndim == 3 and arr.shape[2] == 3):
         raise ValueError(f"cannot encode array of shape {arr.shape}")
     if subsampling not in ("444", "420"):
         raise ValueError("subsampling must be '444' or '420'")
+    if progressive and restart_interval:
+        raise ValueError("restart markers unsupported with progressive")
     h, w = arr.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
@@ -404,7 +412,7 @@ def encode_jpeg(
     sof = struct.pack(">BHHB", 8, h, w, len(comps))
     for c in comps:
         sof += bytes([c["id"], (c["hs"] << 4) | c["vs"], c["qid"]])
-    seg(0xC0, sof)
+    seg(0xC2 if progressive else 0xC0, sof)
     for cls, tid, (bits, values) in (
         (0, 0, STD_DC_LUMA),
         (1, 0, STD_AC_LUMA),
@@ -412,6 +420,13 @@ def encode_jpeg(
         seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(values))
     if restart_interval:
         seg(0xDD, struct.pack(">H", restart_interval))
+    if progressive:
+        _emit_progressive_scans(
+            out, seg, comps, hmax, vmax, mcus_x, mcus_y, h, w
+        )
+        out.extend(b"\xff\xd9")
+        return bytes(out)
+
     sos = bytes([len(comps)])
     for c in comps:
         tid = 0 if c["qid"] == 0 else 1
@@ -456,20 +471,131 @@ def encode_jpeg(
     return bytes(out)
 
 
+
+def _emit_progressive_scans(out, seg, comps, hmax, vmax, mcus_x, mcus_y, h, w):
+    """Spectral-selection progressive scan script: interleaved DC
+    scan, then AC bands [1..5] and [6..63] per component over the
+    component's OWN ceil block grid (per spec for non-interleaved
+    scans). EOB is emitted as the EOBRUN-of-1 symbol 0x00."""
+    # precompute quantized zigzag coefficients per comp block grid
+    coefs = {}
+    for c in comps:
+        plane = c["plane"]
+        brows, bcols = plane.shape[0] // 8, plane.shape[1] // 8
+        zz = np.empty((brows, bcols, 64), dtype=np.int64)
+        for by in range(brows):
+            for bx in range(bcols):
+                block = (
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(
+                        np.float64
+                    )
+                    - 128.0
+                )
+                quant = np.round(
+                    (_C @ block @ _C.T) / c["q"].reshape(8, 8)
+                ).astype(np.int64)
+                zz[by, bx] = quant.flatten()[ZIGZAG]
+        coefs[c["id"]] = zz
+
+    # scan 1: interleaved DC
+    sos = bytes([len(comps)])
+    for c in comps:
+        tid = 0 if c["qid"] == 0 else 1
+        sos += bytes([c["id"], tid << 4])
+    sos += bytes([0, 0, 0])
+    seg(0xDA, sos)
+    writer = _BitWriter()
+    preds = {c["id"]: 0 for c in comps}
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for c in comps:
+                for v in range(c["vs"]):
+                    for u in range(c["hs"]):
+                        dc = int(
+                            coefs[c["id"]][my * c["vs"] + v, mx * c["hs"] + u, 0]
+                        )
+                        diff = dc - preds[c["id"]]
+                        preds[c["id"]] = dc
+                        size, bits_val = _magnitude(diff)
+                        length, code = c["dc"][size]
+                        writer.write(code, length)
+                        if size:
+                            writer.write(bits_val, size)
+    writer.flush()
+    out.extend(writer.out)
+
+    # per-component AC band scans
+    # reconstruct frame pixel dims from the luma plane (hs==hmax)
+    for ss, se in ((1, 5), (6, 63)):
+        for c in comps:
+            # per spec, non-interleaved scans cover the component's
+            # OWN ceil block grid (sample dims, not MCU padding)
+            cw_blocks = -(-(-(-w * c["hs"] // hmax)) // 8)
+            ch_blocks = -(-(-(-h * c["vs"] // vmax)) // 8)
+            tid = 0 if c["qid"] == 0 else 1
+            sos = bytes([1, c["id"], tid]) + bytes([ss, se, 0])
+            seg(0xDA, sos)
+            writer = _BitWriter()
+            for by in range(ch_blocks):
+                for bx in range(cw_blocks):
+                    zz = coefs[c["id"]][by, bx]
+                    run = 0
+                    for k in range(ss, se + 1):
+                        v = int(zz[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            length, code = c["ac"][0xF0]
+                            writer.write(code, length)
+                            run -= 16
+                        size, bits_val = _magnitude(v)
+                        length, code = c["ac"][(run << 4) | size]
+                        writer.write(code, length)
+                        writer.write(bits_val, size)
+                        run = 0
+                    if run:
+                        length, code = c["ac"][0x00]  # EOBRUN of 1
+                        writer.write(code, length)
+            writer.flush()
+            out.extend(writer.out)
+
+
 # -- decoder -----------------------------------------------------------------
 
 
+def _find_scan_end(data: bytes, start: int) -> int:
+    """Position of the first real marker (not stuffing, not RSTn)
+    after ``start`` — the end of an entropy-coded segment."""
+    i = start
+    while i + 1 < len(data):
+        if data[i] == 0xFF:
+            nxt = data[i + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                i += 2
+                continue
+            return i
+        i += 1
+    return len(data)
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode baseline JPEG to (h, w) grayscale or (h, w, 3) RGB
-    uint8. Raises ValueError for progressive/arithmetic/12-bit."""
+    """Decode baseline-sequential (SOF0/1) or spectral-selection
+    progressive (SOF2, Ah=Al=0 scans) JPEG to (h, w) grayscale or
+    (h, w, 3) RGB uint8. Raises ValueError for
+    successive-approximation progressive scans (Ah>0 or Al>0),
+    arithmetic coding, and 12-bit precision."""
     if payload is None or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     frame = None
+    progressive = False
     restart_interval = 0
-    data = payload
+    store: dict = {}
+    saw_scan = False
+    data = bytes(payload)
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("corrupt JPEG marker stream")
@@ -501,7 +627,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     bits, values
                 )
                 s += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:
+        elif marker in (0xC0, 0xC1, 0xC2):
+            progressive = marker == 0xC2
             precision, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if precision != 8:
                 raise ValueError("only 8-bit JPEG supported")
@@ -517,9 +644,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     }
                 )
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            hmax = max(c["hs"] for c in comps)
+            vmax = max(c["vs"] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            for c in comps:
+                store[c["id"]] = np.zeros(
+                    (mcus_y * c["vs"], mcus_x * c["hs"], 64), dtype=np.int64
+                )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(
-                "only baseline sequential JPEG (SOF0/1) is supported"
+                "only baseline (SOF0/1) and progressive (SOF2) "
+                "huffman JPEG are supported"
             )
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -531,93 +667,235 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for i in range(ns):
                 cid, tsel = seg[1 + 2 * i : 3 + 2 * i]
                 scan.append((cid, tsel >> 4, tsel & 0x0F))
-            return _decode_scan(
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            entropy_start = pos + 2 + length
+            _fill_scan(
                 data,
-                pos + 2 + length,
+                entropy_start,
                 frame,
                 scan,
-                qtables,
                 htables,
                 restart_interval,
+                store,
+                progressive,
+                ss,
+                se,
+                ah,
+                al,
             )
+            saw_scan = True
+            pos = _find_scan_end(data, entropy_start)
+            continue
         pos += 2 + length
-    raise ValueError("JPEG has no scan data")
+    if frame is None or not saw_scan:
+        raise ValueError("JPEG has no scan data")
+    return _reconstruct(frame, store, qtables)
 
 
-def _decode_scan(
-    data, start, frame, scan, qtables, htables, restart_interval
+def _fill_scan(
+    data,
+    start,
+    frame,
+    scan,
+    htables,
+    restart_interval,
+    store,
+    progressive,
+    ss,
+    se,
+    ah,
+    al,
 ):
+    """Decode one entropy-coded scan into the coefficient store
+    (natural-order int coefficients, pre-dequantization)."""
     h, w, comps = frame
     by_id = {c["id"]: c for c in comps}
-    hmax = max(c["hs"] for c in comps)
-    vmax = max(c["vs"] for c in comps)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = -(-w // mcu_w)
-    mcus_y = -(-h // mcu_h)
-    planes = {}
-    for c in comps:
-        pw = mcus_x * c["hs"] * 8
-        ph = mcus_y * c["vs"] * 8
-        planes[c["id"]] = np.zeros((ph, pw), dtype=np.float64)
-
+    if progressive and (ah != 0 or (ss == 0 and al != 0) or (ss > 0 and al != 0)):
+        # spectral selection only: refinements (Ah>0) and point
+        # transforms (Al>0) raise — the documented honest boundary
+        if ah != 0 or al != 0:
+            raise ValueError(
+                "successive-approximation progressive JPEG not supported"
+            )
     reader = _BitReader(data, start)
-    preds = {c["id"]: 0 for c in comps}
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
+
+    if not progressive or ss == 0:
+        # interleaved walk (baseline full-band, or progressive DC)
+        hmax = max(c["hs"] for c in comps)
+        vmax = max(c["vs"] for c in comps)
+        mcus_x = -(-w // (8 * hmax))
+        mcus_y = -(-h // (8 * vmax))
+        if len(scan) == 1 and not progressive:
+            # single-component baseline scan walks the comp grid
+            cid = scan[0][0]
+            c = by_id[cid]
+            cw = -(-w * c["hs"] // hmax)
+            ch = -(-h * c["vs"] // vmax)
+            walk = [
+                (cid, by, bx)
+                for by in range(-(-ch // 8))
+                for bx in range(-(-cw // 8))
+            ]
+        else:
+            walk = None
+        preds = {c["id"]: 0 for c in comps}
+        count = 0
+
+        def maybe_restart():
+            nonlocal preds
             if (
                 restart_interval
-                and mcu_count
-                and mcu_count % restart_interval == 0
+                and count
+                and count % restart_interval == 0
             ):
                 reader.sync_restart()
                 preds = {c["id"]: 0 for c in comps}
-            for cid, dc_sel, ac_sel in scan:
-                c = by_id[cid]
-                dc_tab = htables.get((0, dc_sel))
-                ac_tab = htables.get((1, ac_sel))
-                q = qtables[c["q"]].reshape(8, 8)
-                if dc_tab is None or ac_tab is None:
-                    raise ValueError("JPEG scan references missing table")
-                for v in range(c["vs"]):
-                    for u in range(c["hs"]):
-                        zz = np.zeros(64, dtype=np.int64)
-                        size = reader.decode_symbol(dc_tab)
-                        diff = _extend(reader.read_bits(size), size)
-                        preds[cid] += diff
-                        zz[0] = preds[cid]
-                        k = 1
-                        while k < 64:
-                            sym = reader.decode_symbol(ac_tab)
-                            if sym == 0x00:  # EOB
-                                break
-                            run, size = sym >> 4, sym & 0x0F
-                            if size == 0:
-                                if run == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break
-                            k += run
-                            if k > 63:
-                                raise ValueError("JPEG AC run overflow")
-                            zz[k] = _extend(reader.read_bits(size), size)
-                            k += 1
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[ZIGZAG] = zz * q.flatten()[ZIGZAG]
-                        block = _C.T @ coef.reshape(8, 8) @ _C + 128.0
-                        py = (my * c["vs"] + v) * 8
-                        px = (mx * c["hs"] + u) * 8
-                        planes[cid][py : py + 8, px : px + 8] = block
-            mcu_count += 1
 
-    # upsample chroma to full resolution, crop, color-convert
+        if walk is not None:
+            for cid, by, bx in walk:
+                maybe_restart()
+                c = by_id[cid]
+                preds[cid] = _decode_block_into(
+                    reader,
+                    htables,
+                    scan[0],
+                    store[cid][by, bx],
+                    preds[cid],
+                    0,
+                    63,
+                    0,
+                )
+                count += 1
+            return
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                maybe_restart()
+                for cid, dc_sel, ac_sel in scan:
+                    c = by_id[cid]
+                    for v in range(c["vs"]):
+                        for u in range(c["hs"]):
+                            by = my * c["vs"] + v
+                            bx = mx * c["hs"] + u
+                            preds[cid] = _decode_block_into(
+                                reader,
+                                htables,
+                                (cid, dc_sel, ac_sel),
+                                store[cid][by, bx],
+                                preds[cid],
+                                0,
+                                0 if progressive else 63,
+                                al if progressive else 0,
+                            )
+                count += 1
+        return
+
+    # progressive AC scan: single component, its own block grid,
+    # EOBRUN semantics
+    if len(scan) != 1:
+        raise ValueError("progressive AC scans must be non-interleaved")
+    cid, _, ac_sel = scan[0]
+    c = by_id[cid]
+    hmax = max(cc["hs"] for cc in comps)
+    vmax = max(cc["vs"] for cc in comps)
+    cw = -(-w * c["hs"] // hmax)
+    ch = -(-h * c["vs"] // vmax)
+    ac_tab = htables.get((1, ac_sel))
+    if ac_tab is None:
+        raise ValueError("JPEG scan references missing AC table")
+    eobrun = 0
+    count = 0
+    for by in range(-(-ch // 8)):
+        for bx in range(-(-cw // 8)):
+            if (
+                restart_interval
+                and count
+                and count % restart_interval == 0
+            ):
+                reader.sync_restart()
+                eobrun = 0
+            count += 1
+            zz = store[cid][by, bx]
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                sym = reader.decode_symbol(ac_tab)
+                r, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("JPEG AC run overflow")
+                zz[ZIGZAG[k]] = _extend(reader.read_bits(size), size) << al
+                k += 1
+
+
+def _decode_block_into(
+    reader, htables, scan_comp, block, pred, ss, se, al
+):
+    """Decode one block's [ss..se] band into ``block`` (natural
+    order); returns the updated DC predictor."""
+    cid, dc_sel, ac_sel = scan_comp
+    if ss == 0:
+        dc_tab = htables.get((0, dc_sel))
+        if dc_tab is None:
+            raise ValueError("JPEG scan references missing DC table")
+        size = reader.decode_symbol(dc_tab)
+        pred += _extend(reader.read_bits(size), size)
+        block[0] = pred << al
+    if se >= 1:
+        ac_tab = htables.get((1, ac_sel))
+        if ac_tab is None:
+            raise ValueError("JPEG scan references missing AC table")
+        k = max(ss, 1)
+        while k <= se:
+            sym = reader.decode_symbol(ac_tab)
+            if sym == 0x00:  # EOB
+                break
+            r, size = sym >> 4, sym & 0x0F
+            if size == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC run overflow")
+            block[ZIGZAG[k]] = _extend(reader.read_bits(size), size)
+            k += 1
+    return pred
+
+
+def _reconstruct(frame, store, qtables):
+    """Dequantize + IDCT every stored block, upsample chroma, crop,
+    color-convert — shared by the baseline and progressive paths."""
+    h, w, comps = frame
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
     full = []
     for c in comps:
-        p = planes[c["id"]]
+        grid = store[c["id"]]
+        q = qtables[c["q"]].astype(np.float64)
+        brows, bcols, _ = grid.shape
+        plane = np.zeros((brows * 8, bcols * 8), dtype=np.float64)
+        for by in range(brows):
+            for bx in range(bcols):
+                coef = grid[by, bx].astype(np.float64) * q
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _C.T @ coef.reshape(8, 8) @ _C + 128.0
+                )
         ry, rx = vmax // c["vs"], hmax // c["hs"]
         if ry > 1 or rx > 1:
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        full.append(p[:h, :w])
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:h, :w])
     if len(full) == 1:
         return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
     if len(full) != 3:

@@ -13,13 +13,14 @@ signatures — is real and tested. Codecs:
   -vcodec ppm`` shape). Decode, feature-extract (grayscale
   histogram / RMS amplitude), nearest-neighbour resize with PPM
   re-encode, and frame sampling all actually run.
-* REAL baseline JPEG (``replay_spark.jpeg`` — pure numpy huffman +
-  DCT: grayscale/YCbCr decode incl. 4:2:2/4:2:0 chroma upsampling
-  and restart markers; grayscale/4:4:4/4:2:0 encode with the
-  standard Annex-K tables). Progressive JPEG and MP4/WebM containers
+* REAL JPEG (``replay_spark.jpeg`` — pure numpy huffman + DCT):
+  baseline AND spectral-selection progressive decode (4:4:4/4:2:2/
+  4:2:0 chroma upsampling, restart markers, EOBRUN), baseline or
+  progressive encode with the standard Annex-K tables.
+  Successive-approximation progressive and MP4/WebM frame decode
   remain the honest gaps behind the ``decoder=`` / ``splitter=``
-  hooks — swap in a PIL/ffmpeg-backed callable and nothing else
-  changes.
+  hooks (MP4 container METADATA is parsed for real — see
+  ``parse_mp4_metadata``).
 
 At scale: ``mapInPandas`` streams Arrow batches per partition, so a
 1000-executor cluster decodes in parallel with zero driver

@@ -1704,3 +1704,54 @@ def test_mp4_metadata_parser(spark):
         parse_mp4_metadata(b"not a video at all....")
     with pytest.raises(ValueError):
         parse_mp4_metadata(None)
+
+
+def test_jpeg_progressive_roundtrip():
+    """Spectral-selection progressive (SOF2): multi-scan encode must
+    decode to bit-identical pixels vs the baseline encoding of the
+    same image (same coefficients, different scan order) — including
+    4:2:0 and the w%16 in 1..8 grid-mismatch edge; SA refinement
+    scans stay an explicit error."""
+    import numpy as np
+
+    from replay_spark.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(13)
+    x = np.linspace(0, 255, 37)
+    y = np.linspace(0, 255, 29)
+    rgb = np.clip(
+        np.round(
+            np.stack(
+                [np.add.outer(y, x) / 2, np.tile(x, (29, 1)),
+                 np.tile(y[:, None], (1, 37))], -1
+            ) + rng.normal(0, 2, (29, 37, 3))
+        ), 0, 255
+    ).astype(np.uint8)
+    gray = np.clip(np.add.outer(y, x) / 2, 0, 255).astype(np.uint8)
+
+    for img, kw in (
+        (gray, {}),
+        (rgb, {}),
+        (rgb, {"subsampling": "420"}),
+        (rgb[:, :17, :], {"subsampling": "420"}),  # ceil-grid edge
+    ):
+        base = decode_jpeg(encode_jpeg(img, quality=92, **kw))
+        prog = decode_jpeg(
+            encode_jpeg(img, quality=92, progressive=True, **kw)
+        )
+        assert np.array_equal(base, prog), kw
+    # the progressive payload really is SOF2
+    payload = encode_jpeg(gray, quality=92, progressive=True)
+    assert b"\xff\xc2" in payload and b"\xff\xc0" not in payload
+
+    with pytest.raises(ValueError, match="restart markers unsupported"):
+        encode_jpeg(gray, progressive=True, restart_interval=2)
+
+    # successive-approximation scans are the documented boundary:
+    # craft one by patching a progressive payload's SOS Ah/Al byte
+    idx = payload.index(b"\xff\xda")  # first SOS (DC scan)
+    (ln,) = __import__("struct").unpack(">H", payload[idx + 2 : idx + 4])
+    sa = bytearray(payload)
+    sa[idx + 2 + ln - 1] = 0x01  # Al=1
+    with pytest.raises(ValueError, match="successive-approximation"):
+        decode_jpeg(bytes(sa))
