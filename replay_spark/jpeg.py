@@ -2,16 +2,20 @@
 
 Scope (the honest contract):
 
-* ``decode_jpeg``: baseline sequential DCT (SOF0/1) AND
-  spectral-selection progressive (SOF2 with Ah=Al=0 scans, EOBRUN
-  semantics), 8-bit, grayscale or YCbCr with any of the common
-  sampling factors (4:4:4, 4:2:2, 4:2:0 — chroma nearest-neighbour
-  upsampled), restart markers honoured. Successive-approximation
-  progressive scans (Ah>0/Al>0), arithmetic coding, and 12-bit raise
-  ValueError — the remaining honest boundary.
+* ``decode_jpeg``: the full huffman JPEG family — baseline
+  sequential (SOF0/1) and progressive (SOF2) with BOTH spectral
+  selection and successive approximation (DC point transforms and
+  refinement bits, AC refinement with correction bits, multi-block
+  EOBRUN, ZRL-with-corrections), 8-bit, grayscale or YCbCr at the
+  common sampling factors (4:4:4, 4:2:2, 4:2:0 — chroma
+  nearest-neighbour upsampled), restart markers, mid-stream DHT
+  redefinition. Arithmetic coding, 12-bit precision, and
+  hierarchical (SOF3+) raise ValueError — the remaining boundary.
 * ``encode_jpeg``: grayscale or YCbCr 4:4:4/4:2:0 with the standard
-  Annex-K tables (scaled by ``quality``); baseline or a
-  spectral-selection progressive scan script (``progressive=True``).
+  Annex-K tables (scaled by ``quality``); baseline, a
+  spectral-selection progressive script (``progressive=True``), or a
+  successive-approximation script (``progressive="sa"``) — the
+  latter exists chiefly so the SA decode paths are test-backed.
 
 JPEG is lossy, so unlike the PNG/netpbm/WAV codecs there is no
 bit-exact round-trip oracle; correctness is pinned by round-trip
@@ -421,9 +425,14 @@ def encode_jpeg(
     if restart_interval:
         seg(0xDD, struct.pack(">H", restart_interval))
     if progressive:
-        _emit_progressive_scans(
-            out, seg, comps, hmax, vmax, mcus_x, mcus_y, h, w
-        )
+        if progressive == "sa":
+            _emit_sa_scans(
+                out, seg, comps, hmax, vmax, mcus_x, mcus_y, h, w
+            )
+        else:
+            _emit_progressive_scans(
+                out, seg, comps, hmax, vmax, mcus_x, mcus_y, h, w
+            )
         out.extend(b"\xff\xd9")
         return bytes(out)
 
@@ -477,25 +486,7 @@ def _emit_progressive_scans(out, seg, comps, hmax, vmax, mcus_x, mcus_y, h, w):
     scan, then AC bands [1..5] and [6..63] per component over the
     component's OWN ceil block grid (per spec for non-interleaved
     scans). EOB is emitted as the EOBRUN-of-1 symbol 0x00."""
-    # precompute quantized zigzag coefficients per comp block grid
-    coefs = {}
-    for c in comps:
-        plane = c["plane"]
-        brows, bcols = plane.shape[0] // 8, plane.shape[1] // 8
-        zz = np.empty((brows, bcols, 64), dtype=np.int64)
-        for by in range(brows):
-            for bx in range(bcols):
-                block = (
-                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(
-                        np.float64
-                    )
-                    - 128.0
-                )
-                quant = np.round(
-                    (_C @ block @ _C.T) / c["q"].reshape(8, 8)
-                ).astype(np.int64)
-                zz[by, bx] = quant.flatten()[ZIGZAG]
-        coefs[c["id"]] = zz
+    coefs = _coef_grids(comps)
 
     # scan 1: interleaved DC
     sos = bytes([len(comps)])
@@ -559,6 +550,212 @@ def _emit_progressive_scans(out, seg, comps, hmax, vmax, mcus_x, mcus_y, h, w):
                         writer.write(code, length)
             writer.flush()
             out.extend(writer.out)
+
+
+
+def _coef_grids(comps):
+    """Quantized zigzag coefficients for every block of every comp."""
+    coefs = {}
+    for c in comps:
+        plane = c["plane"]
+        brows, bcols = plane.shape[0] // 8, plane.shape[1] // 8
+        zz = np.empty((brows, bcols, 64), dtype=np.int64)
+        for by in range(brows):
+            for bx in range(bcols):
+                block = (
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(
+                        np.float64
+                    )
+                    - 128.0
+                )
+                quant = np.round(
+                    (_C @ block @ _C.T) / c["q"].reshape(8, 8)
+                ).astype(np.int64)
+                zz[by, bx] = quant.flatten()[ZIGZAG]
+        coefs[c["id"]] = zz
+    return coefs
+
+
+def _emit_sa_scans(out, seg, comps, hmax, vmax, mcus_x, mcus_y, h, w):
+    """Successive-approximation script (tests the refinement decoder):
+    DC first at Al=1, AC first per comp at Al=1, DC refinement, AC
+    refinement per comp — T.81 G.1.2.3 semantics, WITH multi-block
+    EOBRUN batching. EOBn (n>0) symbols do not exist in the Annex-K
+    baseline tables, so the AC tables are redefined via DHT as a
+    uniform 9-bit code over all 256 symbols (canonically valid,
+    deliberately simple — compression is not the point of this
+    script)."""
+    coefs = _coef_grids(comps)
+    # a DHT bits entry is one byte, so 256 symbols split 255@9 + 1@10
+    uni_bits = [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0]
+    uni_values = list(range(256))
+    uniform = _build_code_table(uni_bits, uni_values)
+    # redefine AC tables 0 and 1 (decoders read DHT sequentially,
+    # later definitions win) so every comp's AC scans use it
+    for tid in (0, 1):
+        seg(0xC4, bytes([0x10 | tid]) + bytes(uni_bits) + bytes(uni_values))
+
+    def dc_scan(ah, al):
+        sos = bytes([len(comps)])
+        for c in comps:
+            tid = 0 if c["qid"] == 0 else 1
+            sos += bytes([c["id"], tid << 4])
+        sos += bytes([0, 0, (ah << 4) | al])
+        seg(0xDA, sos)
+        writer = _BitWriter()
+        preds = {c["id"]: 0 for c in comps}
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for c in comps:
+                    for v in range(c["vs"]):
+                        for u in range(c["hs"]):
+                            dc = int(
+                                coefs[c["id"]][
+                                    my * c["vs"] + v, mx * c["hs"] + u, 0
+                                ]
+                            )
+                            if ah == 0:
+                                t = dc >> al  # arithmetic shift per spec
+                                diff = t - preds[c["id"]]
+                                preds[c["id"]] = t
+                                size, bits_val = _magnitude(diff)
+                                length, code = c["dc"][size]
+                                writer.write(code, length)
+                                if size:
+                                    writer.write(bits_val, size)
+                            else:
+                                writer.write((dc >> al) & 1, 1)
+        writer.flush()
+        out.extend(writer.out)
+
+    def ac_first_scan(c, al):
+        tid = 0 if c["qid"] == 0 else 1
+        seg(0xDA, bytes([1, c["id"], tid]) + bytes([1, 63, al]))
+        writer = _BitWriter()
+        bw = -(-(-(-w * c["hs"] // hmax)) // 8)
+        bh = -(-(-(-h * c["vs"] // vmax)) // 8)
+        eobrun = 0
+
+        def flush_eobrun():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                length, code = uniform[r << 4]
+                writer.write(code, length)
+                if r:
+                    writer.write(eobrun - (1 << r), r)
+                eobrun = 0
+
+        for by in range(bh):
+            for bx in range(bw):
+                zz = coefs[c["id"]][by, bx]
+                run = 0
+                emitted = False
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    t = (abs(v) >> al) * (1 if v >= 0 else -1)
+                    if t == 0:
+                        run += 1
+                        continue
+                    if not emitted:
+                        flush_eobrun()
+                        emitted = True
+                    while run > 15:
+                        length, code = uniform[0xF0]
+                        writer.write(code, length)
+                        run -= 16
+                    size, bits_val = _magnitude(t)
+                    length, code = uniform[(run << 4) | size]
+                    writer.write(code, length)
+                    writer.write(bits_val, size)
+                    run = 0
+                if run:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eobrun()
+        flush_eobrun()
+        writer.flush()
+        out.extend(writer.out)
+
+    def ac_refine_scan(c, ah, al):
+        tid = 0 if c["qid"] == 0 else 1
+        seg(0xDA, bytes([1, c["id"], tid]) + bytes([1, 63, (ah << 4) | al]))
+        writer = _BitWriter()
+        bw = -(-(-(-w * c["hs"] // hmax)) // 8)
+        bh = -(-(-(-h * c["vs"] // vmax)) // 8)
+        eobrun = 0
+        eob_bits = []  # corrections owed by EOB-run-covered blocks
+
+        def flush_eobrun():
+            nonlocal eobrun, eob_bits
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                length, code = uniform[r << 4]
+                writer.write(code, length)
+                if r:
+                    writer.write(eobrun - (1 << r), r)
+                for b in eob_bits:
+                    writer.write(b, 1)
+                eobrun = 0
+                eob_bits = []
+
+        for by in range(bh):
+            for bx in range(bw):
+                zz = coefs[c["id"]][by, bx]
+                run = 0
+                buffered = []  # correction bits pending emission
+                emitted = False
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    t = abs(v) >> al
+                    if t == 0:
+                        run += 1
+                        continue
+                    # at ANY nonzero (correction or new), pending
+                    # ZRLs flush FIRST — otherwise a buffered
+                    # correction could lie beyond the 16-zero span a
+                    # later ZRL covers and the decoder would consume
+                    # its bit in the wrong place
+                    while run > 15:
+                        if not emitted:
+                            flush_eobrun()
+                            emitted = True
+                        length, code = uniform[0xF0]
+                        writer.write(code, length)
+                        run -= 16
+                        for b in buffered:
+                            writer.write(b, 1)
+                        buffered = []
+                    if t > 1:
+                        # history-nonzero: correction bit, buffered
+                        buffered.append(t & 1)
+                        continue
+                    # newly nonzero at this level (t == 1)
+                    if not emitted:
+                        flush_eobrun()
+                        emitted = True
+                    length, code = uniform[(run << 4) | 1]
+                    writer.write(code, length)
+                    writer.write(1 if v > 0 else 0, 1)
+                    run = 0
+                    for b in buffered:
+                        writer.write(b, 1)
+                    buffered = []
+                if run or buffered or not emitted:
+                    eobrun += 1
+                    eob_bits.extend(buffered)
+                    if eobrun == 0x7FFF:
+                        flush_eobrun()
+        flush_eobrun()
+        writer.flush()
+        out.extend(writer.out)
+
+    dc_scan(0, 1)
+    for c in comps:
+        ac_first_scan(c, 1)
+    dc_scan(1, 0)
+    for c in comps:
+        ac_refine_scan(c, 1, 0)
 
 
 # -- decoder -----------------------------------------------------------------
@@ -711,14 +908,14 @@ def _fill_scan(
     (natural-order int coefficients, pre-dequantization)."""
     h, w, comps = frame
     by_id = {c["id"]: c for c in comps}
-    if progressive and (ah != 0 or (ss == 0 and al != 0) or (ss > 0 and al != 0)):
-        # spectral selection only: refinements (Ah>0) and point
-        # transforms (Al>0) raise — the documented honest boundary
-        if ah != 0 or al != 0:
-            raise ValueError(
-                "successive-approximation progressive JPEG not supported"
-            )
     reader = _BitReader(data, start)
+
+    if progressive and ah != 0:
+        _fill_refinement_scan(
+            reader, data, frame, scan, htables, restart_interval,
+            store, ss, se, ah, al,
+        )
+        return
 
     if not progressive or ss == 0:
         # interleaved walk (baseline full-band, or progressive DC)
@@ -835,6 +1032,122 @@ def _fill_scan(
                 if k > se:
                     raise ValueError("JPEG AC run overflow")
                 zz[ZIGZAG[k]] = _extend(reader.read_bits(size), size) << al
+                k += 1
+
+
+def _fill_refinement_scan(
+    reader, data, frame, scan, htables, restart_interval, store,
+    ss, se, ah, al,
+):
+    """Successive-approximation REFINEMENT scans (Ah>0): DC scans
+    append one bit per block; AC scans run the T.81 G.1.2 correction
+    algorithm — newly-nonzero coefficients arrive as ±1<<Al via
+    run/size-1 symbols, zero runs count only zero-history positions,
+    and every nonzero-history position traversed (including inside
+    EOB runs) consumes a correction bit."""
+    h, w, comps = frame
+    by_id = {c["id"]: c for c in comps}
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+
+    if ss == 0:
+        # DC refinement: interleaved MCU walk, one raw bit per block
+        mcus_x = -(-w // (8 * hmax))
+        mcus_y = -(-h // (8 * vmax))
+        count = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if (
+                    restart_interval
+                    and count
+                    and count % restart_interval == 0
+                ):
+                    reader.sync_restart()
+                count += 1
+                for cid, _, _ in scan:
+                    c = by_id[cid]
+                    for v in range(c["vs"]):
+                        for u in range(c["hs"]):
+                            blk = store[cid][my * c["vs"] + v, mx * c["hs"] + u]
+                            if reader.read_bit():
+                                blk[0] |= 1 << al
+        return
+
+    if len(scan) != 1:
+        raise ValueError("progressive AC scans must be non-interleaved")
+    cid, _, ac_sel = scan[0]
+    c = by_id[cid]
+    cw = -(-w * c["hs"] // hmax)
+    ch = -(-h * c["vs"] // vmax)
+    ac_tab = htables.get((1, ac_sel))
+    if ac_tab is None:
+        raise ValueError("JPEG scan references missing AC table")
+    p1 = 1 << al
+    eobrun = 0
+    count = 0
+
+    def correct(blk, k):
+        """Consume a correction bit for the nonzero coef at zz pos k."""
+        if reader.read_bit():
+            v = blk[ZIGZAG[k]]
+            if v > 0 and not (v & p1):
+                blk[ZIGZAG[k]] = v + p1
+            elif v < 0 and not (-v & p1):
+                blk[ZIGZAG[k]] = v - p1
+
+    for by in range(-(-ch // 8)):
+        for bx in range(-(-cw // 8)):
+            if (
+                restart_interval
+                and count
+                and count % restart_interval == 0
+            ):
+                reader.sync_restart()
+                eobrun = 0
+            count += 1
+            blk = store[cid][by, bx]
+            k = ss
+            if eobrun > 0:
+                # this block is covered by a pending EOB run: no
+                # symbols, but its nonzero-history coefficients still
+                # take correction bits (the loop below)
+                eobrun -= 1
+            else:
+                while k <= se:
+                    sym = reader.decode_symbol(ac_tab)
+                    r, size = sym >> 4, sym & 0x0F
+                    newval = 0
+                    if size == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        # ZRL: skip 16 zero-history positions
+                    elif size == 1:
+                        newval = p1 if reader.read_bit() else -p1
+                    else:
+                        raise ValueError(
+                            "invalid size in AC refinement scan"
+                        )
+                    # advance r zero-history positions, correcting
+                    # nonzero-history coefficients on the way
+                    while k <= se:
+                        if blk[ZIGZAG[k]] != 0:
+                            correct(blk, k)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        blk[ZIGZAG[k]] = newval
+                    k += 1
+            # EOB (or end-of-band): correction bits for remaining
+            # nonzero-history coefficients in the band
+            while k <= se:
+                if blk[ZIGZAG[k]] != 0:
+                    correct(blk, k)
                 k += 1
 
 

@@ -14,13 +14,13 @@ signatures — is real and tested. Codecs:
   histogram / RMS amplitude), nearest-neighbour resize with PPM
   re-encode, and frame sampling all actually run.
 * REAL JPEG (``replay_spark.jpeg`` — pure numpy huffman + DCT):
-  baseline AND spectral-selection progressive decode (4:4:4/4:2:2/
-  4:2:0 chroma upsampling, restart markers, EOBRUN), baseline or
-  progressive encode with the standard Annex-K tables.
-  Successive-approximation progressive and MP4/WebM frame decode
-  remain the honest gaps behind the ``decoder=`` / ``splitter=``
-  hooks (MP4 container METADATA is parsed for real — see
-  ``parse_mp4_metadata``).
+  the full huffman family — baseline AND progressive decode with
+  both spectral selection and successive approximation (4:4:4/
+  4:2:2/4:2:0 chroma upsampling, restart markers, EOBRUN,
+  correction bits), baseline/progressive encode with the standard
+  Annex-K tables. MP4/WebM frame decode remains the honest gap
+  behind the ``splitter=`` hook (MP4 container METADATA is parsed
+  for real — see ``parse_mp4_metadata``).
 
 At scale: ``mapInPandas`` streams Arrow batches per partition, so a
 1000-executor cluster decodes in parallel with zero driver

@@ -1747,11 +1747,48 @@ def test_jpeg_progressive_roundtrip():
     with pytest.raises(ValueError, match="restart markers unsupported"):
         encode_jpeg(gray, progressive=True, restart_interval=2)
 
-    # successive-approximation scans are the documented boundary:
-    # craft one by patching a progressive payload's SOS Ah/Al byte
-    idx = payload.index(b"\xff\xda")  # first SOS (DC scan)
-    (ln,) = __import__("struct").unpack(">H", payload[idx + 2 : idx + 4])
-    sa = bytearray(payload)
-    sa[idx + 2 + ln - 1] = 0x01  # Al=1
-    with pytest.raises(ValueError, match="successive-approximation"):
-        decode_jpeg(bytes(sa))
+
+def test_jpeg_successive_approximation_roundtrip():
+    """Full successive-approximation progressive (the libjpeg default
+    script family): DC point transform + refinement bit, AC first
+    scans at Al=1, AC refinement with buffered correction bits,
+    multi-block EOBRUN batching, ZRL-with-corrections, and custom
+    (uniform) DHT redefinition mid-stream. Every configuration must
+    decode bit-identical to the baseline encoding (same
+    coefficients)."""
+    import numpy as np
+
+    from replay_spark.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(31)
+    x = np.linspace(0, 255, 53)
+    y = np.linspace(0, 255, 41)
+    rgb = np.clip(
+        np.round(
+            np.stack(
+                [np.add.outer(y, x) / 2, np.tile(x, (41, 1)),
+                 np.tile(y[:, None], (1, 53))], -1
+            ) + rng.normal(0, 2, (41, 53, 3))
+        ), 0, 255
+    ).astype(np.uint8)
+    gray = np.clip(
+        np.add.outer(y, x) / 2 + rng.normal(0, 8, (41, 53)), 0, 255
+    ).astype(np.uint8)
+    smooth = np.clip(
+        np.add.outer(np.linspace(100, 110, 48), np.linspace(0, 9, 56)),
+        0, 255,
+    ).astype(np.uint8)  # long EOB runs at low quality
+    noise = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    for img, q, kw in (
+        (gray, 88, {}),
+        (noise, 50, {}),
+        (smooth, 30, {}),
+        (rgb, 88, {}),
+        (rgb, 88, {"subsampling": "420"}),
+        (rgb[:, :17, :], 88, {"subsampling": "420"}),
+    ):
+        base = decode_jpeg(encode_jpeg(img, quality=q, **kw))
+        sa = decode_jpeg(
+            encode_jpeg(img, quality=q, progressive="sa", **kw)
+        )
+        assert np.array_equal(base, sa), (q, kw)
