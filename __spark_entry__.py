@@ -1627,13 +1627,16 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL JPEG-codec gate: each embedding's mean is quantized to a
-    solid 16×16 grayscale image, encoded as baseline JPEG (pure-numpy
-    huffman + DCT, restart markers every MCU), decoded back, and the
-    16-bin histogram comes out. At quality 90 the solid round trip is
-    the identity for every uint8 value (unit-tested over all 256), so
-    DuckDB verifies the full bitstream round trip from the raw
-    embeddings — the lossy codec's hash-gateable slice. The full
-    lossy path is pinned by PSNR tests in tests/test_llm_ops.py."""
+    solid 16×16 grayscale image, encoded — alternating per id between
+    baseline-with-restart-markers and SUCCESSIVE-APPROXIMATION
+    progressive (pure-numpy huffman + DCT either way) — decoded back,
+    and the 16-bin histogram comes out. At quality 90 the solid round
+    trip is the identity for every uint8 value on BOTH paths
+    (unit-tested over all 256), so DuckDB verifies the complete
+    bitstream round trips from the raw embeddings — the lossy codec's
+    hash-gateable slice, now covering the progressive scan machinery
+    officially. The full lossy paths are pinned by PSNR and
+    sa==baseline equality tests in tests/test_llm_ops.py."""
     import numpy as np
     import pandas as pd
 
@@ -1645,18 +1648,20 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(batches):
         for pdf in batches:
             payloads = []
-            for vec in pdf["embedding"]:
+            for vid, vec in zip(pdf["vec_id"], pdf["embedding"]):
                 arr = np.asarray(vec, dtype=np.float64)
                 c = int(
                     np.clip(np.floor((arr.mean() + 1.0) * 128.0), 0, 255)
                 )
-                payloads.append(
-                    encode_jpeg(
-                        np.full((16, 16), c, dtype=np.uint8),
-                        quality=90,
-                        restart_interval=1,
+                img = np.full((16, 16), c, dtype=np.uint8)
+                if int(vid) % 2:
+                    payloads.append(
+                        encode_jpeg(img, quality=90, progressive="sa")
                     )
-                )
+                else:
+                    payloads.append(
+                        encode_jpeg(img, quality=90, restart_interval=1)
+                    )
             yield pd.DataFrame(
                 {"media_id": pdf["vec_id"].values, "payload": payloads}
             )
