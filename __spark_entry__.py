@@ -39,6 +39,7 @@ WILSON_CRIT = 1.959963984540054
 # z for the 95% ConfidenceInterval descriptor — computed by the SAME
 # Acklam approximation the descriptor uses, so both engines agree.
 from replay_spark.metrics.descriptors import _norm_ppf as _rs_norm_ppf
+from replay_spark.utils.spark_utils import stable_round
 
 _NORM_Z975 = _rs_norm_ppf(0.975)
 
@@ -102,7 +103,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            stable_round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -156,11 +157,11 @@ def q_top_k_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = _interactions(spark, sf_dir)
     return inter.groupBy("query_id").agg(
-        F.round(F.avg("rating"), 6).alias("mean_rating"),
+        stable_round(F.avg("rating"), 6).alias("mean_rating"),
         F.max("rating").alias("max_rating"),
         F.min("rating").alias("min_rating"),
         F.count(F.lit(1)).alias("cnt"),
-        F.round(F.expr("percentile(rating, 0.5)"), 6).alias("median_rating"),
+        stable_round(F.expr("percentile(rating, 0.5)"), 6).alias("median_rating"),
     )
 
 
@@ -409,7 +410,7 @@ def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(dot / (norm_q * norm_v), 6).alias("cos_sim"),
+            stable_round(dot / (norm_q * norm_v), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("qid").orderBy(
@@ -1590,9 +1591,14 @@ def q_llm_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(source, lang) corpus rollup: docs/token/char totals,
-    exact min/max token counts, average chars. (The operator also
-    emits a percentile_approx median — excluded here because engines
-    disagree on even-group median conventions; unit-tested instead.)"""
+    exact min/max token counts, and the exact-integer mean
+    ``avg_chars_ppm`` = floor(total_chars * 1e6 / num_docs). The r6
+    driver run flipped a `round(avg(double), 6)` hash here (Spark
+    rounds the shortest decimal string, DuckDB the binary double);
+    hashing the integral-division projection instead is engine-proof
+    by construction. (The operator also emits a float ``avg_chars``
+    and a percentile_approx median — excluded from the gate;
+    unit-tested instead.)"""
     from replay_spark.preprocessing.text import CorpusStats
 
     docs = rsd.read_table(spark, sf_dir, "documents")
@@ -1604,7 +1610,7 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_chars",
         "min_tokens",
         "max_tokens",
-        "avg_chars",
+        "avg_chars_ppm",
     )
 
 
@@ -2158,10 +2164,10 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = RepetitionStats().transform(docs)
     return out.select(
         "doc_id",
-        F.round("dup_word_frac", 6).alias("dup_word_frac"),
-        F.round("dup_line_frac", 6).alias("dup_line_frac"),
-        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
-        F.round("top_bigram_char_frac", 6).alias("top_bigram_char_frac"),
+        stable_round("dup_word_frac", 6).alias("dup_word_frac"),
+        stable_round("dup_line_frac", 6).alias("dup_line_frac"),
+        stable_round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        stable_round("top_bigram_char_frac", 6).alias("top_bigram_char_frac"),
     )
 
 
@@ -2355,7 +2361,7 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity), 2) AS sum_qty,
                    round(sum(l_extendedprice), 2) AS sum_base_price,
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_quantity) + 1e-9, 6) AS avg_qty,
                    count(*) AS count_order
             FROM lineitem WHERE l_quantity < 30
             GROUP BY l_returnflag, l_linestatus
@@ -2391,11 +2397,11 @@ def oracle_sql() -> dict[str, str]:
         "q_user_stats": f"""
             WITH {W}
             SELECT query_id,
-                   round(avg(rating), 6) AS mean_rating,
+                   round(avg(rating) + 1e-9, 6) AS mean_rating,
                    max(rating) AS max_rating,
                    min(rating) AS min_rating,
                    count(*) AS cnt,
-                   round(quantile_cont(rating, 0.5), 6) AS median_rating
+                   round(quantile_cont(rating, 0.5) + 1e-9, 6) AS median_rating
             FROM interactions GROUP BY query_id
         """,
         "q_filter_min_count": f"""
@@ -3295,7 +3301,8 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN length(trim(text)) = 0 THEN 0
                             ELSE len(string_split_regex(trim(text), '\\s+'))
                        END) AS max_tokens,
-                   round(avg(length(text)), 6) AS avg_chars
+                   CAST(CAST(sum(length(text)) AS HUGEINT) * 1000000
+                        // count(*) AS BIGINT) AS avg_chars_ppm
             FROM documents
             GROUP BY source, lang
         """,
@@ -3406,7 +3413,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN (
                 SELECT doc_id, count(*) AS n,
-                       round(avg(lp), 6) AS score
+                       round(avg(lp) + 1e-9, 6) AS score
                 FROM scored GROUP BY doc_id) s USING (doc_id)
         """,
         "q_paragraph_dedup": """
@@ -3466,7 +3473,8 @@ def oracle_sql() -> dict[str, str]:
             model AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
             tot AS (SELECT count(*) AS n, count(DISTINCT token) AS v FROM toks)
             SELECT t.doc_id, count(*) AS n_tokens,
-                   round(avg(ln((coalesce(m.c, 0) + 1.0) / (tot.n + tot.v))), 6)
+                   round(avg(ln((coalesce(m.c, 0) + 1.0) / (tot.n + tot.v)))
+                         + 1e-9, 6)
                        AS lm_score
             FROM toks t LEFT JOIN model m USING (token) CROSS JOIN tot
             GROUP BY t.doc_id
@@ -3605,7 +3613,7 @@ def oracle_sql() -> dict[str, str]:
                            row_number() OVER (PARTITION BY e.vec_id ORDER BY
                                round(list_dot_product(e.v, c.cv) /
                                      (sqrt(list_dot_product(e.v, e.v)) *
-                                      sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                                      sqrt(list_dot_product(c.cv, c.cv))) + 1e-9, 6) DESC,
                                c.cluster ASC) AS rn
                     FROM e, cents c) t
                 WHERE rn = 1),
@@ -3616,7 +3624,7 @@ def oracle_sql() -> dict[str, str]:
                            row_number() OVER (PARTITION BY q.qid ORDER BY
                                round(list_dot_product(q.qv, c.cv) /
                                      (sqrt(list_dot_product(q.qv, q.qv)) *
-                                      sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                                      sqrt(list_dot_product(c.cv, c.cv))) + 1e-9, 6) DESC,
                                c.cluster ASC) AS rn
                     FROM q, cents c) t
                 WHERE rn <= 2),
@@ -3624,7 +3632,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
                        round(list_dot_product(q.qv, e.v) /
                              (sqrt(list_dot_product(q.qv, q.qv)) *
-                              sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+                              sqrt(list_dot_product(e.v, e.v))) + 1e-9, 6) AS cosine
                 FROM probe p
                 JOIN q ON p.qid = q.qid
                 JOIN assign a ON a.cluster = p.cluster
@@ -3738,7 +3746,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT t.doc_id, t.token,
                        round(
                            (t.c * 1.0 / l.n)
-                           * (ln((corpus.n_docs + 1.0) / (d.df + 1.0)) + 1.0),
+                           * (ln((corpus.n_docs + 1.0) / (d.df + 1.0)) + 1.0)
+                           + 1e-9,
                            6) AS score
                 FROM doc_tf t
                 JOIN doc_len l USING (doc_id)
@@ -4307,7 +4316,7 @@ def oracle_sql() -> dict[str, str]:
                        round(
                            list_dot_product(q.qv, e.v) /
                            (sqrt(list_dot_product(q.qv, q.qv)) *
-                            sqrt(list_dot_product(e.v, e.v))),
+                            sqrt(list_dot_product(e.v, e.v))) + 1e-9,
                        6) AS cos_sim
                 FROM q, e WHERE e.vec_id <> q.qid)
             SELECT qid, neighbor_id, cos_sim FROM (
@@ -4457,12 +4466,12 @@ def oracle_sql() -> dict[str, str]:
                         PARTITION BY doc_id ORDER BY c DESC, bg ASC) AS rn
                     FROM bg_counts) r WHERE rn = 1)
             SELECT w.doc_id,
-                   round(dup_word_frac, 6) AS dup_word_frac,
-                   round(coalesce(dup_line_frac, 0), 6) AS dup_line_frac,
-                   round(coalesce(dup_line_char_frac, 0), 6) AS dup_line_char_frac,
+                   round(dup_word_frac + 1e-9, 6) AS dup_word_frac,
+                   round(coalesce(dup_line_frac, 0) + 1e-9, 6) AS dup_line_frac,
+                   round(coalesce(dup_line_char_frac, 0) + 1e-9, 6) AS dup_line_char_frac,
                    round(CASE WHEN n_chars > 0 AND top_chars IS NOT NULL
                               THEN top_chars / CAST(n_chars AS DOUBLE)
-                              ELSE 0.0 END, 6) AS top_bigram_char_frac
+                              ELSE 0.0 END + 1e-9, 6) AS top_bigram_char_frac
             FROM words w
             LEFT JOIN line_stats USING (doc_id)
             LEFT JOIN top_bg USING (doc_id)

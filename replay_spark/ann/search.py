@@ -25,6 +25,8 @@ from typing import Optional
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from replay_spark.utils.spark_utils import stable_round
+
 __all__ = ["BruteForceANN", "IVFANN", "LSHANN", "PQANN", "IVFPQANN"]
 
 
@@ -122,7 +124,7 @@ class IVFANN:
                 prepared.crossJoin(F.broadcast(cdf))
                 .withColumn(
                     "_cos",
-                    F.round(
+                    stable_round(
                         _dot(F.col("v"), F.col("centroid"))
                         / (_norm(F.col("v")) * _norm(F.col("centroid"))),
                         6,
@@ -198,8 +200,9 @@ class IVFANN:
                 "_c_cos",
                 # rounded so probe selection is reproducible across
                 # engines (the hash-gated fixed-centroid query ranks
-                # on exactly this value in SQL)
-                F.round(
+                # on exactly this value in SQL); stable_round guards
+                # the .xxx5 decimal-boundary divergence (d25b766)
+                stable_round(
                     _dot(F.col("qv"), F.col("centroid"))
                     / (_norm(F.col("qv")) * _norm(F.col("centroid"))),
                     6,
@@ -222,7 +225,7 @@ class IVFANN:
             .select(
                 "query_id",
                 "neighbor_id",
-                F.round(
+                stable_round(
                     _dot(F.col("qv"), F.col("cv"))
                     / (_norm(F.col("qv")) * _norm(F.col("cv"))),
                     6,

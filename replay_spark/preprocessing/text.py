@@ -15,6 +15,8 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from replay_spark.utils.spark_utils import stable_round
+
 __all__ = [
     "tokenize_expr",
     "token_count_expr",
@@ -172,6 +174,20 @@ class CorpusStats:
             F.max("_toks").alias("max_tokens"),
             F.percentile_approx("_toks", 0.5, 10000).alias("median_tokens"),
             F.round(F.avg("_chars"), 6).alias("avg_chars"),
+        ).withColumn(
+            # Exact-integer mean (chars * 1e6 per doc, floor): computed
+            # with integral division over the two exact integer columns,
+            # so it is bit-identical in ANY engine — unlike
+            # round(avg(double), 6), where Spark rounds the shortest
+            # decimal string while other engines round the binary
+            # double and .xxx5-boundary values flip. The decimal(38,0)
+            # cast keeps total_chars * 1e6 exact at petabyte char
+            # counts (bigint would overflow past ~9e12 chars/group).
+            "avg_chars_ppm",
+            F.expr(
+                "CAST((CAST(total_chars AS DECIMAL(38,0)) * 1000000)"
+                " div num_docs AS BIGINT)"
+            ),
         )
 
 
@@ -691,7 +707,7 @@ class TfIdfKeywords:
             .crossJoin(F.broadcast(n_docs))
             .withColumn(
                 "score",
-                F.round(
+                stable_round(
                     (F.col("__c").cast("double") / F.col("__n"))
                     * (
                         F.log(
@@ -777,7 +793,7 @@ class UnigramLMScorer:
         )
         return scored.groupBy(idc).agg(
             F.count("*").alias("n_tokens"),
-            F.round(F.avg("_lp"), 6).alias("lm_score"),
+            stable_round(F.avg("_lp"), 6).alias("lm_score"),
         )
 
 
@@ -867,8 +883,8 @@ class BigramLMScorer:
             .groupBy(idc)
             .agg(
                 F.count("*").alias("n_bigrams"),
-                F.round(F.avg("_lp"), 6).alias("lm_score"),
-                F.round(F.exp(-F.avg("_lp")), 4).alias("perplexity"),
+                stable_round(F.avg("_lp"), 6).alias("lm_score"),
+                stable_round(F.exp(-F.avg("_lp")), 4).alias("perplexity"),
             )
         )
         # docs with < 2 tokens have no transitions: keep the row with

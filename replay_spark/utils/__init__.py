@@ -11,6 +11,7 @@ from replay_spark.utils.spark_utils import (  # noqa: F401
     join_or_return,
     process_timestamp_column,
     kth_smallest,
+    stable_round,
     vector_dot_expr,
     vector_euclidean_similarity_expr,
 )

@@ -38,7 +38,27 @@ __all__ = [
     "kth_smallest",
     "ordered_row_numbers",
     "ordered_prefix_sums",
+    "stable_round",
 ]
+
+
+def stable_round(col: Union[str, Column], scale: int = 6) -> Column:
+    """Cross-engine-stable decimal rounding of a double expression.
+
+    ``F.round`` on a double goes through the value's SHORTEST decimal
+    string in Spark ("46.3835" -> 46.384) while DuckDB and most other
+    engines round the binary double itself (46.38349999999999 ->
+    46.383) — bit-identical inputs diverge whenever the value lands
+    exactly on a ``.xxx5`` rounding boundary. Adding ``1e-9`` before
+    rounding pushes boundary values the same way on every engine and
+    is far below half the rounding grid (``5e-7`` at scale 6), so all
+    non-boundary values are untouched. Oracle SQL must mirror the
+    guard: ``round(x + 1e-9, scale)``. Root-caused in d25b766; this
+    helper is the one shared implementation for operators and gates.
+    """
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.round(col + F.lit(1e-9), scale)
 
 
 def _ordered_partition_scan(
