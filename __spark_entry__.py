@@ -1583,7 +1583,11 @@ def q_llm_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = rsd.read_table(spark, sf_dir, "documents")
     kept = QualityFilterPipeline().filter(docs)
-    deduped = ExactDeduplicator(normalize=True).transform(kept)
+    # persist: SourceCapFilter scans its input three times by design
+    # (counts / cutoff ids / final filter) — unpersisted, that would
+    # re-execute the quality-filter + dedup groupBy subtree 3×, i.e.
+    # two redundant full corpus passes at 100 TB
+    deduped = ExactDeduplicator(normalize=True).transform(kept).persist()
     capped = SourceCapFilter(cap=40).transform(deduped)
     packed = SequencePacker(budget=256).transform(capped)
     return packed.select("doc_id", "n_tokens", "pack_id", "pack_offset")

@@ -223,19 +223,39 @@ def main():
         sf = float(sf)
     except ValueError:
         pass
-    print(
-        json.dumps(
-            {
-                "metric": "replay_spark_headline_queries_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "queries_cold": cold_timings,
-                "sf": sf,
-                "sf1": sf1_timings,
-            }
-        )
+    # The driver records only the LAST ~2000 chars of stdout; rounds
+    # 4-6 shipped a single verbose JSON line whose opening brace fell
+    # outside that window ("parsed": null — warm deltas unreadable).
+    # stdout therefore carries EXACTLY ONE compact JSON line (warm
+    # medians + sf1 + cold total), kept under the capture window; the
+    # full record incl. per-query cold goes to stderr for local logs.
+    verbose = {
+        "metric": "replay_spark_headline_queries_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "queries_cold": cold_timings,
+        "sf": sf,
+        "sf1": sf1_timings,
+    }
+    print("# FULL " + json.dumps(verbose), file=sys.stderr)
+    cold_total = round(
+        sum(v for v in cold_timings.values() if v is not None), 3
     )
+    compact = {
+        "metric": "replay_spark_headline_queries_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "sf1": sf1_timings,
+        "cold_total": cold_total,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # trim, never truncate: drop sf1 (in stderr)
+        compact.pop("sf1")
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -1066,8 +1066,16 @@ class SourceCapFilter:
     tied at the threshold are all kept — deterministic either way).
     The input lineage is evaluated three times (counts, id
     projection, final filter) — scans 1–2 are column-pruned to two
-    columns, but if the upstream pipeline is expensive, persist it
-    before calling ``transform``.
+    columns, but if the upstream pipeline is expensive (shuffles,
+    joins), pass ``auto_persist=True`` or persist it before calling
+    ``transform``; at corpus scale an unpersisted shuffle-bearing
+    input costs two redundant full passes.
+
+    With ``auto_persist=True``, ``transform`` persists the input for
+    the duration of the plan build and the caller is responsible for
+    the returned frame's lifetime: the persisted input stays
+    referenced by the output's lineage and is unpersisted via
+    ``release()`` (or falls out with the executor cache LRU).
     """
 
     def __init__(
@@ -1076,6 +1084,7 @@ class SourceCapFilter:
         partition_column: str = "source",
         id_column: str = "doc_id",
         salts: int = 32,
+        auto_persist: bool = False,
     ):
         if cap < 1:
             raise ValueError("cap must be >= 1")
@@ -1085,8 +1094,19 @@ class SourceCapFilter:
         self.partition_column = partition_column
         self.id_column = id_column
         self.salts = salts
+        self.auto_persist = auto_persist
+        self._persisted: Optional[DataFrame] = None
+
+    def release(self) -> None:
+        """Unpersist the input frame retained by ``auto_persist``."""
+        if self._persisted is not None:
+            self._persisted.unpersist()
+            self._persisted = None
 
     def transform(self, df: DataFrame) -> DataFrame:
+        if self.auto_persist:
+            df = df.persist()
+            self._persisted = df
         src, idc, cap = self.partition_column, self.id_column, self.cap
         over_sources = (
             df.groupBy(src)

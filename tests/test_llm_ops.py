@@ -773,6 +773,30 @@ def test_source_cap_filter(spark):
         SourceCapFilter(cap=0)
 
 
+def test_source_cap_filter_auto_persist(spark):
+    """auto_persist=True caches the input (transform scans it 3×),
+    yields identical output, and release() drops the cache."""
+    from replay_spark.preprocessing.text import SourceCapFilter
+
+    df = spark.createDataFrame(
+        [(i, "hot", f"t{i}") for i in range(5)]
+        + [(10, "cold", "t10")],
+        "doc_id long, source string, text string",
+    )
+    plain = sorted(
+        (r.source, r.doc_id)
+        for r in SourceCapFilter(cap=3).transform(df).collect()
+    )
+    f = SourceCapFilter(cap=3, auto_persist=True)
+    out = f.transform(df)
+    got = sorted((r.source, r.doc_id) for r in out.collect())
+    assert got == plain
+    assert f._persisted is not None
+    assert f._persisted.storageLevel.useMemory
+    f.release()
+    assert f._persisted is None
+
+
 def test_minhash_md5_family(docs):
     from replay_spark.preprocessing.dedup import MinHashLSHDeduplicator
 
