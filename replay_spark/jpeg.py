@@ -431,7 +431,8 @@ def encode_jpeg(
             )
         else:
             _emit_progressive_scans(
-                out, seg, comps, hmax, vmax, mcus_x, mcus_y, h, w
+                out, seg, comps, hmax, vmax, mcus_x, mcus_y, h, w,
+                dc_interleaved=(progressive != "nidc"),
             )
         out.extend(b"\xff\xd9")
         return bytes(out)
@@ -481,39 +482,71 @@ def encode_jpeg(
 
 
 
-def _emit_progressive_scans(out, seg, comps, hmax, vmax, mcus_x, mcus_y, h, w):
-    """Spectral-selection progressive scan script: interleaved DC
-    scan, then AC bands [1..5] and [6..63] per component over the
-    component's OWN ceil block grid (per spec for non-interleaved
-    scans). EOB is emitted as the EOBRUN-of-1 symbol 0x00."""
+def _emit_progressive_scans(
+    out, seg, comps, hmax, vmax, mcus_x, mcus_y, h, w, dc_interleaved=True
+):
+    """Spectral-selection progressive scan script: DC scan(s), then
+    AC bands [1..5] and [6..63] per component over the component's
+    OWN ceil block grid (per spec for non-interleaved scans). EOB is
+    emitted as the EOBRUN-of-1 symbol 0x00.
+
+    ``dc_interleaved=False`` (``progressive="nidc"``) emits ONE DC
+    scan per component over its own block grid instead of the single
+    interleaved MCU-walk DC scan — the shape some foreign encoders
+    produce, and the regression surface for the decoder's
+    non-interleaved-DC walk."""
     coefs = _coef_grids(comps)
 
-    # scan 1: interleaved DC
-    sos = bytes([len(comps)])
-    for c in comps:
-        tid = 0 if c["qid"] == 0 else 1
-        sos += bytes([c["id"], tid << 4])
-    sos += bytes([0, 0, 0])
-    seg(0xDA, sos)
-    writer = _BitWriter()
-    preds = {c["id"]: 0 for c in comps}
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            for c in comps:
-                for v in range(c["vs"]):
-                    for u in range(c["hs"]):
-                        dc = int(
-                            coefs[c["id"]][my * c["vs"] + v, mx * c["hs"] + u, 0]
-                        )
-                        diff = dc - preds[c["id"]]
-                        preds[c["id"]] = dc
-                        size, bits_val = _magnitude(diff)
-                        length, code = c["dc"][size]
-                        writer.write(code, length)
-                        if size:
-                            writer.write(bits_val, size)
-    writer.flush()
-    out.extend(writer.out)
+    if dc_interleaved:
+        # scan 1: interleaved DC
+        sos = bytes([len(comps)])
+        for c in comps:
+            tid = 0 if c["qid"] == 0 else 1
+            sos += bytes([c["id"], tid << 4])
+        sos += bytes([0, 0, 0])
+        seg(0xDA, sos)
+        writer = _BitWriter()
+        preds = {c["id"]: 0 for c in comps}
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for c in comps:
+                    for v in range(c["vs"]):
+                        for u in range(c["hs"]):
+                            dc = int(
+                                coefs[c["id"]][my * c["vs"] + v, mx * c["hs"] + u, 0]
+                            )
+                            diff = dc - preds[c["id"]]
+                            preds[c["id"]] = dc
+                            size, bits_val = _magnitude(diff)
+                            length, code = c["dc"][size]
+                            writer.write(code, length)
+                            if size:
+                                writer.write(bits_val, size)
+        writer.flush()
+        out.extend(writer.out)
+    else:
+        # one non-interleaved DC scan per component: walks the
+        # component's ceil(sample/8) grid, own DC predictor per scan
+        for c in comps:
+            cw_blocks = -(-(-(-w * c["hs"] // hmax)) // 8)
+            ch_blocks = -(-(-(-h * c["vs"] // vmax)) // 8)
+            tid = 0 if c["qid"] == 0 else 1
+            sos = bytes([1, c["id"], tid << 4]) + bytes([0, 0, 0])
+            seg(0xDA, sos)
+            writer = _BitWriter()
+            pred = 0
+            for by in range(ch_blocks):
+                for bx in range(cw_blocks):
+                    dc = int(coefs[c["id"]][by, bx, 0])
+                    diff = dc - pred
+                    pred = dc
+                    size, bits_val = _magnitude(diff)
+                    length, code = c["dc"][size]
+                    writer.write(code, length)
+                    if size:
+                        writer.write(bits_val, size)
+            writer.flush()
+            out.extend(writer.out)
 
     # per-component AC band scans
     # reconstruct frame pixel dims from the luma plane (hs==hmax)
@@ -777,11 +810,11 @@ def _find_scan_end(data: bytes, start: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode baseline-sequential (SOF0/1) or spectral-selection
-    progressive (SOF2, Ah=Al=0 scans) JPEG to (h, w) grayscale or
-    (h, w, 3) RGB uint8. Raises ValueError for
-    successive-approximation progressive scans (Ah>0 or Al>0),
-    arithmetic coding, and 12-bit precision."""
+    """Decode baseline-sequential (SOF0/1) or FULL progressive (SOF2:
+    spectral selection AND successive approximation, both DC and AC
+    refinement scans) JPEG to (h, w) grayscale or (h, w, 3) RGB
+    uint8. Raises ValueError only for arithmetic coding, 12-bit
+    precision, and hierarchical frames."""
     if payload is None or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -796,6 +829,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("corrupt JPEG marker stream")
+        # spec-legal 0xFF fill bytes may pad before any marker
+        # (B.1.1.2): skip them so the marker id and the 2-byte
+        # segment length that follows are read from the right offset
+        while pos + 4 <= len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -923,8 +961,13 @@ def _fill_scan(
         vmax = max(c["vs"] for c in comps)
         mcus_x = -(-w // (8 * hmax))
         mcus_y = -(-h // (8 * vmax))
-        if len(scan) == 1 and not progressive:
-            # single-component baseline scan walks the comp grid
+        if len(scan) == 1:
+            # ANY single-component scan is non-interleaved per spec
+            # (baseline full-band OR progressive DC-first): it walks
+            # the component's OWN ceil(sample/8) block grid, not the
+            # MCU-padded grid — with sampling factors > 1 the MCU walk
+            # decodes extra padding blocks and desyncs the bitstream
+            # on externally-encoded files
             cid = scan[0][0]
             c = by_id[cid]
             cw = -(-w * c["hs"] // hmax)
@@ -960,8 +1003,8 @@ def _fill_scan(
                     store[cid][by, bx],
                     preds[cid],
                     0,
-                    63,
-                    0,
+                    0 if progressive else 63,
+                    al if progressive else 0,
                 )
                 count += 1
             return

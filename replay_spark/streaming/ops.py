@@ -271,14 +271,26 @@ class StreamingSourceCapFilter:
         state_schema = StructType([StructField("admitted", LongType())])
 
         def admit(key, pdf_iter, state):
+            import pandas as pd
+
             admitted = state.get[0] if state.exists else 0
-            for pdf in pdf_iter:
-                if admitted >= cap:
-                    continue
-                pdf = pdf.sort_values(idc)
-                take = min(cap - admitted, len(pdf))
-                admitted += take
-                yield pdf.head(take)
+            # applyInPandasWithState may deliver ONE group as several
+            # chunks per micro-batch; sorting chunks independently
+            # would make the admitted set depend on chunk boundaries.
+            # Concatenate the group's micro-batch slice first (a later
+            # chunk can hold a smaller id), then sort once — buffering
+            # is one source's share of one micro-batch, and skipped
+            # entirely once the source has reached its cap.
+            if admitted < cap:
+                chunks = []
+                for pdf in pdf_iter:
+                    chunks.append(pdf)
+                if chunks:
+                    pdf = pd.concat(chunks, ignore_index=True)
+                    pdf = pdf.sort_values(idc)
+                    take = min(cap - admitted, len(pdf))
+                    admitted += take
+                    yield pdf.head(take)
             state.update((admitted,))
 
         return stream.groupBy(src).applyInPandasWithState(

@@ -116,14 +116,24 @@ def _ordered_partition_scan(
 
 
 def _add_partition_offsets(
-    numbered: DataFrame, spark_df: DataFrame, out_col: str
+    numbered: DataFrame, spark_df: DataFrame, out_col: str,
+    value_col: Optional[str] = None,
 ) -> DataFrame:
-    """Driver-computed per-partition offsets (the per-partition total
-    is simply ``max(_local)``) broadcast-joined back."""
+    """Driver-computed per-partition offsets broadcast-joined back.
+
+    The per-partition total is ``count(*)`` for row numbering and
+    ``sum(value_col)`` for prefix sums — NOT ``max(_local)``: the
+    running sum's maximum equals its final value only when every
+    ``value_col`` is non-negative, and the public API makes no such
+    promise (an earlier revision silently did).
+    """
+    total_expr = (
+        F.count(F.lit(1)) if value_col is None else F.sum(value_col)
+    )
     totals = sorted(
         (r["_pid"], r["_t"])
         for r in numbered.groupBy("_pid").agg(
-            F.max("_local").alias("_t")
+            total_expr.alias("_t")
         ).collect()
     )
     rows, acc = [], 0
@@ -167,7 +177,7 @@ def ordered_prefix_sums(
     running-SUM sibling of :func:`ordered_row_numbers`. Same
     one-exchange plan shape (see :func:`_ordered_partition_scan`)."""
     numbered = _ordered_partition_scan(df, order_exprs, value_col).persist()
-    return _add_partition_offsets(numbered, df, out_col)
+    return _add_partition_offsets(numbered, df, out_col, value_col)
 
 
 def kth_smallest(

@@ -1734,8 +1734,8 @@ def test_jpeg_progressive_roundtrip():
     """Spectral-selection progressive (SOF2): multi-scan encode must
     decode to bit-identical pixels vs the baseline encoding of the
     same image (same coefficients, different scan order) — including
-    4:2:0 and the w%16 in 1..8 grid-mismatch edge; SA refinement
-    scans stay an explicit error."""
+    4:2:0 and the w%16 in 1..8 grid-mismatch edge. (SA refinement
+    is also supported — covered by its own roundtrip test below.)"""
     import numpy as np
 
     from replay_spark.jpeg import decode_jpeg, encode_jpeg
@@ -1770,6 +1770,40 @@ def test_jpeg_progressive_roundtrip():
 
     with pytest.raises(ValueError, match="restart markers unsupported"):
         encode_jpeg(gray, progressive=True, restart_interval=2)
+
+
+def test_jpeg_noninterleaved_dc_roundtrip():
+    """Progressive files whose DC scans are per-component
+    (non-interleaved, the shape some foreign encoders emit): with
+    4:2:0 sampling the luma DC scan walks the component's OWN
+    ceil(sample/8) grid — the MCU-padded walk would decode extra
+    padding blocks and desync. Also: spec-legal 0xFF fill bytes
+    before a marker must be skipped, not parsed as a marker id."""
+    import numpy as np
+
+    from replay_spark.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(47)
+    # w=53: ceil(53/8)=7 luma blocks per row vs MCU walk 4*2=8 —
+    # grid mismatch guaranteed; h=41 mismatches vertically too
+    rgb = rng.integers(0, 256, (41, 53, 3), dtype=np.uint8)
+    for sub in ("444", "420"):
+        base = decode_jpeg(encode_jpeg(rgb, quality=85, subsampling=sub))
+        nidc = decode_jpeg(
+            encode_jpeg(rgb, quality=85, subsampling=sub,
+                        progressive="nidc")
+        )
+        assert np.array_equal(base, nidc), sub
+    gray = rng.integers(0, 256, (17, 19), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(gray, quality=85)),
+        decode_jpeg(encode_jpeg(gray, quality=85, progressive="nidc")),
+    )
+    # 0xFF fill-byte padding before a tables segment (B.1.1.2)
+    payload = bytearray(encode_jpeg(gray, quality=85))
+    dqt = payload.index(b"\xff\xdb")
+    padded = bytes(payload[:dqt]) + b"\xff\xff\xff" + bytes(payload[dqt:])
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(bytes(payload)))
 
 
 def test_jpeg_successive_approximation_roundtrip():

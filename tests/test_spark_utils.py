@@ -120,6 +120,33 @@ def test_ordered_row_numbers_matches_window(spark):
     assert got == expected
 
 
+def test_ordered_prefix_sums_negative_values(spark):
+    """Partition offsets must use the true partition total (sum), not
+    max(_local): a negative value anywhere makes the running sum's max
+    exceed its final value, silently corrupting downstream offsets."""
+    import random
+
+    from pyspark.sql import Window
+
+    from replay_spark.utils.spark_utils import ordered_prefix_sums
+
+    random.seed(7)
+    rows = [(i, random.randint(-50, 50)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "item_id long, delta long")
+    order = [F.col("item_id").asc()]
+    expected = {
+        r.item_id: r.ps
+        for r in df.withColumn(
+            "ps", F.sum("delta").over(Window.orderBy(*order))
+        ).collect()
+    }
+    got = {
+        r.item_id: r.ps
+        for r in ordered_prefix_sums(df, order, "delta", "ps").collect()
+    }
+    assert got == expected
+
+
 def test_get_log_info_approximate(interactions):
     # HLL++ at rsd=0.005 is exact for driver-scale cardinalities
     exact = get_log_info(interactions)
