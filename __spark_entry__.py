@@ -1567,6 +1567,76 @@ def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_ann_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search path with a deterministic quantizer, mirroring
+    q_ivf_ann_fixed's trick: sub-codebooks are slices of the
+    normalized embeddings vec_id < 16, so the FULL compressed-scan
+    pipeline — micro-unit-quantized encode argmin, integer ADC over
+    bigint LUTs, shortlist cut, exact cosine re-rank — HASH-matches a
+    DuckDB oracle end to end. Production keeps the seeded-kmeans
+    codebooks (q_pq_ann, rows-only)."""
+    import numpy as np
+
+    from replay_spark.ann import PQANN
+
+    emb = rsd.read_table(spark, sf_dir, "embeddings")
+    raw = [
+        r["embedding"]
+        for r in emb.filter("vec_id < 16").orderBy("vec_id").collect()
+    ]
+    x = PQANN._normalize(np.array(raw, dtype=np.float64))
+    dsub = 64 // 8
+    books = np.stack(
+        [x[:, j * dsub : (j + 1) * dsub] for j in range(8)]
+    )  # (m=8, ksub=16, dsub=8)
+    ann = PQANN(dim=64, m=8, ksub=16, refine=4, seed=42).fit(
+        emb, codebooks=books
+    )
+    res = ann.search(emb.filter("vec_id < 20"), k=5)
+    return res.select("query_id", "neighbor_id", "cosine", "rank")
+
+
+def q_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ISO-BMFF container gate: deterministic MP4 containers are
+    synthesized executor-side from each embedding row (duration,
+    timescale, and codec all integer functions of vec_id), then
+    parsed back by the real box-tree walker. The stored duration is
+    ``ms * ts // 1000`` units (spec truncation), so the parsed value
+    is ``units * 1000 // ts`` — pure integer arithmetic DuckDB
+    replays exactly."""
+    import pandas as pd
+
+    from replay_spark.multimodal import build_mp4_container, mp4_metadata
+
+    emb = rsd.read_table(spark, sf_dir, "embeddings")
+    codecs = ["avc1", "hvc1", "mp4a"]
+
+    def build(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].astype("int64")
+            payloads = [
+                build_mp4_container(
+                    duration_ms=int(500 + (v * 37) % 60000),
+                    timescale=int(600 + (v % 7) * 100),
+                    codec=codecs[int(v) % 3],
+                )
+                for v in ids
+            ]
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = emb.select("vec_id").mapInPandas(
+        build, schema="media_id long, payload binary"
+    )
+    out = mp4_metadata(media)
+    return out.select(
+        F.col("media_id").alias("vec_id"),
+        "brand",
+        "duration_ms",
+        "num_tracks",
+        F.concat_ws(",", "codecs").alias("codec_list"),
+    )
+
+
 def q_llm_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship LLM-preprocessing composition, fully hash-verified:
     quality filter (C4/Gopher signals) → normalized exact dedup →
@@ -2215,35 +2285,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered queries, ordered for the driver's 50-query window.
 
     The driver scores the FIRST 50 entries — (a) + (b) is EXACTLY 50
-    (checked by tests/test_entry_contract.py). Order for r6 (per the
-    round-5 verdict's window-hygiene task): (a) the 2 gates whose
-    operator internals changed this round (NearDupClusters
-    single-execution probe; SourceCapFilter salted two-phase top-k) —
-    their hashes must be re-proved officially; (b) the 48 stalest
-    queries — every r3-era query (none has had an official row since
-    r3) plus the oldest r4-era ones, including the 3 that silently
-    sat at positions 51-53 in r5 (q_wilson_scores, q_ucb_scores,
-    q_discretize_greedy); (c) everything else — all officially green
-    in r4/r5, rotating out of the window — still run in
-    tests/check_oracle and bench.
+    (checked by tests/test_entry_contract.py). Order for r7 (per the
+    round-6 verdict's rotation task): (a) the 19 gates whose operator
+    internals changed or that debut this round — the re-greened
+    q_corpus_stats (r6's one red row, now an exact-integer
+    projection), q_llm_e2e post-persist, the q_pq_ann_fixed /
+    q_mp4_meta hash debuts, q_pq_ann / q_ivfpq_ann rows debuts
+    (integer-ADC rewrite), q_image_phash_dedup hash debut, the hash
+    twins swapped in for their rows-only siblings
+    (q_ivf_ann_fixed for q_ivf_ann, q_doc_fingerprints_md5 for
+    q_doc_fingerprints), every gate whose values moved to
+    stable_round, and the ordered_prefix_sums consumers; (b) the 31
+    stalest hash-oracled gates — last official row in r4/r5, sat
+    unscored in (c) through r6; (c) everything else — officially
+    green in r4-r6 — still run in tools/check_oracle and bench.
+    Rows-only contracts inside the r7 window: exactly 3 (q_pq_ann,
+    q_ivfpq_ann, q_bpe_tokens) — 47/50 hash-gated.
     """
     return {
-        # -- (a) operator internals changed this round, plus the new
-        #        ParagraphDeduplicator debut gate --------------------
+        # -- (a) operator internals changed or debuted this round:
+        #        the re-greened CorpusStats gate, the persisted
+        #        q_llm_e2e composition, PQ/IVF-PQ (integer ADC +
+        #        fixed-codebook hash twin), the MP4 container
+        #        debut, the pHash-dedup debut, every stable_round
+        #        gate, and the prefix-sum-offset consumers -------
+        "q_corpus_stats": q_corpus_stats,
+        "q_llm_e2e": q_llm_e2e,
+        "q_pq_ann_fixed": q_pq_ann_fixed,
+        "q_mp4_meta": q_mp4_meta,
+        "q_pq_ann": q_pq_ann,
+        "q_ivfpq_ann": q_ivfpq_ann,
+        "q_image_phash_dedup": q_image_phash_dedup,
+        "q_ivf_ann_fixed": q_ivf_ann_fixed,
+        "q_doc_fingerprints_md5": q_doc_fingerprints_md5,
+        "q_repetition_stats": q_repetition_stats,
+        "q_bigram_lm_scores": q_bigram_lm_scores,
+        "q_unigram_lm_scores": q_unigram_lm_scores,
+        "q_tfidf_keywords": q_tfidf_keywords,
+        "q_user_stats": q_user_stats,
+        "q_pricing_summary": q_pricing_summary,
+        "q_embedding_cosine_topk": q_embedding_cosine_topk,
+        "q_sessionize_composite": q_sessionize_composite,
+        "q_sequence_pack": q_sequence_pack,
+        "q_bpe_tokens": q_bpe_tokens,
+        # -- (b) the 31 stalest hash-oracled gates: last official
+        #        row in r4/r5, sat unscored in (c) through r6 ----
+        "q_simhash_pairs_md5": q_simhash_pairs_md5,
+        "q_pipeline_eval": q_pipeline_eval,
+        "q_streaming_dedup": q_streaming_dedup,
+        "q_media_decode": q_media_decode,
+        "q_quality_filter": q_quality_filter,
+        "q_abnormality": q_abnormality,
+        "q_audio_decode": q_audio_decode,
+        "q_video_frames": q_video_frames,
+        "q_horizontal_explode": q_horizontal_explode,
+        "q_unique_entities": q_unique_entities,
+        "q_log_info_row": q_log_info_row,
+        "q_pii_scrub": q_pii_scrub,
+        "q_document_chunks": q_document_chunks,
+        "q_document_chunks_overlap": q_document_chunks_overlap,
+        "q_sessionize": q_sessionize,
+        "q_doc_dedup_exact": q_doc_dedup_exact,
+        "q_doc_dedup_normalized": q_doc_dedup_normalized,
+        "q_text_quality": q_text_quality,
+        "q_text_stats": q_text_stats,
+        "q_lang_id": q_lang_id,
+        "q_token_counts": q_token_counts,
+        "q_vocab_top_tokens": q_vocab_top_tokens,
+        "q_multimodal_meta": q_multimodal_meta,
+        "q_ngram_jaccard_capped": q_ngram_jaccard_capped,
+        "q_embedding_neardup": q_embedding_neardup,
+        "q_nation_revenue": q_nation_revenue,
+        "q_top_parts_by_size": q_top_parts_by_size,
+        "q_minhash_candidates_md5": q_minhash_candidates_md5,
+        "q_streaming_sessionize": q_streaming_sessionize,
+        "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "q_contamination_report": q_contamination_report,
+        # -- (c) officially green in r4-r6, rotating out — still
+        #        run in tools/check_oracle and bench -------------
         "q_dedup_clusters": q_dedup_clusters,
         "q_source_cap": q_source_cap,
         "q_paragraph_dedup": q_paragraph_dedup,
-        "q_bigram_lm_scores": q_bigram_lm_scores,
         "q_png_decode": q_png_decode,
         "q_jpeg_decode": q_jpeg_decode,
-        "q_bpe_tokens": q_bpe_tokens,
-        "q_corpus_stats": q_corpus_stats,
-        "q_llm_e2e": q_llm_e2e,
-        # -- (b) stalest official gates: every r3-era query + the
-        #        oldest r4-era ones (48 entries) ------------------
         "q_wilson_scores": q_wilson_scores,
         "q_ucb_scores": q_ucb_scores,
-        "q_sessionize_composite": q_sessionize_composite,
         "q_klucb_scores": q_klucb_scores,
         "q_lin_ucb_recs": q_lin_ucb_recs,
         "q_metric_unexpectedness": q_metric_unexpectedness,
@@ -2281,12 +2407,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_word2vec_recs": q_word2vec_recs,
         "q_ivf_ann": q_ivf_ann,
         "q_e2e_eval": q_e2e_eval,
-        "q_repetition_stats": q_repetition_stats,
-        # -- (c) officially green in r4/r5; rotate out — plus the
-        #        PQANN debut (rows-only; scored next rotation) ------
-        "q_pq_ann": q_pq_ann,
-        "q_image_phash_dedup": q_image_phash_dedup,
-        "q_ivfpq_ann": q_ivfpq_ann,
         "q_thompson_scores": q_thompson_scores,
         "q_sample_top_k": q_sample_top_k,
         "q_discretize_quantile": q_discretize_quantile,
@@ -2295,38 +2415,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kfolds_sizes": q_kfolds_sizes,
         "q_two_stage_split_sizes": q_two_stage_split_sizes,
         "q_random_next_n_split": q_random_next_n_split,
-        "q_simhash_pairs_md5": q_simhash_pairs_md5,
-        "q_pipeline_eval": q_pipeline_eval,
-        "q_streaming_dedup": q_streaming_dedup,
-        "q_unigram_lm_scores": q_unigram_lm_scores,
-        "q_media_decode": q_media_decode,
-        "q_quality_filter": q_quality_filter,
-        "q_abnormality": q_abnormality,
-        "q_audio_decode": q_audio_decode,
-        "q_video_frames": q_video_frames,
-        "q_sequence_pack": q_sequence_pack,
-        "q_horizontal_explode": q_horizontal_explode,
-        "q_unique_entities": q_unique_entities,
-        "q_log_info_row": q_log_info_row,
-        "q_pii_scrub": q_pii_scrub,
-        "q_document_chunks": q_document_chunks,
-        "q_document_chunks_overlap": q_document_chunks_overlap,
-        "q_sessionize": q_sessionize,
-        "q_doc_dedup_exact": q_doc_dedup_exact,
-        "q_doc_dedup_normalized": q_doc_dedup_normalized,
-        "q_text_quality": q_text_quality,
-        "q_text_stats": q_text_stats,
-        "q_lang_id": q_lang_id,
-        "q_token_counts": q_token_counts,
-        "q_doc_fingerprints_md5": q_doc_fingerprints_md5,
-        "q_vocab_top_tokens": q_vocab_top_tokens,
-        "q_tfidf_keywords": q_tfidf_keywords,
-        "q_multimodal_meta": q_multimodal_meta,
-        "q_embedding_neardup": q_embedding_neardup,
-        "q_embedding_cosine_topk": q_embedding_cosine_topk,
-        "q_pricing_summary": q_pricing_summary,
-        "q_nation_revenue": q_nation_revenue,
-        "q_top_parts_by_size": q_top_parts_by_size,
         "q_filter_num_interactions": q_filter_num_interactions,
         "q_filter_entity_days": q_filter_entity_days,
         "q_filter_global_days": q_filter_global_days,
@@ -2342,18 +2430,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_random_rec_distribution": q_random_rec_distribution,
         "q_metric_per_user_2": q_metric_per_user_2,
         "q_metric_per_user": q_metric_per_user,
-        "q_user_stats": q_user_stats,
         "q_top_k_recs": q_top_k_recs,
         "q_slim_similarity": q_slim_similarity,
-        "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "q_minhash_candidates": q_minhash_candidates,
         "q_simhash_fingerprints": q_simhash_fingerprints,
-        "q_streaming_sessionize": q_streaming_sessionize,
-        "q_ngram_jaccard_capped": q_ngram_jaccard_capped,
-        "q_contamination_report": q_contamination_report,
         "q_streaming_ucb": q_streaming_ucb,
-        "q_minhash_candidates_md5": q_minhash_candidates_md5,
-        "q_ivf_ann_fixed": q_ivf_ann_fixed,
     }
 
 
@@ -3648,6 +3729,79 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY cosine DESC, neighbor_id ASC) AS rank
                 FROM scored) t
             WHERE rank <= 5
+        """,
+        "q_pq_ann_fixed": """
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+            n AS (
+                SELECT vec_id,
+                       list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+                FROM e),
+            cents AS (SELECT vec_id AS c, nv AS cv FROM n WHERE vec_id < 16),
+            subs AS (SELECT j FROM range(8) sub_t(j)),
+            -- micro-unit sub-distances: round_half_up((d2+1e-9)*1e6)
+            -- as BIGINT, the exact quantity the executor-side encode
+            -- and LUT build compute — every ranking below is integer
+            diffs AS (
+                SELECT i.vec_id, s.j, c.c,
+                       list_transform(range(1, 9),
+                           u -> i.nv[s.j*8 + u] - c.cv[s.j*8 + u]) AS diff
+                FROM n i CROSS JOIN subs s CROSS JOIN cents c),
+            dists AS (
+                SELECT vec_id, j, c,
+                       CAST(floor((list_dot_product(diff, diff) + 1e-9)
+                                  * 1e6 + 0.5) AS BIGINT) AS dist
+                FROM diffs),
+            codes AS (
+                SELECT vec_id, j, c AS code FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY vec_id, j
+                        ORDER BY dist ASC, c ASC) AS rn
+                    FROM dists) t2 WHERE rn = 1),
+            q AS (SELECT vec_id AS qid FROM e WHERE vec_id < 20),
+            adc AS (
+                SELECT q.qid AS query_id, cd.vec_id AS neighbor_id,
+                       sum(dq.dist) AS adc_dist
+                FROM q
+                JOIN codes cd ON cd.vec_id <> q.qid
+                JOIN dists dq ON dq.vec_id = q.qid AND dq.j = cd.j
+                             AND dq.c = cd.code
+                GROUP BY q.qid, cd.vec_id),
+            shortlist AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY adc_dist ASC, neighbor_id ASC) AS r
+                    FROM adc) t3 WHERE r <= 20),
+            rer AS (
+                SELECT s.query_id, s.neighbor_id,
+                       round(list_dot_product(qe.v, ne.v) /
+                             (sqrt(list_dot_product(qe.v, qe.v)) *
+                              sqrt(list_dot_product(ne.v, ne.v))) + 1e-9,
+                             6) AS cosine
+                FROM shortlist s
+                JOIN e qe ON qe.vec_id = s.query_id
+                JOIN e ne ON ne.vec_id = s.neighbor_id)
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM rer) t4
+            WHERE rank <= 5
+        """,
+        "q_mp4_meta": """
+            SELECT vec_id,
+                   'isom' AS brand,
+                   ((500 + (vec_id * 37) % 60000)
+                    * (600 + (vec_id % 7) * 100) // 1000)
+                    * 1000 // (600 + (vec_id % 7) * 100) AS duration_ms,
+                   1 AS num_tracks,
+                   CASE vec_id % 3 WHEN 0 THEN 'avc1'
+                                   WHEN 1 THEN 'hvc1'
+                                   ELSE 'mp4a' END AS codec_list
+            FROM embeddings
         """,
         "q_minhash_candidates_md5": """
             WITH toks AS (

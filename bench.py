@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "q_jpeg_decode",
     "q_bpe_tokens",
     "q_llm_e2e",
+    "q_pq_ann_fixed",
+    "q_mp4_meta",
 ]
 
 

@@ -421,8 +421,26 @@ class PQANN:
         n[n == 0] = 1.0
         return x / n
 
-    def fit(self, corpus: DataFrame) -> "PQANN":
+    def fit(self, corpus: DataFrame, codebooks=None) -> "PQANN":
+        """Train (seeded k-means on a bounded driver sample) or, with
+        ``codebooks`` (array-like ``(m, ksub, dsub)``), skip training
+        and use the given sub-centroids directly — a fully
+        deterministic quantizer, SQL-reproducible end to end; the
+        hash-gated contract query (``q_pq_ann_fixed``) uses it the
+        way ``q_ivf_ann_fixed`` uses fixed coarse centroids."""
         import numpy as np
+
+        dsub = self.dim // self.m
+        if codebooks is not None:
+            books = np.asarray(codebooks, dtype=np.float64)
+            if books.ndim != 3 or books.shape[0] != self.m or books.shape[2] != dsub:
+                raise ValueError(
+                    f"codebooks shape {books.shape} != ({self.m}, ksub, {dsub})"
+                )
+            self.codebooks = books
+            self._corpus = corpus
+            self._codes = self._encode(corpus).persist()
+            return self
 
         n = corpus.count()
         frac = min(1.0, self.train_sample / max(n, 1))
@@ -435,7 +453,6 @@ class PQANN:
             np.array([r[0] for r in sample], dtype=np.float64)
         )
         rng = np.random.default_rng(self.seed)
-        dsub = self.dim // self.m
         ksub = min(self.ksub, len(x))
         books = []
         for j in range(self.m):
@@ -474,7 +491,12 @@ class PQANN:
                 for j in range(m):
                     sub = x[:, j * dsub : (j + 1) * dsub]
                     d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
-                    codes[:, j] = d2.argmin(1)
+                    # micro-unit quantized argmin (half-up, +1e-9
+                    # guard): the assignment is reproducible in any
+                    # engine; integer ties break to the lowest
+                    # centroid index on both sides
+                    d2i = np.floor((d2 + 1e-9) * 1e6 + 0.5).astype(np.int64)
+                    codes[:, j] = d2i.argmin(1)
                 yield pd.DataFrame(
                     {"vec_id": pdf[idc].values, "codes": list(codes)}
                 )
@@ -505,10 +527,20 @@ class PQANN:
                 )
                 tables = []
                 for row in x:
+                    # LUT entries in exact micro-units (bigint): the
+                    # ADC sum downstream is INTEGER addition — no
+                    # float summation-order divergence anywhere in
+                    # the shortlist ranking, in any engine
                     lut = [
-                        (
-                            (books[j] - row[j * dsub : (j + 1) * dsub]) ** 2
-                        ).sum(1).tolist()
+                        np.floor(
+                            (
+                                ((books[j] - row[j * dsub : (j + 1) * dsub]) ** 2)
+                                .sum(1)
+                                + 1e-9
+                            )
+                            * 1e6
+                            + 0.5
+                        ).astype(np.int64).tolist()
                         for j in range(m)
                     ]
                     tables.append(lut)
@@ -517,7 +549,7 @@ class PQANN:
                 )
 
         q = queries.select(idc, vc).mapInPandas(
-            luts, schema="query_id long, lut array<array<double>>"
+            luts, schema="query_id long, lut array<array<bigint>>"
         )
         adc = (
             F.broadcast(q)
@@ -532,7 +564,7 @@ class PQANN:
                         "lut",
                         lambda c, row: F.element_at(row, (c + 1).cast("int")),
                     ),
-                    F.lit(0.0),
+                    F.lit(0).cast("long"),
                     lambda acc, x: acc + x,
                 ).alias("adc_dist"),
             )
@@ -560,9 +592,12 @@ class PQANN:
             .select(
                 "query_id",
                 "neighbor_id",
-                (
+                # rank on the stable-rounded cosine so the final cut
+                # is reproducible across engines
+                stable_round(
                     _dot(F.col("qv"), F.col("cv"))
-                    / (_norm(F.col("qv")) * _norm(F.col("cv")))
+                    / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                    6,
                 ).alias("cosine"),
             )
         )
@@ -696,11 +731,10 @@ class IVFPQANN:
                 codes = np.empty((len(pdf), m), dtype=np.int64)
                 for j in range(m):
                     sub = resid[:, j * dsub : (j + 1) * dsub]
-                    codes[:, j] = (
-                        ((sub[:, None, :] - books[j][None, :, :]) ** 2)
-                        .sum(-1)
-                        .argmin(1)
-                    )
+                    d2j = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+                    # micro-unit quantized argmin — engine-reproducible
+                    d2i = np.floor((d2j + 1e-9) * 1e6 + 0.5).astype(np.int64)
+                    codes[:, j] = d2i.argmin(1)
                 yield pd.DataFrame(
                     {
                         "vec_id": pdf[idc].values,
@@ -738,9 +772,15 @@ class IVFPQANN:
                         r = row - cents[cell]
                         tables.append(
                             [
-                                ((books[j] - r[j * dsub : (j + 1) * dsub]) ** 2)
-                                .sum(1)
-                                .tolist()
+                                np.floor(
+                                    (
+                                        ((books[j] - r[j * dsub : (j + 1) * dsub]) ** 2)
+                                        .sum(1)
+                                        + 1e-9
+                                    )
+                                    * 1e6
+                                    + 0.5
+                                ).astype(np.int64).tolist()
                                 for j in range(m)
                             ]
                         )
@@ -751,7 +791,7 @@ class IVFPQANN:
                 )
 
         q = queries.select(idc, vc).mapInPandas(
-            luts, schema="query_id long, cell int, lut array<array<double>>"
+            luts, schema="query_id long, cell int, lut array<array<bigint>>"
         )
         adc = (
             # keyed join on cell == the inverted-file pruning: only
@@ -769,7 +809,7 @@ class IVFPQANN:
                         "lut",
                         lambda c, row: F.element_at(row, (c + 1).cast("int")),
                     ),
-                    F.lit(0.0),
+                    F.lit(0).cast("long"),
                     lambda acc, x: acc + x,
                 ).alias("adc_dist"),
             )
@@ -794,9 +834,12 @@ class IVFPQANN:
             .select(
                 "query_id",
                 "neighbor_id",
-                (
+                # rank on the stable-rounded cosine so the final cut
+                # is reproducible across engines
+                stable_round(
                     _dot(F.col("qv"), F.col("cv"))
-                    / (_norm(F.col("qv")) * _norm(F.col("cv")))
+                    / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                    6,
                 ).alias("cosine"),
             )
         )

@@ -72,6 +72,7 @@ __all__ = [
     "ImagePerceptualDeduplicator",
     "parse_mp4_metadata",
     "mp4_metadata",
+    "build_mp4_container",
 ]
 
 # real baseline-JPEG codec lives in its own module (pure numpy
@@ -832,6 +833,61 @@ class ImagePerceptualDeduplicator:
             .distinct()
         )
         return df.join(dupes, on=self.id_column, how="left_anti")
+
+
+def build_mp4_container(
+    duration_ms: int,
+    timescale: int = 1000,
+    codec: str = "avc1",
+    handler: str = "vide",
+    brand: str = "isom",
+) -> bytes:
+    """Build a minimal spec-valid ISO-BMFF container (ftyp +
+    moov(mvhd, trak(mdia(mdhd, hdlr, minf(stbl(stsd)))))) with one
+    track — the synthesis half of :func:`parse_mp4_metadata`, used to
+    generate deterministic test containers (the ``q_mp4_meta``
+    contract gate) and to exercise splitter adapters without real
+    media on disk. Durations are stored in ``timescale`` units
+    (``duration_ms * timescale // 1000`` — the spec's integer
+    truncation, so a parse round-trip returns
+    ``stored * 1000 // timescale``)."""
+    import struct as _struct
+
+    if duration_ms < 0 or timescale <= 0:
+        raise ValueError("duration_ms must be >= 0 and timescale > 0")
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return _struct.pack(">I", len(payload) + 8) + btype + payload
+
+    units = duration_ms * timescale // 1000
+    ftyp = box(b"ftyp", brand.encode("ascii") + _struct.pack(">I", 512)
+               + b"isom" + codec.encode("ascii"))
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"
+        + _struct.pack(">II", 0, 0)
+        + _struct.pack(">II", timescale, units)
+        + b"\x00" * 80,
+    )
+    mdhd = box(
+        b"mdhd",
+        b"\x00\x00\x00\x00"
+        + _struct.pack(">II", 0, 0)
+        + _struct.pack(">II", timescale, units)
+        + b"\x00\x00\x00\x00",
+    )
+    hdlr = box(
+        b"hdlr",
+        b"\x00\x00\x00\x00" + b"\x00" * 4
+        + handler.encode("ascii") + b"\x00" * 14,
+    )
+    sample_entry = box(codec.encode("ascii"), b"\x00" * 78)
+    stsd = box(
+        b"stsd", b"\x00\x00\x00\x00" + _struct.pack(">I", 1) + sample_entry
+    )
+    mdia = box(b"mdia", mdhd + hdlr + box(b"minf", box(b"stbl", stsd)))
+    moov = box(b"moov", mvhd + box(b"trak", mdia))
+    return ftyp + moov
 
 
 def parse_mp4_metadata(payload: bytes) -> dict:

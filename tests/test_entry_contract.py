@@ -62,6 +62,10 @@ def test_scored_window_has_oracle_or_documented_rows_only():
         "q_e2e_eval",  # multi-model composition (ALS inside)
         "q_discretize_quantile",  # approxQuantile bin edges
         "q_bpe_tokens",  # iterative merge loop (golden+parity tested)
+        "q_pq_ann",  # seeded kmeans codebooks; fixed twin carries hash
+        "q_ivfpq_ann",  # seeded kmeans cells+codebooks (recall-tested)
+        "q_sample_top_k",  # seeded sampling
+        "q_simhash_fingerprints",  # md5 pairs variant carries the hash
     }
     oracles = set(entrymod.oracle_sql())
     scored = list(entrymod.queries())[:50]

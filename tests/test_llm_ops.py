@@ -1565,7 +1565,8 @@ def test_pq_ann_recall_and_shape(spark):
     bf_top = bf.filter("rank = 1").first()
     pq_top = res.filter(F.col("query_id") == qids[0]).filter("rank = 1").first()
     if bf_top.neighbor_id == pq_top.neighbor_id:
-        assert pq_top.cosine == pytest.approx(bf_top.cosine, rel=1e-9)
+        # PQ re-rank emits the stable-rounded (6 dp) cosine
+        assert pq_top.cosine == pytest.approx(bf_top.cosine, abs=5.1e-7)
 
     with pytest.raises(ValueError):
         PQANN(dim=16, m=5)
@@ -1698,6 +1699,27 @@ def _build_minimal_mp4(duration_ms=2500, timescale=1000, codec=b"avc1"):
     trak = box(b"trak", mdia)
     moov = box(b"moov", mvhd + trak)
     return ftyp + moov
+
+
+def test_build_mp4_container_roundtrip():
+    """Library-side container builder <-> parser roundtrip, including
+    the spec's integer duration truncation at awkward timescales."""
+    from replay_spark.multimodal import build_mp4_container, parse_mp4_metadata
+
+    for ms, ts, codec in ((2500, 1000, "avc1"), (1234, 700, "hvc1"),
+                          (59999, 900, "mp4a"), (0, 600, "avc1")):
+        meta = parse_mp4_metadata(build_mp4_container(ms, ts, codec))
+        assert meta["brand"] == "isom"
+        assert meta["duration_ms"] == (ms * ts // 1000) * 1000 // ts
+        assert len(meta["tracks"]) == 1
+        assert meta["tracks"][0]["codec"] == codec
+        assert meta["tracks"][0]["timescale"] == ts
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        build_mp4_container(-1)
+    with _pytest.raises(ValueError):
+        build_mp4_container(100, timescale=0)
 
 
 def test_mp4_metadata_parser(spark):
