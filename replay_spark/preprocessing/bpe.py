@@ -12,13 +12,16 @@ counts / ids). Classic Sennrich-style word-level BPE:
 * The merge loop runs on that word-type table. Below
   ``driver_threshold`` word types it collects and runs the standard
   in-memory loop (the same shape HuggingFace trainers use — fast,
-  exact). Above it, each merge iteration is pure DataFrame work:
-  adjacent symbol pairs via ``arrays_zip`` of shifted slices,
-  frequency-weighted pair counts (one small keyed aggregate), argmax
-  pair, and an Arrow-batched merge application — O(num_merges) jobs
-  over a vocabulary-sized frame, never a corpus rescan. Both paths
-  produce identical merges (parity-tested); ties break
-  lexicographically so training is deterministic.
+  exact). Above it, merges run in BATCHED DataFrame rounds: adjacent
+  symbol pairs via ``arrays_zip`` of shifted slices, one
+  frequency-weighted pair-count aggregate collecting the top
+  ``batch_candidates``, a provably-safe prefix of symbol-disjoint
+  pairs folded per round (see ``_fit_distributed``), and one
+  Arrow-batched rewrite applying the whole batch —
+  O(num_merges / batch) jobs over a vocabulary-sized frame, never a
+  corpus rescan. Both paths produce identical merges
+  (parity-tested); ties break lexicographically so training is
+  deterministic.
 * ``transform`` tokenizes documents with the learned ranks inside
   ``mapInPandas`` — greedy lowest-rank merging per word with a
   per-batch word cache (each distinct word is tokenized once per
@@ -82,14 +85,18 @@ class BPETokenizer:
         lowercase: bool = True,
         min_pair_count: int = 2,
         driver_threshold: int = 1_000_000,
+        batch_candidates: int = 256,
     ):
         if num_merges < 1:
             raise ValueError("num_merges must be >= 1")
+        if batch_candidates < 1:
+            raise ValueError("batch_candidates must be >= 1")
         self.num_merges = num_merges
         self.text_column = text_column
         self.lowercase = lowercase
         self.min_pair_count = min_pair_count
         self.driver_threshold = driver_threshold
+        self.batch_candidates = batch_candidates
         self.merges: Optional[list] = None
 
     # -- training ------------------------------------------------------------
@@ -144,11 +151,33 @@ class BPETokenizer:
         return merges
 
     def _fit_distributed(self, wf: DataFrame) -> list:
-        """One DataFrame aggregate + one Arrow-batched rewrite per
-        merge, all over the (bounded) word-type table."""
-        import pandas as pd
+        """BATCHED merge rounds over the (bounded) word-type table:
+        one pair-count aggregate (top ``batch_candidates`` collected)
+        + one Arrow-batched rewrite applies SEVERAL merges per round,
+        cutting the job count from O(num_merges) to
+        O(num_merges / batch) while staying EXACTLY equal to the
+        sequential algorithm (pinned by the driver/distributed parity
+        test). A candidate batch is a prefix of the
+        (count desc, pair asc)-sorted list, extended while provably
+        safe and stopped at the first violation:
 
-        spark = wf.sparkSession
+        * symbol-disjointness — a selected pair's counts are invariant
+          under the other selected merges only if no symbol (or merged
+          string) is shared, so an interacting candidate ends the
+          batch (its true count under the applied merges is unknown);
+        * the new-pair bound — merging (a, b) can CREATE pairs
+          ``(x, ab)`` / ``(ab, y)`` with counts bounded by the
+          pre-merge counts of ``(x, a)`` / ``(b, y)`` (and by the
+          K-th collected count for pairs outside the collected list);
+          a candidate whose count does not strictly exceed that bound
+          could lose the sequential argmax to a created pair, so it
+          ends the batch.
+
+        Worst case (adversarially chained pairs) degenerates to one
+        merge per round — still correct; typical corpora fold 5-50
+        merges per aggregate. For production 32k-merge vocabularies
+        prefer the driver path: the word-TYPE table is Heaps-law
+        bounded, so ``driver_threshold`` is the real control."""
         words = wf.select(
             F.transform(
                 F.split(F.col("word"), ""),
@@ -159,7 +188,8 @@ class BPETokenizer:
             "freq",
         ).persist()
         merges: list = []
-        for _ in range(self.num_merges):
+        K = self.batch_candidates
+        while len(merges) < self.num_merges:
             pairs = words.select(
                 F.explode(
                     F.arrays_zip(
@@ -177,25 +207,64 @@ class BPETokenizer:
                 pairs.groupBy("a", "b")
                 .agg(F.sum("freq").alias("n"))
                 .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
-                .limit(1)
+                .limit(K)
                 .collect()
             )
             if not top or top[0]["n"] < self.min_pair_count:
                 break
-            pair = (top[0]["a"], top[0]["b"])
-            merges.append(pair)
-
-            def apply_merge(batches, pair=pair):
-                for pdf in batches:
-                    pdf["syms"] = [
-                        list(_merge_word(tuple(s), pair)) for s in pdf["syms"]
+            counts = {(r["a"], r["b"]): r["n"] for r in top}
+            # pairs beyond the collected list have count <= the K-th
+            # collected count; if the list is complete, none exist
+            floor_bound = top[-1]["n"] if len(top) == K else 0
+            selected: list = []
+            touched: set = set()
+            bound = floor_bound
+            for r in top:
+                pair, cnt = (r["a"], r["b"]), r["n"]
+                if cnt < self.min_pair_count:
+                    break
+                if len(merges) + len(selected) >= self.num_merges:
+                    break
+                if selected and (
+                    pair[0] in touched
+                    or pair[1] in touched
+                    or (pair[0] + pair[1]) in touched
+                    or cnt <= bound
+                ):
+                    break
+                selected.append(pair)
+                touched.update((pair[0], pair[1], pair[0] + pair[1]))
+                adj = max(
+                    [
+                        c
+                        for (x, y), c in counts.items()
+                        if y == pair[0] or x == pair[1]
                     ]
+                    + [0]
+                )
+                bound = max(bound, adj)
+            merges.extend(selected)
+
+            def apply_merges(batches, batch=tuple(selected)):
+                for pdf in batches:
+                    out = []
+                    for s in pdf["syms"]:
+                        t = tuple(s)
+                        for p in batch:
+                            t = _merge_word(t, p)
+                        out.append(list(t))
+                    pdf["syms"] = out
                     yield pdf
 
+            # localCheckpoint (eager) materializes AND truncates the
+            # logical plan: without it every round chains another
+            # mapInPandas onto the plan and a deep merge run grows an
+            # O(rounds)-deep lineage (driver OOM well before 32k
+            # merges); with it each round starts from a flat scan of
+            # the checkpointed partitions
             new_words = words.mapInPandas(
-                apply_merge, schema="syms array<string>, freq long"
-            ).persist()
-            new_words.count()  # materialize before dropping the old cache
+                apply_merges, schema="syms array<string>, freq long"
+            ).localCheckpoint(eager=True)
             words.unpersist()
             words = new_words
         words.unpersist()

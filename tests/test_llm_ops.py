@@ -1484,6 +1484,26 @@ def test_bpe_driver_distributed_parity(spark):
     t2 = dist.transform(df).orderBy("doc_id").collect()
     assert [r.tokens for r in t1] == [r.tokens for r in t2]
 
+    # the batched rounds must be exact for ANY batch_candidates —
+    # K=1 degenerates to one merge per aggregate, large K exercises
+    # the disjointness + new-pair-bound stop rules on a random corpus
+    import random
+
+    random.seed(13)
+    vocab = ["he", "she", "the", "her", "cat", "hat", "that", "bat",
+             "mat", "rat", "sat", "on", "an", "and", "band", "sand"]
+    rows2 = [
+        (i, " ".join(random.choices(vocab, k=12))) for i in range(40)
+    ]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    want = BPETokenizer(num_merges=40).fit(df2).merges
+    assert len(want) >= 15  # corpus exhausts below 40 — fine
+    for k in (1, 4, 256):
+        got = BPETokenizer(
+            num_merges=40, driver_threshold=0, batch_candidates=k
+        ).fit(df2).merges
+        assert got == want, f"batch_candidates={k}"
+
 
 def test_bpe_edge_cases(spark):
     from replay_spark.preprocessing.bpe import BPETokenizer
