@@ -1637,6 +1637,109 @@ def q_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF-codec gate (pure-stdlib LZW): embeddings are
+    quantized to uint8 8×8 grayscale, GIF-encoded executor-side
+    (alternating interlaced/sequential per id so the deinterlace path
+    is gated too), decoded by the real LZW decoder, and the 16-bin
+    histogram features come back out. Encode→decode is lossless, so
+    DuckDB verifies the whole round trip from the raw embeddings —
+    same oracle shape as q_png_decode."""
+    import numpy as np
+    import pandas as pd
+
+    from replay_spark.multimodal import MediaProcessor, encode_gif
+    from replay_spark.multimodal import gif_image_decoder
+
+    emb = rsd.read_table(spark, sf_dir, "embeddings")
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for vid, vec in zip(pdf["vec_id"], pdf["embedding"]):
+                arr = np.asarray(vec, dtype=np.float64)
+                u8 = np.clip(np.floor((arr + 4.0) * 32.0), 0, 255).astype(
+                    np.uint8
+                )
+                payloads.append(
+                    encode_gif(u8.reshape(8, 8), interlace=bool(int(vid) % 2))
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["vec_id"].values, "payload": payloads}
+            )
+
+    media = emb.select("vec_id", "embedding").mapInPandas(
+        build, schema="media_id long, payload binary"
+    )
+    out = MediaProcessor(decoder=gif_image_decoder).transform(media)
+    return out.select(
+        F.col("media_id").alias("vec_id"),
+        "width",
+        "height",
+        F.concat_ws(
+            ",", F.transform("features", lambda x: x.cast("string"))
+        ).alias("hist"),
+    )
+
+
+def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-container video gate — the first frame-decode
+    path that needs no external splitter: each embedding becomes a
+    6-frame GIF89a animation (frame j a solid 8×8 of
+    (base + 7j) % 256, base = the quantized embedding mean), the
+    tick sampler runs with ``splitter=split_gif_frames`` (250 ms
+    ticks at 10 fps → frames 0, 2, 5), and each sampled frame
+    decodes to a one-hot histogram whose bin DuckDB recomputes from
+    the raw embeddings."""
+    import numpy as np
+    import pandas as pd
+
+    from replay_spark.multimodal import (
+        MediaProcessor,
+        encode_gif,
+        ppm_image_decoder,
+        split_gif_frames,
+    )
+
+    emb = rsd.read_table(spark, sf_dir, "embeddings")
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for vec in pdf["embedding"]:
+                arr = np.asarray(vec, dtype=np.float64)
+                base = int(
+                    np.clip(np.floor((arr.mean() + 1.0) * 128.0), 0, 255)
+                )
+                frames = [
+                    np.full((8, 8), (base + 7 * j) % 256, dtype=np.uint8)
+                    for j in range(6)
+                ]
+                payloads.append(encode_gif(frames, delays_ms=[100] * 6))
+            yield pd.DataFrame(
+                {"media_id": pdf["vec_id"].values, "payload": payloads}
+            )
+
+    media = emb.select("vec_id", "embedding").mapInPandas(
+        build, schema="media_id long, payload binary"
+    )
+    proc = MediaProcessor(
+        decoder=ppm_image_decoder, splitter=split_gif_frames
+    )
+    sampled = proc.sample_frames(media, every_ms=250, fps=10.0)
+    out = proc.transform(sampled, passthrough=("frame_index", "t_ms"))
+    return out.select(
+        F.col("media_id").alias("vec_id"),
+        "frame_index",
+        "t_ms",
+        "width",
+        "height",
+        (F.array_position(F.col("features"), F.lit(1.0)) - 1).alias(
+            "hot_bin"
+        ),
+    )
+
+
 def q_llm_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship LLM-preprocessing composition, fully hash-verified:
     quality filter (C4/Gopher signals) → normalized exact dedup →
@@ -2286,21 +2389,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     The driver scores the FIRST 50 entries — (a) + (b) is EXACTLY 50
     (checked by tests/test_entry_contract.py). Order for r7 (per the
-    round-6 verdict's rotation task): (a) the 19 gates whose operator
+    round-6 verdict's rotation task): (a) the 21 gates whose operator
     internals changed or that debut this round — the re-greened
     q_corpus_stats (r6's one red row, now an exact-integer
     projection), q_llm_e2e post-persist, the q_pq_ann_fixed /
-    q_mp4_meta hash debuts, q_pq_ann / q_ivfpq_ann rows debuts
-    (integer-ADC rewrite), q_image_phash_dedup hash debut, the hash
-    twins swapped in for their rows-only siblings
-    (q_ivf_ann_fixed for q_ivf_ann, q_doc_fingerprints_md5 for
-    q_doc_fingerprints), every gate whose values moved to
-    stable_round, and the ordered_prefix_sums consumers; (b) the 31
-    stalest hash-oracled gates — last official row in r4/r5, sat
-    unscored in (c) through r6; (c) everything else — officially
-    green in r4-r6 — still run in tools/check_oracle and bench.
-    Rows-only contracts inside the r7 window: exactly 3 (q_pq_ann,
-    q_ivfpq_ann, q_bpe_tokens) — 47/50 hash-gated.
+    q_mp4_meta / q_gif_decode / q_gif_frames hash debuts, q_pq_ann /
+    q_ivfpq_ann rows debuts (integer-ADC rewrite),
+    q_image_phash_dedup hash debut, the hash twins swapped in for
+    their rows-only siblings (q_ivf_ann_fixed for q_ivf_ann,
+    q_doc_fingerprints_md5 for q_doc_fingerprints), every gate whose
+    values moved to stable_round, and the ordered_prefix_sums
+    consumers; (b) the 29 stalest hash-oracled gates — last official
+    row in r4/r5, sat unscored in (c) through r6; (c) everything
+    else — officially green in r4-r6 — still run in
+    tools/check_oracle and bench. Rows-only contracts inside the r7
+    window: exactly 3 (q_pq_ann, q_ivfpq_ann, q_bpe_tokens) —
+    47/50 hash-gated.
     """
     return {
         # -- (a) operator internals changed or debuted this round:
@@ -2313,6 +2417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_llm_e2e": q_llm_e2e,
         "q_pq_ann_fixed": q_pq_ann_fixed,
         "q_mp4_meta": q_mp4_meta,
+        "q_gif_decode": q_gif_decode,
+        "q_gif_frames": q_gif_frames,
         "q_pq_ann": q_pq_ann,
         "q_ivfpq_ann": q_ivfpq_ann,
         "q_image_phash_dedup": q_image_phash_dedup,
@@ -2339,8 +2445,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audio_decode": q_audio_decode,
         "q_video_frames": q_video_frames,
         "q_horizontal_explode": q_horizontal_explode,
-        "q_unique_entities": q_unique_entities,
-        "q_log_info_row": q_log_info_row,
         "q_pii_scrub": q_pii_scrub,
         "q_document_chunks": q_document_chunks,
         "q_document_chunks_overlap": q_document_chunks_overlap,
@@ -2363,6 +2467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination_report": q_contamination_report,
         # -- (c) officially green in r4-r6, rotating out — still
         #        run in tools/check_oracle and bench -------------
+        "q_unique_entities": q_unique_entities,
+        "q_log_info_row": q_log_info_row,
         "q_dedup_clusters": q_dedup_clusters,
         "q_source_cap": q_source_cap,
         "q_paragraph_dedup": q_paragraph_dedup,
@@ -3790,6 +3896,42 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY cosine DESC, neighbor_id ASC) AS rank
                 FROM rer) t4
             WHERE rank <= 5
+        """,
+        "q_gif_decode": """
+            WITH u8 AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           e -> CAST(least(greatest(floor((CAST(e AS DOUBLE) + 4.0) * 32.0), 0), 255) AS BIGINT)
+                       ) AS u
+                FROM embeddings),
+            bins AS (
+                SELECT vec_id,
+                       list_transform(range(0, 16),
+                           b -> len(list_filter(u, x -> x // 16 = b)) / 64.0
+                       ) AS hist_list
+                FROM u8)
+            SELECT vec_id, 8 AS width, 8 AS height,
+                   array_to_string(list_transform(hist_list,
+                       x -> CAST(x AS VARCHAR)), ',') AS hist
+            FROM bins
+        """,
+        "q_gif_frames": """
+            WITH base AS (
+                SELECT vec_id,
+                       CAST(least(greatest(floor(
+                           (list_avg(list_transform(embedding,
+                               e -> CAST(e AS DOUBLE))) + 1.0) * 128.0
+                       ), 0), 255) AS BIGINT) AS b
+                FROM embeddings),
+            ticks AS (
+                SELECT * FROM (VALUES (0, 0), (2, 250), (5, 500))
+                    t(frame_index, t_ms))
+            SELECT base.vec_id,
+                   ticks.frame_index,
+                   ticks.t_ms,
+                   8 AS width, 8 AS height,
+                   ((base.b + 7 * ticks.frame_index) % 256) // 16 AS hot_bin
+            FROM base CROSS JOIN ticks
         """,
         "q_mp4_meta": """
             SELECT vec_id,

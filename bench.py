@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "q_llm_e2e",
     "q_pq_ann_fixed",
     "q_mp4_meta",
+    "q_gif_decode",
 ]
 
 

@@ -73,6 +73,11 @@ __all__ = [
     "parse_mp4_metadata",
     "mp4_metadata",
     "build_mp4_container",
+    "decode_gif",
+    "encode_gif",
+    "decode_gif_frames",
+    "split_gif_frames",
+    "gif_image_decoder",
 ]
 
 # real baseline-JPEG codec lives in its own module (pure numpy
@@ -83,6 +88,28 @@ from replay_spark.jpeg import (  # noqa: E402,F401
     encode_jpeg,
     jpeg_image_decoder,
 )
+from replay_spark.gif import (  # noqa: E402,F401
+    decode_gif,
+    decode_gif_frames,
+    encode_gif,
+    split_gif_frames,
+)
+
+
+def gif_image_decoder(payload: bytes) -> dict:
+    """``MediaProcessor``-shaped REAL GIF decode: dimensions + the
+    16-bin normalized grayscale histogram of the FIRST composed
+    frame (animations: sample frames via ``split_gif_frames`` as the
+    ``splitter=`` instead)."""
+    img = decode_gif(payload)
+    gray = _gray(img)
+    hist, _ = np.histogram(gray, bins=16, range=(0.0, 256.0))
+    total = max(int(hist.sum()), 1)
+    return {
+        "width": int(img.shape[1]),
+        "height": int(img.shape[0]),
+        "features": [float(v) / total for v in hist],
+    }
 
 # Canonical media-column schema: payload + sidecar metadata.
 MEDIA_SCHEMA = StructType(
@@ -194,6 +221,15 @@ def encode_ppm(array: np.ndarray) -> bytes:
 
 def _gray(img: np.ndarray) -> np.ndarray:
     if img.ndim == 3:
+        # grayscale content stored as RGB (GIF has no grayscale mode;
+        # split_gif_frames emits P6) is collapsed EXACTLY — the luma
+        # mix of equal channels is v*(0.299+0.587+0.114) which is v
+        # only up to float error, enough to flip a histogram bin at
+        # multiples of the bin width
+        if np.array_equal(img[..., 0], img[..., 1]) and np.array_equal(
+            img[..., 1], img[..., 2]
+        ):
+            return img[..., 0].astype(np.float64)
         return (
             0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
         )
@@ -457,7 +493,8 @@ def auto_image_decoder(payload: bytes) -> dict:
     decoder to use on mixed-format corpora (a real crawl is never
     single-format): netpbm ``P5``/``P6`` → :func:`ppm_image_decoder`,
     PNG signature → :func:`png_image_decoder`, JPEG SOI →
-    :func:`jpeg_image_decoder`, RIFF/WAVE → :func:`wav_audio_decoder`.
+    :func:`jpeg_image_decoder`, GIF87a/89a → :func:`gif_image_decoder`,
+    RIFF/WAVE → :func:`wav_audio_decoder`.
     Unknown magic raises ValueError (route those payloads to a
     PIL-backed decoder via the ``decoder=`` hook)."""
     if payload is None:
@@ -469,6 +506,8 @@ def auto_image_decoder(payload: bytes) -> dict:
         return png_image_decoder(payload)
     if head[:2] == b"\xff\xd8":
         return jpeg_image_decoder(payload)
+    if head[:6] in (b"GIF87a", b"GIF89a"):
+        return gif_image_decoder(payload)
     if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
         return wav_audio_decoder(payload)
     raise ValueError(
