@@ -1740,6 +1740,36 @@ def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup gate with a deterministic quantizer: corpus =
+    embeddings ∪ exact semantic duplicates (vectors scaled ×2 —
+    power-of-two scaling keeps every cosine BIT-identical — under
+    shifted ids), clusters = stable-rounded max-cosine assignment to
+    the 16 fixed centroids (q_ivf_ann_fixed's trick), and a row is
+    dropped when an earlier same-cluster row sits at rounded cosine
+    ≥ 0.95. Every planted duplicate must land in its original's
+    cluster and die; DuckDB replays assignment + removal exactly."""
+    from replay_spark.preprocessing.dedup import SemanticDeduplicator
+
+    emb = rsd.read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    scaled = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2).alias("embedding"),
+    )
+    corpus = emb.unionByName(scaled)
+    cents = [
+        r["embedding"]
+        for r in emb.filter("vec_id < 16").orderBy("vec_id").collect()
+    ]
+    dd = SemanticDeduplicator(threshold=0.95, num_clusters=16)
+    out = dd.flags(corpus, centroids=cents)
+    return out.select(
+        "vec_id", "cluster", F.col("kept").cast("int").alias("kept")
+    )
+
+
 def q_llm_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship LLM-preprocessing composition, fully hash-verified:
     quality filter (C4/Gopher signals) → normalized exact dedup →
@@ -2389,17 +2419,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     The driver scores the FIRST 50 entries — (a) + (b) is EXACTLY 50
     (checked by tests/test_entry_contract.py). Order for r7 (per the
-    round-6 verdict's rotation task): (a) the 21 gates whose operator
+    round-6 verdict's rotation task): (a) the 22 gates whose operator
     internals changed or that debut this round — the re-greened
     q_corpus_stats (r6's one red row, now an exact-integer
     projection), q_llm_e2e post-persist, the q_pq_ann_fixed /
-    q_mp4_meta / q_gif_decode / q_gif_frames hash debuts, q_pq_ann /
-    q_ivfpq_ann rows debuts (integer-ADC rewrite),
+    q_mp4_meta / q_gif_decode / q_gif_frames / q_semantic_dedup hash
+    debuts, q_pq_ann / q_ivfpq_ann rows debuts (integer-ADC rewrite),
     q_image_phash_dedup hash debut, the hash twins swapped in for
     their rows-only siblings (q_ivf_ann_fixed for q_ivf_ann,
     q_doc_fingerprints_md5 for q_doc_fingerprints), every gate whose
     values moved to stable_round, and the ordered_prefix_sums
-    consumers; (b) the 29 stalest hash-oracled gates — last official
+    consumers; (b) the 28 stalest hash-oracled gates — last official
     row in r4/r5, sat unscored in (c) through r6; (c) everything
     else — officially green in r4-r6 — still run in
     tools/check_oracle and bench. Rows-only contracts inside the r7
@@ -2419,6 +2449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mp4_meta": q_mp4_meta,
         "q_gif_decode": q_gif_decode,
         "q_gif_frames": q_gif_frames,
+        "q_semantic_dedup": q_semantic_dedup,
         "q_pq_ann": q_pq_ann,
         "q_ivfpq_ann": q_ivfpq_ann,
         "q_image_phash_dedup": q_image_phash_dedup,
@@ -2444,7 +2475,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_abnormality": q_abnormality,
         "q_audio_decode": q_audio_decode,
         "q_video_frames": q_video_frames,
-        "q_horizontal_explode": q_horizontal_explode,
         "q_pii_scrub": q_pii_scrub,
         "q_document_chunks": q_document_chunks,
         "q_document_chunks_overlap": q_document_chunks_overlap,
@@ -2467,6 +2497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination_report": q_contamination_report,
         # -- (c) officially green in r4-r6, rotating out — still
         #        run in tools/check_oracle and bench -------------
+        "q_horizontal_explode": q_horizontal_explode,
         "q_unique_entities": q_unique_entities,
         "q_log_info_row": q_log_info_row,
         "q_dedup_clusters": q_dedup_clusters,
@@ -3896,6 +3927,42 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY cosine DESC, neighbor_id ASC) AS rank
                 FROM rer) t4
             WHERE rank <= 5
+        """,
+        "q_semantic_dedup": """
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+            u AS (
+                SELECT vec_id, v FROM e
+                UNION ALL
+                SELECT vec_id + 100000 AS vec_id,
+                       list_transform(v, x -> x * 2) AS v
+                FROM e),
+            cents AS (SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < 16),
+            assign AS (
+                SELECT vec_id, cluster, v FROM (
+                    SELECT u.vec_id, c.cluster, u.v,
+                           row_number() OVER (PARTITION BY u.vec_id ORDER BY
+                               round(list_dot_product(u.v, c.cv) /
+                                     (sqrt(list_dot_product(u.v, u.v)) *
+                                      sqrt(list_dot_product(c.cv, c.cv))) + 1e-9, 6) DESC,
+                               c.cluster ASC) AS rn
+                    FROM u, cents c) t
+                WHERE rn = 1),
+            removed AS (
+                SELECT DISTINCT b.vec_id
+                FROM assign a
+                JOIN assign b ON a.cluster = b.cluster
+                             AND a.vec_id < b.vec_id
+                WHERE round(list_dot_product(a.v, b.v) /
+                            (sqrt(list_dot_product(a.v, a.v)) *
+                             sqrt(list_dot_product(b.v, b.v))) + 1e-9, 6)
+                      >= 0.95)
+            SELECT s.vec_id, s.cluster,
+                   CAST(CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END
+                        AS INTEGER) AS kept
+            FROM assign s LEFT JOIN removed r ON s.vec_id = r.vec_id
         """,
         "q_gif_decode": """
             WITH u8 AS (

@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "q_pq_ann_fixed",
     "q_mp4_meta",
     "q_gif_decode",
+    "q_semantic_dedup",
 ]
 
 

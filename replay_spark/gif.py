@@ -171,6 +171,8 @@ def decode_gif_frames(payload: bytes) -> tuple[list, list]:
     if payload is None or bytes(payload[:6]) not in _GIF_MAGICS:
         raise ValueError("not a GIF payload")
     data = bytes(payload)
+    if len(data) < 13:
+        raise ValueError("truncated GIF header")
     w, h, packed, bg_index, _ = struct.unpack("<HHBBB", data[6:13])
     pos = 13
     gct = None

@@ -45,6 +45,7 @@ __all__ = [
     "MinHashLSHDeduplicator",
     "SimHashDeduplicator",
     "EmbeddingDeduplicator",
+    "SemanticDeduplicator",
     "NearDupClusters",
     "ContaminationChecker",
     "ParagraphDeduplicator",
@@ -653,6 +654,140 @@ class EmbeddingDeduplicator:
     def transform(self, df: DataFrame) -> DataFrame:
         dupes = self.pairs(df).select(F.col("id_b").alias(self.id_column)).distinct()
         return df.join(dupes, on=self.id_column, how="left_anti")
+
+
+class SemanticDeduplicator:
+    """SemDeDup-style cluster-scoped embedding dedup (Abbas et al.
+    2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication"): k-means cells bound WHERE the quadratic
+    cosine check runs — pairs are only compared INSIDE a cluster, so
+    per-cluster work is (n/k)² instead of n², the paper's central
+    trick for web-scale corpora. Within a cluster a document is
+    removed when an EARLIER (smaller-id) document sits at or above
+    the cosine threshold — the deterministic keep-one-representative
+    rule (the paper keeps a random/low-index member per ε-group).
+
+    Plan shape: assignment reuses :class:`replay_spark.ann.IVFANN`
+    (broadcast centroids, one narrow pass; with explicit
+    ``centroids`` the assignment is the stable-rounded max-cosine
+    quantizer, SQL-reproducible — the ``q_semantic_dedup`` contract
+    gate); the cluster-keyed self-join is co-partitioned on
+    ``cluster`` (the IVF index is already hash-partitioned by it),
+    pair cosines stay JVM-side, and the removal set joins back
+    left-anti. ``num_clusters=None`` auto-scales as
+    ``ceil(n / target_cluster_size)`` so in-cluster quadratic cost
+    stays bounded at any corpus size.
+
+    Versus :class:`EmbeddingDeduplicator` (hyperplane-bucketed
+    near-dup pairs): LSH buckets are recall-probabilistic and
+    threshold-agnostic at bucketing time; k-means cells follow the
+    data's density (the SemDeDup claim) and give cluster-scoped
+    semantics — both are kept, matching the two regimes a production
+    pipeline runs (exact-ish near-dup vs semantic-level pruning).
+    """
+
+    def __init__(
+        self,
+        id_column: str = "vec_id",
+        vector_column: str = "embedding",
+        threshold: float = 0.95,
+        num_clusters: Optional[int] = None,
+        target_cluster_size: int = 1024,
+        seed: int = 42,
+    ):
+        if not 0.0 < threshold <= 1.0:
+            raise ValueError("threshold must be in (0, 1]")
+        if target_cluster_size < 1:
+            raise ValueError("target_cluster_size must be >= 1")
+        self.id_column = id_column
+        self.vector_column = vector_column
+        self.threshold = threshold
+        self.num_clusters = num_clusters
+        self.target_cluster_size = target_cluster_size
+        self.seed = seed
+
+    def _index(self, df: DataFrame, centroids=None):
+        from replay_spark.ann import IVFANN
+
+        k = self.num_clusters
+        if k is None:
+            if centroids is not None:
+                k = len(centroids)
+            else:
+                n = df.count()
+                k = max(1, -(-n // self.target_cluster_size))
+        ann = IVFANN(
+            id_column=self.id_column,
+            vector_column=self.vector_column,
+            num_clusters=k,
+            seed=self.seed,
+        )
+        ann.fit(df, centroids=centroids)
+        return ann._indexed  # (neighbor_id, cv double-array, cluster)
+
+    def flags(self, df: DataFrame, centroids=None) -> DataFrame:
+        """(id, cluster, kept) for every input row: ``kept`` is false
+        when an earlier same-cluster row is within the threshold."""
+        from replay_spark.utils.spark_utils import stable_round
+
+        idx = self._index(df, centroids)
+        left = idx.select(
+            F.col("neighbor_id").alias("_ida"),
+            F.col("cv").alias("_va"),
+            "cluster",
+        )
+        right = idx.select(
+            F.col("neighbor_id").alias("_idb"),
+            F.col("cv").alias("_vb"),
+            "cluster",
+        )
+        dot = F.aggregate(
+            F.zip_with("_va", "_vb", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        norm_a = F.sqrt(
+            F.aggregate("_va", F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+        norm_b = F.sqrt(
+            F.aggregate("_vb", F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+        removed = (
+            left.join(right, on="cluster")
+            .filter(F.col("_ida") < F.col("_idb"))
+            # stable-rounded so the threshold cut is reproducible
+            # across engines (the hash gate's oracle mirrors it)
+            .filter(
+                stable_round(dot / (norm_a * norm_b), 6)
+                >= F.lit(self.threshold)
+            )
+            .select(F.col("_idb").alias("_removed_id"))
+            .distinct()
+        )
+        return (
+            idx.select(
+                F.col("neighbor_id").alias(self.id_column), "cluster"
+            )
+            .join(
+                removed.withColumn("_gone", F.lit(True)),
+                on=[F.col(self.id_column) == F.col("_removed_id")],
+                how="left",
+            )
+            .select(
+                self.id_column,
+                "cluster",
+                F.coalesce(~F.col("_gone"), F.lit(True)).alias("kept"),
+            )
+        )
+
+    def transform(self, df: DataFrame, centroids=None) -> DataFrame:
+        """Input rows minus cluster-scoped semantic duplicates."""
+        gone = (
+            self.flags(df, centroids)
+            .filter(~F.col("kept"))
+            .select(self.id_column)
+        )
+        return df.join(gone, on=self.id_column, how="left_anti")
 
 
 class NearDupClusters:

@@ -1429,6 +1429,14 @@ def test_auto_image_decoder_mixed_corpus(spark):
     with pytest.raises(Exception, match="unrecognized media magic"):
         MediaProcessor(decoder=auto_image_decoder).transform(
             spark.createDataFrame(
+                [(9, bytearray(b"BM_not_a_codec"))],
+                "media_id long, payload binary",
+            )
+        ).collect()
+    # GIF magic IS dispatched now — a corrupt body is a GIF error
+    with pytest.raises(Exception, match="truncated GIF"):
+        MediaProcessor(decoder=auto_image_decoder).transform(
+            spark.createDataFrame(
                 [(9, bytearray(b"GIF89a...."))], "media_id long, payload binary"
             )
         ).collect()
@@ -2009,3 +2017,58 @@ def test_gif_video_sampling_pipeline(spark):
     # magic dispatch routes GIF payloads to the real decoder
     meta = auto_image_decoder(payload)
     assert (meta["width"], meta["height"]) == (5, 4)
+
+
+def test_semantic_deduplicator(spark):
+    """SemDeDup semantics: the quadratic check is CLUSTER-SCOPED —
+    a near-duplicate pair split across clusters survives; within a
+    cluster the earliest id wins; auto-scaled cluster count and the
+    kmeans path produce a sane survivor set."""
+    import numpy as np
+
+    from replay_spark.preprocessing.dedup import SemanticDeduplicator
+
+    # two orthogonal anchor directions; ids 0/1 near e0, 2/3 near e1,
+    # 4 = exact double of 0 (cosine 1.0), 5 isolated diagonal
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.001, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.001, 0.999, 0.0, 0.0]),
+        (4, [2.0, 0.0, 0.0, 0.0]),
+        (5, [0.5, 0.5, 0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    dd = SemanticDeduplicator(threshold=0.95)
+    flags = {
+        r.vec_id: (r.cluster, r.kept)
+        for r in dd.flags(df, centroids=cents).collect()
+    }
+    # cluster 0: {0, 1, 4, 5¹}; 1 and 4 dominated by 0
+    assert flags[0] == (0, True)
+    assert flags[1][1] is False
+    assert flags[4][1] is False
+    # cluster 1: {2, 3}; 3 dominated by 2
+    assert flags[2] == (1, True)
+    assert flags[3][1] is False
+    # the diagonal vector lands in ONE cluster (tie -> cluster 0)
+    # and is below threshold to everything there
+    assert flags[5] == (0, True)
+
+    out = sorted(
+        r.vec_id for r in dd.transform(df, centroids=cents).collect()
+    )
+    assert out == [0, 2, 5]
+
+    # kmeans path (no centroids): survivors still drop the exact dup
+    survivors = sorted(
+        r.vec_id
+        for r in SemanticDeduplicator(
+            threshold=0.999, num_clusters=2
+        ).transform(df).collect()
+    )
+    assert 4 not in survivors and 0 in survivors
+
+    with pytest.raises(ValueError):
+        SemanticDeduplicator(threshold=0.0)
