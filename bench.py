@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "q_mp4_meta",
     "q_gif_decode",
     "q_semantic_dedup",
+    "q_substring_dedup",
 ]
 
 

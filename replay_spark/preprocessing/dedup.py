@@ -46,6 +46,7 @@ __all__ = [
     "SimHashDeduplicator",
     "EmbeddingDeduplicator",
     "SemanticDeduplicator",
+    "SubstringDeduplicator",
     "NearDupClusters",
     "ContaminationChecker",
     "ParagraphDeduplicator",
@@ -654,6 +655,189 @@ class EmbeddingDeduplicator:
     def transform(self, df: DataFrame) -> DataFrame:
         dupes = self.pairs(df).select(F.col("id_b").alias(self.id_column)).distinct()
         return df.join(dupes, on=self.id_column, how="left_anti")
+
+
+class SubstringDeduplicator:
+    """Exact duplicated-SUBSTRING removal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    span of ``min_length`` consecutive tokens that occurs more than
+    once across the corpus is removed from every occurrence except
+    the global first (smallest ``(doc_id, position)``;
+    ``keep="none"`` removes all occurrences). Overlapping duplicated
+    windows merge naturally — a token is dropped when ANY removed
+    window covers it — so maximal duplicated spans come out exactly
+    like the paper's suffix-array formulation, restated as DataFrame
+    algebra (the suffix array itself is a single-machine
+    construction; rolling k-token window keys give the same
+    ≥ min_length span semantics with only keyed shuffles).
+
+    Plan shape:
+
+    1. window keys are built ARRAY-SIDE per document
+       (``transform(sequence(0, n-k), i -> md5(slice-join))`` — JVM
+       higher-order expressions, no explode), then one posexplode
+       emits (doc, wpos, wkey) — linear;
+    2. per-key (count, first-occurrence) in ONE map-side-combined
+       ``groupBy(wkey)`` — a million-fold-duplicated license header
+       arrives at its reducer already collapsed per partition;
+    3. removed occurrences = windows joined to their key's stats
+       (count > 1, not the first) — keyed join;
+    4. ONLY documents that actually lose a span are re-tokenized
+       (left-semi on the removed set): coverage is an interval
+       +1/−1 delta sum per token position (window cumsum per doc),
+       never a per-token × per-interval range join;
+    5. affected docs reassemble order-exact
+       (``collect_list(struct(pos, token))`` → sort → join);
+       untouched documents pass through with their ORIGINAL text
+       verbatim (affected docs come back whitespace-normalized —
+       the same contract SequencePacker-tier operators use).
+
+    No reference counterpart (LLM-pipeline extension).
+    """
+
+    def __init__(
+        self,
+        min_length: int = 50,
+        keep: str = "first",
+        id_column: str = "doc_id",
+        text_column: str = "text",
+    ):
+        if min_length < 2:
+            raise ValueError("min_length must be >= 2")
+        if keep not in ("first", "none"):
+            raise ValueError("keep must be 'first' or 'none'")
+        self.min_length = min_length
+        self.keep = keep
+        self.id_column = id_column
+        self.text_column = text_column
+
+    def _windows(self, df: DataFrame) -> DataFrame:
+        from replay_spark.preprocessing.text import tokenize_expr
+
+        idc, k = self.id_column, self.min_length
+        toks = tokenize_expr(F.col(self.text_column))
+        # TOTAL expression (valid on every row): one key per token
+        # index, nulled where the window does not fit, nulls filtered
+        # (they only occur at the tail, so the filtered position IS
+        # the window start). A sequence(0, size-k) formulation blows
+        # up on short docs: InferFiltersFromGenerate clones the
+        # generator expression into a filter conjunct that can run on
+        # unfiltered rows, where the negative sequence runs DESCENDING
+        # and slice gets start 0.
+        keys = F.filter(
+            F.transform(
+                toks,
+                lambda x, i: F.when(
+                    i + k <= F.size(toks),
+                    F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+                ),
+            ),
+            lambda key: key.isNotNull(),
+        )
+        return df.select(F.col(idc).alias("_d"), keys.alias("_keys")).select(
+            "_d", F.posexplode("_keys").alias("_wpos", "_wkey")
+        )
+
+    def removed_occurrences(self, df: DataFrame) -> DataFrame:
+        """(doc id, window start) for every occurrence slated for
+        removal — the audit view of the pass."""
+        idc = self.id_column
+        wins = self._windows(df)
+        stats = wins.groupBy("_wkey").agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.min(F.struct("_d", "_wpos")).alias("_first"),
+        )
+        out = wins.join(stats, on="_wkey").filter(F.col("_cnt") > 1)
+        if self.keep == "first":
+            out = out.filter(
+                ~(
+                    (F.col("_d") == F.col("_first._d"))
+                    & (F.col("_wpos") == F.col("_first._wpos"))
+                )
+            )
+        return out.select(
+            F.col("_d").alias(idc), F.col("_wpos").alias("start")
+        )
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from replay_spark.preprocessing.text import tokenize_expr
+
+        idc, tc, k = self.id_column, self.text_column, self.min_length
+        # the removed set feeds three plan branches (affected docs,
+        # +1 deltas, -1 deltas): persist so the window scan + stats
+        # join run once; evicted LRU after the caller's action (the
+        # same contract ordered_row_numbers documents)
+        removed = self.removed_occurrences(df).persist()
+        affected = removed.select(idc).distinct()
+        toks = (
+            df.join(affected, on=idc, how="left_semi")
+            .select(
+                F.col(idc).alias("_d"),
+                F.posexplode(tokenize_expr(F.col(tc))).alias(
+                    "_tpos", "_tok"
+                ),
+            )
+        )
+        deltas = (
+            removed.select(
+                F.col(idc).alias("_d"),
+                F.col("start").alias("_pos"),
+                F.lit(1).alias("_delta"),
+            )
+            .unionByName(
+                removed.select(
+                    F.col(idc).alias("_d"),
+                    (F.col("start") + k).alias("_pos"),
+                    F.lit(-1).alias("_delta"),
+                )
+            )
+            .groupBy("_d", "_pos")
+            .agg(F.sum("_delta").alias("_delta"))
+        )
+        w = (
+            Window.partitionBy("_d")
+            .orderBy("_tpos")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        rebuilt = (
+            toks.join(
+                deltas,
+                on=[
+                    toks["_d"] == deltas["_d"],
+                    toks["_tpos"] == deltas["_pos"],
+                ],
+                how="left",
+            )
+            .select(
+                toks["_d"].alias("_d"),
+                "_tpos",
+                "_tok",
+                F.coalesce(deltas["_delta"], F.lit(0)).alias("_delta"),
+            )
+            .withColumn("_covered", F.sum("_delta").over(w) > 0)
+            .groupBy("_d")
+            .agg(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    ~F.col("_covered"),
+                                    F.struct("_tpos", "_tok"),
+                                )
+                            )
+                        ),
+                        lambda s: s["_tok"],
+                    ),
+                ).alias("_newtext")
+            )
+        )
+        return df.join(
+            rebuilt.select(F.col("_d").alias(idc), "_newtext"),
+            on=idc,
+            how="left",
+        ).withColumn(tc, F.coalesce("_newtext", F.col(tc))).drop("_newtext")
 
 
 class SemanticDeduplicator:

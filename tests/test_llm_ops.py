@@ -2072,3 +2072,80 @@ def test_semantic_deduplicator(spark):
 
     with pytest.raises(ValueError):
         SemanticDeduplicator(threshold=0.0)
+
+
+def test_substring_deduplicator(spark):
+    """Exact duplicated-span removal vs a brute-force in-memory
+    oracle: duplicated k-token windows removed everywhere but the
+    global-first occurrence, overlapping windows merged via
+    coverage, untouched docs byte-identical, keep='none' kills every
+    occurrence."""
+    import random
+
+    from replay_spark.preprocessing.dedup import SubstringDeduplicator
+
+    random.seed(11)
+    vocab = [f"w{i}" for i in range(30)]
+    span = "alpha beta gamma delta epsilon".split()
+    docs = []
+    for d in range(12):
+        words = random.choices(vocab, k=random.randint(6, 25))
+        if d % 3 == 0:  # plant the duplicated span (also in-doc twice)
+            at = random.randint(0, len(words))
+            words = words[:at] + span + words[at:]
+            if d == 6:
+                words += span
+        docs.append((d, " ".join(words)))
+    docs.append((99, "tiny doc"))  # shorter than k — must pass through
+
+    k = 5
+
+    def oracle(rows):
+        toks = {d: t.split() for d, t in rows}
+        occs = {}
+        for d, tk in sorted(toks.items()):
+            for i in range(len(tk) - k + 1):
+                occs.setdefault(tuple(tk[i : i + k]), []).append((d, i))
+        removed = {}
+        for key, lst in occs.items():
+            if len(lst) > 1:
+                for d, i in sorted(lst)[1:]:
+                    removed.setdefault(d, []).append(i)
+        out = {}
+        for d, tk in toks.items():
+            cov = [False] * len(tk)
+            for i in removed.get(d, ()):
+                for j in range(i, i + k):
+                    cov[j] = True
+            out[d] = (
+                " ".join(t for t, c in zip(tk, cov) if not c)
+                if d in removed
+                else dict(rows)[d]
+            )
+        return out
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: r.text
+        for r in SubstringDeduplicator(min_length=k).transform(df).collect()
+    }
+    assert got == oracle(docs)
+    # at least one doc changed and one planted span survived somewhere
+    assert any(got[d] != t for d, t in docs)
+    assert any(" ".join(span) in got[d] for d, _ in docs)
+
+    # keep="none": no occurrence of the span survives anywhere
+    got_none = {
+        r.doc_id: r.text
+        for r in SubstringDeduplicator(min_length=k, keep="none")
+        .transform(df)
+        .collect()
+    }
+    assert all(" ".join(span) not in t for t in got_none.values())
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        SubstringDeduplicator(min_length=1)
+    with _pytest.raises(ValueError):
+        SubstringDeduplicator(keep="last")
