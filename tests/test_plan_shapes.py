@@ -1,0 +1,129 @@
+"""Physical-plan regression tests — the PLANS.md claims, mechanized.
+
+PLANS.md argues scale via plan shape (pushdown reaches the scan,
+dimensions broadcast, aggregates map-side combine, top-k uses group
+limits). These tests assert those properties on the live plans so a
+refactor that silently loses one fails CI instead of a bench round.
+
+Assertions are deliberately LOOSE (substring presence/absence, not
+full plan text) so Spark-version formatting changes don't flake.
+"""
+
+import contextlib
+import io
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _nodes(plan: str) -> list:
+    """One entry per physical node (the formatted detail headers) —
+    the tree section repeats names, so raw substring counts double."""
+    return re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+
+
+@pytest.fixture(scope="module")
+def sf(spark):
+    import replay_spark.datasets as rsd
+
+    return lambda name: rsd.read_table(spark, SF_DIR, name)
+
+
+def test_filter_pushdown_and_column_pruning(sf):
+    """q_pricing_summary shape: the quantity predicate reaches the
+    parquet scan and unused wide columns are pruned from ReadSchema."""
+    li = sf("lineitem")
+    df = (
+        li.filter(F.col("l_quantity") < 30)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("s"))
+    )
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "LessThan(l_quantity" in plan
+    # projection needs 4 columns; a scan reading these would be wrong
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema, plan
+    for unused in ("l_shipdate", "l_extendedprice", "l_partkey"):
+        assert unused not in read_schema[0], read_schema[0]
+
+
+def test_aggregate_is_map_side_combined(sf):
+    """groupBy aggregates must show the partial/final HashAggregate
+    pair around ONE exchange — a single-phase agg would ship raw rows."""
+    li = sf("lineitem")
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    plan = _plan(df)
+    nodes = _nodes(plan)
+    assert nodes.count("HashAggregate") == 2
+    assert nodes.count("Exchange") == 1
+
+
+def test_dimension_joins_broadcast(sf):
+    """q_nation_revenue shape: both dimension joins broadcast; the
+    fact side never shuffles before aggregation."""
+    orders, customer, nation = sf("orders"), sf("customer"), sf("nation")
+    df = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    nodes = _nodes(_plan(df))
+    assert nodes.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in nodes
+    # only the final aggregation exchanges; broadcasts are not shuffles
+    assert nodes.count("Exchange") == 1, nodes
+
+
+def test_top_k_uses_window_group_limit(sf):
+    """get_top_k must plan a WindowGroupLimit (rank pushed into the
+    shuffle) rather than ranking every row and filtering after."""
+    from replay_spark.utils import get_top_k
+
+    part = sf("part")
+    df = get_top_k(
+        part,
+        partition_by_col=F.col("p_size"),
+        order_by=[F.col("p_retailprice").desc(), F.col("p_partkey").asc()],
+        k=3,
+    )
+    assert "WindowGroupLimit" in _plan(df)
+
+
+def test_exact_dedup_single_shuffle(sf):
+    """ExactDeduplicator.transform: one hash-key shuffle, no sort-based
+    global ordering anywhere."""
+    from replay_spark.preprocessing.dedup import ExactDeduplicator
+
+    docs = sf("documents")
+    nodes = _nodes(_plan(ExactDeduplicator().transform(docs)))
+    assert nodes.count("Exchange") <= 2, nodes
+    assert "Sort" not in nodes or nodes.count("Sort") <= 2
+
+
+def test_source_cap_no_full_width_shuffle(sf):
+    """SourceCapFilter: the corpus-wide frame must NOT be exchanged —
+    only the 2-column (source, id) projection shuffles for the salted
+    cutoff; text never moves."""
+    from replay_spark.preprocessing.text import SourceCapFilter
+
+    docs = sf("documents")
+    plan = _plan(SourceCapFilter(cap=40).transform(docs))
+    exchange_lines = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l or "Exchange rangepartitioning" in l
+    ]
+    # the full-width side appears in no exchange: 'text' only ever
+    # rides the scan and the final broadcast-filtered projection
+    assert all("text" not in l for l in exchange_lines), exchange_lines
