@@ -1755,6 +1755,19 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text")
 
 
+def q_hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW ANN over the embeddings table: driver-built
+    navigable-small-world graph (reference parity — hnswlib builds
+    driver-side too), executor-side beam search. Rows-only: the
+    seeded graph walk is not SQL-expressible; recall is pinned by the
+    planted-neighbor test vs BruteForceANN."""
+    from replay_spark.ann import HNSWANN
+
+    emb = rsd.read_table(spark, sf_dir, "embeddings")
+    ann = HNSWANN(M=8, ef_construction=64, ef_search=48, seed=42).fit(emb)
+    return ann.search(emb.filter("vec_id < 20"), k=5)
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup gate with a deterministic quantizer: corpus =
     embeddings ∪ exact semantic duplicates (vectors scaled ×2 —
@@ -2434,7 +2447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     The driver scores the FIRST 50 entries — (a) + (b) is EXACTLY 50
     (checked by tests/test_entry_contract.py). Order for r7 (per the
-    round-6 verdict's rotation task): (a) the 23 gates whose operator
+    round-6 verdict's rotation task): (a) the 24 gates whose operator
     internals changed or that debut this round — the re-greened
     q_corpus_stats (r6's one red row, now an exact-integer
     projection), q_llm_e2e post-persist, the q_pq_ann_fixed /
@@ -2444,12 +2457,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     their rows-only siblings (q_ivf_ann_fixed for q_ivf_ann,
     q_doc_fingerprints_md5 for q_doc_fingerprints), every gate whose
     values moved to stable_round, and the ordered_prefix_sums
-    consumers; (b) the 27 stalest hash-oracled gates — last official
+    consumers; (b) the 26 stalest hash-oracled gates — last official
     row in r4/r5, sat unscored in (c) through r6; (c) everything
     else — officially green in r4-r6 — still run in
     tools/check_oracle and bench. Rows-only contracts inside the r7
-    window: exactly 3 (q_pq_ann, q_ivfpq_ann, q_bpe_tokens) —
-    47/50 hash-gated.
+    window: exactly 4 (q_pq_ann, q_ivfpq_ann, q_bpe_tokens,
+    q_hnsw_ann) — 46/50 hash-gated.
     """
     return {
         # -- (a) operator internals changed or debuted this round:
@@ -2466,6 +2479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gif_frames": q_gif_frames,
         "q_semantic_dedup": q_semantic_dedup,
         "q_substring_dedup": q_substring_dedup,
+        "q_hnsw_ann": q_hnsw_ann,
         "q_pq_ann": q_pq_ann,
         "q_ivfpq_ann": q_ivfpq_ann,
         "q_image_phash_dedup": q_image_phash_dedup,
@@ -2503,7 +2517,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_counts": q_token_counts,
         "q_vocab_top_tokens": q_vocab_top_tokens,
         "q_ngram_jaccard_capped": q_ngram_jaccard_capped,
-        "q_embedding_neardup": q_embedding_neardup,
         "q_nation_revenue": q_nation_revenue,
         "q_top_parts_by_size": q_top_parts_by_size,
         "q_minhash_candidates_md5": q_minhash_candidates_md5,
@@ -2512,6 +2525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination_report": q_contamination_report,
         # -- (c) officially green in r4-r6, rotating out — still
         #        run in tools/check_oracle and bench -------------
+        "q_embedding_neardup": q_embedding_neardup,
         "q_multimodal_meta": q_multimodal_meta,
         "q_horizontal_explode": q_horizontal_explode,
         "q_unique_entities": q_unique_entities,

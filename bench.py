@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "q_gif_decode",
     "q_semantic_dedup",
     "q_substring_dedup",
+    "q_hnsw_ann",
 ]
 
 
@@ -195,6 +196,10 @@ def main():
         "q_bpe_tokens",
         "q_pq_ann",
         "q_ivfpq_ann",
+        # substring windows scale with corpus tokens; the replica's
+        # shard suffixes keep cross-shard windows disjoint, so the
+        # removed set (and rebuild) stays proportional, not quadratic
+        "q_substring_dedup",
     ]
     sf1_timings = {}
     try:

@@ -66,6 +66,7 @@ def test_scored_window_has_oracle_or_documented_rows_only():
         "q_ivfpq_ann",  # seeded kmeans cells+codebooks (recall-tested)
         "q_sample_top_k",  # seeded sampling
         "q_simhash_fingerprints",  # md5 pairs variant carries the hash
+        "q_hnsw_ann",  # seeded graph walk; recall-tested vs brute force
     }
     oracles = set(entrymod.oracle_sql())
     scored = list(entrymod.queries())[:50]

@@ -2149,3 +2149,47 @@ def test_substring_deduplicator(spark):
         SubstringDeduplicator(min_length=1)
     with _pytest.raises(ValueError):
         SubstringDeduplicator(keep="last")
+
+
+def test_hnsw_ann_recall_and_shape(spark):
+    """Driver-built HNSW graph, executor-side search: planted
+    near-exact neighbors must come back top-1, the output shape
+    matches the other ANN classes, recall vs BruteForceANN is high
+    on random data, and the driver bound raises."""
+    import numpy as np
+
+    from replay_spark.ann import BruteForceANN, HNSWANN
+
+    rng = np.random.default_rng(17)
+    base = rng.normal(size=(400, 16))
+    planted = [(1000 + i, int(i * 13 % 400)) for i in range(20)]
+    rows = [(i, base[i].tolist()) for i in range(400)]
+    for qid, tgt in planted:
+        rows.append((qid, (base[tgt] + rng.normal(0, 1e-3, 16)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    ann = HNSWANN(M=8, ef_construction=64, ef_search=48, seed=3).fit(df)
+    qids = [q for q, _ in planted]
+    res = ann.search(df.filter(F.col("vec_id").isin(qids)), k=3)
+    assert res.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+    top1 = {r.query_id: r.neighbor_id for r in res.filter("rank = 1").collect()}
+    hits = sum(1 for q, t in planted if top1.get(q) == t)
+    assert hits >= 18, f"HNSW planted top-1 recall {hits}/20"
+
+    # recall@5 vs exact brute force on plain corpus queries
+    sample_q = df.filter("vec_id < 10")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in BruteForceANN().search(sample_q, df, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ann.search(sample_q, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.85, f"HNSW recall@5 {recall}"
+
+    with pytest.raises(ValueError, match="max_elements"):
+        HNSWANN(max_elements=10).fit(df)
+    with pytest.raises(ValueError):
+        HNSWANN(M=1)
