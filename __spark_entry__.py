@@ -1768,6 +1768,46 @@ def q_hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.search(emb.filter("vec_id < 20"), k=5)
 
 
+def q_webm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL EBML/WebM container gate — the Matroska twin of
+    q_mp4_meta: deterministic WebM containers synthesized
+    executor-side from each embedding row (duration and codec integer
+    functions of vec_id; duration stored as float64 timecode units,
+    exact for integer milliseconds), parsed back by the real EBML
+    walker; DuckDB replays the arithmetic."""
+    import pandas as pd
+
+    from replay_spark.multimodal import build_webm_container, webm_metadata
+
+    emb = rsd.read_table(spark, sf_dir, "embeddings")
+    codecs = ["V_VP9", "V_AV1", "A_OPUS"]
+
+    def build(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].astype("int64")
+            payloads = [
+                build_webm_container(
+                    duration_ms=int(300 + (v * 53) % 90000),
+                    codec=codecs[int(v) % 3],
+                    track_type=2 if int(v) % 3 == 2 else 1,
+                )
+                for v in ids
+            ]
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = emb.select("vec_id").mapInPandas(
+        build, schema="media_id long, payload binary"
+    )
+    out = webm_metadata(media)
+    return out.select(
+        F.col("media_id").alias("vec_id"),
+        "doctype",
+        "duration_ms",
+        "num_tracks",
+        F.concat_ws(",", "codecs").alias("codec_list"),
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup gate with a deterministic quantizer: corpus =
     embeddings ∪ exact semantic duplicates (vectors scaled ×2 —
@@ -2447,17 +2487,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     The driver scores the FIRST 50 entries — (a) + (b) is EXACTLY 50
     (checked by tests/test_entry_contract.py). Order for r7 (per the
-    round-6 verdict's rotation task): (a) the 24 gates whose operator
+    round-6 verdict's rotation task): (a) the 25 gates whose operator
     internals changed or that debut this round — the re-greened
     q_corpus_stats (r6's one red row, now an exact-integer
     projection), q_llm_e2e post-persist, the q_pq_ann_fixed /
-    q_mp4_meta / q_gif_decode / q_gif_frames / q_semantic_dedup /
-    q_substring_dedup hash debuts, q_pq_ann / q_ivfpq_ann rows debuts (integer-ADC rewrite),
+    q_mp4_meta / q_webm_meta / q_gif_decode / q_gif_frames /
+    q_semantic_dedup / q_substring_dedup hash debuts, the q_hnsw_ann
+    rows debut, q_pq_ann / q_ivfpq_ann rows debuts (integer-ADC rewrite),
     q_image_phash_dedup hash debut, the hash twins swapped in for
     their rows-only siblings (q_ivf_ann_fixed for q_ivf_ann,
     q_doc_fingerprints_md5 for q_doc_fingerprints), every gate whose
     values moved to stable_round, and the ordered_prefix_sums
-    consumers; (b) the 26 stalest hash-oracled gates — last official
+    consumers; (b) the 25 stalest hash-oracled gates — last official
     row in r4/r5, sat unscored in (c) through r6; (c) everything
     else — officially green in r4-r6 — still run in
     tools/check_oracle and bench. Rows-only contracts inside the r7
@@ -2480,6 +2521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semantic_dedup": q_semantic_dedup,
         "q_substring_dedup": q_substring_dedup,
         "q_hnsw_ann": q_hnsw_ann,
+        "q_webm_meta": q_webm_meta,
         "q_pq_ann": q_pq_ann,
         "q_ivfpq_ann": q_ivfpq_ann,
         "q_image_phash_dedup": q_image_phash_dedup,
@@ -2516,7 +2558,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_token_counts": q_token_counts,
         "q_vocab_top_tokens": q_vocab_top_tokens,
-        "q_ngram_jaccard_capped": q_ngram_jaccard_capped,
         "q_nation_revenue": q_nation_revenue,
         "q_top_parts_by_size": q_top_parts_by_size,
         "q_minhash_candidates_md5": q_minhash_candidates_md5,
@@ -2525,6 +2566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination_report": q_contamination_report,
         # -- (c) officially green in r4-r6, rotating out — still
         #        run in tools/check_oracle and bench -------------
+        "q_ngram_jaccard_capped": q_ngram_jaccard_capped,
         "q_embedding_neardup": q_embedding_neardup,
         "q_multimodal_meta": q_multimodal_meta,
         "q_horizontal_explode": q_horizontal_explode,
@@ -4004,6 +4046,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN affected a USING (doc_id)
             LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "q_webm_meta": """
+            SELECT vec_id,
+                   'webm' AS doctype,
+                   300 + (vec_id * 53) % 90000 AS duration_ms,
+                   1 AS num_tracks,
+                   CASE vec_id % 3 WHEN 0 THEN 'V_VP9'
+                                   WHEN 1 THEN 'V_AV1'
+                                   ELSE 'A_OPUS' END AS codec_list
+            FROM embeddings
         """,
         "q_semantic_dedup": """
             WITH e AS (

@@ -73,6 +73,9 @@ __all__ = [
     "parse_mp4_metadata",
     "mp4_metadata",
     "build_mp4_container",
+    "parse_webm_metadata",
+    "webm_metadata",
+    "build_webm_container",
     "decode_gif",
     "encode_gif",
     "decode_gif_frames",
@@ -1046,5 +1049,206 @@ def mp4_metadata(df: DataFrame, payload_column: str = "payload") -> DataFrame:
     return df.select("media_id", payload_column).mapInPandas(
         extract,
         schema="media_id long, brand string, duration_ms long, "
+        "num_tracks int, codecs array<string>",
+    )
+
+
+# -- WebM / Matroska (EBML) container metadata ----------------------------
+
+_EBML_HEADER_ID = 0x1A45DFA3
+_MKV_SEGMENT = 0x18538067
+_MKV_INFO = 0x1549A966
+_MKV_TIMESCALE = 0x2AD7B1
+_MKV_DURATION = 0x4489
+_MKV_TRACKS = 0x1654AE6B
+_MKV_TRACKENTRY = 0xAE
+_MKV_TRACKNUMBER = 0xD7
+_MKV_TRACKTYPE = 0x83
+_MKV_CODECID = 0x86
+_EBML_DOCTYPE = 0x4282
+
+
+def _ebml_read_id(data: bytes, pos: int) -> tuple:
+    """Element IDs keep their length-marker bit (stored verbatim)."""
+    if pos >= len(data):
+        raise ValueError("truncated EBML id")
+    first = data[pos]
+    for n in range(1, 5):
+        if first & (0x100 >> n):
+            raw = data[pos : pos + n]
+            if len(raw) != n:
+                raise ValueError("truncated EBML id")
+            return int.from_bytes(raw, "big"), pos + n
+    raise ValueError("invalid EBML id")
+
+
+def _ebml_read_size(data: bytes, pos: int) -> tuple:
+    """Data sizes strip the marker bit (EBML varint)."""
+    if pos >= len(data):
+        raise ValueError("truncated EBML size")
+    first = data[pos]
+    for n in range(1, 9):
+        if first & (0x100 >> n):
+            raw = data[pos : pos + n]
+            if len(raw) != n:
+                raise ValueError("truncated EBML size")
+            val = int.from_bytes(raw, "big") & ((1 << (7 * n)) - 1)
+            return val, pos + n
+    raise ValueError("invalid EBML size")
+
+
+def _ebml_elements(data: bytes, start: int, end: int):
+    pos = start
+    while pos < end:
+        eid, pos = _ebml_read_id(data, pos)
+        size, pos = _ebml_read_size(data, pos)
+        if pos + size > end:
+            raise ValueError("EBML element overruns its parent")
+        yield eid, pos, pos + size
+        pos += size
+
+
+def parse_webm_metadata(payload: bytes) -> dict:
+    """REAL Matroska/WebM (EBML) container METADATA parser — stdlib
+    only, the EBML twin of :func:`parse_mp4_metadata`: walks the
+    element tree (EBML header → Segment → Info/Tracks) and returns
+    doctype, movie duration, and per-track (type, codec id, number).
+    Frame DECODE (VP8/VP9/AV1/Opus) stays behind the ffmpeg-backed
+    ``splitter=`` hook, exactly like MP4. Raises ValueError for
+    payloads that are not EBML."""
+    import struct as _struct
+
+    if payload is None or len(payload) < 4:
+        raise ValueError("not an EBML payload")
+    data = bytes(payload)
+    if data[:4] != b"\x1a\x45\xdf\xa3":
+        raise ValueError("not an EBML payload (bad magic)")
+    out: dict = {"doctype": None, "duration_ms": None, "tracks": []}
+    timescale_ns = 1_000_000  # Matroska default: 1 ms
+    duration_units = None
+    for eid, s, e in _ebml_elements(data, 0, len(data)):
+        if eid == _EBML_HEADER_ID:
+            for hid, hs, he in _ebml_elements(data, s, e):
+                if hid == _EBML_DOCTYPE:
+                    out["doctype"] = data[hs:he].rstrip(b"\x00").decode(
+                        "ascii", "replace"
+                    )
+        elif eid == _MKV_SEGMENT:
+            for sid, ss, se in _ebml_elements(data, s, e):
+                if sid == _MKV_INFO:
+                    for iid, is_, ie in _ebml_elements(data, ss, se):
+                        if iid == _MKV_TIMESCALE:
+                            timescale_ns = int.from_bytes(
+                                data[is_:ie], "big"
+                            )
+                        elif iid == _MKV_DURATION:
+                            n = ie - is_
+                            if n == 4:
+                                (duration_units,) = _struct.unpack(
+                                    ">f", data[is_:ie]
+                                )
+                            elif n == 8:
+                                (duration_units,) = _struct.unpack(
+                                    ">d", data[is_:ie]
+                                )
+                elif sid == _MKV_TRACKS:
+                    for tid, ts_, te in _ebml_elements(data, ss, se):
+                        if tid != _MKV_TRACKENTRY:
+                            continue
+                        track = {"type": None, "codec": None,
+                                 "number": None}
+                        for fid, fs, fe in _ebml_elements(data, ts_, te):
+                            if fid == _MKV_TRACKTYPE:
+                                track["type"] = int.from_bytes(
+                                    data[fs:fe], "big"
+                                )
+                            elif fid == _MKV_CODECID:
+                                track["codec"] = data[fs:fe].decode(
+                                    "ascii", "replace"
+                                )
+                            elif fid == _MKV_TRACKNUMBER:
+                                track["number"] = int.from_bytes(
+                                    data[fs:fe], "big"
+                                )
+                        out["tracks"].append(track)
+    if duration_units is not None:
+        out["duration_ms"] = int(
+            duration_units * timescale_ns // 1_000_000
+        )
+    return out
+
+
+def build_webm_container(
+    duration_ms: int,
+    codec: str = "V_VP9",
+    track_type: int = 1,
+    doctype: str = "webm",
+    timescale_ns: int = 1_000_000,
+) -> bytes:
+    """Minimal spec-valid EBML/WebM container with one track — the
+    synthesis twin of :func:`parse_webm_metadata` (deterministic test
+    containers for the ``q_webm_meta`` gate and splitter adapters).
+    The duration is stored as a float64 count of timescale units; an
+    integer millisecond count at the default 1 ms scale is exact in
+    float64, so a parse round-trip returns it unchanged."""
+    import struct as _struct
+
+    if duration_ms < 0 or timescale_ns <= 0:
+        raise ValueError("duration_ms must be >= 0 and timescale_ns > 0")
+
+    def size(n: int) -> bytes:
+        # 2-byte EBML varint covers every payload this builder emits
+        if n > 0x3FFF - 1:
+            return _struct.pack(">I", n | 0x10000000)[0:4]
+        return _struct.pack(">H", n | 0x4000)
+
+    def elem(eid: int, payload: bytes) -> bytes:
+        nid = max(1, (eid.bit_length() + 7) // 8)
+        return eid.to_bytes(nid, "big") + size(len(payload)) + payload
+
+    header = elem(
+        _EBML_HEADER_ID, elem(_EBML_DOCTYPE, doctype.encode("ascii"))
+    )
+    dur_units = duration_ms * 1_000_000 / timescale_ns
+    info = elem(
+        _MKV_INFO,
+        elem(_MKV_TIMESCALE,
+             timescale_ns.to_bytes(
+                 max(1, (timescale_ns.bit_length() + 7) // 8), "big"))
+        + elem(_MKV_DURATION, _struct.pack(">d", dur_units)),
+    )
+    track = elem(
+        _MKV_TRACKENTRY,
+        elem(_MKV_TRACKNUMBER, b"\x01")
+        + elem(_MKV_TRACKTYPE, bytes([track_type]))
+        + elem(_MKV_CODECID, codec.encode("ascii")),
+    )
+    tracks = elem(_MKV_TRACKS, track)
+    return header + elem(_MKV_SEGMENT, info + tracks)
+
+
+def webm_metadata(df: DataFrame, payload_column: str = "payload") -> DataFrame:
+    """Container-metadata extraction over a binary WebM/MKV column via
+    mapInPandas: (media_id, doctype, duration_ms, num_tracks, codecs)
+    — the EBML twin of :func:`mp4_metadata`."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "doctype": [], "duration_ms": [],
+                    "num_tracks": [], "codecs": []}
+            for mid, p in zip(pdf["media_id"], pdf[payload_column]):
+                meta = parse_webm_metadata(bytes(p))
+                rows["media_id"].append(mid)
+                rows["doctype"].append(meta["doctype"])
+                rows["duration_ms"].append(meta["duration_ms"])
+                rows["num_tracks"].append(len(meta["tracks"]))
+                rows["codecs"].append(
+                    [t["codec"] or "" for t in meta["tracks"]]
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", payload_column).mapInPandas(
+        extract,
+        schema="media_id long, doctype string, duration_ms long, "
         "num_tracks int, codecs array<string>",
     )

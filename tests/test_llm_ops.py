@@ -2193,3 +2193,46 @@ def test_hnsw_ann_recall_and_shape(spark):
         HNSWANN(max_elements=10).fit(df)
     with pytest.raises(ValueError):
         HNSWANN(M=1)
+
+
+def test_webm_metadata_parser(spark):
+    """EBML/Matroska container triage: builder <-> parser roundtrip
+    (varint ids/sizes, float64 duration in timecode units,
+    non-default timescale), the Spark mapInPandas op, and error
+    paths."""
+    from replay_spark.multimodal import (
+        build_webm_container,
+        parse_webm_metadata,
+        webm_metadata,
+    )
+
+    for ms, codec, tt in ((2500, "V_VP9", 1), (61234, "A_OPUS", 2),
+                          (0, "V_AV1", 1)):
+        meta = parse_webm_metadata(
+            build_webm_container(ms, codec=codec, track_type=tt)
+        )
+        assert meta["doctype"] == "webm"
+        assert meta["duration_ms"] == ms
+        assert meta["tracks"] == [
+            {"type": tt, "codec": codec, "number": 1}
+        ]
+    # non-default timescale (100 µs units)
+    assert parse_webm_metadata(
+        build_webm_container(1234, timescale_ns=100_000)
+    )["duration_ms"] == 1234
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(build_webm_container(1000, codec="V_VP9"))),
+            (2, bytearray(build_webm_container(64000, codec="V_AV1"))),
+        ],
+        "media_id long, payload binary",
+    )
+    out = {r.media_id: r for r in webm_metadata(df).collect()}
+    assert out[1].duration_ms == 1000 and out[1].codecs == ["V_VP9"]
+    assert out[2].duration_ms == 64000 and out[2].doctype == "webm"
+
+    with pytest.raises(ValueError):
+        parse_webm_metadata(b"not ebml at all")
+    with pytest.raises(ValueError):
+        build_webm_container(-1)
