@@ -576,6 +576,35 @@ class CorpusMixer:
             out[stratum] = min(1.0, want / have) if have else 0.0
         return out
 
+    @staticmethod
+    def plan_temperature_fractions(
+        df: DataFrame,
+        stratum_column: str,
+        total_rows: int,
+        alpha: float = 0.5,
+    ) -> dict:
+        """Temperature-scaled mixture planning — the multilingual /
+        LLM "alpha sampling" rule (mC4, XLM-R): target proportion of
+        stratum s is ``n_s^alpha / Σ n^alpha``. ``alpha=1`` keeps the
+        natural distribution; ``alpha → 0`` flattens toward uniform,
+        upweighting rare domains/languages. One small groupBy-count
+        collected (#strata rows, driver-safe), then the same
+        capped-fraction conversion as :meth:`plan_fractions`."""
+        if not 0.0 < alpha <= 1.0:
+            raise ValueError("alpha must be in (0, 1]")
+        counts = {
+            r[stratum_column]: r["count"]
+            for r in df.groupBy(stratum_column).count().collect()
+        }
+        z = sum(n ** alpha for n in counts.values())
+        if z == 0:
+            return {s: 0.0 for s in counts}
+        props = {s: (n ** alpha) / z for s, n in counts.items()}
+        return {
+            s: min(1.0, props[s] * total_rows / n) if n else 0.0
+            for s, n in counts.items()
+        }
+
     def transform(self, df: DataFrame) -> DataFrame:
         if self.default_fraction > 0:
             # sampleBy treats unlisted strata as fraction 0, so a

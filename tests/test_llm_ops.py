@@ -2236,3 +2236,39 @@ def test_webm_metadata_parser(spark):
         parse_webm_metadata(b"not ebml at all")
     with pytest.raises(ValueError):
         build_webm_container(-1)
+
+
+def test_corpus_mixer_temperature(spark):
+    """alpha-sampling mixture planning: alpha=1 reproduces natural
+    proportions, small alpha flattens toward uniform (rare strata
+    upweighted), fractions cap at 1.0, and the planned mix feeds
+    transform."""
+    from replay_spark.preprocessing.text import CorpusMixer
+
+    rows = (
+        [(i, "big") for i in range(900)]
+        + [(1000 + i, "mid") for i in range(90)]
+        + [(2000 + i, "rare") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    nat = CorpusMixer.plan_temperature_fractions(df, "source", 100, alpha=1.0)
+    # natural: fractions equal across strata (prop_s * N / n_s = N/total)
+    assert abs(nat["big"] - 0.1) < 1e-9 and abs(nat["rare"] - 0.1) < 1e-9
+
+    flat = CorpusMixer.plan_temperature_fractions(df, "source", 100, alpha=0.3)
+    # alpha < 1 upweights rare strata: its fraction must exceed big's
+    assert flat["rare"] > flat["big"]
+    assert flat["rare"] <= 1.0
+
+    out = CorpusMixer(
+        stratum_column="source", fractions=flat, seed=7
+    ).transform(df)
+    got = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    # rare stratum over-represented vs its natural 1% share
+    assert got.get("rare", 0) >= 3
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        CorpusMixer.plan_temperature_fractions(df, "source", 100, alpha=0.0)
