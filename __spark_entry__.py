@@ -1808,6 +1808,25 @@ def q_webm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (GPT-3/CCNet recipe) in its
+    self-training shape: heuristic QualityScorer labels the corpus
+    (top vs bottom of the composite score), a hashed-BoW logistic
+    regression trains on those labels, and every document gets a
+    model probability. Rows-only: distributed L-BFGS is iterative;
+    behaviour pinned by the separable-corpus test."""
+    from replay_spark.preprocessing.text import QualityClassifier, QualityScorer
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    scored = QualityScorer().transform(docs)
+    labeled = scored.withColumn(
+        "label", (F.col("quality_score") >= 0.5).cast("double")
+    )
+    clf = QualityClassifier(num_features=65536, max_iter=15).fit(labeled)
+    out = clf.transform(docs)
+    return out.select("doc_id", "quality_pred")
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup gate with a deterministic quantizer: corpus =
     embeddings ∪ exact semantic duplicates (vectors scaled ×2 —
@@ -2566,6 +2585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination_report": q_contamination_report,
         # -- (c) officially green in r4-r6, rotating out — still
         #        run in tools/check_oracle and bench -------------
+        "q_quality_classifier": q_quality_classifier,
         "q_ngram_jaccard_capped": q_ngram_jaccard_capped,
         "q_embedding_neardup": q_embedding_neardup,
         "q_multimodal_meta": q_multimodal_meta,

@@ -2272,3 +2272,52 @@ def test_corpus_mixer_temperature(spark):
 
     with _pytest.raises(ValueError):
         CorpusMixer.plan_temperature_fractions(df, "source", 100, alpha=0.0)
+
+
+def test_quality_classifier(spark):
+    """Model-based quality filter: a separable synthetic corpus (two
+    disjoint vocabularies) must classify near-perfectly; the filter
+    keeps reference-like docs; scoring path is pure JVM columns."""
+    import random
+
+    from replay_spark.preprocessing.text import QualityClassifier
+
+    random.seed(5)
+    good_vocab = [f"good{i}" for i in range(40)]
+    bad_vocab = [f"spam{i}" for i in range(40)]
+    rows = []
+    for i in range(120):
+        v = good_vocab if i % 2 == 0 else bad_vocab
+        rows.append(
+            (i, " ".join(random.choices(v, k=12)), float(i % 2 == 0))
+        )
+    df = spark.createDataFrame(rows, "doc_id long, text string, label double")
+
+    clf = QualityClassifier(num_features=4096, max_iter=25).fit(df)
+    out = clf.transform(df)
+    assert {"quality_prob", "quality_pred"} <= set(out.columns)
+    acc = out.filter(
+        (F.col("quality_pred") == 1) == (F.col("label") == 1.0)
+    ).count() / 120
+    assert acc >= 0.95, acc
+
+    kept = clf.filter(df.drop("label"), threshold=0.5)
+    assert kept.columns == ["doc_id", "text"]
+    kept_ids = {r.doc_id for r in kept.collect()}
+    assert all(i % 2 == 0 for i in kept_ids)
+    assert len(kept_ids) >= 55
+
+    # fit_reference construction
+    pos = df.filter("label = 1.0").select("text")
+    neg = df.filter("label = 0.0").select("text")
+    clf2 = QualityClassifier(num_features=4096).fit_reference(pos, neg)
+    out2 = clf2.transform(df)
+    acc2 = out2.filter(
+        (F.col("quality_pred") == 1) == (F.col("label") == 1.0)
+    ).count() / 120
+    assert acc2 >= 0.95, acc2
+
+    with pytest.raises(ValueError):
+        QualityClassifier(num_features=1)
+    with pytest.raises(ValueError):
+        QualityClassifier().transform(df)
