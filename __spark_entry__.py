@@ -1827,6 +1827,42 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "quality_pred")
 
 
+def q_jpeg12_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-BIT JPEG gate: each embedding's mean is quantized to a
+    solid 16×16 12-bit value (0..4095), encoded as extended
+    sequential SOF1 with extended Huffman categories, decoded back —
+    the solid roundtrip is the identity for every 12-bit value at
+    quality 90 (unit-tested over a dense sample), so DuckDB verifies
+    the full 12-bit bitstream from the raw embeddings, the same
+    trick q_jpeg_decode uses at 8 bits."""
+    import numpy as np
+    import pandas as pd
+
+    from replay_spark.jpeg import decode_jpeg, encode_jpeg
+
+    emb = rsd.read_table(spark, sf_dir, "embeddings")
+
+    def roundtrip(batches):
+        for pdf in batches:
+            ids, values = [], []
+            for vid, vec in zip(pdf["vec_id"], pdf["embedding"]):
+                arr = np.asarray(vec, dtype=np.float64)
+                v = int(
+                    np.clip(np.floor((arr.mean() + 1.0) * 2048.0), 0, 4095)
+                )
+                img = np.full((16, 16), v, dtype=np.uint16)
+                out = decode_jpeg(
+                    encode_jpeg(img, quality=90, precision=12)
+                )
+                ids.append(int(vid))
+                values.append(int(out[0, 0]))
+            yield pd.DataFrame({"vec_id": ids, "value": values})
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        roundtrip, schema="vec_id long, value long"
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup gate with a deterministic quantizer: corpus =
     embeddings ∪ exact semantic duplicates (vectors scaled ×2 —
@@ -2585,6 +2621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination_report": q_contamination_report,
         # -- (c) officially green in r4-r6, rotating out — still
         #        run in tools/check_oracle and bench -------------
+        "q_jpeg12_decode": q_jpeg12_decode,
         "q_quality_classifier": q_quality_classifier,
         "q_ngram_jaccard_capped": q_ngram_jaccard_capped,
         "q_embedding_neardup": q_embedding_neardup,
@@ -4066,6 +4103,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN affected a USING (doc_id)
             LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "q_jpeg12_decode": """
+            SELECT vec_id,
+                   CAST(least(greatest(floor(
+                       (list_avg(list_transform(embedding,
+                           e -> CAST(e AS DOUBLE))) + 1.0) * 2048.0
+                   ), 0), 4095) AS BIGINT) AS value
+            FROM embeddings
         """,
         "q_webm_meta": """
             SELECT vec_id,

@@ -9,7 +9,9 @@ Scope (the honest contract):
   EOBRUN, ZRL-with-corrections), 8-bit, grayscale or YCbCr at the
   common sampling factors (4:4:4, 4:2:2, 4:2:0 — chroma
   nearest-neighbour upsampled), restart markers, mid-stream DHT
-  redefinition. Arithmetic coding, 12-bit precision, and
+  redefinition, and 12-BIT precision for grayscale frames (SOF1/2,
+  16-bit DQT entries, extended Huffman categories — the
+  medical/scientific shape). Arithmetic coding, 12-bit color, and
   hierarchical (SOF3+) raise ValueError — the remaining boundary.
 * ``encode_jpeg``: grayscale or YCbCr 4:4:4/4:2:0 with the standard
   Annex-K tables (scaled by ``quality``); baseline, a
@@ -125,6 +127,20 @@ STD_AC_CHROMA = (
         0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
         0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
     ],
+)
+
+
+# Extended Huffman tables for 12-bit precision: DC difference
+# categories reach 16 and AC sizes 15, beyond the Annex-K 8-bit
+# tables. Flat canonical assignments (17 DC codes at length 6, 242
+# AC codes at length 8) are valid Huffman tables — inefficient but
+# legal, and the all-ones code of each length stays unused as the
+# spec requires.
+EXT12_DC = ([0, 0, 0, 0, 0, 17] + [0] * 10, list(range(17)))
+EXT12_AC = (
+    [0] * 7 + [242] + [0] * 8,
+    [0x00, 0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 16) if s <= 15],
 )
 
 
@@ -285,10 +301,11 @@ def _scaled_q(table: np.ndarray, quality: int) -> np.ndarray:
 
 
 def _encode_block(
-    block: np.ndarray, q: np.ndarray, dc_codes, ac_codes, writer, dc_pred
+    block: np.ndarray, q: np.ndarray, dc_codes, ac_codes, writer, dc_pred,
+    level: float = 128.0,
 ):
     """Entropy-encode one level-shifted 8x8 block; updates dc_pred."""
-    coef = _C @ (block.astype(np.float64) - 128.0) @ _C.T
+    coef = _C @ (block.astype(np.float64) - level) @ _C.T
     quant = np.round(coef / q.reshape(8, 8)).astype(np.int64)
     zz = quant.flatten()[ZIGZAG]
     diff = int(zz[0]) - dc_pred[0]
@@ -318,13 +335,13 @@ def _encode_block(
         writer.write(code, length)
 
 
-def _pad_replicate(p: np.ndarray, ph: int, pw: int) -> np.ndarray:
+def _pad_replicate(p: np.ndarray, ph: int, pw: int, maxv: int = 255) -> np.ndarray:
     h, w = p.shape
     pp = np.empty((ph, pw))
     pp[:h, :w] = p
     pp[h:, :w] = p[h - 1 : h, :]
     pp[:, w:] = pp[:, w - 1 : w]
-    return np.clip(np.round(pp), 0, 255)
+    return np.clip(np.round(pp), 0, maxv)
 
 
 def encode_jpeg(
@@ -333,6 +350,7 @@ def encode_jpeg(
     subsampling: str = "444",
     restart_interval: int = 0,
     progressive: bool = False,
+    precision: int = 8,
 ) -> bytes:
     """Encode (h, w) grayscale or (h, w, 3) RGB uint8 as JPEG with
     the standard tables scaled by ``quality``.
@@ -341,8 +359,22 @@ def encode_jpeg(
     DRI/RSTn markers every N MCUs (baseline only).
     ``progressive=True`` emits a spectral-selection SOF2 script (DC
     scan, then AC bands 1–5 and 6–63 per component, Ah=Al=0) — the
-    same pixels, decodable by this module's progressive decoder."""
-    arr = np.asarray(array, dtype=np.uint8)
+    same pixels, decodable by this module's progressive decoder.
+    ``precision=12`` encodes GRAYSCALE uint16 samples (0..4095) as
+    extended-sequential SOF1 with flat extended Huffman tables (DC
+    categories to 16, AC sizes to 15) — the medical/scientific
+    shape; 12-bit color and 12-bit progressive raise."""
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    if precision == 12:
+        arr = np.asarray(array)
+        if arr.ndim != 2:
+            raise ValueError("12-bit encode supports grayscale only")
+        if progressive:
+            raise ValueError("12-bit progressive encode unsupported")
+        arr = np.clip(arr, 0, 4095).astype(np.uint16)
+    else:
+        arr = np.asarray(array, dtype=np.uint8)
     gray = arr.ndim == 2
     if not gray and not (arr.ndim == 3 and arr.shape[2] == 3):
         raise ValueError(f"cannot encode array of shape {arr.shape}")
@@ -356,8 +388,12 @@ def encode_jpeg(
 
     ql = _scaled_q(STD_LUMA_Q, quality)
     qc = _scaled_q(STD_CHROMA_Q, quality)
-    dc_l = _build_code_table(*STD_DC_LUMA)
-    ac_l = _build_code_table(*STD_AC_LUMA)
+    if precision == 12:
+        dc_l = _build_code_table(*EXT12_DC)
+        ac_l = _build_code_table(*EXT12_AC)
+    else:
+        dc_l = _build_code_table(*STD_DC_LUMA)
+        ac_l = _build_code_table(*STD_AC_LUMA)
     dc_c = _build_code_table(*STD_DC_CHROMA)
     ac_c = _build_code_table(*STD_AC_CHROMA)
 
@@ -398,9 +434,10 @@ def encode_jpeg(
     vmax = max(c["vs"] for c in comps)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
+    maxv = (1 << precision) - 1
     for c in comps:
         c["plane"] = _pad_replicate(
-            c["plane"], mcus_y * c["vs"] * 8, mcus_x * c["hs"] * 8
+            c["plane"], mcus_y * c["vs"] * 8, mcus_x * c["hs"] * 8, maxv
         )
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -413,13 +450,21 @@ def encode_jpeg(
     seg(0xDB, bytes([0]) + bytes(int(v) for v in ql[ZIGZAG]))
     if not gray:
         seg(0xDB, bytes([1]) + bytes(int(v) for v in qc[ZIGZAG]))
-    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    sof = struct.pack(">BHHB", precision, h, w, len(comps))
     for c in comps:
         sof += bytes([c["id"], (c["hs"] << 4) | c["vs"], c["qid"]])
-    seg(0xC2 if progressive else 0xC0, sof)
+    if progressive:
+        sof_marker = 0xC2
+    elif precision == 12:
+        sof_marker = 0xC1  # extended sequential (baseline is 8-bit only)
+    else:
+        sof_marker = 0xC0
+    seg(sof_marker, sof)
+    dc_spec = EXT12_DC if precision == 12 else STD_DC_LUMA
+    ac_spec = EXT12_AC if precision == 12 else STD_AC_LUMA
     for cls, tid, (bits, values) in (
-        (0, 0, STD_DC_LUMA),
-        (1, 0, STD_AC_LUMA),
+        (0, 0, dc_spec),
+        (1, 0, ac_spec),
     ) + (() if gray else ((0, 1, STD_DC_CHROMA), (1, 1, STD_AC_CHROMA))):
         seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(values))
     if restart_interval:
@@ -473,6 +518,7 @@ def encode_jpeg(
                             c["ac"],
                             writer,
                             preds[c["id"]],
+                            level=float(1 << (precision - 1)),
                         )
             mcu_count += 1
     writer.flush()
@@ -813,8 +859,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode baseline-sequential (SOF0/1) or FULL progressive (SOF2:
     spectral selection AND successive approximation, both DC and AC
     refinement scans) JPEG to (h, w) grayscale or (h, w, 3) RGB
-    uint8. Raises ValueError only for arithmetic coding, 12-bit
-    precision, and hierarchical frames."""
+    uint8 — or, for 12-bit grayscale frames (SOF1/SOF2), (h, w)
+    uint16 in 0..4095. Raises ValueError only for arithmetic coding,
+    12-bit color, and hierarchical frames."""
     if payload is None or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -843,14 +890,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             s = 0
             while s < len(seg):
                 prec_id = seg[s]
-                if prec_id >> 4:
-                    raise ValueError("16-bit quant tables unsupported")
                 tbl = np.zeros(64, dtype=np.int64)
-                tbl[ZIGZAG] = np.frombuffer(
-                    seg[s + 1 : s + 65], dtype=np.uint8
-                ).astype(np.int64)
-                qtables[prec_id & 0x0F] = tbl
-                s += 65
+                if prec_id >> 4:  # 16-bit entries (12-bit frames)
+                    tbl[ZIGZAG] = np.frombuffer(
+                        seg[s + 1 : s + 129], dtype=">u2"
+                    ).astype(np.int64)
+                    qtables[prec_id & 0x0F] = tbl
+                    s += 129
+                else:
+                    tbl[ZIGZAG] = np.frombuffer(
+                        seg[s + 1 : s + 65], dtype=np.uint8
+                    ).astype(np.int64)
+                    qtables[prec_id & 0x0F] = tbl
+                    s += 65
         elif marker == 0xC4:
             s = 0
             while s < len(seg):
@@ -865,8 +917,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker in (0xC0, 0xC1, 0xC2):
             progressive = marker == 0xC2
             precision, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
-            if precision != 8:
-                raise ValueError("only 8-bit JPEG supported")
+            if precision not in (8, 12):
+                raise ValueError(f"unsupported JPEG precision {precision}")
+            if precision == 12 and marker == 0xC0:
+                raise ValueError("12-bit requires SOF1/SOF2, not baseline")
             comps = []
             for i in range(ncomp):
                 cid, sampling, qid = seg[6 + 3 * i : 9 + 3 * i]
@@ -925,7 +979,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         pos += 2 + length
     if frame is None or not saw_scan:
         raise ValueError("JPEG has no scan data")
-    return _reconstruct(frame, store, qtables)
+    return _reconstruct(frame, store, qtables, precision)
 
 
 def _fill_scan(
@@ -1230,10 +1284,15 @@ def _decode_block_into(
     return pred
 
 
-def _reconstruct(frame, store, qtables):
+def _reconstruct(frame, store, qtables, precision=8):
     """Dequantize + IDCT every stored block, upsample chroma, crop,
-    color-convert — shared by the baseline and progressive paths."""
+    color-convert — shared by the baseline and progressive paths.
+    12-bit (SOF1/SOF2) is supported for GRAYSCALE frames — the shape
+    12-bit is used for in practice (medical/scientific imagery);
+    12-bit color raises."""
     h, w, comps = frame
+    level = float(1 << (precision - 1))
+    maxv = (1 << precision) - 1
     hmax = max(c["hs"] for c in comps)
     vmax = max(c["vs"] for c in comps)
     full = []
@@ -1246,14 +1305,17 @@ def _reconstruct(frame, store, qtables):
             for bx in range(bcols):
                 coef = grid[by, bx].astype(np.float64) * q
                 plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    _C.T @ coef.reshape(8, 8) @ _C + 128.0
+                    _C.T @ coef.reshape(8, 8) @ _C + level
                 )
         ry, rx = vmax // c["vs"], hmax // c["hs"]
         if ry > 1 or rx > 1:
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
         full.append(plane[:h, :w])
     if len(full) == 1:
-        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        out = np.clip(np.round(full[0]), 0, maxv)
+        return out.astype(np.uint16 if precision > 8 else np.uint8)
+    if precision != 8:
+        raise ValueError("12-bit color JPEG unsupported (grayscale only)")
     if len(full) != 3:
         raise ValueError(f"unsupported JPEG component count {len(full)}")
     y, cb, cr = full
@@ -1268,8 +1330,12 @@ def _reconstruct(frame, store, qtables):
 
 def jpeg_image_decoder(payload: bytes) -> dict:
     """``MediaProcessor``-shaped REAL JPEG decode: dimensions + the
-    16-bin normalized grayscale histogram."""
+    16-bin normalized grayscale histogram (12-bit samples are
+    binned on their top 8 bits so the feature space is
+    precision-independent)."""
     img = decode_jpeg(payload)
+    if img.dtype == np.uint16:
+        img = (img >> 4).astype(np.uint8)
     if img.ndim == 3:
         gray = (
             0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]

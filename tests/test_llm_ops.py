@@ -2321,3 +2321,59 @@ def test_quality_classifier(spark):
         QualityClassifier(num_features=1)
     with pytest.raises(ValueError):
         QualityClassifier().transform(df)
+
+
+def test_jpeg_12bit_precision():
+    """12-bit grayscale JPEG (SOF1 extended sequential, extended
+    Huffman categories): solid images roundtrip to the identity for
+    every sampled value, noisy/smooth images roundtrip at high PSNR,
+    16-bit DQT entries parse, and the unsupported shapes raise."""
+    import numpy as np
+
+    from replay_spark.jpeg import decode_jpeg, encode_jpeg, jpeg_image_decoder
+
+    for v in list(range(0, 4096, 97)) + [0, 2047, 2048, 4095]:
+        img = np.full((16, 16), v, dtype=np.uint16)
+        out = decode_jpeg(encode_jpeg(img, quality=90, precision=12))
+        assert out.dtype == np.uint16
+        assert np.array_equal(out, img), v
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 4096, (40, 56)).astype(np.uint16)
+    out = decode_jpeg(encode_jpeg(img, quality=95, precision=12))
+    mse = float(np.mean((out.astype(np.float64) - img) ** 2))
+    assert 10 * np.log10(4095.0**2 / mse) > 50
+
+    # quality 100 drives quantized DC to the extended categories
+    out100 = decode_jpeg(encode_jpeg(img, quality=100, precision=12))
+    mse100 = float(np.mean((out100.astype(np.float64) - img) ** 2))
+    assert mse100 <= mse
+
+    # 16-bit DQT entries decode (hand-promote the emitted table)
+    payload = bytearray(encode_jpeg(np.full((8, 8), 1234, np.uint16),
+                                    precision=12))
+    i = payload.index(b"\xff\xdb")
+    old_seg = payload[i : i + 4 + 65]
+    import struct as _s
+
+    vals = old_seg[5:]
+    seg16 = b"\x10" + b"".join(_s.pack(">H", b) for b in vals)
+    new_seg = b"\xff\xdb" + _s.pack(">H", len(seg16) + 2) + seg16
+    promoted = bytes(payload[:i]) + new_seg + bytes(payload[i + 69 :])
+    assert np.array_equal(
+        decode_jpeg(promoted), decode_jpeg(bytes(payload))
+    )
+
+    # feature adapter bins 12-bit on the top 8 bits
+    meta = jpeg_image_decoder(
+        encode_jpeg(np.full((8, 8), 4095, np.uint16), precision=12)
+    )
+    assert meta["features"][15] == 1.0
+
+    with pytest.raises(ValueError):
+        encode_jpeg(np.zeros((4, 4, 3), np.uint16), precision=12)
+    with pytest.raises(ValueError):
+        encode_jpeg(np.zeros((4, 4), np.uint16), precision=12,
+                    progressive=True)
+    with pytest.raises(ValueError):
+        encode_jpeg(np.zeros((4, 4), np.uint8), precision=10)
