@@ -1751,7 +1751,7 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from replay_spark.preprocessing.dedup import SubstringDeduplicator
 
     docs = rsd.read_table(spark, sf_dir, "documents")
-    out = SubstringDeduplicator(min_length=8).transform(docs)
+    out = SubstringDeduplicator(min_length=8, hash_fn="md5").transform(docs)
     return out.select("doc_id", "text")
 
 

@@ -701,15 +701,22 @@ class SubstringDeduplicator:
         keep: str = "first",
         id_column: str = "doc_id",
         text_column: str = "text",
+        hash_fn: str = "xxhash64",
     ):
         if min_length < 2:
             raise ValueError("min_length must be >= 2")
         if keep not in ("first", "none"):
             raise ValueError("keep must be 'first' or 'none'")
+        if hash_fn not in ("xxhash64", "md5"):
+            raise ValueError("hash_fn must be 'xxhash64' or 'md5'")
         self.min_length = min_length
         self.keep = keep
         self.id_column = id_column
         self.text_column = text_column
+        # xxhash64 keys are 8-byte longs — a quarter of md5's 32-char
+        # strings on the window shuffle, the right production default;
+        # md5 exists for the DuckDB-verifiable contract gate
+        self.hash_fn = hash_fn
 
     def _windows(self, df: DataFrame) -> DataFrame:
         from replay_spark.preprocessing.text import tokenize_expr
@@ -724,12 +731,15 @@ class SubstringDeduplicator:
         # generator expression into a filter conjunct that can run on
         # unfiltered rows, where the negative sequence runs DESCENDING
         # and slice gets start 0.
+        hasher = (
+            F.md5 if self.hash_fn == "md5" else F.xxhash64
+        )
         keys = F.filter(
             F.transform(
                 toks,
                 lambda x, i: F.when(
                     i + k <= F.size(toks),
-                    F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+                    hasher(F.concat_ws(" ", F.slice(toks, i + 1, k))),
                 ),
             ),
             lambda key: key.isNotNull(),

@@ -2130,6 +2130,14 @@ def test_substring_deduplicator(spark):
         for r in SubstringDeduplicator(min_length=k).transform(df).collect()
     }
     assert got == oracle(docs)
+    # md5 and xxhash64 key spaces must produce identical results
+    got_md5 = {
+        r.doc_id: r.text
+        for r in SubstringDeduplicator(min_length=k, hash_fn="md5")
+        .transform(df)
+        .collect()
+    }
+    assert got_md5 == got
     # at least one doc changed and one planted span survived somewhere
     assert any(got[d] != t for d, t in docs)
     assert any(" ".join(span) in got[d] for d, _ in docs)
