@@ -361,17 +361,15 @@ def encode_jpeg(
     scan, then AC bands 1–5 and 6–63 per component, Ah=Al=0) — the
     same pixels, decodable by this module's progressive decoder.
     ``precision=12`` encodes GRAYSCALE uint16 samples (0..4095) as
-    extended-sequential SOF1 with flat extended Huffman tables (DC
-    categories to 16, AC sizes to 15) — the medical/scientific
-    shape; 12-bit color and 12-bit progressive raise."""
+    SOF1 (sequential) or SOF2 (any progressive script) with flat
+    extended Huffman tables (DC categories to 16, AC sizes to 15) —
+    the medical/scientific shape; 12-bit color raises."""
     if precision not in (8, 12):
         raise ValueError("precision must be 8 or 12")
     if precision == 12:
         arr = np.asarray(array)
         if arr.ndim != 2:
             raise ValueError("12-bit encode supports grayscale only")
-        if progressive:
-            raise ValueError("12-bit progressive encode unsupported")
         arr = np.clip(arr, 0, 4095).astype(np.uint16)
     else:
         arr = np.asarray(array, dtype=np.uint8)
@@ -472,12 +470,14 @@ def encode_jpeg(
     if progressive:
         if progressive == "sa":
             _emit_sa_scans(
-                out, seg, comps, hmax, vmax, mcus_x, mcus_y, h, w
+                out, seg, comps, hmax, vmax, mcus_x, mcus_y, h, w,
+                level=float(1 << (precision - 1)),
             )
         else:
             _emit_progressive_scans(
                 out, seg, comps, hmax, vmax, mcus_x, mcus_y, h, w,
                 dc_interleaved=(progressive != "nidc"),
+                level=float(1 << (precision - 1)),
             )
         out.extend(b"\xff\xd9")
         return bytes(out)
@@ -529,7 +529,8 @@ def encode_jpeg(
 
 
 def _emit_progressive_scans(
-    out, seg, comps, hmax, vmax, mcus_x, mcus_y, h, w, dc_interleaved=True
+    out, seg, comps, hmax, vmax, mcus_x, mcus_y, h, w, dc_interleaved=True,
+    level=128.0,
 ):
     """Spectral-selection progressive scan script: DC scan(s), then
     AC bands [1..5] and [6..63] per component over the component's
@@ -541,7 +542,7 @@ def _emit_progressive_scans(
     interleaved MCU-walk DC scan — the shape some foreign encoders
     produce, and the regression surface for the decoder's
     non-interleaved-DC walk."""
-    coefs = _coef_grids(comps)
+    coefs = _coef_grids(comps, level)
 
     if dc_interleaved:
         # scan 1: interleaved DC
@@ -632,7 +633,7 @@ def _emit_progressive_scans(
 
 
 
-def _coef_grids(comps):
+def _coef_grids(comps, level: float = 128.0):
     """Quantized zigzag coefficients for every block of every comp."""
     coefs = {}
     for c in comps:
@@ -645,7 +646,7 @@ def _coef_grids(comps):
                     plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(
                         np.float64
                     )
-                    - 128.0
+                    - level
                 )
                 quant = np.round(
                     (_C @ block @ _C.T) / c["q"].reshape(8, 8)
@@ -655,7 +656,7 @@ def _coef_grids(comps):
     return coefs
 
 
-def _emit_sa_scans(out, seg, comps, hmax, vmax, mcus_x, mcus_y, h, w):
+def _emit_sa_scans(out, seg, comps, hmax, vmax, mcus_x, mcus_y, h, w, level=128.0):
     """Successive-approximation script (tests the refinement decoder):
     DC first at Al=1, AC first per comp at Al=1, DC refinement, AC
     refinement per comp — T.81 G.1.2.3 semantics, WITH multi-block
@@ -664,7 +665,7 @@ def _emit_sa_scans(out, seg, comps, hmax, vmax, mcus_x, mcus_y, h, w):
     uniform 9-bit code over all 256 symbols (canonically valid,
     deliberately simple — compression is not the point of this
     script)."""
-    coefs = _coef_grids(comps)
+    coefs = _coef_grids(comps, level)
     # a DHT bits entry is one byte, so 256 symbols split 255@9 + 1@10
     uni_bits = [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0]
     uni_values = list(range(256))

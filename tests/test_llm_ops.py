@@ -2357,6 +2357,18 @@ def test_jpeg_12bit_precision():
     mse100 = float(np.mean((out100.astype(np.float64) - img) ** 2))
     assert mse100 <= mse
 
+    # every progressive script carries 12-bit bit-identically to the
+    # sequential encoding (same coefficients, different scan order)
+    base = decode_jpeg(encode_jpeg(img, quality=92, precision=12))
+    for mode in (True, "sa", "nidc"):
+        assert np.array_equal(
+            decode_jpeg(
+                encode_jpeg(img, quality=92, precision=12,
+                            progressive=mode)
+            ),
+            base,
+        ), mode
+
     # 16-bit DQT entries decode (hand-promote the emitted table)
     payload = bytearray(encode_jpeg(np.full((8, 8), 1234, np.uint16),
                                     precision=12))
@@ -2380,8 +2392,5 @@ def test_jpeg_12bit_precision():
 
     with pytest.raises(ValueError):
         encode_jpeg(np.zeros((4, 4, 3), np.uint16), precision=12)
-    with pytest.raises(ValueError):
-        encode_jpeg(np.zeros((4, 4), np.uint16), precision=12,
-                    progressive=True)
     with pytest.raises(ValueError):
         encode_jpeg(np.zeros((4, 4), np.uint8), precision=10)
