@@ -1863,6 +1863,58 @@ def q_jpeg12_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-ingest composition gate: every document is rendered to
+    HTML (escaped body + decoy script/style blocks), wrapped in a
+    gzip-member WARC response record executor-side, then the pipeline
+    runs the REAL ingest path — .warc.gz member split → WARC record
+    parse → HTTP envelope strip → HTML → text extraction. The
+    recovered text must equal the whitespace-normalized original and
+    the title its deterministic string, both DuckDB-replayable."""
+    import html as _html
+
+    import pandas as pd
+
+    from replay_spark.web import HtmlTextExtractor, build_warc, warc_records
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+
+    def wrap(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                body = (
+                    "<html><head><title>doc "
+                    + str(int(did))
+                    + "</title><style>p{color:red}</style></head><body><p>"
+                    + _html.escape(text or "")
+                    + "</p><script>var x='<p>decoy</p>';</script>"
+                    + "</body></html>"
+                ).encode("utf-8")
+                rec = [(
+                    "response",
+                    f"http://corpus.test/{int(did)}",
+                    "application/http",
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                    + body,
+                )]
+                ids.append(int(did))
+                payloads.append(build_warc(rec, gzip_members=True))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    archives = docs.select("doc_id", "text").mapInPandas(
+        wrap, schema="media_id long, payload binary"
+    )
+    records = warc_records(archives)
+    pages = records.filter(F.col("warc_type") == "response").select(
+        F.col("media_id").alias("doc_id"),
+        "target_uri",
+        F.decode(F.col("content"), "UTF-8").alias("html"),
+    )
+    out = HtmlTextExtractor().transform(pages)
+    return out.select("doc_id", "target_uri", "title", "text")
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup gate with a deterministic quantizer: corpus =
     embeddings ∪ exact semantic duplicates (vectors scaled ×2 —
@@ -2621,6 +2673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination_report": q_contamination_report,
         # -- (c) officially green in r4-r6, rotating out — still
         #        run in tools/check_oracle and bench -------------
+        "q_warc_html_extract": q_warc_html_extract,
         "q_jpeg12_decode": q_jpeg12_decode,
         "q_quality_classifier": q_quality_classifier,
         "q_ngram_jaccard_capped": q_ngram_jaccard_capped,
@@ -4103,6 +4156,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN affected a USING (doc_id)
             LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "q_warc_html_extract": """
+            SELECT doc_id,
+                   'http://corpus.test/' || CAST(doc_id AS VARCHAR)
+                       AS target_uri,
+                   'doc ' || CAST(doc_id AS VARCHAR) AS title,
+                   trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text
+            FROM documents
         """,
         "q_jpeg12_decode": """
             SELECT vec_id,

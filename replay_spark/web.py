@@ -1,0 +1,294 @@
+"""Crawl-ingest tier: WARC records and HTML → text, pure stdlib.
+
+The front half of a CommonCrawl-shaped LLM pipeline — the stages that
+run BEFORE the dedup/quality/tokenize tiers this engine already has:
+
+* :func:`parse_warc` / :func:`split_warc_gz` — ISO 28500 WARC record
+  parsing (version line, named headers, Content-Length-delimited
+  block) including the real-world ``.warc.gz`` framing: one gzip
+  MEMBER per record, split with stdlib zlib (``unused_data``
+  chaining). :func:`build_warc` synthesizes valid records for tests
+  and contract gates.
+* :func:`warc_records` — the DataFrame op: binary WARC payloads →
+  one row per record (type, target URI, content type, HTTP-stripped
+  body) via ``mapInPandas``; archives never touch the driver.
+* :class:`HtmlTextExtractor` — crawl-to-text extraction with the
+  stdlib ``html.parser``: drops ``script``/``style``/``noscript``/
+  ``template`` subtrees and comments, decodes entities, emits
+  whitespace-collapsed visible text plus the ``<title>``. This is
+  the trafilatura/jusText slot; the extraction heuristics there are
+  swappable, the Spark plumbing (Arrow batches, schema, column
+  contract) is the part that has to be right at 100 TB.
+
+No reference counterpart (LLM-pipeline extension).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import zlib
+from html.parser import HTMLParser
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "parse_warc",
+    "split_warc_gz",
+    "build_warc",
+    "warc_records",
+    "HtmlTextExtractor",
+]
+
+
+# -- WARC -----------------------------------------------------------------
+
+
+def parse_warc(payload: bytes) -> list:
+    """Parse a (plain) WARC file into records: ``[{version, headers,
+    content}]``. Headers are a dict with original-case keys; lookup
+    helpers below use casefold. Raises ValueError on malformed
+    framing."""
+    if payload is None or not bytes(payload[:5]) == b"WARC/":
+        raise ValueError("not a WARC payload")
+    data = bytes(payload)
+    records = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if data[pos:].strip(b"\r\n") == b"":
+            break
+        eol = data.index(b"\r\n", pos)
+        version = data[pos:eol].decode("ascii", "replace")
+        if not version.startswith("WARC/"):
+            raise ValueError(f"bad WARC version line {version!r}")
+        pos = eol + 2
+        headers: dict = {}
+        while True:
+            eol = data.index(b"\r\n", pos)
+            line = data[pos:eol]
+            pos = eol + 2
+            if not line:
+                break
+            key, _, value = line.partition(b":")
+            headers[key.decode("ascii", "replace").strip()] = (
+                value.decode("utf-8", "replace").strip()
+            )
+        length = int(
+            next(
+                (v for k, v in headers.items()
+                 if k.casefold() == "content-length"),
+                "0",
+            )
+        )
+        content = data[pos : pos + length]
+        if len(content) != length:
+            raise ValueError("WARC content block truncated")
+        pos += length
+        if data[pos : pos + 4] != b"\r\n\r\n":
+            raise ValueError("WARC record missing trailing CRLFCRLF")
+        pos += 4
+        records.append(
+            {"version": version, "headers": headers, "content": content}
+        )
+    if not records:
+        raise ValueError("WARC payload holds no records")
+    return records
+
+
+def split_warc_gz(payload: bytes) -> bytes:
+    """Decompress a ``.warc.gz`` (concatenated gzip MEMBERS, one per
+    record — the CommonCrawl framing) into the plain WARC byte
+    stream, member by member via zlib ``unused_data`` chaining."""
+    data = bytes(payload)
+    out = bytearray()
+    while data:
+        d = zlib.decompressobj(wbits=31)
+        out += d.decompress(data)
+        out += d.flush()
+        if not d.eof:
+            raise ValueError("truncated gzip member in .warc.gz")
+        data = d.unused_data
+    return bytes(out)
+
+
+def build_warc(records, gzip_members: bool = False) -> bytes:
+    """Synthesize a valid WARC file from ``[(warc_type, target_uri,
+    content_type, content_bytes)]`` — the test/gate twin of
+    :func:`parse_warc`. ``gzip_members=True`` emits the
+    one-gzip-member-per-record ``.warc.gz`` framing."""
+    out = bytearray()
+    for i, (wtype, uri, ctype, content) in enumerate(records):
+        content = bytes(content)
+        head = (
+            f"WARC/1.0\r\n"
+            f"WARC-Type: {wtype}\r\n"
+            f"WARC-Record-ID: <urn:uuid:rec-{i}>\r\n"
+            + (f"WARC-Target-URI: {uri}\r\n" if uri else "")
+            + (f"Content-Type: {ctype}\r\n" if ctype else "")
+            + f"Content-Length: {len(content)}\r\n\r\n"
+        ).encode("ascii")
+        record = head + content + b"\r\n\r\n"
+        if gzip_members:
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+                g.write(record)
+            out += buf.getvalue()
+        else:
+            out += record
+    return bytes(out)
+
+
+def _strip_http(content: bytes) -> bytes:
+    """WARC response records carry the HTTP message; the body starts
+    after the first CRLFCRLF."""
+    idx = content.find(b"\r\n\r\n")
+    return content[idx + 4 :] if idx >= 0 else content
+
+
+def warc_records(
+    df: DataFrame,
+    payload_column: str = "payload",
+    id_column: str = "media_id",
+) -> DataFrame:
+    """Explode binary WARC payloads into one row per record:
+    ``(id, record_index, warc_type, target_uri, content_type,
+    content)`` — response records have their HTTP envelope stripped
+    so ``content`` is the document body. Gzip-member framing is
+    detected per payload by magic. Runs in ``mapInPandas``; archives
+    never leave the executor."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"_id": [], "record_index": [], "warc_type": [],
+                    "target_uri": [], "content_type": [], "content": []}
+            for mid, p in zip(pdf[id_column], pdf[payload_column]):
+                raw = bytes(p)
+                if raw[:2] == b"\x1f\x8b":
+                    raw = split_warc_gz(raw)
+                for i, rec in enumerate(parse_warc(raw)):
+                    hdr = {
+                        k.casefold(): v for k, v in rec["headers"].items()
+                    }
+                    wtype = hdr.get("warc-type", "")
+                    body = rec["content"]
+                    if wtype == "response":
+                        body = _strip_http(body)
+                    rows["_id"].append(mid)
+                    rows["record_index"].append(i)
+                    rows["warc_type"].append(wtype)
+                    rows["target_uri"].append(hdr.get("warc-target-uri"))
+                    rows["content_type"].append(hdr.get("content-type"))
+                    rows["content"].append(body)
+            out = pd.DataFrame(rows)
+            yield out.rename(columns={"_id": id_column})
+
+    return df.select(id_column, payload_column).mapInPandas(
+        extract,
+        schema=f"{id_column} long, record_index int, warc_type string, "
+        "target_uri string, content_type string, content binary",
+    )
+
+
+# -- HTML → text ----------------------------------------------------------
+
+_SKIP_TAGS = {"script", "style", "noscript", "template"}
+# tags that break text flow: entering/leaving one inserts a separator
+# so "<h1>Head</h1><p>line</p>" reads "Head line", not "Headline"
+_BLOCK_TAGS = {
+    "p", "div", "br", "li", "ul", "ol", "tr", "td", "th", "table",
+    "h1", "h2", "h3", "h4", "h5", "h6", "section", "article", "header",
+    "footer", "blockquote", "pre", "hr", "dd", "dt", "figcaption",
+}
+
+
+class _TextExtractor(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.chunks: list = []
+        self.title_chunks: list = []
+        self._skip = 0
+        self._in_title = False
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS:
+            self._skip += 1
+        elif tag == "title":
+            self._in_title = True
+        elif tag in _BLOCK_TAGS:
+            self.chunks.append(" ")
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS and self._skip:
+            self._skip -= 1
+        elif tag == "title":
+            self._in_title = False
+        elif tag in _BLOCK_TAGS:
+            self.chunks.append(" ")
+
+    def handle_data(self, data):
+        if self._skip:
+            return
+        if self._in_title:
+            self.title_chunks.append(data)
+        else:
+            self.chunks.append(data)
+
+
+class HtmlTextExtractor:
+    """HTML → visible text (+ title), executor-side.
+
+    ``transform`` appends ``output_column`` (whitespace-collapsed
+    text outside script/style/noscript/template subtrees, entities
+    decoded) and ``title_column``. The stdlib parser is
+    error-tolerant (real crawl HTML is never well-formed); rows
+    whose markup still defeats it yield empty text rather than
+    failing the batch.
+    """
+
+    def __init__(
+        self,
+        html_column: str = "html",
+        output_column: str = "text",
+        title_column: str = "title",
+    ):
+        self.html_column = html_column
+        self.output_column = output_column
+        self.title_column = title_column
+
+    @staticmethod
+    def extract(html: str) -> tuple:
+        """(text, title) for one document — driver/test convenience."""
+        p = _TextExtractor()
+        p.feed(html or "")
+        p.close()
+        text = " ".join("".join(p.chunks).split())
+        title = " ".join("".join(p.title_chunks).split())
+        return text, title
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        hc, oc, tc = self.html_column, self.output_column, self.title_column
+        out_schema = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in df.schema.fields
+        ) + f", `{oc}` string, `{tc}` string"
+        extract = self.extract
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                texts, titles = [], []
+                for h in pdf[hc]:
+                    try:
+                        text, title = extract(h)
+                    except Exception:
+                        text, title = "", ""
+                    texts.append(text)
+                    titles.append(title)
+                pdf[oc] = texts
+                pdf[tc] = titles
+                yield pdf
+
+        return df.mapInPandas(run, schema=out_schema)

@@ -2394,3 +2394,61 @@ def test_jpeg_12bit_precision():
         encode_jpeg(np.zeros((4, 4, 3), np.uint16), precision=12)
     with pytest.raises(ValueError):
         encode_jpeg(np.zeros((4, 4), np.uint8), precision=10)
+
+
+def test_warc_and_html_extraction(spark):
+    """Crawl-ingest tier: WARC build <-> parse roundtrip (plain and
+    gzip-member framing), the record-explode DataFrame op with HTTP
+    envelope stripping, and HTML -> text extraction semantics."""
+    from replay_spark.web import (
+        HtmlTextExtractor,
+        build_warc,
+        parse_warc,
+        split_warc_gz,
+        warc_records,
+    )
+
+    html_body = (
+        b"<html><head><title>T1</title><style>p{x}</style></head>"
+        b"<body><h1>Head</h1><p>Some text.</p>"
+        b"<script>var x='<p>no</p>';</script></body></html>"
+    )
+    recs = [
+        ("warcinfo", None, "application/warc-fields", b"software: t\r\n"),
+        ("response", "http://e.com/a", "application/http",
+         b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html_body),
+        ("request", "http://e.com/a", "application/http", b"GET /a\r\n"),
+    ]
+    plain = build_warc(recs)
+    gz = build_warc(recs, gzip_members=True)
+    assert parse_warc(split_warc_gz(gz)) == parse_warc(plain)
+    assert len(parse_warc(plain)) == 3
+
+    df = spark.createDataFrame(
+        [(1, bytearray(plain)), (2, bytearray(gz))],
+        "media_id long, payload binary",
+    )
+    rows = warc_records(df).collect()
+    assert len(rows) == 6
+    resp = [r for r in rows if r.warc_type == "response"]
+    assert len(resp) == 2
+    # HTTP envelope stripped: content starts at the document body
+    assert bytes(resp[0].content) == html_body
+    assert resp[0].target_uri == "http://e.com/a"
+
+    # html -> text over the extracted bodies
+    pages = spark.createDataFrame(
+        [(r.media_id, bytes(r.content).decode("utf-8")) for r in resp],
+        "media_id long, html string",
+    )
+    out = HtmlTextExtractor().transform(pages).collect()
+    for r in out:
+        assert r.text == "Head Some text."
+        assert r.title == "T1"
+
+    with pytest.raises(ValueError):
+        parse_warc(b"NOT A WARC")
+    with pytest.raises(ValueError):
+        parse_warc(build_warc(recs)[:-6])  # missing trailing CRLFCRLF
+    with pytest.raises(ValueError):
+        split_warc_gz(gz[:-4])
