@@ -1915,6 +1915,52 @@ def q_warc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "target_uri", "title", "text")
 
 
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style URL filtering gate: deterministic URLs synthesized
+    from doc ids (rotating hosts incl. a blocked domain and a
+    subdomain of it, rotating extensions incl. assets, an occasional
+    blocked word), then the real regex host/path/extension derivation
+    and rule flags — DuckDB rebuilds the same URLs and replays the
+    same RE2-compatible patterns."""
+    from replay_spark.web import UrlFilter
+
+    docs = rsd.read_table(spark, sf_dir, "documents").select("doc_id")
+    host = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("ads.spam.example"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("spam.example"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("notspam.example"))
+        .otherwise(F.lit("news.example"))
+    )
+    ext = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit(".css"))
+        .when(F.col("doc_id") % 7 == 1, F.lit(".png"))
+        .otherwise(F.lit(".html"))
+    )
+    word = F.when(
+        F.col("doc_id") % 11 == 0, F.lit("/casino-night")
+    ).otherwise(F.lit("/story"))
+    urls = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("http://"), host, word,
+            F.lit("/"), F.col("doc_id").cast("string"), ext,
+        ),
+    )
+    uf = UrlFilter(
+        blocked_domains=("spam.example",),
+        blocked_substrings=("casino",),
+    )
+    out = uf.flags(urls)
+    return out.select(
+        "doc_id",
+        "url",
+        F.col("blocked_domain").cast("int").alias("blocked_domain"),
+        F.col("blocked_extension").cast("int").alias("blocked_extension"),
+        F.col("blocked_substring").cast("int").alias("blocked_substring"),
+        F.col("url_blocked").cast("int").alias("url_blocked"),
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup gate with a deterministic quantizer: corpus =
     embeddings ∪ exact semantic duplicates (vectors scaled ×2 —
@@ -2673,6 +2719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination_report": q_contamination_report,
         # -- (c) officially green in r4-r6, rotating out — still
         #        run in tools/check_oracle and bench -------------
+        "q_url_filter": q_url_filter,
         "q_warc_html_extract": q_warc_html_extract,
         "q_jpeg12_decode": q_jpeg12_decode,
         "q_quality_classifier": q_quality_classifier,
@@ -4156,6 +4203,49 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN affected a USING (doc_id)
             LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "q_url_filter": """
+            WITH u AS (
+                SELECT doc_id,
+                       'http://' ||
+                       CASE doc_id % 5 WHEN 0 THEN 'ads.spam.example'
+                                       WHEN 1 THEN 'spam.example'
+                                       WHEN 2 THEN 'notspam.example'
+                                       ELSE 'news.example' END ||
+                       CASE WHEN doc_id % 11 = 0 THEN '/casino-night'
+                            ELSE '/story' END ||
+                       '/' || CAST(doc_id AS VARCHAR) ||
+                       CASE doc_id % 7 WHEN 0 THEN '.css'
+                                       WHEN 1 THEN '.png'
+                                       ELSE '.html' END AS url
+                FROM documents),
+            parts AS (
+                SELECT doc_id, url,
+                       regexp_replace(regexp_replace(
+                           regexp_extract(lower(url),
+                               '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+                           '^[^@]*@', ''), ':[0-9]+$', '') AS host,
+                       regexp_extract(lower(url),
+                           '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1)
+                           AS path
+                FROM u),
+            flags AS (
+                SELECT doc_id, url,
+                       (host = 'spam.example'
+                        OR suffix(host, '.spam.example')) AS bd,
+                       regexp_extract(path, '\\.([a-z0-9]+)$', 1) IN
+                           ('css','js','json','xml','png','jpg','jpeg',
+                            'gif','webp','svg','ico','mp4','mp3','avi',
+                            'zip','gz','tar','exe','woff','woff2','ttf',
+                            'pdf') AS be,
+                       contains(lower(url), 'casino') AS bs
+                FROM parts)
+            SELECT doc_id, url,
+                   CAST(bd AS INTEGER) AS blocked_domain,
+                   CAST(be AS INTEGER) AS blocked_extension,
+                   CAST(bs AS INTEGER) AS blocked_substring,
+                   CAST(bd OR be OR bs AS INTEGER) AS url_blocked
+            FROM flags
         """,
         "q_warc_html_extract": """
             SELECT doc_id,

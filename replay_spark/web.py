@@ -41,6 +41,7 @@ __all__ = [
     "build_warc",
     "warc_records",
     "HtmlTextExtractor",
+    "UrlFilter",
 ]
 
 
@@ -292,3 +293,87 @@ class HtmlTextExtractor:
                 yield pdf
 
         return df.mapInPandas(run, schema=out_schema)
+
+
+# -- URL filtering --------------------------------------------------------
+
+
+class UrlFilter:
+    """C4/RefinedWeb-style URL filtering — the cheap pre-download
+    gate a crawl pipeline runs before fetching or processing a page:
+
+    * ``blocked_domains``: drop when the URL host IS or ENDS WITH a
+      listed domain (suffix match on dot boundaries, so ``spam.com``
+      blocks ``ads.spam.com`` but not ``notspam.com``);
+    * ``blocked_extensions``: drop by trailing path extension
+      (assets: css/js/images/archives — not documents);
+    * ``blocked_substrings``: drop when the whole URL contains any
+      listed fragment (the C4 "bad words in URL" rule).
+
+    All matching is pure JVM regex/string expressions on a 1-column
+    projection — RE2-compatible patterns so the contract oracle can
+    replay them, no UDFs, trivially pushdown-friendly. ``flags``
+    returns the per-rule booleans for auditing; ``filter`` keeps
+    passing rows.
+    """
+
+    DEFAULT_EXTENSIONS = (
+        "css", "js", "json", "xml", "png", "jpg", "jpeg", "gif", "webp",
+        "svg", "ico", "mp4", "mp3", "avi", "zip", "gz", "tar", "exe",
+        "woff", "woff2", "ttf", "pdf",
+    )
+
+    def __init__(
+        self,
+        url_column: str = "url",
+        blocked_domains: tuple = (),
+        blocked_extensions: Optional[tuple] = None,
+        blocked_substrings: tuple = (),
+    ):
+        self.url_column = url_column
+        self.blocked_domains = tuple(d.lower() for d in blocked_domains)
+        self.blocked_extensions = tuple(
+            e.lower().lstrip(".")
+            for e in (
+                self.DEFAULT_EXTENSIONS
+                if blocked_extensions is None
+                else blocked_extensions
+            )
+        )
+        self.blocked_substrings = tuple(blocked_substrings)
+
+    def flags(self, df: DataFrame) -> DataFrame:
+        url = F.lower(F.col(self.url_column))
+        host = F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+        # strip port / userinfo
+        host = F.regexp_replace(
+            F.regexp_replace(host, r"^[^@]*@", ""), r":[0-9]+$", ""
+        )
+        path = F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+        ext = F.regexp_extract(path, r"\.([a-z0-9]+)$", 1)
+        dom_hit = F.lit(False)
+        for d in self.blocked_domains:
+            dom_hit = dom_hit | (host == d) | host.endswith("." + d)
+        ext_hit = (
+            ext.isin(*self.blocked_extensions)
+            if self.blocked_extensions
+            else F.lit(False)
+        )
+        sub_hit = F.lit(False)
+        for s in self.blocked_substrings:
+            sub_hit = sub_hit | url.contains(s.lower())
+        return df.withColumn("blocked_domain", dom_hit).withColumn(
+            "blocked_extension", ext_hit
+        ).withColumn("blocked_substring", sub_hit).withColumn(
+            "url_blocked",
+            F.col("blocked_domain")
+            | F.col("blocked_extension")
+            | F.col("blocked_substring"),
+        )
+
+    def filter(self, df: DataFrame) -> DataFrame:
+        return (
+            self.flags(df)
+            .filter(~F.col("url_blocked"))
+            .select(df.columns)
+        )

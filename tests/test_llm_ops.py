@@ -2452,3 +2452,36 @@ def test_warc_and_html_extraction(spark):
         parse_warc(build_warc(recs)[:-6])  # missing trailing CRLFCRLF
     with pytest.raises(ValueError):
         split_warc_gz(gz[:-4])
+
+
+def test_url_filter(spark):
+    """C4-style URL gate: domain suffix matching on dot boundaries,
+    asset-extension blocking, substring blocking, and the audit
+    flags."""
+    from replay_spark.web import UrlFilter
+
+    rows = [
+        (0, "http://news.example.com/story/1.html"),
+        (1, "http://ads.spam.com/banner.png"),
+        (2, "https://spam.com/index.html"),
+        (3, "https://notspam.com/a"),
+        (4, "http://ok.org/styles/site.css"),
+        (5, "http://user:pw@ok.org:8080/page"),
+        (6, "http://ok.org/win-big-casino-now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    uf = UrlFilter(
+        blocked_domains=("spam.com",),
+        blocked_substrings=("casino",),
+    )
+    flags = {r.doc_id: r for r in uf.flags(df).collect()}
+    assert not flags[0].url_blocked
+    assert flags[1].blocked_domain and flags[1].blocked_extension
+    assert flags[2].blocked_domain
+    assert not flags[3].blocked_domain  # dot-boundary suffix only
+    assert flags[4].blocked_extension
+    assert not flags[5].url_blocked  # port/userinfo stripped cleanly
+    assert flags[6].blocked_substring
+
+    kept = sorted(r.doc_id for r in uf.filter(df).collect())
+    assert kept == [0, 3, 5]
