@@ -2640,18 +2640,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     The driver scores the FIRST 50 entries — (a) + (b) is EXACTLY 50
     (checked by tests/test_entry_contract.py). Order for r7 (per the
-    round-6 verdict's rotation task): (a) the 25 gates whose operator
+    round-6 verdict's rotation task): (a) the 28 gates whose operator
     internals changed or that debut this round — the re-greened
     q_corpus_stats (r6's one red row, now an exact-integer
     projection), q_llm_e2e post-persist, the q_pq_ann_fixed /
-    q_mp4_meta / q_webm_meta / q_gif_decode / q_gif_frames /
-    q_semantic_dedup / q_substring_dedup hash debuts, the q_hnsw_ann
+    q_mp4_meta / q_webm_meta / q_jpeg12_decode / q_gif_decode /
+    q_gif_frames / q_semantic_dedup / q_substring_dedup /
+    q_warc_html_extract / q_url_filter hash debuts, the q_hnsw_ann
     rows debut, q_pq_ann / q_ivfpq_ann rows debuts (integer-ADC rewrite),
     q_image_phash_dedup hash debut, the hash twins swapped in for
     their rows-only siblings (q_ivf_ann_fixed for q_ivf_ann,
     q_doc_fingerprints_md5 for q_doc_fingerprints), every gate whose
     values moved to stable_round, and the ordered_prefix_sums
-    consumers; (b) the 25 stalest hash-oracled gates — last official
+    consumers; (b) the 22 stalest hash-oracled gates — last official
     row in r4/r5, sat unscored in (c) through r6; (c) everything
     else — officially green in r4-r6 — still run in
     tools/check_oracle and bench. Rows-only contracts inside the r7
@@ -2675,6 +2676,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_substring_dedup": q_substring_dedup,
         "q_hnsw_ann": q_hnsw_ann,
         "q_webm_meta": q_webm_meta,
+        "q_jpeg12_decode": q_jpeg12_decode,
+        "q_warc_html_extract": q_warc_html_extract,
+        "q_url_filter": q_url_filter,
         "q_pq_ann": q_pq_ann,
         "q_ivfpq_ann": q_ivfpq_ann,
         "q_image_phash_dedup": q_image_phash_dedup,
@@ -2693,9 +2697,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (b) the 31 stalest hash-oracled gates: last official
         #        row in r4/r5, sat unscored in (c) through r6 ----
         "q_simhash_pairs_md5": q_simhash_pairs_md5,
-        "q_pipeline_eval": q_pipeline_eval,
-        "q_streaming_dedup": q_streaming_dedup,
-        "q_media_decode": q_media_decode,
         "q_quality_filter": q_quality_filter,
         "q_abnormality": q_abnormality,
         "q_audio_decode": q_audio_decode,
@@ -2719,9 +2720,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination_report": q_contamination_report,
         # -- (c) officially green in r4-r6, rotating out — still
         #        run in tools/check_oracle and bench -------------
-        "q_url_filter": q_url_filter,
-        "q_warc_html_extract": q_warc_html_extract,
-        "q_jpeg12_decode": q_jpeg12_decode,
+        "q_media_decode": q_media_decode,
+        "q_streaming_dedup": q_streaming_dedup,
+        "q_pipeline_eval": q_pipeline_eval,
         "q_quality_classifier": q_quality_classifier,
         "q_ngram_jaccard_capped": q_ngram_jaccard_capped,
         "q_embedding_neardup": q_embedding_neardup,
