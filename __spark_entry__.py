@@ -1961,6 +1961,18 @@ def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kn_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM scores over the documents
+    corpus (discount 0.75 — exactly representable, so the oracle's
+    arithmetic is bit-identical): the real KenLM-style smoothing one
+    rung above the add-one q_bigram_lm_scores gate."""
+    from replay_spark.preprocessing.text import KneserNeyBigramScorer
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    out = KneserNeyBigramScorer().score(docs)
+    return out.select("doc_id", "n_bigrams", "kn_score")
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup gate with a deterministic quantizer: corpus =
     embeddings ∪ exact semantic duplicates (vectors scaled ×2 —
@@ -2720,6 +2732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination_report": q_contamination_report,
         # -- (c) officially green in r4-r6, rotating out — still
         #        run in tools/check_oracle and bench -------------
+        "q_kn_bigram_scores": q_kn_bigram_scores,
         "q_media_decode": q_media_decode,
         "q_streaming_dedup": q_streaming_dedup,
         "q_pipeline_eval": q_pipeline_eval,
@@ -4204,6 +4217,48 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN affected a USING (doc_id)
             LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "q_kn_bigram_scores": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents),
+            bg AS (
+                SELECT doc_id, t[g.i] AS prev, t[g.i + 1] AS cur
+                FROM toks,
+                     LATERAL (SELECT unnest(range(1, len(t))) AS i) g),
+            model AS (
+                SELECT prev, cur, count(*) AS c FROM bg GROUP BY prev, cur),
+            ctx AS (
+                SELECT prev, sum(c) AS cc, count(*) AS n1f
+                FROM model GROUP BY prev),
+            back AS (SELECT cur, count(*) AS n1b FROM model GROUP BY cur),
+            types AS (SELECT count(*) AS t FROM model),
+            scored AS (
+                SELECT b.doc_id,
+                       ln(greatest(
+                           CASE WHEN coalesce(x.cc, 0) > 0
+                                THEN (greatest(coalesce(m.c, 0) - 0.75, 0)
+                                      + 0.75 * x.n1f
+                                        * (coalesce(k.n1b, 0)
+                                           / CAST(ty.t AS DOUBLE)))
+                                     / x.cc
+                                ELSE coalesce(k.n1b, 0)
+                                     / CAST(ty.t AS DOUBLE)
+                           END, 1e-12)) AS lp
+                FROM bg b
+                LEFT JOIN model m USING (prev, cur)
+                LEFT JOIN ctx x USING (prev)
+                LEFT JOIN back k USING (cur)
+                CROSS JOIN types ty)
+            SELECT d.doc_id,
+                   coalesce(s.n, 0) AS n_bigrams,
+                   s.score AS kn_score
+            FROM documents d
+            LEFT JOIN (
+                SELECT doc_id, count(*) AS n,
+                       round(avg(lp) + 1e-9, 6) AS score
+                FROM scored GROUP BY doc_id) s USING (doc_id)
         """,
         "q_url_filter": """
             WITH u AS (

@@ -35,6 +35,7 @@ __all__ = [
     "TfIdfKeywords",
     "UnigramLMScorer",
     "BigramLMScorer",
+    "KneserNeyBigramScorer",
     "QualityFilterPipeline",
     "SequencePacker",
     "SourceCapFilter",
@@ -925,6 +926,86 @@ class BigramLMScorer:
             .withColumn(
                 "n_bigrams", F.coalesce("n_bigrams", F.lit(0))
             )
+        )
+
+
+class KneserNeyBigramScorer(BigramLMScorer):
+    """Interpolated Kneser-Ney bigram LM — the smoothing the real
+    KenLM models CCNet filters with use, one rung above
+    :class:`BigramLMScorer`'s add-one:
+
+        p(w|v) = (max(c(v,w) − d, 0) + d · N1+(v,·) · Pcont(w)) / c(v,·)
+        Pcont(w) = N1+(·,w) / |distinct bigram types|
+
+    with absolute discount ``d`` (default 0.75 — exactly
+    representable in binary, so the contract oracle's arithmetic is
+    bit-identical). Unseen contexts fall back to the continuation
+    probability itself; a floor guards log(0) for fully-unseen
+    events when scoring foreign text.
+
+    Plan shape matches the parent: the model is ONE (prev, cur)
+    aggregation; context totals, forward continuation counts
+    N1+(v,·), backward counts N1+(·,w), and the type total all
+    derive from that tiny model table (never a corpus rescan);
+    scoring is three keyed joins + one doc-keyed mean.
+    """
+
+    def __init__(self, *args, discount: float = 0.75, **kwargs):
+        super().__init__(*args, **kwargs)
+        if not 0.0 < discount < 1.0:
+            raise ValueError("discount must be in (0, 1)")
+        self.discount = discount
+
+    def score(
+        self, df: DataFrame, train_df: Optional[DataFrame] = None
+    ) -> DataFrame:
+        """Return ``[<id_column>, n_bigrams, kn_score, perplexity]``;
+        the model is trained on ``train_df`` (defaults to ``df``)."""
+        idc, d = self.id_column, self.discount
+        train = train_df if train_df is not None else df
+        model = (
+            self._bigrams(train)
+            .groupBy("prev", "cur")
+            .agg(F.count("*").alias("_c"))
+        )
+        contexts = model.groupBy("prev").agg(
+            F.sum("_c").alias("_cc"),
+            F.count(F.lit(1)).alias("_n1f"),  # N1+(v, ·)
+        )
+        backoff = model.groupBy("cur").agg(
+            F.count(F.lit(1)).alias("_n1b")  # N1+(·, w)
+        )
+        types = model.agg(F.count(F.lit(1)).alias("_t"))
+        pcont = F.coalesce(F.col("_n1b"), F.lit(0)) / F.col("_t")
+        p = F.when(
+            F.coalesce(F.col("_cc"), F.lit(0)) > 0,
+            (
+                F.greatest(
+                    F.coalesce(F.col("_c"), F.lit(0)) - F.lit(d),
+                    F.lit(0.0),
+                )
+                + F.lit(d) * F.col("_n1f") * pcont
+            )
+            / F.col("_cc"),
+        ).otherwise(pcont)
+        scored = (
+            self._bigrams(df)
+            .join(model, on=["prev", "cur"], how="left")
+            .join(contexts, on="prev", how="left")
+            .join(backoff, on="cur", how="left")
+            .crossJoin(F.broadcast(types))
+            .withColumn("_lp", F.log(F.greatest(p, F.lit(1e-12))))
+            .groupBy(idc)
+            .agg(
+                F.count("*").alias("n_bigrams"),
+                stable_round(F.avg("_lp"), 6).alias("kn_score"),
+                stable_round(F.exp(-F.avg("_lp")), 4).alias("perplexity"),
+            )
+        )
+        return (
+            df.select(idc)
+            .join(scored, on=idc, how="left")
+            .withColumn("n_bigrams", F.coalesce("n_bigrams", F.lit(0)))
         )
 
 

@@ -2485,3 +2485,68 @@ def test_url_filter(spark):
 
     kept = sorted(r.doc_id for r in uf.filter(df).collect())
     assert kept == [0, 3, 5]
+
+
+def test_kneser_ney_bigram_scorer(spark):
+    """Interpolated KN bigram vs a brute-force in-memory oracle:
+    per-doc mean log-prob must match exactly (same discount,
+    continuation counts, and backoff), short docs keep their row,
+    repetitive text outscores word salad."""
+    import math
+
+    from replay_spark.preprocessing.text import KneserNeyBigramScorer
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on the mat again and again"),
+        (2, "mat the on sat cat zzz"),
+        (3, "single"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = 0.75
+
+    toks = {i: t.lower().split() for i, t in rows}
+    bg = {}
+    for tk in toks.values():
+        for a, b in zip(tk, tk[1:]):
+            bg[(a, b)] = bg.get((a, b), 0) + 1
+    cc, n1f, n1b = {}, {}, {}
+    for (a, b), c in bg.items():
+        cc[a] = cc.get(a, 0) + c
+        n1f[a] = n1f.get(a, 0) + 1
+        n1b[b] = n1b.get(b, 0) + 1
+    T = len(bg)
+
+    def prob(a, b):
+        pc = n1b.get(b, 0) / T
+        if cc.get(a, 0) == 0:
+            return max(pc, 1e-12)
+        return max(
+            (max(bg.get((a, b), 0) - d, 0) + d * n1f[a] * pc) / cc[a],
+            1e-12,
+        )
+
+    expected = {}
+    for i, tk in toks.items():
+        lps = [math.log(prob(a, b)) for a, b in zip(tk, tk[1:])]
+        expected[i] = (
+            round(sum(lps) / len(lps) + 1e-9, 6) if lps else None
+        )
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.kn_score)
+        for r in KneserNeyBigramScorer().score(df).collect()
+    }
+    for i, tk in toks.items():
+        n = max(len(tk) - 1, 0)
+        assert got[i][0] == n, i
+        if n:
+            assert got[i][1] == pytest.approx(expected[i], abs=2e-6), i
+        else:
+            assert got[i][1] is None
+    # fluent repetition beats word salad under a bigram model
+    assert got[1][1] > got[2][1]
+
+    with pytest.raises(ValueError):
+        KneserNeyBigramScorer(discount=1.0)
