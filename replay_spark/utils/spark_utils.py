@@ -39,6 +39,7 @@ __all__ = [
     "ordered_row_numbers",
     "ordered_prefix_sums",
     "stable_round",
+    "write_bucketed",
 ]
 
 
@@ -592,3 +593,36 @@ def multiply_vector_expr(scalar: Union[str, Column], vec: Union[str, Column]) ->
     scalar = F.col(scalar) if isinstance(scalar, str) else scalar
     vec = F.col(vec) if isinstance(vec, str) else vec
     return F.transform(vec, lambda x: x * scalar)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: Union[str, list],
+    num_buckets: int,
+    sort_by: Optional[Union[str, list]] = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Persist ``df`` as a BUCKETED (and optionally sorted) table and
+    return the re-read frame — the co-located-join primitive for
+    repeatedly-joined big tables.
+
+    A join between two tables bucketed on the same keys with the same
+    bucket count plans with NO Exchange on either side (the bucketing
+    IS the partitioning, proven by ``tests/test_plan_shapes.py``) —
+    at 100 TB that converts every recurring fact↔fact join from a
+    full shuffle into a zip of pre-sorted buckets. Spark's bucketing
+    rides ``saveAsTable`` (parquet under the warehouse dir; no Hive
+    needed with the in-memory catalog).
+
+    Requires ``spark.sql.sources.bucketing.enabled`` (default true).
+    Set ``spark.sql.shuffle.partitions``-sized ``num_buckets`` so a
+    bucket is one task's worth of data at the target scale.
+    """
+    cols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    writer = df.write.mode(mode).bucketBy(num_buckets, *cols)
+    if sort_by is not None:
+        sort_cols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)
+    return df.sparkSession.table(table)

@@ -127,3 +127,33 @@ def test_source_cap_no_full_width_shuffle(sf):
     # the full-width side appears in no exchange: 'text' only ever
     # rides the scan and the final broadcast-filtered projection
     assert all("text" not in l for l in exchange_lines), exchange_lines
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """write_bucketed: a join of two tables bucketed on the same key
+    with the same bucket count must plan WITHOUT a shuffle on either
+    side — the co-location claim, mechanized."""
+    from replay_spark.utils.spark_utils import write_bucketed
+
+    a = spark.range(0, 1000).withColumn("va", F.col("id") * 2)
+    b = spark.range(0, 1000).withColumn("vb", F.col("id") * 3)
+    ta = write_bucketed(a, "bucket_plan_a", "id", 4, sort_by="id")
+    tb = write_bucketed(b, "bucket_plan_b", "id", 4, sort_by="id")
+    try:
+        joined = ta.join(tb, on="id")
+        nodes = _nodes(_plan(joined))
+        assert "SortMergeJoin" in nodes or "BroadcastHashJoin" in nodes
+        # bucketing IS the partitioning: no shuffle anywhere
+        assert (
+            "Exchange" not in nodes
+            or all(
+                "Broadcast" in l
+                for l in _plan(joined).splitlines()
+                if "Exchange" in l and "(" in l
+            )
+        ), nodes
+        got = joined.count()
+        assert got == 1000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucket_plan_a")
+        spark.sql("DROP TABLE IF EXISTS bucket_plan_b")
