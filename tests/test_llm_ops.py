@@ -2550,3 +2550,36 @@ def test_kneser_ney_bigram_scorer(spark):
 
     with pytest.raises(ValueError):
         KneserNeyBigramScorer(discount=1.0)
+
+
+def test_gif_lzw_fuzz():
+    """LZW roundtrip fuzz across code-width boundaries, table-full
+    mid-stream clears, run-heavy and periodic inputs — the cases that
+    desync encoders and decoders whose width-growth timing disagrees."""
+    import random
+
+    from replay_spark.gif import _lzw_decode, _lzw_encode
+
+    random.seed(1)
+    for trial in range(120):
+        n = random.randint(1, 5000)
+        ncolors = random.choice([2, 3, 4, 7, 16, 64, 200, 256])
+        min_code = max(2, (ncolors - 1).bit_length())
+        mode = trial % 3
+        if mode == 0:
+            seq = bytes(random.randrange(ncolors) for _ in range(n))
+        elif mode == 1:
+            seq = b"".join(
+                bytes([random.randrange(ncolors)]) * random.randint(1, 30)
+                for _ in range(n // 10 + 1)
+            )[:n]
+        else:
+            pat = bytes(
+                random.randrange(ncolors)
+                for _ in range(random.randint(1, 9))
+            )
+            seq = (pat * (n // len(pat) + 1))[:n]
+        enc = _lzw_encode(seq, min_code)
+        assert bytes(_lzw_decode(enc, min_code, len(seq))) == seq, (
+            trial, n, ncolors, mode,
+        )
