@@ -72,6 +72,10 @@ BENCH_QUERIES = [
     "q_semantic_dedup",
     "q_substring_dedup",
     "q_hnsw_ann",
+    "q_webm_meta",
+    "q_jpeg12_decode",
+    "q_warc_html_extract",
+    "q_kn_bigram_scores",
 ]
 
 
@@ -256,9 +260,18 @@ def main():
         "metric": "replay_spark_headline_queries_total_wall",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": timings,
+        # 2-decimal in the compact line only: ~70 chars of margin
+        # inside the 2000-char capture window (full 3-decimal record
+        # is in the stderr FULL line)
+        "queries": {
+            k: (round(v, 2) if v is not None else None)
+            for k, v in timings.items()
+        },
         "sf": sf,
-        "sf1": sf1_timings,
+        "sf1": {
+            k: (round(v, 2) if v is not None else None)
+            for k, v in sf1_timings.items()
+        },
         "cold_total": cold_total,
     }
     line = json.dumps(compact, separators=(",", ":"))
