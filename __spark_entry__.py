@@ -1973,6 +1973,24 @@ def q_kn_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_bigrams", "kn_score")
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability + lexical-diversity quality signals over the
+    documents corpus — every column pure regexp/array arithmetic a
+    DuckDB oracle replays exactly."""
+    from replay_spark.preprocessing.text import ReadabilityScorer
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    out = ReadabilityScorer().transform(docs)
+    return out.select(
+        "doc_id",
+        "words_per_sentence",
+        "chars_per_word",
+        "syllables_per_word",
+        "flesch",
+        "type_token_ratio",
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup gate with a deterministic quantizer: corpus =
     embeddings ∪ exact semantic duplicates (vectors scaled ×2 —
@@ -2732,6 +2750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination_report": q_contamination_report,
         # -- (c) officially green in r4-r6, rotating out — still
         #        run in tools/check_oracle and bench -------------
+        "q_readability": q_readability,
         "q_kn_bigram_scores": q_kn_bigram_scores,
         "q_media_decode": q_media_decode,
         "q_streaming_dedup": q_streaming_dedup,
@@ -4217,6 +4236,40 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN affected a USING (doc_id)
             LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "q_readability": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE string_split_regex(trim(lower(text)), '\\s+')
+                       END AS tk,
+                       greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                           AS n_sent,
+                       len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                           AS n_syll
+                FROM documents)
+            SELECT doc_id,
+                   CASE WHEN len(tk) > 0 THEN
+                       round(len(tk) / CAST(n_sent AS DOUBLE) + 1e-9, 4)
+                   END AS words_per_sentence,
+                   CASE WHEN len(tk) > 0 THEN
+                       round(list_sum(list_transform(tk, x -> length(x)))
+                             / CAST(len(tk) AS DOUBLE) + 1e-9, 4)
+                   END AS chars_per_word,
+                   CASE WHEN len(tk) > 0 THEN
+                       round(n_syll / CAST(len(tk) AS DOUBLE) + 1e-9, 4)
+                   END AS syllables_per_word,
+                   CASE WHEN len(tk) > 0 THEN
+                       round(206.835
+                             - 1.015 * (len(tk) / CAST(n_sent AS DOUBLE))
+                             - 84.6 * (n_syll / CAST(len(tk) AS DOUBLE))
+                             + 1e-9, 4)
+                   END AS flesch,
+                   CASE WHEN len(tk) > 0 THEN
+                       round(len(list_distinct(tk))
+                             / CAST(len(tk) AS DOUBLE) + 1e-9, 4)
+                   END AS type_token_ratio
+            FROM t
         """,
         "q_kn_bigram_scores": """
             WITH toks AS (

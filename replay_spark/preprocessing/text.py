@@ -23,6 +23,7 @@ __all__ = [
     "bpe_token_count_expr",
     "TextStats",
     "CorpusStats",
+    "ReadabilityScorer",
     "QualityScorer",
     "LanguageIdentifier",
     "fingerprint_expr",
@@ -139,6 +140,83 @@ class TextStats:
         ).withColumn(
             "num_lines", F.size(F.split(text, "\n"))
         )
+
+
+class ReadabilityScorer:
+    """Readability + lexical-diversity quality signals — the
+    traditional-NLP tier of quality filtering (used alongside the
+    heuristic and model tiers):
+
+    * ``words_per_sentence`` — sentences split on ``[.!?]+`` runs;
+    * ``chars_per_word`` — mean token length;
+    * ``syllables_per_word`` — vowel-GROUP counting (``[aeiouy]+``
+      runs per token), the standard cheap syllable proxy;
+    * ``flesch`` — Flesch Reading Ease,
+      ``206.835 − 1.015·(words/sentence) − 84.6·(syllables/word)``;
+    * ``type_token_ratio`` — distinct tokens / tokens (lexical
+      diversity; low TTR flags repetitive boilerplate).
+
+    Every signal is ``regexp_count``/array arithmetic — JVM
+    expressions a DuckDB oracle replays exactly; zero shuffles.
+    Empty documents get nulls (a filter must see every row).
+    """
+
+    def __init__(self, text_column: str = "text"):
+        self.text_column = text_column
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        text = F.col(self.text_column)
+        toks = tokenize_expr(F.lower(text))
+        n_words = F.size(toks)
+        n_sent = F.greatest(
+            F.regexp_count(text, F.lit(r"[.!?]+")), F.lit(1)
+        )
+        n_chars = F.aggregate(
+            F.transform(toks, F.length), F.lit(0), lambda a, x: a + x
+        )
+        n_syll = F.regexp_count(F.lower(text), F.lit(r"[aeiouy]+"))
+        n_types = F.size(F.array_distinct(toks))
+        wps = n_words.cast("double") / n_sent
+        spw = n_syll.cast("double") / n_words
+        out = (
+            df.withColumn(
+                "words_per_sentence",
+                F.when(n_words > 0, stable_round(wps, 4)),
+            )
+            .withColumn(
+                "chars_per_word",
+                F.when(
+                    n_words > 0,
+                    stable_round(n_chars.cast("double") / n_words, 4),
+                ),
+            )
+            .withColumn(
+                "syllables_per_word",
+                F.when(n_words > 0, stable_round(spw, 4)),
+            )
+            .withColumn(
+                "flesch",
+                F.when(
+                    n_words > 0,
+                    stable_round(
+                        F.lit(206.835)
+                        - F.lit(1.015) * wps
+                        - F.lit(84.6) * spw,
+                        4,
+                    ),
+                ),
+            )
+            .withColumn(
+                "type_token_ratio",
+                F.when(
+                    n_words > 0,
+                    stable_round(
+                        n_types.cast("double") / n_words, 4
+                    ),
+                ),
+            )
+        )
+        return out
 
 
 class CorpusStats:

@@ -2583,3 +2583,24 @@ def test_gif_lzw_fuzz():
         assert bytes(_lzw_decode(enc, min_code, len(seq))) == seq, (
             trial, n, ncolors, mode,
         )
+
+
+def test_readability_scorer(spark):
+    """Readability signals vs hand-computed values; empty docs keep
+    their row with nulls; simple text scores higher Flesch than
+    long-winded text."""
+    from replay_spark.preprocessing.text import ReadabilityScorer
+
+    rows = [
+        (0, "The cat sat. The dog ran!"),
+        (1, "Extraordinarily complicated considerations demonstrate "
+            "remarkable characteristics notwithstanding."),
+        (2, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in ReadabilityScorer().transform(df).collect()}
+    # doc 0: 6 words, 2 sentences -> 3 wps; TTR = 5/6 (the repeats)
+    assert out[0].words_per_sentence == pytest.approx(3.0)
+    assert out[0].type_token_ratio == pytest.approx(round(5 / 6, 4), abs=1e-4)
+    assert out[2].flesch is None and out[2].chars_per_word is None
+    assert out[0].flesch > out[1].flesch
