@@ -1991,6 +1991,48 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming/batch parity gate for the stateful per-source
+    admission cap: with the whole corpus arriving as ONE micro-batch
+    (single parquet file, availableNow), the online first-cap rule —
+    group chunks concatenated then sorted on doc_id, the fix this
+    gate pins — admits exactly the cap smallest ids per source, which
+    is plain SQL. HASH-matched."""
+    import os
+    import tempfile
+
+    from replay_spark.streaming import StreamingSourceCapFilter
+
+    for q in spark.streams.active:
+        if q.name == "q_streaming_source_cap_sink":
+            q.stop()
+    src = os.path.abspath(f"{sf_dir}/documents.parquet")
+    link_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"rs_stream_docs_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, "documents.parquet")
+    if os.path.lexists(link) and os.path.realpath(link) != src:
+        os.unlink(link)
+    if not os.path.lexists(link):
+        os.symlink(src, link)
+    raw_schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(raw_schema).parquet(link_dir)
+    capped = StreamingSourceCapFilter(cap=40).transform(stream)
+    sq = (
+        capped.writeStream.format("memory")
+        .queryName("q_streaming_source_cap_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(300)
+    return spark.table("q_streaming_source_cap_sink").select(
+        "doc_id", "source"
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup gate with a deterministic quantizer: corpus =
     embeddings ∪ exact semantic duplicates (vectors scaled ×2 —
@@ -2750,6 +2792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination_report": q_contamination_report,
         # -- (c) officially green in r4-r6, rotating out — still
         #        run in tools/check_oracle and bench -------------
+        "q_streaming_source_cap": q_streaming_source_cap,
         "q_readability": q_readability,
         "q_kn_bigram_scores": q_kn_bigram_scores,
         "q_media_decode": q_media_decode,
@@ -4236,6 +4279,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN affected a USING (doc_id)
             LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "q_streaming_source_cap": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source ORDER BY doc_id) AS rn
+                FROM documents) t
+            WHERE rn <= 40
         """,
         "q_readability": """
             WITH t AS (
