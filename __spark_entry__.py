@@ -1991,6 +1991,31 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher rule set (Rae et al. 2021 §A1.1) over the corpus:
+    word-shape + line-shape signals, per-rule drop reasons, and the
+    keep verdict — one expression-only projection the DuckDB oracle
+    replays exactly. min_words=20 / min_stopword_hits=1 so the
+    synthetic corpus (max 1 required stopword per doc, 10-99 words)
+    exercises both sides of the rules."""
+    from replay_spark.preprocessing.text import GopherQualityFilter
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    out = GopherQualityFilter(min_words=20, min_stopword_hits=1).transform(docs)
+    return out.select(
+        "doc_id",
+        "n_words",
+        stable_round("mean_word_len", 4).alias("mean_word_len"),
+        stable_round("symbol_word_ratio", 4).alias("symbol_word_ratio"),
+        stable_round("bullet_line_frac", 4).alias("bullet_line_frac"),
+        stable_round("ellipsis_line_frac", 4).alias("ellipsis_line_frac"),
+        stable_round("alpha_word_frac", 4).alias("alpha_word_frac"),
+        "stopword_hits",
+        "keep",
+        F.concat_ws(",", "drop_reasons").alias("drop_reasons"),
+    )
+
+
 def q_streaming_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming/batch parity gate for the stateful per-source
     admission cap: with the whole corpus arriving as ONE micro-batch
@@ -2793,6 +2818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (c) officially green in r4-r6, rotating out — still
         #        run in tools/check_oracle and bench -------------
         "q_streaming_source_cap": q_streaming_source_cap,
+        "q_gopher_quality": q_gopher_quality,
         "q_readability": q_readability,
         "q_kn_bigram_scores": q_kn_bigram_scores,
         "q_media_decode": q_media_decode,
@@ -4287,6 +4313,74 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY source ORDER BY doc_id) AS rn
                 FROM documents) t
             WHERE rn <= 40
+        """,
+        "q_gopher_quality": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE string_split_regex(trim(text), '\\s+')
+                       END AS w,
+                       string_split(text, chr(10)) AS ln,
+                       len(regexp_extract_all(text, '#|\\.\\.\\.|…'))
+                           AS n_sym
+                FROM documents),
+            m AS (
+                SELECT doc_id,
+                       CAST(len(w) AS BIGINT) AS n_words,
+                       CASE WHEN len(w) > 0 THEN
+                           list_sum(list_transform(w, x -> length(x)))
+                               / CAST(len(w) AS DOUBLE)
+                       ELSE 0.0 END AS mwl,
+                       CASE WHEN len(w) > 0 THEN
+                           n_sym / CAST(len(w) AS DOUBLE)
+                       ELSE 0.0 END AS sym,
+                       len(list_filter(ln,
+                           l -> regexp_matches(ltrim(l), '^[-*•]')))
+                           / CAST(len(ln) AS DOUBLE) AS bul,
+                       len(list_filter(ln,
+                           l -> regexp_matches(rtrim(l),
+                                               '(\\.\\.\\.|…)$')))
+                           / CAST(len(ln) AS DOUBLE) AS ell,
+                       CASE WHEN len(w) > 0 THEN
+                           len(list_filter(w,
+                               x -> regexp_matches(x, '[a-zA-Z]')))
+                               / CAST(len(w) AS DOUBLE)
+                       ELSE 0.0 END AS alpha,
+                       CAST(len(list_intersect(
+                           list_distinct(list_transform(w,
+                                                        x -> lower(x))),
+                           ['the','be','to','of','and','that','have',
+                            'with'])) AS BIGINT) AS hits
+                FROM t),
+            r AS (
+                SELECT doc_id, n_words, mwl, sym, bul, ell, alpha, hits,
+                       list_filter([
+                           CASE WHEN n_words < 20 OR n_words > 100000
+                                THEN 'word_count' END,
+                           CASE WHEN mwl < 3.0 OR mwl > 10.0
+                                THEN 'mean_word_len' END,
+                           CASE WHEN sym > 0.1 THEN 'symbol_ratio' END,
+                           CASE WHEN bul > 0.9 THEN 'bullet_lines' END,
+                           CASE WHEN ell > 0.3
+                                THEN 'ellipsis_lines' END,
+                           CASE WHEN alpha < 0.8
+                                THEN 'alpha_words' END,
+                           CASE WHEN hits < 1 THEN 'stopwords' END
+                       ], x -> x IS NOT NULL) AS reasons
+                FROM m)
+            SELECT doc_id, n_words,
+                   round(mwl + 1e-9, 4) AS mean_word_len,
+                   round(sym + 1e-9, 4) AS symbol_word_ratio,
+                   round(bul + 1e-9, 4) AS bullet_line_frac,
+                   round(ell + 1e-9, 4) AS ellipsis_line_frac,
+                   round(alpha + 1e-9, 4) AS alpha_word_frac,
+                   hits AS stopword_hits,
+                   len(reasons) = 0 AS keep,
+                   -- array_to_string([]) is NULL in DuckDB but '' in
+                   -- Spark's concat_ws: coalesce to match
+                   coalesce(array_to_string(reasons, ','), '')
+                       AS drop_reasons
+            FROM r
         """,
         "q_readability": """
             WITH t AS (

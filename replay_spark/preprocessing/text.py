@@ -38,6 +38,7 @@ __all__ = [
     "BigramLMScorer",
     "KneserNeyBigramScorer",
     "QualityFilterPipeline",
+    "GopherQualityFilter",
     "SequencePacker",
     "SourceCapFilter",
     "PII_PATTERNS",
@@ -1288,6 +1289,158 @@ class QualityFilterPipeline:
             .filter(F.col("keep"))
             .select(*df.columns)
         )
+
+
+class GopherQualityFilter:
+    """The full Gopher document-quality rule set (Rae et al. 2021,
+    §A1.1) as one JVM-side expression scan — complementary to
+    :class:`QualityFilterPipeline` (C4 ratios + repetition fractions):
+    this operator covers the word-shape and line-shape rules the
+    pipeline omits.
+
+    Rules (a document is DROPPED when any fires):
+
+    - ``word_count``: outside ``[min_words, max_words]``
+    - ``mean_word_len``: outside ``[min_mean_word_len, max_mean_word_len]``
+    - ``symbol_ratio``: ``#``/ellipsis occurrences per word above
+      ``max_symbol_word_ratio``
+    - ``bullet_lines``: fraction of lines starting with a bullet
+      (``-``, ``*``, ``•``) above ``max_bullet_line_frac``
+    - ``ellipsis_lines``: fraction of lines ending with an ellipsis
+      above ``max_ellipsis_line_frac``
+    - ``alpha_words``: fraction of words containing at least one
+      alphabetic character below ``min_alpha_word_frac``
+    - ``stopwords``: fewer than ``min_stopword_hits`` DISTINCT words
+      from Gopher's required-stopword list (the, be, to, of, and,
+      that, have, with)
+
+    Words are raw whitespace tokens (punctuation kept attached), the
+    same tokenization every other text operator here uses, so the
+    whole rule set is one embarrassingly parallel projection — no
+    shuffle, no UDF, and a DuckDB oracle replays it exactly
+    (``q_gopher_quality``). No reference counterpart (LLM-pipeline
+    extension).
+    """
+
+    REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+    def __init__(
+        self,
+        text_column: str = "text",
+        min_words: int = 50,
+        max_words: int = 100_000,
+        min_mean_word_len: float = 3.0,
+        max_mean_word_len: float = 10.0,
+        max_symbol_word_ratio: float = 0.1,
+        max_bullet_line_frac: float = 0.9,
+        max_ellipsis_line_frac: float = 0.3,
+        min_alpha_word_frac: float = 0.8,
+        min_stopword_hits: int = 2,
+    ):
+        self.text_column = text_column
+        self.min_words = min_words
+        self.max_words = max_words
+        self.min_mean_word_len = min_mean_word_len
+        self.max_mean_word_len = max_mean_word_len
+        self.max_symbol_word_ratio = max_symbol_word_ratio
+        self.max_bullet_line_frac = max_bullet_line_frac
+        self.max_ellipsis_line_frac = max_ellipsis_line_frac
+        self.min_alpha_word_frac = min_alpha_word_frac
+        self.min_stopword_hits = min_stopword_hits
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """Annotate with the per-rule signals, ``keep`` and
+        ``drop_reasons`` (same contract as QualityFilterPipeline)."""
+        text = F.col(self.text_column)
+        words = tokenize_expr(text)
+        n_words = F.size(words).cast("long")
+        total_word_chars = F.aggregate(
+            F.transform(words, F.length), F.lit(0), lambda acc, x: acc + x
+        )
+        mean_word_len = F.when(
+            n_words > 0, total_word_chars / n_words.cast("double")
+        ).otherwise(F.lit(0.0))
+        n_symbols = F.regexp_count(text, F.lit(r"#|\.\.\.|…")).cast("long")
+        symbol_ratio = F.when(
+            n_words > 0, n_symbols / n_words.cast("double")
+        ).otherwise(F.lit(0.0))
+        lines = F.split(text, "\n")
+        n_lines = F.size(lines).cast("double")
+        bullet_frac = F.size(
+            F.filter(lines, lambda l: F.ltrim(l).rlike(r"^[-*•]"))
+        ) / n_lines
+        ellipsis_frac = F.size(
+            F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))
+        ) / n_lines
+        alpha_word_frac = F.when(
+            n_words > 0,
+            F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+            / n_words.cast("double"),
+        ).otherwise(F.lit(0.0))
+        stop_lit = F.array(*[F.lit(s) for s in self.REQUIRED_STOPWORDS])
+        stopword_hits = F.size(
+            F.array_intersect(
+                F.array_distinct(F.transform(words, F.lower)), stop_lit
+            )
+        ).cast("long")
+
+        annotated = (
+            df.withColumn("n_words", n_words)
+            .withColumn("mean_word_len", mean_word_len)
+            .withColumn("symbol_word_ratio", symbol_ratio)
+            .withColumn("bullet_line_frac", bullet_frac)
+            .withColumn("ellipsis_line_frac", ellipsis_frac)
+            .withColumn("alpha_word_frac", alpha_word_frac)
+            .withColumn("stopword_hits", stopword_hits)
+        )
+        checks = [
+            (
+                "word_count",
+                (F.col("n_words") < self.min_words)
+                | (F.col("n_words") > self.max_words),
+            ),
+            (
+                "mean_word_len",
+                (F.col("mean_word_len") < self.min_mean_word_len)
+                | (F.col("mean_word_len") > self.max_mean_word_len),
+            ),
+            (
+                "symbol_ratio",
+                F.col("symbol_word_ratio") > self.max_symbol_word_ratio,
+            ),
+            (
+                "bullet_lines",
+                F.col("bullet_line_frac") > self.max_bullet_line_frac,
+            ),
+            (
+                "ellipsis_lines",
+                F.col("ellipsis_line_frac") > self.max_ellipsis_line_frac,
+            ),
+            (
+                "alpha_words",
+                F.col("alpha_word_frac") < self.min_alpha_word_frac,
+            ),
+            (
+                "stopwords",
+                F.col("stopword_hits") < self.min_stopword_hits,
+            ),
+        ]
+        reasons = F.filter(
+            F.array(
+                *[
+                    F.when(cond, F.lit(name)).otherwise(F.lit(None))
+                    for name, cond in checks
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+        return annotated.withColumn("drop_reasons", reasons).withColumn(
+            "keep", F.size("drop_reasons") == 0
+        )
+
+    def filter(self, df: DataFrame) -> DataFrame:
+        """Only the documents passing every rule, original columns."""
+        return self.transform(df).filter(F.col("keep")).select(*df.columns)
 
 
 class SequencePacker:

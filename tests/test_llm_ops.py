@@ -2604,3 +2604,61 @@ def test_readability_scorer(spark):
     assert out[0].type_token_ratio == pytest.approx(round(5 / 6, 4), abs=1e-4)
     assert out[2].flesch is None and out[2].chars_per_word is None
     assert out[0].flesch > out[1].flesch
+
+
+def test_gopher_quality_filter_rules(spark):
+    from replay_spark.preprocessing.text import GopherQualityFilter
+
+    good = (
+        "the quick brown fox jumps over that lazy dog and keeps running "
+        "with steady pace because the evening light holds out for hours "
+        "while birds settle down near warm rivers under wide open skies"
+    )
+    bullets = "\n".join(f"- item {i} of the list" for i in range(10))
+    ellipses = "\n".join(
+        ["the story continues..."] * 4 + ["and that was the end of it"]
+    )
+    symbols = "the " + "# " * 30 + "and that have with of to be"
+    numeric = "the of " + " ".join(str(i) for i in range(40))
+    longwords = (
+        "the of " + " ".join("supercalifragilistic" for _ in range(40))
+    )
+    df = spark.createDataFrame(
+        [
+            (0, good),
+            (1, "too short to pass the word count"),
+            (2, bullets),
+            (3, ellipses),
+            (4, symbols),
+            (5, numeric),
+            (6, longwords),
+            (7, " ".join(["word"] * 40)),  # no required stopwords
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in GopherQualityFilter(min_words=20).transform(df).collect()
+    }
+    assert out[0]["keep"] and out[0]["drop_reasons"] == []
+    assert "word_count" in out[1]["drop_reasons"]
+    assert "bullet_lines" in out[2]["drop_reasons"]
+    assert "ellipsis_lines" in out[3]["drop_reasons"]
+    assert "symbol_ratio" in out[4]["drop_reasons"]
+    assert "alpha_words" in out[5]["drop_reasons"]
+    assert "mean_word_len" in out[6]["drop_reasons"]
+    assert "stopwords" in out[7]["drop_reasons"]
+    kept = GopherQualityFilter(min_words=20).filter(df)
+    assert [r["doc_id"] for r in kept.collect()] == [0]
+    assert kept.columns == ["doc_id", "text"]
+
+
+def test_gopher_quality_filter_empty_text(spark):
+    from replay_spark.preprocessing.text import GopherQualityFilter
+
+    df = spark.createDataFrame([(0, ""), (1, "   ")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in GopherQualityFilter().transform(df).collect()}
+    for i in (0, 1):
+        assert out[i]["n_words"] == 0
+        assert not out[i]["keep"]
+        assert "word_count" in out[i]["drop_reasons"]
