@@ -2016,6 +2016,48 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning over a deterministically line-structured
+    corpus: ' a ' -> '.\\n' (punctuated break) and ' e ' -> '\\n'
+    (unpunctuated break) give every doc a mix of kept and dropped
+    lines; doc_id residues plant the javascript / lorem-ipsum /
+    curly-brace rules so every page rule fires somewhere. All
+    plumbing is literal replace/concat, replayed exactly in SQL."""
+    from replay_spark.preprocessing.text import C4TextCleaner
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    structured = docs.withColumn(
+        "text",
+        F.concat(
+            F.when(
+                did % 19 == 0, F.lit("javascript tracking code here.\n")
+            ).otherwise(F.lit("")),
+            F.replace(
+                F.replace(F.col("text"), F.lit(" a "), F.lit(".\n")),
+                F.lit(" e "),
+                F.lit("\n"),
+            ),
+            F.when(
+                did % 23 == 0, F.lit("\nsee the lorem ipsum sample.")
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 17 == 0, F.lit("\nconfig { enabled } block.")
+            ).otherwise(F.lit("")),
+        ),
+    )
+    out = C4TextCleaner(min_sentences=2).transform(structured)
+    return out.select(
+        "doc_id",
+        "clean_text",
+        "n_lines_kept",
+        "n_lines_dropped",
+        "n_sentences",
+        "keep",
+        F.concat_ws(",", "drop_reasons").alias("drop_reasons"),
+    )
+
+
 def q_streaming_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming/batch parity gate for the stateful per-source
     admission cap: with the whole corpus arriving as ONE micro-batch
@@ -2819,6 +2861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #        run in tools/check_oracle and bench -------------
         "q_streaming_source_cap": q_streaming_source_cap,
         "q_gopher_quality": q_gopher_quality,
+        "q_c4_clean": q_c4_clean,
         "q_readability": q_readability,
         "q_kn_bigram_scores": q_kn_bigram_scores,
         "q_media_decode": q_media_decode,
@@ -4313,6 +4356,83 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY source ORDER BY doc_id) AS rn
                 FROM documents) t
             WHERE rn <= 40
+        """,
+        "q_c4_clean": """
+            WITH s AS (
+                SELECT doc_id,
+                       (CASE WHEN doc_id % 19 = 0
+                             THEN 'javascript tracking code here.'
+                                  || chr(10)
+                             ELSE '' END)
+                       || replace(replace(text, ' a ',
+                                          '.' || chr(10)),
+                                  ' e ', chr(10))
+                       || (CASE WHEN doc_id % 23 = 0
+                                THEN chr(10)
+                                     || 'see the lorem ipsum sample.'
+                                ELSE '' END)
+                       || (CASE WHEN doc_id % 17 = 0
+                                THEN chr(10)
+                                     || 'config { enabled } block.'
+                                ELSE '' END) AS text
+                FROM documents),
+            c AS (
+                SELECT doc_id, text,
+                       string_split(text, chr(10)) AS ln,
+                       list_filter(string_split(text, chr(10)),
+                           l -> regexp_matches(rtrim(l),
+                                               '[.!?"”]$')
+                                AND (CASE WHEN trim(l) = '' THEN 0
+                                     ELSE len(string_split_regex(
+                                              trim(l), '\\s+'))
+                                     END) >= 3
+                                AND NOT contains(lower(l),
+                                                 'javascript')
+                                AND NOT contains(lower(l),
+                                                 'terms of use')
+                                AND NOT contains(lower(l),
+                                                 'privacy policy')
+                                AND NOT contains(lower(l),
+                                                 'cookie policy')
+                                AND NOT contains(lower(l),
+                                                 'uses cookies')
+                                AND NOT contains(lower(l),
+                                                 'use of cookies')
+                                AND NOT contains(lower(l),
+                                                 'use cookies')
+                       ) AS kept
+                FROM s),
+            m AS (
+                SELECT doc_id, text,
+                       coalesce(array_to_string(kept, chr(10)), '')
+                           AS clean_text,
+                       CAST(len(kept) AS BIGINT) AS n_lines_kept,
+                       CAST(len(ln) - len(kept) AS BIGINT)
+                           AS n_lines_dropped
+                FROM c),
+            r AS (
+                SELECT doc_id, clean_text, n_lines_kept,
+                       n_lines_dropped,
+                       CAST(len(regexp_extract_all(clean_text,
+                                                   '[.!?]'))
+                            AS BIGINT) AS n_sentences,
+                       list_filter([
+                           CASE WHEN contains(lower(text),
+                                              'lorem ipsum')
+                                THEN 'lorem_ipsum' END,
+                           CASE WHEN contains(text, '{')
+                                THEN 'curly_brace' END,
+                           CASE WHEN len(regexp_extract_all(
+                                    clean_text, '[.!?]')) < 2
+                                THEN 'too_few_sentences' END
+                       ], x -> x IS NOT NULL) AS reasons
+                FROM m)
+            SELECT doc_id, clean_text, n_lines_kept, n_lines_dropped,
+                   n_sentences,
+                   len(reasons) = 0 AS keep,
+                   coalesce(array_to_string(reasons, ','), '')
+                       AS drop_reasons
+            FROM r
         """,
         "q_gopher_quality": """
             WITH t AS (

@@ -39,6 +39,7 @@ __all__ = [
     "KneserNeyBigramScorer",
     "QualityFilterPipeline",
     "GopherQualityFilter",
+    "C4TextCleaner",
     "SequencePacker",
     "SourceCapFilter",
     "PII_PATTERNS",
@@ -1441,6 +1442,122 @@ class GopherQualityFilter:
     def filter(self, df: DataFrame) -> DataFrame:
         """Only the documents passing every rule, original columns."""
         return self.transform(df).filter(F.col("keep")).select(*df.columns)
+
+
+class C4TextCleaner:
+    """C4-style line-level text cleaning (Raffel et al. 2020, §2.2)
+    as one JVM-side expression scan — the LINE-shape companion to the
+    document-level verdicts of :class:`QualityFilterPipeline` /
+    :class:`GopherQualityFilter`.
+
+    Line rules (a line is REMOVED from the document when any fires):
+
+    - does not end in a terminal punctuation mark (``. ! ? " ”`` after
+      right-trim)
+    - fewer than ``min_line_words`` whitespace words
+    - contains a blocked word (default: ``javascript``),
+      case-insensitive
+    - contains a cookie/policy boilerplate phrase (terms of use,
+      privacy policy, cookie policy, uses/use of/use cookies)
+
+    Page rules (the whole document is DROPPED when any fires):
+
+    - ``lorem_ipsum``: contains the phrase "lorem ipsum"
+    - ``curly_brace``: contains ``{`` (code, not prose)
+    - ``too_few_sentences``: fewer than ``min_sentences`` terminal
+      punctuation marks in the CLEANED text
+
+    ``transform`` annotates with ``clean_text`` (kept lines rejoined),
+    line/sentence counts, ``keep`` and ``drop_reasons``; ``filter``
+    returns only kept pages with ``text`` replaced by the cleaned
+    text. Everything is built-in string/array expressions — no
+    shuffle, no UDF, embarrassingly parallel at 100 TB, and the
+    ``q_c4_clean`` DuckDB oracle replays it exactly. No reference
+    counterpart (LLM-pipeline extension).
+    """
+
+    LINE_BLOCK_WORDS = ["javascript"]
+    POLICY_PHRASES = [
+        "terms of use",
+        "privacy policy",
+        "cookie policy",
+        "uses cookies",
+        "use of cookies",
+        "use cookies",
+    ]
+
+    def __init__(
+        self,
+        text_column: str = "text",
+        min_line_words: int = 3,
+        min_sentences: int = 5,
+        curly_brace_filter: bool = True,
+        output_column: str = "clean_text",
+    ):
+        self.text_column = text_column
+        self.min_line_words = min_line_words
+        self.min_sentences = min_sentences
+        self.curly_brace_filter = curly_brace_filter
+        self.output_column = output_column
+
+    def _line_ok(self, line: Column) -> Column:
+        ok = F.rtrim(line).rlike(r'[.!?"”]$')
+        ok = ok & (F.size(tokenize_expr(line)) >= self.min_line_words)
+        low = F.lower(line)
+        for w in self.LINE_BLOCK_WORDS:
+            ok = ok & ~low.contains(w)
+        for p in self.POLICY_PHRASES:
+            ok = ok & ~low.contains(p)
+        return ok
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        text = F.col(self.text_column)
+        lines = F.split(text, "\n")
+        kept = F.filter(lines, self._line_ok)
+        clean = F.array_join(kept, "\n")
+        annotated = (
+            df.withColumn(self.output_column, clean)
+            .withColumn("n_lines_kept", F.size(kept).cast("long"))
+            .withColumn(
+                "n_lines_dropped",
+                (F.size(lines) - F.size(kept)).cast("long"),
+            )
+            .withColumn(
+                "n_sentences",
+                F.regexp_count(
+                    F.col(self.output_column), F.lit(r"[.!?]")
+                ).cast("long"),
+            )
+        )
+        checks = [
+            ("lorem_ipsum", F.lower(text).contains("lorem ipsum")),
+            (
+                "too_few_sentences",
+                F.col("n_sentences") < self.min_sentences,
+            ),
+        ]
+        if self.curly_brace_filter:
+            checks.insert(1, ("curly_brace", text.contains("{")))
+        reasons = F.filter(
+            F.array(
+                *[
+                    F.when(cond, F.lit(name)).otherwise(F.lit(None))
+                    for name, cond in checks
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+        return annotated.withColumn("drop_reasons", reasons).withColumn(
+            "keep", F.size("drop_reasons") == 0
+        )
+
+    def filter(self, df: DataFrame) -> DataFrame:
+        """Only the pages passing every page rule, with ``text``
+        replaced by the cleaned text (original column set)."""
+        out = self.transform(df).filter(F.col("keep"))
+        return out.withColumn(
+            self.text_column, F.col(self.output_column)
+        ).select(*df.columns)
 
 
 class SequencePacker:

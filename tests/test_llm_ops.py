@@ -2662,3 +2662,43 @@ def test_gopher_quality_filter_empty_text(spark):
         assert out[i]["n_words"] == 0
         assert not out[i]["keep"]
         assert "word_count" in out[i]["drop_reasons"]
+
+
+def test_c4_text_cleaner(spark):
+    from replay_spark.preprocessing.text import C4TextCleaner
+
+    doc = "\n".join(
+        [
+            "This is a proper sentence that stays.",
+            "no terminal punctuation here",
+            "Too short.",
+            "Enable javascript to view this page.",
+            "Please accept our cookie policy to continue.",
+            "Another good sentence survives the pass!",
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            (0, doc),
+            (1, "Lorem Ipsum dolor sit amet. More words follow here."),
+            (2, "function() { return 1; } is code."),
+            (3, "One sentence only lives here."),
+        ],
+        "doc_id long, text string",
+    )
+    cleaner = C4TextCleaner(min_sentences=2)
+    out = {r["doc_id"]: r for r in cleaner.transform(df).collect()}
+    assert out[0]["clean_text"] == (
+        "This is a proper sentence that stays.\n"
+        "Another good sentence survives the pass!"
+    )
+    assert out[0]["n_lines_kept"] == 2 and out[0]["n_lines_dropped"] == 4
+    assert out[0]["keep"]
+    assert "lorem_ipsum" in out[1]["drop_reasons"]
+    assert "curly_brace" in out[2]["drop_reasons"]
+    assert "too_few_sentences" in out[3]["drop_reasons"]
+    kept = cleaner.filter(df)
+    rows = kept.collect()
+    assert [r["doc_id"] for r in rows] == [0]
+    assert rows[0]["text"] == out[0]["clean_text"]
+    assert kept.columns == ["doc_id", "text"]
