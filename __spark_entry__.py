@@ -2058,6 +2058,26 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet composition: unigram-LM score every document, then
+    per-language head/middle/tail buckets via the exact rank
+    strategy (integer arithmetic end to end — one global range
+    exchange, broadcast language offsets)."""
+    from replay_spark.preprocessing.text import (
+        PerplexityBucketer,
+        UnigramLMScorer,
+    )
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    scored = UnigramLMScorer().score(docs).join(
+        docs.select("doc_id", "lang"), on="doc_id"
+    )
+    out = PerplexityBucketer(strategy="exact").transform(scored)
+    return out.select(
+        "doc_id", "lang", "lm_score", "ppl_bucket", "ppl_label"
+    )
+
+
 def q_streaming_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming/batch parity gate for the stateful per-source
     admission cap: with the whole corpus arriving as ONE micro-batch
@@ -2862,6 +2882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_source_cap": q_streaming_source_cap,
         "q_gopher_quality": q_gopher_quality,
         "q_c4_clean": q_c4_clean,
+        "q_ccnet_buckets": q_ccnet_buckets,
         "q_readability": q_readability,
         "q_kn_bigram_scores": q_kn_bigram_scores,
         "q_media_decode": q_media_decode,
@@ -4356,6 +4377,42 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY source ORDER BY doc_id) AS rn
                 FROM documents) t
             WHERE rn <= 40
+        """,
+        "q_ccnet_buckets": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)),
+                                                 '\\s+')) AS token
+                FROM documents
+                WHERE trim(text) <> ''),
+            model AS (
+                SELECT token, count(*) AS c FROM toks GROUP BY token),
+            tot AS (
+                SELECT count(*) AS n, count(DISTINCT token) AS v
+                FROM toks),
+            scored AS (
+                SELECT t.doc_id,
+                       round(avg(ln((coalesce(m.c, 0) + 1.0)
+                                    / (tot.n + tot.v))) + 1e-9, 6)
+                           AS lm_score
+                FROM toks t LEFT JOIN model m USING (token)
+                CROSS JOIN tot
+                GROUP BY t.doc_id),
+            ranked AS (
+                SELECT s.doc_id, d.lang, s.lm_score,
+                       row_number() OVER (
+                           PARTITION BY d.lang
+                           ORDER BY s.lm_score DESC, s.doc_id
+                       ) AS rn,
+                       count(*) OVER (PARTITION BY d.lang) AS n
+                FROM scored s JOIN documents d USING (doc_id))
+            SELECT doc_id, lang, lm_score,
+                   CAST(floor(3 * (rn - 1) / CAST(n AS DOUBLE))
+                        AS BIGINT) AS ppl_bucket,
+                   ['head', 'middle', 'tail']
+                       [CAST(floor(3 * (rn - 1) / CAST(n AS DOUBLE))
+                             AS BIGINT) + 1] AS ppl_label
+            FROM ranked
         """,
         "q_c4_clean": """
             WITH s AS (

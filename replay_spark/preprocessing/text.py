@@ -37,6 +37,7 @@ __all__ = [
     "UnigramLMScorer",
     "BigramLMScorer",
     "KneserNeyBigramScorer",
+    "PerplexityBucketer",
     "QualityFilterPipeline",
     "GopherQualityFilter",
     "C4TextCleaner",
@@ -1086,6 +1087,115 @@ class KneserNeyBigramScorer(BigramLMScorer):
             df.select(idc)
             .join(scored, on=idc, how="left")
             .withColumn("n_bigrams", F.coalesce("n_bigrams", F.lit(0)))
+        )
+
+
+class PerplexityBucketer:
+    """CCNet-style quality bucketing (Wenzek et al. 2020, §3): split
+    each language's documents into quality buckets (head / middle /
+    tail for the default 3) by an LM quality score — the step CCNet
+    runs AFTER perplexity scoring to pick which slice of the crawl to
+    train on. Composes with :class:`UnigramLMScorer` /
+    :class:`KneserNeyBigramScorer` (any score column works).
+
+    Higher score = better (mean log-prob); bucket 0 ("head") is the
+    best slice of each language.
+
+    Two strategies:
+
+    - ``"exact"`` (default): deterministic rank buckets —
+      ``bucket = floor(n_buckets · (rank−1) / n)`` with rank =
+      row number within the language ordered by (score DESC, id).
+      Scale shape: ONE global range exchange via
+      :func:`~replay_spark.utils.spark_utils.ordered_row_numbers`
+      (per-language ranks derived by subtracting broadcast language
+      offsets — no per-language window over the full data, so a
+      50-TB language is NOT one task). Integer arithmetic end to
+      end — no percentile interpolation to diverge cross-engine —
+      which is what makes the ``q_ccnet_buckets`` hash gate safe.
+    - ``"approx"``: per-language ``percentile_approx`` thresholds
+      (mergeable sketch, one tiny agg) broadcast back and compared —
+      the cheapest 100-TB path when exact bucket boundaries don't
+      matter. Sketch merge order makes threshold values
+      run-dependent at the last ulp, so this path is rows-gated
+      only.
+    """
+
+    def __init__(
+        self,
+        score_column: str = "lm_score",
+        lang_column: str = "lang",
+        id_column: str = "doc_id",
+        n_buckets: int = 3,
+        strategy: str = "exact",
+        accuracy: int = 10_000,
+        labels: Optional[tuple] = ("head", "middle", "tail"),
+    ):
+        if n_buckets < 2:
+            raise ValueError("n_buckets must be >= 2")
+        if strategy not in ("exact", "approx"):
+            raise ValueError(f"unknown strategy: {strategy!r}")
+        self.score_column = score_column
+        self.lang_column = lang_column
+        self.id_column = id_column
+        self.n_buckets = n_buckets
+        self.strategy = strategy
+        self.accuracy = accuracy
+        self.labels = labels
+
+    def _with_label(self, df: DataFrame) -> DataFrame:
+        if self.labels is None or len(self.labels) != self.n_buckets:
+            return df
+        label_arr = F.array(*[F.lit(s) for s in self.labels])
+        return df.withColumn(
+            "ppl_label", F.element_at(label_arr, F.col("ppl_bucket").cast("int") + 1)
+        )
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """Annotate with ``ppl_bucket`` (0 = head) and, when labels
+        fit, ``ppl_label``."""
+        lang, score, idc = self.lang_column, self.score_column, self.id_column
+        if self.strategy == "approx":
+            probs = [i / self.n_buckets for i in range(1, self.n_buckets)]
+            ths = df.groupBy(lang).agg(
+                F.percentile_approx(
+                    score, F.array(*[F.lit(p) for p in probs]), self.accuracy
+                ).alias("_ths")
+            )
+            out = df.join(F.broadcast(ths), on=lang)
+            # ths ascending; head = above the top threshold
+            bucket = F.lit(self.n_buckets - 1) - F.size(
+                F.filter(F.col("_ths"), lambda t: F.col(score) > t)
+            )
+            return self._with_label(
+                out.withColumn("ppl_bucket", bucket.cast("long")).drop("_ths")
+            )
+        from replay_spark.utils.spark_utils import ordered_row_numbers
+
+        ranked = ordered_row_numbers(
+            df,
+            [F.col(lang).asc(), F.col(score).desc(), F.col(idc).asc()],
+            out_col="_grn",
+        )
+        counts = df.groupBy(lang).agg(F.count("*").alias("_n"))
+        # cumulative language offsets: a one-task window over
+        # #languages rows (tiny by construction)
+        w = (
+            Window.orderBy(lang)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = counts.withColumn(
+            "_off", F.coalesce(F.sum("_n").over(w), F.lit(0))
+        )
+        out = ranked.join(F.broadcast(offsets), on=lang)
+        rank_in_lang = F.col("_grn") - F.col("_off")
+        bucket = F.floor(
+            F.lit(self.n_buckets) * (rank_in_lang - 1) / F.col("_n")
+        )
+        return self._with_label(
+            out.withColumn("ppl_bucket", bucket.cast("long")).drop(
+                "_grn", "_off", "_n"
+            )
         )
 
 

@@ -2702,3 +2702,42 @@ def test_c4_text_cleaner(spark):
     assert [r["doc_id"] for r in rows] == [0]
     assert rows[0]["text"] == out[0]["clean_text"]
     assert kept.columns == ["doc_id", "text"]
+
+
+def test_perplexity_bucketer_exact(spark):
+    from replay_spark.preprocessing.text import PerplexityBucketer
+
+    rows = [(i, "en", float(-i)) for i in range(9)]  # score desc = id asc
+    rows += [(100 + i, "de", float(i)) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, lm_score double")
+    out = {
+        r["doc_id"]: r
+        for r in PerplexityBucketer(strategy="exact").transform(df).collect()
+    }
+    # en: 9 docs, best scores are smallest ids -> terciles of 3
+    for i in range(9):
+        assert out[i]["ppl_bucket"] == i // 3, (i, out[i])
+    assert out[0]["ppl_label"] == "head" and out[8]["ppl_label"] == "tail"
+    # de: 4 docs, best score is the LARGEST value here (103)
+    assert out[103]["ppl_bucket"] == 0
+    assert out[100]["ppl_bucket"] == 2
+    # buckets are per-language: each language has its own head
+    assert out[103]["ppl_label"] == "head"
+
+
+def test_perplexity_bucketer_approx_matches_exact_shape(spark):
+    from replay_spark.preprocessing.text import PerplexityBucketer
+
+    rows = [(i, "en", float(i % 30)) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, lm_score double")
+    out = PerplexityBucketer(strategy="approx").transform(df)
+    counts = {
+        r["ppl_bucket"]: r["cnt"]
+        for r in out.groupBy("ppl_bucket").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert set(counts) == {0, 1, 2}
+    assert sum(counts.values()) == 90
+    # head holds the highest scores
+    head_min = out.filter("ppl_bucket = 0").agg(F.min("lm_score")).first()[0]
+    tail_max = out.filter("ppl_bucket = 2").agg(F.max("lm_score")).first()[0]
+    assert head_min > tail_max
