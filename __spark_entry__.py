@@ -2078,6 +2078,18 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: docs with doc_id % 5 == 0 act as the
+    target corpus, the rest as the raw pool; hashed unigram+bigram
+    bucket log-ratios sum to a per-doc log weight."""
+    from replay_spark.preprocessing.text import DSIRSelector
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 5 == 0)
+    raw = docs.filter(F.col("doc_id") % 5 != 0)
+    return DSIRSelector().weights(raw, target)
+
+
 def q_streaming_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming/batch parity gate for the stateful per-source
     admission cap: with the whole corpus arriving as ONE micro-batch
@@ -2883,6 +2895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gopher_quality": q_gopher_quality,
         "q_c4_clean": q_c4_clean,
         "q_ccnet_buckets": q_ccnet_buckets,
+        "q_dsir_weights": q_dsir_weights,
         "q_readability": q_readability,
         "q_kn_bigram_scores": q_kn_bigram_scores,
         "q_media_decode": q_media_decode,
@@ -4377,6 +4390,50 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY source ORDER BY doc_id) AS rn
                 FROM documents) t
             WHERE rn <= 40
+        """,
+        "q_dsir_weights": """
+            WITH base AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE string_split_regex(
+                                     trim(lower(text)), '\\s+')
+                       END AS tk
+                FROM documents),
+            fb AS (
+                SELECT doc_id,
+                       substr(md5(g.f), 1, 4) AS b
+                FROM base,
+                     LATERAL (
+                         SELECT unnest(list_concat(
+                             tk,
+                             list_transform(
+                                 range(1, len(tk)),
+                                 i -> tk[i] || ' ' || tk[i + 1])
+                         )) AS f) g),
+            tgt AS (
+                SELECT b, count(*) AS c FROM fb
+                WHERE doc_id % 5 = 0 GROUP BY b),
+            rawc AS (
+                SELECT b, count(*) AS c FROM fb
+                WHERE doc_id % 5 <> 0 GROUP BY b),
+            nt AS (SELECT count(*) AS n FROM fb WHERE doc_id % 5 = 0),
+            nr AS (SELECT count(*) AS n FROM fb
+                   WHERE doc_id % 5 <> 0),
+            w AS (
+                SELECT f.doc_id,
+                       ln((coalesce(t.c, 0) + 1.0)
+                          / (nt.n + 65536.0))
+                       - ln((coalesce(r.c, 0) + 1.0)
+                            / (nr.n + 65536.0)) AS lr
+                FROM fb f
+                LEFT JOIN tgt t USING (b)
+                LEFT JOIN rawc r USING (b)
+                CROSS JOIN nt CROSS JOIN nr
+                WHERE f.doc_id % 5 <> 0)
+            SELECT doc_id,
+                   count(*) AS n_features,
+                   round(sum(lr) + 1e-9, 6) AS log_weight
+            FROM w GROUP BY doc_id
         """,
         "q_ccnet_buckets": """
             WITH toks AS (

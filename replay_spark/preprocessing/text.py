@@ -38,6 +38,7 @@ __all__ = [
     "BigramLMScorer",
     "KneserNeyBigramScorer",
     "PerplexityBucketer",
+    "DSIRSelector",
     "QualityFilterPipeline",
     "GopherQualityFilter",
     "C4TextCleaner",
@@ -1197,6 +1198,117 @@ class PerplexityBucketer:
                 "_grn", "_off", "_n"
             )
         )
+
+
+class DSIRSelector:
+    """Data Selection with Importance Resampling (Xie et al. 2023):
+    score every raw document by how much more likely its hashed
+    n-gram features are under a TARGET corpus than under the raw
+    corpus, then keep the highest-weight slice — the
+    importance-weighting recipe for steering a 100 TB crawl toward a
+    reference distribution (e.g. Wikipedia-like text).
+
+        log w(x) = Σ_f  ln p_target(f) − ln p_raw(f)
+
+    over x's features f (word unigrams + bigrams, counted WITH
+    multiplicity), where each p is an add-one-smoothed hashed-bucket
+    probability: p(f) = (count(bucket(f)) + 1) / (N + B).
+
+    Buckets are the first ``bucket_chars`` hex chars of md5(feature)
+    (B = 16^bucket_chars, default 65 536) — a string key any engine
+    reproduces bit-identically, which is what makes the
+    ``q_dsir_weights`` hash gate portable (same device as the
+    simhash/minhash md5 gates).
+
+    Plan shape at 100 TB: feature explode is a narrow map; the two
+    bucket-count tables are ≤ B rows each (map-side combined, then
+    BROADCAST back), so scoring is explode → broadcast join → one
+    doc-keyed sum. No wide shuffle except the final per-doc
+    aggregation. No reference counterpart (LLM-pipeline extension).
+    """
+
+    def __init__(
+        self,
+        text_column: str = "text",
+        id_column: str = "doc_id",
+        bucket_chars: int = 4,
+        use_bigrams: bool = True,
+    ):
+        if not 1 <= bucket_chars <= 8:
+            raise ValueError("bucket_chars must be in [1, 8]")
+        self.text_column = text_column
+        self.id_column = id_column
+        self.bucket_chars = bucket_chars
+        self.num_buckets = 16 ** bucket_chars
+        self.use_bigrams = use_bigrams
+
+    def _features(self, df: DataFrame) -> DataFrame:
+        """(id, bucket) rows, one per feature occurrence. All array
+        expressions are TOTAL (no sequence(0, n-k) that goes negative
+        on short docs — see SubstringDeduplicator's plan note)."""
+        toks = tokenize_expr(F.lower(F.col(self.text_column)))
+        feats = toks
+        if self.use_bigrams:
+            pair_len = F.greatest(F.size(toks) - 1, F.lit(0))
+            bigrams = F.zip_with(
+                F.slice(toks, 1, pair_len),
+                F.slice(toks, 2, pair_len),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+            feats = F.concat(toks, bigrams)
+        return df.select(
+            F.col(self.id_column),
+            F.explode(feats).alias("_f"),
+        ).select(
+            self.id_column,
+            F.substring(F.md5("_f"), 1, self.bucket_chars).alias("_b"),
+        )
+
+    def weights(self, raw_df: DataFrame, target_df: DataFrame) -> DataFrame:
+        """``[<id_column>, n_features, log_weight]`` for every raw
+        document (higher = more target-like)."""
+        idc, B = self.id_column, self.num_buckets
+        raw_feats = self._features(raw_df)
+        tgt_feats = self._features(target_df)
+        raw_counts = raw_feats.groupBy("_b").agg(F.count("*").alias("_cr"))
+        tgt_counts = tgt_feats.groupBy("_b").agg(F.count("*").alias("_ct"))
+        totals = raw_feats.agg(F.count("*").alias("_nr")).crossJoin(
+            tgt_feats.agg(F.count("*").alias("_nt"))
+        )
+        buckets = raw_counts.join(tgt_counts, on="_b", how="full").crossJoin(
+            F.broadcast(totals)
+        )
+        log_ratio = F.log(
+            (F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(1.0))
+            / (F.col("_nt") + F.lit(float(B)))
+        ) - F.log(
+            (F.coalesce(F.col("_cr"), F.lit(0)) + F.lit(1.0))
+            / (F.col("_nr") + F.lit(float(B)))
+        )
+        lut = buckets.select("_b", log_ratio.alias("_lr"))
+        return (
+            raw_feats.join(F.broadcast(lut), on="_b")
+            .groupBy(idc)
+            .agg(
+                F.count("*").alias("n_features"),
+                stable_round(F.sum("_lr"), 6).alias("log_weight"),
+            )
+        )
+
+    def select(
+        self, raw_df: DataFrame, target_df: DataFrame, n: int
+    ) -> DataFrame:
+        """The ``n`` most target-like raw documents (deterministic:
+        ties break on the id). Global sort+limit is a TakeOrdered —
+        no full-data shuffle."""
+        idc = self.id_column
+        w = self.weights(raw_df, target_df)
+        top = (
+            w.orderBy(F.col("log_weight").desc(), F.col(idc).asc())
+            .limit(n)
+            .select(idc, "log_weight")
+        )
+        return raw_df.join(top, on=idc)
 
 
 class QualityClassifier:

@@ -2741,3 +2741,44 @@ def test_perplexity_bucketer_approx_matches_exact_shape(spark):
     head_min = out.filter("ppl_bucket = 0").agg(F.min("lm_score")).first()[0]
     tail_max = out.filter("ppl_bucket = 2").agg(F.max("lm_score")).first()[0]
     assert head_min > tail_max
+
+
+def test_dsir_weights_prefer_target_like(spark):
+    from replay_spark.preprocessing.text import DSIRSelector
+
+    target = spark.createDataFrame(
+        [(100 + i, "science physics quantum theory experiment") for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (0, "science physics quantum theory results"),
+            (1, "buy cheap pills online now discount"),
+            (2, "quantum experiment in physics theory"),
+            (3, "click here to win a free prize"),
+        ],
+        "doc_id long, text string",
+    )
+    sel = DSIRSelector()
+    w = {r["doc_id"]: r["log_weight"] for r in sel.weights(raw, target).collect()}
+    assert w[0] > w[1] and w[2] > w[3]
+    top = sel.select(raw, target, 2)
+    assert sorted(r["doc_id"] for r in top.collect()) == [0, 2]
+    assert set(top.columns) == {"doc_id", "text", "log_weight"}
+
+
+def test_dsir_weights_total_on_short_docs(spark):
+    from replay_spark.preprocessing.text import DSIRSelector
+
+    target = spark.createDataFrame(
+        [(10, "alpha beta gamma")], "doc_id long, text string"
+    )
+    raw = spark.createDataFrame(
+        [(0, ""), (1, "single"), (2, "two words")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in DSIRSelector().weights(raw, target).collect()}
+    # empty doc has no features -> no row (same as the LM scorers)
+    assert 0 not in out
+    assert out[1]["n_features"] == 1  # one unigram, no bigram
+    assert out[2]["n_features"] == 3  # two unigrams + one bigram
