@@ -2090,6 +2090,47 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DSIRSelector().weights(raw, target)
 
 
+def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio features: embeddings become int16 WAV
+    payloads executor-side (same lossless quantization as
+    q_audio_decode), AudioFrameFeaturizer splits each stream into
+    16-sample frames and emits integer zcr/peak plus a
+    bit-deterministic rms per frame; DuckDB replays the whole chain
+    from the raw embeddings."""
+    import numpy as np
+    import pandas as pd
+
+    from replay_spark.multimodal import AudioFrameFeaturizer, encode_wav
+
+    emb = rsd.read_table(spark, sf_dir, "embeddings")
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for vec in pdf["embedding"]:
+                arr = np.asarray(vec, dtype=np.float64)
+                q = np.clip(np.floor(arr * 8000.0), -32768, 32767).astype(
+                    np.int16
+                )
+                payloads.append(encode_wav(q, sample_rate=8000))
+            yield pd.DataFrame(
+                {"media_id": pdf["vec_id"].values, "payload": payloads}
+            )
+
+    media = emb.select("vec_id", "embedding").mapInPandas(
+        build, schema="media_id long, payload binary"
+    )
+    out = AudioFrameFeaturizer(frame_size=16).transform(media)
+    return out.select(
+        F.col("media_id").alias("vec_id"),
+        "frame_index",
+        "n_samples",
+        "zcr",
+        "peak",
+        stable_round("rms", 6).alias("rms"),
+    )
+
+
 def q_streaming_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming/batch parity gate for the stateful per-source
     admission cap: with the whole corpus arriving as ONE micro-batch
@@ -2896,6 +2937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_c4_clean": q_c4_clean,
         "q_ccnet_buckets": q_ccnet_buckets,
         "q_dsir_weights": q_dsir_weights,
+        "q_audio_frames": q_audio_frames,
         "q_readability": q_readability,
         "q_kn_bigram_scores": q_kn_bigram_scores,
         "q_media_decode": q_media_decode,
@@ -4390,6 +4432,34 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY source ORDER BY doc_id) AS rn
                 FROM documents) t
             WHERE rn <= 40
+        """,
+        "q_audio_frames": """
+            WITH q AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           e -> CAST(least(greatest(
+                                    floor(CAST(e AS DOUBLE) * 8000.0),
+                                    -32768), 32767) AS BIGINT)
+                       ) AS s
+                FROM embeddings),
+            f AS (
+                SELECT vec_id, fi.f AS frame_index,
+                       list_slice(s, 16 * fi.f + 1, 16 * fi.f + 16)
+                           AS fr
+                FROM q,
+                     LATERAL (SELECT unnest(range(0, 4)) AS f) fi)
+            SELECT vec_id,
+                   CAST(frame_index AS BIGINT) AS frame_index,
+                   CAST(len(fr) AS BIGINT) AS n_samples,
+                   CAST(len(list_filter(range(1, len(fr)),
+                            i -> fr[i] * fr[i + 1] < 0))
+                        AS BIGINT) AS zcr,
+                   CAST(list_max(list_transform(fr, x -> abs(x)))
+                        AS BIGINT) AS peak,
+                   round(sqrt(list_sum(list_transform(fr,
+                             x -> CAST(x * x AS DOUBLE)))
+                         / len(fr)) + 1e-9, 6) AS rms
+            FROM f
         """,
         "q_dsir_weights": """
             WITH base AS (

@@ -61,6 +61,7 @@ __all__ = [
     "decode_wav",
     "encode_wav",
     "wav_audio_decoder",
+    "AudioFrameFeaturizer",
     "decode_png",
     "encode_png",
     "png_image_decoder",
@@ -730,6 +731,117 @@ class MediaProcessor:
 
         return df.select(id_col, payload_col).mapInPandas(
             process, schema=self.FRAMES_SCHEMA
+        )
+
+
+class AudioFrameFeaturizer:
+    """Frame-level audio features over WAV payloads — the framing
+    step (librosa-style, without the library) every audio-data
+    pipeline runs before filtering or embedding: split each decoded
+    PCM stream into fixed-size frames and emit one row per frame
+    with
+
+    - ``n_samples`` — frame length (the tail frame may be short),
+    - ``zcr`` — strict zero-crossing count (adjacent-sample product
+      < 0; integer, engine-neutral),
+    - ``peak`` — max absolute sample (integer),
+    - ``rms`` — sqrt(mean(s²)) with the sum of squares accumulated
+      in int64 so the double result is bit-identical in any engine
+      (IEEE sqrt is correctly rounded — this is what makes the
+      ``q_audio_frames`` hash gate safe).
+
+    ``hop`` defaults to ``frame_size`` (non-overlapping); a smaller
+    hop gives overlapping frames. Multi-channel audio uses channel 0
+    (deinterleaved). Runs in ``mapInPandas`` — payloads never touch
+    the driver; at 100 TB this is an embarrassingly parallel map
+    with a ~frame_size/hop row-count amplification and no shuffle.
+    No reference counterpart (LLM-pipeline extension).
+    """
+
+    OUTPUT_SCHEMA = (
+        "media_id long, frame_index long, n_samples long, "
+        "zcr long, peak long, rms double"
+    )
+
+    def __init__(
+        self,
+        id_column: str = "media_id",
+        payload_column: str = "payload",
+        frame_size: int = 256,
+        hop: Optional[int] = None,
+    ):
+        if frame_size < 2:
+            raise ValueError("frame_size must be >= 2")
+        if hop is not None and hop < 1:
+            raise ValueError("hop must be >= 1")
+        self.id_column = id_column
+        self.payload_column = payload_column
+        self.frame_size = frame_size
+        self.hop = hop or frame_size
+
+    @staticmethod
+    def _samples(payload: bytes) -> np.ndarray:
+        """Channel-0 PCM samples as int64 (same stdlib ``wave`` path
+        as :func:`decode_wav`)."""
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            channels = w.getnchannels()
+            sampwidth = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+        dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sampwidth)
+        if dtype is None:
+            raise ValueError(f"unsupported WAV sample width {sampwidth}")
+        samples = np.frombuffer(raw, dtype=dtype).astype(np.int64)
+        if sampwidth == 1:
+            samples -= 128
+        if channels > 1:
+            samples = samples[::channels]
+        return samples
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        idc, payload_col = self.id_column, self.payload_column
+        frame_size, hop = self.frame_size, self.hop
+        samples_of = self._samples
+
+        def featurize(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ids, fidx, nsamp, zcrs, peaks, rmss = [], [], [], [], [], []
+                for mid, payload in zip(pdf[idc], pdf[payload_col]):
+                    s = samples_of(bytes(payload))
+                    for j, start in enumerate(range(0, len(s), hop)):
+                        fr = s[start : start + frame_size]
+                        if fr.size == 0:
+                            break
+                        peak = int(np.abs(fr).max())
+                        if peak < 1 << 27:
+                            sq_sum = int(np.dot(fr, fr))
+                        else:
+                            # int64 dot could overflow for 32-bit
+                            # audio: exact arbitrary-precision path
+                            sq_sum = sum(int(x) * int(x) for x in fr)
+                        ids.append(mid)
+                        fidx.append(j)
+                        nsamp.append(int(fr.size))
+                        zcrs.append(int((fr[:-1] * fr[1:] < 0).sum()))
+                        peaks.append(peak)
+                        rmss.append(float(np.sqrt(sq_sum / fr.size)))
+                yield pd.DataFrame(
+                    {
+                        "media_id": ids,
+                        "frame_index": fidx,
+                        "n_samples": nsamp,
+                        "zcr": zcrs,
+                        "peak": peaks,
+                        "rms": rmss,
+                    }
+                )
+
+        return df.select(idc, payload_col).mapInPandas(
+            featurize, schema=self.OUTPUT_SCHEMA
         )
 
 

@@ -2782,3 +2782,42 @@ def test_dsir_weights_total_on_short_docs(spark):
     assert 0 not in out
     assert out[1]["n_features"] == 1  # one unigram, no bigram
     assert out[2]["n_features"] == 3  # two unigrams + one bigram
+
+
+def test_audio_frame_featurizer(spark):
+    import numpy as np
+
+    from replay_spark.multimodal import AudioFrameFeaturizer, encode_wav
+
+    # 10 samples, frame_size 4 -> frames of 4, 4, 2 (short tail)
+    samples = np.array([100, -100, 100, -100, 0, 50, 50, -50, 7, 7], np.int16)
+    payload = encode_wav(samples, sample_rate=8000)
+    df = spark.createDataFrame([(1, bytearray(payload))], "media_id long, payload binary")
+    out = {
+        r["frame_index"]: r
+        for r in AudioFrameFeaturizer(frame_size=4).transform(df).collect()
+    }
+    assert len(out) == 3
+    assert out[0]["n_samples"] == 4 and out[2]["n_samples"] == 2
+    assert out[0]["zcr"] == 3  # strict sign flips
+    assert out[1]["zcr"] == 1  # 0*50 not < 0; 50*-50 < 0
+    assert out[0]["peak"] == 100 and out[2]["peak"] == 7
+    assert out[0]["rms"] == pytest.approx(100.0)
+    assert out[2]["rms"] == pytest.approx(7.0)
+
+
+def test_audio_frame_featurizer_overlap_and_stereo(spark):
+    import numpy as np
+
+    from replay_spark.multimodal import AudioFrameFeaturizer, encode_wav
+
+    mono = np.array([1, 2, 3, 4, 5, 6], np.int16)
+    stereo = np.zeros(12, np.int16)
+    stereo[0::2] = mono  # channel 0
+    stereo[1::2] = 999  # channel 1 must be ignored
+    payload = encode_wav(stereo, sample_rate=8000, num_channels=2)
+    df = spark.createDataFrame([(1, bytearray(payload))], "media_id long, payload binary")
+    out = AudioFrameFeaturizer(frame_size=4, hop=2).transform(df).collect()
+    # hop=2 over 6 samples -> frames at 0,2,4 (lengths 4,4,2)
+    assert [r["n_samples"] for r in sorted(out, key=lambda r: r["frame_index"])] == [4, 4, 2]
+    assert all(r["peak"] <= 6 for r in out)
