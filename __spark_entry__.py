@@ -2131,6 +2131,56 @@ def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize gate: embeddings become 8×8 PGM images, the box
+    resampler downsamples to 4×4 (floor of each 2×2 integer block
+    mean — integer arithmetic end to end), and the 16 output pixels
+    come back as a CSV string DuckDB recomputes from the raw
+    embeddings."""
+    import numpy as np
+    import pandas as pd
+
+    from replay_spark.multimodal import (
+        MediaProcessor,
+        decode_ppm,
+        encode_ppm,
+    )
+
+    emb = rsd.read_table(spark, sf_dir, "embeddings")
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for vec in pdf["embedding"]:
+                arr = np.asarray(vec, dtype=np.float64)
+                u8 = np.clip(np.floor((arr + 4.0) * 32.0), 0, 255).astype(
+                    np.uint8
+                )
+                payloads.append(encode_ppm(u8.reshape(8, 8)))
+            yield pd.DataFrame(
+                {"media_id": pdf["vec_id"].values, "payload": payloads}
+            )
+
+    media = emb.select("vec_id", "embedding").mapInPandas(
+        build, schema="media_id long, payload binary"
+    )
+    resized = MediaProcessor().resize(media, (4, 4), method="box")
+
+    def pixels(batches):
+        for pdf in batches:
+            vals = []
+            for p in pdf["payload"]:
+                img, _ = decode_ppm(bytes(p))
+                vals.append(
+                    ",".join(str(int(v)) for v in img.flatten())
+                )
+            yield pd.DataFrame(
+                {"vec_id": pdf["media_id"].values, "pix": vals}
+            )
+
+    return resized.mapInPandas(pixels, schema="vec_id long, pix string")
+
+
 def q_streaming_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming/batch parity gate for the stateful per-source
     admission cap: with the whole corpus arriving as ONE micro-batch
@@ -2938,6 +2988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ccnet_buckets": q_ccnet_buckets,
         "q_dsir_weights": q_dsir_weights,
         "q_audio_frames": q_audio_frames,
+        "q_image_resize": q_image_resize,
         "q_readability": q_readability,
         "q_kn_bigram_scores": q_kn_bigram_scores,
         "q_media_decode": q_media_decode,
@@ -4432,6 +4483,25 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY source ORDER BY doc_id) AS rn
                 FROM documents) t
             WHERE rn <= 40
+        """,
+        "q_image_resize": """
+            WITH q AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           e -> CAST(least(greatest(
+                                    floor((CAST(e AS DOUBLE) + 4.0)
+                                          * 32.0), 0), 255)
+                                AS BIGINT)
+                       ) AS v
+                FROM embeddings)
+            SELECT vec_id,
+                   array_to_string(list_transform(range(0, 16),
+                       k -> CAST((v[16 * (k // 4) + 2 * (k % 4) + 1]
+                                  + v[16 * (k // 4) + 2 * (k % 4) + 2]
+                                  + v[16 * (k // 4) + 2 * (k % 4) + 9]
+                                  + v[16 * (k // 4) + 2 * (k % 4) + 10]
+                                  ) // 4 AS VARCHAR)), ',') AS pix
+            FROM q
         """,
         "q_audio_frames": """
             WITH q AS (

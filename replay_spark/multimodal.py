@@ -620,28 +620,85 @@ class MediaProcessor:
             process, schema=schema
         )
 
-    def resize(self, df: DataFrame, target: tuple[int, int]) -> DataFrame:
-        """REAL nearest-neighbour resize for binary PPM/PGM payloads,
-        re-encoded in the same format — runs inside mapInPandas, per
-        executor, payloads never touch the driver. Compressed formats
-        raise ValueError per payload (no codec libraries here); wire a
-        PIL-backed callable into ``transform`` for those instead."""
+    def resize(
+        self, df: DataFrame, target: tuple[int, int], method: str = "nearest"
+    ) -> DataFrame:
+        """REAL resize for binary PPM/PGM payloads, re-encoded in the
+        same format — runs inside mapInPandas, per executor, payloads
+        never touch the driver. Compressed formats raise ValueError
+        per payload (no codec libraries here); wire a PIL-backed
+        callable into ``transform`` for those instead.
+
+        ``method``:
+
+        - ``"nearest"`` — index sampling (fastest, aliases).
+        - ``"box"`` — exact area downsample: each output pixel is the
+          FLOOR of the integer mean of its source block. Requires the
+          source dims to be whole multiples of the target dims.
+          Integer arithmetic end to end, so the ``q_image_resize``
+          hash gate replays it exactly in SQL.
+        - ``"bilinear"`` — half-pixel-center convention
+          (``src = (dst + 0.5)·scale − 0.5``, edges clamped), result
+          quantized with ``floor(v + 0.5)`` — an explicit determinism
+          choice (``np.rint`` rounds half-even and PIL rounds
+          half-up; pick one and pin it with tests).
+        """
         id_col = self.id_column
         payload_col = self.payload_column
         tw, th = int(target[0]), int(target[1])
         if tw < 1 or th < 1:
             raise ValueError("target dimensions must be >= 1")
+        if method not in ("nearest", "box", "bilinear"):
+            raise ValueError(f"unknown resize method: {method!r}")
+
+        def _one(img: np.ndarray) -> np.ndarray:
+            h, w = img.shape[:2]
+            if method == "nearest":
+                rows = (np.arange(th) * h // th).astype(np.int64)
+                cols = (np.arange(tw) * w // tw).astype(np.int64)
+                return img[rows][:, cols]
+            if method == "box":
+                if h % th or w % tw:
+                    raise ValueError(
+                        f"box resize needs whole blocks: {(w, h)} -> "
+                        f"{(tw, th)}"
+                    )
+                bh, bw = h // th, w // tw
+                block_shape = (th, bh, tw, bw) + img.shape[2:]
+                sums = img.astype(np.int64).reshape(block_shape).sum(
+                    axis=(1, 3)
+                )
+                return (sums // (bh * bw)).astype(img.dtype)
+            # bilinear, half-pixel centers, clamped edges
+            ys = (np.arange(th) + 0.5) * (h / th) - 0.5
+            xs = (np.arange(tw) + 0.5) * (w / tw) - 0.5
+            y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+            x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+            y1 = np.minimum(y0 + 1, h - 1)
+            x1 = np.minimum(x0 + 1, w - 1)
+            fy = np.clip(ys - y0, 0.0, 1.0)
+            fx = np.clip(xs - x0, 0.0, 1.0)
+            img_f = img.astype(np.float64)
+            if img_f.ndim == 2:
+                img_f = img_f[:, :, None]
+            top = (
+                img_f[y0][:, x0] * (1 - fx)[None, :, None]
+                + img_f[y0][:, x1] * fx[None, :, None]
+            )
+            bot = (
+                img_f[y1][:, x0] * (1 - fx)[None, :, None]
+                + img_f[y1][:, x1] * fx[None, :, None]
+            )
+            res = top * (1 - fy)[:, None, None] + bot * fy[:, None, None]
+            out = np.floor(res + 0.5).astype(img.dtype)
+            return out[:, :, 0] if img.ndim == 2 else out
 
         def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 out_payload, widths, heights = [], [], []
                 for p in pdf[payload_col]:
                     img, _ = decode_ppm(p)
-                    h, w = img.shape[:2]
-                    rows = (np.arange(th) * h // th).astype(np.int64)
-                    cols = (np.arange(tw) * w // tw).astype(np.int64)
-                    resized = img[rows][:, cols]
-                    out_payload.append(encode_ppm(resized))
+                    out_payload.append(encode_ppm(_one(img)))
                     widths.append(tw)
                     heights.append(th)
                 yield pd.DataFrame(

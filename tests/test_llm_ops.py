@@ -2821,3 +2821,37 @@ def test_audio_frame_featurizer_overlap_and_stereo(spark):
     # hop=2 over 6 samples -> frames at 0,2,4 (lengths 4,4,2)
     assert [r["n_samples"] for r in sorted(out, key=lambda r: r["frame_index"])] == [4, 4, 2]
     assert all(r["peak"] <= 6 for r in out)
+
+
+def test_resize_box_and_bilinear(spark):
+    import numpy as np
+
+    from replay_spark.multimodal import MediaProcessor, decode_ppm, encode_ppm
+
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4) * 10
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(img)))], "media_id long, payload binary"
+    )
+    proc = MediaProcessor()
+    box = proc.resize(df, (2, 2), method="box").collect()[0]
+    out, _ = decode_ppm(bytes(box["payload"]))
+    # 2x2 block floor-means of [[0,10,20,30],[40,...],...] * exact ints
+    expect = np.array([[25, 45], [105, 125]], np.uint8)
+    assert np.array_equal(out, expect)
+
+    bil = proc.resize(df, (2, 2), method="bilinear").collect()[0]
+    outb, _ = decode_ppm(bytes(bil["payload"]))
+    # half-pixel centers at src coords 0.5/2.5: mean of the same 2x2
+    # blocks, but rounded with floor(v+0.5) instead of floored mean
+    assert np.array_equal(outb, expect)
+
+    up = proc.resize(df, (8, 8), method="bilinear").collect()[0]
+    outu, _ = decode_ppm(bytes(up["payload"]))
+    assert outu.shape == (8, 8)
+    # corners clamp to the original corner pixels
+    assert outu[0, 0] == img[0, 0] and outu[7, 7] == img[3, 3]
+    # interior is monotone along a row of the source gradient
+    assert all(outu[0, j] <= outu[0, j + 1] for j in range(7))
+
+    with pytest.raises(Exception):
+        proc.resize(df, (3, 3), method="box").collect()
