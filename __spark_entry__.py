@@ -2181,6 +2181,46 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.mapInPandas(pixels, schema="vec_id long, pix string")
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots.txt admission: every doc becomes a URL whose
+    path shape cycles through five rule-relevant forms (plain
+    disallow prefix, longer allow override, $-anchored wildcard,
+    near-miss, untouched), all domains share one literal robots.txt,
+    and the matcher's verdicts are replayed as a CASE oracle over
+    the same residues."""
+    from replay_spark.web import RobotsFilter
+
+    robots = (
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "Allow: /private/open\n"
+        "Disallow: /*.zip$\n"
+    )
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://"),
+            F.col("source"),
+            F.lit(".example.com"),
+            F.element_at(
+                F.array(
+                    F.concat(F.lit("/private/page"), did),
+                    F.concat(F.lit("/private/open/"), did),
+                    F.concat(F.lit("/files/"), did, F.lit(".zip")),
+                    F.concat(F.lit("/files/"), did, F.lit(".zip.html")),
+                    F.concat(F.lit("/docs/"), did),
+                ),
+                (did % 5 + 1).cast("int"),
+            ),
+        ).alias("url"),
+        F.lit(robots).alias("robots_txt"),
+    )
+    out = RobotsFilter().transform(urls)
+    return out.select("doc_id", "url", "robots_allowed")
+
+
 def q_streaming_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming/batch parity gate for the stateful per-source
     admission cap: with the whole corpus arriving as ONE micro-batch
@@ -2989,6 +3029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dsir_weights": q_dsir_weights,
         "q_audio_frames": q_audio_frames,
         "q_image_resize": q_image_resize,
+        "q_robots_filter": q_robots_filter,
         "q_readability": q_readability,
         "q_kn_bigram_scores": q_kn_bigram_scores,
         "q_media_decode": q_media_decode,
@@ -4483,6 +4524,28 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY source ORDER BY doc_id) AS rn
                 FROM documents) t
             WHERE rn <= 40
+        """,
+        "q_robots_filter": """
+            SELECT doc_id,
+                   'http://' || source || '.example.com' ||
+                   CASE doc_id % 5
+                       WHEN 0 THEN '/private/page' || doc_id
+                       WHEN 1 THEN '/private/open/' || doc_id
+                       WHEN 2 THEN '/files/' || doc_id || '.zip'
+                       WHEN 3 THEN '/files/' || doc_id || '.zip.html'
+                       ELSE '/docs/' || doc_id
+                   END AS url,
+                   -- longest-match REP verdicts for the gate's fixed
+                   -- rule set: /private (8) disallow, /private/open
+                   -- (13) allow, /*.zip$ anchored disallow
+                   CASE doc_id % 5
+                       WHEN 0 THEN false
+                       WHEN 1 THEN true
+                       WHEN 2 THEN false
+                       WHEN 3 THEN true
+                       ELSE true
+                   END AS robots_allowed
+            FROM documents
         """,
         "q_image_resize": """
             WITH q AS (

@@ -42,6 +42,8 @@ __all__ = [
     "warc_records",
     "HtmlTextExtractor",
     "UrlFilter",
+    "RobotsMatcher",
+    "RobotsFilter",
 ]
 
 
@@ -375,5 +377,155 @@ class UrlFilter:
         return (
             self.flags(df)
             .filter(~F.col("url_blocked"))
+            .select(df.columns)
+        )
+
+
+# -- robots.txt (RFC 9309) ------------------------------------------------
+
+
+class RobotsMatcher:
+    """Robots Exclusion Protocol matcher (RFC 9309 semantics): parse
+    one robots.txt, select the most specific matching user-agent
+    group ('*' fallback), and answer path queries with
+    LONGEST-MATCH-WINS, allow-beats-disallow-on-tie — the Googlebot
+    rules, a superset of stdlib ``urllib.robotparser`` (which has no
+    wildcard support). ``*`` matches any run of characters, a
+    trailing ``$`` anchors the end of the path.
+
+    Pure Python by design: rule sets are tiny (per-domain), and the
+    Spark operator below parses each DISTINCT robots.txt once per
+    Arrow batch, so the cost at 100 TB is per-domain, not per-URL.
+    """
+
+    def __init__(self, robots_txt: str, user_agent: str = "*"):
+        groups: dict[str, list] = {}
+        current: list[str] = []
+        rules_open = False
+        for raw in (robots_txt or "").splitlines():
+            line = raw.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            key, _, value = line.partition(":")
+            key = key.strip().lower()
+            value = value.strip()
+            if key == "user-agent":
+                if rules_open:
+                    current = []
+                    rules_open = False
+                current.append(value.lower())
+                for ua in current:
+                    groups.setdefault(ua, [])
+            elif key in ("allow", "disallow"):
+                if not current:
+                    continue
+                rules_open = True
+                if value:
+                    for ua in current:
+                        groups[ua].append((key == "allow", value))
+            # crawl-delay/sitemap etc. are ignored for matching
+        ua = user_agent.lower()
+        chosen = None
+        # most specific group: the longest group token contained in
+        # our user-agent string; '*' only as fallback
+        best_len = -1
+        for token, rules in groups.items():
+            if token != "*" and token in ua and len(token) > best_len:
+                chosen, best_len = rules, len(token)
+        if chosen is None:
+            chosen = groups.get("*", [])
+        self.rules = [
+            (allow, pat, self._compile(pat)) for allow, pat in chosen
+        ]
+
+    @staticmethod
+    def _compile(pattern: str):
+        import re as _re
+
+        anchored = pattern.endswith("$")
+        body = pattern[:-1] if anchored else pattern
+        rx = "".join(
+            ".*" if ch == "*" else _re.escape(ch) for ch in body
+        )
+        return _re.compile(rx + (r"\Z" if anchored else ""))
+
+    def allowed(self, path: str) -> bool:
+        """True when the longest matching rule allows (or no rule
+        matches). ``path`` is the URL path (+ optional query)."""
+        if not path.startswith("/"):
+            path = "/" + path
+        verdict, best = True, -1
+        for allow, pat, rx in self.rules:
+            if rx.match(path):
+                size = len(pat)
+                if size > best or (size == best and allow and not verdict):
+                    verdict, best = allow, size
+        return verdict
+
+
+class RobotsFilter:
+    """Evaluate per-URL robots.txt admission over a DataFrame that
+    carries the URL and its domain's robots.txt body (join the tiny
+    per-domain robots table to the URL frame with a broadcast join
+    first — domains are small by construction).
+
+    ``transform`` adds ``robots_allowed``; ``filter`` keeps admitted
+    rows. Runs in ``mapInPandas`` with a per-batch matcher cache
+    keyed by (robots_txt, user_agent), so each distinct robots body
+    is parsed once per batch — per-domain cost, per-URL evaluation
+    only. No reference counterpart (LLM-pipeline extension).
+    """
+
+    def __init__(
+        self,
+        url_column: str = "url",
+        robots_column: str = "robots_txt",
+        user_agent: str = "*",
+    ):
+        self.url_column = url_column
+        self.robots_column = robots_column
+        self.user_agent = user_agent
+
+    @staticmethod
+    def _path_of(url: str) -> str:
+        from urllib.parse import urlsplit
+
+        parts = urlsplit(url)
+        path = parts.path or "/"
+        if parts.query:
+            path += "?" + parts.query
+        return path
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        url_col, robots_col = self.url_column, self.robots_column
+        agent = self.user_agent
+        path_of = self._path_of
+        out_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+        ) + ", robots_allowed boolean"
+
+        def evaluate(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                cache: dict[str, RobotsMatcher] = {}
+                flags = []
+                for url, robots in zip(pdf[url_col], pdf[robots_col]):
+                    body = robots or ""
+                    m = cache.get(body)
+                    if m is None:
+                        m = RobotsMatcher(body, agent)
+                        cache[body] = m
+                    flags.append(m.allowed(path_of(url)))
+                pdf = pdf.copy()
+                pdf["robots_allowed"] = flags
+                yield pdf
+
+        return df.mapInPandas(evaluate, schema=out_schema)
+
+    def filter(self, df: DataFrame) -> DataFrame:
+        return (
+            self.transform(df)
+            .filter(F.col("robots_allowed"))
             .select(df.columns)
         )

@@ -2855,3 +2855,51 @@ def test_resize_box_and_bilinear(spark):
 
     with pytest.raises(Exception):
         proc.resize(df, (3, 3), method="box").collect()
+
+
+def test_robots_matcher_semantics():
+    from replay_spark.web import RobotsMatcher
+
+    r = (
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "Allow: /private/open\n"
+        "Disallow: /*.zip$\n"
+        "\n"
+        "User-agent: mybot\n"
+        "Disallow: /mybot-only\n"
+    )
+    m = RobotsMatcher(r)
+    assert not m.allowed("/private/page")
+    assert m.allowed("/private/open/x")  # longer allow wins
+    assert not m.allowed("/files/a.zip")  # $-anchored wildcard
+    assert m.allowed("/files/a.zip.html")  # anchor does not match
+    assert m.allowed("/anything/else")
+    # specific group REPLACES '*' (RFC 9309: groups do not merge)
+    mb = RobotsMatcher(r, "MyBot/1.0")
+    assert not mb.allowed("/mybot-only/x")
+    assert mb.allowed("/private/page")
+    # empty robots allows everything
+    assert RobotsMatcher("").allowed("/a")
+    # tie between allow and disallow of equal length -> allow
+    tie = RobotsMatcher("User-agent: *\nDisallow: /dir\nAllow: /dir\n")
+    assert tie.allowed("/dir/x")
+
+
+def test_robots_filter_dataframe(spark):
+    from replay_spark.web import RobotsFilter
+
+    robots = "User-agent: *\nDisallow: /no\n"
+    df = spark.createDataFrame(
+        [
+            (0, "http://a.com/no/1", robots),
+            (1, "http://a.com/yes/1", robots),
+            (2, "http://b.com/no/2", ""),  # no rules -> allowed
+        ],
+        "doc_id long, url string, robots_txt string",
+    )
+    out = {r["doc_id"]: r["robots_allowed"] for r in RobotsFilter().transform(df).collect()}
+    assert out == {0: False, 1: True, 2: True}
+    kept = RobotsFilter().filter(df)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2]
+    assert kept.columns == ["doc_id", "url", "robots_txt"]
