@@ -2221,6 +2221,22 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "url", "robots_allowed")
 
 
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch round trip: fit a 3×1024 md5-family sketch
+    over every corpus token occurrence, then point-estimate every
+    distinct token — counting is pure integer arithmetic, so DuckDB
+    replays sketch AND estimates exactly."""
+    from replay_spark.preprocessing.text import CountMinSketch, tokenize_expr
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tokenize_expr(F.lower(F.col("text")))).alias("token")
+    )
+    cms = CountMinSketch(depth=3, width=1024, hash_family="md5")
+    sketch = cms.fit(toks)
+    return cms.estimate(sketch, toks.distinct())
+
+
 def q_streaming_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming/batch parity gate for the stateful per-source
     admission cap: with the whole corpus arriving as ONE micro-batch
@@ -3030,6 +3046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audio_frames": q_audio_frames,
         "q_image_resize": q_image_resize,
         "q_robots_filter": q_robots_filter,
+        "q_cms_counts": q_cms_counts,
         "q_readability": q_readability,
         "q_kn_bigram_scores": q_kn_bigram_scores,
         "q_media_decode": q_media_decode,
@@ -4524,6 +4541,32 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY source ORDER BY doc_id) AS rn
                 FROM documents) t
             WHERE rn <= 40
+        """,
+        "q_cms_counts": """
+            WITH toks AS (
+                SELECT unnest(string_split_regex(trim(lower(text)),
+                                                 '\\s+')) AS token
+                FROM documents
+                WHERE trim(text) <> ''),
+            hashed AS (
+                SELECT token, s.i AS seed,
+                       list_reduce(list_transform(range(1, 16),
+                           j -> CAST(strpos('0123456789abcdef',
+                                    substr(md5(s.i || ':' || token),
+                                           CAST(j AS INT), 1)) - 1
+                                AS BIGINT)),
+                           (acc, x) -> acc * 16 + x) % 1024 AS bucket
+                FROM toks,
+                     (SELECT unnest(range(0, 3)) AS i) s),
+            sk AS (
+                SELECT seed, bucket, count(*) AS c
+                FROM hashed GROUP BY seed, bucket),
+            qb AS (
+                SELECT DISTINCT token, seed, bucket FROM hashed)
+            SELECT q.token,
+                   min(coalesce(s.c, 0)) AS cms_count
+            FROM qb q LEFT JOIN sk s USING (seed, bucket)
+            GROUP BY q.token
         """,
         "q_robots_filter": """
             SELECT doc_id,

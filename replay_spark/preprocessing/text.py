@@ -39,6 +39,7 @@ __all__ = [
     "KneserNeyBigramScorer",
     "PerplexityBucketer",
     "DSIRSelector",
+    "CountMinSketch",
     "QualityFilterPipeline",
     "GopherQualityFilter",
     "C4TextCleaner",
@@ -1196,6 +1197,93 @@ class PerplexityBucketer:
         return self._with_label(
             out.withColumn("ppl_bucket", bucket.cast("long")).drop(
                 "_grn", "_off", "_n"
+            )
+        )
+
+
+class CountMinSketch:
+    """Mergeable Count-Min frequency sketch (Cormode & Muthukrishnan
+    2005) over a token column — the bounded-memory stand-in for
+    :class:`VocabBuilder`'s exact counts when the 100 TB vocabulary
+    itself is too large to materialize: the sketch is ``depth ×
+    width`` counters NO MATTER the corpus size, merges by addition
+    (map-side combine does the merging for free), and answers
+    point-frequency queries with a one-sided error (estimate ≥ true
+    count, overshoot ≤ εN with probability 1−δ for width=e/ε,
+    depth=ln(1/δ)).
+
+    ``hash_family``: ``"xxhash64"`` (JVM-fast, default for
+    production) or ``"md5"`` (the portable family every engine
+    reproduces — what the ``q_cms_counts`` hash gate uses, same
+    device as the MinHash/SimHash md5 twins).
+
+    Plan shape: ``fit`` is one explode (×depth) + ONE map-side-
+    combined aggregation to ≤ depth·width rows; ``estimate`` hashes
+    the query tokens and broadcast-joins the tiny sketch. No
+    reference counterpart (LLM-pipeline extension).
+    """
+
+    def __init__(
+        self,
+        depth: int = 3,
+        width: int = 1024,
+        token_column: str = "token",
+        hash_family: str = "md5",
+    ):
+        if depth < 1 or width < 2:
+            raise ValueError("need depth >= 1 and width >= 2")
+        if hash_family not in ("md5", "xxhash64"):
+            raise ValueError(f"unknown hash_family: {hash_family!r}")
+        self.depth = depth
+        self.width = width
+        self.token_column = token_column
+        self.hash_family = hash_family
+
+    def _bucket(self, col: Column, seed: int) -> Column:
+        if self.hash_family == "xxhash64":
+            return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(self.width))
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        return F.pmod(h, F.lit(self.width))
+
+    def _stacked_buckets(self, df: DataFrame, *keep: str) -> DataFrame:
+        tok = F.col(self.token_column)
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("_seed"),
+                    self._bucket(tok, i).alias("_bucket"),
+                )
+                for i in range(self.depth)
+            ]
+        )
+        return df.select(
+            *keep, F.explode(pairs).alias("_s")
+        ).select(*keep, "_s._seed", "_s._bucket")
+
+    def fit(self, df: DataFrame) -> DataFrame:
+        """Sketch DataFrame ``[_seed, _bucket, cnt]`` (≤ depth·width
+        rows) counting every row of ``df``'s token column once per
+        hash row."""
+        return (
+            self._stacked_buckets(df)
+            .groupBy("_seed", "_bucket")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    def estimate(self, sketch: DataFrame, queries: DataFrame) -> DataFrame:
+        """``queries`` + ``cms_count`` (min over the depth hash rows;
+        tokens hashing to untouched buckets estimate 0)."""
+        tc = self.token_column
+        hashed = self._stacked_buckets(queries, tc)
+        return (
+            hashed.join(F.broadcast(sketch), on=["_seed", "_bucket"], how="left")
+            .groupBy(tc)
+            .agg(
+                F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_count")
             )
         )
 

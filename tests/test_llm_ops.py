@@ -2903,3 +2903,30 @@ def test_robots_filter_dataframe(spark):
     kept = RobotsFilter().filter(df)
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2]
     assert kept.columns == ["doc_id", "url", "robots_txt"]
+
+
+def test_count_min_sketch_overestimates_only(spark):
+    from replay_spark.preprocessing.text import CountMinSketch
+
+    words = (
+        ["alpha"] * 50 + ["beta"] * 20 + ["gamma"] * 5
+        + [f"tail{i}" for i in range(200)]
+    )
+    toks = spark.createDataFrame([(w,) for w in words], "token string")
+    for family in ("md5", "xxhash64"):
+        cms = CountMinSketch(depth=4, width=64, hash_family=family)
+        sketch = cms.fit(toks)
+        assert sketch.count() <= 4 * 64
+        est = {
+            r["token"]: r["cms_count"]
+            for r in cms.estimate(sketch, toks.distinct()).collect()
+        }
+        exact = {"alpha": 50, "beta": 20, "gamma": 5}
+        for w, c in exact.items():
+            assert est[w] >= c  # one-sided error
+        # the heavy hitter dominates even with collisions
+        assert est["alpha"] == max(est.values())
+        # unseen token estimates near zero (bounded by collisions)
+        unseen = spark.createDataFrame([("zzz-never",)], "token string")
+        est0 = cms.estimate(sketch, unseen).collect()[0]["cms_count"]
+        assert est0 <= 200 // 16  # well under total/width' scale
