@@ -2237,6 +2237,32 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms.estimate(sketch, toks.distinct())
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog round trip: 64-register md5 sketch over every
+    corpus token occurrence; output = full integer register table
+    with the (constant) estimate and true distinct count joined on,
+    so sketch state, estimator arithmetic, and accuracy are all
+    pinned by one hash."""
+    from replay_spark.preprocessing.text import HyperLogLog, tokenize_expr
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tokenize_expr(F.lower(F.col("text")))).alias("token")
+    )
+    hll = HyperLogLog(b=6)
+    registers = hll.fit(toks)
+    est = hll.estimate(registers).select("v_empty", "n_nonzero", "est")
+    truth = toks.agg(F.countDistinct("token").alias("true_distinct"))
+    return (
+        registers.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(truth))
+        .select(
+            "register", "rho_max", "v_empty", "n_nonzero", "est",
+            "true_distinct",
+        )
+    )
+
+
 def q_streaming_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming/batch parity gate for the stateful per-source
     admission cap: with the whole corpus arriving as ONE micro-batch
@@ -3047,6 +3073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_resize": q_image_resize,
         "q_robots_filter": q_robots_filter,
         "q_cms_counts": q_cms_counts,
+        "q_hll_distinct": q_hll_distinct,
         "q_readability": q_readability,
         "q_kn_bigram_scores": q_kn_bigram_scores,
         "q_media_decode": q_media_decode,
@@ -4541,6 +4568,61 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY source ORDER BY doc_id) AS rn
                 FROM documents) t
             WHERE rn <= 40
+        """,
+        "q_hll_distinct": """
+            WITH toks AS (
+                SELECT unnest(string_split_regex(trim(lower(text)),
+                                                 '\\s+')) AS token
+                FROM documents
+                WHERE trim(text) <> ''),
+            hh AS (
+                SELECT list_reduce(list_transform(range(1, 16),
+                           j -> CAST(strpos('0123456789abcdef',
+                                    substr(md5(token),
+                                           CAST(j AS INT), 1)) - 1
+                                AS BIGINT)),
+                           (acc, x) -> acc * 16 + x) AS h
+                FROM toks),
+            r AS (
+                SELECT h % 64 AS register, h // 64 AS w FROM hh),
+            rr AS (
+                SELECT register,
+                       CASE WHEN w = 0 THEN 55
+                            ELSE 55 - length(bin(w)) END AS rho
+                FROM r),
+            regs AS (
+                SELECT register, max(rho) AS rho_max
+                FROM rr GROUP BY register),
+            st AS (
+                SELECT max(rho_max) AS maxm, count(*) AS nz
+                FROM regs),
+            s AS (
+                SELECT sum(CAST(pow(2, st.maxm - rho_max) AS BIGINT))
+                           AS sne,
+                       any_value(st.maxm) AS maxm,
+                       any_value(st.nz) AS nz
+                FROM regs, st),
+            e AS (
+                SELECT 64 - nz AS v_empty, nz AS n_nonzero,
+                       round(CASE
+                           WHEN nz = 0 THEN 0.0
+                           WHEN (64 - nz) > 0
+                                AND (0.709 * 64 * 64 * pow(2, maxm)
+                                     / (sne + (64 - nz)
+                                        * CAST(pow(2, maxm)
+                                               AS BIGINT))) <= 160.0
+                           THEN 64.0 * ln(64.0 / (64 - nz))
+                           ELSE 0.709 * 64 * 64 * pow(2, maxm)
+                                / (sne + (64 - nz)
+                                   * CAST(pow(2, maxm) AS BIGINT))
+                       END + 1e-9, 4) AS est
+                FROM s),
+            t AS (
+                SELECT count(DISTINCT token) AS true_distinct
+                FROM toks)
+            SELECT regs.register, regs.rho_max, e.v_empty,
+                   e.n_nonzero, e.est, t.true_distinct
+            FROM regs, e, t
         """,
         "q_cms_counts": """
             WITH toks AS (

@@ -40,6 +40,7 @@ __all__ = [
     "PerplexityBucketer",
     "DSIRSelector",
     "CountMinSketch",
+    "HyperLogLog",
     "QualityFilterPipeline",
     "GopherQualityFilter",
     "C4TextCleaner",
@@ -1286,6 +1287,112 @@ class CountMinSketch:
                 F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_count")
             )
         )
+
+
+class HyperLogLog:
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007) over
+    a token column — the mergeable bounded-memory companion to
+    :class:`CountMinSketch`: ``m = 2^b`` registers no matter the
+    corpus size, merged by per-register MAX (map-side combine does
+    it for free), answering COUNT DISTINCT within ~1.04/√m.
+
+    Portable md5 hashing (60-bit int): register ``j = h mod m``,
+    remainder ``w = h div m`` (60−b bits), ``rho = (60−b) −
+    bitlen(w) + 1`` with ``bitlen`` via ``bin()`` string length —
+    the same device in Spark and DuckDB, so the register table is
+    bit-identical cross-engine.
+
+    The estimator is formulated in EXACT INTEGER arithmetic to stay
+    hash-gateable: instead of summing 2^−M_j (whose floating
+    accumulation is order-sensitive), sum S = Σ 2^(maxM − M_j) —
+    integers ≤ m·2^55, exact in BIGINT — and compute
+    ``E = α_m · m² · 2^maxM / S`` with one deterministic division.
+    Small-range (linear counting) correction applies below 2.5·m
+    when empty registers remain. No reference counterpart
+    (LLM-pipeline extension).
+    """
+
+    HASH_BITS = 60  # 15 md5 hex chars
+
+    def __init__(self, b: int = 6, token_column: str = "token"):
+        if not 4 <= b <= 16:
+            raise ValueError("b must be in [4, 16]")
+        self.b = b
+        self.m = 1 << b
+        self.token_column = token_column
+
+    @property
+    def alpha(self) -> float:
+        if self.m == 16:
+            return 0.673
+        if self.m == 32:
+            return 0.697
+        if self.m == 64:
+            return 0.709
+        return 0.7213 / (1 + 1.079 / self.m)
+
+    def fit(self, df: DataFrame) -> DataFrame:
+        """Register table ``[register, rho_max]`` (≤ m rows): ONE
+        map-side-combined MAX aggregation."""
+        wbits = self.HASH_BITS - self.b
+        h = F.conv(
+            F.substring(F.md5(F.col(self.token_column)), 1, 15), 16, 10
+        ).cast("long")
+        hashed = df.select(
+            F.pmod(h, F.lit(self.m)).alias("register"),
+            F.floor(h / self.m).cast("long").alias("_w"),
+        )
+        rho = F.when(
+            F.col("_w") == 0, F.lit(wbits + 1)
+        ).otherwise(F.lit(wbits + 1) - F.length(F.bin(F.col("_w"))))
+        return (
+            hashed.withColumn("_rho", rho)
+            .groupBy("register")
+            .agg(F.max("_rho").alias("rho_max"))
+        )
+
+    def estimate(self, registers: DataFrame) -> DataFrame:
+        """One-row ``[m, v_empty, n_nonzero, est]`` from a register
+        table (tiny — every step is an agg over ≤ m rows)."""
+        m, alpha = self.m, self.alpha
+        stats = registers.agg(
+            F.max("rho_max").alias("_maxm"),
+            F.count("*").alias("_nz"),
+        )
+        joined = registers.crossJoin(F.broadcast(stats))
+        summed = joined.agg(
+            F.sum(
+                F.pow(F.lit(2.0), F.col("_maxm") - F.col("rho_max")).cast(
+                    "long"
+                )
+            ).alias("_sne"),
+            F.first("_maxm").alias("_maxm"),
+            F.first("_nz").alias("_nz"),
+        )
+        nz = F.coalesce(F.col("_nz"), F.lit(0))  # empty input: 1 null row
+        s_total = F.col("_sne") + (F.lit(m) - nz) * F.pow(
+            F.lit(2.0), F.col("_maxm")
+        ).cast("long")
+        raw = (
+            F.lit(alpha * m * m)
+            * F.pow(F.lit(2.0), F.col("_maxm"))
+            / s_total
+        )
+        v = F.lit(m) - nz
+        est = F.when(nz == 0, F.lit(0.0)).when(
+            (v > 0) & (raw <= 2.5 * m),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+        ).otherwise(raw)
+        return summed.select(
+            F.lit(m).alias("m"),
+            v.cast("long").alias("v_empty"),
+            nz.cast("long").alias("n_nonzero"),
+            stable_round(est, 4).alias("est"),
+        )
+
+    def distinct_count(self, df: DataFrame) -> DataFrame:
+        """Convenience: fit + estimate in one call."""
+        return self.estimate(self.fit(df))
 
 
 class DSIRSelector:

@@ -2930,3 +2930,31 @@ def test_count_min_sketch_overestimates_only(spark):
         unseen = spark.createDataFrame([("zzz-never",)], "token string")
         est0 = cms.estimate(sketch, unseen).collect()[0]["cms_count"]
         assert est0 <= 200 // 16  # well under total/width' scale
+
+
+def test_hyperloglog_accuracy(spark):
+    from replay_spark.preprocessing.text import HyperLogLog
+
+    n = 5000
+    toks = spark.createDataFrame(
+        [(f"token-{i % n}",) for i in range(2 * n)], "token string"
+    )
+    hll = HyperLogLog(b=10)  # m=1024, ~3.3% expected error
+    out = hll.distinct_count(toks).collect()[0]
+    assert out["m"] == 1024
+    assert abs(out["est"] - n) / n < 0.12
+    # register table is bounded by m and merge = max
+    assert hll.fit(toks).count() <= 1024
+
+
+def test_hyperloglog_small_range_and_empty(spark):
+    from replay_spark.preprocessing.text import HyperLogLog
+
+    hll = HyperLogLog(b=6)
+    few = spark.createDataFrame([(f"w{i}",) for i in range(10)], "token string")
+    out = hll.distinct_count(few).collect()[0]
+    # linear-counting regime: near-exact for 10 distinct
+    assert abs(out["est"] - 10) <= 2
+    empty = spark.createDataFrame([], "token string")
+    out0 = hll.distinct_count(empty).collect()[0]
+    assert out0["est"] == 0.0 and out0["v_empty"] == 64
