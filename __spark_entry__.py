@@ -2263,6 +2263,31 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation over a deterministically punctuated
+    corpus (' a ' -> '. ' plants sentence boundaries): one row per
+    trimmed sentence with its in-document index."""
+    from replay_spark.preprocessing.text import SentenceSplitter
+
+    docs = rsd.read_table(spark, sf_dir, "documents").withColumn(
+        "text", F.replace(F.col("text"), F.lit(" a "), F.lit(". "))
+    )
+    return SentenceSplitter().transform(docs)
+
+
+def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist gating mechanics over the corpus: two word-boundary
+    words and one phrase, threshold 2 — hits counted JVM-side with
+    one RE2-compatible alternation the oracle replays."""
+    from replay_spark.preprocessing.text import BlocklistFilter
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    flt = BlocklistFilter(("the", "of", "and that"), max_hits=2)
+    return flt.transform(docs).select(
+        "doc_id", "blocklist_hits", "blocked"
+    )
+
+
 def q_streaming_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming/batch parity gate for the stateful per-source
     admission cap: with the whole corpus arriving as ONE micro-batch
@@ -3074,6 +3099,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_robots_filter": q_robots_filter,
         "q_cms_counts": q_cms_counts,
         "q_hll_distinct": q_hll_distinct,
+        "q_sentences": q_sentences,
+        "q_blocklist": q_blocklist,
         "q_readability": q_readability,
         "q_kn_bigram_scores": q_kn_bigram_scores,
         "q_media_decode": q_media_decode,
@@ -4568,6 +4595,33 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY source ORDER BY doc_id) AS rn
                 FROM documents) t
             WHERE rn <= 40
+        """,
+        "q_sentences": """
+            WITH s AS (
+                SELECT doc_id,
+                       list_filter(list_transform(
+                           regexp_extract_all(
+                               replace(text, ' a ', '. '),
+                               '[^.!?]+[.!?]+|[^.!?]+$'),
+                           x -> trim(x)),
+                           x -> length(x) >= 1) AS sents
+                FROM documents)
+            SELECT doc_id,
+                   CAST(g.i - 1 AS INT) AS sentence_index,
+                   sents[g.i] AS sentence
+            FROM s,
+                 LATERAL (SELECT unnest(range(1, len(sents) + 1))
+                          AS i) g
+        """,
+        "q_blocklist": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '\\bthe\\b|\\bof\\b|and that'))
+                        AS BIGINT) AS blocklist_hits,
+                   len(regexp_extract_all(lower(text),
+                       '\\bthe\\b|\\bof\\b|and that')) >= 2
+                       AS blocked
+            FROM documents
         """,
         "q_hll_distinct": """
             WITH toks AS (

@@ -31,6 +31,8 @@ __all__ = [
     "RepetitionStats",
     "PIIScrubber",
     "DocumentChunker",
+    "SentenceSplitter",
+    "BlocklistFilter",
     "CorpusMixer",
     "VocabBuilder",
     "TfIdfKeywords",
@@ -610,6 +612,106 @@ class DocumentChunker:
             "chunk_idx",
             F.concat_ws(" ", "_chunk_tokens").alias("chunk_text"),
             F.size("_chunk_tokens").alias("n_tokens"),
+        )
+
+
+class SentenceSplitter:
+    """Regex sentence segmentation: one row per sentence with its
+    in-document index — the explode LLM pipelines run before
+    sentence-level dedup or contamination checks.
+
+    A sentence is a maximal run of non-terminal characters followed
+    by a terminal-punctuation run (``[.!?]+``); a trailing unpunctuated
+    remnant is its own sentence. The pattern is lookaround-free
+    (``[^.!?]+[.!?]+|[^.!?]+$``) so RE2-family engines — and the
+    ``q_sentences`` DuckDB oracle — extract identical spans.
+    Whitespace is trimmed per sentence; empty sentences are dropped.
+
+    One posexplode, no shuffle. No reference counterpart
+    (LLM-pipeline extension).
+    """
+
+    PATTERN = r"[^.!?]+[.!?]+|[^.!?]+$"
+
+    def __init__(
+        self,
+        text_column: str = "text",
+        id_column: str = "doc_id",
+        min_chars: int = 1,
+    ):
+        self.text_column = text_column
+        self.id_column = id_column
+        self.min_chars = min_chars
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        sentences = F.filter(
+            F.transform(
+                F.regexp_extract_all(
+                    F.col(self.text_column), F.lit(self.PATTERN), 0
+                ),
+                # NOT bare F.trim: transform would feed the element
+                # INDEX into trim's trim-characters parameter
+                lambda s: F.trim(s),
+            ),
+            lambda s: F.length(s) >= self.min_chars,
+        )
+        return df.select(
+            self.id_column,
+            F.posexplode(sentences).alias("sentence_index", "sentence"),
+        )
+
+
+class BlocklistFilter:
+    """C4-style blocklist gating: count occurrences of listed words /
+    phrases per document (case-insensitive, word-boundary matched
+    for single words, substring matched for phrases) and drop
+    documents at or above ``max_hits``. The published pipelines run
+    this with a large profanity blocklist; the operator takes ANY
+    list — the mechanism, thresholds and audit columns are the
+    operator, the list is configuration.
+
+    One regex alternation evaluated JVM-side (RE2-compatible: plain
+    escaped literals with ``\\b`` boundaries), zero shuffle —
+    ``blocklist_hits`` + ``blocked`` columns via ``transform``,
+    passing rows via ``filter``. No reference counterpart
+    (LLM-pipeline extension).
+    """
+
+    def __init__(
+        self,
+        blocklist: tuple,
+        text_column: str = "text",
+        max_hits: int = 1,
+    ):
+        if not blocklist:
+            raise ValueError("blocklist must be non-empty")
+        if max_hits < 1:
+            raise ValueError("max_hits must be >= 1")
+        self.blocklist = tuple(w.lower() for w in blocklist)
+        self.text_column = text_column
+        self.max_hits = max_hits
+        import re as _re
+
+        parts = []
+        for w in self.blocklist:
+            esc = _re.escape(w)
+            # single words get word boundaries; phrases match as-is
+            parts.append(rf"\b{esc}\b" if " " not in w else esc)
+        self.pattern = "|".join(parts)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        hits = F.regexp_count(
+            F.lower(F.col(self.text_column)), F.lit(self.pattern)
+        ).cast("long")
+        return df.withColumn("blocklist_hits", hits).withColumn(
+            "blocked", F.col("blocklist_hits") >= self.max_hits
+        )
+
+    def filter(self, df: DataFrame) -> DataFrame:
+        return (
+            self.transform(df)
+            .filter(~F.col("blocked"))
+            .select(*df.columns)
         )
 
 

@@ -2958,3 +2958,51 @@ def test_hyperloglog_small_range_and_empty(spark):
     empty = spark.createDataFrame([], "token string")
     out0 = hll.distinct_count(empty).collect()[0]
     assert out0["est"] == 0.0 and out0["v_empty"] == 64
+
+
+def test_sentence_splitter(spark):
+    from replay_spark.preprocessing.text import SentenceSplitter
+
+    df = spark.createDataFrame(
+        [
+            (0, "First one. Second!? And a tail without punct"),
+            (1, "..."),
+            (2, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = SentenceSplitter().transform(df).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["sentence_index"], r["sentence"])
+        )
+    assert by_doc[0] == [
+        (0, "First one."),
+        (1, "Second!?"),
+        (2, "And a tail without punct"),
+    ]
+    assert 1 not in by_doc  # bare punctuation trims to empty
+    assert 2 not in by_doc
+
+
+def test_blocklist_filter(spark):
+    from replay_spark.preprocessing.text import BlocklistFilter
+
+    df = spark.createDataFrame(
+        [
+            (0, "The theme is neither thesis nor THE end"),  # 2 exact 'the'
+            (1, "of course"),
+            (2, "this and that happens, and that repeats"),
+            (3, "clean words only"),
+        ],
+        "doc_id long, text string",
+    )
+    flt = BlocklistFilter(("the", "of", "and that"), max_hits=2)
+    out = {r["doc_id"]: r for r in flt.transform(df).collect()}
+    # word boundaries: 'theme'/'thesis' do not match bare 'the'
+    assert out[0]["blocklist_hits"] == 2 and out[0]["blocked"]
+    assert out[1]["blocklist_hits"] == 1 and not out[1]["blocked"]
+    assert out[2]["blocklist_hits"] == 2 and out[2]["blocked"]
+    assert out[3]["blocklist_hits"] == 0
+    assert sorted(r["doc_id"] for r in flt.filter(df).collect()) == [1, 3]
