@@ -3007,26 +3007,28 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered queries, ordered for the driver's 50-query window.
 
-    The driver scores the FIRST 50 entries — (a) + (b) is EXACTLY 50
-    (checked by tests/test_entry_contract.py). Order for r7 (per the
-    round-6 verdict's rotation task): (a) the 28 gates whose operator
-    internals changed or that debut this round — the re-greened
-    q_corpus_stats (r6's one red row, now an exact-integer
-    projection), q_llm_e2e post-persist, the q_pq_ann_fixed /
-    q_mp4_meta / q_webm_meta / q_jpeg12_decode / q_gif_decode /
-    q_gif_frames / q_semantic_dedup / q_substring_dedup /
-    q_warc_html_extract / q_url_filter hash debuts, the q_hnsw_ann
-    rows debut, q_pq_ann / q_ivfpq_ann rows debuts (integer-ADC rewrite),
-    q_image_phash_dedup hash debut, the hash twins swapped in for
-    their rows-only siblings (q_ivf_ann_fixed for q_ivf_ann,
+    The driver scores the FIRST 50 entries — (a) + (a2) + (b) is
+    EXACTLY 50 (checked by tests/test_entry_contract.py). Order for
+    r7: (a) the 28 gates whose operator internals changed or that
+    debuted early in the round — the re-greened q_corpus_stats (r6's
+    one red row, now an exact-integer projection), q_llm_e2e
+    post-persist, the q_pq_ann_fixed / q_mp4_meta / q_webm_meta /
+    q_jpeg12_decode / q_gif_decode / q_gif_frames / q_semantic_dedup
+    / q_substring_dedup / q_warc_html_extract / q_url_filter hash
+    debuts, the q_hnsw_ann / q_pq_ann / q_ivfpq_ann rows debuts,
+    q_image_phash_dedup, the hash twins swapped in for their
+    rows-only siblings (q_ivf_ann_fixed for q_ivf_ann,
     q_doc_fingerprints_md5 for q_doc_fingerprints), every gate whose
     values moved to stable_round, and the ordered_prefix_sums
-    consumers; (b) the 22 stalest hash-oracled gates — last official
-    row in r4/r5, sat unscored in (c) through r6; (c) everything
-    else — officially green in r4-r6 — still run in
-    tools/check_oracle and bench. Rows-only contracts inside the r7
-    window: exactly 4 (q_pq_ann, q_ivfpq_ann, q_bpe_tokens,
-    q_hnsw_ann) — 46/50 hash-gated.
+    consumers; (a2) the 11 late-round hash-gate debuts (Gopher / C4
+    / CCNet buckets / DSIR / audio frames / box resize / robots /
+    CMS / HLL / sentences / blocklist); (b) the 11 stalest
+    COMPLEX-plan hash gates (last official row r4/r5) — the 11
+    simple per-row-scan stale gates moved back to (c) to make room
+    for the debuts; (c) everything else — officially green in a
+    prior round — still run in tools/check_oracle and bench.
+    Rows-only contracts inside the r7 window: exactly 4 (q_pq_ann,
+    q_ivfpq_ann, q_bpe_tokens, q_hnsw_ann) — 46/50 hash-gated.
     """
     return {
         # -- (a) operator internals changed or debuted this round:
@@ -3063,33 +3065,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize_composite": q_sessionize_composite,
         "q_sequence_pack": q_sequence_pack,
         "q_bpe_tokens": q_bpe_tokens,
-        # -- (b) the 31 stalest hash-oracled gates: last official
-        #        row in r4/r5, sat unscored in (c) through r6 ----
-        "q_simhash_pairs_md5": q_simhash_pairs_md5,
-        "q_quality_filter": q_quality_filter,
-        "q_abnormality": q_abnormality,
-        "q_audio_decode": q_audio_decode,
-        "q_video_frames": q_video_frames,
-        "q_pii_scrub": q_pii_scrub,
-        "q_document_chunks": q_document_chunks,
-        "q_document_chunks_overlap": q_document_chunks_overlap,
-        "q_sessionize": q_sessionize,
-        "q_doc_dedup_exact": q_doc_dedup_exact,
-        "q_doc_dedup_normalized": q_doc_dedup_normalized,
-        "q_text_quality": q_text_quality,
-        "q_text_stats": q_text_stats,
-        "q_lang_id": q_lang_id,
-        "q_token_counts": q_token_counts,
-        "q_vocab_top_tokens": q_vocab_top_tokens,
-        "q_nation_revenue": q_nation_revenue,
-        "q_top_parts_by_size": q_top_parts_by_size,
-        "q_minhash_candidates_md5": q_minhash_candidates_md5,
-        "q_streaming_sessionize": q_streaming_sessionize,
-        "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "q_contamination_report": q_contamination_report,
-        # -- (c) officially green in r4-r6, rotating out — still
-        #        run in tools/check_oracle and bench -------------
-        "q_streaming_source_cap": q_streaming_source_cap,
+        # -- (a2) late-round-7 debuts: the new LLM-pipeline tier
+        #        (heuristic text rules, data-selection, sketches,
+        #        media framing/resampling, robots) — every one a
+        #        hash gate, verified at sf0.01 AND sf0.1 ---------
         "q_gopher_quality": q_gopher_quality,
         "q_c4_clean": q_c4_clean,
         "q_ccnet_buckets": q_ccnet_buckets,
@@ -3101,6 +3080,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hll_distinct": q_hll_distinct,
         "q_sentences": q_sentences,
         "q_blocklist": q_blocklist,
+        # -- (b) the 11 stalest COMPLEX-plan hash gates (last
+        #        official row r4/r5); the 11 simple per-row-scan
+        #        stale gates rotated to (c) to make room for the
+        #        (a2) debuts — their operators stay covered by
+        #        in-window composites (q_llm_e2e) + sweeps ------
+        "q_simhash_pairs_md5": q_simhash_pairs_md5,
+        "q_audio_decode": q_audio_decode,
+        "q_video_frames": q_video_frames,
+        "q_sessionize": q_sessionize,
+        "q_lang_id": q_lang_id,
+        "q_vocab_top_tokens": q_vocab_top_tokens,
+        "q_nation_revenue": q_nation_revenue,
+        "q_minhash_candidates_md5": q_minhash_candidates_md5,
+        "q_streaming_sessionize": q_streaming_sessionize,
+        "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "q_contamination_report": q_contamination_report,
+        # -- (c) officially green in r4-r6, rotating out — still
+        #        run in tools/check_oracle and bench -------------
+        "q_quality_filter": q_quality_filter,
+        "q_abnormality": q_abnormality,
+        "q_pii_scrub": q_pii_scrub,
+        "q_document_chunks": q_document_chunks,
+        "q_document_chunks_overlap": q_document_chunks_overlap,
+        "q_doc_dedup_exact": q_doc_dedup_exact,
+        "q_doc_dedup_normalized": q_doc_dedup_normalized,
+        "q_text_quality": q_text_quality,
+        "q_text_stats": q_text_stats,
+        "q_token_counts": q_token_counts,
+        "q_top_parts_by_size": q_top_parts_by_size,
+        "q_streaming_source_cap": q_streaming_source_cap,
         "q_readability": q_readability,
         "q_kn_bigram_scores": q_kn_bigram_scores,
         "q_media_decode": q_media_decode,

@@ -76,6 +76,9 @@ BENCH_QUERIES = [
     "q_jpeg12_decode",
     "q_warc_html_extract",
     "q_kn_bigram_scores",
+    "q_gopher_quality",
+    "q_ccnet_buckets",
+    "q_dsir_weights",
 ]
 
 
