@@ -2288,6 +2288,55 @@ def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal as-of join: every non-residue event picks up the
+    latest residue-0 event at or before it for the same user (the
+    one-shuffle union+window merge); DuckDB cross-checks with its
+    NATIVE ASOF JOIN."""
+    from replay_spark.utils.spark_utils import asof_join
+
+    events = rsd.read_table(spark, sf_dir, "events")
+    left = events.filter(F.col("event_id") % 3 != 0).select(
+        "event_id", "ts", "user_id"
+    )
+    right = events.filter(F.col("event_id") % 3 == 0).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(left, right, on="ts", by="user_id")
+    return out.select(
+        "event_id",
+        F.col("event_id_right").alias("matched_event_id"),
+        F.col("value_right").alias("matched_value"),
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via time-bucketed equi-join: residue-0 events
+    open 48-hour windows; every other event of the same user inside
+    a window forms a pair. DuckDB verifies with the plain inequality
+    join the bucketing replaces."""
+    from replay_spark.utils.spark_utils import range_join
+
+    events = rsd.read_table(spark, sf_dir, "events")
+    left = events.filter(F.col("event_id") % 10 != 0).select(
+        "event_id", "ts", "user_id"
+    )
+    right = (
+        events.filter(F.col("event_id") % 10 == 0)
+        .select(
+            F.col("event_id").alias("r_event_id"),
+            "user_id",
+            F.col("ts").alias("r_start"),
+            (F.col("ts") + F.expr("INTERVAL 48 HOURS")).alias("r_end"),
+        )
+    )
+    out = range_join(
+        left, right, "ts", "r_start", "r_end", by="user_id",
+        bucket_seconds=172800,
+    )
+    return out.select("event_id", "r_event_id")
+
+
 def q_streaming_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming/batch parity gate for the stateful per-source
     admission cap: with the whole corpus arriving as ONE micro-batch
@@ -3020,12 +3069,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows-only siblings (q_ivf_ann_fixed for q_ivf_ann,
     q_doc_fingerprints_md5 for q_doc_fingerprints), every gate whose
     values moved to stable_round, and the ordered_prefix_sums
-    consumers; (a2) the 11 late-round hash-gate debuts (Gopher / C4
+    consumers; (a2) the 13 late-round hash-gate debuts (Gopher / C4
     / CCNet buckets / DSIR / audio frames / box resize / robots /
-    CMS / HLL / sentences / blocklist); (b) the 11 stalest
-    COMPLEX-plan hash gates (last official row r4/r5) — the 11
-    simple per-row-scan stale gates moved back to (c) to make room
-    for the debuts; (c) everything else — officially green in a
+    CMS / HLL / sentences / blocklist, plus the two custom join
+    operators Spark lacks — q_asof_join vs DuckDB's NATIVE ASOF
+    JOIN, q_range_join vs the plain inequality join); (b) the 9
+    stalest COMPLEX-plan hash gates (last official row r4/r5) — the
+    13 simple-plan stale gates moved back to (c) to make room for
+    the debuts; (c) everything else — officially green in a
     prior round — still run in tools/check_oracle and bench.
     Rows-only contracts inside the r7 window: exactly 4 (q_pq_ann,
     q_ivfpq_ann, q_bpe_tokens, q_hnsw_ann) — 46/50 hash-gated.
@@ -3080,24 +3131,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hll_distinct": q_hll_distinct,
         "q_sentences": q_sentences,
         "q_blocklist": q_blocklist,
-        # -- (b) the 11 stalest COMPLEX-plan hash gates (last
-        #        official row r4/r5); the 11 simple per-row-scan
-        #        stale gates rotated to (c) to make room for the
-        #        (a2) debuts — their operators stay covered by
-        #        in-window composites (q_llm_e2e) + sweeps ------
+        # (a2 continued) the two custom join operators Spark lacks,
+        # both hash-gated — q_asof_join against DuckDB's NATIVE
+        # ASOF JOIN, q_range_join against the plain inequality join
+        "q_asof_join": q_asof_join,
+        "q_range_join": q_range_join,
+        # -- (b) the 9 stalest COMPLEX-plan hash gates (last
+        #        official row r4/r5); the 13 simple-plan stale
+        #        gates rotated to (c) to make room for the (a2)
+        #        debuts — their operators stay covered by in-window
+        #        composites (q_llm_e2e) + sweeps -----------------
         "q_simhash_pairs_md5": q_simhash_pairs_md5,
         "q_audio_decode": q_audio_decode,
         "q_video_frames": q_video_frames,
         "q_sessionize": q_sessionize,
-        "q_lang_id": q_lang_id,
         "q_vocab_top_tokens": q_vocab_top_tokens,
-        "q_nation_revenue": q_nation_revenue,
         "q_minhash_candidates_md5": q_minhash_candidates_md5,
         "q_streaming_sessionize": q_streaming_sessionize,
         "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "q_contamination_report": q_contamination_report,
         # -- (c) officially green in r4-r6, rotating out — still
         #        run in tools/check_oracle and bench -------------
+        "q_lang_id": q_lang_id,
+        "q_nation_revenue": q_nation_revenue,
         "q_quality_filter": q_quality_filter,
         "q_abnormality": q_abnormality,
         "q_pii_scrub": q_pii_scrub,
@@ -4604,6 +4660,28 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY source ORDER BY doc_id) AS rn
                 FROM documents) t
             WHERE rn <= 40
+        """,
+        "q_asof_join": """
+            WITH l AS (
+                SELECT event_id, ts, user_id FROM events
+                WHERE event_id % 3 <> 0),
+            r AS (
+                SELECT user_id, ts, event_id, value FROM events
+                WHERE event_id % 3 = 0)
+            SELECT l.event_id,
+                   r.event_id AS matched_event_id,
+                   r.value AS matched_value
+            FROM l ASOF LEFT JOIN r
+                 ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "q_range_join": """
+            SELECT l.event_id, r.event_id AS r_event_id
+            FROM events l JOIN events r
+              ON l.user_id = r.user_id
+             AND r.event_id % 10 = 0
+             AND l.event_id % 10 <> 0
+             AND l.ts >= r.ts
+             AND l.ts <= r.ts + INTERVAL 48 HOUR
         """,
         "q_sentences": """
             WITH s AS (

@@ -40,6 +40,8 @@ __all__ = [
     "ordered_prefix_sums",
     "stable_round",
     "write_bucketed",
+    "asof_join",
+    "range_join",
 ]
 
 
@@ -626,3 +628,115 @@ def write_bucketed(
         writer = writer.sortBy(*sort_cols)
     writer.format("parquet").saveAsTable(table)
     return df.sparkSession.table(table)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: Union[str, Iterable[str]] = (),
+    direction: str = "backward",
+    tolerance: Optional[float] = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Temporal as-of join — the operator Spark's join family lacks:
+    for each left row, attach the SINGLE nearest right row at-or-
+    before (``backward``) / at-or-after (``forward``) its ``on``
+    time within the same ``by`` keys; no match (or a match farther
+    than ``tolerance`` seconds) yields nulls.
+
+    Plan shape (the 100 TB argument): both sides are UNIONED with a
+    side tag, hash-shuffled ONCE on ``by``, and merged by a per-key
+    ordered window that carries the latest right-side row forward as
+    a struct (``last(ignorenulls)``) — linear merge work per key,
+    never a per-left × per-right range scan, and never a
+    BroadcastNestedLoopJoin. Right rows sort BEFORE left rows at
+    equal timestamps, so equal-time matches are inclusive (pandas
+    ``merge_asof`` semantics). A single hot key serializes into one
+    task — inherent to ordered-merge semantics; pre-split hot keys
+    upstream if that matters.
+
+    Right-side columns (including its ``on`` time) come back
+    suffixed. Ties among right rows at the same (key, time) resolve
+    to the row latest in the union order; give right a unique
+    timestamp per key (or pre-aggregate) for full determinism —
+    DuckDB's native ASOF JOIN has the same contract, which is what
+    the ``q_asof_join`` gate cross-checks.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction: {direction!r}")
+    by = [by] if isinstance(by, str) else list(by)
+    payload = [c for c in right.columns if c not in by]
+    if on not in right.columns:
+        raise ValueError(f"right side needs the {on!r} column")
+    r2 = right.select(
+        *by,
+        F.col(on).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.struct(*payload).alias("_rp"),
+    )
+    l2 = left.select(
+        *left.columns, F.col(on).alias("_t"), F.lit(1).alias("_side")
+    )
+    u = l2.unionByName(r2, allowMissingColumns=True)
+    order = [F.col("_t").asc(), F.col("_side").asc()]
+    if direction == "forward":
+        order = [F.col("_t").desc(), F.col("_side").asc()]
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = u.withColumn(
+        "_rm", F.last("_rp", ignorenulls=True).over(w)
+    ).filter(F.col("_side") == 1)
+    ok = F.col("_rm").isNotNull()
+    if tolerance is not None:
+        gap_us = F.unix_micros(F.col("_t")) - F.unix_micros(
+            F.col("_rm")[on]
+        )
+        if direction == "forward":
+            gap_us = -gap_us
+        ok = ok & (gap_us <= int(tolerance * 1_000_000))
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols += [
+        F.when(ok, F.col("_rm")[c]).alias(f"{c}{suffix}") for c in payload
+    ]
+    return matched.select(*out_cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_time: str,
+    right_start: str,
+    right_end: str,
+    by: Union[str, Iterable[str]] = (),
+    bucket_seconds: int = 300,
+) -> DataFrame:
+    """Interval (range) join: every (left row, right interval) pair
+    with ``right_start <= left_time <= right_end`` within the same
+    ``by`` keys.
+
+    Spark plans a raw inequality join as BroadcastNestedLoop (a scan
+    of every interval per row). This instead BUCKETS time into
+    ``bucket_seconds`` cells: each interval explodes to the cells it
+    covers (span/bucket rows — pick a bucket comparable to typical
+    interval length), each left row keys to its single cell, and the
+    match becomes a hash EQUI-join on (by, cell) plus the exact
+    predicate. Each matching pair meets in exactly one cell (the
+    left row's own), so no dedup pass is needed. One shuffle each
+    side, join fan-out bounded by true selectivity.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    cell = lambda c: F.floor(F.unix_micros(F.col(c)) / (bucket_seconds * 1_000_000))  # noqa: E731
+    r2 = right.withColumn(
+        "_cell",
+        F.explode(F.sequence(cell(right_start), cell(right_end))),
+    )
+    l2 = left.withColumn("_cell", cell(left_time))
+    joined = l2.join(r2, on=by + ["_cell"], how="inner").filter(
+        (F.col(left_time) >= F.col(right_start))
+        & (F.col(left_time) <= F.col(right_end))
+    )
+    return joined.drop("_cell")

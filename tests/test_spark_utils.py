@@ -152,3 +152,79 @@ def test_get_log_info_approximate(interactions):
     exact = get_log_info(interactions)
     approx = get_log_info(interactions, approximate_rsd=0.005)
     assert exact == approx
+
+
+def test_asof_join_backward_forward_tolerance(spark):
+    from datetime import datetime
+
+    from replay_spark.utils.spark_utils import asof_join
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, "u", t(10)), (2, "u", t(25)), (3, "v", t(5)), (4, "w", t(9))],
+        "lid long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", t(10), 100.0), ("u", t(20), 200.0), ("v", t(7), 300.0)],
+        "k string, ts timestamp, val double",
+    )
+    back = {
+        r["lid"]: (r["val_right"], r["ts_right"])
+        for r in asof_join(left, right, on="ts", by="k").collect()
+    }
+    assert back[1][0] == 100.0  # equal timestamps match (inclusive)
+    assert back[2][0] == 200.0  # latest at-or-before
+    assert back[3][0] is None  # right is later than left
+    assert back[4][0] is None  # key with no right rows
+    fwd = {
+        r["lid"]: r["val_right"]
+        for r in asof_join(
+            left, right, on="ts", by="k", direction="forward"
+        ).collect()
+    }
+    assert fwd[1] == 100.0 and fwd[3] == 300.0 and fwd[2] is None
+    tol = {
+        r["lid"]: r["val_right"]
+        for r in asof_join(
+            left, right, on="ts", by="k", tolerance=4.0
+        ).collect()
+    }
+    assert tol[1] == 100.0  # gap 0 <= 4s
+    assert tol[2] is None  # gap 5s > 4s
+
+
+def test_range_join_matches_inequality_semantics(spark):
+    from datetime import datetime, timedelta
+
+    from replay_spark.utils.spark_utils import range_join
+
+    base = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, "k", base + timedelta(seconds=37 * i)) for i in range(40)],
+        "lid long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, "k", base + timedelta(seconds=100),
+             base + timedelta(seconds=400)),
+            (200, "k", base + timedelta(seconds=900),
+             base + timedelta(seconds=910)),
+            (300, "x", base, base + timedelta(seconds=10_000)),
+        ],
+        "rid long, k string, r_start timestamp, r_end timestamp",
+    )
+    # tiny bucket forces intervals to span MANY cells: the dedup-free
+    # claim (each pair meets in exactly one cell) must still hold
+    for bucket in (60, 1000):
+        out = range_join(
+            left, right, "ts", "r_start", "r_end", by="k",
+            bucket_seconds=bucket,
+        )
+        pairs = sorted((r["lid"], r["rid"]) for r in out.collect())
+        expect = sorted(
+            (i, rid)
+            for i in range(40)
+            for rid, lo, hi in [(100, 100, 400), (200, 900, 910)]
+            if lo <= 37 * i <= hi
+        )
+        assert pairs == expect, bucket
