@@ -2337,6 +2337,65 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "r_event_id")
 
 
+def _stream_link_dir(src: str, prefix: str) -> str:
+    """Per-source symlink dir so a parquet FILE can back a streaming
+    file source (which requires a directory) — same device as the
+    other streaming gates."""
+    import os
+    import tempfile
+
+    link_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"{prefix}_{os.path.basename(os.path.dirname(src))}",
+    )
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, os.path.basename(src))
+    if os.path.lexists(link) and os.path.realpath(link) != src:
+        os.unlink(link)
+    if not os.path.lexists(link):
+        os.symlink(src, link)
+    return link_dir
+
+
+def q_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming/batch parity for the Count-Min sketch: the corpus
+    arrives as a stream (availableNow), the sketch accumulates as a
+    streaming aggregation in complete mode, and point estimates over
+    the distinct tokens must HASH-match the batch oracle — the
+    additive-merge property made official."""
+    import os
+
+    from replay_spark.preprocessing.text import tokenize_expr
+    from replay_spark.streaming import StreamingCountMinSketch
+
+    for q in spark.streams.active:
+        if q.name == "q_streaming_cms_sink":
+            q.stop()
+    src = os.path.abspath(f"{sf_dir}/documents.parquet")
+    link_dir = _stream_link_dir(src, "rs_stream_cms")
+    raw_schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(raw_schema).parquet(link_dir)
+    toks = stream.select(
+        F.explode(tokenize_expr(F.lower(F.col("text")))).alias("token")
+    )
+    scms = StreamingCountMinSketch(depth=3, width=1024, hash_family="md5")
+    sq = (
+        scms.aggregate(toks)
+        .writeStream.format("memory")
+        .queryName("q_streaming_cms_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(300)
+    sketch = spark.table("q_streaming_cms_sink")
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    queries = docs.select(
+        F.explode(tokenize_expr(F.lower(F.col("text")))).alias("token")
+    ).distinct()
+    return scms.estimate(sketch, queries)
+
+
 def q_streaming_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming/batch parity gate for the stateful per-source
     admission cap: with the whole corpus arriving as ONE micro-batch
@@ -3073,10 +3132,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     / CCNet buckets / DSIR / audio frames / box resize / robots /
     CMS / HLL / sentences / blocklist, plus the two custom join
     operators Spark lacks — q_asof_join vs DuckDB's NATIVE ASOF
-    JOIN, q_range_join vs the plain inequality join); (b) the 9
-    stalest COMPLEX-plan hash gates (last official row r4/r5) — the
-    13 simple-plan stale gates moved back to (c) to make room for
-    the debuts; (c) everything else — officially green in a
+    JOIN, q_range_join vs the plain inequality join, and
+    q_streaming_cms — the sketch's streaming twin vs the batch
+    oracle); (b) the 8 stalest COMPLEX-plan hash gates (last
+    official row r4/r5) — the 14 simple-plan stale gates moved back
+    to (c) to make room for the debuts; (c) everything else — officially green in a
     prior round — still run in tools/check_oracle and bench.
     Rows-only contracts inside the r7 window: exactly 4 (q_pq_ann,
     q_ivfpq_ann, q_bpe_tokens, q_hnsw_ann) — 46/50 hash-gated.
@@ -3136,15 +3196,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ASOF JOIN, q_range_join against the plain inequality join
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
-        # -- (b) the 9 stalest COMPLEX-plan hash gates (last
-        #        official row r4/r5); the 13 simple-plan stale
+        # (a2 continued) every sketch now has a streaming twin too
+        "q_streaming_cms": q_streaming_cms,
+        # -- (b) the 8 stalest COMPLEX-plan hash gates (last
+        #        official row r4/r5); the 14 simple-plan stale
         #        gates rotated to (c) to make room for the (a2)
         #        debuts — their operators stay covered by in-window
-        #        composites (q_llm_e2e) + sweeps -----------------
+        #        composites (q_llm_e2e, q_sessionize_composite)
+        #        + sweeps ----------------------------------------
         "q_simhash_pairs_md5": q_simhash_pairs_md5,
         "q_audio_decode": q_audio_decode,
         "q_video_frames": q_video_frames,
-        "q_sessionize": q_sessionize,
         "q_vocab_top_tokens": q_vocab_top_tokens,
         "q_minhash_candidates_md5": q_minhash_candidates_md5,
         "q_streaming_sessionize": q_streaming_sessionize,
@@ -3152,6 +3214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination_report": q_contamination_report,
         # -- (c) officially green in r4-r6, rotating out — still
         #        run in tools/check_oracle and bench -------------
+        "q_sessionize": q_sessionize,
         "q_lang_id": q_lang_id,
         "q_nation_revenue": q_nation_revenue,
         "q_quality_filter": q_quality_filter,
@@ -3255,7 +3318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     W = _ORACLE_INTERACTIONS
-    return {
+    oracles = {
         "q_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -6182,3 +6245,7 @@ def oracle_sql() -> dict[str, str]:
             FROM walk GROUP BY node
         """,
     }
+    # streaming/batch parity gates share the batch oracle verbatim:
+    # the stream IS the batch in one availableNow micro-batch
+    oracles["q_streaming_cms"] = oracles["q_cms_counts"]
+    return oracles

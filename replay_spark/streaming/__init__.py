@@ -2,6 +2,7 @@ from replay_spark.streaming.ops import (  # noqa: F401
     StreamingSessionizer,
     StreamingSourceCapFilter,
     StreamingStatefulSessionizer,
+    StreamingCountMinSketch,
     StreamingUCB,
     streaming_exact_dedup,
 )

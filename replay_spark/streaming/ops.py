@@ -31,6 +31,7 @@ __all__ = [
     "StreamingSessionizer",
     "StreamingStatefulSessionizer",
     "StreamingUCB",
+    "StreamingCountMinSketch",
     "streaming_exact_dedup",
 ]
 
@@ -300,3 +301,49 @@ class StreamingSourceCapFilter:
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+
+
+class StreamingCountMinSketch:
+    """Count-Min sketch as a streaming stateful aggregation.
+
+    The sketch's merge IS addition, so the depth×width counters are
+    a plain streaming groupBy-count that folds every micro-batch in
+    — state bounded by depth·width REGARDLESS of stream length, the
+    property that makes frequency tracking on an unbounded token
+    stream safe. ``aggregate`` returns the streaming register plan
+    (run it in complete/update mode); point estimates reuse the
+    batch :class:`~replay_spark.preprocessing.text.CountMinSketch`
+    against the materialized sink, so streaming and batch sketches
+    are interchangeable — pinned by the ``q_streaming_cms`` gate,
+    which hash-matches the BATCH oracle SQL.
+    """
+
+    def __init__(
+        self,
+        depth: int = 3,
+        width: int = 1024,
+        token_column: str = "token",
+        hash_family: str = "md5",
+    ):
+        from replay_spark.preprocessing.text import CountMinSketch
+
+        self.cms = CountMinSketch(
+            depth=depth,
+            width=width,
+            token_column=token_column,
+            hash_family=hash_family,
+        )
+
+    def aggregate(self, stream: DataFrame) -> DataFrame:
+        """Streaming plan: ≤ depth·width counter rows (complete or
+        update output mode)."""
+        return (
+            self.cms._stacked_buckets(stream)
+            .groupBy("_seed", "_bucket")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    def estimate(self, sketch: DataFrame, queries: DataFrame) -> DataFrame:
+        """Point estimates from a materialized sketch sink (same
+        contract as the batch class)."""
+        return self.cms.estimate(sketch, queries)

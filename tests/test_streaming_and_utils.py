@@ -458,3 +458,40 @@ def test_streaming_source_cap(spark, tmp_path_factory):
     assert hot in ({1, 2}, {1, 4}, {2, 4}) and 3 not in hot or hot == {1, 2}
     with pytest.raises(ValueError):
         StreamingSourceCapFilter(cap=0)
+
+
+def test_streaming_cms_matches_batch(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from replay_spark.preprocessing.text import CountMinSketch
+    from replay_spark.streaming import StreamingCountMinSketch
+
+    words = ["alpha"] * 30 + ["beta"] * 10 + [f"t{i}" for i in range(50)]
+    src = str(tmp_path / "toks")
+    spark.createDataFrame([(w,) for w in words], "token string").repartition(
+        4
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    scms = StreamingCountMinSketch(depth=3, width=64)
+    sq = (
+        scms.aggregate(stream)
+        .writeStream.format("memory")
+        .queryName("t_stream_cms")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(120)
+    stream_sketch = spark.table("t_stream_cms")
+    batch = spark.read.parquet(src)
+    batch_sketch = CountMinSketch(depth=3, width=64).fit(batch)
+    # identical register tables
+    assert sorted(map(tuple, stream_sketch.collect())) == sorted(
+        map(tuple, batch_sketch.collect())
+    )
+    est = {
+        r["token"]: r["cms_count"]
+        for r in scms.estimate(stream_sketch, batch.distinct()).collect()
+    }
+    assert est["alpha"] >= 30 and est["beta"] >= 10
