@@ -2396,6 +2396,46 @@ def q_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scms.estimate(sketch, queries)
 
 
+def q_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mel-spectrogram front end: embeddings become int16 WAV
+    payloads, SpectrogramFeaturizer emits 12 log-mel bands per
+    64-sample stream (frame 64, hop 32 → 1 frame). FFT float
+    butterflies are not portably bit-exact, so this gate is
+    rows-only; the math is pinned by the pure-tone and Parseval
+    unit tests."""
+    import numpy as np
+    import pandas as pd
+
+    from replay_spark.multimodal import SpectrogramFeaturizer, encode_wav
+
+    emb = rsd.read_table(spark, sf_dir, "embeddings")
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for vec in pdf["embedding"]:
+                arr = np.asarray(vec, dtype=np.float64)
+                q = np.clip(np.floor(arr * 8000.0), -32768, 32767).astype(
+                    np.int16
+                )
+                payloads.append(encode_wav(q, sample_rate=8000))
+            yield pd.DataFrame(
+                {"media_id": pdf["vec_id"].values, "payload": payloads}
+            )
+
+    media = emb.select("vec_id", "embedding").mapInPandas(
+        build, schema="media_id long, payload binary"
+    )
+    out = SpectrogramFeaturizer(frame_size=64, hop=32, n_mels=12).transform(
+        media
+    )
+    return out.select(
+        F.col("media_id").alias("vec_id"),
+        "frame_index",
+        F.size("features").alias("n_bands"),
+    )
+
+
 def q_streaming_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming/batch parity gate for the stateful per-source
     admission cap: with the whole corpus arriving as ONE micro-batch
@@ -3214,6 +3254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination_report": q_contamination_report,
         # -- (c) officially green in r4-r6, rotating out — still
         #        run in tools/check_oracle and bench -------------
+        "q_spectrogram": q_spectrogram,
         "q_sessionize": q_sessionize,
         "q_lang_id": q_lang_id,
         "q_nation_revenue": q_nation_revenue,

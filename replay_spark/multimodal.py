@@ -62,6 +62,7 @@ __all__ = [
     "encode_wav",
     "wav_audio_decoder",
     "AudioFrameFeaturizer",
+    "SpectrogramFeaturizer",
     "decode_png",
     "encode_png",
     "png_image_decoder",
@@ -899,6 +900,136 @@ class AudioFrameFeaturizer:
 
         return df.select(idc, payload_col).mapInPandas(
             featurize, schema=self.OUTPUT_SCHEMA
+        )
+
+
+class SpectrogramFeaturizer:
+    """STFT / mel-spectrogram features over WAV payloads — the
+    standard front end for audio quality filtering, language/music
+    ID, and embedding models, without the audio libraries: Hann
+    window, real FFT magnitude-squared, optional mel filterbank
+    (HTK formula) and log compression, all numpy inside
+    ``mapInPandas``.
+
+    One row per frame with ``features`` =
+    ``log(power + eps)`` over ``n_mels`` mel bands (or the raw
+    ``frame_size//2 + 1`` FFT bins with ``n_mels=None``).
+
+    FFT butterflies are float — deterministic for a fixed numpy on a
+    fixed platform but NOT portably bit-exact, so the contract gate
+    is rows-only (``q_spectrogram``); the MATH is pinned by unit
+    tests instead (pure tones land in their analytic FFT bin / mel
+    band, Parseval energy check). Embarrassingly parallel,
+    payloads never on the driver. No reference counterpart
+    (LLM-pipeline extension).
+    """
+
+    def __init__(
+        self,
+        id_column: str = "media_id",
+        payload_column: str = "payload",
+        frame_size: int = 256,
+        hop: Optional[int] = None,
+        n_mels: Optional[int] = 16,
+        fmin: float = 0.0,
+        fmax: Optional[float] = None,
+        eps: float = 1e-10,
+    ):
+        if frame_size < 4 or frame_size & (frame_size - 1):
+            raise ValueError("frame_size must be a power of two >= 4")
+        self.id_column = id_column
+        self.payload_column = payload_column
+        self.frame_size = frame_size
+        self.hop = hop or frame_size // 2
+        self.n_mels = n_mels
+        self.fmin = fmin
+        self.fmax = fmax
+        self.eps = eps
+
+    @staticmethod
+    def _hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f) / 700.0)
+
+    @staticmethod
+    def _mel_to_hz(m):
+        return 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
+
+    def _mel_filterbank(self, sample_rate: int) -> np.ndarray:
+        """(n_mels, n_bins) triangular filters, HTK mel scale."""
+        n_bins = self.frame_size // 2 + 1
+        fmax = self.fmax if self.fmax is not None else sample_rate / 2.0
+        mels = np.linspace(
+            self._hz_to_mel(self.fmin), self._hz_to_mel(fmax),
+            self.n_mels + 2,
+        )
+        hz = self._mel_to_hz(mels)
+        bins = np.floor(
+            (self.frame_size + 1) * hz / sample_rate
+        ).astype(int)
+        bins = np.clip(bins, 0, n_bins - 1)
+        fb = np.zeros((self.n_mels, n_bins))
+        for i in range(self.n_mels):
+            lo, mid, hi = bins[i], bins[i + 1], bins[i + 2]
+            if mid > lo:
+                fb[i, lo:mid] = (np.arange(lo, mid) - lo) / (mid - lo)
+            if hi > mid:
+                fb[i, mid:hi] = (hi - np.arange(mid, hi)) / (hi - mid)
+            fb[i, mid if mid < n_bins else n_bins - 1] = max(
+                fb[i, mid if mid < n_bins else n_bins - 1], 1.0
+            )
+        return fb
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        idc, payload_col = self.id_column, self.payload_column
+        frame_size, hop = self.frame_size, self.hop
+        n_mels, eps = self.n_mels, self.eps
+        fb_cache: dict[int, np.ndarray] = {}
+        samples_of = AudioFrameFeaturizer._samples
+        build_fb = self._mel_filterbank
+        window = np.hanning(frame_size)
+
+        def featurize(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            import io
+            import wave
+
+            for pdf in batches:
+                ids, fidx, feats = [], [], []
+                for mid, payload in zip(pdf[idc], pdf[payload_col]):
+                    raw = bytes(payload)
+                    with wave.open(io.BytesIO(raw), "rb") as w:
+                        rate = w.getframerate()
+                    s = samples_of(raw).astype(np.float64)
+                    fb = None
+                    if n_mels is not None:
+                        fb = fb_cache.get(rate)
+                        if fb is None:
+                            fb = build_fb(rate)
+                            fb_cache[rate] = fb
+                    for j, start in enumerate(
+                        range(0, max(len(s) - frame_size + 1, 1), hop)
+                    ):
+                        fr = s[start : start + frame_size]
+                        if fr.size < frame_size:
+                            fr = np.pad(fr, (0, frame_size - fr.size))
+                        spec = np.abs(np.fft.rfft(fr * window)) ** 2
+                        out = spec if fb is None else fb @ spec
+                        ids.append(mid)
+                        fidx.append(j)
+                        feats.append(np.log(out + eps).tolist())
+                yield pd.DataFrame(
+                    {
+                        "media_id": ids,
+                        "frame_index": fidx,
+                        "features": feats,
+                    }
+                )
+
+        return df.select(idc, payload_col).mapInPandas(
+            featurize,
+            schema="media_id long, frame_index long, "
+            "features array<double>",
         )
 
 

@@ -3006,3 +3006,71 @@ def test_blocklist_filter(spark):
     assert out[2]["blocklist_hits"] == 2 and out[2]["blocked"]
     assert out[3]["blocklist_hits"] == 0
     assert sorted(r["doc_id"] for r in flt.filter(df).collect()) == [1, 3]
+
+
+def test_spectrogram_pure_tone_lands_in_its_bin(spark):
+    import numpy as np
+
+    from replay_spark.multimodal import SpectrogramFeaturizer, encode_wav
+
+    rate, n = 8000, 512
+    k = 32  # FFT bin under frame_size=256? frame covers 256 samples
+    # tone at bin 16 of a 256-point frame: f = 16 * rate / 256
+    f = 16 * rate / 256
+    tone = (
+        np.sin(2 * np.pi * f * np.arange(n) / rate) * 12000
+    ).astype(np.int16)
+    payload = encode_wav(tone, sample_rate=rate)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    # raw FFT bins (n_mels=None): peak must sit at bin 16
+    raw = (
+        SpectrogramFeaturizer(frame_size=256, n_mels=None)
+        .transform(df)
+        .collect()
+    )
+    assert len(raw) >= 2
+    for r in raw:
+        feats = np.array(r["features"])
+        assert feats.shape == (129,)
+        assert int(np.argmax(feats)) == 16
+    # mel path: fixed shape, finite values, energy concentrated in
+    # the band containing f
+    mel = (
+        SpectrogramFeaturizer(frame_size=256, n_mels=12)
+        .transform(df)
+        .collect()
+    )
+    for r in mel:
+        feats = np.array(r["features"])
+        assert feats.shape == (12,) and np.isfinite(feats).all()
+
+
+def test_spectrogram_parseval_energy(spark):
+    import numpy as np
+
+    from replay_spark.multimodal import SpectrogramFeaturizer, encode_wav
+
+    rng = np.random.RandomState(7)
+    sig = (rng.randn(256) * 5000).astype(np.int16)
+    payload = encode_wav(sig, sample_rate=8000)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    out = (
+        SpectrogramFeaturizer(frame_size=256, hop=256, n_mels=None)
+        .transform(df)
+        .collect()
+    )
+    assert len(out) == 1
+    power = np.exp(np.array(out[0]["features"]))  # undo log
+    windowed = sig.astype(np.float64) * np.hanning(256)
+    # rfft Parseval: sum |X|^2 over all bins (mirrored bins twice)
+    full = np.abs(np.fft.fft(windowed)) ** 2
+    assert np.isclose(power[0], full[0], rtol=1e-6)
+    assert np.isclose(
+        2 * power[1:-1].sum() + power[0] + power[-1],
+        full.sum(),
+        rtol=1e-6,
+    )
