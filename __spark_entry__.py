@@ -2436,6 +2436,33 @@ def q_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter round trip: fit on the tokens of even documents,
+    query every distinct corpus token; output pins the verdicts AND
+    the ground truth so the no-false-negative property is in the
+    hash."""
+    from replay_spark.preprocessing.text import BloomFilter, tokenize_expr
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(tokenize_expr(F.lower(F.col("text")))).alias("token"),
+    )
+    members = toks.filter(F.col("doc_id") % 2 == 0).select("token")
+    bloom = BloomFilter(m_bits=1 << 12, k=3, hash_family="md5")
+    bits = bloom.fit(members)
+    verdict = bloom.contains(bits, toks.select("token").distinct())
+    truth = members.distinct().withColumn("is_member", F.lit(True))
+    return (
+        verdict.join(truth, on="token", how="left")
+        .select(
+            "token",
+            "maybe_present",
+            F.coalesce("is_member", F.lit(False)).alias("is_member"),
+        )
+    )
+
+
 def q_streaming_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming/batch parity gate for the stateful per-source
     admission cap: with the whole corpus arriving as ONE micro-batch
@@ -3254,6 +3281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination_report": q_contamination_report,
         # -- (c) officially green in r4-r6, rotating out — still
         #        run in tools/check_oracle and bench -------------
+        "q_bloom_membership": q_bloom_membership,
         "q_spectrogram": q_spectrogram,
         "q_sessionize": q_sessionize,
         "q_lang_id": q_lang_id,
@@ -4764,6 +4792,46 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY source ORDER BY doc_id) AS rn
                 FROM documents) t
             WHERE rn <= 40
+        """,
+        "q_bloom_membership": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)),
+                                                 '\\s+')) AS token
+                FROM documents
+                WHERE trim(text) <> ''),
+            hb AS (
+                SELECT token, doc_id,
+                       list_transform(range(0, 3),
+                           i -> list_reduce(list_transform(range(1, 16),
+                               j -> CAST(strpos('0123456789abcdef',
+                                        substr(md5(i || ':' || token),
+                                               CAST(j AS INT), 1)) - 1
+                                    AS BIGINT)),
+                               (acc, x) -> acc * 16 + x) % 4096
+                       ) AS bits
+                FROM toks),
+            setbits AS (
+                SELECT DISTINCT b.bit
+                FROM hb, unnest(hb.bits) AS b(bit)
+                WHERE hb.doc_id % 2 = 0),
+            qb AS (
+                SELECT q.token, b.bit
+                FROM (SELECT DISTINCT token, bits FROM hb) q,
+                     unnest(q.bits) AS b(bit)),
+            v AS (
+                SELECT token,
+                       count(*) = sum(CASE WHEN s.bit IS NOT NULL
+                                      THEN 1 ELSE 0 END)
+                           AS maybe_present
+                FROM qb LEFT JOIN setbits s USING (bit)
+                GROUP BY token),
+            truth AS (
+                SELECT DISTINCT token, true AS is_member FROM hb
+                WHERE doc_id % 2 = 0)
+            SELECT v.token, v.maybe_present,
+                   coalesce(t.is_member, false) AS is_member
+            FROM v LEFT JOIN truth t USING (token)
         """,
         "q_asof_join": """
             WITH l AS (

@@ -43,6 +43,7 @@ __all__ = [
     "DSIRSelector",
     "CountMinSketch",
     "HyperLogLog",
+    "BloomFilter",
     "QualityFilterPipeline",
     "GopherQualityFilter",
     "C4TextCleaner",
@@ -1388,6 +1389,76 @@ class CountMinSketch:
             .agg(
                 F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_count")
             )
+        )
+
+
+class BloomFilter:
+    """Bloom membership filter over a token/key column — the third
+    leg of the sketch tier (CMS = frequency, HLL = cardinality,
+    Bloom = membership): ``k`` hash functions set bits in an
+    ``m``-bit array; a query is "possibly present" iff ALL its bits
+    are set — no false negatives, false-positive rate ≈
+    (1 − e^(−kn/m))^k.
+
+    The fitted state is the DISTINCT set-bit table (≤ min(k·n, m)
+    rows of one integer) — map-side combined, mergeable by union,
+    and broadcastable back for querying, which is how a 100 TB
+    contamination check against a bounded eval set stays one
+    broadcast join instead of a shuffle join. md5 hash family keeps
+    the arithmetic portable (``q_bloom_membership`` hash gate);
+    xxhash64 for production. No reference counterpart (LLM-pipeline
+    extension).
+    """
+
+    def __init__(
+        self,
+        m_bits: int = 1 << 16,
+        k: int = 4,
+        token_column: str = "token",
+        hash_family: str = "md5",
+    ):
+        if m_bits < 8 or k < 1:
+            raise ValueError("need m_bits >= 8 and k >= 1")
+        if hash_family not in ("md5", "xxhash64"):
+            raise ValueError(f"unknown hash_family: {hash_family!r}")
+        self.m_bits = m_bits
+        self.k = k
+        self.token_column = token_column
+        self.hash_family = hash_family
+
+    def _bit(self, col: Column, seed: int) -> Column:
+        if self.hash_family == "xxhash64":
+            return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(self.m_bits))
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        return F.pmod(h, F.lit(self.m_bits))
+
+    def _bits(self, df: DataFrame, *keep: str) -> DataFrame:
+        tok = F.col(self.token_column)
+        arr = F.array(*[self._bit(tok, i) for i in range(self.k)])
+        return df.select(*keep, F.explode(arr).alias("bit"))
+
+    def fit(self, df: DataFrame) -> DataFrame:
+        """Distinct set-bit table ``[bit]``."""
+        return self._bits(df).distinct()
+
+    def contains(self, bits: DataFrame, queries: DataFrame) -> DataFrame:
+        """``queries``' token column + ``maybe_present`` (true iff
+        every one of the k bits is set — broadcast join against the
+        bit table)."""
+        tc = self.token_column
+        hashed = self._bits(queries.select(tc).distinct(), tc)
+        marked = hashed.join(
+            F.broadcast(bits.withColumn("_set", F.lit(1))),
+            on="bit",
+            how="left",
+        )
+        return marked.groupBy(tc).agg(
+            (F.count("*") == F.sum(F.coalesce(F.col("_set"), F.lit(0))))
+            .alias("maybe_present")
         )
 
 

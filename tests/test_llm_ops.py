@@ -3074,3 +3074,29 @@ def test_spectrogram_parseval_energy(spark):
         full.sum(),
         rtol=1e-6,
     )
+
+
+def test_bloom_filter_no_false_negatives(spark):
+    from replay_spark.preprocessing.text import BloomFilter
+
+    members = spark.createDataFrame(
+        [(f"in{i}",) for i in range(200)], "token string"
+    )
+    probes = spark.createDataFrame(
+        [(f"in{i}",) for i in range(200)]
+        + [(f"out{i}",) for i in range(500)],
+        "token string",
+    )
+    for family in ("md5", "xxhash64"):
+        bloom = BloomFilter(m_bits=1 << 13, k=4, hash_family=family)
+        bits = bloom.fit(members)
+        assert bits.count() <= 4 * 200
+        out = {
+            r["token"]: r["maybe_present"]
+            for r in bloom.contains(bits, probes).collect()
+        }
+        # zero false negatives, ever
+        assert all(out[f"in{i}"] for i in range(200))
+        # false-positive rate near theory: (1-e^(-kn/m))^k ~ 0.3%
+        fp = sum(out[f"out{i}"] for i in range(500))
+        assert fp <= 25
