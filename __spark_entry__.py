@@ -2463,6 +2463,37 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction: every doc renders a page with an absolute
+    link, a parent-relative link (urljoin must collapse ".."), an
+    entity-bearing anchor, a whitespace-heavy anchor, and one
+    href-less decoy anchor; extraction + base resolution replayed as
+    string CASEs in DuckDB."""
+    from replay_spark.web import HtmlLinkExtractor
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><body><a href='/abs/"),
+        did,
+        F.lit("'>home "),
+        did,
+        F.lit("</a><a href='../about/"),
+        did,
+        F.lit("'>about &amp; more</a><a name='x'>no href</a>"),
+        F.lit("<a href='https://other.example/"),
+        did,
+        F.lit("'>x   y</a></body></html>"),
+    )
+    base = F.concat(
+        F.lit("http://corpus.test/pages/"), did, F.lit(".html")
+    )
+    pages = docs.select(
+        "doc_id", html.alias("html"), base.alias("base_url")
+    )
+    return HtmlLinkExtractor(base_url_column="base_url").transform(pages)
+
+
 def q_streaming_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming/batch parity gate for the stateful per-source
     admission cap: with the whole corpus arriving as ONE micro-batch
@@ -3282,6 +3313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (c) officially green in r4-r6, rotating out — still
         #        run in tools/check_oracle and bench -------------
         "q_bloom_membership": q_bloom_membership,
+        "q_html_links": q_html_links,
         "q_spectrogram": q_spectrogram,
         "q_sessionize": q_sessionize,
         "q_lang_id": q_lang_id,
@@ -4792,6 +4824,28 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY source ORDER BY doc_id) AS rn
                 FROM documents) t
             WHERE rn <= 40
+        """,
+        "q_html_links": """
+            SELECT doc_id,
+                   CAST(g.i AS BIGINT) AS link_index,
+                   CASE g.i
+                       WHEN 0 THEN '/abs/' || doc_id
+                       WHEN 1 THEN '../about/' || doc_id
+                       ELSE 'https://other.example/' || doc_id
+                   END AS href,
+                   CASE g.i
+                       WHEN 0 THEN 'http://corpus.test/abs/' || doc_id
+                       WHEN 1 THEN 'http://corpus.test/about/'
+                                   || doc_id
+                       ELSE 'https://other.example/' || doc_id
+                   END AS resolved_url,
+                   CASE g.i
+                       WHEN 0 THEN 'home ' || doc_id
+                       WHEN 1 THEN 'about & more'
+                       ELSE 'x y'
+                   END AS anchor
+            FROM documents,
+                 LATERAL (SELECT unnest(range(0, 3)) AS i) g
         """,
         "q_bloom_membership": """
             WITH toks AS (

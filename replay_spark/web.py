@@ -44,6 +44,7 @@ __all__ = [
     "UrlFilter",
     "RobotsMatcher",
     "RobotsFilter",
+    "HtmlLinkExtractor",
 ]
 
 
@@ -528,4 +529,100 @@ class RobotsFilter:
             self.transform(df)
             .filter(F.col("robots_allowed"))
             .select(df.columns)
+        )
+
+
+# -- link extraction ------------------------------------------------------
+
+
+class _LinkParser(HTMLParser):
+    """Collect (href, anchor-text) pairs from ``<a>`` elements."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.links: list = []
+        self._open = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            self.links.append([dict(attrs).get("href"), []])
+            self._open += 1
+
+    def handle_endtag(self, tag):
+        if tag == "a" and self._open:
+            self._open -= 1
+
+    def handle_data(self, data):
+        if self._open and self.links:
+            self.links[-1][1].append(data)
+
+
+class HtmlLinkExtractor:
+    """Outlink extraction — the crawl-frontier op that pairs with
+    :class:`HtmlTextExtractor`: one row per ``<a href>`` with its
+    in-page index, raw href, optional base-resolved absolute URL
+    (stdlib ``urljoin`` — relative paths, ``..`` segments, fragment
+    and protocol-relative forms), and the whitespace-collapsed,
+    entity-decoded anchor text. href-less anchors are skipped.
+
+    ``mapInPandas``; pages never touch the driver; downstream the
+    resolved URLs feed :class:`UrlFilter` / :class:`RobotsFilter`
+    before the next fetch round — the full pre-crawl chain is now
+    composable in one DataFrame plan. No reference counterpart
+    (LLM-pipeline extension).
+    """
+
+    def __init__(
+        self,
+        id_column: str = "doc_id",
+        html_column: str = "html",
+        base_url_column: Optional[str] = None,
+    ):
+        self.id_column = id_column
+        self.html_column = html_column
+        self.base_url_column = base_url_column
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from urllib.parse import urljoin
+
+        idc, hc, bc = self.id_column, self.html_column, self.base_url_column
+        id_type = df.schema[idc].dataType.simpleString()
+
+        def extract(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ids, idxs, hrefs, resolved, anchors = [], [], [], [], []
+                bases = pdf[bc] if bc else [None] * len(pdf)
+                for rid, html_text, base in zip(pdf[idc], pdf[hc], bases):
+                    parser = _LinkParser()
+                    parser.feed(html_text or "")
+                    parser.close()
+                    li = 0
+                    for href, parts in parser.links:
+                        if href is None:
+                            continue
+                        ids.append(rid)
+                        idxs.append(li)
+                        hrefs.append(href)
+                        resolved.append(
+                            urljoin(base, href) if base else href
+                        )
+                        anchors.append(" ".join("".join(parts).split()))
+                        li += 1
+                yield pd.DataFrame(
+                    {
+                        idc: ids,
+                        "link_index": idxs,
+                        "href": hrefs,
+                        "resolved_url": resolved,
+                        "anchor": anchors,
+                    }
+                )
+
+        cols = [idc, hc] + ([bc] if bc else [])
+        return df.select(*cols).mapInPandas(
+            extract,
+            schema=f"{idc} {id_type}, link_index long, href string, "
+            "resolved_url string, anchor string",
         )

@@ -3100,3 +3100,33 @@ def test_bloom_filter_no_false_negatives(spark):
         # false-positive rate near theory: (1-e^(-kn/m))^k ~ 0.3%
         fp = sum(out[f"out{i}"] for i in range(500))
         assert fp <= 25
+
+
+def test_html_link_extractor(spark):
+    from replay_spark.web import HtmlLinkExtractor
+
+    html = (
+        "<html><body>"
+        "<a href='/a'>first</a>"
+        "<a name='anchor-only'>skipped</a>"
+        "<a href='../up'>two&amp;three   words</a>"
+        "<a href='#frag'></a>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame(
+        [(7, html, "http://h.test/d/e/page.html")],
+        "doc_id long, html string, base_url string",
+    )
+    rows = sorted(
+        HtmlLinkExtractor(base_url_column="base_url").transform(df).collect(),
+        key=lambda r: r["link_index"],
+    )
+    assert [r["href"] for r in rows] == ["/a", "../up", "#frag"]
+    assert rows[0]["resolved_url"] == "http://h.test/a"
+    assert rows[1]["resolved_url"] == "http://h.test/d/up"
+    assert rows[2]["resolved_url"] == "http://h.test/d/e/page.html#frag"
+    assert rows[1]["anchor"] == "two&three words"
+    assert rows[2]["anchor"] == ""
+    # no base column: hrefs pass through unresolved
+    raw = HtmlLinkExtractor().transform(df.select("doc_id", "html")).collect()
+    assert {r["href"] for r in raw} == {r["resolved_url"] for r in raw}
