@@ -2494,6 +2494,62 @@ def q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return HtmlLinkExtractor(base_url_column="base_url").transform(pages)
 
 
+def q_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Augmentation chain gate: 8×8 PGM images run hflip → rot90 →
+    crop(1,0,4,3). The composition is an exact index permutation
+    (hflip∘rot90ccw = transpose, then a window), so DuckDB recomputes
+    every output pixel as v[8c + r + 9] from the raw embeddings."""
+    import numpy as np
+    import pandas as pd
+
+    from replay_spark.multimodal import (
+        ImageAugmenter,
+        decode_ppm,
+        encode_ppm,
+    )
+
+    emb = rsd.read_table(spark, sf_dir, "embeddings")
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for vec in pdf["embedding"]:
+                arr = np.asarray(vec, dtype=np.float64)
+                u8 = np.clip(np.floor((arr + 4.0) * 32.0), 0, 255).astype(
+                    np.uint8
+                )
+                payloads.append(encode_ppm(u8.reshape(8, 8)))
+            yield pd.DataFrame(
+                {"media_id": pdf["vec_id"].values, "payload": payloads}
+            )
+
+    media = emb.select("vec_id", "embedding").mapInPandas(
+        build, schema="media_id long, payload binary"
+    )
+    aug = ImageAugmenter(
+        (("hflip",), ("rot90", 1), ("crop", 1, 0, 4, 3))
+    ).transform(media)
+
+    def pixels(batches):
+        for pdf in batches:
+            vals = []
+            for p in pdf["payload"]:
+                img, _ = decode_ppm(bytes(p))
+                vals.append(",".join(str(int(v)) for v in img.flatten()))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["media_id"].values,
+                    "width": pdf["width"].values,
+                    "height": pdf["height"].values,
+                    "pix": vals,
+                }
+            )
+
+    return aug.mapInPandas(
+        pixels, schema="vec_id long, width int, height int, pix string"
+    )
+
+
 def q_streaming_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming/batch parity gate for the stateful per-source
     admission cap: with the whole corpus arriving as ONE micro-batch
@@ -3314,6 +3370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #        run in tools/check_oracle and bench -------------
         "q_bloom_membership": q_bloom_membership,
         "q_html_links": q_html_links,
+        "q_image_augment": q_image_augment,
         "q_spectrogram": q_spectrogram,
         "q_sessionize": q_sessionize,
         "q_lang_id": q_lang_id,
@@ -4824,6 +4881,22 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY source ORDER BY doc_id) AS rn
                 FROM documents) t
             WHERE rn <= 40
+        """,
+        "q_image_augment": """
+            WITH q AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           e -> CAST(least(greatest(
+                                    floor((CAST(e AS DOUBLE) + 4.0)
+                                          * 32.0), 0), 255)
+                                AS BIGINT)
+                       ) AS v
+                FROM embeddings)
+            SELECT vec_id, 4 AS width, 3 AS height,
+                   array_to_string(list_transform(range(0, 12),
+                       k -> CAST(v[8 * (k % 4) + (k // 4) + 9]
+                                 AS VARCHAR)), ',') AS pix
+            FROM q
         """,
         "q_html_links": """
             SELECT doc_id,

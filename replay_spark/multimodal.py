@@ -63,6 +63,7 @@ __all__ = [
     "wav_audio_decoder",
     "AudioFrameFeaturizer",
     "SpectrogramFeaturizer",
+    "ImageAugmenter",
     "decode_png",
     "encode_png",
     "png_image_decoder",
@@ -1030,6 +1031,78 @@ class SpectrogramFeaturizer:
             featurize,
             schema="media_id long, frame_index long, "
             "features array<double>",
+        )
+
+
+class ImageAugmenter:
+    """Deterministic geometric augmentations for binary netpbm
+    payloads — the label-preserving transforms a vision training
+    pipeline materializes (flips, quarter rotations, crops). All
+    EXACT pixel permutations/selections (no interpolation), so the
+    ``q_image_augment`` gate replays them index-for-index in SQL.
+
+    ``ops``: sequence of specs applied in order —
+    ``("hflip",)``, ``("vflip",)``, ``("rot90", k)``,
+    ``("crop", x, y, w, h)``. Runs in ``mapInPandas``; payloads
+    never on the driver. No reference counterpart (LLM-pipeline
+    extension).
+    """
+
+    def __init__(
+        self,
+        ops: tuple,
+        id_column: str = "media_id",
+        payload_column: str = "payload",
+    ):
+        for spec in ops:
+            if spec[0] not in ("hflip", "vflip", "rot90", "crop"):
+                raise ValueError(f"unknown augmentation: {spec[0]!r}")
+        self.ops = tuple(ops)
+        self.id_column = id_column
+        self.payload_column = payload_column
+
+    @staticmethod
+    def _apply(img: np.ndarray, spec: tuple) -> np.ndarray:
+        kind = spec[0]
+        if kind == "hflip":
+            return img[:, ::-1]
+        if kind == "vflip":
+            return img[::-1]
+        if kind == "rot90":
+            return np.rot90(img, k=int(spec[1]))
+        x, y, w, h = (int(v) for v in spec[1:])
+        if y + h > img.shape[0] or x + w > img.shape[1]:
+            raise ValueError(f"crop {spec[1:]} exceeds {img.shape}")
+        return img[y : y + h, x : x + w]
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        idc, payload_col, ops = self.id_column, self.payload_column, self.ops
+        apply_one = self._apply
+
+        def augment(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                payloads, widths, heights = [], [], []
+                for p in pdf[payload_col]:
+                    img, _ = decode_ppm(bytes(p))
+                    for spec in ops:
+                        img = apply_one(img, spec)
+                    img = np.ascontiguousarray(img)
+                    payloads.append(encode_ppm(img))
+                    heights.append(img.shape[0])
+                    widths.append(img.shape[1])
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf[idc].values,
+                        "payload": payloads,
+                        "width": widths,
+                        "height": heights,
+                    }
+                )
+
+        return df.select(idc, payload_col).mapInPandas(
+            augment, schema=MediaProcessor.RESIZE_SCHEMA
         )
 
 

@@ -3130,3 +3130,33 @@ def test_html_link_extractor(spark):
     # no base column: hrefs pass through unresolved
     raw = HtmlLinkExtractor().transform(df.select("doc_id", "html")).collect()
     assert {r["href"] for r in raw} == {r["resolved_url"] for r in raw}
+
+
+def test_image_augmenter_ops(spark):
+    import numpy as np
+
+    from replay_spark.multimodal import ImageAugmenter, decode_ppm, encode_ppm
+
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(img)))], "media_id long, payload binary"
+    )
+
+    def run(*ops):
+        r = ImageAugmenter(ops).transform(df).collect()[0]
+        out, _ = decode_ppm(bytes(r["payload"]))
+        return out, r["width"], r["height"]
+
+    h, _, _ = run(("hflip",))
+    assert np.array_equal(h, img[:, ::-1])
+    v, _, _ = run(("vflip",))
+    assert np.array_equal(v, img[::-1])
+    r90, w, hh = run(("rot90", 1))
+    assert np.array_equal(r90, np.rot90(img)) and (w, hh) == (3, 4)
+    c, w, hh = run(("crop", 1, 0, 2, 3))
+    assert np.array_equal(c, img[0:3, 1:3]) and (w, hh) == (2, 3)
+    # composition order matters and matches numpy semantics
+    combo, _, _ = run(("hflip",), ("rot90", 1))
+    assert np.array_equal(combo, np.rot90(img[:, ::-1]))
+    with pytest.raises(Exception):
+        run(("crop", 3, 0, 5, 2))
