@@ -2550,6 +2550,16 @@ def q_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib-ratio quality signal over the corpus. DEFLATE output
+    length is zlib-build-specific, so rows-only; ordering semantics
+    pinned by tests."""
+    from replay_spark.preprocessing.text import CompressionRatioScorer
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    return CompressionRatioScorer().transform(docs)
+
+
 def q_streaming_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming/batch parity gate for the stateful per-source
     admission cap: with the whole corpus arriving as ONE micro-batch
@@ -3371,6 +3381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bloom_membership": q_bloom_membership,
         "q_html_links": q_html_links,
         "q_image_augment": q_image_augment,
+        "q_compression_ratio": q_compression_ratio,
         "q_spectrogram": q_spectrogram,
         "q_sessionize": q_sessionize,
         "q_lang_id": q_lang_id,

@@ -33,6 +33,7 @@ __all__ = [
     "DocumentChunker",
     "SentenceSplitter",
     "BlocklistFilter",
+    "CompressionRatioScorer",
     "CorpusMixer",
     "VocabBuilder",
     "TfIdfKeywords",
@@ -613,6 +614,69 @@ class DocumentChunker:
             "chunk_idx",
             F.concat_ws(" ", "_chunk_tokens").alias("chunk_text"),
             F.size("_chunk_tokens").alias("n_tokens"),
+        )
+
+
+class CompressionRatioScorer:
+    """zlib compression ratio as a document quality signal — the
+    Dolma/Gopher-family heuristic the regex tiers can't express:
+    heavily templated or repetitive documents compress far below
+    natural prose (ratio = compressed/raw bytes; boilerplate ≈ 0.1,
+    English prose ≈ 0.4-0.6, random ≈ 1).
+
+    Runs in ``mapInPandas`` (stdlib ``zlib``, pinned ``level`` so the
+    byte count is reproducible on a fixed zlib build). DEFLATE's
+    emitted length is not a cross-engine-portable quantity, so the
+    contract gate is rows-only (``q_compression_ratio``); the
+    signal's ORDERING properties (repetitive < prose < random) are
+    pinned by tests. Embarrassingly parallel; one cheap pass.
+    No reference counterpart (LLM-pipeline extension).
+    """
+
+    def __init__(
+        self,
+        text_column: str = "text",
+        id_column: str = "doc_id",
+        level: int = 6,
+    ):
+        if not 1 <= level <= 9:
+            raise ValueError("level must be in [1, 9]")
+        self.text_column = text_column
+        self.id_column = id_column
+        self.level = level
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        idc, tc, level = self.id_column, self.text_column, self.level
+
+        def score(batches):
+            import zlib
+
+            import pandas as pd  # noqa: F811
+
+            for pdf in batches:
+                raw_len, comp_len, ratio = [], [], []
+                for text in pdf[tc]:
+                    raw = (text or "").encode("utf-8")
+                    comp = zlib.compress(raw, level)
+                    raw_len.append(len(raw))
+                    comp_len.append(len(comp))
+                    ratio.append(
+                        len(comp) / len(raw) if raw else None
+                    )
+                yield pd.DataFrame(
+                    {
+                        idc: pdf[idc].values,
+                        "raw_bytes": raw_len,
+                        "compressed_bytes": comp_len,
+                        "compression_ratio": ratio,
+                    }
+                )
+
+        id_type = df.schema[idc].dataType.simpleString()
+        return df.select(idc, tc).mapInPandas(
+            score,
+            schema=f"{idc} {id_type}, raw_bytes long, "
+            "compressed_bytes long, compression_ratio double",
         )
 
 

@@ -3160,3 +3160,31 @@ def test_image_augmenter_ops(spark):
     assert np.array_equal(combo, np.rot90(img[:, ::-1]))
     with pytest.raises(Exception):
         run(("crop", 3, 0, 5, 2))
+
+
+def test_compression_ratio_ordering(spark):
+    from replay_spark.preprocessing.text import CompressionRatioScorer
+
+    import random
+
+    rng = random.Random(3)
+    rand_text = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789")
+                for _ in range(8))
+        for _ in range(120)
+    )
+    df = spark.createDataFrame(
+        [
+            (0, "spam " * 400),
+            (1, "the quick brown fox jumps over the lazy dog and then "
+                "rests beside a quiet river while evening settles in " * 8),
+            (2, rand_text),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in CompressionRatioScorer().transform(df).collect()}
+    assert out[0]["compression_ratio"] < out[1]["compression_ratio"]
+    assert out[1]["compression_ratio"] < out[2]["compression_ratio"]
+    assert out[3]["compression_ratio"] is None and out[3]["raw_bytes"] == 0
+    assert out[2]["compressed_bytes"] > 0
