@@ -2560,6 +2560,25 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CompressionRatioScorer().transform(docs)
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph PageRank over a deterministic synthetic web: each
+    doc links to (31·id+7) mod N and (17·id+3) mod N. Float
+    power-iteration sums are order-sensitive at the last ulp, so
+    rows-only; closed-form graph values are pinned by tests."""
+    from replay_spark.web import LinkGraphRank
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    n = docs.count()
+    did = F.col("doc_id")
+    edges = docs.select(
+        did.alias("src"), ((did * 31 + 7) % n).alias("dst")
+    ).union(
+        docs.select(did.alias("src"), ((did * 17 + 3) % n).alias("dst"))
+    )
+    out = LinkGraphRank(iterations=8).rank(edges)
+    return out.select("node", stable_round("rank", 6).alias("rank"))
+
+
 def q_streaming_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming/batch parity gate for the stateful per-source
     admission cap: with the whole corpus arriving as ONE micro-batch
@@ -3382,6 +3401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_html_links": q_html_links,
         "q_image_augment": q_image_augment,
         "q_compression_ratio": q_compression_ratio,
+        "q_pagerank": q_pagerank,
         "q_spectrogram": q_spectrogram,
         "q_sessionize": q_sessionize,
         "q_lang_id": q_lang_id,

@@ -45,6 +45,7 @@ __all__ = [
     "RobotsMatcher",
     "RobotsFilter",
     "HtmlLinkExtractor",
+    "LinkGraphRank",
 ]
 
 
@@ -626,3 +627,97 @@ class HtmlLinkExtractor:
             schema=f"{idc} {id_type}, link_index long, href string, "
             "resolved_url string, anchor string",
         )
+
+
+# -- link-graph centrality ------------------------------------------------
+
+
+class LinkGraphRank:
+    """PageRank by power iteration over an edge DataFrame — the
+    crawl-prioritization signal (CommonCrawl publishes exactly this
+    family of ranks) computed from :class:`HtmlLinkExtractor`
+    output: ``rank(v) = (1−d)/N + d·(Σ_{u→v} rank(u)/deg(u) +
+    dangling/N)``.
+
+    Plan shape per iteration: ranks join the (src, out-degree) edge
+    table (one shuffle on src), a dst-keyed sum, and the dangling
+    mass folded in via a broadcast 1-row aggregate — NO driver-side
+    loops over data, no collect; ``iterations`` fixed jobs total,
+    with an eager ``localCheckpoint`` per iteration so lineage stays
+    flat (the BPE deep-lineage lesson). Float summation order makes
+    ranks reproducible only to ~1e-15, so the contract gate is
+    rows-only; convergence and closed-form graph values are pinned
+    by tests. No reference counterpart (LLM-pipeline extension).
+    """
+
+    def __init__(
+        self,
+        damping: float = 0.85,
+        iterations: int = 10,
+        src_column: str = "src",
+        dst_column: str = "dst",
+    ):
+        if not 0 < damping < 1:
+            raise ValueError("damping must be in (0, 1)")
+        if iterations < 1:
+            raise ValueError("iterations must be >= 1")
+        self.damping = damping
+        self.iterations = iterations
+        self.src_column = src_column
+        self.dst_column = dst_column
+
+    def rank(self, edges: DataFrame) -> DataFrame:
+        """``[node, rank]`` over the union of sources and targets;
+        ranks sum to 1."""
+        d = self.damping
+        src, dst = self.src_column, self.dst_column
+        e = edges.select(
+            F.col(src).alias("_s"), F.col(dst).alias("_d")
+        ).distinct()
+        nodes = (
+            e.select(F.col("_s").alias("node"))
+            .union(e.select(F.col("_d").alias("node")))
+            .distinct()
+            .persist()
+        )
+        n_df = nodes.agg(F.count("*").alias("_n"))
+        deg = e.groupBy("_s").agg(F.count("*").alias("_deg"))
+        ranks = nodes.crossJoin(F.broadcast(n_df)).select(
+            "node", (F.lit(1.0) / F.col("_n")).alias("rank")
+        )
+        for _ in range(self.iterations):
+            with_deg = ranks.join(
+                deg, ranks["node"] == deg["_s"], how="left"
+            )
+            contrib = (
+                with_deg.filter(F.col("_deg").isNotNull())
+                .join(e, on="_s")
+                .select(
+                    F.col("_d").alias("node"),
+                    (F.col("rank") / F.col("_deg")).alias("_c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("_c").alias("_in"))
+            )
+            dangling = with_deg.filter(F.col("_deg").isNull()).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+            )
+            ranks = (
+                nodes.join(contrib, on="node", how="left")
+                .crossJoin(F.broadcast(n_df))
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node",
+                    (
+                        (1.0 - d) / F.col("_n")
+                        + d
+                        * (
+                            F.coalesce(F.col("_in"), F.lit(0.0))
+                            + F.col("_dm") / F.col("_n")
+                        )
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        nodes.unpersist()
+        return ranks

@@ -3188,3 +3188,30 @@ def test_compression_ratio_ordering(spark):
     assert out[1]["compression_ratio"] < out[2]["compression_ratio"]
     assert out[3]["compression_ratio"] is None and out[3]["raw_bytes"] == 0
     assert out[2]["compressed_bytes"] > 0
+
+
+def test_pagerank_known_graphs(spark):
+    from replay_spark.web import LinkGraphRank
+
+    # 2-cycle: symmetric -> 0.5 / 0.5 exactly at any damping
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    out = {r["node"]: r["rank"] for r in LinkGraphRank(iterations=20).rank(cyc).collect()}
+    assert out[1] == pytest.approx(0.5, abs=1e-9)
+    assert out[2] == pytest.approx(0.5, abs=1e-9)
+
+    # star into node 0 (0 is dangling): closed form for d=0.85, n=4
+    star = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0)], "src long, dst long"
+    )
+    ranks = {
+        r["node"]: r["rank"]
+        for r in LinkGraphRank(iterations=60).rank(star).collect()
+    }
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+    # leaves are symmetric; the hub dominates
+    assert ranks[1] == pytest.approx(ranks[2], abs=1e-9)
+    assert ranks[0] > 2.5 * ranks[1]
+    # fixed point: hub = (1-d)/n + d*(3*leaf + hub*d_mass/n) ... verify
+    # via the invariant leaf = (1-d)/n + d*hub/4 (dangling hub only)
+    d, n = 0.85, 4
+    assert ranks[1] == pytest.approx((1 - d) / n + d * ranks[0] / n, abs=1e-6)
