@@ -2579,6 +2579,46 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", stable_round("rank", 6).alias("rank"))
 
 
+def q_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset sink/source roundtrip: documents export to tar
+    shards (one writer task per shard, deterministic headers) and
+    read back as (key, files-map); recovered text must byte-match
+    the corpus, which DuckDB checks from lengths + md5 of the
+    original column."""
+    import os
+    import tempfile
+
+    from replay_spark.data.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    export = docs.select(
+        F.concat(
+            F.lit("doc"), F.lpad(F.col("doc_id").cast("string"), 8, "0")
+        ).alias("key"),
+        "text",
+        "source",
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"rs_wds_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    write_webdataset(export, out_dir, key_column="key", num_shards=8)
+    back = read_webdataset(spark, out_dir)
+    return back.select(
+        "key",
+        F.size("files").alias("n_files"),
+        F.md5(F.decode(F.element_at("files", "text"), "UTF-8")).alias(
+            "text_md5"
+        ),
+        F.decode(F.element_at("files", "source"), "UTF-8").alias(
+            "source"
+        ),
+    )
+
+
 def q_streaming_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming/batch parity gate for the stateful per-source
     admission cap: with the whole corpus arriving as ONE micro-batch
@@ -3402,6 +3442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_augment": q_image_augment,
         "q_compression_ratio": q_compression_ratio,
         "q_pagerank": q_pagerank,
+        "q_webdataset": q_webdataset,
         "q_spectrogram": q_spectrogram,
         "q_sessionize": q_sessionize,
         "q_lang_id": q_lang_id,
@@ -4912,6 +4953,14 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY source ORDER BY doc_id) AS rn
                 FROM documents) t
             WHERE rn <= 40
+        """,
+        "q_webdataset": """
+            SELECT 'doc' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+                       AS key,
+                   2 AS n_files,
+                   md5(text) AS text_md5,
+                   source
+            FROM documents
         """,
         "q_image_augment": """
             WITH q AS (

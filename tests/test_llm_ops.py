@@ -3215,3 +3215,32 @@ def test_pagerank_known_graphs(spark):
     # via the invariant leaf = (1-d)/n + d*hub/4 (dangling hub only)
     d, n = 0.85, 4
     assert ranks[1] == pytest.approx((1 - d) / n + d * ranks[0] / n, abs=1e-6)
+
+
+def test_webdataset_roundtrip_and_determinism(spark, tmp_path):
+    import hashlib
+    import os
+
+    from replay_spark.data.webdataset import read_webdataset, write_webdataset
+
+    df = spark.createDataFrame(
+        [
+            (f"doc{i:03d}", f"text body {i}", bytes([i, i + 1, i + 2]))
+            for i in range(40)
+        ],
+        "key string, txt string, payload binary",
+    )
+    out1, out2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    shards = write_webdataset(df, out1, key_column="key", num_shards=4)
+    assert shards == [f"shard-{i:05d}.tar" for i in range(4)]
+    back = read_webdataset(spark, out1)
+    rows = {r["key"]: r for r in back.collect()}
+    assert len(rows) == 40
+    assert bytes(rows["doc007"]["files"]["payload"]) == bytes([7, 8, 9])
+    assert rows["doc007"]["files"]["txt"] == b"text body 7"
+    # deterministic re-export: byte-identical shards
+    write_webdataset(df, out2, key_column="key", num_shards=4)
+    for s in shards:
+        h1 = hashlib.md5(open(os.path.join(out1, s), "rb").read()).hexdigest()
+        h2 = hashlib.md5(open(os.path.join(out2, s), "rb").read()).hexdigest()
+        assert h1 == h2, s
