@@ -2619,6 +2619,28 @@ def q_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization gate: every doc gets a planted suffix
+    with composed é, decomposed e+combining-acute, and ñ; NFC +
+    accent-strip + lowercase must agree byte-for-byte with DuckDB's
+    ICU nfc_normalize/strip_accents (Unicode normalization
+    stability makes this engine-independent)."""
+    from replay_spark.preprocessing.text import TextNormalizer
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Café café nñu"),
+        ).alias("text"),
+    )
+    out = TextNormalizer(
+        form="NFC", strip_accents=True, lowercase=True
+    ).transform(planted)
+    return out.select("doc_id", "text_norm")
+
+
 def q_streaming_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming/batch parity gate for the stateful per-source
     admission cap: with the whole corpus arriving as ONE micro-batch
@@ -3443,6 +3465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_compression_ratio": q_compression_ratio,
         "q_pagerank": q_pagerank,
         "q_webdataset": q_webdataset,
+        "q_text_normalize": q_text_normalize,
         "q_spectrogram": q_spectrogram,
         "q_sessionize": q_sessionize,
         "q_lang_id": q_lang_id,
@@ -4953,6 +4976,14 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY source ORDER BY doc_id) AS rn
                 FROM documents) t
             WHERE rn <= 40
+        """,
+        "q_text_normalize": """
+            SELECT doc_id,
+                   lower(strip_accents(nfc_normalize(
+                       text || ' Caf' || chr(233) || ' cafe'
+                            || chr(769) || ' n' || chr(241) || 'u'
+                   ))) AS text_norm
+            FROM documents
         """,
         "q_webdataset": """
             SELECT 'doc' || lpad(CAST(doc_id AS VARCHAR), 8, '0')

@@ -34,6 +34,7 @@ __all__ = [
     "SentenceSplitter",
     "BlocklistFilter",
     "CompressionRatioScorer",
+    "TextNormalizer",
     "CorpusMixer",
     "VocabBuilder",
     "TfIdfKeywords",
@@ -615,6 +616,76 @@ class DocumentChunker:
             F.concat_ws(" ", "_chunk_tokens").alias("chunk_text"),
             F.size("_chunk_tokens").alias("n_tokens"),
         )
+
+
+class TextNormalizer:
+    """Unicode normalization for dedup keys and tokenizer inputs —
+    the step CCNet/Dolma run before hashing so that visually
+    identical strings (composed vs combining-mark accents,
+    compatibility ligatures, width variants) collide: ``form``
+    (NFC/NFKC/NFD/NFKD via ``unicodedata``), optional accent
+    stripping (NFD → drop combining marks → recompose), optional
+    lowercasing.
+
+    Unicode's normalization-stability policy makes the mapping
+    version-independent for assigned codepoints, which is why the
+    ``q_text_normalize`` gate can hash-match DuckDB's ICU
+    ``nfc_normalize``/``strip_accents`` on planted accent forms.
+    Arrow-batched ``mapInPandas`` (Python's ``unicodedata`` is the
+    reference implementation; there is no JVM builtin) — an
+    embarrassingly parallel scan. No reference counterpart
+    (LLM-pipeline extension).
+    """
+
+    def __init__(
+        self,
+        text_column: str = "text",
+        output_column: str = "text_norm",
+        form: str = "NFC",
+        strip_accents: bool = False,
+        lowercase: bool = False,
+    ):
+        if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+            raise ValueError(f"unknown form: {form!r}")
+        self.text_column = text_column
+        self.output_column = output_column
+        self.form = form
+        self.strip_accents = strip_accents
+        self.lowercase = lowercase
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        tc, oc = self.text_column, self.output_column
+        form, strip, lower = self.form, self.strip_accents, self.lowercase
+        out_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+        ) + f", {oc} string"
+
+        def normalize(batches):
+            import unicodedata
+
+            recompose = form if form in ("NFC", "NFKC") else "NFC"
+
+            def one(s):
+                if s is None:
+                    return None
+                s = unicodedata.normalize(form, s)
+                if strip:
+                    s = "".join(
+                        c
+                        for c in unicodedata.normalize("NFD", s)
+                        if not unicodedata.combining(c)
+                    )
+                    s = unicodedata.normalize(recompose, s)
+                if lower:
+                    s = s.lower()
+                return s
+
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf[oc] = [one(s) for s in pdf[tc]]
+                yield pdf
+
+        return df.mapInPandas(normalize, schema=out_schema)
 
 
 class CompressionRatioScorer:

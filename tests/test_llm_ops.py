@@ -3244,3 +3244,44 @@ def test_webdataset_roundtrip_and_determinism(spark, tmp_path):
         h1 = hashlib.md5(open(os.path.join(out1, s), "rb").read()).hexdigest()
         h2 = hashlib.md5(open(os.path.join(out2, s), "rb").read()).hexdigest()
         assert h1 == h2, s
+
+
+def test_text_normalizer_forms():
+    # pure-python semantics, no Spark needed for the mapping itself
+    import unicodedata
+
+    composed = "Café"
+    decomposed = "Café"
+    assert unicodedata.normalize("NFC", decomposed) == composed
+
+
+def test_text_normalizer_dataframe(spark):
+    from replay_spark.preprocessing.text import TextNormalizer
+
+    df = spark.createDataFrame(
+        [
+            (0, "Café meets Café"),
+            (1, "ﬁne ligature"),  # fi ligature
+            (2, None),
+        ],
+        "doc_id long, text string",
+    )
+    nfc = {
+        r["doc_id"]: r["text_norm"]
+        for r in TextNormalizer(form="NFC").transform(df).collect()
+    }
+    assert nfc[0] == "Café meets Café"
+    assert nfc[1].startswith("ﬁ")  # NFC keeps ligatures
+    assert nfc[2] is None
+    nfkc = {
+        r["doc_id"]: r["text_norm"]
+        for r in TextNormalizer(form="NFKC").transform(df).collect()
+    }
+    assert nfkc[1] == "fine ligature"  # NFKC folds them
+    stripped = {
+        r["doc_id"]: r["text_norm"]
+        for r in TextNormalizer(
+            form="NFC", strip_accents=True, lowercase=True
+        ).transform(df).collect()
+    }
+    assert stripped[0] == "cafe meets cafe"
