@@ -2641,6 +2641,34 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text_norm")
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list index over the corpus: per-token doc frequency
+    + the first 20 doc ids, both SQL-replayable."""
+    from replay_spark.preprocessing.text import InvertedIndex
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    out = InvertedIndex(max_postings=20).build(docs)
+    return out.select(
+        "token",
+        "doc_freq",
+        F.concat_ws(
+            ",", F.transform("postings", lambda x: x.cast("string"))
+        ).alias("postings"),
+    )
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval scores for a fixed two-token query over
+    the corpus (Lucene-style idf), hash-matched to the SQL replay."""
+    from replay_spark.preprocessing.text import BM25SearchScorer
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    out = BM25SearchScorer().score(docs, "data spark")
+    return out.select(
+        "doc_id", "n_hits", stable_round("bm25", 6).alias("bm25")
+    )
+
+
 def q_streaming_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming/batch parity gate for the stateful per-source
     admission cap: with the whole corpus arriving as ONE micro-batch
@@ -3466,6 +3494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank": q_pagerank,
         "q_webdataset": q_webdataset,
         "q_text_normalize": q_text_normalize,
+        "q_inverted_index": q_inverted_index,
+        "q_bm25_search": q_bm25_search,
         "q_spectrogram": q_spectrogram,
         "q_sessionize": q_sessionize,
         "q_lang_id": q_lang_id,
@@ -4976,6 +5006,52 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY source ORDER BY doc_id) AS rn
                 FROM documents) t
             WHERE rn <= 40
+        """,
+        "q_inverted_index": """
+            WITH pairs AS (
+                SELECT DISTINCT doc_id,
+                       unnest(string_split_regex(trim(lower(text)),
+                                                 '\\s+')) AS token
+                FROM documents
+                WHERE trim(text) <> '')
+            SELECT token,
+                   count(*) AS doc_freq,
+                   array_to_string(list_transform(
+                       list_slice(list_sort(list(doc_id)), 1, 20),
+                       x -> CAST(x AS VARCHAR)), ',') AS postings
+            FROM pairs GROUP BY token
+        """,
+        "q_bm25_search": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)),
+                                                 '\\s+')) AS token
+                FROM documents
+                WHERE trim(text) <> ''),
+            lens AS (
+                SELECT doc_id, count(*) AS dl FROM toks
+                GROUP BY doc_id),
+            stats AS (
+                SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+            tf AS (
+                SELECT doc_id, token, count(*) AS tf FROM toks
+                WHERE token IN ('data', 'spark')
+                GROUP BY doc_id, token),
+            dfreq AS (
+                SELECT token, count(*) AS df FROM tf GROUP BY token)
+            SELECT t.doc_id,
+                   count(*) AS n_hits,
+                   round(sum(
+                       ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                       * t.tf * 2.2
+                       / (t.tf + 1.2 * (1.0 - 0.75
+                                        + 0.75 * l.dl / s.avgdl))
+                   ) + 1e-9, 6) AS bm25
+            FROM tf t
+            JOIN dfreq d USING (token)
+            JOIN lens l USING (doc_id)
+            CROSS JOIN stats s
+            GROUP BY t.doc_id
         """,
         "q_text_normalize": """
             SELECT doc_id,

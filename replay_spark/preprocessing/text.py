@@ -37,6 +37,8 @@ __all__ = [
     "TextNormalizer",
     "CorpusMixer",
     "VocabBuilder",
+    "InvertedIndex",
+    "BM25SearchScorer",
     "TfIdfKeywords",
     "UnigramLMScorer",
     "BigramLMScorer",
@@ -944,6 +946,138 @@ class CorpusMixer:
         else:
             fractions = {k: float(v) for k, v in self.fractions.items()}
         return df.sampleBy(self.stratum_column, fractions, seed=self.seed)
+
+
+class InvertedIndex:
+    """Token → posting-list index over the corpus — the search-side
+    sink a contamination checker or retrieval pipeline reads:
+    per-token document frequency and the (sorted, capped) posting
+    array.
+
+    Plan: one explode + distinct + token-keyed aggregation. The cap
+    is applied with a per-token row_number window BEFORE collecting,
+    so an uncapped hot token never materializes an unbounded array
+    in one aggregation buffer; a pathologically hot token still
+    lands in one window task — route through the salted two-phase
+    cutoff (:class:`SourceCapFilter`'s device) if that matters at
+    your scale. ``q_inverted_index`` hash-gates df + postings
+    against SQL. No reference counterpart (LLM-pipeline extension).
+    """
+
+    def __init__(
+        self,
+        text_column: str = "text",
+        id_column: str = "doc_id",
+        max_postings: int = 1000,
+        lowercase: bool = True,
+    ):
+        if max_postings < 1:
+            raise ValueError("max_postings must be >= 1")
+        self.text_column = text_column
+        self.id_column = id_column
+        self.max_postings = max_postings
+        self.lowercase = lowercase
+
+    def build(self, df: DataFrame) -> DataFrame:
+        """``[token, doc_freq, postings]`` (postings = first
+        ``max_postings`` doc ids ascending)."""
+        idc = self.id_column
+        text = F.col(self.text_column)
+        if self.lowercase:
+            text = F.lower(text)
+        pairs = df.select(
+            F.col(idc), F.explode(tokenize_expr(text)).alias("token")
+        ).distinct()
+        w = Window.partitionBy("token").orderBy(F.col(idc).asc())
+        capped = pairs.withColumn("_rn", F.row_number().over(w))
+        freq = pairs.groupBy("token").agg(
+            F.count("*").alias("doc_freq")
+        )
+        postings = (
+            capped.filter(F.col("_rn") <= self.max_postings)
+            .groupBy("token")
+            .agg(F.sort_array(F.collect_list(idc)).alias("postings"))
+        )
+        return freq.join(postings, on="token")
+
+
+class BM25SearchScorer:
+    """Okapi BM25 document ranking for a free-text query — the
+    retrieval scoring loop (Lucene-style non-negative idf):
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avg))
+        idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)
+
+    One corpus pass for (df, lengths), one explode + broadcast join
+    on the query's tokens, one doc-keyed sum — all JVM expressions,
+    replayed exactly by the ``q_bm25_search`` oracle. Complements
+    ItemKNN's bm25 ITEM weighting (models/knn.py) with the
+    text-retrieval form. No reference counterpart (LLM-pipeline
+    extension).
+    """
+
+    def __init__(
+        self,
+        text_column: str = "text",
+        id_column: str = "doc_id",
+        k1: float = 1.2,
+        b: float = 0.75,
+    ):
+        self.text_column = text_column
+        self.id_column = id_column
+        self.k1 = k1
+        self.b = b
+
+    def score(self, df: DataFrame, query: str) -> DataFrame:
+        """``[<id_column>, n_hits, bm25]`` for docs matching ≥1
+        query token; ``bm25`` unrounded (callers gate with
+        stable_round)."""
+        idc, k1, b = self.id_column, self.k1, self.b
+        q_tokens = sorted(set(query.lower().split()))
+        if not q_tokens:
+            raise ValueError("query has no tokens")
+        toks = df.select(
+            F.col(idc),
+            F.explode(
+                tokenize_expr(F.lower(F.col(self.text_column)))
+            ).alias("token"),
+        )
+        lens = toks.groupBy(idc).agg(F.count("*").alias("_dl"))
+        stats = lens.agg(
+            F.count("*").alias("_n"), F.avg("_dl").alias("_avg")
+        )
+        q_lit = F.array(*[F.lit(t) for t in q_tokens])
+        hits = toks.filter(F.array_contains(q_lit, F.col("token")))
+        tf = hits.groupBy(idc, "token").agg(F.count("*").alias("_tf"))
+        dfreq = tf.groupBy("token").agg(F.count("*").alias("_df"))
+        scored = (
+            tf.join(F.broadcast(dfreq), on="token")
+            .join(lens, on=idc)
+            .crossJoin(F.broadcast(stats))
+            .withColumn(
+                "_idf",
+                F.log(
+                    (F.col("_n") - F.col("_df") + 0.5)
+                    / (F.col("_df") + 0.5)
+                    + 1.0
+                ),
+            )
+            .withColumn(
+                "_s",
+                F.col("_idf")
+                * F.col("_tf")
+                * (k1 + 1.0)
+                / (
+                    F.col("_tf")
+                    + k1
+                    * (1.0 - b + b * F.col("_dl") / F.col("_avg"))
+                ),
+            )
+        )
+        return scored.groupBy(idc).agg(
+            F.count("*").alias("n_hits"),
+            F.sum("_s").alias("bm25"),
+        )
 
 
 class VocabBuilder:

@@ -3285,3 +3285,30 @@ def test_text_normalizer_dataframe(spark):
         ).transform(df).collect()
     }
     assert stripped[0] == "cafe meets cafe"
+
+
+def test_inverted_index_and_bm25(spark):
+    from replay_spark.preprocessing.text import BM25SearchScorer, InvertedIndex
+
+    df = spark.createDataFrame(
+        [
+            (0, "spark spark spark engine"),
+            (1, "spark data engine"),
+            (2, "data data warehouse"),
+            (3, "unrelated words only"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = {r["token"]: r for r in InvertedIndex(max_postings=2).build(df).collect()}
+    assert idx["spark"]["doc_freq"] == 2
+    assert idx["spark"]["postings"] == [0, 1]  # sorted, capped
+    assert idx["data"]["doc_freq"] == 2 and idx["data"]["postings"] == [1, 2]
+    assert idx["engine"]["doc_freq"] == 2
+
+    out = {r["doc_id"]: r for r in BM25SearchScorer().score(df, "spark data").collect()}
+    assert 3 not in out  # no query token -> no row
+    assert out[1]["n_hits"] == 2
+    # doc 1 matches both terms; doc 0 matches one term thrice --
+    # BM25's tf saturation must rank the two-term doc higher
+    assert out[1]["bm25"] > out[0]["bm25"]
+    assert out[2]["bm25"] > 0
