@@ -157,3 +157,94 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bucket_plan_a")
         spark.sql("DROP TABLE IF EXISTS bucket_plan_b")
+
+
+def test_dsir_bucket_tables_broadcast(sf):
+    """DSIRSelector.weights: the ≤64k-bucket log-ratio LUT must join
+    the exploded features via BROADCAST — a shuffle join over the
+    feature stream would move the whole corpus."""
+    from replay_spark.preprocessing.text import DSIRSelector
+
+    docs = sf("documents")
+    target = docs.filter(F.col("doc_id") % 5 == 0)
+    raw = docs.filter(F.col("doc_id") % 5 != 0)
+    plan = _plan(DSIRSelector().weights(raw, target))
+    nodes = _nodes(plan)
+    assert "BroadcastHashJoin" in nodes, nodes
+    # ONE merge join is legitimate: the full-outer merge of the two
+    # ≤64k-row count tables. The feature STREAM must never merge-join.
+    assert nodes.count("SortMergeJoin") <= 1, nodes
+
+
+def test_cms_estimate_broadcasts_sketch(sf):
+    """CountMinSketch.estimate: the ≤depth·width sketch broadcasts;
+    query hashing is an explode + broadcast join, never a shuffle
+    join keyed on the sketch."""
+    from replay_spark.preprocessing.text import CountMinSketch, tokenize_expr
+
+    docs = sf("documents")
+    toks = docs.select(
+        F.explode(tokenize_expr(F.lower(F.col("text")))).alias("token")
+    )
+    cms = CountMinSketch(depth=3, width=256)
+    plan = _plan(cms.estimate(cms.fit(toks), toks.distinct()))
+    assert "BroadcastHashJoin" in _nodes(plan)
+
+
+def test_ccnet_bucketer_single_range_exchange(sf):
+    """PerplexityBucketer exact strategy: ONE range exchange for the
+    global order; no per-language hash exchange of the full frame
+    beyond it (the broadcast offsets join adds only broadcast nodes)."""
+    from replay_spark.preprocessing.text import PerplexityBucketer
+
+    docs = sf("documents")
+    scored = docs.select(
+        "doc_id",
+        F.col("lang"),
+        F.length("text").cast("double").alias("lm_score"),
+    )
+    plan = _plan(PerplexityBucketer(strategy="exact").transform(scored))
+    # the range exchange lives inside ordered_row_numbers' PERSISTED
+    # scan (InMemoryTableScan in this plan); what must NOT exist is a
+    # per-language hash exchange of the full frame — the exact shape
+    # this operator was built to avoid
+    assert "InMemoryTableScan" in plan or "rangepartitioning" in plan
+    hash_exchanges = [
+        l
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning(lang" in l
+    ]
+    assert not hash_exchanges, hash_exchanges
+    nodes = _nodes(plan)
+    assert "BroadcastHashJoin" in nodes, nodes
+
+
+def test_range_join_is_hash_equi_join(sf):
+    """range_join: the interval predicate must plan as a hash
+    equi-join on (keys, cell) — BroadcastNestedLoopJoin appearing
+    means the bucketing contract broke."""
+    from replay_spark.utils.spark_utils import range_join
+
+    ev = sf("events")
+    left = ev.select("event_id", "ts", "user_id")
+    right = ev.select(
+        F.col("event_id").alias("rid"),
+        "user_id",
+        F.col("ts").alias("r_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("r_end"),
+    )
+    nodes = _nodes(
+        _plan(range_join(left, right, "ts", "r_start", "r_end", by="user_id"))
+    )
+    assert "BroadcastNestedLoopJoin" not in nodes, nodes
+    assert any("Join" in n for n in nodes), nodes
+
+
+def test_gopher_filter_is_pure_projection(sf):
+    """GopherQualityFilter: no Exchange at all — the whole rule set
+    is a per-row projection over the scan."""
+    from replay_spark.preprocessing.text import GopherQualityFilter
+
+    docs = sf("documents")
+    nodes = _nodes(_plan(GopherQualityFilter().transform(docs)))
+    assert "Exchange" not in nodes, nodes
