@@ -2669,6 +2669,28 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source approximate distinct tokens: grouped HLL with the
+    exact-integer estimator, plus the true per-source distinct for
+    accuracy pinning — all in one hash."""
+    from replay_spark.preprocessing.text import HyperLogLog, tokenize_expr
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(tokenize_expr(F.lower(F.col("text")))).alias("token"),
+    )
+    hll = HyperLogLog(b=6)
+    regs = hll.fit_grouped(toks, ["source"])
+    est = hll.estimate_grouped(regs, ["source"])
+    truth = toks.groupBy("source").agg(
+        F.countDistinct("token").alias("true_distinct")
+    )
+    return est.join(truth, on="source").select(
+        "source", "v_empty", "n_nonzero", "est", "true_distinct"
+    )
+
+
 def q_streaming_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming/batch parity gate for the stateful per-source
     admission cap: with the whole corpus arriving as ONE micro-batch
@@ -3496,6 +3518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_normalize": q_text_normalize,
         "q_inverted_index": q_inverted_index,
         "q_bm25_search": q_bm25_search,
+        "q_hll_grouped": q_hll_grouped,
         "q_spectrogram": q_spectrogram,
         "q_sessionize": q_sessionize,
         "q_lang_id": q_lang_id,
@@ -5006,6 +5029,63 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY source ORDER BY doc_id) AS rn
                 FROM documents) t
             WHERE rn <= 40
+        """,
+        "q_hll_grouped": """
+            WITH toks AS (
+                SELECT source,
+                       unnest(string_split_regex(trim(lower(text)),
+                                                 '\\s+')) AS token
+                FROM documents
+                WHERE trim(text) <> ''),
+            hh AS (
+                SELECT source,
+                       list_reduce(list_transform(range(1, 16),
+                           j -> CAST(strpos('0123456789abcdef',
+                                    substr(md5(token),
+                                           CAST(j AS INT), 1)) - 1
+                                AS BIGINT)),
+                           (acc, x) -> acc * 16 + x) AS h
+                FROM toks),
+            rr AS (
+                SELECT source, h % 64 AS register,
+                       CASE WHEN h // 64 = 0 THEN 55
+                            ELSE 55 - length(bin(h // 64)) END AS rho
+                FROM hh),
+            regs AS (
+                SELECT source, register, max(rho) AS rho_max
+                FROM rr GROUP BY source, register),
+            st AS (
+                SELECT source, max(rho_max) AS maxm,
+                       count(*) AS nz
+                FROM regs GROUP BY source),
+            s AS (
+                SELECT r.source,
+                       sum(CAST(pow(2, st.maxm - r.rho_max)
+                                AS BIGINT)) AS sne,
+                       any_value(st.maxm) AS maxm,
+                       any_value(st.nz) AS nz
+                FROM regs r JOIN st USING (source)
+                GROUP BY r.source),
+            e AS (
+                SELECT source, 64 - nz AS v_empty, nz AS n_nonzero,
+                       round(CASE
+                           WHEN (64 - nz) > 0
+                                AND (0.709 * 64 * 64 * pow(2, maxm)
+                                     / (sne + (64 - nz)
+                                        * CAST(pow(2, maxm)
+                                               AS BIGINT))) <= 160.0
+                           THEN 64.0 * ln(64.0 / (64 - nz))
+                           ELSE 0.709 * 64 * 64 * pow(2, maxm)
+                                / (sne + (64 - nz)
+                                   * CAST(pow(2, maxm) AS BIGINT))
+                       END + 1e-9, 4) AS est
+                FROM s),
+            t AS (
+                SELECT source, count(DISTINCT token) AS true_distinct
+                FROM toks GROUP BY source)
+            SELECT e.source, e.v_empty, e.n_nonzero, e.est,
+                   t.true_distinct
+            FROM e JOIN t USING (source)
         """,
         "q_inverted_index": """
             WITH pairs AS (

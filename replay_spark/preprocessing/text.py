@@ -1836,6 +1836,71 @@ class HyperLogLog:
         """Convenience: fit + estimate in one call."""
         return self.estimate(self.fit(df))
 
+    def fit_grouped(self, df: DataFrame, group_cols: list) -> DataFrame:
+        """Per-group register tables ``[*group_cols, register,
+        rho_max]`` — ≤ m rows per group, one map-side-combined MAX
+        aggregation (the scalable ``approx COUNT(DISTINCT) GROUP
+        BY``)."""
+        wbits = self.HASH_BITS - self.b
+        h = F.conv(
+            F.substring(F.md5(F.col(self.token_column)), 1, 15), 16, 10
+        ).cast("long")
+        hashed = df.select(
+            *group_cols,
+            F.pmod(h, F.lit(self.m)).alias("register"),
+            F.floor(h / self.m).cast("long").alias("_w"),
+        )
+        rho = F.when(
+            F.col("_w") == 0, F.lit(wbits + 1)
+        ).otherwise(F.lit(wbits + 1) - F.length(F.bin(F.col("_w"))))
+        return (
+            hashed.withColumn("_rho", rho)
+            .groupBy(*group_cols, "register")
+            .agg(F.max("_rho").alias("rho_max"))
+        )
+
+    def estimate_grouped(
+        self, registers: DataFrame, group_cols: list
+    ) -> DataFrame:
+        """Per-group ``[*group_cols, v_empty, n_nonzero, est]`` from
+        :meth:`fit_grouped` output — the same exact-integer
+        formulation, one grouped aggregation (every group has ≥ 1
+        register by construction, so no empty-input row handling)."""
+        m, alpha = self.m, self.alpha
+        stats = registers.groupBy(*group_cols).agg(
+            F.max("rho_max").alias("_maxm"),
+            F.count("*").alias("_nz"),
+        )
+        joined = registers.join(F.broadcast(stats), on=group_cols)
+        summed = joined.groupBy(*group_cols).agg(
+            F.sum(
+                F.pow(F.lit(2.0), F.col("_maxm") - F.col("rho_max")).cast(
+                    "long"
+                )
+            ).alias("_sne"),
+            F.first("_maxm").alias("_maxm"),
+            F.first("_nz").alias("_nz"),
+        )
+        s_total = F.col("_sne") + (F.lit(m) - F.col("_nz")) * F.pow(
+            F.lit(2.0), F.col("_maxm")
+        ).cast("long")
+        raw = (
+            F.lit(alpha * m * m)
+            * F.pow(F.lit(2.0), F.col("_maxm"))
+            / s_total
+        )
+        v = F.lit(m) - F.col("_nz")
+        est = F.when(
+            (v > 0) & (raw <= 2.5 * m),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+        ).otherwise(raw)
+        return summed.select(
+            *group_cols,
+            v.cast("long").alias("v_empty"),
+            F.col("_nz").cast("long").alias("n_nonzero"),
+            stable_round(est, 4).alias("est"),
+        )
+
 
 class DSIRSelector:
     """Data Selection with Importance Resampling (Xie et al. 2023):

@@ -3312,3 +3312,20 @@ def test_inverted_index_and_bm25(spark):
     # BM25's tf saturation must rank the two-term doc higher
     assert out[1]["bm25"] > out[0]["bm25"]
     assert out[2]["bm25"] > 0
+
+
+def test_hyperloglog_grouped(spark):
+    from replay_spark.preprocessing.text import HyperLogLog
+
+    rows = [("a", f"tok{i % 500}") for i in range(1500)]
+    rows += [("b", f"tok{i % 20}") for i in range(100)]
+    df = spark.createDataFrame(rows, "grp string, token string")
+    hll = HyperLogLog(b=8)
+    regs = hll.fit_grouped(df, ["grp"])
+    assert regs.groupBy("grp").count().agg(F.max("count")).first()[0] <= 256
+    est = {
+        r["grp"]: r["est"]
+        for r in hll.estimate_grouped(regs, ["grp"]).collect()
+    }
+    assert abs(est["a"] - 500) / 500 < 0.2
+    assert abs(est["b"] - 20) <= 4  # linear-counting regime
