@@ -2691,6 +2691,18 @@ def q_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by md5
+    bucket of doc_id — growth-stable and engine-reproducible."""
+    from replay_spark.preprocessing.text import HashSplitter
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    out = HashSplitter(
+        {"train": 0.8, "val": 0.1, "test": 0.1}, granularity=1000
+    ).transform(docs)
+    return out.select("doc_id", "split")
+
+
 def q_streaming_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming/batch parity gate for the stateful per-source
     admission cap: with the whole corpus arriving as ONE micro-batch
@@ -3519,6 +3531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_inverted_index": q_inverted_index,
         "q_bm25_search": q_bm25_search,
         "q_hll_grouped": q_hll_grouped,
+        "q_hash_split": q_hash_split,
         "q_spectrogram": q_spectrogram,
         "q_sessionize": q_sessionize,
         "q_lang_id": q_lang_id,
@@ -5029,6 +5042,24 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY source ORDER BY doc_id) AS rn
                 FROM documents) t
             WHERE rn <= 40
+        """,
+        "q_hash_split": """
+            WITH b AS (
+                SELECT doc_id,
+                       list_reduce(list_transform(range(1, 16),
+                           j -> CAST(strpos('0123456789abcdef',
+                                    substr(md5(CAST(doc_id
+                                                    AS VARCHAR)),
+                                           CAST(j AS INT), 1)) - 1
+                                AS BIGINT)),
+                           (acc, x) -> acc * 16 + x) % 1000
+                           AS bucket
+                FROM documents)
+            SELECT doc_id,
+                   CASE WHEN bucket < 800 THEN 'train'
+                        WHEN bucket < 900 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
         """,
         "q_hll_grouped": """
             WITH toks AS (

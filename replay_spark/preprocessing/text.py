@@ -35,6 +35,7 @@ __all__ = [
     "BlocklistFilter",
     "CompressionRatioScorer",
     "TextNormalizer",
+    "HashSplitter",
     "CorpusMixer",
     "VocabBuilder",
     "InvertedIndex",
@@ -618,6 +619,71 @@ class DocumentChunker:
             F.concat_ws(" ", "_chunk_tokens").alias("chunk_text"),
             F.size("_chunk_tokens").alias("n_tokens"),
         )
+
+
+class HashSplitter:
+    """Deterministic train/validation/test corpus splitting by key
+    hash — the split every dataset card describes ("docs are
+    assigned by hash of id"): bucket = md5/xxhash64(key) mod
+    ``granularity``, contiguous bucket ranges map to named splits by
+    weight. Stable under corpus growth (a document's split never
+    changes when other documents arrive — the property random
+    splits lack), reproducible in any engine (md5 family →
+    ``q_hash_split`` gate), zero shuffle: the assignment is a
+    projection.
+
+    Not the interaction-level :mod:`replay_spark.splitters` (those
+    implement the reference's recsys split semantics); this is the
+    corpus-level device. No reference counterpart (LLM-pipeline
+    extension).
+    """
+
+    def __init__(
+        self,
+        weights: dict,
+        key_column: str = "doc_id",
+        granularity: int = 10_000,
+        hash_family: str = "md5",
+        output_column: str = "split",
+    ):
+        if not weights or abs(sum(weights.values()) - 1.0) > 1e-9:
+            raise ValueError("weights must be a non-empty dict summing to 1")
+        if hash_family not in ("md5", "xxhash64"):
+            raise ValueError(f"unknown hash_family: {hash_family!r}")
+        self.weights = dict(weights)
+        self.key_column = key_column
+        self.granularity = granularity
+        self.hash_family = hash_family
+        self.output_column = output_column
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        key = F.col(self.key_column).cast("string")
+        if self.hash_family == "xxhash64":
+            bucket = F.pmod(F.xxhash64(key), F.lit(self.granularity))
+        else:
+            bucket = F.pmod(
+                F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast(
+                    "long"
+                ),
+                F.lit(self.granularity),
+            )
+        # cumulative integer bucket boundaries, deterministic order
+        expr = None
+        acc = 0
+        names = list(self.weights)
+        for i, name in enumerate(names):
+            if i == len(names) - 1:
+                hi = self.granularity  # absorb rounding remainder
+            else:
+                hi = acc + int(round(self.weights[name] * self.granularity))
+            cond = bucket < F.lit(hi)
+            expr = (
+                F.when(cond, F.lit(name))
+                if expr is None
+                else expr.when(cond, F.lit(name))
+            )
+            acc = hi
+        return df.withColumn(self.output_column, expr)
 
 
 class TextNormalizer:

@@ -3329,3 +3329,26 @@ def test_hyperloglog_grouped(spark):
     }
     assert abs(est["a"] - 500) / 500 < 0.2
     assert abs(est["b"] - 20) <= 4  # linear-counting regime
+
+
+def test_hash_splitter_stability_and_proportions(spark):
+    from replay_spark.preprocessing.text import HashSplitter
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(5000)], "doc_id long, text string"
+    )
+    sp = HashSplitter({"train": 0.8, "val": 0.1, "test": 0.1})
+    out = {r["doc_id"]: r["split"] for r in sp.transform(df).collect()}
+    counts = {}
+    for v in out.values():
+        counts[v] = counts.get(v, 0) + 1
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03
+    assert abs(counts["val"] / 5000 - 0.1) < 0.02
+    # growth stability: the same ids keep their split in a superset
+    bigger = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(8000)], "doc_id long, text string"
+    )
+    out2 = {r["doc_id"]: r["split"] for r in sp.transform(bigger).collect()}
+    assert all(out2[i] == out[i] for i in out)
+    with pytest.raises(ValueError):
+        HashSplitter({"a": 0.5, "b": 0.4})
