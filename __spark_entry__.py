@@ -2703,6 +2703,27 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell fuzzy matching over the corpus vocabulary augmented
+    with planted last-char-dropped variants (so distance-1 pairs
+    exist by construction); candidates via deletion-variant
+    equi-join, verified with levenshtein in both engines."""
+    from replay_spark.preprocessing.text import (
+        FuzzyTokenMatcher,
+        tokenize_expr,
+    )
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tokenize_expr(F.lower(F.col("text")))).alias("token")
+    ).distinct()
+    planted = toks.filter(F.length("token") > 2).select(
+        F.expr("substring(token, 1, length(token) - 1)").alias("token")
+    )
+    vocab = toks.union(planted).distinct()
+    return FuzzyTokenMatcher().pairs(vocab)
+
+
 def q_streaming_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming/batch parity gate for the stateful per-source
     admission cap: with the whole corpus arriving as ONE micro-batch
@@ -3532,6 +3553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_search": q_bm25_search,
         "q_hll_grouped": q_hll_grouped,
         "q_hash_split": q_hash_split,
+        "q_fuzzy_pairs": q_fuzzy_pairs,
         "q_spectrogram": q_spectrogram,
         "q_sessionize": q_sessionize,
         "q_lang_id": q_lang_id,
@@ -5042,6 +5064,41 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY source ORDER BY doc_id) AS rn
                 FROM documents) t
             WHERE rn <= 40
+        """,
+        "q_fuzzy_pairs": """
+            WITH toks AS (
+                SELECT DISTINCT
+                       unnest(string_split_regex(trim(lower(text)),
+                                                 '\\s+')) AS token
+                FROM documents
+                WHERE trim(text) <> ''),
+            vocab AS (
+                SELECT DISTINCT token FROM (
+                    SELECT token FROM toks
+                    UNION
+                    SELECT substr(token, 1, length(token) - 1)
+                    FROM toks WHERE length(token) > 2)),
+            vars AS (
+                SELECT token AS t, v FROM vocab,
+                     LATERAL (
+                         SELECT unnest(list_distinct(list_concat(
+                             [token],
+                             list_transform(
+                                 range(1, length(token) + 1),
+                                 i -> substr(token, 1,
+                                             CAST(i - 1 AS INT))
+                                      || substr(token,
+                                                CAST(i + 1 AS INT),
+                                                1073741824))
+                         ))) AS v) g),
+            cands AS (
+                SELECT DISTINCT a.t AS token_a, b.t AS token_b
+                FROM vars a JOIN vars b USING (v)
+                WHERE a.t < b.t)
+            SELECT token_a, token_b,
+                   CAST(levenshtein(token_a, token_b) AS INT) AS dist
+            FROM cands
+            WHERE levenshtein(token_a, token_b) <= 1
         """,
         "q_hash_split": """
             WITH b AS (

@@ -39,6 +39,7 @@ __all__ = [
     "CorpusMixer",
     "VocabBuilder",
     "InvertedIndex",
+    "FuzzyTokenMatcher",
     "BM25SearchScorer",
     "TfIdfKeywords",
     "UnigramLMScorer",
@@ -1144,6 +1145,65 @@ class BM25SearchScorer:
             F.count("*").alias("n_hits"),
             F.sum("_s").alias("bm25"),
         )
+
+
+class FuzzyTokenMatcher:
+    """SymSpell-style fuzzy matching: all vocabulary token pairs
+    within Levenshtein distance ≤ 1, WITHOUT the all-pairs scan —
+    each token emits itself plus its 1-deletion variants
+    (pure array expressions); any distance-≤1 pair provably shares a
+    variant, so candidates come from an equi-join on the variant key
+    and exact ``levenshtein`` verification runs only on collisions.
+    The same bucket-then-verify shape as the MinHash/SimHash tiers,
+    for the typo/normalization-variant use case (query spelling,
+    near-identical vocab merging).
+
+    Scale: variants ≈ (avg_len+1)× the vocab — linear; the join key
+    is short strings; verification is per-candidate. Candidate
+    completeness for distance 1 is a theorem (substitution pairs
+    share the deletion at the differing position; indel pairs share
+    the shorter string itself); ``q_fuzzy_pairs`` hash-gates the
+    whole path since ``levenshtein`` is exact in any engine. No
+    reference counterpart (LLM-pipeline extension).
+    """
+
+    def __init__(self, token_column: str = "token"):
+        self.token_column = token_column
+
+    def _variants(self, df: DataFrame) -> DataFrame:
+        tok = F.col(self.token_column)
+        big = F.lit(1 << 30)
+        deletions = F.transform(
+            F.sequence(F.lit(1), F.length(tok)),
+            lambda i: F.concat(
+                tok.substr(F.lit(1), i - 1), tok.substr(i + 1, big)
+            ),
+        )
+        variants = F.array_distinct(
+            F.concat(F.array(tok), deletions)
+        )
+        return df.select(
+            tok.alias("_t"), F.explode(variants).alias("_v")
+        )
+
+    def pairs(self, vocab: DataFrame) -> DataFrame:
+        """``[token_a, token_b, dist]`` (a < b) for every distinct
+        vocab pair with Levenshtein distance ≤ 1."""
+        tc = self.token_column
+        left = self._variants(vocab.select(tc).distinct())
+        right = left.withColumnRenamed("_t", "_t2")
+        cands = (
+            left.join(right, on="_v")
+            .filter(F.col("_t") < F.col("_t2"))
+            .select(
+                F.col("_t").alias("token_a"),
+                F.col("_t2").alias("token_b"),
+            )
+            .distinct()
+        )
+        return cands.withColumn(
+            "dist", F.levenshtein("token_a", "token_b")
+        ).filter(F.col("dist") <= 1)
 
 
 class VocabBuilder:

@@ -3352,3 +3352,37 @@ def test_hash_splitter_stability_and_proportions(spark):
     assert all(out2[i] == out[i] for i in out)
     with pytest.raises(ValueError):
         HashSplitter({"a": 0.5, "b": 0.4})
+
+
+def test_fuzzy_token_matcher_completeness(spark):
+    import itertools
+
+    from replay_spark.preprocessing.text import FuzzyTokenMatcher
+
+    words = ["cat", "cot", "cats", "at", "dog", "dogs", "zebra"]
+    df = spark.createDataFrame([(w,) for w in words], "token string")
+    got = {
+        (r["token_a"], r["token_b"]): r["dist"]
+        for r in FuzzyTokenMatcher().pairs(df).collect()
+    }
+
+    def lev(a, b):
+        import numpy as np
+
+        d = np.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(
+                    d[j] + 1, d[j - 1] + 1, prev + (ca != cb)
+                )
+        return int(d[-1])
+
+    expect = {
+        tuple(sorted((a, b))): lev(a, b)
+        for a, b in itertools.combinations(words, 2)
+        if lev(a, b) <= 1
+    }
+    assert got == expect  # exact completeness vs brute force
+    assert ("cat", "cot") in got and ("dog", "dogs") in got
+    assert not any("zebra" in p for p in got)
