@@ -2724,6 +2724,27 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FuzzyTokenMatcher().pairs(vocab)
 
 
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-job per-column profile of the events table: null counts,
+    exact distincts, string-rendered extremes — replayed exactly in
+    SQL. Timestamp min/max rendered via unix micros to sidestep
+    engine string-format differences."""
+    from replay_spark.utils.spark_utils import profile_columns
+
+    events = (
+        rsd.read_table(spark, sf_dir, "events")
+        .withColumn("ts", F.unix_micros("ts"))
+        # cents as BIGINT: double→string rendering differs between
+        # engines (exponent thresholds), integers never do
+        .withColumn(
+            "value", F.floor(F.col("value") * 100).cast("long")
+        )
+    )
+    return profile_columns(
+        events, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+
 def q_streaming_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming/batch parity gate for the stateful per-source
     admission cap: with the whole corpus arriving as ONE micro-batch
@@ -3554,6 +3575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hll_grouped": q_hll_grouped,
         "q_hash_split": q_hash_split,
         "q_fuzzy_pairs": q_fuzzy_pairs,
+        "q_profile_columns": q_profile_columns,
         "q_spectrogram": q_spectrogram,
         "q_sessionize": q_sessionize,
         "q_lang_id": q_lang_id,
@@ -5064,6 +5086,55 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY source ORDER BY doc_id) AS rn
                 FROM documents) t
             WHERE rn <= 40
+        """,
+        "q_profile_columns": """
+            WITH e AS (
+                SELECT event_id, epoch_us(ts) AS ts, user_id,
+                       event_type,
+                       CAST(floor(value * 100) AS BIGINT) AS value
+                FROM events),
+            a AS (
+                SELECT count(*) AS n_rows,
+                       sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0
+                           END) AS nn1,
+                       count(DISTINCT event_id) AS nd1,
+                       CAST(min(event_id) AS VARCHAR) AS mn1,
+                       CAST(max(event_id) AS VARCHAR) AS mx1,
+                       sum(CASE WHEN ts IS NULL THEN 1 ELSE 0
+                           END) AS nn2,
+                       count(DISTINCT ts) AS nd2,
+                       CAST(min(ts) AS VARCHAR) AS mn2,
+                       CAST(max(ts) AS VARCHAR) AS mx2,
+                       sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0
+                           END) AS nn3,
+                       count(DISTINCT user_id) AS nd3,
+                       CAST(min(user_id) AS VARCHAR) AS mn3,
+                       CAST(max(user_id) AS VARCHAR) AS mx3,
+                       sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0
+                           END) AS nn4,
+                       count(DISTINCT event_type) AS nd4,
+                       min(event_type) AS mn4,
+                       max(event_type) AS mx4,
+                       sum(CASE WHEN value IS NULL THEN 1 ELSE 0
+                           END) AS nn5,
+                       count(DISTINCT value) AS nd5,
+                       CAST(min(value) AS VARCHAR) AS mn5,
+                       CAST(max(value) AS VARCHAR) AS mx5
+                FROM e)
+            SELECT 'event_id' AS column, 'bigint' AS dtype,
+                   n_rows, nn1 AS n_nulls, nd1 AS n_distinct,
+                   mn1 AS min_value, mx1 AS max_value FROM a
+            UNION ALL
+            SELECT 'ts', 'bigint', n_rows, nn2, nd2, mn2, mx2 FROM a
+            UNION ALL
+            SELECT 'user_id', 'bigint', n_rows, nn3, nd3, mn3, mx3
+            FROM a
+            UNION ALL
+            SELECT 'event_type', 'string', n_rows, nn4, nd4, mn4, mx4
+            FROM a
+            UNION ALL
+            SELECT 'value', 'bigint', n_rows, nn5, nd5, mn5, mx5
+            FROM a
         """,
         "q_fuzzy_pairs": """
             WITH toks AS (

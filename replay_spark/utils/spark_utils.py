@@ -42,6 +42,7 @@ __all__ = [
     "write_bucketed",
     "asof_join",
     "range_join",
+    "profile_columns",
 ]
 
 
@@ -740,3 +741,61 @@ def range_join(
         & (F.col(left_time) <= F.col(right_end))
     )
     return joined.drop("_cell")
+
+
+def profile_columns(
+    df: DataFrame, columns: Optional[Iterable[str]] = None
+) -> DataFrame:
+    """Per-column data-quality profile — the first pass a pipeline
+    runs on an unfamiliar 100 TB table: one row per column with
+    ``[column, dtype, n_rows, n_nulls, n_distinct, min_value,
+    max_value]`` (min/max rendered as strings so mixed types share a
+    schema).
+
+    ONE aggregation job total: every column's counts/extremes are
+    expressions in a single agg (map-side combined), then the 1-row
+    result unpivots via ``stack`` — no per-column scans, no driver
+    loops over data. ``n_distinct`` is exact; profile a
+    pathologically wide/high-cardinality table with the HLL sketch
+    (``preprocessing.text.HyperLogLog``) instead if the exact
+    distinct map-side state matters.
+    """
+    cols = list(columns) if columns is not None else list(df.columns)
+    if not cols:
+        raise ValueError("no columns to profile")
+    dtypes = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"_nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    return one.select(
+        "_rows",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.lit(dtypes[c]).alias("dtype"),
+                        F.col(f"_nn_{c}").alias("n_nulls"),
+                        F.col(f"_nd_{c}").alias("n_distinct"),
+                        F.col(f"_mn_{c}").alias("min_value"),
+                        F.col(f"_mx_{c}").alias("max_value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("_p"),
+    ).select(
+        F.col("_p.column").alias("column"),
+        F.col("_p.dtype").alias("dtype"),
+        F.col("_rows").alias("n_rows"),
+        F.col("_p.n_nulls").alias("n_nulls"),
+        F.col("_p.n_distinct").alias("n_distinct"),
+        F.col("_p.min_value").alias("min_value"),
+        F.col("_p.max_value").alias("max_value"),
+    )

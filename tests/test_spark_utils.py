@@ -228,3 +228,26 @@ def test_range_join_matches_inequality_semantics(spark):
             if lo <= 37 * i <= hi
         )
         assert pairs == expect, bucket
+
+
+def test_profile_columns(spark):
+    from replay_spark.utils.spark_utils import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (3, "a", 7.5), (None, None, None)],
+        "id long, cat string, x double",
+    )
+    prof = {r["column"]: r for r in profile_columns(df).collect()}
+    assert set(prof) == {"id", "cat", "x"}
+    assert all(r["n_rows"] == 4 for r in prof.values())
+    assert prof["id"]["n_nulls"] == 1 and prof["id"]["n_distinct"] == 3
+    assert prof["cat"]["n_distinct"] == 2
+    assert prof["cat"]["min_value"] == "a" and prof["cat"]["max_value"] == "b"
+    assert prof["x"]["n_nulls"] == 2 and prof["x"]["min_value"] == "5.0"
+    # column subset + unknown column error
+    sub = profile_columns(df, ["id"]).collect()
+    assert len(sub) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        profile_columns(df, []).collect()
