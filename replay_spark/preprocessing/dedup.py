@@ -1206,12 +1206,20 @@ class ContaminationChecker:
         id_column: str = "doc_id",
         text_column: str = "text",
         n: int = 8,
+        method: str = "exact",
+        bloom_bits: int = 1 << 24,
+        bloom_hashes: int = 4,
     ):
         if n < 1:
             raise ValueError("n must be >= 1")
+        if method not in ("exact", "bloom"):
+            raise ValueError(f"unknown method: {method!r}")
         self.id_column = id_column
         self.text_column = text_column
         self.n = n
+        self.method = method
+        self.bloom_bits = bloom_bits
+        self.bloom_hashes = bloom_hashes
 
     def _shingles(self, df: DataFrame) -> DataFrame:
         df = _ensure_parallelism(df)
@@ -1225,8 +1233,61 @@ class ContaminationChecker:
 
     def report(self, train_df: DataFrame, eval_df: DataFrame) -> DataFrame:
         """Per-training-document collision stats:
-        ``[<id>, n_shingles, n_contaminated, contamination_frac]``."""
+        ``[<id>, n_shingles, n_contaminated, contamination_frac]``.
+
+        ``method="bloom"`` replaces the shingle-keyed join against
+        the eval set with a BLOOM probe: the eval shingles collapse
+        to a ≤ ``bloom_bits``-bit set-bit table that broadcasts no
+        matter how large the eval corpus grows, and training
+        shingles never shuffle at all — at the cost of a bounded
+        false-positive rate that only OVERCOUNTS contamination (the
+        conservative direction for decontamination; no contaminated
+        document is ever missed).
+        """
         train_sh = self._shingles(train_df)
+        if self.method == "bloom":
+            from replay_spark.preprocessing.text import BloomFilter
+
+            bloom = BloomFilter(
+                m_bits=self.bloom_bits,
+                k=self.bloom_hashes,
+                token_column="shingle",
+                hash_family="xxhash64",
+            )
+            bits = bloom.fit(self._shingles(eval_df).select("shingle"))
+            hashed = bloom._bits(train_sh, self.id_column, "shingle")
+            per_shingle = (
+                hashed.join(
+                    F.broadcast(bits.withColumn("_set", F.lit(1))),
+                    on="bit",
+                    how="left",
+                )
+                .groupBy(self.id_column, "shingle")
+                .agg(
+                    (
+                        F.count("*")
+                        == F.sum(F.coalesce(F.col("_set"), F.lit(0)))
+                    ).alias("_is_hit")
+                )
+            )
+            joined = per_shingle.withColumn(
+                "_hit", F.when(F.col("_is_hit"), F.lit(1))
+            )
+            return (
+                joined.groupBy(self.id_column)
+                .agg(
+                    F.count(F.lit(1)).alias("n_shingles"),
+                    F.count("_hit").alias("n_contaminated"),
+                )
+                .withColumn(
+                    "contamination_frac",
+                    F.round(
+                        F.col("n_contaminated")
+                        / F.col("n_shingles").cast("double"),
+                        6,
+                    ),
+                )
+            )
         # distinct eval shingles as a hit flag: the left join cannot
         # multiply rows, so count(*)/count(flag) in ONE doc-keyed agg
         # replaces the old totals+hits double aggregation (and the

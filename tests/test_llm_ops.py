@@ -3386,3 +3386,35 @@ def test_fuzzy_token_matcher_completeness(spark):
     assert got == expect  # exact completeness vs brute force
     assert ("cat", "cot") in got and ("dog", "dogs") in got
     assert not any("zebra" in p for p in got)
+
+
+def test_contamination_bloom_matches_exact(spark):
+    from replay_spark.preprocessing.dedup import ContaminationChecker
+
+    train = spark.createDataFrame(
+        [
+            (0, "one two three four five six seven eight nine ten"),
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (2, "clean words nothing shared here at all today friend"),
+        ],
+        "doc_id long, text string",
+    )
+    evald = spark.createDataFrame(
+        [(100, "one two three four five six seven eight extra pad")],
+        "doc_id long, text string",
+    )
+    exact = {
+        r["doc_id"]: r["n_contaminated"]
+        for r in ContaminationChecker(n=8).report(train, evald).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_contaminated"]
+        for r in ContaminationChecker(n=8, method="bloom")
+        .report(train, evald)
+        .collect()
+    }
+    # bloom can only OVERcount (false positives), never undercount
+    assert all(bloom[d] >= exact[d] for d in exact)
+    # at this size the default-width filter is collision-free
+    assert bloom == exact
+    assert exact[0] >= 1 and exact[2] == 0
