@@ -2098,10 +2098,17 @@ class DSIRSelector:
         idc, B = self.id_column, self.num_buckets
         raw_feats = self._features(raw_df)
         tgt_feats = self._features(target_df)
-        raw_counts = raw_feats.groupBy("_b").agg(F.count("*").alias("_cr"))
-        tgt_counts = tgt_feats.groupBy("_b").agg(F.count("*").alias("_ct"))
-        totals = raw_feats.agg(F.count("*").alias("_nr")).crossJoin(
-            tgt_feats.agg(F.count("*").alias("_nt"))
+        raw_counts = raw_feats.groupBy("_b").agg(
+            F.count("*").alias("_cr")
+        ).persist()
+        tgt_counts = tgt_feats.groupBy("_b").agg(
+            F.count("*").alias("_ct")
+        ).persist()
+        # feature totals are the SUM of the (tiny, persisted) bucket
+        # tables — deriving them there instead of re-aggregating the
+        # feature stream saves one full corpus pass per side
+        totals = raw_counts.agg(F.sum("_cr").alias("_nr")).crossJoin(
+            tgt_counts.agg(F.sum("_ct").alias("_nt"))
         )
         buckets = raw_counts.join(tgt_counts, on="_b", how="full").crossJoin(
             F.broadcast(totals)
