@@ -1386,10 +1386,15 @@ class UnigramLMScorer:
         trained on ``train_df`` (defaults to ``df`` itself)."""
         idc = self.id_column
         train_toks = self._tokens(train_df if train_df is not None else df)
-        model = train_toks.groupBy("token").agg(F.count("*").alias("_c"))
-        totals = train_toks.agg(
-            F.count("*").alias("_n"),
-            F.countDistinct("token").alias("_v"),
+        model = train_toks.groupBy("token").agg(
+            F.count("*").alias("_c")
+        ).persist()
+        # corpus totals derive from the (tiny, persisted) model table
+        # — re-aggregating the token stream would cost a second full
+        # corpus pass (the lesson BigramLMScorer was built with)
+        totals = model.agg(
+            F.sum("_c").alias("_n"),
+            F.count(F.lit(1)).alias("_v"),
         )
         toks = self._tokens(df)
         scored = (
