@@ -1075,12 +1075,15 @@ class BM25SearchScorer:
         score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avg))
         idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)
 
-    One corpus pass for (df, lengths), one explode + broadcast join
-    on the query's tokens, one doc-keyed sum — all JVM expressions,
-    replayed exactly by the ``q_bm25_search`` oracle. Complements
-    ItemKNN's bm25 ITEM weighting (models/knn.py) with the
-    text-retrieval form. No reference counterpart (LLM-pipeline
-    extension).
+    ONE corpus pass total: per-document length and per-query-term
+    frequencies come out of a single conditional aggregation (the
+    query is a handful of terms, so each gets a ``sum(token = t)``
+    column), document frequencies and corpus stats reduce from that
+    per-doc table, and the score is pure arithmetic — no token join
+    anywhere, all JVM expressions, replayed exactly by the
+    ``q_bm25_search`` oracle. Complements ItemKNN's bm25 ITEM
+    weighting (models/knn.py) with the text-retrieval form. No
+    reference counterpart (LLM-pipeline extension).
     """
 
     def __init__(
@@ -1109,41 +1112,49 @@ class BM25SearchScorer:
                 tokenize_expr(F.lower(F.col(self.text_column)))
             ).alias("token"),
         )
-        lens = toks.groupBy(idc).agg(F.count("*").alias("_dl"))
-        stats = lens.agg(
-            F.count("*").alias("_n"), F.avg("_dl").alias("_avg")
-        )
-        q_lit = F.array(*[F.lit(t) for t in q_tokens])
-        hits = toks.filter(F.array_contains(q_lit, F.col("token")))
-        tf = hits.groupBy(idc, "token").agg(F.count("*").alias("_tf"))
-        dfreq = tf.groupBy("token").agg(F.count("*").alias("_df"))
-        scored = (
-            tf.join(F.broadcast(dfreq), on="token")
-            .join(lens, on=idc)
-            .crossJoin(F.broadcast(stats))
-            .withColumn(
-                "_idf",
-                F.log(
-                    (F.col("_n") - F.col("_df") + 0.5)
-                    / (F.col("_df") + 0.5)
-                    + 1.0
-                ),
+        tf_cols = [
+            F.sum((F.col("token") == F.lit(t)).cast("long")).alias(
+                f"_tf{i}"
             )
-            .withColumn(
-                "_s",
-                F.col("_idf")
-                * F.col("_tf")
-                * (k1 + 1.0)
-                / (
-                    F.col("_tf")
-                    + k1
-                    * (1.0 - b + b * F.col("_dl") / F.col("_avg"))
-                ),
-            )
+            for i, t in enumerate(q_tokens)
+        ]
+        per_doc = toks.groupBy(idc).agg(
+            F.count("*").alias("_dl"), *tf_cols
+        ).persist()
+        df_cols = [
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(q_tokens))
+        ]
+        stats = per_doc.agg(
+            F.count("*").alias("_n"), F.avg("_dl").alias("_avg"), *df_cols
         )
-        return scored.groupBy(idc).agg(
-            F.count("*").alias("n_hits"),
-            F.sum("_s").alias("bm25"),
+        joined = per_doc.crossJoin(F.broadcast(stats))
+        norm = k1 * (1.0 - b + b * F.col("_dl") / F.col("_avg"))
+        terms = []
+        hits = []
+        for i in range(len(q_tokens)):
+            tf = F.col(f"_tf{i}")
+            idf = F.log(
+                (F.col("_n") - F.col(f"_df{i}") + 0.5)
+                / (F.col(f"_df{i}") + 0.5)
+                + 1.0
+            )
+            terms.append(
+                F.when(tf > 0, idf * tf * (k1 + 1.0) / (tf + norm))
+                .otherwise(F.lit(0.0))
+            )
+            hits.append((tf > 0).cast("long"))
+        total = terms[0]
+        n_hits = hits[0]
+        for t in terms[1:]:
+            total = total + t
+        for h in hits[1:]:
+            n_hits = n_hits + h
+        return (
+            joined.withColumn("n_hits", n_hits)
+            .withColumn("bm25", total)
+            .filter(F.col("n_hits") > 0)
+            .select(idc, "n_hits", "bm25")
         )
 
 
