@@ -1057,15 +1057,17 @@ class InvertedIndex:
         ).distinct()
         w = Window.partitionBy("token").orderBy(F.col(idc).asc())
         capped = pairs.withColumn("_rn", F.row_number().over(w))
-        freq = pairs.groupBy("token").agg(
-            F.count("*").alias("doc_freq")
+        # ONE token-keyed exchange total: the aggregation reuses the
+        # window's hashpartitioning(token) layout, df counts ALL
+        # pairs while collect_list drops the nulls past the cap
+        return capped.groupBy("token").agg(
+            F.count("*").alias("doc_freq"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("_rn") <= self.max_postings, F.col(idc))
+                )
+            ).alias("postings"),
         )
-        postings = (
-            capped.filter(F.col("_rn") <= self.max_postings)
-            .groupBy("token")
-            .agg(F.sort_array(F.collect_list(idc)).alias("postings"))
-        )
-        return freq.join(postings, on="token")
 
 
 class BM25SearchScorer:
