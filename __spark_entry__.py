@@ -2745,6 +2745,52 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming/batch parity for HyperLogLog: the corpus streams in
+    (availableNow), registers accumulate as a streaming MAX
+    aggregation, and the register table + estimate must HASH-match
+    the batch oracle."""
+    import os
+
+    from replay_spark.preprocessing.text import tokenize_expr
+    from replay_spark.streaming import StreamingHyperLogLog
+
+    for q in spark.streams.active:
+        if q.name == "q_streaming_hll_sink":
+            q.stop()
+    src = os.path.abspath(f"{sf_dir}/documents.parquet")
+    link_dir = _stream_link_dir(src, "rs_stream_hll")
+    raw_schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(raw_schema).parquet(link_dir)
+    toks = stream.select(
+        F.explode(tokenize_expr(F.lower(F.col("text")))).alias("token")
+    )
+    shll = StreamingHyperLogLog(b=6)
+    sq = (
+        shll.aggregate(toks)
+        .writeStream.format("memory")
+        .queryName("q_streaming_hll_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(300)
+    registers = spark.table("q_streaming_hll_sink")
+    est = shll.estimate(registers).select("v_empty", "n_nonzero", "est")
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    truth = docs.select(
+        F.explode(tokenize_expr(F.lower(F.col("text")))).alias("token")
+    ).agg(F.countDistinct("token").alias("true_distinct"))
+    return (
+        registers.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(truth))
+        .select(
+            "register", "rho_max", "v_empty", "n_nonzero", "est",
+            "true_distinct",
+        )
+    )
+
+
 def q_streaming_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming/batch parity gate for the stateful per-source
     admission cap: with the whole corpus arriving as ONE micro-batch
@@ -3576,6 +3622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hash_split": q_hash_split,
         "q_fuzzy_pairs": q_fuzzy_pairs,
         "q_profile_columns": q_profile_columns,
+        "q_streaming_hll": q_streaming_hll,
         "q_spectrogram": q_spectrogram,
         "q_sessionize": q_sessionize,
         "q_lang_id": q_lang_id,
@@ -6910,4 +6957,5 @@ def oracle_sql() -> dict[str, str]:
     # streaming/batch parity gates share the batch oracle verbatim:
     # the stream IS the batch in one availableNow micro-batch
     oracles["q_streaming_cms"] = oracles["q_cms_counts"]
+    oracles["q_streaming_hll"] = oracles["q_hll_distinct"]
     return oracles

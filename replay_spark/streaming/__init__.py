@@ -3,6 +3,7 @@ from replay_spark.streaming.ops import (  # noqa: F401
     StreamingSourceCapFilter,
     StreamingStatefulSessionizer,
     StreamingCountMinSketch,
+    StreamingHyperLogLog,
     StreamingUCB,
     streaming_exact_dedup,
 )

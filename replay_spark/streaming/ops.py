@@ -32,6 +32,7 @@ __all__ = [
     "StreamingStatefulSessionizer",
     "StreamingUCB",
     "StreamingCountMinSketch",
+    "StreamingHyperLogLog",
     "streaming_exact_dedup",
 ]
 
@@ -347,3 +348,47 @@ class StreamingCountMinSketch:
         """Point estimates from a materialized sketch sink (same
         contract as the batch class)."""
         return self.cms.estimate(sketch, queries)
+
+
+class StreamingHyperLogLog:
+    """HyperLogLog as a streaming stateful aggregation — the MAX
+    merge of the register table is commutative and idempotent, so
+    per-register state (≤ 2^b rows) folds every micro-batch in and
+    NEVER grows with the stream: approximate COUNT DISTINCT over an
+    unbounded token stream in bounded memory. ``aggregate`` returns
+    the streaming register plan (complete/update mode); estimates
+    reuse the batch estimator against the materialized sink —
+    streaming and batch sketches are interchangeable, pinned by the
+    ``q_streaming_hll`` gate hash-matching the BATCH oracle.
+    """
+
+    def __init__(self, b: int = 6, token_column: str = "token"):
+        from replay_spark.preprocessing.text import HyperLogLog
+
+        self.hll = HyperLogLog(b=b, token_column=token_column)
+
+    def aggregate(self, stream: DataFrame) -> DataFrame:
+        """Streaming plan: ≤ 2^b register rows (complete/update)."""
+        wbits = self.hll.HASH_BITS - self.hll.b
+        h = F.conv(
+            F.substring(F.md5(F.col(self.hll.token_column)), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        hashed = stream.select(
+            F.pmod(h, F.lit(self.hll.m)).alias("register"),
+            F.floor(h / self.hll.m).cast("long").alias("_w"),
+        )
+        rho = F.when(
+            F.col("_w") == 0, F.lit(wbits + 1)
+        ).otherwise(F.lit(wbits + 1) - F.length(F.bin(F.col("_w"))))
+        return (
+            hashed.withColumn("_rho", rho)
+            .groupBy("register")
+            .agg(F.max("_rho").alias("rho_max"))
+        )
+
+    def estimate(self, registers: DataFrame) -> DataFrame:
+        """One-row estimate from a materialized register sink (same
+        contract as the batch class)."""
+        return self.hll.estimate(registers)

@@ -495,3 +495,33 @@ def test_streaming_cms_matches_batch(spark, tmp_path):
         for r in scms.estimate(stream_sketch, batch.distinct()).collect()
     }
     assert est["alpha"] >= 30 and est["beta"] >= 10
+
+
+def test_streaming_hll_matches_batch(spark, tmp_path):
+    from replay_spark.preprocessing.text import HyperLogLog
+    from replay_spark.streaming import StreamingHyperLogLog
+
+    words = [f"w{i % 300}" for i in range(900)]
+    src = str(tmp_path / "hlltoks")
+    spark.createDataFrame([(w,) for w in words], "token string").repartition(
+        3
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    shll = StreamingHyperLogLog(b=7)
+    sq = (
+        shll.aggregate(stream)
+        .writeStream.format("memory")
+        .queryName("t_stream_hll")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(120)
+    stream_regs = spark.table("t_stream_hll")
+    batch_regs = HyperLogLog(b=7).fit(spark.read.parquet(src))
+    assert sorted(map(tuple, stream_regs.collect())) == sorted(
+        map(tuple, batch_regs.collect())
+    )
+    est = shll.estimate(stream_regs).collect()[0]["est"]
+    assert abs(est - 300) / 300 < 0.25
