@@ -2791,6 +2791,16 @@ def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis on events.user_id: top-10 heavy
+    keys with shares plus the cardinality/max-share summary row —
+    replayed exactly in SQL."""
+    from replay_spark.utils.spark_utils import diagnose_skew
+
+    events = rsd.read_table(spark, sf_dir, "events")
+    return diagnose_skew(events, "user_id", top_n=10)
+
+
 def q_streaming_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming/batch parity gate for the stateful per-source
     admission cap: with the whole corpus arriving as ONE micro-batch
@@ -3623,6 +3633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy_pairs": q_fuzzy_pairs,
         "q_profile_columns": q_profile_columns,
         "q_streaming_hll": q_streaming_hll,
+        "q_skew_report": q_skew_report,
         "q_spectrogram": q_spectrogram,
         "q_sessionize": q_sessionize,
         "q_lang_id": q_lang_id,
@@ -5133,6 +5144,31 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY source ORDER BY doc_id) AS rn
                 FROM documents) t
             WHERE rn <= 40
+        """,
+        "q_skew_report": """
+            WITH c AS (
+                SELECT user_id, count(*) AS key_rows
+                FROM events GROUP BY user_id),
+            t AS (
+                SELECT sum(key_rows) AS total,
+                       count(*) AS n_keys,
+                       max(key_rows) AS max_rows
+                FROM c),
+            top AS (
+                SELECT CAST(user_id AS VARCHAR) AS key, key_rows,
+                       round(key_rows / CAST(t.total AS DOUBLE)
+                             + 1e-9, 6) AS share,
+                       CAST(NULL AS BIGINT) AS n_keys
+                FROM c, t
+                ORDER BY key_rows DESC, CAST(user_id AS VARCHAR) ASC
+                LIMIT 10)
+            SELECT * FROM top
+            UNION ALL
+            SELECT '__total__', t.total,
+                   round(t.max_rows / CAST(t.total AS DOUBLE)
+                         + 1e-9, 6),
+                   t.n_keys
+            FROM t
         """,
         "q_profile_columns": """
             WITH e AS (

@@ -43,6 +43,7 @@ __all__ = [
     "asof_join",
     "range_join",
     "profile_columns",
+    "diagnose_skew",
 ]
 
 
@@ -799,3 +800,50 @@ def profile_columns(
         F.col("_p.min_value").alias("min_value"),
         F.col("_p.max_value").alias("max_value"),
     )
+
+
+def diagnose_skew(
+    df: DataFrame, key_cols: Union[str, Iterable[str]], top_n: int = 10
+) -> DataFrame:
+    """Join/groupBy-key skew diagnosis — run this BEFORE a big
+    shuffle to decide whether salting or AQE skew-join handling is
+    needed: one row per heavy key (the ``top_n`` largest) with its
+    row count and share, plus a ``__total__`` summary row carrying
+    the key cardinality and the max-key share (the number that
+    predicts the straggler task).
+
+    One map-side-combined aggregation + a ``top_n`` TakeOrdered —
+    no full sort, nothing driver-side beyond the tiny result.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("key_rows"))
+    totals = counts.agg(
+        F.sum("key_rows").alias("_total"),
+        F.count(F.lit(1)).alias("_n_keys"),
+        F.max("key_rows").alias("_max_rows"),
+    )
+    key_str = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+    top = (
+        counts.crossJoin(F.broadcast(totals))
+        .orderBy(F.col("key_rows").desc(), key_str.asc())
+        .limit(top_n)
+        .select(
+            key_str.alias("key"),
+            "key_rows",
+            stable_round(
+                F.col("key_rows") / F.col("_total").cast("double"), 6
+            ).alias("share"),
+            F.lit(None).cast("long").alias("n_keys"),
+        )
+    )
+    summary = totals.select(
+        F.lit("__total__").alias("key"),
+        F.col("_total").alias("key_rows"),
+        stable_round(
+            F.col("_max_rows") / F.col("_total").cast("double"), 6
+        ).alias("share"),
+        F.col("_n_keys").alias("n_keys"),
+    )
+    return top.unionByName(summary)

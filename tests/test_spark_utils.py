@@ -251,3 +251,19 @@ def test_profile_columns(spark):
 
     with _pytest.raises(Exception):
         profile_columns(df, []).collect()
+
+
+def test_diagnose_skew(spark):
+    from replay_spark.utils.spark_utils import diagnose_skew
+
+    rows = [("hot",)] * 70 + [("warm",)] * 20 + [(f"k{i}",) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string")
+    out = diagnose_skew(df, "k", top_n=2).collect()
+    by_key = {r["key"]: r for r in out}
+    assert by_key["hot"]["key_rows"] == 70
+    assert by_key["hot"]["share"] == 0.7
+    assert by_key["warm"]["key_rows"] == 20
+    total = by_key["__total__"]
+    assert total["key_rows"] == 100 and total["n_keys"] == 12
+    assert total["share"] == 0.7  # max-key share
+    assert len(out) == 3  # top 2 + summary
