@@ -3533,16 +3533,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows-only siblings (q_ivf_ann_fixed for q_ivf_ann,
     q_doc_fingerprints_md5 for q_doc_fingerprints), every gate whose
     values moved to stable_round, and the ordered_prefix_sums
-    consumers; (a2) the 13 late-round hash-gate debuts (Gopher / C4
-    / CCNet buckets / DSIR / audio frames / box resize / robots /
-    CMS / HLL / sentences / blocklist, plus the two custom join
-    operators Spark lacks — q_asof_join vs DuckDB's NATIVE ASOF
-    JOIN, q_range_join vs the plain inequality join, and
-    q_streaming_cms — the sketch's streaming twin vs the batch
-    oracle); (b) the 8 stalest COMPLEX-plan hash gates (last
+    consumers; (a2) the 14 late-round hash-gate debuts — 11 new
+    operators (Gopher / C4 / CCNet buckets / DSIR / audio frames /
+    box resize / robots / CMS / HLL / sentences / blocklist), the
+    two custom join operators Spark lacks (q_asof_join vs DuckDB's
+    NATIVE ASOF JOIN, q_range_join vs the plain inequality join),
+    and q_streaming_cms, the sketch's streaming twin vs the batch
+    oracle; (b) the 8 stalest COMPLEX-plan hash gates (last
     official row r4/r5) — the 14 simple-plan stale gates moved back
-    to (c) to make room for the debuts; (c) everything else — officially green in a
-    prior round — still run in tools/check_oracle and bench.
+    to (c) to make room for the debuts; (c) everything else —
+    officially green in a prior round — still run in
+    tools/check_oracle and bench. Later session-2 gates
+    (q_streaming_hll, q_hll_grouped, q_hash_split, q_fuzzy_pairs,
+    q_profile_columns, q_skew_report, q_inverted_index,
+    q_bm25_search, q_bloom_membership, q_html_links,
+    q_image_augment, q_text_normalize, q_webdataset, and the
+    rows-only q_spectrogram / q_pagerank / q_compression_ratio)
+    debuted after the window filled; they lead section (c) as the
+    r8 rotation candidates.
     Rows-only contracts inside the r7 window: exactly 4 (q_pq_ann,
     q_ivfpq_ann, q_bpe_tokens, q_hnsw_ann) — 46/50 hash-gated.
     """
