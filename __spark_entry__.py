@@ -2801,6 +2801,37 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diagnose_skew(events, "user_id", top_n=10)
 
 
+def q_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script composition: docs planted with Cyrillic / CJK
+    suffixes by residue; per-script counts, letter fractions, and
+    the dominant script replayed in SQL with the same literal
+    character-class ranges."""
+    from replay_spark.preprocessing.text import ScriptDetector
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 3 == 0, F.lit(" привет мир"))
+            .when(did % 3 == 1, F.lit(" 你好世界"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = ScriptDetector().transform(planted)
+    return out.select(
+        "doc_id",
+        "n_latin",
+        "n_cyrillic",
+        "n_cjk",
+        "n_letters",
+        stable_round("frac_latin", 4).alias("frac_latin"),
+        stable_round("frac_cyrillic", 4).alias("frac_cyrillic"),
+        "dominant_script",
+    )
+
+
 def q_streaming_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming/batch parity gate for the stateful per-source
     admission cap: with the whole corpus arriving as ONE micro-batch
@@ -3642,6 +3673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_profile_columns": q_profile_columns,
         "q_streaming_hll": q_streaming_hll,
         "q_skew_report": q_skew_report,
+        "q_script_detect": q_script_detect,
         "q_spectrogram": q_spectrogram,
         "q_sessionize": q_sessionize,
         "q_lang_id": q_lang_id,
@@ -5152,6 +5184,52 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY source ORDER BY doc_id) AS rn
                 FROM documents) t
             WHERE rn <= 40
+        """,
+        "q_script_detect": """
+            WITH p AS (
+                SELECT doc_id,
+                       text || CASE doc_id % 3
+                           WHEN 0 THEN ' привет мир'
+                           WHEN 1 THEN ' 你好世界'
+                           ELSE '' END AS text
+                FROM documents),
+            c AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text,
+                            '[A-Za-zÀ-ɏ]')) AS BIGINT) AS n_latin,
+                       CAST(len(regexp_extract_all(text,
+                            '[Ѐ-ӿ]')) AS BIGINT) AS n_cyrillic,
+                       CAST(len(regexp_extract_all(text,
+                            '[一-鿿぀-ヿ]')) AS BIGINT) AS n_cjk,
+                       CAST(len(regexp_extract_all(text,
+                            '[Ͱ-Ͽ]')) AS BIGINT) AS n_greek,
+                       CAST(len(regexp_extract_all(text,
+                            '[؀-ۿ]')) AS BIGINT) AS n_arabic
+                FROM p),
+            t AS (
+                SELECT *,
+                       n_arabic + n_cjk + n_cyrillic + n_greek
+                           + n_latin AS n_letters
+                FROM c)
+            SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_letters,
+                   round(CASE WHEN n_letters > 0
+                         THEN n_latin / CAST(n_letters AS DOUBLE)
+                         ELSE 0.0 END + 1e-9, 4) AS frac_latin,
+                   round(CASE WHEN n_letters > 0
+                         THEN n_cyrillic / CAST(n_letters AS DOUBLE)
+                         ELSE 0.0 END + 1e-9, 4) AS frac_cyrillic,
+                   CASE WHEN n_letters = 0 THEN 'und'
+                        WHEN n_arabic >= n_cjk AND n_arabic >= n_cyrillic
+                             AND n_arabic >= n_greek
+                             AND n_arabic >= n_latin THEN 'arabic'
+                        WHEN n_cjk >= n_cyrillic AND n_cjk >= n_greek
+                             AND n_cjk >= n_latin THEN 'cjk'
+                        WHEN n_cyrillic >= n_greek
+                             AND n_cyrillic >= n_latin THEN 'cyrillic'
+                        WHEN n_greek >= n_latin THEN 'greek'
+                        ELSE 'latin'
+                   END AS dominant_script
+            FROM t
         """,
         "q_skew_report": """
             WITH c AS (

@@ -36,6 +36,7 @@ __all__ = [
     "CompressionRatioScorer",
     "TextNormalizer",
     "HashSplitter",
+    "ScriptDetector",
     "CorpusMixer",
     "VocabBuilder",
     "InvertedIndex",
@@ -685,6 +686,84 @@ class HashSplitter:
             )
             acc = hi
         return df.withColumn(self.output_column, expr)
+
+
+class ScriptDetector:
+    """Unicode-script composition signals — the char-level companion
+    to the stopword :class:`LanguageIdentifier` (scripts separate
+    what stopword lists cannot: a Cyrillic document never needs an
+    English stopword probe): per-script character counts over
+    configurable codepoint ranges, each script's fraction of LETTER
+    characters, and the dominant script (ties to the
+    lexicographically smallest name; ``und`` when no letters).
+
+    Counting is ``regexp_count`` over literal character-class ranges
+    — JVM-side, RE2-compatible, replayed exactly by the
+    ``q_script_detect`` oracle. Zero shuffle. No reference
+    counterpart (LLM-pipeline extension).
+    """
+
+    # [start, end] codepoint ranges per script (the major blocks;
+    # extend per deployment)
+    SCRIPTS: dict = {
+        "latin": [("A", "Z"), ("a", "z"), ("À", "ɏ")],
+        "cyrillic": [("Ѐ", "ӿ")],
+        "greek": [("Ͱ", "Ͽ")],
+        "arabic": [("؀", "ۿ")],
+        "cjk": [("一", "鿿"), ("぀", "ヿ")],
+    }
+
+    def __init__(self, text_column: str = "text"):
+        self.text_column = text_column
+
+    @classmethod
+    def _pattern(cls, script: str) -> str:
+        return (
+            "["
+            + "".join(f"{lo}-{hi}" for lo, hi in cls.SCRIPTS[script])
+            + "]"
+        )
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        text = F.col(self.text_column)
+        out = df
+        counts = {}
+        for script in sorted(self.SCRIPTS):
+            c = F.regexp_count(text, F.lit(self._pattern(script))).cast(
+                "long"
+            )
+            counts[script] = c
+            out = out.withColumn(f"n_{script}", c)
+        total = None
+        for c in counts.values():
+            total = c if total is None else total + c
+        out = out.withColumn("n_letters", total)
+        for script in sorted(self.SCRIPTS):
+            out = out.withColumn(
+                f"frac_{script}",
+                F.when(
+                    F.col("n_letters") > 0,
+                    F.col(f"n_{script}")
+                    / F.col("n_letters").cast("double"),
+                ).otherwise(F.lit(0.0)),
+            )
+        best = F.sort_array(
+            F.array(
+                *[
+                    F.struct(
+                        (-F.col(f"n_{s}")).alias("neg"),
+                        F.lit(s).alias("script"),
+                    )
+                    for s in sorted(self.SCRIPTS)
+                ]
+            )
+        )[0]
+        return out.withColumn(
+            "dominant_script",
+            F.when(best["neg"] < 0, best["script"]).otherwise(
+                F.lit("und")
+            ),
+        )
 
 
 class TextNormalizer:

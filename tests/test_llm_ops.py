@@ -3418,3 +3418,26 @@ def test_contamination_bloom_matches_exact(spark):
     # at this size the default-width filter is collision-free
     assert bloom == exact
     assert exact[0] >= 1 and exact[2] == 0
+
+
+def test_script_detector(spark):
+    from replay_spark.preprocessing.text import ScriptDetector
+
+    df = spark.createDataFrame(
+        [
+            (0, "hello world"),
+            (1, "привет мир"),
+            (2, "你好 世界 and two latin words here"),
+            (3, "12345 !?"),
+            (4, "αβγ greek bit"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ScriptDetector().transform(df).collect()}
+    assert out[0]["dominant_script"] == "latin"
+    assert out[1]["dominant_script"] == "cyrillic"
+    assert out[1]["n_cyrillic"] == 9 and out[1]["n_latin"] == 0
+    assert out[2]["n_cjk"] == 4
+    assert out[3]["dominant_script"] == "und" and out[3]["n_letters"] == 0
+    assert out[4]["n_greek"] == 3
+    assert out[0]["frac_latin"] == 1.0
