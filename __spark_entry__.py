@@ -2832,6 +2832,29 @@ def q_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-batch incremental dedup: batch 1 = even docs fills the
+    fingerprint store; batch 2 = the whole corpus is then deduped
+    against it — the survivors (odd docs, minus in-batch dups) are
+    pure set algebra DuckDB replays. The store resets per run so the
+    gate is idempotent."""
+    import os
+    import tempfile
+
+    from replay_spark.preprocessing.dedup import IncrementalDeduplicator
+
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"rs_incdedup_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    dd = IncrementalDeduplicator(store)
+    dd.reset()
+    dd.transform(docs.filter(F.col("doc_id") % 2 == 0)).count()
+    survivors = dd.transform(docs)
+    return survivors.select("doc_id")
+
+
 def q_streaming_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming/batch parity gate for the stateful per-source
     admission cap: with the whole corpus arriving as ONE micro-batch
@@ -3674,6 +3697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_hll": q_streaming_hll,
         "q_skew_report": q_skew_report,
         "q_script_detect": q_script_detect,
+        "q_incremental_dedup": q_incremental_dedup,
         "q_spectrogram": q_spectrogram,
         "q_sessionize": q_sessionize,
         "q_lang_id": q_lang_id,
@@ -5184,6 +5208,17 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY source ORDER BY doc_id) AS rn
                 FROM documents) t
             WHERE rn <= 40
+        """,
+        "q_incremental_dedup": """
+            WITH h AS (
+                SELECT doc_id, md5(text) AS hsh FROM documents),
+            b1 AS (
+                SELECT DISTINCT hsh FROM h WHERE doc_id % 2 = 0),
+            b2first AS (
+                SELECT hsh, min(doc_id) AS doc_id
+                FROM h GROUP BY hsh)
+            SELECT doc_id FROM b2first
+            WHERE hsh NOT IN (SELECT hsh FROM b1)
         """,
         "q_script_detect": """
             WITH p AS (

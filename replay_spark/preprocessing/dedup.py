@@ -50,6 +50,7 @@ __all__ = [
     "NearDupClusters",
     "ContaminationChecker",
     "ParagraphDeduplicator",
+    "IncrementalDeduplicator",
 ]
 
 
@@ -1463,3 +1464,83 @@ class ParagraphDeduplicator:
             .drop("_new_text")
             .select(df.columns)
         )
+
+
+class IncrementalDeduplicator:
+    """Cross-batch exact dedup against a PERSISTED fingerprint store
+    — the ingestion-time pattern none of the single-shot
+    deduplicators cover: every arriving batch drops documents whose
+    content hash is already in the store (seen in ANY earlier batch)
+    or duplicated within the batch (smallest id wins), then appends
+    its surviving hashes to the store.
+
+    The store is a plain parquet directory of one hash column —
+    append-only, engine-agnostic, mergeable by concatenation. At
+    100 TB the anti-join shuffles on the 32-byte hash (never the
+    documents); AQE broadcasts the store side while it is small.
+    ``transform`` is deliberately SIDE-EFFECTING (it advances the
+    store) — call it once per batch, in arrival order; ``reset``
+    clears the store.
+
+    Hash-gated end to end by ``q_incremental_dedup`` (two batches
+    replayed as SQL set algebra). No reference counterpart
+    (LLM-pipeline extension).
+    """
+
+    def __init__(
+        self,
+        store_path: str,
+        text_column: str = "text",
+        id_column: str = "doc_id",
+        normalized: bool = False,
+    ):
+        self.store_path = store_path
+        self.text_column = text_column
+        self.id_column = id_column
+        self.normalized = normalized
+
+    def _hash(self):
+        text = F.col(self.text_column)
+        if self.normalized:
+            from replay_spark.preprocessing.text import fingerprint_expr
+
+            return fingerprint_expr(text)
+        return F.md5(text)
+
+    def _store(self, spark):
+        import os
+
+        if os.path.isdir(self.store_path) and any(
+            f.endswith(".parquet") for f in os.listdir(self.store_path)
+        ):
+            return spark.read.parquet(self.store_path)
+        return spark.createDataFrame([], "content_hash string")
+
+    def reset(self) -> None:
+        import shutil
+
+        shutil.rmtree(self.store_path, ignore_errors=True)
+
+    def transform(self, batch_df: DataFrame) -> DataFrame:
+        """Surviving rows of this batch (original columns); the
+        store is advanced by their hashes before returning."""
+        idc = self.id_column
+        spark = batch_df.sparkSession
+        hashed = batch_df.withColumn("_h", self._hash())
+        first = hashed.groupBy("_h").agg(F.min(idc).alias(idc))
+        in_batch_first = hashed.join(first, on=["_h", idc])
+        seen = self._store(spark).withColumnRenamed(
+            "content_hash", "_h"
+        )
+        survivors = in_batch_first.join(seen, on="_h", how="left_anti")
+        # materialize survivors BEFORE the append touches the store —
+        # and TRUNCATE lineage: a persist() is not enough, because
+        # Spark's cache manager re-caches any plan that reads a path
+        # being written (recacheByPath), which would re-evaluate the
+        # survivors against the already-advanced store (observed: a
+        # batch deduping itself to zero rows)
+        survivors = survivors.localCheckpoint(eager=True)
+        survivors.select(
+            F.col("_h").alias("content_hash")
+        ).write.mode("append").parquet(self.store_path)
+        return survivors.drop("_h")

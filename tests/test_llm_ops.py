@@ -3441,3 +3441,30 @@ def test_script_detector(spark):
     assert out[3]["dominant_script"] == "und" and out[3]["n_letters"] == 0
     assert out[4]["n_greek"] == 3
     assert out[0]["frac_latin"] == 1.0
+
+
+def test_incremental_dedup_across_batches(spark, tmp_path):
+    from replay_spark.preprocessing.dedup import IncrementalDeduplicator
+
+    store = str(tmp_path / "store")
+    dd = IncrementalDeduplicator(store)
+    b1 = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (2, "alpha")],
+        "doc_id long, text string",
+    )
+    out1 = dd.transform(b1)
+    assert sorted(r["doc_id"] for r in out1.collect()) == [0, 1]
+    b2 = spark.createDataFrame(
+        [(10, "beta"), (11, "gamma"), (12, "gamma"), (13, "delta")],
+        "doc_id long, text string",
+    )
+    out2 = dd.transform(b2)
+    # beta seen in batch 1; gamma keeps its batch-2 first only
+    assert sorted(r["doc_id"] for r in out2.collect()) == [11, 13]
+    assert out2.columns == ["doc_id", "text"]
+    # a replayed batch is now fully deduplicated
+    out3 = dd.transform(b2)
+    assert out3.count() == 0
+    # reset clears the store
+    dd.reset()
+    assert dd.transform(b2).count() == 3
