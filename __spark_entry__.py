@@ -2855,6 +2855,54 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select("doc_id")
 
 
+def q_media_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-payload triage gate: every third payload is truncated
+    mid-stream (PNG for residue 1, PGM for residue 2, intact PGM
+    for residue 0), so format sniffing and the ok verdict are a pure
+    CASE on the residue in DuckDB."""
+    import numpy as np
+    import pandas as pd
+
+    from replay_spark.multimodal import (
+        encode_png,
+        encode_ppm,
+        validate_media,
+    )
+
+    emb = rsd.read_table(spark, sf_dir, "embeddings")
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for vid, vec in zip(pdf["vec_id"], pdf["embedding"]):
+                arr = np.asarray(vec, dtype=np.float64)
+                u8 = np.clip(np.floor((arr + 4.0) * 32.0), 0, 255).astype(
+                    np.uint8
+                ).reshape(8, 8)
+                r = int(vid) % 3
+                if r == 0:
+                    payloads.append(encode_ppm(u8))
+                elif r == 1:
+                    payloads.append(encode_png(u8)[:20])  # truncated
+                else:
+                    payloads.append(encode_ppm(u8)[:10])  # truncated
+            yield pd.DataFrame(
+                {"media_id": pdf["vec_id"].values, "payload": payloads}
+            )
+
+    media = emb.select("vec_id", "embedding").mapInPandas(
+        build, schema="media_id long, payload binary"
+    )
+    out = validate_media(media)
+    return out.select(
+        F.col("media_id").alias("vec_id"),
+        "format",
+        "ok",
+        "width",
+        "height",
+    )
+
+
 def q_streaming_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming/batch parity gate for the stateful per-source
     admission cap: with the whole corpus arriving as ONE micro-batch
@@ -3698,6 +3746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_skew_report": q_skew_report,
         "q_script_detect": q_script_detect,
         "q_incremental_dedup": q_incremental_dedup,
+        "q_media_validate": q_media_validate,
         "q_spectrogram": q_spectrogram,
         "q_sessionize": q_sessionize,
         "q_lang_id": q_lang_id,
@@ -5208,6 +5257,15 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY source ORDER BY doc_id) AS rn
                 FROM documents) t
             WHERE rn <= 40
+        """,
+        "q_media_validate": """
+            SELECT vec_id,
+                   CASE vec_id % 3 WHEN 1 THEN 'png'
+                        ELSE 'pgm' END AS format,
+                   vec_id % 3 = 0 AS ok,
+                   CASE WHEN vec_id % 3 = 0 THEN 8 END AS width,
+                   CASE WHEN vec_id % 3 = 0 THEN 8 END AS height
+            FROM embeddings
         """,
         "q_incremental_dedup": """
             WITH h AS (

@@ -64,6 +64,7 @@ __all__ = [
     "AudioFrameFeaturizer",
     "SpectrogramFeaturizer",
     "ImageAugmenter",
+    "validate_media",
     "decode_png",
     "encode_png",
     "png_image_decoder",
@@ -1104,6 +1105,80 @@ class ImageAugmenter:
         return df.select(idc, payload_col).mapInPandas(
             augment, schema=MediaProcessor.RESIZE_SCHEMA
         )
+
+
+def validate_media(
+    df: DataFrame,
+    id_column: str = "media_id",
+    payload_column: str = "payload",
+    decoder: Optional[Callable[[bytes], dict]] = None,
+) -> DataFrame:
+    """Corrupt-payload triage — the pass a 100 TB media ingest runs
+    FIRST, because real crawls are full of truncated and mislabeled
+    files and one bad payload must not kill a 10-hour job: try-decode
+    every payload (default :func:`auto_image_decoder` magic
+    dispatch) and emit one row per input with
+
+    - ``format`` — sniffed container ("pgm"/"png"/"jpeg"/"gif"/
+      "wav"/…, from the decoder's magic dispatch; "unknown" when no
+      magic matches),
+    - ``ok`` — whether decode succeeded,
+    - ``width``/``height`` — on success, else null.
+
+    Exceptions are contained per payload (never propagate);
+    embarrassingly parallel ``mapInPandas``. Filter on ``ok`` before
+    the expensive decode stages downstream.
+    """
+    use_decoder = decoder or auto_image_decoder
+
+    MAGIC = (
+        (b"\x89PNG\r\n\x1a\n", "png"),
+        (b"\xff\xd8", "jpeg"),
+        (b"GIF87a", "gif"),
+        (b"GIF89a", "gif"),
+        (b"RIFF", "wav"),
+        (b"P5", "pgm"),
+        (b"P6", "ppm"),
+        (b"P2", "pgm"),
+        (b"P3", "ppm"),
+    )
+
+    def sniff(raw: bytes) -> str:
+        for magic, name in MAGIC:
+            if raw[: len(magic)] == magic:
+                return name
+        return "unknown"
+
+    def triage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, oks, widths, heights = [], [], [], []
+            for p in pdf[payload_column]:
+                raw = bytes(p) if p is not None else b""
+                fmts.append(sniff(raw))
+                try:
+                    d = use_decoder(raw)
+                    oks.append(True)
+                    widths.append(int(d.get("width", 0)))
+                    heights.append(int(d.get("height", 0)))
+                except Exception:
+                    oks.append(False)
+                    widths.append(None)
+                    heights.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_column].values,
+                    "format": fmts,
+                    "ok": oks,
+                    "width": widths,
+                    "height": heights,
+                }
+            )
+
+    return df.select(id_column, payload_column).mapInPandas(
+        triage,
+        schema="media_id long, format string, ok boolean, "
+        "width int, height int",
+    )
 
 
 def perceptual_hash(payload: bytes, hash_size: int = 8) -> int:

@@ -3468,3 +3468,28 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
     # reset clears the store
     dd.reset()
     assert dd.transform(b2).count() == 3
+
+
+def test_validate_media_triage(spark):
+    import numpy as np
+
+    from replay_spark.multimodal import encode_png, encode_ppm, validate_media
+
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    good_png = encode_png(img)
+    rows = [
+        (0, bytearray(encode_ppm(img))),
+        (1, bytearray(good_png)),
+        (2, bytearray(good_png[:15])),  # truncated PNG
+        (3, bytearray(b"not media at all")),
+        (4, bytearray(b"")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in validate_media(df).collect()}
+    assert out[0]["ok"] and out[0]["format"] == "pgm"
+    assert out[0]["width"] == 4
+    assert out[1]["ok"] and out[1]["format"] == "png"
+    assert not out[2]["ok"] and out[2]["format"] == "png"
+    assert not out[3]["ok"] and out[3]["format"] == "unknown"
+    assert not out[4]["ok"]
+    assert out[2]["width"] is None
