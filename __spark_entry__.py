@@ -2903,6 +2903,28 @@ def q_media_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampling: a global 30% sample plus per-source
+    rates (src0→0.5, src1→0.1, others drop) — both pure md5-threshold
+    predicates DuckDB replays bucket-for-bucket."""
+    from replay_spark.preprocessing.text import HashSampler
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    flat = HashSampler(rate=0.3, seed=7).transform(docs).select(
+        "doc_id", F.lit("flat").alias("mode")
+    )
+    grouped = (
+        HashSampler(
+            rates={"src0": 0.5, "src1": 0.1},
+            group_column="source",
+            seed=7,
+        )
+        .transform(docs)
+        .select("doc_id", F.lit("grouped").alias("mode"))
+    )
+    return flat.unionByName(grouped)
+
+
 def q_streaming_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming/batch parity gate for the stateful per-source
     admission cap: with the whole corpus arriving as ONE micro-batch
@@ -3747,6 +3769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_script_detect": q_script_detect,
         "q_incremental_dedup": q_incremental_dedup,
         "q_media_validate": q_media_validate,
+        "q_hash_sample": q_hash_sample,
         "q_spectrogram": q_spectrogram,
         "q_sessionize": q_sessionize,
         "q_lang_id": q_lang_id,
@@ -5257,6 +5280,27 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY source ORDER BY doc_id) AS rn
                 FROM documents) t
             WHERE rn <= 40
+        """,
+        "q_hash_sample": """
+            WITH b AS (
+                SELECT doc_id, source,
+                       list_reduce(list_transform(range(1, 16),
+                           j -> CAST(strpos('0123456789abcdef',
+                                    substr(md5('7:' || CAST(doc_id
+                                               AS VARCHAR)),
+                                           CAST(j AS INT), 1)) - 1
+                                AS BIGINT)),
+                           (acc, x) -> acc * 16 + x) % 1048576
+                           AS bucket
+                FROM documents)
+            SELECT doc_id, 'flat' AS mode FROM b
+            WHERE bucket < CAST(floor(0.3 * 1048576) AS BIGINT)
+            UNION ALL
+            SELECT doc_id, 'grouped' FROM b
+            WHERE bucket < CASE source
+                WHEN 'src0' THEN CAST(floor(0.5 * 1048576) AS BIGINT)
+                WHEN 'src1' THEN CAST(floor(0.1 * 1048576) AS BIGINT)
+                ELSE 0 END
         """,
         "q_media_validate": """
             SELECT vec_id,

@@ -37,6 +37,7 @@ __all__ = [
     "TextNormalizer",
     "HashSplitter",
     "ScriptDetector",
+    "HashSampler",
     "CorpusMixer",
     "VocabBuilder",
     "InvertedIndex",
@@ -686,6 +687,72 @@ class HashSplitter:
             )
             acc = hi
         return df.withColumn(self.output_column, expr)
+
+
+class HashSampler:
+    """Deterministic corpus sampling — ``rand()`` without the
+    nondeterminism: keep a row iff ``md5(seed:key) mod G <
+    rate · G`` (G = 2^20). The sample is a pure function of
+    (key, seed): re-runs, retries, and different engines agree
+    row-for-row (``q_hash_sample`` hash gate), a row's fate never
+    depends on what else is in the corpus, and disjoint seeds give
+    independent samples. Optional per-group ``rates`` dict (e.g.
+    per-source downsampling factors — the CorpusMixer realization
+    step without RNG).
+
+    Pure projection; zero shuffle; the filter pushes to the scan.
+    No reference counterpart (LLM-pipeline extension).
+    """
+
+    GRANULARITY = 1 << 20
+
+    def __init__(
+        self,
+        rate: Optional[float] = None,
+        rates: Optional[dict] = None,
+        key_column: str = "doc_id",
+        group_column: Optional[str] = None,
+        seed: int = 0,
+    ):
+        if (rate is None) == (rates is None):
+            raise ValueError("give exactly one of rate / rates")
+        if rates is not None and group_column is None:
+            raise ValueError("rates requires group_column")
+        for r in [rate] if rate is not None else rates.values():
+            if not 0.0 <= r <= 1.0:
+                raise ValueError("rates must be in [0, 1]")
+        self.rate = rate
+        self.rates = dict(rates) if rates else None
+        self.key_column = key_column
+        self.group_column = group_column
+        self.seed = seed
+
+    def _bucket(self) -> Column:
+        key = F.concat(
+            F.lit(f"{self.seed}:"),
+            F.col(self.key_column).cast("string"),
+        )
+        return F.pmod(
+            F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long"),
+            F.lit(self.GRANULARITY),
+        )
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        bucket = self._bucket()
+        if self.rate is not None:
+            thr = int(self.rate * self.GRANULARITY)
+            return df.filter(bucket < thr)
+        thr_expr = None
+        for grp, r in sorted(self.rates.items()):
+            t = F.lit(int(r * self.GRANULARITY))
+            cond = F.col(self.group_column) == F.lit(grp)
+            thr_expr = (
+                F.when(cond, t)
+                if thr_expr is None
+                else thr_expr.when(cond, t)
+            )
+        thr_expr = thr_expr.otherwise(F.lit(0))  # unlisted groups drop
+        return df.filter(bucket < thr_expr)
 
 
 class ScriptDetector:

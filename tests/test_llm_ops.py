@@ -3493,3 +3493,29 @@ def test_validate_media_triage(spark):
     assert not out[3]["ok"] and out[3]["format"] == "unknown"
     assert not out[4]["ok"]
     assert out[2]["width"] is None
+
+
+def test_hash_sampler_determinism_and_rates(spark):
+    from replay_spark.preprocessing.text import HashSampler
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(4000)],
+        "doc_id long, source string",
+    )
+    s = HashSampler(rate=0.25, seed=1)
+    ids1 = sorted(r["doc_id"] for r in s.transform(df).collect())
+    ids2 = sorted(r["doc_id"] for r in s.transform(df).collect())
+    assert ids1 == ids2  # fully deterministic
+    assert abs(len(ids1) / 4000 - 0.25) < 0.03
+    # membership is per-key: a subset corpus keeps the same rows
+    sub = df.filter("doc_id < 1000")
+    sub_ids = sorted(r["doc_id"] for r in s.transform(sub).collect())
+    assert sub_ids == [i for i in ids1 if i < 1000]
+    # grouped rates; unlisted groups drop entirely
+    g = HashSampler(rates={"a": 0.5}, group_column="source", seed=1)
+    got = g.transform(df).groupBy("source").count().collect()
+    by = {r["source"]: r["count"] for r in got}
+    assert "b" not in by
+    assert abs(by["a"] / 2000 - 0.5) < 0.05
+    with pytest.raises(ValueError):
+        HashSampler(rate=0.5, rates={"a": 1.0}, group_column="source")
