@@ -2925,6 +2925,15 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flat.unionByName(grouped)
 
 
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source power-of-two token-length histogram (integer
+    bin()-length buckets, no float log)."""
+    from replay_spark.preprocessing.text import LengthHistogram
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    return LengthHistogram(group_columns=("source",)).transform(docs)
+
+
 def q_streaming_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming/batch parity gate for the stateful per-source
     admission cap: with the whole corpus arriving as ONE micro-batch
@@ -3770,6 +3779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incremental_dedup": q_incremental_dedup,
         "q_media_validate": q_media_validate,
         "q_hash_sample": q_hash_sample,
+        "q_length_histogram": q_length_histogram,
         "q_spectrogram": q_spectrogram,
         "q_sessionize": q_sessionize,
         "q_lang_id": q_lang_id,
@@ -5280,6 +5290,22 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY source ORDER BY doc_id) AS rn
                 FROM documents) t
             WHERE rn <= 40
+        """,
+        "q_length_histogram": """
+            WITH t AS (
+                SELECT source,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text),
+                                                        '\\s+'))
+                       END AS n
+                FROM documents)
+            SELECT source,
+                   CAST(CASE WHEN n <= 0 THEN -1
+                        ELSE length(bin(n)) - 1 END AS BIGINT)
+                       AS len_bucket,
+                   count(*) AS n_docs,
+                   sum(n) AS total_tokens
+            FROM t GROUP BY source, len_bucket
         """,
         "q_hash_sample": """
             WITH b AS (

@@ -38,6 +38,7 @@ __all__ = [
     "HashSplitter",
     "ScriptDetector",
     "HashSampler",
+    "LengthHistogram",
     "CorpusMixer",
     "VocabBuilder",
     "InvertedIndex",
@@ -687,6 +688,41 @@ class HashSplitter:
             )
             acc = hi
         return df.withColumn(self.output_column, expr)
+
+
+class LengthHistogram:
+    """Power-of-two token-length histogram per group — the one-line
+    shape check run before choosing chunking/packing budgets:
+    ``bucket = floor(log2(n_tokens))`` (bucket −1 for empty docs),
+    counted per ``group_columns``. Integer arithmetic via the
+    ``bin()``-length device (no float log), one map-side-combined
+    aggregation; ``q_length_histogram`` replays it exactly. No
+    reference counterpart (LLM-pipeline extension).
+    """
+
+    def __init__(
+        self,
+        text_column: str = "text",
+        group_columns: tuple = (),
+    ):
+        self.text_column = text_column
+        self.group_columns = tuple(group_columns)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        n = token_count_expr(F.col(self.text_column)).cast("long")
+        bucket = F.when(n <= 0, F.lit(-1)).otherwise(
+            F.length(F.bin(n)) - 1
+        ).cast("long")
+        gcols = list(self.group_columns)
+        out = df.withColumn("_bucket", bucket)
+        return (
+            out.groupBy(*gcols, "_bucket")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(n).alias("total_tokens"),
+            )
+            .withColumnRenamed("_bucket", "len_bucket")
+        )
 
 
 class HashSampler:

@@ -3519,3 +3519,27 @@ def test_hash_sampler_determinism_and_rates(spark):
     assert abs(by["a"] / 2000 - 0.5) < 0.05
     with pytest.raises(ValueError):
         HashSampler(rate=0.5, rates={"a": 1.0}, group_column="source")
+
+
+def test_length_histogram(spark):
+    from replay_spark.preprocessing.text import LengthHistogram
+
+    df = spark.createDataFrame(
+        [
+            (0, "a", "one"),
+            (1, "a", "one two three"),  # 3 tokens -> bucket 1
+            (2, "b", " ".join(["w"] * 16)),  # bucket 4
+            (3, "b", ""),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        (r["source"], r["len_bucket"]): (r["n_docs"], r["total_tokens"])
+        for r in LengthHistogram(group_columns=("source",))
+        .transform(df)
+        .collect()
+    }
+    assert out[("a", 0)] == (1, 1)
+    assert out[("a", 1)] == (1, 3)
+    assert out[("b", 4)] == (1, 16)
+    assert out[("b", -1)] == (1, 0)
