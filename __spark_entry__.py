@@ -2934,6 +2934,16 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LengthHistogram(group_columns=("source",)).transform(docs)
 
 
+def q_bin_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FFD sample packing at a 256-token budget (4 deterministic
+    hash cells). The FFD loop is not SQL-expressible — rows-only;
+    budget/waste/determinism pinned by tests."""
+    from replay_spark.preprocessing.text import BinPacker
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    return BinPacker(budget=256, num_partitions=4).transform(docs)
+
+
 def q_streaming_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming/batch parity gate for the stateful per-source
     admission cap: with the whole corpus arriving as ONE micro-batch
@@ -3780,6 +3790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_validate": q_media_validate,
         "q_hash_sample": q_hash_sample,
         "q_length_histogram": q_length_histogram,
+        "q_bin_pack": q_bin_pack,
         "q_spectrogram": q_spectrogram,
         "q_sessionize": q_sessionize,
         "q_lang_id": q_lang_id,

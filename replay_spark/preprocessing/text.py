@@ -57,6 +57,7 @@ __all__ = [
     "GopherQualityFilter",
     "C4TextCleaner",
     "SequencePacker",
+    "BinPacker",
     "SourceCapFilter",
     "PII_PATTERNS",
     "LANG_STOPWORDS",
@@ -2866,6 +2867,104 @@ class SequencePacker:
             "n_tokens",
             F.floor(before / budget).cast("long").alias("pack_id"),
             (before % budget).cast("long").alias("pack_offset"),
+        )
+
+
+class BinPacker:
+    """First-fit-decreasing sample packing — the padding-minimizing
+    complement to :class:`SequencePacker`: SequencePacker lays
+    documents head-to-tail (zero fragmentation, but a pack may run
+    OVER budget by its tail document); BinPacker guarantees no pack
+    exceeds ``budget`` (over-long documents get flagged singleton
+    packs), trading a small padding waste — the classic trade
+    training pipelines pick between.
+
+    Global FFD is inherently sequential, so the distributed form
+    hash-partitions documents deterministically (md5 of the id into
+    ``num_partitions`` cells) and runs EXACT FFD within each cell in
+    ``applyInPandas``; for cells of thousands of documents the waste
+    is within a hair of global FFD (both are ≤ 11/9·OPT + 1), and
+    every run/engine produces the same assignment (hash partitioning
+    + (len desc, id asc) order — no RNG). Pack ids encode
+    ``cell · 2³² + local``. One hash shuffle on the 2-column count
+    projection; full rows never move. Rows-only contract
+    (``q_bin_pack``) — the FFD loop is not SQL — with the budget /
+    waste / determinism properties pinned by tests.
+    No reference counterpart (LLM-pipeline extension).
+    """
+
+    def __init__(
+        self,
+        budget: int,
+        id_column: str = "doc_id",
+        text_column: str = "text",
+        num_partitions: int = 32,
+    ):
+        if budget < 1:
+            raise ValueError("budget must be >= 1")
+        if num_partitions < 1:
+            raise ValueError("num_partitions must be >= 1")
+        self.budget = budget
+        self.id_column = id_column
+        self.text_column = text_column
+        self.num_partitions = num_partitions
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """``[<id>, n_tokens, pack_id, overflow]`` — ``overflow``
+        marks single-document packs longer than the budget."""
+        idc, budget = self.id_column, int(self.budget)
+        cell = F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col(idc).cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(self.num_partitions),
+        )
+        counts = df.select(
+            F.col(idc),
+            token_count_expr(F.col(self.text_column))
+            .cast("long")
+            .alias("n_tokens"),
+            cell.alias("_cell"),
+        )
+
+        def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(
+                ["n_tokens", idc], ascending=[False, True]
+            )
+            part = int(pdf["_cell"].iloc[0]) if len(pdf) else 0
+            remaining: list = []  # capacity left per open pack
+            packs, overflow = [], []
+            for n in pdf["n_tokens"]:
+                n = int(n)
+                if n > budget:
+                    packs.append(len(remaining))
+                    remaining.append(0)  # sealed oversize pack
+                    overflow.append(True)
+                    continue
+                for j, cap in enumerate(remaining):
+                    if cap >= n:
+                        packs.append(j)
+                        remaining[j] = cap - n
+                        break
+                else:
+                    packs.append(len(remaining))
+                    remaining.append(budget - n)
+                overflow.append(False)
+            out = pdf[[idc, "n_tokens"]].copy()
+            out["pack_id"] = [
+                (part << 32) + j for j in packs
+            ]
+            out["overflow"] = overflow
+            return out
+
+        import pandas as pd  # noqa: F811
+
+        return counts.groupBy("_cell").applyInPandas(
+            pack,
+            schema=f"{idc} long, n_tokens long, pack_id long, "
+            "overflow boolean",
         )
 
 

@@ -3543,3 +3543,30 @@ def test_length_histogram(spark):
     assert out[("a", 1)] == (1, 3)
     assert out[("b", 4)] == (1, 16)
     assert out[("b", -1)] == (1, 0)
+
+
+def test_bin_packer_budget_and_determinism(spark):
+    from replay_spark.preprocessing.text import BinPacker
+
+    rows = [(i, " ".join(["w"] * ((i * 37) % 90 + 1))) for i in range(300)]
+    rows.append((1000, " ".join(["w"] * 300)))  # oversize doc
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    packer = BinPacker(budget=128, num_partitions=4)
+    out1 = packer.transform(df).collect()
+    out2 = packer.transform(df).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    by_pack = {}
+    oversize = None
+    for r in out1:
+        if r["overflow"]:
+            oversize = r
+            continue
+        by_pack.setdefault(r["pack_id"], 0)
+        by_pack[r["pack_id"]] += r["n_tokens"]
+    # the budget is a hard ceiling for every non-overflow pack
+    assert all(v <= 128 for v in by_pack.values())
+    assert oversize is not None and oversize["doc_id"] == 1000
+    # waste bound: FFD fill should stay near the lower bound
+    total = sum(r["n_tokens"] for r in out1 if not r["overflow"])
+    lower = -(-total // 128)  # ceil
+    assert len(by_pack) <= 1.45 * lower + 4
