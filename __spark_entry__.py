@@ -2944,6 +2944,19 @@ def q_bin_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return BinPacker(budget=256, num_partitions=4).transform(docs)
 
 
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank extractive summaries over the sentence-structured
+    corpus (' a ' -> '. ' boundaries): per-doc sentence PageRank in
+    applyInPandas. Power iteration is not SQL — rows-only; ranking
+    pinned by goldens."""
+    from replay_spark.preprocessing.text import TextRankSummarizer
+
+    docs = rsd.read_table(spark, sf_dir, "documents").withColumn(
+        "text", F.replace(F.col("text"), F.lit(" a "), F.lit(". "))
+    )
+    return TextRankSummarizer(num_sentences=2).transform(docs)
+
+
 def q_streaming_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming/batch parity gate for the stateful per-source
     admission cap: with the whole corpus arriving as ONE micro-batch
@@ -3791,6 +3804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hash_sample": q_hash_sample,
         "q_length_histogram": q_length_histogram,
         "q_bin_pack": q_bin_pack,
+        "q_textrank": q_textrank,
         "q_spectrogram": q_spectrogram,
         "q_sessionize": q_sessionize,
         "q_lang_id": q_lang_id,

@@ -32,6 +32,7 @@ __all__ = [
     "PIIScrubber",
     "DocumentChunker",
     "SentenceSplitter",
+    "TextRankSummarizer",
     "BlocklistFilter",
     "CompressionRatioScorer",
     "TextNormalizer",
@@ -1100,6 +1101,102 @@ class BlocklistFilter:
             self.transform(df)
             .filter(~F.col("blocked"))
             .select(*df.columns)
+        )
+
+
+class TextRankSummarizer:
+    """Extractive summarization (TextRank, Mihalcea & Tarau 2004):
+    per document, rank sentences by PageRank over the
+    sentence-similarity graph (edge weight = token-overlap
+    similarity normalized by log lengths) and keep the top
+    ``num_sentences`` in original order — the summarize-before-
+    inspect pass corpus curation uses on long documents.
+
+    Per-document graphs are tiny (sentences², not corpus²), so each
+    document's power iteration runs exactly in numpy inside
+    ``applyInPandas`` grouped by doc — embarrassingly parallel,
+    deterministic (fixed iteration count, no RNG), zero driver
+    involvement. Composes :class:`SentenceSplitter` for the
+    segmentation. Rows-only contract (``q_textrank`` — the power
+    iteration is not SQL); ranking behavior pinned by golden tests.
+    No reference counterpart (LLM-pipeline extension).
+    """
+
+    def __init__(
+        self,
+        num_sentences: int = 3,
+        text_column: str = "text",
+        id_column: str = "doc_id",
+        damping: float = 0.85,
+        iterations: int = 30,
+    ):
+        if num_sentences < 1:
+            raise ValueError("num_sentences must be >= 1")
+        self.num_sentences = num_sentences
+        self.text_column = text_column
+        self.id_column = id_column
+        self.damping = damping
+        self.iterations = iterations
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """``[<id>, summary, n_sentences_in, n_sentences_out]``."""
+        import numpy as np
+
+        idc = self.id_column
+        k, d, iters = self.num_sentences, self.damping, self.iterations
+        sentences = SentenceSplitter(
+            text_column=self.text_column, id_column=idc
+        ).transform(df)
+
+        def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("sentence_index")
+            sents = list(pdf["sentence"])
+            n = len(sents)
+            doc_id = pdf[idc].iloc[0]
+            if n <= k:
+                keep = list(range(n))
+            else:
+                token_sets = [
+                    set(s.lower().split()) for s in sents
+                ]
+                W = np.zeros((n, n))
+                for i in range(n):
+                    for j in range(i + 1, n):
+                        inter = len(token_sets[i] & token_sets[j])
+                        if inter:
+                            denom = np.log(len(token_sets[i]) + 1) + np.log(
+                                len(token_sets[j]) + 1
+                            )
+                            W[i, j] = W[j, i] = inter / denom
+                row_sums = W.sum(axis=1)
+                r = np.full(n, 1.0 / n)
+                for _ in range(iters):
+                    contrib = np.where(
+                        row_sums > 0, r / np.maximum(row_sums, 1e-12), 0.0
+                    )
+                    r = (1 - d) / n + d * (W @ contrib)
+                # top-k by (score desc, position asc), emitted in
+                # original order
+                order = sorted(
+                    range(n), key=lambda i: (-r[i], i)
+                )[:k]
+                keep = sorted(order)
+            summary = " ".join(sents[i] for i in keep)
+            return pd.DataFrame(
+                {
+                    idc: [doc_id],
+                    "summary": [summary],
+                    "n_sentences_in": [n],
+                    "n_sentences_out": [len(keep)],
+                }
+            )
+
+        import pandas as pd  # noqa: F811
+
+        return sentences.groupBy(idc).applyInPandas(
+            summarize,
+            schema=f"{idc} long, summary string, "
+            "n_sentences_in long, n_sentences_out long",
         )
 
 

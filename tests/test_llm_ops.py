@@ -3570,3 +3570,36 @@ def test_bin_packer_budget_and_determinism(spark):
     total = sum(r["n_tokens"] for r in out1 if not r["overflow"])
     lower = -(-total // 128)  # ceil
     assert len(by_pack) <= 1.45 * lower + 4
+
+
+def test_textrank_summarizer(spark):
+    from replay_spark.preprocessing.text import TextRankSummarizer
+
+    core = "spark engine runs queries fast"
+    doc = ". ".join(
+        [
+            core + " one",
+            core + " two",
+            core + " three",
+            "totally unrelated isolated thought",
+            core + " four",
+        ]
+    ) + "."
+    df = spark.createDataFrame(
+        [(0, doc), (1, "Short. Doc.")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in TextRankSummarizer(num_sentences=2).transform(df).collect()
+    }
+    # the isolated sentence must not make a 2-sentence summary of a
+    # 5-sentence doc whose other sentences reinforce each other
+    assert "unrelated" not in out[0]["summary"]
+    assert out[0]["n_sentences_in"] == 5
+    assert out[0]["n_sentences_out"] == 2
+    # order preserved: "one" variant precedes later picks
+    s = out[0]["summary"]
+    assert s.index("one") < s.index("two") if "two" in s else True
+    # short docs pass through whole
+    assert out[1]["summary"] == "Short. Doc."
+    assert out[1]["n_sentences_out"] == 2
