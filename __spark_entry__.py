@@ -2957,6 +2957,92 @@ def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TextRankSummarizer(num_sentences=2).transform(docs)
 
 
+def q_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-tier flagship composition: render page (title + three
+    planted links) → wrap in gzip-member WARC → split/parse →
+    extract title AND outlinks → resolve against the page URL →
+    gate each link with RobotsFilter (Disallow: /about) and
+    UrlFilter (blocked domain other.example) — every stage boundary
+    lands in one hash against a DuckDB CASE oracle."""
+    import pandas as pd
+
+    from replay_spark.web import (
+        HtmlLinkExtractor,
+        HtmlTextExtractor,
+        RobotsFilter,
+        UrlFilter,
+        build_warc,
+        warc_records,
+    )
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+
+    def wrap(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                body = (
+                    "<html><head><title>page "
+                    + str(did)
+                    + "</title></head><body>"
+                    + f"<a href='/abs/{did}'>keep</a>"
+                    + f"<a href='../about/{did}'>robots-blocked</a>"
+                    + f"<a href='https://other.example/{did}'>"
+                    + "domain-blocked</a>"
+                    + "</body></html>"
+                ).encode("utf-8")
+                rec = [(
+                    "response",
+                    f"http://corpus.test/pages/{did}.html",
+                    "application/http",
+                    b"HTTP/1.1 200 OK\r\n"
+                    b"Content-Type: text/html\r\n\r\n" + body,
+                )]
+                ids.append(did)
+                payloads.append(build_warc(rec, gzip_members=True))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    archives = docs.select("doc_id").mapInPandas(
+        wrap, schema="media_id long, payload binary"
+    )
+    pages = (
+        warc_records(archives)
+        .filter(F.col("warc_type") == "response")
+        .select(
+            F.col("media_id").alias("doc_id"),
+            F.col("target_uri").alias("base_url"),
+            F.decode(F.col("content"), "UTF-8").alias("html"),
+        )
+    )
+    titles = HtmlTextExtractor().transform(pages).select(
+        "doc_id", "title"
+    )
+    links = HtmlLinkExtractor(base_url_column="base_url").transform(
+        pages
+    )
+    robots = "User-agent: *\nDisallow: /about\n"
+    gated = RobotsFilter(url_column="resolved_url").transform(
+        links.withColumn("robots_txt", F.lit(robots))
+    )
+    flagged = UrlFilter(
+        url_column="resolved_url",
+        blocked_domains=("other.example",),
+        blocked_extensions=(),
+    ).flags(gated)
+    return flagged.join(titles, on="doc_id").select(
+        "doc_id",
+        "title",
+        "link_index",
+        "resolved_url",
+        "robots_allowed",
+        "url_blocked",
+        (F.col("robots_allowed") & ~F.col("url_blocked")).alias(
+            "crawlable"
+        ),
+    )
+
+
 def q_streaming_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming/batch parity gate for the stateful per-source
     admission cap: with the whole corpus arriving as ONE micro-batch
@@ -3805,6 +3891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_length_histogram": q_length_histogram,
         "q_bin_pack": q_bin_pack,
         "q_textrank": q_textrank,
+        "q_crawl_e2e": q_crawl_e2e,
         "q_spectrogram": q_spectrogram,
         "q_sessionize": q_sessionize,
         "q_lang_id": q_lang_id,
@@ -5315,6 +5402,23 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY source ORDER BY doc_id) AS rn
                 FROM documents) t
             WHERE rn <= 40
+        """,
+        "q_crawl_e2e": """
+            SELECT doc_id,
+                   'page ' || doc_id AS title,
+                   CAST(g.i AS BIGINT) AS link_index,
+                   CASE g.i
+                       WHEN 0 THEN 'http://corpus.test/abs/'
+                                   || doc_id
+                       WHEN 1 THEN 'http://corpus.test/about/'
+                                   || doc_id
+                       ELSE 'https://other.example/' || doc_id
+                   END AS resolved_url,
+                   g.i <> 1 AS robots_allowed,
+                   g.i = 2 AS url_blocked,
+                   g.i = 0 AS crawlable
+            FROM documents,
+                 LATERAL (SELECT unnest(range(0, 3)) AS i) g
         """,
         "q_length_histogram": """
             WITH t AS (
