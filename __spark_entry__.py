@@ -4933,10 +4933,11 @@ def oracle_sql() -> dict[str, str]:
         "q_corpus_stats": """
             SELECT source, lang,
                    count(*) AS num_docs,
-                   sum(len(string_split_regex(trim(text), '\\s+'))
+                   CAST(sum(len(string_split_regex(trim(text), '\\s+'))
                        * CASE WHEN length(trim(text)) = 0
-                              THEN 0 ELSE 1 END) AS total_tokens,
-                   sum(length(text)) AS total_chars,
+                              THEN 0 ELSE 1 END) AS BIGINT)
+                       AS total_tokens,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
                    min(CASE WHEN length(trim(text)) = 0 THEN 0
                             ELSE len(string_split_regex(trim(text), '\\s+'))
                        END) AS min_tokens,
@@ -5433,7 +5434,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE length(bin(n)) - 1 END AS BIGINT)
                        AS len_bucket,
                    count(*) AS n_docs,
-                   sum(n) AS total_tokens
+                   CAST(sum(n) AS BIGINT) AS total_tokens
             FROM t GROUP BY source, len_bucket
         """,
         "q_hash_sample": """
@@ -5528,7 +5529,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, count(*) AS key_rows
                 FROM events GROUP BY user_id),
             t AS (
-                SELECT sum(key_rows) AS total,
+                SELECT CAST(sum(key_rows) AS BIGINT) AS total,
                        count(*) AS n_keys,
                        max(key_rows) AS max_rows
                 FROM c),
@@ -5556,28 +5557,28 @@ def oracle_sql() -> dict[str, str]:
                 FROM events),
             a AS (
                 SELECT count(*) AS n_rows,
-                       sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0
-                           END) AS nn1,
+                       CAST(sum(CASE WHEN event_id IS NULL THEN 1
+                           ELSE 0 END) AS BIGINT) AS nn1,
                        count(DISTINCT event_id) AS nd1,
                        CAST(min(event_id) AS VARCHAR) AS mn1,
                        CAST(max(event_id) AS VARCHAR) AS mx1,
-                       sum(CASE WHEN ts IS NULL THEN 1 ELSE 0
-                           END) AS nn2,
+                       CAST(sum(CASE WHEN ts IS NULL THEN 1
+                           ELSE 0 END) AS BIGINT) AS nn2,
                        count(DISTINCT ts) AS nd2,
                        CAST(min(ts) AS VARCHAR) AS mn2,
                        CAST(max(ts) AS VARCHAR) AS mx2,
-                       sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0
-                           END) AS nn3,
+                       CAST(sum(CASE WHEN user_id IS NULL THEN 1
+                           ELSE 0 END) AS BIGINT) AS nn3,
                        count(DISTINCT user_id) AS nd3,
                        CAST(min(user_id) AS VARCHAR) AS mn3,
                        CAST(max(user_id) AS VARCHAR) AS mx3,
-                       sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0
-                           END) AS nn4,
+                       CAST(sum(CASE WHEN event_type IS NULL THEN 1
+                           ELSE 0 END) AS BIGINT) AS nn4,
                        count(DISTINCT event_type) AS nd4,
                        min(event_type) AS mn4,
                        max(event_type) AS mx4,
-                       sum(CASE WHEN value IS NULL THEN 1 ELSE 0
-                           END) AS nn5,
+                       CAST(sum(CASE WHEN value IS NULL THEN 1
+                           ELSE 0 END) AS BIGINT) AS nn5,
                        count(DISTINCT value) AS nd5,
                        CAST(min(value) AS VARCHAR) AS mn5,
                        CAST(max(value) AS VARCHAR) AS mx5
