@@ -1768,6 +1768,46 @@ def q_hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.search(emb.filter("vec_id < 20"), k=5)
 
 
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means assignment path with a deterministic quantizer
+    (centroids = embeddings of vec_id < 8): every vector's argmin
+    squared-L2 cluster plus the rounded distance HASH-matches a
+    DuckDB replay. Both sides sum (a-b)^2 sequentially over the same
+    doubles (Spark ``aggregate``, DuckDB ``list_reduce``), so the
+    distances are bit-identical and the integer argmin cannot flip;
+    the displayed distance carries the +1e-9 two-sided rounding
+    guard. Gates KMeansClusterer's assignment exactly; the Lloyd
+    update loop is gated rows-only (q_kmeans_fit) + planted-cluster
+    tests."""
+    from replay_spark.ann import KMeansClusterer
+
+    emb = rsd.read_table(spark, sf_dir, "embeddings")
+    cents = [
+        r["embedding"]
+        for r in emb.filter("vec_id < 8").orderBy("vec_id").collect()
+    ]
+    km = KMeansClusterer(k=8, max_iter=0).fit(emb, centroids=cents)
+    return km.transform(emb).select(
+        "vec_id",
+        "cluster",
+        F.round(F.col("sq_dist") + F.lit(1e-9), 6).alias("sq_dist_r6"),
+    )
+
+
+def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Lloyd k-means over the embeddings (farthest-point init,
+    3 iterations) — per-vector cluster assignment. Rows-only: the
+    centroid-mean updates are float averages whose cross-engine
+    bit-stability is not guaranteed; the algebra is pinned by
+    planted-cluster, argmin-parity, empty-cluster, and
+    inertia-monotonicity tests."""
+    from replay_spark.ann import KMeansClusterer
+
+    emb = rsd.read_table(spark, sf_dir, "embeddings")
+    km = KMeansClusterer(k=6, max_iter=3, seed=11).fit(emb)
+    return km.transform(emb).select("vec_id", "cluster")
+
+
 def q_webm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL EBML/WebM container gate — the Matroska twin of
     q_mp4_meta: deterministic WebM containers synthesized
@@ -3869,6 +3909,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination_report": q_contamination_report,
         # -- (c) officially green in r4-r6, rotating out — still
         #        run in tools/check_oracle and bench -------------
+        "q_kmeans_assign": q_kmeans_assign,
+        "q_kmeans_fit": q_kmeans_fit,
         "q_bloom_membership": q_bloom_membership,
         "q_html_links": q_html_links,
         "q_image_augment": q_image_augment,
@@ -5243,6 +5285,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, bit_count(xor(fp_a, fp_b)) AS hamming
             FROM cands
             WHERE bit_count(xor(fp_a, fp_b)) <= 3
+        """,
+        "q_kmeans_assign": """
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+            cents AS (
+                SELECT vec_id AS cluster, v AS cv
+                FROM e WHERE vec_id < 8),
+            d AS (
+                SELECT e.vec_id, c.cluster,
+                       list_reduce(
+                           list_transform(range(1, 65),
+                               i -> (e.v[CAST(i AS INT)]
+                                     - c.cv[CAST(i AS INT)])
+                                    * (e.v[CAST(i AS INT)]
+                                       - c.cv[CAST(i AS INT)])),
+                           (a, b) -> a + b) AS dist
+                FROM e, cents c)
+            SELECT vec_id, cluster,
+                   round(dist + 1e-9, 6) AS sq_dist_r6
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id
+                    ORDER BY dist ASC, cluster ASC) AS rn
+                FROM d) t
+            WHERE rn = 1
         """,
         "q_ivf_ann_fixed": """
             WITH e AS (

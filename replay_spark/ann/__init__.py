@@ -2,3 +2,4 @@ from replay_spark.ann.search import BruteForceANN, IVFANN, LSHANN  # noqa: F401
 from replay_spark.ann.search import PQANN  # noqa: F401
 from replay_spark.ann.search import IVFPQANN  # noqa: F401
 from replay_spark.ann.hnsw import HNSWANN  # noqa: F401
+from replay_spark.ann.kmeans import KMeansClusterer  # noqa: F401

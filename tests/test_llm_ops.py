@@ -3603,3 +3603,77 @@ def test_textrank_summarizer(spark):
     # short docs pass through whole
     assert out[1]["summary"] == "Short. Doc."
     assert out[1]["n_sentences_out"] == 2
+
+
+def test_kmeans_planted_clusters(spark):
+    from replay_spark.ann.kmeans import KMeansClusterer
+
+    # three well-separated planted clusters in 4-d
+    centers = [[0.0, 0.0, 0.0, 0.0], [10.0, 10.0, 10.0, 10.0],
+               [-10.0, 10.0, -10.0, 10.0]]
+    rows = []
+    i = 0
+    for ci, c in enumerate(centers):
+        for j in range(20):
+            off = ((j % 5) - 2) * 0.1
+            rows.append((i, [x + off for x in c], ci))
+            i += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, truth int"
+    )
+    km = KMeansClusterer(k=3, max_iter=5, seed=7).fit(df)
+    out = km.transform(df).select("truth", "cluster").collect()
+    # every planted cluster maps to exactly one learned cluster
+    mapping = {}
+    for r in out:
+        mapping.setdefault(r["truth"], set()).add(r["cluster"])
+    assert all(len(v) == 1 for v in mapping.values())
+    assert len({next(iter(v)) for v in mapping.values()}) == 3
+    # centroids converged onto the planted centers
+    learned = sorted(tuple(round(x) for x in c) for c in km.centroids)
+    assert learned == sorted(tuple(map(round, c)) for c in centers)
+
+
+def test_kmeans_fixed_centroids_argmin(spark):
+    import math
+
+    from replay_spark.ann.kmeans import KMeansClusterer
+
+    cents = [[0.0, 0.0], [4.0, 0.0], [0.0, 4.0]]
+    pts = [(0, [0.4, 0.1]), (1, [3.0, 0.2]), (2, [0.5, 3.4]),
+           (3, [2.0, 2.0]), (4, [-1.0, -1.0])]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    km = KMeansClusterer(k=3, max_iter=0).fit(df, centroids=cents)
+    got = {r["vec_id"]: (r["cluster"], r["sq_dist"])
+           for r in km.transform(df).collect()}
+    for vid, v in pts:
+        dists = [sum((a - b) ** 2 for a, b in zip(v, c)) for c in cents]
+        want = min(range(3), key=lambda i: (dists[i], i))
+        assert got[vid][0] == want
+        assert math.isclose(got[vid][1], dists[want], rel_tol=1e-12)
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    from replay_spark.ann.kmeans import KMeansClusterer
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.2, 0.0]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    far = [100.0, 100.0]
+    km = KMeansClusterer(k=2, max_iter=1).fit(
+        df, centroids=[[0.0, 0.0], far]
+    )
+    # nothing is assigned to the far centroid, so it must survive
+    assert km.centroids[1] == far
+
+
+def test_kmeans_inertia_decreases(spark):
+    from replay_spark.ann.kmeans import KMeansClusterer
+
+    rows = [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    km0 = KMeansClusterer(k=4, max_iter=0, seed=3).fit(df)
+    start = km0.inertia(df)
+    km5 = KMeansClusterer(k=4, max_iter=5, seed=3).fit(df)
+    assert km5.inertia(df) <= start + 1e-9
