@@ -1768,6 +1768,47 @@ def q_hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.search(emb.filter("vec_id < 20"), k=5)
 
 
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization gate: five families of deliberately
+    messy URLs synthesized from doc ids (upper-case scheme/host,
+    default and non-default ports, fragments, tracking params mixed
+    into unsorted query strings, empty paths, and plain non-URL
+    text), pushed through the real UrlCanonicalizer expression. The
+    DuckDB oracle does NOT replay the regex machinery — it constructs
+    the expected canonical string directly from the same doc ids, so
+    the gate is an independent end-to-end derivation, not a mirror."""
+    from replay_spark.web import UrlCanonicalizer
+
+    docs = rsd.read_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    url = (
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit("HTTP://Site.COM:80/p/"), ds,
+                F.lit("?utm_source=x&b="), (d % 3).cast("string"),
+                F.lit("&a=1#frag"),
+            ),
+        )
+        .when(
+            d % 5 == 1,
+            F.concat(F.lit("https://News.example:443/a/"), ds),
+        )
+        .when(
+            d % 5 == 2,
+            F.concat(
+                F.lit("http://host.com:8080?z="), ds,
+                F.lit("&y=1&gclid=x"),
+            ),
+        )
+        .when(d % 5 == 3, F.concat(F.lit("http://plain.org/x/"), ds))
+        .otherwise(F.concat(F.lit("  raw text "), ds, F.lit("  ")))
+    )
+    out = UrlCanonicalizer().transform(docs.withColumn("url", url))
+    return out.select("doc_id", "url", "canonical_url")
+
+
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means assignment path with a deterministic quantizer
     (centroids = embeddings of vec_id < 8): every vector's argmin
@@ -3911,6 +3952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #        run in tools/check_oracle and bench -------------
         "q_kmeans_assign": q_kmeans_assign,
         "q_kmeans_fit": q_kmeans_fit,
+        "q_url_canonicalize": q_url_canonicalize,
         "q_bloom_membership": q_bloom_membership,
         "q_html_links": q_html_links,
         "q_image_augment": q_image_augment,
@@ -5285,6 +5327,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, bit_count(xor(fp_a, fp_b)) AS hamming
             FROM cands
             WHERE bit_count(xor(fp_a, fp_b)) <= 3
+        """,
+        "q_url_canonicalize": """
+            SELECT doc_id,
+                   CASE doc_id % 5
+                       WHEN 0 THEN 'HTTP://Site.COM:80/p/'
+                            || CAST(doc_id AS VARCHAR)
+                            || '?utm_source=x&b='
+                            || CAST(doc_id % 3 AS VARCHAR)
+                            || '&a=1#frag'
+                       WHEN 1 THEN 'https://News.example:443/a/'
+                            || CAST(doc_id AS VARCHAR)
+                       WHEN 2 THEN 'http://host.com:8080?z='
+                            || CAST(doc_id AS VARCHAR) || '&y=1&gclid=x'
+                       WHEN 3 THEN 'http://plain.org/x/'
+                            || CAST(doc_id AS VARCHAR)
+                       ELSE '  raw text ' || CAST(doc_id AS VARCHAR)
+                            || '  '
+                   END AS url,
+                   CASE doc_id % 5
+                       WHEN 0 THEN 'http://site.com/p/'
+                            || CAST(doc_id AS VARCHAR) || '?a=1&b='
+                            || CAST(doc_id % 3 AS VARCHAR)
+                       WHEN 1 THEN 'https://news.example/a/'
+                            || CAST(doc_id AS VARCHAR)
+                       WHEN 2 THEN 'http://host.com:8080/?y=1&z='
+                            || CAST(doc_id AS VARCHAR)
+                       WHEN 3 THEN 'http://plain.org/x/'
+                            || CAST(doc_id AS VARCHAR)
+                       ELSE 'raw text ' || CAST(doc_id AS VARCHAR)
+                   END AS canonical_url
+            FROM documents
         """,
         "q_kmeans_assign": """
             WITH e AS (

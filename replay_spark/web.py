@@ -46,6 +46,7 @@ __all__ = [
     "RobotsFilter",
     "HtmlLinkExtractor",
     "LinkGraphRank",
+    "UrlCanonicalizer",
 ]
 
 
@@ -380,6 +381,118 @@ class UrlFilter:
             self.flags(df)
             .filter(~F.col("url_blocked"))
             .select(df.columns)
+        )
+
+
+class UrlCanonicalizer:
+    """RFC 3986-style URL canonicalization — the normalization pass a
+    crawl frontier and URL-level dedup both need (the same raw page
+    arrives as ``HTTP://Example.com:80/a?utm_source=x&b=1#frag`` and
+    ``http://example.com/a?b=1``):
+
+    * scheme and host lower-cased;
+    * default port stripped (``:80`` for http, ``:443`` for https);
+    * fragment dropped;
+    * tracking query parameters removed (``utm_*`` prefixes plus a
+      configurable name list: gclid/fbclid/...);
+    * remaining query parameters sorted byte-wise (order-insensitive
+      canonical form); an emptied query drops its ``?``;
+    * empty path becomes ``/``; optional ``www.`` stripping.
+
+    The whole pass is ONE projection of RE2-compatible
+    ``regexp_extract`` + array expressions — JVM-side, zero UDFs,
+    replayable by the DuckDB contract oracle, and trivially fused
+    into the scan at 100 TB (no shuffle, no Python). Rows that do
+    not look like ``scheme://`` URLs pass through trimmed and
+    unchanged (the op is total; a filter must see every row).
+    """
+
+    DEFAULT_TRACKING_PARAMS = (
+        "gclid", "fbclid", "msclkid", "mc_eid", "igshid", "spm",
+        "ref", "ref_src",
+    )
+    DEFAULT_TRACKING_PREFIXES = ("utm_",)
+
+    _URL_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+
+    def __init__(
+        self,
+        url_column: str = "url",
+        output_column: str = "canonical_url",
+        tracking_params: tuple = DEFAULT_TRACKING_PARAMS,
+        tracking_prefixes: tuple = DEFAULT_TRACKING_PREFIXES,
+        strip_www: bool = False,
+    ):
+        self.url_column = url_column
+        self.output_column = output_column
+        self.tracking_params = tuple(p.lower() for p in tracking_params)
+        self.tracking_prefixes = tuple(
+            p.lower() for p in tracking_prefixes
+        )
+        self.strip_www = strip_www
+
+    def _canonical_expr(self):
+        url = F.trim(F.col(self.url_column))
+        scheme = F.lower(F.regexp_extract(url, self._URL_RE, 1))
+        authority = F.lower(F.regexp_extract(url, self._URL_RE, 2))
+        path = F.regexp_extract(url, self._URL_RE, 3)
+        query = F.regexp_extract(url, self._URL_RE, 4)
+
+        host = F.regexp_replace(authority, ":[0-9]+$", "")
+        port = F.regexp_extract(authority, ":([0-9]+)$", 1)
+        if self.strip_www:
+            host = F.regexp_replace(host, r"^www\.", "")
+        keep_port = (port != "") & ~(
+            ((scheme == "http") & (port == "80"))
+            | ((scheme == "https") & (port == "443"))
+        )
+        norm_auth = F.when(keep_port, F.concat_ws(":", host, port)).otherwise(
+            host
+        )
+
+        norm_path = F.when(path == "", F.lit("/")).otherwise(path)
+
+        def is_tracking(p):
+            name = F.lower(F.split(p, "=", 2).getItem(0))
+            cond = F.lit(False)
+            for t in self.tracking_params:
+                cond = cond | (name == t)
+            for pre in self.tracking_prefixes:
+                cond = cond | name.startswith(pre)
+            return cond
+
+        params = F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~is_tracking(p),
+        )
+        norm_query = F.array_join(F.array_sort(params), "&")
+
+        base = F.concat(scheme, F.lit("://"), norm_auth, norm_path)
+        canon = F.when(
+            norm_query != "", F.concat(base, F.lit("?"), norm_query)
+        ).otherwise(base)
+        return F.when(scheme != "", canon).otherwise(url)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(self.output_column, self._canonical_expr())
+
+    def deduplicate(self, df: DataFrame, tie_column: Optional[str] = None):
+        """URL-level dedup on the canonical form: one row per
+        canonical URL, the minimum ``tie_column`` winning (pass a
+        unique id column for a fully deterministic pick; the default
+        raw-URL tie falls back to an arbitrary-but-single row among
+        byte-identical raw URLs). One map-side-combined groupBy plus
+        a keyed join — no window over the full corpus."""
+        tie = tie_column or self.url_column
+        canon = self.transform(df)
+        winners = canon.groupBy(self.output_column).agg(
+            F.min(tie).alias("_keep")
+        )
+        return (
+            canon.join(winners, on=self.output_column, how="inner")
+            .filter(F.col(tie) == F.col("_keep"))
+            .drop("_keep")
+            .dropDuplicates([self.output_column])
         )
 
 

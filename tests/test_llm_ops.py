@@ -3677,3 +3677,48 @@ def test_kmeans_inertia_decreases(spark):
     start = km0.inertia(df)
     km5 = KMeansClusterer(k=4, max_iter=5, seed=3).fit(df)
     assert km5.inertia(df) <= start + 1e-9
+
+
+def test_url_canonicalizer(spark):
+    from replay_spark.web import UrlCanonicalizer
+
+    cases = [
+        # scheme/host case, default port, fragment
+        ("HTTP://Example.COM:80/a/b#frag", "http://example.com/a/b"),
+        ("https://Example.com:443/", "https://example.com/"),
+        # non-default port survives
+        ("http://example.com:8080/x", "http://example.com:8080/x"),
+        # tracking params stripped, rest sorted, empty query dropped
+        ("http://e.com/p?utm_source=x&b=2&a=1", "http://e.com/p?a=1&b=2"),
+        ("http://e.com/p?utm_source=x&gclid=9", "http://e.com/p"),
+        ("http://e.com/p?z=1&y=2&fbclid=abc", "http://e.com/p?y=2&z=1"),
+        # empty path becomes /
+        ("http://e.com", "http://e.com/"),
+        ("http://e.com?q=1", "http://e.com/?q=1"),
+        # non-URL rows pass through trimmed
+        ("  not a url  ", "not a url"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "id long, url string"
+    )
+    got = {
+        r["id"]: r["canonical_url"]
+        for r in UrlCanonicalizer().transform(df).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
+
+
+def test_url_canonicalizer_strip_www_and_dedup(spark):
+    from replay_spark.web import UrlCanonicalizer
+
+    rows = [
+        (0, "http://WWW.Site.com/a?utm_k=1"),
+        (1, "http://site.com:80/a"),
+        (2, "http://site.com/b"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    canon = UrlCanonicalizer(strip_www=True)
+    out = canon.deduplicate(df, tie_column="id").collect()
+    kept = {r["canonical_url"]: r["id"] for r in out}
+    assert kept == {"http://site.com/a": 0, "http://site.com/b": 2}
