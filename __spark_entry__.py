@@ -1768,6 +1768,31 @@ def q_hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.search(emb.filter("vec_id < 20"), k=5)
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-count stratified sampling gate, two modes unioned (the
+    q_hash_sample pattern): 'uniform' keeps exactly 7 docs per
+    source by md5(seed:doc_id) rank; 'counts' keeps {src0: 3,
+    src1: 5} and drops unlisted strata. DuckDB replays the digest
+    rank with row_number() — membership is a pure function of
+    (doc_id, seed), so the sets match row-for-row."""
+    from replay_spark.preprocessing.text import StratifiedSampler
+
+    docs = rsd.read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    uniform = (
+        StratifiedSampler(n=7, seed=0)
+        .transform(docs)
+        .withColumn("mode", F.lit("uniform"))
+    )
+    counted = (
+        StratifiedSampler(counts={"src0": 3, "src1": 5}, seed=0)
+        .transform(docs)
+        .withColumn("mode", F.lit("counts"))
+    )
+    return uniform.unionByName(counted).select("doc_id", "source", "mode")
+
+
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization gate: five families of deliberately
     messy URLs synthesized from doc ids (upper-case scheme/host,
@@ -3953,6 +3978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmeans_assign": q_kmeans_assign,
         "q_kmeans_fit": q_kmeans_fit,
         "q_url_canonicalize": q_url_canonicalize,
+        "q_stratified_sample": q_stratified_sample,
         "q_bloom_membership": q_bloom_membership,
         "q_html_links": q_html_links,
         "q_image_augment": q_image_augment,
@@ -5327,6 +5353,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, bit_count(xor(fp_a, fp_b)) AS hamming
             FROM cands
             WHERE bit_count(xor(fp_a, fp_b)) <= 3
+        """,
+        "q_stratified_sample": """
+            WITH d AS (
+                SELECT doc_id, source,
+                       md5('0:' || CAST(doc_id AS VARCHAR)) AS h
+                FROM documents),
+            r AS (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY h, doc_id) AS rn
+                FROM d)
+            SELECT doc_id, source, 'uniform' AS mode
+            FROM r WHERE rn <= 7
+            UNION ALL
+            SELECT doc_id, source, 'counts'
+            FROM r
+            WHERE (source = 'src0' AND rn <= 3)
+               OR (source = 'src1' AND rn <= 5)
         """,
         "q_url_canonicalize": """
             SELECT doc_id,

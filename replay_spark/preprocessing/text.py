@@ -793,6 +793,146 @@ class HashSampler:
         return df.filter(bucket < thr_expr)
 
 
+class StratifiedSampler:
+    """EXACT-count stratified sampling: keep exactly ``n`` rows per
+    stratum (or a per-stratum ``counts`` dict, or
+    ``floor(fraction * |stratum|)`` via ``fractions``), chosen
+    deterministically by ``md5(seed:key)`` rank — the ``rand()``-free,
+    exact-count twin of ``df.sampleBy`` (which is probabilistic in
+    BOTH membership and size). The sample is a pure function of
+    (key, seed): re-runs and engines agree row-for-row, and growing a
+    stratum only ever evicts the largest-digest rows.
+
+    Plan shape — no per-stratum total ordering anywhere (a hot
+    stratum never lands on one reducer), the SourceCapFilter pattern:
+
+    1. 3-column projection ``(stratum, key, digest)``; rank within
+       ``(stratum, salt)`` and keep each salt bucket's ``n_g``
+       smallest digests — every one of a stratum's ``n_g`` global
+       winners is among its salt bucket's ``n_g`` smallest, so no
+       winner is lost;
+    2. exact rank over the surviving ``<= salts * n_g`` candidates
+       per stratum (bounded, skew-free) picks the final keys;
+    3. one LEFT SEMI join (AQE broadcasts the small key set) filters
+       the corpus — full-width rows are never shuffled.
+
+    ``fractions`` runs one extra map-side-combined count pass to turn
+    fractions into exact counts (strata assumed driver-bounded —
+    sources/languages, not user ids). Strata absent from ``counts``/
+    ``fractions`` are dropped ("select only what's listed"); strata
+    smaller than their target keep every row. No reference
+    counterpart (LLM-pipeline extension).
+    """
+
+    def __init__(
+        self,
+        n: Optional[int] = None,
+        counts: Optional[dict] = None,
+        fractions: Optional[dict] = None,
+        stratum_column: str = "source",
+        key_column: str = "doc_id",
+        seed: int = 0,
+        salts: int = 32,
+    ):
+        given = sum(x is not None for x in (n, counts, fractions))
+        if given != 1:
+            raise ValueError("give exactly one of n / counts / fractions")
+        if n is not None and n < 1:
+            raise ValueError("n must be >= 1")
+        if counts and any(c < 0 for c in counts.values()):
+            raise ValueError("counts must be >= 0")
+        if fractions and any(
+            not 0.0 <= f <= 1.0 for f in fractions.values()
+        ):
+            raise ValueError("fractions must be in [0, 1]")
+        if salts < 1:
+            raise ValueError("salts must be >= 1")
+        self.n = n
+        self.counts = dict(counts) if counts else None
+        self.fractions = dict(fractions) if fractions else None
+        self.stratum_column = stratum_column
+        self.key_column = key_column
+        self.seed = seed
+        self.salts = salts
+
+    def _digest(self) -> Column:
+        return F.md5(
+            F.concat(
+                F.lit(f"{self.seed}:"),
+                F.col(self.key_column).cast("string"),
+            )
+        )
+
+    def _cap_expr(self, counts: Optional[dict]) -> Column:
+        if counts is None:
+            return F.lit(int(self.n))
+        cap = None
+        for g, c in sorted(counts.items()):
+            cond = F.col(self.stratum_column) == g
+            cap = (
+                F.when(cond, int(c))
+                if cap is None
+                else cap.when(cond, int(c))
+            )
+        if cap is None:
+            return F.lit(0)
+        return cap.otherwise(F.lit(0))
+
+    def sampled_keys(self, df: DataFrame) -> DataFrame:
+        """The sampled ``(stratum, key)`` pairs (the cheap half — use
+        directly when only keys are needed downstream)."""
+        from pyspark.sql import Window
+
+        counts = self.counts
+        if self.fractions is not None:
+            sizes = {
+                r["_g"]: r["_n"]
+                for r in df.groupBy(
+                    F.col(self.stratum_column).alias("_g")
+                )
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .collect()
+            }
+            counts = {
+                g: int(f * sizes.get(g, 0))
+                for g, f in self.fractions.items()
+            }
+        cap = self._cap_expr(counts)
+        proj = df.select(
+            self.stratum_column,
+            self.key_column,
+            self._digest().alias("_d"),
+        ).withColumn("_cap", cap)
+        proj = proj.filter(F.col("_cap") > 0)
+        salted = proj.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col(self.key_column)), F.lit(self.salts)),
+        )
+        w1 = Window.partitionBy(self.stratum_column, "_salt").orderBy(
+            "_d", self.key_column
+        )
+        local = salted.withColumn("_r1", F.row_number().over(w1)).filter(
+            F.col("_r1") <= F.col("_cap")
+        )
+        w2 = Window.partitionBy(self.stratum_column).orderBy(
+            "_d", self.key_column
+        )
+        return (
+            local.withColumn("_r2", F.row_number().over(w2))
+            .filter(F.col("_r2") <= F.col("_cap"))
+            .select(self.stratum_column, self.key_column)
+        )
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """Keep the sampled rows (full width) — one semi join."""
+        keys = self.sampled_keys(df)
+        return df.join(
+            keys,
+            on=[self.stratum_column, self.key_column],
+            how="left_semi",
+        )
+
+
 class ScriptDetector:
     """Unicode-script composition signals — the char-level companion
     to the stopword :class:`LanguageIdentifier` (scripts separate

@@ -3722,3 +3722,52 @@ def test_url_canonicalizer_strip_www_and_dedup(spark):
     out = canon.deduplicate(df, tie_column="id").collect()
     kept = {r["canonical_url"]: r["id"] for r in out}
     assert kept == {"http://site.com/a": 0, "http://site.com/b": 2}
+
+
+def test_stratified_sampler_exact_counts(spark):
+    from replay_spark.preprocessing.text import StratifiedSampler
+
+    rows = [(i, "g%d" % (i % 3)) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = StratifiedSampler(n=7, seed=1).transform(df)
+    sizes = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes == {"g0": 7, "g1": 7, "g2": 7}
+    # determinism + nesting: the n=3 sample is a subset of the n=7 one
+    small = {
+        (r["source"], r["doc_id"])
+        for r in StratifiedSampler(n=3, seed=1).transform(df).collect()
+    }
+    big = {
+        (r["source"], r["doc_id"])
+        for r in out.collect()
+    }
+    assert small < big
+    again = {
+        (r["source"], r["doc_id"])
+        for r in StratifiedSampler(n=7, seed=1).transform(df).collect()
+    }
+    assert again == big
+
+
+def test_stratified_sampler_counts_and_fractions(spark):
+    from replay_spark.preprocessing.text import StratifiedSampler
+
+    rows = [(i, "g%d" % (i % 3)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # counts dict: absent stratum dropped; over-size target keeps all
+    out = StratifiedSampler(counts={"g0": 4, "g2": 99}).transform(df)
+    sizes = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes == {"g0": 4, "g2": 10}
+    # fractions: floor(f * |stratum|)
+    out2 = StratifiedSampler(fractions={"g0": 0.5, "g1": 0.39}).transform(df)
+    sizes2 = {
+        r["source"]: r["n"]
+        for r in out2.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes2 == {"g0": 5, "g1": 3}
