@@ -1768,6 +1768,23 @@ def q_hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.search(emb.filter("vec_id < 20"), k=5)
 
 
+def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout gate: the Morton key over (l_partkey,
+    l_suppkey) with the exact-integer rank grid — (v - min) * 65535
+    div (max - min) in BIGINT math, then 32 shift/or interleave
+    terms — is engine-portable bit-for-bit, so DuckDB replays the
+    whole key. The range-repartition half of the operator is pinned
+    by a plan-shape test (RangePartitioning + non-overlapping
+    per-partition key ranges)."""
+    from replay_spark.utils.layout import ZOrderLayout
+
+    li = rsd.read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    z = ZOrderLayout(["l_partkey", "l_suppkey"], bits=16)
+    return z.transform(li).select("l_orderkey", "l_linenumber", "zkey")
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT-count stratified sampling gate, two modes unioned (the
     q_hash_sample pattern): 'uniform' keeps exactly 7 docs per
@@ -3979,6 +3996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmeans_fit": q_kmeans_fit,
         "q_url_canonicalize": q_url_canonicalize,
         "q_stratified_sample": q_stratified_sample,
+        "q_zorder_keys": q_zorder_keys,
         "q_bloom_membership": q_bloom_membership,
         "q_html_links": q_html_links,
         "q_image_augment": q_image_augment,
@@ -5353,6 +5371,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, bit_count(xor(fp_a, fp_b)) AS hamming
             FROM cands
             WHERE bit_count(xor(fp_a, fp_b)) <= 3
+        """,
+        "q_zorder_keys": """
+            WITH s AS (
+                SELECT min(l_partkey) AS pmn, max(l_partkey) AS pmx,
+                       min(l_suppkey) AS smn, max(l_suppkey) AS smx
+                FROM lineitem),
+            r AS (
+                SELECT l_orderkey, l_linenumber,
+                       CAST((CAST(l_partkey AS HUGEINT) - pmn) * 65535
+                            // (pmx - pmn) AS BIGINT) AS r1,
+                       CAST((CAST(l_suppkey AS HUGEINT) - smn) * 65535
+                            // (smx - smn) AS BIGINT) AS r2
+                FROM lineitem, s)
+            SELECT l_orderkey, l_linenumber,
+                   list_reduce(list_transform(range(0, 16),
+                       b -> ((r1 >> b) & 1)
+                            * (CAST(1 AS BIGINT) << (2 * b))
+                            + ((r2 >> b) & 1)
+                            * (CAST(1 AS BIGINT) << (2 * b + 1))),
+                       (a, c) -> a + c) AS zkey
+            FROM r
         """,
         "q_stratified_sample": """
             WITH d AS (

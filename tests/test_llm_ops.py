@@ -3771,3 +3771,59 @@ def test_stratified_sampler_counts_and_fractions(spark):
         for r in out2.groupBy("source").agg(F.count("*").alias("n")).collect()
     }
     assert sizes2 == {"g0": 5, "g1": 3}
+
+
+def test_zorder_key_interleave_known_values(spark):
+    from replay_spark.utils.layout import ZOrderLayout
+
+    # 2-bit grid, 2 columns over [0,3]x[0,3]: classic 4x4 morton square
+    rows = [(x, y) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    z = ZOrderLayout(["x", "y"], bits=2)
+    got = {(r["x"], r["y"]): r["zkey"] for r in z.transform(df).collect()}
+
+    def morton(x, y):
+        out = 0
+        for b in range(2):
+            out |= ((x >> b) & 1) << (2 * b)
+            out |= ((y >> b) & 1) << (2 * b + 1)
+        return out
+
+    for (x, y), k in got.items():
+        assert k == morton(x, y), (x, y, k)
+    # locality smell: the 4 quadrant cells form contiguous key ranges
+    q00 = sorted(got[(x, y)] for x in (0, 1) for y in (0, 1))
+    assert q00 == [0, 1, 2, 3]
+
+
+def test_zorder_layout_range_partitioning(spark):
+    from replay_spark.utils.layout import ZOrderLayout
+
+    rows = [(i % 50, (i * 7) % 50, i) for i in range(1000)]
+    df = spark.createDataFrame(rows, "a long, b long, id long")
+    z = ZOrderLayout(["a", "b"], bits=8)
+    out = z.layout(df, num_partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    assert out.count() == 1000
+    # every row keeps its zkey; partition-level key ranges don't overlap
+    parts = out.select(
+        F.spark_partition_id().alias("p"), "zkey"
+    ).groupBy("p").agg(
+        F.min("zkey").alias("lo"), F.max("zkey").alias("hi")
+    ).orderBy("lo").collect()
+    for prev, cur in zip(parts, parts[1:]):
+        assert prev["hi"] <= cur["lo"]
+
+
+def test_zorder_double_columns_and_constant(spark):
+    from replay_spark.utils.layout import ZOrderLayout
+
+    rows = [(float(i) / 10.0, 5) for i in range(100)]
+    df = spark.createDataFrame(rows, "v double, c long")
+    z = ZOrderLayout(["v", "c"], bits=4)
+    out = z.transform(df).collect()
+    # constant column contributes zero bits; keys ordered like v
+    keys = [r["zkey"] for r in sorted(out, key=lambda r: r["v"])]
+    assert keys == sorted(keys)
+    assert min(keys) == 0
