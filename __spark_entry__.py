@@ -1768,6 +1768,45 @@ def q_hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.search(emb.filter("vec_id < 20"), k=5)
 
 
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection gate with a fixed orthonormal 2 x 64 component
+    matrix (uniform 1/8 and alternating +-1/8 rows): the
+    aggregate(zip_with(...)) dot products are sequential
+    multiply-then-sum over the same doubles DuckDB's list_reduce
+    replays, with the +1e-9 rounding guard on display. Gates
+    PCAProjector's transform exactly; the covariance fit is gated
+    rows-only (q_pca_fit) + planted-direction/orthonormality tests."""
+    from replay_spark.ann import PCAProjector
+
+    emb = rsd.read_table(spark, sf_dir, "embeddings")
+    comps = [
+        [0.125] * 64,
+        [0.125 if j % 2 == 0 else -0.125 for j in range(64)],
+    ]
+    pca = PCAProjector(k=2).fit(emb, components=comps)
+    out = pca.transform(emb)
+    return out.select(
+        "vec_id",
+        F.round(F.col("pca")[0] + F.lit(1e-9), 6).alias("p1_r6"),
+        F.round(F.col("pca")[1] + F.lit(1e-9), 6).alias("p2_r6"),
+    )
+
+
+def q_pca_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full one-pass-covariance PCA over the embeddings (k=4) —
+    per-vector projections. Rows-only: eigendecomposition is not
+    SQL-expressible; the algebra is pinned by planted-direction,
+    orthonormality, numpy-parity, and sign-determinism tests."""
+    from replay_spark.ann import PCAProjector
+
+    emb = rsd.read_table(spark, sf_dir, "embeddings")
+    pca = PCAProjector(k=4).fit(emb)
+    out = pca.transform(emb)
+    return out.select(
+        "vec_id", F.concat_ws(",", F.col("pca").cast("array<string>")).alias("pca_str")
+    )
+
+
 def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout gate: the Morton key over (l_partkey,
     l_suppkey) with the exact-integer rank grid — (v - min) * 65535
@@ -3997,6 +4036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_canonicalize": q_url_canonicalize,
         "q_stratified_sample": q_stratified_sample,
         "q_zorder_keys": q_zorder_keys,
+        "q_pca_project": q_pca_project,
+        "q_pca_fit": q_pca_fit,
         "q_bloom_membership": q_bloom_membership,
         "q_html_links": q_html_links,
         "q_image_augment": q_image_augment,
@@ -5371,6 +5412,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, bit_count(xor(fp_a, fp_b)) AS hamming
             FROM cands
             WHERE bit_count(xor(fp_a, fp_b)) <= 3
+        """,
+        "q_pca_project": """
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings)
+            SELECT vec_id,
+                   round(list_reduce(
+                       list_transform(v, x -> x * 0.125),
+                       (a, b) -> a + b) + 1e-9, 6) AS p1_r6,
+                   round(list_reduce(
+                       list_transform(range(1, 65),
+                           i -> v[CAST(i AS INT)]
+                                * (CASE WHEN i % 2 = 1
+                                        THEN 0.125 ELSE -0.125 END)),
+                       (a, b) -> a + b) + 1e-9, 6) AS p2_r6
+            FROM e
         """,
         "q_zorder_keys": """
             WITH s AS (

@@ -3827,3 +3827,59 @@ def test_zorder_double_columns_and_constant(spark):
     keys = [r["zkey"] for r in sorted(out, key=lambda r: r["v"])]
     assert keys == sorted(keys)
     assert min(keys) == 0
+
+
+def test_pca_recovers_planted_direction(spark):
+    import numpy as np
+
+    from replay_spark.ann import PCAProjector
+
+    rng = np.random.RandomState(0)
+    direction = np.array([3.0, 4.0, 0.0, 0.0]) / 5.0
+    rows = []
+    for i in range(200):
+        t = rng.randn() * 10.0
+        noise = rng.randn(4) * 0.1
+        v = t * direction + noise + np.array([1.0, 2.0, 3.0, 4.0])
+        rows.append((i, v.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pca = PCAProjector(k=2).fit(df)
+    c0 = np.asarray(pca.components[0])
+    assert abs(abs(float(c0 @ direction)) - 1.0) < 1e-2
+    # variance ordering + sign determinism (max-|loading| positive)
+    assert pca.explained_variance[0] > pca.explained_variance[1]
+    assert c0[int(np.argmax(np.abs(c0)))] > 0
+    # projection matches numpy
+    out = {r["vec_id"]: r["pca"] for r in pca.transform(df).collect()}
+    mu = np.asarray(pca.mean)
+    for i, v in rows[:5]:
+        want = (np.asarray(v) - mu) @ np.asarray(pca.components).T
+        assert np.allclose(out[i], want, atol=1e-9)
+
+
+def test_pca_orthonormal_components(spark):
+    import numpy as np
+
+    from replay_spark.ann import PCAProjector
+
+    rows = [(i, [float((i * j) % 7) for j in range(6)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pca = PCAProjector(k=3).fit(df)
+    c = np.asarray(pca.components)
+    assert np.allclose(c @ c.T, np.eye(3), atol=1e-9)
+
+
+def test_pca_fixed_components_path(spark):
+    import math
+
+    from replay_spark.ann import PCAProjector
+
+    comps = [[1.0, 0.0], [0.0, -1.0]]
+    df = spark.createDataFrame(
+        [(0, [2.5, -3.5]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    pca = PCAProjector(k=2).fit(df, components=comps)
+    got = {r["vec_id"]: r["pca"] for r in pca.transform(df).collect()}
+    assert math.isclose(got[0][0], 2.5) and math.isclose(got[0][1], 3.5)
+    assert got[1] == [0.0, -1.0]
