@@ -1768,6 +1768,25 @@ def q_hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.search(emb.filter("vec_id < 20"), k=5)
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar quantization gate (per-vector symmetric scale):
+    the integer codes — floor(v / (max|v|/127) + 0.5), exact on
+    doubles in any engine, deliberately NOT round() — hash-match a
+    DuckDB list replay; the float scale is displayed with the +1e-9
+    rounding guard."""
+    from replay_spark.ann import EmbeddingQuantizer
+
+    emb = rsd.read_table(spark, sf_dir, "embeddings")
+    enc = EmbeddingQuantizer().encode(emb)
+    return enc.select(
+        "vec_id",
+        F.concat_ws(",", F.col("codes").cast("array<string>")).alias(
+            "codes_str"
+        ),
+        F.round(F.col("scale") + F.lit(1e-9), 6).alias("scale_r6"),
+    )
+
+
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection gate with a fixed orthonormal 2 x 64 component
     matrix (uniform 1/8 and alternating +-1/8 rows): the
@@ -4038,6 +4057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder_keys": q_zorder_keys,
         "q_pca_project": q_pca_project,
         "q_pca_fit": q_pca_fit,
+        "q_embedding_quantize": q_embedding_quantize,
         "q_bloom_membership": q_bloom_membership,
         "q_html_links": q_html_links,
         "q_image_augment": q_image_augment,
@@ -5412,6 +5432,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, bit_count(xor(fp_a, fp_b)) AS hamming
             FROM cands
             WHERE bit_count(xor(fp_a, fp_b)) <= 3
+        """,
+        "q_embedding_quantize": """
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+            s AS (
+                SELECT vec_id, v,
+                       list_reduce(list_transform(v, x -> abs(x)),
+                           (a, b) -> greatest(a, b)) / 127.0 AS scale
+                FROM e)
+            SELECT vec_id,
+                   CASE WHEN scale = 0 THEN
+                       array_to_string(list_transform(v, x -> '0'), ',')
+                   ELSE
+                       array_to_string(list_transform(v,
+                           x -> CAST(CAST(floor(x / scale + 0.5)
+                                AS BIGINT) AS VARCHAR)), ',')
+                   END AS codes_str,
+                   round(scale + 1e-9, 6) AS scale_r6
+            FROM s
         """,
         "q_pca_project": """
             WITH e AS (

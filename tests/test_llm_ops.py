@@ -3883,3 +3883,40 @@ def test_pca_fixed_components_path(spark):
     got = {r["vec_id"]: r["pca"] for r in pca.transform(df).collect()}
     assert math.isclose(got[0][0], 2.5) and math.isclose(got[0][1], 3.5)
     assert got[1] == [0.0, -1.0]
+
+
+def test_embedding_quantizer_roundtrip_bound(spark):
+    from replay_spark.ann import EmbeddingQuantizer
+
+    rows = [
+        (0, [1.0, -2.0, 0.5, 127.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),  # zero vector -> all-zero codes
+        (2, [-0.003, 0.001, 0.002, -0.001]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = EmbeddingQuantizer()
+    enc = q.encode(df)
+    dec = {r["vec_id"]: r for r in q.decode(enc).collect()}
+    for vid, v in rows:
+        got = dec[vid]
+        assert all(-127 <= c <= 127 for c in got["codes"])
+        amax = max(abs(x) for x in v)
+        for orig, rec in zip(v, got["decoded"]):
+            # SQ8 error bound: half a quantization step
+            assert abs(orig - rec) <= amax / 127.0 / 2.0 + 1e-12
+    assert dec[1]["codes"] == [0, 0, 0, 0] and dec[1]["scale"] == 0.0
+    # extremes hit exactly +-127
+    assert dec[0]["codes"][3] == 127
+
+
+def test_embedding_quantizer_global_mode(spark):
+    from replay_spark.ann import EmbeddingQuantizer
+
+    rows = [(0, [1.0, -2.0]), (1, [63.5, -127.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = EmbeddingQuantizer(mode="global").fit(df)
+    assert q.global_scale == 1.0
+    got = {r["vec_id"]: r for r in q.encode(df).collect()}
+    assert got[1]["codes"] == [64, -127]
+    assert got[0]["codes"] == [1, -2]
+    assert got[0]["scale"] == got[1]["scale"] == 1.0
