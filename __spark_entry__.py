@@ -1768,6 +1768,33 @@ def q_hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.search(emb.filter("vec_id < 20"), k=5)
 
 
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components gate on a planted graph built from doc
+    ids — consecutive-id chains of 10 plus bridge edges merging the
+    x00 and x50 chains — FORCED through the distributed min-label
+    propagation (driver_threshold=0), so the official row scores the
+    100 TB path (the per-round localCheckpoint keeps plan size O(1)
+    in graph diameter). The DuckDB oracle derives each node's
+    component by construction: base = (id div 10) * 10, minus 50
+    when the chain is a bridge target."""
+    from replay_spark.graph import ConnectedComponents
+
+    docs = rsd.read_table(spark, sf_dir, "documents").select("doc_id")
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    chain = docs.filter(
+        (F.col("doc_id") % 10 != 9) & (F.col("doc_id") < mx)
+    ).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+    )
+    bridge = docs.filter(
+        (F.col("doc_id") % 100 == 0) & (F.col("doc_id") + 50 <= mx)
+    ).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 50).alias("dst")
+    )
+    cc = ConnectedComponents(driver_threshold=0)
+    return cc.components(chain.unionByName(bridge))
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 scalar quantization gate (per-vector symmetric scale):
     the integer codes — floor(v / (max|v|/127) + 0.5), exact on
@@ -4058,6 +4085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pca_project": q_pca_project,
         "q_pca_fit": q_pca_fit,
         "q_embedding_quantize": q_embedding_quantize,
+        "q_connected_components": q_connected_components,
         "q_bloom_membership": q_bloom_membership,
         "q_html_links": q_html_links,
         "q_image_augment": q_image_augment,
@@ -5432,6 +5460,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, bit_count(xor(fp_a, fp_b)) AS hamming
             FROM cands
             WHERE bit_count(xor(fp_a, fp_b)) <= 3
+        """,
+        "q_connected_components": """
+            SELECT doc_id AS node,
+                   CASE WHEN ((doc_id // 10) * 10) % 100 = 50
+                        THEN (doc_id // 10) * 10 - 50
+                        ELSE (doc_id // 10) * 10
+                   END AS component
+            FROM documents
         """,
         "q_embedding_quantize": """
             WITH e AS (

@@ -1106,13 +1106,16 @@ class NearDupClusters:
             .withColumn("label", F.col("node"))
             .cache()
         )
-        # each round keeps exactly one materialized cache alive: the
-        # convergence count scans (and thus populates) new_labels'
-        # cache, the slim `labels` projection reads that same
-        # InMemoryRelation (no second cache), and only THEN is the
-        # previous round's cache dropped — lineage stays one cache
-        # deep instead of recomputing the join chain back to `edges`
-        prev_cache = labels
+        # each round materializes its labels with an EAGER
+        # localCheckpoint — a cache() alone keeps the logical plan,
+        # and the self-referencing join DOUBLES that plan every
+        # round: by round ~10 merely rendering the explain string for
+        # AQE OOMs the driver (observed on a 20-chain diameter-9
+        # graph). The checkpoint truncates lineage to the
+        # materialized blocks, so plan size, optimizer time, and the
+        # convergence count all stay O(1) per round regardless of
+        # graph diameter; spent rounds' blocks are reclaimed by the
+        # ContextCleaner when their RDDs fall out of scope
         changed = 0
         for _ in range(self.max_iterations):
             neighbor_min = (
@@ -1141,12 +1144,12 @@ class NearDupClusters:
                     ).alias("label"),
                     F.col("label").alias("_old"),
                 )
-                .cache()
+                .localCheckpoint(eager=True)
             )
             changed = new_labels.filter(F.col("label") < F.col("_old")).count()
+            if labels.is_cached:
+                labels.unpersist()
             labels = new_labels.select("node", "label")
-            prev_cache.unpersist()
-            prev_cache = new_labels
             if changed == 0:
                 break
         else:
@@ -1161,8 +1164,8 @@ class NearDupClusters:
                     stacklevel=2,
                 )
         edges.unpersist()
-        # the final round's cache stays persisted: the returned frame
-        # reads from it (callers get memoized components, as before)
+        # the final round's checkpoint blocks back the returned frame
+        # (callers get memoized components, as before)
         return labels.select("node", F.col("label").alias("component"))
 
     def transform(

@@ -3920,3 +3920,42 @@ def test_embedding_quantizer_global_mode(spark):
     assert got[1]["codes"] == [64, -127]
     assert got[0]["codes"] == [1, -2]
     assert got[0]["scale"] == got[1]["scale"] == 1.0
+
+
+def test_connected_components_chains_rings_isolates(spark):
+    from replay_spark.graph import ConnectedComponents
+
+    edges = (
+        # chain 0-1-2-3
+        [(0, 1), (1, 2), (2, 3)]
+        # ring 10-11-12-10
+        + [(10, 11), (11, 12), (12, 10)]
+        # self-loop isolate
+        + [(20, 20)]
+        # merge two chains through a bridge
+        + [(30, 31), (40, 41), (31, 40)]
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    cc = ConnectedComponents()
+    got = {
+        r["node"]: r["component"]
+        for r in cc.components(df).collect()
+    }
+    assert got == {
+        0: 0, 1: 0, 2: 0, 3: 0,
+        10: 10, 11: 10, 12: 10,
+        20: 20,
+        30: 30, 31: 30, 40: 30, 41: 30,
+    }
+
+
+def test_connected_components_distributed_path_matches_driver(spark):
+    from replay_spark.graph import ConnectedComponents
+
+    edges = [(i, i + 1) for i in range(0, 200) if i % 10 != 9]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    drv = ConnectedComponents().components(df)
+    dist = ConnectedComponents(driver_threshold=0).components(df)
+    assert sorted(map(tuple, drv.collect())) == sorted(
+        map(tuple, dist.collect())
+    )
