@@ -1768,6 +1768,36 @@ def q_hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.search(emb.filter("vec_id < 20"), k=5)
 
 
+def q_timeseries_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 6-hour resampling of the events stream with gap
+    fill, zero and forward-fill modes unioned. Values are
+    integerized (floor(value * 100), exact on doubles) before the
+    sum so every hashed column is engine-proof integer arithmetic;
+    buckets are BIGINT microsecond-epoch divisions (the repo's
+    timezone-proof convention). DuckDB replays the grid with
+    range() + unnest and last_value(... IGNORE NULLS)."""
+    from replay_spark.timeseries import TimeSeriesResampler
+
+    ev = rsd.read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("value"),
+    )
+    outs = []
+    for fill in ("zero", "ffill"):
+        rs = TimeSeriesResampler(interval_seconds=21600, fill=fill)
+        outs.append(
+            rs.transform(ev)
+            .withColumn("mode", F.lit(fill))
+            .select(
+                "user_id", "bucket", "n_events",
+                F.col("value_sum").cast("long").alias("value_sum"),
+                "is_gap", "mode",
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-components gate on a planted graph built from doc
     ids — consecutive-id chains of 10 plus bridge edges merging the
@@ -4086,6 +4116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pca_fit": q_pca_fit,
         "q_embedding_quantize": q_embedding_quantize,
         "q_connected_components": q_connected_components,
+        "q_timeseries_resample": q_timeseries_resample,
         "q_bloom_membership": q_bloom_membership,
         "q_html_links": q_html_links,
         "q_image_augment": q_image_augment,
@@ -5460,6 +5491,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, bit_count(xor(fp_a, fp_b)) AS hamming
             FROM cands
             WHERE bit_count(xor(fp_a, fp_b)) <= 3
+        """,
+        "q_timeseries_resample": """
+            WITH e AS (
+                SELECT user_id,
+                       CAST(epoch_us(ts) // 21600000000 AS BIGINT)
+                           AS bucket,
+                       CAST(floor(value * 100) AS BIGINT) AS v
+                FROM events),
+            o AS (
+                SELECT user_id, bucket,
+                       count(*) AS n_events,
+                       CAST(sum(v) AS BIGINT) AS vsum
+                FROM e GROUP BY user_id, bucket),
+            s AS (
+                SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+                FROM o GROUP BY user_id),
+            g AS (
+                SELECT user_id,
+                       unnest(range(lo, hi + 1)) AS bucket
+                FROM s),
+            j AS (
+                SELECT g.user_id, g.bucket,
+                       coalesce(o.n_events, 0) AS n_events,
+                       o.vsum,
+                       CASE WHEN o.n_events IS NULL THEN 1 ELSE 0 END
+                           AS is_gap
+                FROM g LEFT JOIN o
+                  ON g.user_id = o.user_id AND g.bucket = o.bucket)
+            SELECT user_id, bucket, n_events,
+                   coalesce(vsum, 0) AS value_sum, is_gap,
+                   'zero' AS mode
+            FROM j
+            UNION ALL
+            SELECT user_id, bucket, n_events,
+                   CAST(last_value(vsum IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS value_sum,
+                   is_gap, 'ffill'
+            FROM j
         """,
         "q_connected_components": """
             SELECT doc_id AS node,

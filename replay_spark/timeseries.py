@@ -1,0 +1,133 @@
+"""Time-series regularization: per-key fixed-interval resampling
+with distributed gap fill.
+
+Event streams arrive irregular; feature windows, burn-rate tables,
+and sequence models want a dense per-key grid. ``TimeSeriesResampler``
+buckets timestamps to a fixed interval, aggregates per (key, bucket),
+and completes each key's grid WITHOUT touching the driver:
+
+1. ``bucket = unix_micros(ts) div (interval * 1e6)`` — exact BIGINT
+   projection (microsecond epochs, the repo's timezone-proof
+   convention);
+2. ONE map-side-combined ``groupBy(key, bucket)`` carrying count /
+   sum / min / max partials;
+3. grid completion from a per-key (min, max) rollup of that SAME
+   aggregate (tiny), ``sequence() + explode`` generating each key's
+   dense bucket range executor-side, and a keyed left join
+   re-attaching observed buckets;
+4. fill — ``n_events`` is always 0-filled; the value aggregate is
+   ``fill="zero"`` (0), ``"null"``, or ``"ffill"`` (last observed
+   value via ``last(ignorenulls)`` over each key's grid — a window
+   ordered WITHIN the key partitioning already in place).
+
+Scale: every stage is keyed; there is no global sort. A key's grid
+is bounded by time-span / interval, not by its event count, so hot
+keys in the raw stream are NOT hot in the grid — the explode output
+is uniform across keys. With ``extend="global"`` all keys share the
+corpus-wide (min, max) grid (aligned matrices for model input); the
+two extra scalars come from the same rollup.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["TimeSeriesResampler"]
+
+
+class TimeSeriesResampler:
+    """Resample (key, ts, value) streams onto a dense bucket grid.
+
+    Output columns: the key, ``bucket`` (long), ``bucket_ts``
+    (timestamp of the bucket start), ``n_events`` (long, 0 on gaps),
+    ``value_sum`` (fill-dependent), ``is_gap`` (int 0/1).
+    """
+
+    def __init__(
+        self,
+        interval_seconds: int = 3600,
+        key_column: str = "user_id",
+        time_column: str = "ts",
+        value_column: Optional[str] = "value",
+        fill: str = "zero",
+        extend: str = "per_key",
+    ):
+        if interval_seconds < 1:
+            raise ValueError("interval_seconds must be >= 1")
+        if fill not in ("zero", "null", "ffill"):
+            raise ValueError("fill must be 'zero', 'null', or 'ffill'")
+        if extend not in ("per_key", "global"):
+            raise ValueError("extend must be 'per_key' or 'global'")
+        self.interval_seconds = interval_seconds
+        self.key_column = key_column
+        self.time_column = time_column
+        self.value_column = value_column
+        self.fill = fill
+        self.extend = extend
+
+    def _bucket(self) -> Column:
+        # integral division on BIGINT microseconds — exact
+        return F.expr(
+            f"CAST(unix_micros(CAST(`{self.time_column}` AS "
+            f"TIMESTAMP)) div "
+            f"{self.interval_seconds * 1_000_000} AS BIGINT)"
+        )
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        key = self.key_column
+        aggs = [F.count(F.lit(1)).alias("n_events")]
+        if self.value_column:
+            aggs.append(F.sum(self.value_column).alias("_vsum"))
+        observed = (
+            df.select(
+                key,
+                self._bucket().alias("bucket"),
+                *([self.value_column] if self.value_column else []),
+            )
+            .groupBy(key, "bucket")
+            .agg(*aggs)
+        )
+        if self.extend == "global":
+            bounds = observed.agg(
+                F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
+            )
+            spans = observed.select(key).distinct().crossJoin(
+                F.broadcast(bounds)
+            )
+        else:
+            spans = observed.groupBy(key).agg(
+                F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
+            )
+        grid = spans.select(
+            key,
+            F.explode(F.sequence("_lo", "_hi")).alias("bucket"),
+        )
+        out = grid.join(observed, on=[key, "bucket"], how="left")
+        out = out.withColumn(
+            "is_gap", F.when(F.col("n_events").isNull(), 1).otherwise(0)
+        ).withColumn("n_events", F.coalesce("n_events", F.lit(0)))
+        if self.value_column:
+            if self.fill == "zero":
+                # lit(0) coerces to the sum's own type (long stays long)
+                vs = F.coalesce(F.col("_vsum"), F.lit(0))
+            elif self.fill == "null":
+                vs = F.col("_vsum")
+            else:  # ffill: last observed value carried over gap rows
+                w = (
+                    Window.partitionBy(key)
+                    .orderBy("bucket")
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                )
+                vs = F.last("_vsum", ignorenulls=True).over(w)
+            out = out.withColumn("value_sum", vs).drop("_vsum")
+        return out.withColumn(
+            "bucket_ts",
+            F.timestamp_micros(
+                F.col("bucket") * self.interval_seconds * 1_000_000
+            ),
+        )

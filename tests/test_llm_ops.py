@@ -3959,3 +3959,66 @@ def test_connected_components_distributed_path_matches_driver(spark):
     assert sorted(map(tuple, drv.collect())) == sorted(
         map(tuple, dist.collect())
     )
+
+
+def test_timeseries_resampler_gaps_and_fills(spark):
+    from datetime import datetime
+
+    from replay_spark.timeseries import TimeSeriesResampler
+
+    h = 3600
+    rows = [
+        # key "a": events in hours 0, 0, 3 -> grid 0..3, gaps at 1, 2
+        (1, datetime(2024, 1, 1, 0, 10), 10.0),
+        (1, datetime(2024, 1, 1, 0, 50), 5.0),
+        (1, datetime(2024, 1, 1, 3, 0), 7.0),
+        # key "b": single event -> one-bucket grid
+        (2, datetime(2024, 1, 1, 2, 30), 1.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    base = 473385600 // (h // h)  # noqa: F841  (readability anchor)
+
+    def grid(fill):
+        rs = TimeSeriesResampler(interval_seconds=h, fill=fill)
+        return {
+            (r["user_id"], r["bucket"]): r
+            for r in rs.transform(df).collect()
+        }
+
+    z = grid("zero")
+    a_buckets = sorted(b for (u, b) in z if u == 1)
+    assert len(a_buckets) == 4 and a_buckets[-1] - a_buckets[0] == 3
+    b0 = a_buckets[0]
+    assert z[(1, b0)]["n_events"] == 2 and z[(1, b0)]["value_sum"] == 15.0
+    assert z[(1, b0 + 1)]["is_gap"] == 1 and z[(1, b0 + 1)]["value_sum"] == 0.0
+    assert z[(1, b0 + 3)]["value_sum"] == 7.0
+    assert len([1 for (u, _) in z if u == 2]) == 1
+
+    f = grid("ffill")
+    assert f[(1, b0 + 1)]["value_sum"] == 15.0  # carried forward
+    assert f[(1, b0 + 2)]["value_sum"] == 15.0
+    assert f[(1, b0 + 3)]["value_sum"] == 7.0
+
+    n = grid("null")
+    assert n[(1, b0 + 2)]["value_sum"] is None
+    # bucket_ts reconstructs the bucket start
+    assert z[(1, b0)]["bucket_ts"] == datetime(2024, 1, 1, 0, 0)
+
+
+def test_timeseries_resampler_global_grid(spark):
+    from datetime import datetime
+
+    from replay_spark.timeseries import TimeSeriesResampler
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0), 1.0),
+        (2, datetime(2024, 1, 1, 5, 0), 2.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    rs = TimeSeriesResampler(interval_seconds=3600, extend="global")
+    out = rs.transform(df)
+    sizes = {
+        r["user_id"]: r["n"]
+        for r in out.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes == {1: 6, 2: 6}  # both keys span the global 6-hour grid
