@@ -4002,46 +4002,105 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     The driver scores the FIRST 50 entries — (a) + (a2) + (b) is
     EXACTLY 50 (checked by tests/test_entry_contract.py). Order for
-    r7: (a) the 28 gates whose operator internals changed or that
-    debuted early in the round — the re-greened q_corpus_stats (r6's
-    one red row, now an exact-integer projection), q_llm_e2e
-    post-persist, the q_pq_ann_fixed / q_mp4_meta / q_webm_meta /
-    q_jpeg12_decode / q_gif_decode / q_gif_frames / q_semantic_dedup
-    / q_substring_dedup / q_warc_html_extract / q_url_filter hash
-    debuts, the q_hnsw_ann / q_pq_ann / q_ivfpq_ann rows debuts,
-    q_image_phash_dedup, the hash twins swapped in for their
-    rows-only siblings (q_ivf_ann_fixed for q_ivf_ann,
-    q_doc_fingerprints_md5 for q_doc_fingerprints), every gate whose
-    values moved to stable_round, and the ordered_prefix_sums
-    consumers; (a2) the 14 late-round hash-gate debuts — 11 new
-    operators (Gopher / C4 / CCNet buckets / DSIR / audio frames /
-    box resize / robots / CMS / HLL / sentences / blocklist), the
-    two custom join operators Spark lacks (q_asof_join vs DuckDB's
-    NATIVE ASOF JOIN, q_range_join vs the plain inequality join),
-    and q_streaming_cms, the sketch's streaming twin vs the batch
-    oracle; (b) the 8 stalest COMPLEX-plan hash gates (last
-    official row r4/r5) — the 14 simple-plan stale gates moved back
-    to (c) to make room for the debuts; (c) everything else —
-    officially green in a prior round — still run in
-    tools/check_oracle and bench. Later session-2 gates
-    (q_streaming_hll, q_hll_grouped, q_hash_split, q_fuzzy_pairs,
-    q_profile_columns, q_skew_report, q_inverted_index,
-    q_bm25_search, q_bloom_membership, q_html_links,
-    q_image_augment, q_text_normalize, q_webdataset, and the
-    rows-only q_spectrogram / q_pagerank / q_compression_ratio)
-    debuted after the window filled; they lead section (c) as the
-    r8 rotation candidates.
-    Rows-only contracts inside the r7 window: exactly 4 (q_pq_ann,
-    q_ivfpq_ann, q_bpe_tokens, q_hnsw_ann) — 46/50 hash-gated.
+    r8: (a) 15 gates that debuted or changed this round — the
+    root-caused q_corpus_stats re-green (the r6/r7 red was DuckDB
+    HUGEINT sums turning float64 on the pandas fetch path, NOT
+    rounding; every oracle integer aggregate now carries CAST(... AS
+    BIGINT), swept repo-wide by tools/check_types.py) plus the three
+    sibling gates fixed by the same sweep (q_skew_report,
+    q_profile_columns, q_length_histogram), q_dedup_clusters after
+    the localCheckpoint lineage fix in the distributed propagation,
+    and the eight new operators: KMeansClusterer (hash assign +
+    rows fit), UrlCanonicalizer, StratifiedSampler, ZOrderLayout,
+    PCAProjector (hash project + rows fit), EmbeddingQuantizer,
+    ConnectedComponents (distributed path forced), and
+    TimeSeriesResampler; (a2) the 25 round-7 debuts that had not yet
+    been officially scored — 19 hash gates and the 6 documented
+    rows-only contracts (q_quality_classifier: seeded LogReg;
+    q_textrank: iterative PageRank; q_bin_pack: FFD heuristic;
+    q_pagerank: iterative; q_compression_ratio: zlib internals;
+    q_spectrogram: FFT); (b) the 10 stalest gates — q_thompson_scores
+    (last official row r3; seeded posterior, rows-only),
+    q_streaming_ucb and q_ngram_jaccard_capped (r4), and the seven
+    stalest r5 hash gates including the q_pipeline_eval /
+    q_streaming_dedup / q_media_decode trio the r7 rotation dropped;
+    (c) everything else — officially green in a prior round — still
+    run in tools/check_oracle and bench.
+    Rows-only contracts inside the r8 window: exactly 9 (q_kmeans_fit,
+    q_pca_fit, q_quality_classifier, q_textrank, q_bin_pack,
+    q_pagerank, q_compression_ratio, q_spectrogram,
+    q_thompson_scores) — 41/50 hash-gated; the count is higher than
+    r7's 4 because this window debut-scores every remaining
+    never-scored gate, six of which are honestly non-SQL-expressible.
     """
     return {
-        # -- (a) operator internals changed or debuted this round:
-        #        the re-greened CorpusStats gate, the persisted
-        #        q_llm_e2e composition, PQ/IVF-PQ (integer ADC +
-        #        fixed-codebook hash twin), the MP4 container
-        #        debut, the pHash-dedup debut, every stable_round
-        #        gate, and the prefix-sum-offset consumers -------
+        # -- (a) round-8 debuts + gates whose internals or
+        #        oracles changed this round: the root-caused
+        #        q_corpus_stats re-green (HUGEINT->float64
+        #        pandas-path casts; same fix in q_skew_report /
+        #        q_profile_columns / q_length_histogram), the
+        #        localCheckpoint-fixed component propagation
+        #        (q_dedup_clusters, q_connected_components), and
+        #        the eight new operators -----------------------
         "q_corpus_stats": q_corpus_stats,
+        "q_skew_report": q_skew_report,
+        "q_profile_columns": q_profile_columns,
+        "q_length_histogram": q_length_histogram,
+        "q_dedup_clusters": q_dedup_clusters,
+        "q_kmeans_assign": q_kmeans_assign,
+        "q_kmeans_fit": q_kmeans_fit,
+        "q_url_canonicalize": q_url_canonicalize,
+        "q_stratified_sample": q_stratified_sample,
+        "q_zorder_keys": q_zorder_keys,
+        "q_pca_project": q_pca_project,
+        "q_pca_fit": q_pca_fit,
+        "q_embedding_quantize": q_embedding_quantize,
+        "q_connected_components": q_connected_components,
+        "q_timeseries_resample": q_timeseries_resample,
+        # -- (a2) round-7 debuts that had not yet been scored:
+        #        19 hash gates + the 6 documented rows-only
+        #        contracts (classifier/graph/FFT/zlib tiers) ---
+        "q_crawl_e2e": q_crawl_e2e,
+        "q_kn_bigram_scores": q_kn_bigram_scores,
+        "q_readability": q_readability,
+        "q_streaming_source_cap": q_streaming_source_cap,
+        "q_bloom_membership": q_bloom_membership,
+        "q_html_links": q_html_links,
+        "q_image_augment": q_image_augment,
+        "q_webdataset": q_webdataset,
+        "q_text_normalize": q_text_normalize,
+        "q_inverted_index": q_inverted_index,
+        "q_bm25_search": q_bm25_search,
+        "q_hll_grouped": q_hll_grouped,
+        "q_hash_split": q_hash_split,
+        "q_fuzzy_pairs": q_fuzzy_pairs,
+        "q_streaming_hll": q_streaming_hll,
+        "q_script_detect": q_script_detect,
+        "q_incremental_dedup": q_incremental_dedup,
+        "q_media_validate": q_media_validate,
+        "q_hash_sample": q_hash_sample,
+        "q_quality_classifier": q_quality_classifier,
+        "q_textrank": q_textrank,
+        "q_bin_pack": q_bin_pack,
+        "q_pagerank": q_pagerank,
+        "q_compression_ratio": q_compression_ratio,
+        "q_spectrogram": q_spectrogram,
+        # -- (b) the stalest gates (last official row r3-r5):
+        #        q_thompson_scores (r3), the r4 pair, and the
+        #        seven stalest r5 hash gates incl. the trio the
+        #        r7 rotation dropped from (b) ------------------
+        "q_thompson_scores": q_thompson_scores,
+        "q_streaming_ucb": q_streaming_ucb,
+        "q_ngram_jaccard_capped": q_ngram_jaccard_capped,
+        "q_pipeline_eval": q_pipeline_eval,
+        "q_streaming_dedup": q_streaming_dedup,
+        "q_media_decode": q_media_decode,
+        "q_sessionize": q_sessionize,
+        "q_lang_id": q_lang_id,
+        "q_nation_revenue": q_nation_revenue,
+        "q_quality_filter": q_quality_filter,
+        # -- (c) officially green in r4-r7, rotating out -- still
+        #        run in tools/check_oracle and bench -------------
         "q_llm_e2e": q_llm_e2e,
         "q_pq_ann_fixed": q_pq_ann_fixed,
         "q_mp4_meta": q_mp4_meta,
@@ -4069,10 +4128,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize_composite": q_sessionize_composite,
         "q_sequence_pack": q_sequence_pack,
         "q_bpe_tokens": q_bpe_tokens,
-        # -- (a2) late-round-7 debuts: the new LLM-pipeline tier
-        #        (heuristic text rules, data-selection, sketches,
-        #        media framing/resampling, robots) — every one a
-        #        hash gate, verified at sf0.01 AND sf0.1 ---------
         "q_gopher_quality": q_gopher_quality,
         "q_c4_clean": q_c4_clean,
         "q_ccnet_buckets": q_ccnet_buckets,
@@ -4084,19 +4139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hll_distinct": q_hll_distinct,
         "q_sentences": q_sentences,
         "q_blocklist": q_blocklist,
-        # (a2 continued) the two custom join operators Spark lacks,
-        # both hash-gated — q_asof_join against DuckDB's NATIVE
-        # ASOF JOIN, q_range_join against the plain inequality join
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
-        # (a2 continued) every sketch now has a streaming twin too
         "q_streaming_cms": q_streaming_cms,
-        # -- (b) the 8 stalest COMPLEX-plan hash gates (last
-        #        official row r4/r5); the 14 simple-plan stale
-        #        gates rotated to (c) to make room for the (a2)
-        #        debuts — their operators stay covered by in-window
-        #        composites (q_llm_e2e, q_sessionize_composite)
-        #        + sweeps ----------------------------------------
         "q_simhash_pairs_md5": q_simhash_pairs_md5,
         "q_audio_decode": q_audio_decode,
         "q_video_frames": q_video_frames,
@@ -4105,46 +4150,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_sessionize": q_streaming_sessionize,
         "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "q_contamination_report": q_contamination_report,
-        # -- (c) officially green in r4-r6, rotating out — still
-        #        run in tools/check_oracle and bench -------------
-        "q_kmeans_assign": q_kmeans_assign,
-        "q_kmeans_fit": q_kmeans_fit,
-        "q_url_canonicalize": q_url_canonicalize,
-        "q_stratified_sample": q_stratified_sample,
-        "q_zorder_keys": q_zorder_keys,
-        "q_pca_project": q_pca_project,
-        "q_pca_fit": q_pca_fit,
-        "q_embedding_quantize": q_embedding_quantize,
-        "q_connected_components": q_connected_components,
-        "q_timeseries_resample": q_timeseries_resample,
-        "q_bloom_membership": q_bloom_membership,
-        "q_html_links": q_html_links,
-        "q_image_augment": q_image_augment,
-        "q_compression_ratio": q_compression_ratio,
-        "q_pagerank": q_pagerank,
-        "q_webdataset": q_webdataset,
-        "q_text_normalize": q_text_normalize,
-        "q_inverted_index": q_inverted_index,
-        "q_bm25_search": q_bm25_search,
-        "q_hll_grouped": q_hll_grouped,
-        "q_hash_split": q_hash_split,
-        "q_fuzzy_pairs": q_fuzzy_pairs,
-        "q_profile_columns": q_profile_columns,
-        "q_streaming_hll": q_streaming_hll,
-        "q_skew_report": q_skew_report,
-        "q_script_detect": q_script_detect,
-        "q_incremental_dedup": q_incremental_dedup,
-        "q_media_validate": q_media_validate,
-        "q_hash_sample": q_hash_sample,
-        "q_length_histogram": q_length_histogram,
-        "q_bin_pack": q_bin_pack,
-        "q_textrank": q_textrank,
-        "q_crawl_e2e": q_crawl_e2e,
-        "q_spectrogram": q_spectrogram,
-        "q_sessionize": q_sessionize,
-        "q_lang_id": q_lang_id,
-        "q_nation_revenue": q_nation_revenue,
-        "q_quality_filter": q_quality_filter,
         "q_abnormality": q_abnormality,
         "q_pii_scrub": q_pii_scrub,
         "q_document_chunks": q_document_chunks,
@@ -4155,20 +4160,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_stats": q_text_stats,
         "q_token_counts": q_token_counts,
         "q_top_parts_by_size": q_top_parts_by_size,
-        "q_streaming_source_cap": q_streaming_source_cap,
-        "q_readability": q_readability,
-        "q_kn_bigram_scores": q_kn_bigram_scores,
-        "q_media_decode": q_media_decode,
-        "q_streaming_dedup": q_streaming_dedup,
-        "q_pipeline_eval": q_pipeline_eval,
-        "q_quality_classifier": q_quality_classifier,
-        "q_ngram_jaccard_capped": q_ngram_jaccard_capped,
         "q_embedding_neardup": q_embedding_neardup,
         "q_multimodal_meta": q_multimodal_meta,
         "q_horizontal_explode": q_horizontal_explode,
         "q_unique_entities": q_unique_entities,
         "q_log_info_row": q_log_info_row,
-        "q_dedup_clusters": q_dedup_clusters,
         "q_source_cap": q_source_cap,
         "q_paragraph_dedup": q_paragraph_dedup,
         "q_png_decode": q_png_decode,
@@ -4212,7 +4208,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_word2vec_recs": q_word2vec_recs,
         "q_ivf_ann": q_ivf_ann,
         "q_e2e_eval": q_e2e_eval,
-        "q_thompson_scores": q_thompson_scores,
         "q_sample_top_k": q_sample_top_k,
         "q_discretize_quantile": q_discretize_quantile,
         "q_discretize_greedy": q_discretize_greedy,
@@ -4239,7 +4234,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_slim_similarity": q_slim_similarity,
         "q_minhash_candidates": q_minhash_candidates,
         "q_simhash_fingerprints": q_simhash_fingerprints,
-        "q_streaming_ucb": q_streaming_ucb,
     }
 
 

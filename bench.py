@@ -24,7 +24,6 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
 BENCH_QUERIES = [
     "q_pricing_summary",
     "q_nation_revenue",
-    "q_top_parts_by_size",
     "q_top_k_recs",
     "q_user_stats",
     "q_filter_num_interactions",
@@ -48,13 +47,11 @@ BENCH_QUERIES = [
     "q_split_session_atomic",
     "q_e2e_eval",
     "q_repetition_stats",
-    "q_pii_scrub",
     "q_document_chunks",
     "q_dedup_clusters",
     "q_vocab_top_tokens",
     "q_tfidf_keywords",
     "q_contamination_report",
-    "q_doc_fingerprints_md5",
     "q_quality_filter",
     "q_unigram_lm_scores",
     "q_media_decode",
@@ -79,6 +76,12 @@ BENCH_QUERIES = [
     "q_gopher_quality",
     "q_ccnet_buckets",
     "q_dsir_weights",
+    # round-8 operators: clustering, layout, time-series grid, and
+    # the distributed-path component propagation
+    "q_kmeans_assign",
+    "q_zorder_keys",
+    "q_timeseries_resample",
+    "q_connected_components",
 ]
 
 
@@ -203,6 +206,7 @@ def main():
         "q_bpe_tokens",
         "q_pq_ann",
         "q_ivfpq_ann",
+        "q_kmeans_assign",
         # substring windows scale with corpus tokens; the replica's
         # shard suffixes keep cross-shard windows disjoint, so the
         # removed set (and rebuild) stays proportional, not quadratic

@@ -67,6 +67,14 @@ def test_scored_window_has_oracle_or_documented_rows_only():
         "q_sample_top_k",  # seeded sampling
         "q_simhash_fingerprints",  # md5 pairs variant carries the hash
         "q_hnsw_ann",  # seeded graph walk; recall-tested vs brute force
+        "q_kmeans_fit",  # float centroid means; assign twin carries hash
+        "q_pca_fit",  # eigendecomposition; project twin carries hash
+        "q_quality_classifier",  # seeded LogisticRegression
+        "q_textrank",  # iterative per-doc PageRank
+        "q_bin_pack",  # FFD heuristic order not SQL-expressible
+        "q_pagerank",  # iterative propagation
+        "q_compression_ratio",  # zlib internals
+        "q_spectrogram",  # FFT
     }
     oracles = set(entrymod.oracle_sql())
     scored = list(entrymod.queries())[:50]
