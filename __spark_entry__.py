@@ -1768,6 +1768,24 @@ def q_hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.search(emb.filter("vec_id < 20"), k=5)
 
 
+def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling gate (uniform weighting, md5
+    draws): every (query, item) positive from the interactions log
+    gets up to 3 negatives the query never interacted with, each
+    draw a pure function of (seed, query, item, draw index). DuckDB
+    replays the 60-bit md5 parse (the q_hash_sample hex trick), the
+    universe indexing, the anti join, and the per-positive
+    first-k-by-draw-order rank — set-identical membership by
+    construction."""
+    from replay_spark.preprocessing.negative_sampling import (
+        NegativeSampler,
+    )
+
+    inter = _interactions(spark, sf_dir)
+    ns = NegativeSampler(k=3, oversample=2, seed=7, hash_fn="md5")
+    return ns.transform(inter)
+
+
 def q_timeseries_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user 6-hour resampling of the events stream with gap
     fill, zero and forward-fill modes unioned. Values are
@@ -4101,6 +4119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_filter": q_quality_filter,
         # -- (c) officially green in r4-r7, rotating out -- still
         #        run in tools/check_oracle and bench -------------
+        "q_negative_sample": q_negative_sample,
         "q_llm_e2e": q_llm_e2e,
         "q_pq_ann_fixed": q_pq_ann_fixed,
         "q_mp4_meta": q_mp4_meta,
@@ -5485,6 +5504,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, bit_count(xor(fp_a, fp_b)) AS hamming
             FROM cands
             WHERE bit_count(xor(fp_a, fp_b)) <= 3
+        """,
+        "q_negative_sample": f"""
+            WITH {W},
+            p AS (
+                SELECT DISTINCT query_id, item_id FROM interactions),
+            it AS (
+                SELECT item_id AS neg_item,
+                       row_number() OVER (ORDER BY item_id) - 1 AS idx
+                FROM (SELECT DISTINCT item_id FROM p)),
+            nn AS (SELECT count(*) AS n_items FROM it),
+            d AS (
+                SELECT query_id, item_id,
+                       unnest(range(0, 6)) AS j
+                FROM p),
+            h AS (
+                SELECT query_id, item_id, j,
+                       list_reduce(list_transform(range(1, 16),
+                           x -> CAST(strpos('0123456789abcdef',
+                                substr(md5('7:'
+                                    || CAST(query_id AS VARCHAR) || ':'
+                                    || CAST(item_id AS VARCHAR) || ':'
+                                    || CAST(j AS VARCHAR)),
+                                    CAST(x AS INT), 1)) - 1
+                                AS BIGINT)),
+                           (acc, x) -> acc * 16 + x)
+                           % (SELECT n_items FROM nn) AS pos
+                FROM d),
+            cand AS (
+                SELECT h.query_id, h.item_id, h.j, it.neg_item
+                FROM h JOIN it ON h.pos = it.idx),
+            unseen AS (
+                SELECT c.* FROM cand c
+                LEFT JOIN p ON p.query_id = c.query_id
+                           AND p.item_id = c.neg_item
+                WHERE p.query_id IS NULL)
+            SELECT query_id, item_id, j AS draw,
+                   neg_item AS neg_item_id
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id, item_id
+                    ORDER BY j) AS r
+                FROM unseen) t
+            WHERE r <= 3
         """,
         "q_timeseries_resample": """
             WITH e AS (
