@@ -248,3 +248,84 @@ def test_gopher_filter_is_pure_projection(sf):
     docs = sf("documents")
     nodes = _nodes(_plan(GopherQualityFilter().transform(docs)))
     assert "Exchange" not in nodes, nodes
+
+
+def test_kmeans_assignment_is_pure_projection(sf):
+    """KMeansClusterer.transform with fixed centroids must add zero
+    exchanges: the centroid matrix is a broadcast literal and the
+    argmin is expression-level."""
+    from replay_spark.ann import KMeansClusterer
+
+    emb = sf("embeddings")
+    km = KMeansClusterer(k=4, max_iter=0).fit(
+        emb, centroids=[[0.1 * (i + 1)] * 64 for i in range(4)]
+    )
+    plan = _plan(km.transform(emb))
+    assert "Exchange" not in plan, plan
+
+
+def test_stratified_sampler_salted_two_phase(sf):
+    """No per-stratum total ordering: the first window partitions by
+    (stratum, salt), the exact window runs on bounded survivors, and
+    the corpus filter is a broadcast LEFT SEMI join (full-width rows
+    never shuffle)."""
+    from replay_spark.preprocessing.text import StratifiedSampler
+
+    docs = sf("documents")
+    plan = _plan(StratifiedSampler(n=5).transform(docs))
+    assert plan.count("Window") >= 2
+    assert "_salt" in plan
+    assert "LeftSemi" in plan
+    # full-width text column never enters an exchange input
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
+
+
+def test_zorder_key_stays_in_codegen(sf):
+    """The Morton key projection is whole-stage-codegen'd (no UDF
+    nodes), and layout() plans a single range exchange."""
+    from replay_spark.utils.layout import ZOrderLayout
+
+    li = sf("lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    z = ZOrderLayout(["l_partkey", "l_suppkey"], bits=8)
+    plan = _plan(z.layout(li, num_partitions=4))
+    nodes = _nodes(plan)
+    assert "BatchEvalPython" not in nodes
+    assert "ArrowEvalPython" not in nodes
+    assert plan.count("rangepartitioning") >= 1 or "range" in plan.lower()
+    assert nodes.count("Exchange") == 1, nodes
+
+
+def test_timeseries_grid_is_keyed_only(sf):
+    """TimeSeriesResampler: every exchange is keyed on the key column
+    (grid completion is executor-side explode, never a driver loop or
+    global sort)."""
+    from replay_spark.timeseries import TimeSeriesResampler
+
+    ev = sf("events")
+    plan = _plan(
+        TimeSeriesResampler(interval_seconds=21600).transform(ev)
+    )
+    assert "Generate explode" in plan or "explode" in plan
+    assert "rangepartitioning" not in plan.lower()
+    nodes = _nodes(plan)
+    assert "BatchEvalPython" not in nodes
+
+
+def test_negative_sampler_broadcasts_item_universe(sf):
+    """The item-universe join must broadcast (dimension-sized) and
+    the per-positive rank window must partition by the positive."""
+    from replay_spark.preprocessing.negative_sampling import (
+        NegativeSampler,
+    )
+    import replay_spark.datasets as rsd
+
+    inter = rsd.load_interactions(
+        sf("events").sparkSession, SF_DIR
+    )
+    plan = _plan(NegativeSampler(k=2, oversample=2).transform(inter))
+    assert "BroadcastExchange" in plan
+    assert "LeftAnti" in plan
