@@ -34,7 +34,42 @@ from typing import Dict, List, Optional, Sequence, Tuple
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ZOrderLayout"]
+__all__ = ["ZOrderLayout", "compact_parquet"]
+
+
+def compact_parquet(
+    spark,
+    input_path: str,
+    output_path: str,
+    target_file_mb: int = 512,
+    zorder_by: Optional[Sequence[str]] = None,
+) -> int:
+    """Small-file compaction — the maintenance pass every long-lived
+    100 TB table needs (streaming sinks and over-parallel writers
+    leave thousands of KB-scale files; scan cost is then dominated by
+    open/footer overhead, not bytes).
+
+    Sizes the output from the INPUT BYTES (spark reports the scan's
+    ``sizeInBytes`` through the file index), not row counts:
+    ``ceil(input_bytes / target_file_mb)`` output files via one round
+    of ``repartition`` (or, with ``zorder_by``, a Morton-key range
+    repartition so the compaction ALSO clusters for data skipping —
+    compact + optimize in a single shuffle). Returns the number of
+    output files planned. Parquet-level stats (min/max per file)
+    come free from the writer.
+    """
+    df = spark.read.parquet(input_path)
+    # logical-plan statistics reflect the file-index byte size
+    input_bytes = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    n_files = max(1, int((int(input_bytes) + target_file_mb * 2**20 - 1)
+                         // (target_file_mb * 2**20)))
+    if zorder_by:
+        z = ZOrderLayout(list(zorder_by))
+        out = z.layout(df, num_partitions=n_files).drop(z.output_column)
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(output_path)
+    return n_files
 
 
 class ZOrderLayout:

@@ -4085,3 +4085,33 @@ def test_negative_sampler_md5_matches_contract(spark):
     assert got  # runs and yields deterministic rows
     again = NegativeSampler(k=2, hash_fn="md5", seed=7).transform(df)
     assert sorted(map(tuple, got)) == sorted(map(tuple, again.collect()))
+
+
+def test_compact_parquet(spark, tmp_path):
+    import os
+
+    from replay_spark.utils.layout import compact_parquet
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    rows = [(i, f"text-{i}" * 20) for i in range(2000)]
+    # fragment: 64 small files
+    spark.createDataFrame(rows, "id long, payload string").repartition(
+        64
+    ).write.parquet(src)
+    n_in = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_in >= 32
+    planned = compact_parquet(spark, src, dst, target_file_mb=512)
+    assert planned == 1  # tiny table -> one file
+    n_out = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    assert n_out == 1
+    # content preserved exactly
+    a = sorted(map(tuple, spark.read.parquet(src).collect()))
+    b = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    assert a == b
+    # zorder_by variant clusters while compacting and drops the key
+    dst2 = str(tmp_path / "compact_z")
+    compact_parquet(spark, src, dst2, target_file_mb=512, zorder_by=["id"])
+    df2 = spark.read.parquet(dst2)
+    assert set(df2.columns) == {"id", "payload"}
+    assert df2.count() == 2000
