@@ -1768,6 +1768,28 @@ def q_hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.search(emb.filter("vec_id < 20"), k=5)
 
 
+def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window feature gate: per-user count/sum/min/max over
+    the last hour as of each event, values integerized
+    (floor(value*100)) so every hashed column is exact integer
+    arithmetic. DuckDB replays the identical RANGE frame over
+    microsecond epochs (peers-at-same-instant semantics match by the
+    SQL standard)."""
+    from replay_spark.timeseries import RollingAggregator
+
+    ev = rsd.read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("value"),
+    )
+    out = RollingAggregator(window_seconds=3600).transform(ev)
+    return out.select(
+        "event_id", "user_id", "trailing_count",
+        "trailing_sum", "trailing_min", "trailing_max",
+    )
+
+
 def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic negative sampling gate (uniform weighting, md5
     draws): every (query, item) positive from the interactions log
@@ -4120,6 +4142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (c) officially green in r4-r7, rotating out -- still
         #        run in tools/check_oracle and bench -------------
         "q_negative_sample": q_negative_sample,
+        "q_rolling_features": q_rolling_features,
         "q_llm_e2e": q_llm_e2e,
         "q_pq_ann_fixed": q_pq_ann_fixed,
         "q_mp4_meta": q_mp4_meta,
@@ -5504,6 +5527,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, bit_count(xor(fp_a, fp_b)) AS hamming
             FROM cands
             WHERE bit_count(xor(fp_a, fp_b)) <= 3
+        """,
+        "q_rolling_features": """
+            WITH e AS (
+                SELECT event_id, user_id, epoch_us(ts) AS us,
+                       CAST(floor(value * 100) AS BIGINT) AS v
+                FROM events)
+            SELECT event_id, user_id,
+                   count(*) OVER w AS trailing_count,
+                   CAST(sum(v) OVER w AS BIGINT) AS trailing_sum,
+                   min(v) OVER w AS trailing_min,
+                   max(v) OVER w AS trailing_max
+            FROM e
+            WINDOW w AS (
+                PARTITION BY user_id ORDER BY us
+                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         """,
         "q_negative_sample": f"""
             WITH {W},

@@ -180,8 +180,14 @@ class KMeansClusterer:
                         "vectors"
                     )
         dim = len(self.centroids[0])
+        # one narrow persist covers every Lloyd iteration — without it
+        # an expensive upstream lineage (joins, filters) would re-run
+        # per iteration; the cached projection is vectors-only
+        vecs = df.select(self._vec().alias("_v"))
+        if self.max_iter > 1:
+            vecs = vecs.persist()
         for _ in range(self.max_iter):
-            assigned = df.select(self._vec().alias("_v")).select(
+            assigned = vecs.select(
                 self._assign_expr().getField("cluster").alias("_c"),
                 F.col("_v"),
             )
@@ -203,6 +209,8 @@ class KMeansClusterer:
                     new[c] = list(self.centroids[c])
             if all(len(c) == dim for c in new):
                 self.centroids = new
+        if self.max_iter > 1:
+            vecs.unpersist()
         return self
 
     def transform(self, df: DataFrame) -> DataFrame:

@@ -4115,3 +4115,35 @@ def test_compact_parquet(spark, tmp_path):
     df2 = spark.read.parquet(dst2)
     assert set(df2.columns) == {"id", "payload"}
     assert df2.count() == 2000
+
+
+def test_rolling_aggregator_trailing_window(spark):
+    from datetime import datetime, timedelta
+
+    from replay_spark.timeseries import RollingAggregator
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 10),
+        (1, t0 + timedelta(seconds=1800), 5),
+        (1, t0 + timedelta(seconds=3600), 2),   # 0s event still in range
+        (1, t0 + timedelta(seconds=3601), 1),   # 0s event now out
+        (2, t0, 100),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value long")
+    out = {
+        (r["user_id"], r["ts"]): r
+        for r in RollingAggregator(window_seconds=3600).transform(df).collect()
+    }
+    a = out[(1, t0 + timedelta(seconds=3600))]
+    assert a["trailing_count"] == 3 and a["trailing_sum"] == 17
+    b = out[(1, t0 + timedelta(seconds=3601))]
+    assert b["trailing_count"] == 3 and b["trailing_sum"] == 8
+    assert b["trailing_min"] == 1 and b["trailing_max"] == 5
+    assert out[(2, t0)]["trailing_count"] == 1
+    # peers at the same instant are mutually visible (RANGE semantics)
+    df2 = spark.createDataFrame(
+        [(3, t0, 1), (3, t0, 2)], "user_id long, ts timestamp, value long"
+    )
+    out2 = RollingAggregator(window_seconds=60).transform(df2).collect()
+    assert all(r["trailing_count"] == 2 for r in out2)
