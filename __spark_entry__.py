@@ -1768,6 +1768,40 @@ def q_hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.search(emb.filter("vec_id < 20"), k=5)
 
 
+def q_chat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT chat-rendering gate: three-turn conversations synthesized
+    from doc ids, rendered with a system prompt (present on every
+    third row) and keep_last_turns=2 truncation. The DuckDB oracle
+    constructs the expected strings independently by construction —
+    an end-to-end derivation, not a mirror of the fold."""
+    from replay_spark.preprocessing.chat import ChatTemplater
+
+    docs = rsd.read_table(spark, sf_dir, "documents").select("doc_id")
+    ds = F.col("doc_id").cast("string")
+    turns = F.array(
+        F.struct(
+            F.lit("user").alias("role"),
+            F.concat(F.lit("q"), ds).alias("content"),
+        ),
+        F.struct(
+            F.lit("assistant").alias("role"),
+            F.concat(F.lit("a"), ds).alias("content"),
+        ),
+        F.struct(
+            F.lit("user").alias("role"),
+            F.lit("thanks").alias("content"),
+        ),
+    )
+    system = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.lit("sys"), ds)
+    ).otherwise(F.lit(None).cast("string"))
+    convs = docs.withColumn("turns", turns).withColumn("system", system)
+    out = ChatTemplater(
+        system_column="system", keep_last_turns=2
+    ).transform(convs)
+    return out.select("doc_id", "rendered", "n_turns_kept")
+
+
 def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window feature gate: per-user count/sum/min/max over
     the last hour as of each event, values integerized
@@ -4143,6 +4177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #        run in tools/check_oracle and bench -------------
         "q_negative_sample": q_negative_sample,
         "q_rolling_features": q_rolling_features,
+        "q_chat_template": q_chat_template,
         "q_llm_e2e": q_llm_e2e,
         "q_pq_ann_fixed": q_pq_ann_fixed,
         "q_mp4_meta": q_mp4_meta,
@@ -5527,6 +5562,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, bit_count(xor(fp_a, fp_b)) AS hamming
             FROM cands
             WHERE bit_count(xor(fp_a, fp_b)) <= 3
+        """,
+        "q_chat_template": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN '<|system|>' || chr(10) || 'sys'
+                             || CAST(doc_id AS VARCHAR) || '<|end|>'
+                             || chr(10)
+                        ELSE '' END
+                   || '<|assistant|>' || chr(10) || 'a'
+                   || CAST(doc_id AS VARCHAR) || '<|end|>' || chr(10)
+                   || '<|user|>' || chr(10) || 'thanks<|end|>'
+                   || chr(10) AS rendered,
+                   2 AS n_turns_kept
+            FROM documents
         """,
         "q_rolling_features": """
             WITH e AS (

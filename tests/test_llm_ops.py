@@ -4147,3 +4147,42 @@ def test_rolling_aggregator_trailing_window(spark):
     )
     out2 = RollingAggregator(window_seconds=60).transform(df2).collect()
     assert all(r["trailing_count"] == 2 for r in out2)
+
+
+def test_chat_templater_render_and_truncation(spark):
+    from replay_spark.preprocessing.chat import ChatTemplater
+
+    rows = [
+        (0, "be brief", [("user", "hi"), ("assistant", "hello"),
+                         ("user", "bye")]),
+        (1, None, [("user", "solo")]),
+        (2, "", []),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id long, system string, "
+        "turns array<struct<role string, content string>>",
+    )
+    out = {
+        r["id"]: r
+        for r in ChatTemplater(system_column="system").transform(df).collect()
+    }
+    assert out[0]["rendered"] == (
+        "<|system|>\nbe brief<|end|>\n"
+        "<|user|>\nhi<|end|>\n"
+        "<|assistant|>\nhello<|end|>\n"
+        "<|user|>\nbye<|end|>\n"
+    )
+    assert out[1]["rendered"] == "<|user|>\nsolo<|end|>\n"
+    assert out[2]["rendered"] == ""  # empty system + no turns
+
+    # keep the LAST 2 turns only
+    t2 = {
+        r["id"]: r
+        for r in ChatTemplater(keep_last_turns=2).transform(df).collect()
+    }
+    assert t2[0]["rendered"] == (
+        "<|assistant|>\nhello<|end|>\n<|user|>\nbye<|end|>\n"
+    )
+    assert t2[0]["n_turns_kept"] == 2
+    assert t2[1]["n_turns_kept"] == 1
