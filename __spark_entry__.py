@@ -4093,13 +4093,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows-only contracts (q_quality_classifier: seeded LogReg;
     q_textrank: iterative PageRank; q_bin_pack: FFD heuristic;
     q_pagerank: iterative; q_compression_ratio: zlib internals;
-    q_spectrogram: FFT); (b) the 10 stalest gates — q_thompson_scores
+    q_spectrogram: FFT); (b) 7 stale re-proves — q_thompson_scores
     (last official row r3; seeded posterior, rows-only),
-    q_streaming_ucb and q_ngram_jaccard_capped (r4), and the seven
-    stalest r5 hash gates including the q_pipeline_eval /
-    q_streaming_dedup / q_media_decode trio the r7 rotation dropped;
-    (c) everything else — officially green in a prior round — still
-    run in tools/check_oracle and bench.
+    q_streaming_ucb and q_ngram_jaccard_capped (r4), and the four
+    stalest complex r5 hash gates including the q_pipeline_eval /
+    q_streaming_dedup / q_media_decode trio the r7 rotation dropped —
+    plus the 3 late-round-8 hash debuts (q_negative_sample,
+    q_rolling_features, q_chat_template), which displaced three
+    twice-proven simple r5 gates to (c); (c) everything else —
+    officially green in a prior round — still run in
+    tools/check_oracle and bench.
     Rows-only contracts inside the r8 window: exactly 9 (q_kmeans_fit,
     q_pca_fit, q_quality_classifier, q_textrank, q_bin_pack,
     q_pagerank, q_compression_ratio, q_spectrogram,
@@ -4170,14 +4173,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_dedup": q_streaming_dedup,
         "q_media_decode": q_media_decode,
         "q_sessionize": q_sessionize,
-        "q_lang_id": q_lang_id,
-        "q_nation_revenue": q_nation_revenue,
-        "q_quality_filter": q_quality_filter,
-        # -- (c) officially green in r4-r7, rotating out -- still
-        #        run in tools/check_oracle and bench -------------
+        # (b continued) the three late-round-8 hash debuts take the
+        # last three slots from twice-proven simple r5 gates
+        # (q_lang_id / q_nation_revenue / q_quality_filter → (c),
+        # still swept + benched)
         "q_negative_sample": q_negative_sample,
         "q_rolling_features": q_rolling_features,
         "q_chat_template": q_chat_template,
+        # -- (c) officially green in r4-r7, rotating out -- still
+        #        run in tools/check_oracle and bench -------------
+        "q_lang_id": q_lang_id,
+        "q_nation_revenue": q_nation_revenue,
+        "q_quality_filter": q_quality_filter,
         "q_llm_e2e": q_llm_e2e,
         "q_pq_ann_fixed": q_pq_ann_fixed,
         "q_mp4_meta": q_mp4_meta,
