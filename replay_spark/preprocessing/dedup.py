@@ -1129,23 +1129,44 @@ class NearDupClusters:
                 .groupBy("src")
                 .agg(F.min("_nlabel").alias("_nmin"))
             )
-            new_labels = (
-                labels.join(
-                    neighbor_min.select(
-                        F.col("src").alias("node"), "_nmin"
-                    ),
-                    on="node",
-                    how="left",
-                )
-                .select(
-                    "node",
-                    F.least(
-                        F.col("label"), F.coalesce("_nmin", F.col("label"))
-                    ).alias("label"),
-                    F.col("label").alias("_old"),
-                )
-                .localCheckpoint(eager=True)
+            stepped = labels.join(
+                neighbor_min.select(
+                    F.col("src").alias("node"), "_nmin"
+                ),
+                on="node",
+                how="left",
+            ).select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("_nmin", F.col("label"))
+                ).alias("label"),
+                F.col("label").alias("_old"),
             )
+            # pointer jumping (shortcutting): follow each node's label
+            # to ITS label in the same round — the reachable-minimum
+            # distance doubles per iteration, so convergence is
+            # O(log diameter) rounds instead of O(diameter); on a
+            # chain graph this is the difference between 4 rounds and
+            # ~diameter rounds of full keyed joins
+            # (labels table maps node -> label; look the label up as a
+            # node to jump one level toward the root — labels only
+            # ever take existing node ids, so the lookup always hits)
+            jump = stepped.alias("a").join(
+                stepped.select(
+                    F.col("node").alias("_jn"),
+                    F.col("label").alias("_jl"),
+                ),
+                F.col("a.label") == F.col("_jn"),
+                how="left",
+            )
+            new_labels = jump.select(
+                F.col("a.node").alias("node"),
+                F.least(
+                    F.col("a.label"),
+                    F.coalesce(F.col("_jl"), F.col("a.label")),
+                ).alias("label"),
+                F.col("a._old").alias("_old"),
+            ).localCheckpoint(eager=True)
             changed = new_labels.filter(F.col("label") < F.col("_old")).count()
             if labels.is_cached:
                 labels.unpersist()
