@@ -4066,6 +4066,122 @@ def q_kfolds_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_avi_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL AVI (RIFF) container-metadata gate: deterministic MJPEG
+    AVIs are synthesized executor-side from each embedding row
+    (frame count, fps, and dimensions all integer functions of
+    vec_id; frame payload lengths vary so the RIFF word-alignment
+    path is exercised), then parsed back by the real RIFF walker.
+    fps is stored as the exact rational rate/scale =
+    (fps*1000)/1000, so every output column is pure integer
+    arithmetic DuckDB replays exactly."""
+    import pandas as pd
+
+    from replay_spark.multimodal import avi_metadata, build_avi_container
+
+    emb = rsd.read_table(spark, sf_dir, "embeddings")
+
+    def build(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].astype("int64")
+            payloads = []
+            for v in ids:
+                v = int(v)
+                n_frames = 1 + v % 4
+                frames = [
+                    b"\xff\xd8" + bytes((v + j) % 251 for _ in range(v % 5))
+                    for j in range(n_frames)
+                ]
+                payloads.append(
+                    build_avi_container(
+                        frames,
+                        fps=float(10 + v % 3),
+                        width=8 + (v % 3) * 4,
+                        height=8 + (v % 2) * 8,
+                    )
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = emb.select("vec_id").mapInPandas(
+        build, schema="media_id long, payload binary"
+    )
+    out = avi_metadata(media)
+    return out.select(
+        F.col("media_id").alias("vec_id"),
+        "width",
+        "height",
+        "total_frames",
+        "fps_rate",
+        "fps_scale",
+        F.concat_ws(",", "codecs").alias("codec_list"),
+    )
+
+
+def q_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container video frame decode, END TO END with ZERO external
+    dependencies — the gate that closes the container-video gap:
+    each embedding becomes a 6-frame Motion-JPEG AVI (frame j a
+    solid 8×8 JPEG of (base + 7j) % 256, base = the quantized
+    embedding mean; solid blocks round-trip losslessly through the
+    real JPEG codec), the tick sampler runs with
+    ``splitter=split_avi_frames`` (250 ms ticks at 10 fps → frames
+    0, 2, 5), and each sampled frame decodes through the REAL JPEG
+    huffman+DCT path to a one-hot histogram whose bin DuckDB
+    recomputes from the raw embeddings."""
+    import numpy as np
+    import pandas as pd
+
+    from replay_spark.jpeg import encode_jpeg, jpeg_image_decoder
+    from replay_spark.multimodal import (
+        MediaProcessor,
+        build_avi_container,
+        split_avi_frames,
+    )
+
+    emb = rsd.read_table(spark, sf_dir, "embeddings")
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for vec in pdf["embedding"]:
+                arr = np.asarray(vec, dtype=np.float64)
+                base = int(
+                    np.clip(np.floor((arr.mean() + 1.0) * 128.0), 0, 255)
+                )
+                frames = [
+                    encode_jpeg(
+                        np.full((8, 8), (base + 7 * j) % 256, dtype=np.uint8),
+                        quality=90,
+                    )
+                    for j in range(6)
+                ]
+                payloads.append(
+                    build_avi_container(frames, fps=10.0, width=8, height=8)
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["vec_id"].values, "payload": payloads}
+            )
+
+    media = emb.select("vec_id", "embedding").mapInPandas(
+        build, schema="media_id long, payload binary"
+    )
+    proc = MediaProcessor(
+        decoder=jpeg_image_decoder, splitter=split_avi_frames
+    )
+    sampled = proc.sample_frames(media, every_ms=250, fps=10.0)
+    out = proc.transform(sampled, passthrough=("frame_index", "t_ms"))
+    return out.select(
+        F.col("media_id").alias("vec_id"),
+        "frame_index",
+        "t_ms",
+        "width",
+        "height",
+        (F.array_position(F.col("features"), F.lit(1.0)) - 1).alias(
+            "hot_bin"
+        ),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: PopRec top-5 recommendations on sf0.001."""
     return q_poprec_recs(spark, "/root/testdata/sf0.001")
@@ -4318,6 +4434,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_slim_similarity": q_slim_similarity,
         "q_minhash_candidates": q_minhash_candidates,
         "q_simhash_fingerprints": q_simhash_fingerprints,
+        # (c continued) late-round-8 session-2 debuts — r9 rotation
+        # candidates, unscored this round
+        "q_avi_meta": q_avi_meta,
+        "q_avi_frames": q_avi_frames,
     }
 
 
@@ -7952,6 +8072,34 @@ def oracle_sql() -> dict[str, str]:
                 FROM walk w JOIN edges e ON e.src = w.node)
             SELECT node AS doc_id, min(label) AS component
             FROM walk GROUP BY node
+        """,
+        "q_avi_meta": """
+            SELECT vec_id,
+                   8 + (vec_id % 3) * 4 AS width,
+                   8 + (vec_id % 2) * 8 AS height,
+                   1 + vec_id % 4 AS total_frames,
+                   (10 + vec_id % 3) * 1000 AS fps_rate,
+                   1000 AS fps_scale,
+                   'MJPG' AS codec_list
+            FROM embeddings
+        """,
+        "q_avi_frames": """
+            WITH base AS (
+                SELECT vec_id,
+                       CAST(least(greatest(floor(
+                           (list_avg(list_transform(embedding,
+                               e -> CAST(e AS DOUBLE))) + 1.0) * 128.0
+                       ), 0), 255) AS BIGINT) AS b
+                FROM embeddings),
+            ticks AS (
+                SELECT * FROM (VALUES (0, 0), (2, 250), (5, 500))
+                    t(frame_index, t_ms))
+            SELECT base.vec_id,
+                   ticks.frame_index,
+                   ticks.t_ms,
+                   8 AS width, 8 AS height,
+                   ((base.b + 7 * ticks.frame_index) % 256) // 16 AS hot_bin
+            FROM base CROSS JOIN ticks
         """,
     }
     # streaming/batch parity gates share the batch oracle verbatim:

@@ -4186,3 +4186,99 @@ def test_chat_templater_render_and_truncation(spark):
     )
     assert t2[0]["n_turns_kept"] == 2
     assert t2[1]["n_turns_kept"] == 1
+
+
+def test_avi_container_roundtrip():
+    """AVI (RIFF) build → parse → split round trip: metadata fields
+    survive exactly, frame payloads come back byte-identical
+    (including odd-length frames through RIFF word alignment), and
+    non-AVI payloads raise."""
+    import pytest
+
+    from replay_spark.multimodal import (
+        build_avi_container,
+        parse_avi_metadata,
+        split_avi_frames,
+    )
+
+    frames = [b"\xff\xd8odd", b"\xff\xd8even", b"\xff\xd8x"]
+    avi = build_avi_container(frames, fps=12.5, width=16, height=9)
+    meta = parse_avi_metadata(avi)
+    assert (meta["width"], meta["height"]) == (16, 9)
+    assert meta["total_frames"] == 3
+    assert (meta["rate"], meta["scale"]) == (12500, 1000)
+    assert meta["streams"] == [{"type": "vids", "codec": "MJPG"}]
+    assert split_avi_frames(avi) == frames
+    for bad in (b"", b"RIFF\x00\x00\x00\x00WAVE", b"\x89PNG1234"):
+        with pytest.raises(ValueError):
+            parse_avi_metadata(bad)
+    with pytest.raises(ValueError):
+        build_avi_container([], fps=10.0)
+
+
+def test_probe_media_dimensions():
+    """Header-only dimension sniffing across every in-repo frame
+    format — the contract that lets sample_frames keep compressed
+    frames compressed."""
+    import numpy as np
+    import pytest
+
+    from replay_spark.gif import encode_gif
+    from replay_spark.jpeg import encode_jpeg
+    from replay_spark.multimodal import (
+        encode_png,
+        encode_ppm,
+        probe_media_dimensions,
+    )
+
+    img = np.arange(5 * 7, dtype=np.uint8).reshape(5, 7)
+    assert probe_media_dimensions(encode_ppm(img)) == (7, 5)
+    assert probe_media_dimensions(encode_png(img)) == (7, 5)
+    assert probe_media_dimensions(encode_gif([img])) == (7, 5)
+    assert probe_media_dimensions(encode_jpeg(img)) == (7, 5)
+    assert probe_media_dimensions(
+        encode_jpeg(img, progressive=True)
+    ) == (7, 5)
+    with pytest.raises(ValueError):
+        probe_media_dimensions(b"\xff\xd8\xff\xd9" + b"\x00" * 16)
+    with pytest.raises(ValueError):
+        probe_media_dimensions(b"not media at all")
+
+
+def test_avi_mjpeg_video_sampling_pipeline(spark):
+    """Motion-JPEG AVI as a REAL video container end to end: the
+    splitter slices '00dc' chunks (frames stay compressed through
+    tick sampling), and the sampled frames decode through the real
+    JPEG codec — container video frame decode with no ffmpeg."""
+    import numpy as np
+
+    from replay_spark.jpeg import decode_jpeg, encode_jpeg
+    from replay_spark.multimodal import (
+        MediaProcessor,
+        build_avi_container,
+        jpeg_image_decoder,
+        split_avi_frames,
+    )
+
+    frames = [
+        encode_jpeg(np.full((8, 8), 16 * j, dtype=np.uint8), quality=90)
+        for j in range(6)
+    ]
+    payload = build_avi_container(frames, fps=10.0, width=8, height=8)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    proc = MediaProcessor(
+        decoder=jpeg_image_decoder, splitter=split_avi_frames
+    )
+    sampled = proc.sample_frames(df, every_ms=250, fps=10.0)
+    rows = sampled.orderBy("frame_index").collect()
+    assert [(r.frame_index, r.t_ms) for r in rows] == [
+        (0, 0), (2, 250), (5, 500)
+    ]
+    # sampled payloads are still the compressed JPEG chunks
+    assert bytes(rows[1].payload) == frames[2]
+    assert (decode_jpeg(bytes(rows[1].payload)) == 32).all()
+    out = proc.transform(sampled, passthrough=("frame_index",)).collect()
+    hot = {r.frame_index: r.features.index(1.0) for r in out}
+    assert hot == {0: 0, 2: 2, 5: 5}
