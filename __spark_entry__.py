@@ -4182,6 +4182,86 @@ def q_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord sink/source roundtrip over real shard files: the
+    documents corpus exports to ``shard-%05d.tfrecord`` (hand-rolled
+    tf.train.Example protobuf + masked-CRC32C framing, one writer
+    task per shard), reads back through the CRC-verifying source,
+    and every recovered field must match what DuckDB recomputes from
+    the original table — int64 (negative values take the 10-byte
+    varint path), utf-8 bytes, and packed Int64List features."""
+    import os
+    import tempfile
+
+    from replay_spark.data.tfrecord import read_tfrecord, write_tfrecord
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    export = docs.select(
+        "doc_id",
+        "text",
+        (-F.col("doc_id") - 1).alias("neg"),
+        F.array(
+            F.length("text").cast("long"), F.col("doc_id") % 7
+        ).alias("lens"),
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"rs_tfr_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    write_tfrecord(export, out_dir, key_column="doc_id", num_shards=8)
+    back = read_tfrecord(
+        spark,
+        out_dir,
+        {
+            "doc_id": "int64",
+            "text": "string",
+            "neg": "int64",
+            "lens": "int64_list",
+        },
+    )
+    return back.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
+        "neg",
+        F.aggregate(
+            "lens", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("lens_sum"),
+    )
+
+
+def q_tfrecord_floats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord FloatList exactness: embeddings (float32 in parquet)
+    export through the packed protobuf float path and back — float32
+    round-trips bit-exactly, so the left-fold double sum of the
+    recovered vector matches DuckDB's fold over the original
+    column."""
+    import os
+    import tempfile
+
+    from replay_spark.data.tfrecord import read_tfrecord, write_tfrecord
+
+    emb = rsd.read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"rs_tfrf_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    write_tfrecord(emb, out_dir, key_column="vec_id", num_shards=8)
+    back = read_tfrecord(
+        spark, out_dir, {"vec_id": "int64", "embedding": "float_list"}
+    )
+    return back.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.aggregate(
+            F.col("embedding").cast("array<double>"),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("emb_sum"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: PopRec top-5 recommendations on sf0.001."""
     return q_poprec_recs(spark, "/root/testdata/sf0.001")
@@ -4438,6 +4518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # candidates, unscored this round
         "q_avi_meta": q_avi_meta,
         "q_avi_frames": q_avi_frames,
+        "q_tfrecord_roundtrip": q_tfrecord_roundtrip,
+        "q_tfrecord_floats": q_tfrecord_floats,
     }
 
 
@@ -8081,6 +8163,22 @@ def oracle_sql() -> dict[str, str]:
                    (10 + vec_id % 3) * 1000 AS fps_rate,
                    1000 AS fps_scale,
                    'MJPG' AS codec_list
+            FROM embeddings
+        """,
+        "q_tfrecord_roundtrip": """
+            SELECT doc_id,
+                   md5(text) AS text_md5,
+                   -doc_id - 1 AS neg,
+                   CAST(length(text) + doc_id % 7 AS BIGINT) AS lens_sum
+            FROM documents
+        """,
+        "q_tfrecord_floats": """
+            SELECT vec_id,
+                   CAST(len(embedding) AS INT) AS n_dims,
+                   list_reduce(
+                       list_prepend(0.0, list_transform(embedding,
+                           e -> CAST(e AS DOUBLE))),
+                       (acc, x) -> acc + x) AS emb_sum
             FROM embeddings
         """,
         "q_avi_frames": """
