@@ -4262,6 +4262,19 @@ def q_tfrecord_floats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training export: every
+    document's (shard, position) is a pure function of
+    md5(seed:doc_id) — DuckDB replays the identical permutation
+    (shard = 15-hex-char fold mod 8, position = md5 rank within the
+    shard)."""
+    from replay_spark.preprocessing.text import GlobalShuffler
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    out = GlobalShuffler(num_shards=8, seed=1).transform(docs)
+    return out.select("doc_id", "shard", "position")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: PopRec top-5 recommendations on sf0.001."""
     return q_poprec_recs(spark, "/root/testdata/sf0.001")
@@ -4520,6 +4533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_avi_frames": q_avi_frames,
         "q_tfrecord_roundtrip": q_tfrecord_roundtrip,
         "q_tfrecord_floats": q_tfrecord_floats,
+        "q_global_shuffle": q_global_shuffle,
     }
 
 
@@ -8164,6 +8178,25 @@ def oracle_sql() -> dict[str, str]:
                    1000 AS fps_scale,
                    'MJPG' AS codec_list
             FROM embeddings
+        """,
+        "q_global_shuffle": """
+            WITH h AS (
+                SELECT doc_id,
+                       md5('1:' || CAST(doc_id AS VARCHAR)) AS hx
+                FROM documents),
+            s AS (
+                SELECT doc_id, hx,
+                       list_reduce(list_transform(range(1, 16),
+                           i -> CAST(strpos('0123456789abcdef',
+                                     substr(hx, CAST(i AS INT), 1)) - 1
+                                AS BIGINT)),
+                         (acc, x) -> acc * 16 + x) % 8 AS shard
+                FROM h)
+            SELECT doc_id, shard,
+                   row_number() OVER (
+                       PARTITION BY shard ORDER BY hx, doc_id
+                   ) AS position
+            FROM s
         """,
         "q_tfrecord_roundtrip": """
             SELECT doc_id,

@@ -933,6 +933,62 @@ class StratifiedSampler:
         )
 
 
+class GlobalShuffler:
+    """Deterministic global corpus shuffle + sharding for training
+    export — the "shuffle once, then stream shards sequentially"
+    step every pretraining run needs, without ``rand()``: a row's
+    shard is ``md5(seed:key) mod num_shards`` and its position
+    within the shard is its md5 rank, so the permutation is a pure
+    function of (key, seed) — re-runs, retries, and different
+    engines produce the identical order (``q_global_shuffle`` hash
+    gate), and changing the seed is a fresh independent shuffle.
+
+    At scale: the shard assignment is a projection (no shuffle);
+    positions need ONE hash-partitioned sort — md5 is uniform, so
+    shards are balanced by construction and the per-shard sort is
+    spill-safe. Feed the result straight to
+    :func:`replay_spark.data.tfrecord.write_tfrecord` /
+    ``write_webdataset`` with ``shard_column="shard"``. No reference
+    counterpart (LLM-pipeline extension).
+    """
+
+    def __init__(
+        self,
+        num_shards: int = 16,
+        key_column: str = "doc_id",
+        seed: int = 0,
+        shard_column: str = "shard",
+        position_column: str = "position",
+    ):
+        if num_shards < 1:
+            raise ValueError("num_shards must be >= 1")
+        self.num_shards = num_shards
+        self.key_column = key_column
+        self.seed = seed
+        self.shard_column = shard_column
+        self.position_column = position_column
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        h = F.md5(
+            F.concat(
+                F.lit(f"{self.seed}:"),
+                F.col(self.key_column).cast("string"),
+            )
+        )
+        shard = F.pmod(
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("long"),
+            F.lit(self.num_shards),
+        )
+        out = df.withColumn("_h", h).withColumn(self.shard_column, shard)
+        w = (
+            Window.partitionBy(self.shard_column)
+            .orderBy(F.col("_h"), F.col(self.key_column))
+        )
+        return out.withColumn(
+            self.position_column, F.row_number().over(w).cast("long")
+        ).drop("_h")
+
+
 class ScriptDetector:
     """Unicode-script composition signals — the char-level companion
     to the stopword :class:`LanguageIdentifier` (scripts separate

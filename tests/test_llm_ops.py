@@ -4282,3 +4282,37 @@ def test_avi_mjpeg_video_sampling_pipeline(spark):
     out = proc.transform(sampled, passthrough=("frame_index",)).collect()
     hot = {r.frame_index: r.features.index(1.0) for r in out}
     assert hot == {0: 0, 2: 2, 5: 5}
+
+
+def test_global_shuffler(spark):
+    """Deterministic shuffle invariants: positions are dense 1..n
+    within each shard, the permutation is reproducible, a different
+    seed reorders, and the shard column feeds the export sinks."""
+    from replay_spark.preprocessing.text import GlobalShuffler
+
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(40)], "doc_id long, text string"
+    )
+    out1 = GlobalShuffler(num_shards=4, seed=7).transform(df)
+    rows1 = {r.doc_id: (r.shard, r.position) for r in out1.collect()}
+    assert len(rows1) == 40
+    by_shard: dict = {}
+    for shard, pos in rows1.values():
+        by_shard.setdefault(shard, []).append(pos)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    rows2 = {
+        r.doc_id: (r.shard, r.position)
+        for r in GlobalShuffler(num_shards=4, seed=7)
+        .transform(df)
+        .collect()
+    }
+    assert rows1 == rows2
+    rows3 = {
+        r.doc_id: (r.shard, r.position)
+        for r in GlobalShuffler(num_shards=4, seed=8)
+        .transform(df)
+        .collect()
+    }
+    assert rows1 != rows3
