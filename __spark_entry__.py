@@ -4275,6 +4275,63 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "shard", "position")
 
 
+def q_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL IMA-ADPCM codec gate: per document an ADPCM WAV is built
+    from md5(doc_id)-derived nibbles restricted to deltas 1-4 (the
+    clamp-free region where the IMA encoder is the exact inverse of
+    the decoder — property-tested), decoded by the real state
+    machine, re-encoded, and the re-encoded payload's hex must equal
+    the hex DuckDB constructs by replaying the nibble derivation —
+    so BOTH codec directions and the WAV block framing are
+    hash-verified end to end."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from replay_spark.adpcm import (
+        decode_adpcm,
+        decode_adpcm_wav,
+        encode_adpcm_wav,
+    )
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+
+    def roundtrip(batches):
+        for pdf in batches:
+            ids, md5s, nsamp = [], [], []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                bs = hashlib.md5(str(int(doc_id)).encode()).digest()
+                nib = [
+                    int((8 if b & 4 else 0) | (1 + (b & 3))) for b in bs
+                ]
+                decoded, _, _ = decode_adpcm(nib, 0, 0)
+                arr = np.asarray([0] + decoded, dtype=np.int16)
+                wav = encode_adpcm_wav(
+                    arr, 8000, block_align=12, initial_index=0
+                )
+                # the full parse + re-encode round trip
+                samples, rate = decode_adpcm_wav(wav)
+                re = encode_adpcm_wav(
+                    samples, rate, block_align=12, initial_index=0
+                )
+                ids.append(int(doc_id))
+                md5s.append(hashlib.md5(re.hex().encode()).hexdigest())
+                nsamp.append(int(samples.size))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "wav_md5": md5s,
+                    "n_samples": nsamp,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        roundtrip,
+        schema="doc_id long, wav_md5 string, n_samples int",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: PopRec top-5 recommendations on sf0.001."""
     return q_poprec_recs(spark, "/root/testdata/sf0.001")
@@ -4534,6 +4591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfrecord_roundtrip": q_tfrecord_roundtrip,
         "q_tfrecord_floats": q_tfrecord_floats,
         "q_global_shuffle": q_global_shuffle,
+        "q_adpcm_roundtrip": q_adpcm_roundtrip,
     }
 
 
@@ -8178,6 +8236,43 @@ def oracle_sql() -> dict[str, str]:
                    1000 AS fps_scale,
                    'MJPG' AS codec_list
             FROM embeddings
+        """,
+        "q_adpcm_roundtrip": """
+            WITH n AS (
+                SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx
+                FROM documents),
+            b AS (
+                SELECT doc_id,
+                       list_transform(range(0, 16), i ->
+                           (strpos('0123456789abcdef',
+                               substr(hx, CAST(2*i+1 AS INT), 1)) - 1) * 16
+                           + (strpos('0123456789abcdef',
+                               substr(hx, CAST(2*i+2 AS INT), 1)) - 1)
+                       ) AS bytes
+                FROM n),
+            p AS (
+                SELECT doc_id,
+                       list_transform(range(0, 8), j ->
+                           (1 + (bytes[CAST(2*j+1 AS INT)] % 4)
+                            + CASE WHEN (bytes[CAST(2*j+1 AS INT)] // 4)
+                                        % 2 = 1
+                                   THEN 8 ELSE 0 END)
+                           + 16 * (1 + (bytes[CAST(2*j+2 AS INT)] % 4)
+                            + CASE WHEN (bytes[CAST(2*j+2 AS INT)] // 4)
+                                        % 2 = 1
+                                   THEN 8 ELSE 0 END)
+                       ) AS pb
+                FROM b)
+            SELECT doc_id,
+                   md5('524946464000000057415645666d74201400000011000100401f00000f1600000c00040002001100666163740400000011000000646174610c00000000000000'
+                       || list_reduce(list_transform(pb, v ->
+                              substr('0123456789abcdef',
+                                     CAST(v // 16 + 1 AS INT), 1)
+                              || substr('0123456789abcdef',
+                                     CAST(v % 16 + 1 AS INT), 1)),
+                          (a, x) -> a || x)) AS wav_md5,
+                   17 AS n_samples
+            FROM p
         """,
         "q_global_shuffle": """
             WITH h AS (

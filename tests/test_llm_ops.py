@@ -4316,3 +4316,61 @@ def test_global_shuffler(spark):
         .collect()
     }
     assert rows1 != rows3
+
+
+def test_adpcm_codec_properties():
+    """IMA-ADPCM codec: sine SNR, lossless block-seed samples, fact
+    trimming, clamp-free encode/decode inverse property, and error
+    paths."""
+    import numpy as np
+    import pytest
+
+    from replay_spark.adpcm import (
+        adpcm_audio_decoder,
+        decode_adpcm,
+        decode_adpcm_wav,
+        encode_adpcm,
+        encode_adpcm_wav,
+    )
+
+    t = np.arange(3000)
+    sine = (12000 * np.sin(2 * np.pi * t / 64)).astype(np.int16)
+    wav = encode_adpcm_wav(sine, sample_rate=16000)
+    back, rate = decode_adpcm_wav(wav)
+    assert rate == 16000 and back.size == sine.size
+    err = back.astype(float) - sine.astype(float)
+    snr = 10 * np.log10(np.mean(sine.astype(float) ** 2) / np.mean(err**2))
+    assert snr > 25
+    spb = (256 - 4) * 2 + 1
+    assert back[0] == sine[0] and back[spb] == sine[spb]
+
+    odd = sine[: spb + 5]
+    assert decode_adpcm_wav(encode_adpcm_wav(odd))[0].size == odd.size
+
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        bs = rng.integers(0, 256, int(rng.integers(1, 64)))
+        nib = [int((8 if b & 4 else 0) | (1 + (b & 3))) for b in bs]
+        samples, _, _ = decode_adpcm(nib, 0, 0)
+        renib, _, _ = encode_adpcm(samples, 0, 0)
+        assert renib == nib
+
+    # saturated input clamps instead of wrapping
+    extreme = np.array([32767, -32768] * 200, dtype=np.int16)
+    dec, _ = decode_adpcm_wav(encode_adpcm_wav(extreme))
+    assert dec.max() <= 32767 and dec.min() >= -32768
+
+    meta = adpcm_audio_decoder(wav)
+    assert meta["width"] == 16000 and len(meta["features"]) == 16
+
+    with pytest.raises(ValueError):
+        decode_adpcm_wav(b"RIFFxxxxAVI ")
+    with pytest.raises(ValueError):
+        encode_adpcm_wav(np.array([], dtype=np.int16))
+    with pytest.raises(ValueError):
+        encode_adpcm_wav(sine, block_align=10)  # not a multiple of 4
+    # PCM WAVs are routed elsewhere: tag mismatch raises
+    from replay_spark.multimodal import encode_wav
+
+    with pytest.raises(ValueError, match="format tag"):
+        decode_adpcm_wav(encode_wav(sine[:100]))
