@@ -4332,6 +4332,40 @@ def q_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping correctness end to end: lineitem is Z-order
+    laid out on (l_quantity, l_discount) into 16 parquet files, a
+    footer-only manifest is collected (pyarrow metadata reads — no
+    data I/O), files are pruned for a selective box predicate, and
+    the pruned scan's aggregate must equal DuckDB's full-scan answer
+    — conservative pruning loses nothing. The pruned file count is
+    asserted separately in tests (it is layout-dependent, not
+    SQL-reproducible)."""
+    import os
+    import tempfile
+
+    from replay_spark.utils.layout import (
+        ZOrderLayout,
+        read_pruned,
+    )
+
+    li = rsd.read_table(spark, sf_dir, "lineitem")
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"rs_zli_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    z = ZOrderLayout(["l_quantity", "l_discount"])
+    laid = z.layout(li, num_partitions=16).drop(z.output_column)
+    laid.write.mode("overwrite").parquet(out_dir)
+    bounds = {"l_quantity": (10.0, 15.0), "l_discount": (0.02, 0.04)}
+    pruned, _kept, _total = read_pruned(spark, out_dir, bounds)
+    return pruned.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: PopRec top-5 recommendations on sf0.001."""
     return q_poprec_recs(spark, "/root/testdata/sf0.001")
@@ -4592,6 +4626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfrecord_floats": q_tfrecord_floats,
         "q_global_shuffle": q_global_shuffle,
         "q_adpcm_roundtrip": q_adpcm_roundtrip,
+        "q_zorder_pruning": q_zorder_pruning,
     }
 
 
@@ -8236,6 +8271,16 @@ def oracle_sql() -> dict[str, str]:
                    1000 AS fps_scale,
                    'MJPG' AS codec_list
             FROM embeddings
+        """,
+        "q_zorder_pruning": """
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+                   CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+            FROM lineitem
+            WHERE l_quantity BETWEEN 10 AND 15
+              AND l_discount BETWEEN 0.02 AND 0.04
+            GROUP BY l_returnflag
         """,
         "q_adpcm_roundtrip": """
             WITH n AS (

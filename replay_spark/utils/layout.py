@@ -34,7 +34,13 @@ from typing import Dict, List, Optional, Sequence, Tuple
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ZOrderLayout", "compact_parquet"]
+__all__ = [
+    "ZOrderLayout",
+    "compact_parquet",
+    "collect_file_stats",
+    "prune_files",
+    "read_pruned",
+]
 
 
 def compact_parquet(
@@ -163,3 +169,163 @@ class ZOrderLayout:
                 num_partitions, self.output_column
             )
         return keyed.repartitionByRange(self.output_column)
+
+
+# -- data-skipping manifests ----------------------------------------------
+
+_STATS_SCHEMA = (
+    "file string, n_rows long, n_row_groups int, column string, "
+    "null_count long, min_long long, max_long long, "
+    "min_double double, max_double double, "
+    "min_str string, max_str string"
+)
+
+
+def collect_file_stats(spark, path: str, columns=None) -> "DataFrame":
+    """Per-file column statistics from parquet FOOTERS only — the
+    data-skipping manifest a lakehouse table format (Delta/Iceberg/
+    Hudi) maintains, built directly from what the parquet writer
+    already recorded. Reads O(files) footers, not O(data): the file
+    list is parallelized and each executor opens only metadata via
+    pyarrow, so a 100 TB table costs one tiny task per file.
+
+    Returns one row per (file, column): row count, null count, and
+    min/max in the matching typed column (``min_long``/
+    ``min_double``/``min_str``); pair it with :func:`prune_files` /
+    :func:`read_pruned`. ``columns=None`` keeps every leaf column
+    with statistics.
+    """
+    import os
+
+    files = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    if not files:
+        raise ValueError(f"no parquet files under {path!r}")
+    file_df = spark.createDataFrame([(f,) for f in files], "file string")
+    wanted = set(columns) if columns else None
+
+    def footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for fname in pdf["file"]:
+                meta = pq.ParquetFile(fname).metadata
+                schema = meta.schema
+                agg: dict = {}
+                for rg in range(meta.num_row_groups):
+                    group = meta.row_group(rg)
+                    for ci in range(group.num_columns):
+                        col = group.column(ci)
+                        name = schema.column(ci).name
+                        if wanted is not None and name not in wanted:
+                            continue
+                        stats = col.statistics
+                        if stats is None or not stats.has_min_max:
+                            continue
+                        cur = agg.setdefault(
+                            name, {"null": 0, "min": None, "max": None}
+                        )
+                        cur["null"] += int(stats.null_count or 0)
+                        mn, mx = stats.min, stats.max
+                        if isinstance(mn, bytes):
+                            mn = mn.decode("utf-8", "replace")
+                            mx = mx.decode("utf-8", "replace")
+                        cur["min"] = (
+                            mn if cur["min"] is None else min(cur["min"], mn)
+                        )
+                        cur["max"] = (
+                            mx if cur["max"] is None else max(cur["max"], mx)
+                        )
+                for name, cur in sorted(agg.items()):
+                    mn, mx = cur["min"], cur["max"]
+                    is_bool = isinstance(mn, bool)
+                    is_int = isinstance(mn, int) and not is_bool
+                    is_float = isinstance(mn, float)
+                    rows.append(
+                        {
+                            "file": fname,
+                            "n_rows": int(meta.num_rows),
+                            "n_row_groups": int(meta.num_row_groups),
+                            "column": name,
+                            "null_count": cur["null"],
+                            "min_long": int(mn) if is_int else None,
+                            "max_long": int(mx) if is_int else None,
+                            "min_double": float(mn) if is_float else None,
+                            "max_double": float(mx) if is_float else None,
+                            "min_str": mn if isinstance(mn, str) else None,
+                            "max_str": mx if isinstance(mx, str) else None,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file", "n_rows", "n_row_groups", "column",
+                    "null_count", "min_long", "max_long", "min_double",
+                    "max_double", "min_str", "max_str",
+                ],
+            )
+
+    return file_df.mapInPandas(footers, schema=_STATS_SCHEMA)
+
+
+def prune_files(manifest: "DataFrame", bounds: dict) -> "DataFrame":
+    """Files that can contain rows matching EVERY ``col: (lo, hi)``
+    interval (closed; ``None`` end = unbounded): a file survives iff
+    each bounded column's [min, max] overlaps its interval — the
+    standard conservative skip test (false positives possible, false
+    negatives impossible). Returns the manifest's distinct surviving
+    ``file`` rows."""
+    if not bounds:
+        return manifest.select("file").distinct()
+    survivors = None
+    for col, (lo, hi) in bounds.items():
+        m = manifest.filter(F.col("column") == col)
+        typed_min = F.coalesce("min_long", "min_double")
+        typed_max = F.coalesce("max_long", "max_double")
+        if isinstance(lo, str) or isinstance(hi, str):
+            typed_min, typed_max = F.col("min_str"), F.col("max_str")
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (typed_max >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (typed_min <= F.lit(hi))
+        keep = m.filter(cond).select("file")
+        survivors = keep if survivors is None else survivors.join(
+            keep, "file", "inner"
+        )
+    return survivors.distinct()
+
+
+def read_pruned(spark, path: str, bounds: dict, manifest=None):
+    """Scan only the files :func:`prune_files` keeps, then re-apply
+    the predicate as a residual filter (pruning is conservative, so
+    the result is EXACTLY the full-scan answer). Returns
+    ``(df, n_files_kept, n_files_total)``. The kept-file list is
+    collected on the driver — O(files), the same scale every query
+    planner's file index already handles."""
+    if manifest is None:
+        manifest = collect_file_stats(spark, path, list(bounds))
+    manifest = manifest.persist()
+    try:
+        total = manifest.select("file").distinct().count()
+        kept = [r.file for r in prune_files(manifest, bounds).collect()]
+    finally:
+        manifest.unpersist()
+    if not kept:
+        df = spark.read.parquet(path).limit(0)
+        n_kept = 0
+    else:
+        df = spark.read.parquet(*kept)
+        n_kept = len(kept)
+    pred = F.lit(True)
+    for col, (lo, hi) in bounds.items():
+        if lo is not None:
+            pred = pred & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            pred = pred & (F.col(col) <= F.lit(hi))
+    return df.filter(pred), n_kept, total

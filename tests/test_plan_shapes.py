@@ -329,3 +329,55 @@ def test_negative_sampler_broadcasts_item_universe(sf):
     plan = _plan(NegativeSampler(k=2, oversample=2).transform(inter))
     assert "BroadcastExchange" in plan
     assert "LeftAnti" in plan
+
+
+def test_file_stats_manifest_and_pruning(spark, tmp_path):
+    """Data-skipping manifest: footer-only stats are exact per file,
+    pruning actually skips files after a Z-order layout, a pruned
+    scan equals the full scan, and an empty survivor set returns
+    zero rows without scanning."""
+    from replay_spark.utils.layout import (
+        ZOrderLayout,
+        collect_file_stats,
+        prune_files,
+        read_pruned,
+    )
+
+    df = spark.range(0, 4000).selectExpr(
+        "id",
+        "CAST(id % 100 AS DOUBLE) AS x",
+        "CAST((id * 37) % 100 AS DOUBLE) AS y",
+        "CAST(id % 5 AS STRING) AS tag",
+    )
+    out = str(tmp_path / "zdata")
+    z = ZOrderLayout(["x", "y"])
+    z.layout(df, num_partitions=8).drop(z.output_column).write.parquet(out)
+
+    man = collect_file_stats(spark, out, ["x", "y", "id"])
+    stats = man.collect()
+    files = {r.file for r in stats}
+    assert len(files) == 8
+    # manifest row counts sum to the table row count per column
+    per_col = {}
+    for r in stats:
+        per_col[r.column] = per_col.get(r.column, 0) + r.n_rows
+    assert per_col["x"] == 4000
+    # min/max land in the typed double slots for double columns
+    xs = [r for r in stats if r.column == "x"]
+    assert all(r.min_double is not None and r.min_long is None for r in xs)
+    assert min(r.min_double for r in xs) == 0.0
+    assert max(r.max_double for r in xs) == 99.0
+
+    bounds = {"x": (10.0, 20.0), "y": (10.0, 20.0)}
+    kept = prune_files(man, bounds).collect()
+    assert 0 < len(kept) < 8  # the layout makes skipping real
+
+    pruned, n_kept, n_total = read_pruned(spark, out, bounds, manifest=man)
+    assert n_total == 8 and n_kept == len(kept)
+    want = df.filter(
+        "x between 10 and 20 and y between 10 and 20"
+    ).count()
+    assert pruned.count() == want
+
+    empty, n_kept2, _ = read_pruned(spark, out, {"x": (1e6, 2e6)})
+    assert n_kept2 == 0 and empty.count() == 0
