@@ -4366,6 +4366,32 @@ def q_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting (degree-oriented wedge join —
+    the O(sqrt(E))-bounded MR-standard algorithm, never the naive
+    3-way self-join) over a deterministic graph derived from
+    doc_ids: within-triple rings guarantee real triangles, a
+    multiplicative rule adds cross edges. DuckDB recomputes every
+    per-node count from the same integer edge formulas with the
+    canonical x<y<z triple join."""
+    from replay_spark.graph import TriangleCounter
+
+    docs = rsd.read_table(spark, sf_dir, "documents").select("doc_id")
+    ring = docs.select(
+        F.col("doc_id").alias("src"),
+        (
+            3 * F.floor(F.col("doc_id") / 3)
+            + (F.col("doc_id") + 1) % 3
+        ).alias("dst"),
+    )
+    cross = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 997).alias("dst"),
+    )
+    edges = ring.unionAll(cross)
+    return TriangleCounter().transform(edges)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: PopRec top-5 recommendations on sf0.001."""
     return q_poprec_recs(spark, "/root/testdata/sf0.001")
@@ -4627,6 +4653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_global_shuffle": q_global_shuffle,
         "q_adpcm_roundtrip": q_adpcm_roundtrip,
         "q_zorder_pruning": q_zorder_pruning,
+        "q_triangle_count": q_triangle_count,
     }
 
 
@@ -8271,6 +8298,34 @@ def oracle_sql() -> dict[str, str]:
                    1000 AS fps_scale,
                    'MJPG' AS codec_list
             FROM embeddings
+        """,
+        "q_triangle_count": """
+            WITH raw AS (
+                SELECT doc_id AS s,
+                       3 * (doc_id // 3) + (doc_id + 1) % 3 AS d
+                FROM documents
+                UNION ALL
+                SELECT doc_id, (doc_id * 7 + 3) % 997 FROM documents),
+            e AS (
+                SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                FROM raw WHERE s <> d),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+            pern AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS n
+                FROM (
+                    SELECT x AS node FROM tri
+                    UNION ALL SELECT y FROM tri
+                    UNION ALL SELECT z FROM tri)
+                GROUP BY node),
+            nodes AS (
+                SELECT DISTINCT a AS node FROM e
+                UNION SELECT b FROM e)
+            SELECT nodes.node, coalesce(pern.n, 0) AS n_triangles
+            FROM nodes LEFT JOIN pern ON nodes.node = pern.node
         """,
         "q_zorder_pruning": """
             SELECT l_returnflag,

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from replay_spark.preprocessing.dedup import NearDupClusters
 from replay_spark.web import LinkGraphRank  # noqa: F401  (re-export)
 
-__all__ = ["ConnectedComponents", "LinkGraphRank"]
+__all__ = ["ConnectedComponents", "LinkGraphRank", "TriangleCounter"]
 
 
 class ConnectedComponents:
@@ -52,3 +52,133 @@ class ConnectedComponents:
         definition — union them in as self-loops if they must appear
         in the output."""
         return self._engine.components(edges, id_a=src, id_b=dst)
+
+
+class TriangleCounter:
+    """Per-node and global triangle counts on an undirected edge
+    list — the clustering-coefficient / spam-farm / community
+    signal, computed the scale-correct way.
+
+    The naive three-way self-join enumerates every triangle six
+    times and explodes on high-degree hubs. The standard fix
+    (Suri & Vassilvitskii's MR algorithm, also what GraphX does):
+    orient every edge from the lower-(degree, id) endpoint to the
+    higher one. The oriented graph is acyclic, each triangle has
+    exactly ONE wedge at its smallest vertex, and a vertex's
+    oriented out-degree is bounded by O(sqrt(edges)) — so the wedge
+    join (oriented ⋈ oriented on the wedge pivot, then a semi-join
+    against the edge set) touches each triangle once and hub keys
+    never blow up. Three shuffles total: degree agg, wedge join,
+    closure join.
+    """
+
+    def __init__(
+        self,
+        src_column: str = "src",
+        dst_column: str = "dst",
+    ):
+        self.src_column = src_column
+        self.dst_column = dst_column
+
+    def _canonical(self, edges: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        s, d = self.src_column, self.dst_column
+        return (
+            edges.select(
+                F.least(s, d).alias("a"), F.greatest(s, d).alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def triangles(self, edges: DataFrame) -> DataFrame:
+        """One row per triangle: (x, y, z) with x < y < z."""
+        from pyspark.sql import functions as F
+
+        und = self._canonical(edges)
+        deg = (
+            und.select(F.col("a").alias("node"))
+            .unionAll(und.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        # orient each edge toward the higher (degree, id) endpoint
+        e = (
+            und.join(deg.withColumnRenamed("node", "a"), "a")
+            .withColumnRenamed("deg", "deg_a")
+            .join(
+                deg.withColumnRenamed("node", "b").withColumnRenamed(
+                    "deg", "deg_b"
+                ),
+                "b",
+            )
+        )
+        oriented = e.select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | (
+                    (F.col("deg_a") == F.col("deg_b"))
+                    & (F.col("a") < F.col("b"))
+                ),
+                F.struct(F.col("a").alias("lo"), F.col("b").alias("hi")),
+            )
+            .otherwise(
+                F.struct(F.col("b").alias("lo"), F.col("a").alias("hi"))
+            )
+            .alias("o")
+        ).select("o.lo", "o.hi")
+        # wedges at the pivot (low endpoint of both oriented edges)
+        w1 = oriented.select(
+            F.col("lo").alias("pivot"), F.col("hi").alias("u")
+        )
+        w2 = oriented.select(
+            F.col("lo").alias("pivot"), F.col("hi").alias("v")
+        )
+        wedges = w1.join(w2, "pivot").filter(F.col("u") < F.col("v"))
+        closed = wedges.join(
+            und,
+            (F.col("u") == F.col("a")) & (F.col("v") == F.col("b")),
+            "left_semi",
+        )
+        return closed.select(
+            F.least("pivot", "u").alias("x"),
+            F.when(
+                (F.col("pivot") > F.col("u")) & (F.col("pivot") < F.col("v")),
+                F.col("pivot"),
+            )
+            .when(
+                (F.col("u") > F.col("pivot")) & (F.col("u") < F.col("v")),
+                F.col("u"),
+            )
+            .otherwise(F.col("v"))
+            .alias("y"),
+            F.greatest("pivot", "v").alias("z"),
+        )
+
+    def transform(self, edges: DataFrame) -> DataFrame:
+        """(node, n_triangles) for every node that appears in an
+        edge; nodes in no triangle report 0."""
+        from pyspark.sql import functions as F
+
+        und = self._canonical(edges)
+        tri = self.triangles(edges)
+        per_node = (
+            tri.select(F.col("x").alias("node"))
+            .unionAll(tri.select(F.col("y").alias("node")))
+            .unionAll(tri.select(F.col("z").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("n_triangles"))
+        )
+        nodes = (
+            und.select(F.col("a").alias("node"))
+            .unionAll(und.select(F.col("b").alias("node")))
+            .distinct()
+        )
+        return (
+            nodes.join(per_node, "node", "left")
+            .select(
+                "node",
+                F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            )
+        )

@@ -381,3 +381,25 @@ def test_file_stats_manifest_and_pruning(spark, tmp_path):
 
     empty, n_kept2, _ = read_pruned(spark, out, {"x": (1e6, 2e6)})
     assert n_kept2 == 0 and empty.count() == 0
+
+
+def test_triangle_counter(spark):
+    """Triangle semantics on known graphs: K4 has C(4,3)=4
+    triangles (3 per node), squares and pendants have none,
+    duplicate/reversed/self edges are canonicalized away, and the
+    triangles() enumeration lists each triangle exactly once as
+    x<y<z."""
+    from replay_spark.graph import TriangleCounter
+
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+        (4, 5),                                           # pendant
+        (6, 7), (7, 8), (8, 9), (9, 6),                   # square
+        (2, 1), (3, 3),                                   # dup + self
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    tc = TriangleCounter()
+    tris = sorted(tuple(r) for r in tc.triangles(df).collect())
+    assert tris == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]
+    per = {r.node: r.n_triangles for r in tc.transform(df).collect()}
+    assert per == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 6: 0, 7: 0, 8: 0, 9: 0}
