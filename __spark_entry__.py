@@ -4392,6 +4392,34 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TriangleCounter().transform(edges)
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff gate: the 'new' corpus is derived from
+    documents deterministically (doc_id%7==0 dropped, doc_id%5==0
+    rewritten, fresh ids appended for doc_id%11==0), and CorpusDiff
+    must label every key added/removed/changed/unchanged — DuckDB
+    replays the statuses from the same integer rules. Only (key,
+    hash) pairs ever shuffle."""
+    from replay_spark.preprocessing.dedup import CorpusDiff
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    kept = docs.filter(F.col("doc_id") % 7 != 0)
+    modified = kept.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("v2: "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    added = docs.filter(F.col("doc_id") % 11 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    new = modified.unionByName(added)
+    out = CorpusDiff(content_columns=("text", "source")).transform(
+        docs, new
+    )
+    return out
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: PopRec top-5 recommendations on sf0.001."""
     return q_poprec_recs(spark, "/root/testdata/sf0.001")
@@ -4654,6 +4682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_adpcm_roundtrip": q_adpcm_roundtrip,
         "q_zorder_pruning": q_zorder_pruning,
         "q_triangle_count": q_triangle_count,
+        "q_corpus_diff": q_corpus_diff,
     }
 
 
@@ -8298,6 +8327,16 @@ def oracle_sql() -> dict[str, str]:
                    1000 AS fps_scale,
                    'MJPG' AS codec_list
             FROM embeddings
+        """,
+        "q_corpus_diff": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN 'removed'
+                        WHEN doc_id % 5 = 0 THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, 'added'
+            FROM documents WHERE doc_id % 11 = 0
         """,
         "q_triangle_count": """
             WITH raw AS (

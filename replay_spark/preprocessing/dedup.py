@@ -1568,3 +1568,67 @@ class IncrementalDeduplicator:
             F.col("_h").alias("content_hash")
         ).write.mode("append").parquet(self.store_path)
         return survivors.drop("_h")
+
+
+class CorpusDiff:
+    """Snapshot diff between two corpus versions — the primitive an
+    incremental pipeline runs before reprocessing anything: which
+    documents were added, removed, changed, or unchanged since the
+    last run. Changed-ness is content-hash equality over
+    ``content_columns`` (null-safe, column-order fixed).
+
+    At scale: both sides are projected to (key, xxhash64(content))
+    BEFORE the full-outer join, so only narrow 16-byte rows shuffle
+    — never document bodies; at 100 TB the diff costs one keyed
+    join of two slim hash tables. Recover full rows for a status
+    class with a semi-join against the returned keys. No reference
+    counterpart (LLM-pipeline extension).
+    """
+
+    def __init__(
+        self,
+        key_column: str = "doc_id",
+        content_columns: tuple = ("text",),
+        hash_family: str = "xxhash64",
+        status_column: str = "status",
+    ):
+        if not content_columns:
+            raise ValueError("content_columns must be non-empty")
+        if hash_family not in ("xxhash64", "md5"):
+            raise ValueError(f"unknown hash_family: {hash_family!r}")
+        self.key_column = key_column
+        self.content_columns = tuple(content_columns)
+        self.hash_family = hash_family
+        self.status_column = status_column
+
+    def _hashed(self, df: DataFrame, name: str) -> DataFrame:
+        cols = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in self.content_columns
+        ]
+        payload = F.concat_ws("\x1f", *cols)
+        h = (
+            F.xxhash64(payload)
+            if self.hash_family == "xxhash64"
+            else F.md5(payload)
+        )
+        return df.select(
+            F.col(self.key_column).alias("_key"), h.alias(name)
+        )
+
+    def transform(self, old_df: DataFrame, new_df: DataFrame) -> DataFrame:
+        """(key, status) for every key in either snapshot; status in
+        {'added', 'removed', 'changed', 'unchanged'}."""
+        old = self._hashed(old_df, "_old_h")
+        new = self._hashed(new_df, "_new_h")
+        joined = old.join(new, "_key", "full_outer")
+        status = (
+            F.when(F.col("_old_h").isNull(), F.lit("added"))
+            .when(F.col("_new_h").isNull(), F.lit("removed"))
+            .when(F.col("_old_h") == F.col("_new_h"), F.lit("unchanged"))
+            .otherwise(F.lit("changed"))
+        )
+        return joined.select(
+            F.col("_key").alias(self.key_column),
+            status.alias(self.status_column),
+        )

@@ -4374,3 +4374,36 @@ def test_adpcm_codec_properties():
 
     with pytest.raises(ValueError, match="format tag"):
         decode_adpcm_wav(encode_wav(sine[:100]))
+
+
+def test_corpus_diff(spark):
+    """Diff semantics incl. null content and multi-column hashing:
+    null vs empty-string content differ, any content column change
+    flips to 'changed', and the plan shuffles only (key, hash)."""
+    from replay_spark.preprocessing.dedup import CorpusDiff
+
+    old = spark.createDataFrame(
+        [(1, "a", "s1"), (2, "b", "s1"), (3, None, "s2"), (4, "d", "s2")],
+        "doc_id long, text string, source string",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", "s1"), (3, "", "s2"), (4, "d", "s9"), (5, "e", "s1")],
+        "doc_id long, text string, source string",
+    )
+    out = CorpusDiff(content_columns=("text", "source")).transform(old, new)
+    got = {r.doc_id: r.status for r in out.collect()}
+    assert got == {
+        1: "removed",
+        2: "unchanged",
+        3: "changed",  # null -> "" must NOT hash equal
+        4: "changed",  # source-only change counts
+        5: "added",
+    }
+    # md5 family gives engine-portable hashes for oracle twins
+    got2 = {
+        r.doc_id: r.status
+        for r in CorpusDiff(
+            content_columns=("text",), hash_family="md5"
+        ).transform(old, new).collect()
+    }
+    assert got2[4] == "unchanged"  # text alone did not change
