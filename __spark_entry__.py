@@ -4420,6 +4420,42 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece greedy longest-match gate, by construction: each
+    document's word is synthesized from a fixed unambiguous
+    vocabulary (root piece + doc_id-chosen continuations, plus an
+    out-of-vocabulary word every 5th id), so the tokenizer must
+    recover exactly the construction — roots, ## continuations, and
+    [UNK] collapse — which DuckDB replays from the same integer
+    rules."""
+    from replay_spark.preprocessing.bpe import WordPieceTokenizer
+
+    docs = rsd.read_table(spark, sf_dir, "documents").select("doc_id")
+    roots = ["abc", "defg", "hi"]
+    conts = ["xyz", "uvw"]
+    word = F.concat(
+        F.element_at(
+            F.array(*[F.lit(r) for r in roots]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ),
+        F.element_at(
+            F.array(*[F.lit(c) for c in conts]),
+            (F.col("doc_id") % 2 + 1).cast("int"),
+        ),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" q9q")).otherwise(
+            F.lit("")
+        ),
+    )
+    synth = docs.withColumn("text", word)
+    vocab = roots + ["##" + c for c in conts]
+    out = WordPieceTokenizer(vocab).transform(synth)
+    return out.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.concat_ws("|", "tokens").alias("token_str"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: PopRec top-5 recommendations on sf0.001."""
     return q_poprec_recs(spark, "/root/testdata/sf0.001")
@@ -4683,6 +4719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder_pruning": q_zorder_pruning,
         "q_triangle_count": q_triangle_count,
         "q_corpus_diff": q_corpus_diff,
+        "q_wordpiece_tokens": q_wordpiece_tokens,
     }
 
 
@@ -8327,6 +8364,20 @@ def oracle_sql() -> dict[str, str]:
                    1000 AS fps_scale,
                    'MJPG' AS codec_list
             FROM embeddings
+        """,
+        "q_wordpiece_tokens": """
+            SELECT doc_id,
+                   CAST(2 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+                        AS INT) AS n_tokens,
+                   (CASE doc_id % 3 WHEN 0 THEN 'abc'
+                                    WHEN 1 THEN 'defg'
+                                    ELSE 'hi' END)
+                   || '|##'
+                   || (CASE doc_id % 2 WHEN 0 THEN 'xyz'
+                                       ELSE 'uvw' END)
+                   || (CASE WHEN doc_id % 5 = 0
+                            THEN '|[UNK]' ELSE '' END) AS token_str
+            FROM documents
         """,
         "q_corpus_diff": """
             SELECT doc_id,

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 from replay_spark.preprocessing.text import tokenize_expr
 
-__all__ = ["BPETokenizer"]
+__all__ = ["BPETokenizer", "WordPieceTokenizer"]
 
 _EOW = "</w>"
 
@@ -335,3 +335,114 @@ class BPETokenizer:
         return numbered.withColumn(
             "token_id", F.col("token_id") - 1
         ).select("token", "token_id")
+
+
+class WordPieceTokenizer:
+    """Vocabulary-driven WordPiece tokenization (the BERT family's
+    scheme): per word, greedy LONGEST-match against the vocabulary,
+    with non-initial pieces carrying the ``##`` continuation prefix
+    and any un-coverable word collapsing to ``unk_token``.
+
+    This is the inference half — training a WordPiece vocabulary is
+    BPE with a likelihood merge score, so pair
+    :class:`BPETokenizer` (or any published vocab file) with this
+    class for the full loop. The vocabulary broadcasts to executors
+    as a frozen set (a 30k-entry BERT vocab is ~1 MB); matching runs
+    inside Arrow-batched ``mapInPandas``, so tokenization is
+    embarrassingly parallel and payloads never reach the driver. No
+    reference counterpart (LLM-pipeline extension).
+    """
+
+    def __init__(
+        self,
+        vocab,
+        text_column: str = "text",
+        output_column: str = "tokens",
+        unk_token: str = "[UNK]",
+        continuation_prefix: str = "##",
+        max_input_chars_per_word: int = 100,
+        lowercase: bool = True,
+    ):
+        vocab = list(vocab)
+        if not vocab:
+            raise ValueError("vocab must be non-empty")
+        self.vocab = vocab
+        self.text_column = text_column
+        self.output_column = output_column
+        self.unk_token = unk_token
+        self.continuation_prefix = continuation_prefix
+        self.max_input_chars_per_word = max_input_chars_per_word
+        self.lowercase = lowercase
+
+    @staticmethod
+    def tokenize_word(
+        word: str,
+        vocab: frozenset,
+        unk_token: str = "[UNK]",
+        continuation_prefix: str = "##",
+        max_chars: int = 100,
+    ) -> list:
+        """Greedy longest-match WordPiece for ONE word — the exact
+        BERT reference algorithm."""
+        if len(word) > max_chars:
+            return [unk_token]
+        pieces = []
+        start = 0
+        n = len(word)
+        while start < n:
+            end = n
+            piece = None
+            while end > start:
+                sub = word[start:end]
+                if start > 0:
+                    sub = continuation_prefix + sub
+                if sub in vocab:
+                    piece = sub
+                    break
+                end -= 1
+            if piece is None:
+                return [unk_token]
+            pieces.append(piece)
+            start = end
+        return pieces
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """Add ``output_column``: the WordPiece tokens of every
+        whitespace-split word, concatenated in document order."""
+        spark = df.sparkSession
+        bc = spark.sparkContext.broadcast(frozenset(self.vocab))
+        text_col = self.text_column
+        out_col = self.output_column
+        unk = self.unk_token
+        cont = self.continuation_prefix
+        max_chars = self.max_input_chars_per_word
+        lower = self.lowercase
+        tokenize_word = WordPieceTokenizer.tokenize_word
+        out_schema = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in df.schema.fields
+        ) + f", `{out_col}` array<string>"
+
+        def process(batches: Iterator) -> Iterator:
+            vocab = bc.value
+            for pdf in batches:
+                toks = []
+                for text in pdf[text_col]:
+                    if text is None:
+                        toks.append([])
+                        continue
+                    if lower:
+                        text = text.lower()
+                    doc = []
+                    for word in text.split():
+                        doc.extend(
+                            tokenize_word(
+                                word, vocab, unk, cont, max_chars
+                            )
+                        )
+                    toks.append(doc)
+                pdf = pdf.copy()
+                pdf[out_col] = toks
+                yield pdf
+
+        return df.mapInPandas(process, schema=out_schema)

@@ -4407,3 +4407,33 @@ def test_corpus_diff(spark):
         ).transform(old, new).collect()
     }
     assert got2[4] == "unchanged"  # text alone did not change
+
+
+def test_wordpiece_tokenizer(spark):
+    """BERT reference algorithm edges: greedy prefers the LONGEST
+    piece, continuations carry ##, uncoverable words collapse to
+    [UNK] atomically, over-long words short-circuit, and the Spark
+    path matches the per-word reference on every row."""
+    from replay_spark.preprocessing.bpe import WordPieceTokenizer
+
+    vocab = ["un", "##able", "##a", "##ble", "able", "run", "##ning",
+             "runn", "##ing", "r"]
+    W = WordPieceTokenizer.tokenize_word
+    fs = frozenset(vocab)
+    assert W("unable", fs) == ["un", "##able"]      # longest, not ##a+##ble
+    assert W("running", fs) == ["runn", "##ing"]    # longest root wins
+    assert W("able", fs) == ["able"]
+    assert W("zzz", fs) == ["[UNK]"]
+    assert W("runx", fs) == ["[UNK]"]               # partial cover -> UNK
+
+    df = spark.createDataFrame(
+        [(1, "Unable RUNNING zzz"), (2, None), (3, "able able")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: list(r.tokens)
+        for r in WordPieceTokenizer(vocab).transform(df).collect()
+    }
+    assert rows[1] == ["un", "##able", "runn", "##ing", "[UNK]"]
+    assert rows[2] == []
+    assert rows[3] == ["able", "able"]
