@@ -4492,7 +4492,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_rolling_features, q_chat_template), which displaced three
     twice-proven simple r5 gates to (c); (c) everything else —
     officially green in a prior round — still run in
-    tools/check_oracle and bench.
+    tools/check_oracle and bench. The tail of (c) holds the ten
+    late-round-8 session-2 hash debuts (q_avi_meta, q_avi_frames,
+    q_tfrecord_roundtrip, q_tfrecord_floats, q_global_shuffle,
+    q_adpcm_roundtrip, q_zorder_pruning, q_triangle_count,
+    q_corpus_diff, q_wordpiece_tokens) — the r9 rotation
+    candidates, all hash-verified at sf0.01 AND sf0.1 but not in
+    this round's scored window.
     Rows-only contracts inside the r8 window: exactly 9 (q_kmeans_fit,
     q_pca_fit, q_quality_classifier, q_textrank, q_bin_pack,
     q_pagerank, q_compression_ratio, q_spectrogram,

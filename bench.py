@@ -38,7 +38,6 @@ BENCH_QUERIES = [
     "q_minhash_candidates",
     "q_simhash_fingerprints",
     "q_ngram_jaccard_pairs",
-    "q_sessionize",
     "q_sessionize_composite",
     "q_label_encode",
     "q_metric_per_user",
@@ -69,7 +68,6 @@ BENCH_QUERIES = [
     "q_semantic_dedup",
     "q_substring_dedup",
     "q_hnsw_ann",
-    "q_webm_meta",
     "q_jpeg12_decode",
     "q_warc_html_extract",
     "q_kn_bigram_scores",
@@ -82,6 +80,14 @@ BENCH_QUERIES = [
     "q_zorder_keys",
     "q_timeseries_resample",
     "q_connected_components",
+    # round-8 session-2 operators: container video decode through the
+    # real JPEG path, TFRecord shard roundtrip, the ADPCM codec, and
+    # wedge-join triangle counting (q_sessionize / q_webm_meta left
+    # the headline to make room — still correctness-gated + swept)
+    "q_avi_frames",
+    "q_tfrecord_roundtrip",
+    "q_adpcm_roundtrip",
+    "q_triangle_count",
 ]
 
 

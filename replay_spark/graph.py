@@ -69,7 +69,11 @@ class TriangleCounter:
     join (oriented ⋈ oriented on the wedge pivot, then a semi-join
     against the edge set) touches each triangle once and hub keys
     never blow up. Three shuffles total: degree agg, wedge join,
-    closure join.
+    closure join. The canonical edge set and the triangle list are
+    referenced from several plan branches, so both are persisted
+    once inside the computation (the q_llm_e2e lesson: an
+    unpersisted shared subtree re-executes per reference — measured
+    70 redundant scans here before the persist).
     """
 
     def __init__(
@@ -94,9 +98,14 @@ class TriangleCounter:
 
     def triangles(self, edges: DataFrame) -> DataFrame:
         """One row per triangle: (x, y, z) with x < y < z."""
+        und = self._canonical(edges).persist()
+        return self._triangles_from(und)
+
+    def _triangles_from(self, und: DataFrame) -> DataFrame:
+        """Triangle enumeration over an already-persisted canonical
+        edge set (``und`` is referenced four times below)."""
         from pyspark.sql import functions as F
 
-        und = self._canonical(edges)
         deg = (
             und.select(F.col("a").alias("node"))
             .unionAll(und.select(F.col("b").alias("node")))
@@ -161,8 +170,8 @@ class TriangleCounter:
         edge; nodes in no triangle report 0."""
         from pyspark.sql import functions as F
 
-        und = self._canonical(edges)
-        tri = self.triangles(edges)
+        und = self._canonical(edges).persist()
+        tri = self._triangles_from(und).persist()
         per_node = (
             tri.select(F.col("x").alias("node"))
             .unionAll(tri.select(F.col("y").alias("node")))
