@@ -4456,6 +4456,40 @@ def q_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) Viterbi segmentation gate, by
+    construction: an integer-scored vocabulary where every word's
+    optimal segmentation is unique and replayable — the whole-word
+    piece beats the split when present (-1.5 > -2.0), a low-scored
+    known piece is still preferred over [UNK], and unknown characters
+    collapse to single-char [UNK]. Scores are exact binary floats so
+    Viterbi arithmetic is deterministic. DuckDB replays the same
+    doc_id → word → segmentation rules."""
+    from replay_spark.preprocessing.unigram import UnigramTokenizer
+
+    docs = rsd.read_table(spark, sf_dir, "documents").select("doc_id")
+    # doc_id % 3 picks the word; % 5 == 0 appends a second word
+    word = F.concat(
+        F.element_at(
+            F.array(F.lit("abcd"), F.lit("abq"), F.lit("abz")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" cdcd")).otherwise(
+            F.lit("")
+        ),
+    )
+    synth = docs.withColumn("text", word)
+    tok = UnigramTokenizer.from_vocab(
+        {"ab": -1.0, "cd": -1.0, "abcd": -1.5, "q": -10.0}
+    )
+    out = tok.transform(synth)
+    return out.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.concat_ws("|", "tokens").alias("token_str"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: PopRec top-5 recommendations on sf0.001."""
     return q_poprec_recs(spark, "/root/testdata/sf0.001")
@@ -4726,6 +4760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_triangle_count": q_triangle_count,
         "q_corpus_diff": q_corpus_diff,
         "q_wordpiece_tokens": q_wordpiece_tokens,
+        "q_unigram_tokens": q_unigram_tokens,
     }
 
 
@@ -8383,6 +8418,18 @@ def oracle_sql() -> dict[str, str]:
                                        ELSE 'uvw' END)
                    || (CASE WHEN doc_id % 5 = 0
                             THEN '|[UNK]' ELSE '' END) AS token_str
+            FROM documents
+        """,
+        "q_unigram_tokens": """
+            SELECT doc_id,
+                   CAST((CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END)
+                        + (CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 0 END)
+                        AS INT) AS n_tokens,
+                   (CASE doc_id % 3 WHEN 0 THEN 'abcd'
+                                    WHEN 1 THEN 'ab|q'
+                                    ELSE 'ab|[UNK]' END)
+                   || (CASE WHEN doc_id % 5 = 0
+                            THEN '|cd|cd' ELSE '' END) AS token_str
             FROM documents
         """,
         "q_corpus_diff": """

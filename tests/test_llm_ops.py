@@ -4437,3 +4437,92 @@ def test_wordpiece_tokenizer(spark):
     assert rows[1] == ["un", "##able", "runn", "##ing", "[UNK]"]
     assert rows[2] == []
     assert rows[3] == ["able", "able"]
+
+
+def test_unigram_viterbi_reference():
+    """Viterbi edges: score-optimal beats piece-greedy, ties prefer
+    fewer pieces then lexicographic, unknown characters admit as
+    single-char [UNK] so segmentation is total."""
+    from replay_spark.preprocessing.unigram import viterbi_segment
+
+    pieces = {"ab": -1.0, "c": -2.0, "abc": -2.5, "a": -3.0, "b": -3.0}
+    V = lambda w, p: viterbi_segment(w, p, 8, "[UNK]", -20.0)
+    assert V("abc", pieces) == ["abc"]          # -2.5 beats ab+c -3.0
+    assert V("abq", pieces) == ["ab", "[UNK]"]  # unknown char is total
+    assert V("abcab", pieces) == ["abc", "ab"]
+    # exact tie (-2.5 both ways): fewer pieces wins
+    assert V("abc", {"ab": -1.0, "c": -1.5, "abc": -2.5}) == ["abc"]
+    # exact tie, same piece count: lexicographically smaller last piece
+    tie = {"ab": -1.0, "cd": -1.0, "a": -1.0, "bcd": -1.0}
+    assert V("abcd", tie) == ["a", "bcd"]
+    assert V("", pieces) == []
+
+
+def test_unigram_fit_learns_frequent_pieces(spark):
+    """EM + pruning must keep high-mass substrings: a corpus that is
+    mostly 'hello'/'world' repetitions should segment those words as
+    single pieces, keep all single characters, and hit vocab_size."""
+    from replay_spark.preprocessing.unigram import UnigramTokenizer
+
+    rows = [(i, "hello world " * 3) for i in range(20)] + [
+        (100 + i, "hex wold") for i in range(2)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tok = UnigramTokenizer(
+        vocab_size=40, max_piece_length=6, seed_size=200
+    ).fit(df)
+    chars = {c for w in ("hello", "world", "hex", "wold") for c in w}
+    assert chars <= set(tok.pieces)
+    assert len(tok.pieces) <= 40 + 0  # pruned to target (chars fit)
+    got = {
+        r.doc_id: list(r.tokens)
+        for r in tok.transform(df).collect()
+    }
+    assert got[0][:2] == ["hello", "world"]
+    # log-probs normalize to <= 0 and the frequent piece outranks rare
+    assert all(v < 0 for v in tok.pieces.values())
+    assert tok.pieces["hello"] > tok.pieces["x"]
+
+
+def test_unigram_driver_distributed_parity(spark):
+    """The distributed E-step (broadcast model + mapInPandas
+    forward-backward + map-side-combined sum) must select the same
+    vocabulary and produce the same segmentations as the in-driver
+    loop on a well-separated corpus."""
+    from replay_spark.preprocessing.unigram import UnigramTokenizer
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cats sat on the mats"),
+        (2, "a hat and a bat and a mat"),
+        (3, "that cat that bat that hat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(vocab_size=30, max_piece_length=4, seed_size=120,
+              num_iterations=2)
+    driver = UnigramTokenizer(**kw).fit(df)
+    dist = UnigramTokenizer(driver_threshold=0, **kw).fit(df)
+    assert set(driver.pieces) == set(dist.pieces)
+    t1 = driver.transform(df).orderBy("doc_id").collect()
+    t2 = dist.transform(df).orderBy("doc_id").collect()
+    assert [r.tokens for r in t1] == [r.tokens for r in t2]
+
+
+def test_unigram_transform_edges(spark):
+    """from_vocab inference: None text -> [], lowercase fold, words
+    segment independently and concatenate in order."""
+    from replay_spark.preprocessing.unigram import UnigramTokenizer
+
+    tok = UnigramTokenizer.from_vocab(
+        {"ab": -1.0, "cd": -1.0, "abcd": -1.5, "q": -10.0}
+    )
+    df = spark.createDataFrame(
+        [(1, "ABCD abq"), (2, None), (3, "abz cdcd")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: list(r.tokens) for r in tok.transform(df).collect()
+    }
+    assert rows[1] == ["abcd", "ab", "q"]
+    assert rows[2] == []
+    assert rows[3] == ["ab", "[UNK]", "cd", "cd"]
