@@ -4490,6 +4490,91 @@ def q_unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lake_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse commit log end to end: append two document slices
+    as separate versions, file-granular delete of the even ids,
+    compact — then time-travel every version and aggregate it. The
+    log must replay exactly the set algebra DuckDB computes from the
+    same predicates: v0 = ids%3=0, v1 adds %3=1, v2 removes even
+    ids, v3 (compaction) changes layout but not content."""
+    import os
+    import shutil
+    import tempfile
+
+    from replay_spark.lake import LakeTable
+
+    docs = rsd.read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"rs_lake_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    t = LakeTable(spark, path)
+    t.append(docs.filter(F.col("doc_id") % 3 == 0))
+    t.append(docs.filter(F.col("doc_id") % 3 == 1))
+    t.delete(F.col("doc_id") % 2 == 0)
+    t.compact(target_file_bytes=1 << 30)
+    parts = []
+    for v in range(4):
+        parts.append(
+            t.read(version=v).agg(
+                F.lit(v).cast("int").alias("version"),
+                F.count("*").alias("n_rows"),
+                F.sum("doc_id").cast("long").alias("sum_doc_id"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO algebra (update + insert) as anti/semi joins: the
+    even-id slice is the target, the %3=0 slice (with a rewritten
+    value) the source — matched rows take the source value, unmatched
+    source rows insert, untouched target rows survive. DuckDB
+    replays the union of predicates with the same value rule."""
+    from replay_spark.lake import merge_into
+
+    docs = rsd.read_table(spark, sf_dir, "documents").select("doc_id")
+    target = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", (F.col("doc_id") * 2).alias("val")
+    )
+    source = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", (F.col("doc_id") * 3 + 1).alias("val")
+    )
+    return merge_into(target, source, on=["doc_id"])
+
+
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history maintenance: a dimension of %4=0 keys
+    (valid_from 0, open-ended current) takes an update batch of %6=0
+    keys at ts=5 — every overlapping key's current row must close at
+    5, new current rows appear for all updated keys (including
+    brand-new ones), and untouched keys stay open. DuckDB replays
+    the row algebra from the same integer predicates."""
+    from replay_spark.lake import apply_scd2
+
+    docs = rsd.read_table(spark, sf_dir, "documents").select("doc_id")
+    dim = docs.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id",
+        (F.col("doc_id") * 10).alias("attr"),
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    upd = docs.filter(F.col("doc_id") % 6 == 0).select(
+        "doc_id",
+        (F.col("doc_id") * 100).alias("attr"),
+        F.lit(5).cast("long").alias("ts"),
+    )
+    return apply_scd2(dim, upd, ["doc_id"], "ts")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: PopRec top-5 recommendations on sf0.001."""
     return q_poprec_recs(spark, "/root/testdata/sf0.001")
@@ -4761,6 +4846,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_diff": q_corpus_diff,
         "q_wordpiece_tokens": q_wordpiece_tokens,
         "q_unigram_tokens": q_unigram_tokens,
+        "q_lake_timetravel": q_lake_timetravel,
+        "q_merge_upsert": q_merge_upsert,
+        "q_scd2": q_scd2,
     }
 
 
@@ -8431,6 +8519,50 @@ def oracle_sql() -> dict[str, str]:
                    || (CASE WHEN doc_id % 5 = 0
                             THEN '|cd|cd' ELSE '' END) AS token_str
             FROM documents
+        """,
+        "q_lake_timetravel": """
+            WITH s0 AS (
+                SELECT doc_id, length(text) AS n_chars FROM documents
+                WHERE doc_id % 3 = 0),
+            s1 AS (
+                SELECT * FROM s0
+                UNION ALL
+                SELECT doc_id, length(text) FROM documents
+                WHERE doc_id % 3 = 1),
+            s2 AS (SELECT * FROM s1 WHERE doc_id % 2 <> 0),
+            agg AS (
+                SELECT 0 AS v, * FROM s0
+                UNION ALL SELECT 1, * FROM s1
+                UNION ALL SELECT 2, * FROM s2
+                UNION ALL SELECT 3, * FROM s2)
+            SELECT CAST(v AS INT) AS version,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM agg GROUP BY v
+        """,
+        "q_merge_upsert": """
+            SELECT doc_id,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id * 3 + 1
+                             ELSE doc_id * 2 END AS BIGINT) AS val
+            FROM documents
+            WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
+        """,
+        "q_scd2": """
+            SELECT doc_id,
+                   CAST(doc_id * 10 AS BIGINT) AS attr,
+                   CAST(0 AS BIGINT) AS valid_from,
+                   CASE WHEN doc_id % 6 = 0 THEN CAST(5 AS BIGINT)
+                        ELSE NULL END AS valid_to,
+                   (doc_id % 6 <> 0) AS is_current
+            FROM documents WHERE doc_id % 4 = 0
+            UNION ALL
+            SELECT doc_id,
+                   CAST(doc_id * 100 AS BIGINT),
+                   CAST(5 AS BIGINT),
+                   NULL,
+                   true
+            FROM documents WHERE doc_id % 6 = 0
         """,
         "q_corpus_diff": """
             SELECT doc_id,

@@ -1,0 +1,147 @@
+"""Lakehouse tier: commit log, time travel, file-granular delete,
+compaction, MERGE algebra, SCD2."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from replay_spark.lake import (
+    ConcurrentWriteError,
+    LakeTable,
+    apply_scd2,
+    merge_into,
+)
+
+
+@pytest.fixture()
+def table(spark):
+    path = tempfile.mkdtemp(prefix="rs_lake_")
+    t = LakeTable(spark, path)
+    yield t
+    t.drop()
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+
+
+def test_append_time_travel(table, spark):
+    v0 = table.append(_df(spark, 0, 5).coalesce(1))
+    v1 = table.append(_df(spark, 5, 8).coalesce(1))
+    assert (v0, v1) == (0, 1)
+    assert table.read(version=0).count() == 5
+    assert table.read().count() == 8
+    assert table.latest_version() == 1
+    hist = {r.version: r.operation for r in table.history().collect()}
+    assert hist == {0: "append", 1: "append"}
+
+
+def test_overwrite_and_empty_read(table, spark):
+    table.append(_df(spark, 0, 5))
+    table.overwrite(_df(spark, 100, 102))
+    assert sorted(r.k for r in table.read().collect()) == [100, 101]
+    # overwriting with an empty frame still reads (schema from log)
+    table.overwrite(_df(spark, 0, 0))
+    assert table.read().count() == 0
+    assert table.read().columns == ["k", "v"]
+
+
+def test_delete_rewrites_only_affected_files(table, spark):
+    table.append(_df(spark, 0, 5).coalesce(1))     # file A: k in 0..4
+    table.append(_df(spark, 100, 105).coalesce(1)) # file B: k in 100..104
+    v = table.delete(F.col("k") == 2)
+    assert sorted(r.k for r in table.read().collect()) == [
+        0, 1, 3, 4, 100, 101, 102, 103, 104
+    ]
+    # only file A was rewritten: the delete commit removed exactly 1 file
+    hist = {r.version: (r.operation, r.n_removed) for r in table.history().collect()}
+    assert hist[v] == ("delete", 1)
+    # no match -> no new version
+    assert table.delete(F.col("k") == 99999) == v
+    # pre-delete snapshot still intact
+    assert table.read(version=1).count() == 10
+
+
+def test_compact_preserves_rows_and_history(table, spark):
+    for lo in (0, 5, 10):
+        table.append(_df(spark, lo, lo + 5).coalesce(2))
+    pre = table.latest_version()
+    n_live_before = len(table.snapshot_files())
+    assert n_live_before == 6
+    table.compact(target_file_bytes=1 << 30)
+    assert len(table.snapshot_files()) == 1
+    assert table.read().count() == 15
+    assert sorted(r.k for r in table.read().collect()) == list(range(15))
+    # time travel to before the compaction sees the original layout
+    assert len(table.snapshot_files(version=pre)) == 6
+    assert table.read(version=pre).count() == 15
+
+
+def test_commit_conflict(table, spark):
+    df = _df(spark, 0, 3)
+    table.append(df)
+    # writer A snapshots at v0 and prepares to commit v1 ...
+    stale_expected = table.latest_version() + 1
+    # ... but writer B lands v1 first
+    nxt = os.path.join(table._log_dir, f"{1:010d}.json")
+    with open(nxt, "w") as f:
+        f.write(
+            '{"version": 1, "operation": "append", "add": [], "remove": []}'
+        )
+    with pytest.raises(ConcurrentWriteError):
+        table._commit("overwrite", [], [], df.schema, stale_expected)
+    # a blind append just retries past the conflict to the next slot
+    v = table.append(_df(spark, 3, 5))
+    assert v == 2
+    assert table.read().count() == 5
+
+
+def test_lake_merge_file_granularity(table, spark):
+    table.append(_df(spark, 0, 5).coalesce(1))
+    table.append(_df(spark, 100, 105).coalesce(1))
+    src = spark.createDataFrame([(2, -1), (200, -2)], "k long, v long")
+    v = table.merge(src, on=["k"])
+    got = {r.k: r.v for r in table.read().collect()}
+    assert got[2] == -1 and got[200] == -2 and got[3] == 30
+    assert len(got) == 11
+    hist = {r.version: r.n_removed for r in table.history().collect()}
+    assert hist[v] == 1  # only the file containing k=2 was rewritten
+
+
+def test_merge_into_algebra(spark):
+    tgt = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    src = spark.createDataFrame([(2, "B"), (4, "D")], "k long, v string")
+    up_ins = {r.k: r.v for r in merge_into(tgt, src, ["k"]).collect()}
+    assert up_ins == {1: "a", 2: "B", 3: "c", 4: "D"}
+    up_ign = {
+        r.k: r.v
+        for r in merge_into(tgt, src, ["k"], when_not_matched="ignore").collect()
+    }
+    assert up_ign == {1: "a", 2: "B", 3: "c"}
+    del_ins = {
+        r.k: r.v
+        for r in merge_into(tgt, src, ["k"], when_matched="delete").collect()
+    }
+    assert del_ins == {1: "a", 3: "c", 4: "D"}
+    with pytest.raises(ValueError):
+        merge_into(tgt, src, ["k"], when_matched="upsert")
+
+
+def test_apply_scd2(spark):
+    dim = spark.createDataFrame(
+        [(1, "x", 10, None, True), (1, "old", 5, 10, False), (2, "y", 10, None, True)],
+        "k long, attr string, valid_from long, valid_to long, is_current boolean",
+    )
+    upd = spark.createDataFrame([(1, "X", 20), (3, "z", 20)], "k long, attr string, ts long")
+    out = apply_scd2(dim, upd, ["k"], "ts").collect()
+    rows = {(r.k, r.attr): (r.valid_from, r.valid_to, r.is_current) for r in out}
+    assert rows[(1, "x")] == (10, 20, False)      # closed out
+    assert rows[(1, "old")] == (5, 10, False)     # history untouched
+    assert rows[(1, "X")] == (20, None, True)     # new current
+    assert rows[(2, "y")] == (10, None, True)     # unaffected key
+    assert rows[(3, "z")] == (20, None, True)     # brand-new key
+    assert len(rows) == 5
