@@ -4575,6 +4575,56 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_scd2(dim, upd, ["doc_id"], "ts")
 
 
+def q_bleu_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU sufficient statistics gate, by construction: candidate =
+    k repetitions of 'x' then 'z', reference = m repetitions then
+    'z' (k, m from doc_id), so clipped matches are min-formulas —
+    match_1 = min(k,m)+1, match_2 = min(k,m) — that DuckDB replays
+    as integer CASE arithmetic. The JVM higher-order-function
+    n-gram expressions must reproduce them exactly."""
+    from replay_spark.preprocessing.text_metrics import BleuScorer
+
+    docs = rsd.read_table(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") % 4 + 2).cast("int")
+    m = (F.col("doc_id") % 3 + 2).cast("int")
+    synth = docs.select(
+        "doc_id",
+        F.concat(F.repeat(F.lit("x "), k), F.lit("z")).alias("candidate"),
+        F.concat(F.repeat(F.lit("x "), m), F.lit("z")).alias("reference"),
+    )
+    out = BleuScorer(max_n=2).transform(synth)
+    return out.select(
+        "doc_id", "match_1", "total_1", "match_2", "total_2",
+        "cand_len", "ref_len",
+    )
+
+
+def q_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L gate, by construction: the reference is the
+    even-index subsequence of the candidate's distinct tokens plus a
+    token the candidate lacks, so LCS = ceil(k/2) exactly — the
+    Arrow-batched DP must land on the formula DuckDB computes."""
+    from replay_spark.preprocessing.text_metrics import RougeScorer
+
+    docs = rsd.read_table(spark, sf_dir, "documents").select("doc_id")
+    synth = docs.select(
+        "doc_id",
+        F.expr(
+            "array_join(transform(sequence(0, int(doc_id % 5 + 1)),"
+            " i -> concat('t', i)), ' ')"
+        ).alias("candidate"),
+        F.concat(
+            F.expr(
+                "array_join(transform(sequence(0, int(doc_id % 5 + 1), 2),"
+                " i -> concat('t', i)), ' ')"
+            ),
+            F.lit(" zz"),
+        ).alias("reference"),
+    )
+    out = RougeScorer(orders=(1,), include_l=True).transform(synth)
+    return out.select("doc_id", "lcs_len", "cand_len", "ref_len")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: PopRec top-5 recommendations on sf0.001."""
     return q_poprec_recs(spark, "/root/testdata/sf0.001")
@@ -4849,6 +4899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lake_timetravel": q_lake_timetravel,
         "q_merge_upsert": q_merge_upsert,
         "q_scd2": q_scd2,
+        "q_bleu_counts": q_bleu_counts,
+        "q_rouge_l": q_rouge_l,
     }
 
 
@@ -8563,6 +8615,30 @@ def oracle_sql() -> dict[str, str]:
                    NULL,
                    true
             FROM documents WHERE doc_id % 6 = 0
+        """,
+        "q_bleu_counts": """
+            WITH km AS (
+                SELECT doc_id,
+                       doc_id % 4 + 2 AS k,
+                       doc_id % 3 + 2 AS m
+                FROM documents)
+            SELECT doc_id,
+                   CAST(least(k, m) + 1 AS INT) AS match_1,
+                   CAST(k + 1 AS INT) AS total_1,
+                   CAST(least(k, m) AS INT) AS match_2,
+                   CAST(k AS INT) AS total_2,
+                   CAST(k + 1 AS INT) AS cand_len,
+                   CAST(m + 1 AS INT) AS ref_len
+            FROM km
+        """,
+        "q_rouge_l": """
+            WITH j AS (
+                SELECT doc_id, doc_id % 5 + 1 AS jj FROM documents)
+            SELECT doc_id,
+                   CAST(jj // 2 + 1 AS INT) AS lcs_len,
+                   CAST(jj + 1 AS INT) AS cand_len,
+                   CAST(jj // 2 + 2 AS INT) AS ref_len
+            FROM j
         """,
         "q_corpus_diff": """
             SELECT doc_id,

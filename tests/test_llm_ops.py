@@ -4526,3 +4526,76 @@ def test_unigram_transform_edges(spark):
     assert rows[1] == ["abcd", "ab", "q"]
     assert rows[2] == []
     assert rows[3] == ["ab", "[UNK]", "cd", "cd"]
+
+
+def test_bleu_scorer_golden(spark):
+    """Hand-verified clipped-precision case plus edges: perfect
+    match -> 1.0, disjoint -> 0.0, null candidate -> 0.0, and the
+    sufficient statistics are exact integers."""
+    from replay_spark.preprocessing.text_metrics import BleuScorer
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "the cat is on the mat"),
+            (2, "a b c d", "e f g h"),
+            (3, None, "ref here"),
+            (4, "same same", "same same"),
+        ],
+        "id long, candidate string, reference string",
+    )
+    rows = {r.id: r for r in BleuScorer().transform(df).collect()}
+    r1 = rows[1]
+    # unigrams: the(2) cat(1) on(1) mat(1) = 5 of 6; bigrams 3 of 5
+    assert (r1.match_1, r1.total_1, r1.match_2, r1.total_2) == (5, 6, 3, 5)
+    # smoothing-1: p=(5/6, 4/6, 2/5, 1/4), BP=1
+    import math
+    want = math.exp(sum(math.log(p) for p in (5 / 6, 4 / 6, 2 / 5, 1 / 4)) / 4)
+    assert abs(r1.bleu - want) < 1e-12
+    assert rows[2].bleu == 0.0 and rows[3].bleu == 0.0
+    assert rows[4].bleu == 1.0
+    # brevity penalty: shorter candidate is penalized exponentially
+    df2 = spark.createDataFrame(
+        [(1, "a b", "a b c d")], "id long, candidate string, reference string"
+    )
+    r = BleuScorer(max_n=1, smooth=False).transform(df2).collect()[0]
+    assert abs(r.bleu - math.exp(1 - 4 / 2)) < 1e-12
+
+
+def test_bleu_corpus_aggregation(spark):
+    """The statistics must SUM into corpus BLEU: summed match/total
+    equals recomputing over the concatenated pair list."""
+    from replay_spark.preprocessing.text_metrics import BleuScorer
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "x " * (i % 4 + 2) + "z", "x " * (i % 3 + 2) + "z") for i in range(30)],
+        "id long, candidate string, reference string",
+    )
+    out = BleuScorer(max_n=2).transform(df)
+    agg = out.agg(
+        F.sum("match_1").alias("m1"), F.sum("total_1").alias("t1")
+    ).collect()[0]
+    want_m1 = sum(min(i % 4 + 2, i % 3 + 2) + 1 for i in range(30))
+    want_t1 = sum(i % 4 + 3 for i in range(30))
+    assert (agg.m1, agg.t1) == (want_m1, want_t1)
+
+
+def test_rouge_scorer(spark):
+    """ROUGE-N recall denominators come from the REFERENCE; LCS DP
+    against brute-force subsequence checks."""
+    from replay_spark.preprocessing.text_metrics import RougeScorer
+
+    L = RougeScorer.lcs_length
+    assert L("abcde", "ace") == 3
+    assert L("abc", "xyz") == 0
+    assert L([], ["a"]) == 0
+    assert L(list("AGGTAB"), list("GXTXAYB")) == 4
+    df = spark.createDataFrame(
+        [(1, "the cat sat", "the cat sat on the mat")],
+        "id long, candidate string, reference string",
+    )
+    r = RougeScorer().transform(df).collect()[0]
+    assert (r.rouge1_match, r.rouge1_total) == (3, 6)
+    assert (r.rouge2_match, r.rouge2_total) == (2, 5)
+    assert r.lcs_len == 3
+    assert abs(r.rougeL_f - 2 * 3 / (3 + 6)) < 1e-12
