@@ -4625,6 +4625,46 @@ def q_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lcs_len", "cand_len", "ref_len")
 
 
+def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro OCF sink/source roundtrip over real shard files: the
+    documents corpus exports to ``shard-%05d.avro`` (hand-rolled
+    zigzag-varint binary encoding, deflate blocks, per the public
+    Avro 1.11 spec; one writer task per shard), reads back through
+    the sync-verifying source, and every recovered field — negative
+    longs, utf-8 strings, ``["null", long]`` unions, long arrays —
+    must match what DuckDB recomputes from the original table."""
+    import os
+    import tempfile
+
+    from replay_spark.data.avro import read_avro, write_avro
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    export = docs.select(
+        "doc_id",
+        "text",
+        (-F.col("doc_id") - 1).alias("neg"),
+        F.when(F.col("doc_id") % 3 == 0, F.col("doc_id") * 7).alias("opt"),
+        F.array(
+            F.length("text").cast("long"), F.col("doc_id") % 7
+        ).alias("lens"),
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"rs_avro_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    write_avro(export, out_dir, key_column="doc_id", num_shards=8)
+    back = read_avro(spark, out_dir)
+    return back.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
+        "neg",
+        "opt",
+        F.aggregate(
+            "lens", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("lens_sum"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: PopRec top-5 recommendations on sf0.001."""
     return q_poprec_recs(spark, "/root/testdata/sf0.001")
@@ -4901,6 +4941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scd2": q_scd2,
         "q_bleu_counts": q_bleu_counts,
         "q_rouge_l": q_rouge_l,
+        "q_avro_roundtrip": q_avro_roundtrip,
     }
 
 
@@ -8639,6 +8680,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(jj + 1 AS INT) AS cand_len,
                    CAST(jj // 2 + 2 AS INT) AS ref_len
             FROM j
+        """,
+        "q_avro_roundtrip": """
+            SELECT doc_id,
+                   md5(text) AS text_md5,
+                   -doc_id - 1 AS neg,
+                   CASE WHEN doc_id % 3 = 0 THEN doc_id * 7
+                        ELSE NULL END AS opt,
+                   CAST(length(text) + doc_id % 7 AS BIGINT) AS lens_sum
+            FROM documents
         """,
         "q_corpus_diff": """
             SELECT doc_id,
