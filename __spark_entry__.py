@@ -4665,6 +4665,49 @@ def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted hot-key join correctness: lineitem folded onto 50 hot
+    keys joins a formula-derived dim table through skew_join with a
+    threshold low enough that EVERY key takes the salted path
+    (detect → split → salt → union) — the result must equal the
+    plain join DuckDB computes."""
+    from replay_spark.utils.spark_utils import skew_join
+
+    li = rsd.read_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 50).alias("k"),
+        "l_quantity",
+    )
+    dim = (
+        spark.range(0, 50)
+        .select(
+            F.col("id").alias("k"), (F.col("id") * 3 + 1).alias("weight")
+        )
+    )
+    joined = skew_join(
+        li, dim, "k", hot_key_threshold=10, num_salts=8
+    )
+    return joined.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity") * F.col("weight"))
+        .cast("long")
+        .alias("weighted_qty"),
+    )
+
+
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed quantiles (approxQuantile bracket + exact
+    re-anchor, no global sort) must land on DuckDB's quantile_disc
+    values — rank = max(1, ceil(p*n)) — for l_extendedprice."""
+    from replay_spark.utils.spark_utils import exact_quantiles
+
+    li = rsd.read_table(spark, sf_dir, "lineitem")
+    probs = [0.01, 0.25, 0.5, 0.9, 0.99]
+    vals = exact_quantiles(li, "l_extendedprice", probs)
+    return spark.createDataFrame(
+        list(zip(probs, vals)), "prob double, value double"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: PopRec top-5 recommendations on sf0.001."""
     return q_poprec_recs(spark, "/root/testdata/sf0.001")
@@ -4942,6 +4985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bleu_counts": q_bleu_counts,
         "q_rouge_l": q_rouge_l,
         "q_avro_roundtrip": q_avro_roundtrip,
+        "q_skew_join": q_skew_join,
+        "q_exact_quantiles": q_exact_quantiles,
     }
 
 
@@ -8689,6 +8734,27 @@ def oracle_sql() -> dict[str, str]:
                         ELSE NULL END AS opt,
                    CAST(length(text) + doc_id % 7 AS BIGINT) AS lens_sum
             FROM documents
+        """,
+        "q_skew_join": """
+            SELECT l_orderkey % 50 AS k,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(l_quantity * ((l_orderkey % 50) * 3 + 1))
+                        AS BIGINT) AS weighted_qty
+            FROM lineitem
+            GROUP BY 1
+        """,
+        "q_exact_quantiles": """
+            SELECT CAST(0.01 AS DOUBLE) AS prob,
+                   quantile_disc(l_extendedprice, 0.01) AS value
+            FROM lineitem
+            UNION ALL SELECT 0.25, quantile_disc(l_extendedprice, 0.25)
+            FROM lineitem
+            UNION ALL SELECT 0.5, quantile_disc(l_extendedprice, 0.5)
+            FROM lineitem
+            UNION ALL SELECT 0.9, quantile_disc(l_extendedprice, 0.9)
+            FROM lineitem
+            UNION ALL SELECT 0.99, quantile_disc(l_extendedprice, 0.99)
+            FROM lineitem
         """,
         "q_corpus_diff": """
             SELECT doc_id,

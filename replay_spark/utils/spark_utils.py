@@ -847,3 +847,102 @@ def diagnose_skew(
         F.col("_n_keys").alias("n_keys"),
     )
     return top.unionByName(summary)
+
+
+def skew_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Union[str, Iterable[str]],
+    how: str = "inner",
+    hot_key_threshold: int = 1_000_000,
+    num_salts: int = 16,
+    max_hot_keys: int = 10_000,
+) -> DataFrame:
+    """Skew-safe equi-join: split hot keys out and salt ONLY them.
+
+    AQE's skew-join handles sort-merge stragglers, but a key whose
+    rows exceed one executor's memory still needs salting. This is
+    the production two-phase pattern, made deterministic:
+
+    1. one map-side-combined count finds keys with
+       ``>= hot_key_threshold`` left rows (top ``max_hot_keys`` by
+       count, ties broken by key — a bounded driver list, because
+       hot keys are few by definition; a warning-worthy corpus with
+       10k+ hot keys should raise the threshold);
+    2. cold keys join normally (semi/anti splits keep the cold right
+       side small);
+    3. hot left rows get a deterministic per-row salt (xxhash64 of
+       all columns — no rand(), so retries reproduce), the hot right
+       rows replicate ``num_salts`` ways via ``explode``, and the
+       salted join spreads each hot key over ``num_salts`` tasks.
+
+    Result equals the plain join exactly (gate `q_skew_join`);
+    supports ``inner`` and ``left``. The hot-key COUNT is on the
+    left side — pass the bigger/skewed side as ``left``.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if how not in ("inner", "left"):
+        raise ValueError("skew_join supports how='inner' or 'left'")
+    if num_salts < 2:
+        raise ValueError("num_salts must be >= 2")
+    hot = (
+        left.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= hot_key_threshold)
+        .orderBy(F.col("_n").desc(), *[F.col(k) for k in keys])
+        .limit(max_hot_keys)
+        .select(*keys)
+    )
+    hot_rows = hot.collect()
+    if not hot_rows:
+        return left.join(right, keys, how)
+    hot_df = F.broadcast(
+        left.sparkSession.createDataFrame(hot_rows, hot.schema)
+    )
+    cold_l = left.join(hot_df, keys, "left_anti")
+    cold_r = right.join(hot_df, keys, "left_anti")
+    cold = cold_l.join(cold_r, keys, how)
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(num_salts)
+    ).cast("int")
+    hot_l = left.join(hot_df, keys, "left_semi").withColumn("_salt", salt)
+    hot_r = (
+        right.join(hot_df, keys, "left_semi")
+        .withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+        )
+        .withColumn("_salt", F.col("_salt").cast("int"))
+    )
+    salted = hot_l.join(hot_r, keys + ["_salt"], how).drop("_salt")
+    return cold.unionByName(salted)
+
+
+def exact_quantiles(
+    df: DataFrame, colname: str, probs: Iterable[float]
+) -> list:
+    """EXACT discrete quantiles of a numeric column, distributed —
+    no global sort, no approximation.
+
+    Rank semantics match ``quantile_disc``: the value at 1-based
+    sorted position ``max(1, ceil(p * n))``. Each probability
+    resolves through :func:`kth_smallest` (approxQuantile bracket +
+    exact re-anchor — ~2 passes per quantile at any scale). Use
+    ``df.stat.approxQuantile`` when bounded rank error is
+    acceptable; use this when the number must be exact (discretizer
+    cut points, SLA percentiles).
+    """
+    import math
+
+    probs = list(probs)
+    if not probs:
+        return []
+    n = df.count()
+    if n == 0:
+        return [None for _ in probs]
+    out = []
+    for p in probs:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"prob {p} outside [0, 1]")
+        k = max(1, math.ceil(p * n))
+        out.append(kth_smallest(df, colname, k))
+    return out

@@ -267,3 +267,57 @@ def test_diagnose_skew(spark):
     assert total["key_rows"] == 100 and total["n_keys"] == 12
     assert total["share"] == 0.7  # max-key share
     assert len(out) == 3  # top 2 + summary
+
+
+def test_skew_join_matches_plain_join(spark):
+    """The hot-key salted split must reproduce the plain join
+    exactly — inner and left, hot and no-hot paths."""
+    from pyspark.sql import functions as F
+
+    from replay_spark.utils.spark_utils import skew_join
+
+    left = spark.range(0, 2000).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("v")
+    )
+    right = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c"), (7, "z")], "k long, w string"
+    )
+    for how in ("inner", "left"):
+        want = sorted(
+            (r.k, r.v, r.w)
+            for r in left.join(right, ["k"], how).collect()
+        )
+        got = sorted(
+            (r.k, r.v, r.w)
+            for r in skew_join(
+                left, right, "k", how=how,
+                hot_key_threshold=10, num_salts=4,
+            ).collect()
+        )
+        assert got == want, how
+    # threshold higher than any key count -> pure plain-join path
+    got = skew_join(left, right, "k", hot_key_threshold=10**9).count()
+    assert got == left.join(right, ["k"], "inner").count()
+    import pytest
+
+    with pytest.raises(ValueError):
+        skew_join(left, right, "k", how="full")
+
+
+def test_exact_quantiles(spark):
+    """quantile_disc rank semantics (max(1, ceil(p*n))) against a
+    brute-force sorted list."""
+    import math
+    import random
+
+    from replay_spark.utils.spark_utils import exact_quantiles
+
+    random.seed(7)
+    vals = [random.randint(-1000, 1000) for _ in range(997)]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    probs = [0.0, 0.01, 0.25, 0.5, 0.75, 0.9, 0.999, 1.0]
+    got = exact_quantiles(df, "x", probs)
+    s = sorted(vals)
+    want = [s[max(1, math.ceil(p * len(s))) - 1] for p in probs]
+    assert got == want
+    assert exact_quantiles(df.limit(0), "x", [0.5]) == [None]
