@@ -4708,6 +4708,26 @@ def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phrase_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2phrase PMI scores over the REAL corpus: the top-100
+    bigrams by count with their exact integer score numerator
+    ((pair_count - delta) * N) and denominator (count(a)*count(b)) —
+    DuckDB recomputes unigram/bigram counts from the same whitespace
+    tokenization, so the shifted-arrays_zip pair extraction and the
+    broadcast unigram join must agree to the integer."""
+    from replay_spark.preprocessing.phrases import PhraseMiner
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    scored = PhraseMiner(min_count=5, delta=5).score_table(docs)
+    return (
+        scored.orderBy(
+            F.desc("pair_count"), "a", "b"
+        )
+        .limit(100)
+        .select("a", "b", "pair_count", "score_num", "score_den")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: PopRec top-5 recommendations on sf0.001."""
     return q_poprec_recs(spark, "/root/testdata/sf0.001")
@@ -4987,6 +5007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_avro_roundtrip": q_avro_roundtrip,
         "q_skew_join": q_skew_join,
         "q_exact_quantiles": q_exact_quantiles,
+        "q_phrase_scores": q_phrase_scores,
     }
 
 
@@ -8755,6 +8776,33 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             UNION ALL SELECT 0.99, quantile_disc(l_extendedprice, 0.99)
             FROM lineitem
+        """,
+        "q_phrase_scores": """
+            WITH toks AS (
+                SELECT string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents
+                WHERE trim(text) <> ''),
+            uni AS (
+                SELECT unnest(t) AS w FROM toks),
+            uc AS (
+                SELECT w, count(*) AS wc FROM uni GROUP BY w),
+            n AS (SELECT count(*) AS total FROM uni),
+            pairs AS (
+                SELECT t[i] AS a, t[i + 1] AS b, count(*) AS pair_count
+                FROM toks, LATERAL unnest(range(1, len(t))) AS u(i)
+                GROUP BY 1, 2
+                HAVING count(*) >= 5)
+            SELECT p.a, p.b,
+                   CAST(p.pair_count AS BIGINT) AS pair_count,
+                   CAST((p.pair_count - 5) * n.total AS BIGINT)
+                       AS score_num,
+                   CAST(ca.wc * cb.wc AS BIGINT) AS score_den
+            FROM pairs p
+            JOIN uc ca ON ca.w = p.a
+            JOIN uc cb ON cb.w = p.b
+            CROSS JOIN n
+            ORDER BY p.pair_count DESC, p.a, p.b
+            LIMIT 100
         """,
         "q_corpus_diff": """
             SELECT doc_id,

@@ -4599,3 +4599,37 @@ def test_rouge_scorer(spark):
     assert (r.rouge2_match, r.rouge2_total) == (2, 5)
     assert r.lcs_len == 3
     assert abs(r.rougeL_f - 2 * 3 / (3 + 6)) < 1e-12
+
+
+def test_phrase_miner(spark):
+    """word2phrase algebra: exact integer counts and score
+    numerator/denominator, min_count gating, greedy non-overlapping
+    rewrite."""
+    from replay_spark.preprocessing.phrases import PhraseMiner
+
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c")], "doc_id long, text string"
+    )
+    pm = PhraseMiner(min_count=2, delta=0, threshold=1.0)
+    scored = {
+        (r.a, r.b): (r.pair_count, r.score_num, r.score_den)
+        for r in pm.score_table(df).collect()
+    }
+    # pairs: ab x3, ba x1, bc x1 -> only ab survives min_count=2
+    # N=7 tokens; counts a=3 b=3 c=1
+    assert scored == {("a", "b"): (3, 21, 9)}
+    pm.fit(df)
+    assert pm._promoted == [("a", "b")]
+    out = {
+        r.doc_id: r.phrased_text
+        for r in pm.transform(
+            spark.createDataFrame(
+                [(0, "a b a b"), (1, "x A b y"), (2, None), (3, "a a b")],
+                "doc_id long, text string",
+            )
+        ).collect()
+    }
+    assert out[0] == "a_b a_b"
+    assert out[1] == "x a_b y"        # lowercase fold
+    assert out[2] is None
+    assert out[3] == "a a_b"          # greedy: first 'a' alone
