@@ -4728,6 +4728,69 @@ def q_phrase_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming/batch parity for the textbook watermarked
+    tumbling-window aggregation: events as a bounded stream through
+    StreamingWindowedAggregator (1-hour windows per event_type,
+    integer-floored values so sums are order-independent) must equal
+    DuckDB's epoch-bucket GROUP BY."""
+    import os
+    import tempfile
+
+    from replay_spark.streaming import StreamingWindowedAggregator
+
+    for q in spark.streams.active:
+        if q.name == "q_streaming_window_sink":
+            q.stop()
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    link_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"rs_stream_events_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, "events.parquet")
+    if os.path.lexists(link) and os.path.realpath(link) != src:
+        os.unlink(link)
+    if not os.path.lexists(link):
+        os.symlink(src, link)
+    raw_schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(raw_schema).parquet(link_dir)
+    ts_type = raw_schema["ts"].dataType.simpleString()
+    ts = F.col("ts")
+    if ts_type == "bigint":  # int64 nanos
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    elif ts_type == "timestamp_ntz":
+        ts = F.col("ts").cast("timestamp")
+    evt = stream.select(
+        "event_type",
+        ts.alias("timestamp"),
+        F.floor("value").cast("long").alias("fv"),
+    )
+    agg = StreamingWindowedAggregator(
+        time_column="timestamp",
+        window_duration="1 hour",
+        key_columns=["event_type"],
+        value_column="fv",
+        watermark_delay="30 minutes",
+    ).transform(evt)
+    sq = (
+        agg.writeStream.format("memory")
+        .queryName("q_streaming_window_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(300)
+    return spark.table("q_streaming_window_sink").select(
+        "event_type",
+        F.unix_timestamp("window_start").alias("ws_s"),
+        "n_events",
+        "sum_value",
+        "min_value",
+        "max_value",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: PopRec top-5 recommendations on sf0.001."""
     return q_poprec_recs(spark, "/root/testdata/sf0.001")
@@ -5008,6 +5071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_skew_join": q_skew_join,
         "q_exact_quantiles": q_exact_quantiles,
         "q_phrase_scores": q_phrase_scores,
+        "q_streaming_window": q_streaming_window,
     }
 
 
@@ -8803,6 +8867,19 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN n
             ORDER BY p.pair_count DESC, p.a, p.b
             LIMIT 100
+        """,
+        "q_streaming_window": """
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS ws_s,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT)
+                       AS sum_value,
+                   CAST(min(CAST(floor(value) AS BIGINT)) AS BIGINT)
+                       AS min_value,
+                   CAST(max(CAST(floor(value) AS BIGINT)) AS BIGINT)
+                       AS max_value
+            FROM events
+            GROUP BY 1, 2
         """,
         "q_corpus_diff": """
             SELECT doc_id,

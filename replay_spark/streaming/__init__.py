@@ -5,5 +5,6 @@ from replay_spark.streaming.ops import (  # noqa: F401
     StreamingCountMinSketch,
     StreamingHyperLogLog,
     StreamingUCB,
+    StreamingWindowedAggregator,
     streaming_exact_dedup,
 )

@@ -31,6 +31,7 @@ __all__ = [
     "StreamingSessionizer",
     "StreamingStatefulSessionizer",
     "StreamingUCB",
+    "StreamingWindowedAggregator",
     "StreamingCountMinSketch",
     "StreamingHyperLogLog",
     "streaming_exact_dedup",
@@ -392,3 +393,79 @@ class StreamingHyperLogLog:
         """One-row estimate from a materialized register sink (same
         contract as the batch class)."""
         return self.hll.estimate(registers)
+
+
+class StreamingWindowedAggregator:
+    """Watermarked tumbling/sliding event-time window aggregation —
+    the textbook Structured Streaming shape, packaged so batch and
+    stream share ONE definition.
+
+    ``transform`` groups by ``window(time_column, window_duration
+    [, slide_duration])`` plus ``key_columns`` and emits per-window
+    ``n_events`` and (optionally) ``sum_value`` / ``min_value`` /
+    ``max_value`` over ``value_column``. On a streaming frame a
+    watermark bounds state: closed windows age out of the store
+    after ``watermark_delay`` of event time, so state is
+    O(open windows × keys), never O(stream). On a batch frame the
+    same expression runs as a plain aggregation — which is exactly
+    what the parity gate (`q_streaming_window`) exploits: the
+    bounded stream's complete-mode result must equal DuckDB's
+    epoch-bucket GROUP BY.
+
+    Late data: rows older than the watermark are dropped by the
+    engine (documented upstream semantics); choose the delay from
+    the source's out-of-orderness, not from wall time.
+    """
+
+    def __init__(
+        self,
+        time_column: str = "timestamp",
+        window_duration: str = "1 hour",
+        slide_duration: Optional[str] = None,
+        key_columns=(),
+        value_column: Optional[str] = None,
+        watermark_delay: str = "10 minutes",
+    ):
+        self.time_column = time_column
+        self.window_duration = window_duration
+        self.slide_duration = slide_duration
+        self.key_columns = list(key_columns)
+        self.value_column = value_column
+        self.watermark_delay = watermark_delay
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        src = (
+            df.withWatermark(self.time_column, self.watermark_delay)
+            if df.isStreaming
+            else df
+        )
+        win = (
+            F.window(
+                self.time_column, self.window_duration, self.slide_duration
+            )
+            if self.slide_duration
+            else F.window(self.time_column, self.window_duration)
+        )
+        aggs = [F.count(F.lit(1)).alias("n_events")]
+        if self.value_column:
+            v = F.col(self.value_column)
+            aggs += [
+                F.sum(v).alias("sum_value"),
+                F.min(v).alias("min_value"),
+                F.max(v).alias("max_value"),
+            ]
+        return (
+            src.groupBy(*self.key_columns, win.alias("_w"))
+            .agg(*aggs)
+            .select(
+                *self.key_columns,
+                F.col("_w.start").alias("window_start"),
+                F.col("_w.end").alias("window_end"),
+                "n_events",
+                *(
+                    ["sum_value", "min_value", "max_value"]
+                    if self.value_column
+                    else []
+                ),
+            )
+        )

@@ -525,3 +525,47 @@ def test_streaming_hll_matches_batch(spark, tmp_path):
     )
     est = shll.estimate(stream_regs).collect()[0]["est"]
     assert abs(est - 300) / 300 < 0.25
+
+
+def test_streaming_windowed_aggregator_batch(spark):
+    """Batch semantics of the shared definition: tumbling windows
+    align to the epoch, sliding windows emit one row per covering
+    window, value aggs optional."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from replay_spark.streaming import StreamingWindowedAggregator
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 0, 10), 5),
+        ("a", dt.datetime(2024, 1, 1, 0, 50), 7),
+        ("a", dt.datetime(2024, 1, 1, 1, 5), 1),
+        ("b", dt.datetime(2024, 1, 1, 0, 20), 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, timestamp timestamp, v long"
+    )
+    agg = StreamingWindowedAggregator(
+        window_duration="1 hour", key_columns=["k"], value_column="v"
+    )
+    got = {
+        (r.k, r.window_start.hour): (r.n_events, r.sum_value, r.min_value, r.max_value)
+        for r in agg.transform(df).collect()
+    }
+    assert got[("a", 0)] == (2, 12, 5, 7)
+    assert got[("a", 1)] == (1, 1, 1, 1)
+    assert got[("b", 0)] == (1, 2, 2, 2)
+    # sliding: 1h window / 30min slide -> each event in 2 windows
+    slide = StreamingWindowedAggregator(
+        window_duration="1 hour",
+        slide_duration="30 minutes",
+        key_columns=["k"],
+    )
+    n = (
+        slide.transform(df)
+        .agg(F.sum("n_events").alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert n == 2 * len(rows)
