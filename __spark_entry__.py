@@ -4791,6 +4791,37 @@ def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lake_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change feed (the Delta CDF shape) over the same
+    commit sequence as q_lake_timetravel: the feed over (0, 3] must
+    contain exactly v1's appended rows as inserts and v2's deleted
+    survivors-diff as deletes, and NOTHING from the compaction —
+    appends never diff, deletes diff only rewritten files. DuckDB
+    replays both change sets from the predicates."""
+    import os
+    import shutil
+    import tempfile
+
+    from replay_spark.lake import LakeTable
+
+    docs = rsd.read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"rs_lakecdf_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    t = LakeTable(spark, path)
+    t.append(docs.filter(F.col("doc_id") % 3 == 0))
+    t.append(docs.filter(F.col("doc_id") % 3 == 1))
+    t.delete(F.col("doc_id") % 2 == 0)
+    t.compact(target_file_bytes=1 << 30)
+    return t.changes(0).select(
+        "doc_id", "n_chars", "_change_type", "_commit_version"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: PopRec top-5 recommendations on sf0.001."""
     return q_poprec_recs(spark, "/root/testdata/sf0.001")
@@ -5072,6 +5103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exact_quantiles": q_exact_quantiles,
         "q_phrase_scores": q_phrase_scores,
         "q_streaming_window": q_streaming_window,
+        "q_lake_changes": q_lake_changes,
     }
 
 
@@ -8880,6 +8912,16 @@ def oracle_sql() -> dict[str, str]:
                        AS max_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "q_lake_changes": """
+            SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+                   'insert' AS _change_type, CAST(1 AS INT) AS _commit_version
+            FROM documents WHERE doc_id % 3 = 1
+            UNION ALL
+            SELECT doc_id, CAST(length(text) AS INT),
+                   'delete', CAST(2 AS INT)
+            FROM documents
+            WHERE (doc_id % 3 = 0 OR doc_id % 3 = 1) AND doc_id % 2 = 0
         """,
         "q_corpus_diff": """
             SELECT doc_id,

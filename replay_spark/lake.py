@@ -157,14 +157,102 @@ class LakeTable:
         return [os.path.join(self.path, p) for p in live]
 
     def read(self, version: Optional[int] = None) -> DataFrame:
-        """The table as of ``version`` (default: latest)."""
+        """The table as of ``version`` (default: latest). When
+        commits carry different schemas (appends with
+        ``merge_schema=True``), the scan merges parquet schemas and
+        columns absent from older files read as null — Iceberg-style
+        additive evolution."""
         files = self.snapshot_files(version)
         if not files:
             if getattr(self, "_last_schema_json", None):
                 schema = StructType.fromJson(json.loads(self._last_schema_json))
                 return self.spark.createDataFrame([], schema)
             raise FileNotFoundError(f"no snapshot at {self.path}@{version}")
-        return self.spark.read.parquet(*files)
+        distinct_schemas = {
+            c.get("schema")
+            for c in self._commits()
+            if (version is None or c["version"] <= version)
+            and c.get("schema")
+        }
+        reader = self.spark.read
+        if len(distinct_schemas) > 1:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*files)
+
+    def changes(
+        self, start_version: int, end_version: Optional[int] = None
+    ) -> DataFrame:
+        """Row-level change feed over ``(start_version,
+        end_version]`` — the Delta CDF shape: every row carries
+        ``_change_type`` ('insert' | 'delete') and
+        ``_commit_version``.
+
+        Per-commit cost follows the operation's metadata, not the
+        table: appends are pure inserts of the added files (no diff
+        work at all); delete/merge commits diff ONLY the rewritten
+        files (``exceptAll`` multiset semantics, so duplicate rows
+        change-count correctly); compaction contributes nothing
+        (layout change, same rows). An incremental consumer
+        (`IncrementalDeduplicator`-style) reads this instead of
+        re-scanning snapshots.
+        """
+        if end_version is None:
+            end_version = self.latest_version()
+        commits = [
+            c
+            for c in self._commits()
+            if start_version < c["version"] <= end_version
+        ]
+        parts: List[DataFrame] = []
+
+        def _read_files(rel: List[str]) -> Optional[DataFrame]:
+            if not rel:
+                return None
+            return self.spark.read.parquet(
+                *[os.path.join(self.path, p) for p in rel]
+            )
+
+        for c in commits:
+            op = c["operation"]
+            if op == "compact":
+                continue
+            added = _read_files(c.get("add", []))
+            removed = _read_files(c.get("remove", []))
+            if op == "append":
+                ins, dels = added, None
+            else:  # delete / overwrite / merge: diff rewritten files
+                ins = (
+                    added.exceptAll(removed)
+                    if added is not None and removed is not None
+                    else added
+                )
+                dels = (
+                    removed.exceptAll(added)
+                    if added is not None and removed is not None
+                    else removed
+                )
+            for df, kind in ((ins, "insert"), (dels, "delete")):
+                if df is None:
+                    continue
+                parts.append(
+                    df.withColumn("_change_type", F.lit(kind)).withColumn(
+                        "_commit_version", F.lit(c["version"]).cast("int")
+                    )
+                )
+        if not parts:
+            schema = StructType.fromJson(
+                json.loads(commits[-1]["schema"])
+                if commits
+                else json.loads(self._commits()[-1]["schema"])
+            )
+            empty = self.spark.createDataFrame([], schema)
+            return empty.withColumn(
+                "_change_type", F.lit("insert")
+            ).withColumn("_commit_version", F.lit(0).cast("int")).limit(0)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
 
     # -- writes ------------------------------------------------------------
 
@@ -203,9 +291,24 @@ class LakeTable:
             raise ConcurrentWriteError(f"version {version} already committed")
         return version
 
-    def append(self, df: DataFrame, max_retries: int = 3) -> int:
+    def append(
+        self, df: DataFrame, max_retries: int = 3, merge_schema: bool = False
+    ) -> int:
         """Add rows; blind appends never conflict logically, so a
-        version race just retries at the next version."""
+        version race just retries at the next version. A schema that
+        differs from the table's requires ``merge_schema=True``
+        (additive evolution — older files read the new columns as
+        null); without it the append is rejected, the
+        writer-side-enforcement half of schema-on-write."""
+        current = self.latest_version()
+        if current >= 0 and not merge_schema:
+            self.snapshot_files(version=current)
+            stored = getattr(self, "_last_schema_json", None)
+            if stored is not None and json.loads(stored) != df.schema.jsonValue():
+                raise ValueError(
+                    "append schema differs from table schema; pass "
+                    "merge_schema=True for additive evolution"
+                )
         files = self._write_data(df)
         for _ in range(max_retries):
             try:

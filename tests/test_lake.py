@@ -145,3 +145,43 @@ def test_apply_scd2(spark):
     assert rows[(2, "y")] == (10, None, True)     # unaffected key
     assert rows[(3, "z")] == (20, None, True)     # brand-new key
     assert len(rows) == 5
+
+
+def test_changes_feed(table, spark):
+    """CDF semantics: appends are pure inserts, deletes diff only
+    rewritten files, compaction contributes nothing."""
+    table.append(_df(spark, 0, 5).coalesce(1))            # v0
+    table.append(_df(spark, 100, 103).coalesce(1))        # v1
+    table.delete(F.col("k") == 1)                         # v2
+    table.compact(target_file_bytes=1 << 30)              # v3
+    ch = table.changes(0).collect()
+    got = sorted((r.k, r._change_type, r._commit_version) for r in ch)
+    want = sorted(
+        [(k, "insert", 1) for k in (100, 101, 102)]
+        + [(1, "delete", 2)]
+    )
+    assert got == want
+    # full-history feed includes v0's inserts; compaction never shows
+    all_ch = table.changes(-1).collect()
+    assert sum(1 for r in all_ch if r._commit_version == 0) == 5
+    assert not [r for r in all_ch if r._commit_version == 3]
+
+
+def test_schema_evolution(table, spark):
+    """Additive evolution: merge_schema appends a new column, old
+    rows read it as null; un-flagged mismatched appends are
+    rejected."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    table.append(_df(spark, 0, 3))
+    wider = _df(spark, 3, 5).withColumn("tag", F.lit("new"))
+    with pytest.raises(ValueError, match="merge_schema"):
+        table.append(wider)
+    table.append(wider, merge_schema=True)
+    rows = {r.k: r.tag for r in table.read().collect()}
+    assert rows[0] is None and rows[4] == "new"
+    assert len(rows) == 5
+    # time travel to v0 still reads the ORIGINAL two-column schema
+    assert table.read(version=0).columns == ["k", "v"]
