@@ -375,6 +375,50 @@ class LakeTable:
             "compact", files, remove, current.schema, base_version + 1
         )
 
+    def optimize(
+        self,
+        zorder_by: Optional[Sequence[str]] = None,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> int:
+        """Delta-style OPTIMIZE: rewrite the live files into
+        ~``target_file_bytes`` ones, optionally Z-order-clustered on
+        ``zorder_by`` — same rows, new layout, one atomic swap.
+        After a z-ordered optimize, :meth:`read_where` box queries
+        skip most files via footer statistics."""
+        if not zorder_by:
+            return self.compact(target_file_bytes)
+        from replay_spark.utils.layout import ZOrderLayout
+
+        base_version = self.latest_version()
+        live = self.snapshot_files(version=base_version)
+        if not live:
+            return base_version
+        total = sum(os.path.getsize(p) for p in live)
+        n = int(max(1, -(-total // target_file_bytes)))
+        current = self.read(version=base_version)
+        z = ZOrderLayout(list(zorder_by))
+        laid = z.layout(current, num_partitions=n).drop(z.output_column)
+        files = self._write_data(laid)  # keeps the range partitioning
+        remove = [os.path.relpath(p, self.path) for p in live]
+        return self._commit(
+            "optimize", files, remove, current.schema, base_version + 1
+        )
+
+    def read_where(
+        self, bounds: dict, version: Optional[int] = None
+    ):
+        """Stats-pruned scan: keep only live files whose footer
+        min/max overlap every ``col: (lo, hi)`` interval, re-apply
+        the predicate as a residual filter (conservative pruning —
+        the result EQUALS the full-scan answer). Returns
+        ``(df, n_files_kept, n_files_total)``."""
+        from replay_spark.utils.layout import read_pruned
+
+        files = self.snapshot_files(version)
+        if not files:
+            raise FileNotFoundError(f"no snapshot at {self.path}@{version}")
+        return read_pruned(self.spark, files, bounds)
+
     def merge(
         self,
         source: DataFrame,

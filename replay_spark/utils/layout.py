@@ -197,11 +197,14 @@ def collect_file_stats(spark, path: str, columns=None) -> "DataFrame":
     """
     import os
 
-    files = sorted(
-        os.path.join(path, f)
-        for f in os.listdir(path)
-        if f.endswith(".parquet")
-    )
+    if isinstance(path, (list, tuple)):  # explicit file list (lake)
+        files = sorted(path)
+    else:
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
     if not files:
         raise ValueError(f"no parquet files under {path!r}")
     file_df = spark.createDataFrame([(f,) for f in files], "file string")
@@ -317,7 +320,8 @@ def read_pruned(spark, path: str, bounds: dict, manifest=None):
     finally:
         manifest.unpersist()
     if not kept:
-        df = spark.read.parquet(path).limit(0)
+        first = path[0] if isinstance(path, (list, tuple)) else path
+        df = spark.read.parquet(first).limit(0)
         n_kept = 0
     else:
         df = spark.read.parquet(*kept)

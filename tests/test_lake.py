@@ -185,3 +185,28 @@ def test_schema_evolution(table, spark):
     assert len(rows) == 5
     # time travel to v0 still reads the ORIGINAL two-column schema
     assert table.read(version=0).columns == ["k", "v"]
+
+
+def test_optimize_zorder_and_pruned_read(table, spark):
+    """OPTIMIZE ZORDER: rows unchanged, box queries skip files via
+    footer stats, and the pruned answer equals the full scan."""
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    table.append(df.repartition(8))
+    table.optimize(zorder_by=["x", "y"], target_file_bytes=8 * 1024)
+    hist = {r.version: r.operation for r in table.history().collect()}
+    assert hist[1] == "optimize"
+    assert table.read().count() == 4096
+    pruned, kept, total = table.read_where({"x": (0, 7), "y": (0, 7)})
+    assert total > 4 and kept < total  # clustering actually skips
+    want = df.filter(
+        (F.col("x") <= 7) & (F.col("y") <= 7)
+    ).agg(F.sum("payload").alias("s")).collect()[0].s
+    got = pruned.agg(F.sum("payload").alias("s")).collect()[0].s
+    assert got == want
+    # optimize with no zorder degrades to plain compaction
+    table.optimize(target_file_bytes=1 << 30)
+    assert len(table.snapshot_files()) == 1
