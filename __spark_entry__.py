@@ -4822,6 +4822,43 @@ def q_lake_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lake_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER + stats-pruned scan end to end: documents land
+    in the lake hash-scattered, optimize() re-clusters them on
+    (x, y) Z-order, and read_where() answers a box query from only
+    the overlapping files. Pruning is conservative, so the pruned
+    aggregate must EQUAL the plain filtered aggregate DuckDB computes
+    — layout changes, answers don't (file-skip counts are asserted
+    in tests/test_lake.py, not here, because they depend on parquet
+    encoding sizes)."""
+    import os
+    import shutil
+    import tempfile
+
+    from replay_spark.lake import LakeTable
+
+    docs = rsd.read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("doc_id % 64").alias("x"),
+        F.expr("(doc_id DIV 64) % 64").alias("y"),
+        F.length("text").alias("n_chars"),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"rs_lakeopt_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    t = LakeTable(spark, path)
+    t.append(docs.repartition(8))
+    t.optimize(zorder_by=["x", "y"], target_file_bytes=32 * 1024)
+    pruned, _kept, _total = t.read_where({"x": (0, 15), "y": (0, 15)})
+    return pruned.groupBy("x").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: PopRec top-5 recommendations on sf0.001."""
     return q_poprec_recs(spark, "/root/testdata/sf0.001")
@@ -5104,6 +5141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_phrase_scores": q_phrase_scores,
         "q_streaming_window": q_streaming_window,
         "q_lake_changes": q_lake_changes,
+        "q_lake_optimize": q_lake_optimize,
     }
 
 
@@ -8922,6 +8960,16 @@ def oracle_sql() -> dict[str, str]:
                    'delete', CAST(2 AS INT)
             FROM documents
             WHERE (doc_id % 3 = 0 OR doc_id % 3 = 1) AND doc_id % 2 = 0
+        """,
+        "q_lake_optimize": """
+            SELECT doc_id % 64 AS x,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+                   CAST(sum(length(text)) AS BIGINT) AS sum_chars
+            FROM documents
+            WHERE doc_id % 64 BETWEEN 0 AND 15
+              AND (doc_id // 64) % 64 BETWEEN 0 AND 15
+            GROUP BY 1
         """,
         "q_corpus_diff": """
             SELECT doc_id,
