@@ -4859,6 +4859,46 @@ def q_lake_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mp4_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 sample-table mux/demux end to end: each document's text
+    becomes doc_id%3+2 codec samples (character slices, re-encoded
+    utf-8), muxed into a REAL ISO-BMFF container through the four
+    spec sample tables (stts/stsc/stsz/stco, multi-run chunking),
+    then demuxed back by walking those tables. DuckDB recomputes
+    every slice and its octet length straight from the text — the
+    hash matches only if the byte ranges the tables encode are
+    exactly right."""
+    import pandas as pd
+
+    from replay_spark.multimodal import build_mp4_media, split_mp4_samples
+
+    docs = rsd.read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 80).alias("t")
+    )
+
+    def roundtrip(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "sample_idx": [], "sample_text": [],
+                   "n_bytes": []}
+            for did, t in zip(pdf["doc_id"], pdf["t"]):
+                k = int(did) % 3 + 2
+                samples = [t[i * 7 : i * 7 + 5 + i].encode("utf-8")
+                           for i in range(k)]
+                back = split_mp4_samples(build_mp4_media(samples))
+                for i, b in enumerate(back):
+                    out["doc_id"].append(int(did))
+                    out["sample_idx"].append(i)
+                    out["sample_text"].append(b.decode("utf-8"))
+                    out["n_bytes"].append(len(b))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        roundtrip,
+        schema="doc_id long, sample_idx int, sample_text string, "
+        "n_bytes int",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: PopRec top-5 recommendations on sf0.001."""
     return q_poprec_recs(spark, "/root/testdata/sf0.001")
@@ -5142,6 +5182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_window": q_streaming_window,
         "q_lake_changes": q_lake_changes,
         "q_lake_optimize": q_lake_optimize,
+        "q_mp4_samples": q_mp4_samples,
     }
 
 
@@ -8960,6 +9001,17 @@ def oracle_sql() -> dict[str, str]:
                    'delete', CAST(2 AS INT)
             FROM documents
             WHERE (doc_id % 3 = 0 OR doc_id % 3 = 1) AND doc_id % 2 = 0
+        """,
+        "q_mp4_samples": """
+            SELECT doc_id,
+                   CAST(i AS INT) AS sample_idx,
+                   substr(substr(text, 1, 80), i * 7 + 1, 5 + i)
+                       AS sample_text,
+                   CAST(octet_length(CAST(
+                       substr(substr(text, 1, 80), i * 7 + 1, 5 + i)
+                       AS BLOB)) AS INT) AS n_bytes
+            FROM documents, (VALUES (0), (1), (2), (3)) AS g(i)
+            WHERE i <= doc_id % 3 + 1
         """,
         "q_lake_optimize": """
             SELECT doc_id % 64 AS x,

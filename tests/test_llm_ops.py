@@ -1780,6 +1780,41 @@ def test_mp4_metadata_parser(spark):
         parse_mp4_metadata(None)
 
 
+def test_mp4_media_sample_roundtrip():
+    """build_mp4_media ∘ split_mp4_samples is identity for every
+    chunking/size shape: variable sizes (per-sample stsz),
+    uniform sizes (stsz fast path), explicit chunk plans with
+    multiple stsc runs, single sample, and the MediaProcessor
+    splitter= contract over the container."""
+    from replay_spark.multimodal import (
+        build_mp4_media,
+        parse_mp4_metadata,
+        split_mp4_samples,
+    )
+
+    varied = [b"hello", b"wor", b"ldxxray", b"a", b"bb", b"ccc", b"dddd"]
+    payload = build_mp4_media(varied, timescale=1000, sample_delta=40)
+    assert split_mp4_samples(payload) == varied
+    # the mdat layout still parses as valid metadata
+    meta = parse_mp4_metadata(payload)
+    assert meta["duration_ms"] == 7 * 40
+    assert meta["tracks"][0]["codec"] == "avc1"
+
+    # uniform stsz fast path + explicit chunk plan (two stsc runs)
+    uni = [b"abcd"] * 6
+    assert split_mp4_samples(
+        build_mp4_media(uni, chunk_sizes=[1, 1, 2, 2])) == uni
+    assert split_mp4_samples(build_mp4_media([b"z"])) == [b"z"]
+
+    with pytest.raises(ValueError, match="partition"):
+        build_mp4_media(varied, chunk_sizes=[1, 1])
+    with pytest.raises(ValueError, match="ISO-BMFF"):
+        split_mp4_samples(b"nope" * 4)
+    # metadata-only container (no stbl sample tables) is rejected
+    with pytest.raises(ValueError, match="sample table"):
+        split_mp4_samples(_build_minimal_mp4())
+
+
 def test_jpeg_progressive_roundtrip():
     """Spectral-selection progressive (SOF2): multi-scan encode must
     decode to bit-identical pixels vs the baseline encoding of the
