@@ -4899,6 +4899,33 @@ def q_mp4_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style one-pass verification: eight named constraints
+    over orders — completeness, uniqueness, bounds, set membership,
+    regex, a ppm-fraction predicate, size, and referential integrity
+    of o_custkey against the customer dim (broadcast anti-join) —
+    every observed metric an exact BIGINT num/den pair. DuckDB
+    recomputes each constraint as its own aggregate; the suite runs
+    them all in ONE scan plus one anti-join."""
+    from replay_spark.quality import ConstraintSuite
+
+    orders = rsd.read_table(spark, sf_dir, "orders")
+    customer = rsd.read_table(spark, sf_dir, "customer")
+    return (
+        ConstraintSuite()
+        .is_complete("o_custkey")
+        .is_unique("o_orderkey")
+        .is_non_negative("o_totalprice")
+        .is_contained_in("o_orderstatus", ["O", "F", "P"])
+        .matches_pattern("o_orderpriority", r"^[1-5]-")
+        .satisfies("o_totalprice < 300000", "under_300k",
+                   min_fraction_ppm=500_000)
+        .has_max("o_totalprice", 300000)
+        .is_referenced_in("o_custkey", customer, "c_custkey")
+        .run(orders)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: PopRec top-5 recommendations on sf0.001."""
     return q_poprec_recs(spark, "/root/testdata/sf0.001")
@@ -5183,6 +5210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lake_changes": q_lake_changes,
         "q_lake_optimize": q_lake_optimize,
         "q_mp4_samples": q_mp4_samples,
+        "q_constraint_suite": q_constraint_suite,
     }
 
 
@@ -9001,6 +9029,81 @@ def oracle_sql() -> dict[str, str]:
                    'delete', CAST(2 AS INT)
             FROM documents
             WHERE (doc_id % 3 = 0 OR doc_id % 3 = 1) AND doc_id % 2 = 0
+        """,
+        "q_constraint_suite": """
+            WITH base AS (SELECT * FROM orders)
+            SELECT 'complete(o_custkey)' AS constraint,
+                   'o_custkey' AS column,
+                   CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0
+                            END) AS BIGINT) AS metric_num,
+                   CAST(count(*) AS BIGINT) AS metric_den,
+                   sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0
+                       END) = 0 AS passed
+            FROM base
+            UNION ALL
+            SELECT 'unique(o_orderkey)', 'o_orderkey',
+                   CAST(count(DISTINCT o_orderkey) AS BIGINT),
+                   CAST(count(o_orderkey) AS BIGINT),
+                   count(DISTINCT o_orderkey) = count(o_orderkey)
+            FROM base
+            UNION ALL
+            SELECT 'non_negative(o_totalprice)', 'o_totalprice',
+                   CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0
+                            END) AS BIGINT),
+                   CAST(count(*) AS BIGINT),
+                   sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0
+                       END) = 0
+            FROM base
+            UNION ALL
+            SELECT 'contained(o_orderstatus)', 'o_orderstatus',
+                   CAST(sum(CASE WHEN o_orderstatus IS NOT NULL AND
+                            o_orderstatus NOT IN ('O','F','P')
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(*) AS BIGINT),
+                   sum(CASE WHEN o_orderstatus IS NOT NULL AND
+                       o_orderstatus NOT IN ('O','F','P')
+                       THEN 1 ELSE 0 END) = 0
+            FROM base
+            UNION ALL
+            SELECT 'pattern(o_orderpriority)', 'o_orderpriority',
+                   CAST(sum(CASE WHEN o_orderpriority IS NOT NULL AND
+                            NOT regexp_matches(o_orderpriority,
+                                               '^[1-5]-')
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(*) AS BIGINT),
+                   sum(CASE WHEN o_orderpriority IS NOT NULL AND
+                       NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                       THEN 1 ELSE 0 END) = 0
+            FROM base
+            UNION ALL
+            SELECT 'under_300k', 'o_totalprice < 300000',
+                   CAST(sum(CASE WHEN o_totalprice < 300000
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(*) AS BIGINT),
+                   sum(CASE WHEN o_totalprice < 300000 THEN 1 ELSE 0
+                       END) * 1000000 >= count(*) * 500000
+            FROM base
+            UNION ALL
+            SELECT 'max(o_totalprice)', 'o_totalprice',
+                   CAST(sum(CASE WHEN o_totalprice > 300000
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(*) AS BIGINT),
+                   sum(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0
+                       END) = 0
+            FROM base
+            UNION ALL
+            SELECT 'referenced(o_custkey)', 'o_custkey',
+                   CAST((SELECT count(*) FROM base o
+                         WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+                           (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey))
+                        AS BIGINT),
+                   CAST(count(*) AS BIGINT),
+                   (SELECT count(*) FROM base o
+                    WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+                      (SELECT 1 FROM customer c
+                       WHERE c.c_custkey = o.o_custkey)) = 0
+            FROM base
         """,
         "q_mp4_samples": """
             SELECT doc_id,

@@ -1,0 +1,110 @@
+"""ConstraintSuite: one-pass Deequ-style data-quality verification."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from replay_spark.quality import ConstraintSuite
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    return spark.createDataFrame(
+        [
+            (1, "O", 10.0, "1-URGENT", 100),
+            (2, "F", 0.0, "5-LOW", 200),
+            (3, "P", -5.0, "3-MEDIUM", 100),
+            (4, None, 30.0, "2-HIGH", 999),
+            (5, "O", 40.0, "bad", 200),
+            (5, "F", 50.0, "4-NOT SO", 100),
+        ],
+        "id long, status string, price double, prio string, fk long",
+    )
+
+
+def test_local_constraints_one_pass(frame):
+    suite = (
+        ConstraintSuite()
+        .is_complete("id")
+        .is_complete("status")
+        .is_unique("id")
+        .is_non_negative("price")
+        .has_min("price", -10.0)
+        .has_max("price", 100.0)
+        .is_contained_in("status", ["O", "F", "P"])
+        .matches_pattern("prio", r"^[1-5]-")
+        .satisfies("price >= 0", "mostly_paid", min_fraction_ppm=800_000)
+        .has_size(min_rows=2, max_rows=10)
+    )
+    rep = suite.run(frame)
+    rows = {r.constraint: r for r in rep.collect()}
+    assert rep.columns == [
+        "constraint", "column", "metric_num", "metric_den", "passed",
+    ]
+    assert rows["complete(id)"].passed
+    c = rows["complete(status)"]
+    assert (not c.passed) and c.metric_num == 1 and c.metric_den == 6
+    u = rows["unique(id)"]
+    assert (not u.passed) and u.metric_num == 5 and u.metric_den == 6
+    assert not rows["non_negative(price)"].passed
+    assert rows["min(price)"].passed
+    assert rows["max(price)"].passed
+    assert rows["contained(status)"].passed  # null is not a violation
+    p = rows["pattern(prio)"]
+    assert (not p.passed) and p.metric_num == 1
+    m = rows["mostly_paid"]
+    assert m.passed and m.metric_num == 5  # 5/6 = 833333 ppm >= 800000
+    assert rows["size"].passed
+
+    # the ten row-local constraints fuse into a single aggregate:
+    # the optimized plan reads the relation exactly once (the AQE
+    # physical string prints initial+final sections, so count scans
+    # in the logical plan where each relation appears once per read)
+    plan = rep._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == 1
+
+
+def test_referential_integrity(frame, spark):
+    dim = spark.createDataFrame([(100,), (200,)], "k long")
+    rep = (
+        ConstraintSuite()
+        .is_referenced_in("fk", dim, "k")
+        .is_complete("id")
+        .run(frame)
+    )
+    rows = {r.constraint: r for r in rep.collect()}
+    ri = rows["referenced(fk)"]
+    assert (not ri.passed) and ri.metric_num == 1 and ri.metric_den == 6
+    assert rows["complete(id)"].passed
+    # orphan-free dim passes
+    full = spark.createDataFrame([(100,), (200,), (999,)], "k long")
+    ok = (
+        ConstraintSuite()
+        .is_referenced_in("fk", full, "k")
+        .run(frame)
+        .collect()[0]
+    )
+    assert ok.passed and ok.metric_num == 0
+
+
+def test_suite_errors(frame):
+    with pytest.raises(ValueError, match="duplicate"):
+        ConstraintSuite().is_complete("id").is_complete("id")
+    with pytest.raises(ValueError, match="empty"):
+        ConstraintSuite().run(frame)
+    with pytest.raises(ValueError, match="constraints failed"):
+        ConstraintSuite().is_non_negative("price").assert_passed(frame)
+    # assert_passed is silent on success
+    ConstraintSuite().is_complete("id").assert_passed(frame)
+
+
+def test_satisfies_null_predicate_counts_as_false(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, 5)], "id long, v long"
+    )
+    r = (
+        ConstraintSuite()
+        .satisfies("v > 0", "v_pos", min_fraction_ppm=1_000_000)
+        .run(df)
+        .collect()[0]
+    )
+    assert r.metric_num == 1 and r.metric_den == 2 and not r.passed
