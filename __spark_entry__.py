@@ -4926,6 +4926,29 @@ def q_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 12-hour resampling with LINEAR interpolation over
+    the gaps: one backward + one forward window over the same keyed
+    partitioning recover the neighbouring observed buckets, and gap
+    values are pv + (nv-pv) * ((b-pb)/(nb-pb)) in that exact IEEE
+    operation order, so DuckDB's identical expression produces
+    bit-identical doubles (inputs are integerized sums — every
+    intermediate is exactly representable)."""
+    from replay_spark.timeseries import TimeSeriesResampler
+
+    ev = rsd.read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("value"),
+    )
+    rs = TimeSeriesResampler(interval_seconds=43200, fill="interpolate")
+    return rs.transform(ev).select(
+        "user_id", "bucket", "n_events",
+        F.col("value_sum").cast("double").alias("value_sum"),
+        "is_gap",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: PopRec top-5 recommendations on sf0.001."""
     return q_poprec_recs(spark, "/root/testdata/sf0.001")
@@ -5211,6 +5234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lake_optimize": q_lake_optimize,
         "q_mp4_samples": q_mp4_samples,
         "q_constraint_suite": q_constraint_suite,
+        "q_timeseries_interpolate": q_timeseries_interpolate,
     }
 
 
@@ -6574,6 +6598,67 @@ def oracle_sql() -> dict[str, str]:
                        AND CURRENT ROW) AS BIGINT) AS value_sum,
                    is_gap, 'ffill'
             FROM j
+        """,
+        "q_timeseries_interpolate": """
+            WITH e AS (
+                SELECT user_id,
+                       CAST(epoch_us(ts) // 43200000000 AS BIGINT)
+                           AS bucket,
+                       CAST(floor(value * 100) AS BIGINT) AS v
+                FROM events),
+            o AS (
+                SELECT user_id, bucket,
+                       count(*) AS n_events,
+                       CAST(sum(v) AS BIGINT) AS vsum
+                FROM e GROUP BY user_id, bucket),
+            s AS (
+                SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+                FROM o GROUP BY user_id),
+            g AS (
+                SELECT user_id,
+                       unnest(range(lo, hi + 1)) AS bucket
+                FROM s),
+            j AS (
+                SELECT g.user_id, g.bucket,
+                       coalesce(o.n_events, 0) AS n_events,
+                       o.vsum,
+                       CASE WHEN o.n_events IS NULL THEN 1 ELSE 0 END
+                           AS is_gap
+                FROM g LEFT JOIN o
+                  ON g.user_id = o.user_id AND g.bucket = o.bucket),
+            w AS (
+                SELECT *,
+                       last_value(vsum IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY bucket
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS pv,
+                       last_value(CASE WHEN vsum IS NOT NULL
+                                       THEN bucket END IGNORE NULLS)
+                           OVER (
+                           PARTITION BY user_id ORDER BY bucket
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS pb,
+                       first_value(vsum IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY bucket
+                           ROWS BETWEEN CURRENT ROW
+                           AND UNBOUNDED FOLLOWING) AS nv,
+                       first_value(CASE WHEN vsum IS NOT NULL
+                                        THEN bucket END IGNORE NULLS)
+                           OVER (
+                           PARTITION BY user_id ORDER BY bucket
+                           ROWS BETWEEN CURRENT ROW
+                           AND UNBOUNDED FOLLOWING) AS nb
+                FROM j)
+            SELECT user_id, bucket, n_events,
+                   CASE WHEN vsum IS NOT NULL THEN CAST(vsum AS DOUBLE)
+                        WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+                        WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+                        ELSE pv + (nv - pv) *
+                             (CAST(bucket - pb AS DOUBLE) /
+                              CAST(nb - pb AS DOUBLE))
+                   END AS value_sum,
+                   is_gap
+            FROM w
         """,
         "q_connected_components": """
             SELECT doc_id AS node,

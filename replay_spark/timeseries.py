@@ -16,9 +16,12 @@ and completes each key's grid WITHOUT touching the driver:
    dense bucket range executor-side, and a keyed left join
    re-attaching observed buckets;
 4. fill — ``n_events`` is always 0-filled; the value aggregate is
-   ``fill="zero"`` (0), ``"null"``, or ``"ffill"`` (last observed
+   ``fill="zero"`` (0), ``"null"``, ``"ffill"`` (last observed
    value via ``last(ignorenulls)`` over each key's grid — a window
-   ordered WITHIN the key partitioning already in place).
+   ordered WITHIN the key partitioning already in place), or
+   ``"interpolate"`` (linear between the neighbouring observed
+   buckets via one backward + one forward window over that same
+   partitioning; edges hold the boundary value).
 
 Scale: every stage is keyed; there is no global sort. A key's grid
 is bounded by time-span / interval, not by its event count, so hot
@@ -113,8 +116,10 @@ class TimeSeriesResampler:
     ):
         if interval_seconds < 1:
             raise ValueError("interval_seconds must be >= 1")
-        if fill not in ("zero", "null", "ffill"):
-            raise ValueError("fill must be 'zero', 'null', or 'ffill'")
+        if fill not in ("zero", "null", "ffill", "interpolate"):
+            raise ValueError(
+                "fill must be 'zero', 'null', 'ffill', or 'interpolate'"
+            )
         if extend not in ("per_key", "global"):
             raise ValueError("extend must be 'per_key' or 'global'")
         self.interval_seconds = interval_seconds
@@ -173,13 +178,51 @@ class TimeSeriesResampler:
                 vs = F.coalesce(F.col("_vsum"), F.lit(0))
             elif self.fill == "null":
                 vs = F.col("_vsum")
-            else:  # ffill: last observed value carried over gap rows
+            elif self.fill == "ffill":
+                # last observed value carried over gap rows
                 w = (
                     Window.partitionBy(key)
                     .orderBy("bucket")
                     .rowsBetween(Window.unboundedPreceding, 0)
                 )
                 vs = F.last("_vsum", ignorenulls=True).over(w)
+            else:  # interpolate: linear between neighbouring buckets
+                # Two windows over the SAME (key, bucket) partitioning
+                # — backward carries (prev value, prev bucket), forward
+                # (next value, next bucket); the interior gap value is
+                # prev + (next-prev) * ((b-pb)/(nb-pb)) as a double
+                # with that exact operation order (IEEE-deterministic,
+                # engine-portable); one-sided edges (extend="global")
+                # hold the boundary value.
+                wb = (
+                    Window.partitionBy(key)
+                    .orderBy("bucket")
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                )
+                wf = (
+                    Window.partitionBy(key)
+                    .orderBy("bucket")
+                    .rowsBetween(0, Window.unboundedFollowing)
+                )
+                # a bucket counts as observed only if its sum is
+                # non-null, so all-null observed buckets interpolate
+                # like gaps and (pv, pb) / (nv, nb) stay paired
+                obs_b = F.when(
+                    F.col("_vsum").isNotNull(), F.col("bucket")
+                )
+                pv = F.last("_vsum", ignorenulls=True).over(wb)
+                pb = F.last(obs_b, ignorenulls=True).over(wb)
+                nv = F.first("_vsum", ignorenulls=True).over(wf)
+                nb = F.first(obs_b, ignorenulls=True).over(wf)
+                frac = (F.col("bucket") - pb).cast("double") / (
+                    nb - pb
+                ).cast("double")
+                vs = (
+                    F.when(F.col("_vsum").isNotNull(), F.col("_vsum"))
+                    .when(pv.isNull(), nv)
+                    .when(nv.isNull(), pv)
+                    .otherwise(pv + (nv - pv) * frac)
+                )
             out = out.withColumn("value_sum", vs).drop("_vsum")
         return out.withColumn(
             "bucket_ts",

@@ -4040,6 +4040,61 @@ def test_timeseries_resampler_gaps_and_fills(spark):
     assert z[(1, b0)]["bucket_ts"] == datetime(2024, 1, 1, 0, 0)
 
 
+def test_timeseries_resampler_interpolate(spark):
+    from datetime import datetime
+
+    from replay_spark.timeseries import TimeSeriesResampler
+
+    h = 3600
+    rows = [
+        # key 1: sums 12 at hour 0, 3 at hour 3 -> gaps at 1, 2
+        (1, datetime(2024, 1, 1, 0, 10), 10.0),
+        (1, datetime(2024, 1, 1, 0, 50), 2.0),
+        (1, datetime(2024, 1, 1, 3, 0), 3.0),
+        # key 2: single bucket -> nothing to interpolate
+        (2, datetime(2024, 1, 1, 2, 30), 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    )
+    rs = TimeSeriesResampler(interval_seconds=h, fill="interpolate")
+    out = {
+        (r["user_id"], r["bucket"]): r for r in rs.transform(df).collect()
+    }
+    b0 = min(b for (u, b) in out if u == 1)
+    # linear from 12 (bucket 0) to 3 (bucket 3): 9, 6 on the gaps
+    assert out[(1, b0)]["value_sum"] == 12.0
+    assert out[(1, b0 + 1)]["value_sum"] == 9.0
+    assert out[(1, b0 + 2)]["value_sum"] == 6.0
+    assert out[(1, b0 + 3)]["value_sum"] == 3.0
+    assert out[(1, b0 + 1)]["is_gap"] == 1
+
+    # global grid: edge buckets before/after a key's span hold the
+    # boundary value (one-sided interpolation)
+    rows2 = [
+        (1, datetime(2024, 1, 1, 0, 0), 4.0),
+        (1, datetime(2024, 1, 1, 2, 0), 8.0),
+        (2, datetime(2024, 1, 1, 4, 0), 5.0),
+    ]
+    df2 = spark.createDataFrame(
+        rows2, "user_id long, ts timestamp, value double"
+    )
+    rs2 = TimeSeriesResampler(
+        interval_seconds=h, fill="interpolate", extend="global"
+    )
+    g = {
+        (r["user_id"], r["bucket"]): r
+        for r in rs2.transform(df2).collect()
+    }
+    g0 = min(b for (u, b) in g if u == 1)
+    assert g[(1, g0 + 1)]["value_sum"] == 6.0  # interior midpoint
+    assert g[(1, g0 + 3)]["value_sum"] == 8.0  # trailing edge holds
+    assert g[(1, g0 + 4)]["value_sum"] == 8.0
+    assert g[(2, g0)]["value_sum"] == 5.0  # leading edge holds
+    with pytest.raises(ValueError, match="fill"):
+        TimeSeriesResampler(fill="bogus")
+
+
 def test_timeseries_resampler_global_grid(spark):
     from datetime import datetime
 
