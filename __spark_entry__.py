@@ -4949,6 +4949,21 @@ def q_timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters over every corpus token occurrence via
+    two-phase Misra-Gries (k=40): bounded-memory per-partition
+    summaries nominate candidates, a broadcast recount keeps tokens
+    with count·k > N — the result is exact, so DuckDB replays it as
+    a plain GROUP BY ... HAVING."""
+    from replay_spark.preprocessing.text import HeavyHitters, tokenize_expr
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tokenize_expr(F.lower(F.col("text")))).alias("token")
+    )
+    return HeavyHitters(k=40).transform(toks)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: PopRec top-5 recommendations on sf0.001."""
     return q_poprec_recs(spark, "/root/testdata/sf0.001")
@@ -5235,6 +5250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mp4_samples": q_mp4_samples,
         "q_constraint_suite": q_constraint_suite,
         "q_timeseries_interpolate": q_timeseries_interpolate,
+        "q_heavy_hitters": q_heavy_hitters,
     }
 
 
@@ -7514,6 +7530,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT regs.register, regs.rho_max, e.v_empty,
                    e.n_nonzero, e.est, t.true_distinct
             FROM regs, e, t
+        """,
+        "q_heavy_hitters": """
+            WITH toks AS (
+                SELECT unnest(string_split_regex(trim(lower(text)),
+                                                 '\\s+')) AS token
+                FROM documents
+                WHERE trim(text) <> '')
+            SELECT token, CAST(count(*) AS BIGINT) AS count
+            FROM toks
+            GROUP BY token
+            HAVING count(*) * 40 > (SELECT count(*) FROM toks)
         """,
         "q_cms_counts": """
             WITH toks AS (

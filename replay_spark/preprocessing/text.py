@@ -52,6 +52,7 @@ __all__ = [
     "PerplexityBucketer",
     "DSIRSelector",
     "CountMinSketch",
+    "HeavyHitters",
     "HyperLogLog",
     "BloomFilter",
     "QualityFilterPipeline",
@@ -2279,6 +2280,90 @@ class CountMinSketch:
                 F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_count")
             )
         )
+
+
+class HeavyHitters:
+    """Exact heavy hitters at unbounded cardinality via the
+    two-phase Misra-Gries pattern (Misra & Gries 1982): phase 1 runs
+    a ``k``-counter MG summary INSIDE each partition (bounded memory
+    no matter how many distinct tokens — the reason a plain
+    ``groupBy.count`` is the wrong plan at 100 TB vocabulary), phase
+    2 broadcast-semi-joins the ≤ k·partitions candidates back over
+    the data for EXACT counts, and keeps tokens with
+    ``count * k > N``.
+
+    Correctness: per-partition MG keeps every token with partition
+    frequency > n_p/(k+1); any token with global frequency > N/(k+1)
+    exceeds that bound in at least one partition (pigeonhole), so
+    candidates cover all tokens above the (stricter) N/k output
+    threshold — the result is EXACT and deterministic, independent
+    of partitioning and row order. No reference counterpart
+    (LLM-pipeline extension; complements CountMinSketch, which
+    answers point queries but cannot enumerate).
+    """
+
+    def __init__(self, k: int = 100, token_column: str = "token"):
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        self.k = k
+        self.token_column = token_column
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """``[token, count]`` for every token whose exact count
+        satisfies ``count * k > N`` (N = total rows)."""
+        import pandas as pd
+
+        k = self.k
+        tc = self.token_column
+        toks = df.select(F.col(tc).alias("token"))
+
+        def mg(batches):
+            counters: dict = {}
+            n_rows = 0
+            for pdf in batches:
+                n_rows += len(pdf)
+                for tok, w in pdf["token"].value_counts().items():
+                    w = int(w)
+                    while w > 0:
+                        if tok in counters:
+                            counters[tok] += w
+                            w = 0
+                        elif len(counters) < k:
+                            counters[tok] = w
+                            w = 0
+                        else:
+                            mn = min(counters.values())
+                            dec = min(mn, w)
+                            w -= dec
+                            for t in list(counters):
+                                counters[t] -= dec
+                                if counters[t] == 0:
+                                    del counters[t]
+            yield pd.DataFrame(
+                {
+                    "token": list(counters) + [None],
+                    "n_rows": [0] * len(counters) + [n_rows],
+                }
+            )
+
+        phase1 = toks.mapInPandas(
+            mg, schema="token string, n_rows long"
+        ).persist()
+        total = phase1.agg(F.sum("n_rows").alias("_total"))
+        cands = phase1.filter(F.col("token").isNotNull()).select(
+            "token"
+        ).distinct()
+        exact = (
+            toks.join(F.broadcast(cands), on="token")
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("count"))
+        )
+        out = (
+            exact.crossJoin(F.broadcast(total))
+            .filter(F.col("count") * k > F.col("_total"))
+            .select("token", "count")
+        )
+        return out
 
 
 class BloomFilter:

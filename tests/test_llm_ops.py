@@ -3111,6 +3111,41 @@ def test_spectrogram_parseval_energy(spark):
     )
 
 
+def test_heavy_hitters_exact_above_threshold(spark):
+    """Two-phase Misra-Gries: output EQUALS the exact
+    groupBy-HAVING answer (count·k > N) regardless of k pressure,
+    partitioning, or row order."""
+    from replay_spark.preprocessing.text import HeavyHitters
+
+    # 1000 rows: 'a' ×400, 'b' ×150, 'c' ×90, long tail of uniques
+    rows = (["a"] * 400 + ["b"] * 150 + ["c"] * 90
+            + [f"t{i}" for i in range(360)])
+    df = spark.createDataFrame([(t,) for t in rows], "token string")
+
+    def expected(k):
+        n = len(rows)
+        from collections import Counter
+        return {t: c for t, c in Counter(rows).items() if c * k > n}
+
+    for k, parts in ((5, 3), (8, 7), (100, 2)):
+        got = {
+            r.token: r["count"]
+            for r in HeavyHitters(k=k)
+            .transform(df.repartition(parts))
+            .collect()
+        }
+        assert got == expected(k), (k, parts)
+
+    # tiny k forces per-partition evictions yet 'a' (40% > 1/3) stays
+    got3 = {
+        r.token: r["count"]
+        for r in HeavyHitters(k=3).transform(df.repartition(9)).collect()
+    }
+    assert got3 == expected(3) == {"a": 400}
+    with pytest.raises(ValueError, match="k must"):
+        HeavyHitters(k=0)
+
+
 def test_bloom_filter_no_false_negatives(spark):
     from replay_spark.preprocessing.text import BloomFilter
 
