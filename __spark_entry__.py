@@ -4964,6 +4964,52 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return HeavyHitters(k=40).transform(toks)
 
 
+def q_ivm_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance over the change feed: the
+    per-(doc_id%7) count/sum view is materialized at v1, then
+    REFRESHED from changes((1, 3]) — the delete's signed deltas and
+    the compaction's nothing — instead of recomputing from the
+    table. DuckDB computes the v3 view directly from the predicates;
+    the hash matches only if snapshot+deltas lands on exactly the
+    full recompute."""
+    import os
+    import shutil
+    import tempfile
+
+    from replay_spark.lake import LakeTable, refresh_aggregate
+
+    docs = rsd.read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"rs_lakeivm_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    t = LakeTable(spark, path)
+    t.append(docs.filter(F.col("doc_id") % 3 == 0))
+    t.append(docs.filter(F.col("doc_id") % 3 == 1))
+    base = (
+        t.read(version=1)
+        .groupBy((F.col("doc_id") % 7).alias("g"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+    t.delete(F.col("doc_id") % 2 == 0)
+    t.compact(target_file_bytes=1 << 30)
+    feed = t.changes(1).withColumn("g", F.col("doc_id") % 7)
+    refreshed = refresh_aggregate(
+        base, feed, ["g"], "n_rows", {"sum_chars": "n_chars"}
+    )
+    return refreshed.select(
+        "g",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("sum_chars").cast("long").alias("sum_chars"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: PopRec top-5 recommendations on sf0.001."""
     return q_poprec_recs(spark, "/root/testdata/sf0.001")
@@ -5251,6 +5297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_constraint_suite": q_constraint_suite,
         "q_timeseries_interpolate": q_timeseries_interpolate,
         "q_heavy_hitters": q_heavy_hitters,
+        "q_ivm_refresh": q_ivm_refresh,
     }
 
 
@@ -9227,6 +9274,15 @@ def oracle_sql() -> dict[str, str]:
                        AS BLOB)) AS INT) AS n_bytes
             FROM documents, (VALUES (0), (1), (2), (3)) AS g(i)
             WHERE i <= doc_id % 3 + 1
+        """,
+        "q_ivm_refresh": """
+            SELECT doc_id % 7 AS g,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(length(text)) AS BIGINT) AS sum_chars
+            FROM documents
+            WHERE (doc_id % 3 = 0 OR doc_id % 3 = 1)
+              AND doc_id % 2 <> 0
+            GROUP BY 1
         """,
         "q_lake_optimize": """
             SELECT doc_id % 64 AS x,

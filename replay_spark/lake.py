@@ -54,7 +54,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-__all__ = ["LakeTable", "ConcurrentWriteError", "merge_into", "apply_scd2"]
+__all__ = [
+    "LakeTable",
+    "ConcurrentWriteError",
+    "merge_into",
+    "apply_scd2",
+    "refresh_aggregate",
+]
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -304,7 +310,19 @@ class LakeTable:
         if current >= 0 and not merge_schema:
             self.snapshot_files(version=current)
             stored = getattr(self, "_last_schema_json", None)
-            if stored is not None and json.loads(stored) != df.schema.jsonValue():
+
+            def _shape(schema_json: dict) -> list:
+                # names + types only: nullability differences are
+                # write-compatible (rewrite commits re-read through
+                # parquet, which reports every column nullable)
+                return [
+                    (f["name"], f["type"])
+                    for f in schema_json.get("fields", [])
+                ]
+
+            if stored is not None and _shape(json.loads(stored)) != _shape(
+                df.schema.jsonValue()
+            ):
                 raise ValueError(
                     "append schema differs from table schema; pass "
                     "merge_schema=True for additive evolution"
@@ -458,6 +476,56 @@ class LakeTable:
 
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
+
+
+def refresh_aggregate(
+    snapshot_agg: DataFrame,
+    changes: DataFrame,
+    group_columns: Sequence[str],
+    count_column: str = "n_rows",
+    sum_columns: Optional[dict] = None,
+) -> DataFrame:
+    """Incremental view maintenance: apply a change feed (the
+    :meth:`LakeTable.changes` shape — ``_change_type`` 'insert' |
+    'delete') to a maintained count/sum aggregate WITHOUT
+    recomputing it from the base table.
+
+    ``snapshot_agg`` is the view as of the feed's start version
+    (``group_columns`` + ``count_column`` + the keys of
+    ``sum_columns``); ``sum_columns`` maps output column → source
+    column in the feed (e.g. ``{"sum_chars": "n_chars"}``). Count
+    and sum are the self-maintainable aggregates (a delete is just a
+    −1/−value contribution); min/max are not — they need the base
+    table on deletes, so this function deliberately excludes them.
+
+    Plan: the feed aggregates to signed per-group deltas (map-side
+    combined — cost follows the CHANGES, not the 100 TB base), then
+    a single full-outer join merges deltas into the snapshot and
+    drops groups whose count reaches 0. Exact for integer sums;
+    float sums drift like any incremental float pipeline would.
+    """
+    keys = list(group_columns)
+    sums = dict(sum_columns or {})
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    aggs = [F.sum(sign).alias(f"_d_{count_column}")]
+    for out_col, src_col in sums.items():
+        aggs.append(F.sum(sign * F.col(src_col)).alias(f"_d_{out_col}"))
+    delta = changes.groupBy(*keys).agg(*aggs)
+    merged = snapshot_agg.join(delta, on=keys, how="full_outer")
+    new_count = F.coalesce(F.col(count_column), F.lit(0)) + F.coalesce(
+        F.col(f"_d_{count_column}"), F.lit(0)
+    )
+    cols = [F.col(k) for k in keys] + [new_count.alias(count_column)]
+    for out_col in sums:
+        cols.append(
+            (
+                F.coalesce(F.col(out_col), F.lit(0))
+                + F.coalesce(F.col(f"_d_{out_col}"), F.lit(0))
+            ).alias(out_col)
+        )
+    return merged.select(*cols).filter(F.col(count_column) > 0)
 
 
 def merge_into(

@@ -187,6 +187,51 @@ def test_schema_evolution(table, spark):
     assert table.read(version=0).columns == ["k", "v"]
 
 
+def test_refresh_aggregate_matches_full_recompute(table, spark):
+    """IVM: snapshot agg + change feed == recomputed agg, including
+    a group whose count drops to zero (it must vanish)."""
+    from replay_spark.lake import refresh_aggregate
+
+    df = spark.range(0, 100).select(
+        (F.col("id") % 5).alias("g"),
+        F.col("id").alias("v"),
+    )
+    table.append(df)  # v0
+    base = table.read(version=0).groupBy("g").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("v").alias("sum_v"),
+    )
+    # v1 deletes ALL of group 4 plus the evens of group 0
+    table.delete((F.col("g") == 4) | ((F.col("g") == 0) & (F.col("v") % 2 == 0)))
+    # v2 appends new rows into groups 1 and 4
+    table.append(
+        spark.range(200, 210).select(
+            (F.col("id") % 2 + 1).alias("g"), F.col("id").alias("v")
+        )
+    )
+    refreshed = refresh_aggregate(
+        base, table.changes(0), ["g"], "n_rows", {"sum_v": "v"}
+    )
+    full = table.read().groupBy("g").agg(
+        F.count("*").alias("n_rows"), F.sum("v").alias("sum_v")
+    )
+    got = {r.g: (r.n_rows, r.sum_v) for r in refreshed.collect()}
+    want = {r.g: (r.n_rows, r.sum_v) for r in full.collect()}
+    assert got == want
+    # group 4 was fully deleted then re-inserted by the append;
+    # a group deleted and NOT re-inserted must disappear entirely
+    table.delete(F.col("g") == 4)
+    refreshed2 = refresh_aggregate(
+        base, table.changes(0), ["g"], "n_rows", {"sum_v": "v"}
+    )
+    assert 4 not in {r.g for r in refreshed2.collect()}
+    assert {r.g: (r.n_rows, r.sum_v) for r in refreshed2.collect()} == {
+        r.g: (r.n_rows, r.sum_v) for r in table.read().groupBy("g").agg(
+            F.count("*").alias("n_rows"), F.sum("v").alias("sum_v")
+        ).collect()
+    }
+
+
 def test_optimize_zorder_and_pruned_read(table, spark):
     """OPTIMIZE ZORDER: rows unchanged, box queries skip files via
     footer stats, and the pruned answer equals the full scan."""
