@@ -5010,6 +5010,44 @@ def q_ivm_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_webm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebM Cluster/SimpleBlock mux/demux end to end — the EBML twin
+    of q_mp4_samples: each document's text becomes doc_id%4+1 frame
+    payloads, muxed into a real Matroska container (clusters of 3,
+    per-block relative timecodes), then demuxed by walking
+    Segment→Cluster→SimpleBlock. DuckDB recomputes the slices and
+    octet lengths from the text."""
+    import pandas as pd
+
+    from replay_spark.multimodal import build_webm_media, split_webm_frames
+
+    docs = rsd.read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 60).alias("t")
+    )
+
+    def roundtrip(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_text": [],
+                   "n_bytes": []}
+            for did, t in zip(pdf["doc_id"], pdf["t"]):
+                k = int(did) % 4 + 1
+                frames = [t[i * 5 : i * 5 + 4 + i].encode("utf-8")
+                          for i in range(k)]
+                back = split_webm_frames(build_webm_media(frames))
+                for i, b in enumerate(back):
+                    out["doc_id"].append(int(did))
+                    out["frame_idx"].append(i)
+                    out["frame_text"].append(b.decode("utf-8"))
+                    out["n_bytes"].append(len(b))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        roundtrip,
+        schema="doc_id long, frame_idx int, frame_text string, "
+        "n_bytes int",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: PopRec top-5 recommendations on sf0.001."""
     return q_poprec_recs(spark, "/root/testdata/sf0.001")
@@ -5298,6 +5336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_timeseries_interpolate": q_timeseries_interpolate,
         "q_heavy_hitters": q_heavy_hitters,
         "q_ivm_refresh": q_ivm_refresh,
+        "q_webm_frames": q_webm_frames,
     }
 
 
@@ -9188,6 +9227,17 @@ def oracle_sql() -> dict[str, str]:
                    'delete', CAST(2 AS INT)
             FROM documents
             WHERE (doc_id % 3 = 0 OR doc_id % 3 = 1) AND doc_id % 2 = 0
+        """,
+        "q_webm_frames": """
+            SELECT doc_id,
+                   CAST(i AS INT) AS frame_idx,
+                   substr(substr(text, 1, 60), i * 5 + 1, 4 + i)
+                       AS frame_text,
+                   CAST(octet_length(CAST(
+                       substr(substr(text, 1, 60), i * 5 + 1, 4 + i)
+                       AS BLOB)) AS INT) AS n_bytes
+            FROM documents, (VALUES (0), (1), (2), (3)) AS g(i)
+            WHERE i <= doc_id % 4
         """,
         "q_constraint_suite": """
             WITH base AS (SELECT * FROM orders)

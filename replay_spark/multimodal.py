@@ -80,6 +80,8 @@ __all__ = [
     "build_mp4_container",
     "build_mp4_media",
     "split_mp4_samples",
+    "build_webm_media",
+    "split_webm_frames",
     "parse_webm_metadata",
     "webm_metadata",
     "build_webm_container",
@@ -1906,6 +1908,117 @@ def build_webm_container(
     )
     tracks = elem(_MKV_TRACKS, track)
     return header + elem(_MKV_SEGMENT, info + tracks)
+
+
+_MKV_CLUSTER = 0x1F43B675
+_MKV_CLUSTER_TS = 0xE7
+_MKV_SIMPLEBLOCK = 0xA3
+
+
+def _ebml_size_varint(n: int) -> bytes:
+    """EBML data-size varint (marker bit + 7·k value bits)."""
+    for k in (1, 2, 3, 4, 8):
+        if n < (1 << (7 * k)) - 1:
+            return (n | (1 << (7 * k))).to_bytes(k, "big")
+    raise ValueError("EBML size too large")
+
+
+def build_webm_media(
+    frames: list,
+    frame_duration_ms: int = 40,
+    codec: str = "V_VP9",
+    track_type: int = 1,
+    doctype: str = "webm",
+    frames_per_cluster: int = 3,
+) -> bytes:
+    """Build a WebM/Matroska container with REAL frame payloads:
+    Segment(Info, Tracks, Cluster*) where each Cluster carries a
+    Timestamp element and up to ``frames_per_cluster`` SimpleBlocks
+    (track varint ``0x81`` + 2-byte signed relative timecode +
+    keyframe flags + payload — the Matroska block layout).
+    :func:`split_webm_frames` inverts it; together they complete the
+    container matrix (GIF/AVI/MP4/WebM all mux AND demux)."""
+    import struct as _struct
+
+    if frame_duration_ms <= 0 or frames_per_cluster < 1:
+        raise ValueError(
+            "frame_duration_ms and frames_per_cluster must be >= 1"
+        )
+    frames = [bytes(f) for f in frames]
+
+    def elem(eid: int, payload: bytes) -> bytes:
+        nid = max(1, (eid.bit_length() + 7) // 8)
+        return eid.to_bytes(nid, "big") + _ebml_size_varint(
+            len(payload)
+        ) + payload
+
+    header = elem(
+        _EBML_HEADER_ID, elem(_EBML_DOCTYPE, doctype.encode("ascii"))
+    )
+    dur = float(len(frames) * frame_duration_ms)
+    info = elem(
+        _MKV_INFO,
+        elem(_MKV_TIMESCALE, (1_000_000).to_bytes(3, "big"))
+        + elem(_MKV_DURATION, _struct.pack(">d", dur)),
+    )
+    track = elem(
+        _MKV_TRACKENTRY,
+        elem(_MKV_TRACKNUMBER, b"\x01")
+        + elem(_MKV_TRACKTYPE, bytes([track_type]))
+        + elem(_MKV_CODECID, codec.encode("ascii")),
+    )
+    clusters = b""
+    for c0 in range(0, len(frames), frames_per_cluster):
+        chunk = frames[c0 : c0 + frames_per_cluster]
+        cluster_ts = c0 * frame_duration_ms
+        body = elem(
+            _MKV_CLUSTER_TS,
+            cluster_ts.to_bytes(
+                max(1, (cluster_ts.bit_length() + 7) // 8), "big"
+            ),
+        )
+        for i, frame in enumerate(chunk):
+            rel = i * frame_duration_ms  # relative to the cluster ts
+            block = (
+                b"\x81" + _struct.pack(">h", rel) + b"\x80" + frame
+            )
+            body += elem(_MKV_SIMPLEBLOCK, block)
+        clusters += elem(_MKV_CLUSTER, body)
+    return header + elem(
+        _MKV_SEGMENT, info + elem(_MKV_TRACKS, track) + clusters
+    )
+
+
+def split_webm_frames(payload: bytes) -> list:
+    """``MediaProcessor`` ``splitter=`` contract over a REAL
+    WebM/Matroska container: walks Segment → Cluster → SimpleBlock,
+    strips each block's header (track varint, relative timecode,
+    flags) and returns the frame payloads in storage order. Laced
+    blocks (flag bits 0x06) are rejected — the builder never emits
+    them and lace reconstruction is out of scope. The EBML demux
+    twin of :func:`split_mp4_samples`."""
+    data = bytes(payload)
+    if len(data) < 4 or data[:4] != b"\x1a\x45\xdf\xa3":
+        raise ValueError("not an EBML payload (bad magic)")
+    frames = []
+    for eid, s, e in _ebml_elements(data, 0, len(data)):
+        if eid != _MKV_SEGMENT:
+            continue
+        for sid, ss, se in _ebml_elements(data, s, e):
+            if sid != _MKV_CLUSTER:
+                continue
+            for cid, cs, ce in _ebml_elements(data, ss, se):
+                if cid != _MKV_SIMPLEBLOCK:
+                    continue
+                _track, pos = _ebml_read_size(data, cs)
+                pos += 2  # signed relative timecode
+                if pos >= ce:
+                    raise ValueError("truncated SimpleBlock")
+                flags = data[pos]
+                if flags & 0x06:
+                    raise ValueError("laced SimpleBlock not supported")
+                frames.append(data[pos + 1 : ce])
+    return frames
 
 
 def webm_metadata(df: DataFrame, payload_column: str = "payload") -> DataFrame:

@@ -1815,6 +1815,44 @@ def test_mp4_media_sample_roundtrip():
         split_mp4_samples(_build_minimal_mp4())
 
 
+def test_webm_media_frame_roundtrip():
+    """build_webm_media ∘ split_webm_frames is identity across
+    cluster boundaries, empty frames, >16 KiB frames (multi-byte
+    EBML sizes), and the metadata parser still reads the container;
+    laced blocks and non-EBML payloads are rejected."""
+    from replay_spark.multimodal import (
+        build_webm_media,
+        parse_webm_metadata,
+        split_webm_frames,
+    )
+
+    frames = [b"aaa", b"bb", b"c" * 300, b"", b"ddddd", b"e", b"ff"]
+    payload = build_webm_media(frames, frame_duration_ms=40)
+    assert split_webm_frames(payload) == frames
+    meta = parse_webm_metadata(payload)
+    assert meta["duration_ms"] == 7 * 40
+    assert meta["tracks"][0]["codec"] == "V_VP9"
+    assert meta["doctype"] == "webm"
+
+    big = [bytes([i % 256]) * 20000 for i in range(5)]
+    assert split_webm_frames(build_webm_media(big)) == big
+    assert split_webm_frames(
+        build_webm_media([b"x"], frames_per_cluster=1)) == [b"x"]
+    # a frame-less container still parses to zero frames
+    assert split_webm_frames(build_webm_media([])) == []
+
+    with pytest.raises(ValueError, match="EBML"):
+        split_webm_frames(b"RIFF not ebml at all")
+    # hand-craft a laced SimpleBlock: flags 0x02 (Xiph lacing)
+    laced = bytearray(build_webm_media([b"zz"]))
+    idx = laced.rfind(b"\x81\x00\x00\x80zz")
+    laced[idx + 3] = 0x82
+    with pytest.raises(ValueError, match="laced"):
+        split_webm_frames(bytes(laced))
+    with pytest.raises(ValueError, match=">= 1"):
+        build_webm_media([b"x"], frame_duration_ms=0)
+
+
 def test_jpeg_progressive_roundtrip():
     """Spectral-selection progressive (SOF2): multi-scan encode must
     decode to bit-identical pixels vs the baseline encoding of the
