@@ -5048,6 +5048,39 @@ def q_webm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join through bucketed storage: orders and customer
+    are persisted bucketed (8 buckets) on the customer key, and the
+    join+rollup runs on the re-read tables — planned with NO
+    Exchange on either side (the shuffle-elimination claim,
+    mechanized in tests/test_plan_shapes.py). DuckDB replays the
+    plain join: bucketing changes the plan, never the answer."""
+    import os
+
+    from replay_spark.utils.spark_utils import write_bucketed
+
+    suffix = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    orders = rsd.read_table(spark, sf_dir, "orders")
+    customer = rsd.read_table(spark, sf_dir, "customer")
+    bo = write_bucketed(
+        orders, f"rs_bkt_orders_{suffix}", "o_custkey", 8,
+        sort_by="o_custkey",
+    )
+    bc = write_bucketed(
+        customer, f"rs_bkt_customer_{suffix}", "c_custkey", 8,
+        sort_by="c_custkey",
+    )
+    return (
+        bo.join(bc, bo["o_custkey"] == bc["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100)).cast("long")
+            .alias("cents_total"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: PopRec top-5 recommendations on sf0.001."""
     return q_poprec_recs(spark, "/root/testdata/sf0.001")
@@ -5337,6 +5370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_heavy_hitters": q_heavy_hitters,
         "q_ivm_refresh": q_ivm_refresh,
         "q_webm_frames": q_webm_frames,
+        "q_bucketed_join": q_bucketed_join,
     }
 
 
@@ -9227,6 +9261,14 @@ def oracle_sql() -> dict[str, str]:
                    'delete', CAST(2 AS INT)
             FROM documents
             WHERE (doc_id % 3 = 0 OR doc_id % 3 = 1) AND doc_id % 2 = 0
+        """,
+        "q_bucketed_join": """
+            SELECT c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(floor(o_totalprice * 100)) AS BIGINT)
+                       AS cents_total
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
         """,
         "q_webm_frames": """
             SELECT doc_id,

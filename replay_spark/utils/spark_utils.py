@@ -14,6 +14,8 @@ Rebuild of the reference's operator library
 
 from __future__ import annotations
 
+import os
+import shutil
 from typing import Iterable, Optional, Union
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -624,12 +626,29 @@ def write_bucketed(
     bucket is one task's worth of data at the target scale.
     """
     cols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # the in-memory catalog forgets managed tables between
+        # sessions but their warehouse directories persist — an
+        # overwrite must clear the orphaned location too
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        )
+        local = warehouse
+        for prefix in ("file://", "file:"):
+            if local.startswith(prefix):
+                local = local[len(prefix):]
+                break
+        orphan = os.path.join(local, table.split(".")[-1].lower())
+        if os.path.isdir(orphan):
+            shutil.rmtree(orphan, ignore_errors=True)
     writer = df.write.mode(mode).bucketBy(num_buckets, *cols)
     if sort_by is not None:
         sort_cols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
         writer = writer.sortBy(*sort_cols)
     writer.format("parquet").saveAsTable(table)
-    return df.sparkSession.table(table)
+    return spark.table(table)
 
 
 def asof_join(
