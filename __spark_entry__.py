@@ -5081,6 +5081,83 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream watermarked interval join parity: clicks and
+    purchases read as two bounded file streams, inner-joined per
+    user with purchase_ts ∈ [click_ts, click_ts + 2h] through
+    StreamingIntervalJoiner (append mode, state bounded by
+    watermark + delay) — the emitted pairs must equal DuckDB's batch
+    range join."""
+    import os
+    import tempfile
+
+    from replay_spark.streaming import StreamingIntervalJoiner
+
+    for q in spark.streams.active:
+        if q.name == "q_streaming_join_sink":
+            q.stop()
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    link_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"rs_stream_events_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, "events.parquet")
+    if os.path.lexists(link) and os.path.realpath(link) != src:
+        os.unlink(link)
+    if not os.path.lexists(link):
+        os.symlink(src, link)
+    raw_schema = spark.read.parquet(src).schema
+    ts_type = raw_schema["ts"].dataType.simpleString()
+
+    def norm_ts(name):
+        ts = F.col("ts")
+        if ts_type == "bigint":  # int64 nanos
+            ts = F.timestamp_micros(F.expr("ts div 1000"))
+        elif ts_type == "timestamp_ntz":
+            ts = F.col("ts").cast("timestamp")
+        return ts.alias(name)
+
+    def side(event_type, ts_name, v_name):
+        return (
+            spark.readStream.schema(raw_schema)
+            .parquet(link_dir)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                "user_id",
+                norm_ts(ts_name),
+                F.floor("value").cast("long").alias(v_name),
+            )
+        )
+
+    joiner = StreamingIntervalJoiner(
+        "user_id",
+        left_time="click_ts",
+        right_time="buy_ts",
+        max_delay="2 hours",
+        watermark_delay="30 minutes",
+    )
+    joined = joiner.transform(
+        side("click", "click_ts", "cv"),
+        side("purchase", "buy_ts", "bv"),
+    )
+    sq = (
+        joined.writeStream.format("memory")
+        .queryName("q_streaming_join_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(300)
+    return spark.table("q_streaming_join_sink").select(
+        "user_id",
+        F.unix_timestamp("click_ts").alias("click_s"),
+        F.unix_timestamp("buy_ts").alias("buy_s"),
+        "cv",
+        "bv",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: PopRec top-5 recommendations on sf0.001."""
     return q_poprec_recs(spark, "/root/testdata/sf0.001")
@@ -5371,6 +5448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivm_refresh": q_ivm_refresh,
         "q_webm_frames": q_webm_frames,
         "q_bucketed_join": q_bucketed_join,
+        "q_streaming_join": q_streaming_join,
     }
 
 
@@ -9251,6 +9329,25 @@ def oracle_sql() -> dict[str, str]:
                        AS max_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "q_streaming_join": """
+            WITH c AS (
+                SELECT user_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS click_s,
+                       CAST(floor(value) AS BIGINT) AS cv,
+                       ts
+                FROM events WHERE event_type = 'click'),
+            p AS (
+                SELECT user_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS buy_s,
+                       CAST(floor(value) AS BIGINT) AS bv,
+                       ts
+                FROM events WHERE event_type = 'purchase')
+            SELECT c.user_id, c.click_s, p.buy_s, c.cv, p.bv
+            FROM c JOIN p
+              ON c.user_id = p.user_id
+             AND p.ts >= c.ts
+             AND p.ts <= c.ts + INTERVAL 2 HOUR
         """,
         "q_lake_changes": """
             SELECT doc_id, CAST(length(text) AS INT) AS n_chars,

@@ -1,4 +1,5 @@
 from replay_spark.streaming.ops import (  # noqa: F401
+    StreamingIntervalJoiner,
     StreamingSessionizer,
     StreamingSourceCapFilter,
     StreamingStatefulSessionizer,

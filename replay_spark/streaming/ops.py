@@ -32,6 +32,7 @@ __all__ = [
     "StreamingStatefulSessionizer",
     "StreamingUCB",
     "StreamingWindowedAggregator",
+    "StreamingIntervalJoiner",
     "StreamingCountMinSketch",
     "StreamingHyperLogLog",
     "streaming_exact_dedup",
@@ -469,3 +470,75 @@ class StreamingWindowedAggregator:
                 ),
             )
         )
+
+
+class StreamingIntervalJoiner:
+    """Watermarked stream-stream INNER equi-join with an event-time
+    interval condition — the correlation primitive (click →
+    purchase-within-2h) Structured Streaming supports natively and
+    the batch reference has no counterpart for.
+
+    ``transform(left, right)`` joins on ``key_columns`` with
+    ``right_time ∈ [left_time, left_time + max_delay]``. On streams
+    both sides carry watermarks, and the time-range condition is
+    what lets the engine age out buffered rows: left state is bounded
+    by ``watermark + max_delay``, right state by the watermark —
+    without the range bound a stream-stream join would buffer
+    forever (the 100 TB/day failure mode). Inner matches emit as
+    soon as both rows arrive (append mode); the watermark governs
+    only state cleanup and late-row dropping. On batch frames the
+    SAME join expression runs as a plain range-condition equi-join —
+    the parity the `q_streaming_join` gate pins against DuckDB.
+
+    Column naming: time columns must differ between the sides (a
+    self-derived stream should alias first); output carries every
+    left column plus the right side's non-key columns.
+    """
+
+    def __init__(
+        self,
+        key_columns,
+        left_time: str = "ts",
+        right_time: str = "ts_r",
+        max_delay: str = "1 hour",
+        watermark_delay: str = "30 minutes",
+    ):
+        keys = (
+            [key_columns]
+            if isinstance(key_columns, str)
+            else list(key_columns)
+        )
+        if not keys:
+            raise ValueError("need at least one join key")
+        if left_time == right_time:
+            raise ValueError("left_time and right_time must differ")
+        self.key_columns = keys
+        self.left_time = left_time
+        self.right_time = right_time
+        self.max_delay = max_delay
+        self.watermark_delay = watermark_delay
+
+    def transform(self, left: DataFrame, right: DataFrame) -> DataFrame:
+        lt, rt = self.left_time, self.right_time
+        if left.isStreaming:
+            left = left.withWatermark(lt, self.watermark_delay)
+        if right.isStreaming:
+            right = right.withWatermark(rt, self.watermark_delay)
+        cond = None
+        for k in self.key_columns:
+            c = left[k] == right[k]
+            cond = c if cond is None else cond & c
+        cond = (
+            cond
+            & (F.col(rt) >= F.col(lt))
+            & (
+                F.col(rt)
+                <= F.col(lt) + F.expr(f"INTERVAL {self.max_delay}")
+            )
+        )
+        joined = left.join(right, cond, "inner")
+        # drop the right side's duplicate key columns
+        keep = [left[c] for c in left.columns] + [
+            right[c] for c in right.columns if c not in self.key_columns
+        ]
+        return joined.select(*keep)

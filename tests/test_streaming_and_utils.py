@@ -527,6 +527,67 @@ def test_streaming_hll_matches_batch(spark, tmp_path):
     assert abs(est - 300) / 300 < 0.25
 
 
+def test_streaming_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream inner interval join == the batch range join of
+    the same definition; state-bounding watermarks don't change the
+    bounded answer."""
+    import datetime as dt
+
+    from replay_spark.streaming import StreamingIntervalJoiner
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+
+    def m(minute):
+        return t0 + dt.timedelta(minutes=minute)
+
+    clicks = [(1, m(0), 10), (1, m(90), 11), (2, m(5), 20)]
+    buys = [(1, m(30), 100), (1, m(100), 101), (2, m(200), 200),
+            (3, m(10), 300)]
+    cdir, bdir = str(tmp_path / "c"), str(tmp_path / "b")
+    cdf = spark.createDataFrame(
+        clicks, "user_id long, ts timestamp, cv long"
+    )
+    bdf = spark.createDataFrame(
+        buys, "user_id long, ts_r timestamp, bv long"
+    )
+    cdf.write.parquet(cdir)
+    bdf.write.parquet(bdir)
+    joiner = StreamingIntervalJoiner(
+        "user_id", max_delay="1 hour", watermark_delay="10 minutes"
+    )
+    # batch parity path
+    batch = joiner.transform(
+        spark.read.parquet(cdir), spark.read.parquet(bdir)
+    )
+    want = sorted(
+        (r.user_id, r.cv, r.bv) for r in batch.collect()
+    )
+    # click@0 matches buy@30; click@90 matches buy@100; user 2's buy
+    # is 195 min late; user 3 has no click
+    assert want == [(1, 10, 100), (1, 11, 101)]
+    sq = (
+        joiner.transform(
+            spark.readStream.schema(cdf.schema).parquet(cdir),
+            spark.readStream.schema(bdf.schema).parquet(bdir),
+        )
+        .writeStream.format("memory")
+        .queryName("t_stream_ijoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.cv, r.bv)
+        for r in spark.table("t_stream_ijoin").collect()
+    )
+    assert got == want
+    with pytest.raises(ValueError, match="differ"):
+        StreamingIntervalJoiner("k", left_time="ts", right_time="ts")
+    with pytest.raises(ValueError, match="join key"):
+        StreamingIntervalJoiner([])
+
+
 def test_streaming_windowed_aggregator_batch(spark):
     """Batch semantics of the shared definition: tumbling windows
     align to the epoch, sliding windows emit one row per covering
