@@ -5158,6 +5158,33 @@ def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling anomaly detection with the exact integer z²-test:
+    per-user events ordered by (ts, event_id), 20-row trailing
+    window, threshold 3 — `(v·c − s)² > 9·(c·q − s²)` in pure BIGINT,
+    so the anomaly column itself hash-matches DuckDB (no float, no
+    sqrt, no rounding guard)."""
+    from replay_spark.timeseries import AnomalyFlagger
+
+    ev = rsd.read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.floor(F.col("value") * 10).cast("long").alias("v"),
+    )
+    fl = AnomalyFlagger(
+        key_column="user_id",
+        order_columns=["ts", "event_id"],
+        value_column="v",
+        window_rows=20,
+        threshold_num=3,
+        threshold_den=1,
+        min_periods=5,
+    )
+    return fl.transform(ev).select(
+        "user_id", "event_id", "trailing_n", "trailing_sum",
+        "trailing_sumsq", "is_anomaly",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: PopRec top-5 recommendations on sf0.001."""
     return q_poprec_recs(spark, "/root/testdata/sf0.001")
@@ -5449,6 +5476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_webm_frames": q_webm_frames,
         "q_bucketed_join": q_bucketed_join,
         "q_streaming_join": q_streaming_join,
+        "q_anomaly_flags": q_anomaly_flags,
     }
 
 
@@ -9329,6 +9357,29 @@ def oracle_sql() -> dict[str, str]:
                        AS max_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "q_anomaly_flags": """
+            WITH e AS (
+                SELECT user_id, event_id, ts,
+                       CAST(floor(value * 10) AS BIGINT) AS v
+                FROM events),
+            w AS (
+                SELECT user_id, event_id, v,
+                       count(v) OVER win AS c,
+                       sum(v) OVER win AS s,
+                       sum(v * v) OVER win AS q
+                FROM e
+                WINDOW win AS (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+            SELECT user_id, event_id,
+                   CAST(c AS BIGINT) AS trailing_n,
+                   CAST(s AS BIGINT) AS trailing_sum,
+                   CAST(q AS BIGINT) AS trailing_sumsq,
+                   CASE WHEN c < 5 THEN NULL
+                        WHEN (v * c - s) * (v * c - s) > 9 * (c * q - s * s)
+                        THEN 1 ELSE 0 END AS is_anomaly
+            FROM w
         """,
         "q_streaming_join": """
             WITH c AS (

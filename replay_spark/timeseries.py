@@ -38,7 +38,83 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["TimeSeriesResampler", "RollingAggregator"]
+__all__ = ["TimeSeriesResampler", "RollingAggregator", "AnomalyFlagger"]
+
+
+class AnomalyFlagger:
+    """Leakage-free rolling outlier detection with an EXACT integer
+    z²-test: a row is anomalous when ``(v - mean)² > t²·var`` over
+    the trailing ``window_rows`` PRIOR rows (the current row never
+    sees itself — the point-in-time rule every training pipeline
+    needs).
+
+    With integer values and population variance, the test multiplies
+    out to pure BIGINT arithmetic with no division and no sqrt:
+
+        (v·c − s)² · den²  >  num² · (c·q − s²)
+
+    where c/s/q are the trailing count/sum/sum-of-squares and the
+    threshold is the rational ``num/den`` — bit-identical on every
+    engine, which is what lets the gate hash a float-free anomaly
+    column. Rows with fewer than ``min_periods`` prior observations
+    emit NULL (unknown, not normal).
+
+    Plan: ONE window per key ordered by ``order_columns`` (include a
+    unique tiebreaker — ties make any rolling definition ambiguous)
+    with a rows-frame ``[-window_rows, -1]`` — linear per key, no
+    self-join. Keys are many; a single key's rows sit in one task
+    (the per-entity sequence bound this repo documents everywhere).
+    """
+
+    def __init__(
+        self,
+        key_column: str = "user_id",
+        order_columns=("ts",),
+        value_column: str = "value",
+        window_rows: int = 50,
+        threshold_num: int = 3,
+        threshold_den: int = 1,
+        min_periods: int = 5,
+    ):
+        if window_rows < 1:
+            raise ValueError("window_rows must be >= 1")
+        if threshold_num < 0 or threshold_den < 1:
+            raise ValueError("threshold must be a non-negative rational")
+        if min_periods < 2:
+            raise ValueError("min_periods must be >= 2 (variance)")
+        self.key_column = key_column
+        self.order_columns = list(order_columns)
+        self.value_column = value_column
+        self.window_rows = window_rows
+        self.threshold_num = threshold_num
+        self.threshold_den = threshold_den
+        self.min_periods = min_periods
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        v = F.col(self.value_column).cast("long")
+        w = (
+            Window.partitionBy(self.key_column)
+            .orderBy(*self.order_columns)
+            .rowsBetween(-self.window_rows, -1)
+        )
+        c = F.count(v).over(w)
+        s = F.sum(v).over(w)
+        q = F.sum(v * v).over(w)
+        lhs = (v * c - s) * (v * c - s) * (
+            self.threshold_den * self.threshold_den
+        )
+        rhs = (self.threshold_num * self.threshold_num) * (c * q - s * s)
+        flag = F.when(
+            c < self.min_periods, F.lit(None).cast("int")
+        ).otherwise((lhs > rhs).cast("int"))
+        return (
+            df.withColumn("trailing_n", c)
+            .withColumn("trailing_sum", s)
+            .withColumn("trailing_sumsq", q)
+            .withColumn("is_anomaly", flag)
+        )
 
 
 class RollingAggregator:

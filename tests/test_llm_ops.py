@@ -4113,6 +4113,44 @@ def test_timeseries_resampler_gaps_and_fills(spark):
     assert z[(1, b0)]["bucket_ts"] == datetime(2024, 1, 1, 0, 0)
 
 
+def test_anomaly_flagger_exact_z_test(spark):
+    """Exact integer z²-test over the trailing window: spikes flag,
+    in-band wobble doesn't, warm-up rows are NULL, and the current
+    row never contributes to its own window."""
+    from replay_spark.timeseries import AnomalyFlagger
+
+    vals = [8, 12, 8, 12, 8, 30, 12, 8]
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id long, seq long, value long")
+    fl = AnomalyFlagger(
+        key_column="user_id", order_columns=["seq"],
+        value_column="value", window_rows=5,
+        threshold_num=3, threshold_den=1, min_periods=5,
+    )
+    out = {r.seq: r for r in fl.transform(df).collect()}
+    # warm-up: fewer than 5 prior rows -> NULL
+    for i in range(5):
+        assert out[i].is_anomaly is None, i
+    # seq 5 (value 30) vs window [8,12,8,12,8]: c=5 s=48 q=480
+    assert (out[5].trailing_n, out[5].trailing_sum,
+            out[5].trailing_sumsq) == (5, 48, 480)
+    assert out[5].is_anomaly == 1  # (150-48)^2=10404 > 9*96=864
+    # seq 6 (value 12) window now holds the spike -> inflated var
+    assert out[6].is_anomaly == 0
+    # zero-variance window flags ANY deviation, not division-by-zero
+    const = spark.createDataFrame(
+        [(2, i, 10) for i in range(6)] + [(2, 6, 11)],
+        "user_id long, seq long, value long",
+    )
+    cout = {r.seq: r for r in fl.transform(const).collect()}
+    assert cout[5].is_anomaly == 0  # 10 in an all-10 window
+    assert cout[6].is_anomaly == 1  # 11 breaks a zero-var window
+    with pytest.raises(ValueError, match="min_periods"):
+        AnomalyFlagger(min_periods=1)
+    with pytest.raises(ValueError, match="window_rows"):
+        AnomalyFlagger(window_rows=0)
+
+
 def test_timeseries_resampler_interpolate(spark):
     from datetime import datetime
 
