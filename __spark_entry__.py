@@ -5185,6 +5185,25 @@ def q_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra: pairwise vocabulary overlap between sources
+    by inclusion-exclusion over union sketches (per-register max —
+    lossless). One corpus scan builds the per-source register
+    tables; every pair estimate is sketch-only arithmetic, all in
+    the exact-integer estimator formulation, so DuckDB replays
+    registers, unions, and estimates bit-for-bit."""
+    from replay_spark.preprocessing.text import HyperLogLog, tokenize_expr
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(tokenize_expr(F.lower(F.col("text")))).alias("token"),
+    )
+    hll = HyperLogLog(b=6)
+    regs = hll.fit_grouped(toks, ["source"])
+    return hll.overlap_grouped(regs, "source")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: PopRec top-5 recommendations on sf0.001."""
     return q_poprec_recs(spark, "/root/testdata/sf0.001")
@@ -5477,6 +5496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bucketed_join": q_bucketed_join,
         "q_streaming_join": q_streaming_join,
         "q_anomaly_flags": q_anomaly_flags,
+        "q_hll_overlap": q_hll_overlap,
     }
 
 
@@ -9357,6 +9377,100 @@ def oracle_sql() -> dict[str, str]:
                        AS max_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "q_hll_overlap": """
+            WITH toks AS (
+                SELECT source,
+                       unnest(string_split_regex(trim(lower(text)),
+                                                 '\\s+')) AS token
+                FROM documents
+                WHERE trim(text) <> ''),
+            hh AS (
+                SELECT source,
+                       list_reduce(list_transform(range(1, 16),
+                           j -> CAST(strpos('0123456789abcdef',
+                                    substr(md5(token),
+                                           CAST(j AS INT), 1)) - 1
+                                AS BIGINT)),
+                           (acc, x) -> acc * 16 + x) AS h
+                FROM toks),
+            regs AS (
+                SELECT source, h % 64 AS register,
+                       max(CASE WHEN h // 64 = 0 THEN 55
+                                ELSE 55 - length(bin(h // 64))
+                           END) AS rho_max
+                FROM hh GROUP BY source, register),
+            st AS (
+                SELECT source, max(rho_max) AS maxm, count(*) AS nz
+                FROM regs GROUP BY source),
+            s AS (
+                SELECT r.source,
+                       sum(CAST(pow(2, st.maxm - r.rho_max)
+                                AS BIGINT)) AS sne,
+                       any_value(st.maxm) AS maxm,
+                       any_value(st.nz) AS nz
+                FROM regs r JOIN st USING (source)
+                GROUP BY r.source),
+            e AS (
+                SELECT source,
+                       round(CASE
+                           WHEN (64 - nz) > 0
+                                AND (0.709 * 64 * 64 * pow(2, maxm)
+                                     / (sne + (64 - nz)
+                                        * CAST(pow(2, maxm)
+                                               AS BIGINT))) <= 160.0
+                           THEN 64.0 * ln(64.0 / (64 - nz))
+                           ELSE 0.709 * 64 * 64 * pow(2, maxm)
+                                / (sne + (64 - nz)
+                                   * CAST(pow(2, maxm) AS BIGINT))
+                       END + 1e-9, 4) AS est
+                FROM s),
+            p AS (
+                SELECT a.source AS ga, b.source AS gb
+                FROM (SELECT DISTINCT source FROM regs) a
+                JOIN (SELECT DISTINCT source FROM regs) b
+                  ON a.source < b.source),
+            contrib AS (
+                SELECT p.ga, p.gb, r.register, r.rho_max
+                FROM p JOIN regs r ON r.source = p.ga
+                UNION ALL
+                SELECT p.ga, p.gb, r.register, r.rho_max
+                FROM p JOIN regs r ON r.source = p.gb),
+            uregs AS (
+                SELECT ga, gb, register, max(rho_max) AS rho_max
+                FROM contrib GROUP BY ga, gb, register),
+            ust AS (
+                SELECT ga, gb, max(rho_max) AS maxm, count(*) AS nz
+                FROM uregs GROUP BY ga, gb),
+            us AS (
+                SELECT u.ga, u.gb,
+                       sum(CAST(pow(2, ust.maxm - u.rho_max)
+                                AS BIGINT)) AS sne,
+                       any_value(ust.maxm) AS maxm,
+                       any_value(ust.nz) AS nz
+                FROM uregs u JOIN ust USING (ga, gb)
+                GROUP BY u.ga, u.gb),
+            ue AS (
+                SELECT ga, gb,
+                       round(CASE
+                           WHEN (64 - nz) > 0
+                                AND (0.709 * 64 * 64 * pow(2, maxm)
+                                     / (sne + (64 - nz)
+                                        * CAST(pow(2, maxm)
+                                               AS BIGINT))) <= 160.0
+                           THEN 64.0 * ln(64.0 / (64 - nz))
+                           ELSE 0.709 * 64 * 64 * pow(2, maxm)
+                                / (sne + (64 - nz)
+                                   * CAST(pow(2, maxm) AS BIGINT))
+                       END + 1e-9, 4) AS est_union
+                FROM us)
+            SELECT ue.ga, ue.gb, ea.est AS est_a, eb.est AS est_b,
+                   ue.est_union,
+                   round(ea.est + eb.est - ue.est_union + 1e-9, 4)
+                       AS est_overlap
+            FROM ue
+            JOIN e ea ON ea.source = ue.ga
+            JOIN e eb ON eb.source = ue.gb
         """,
         "q_anomaly_flags": """
             WITH e AS (

@@ -2607,6 +2607,67 @@ class HyperLogLog:
         )
 
 
+    def overlap_grouped(
+        self, registers: DataFrame, group_col: str
+    ) -> DataFrame:
+        """Sketch set algebra — audience overlap without touching
+        the data again: for every group pair ``ga < gb``, the UNION
+        sketch is the per-register MAX of the two register tables
+        (lossless: it is exactly the sketch of A∪B), and the
+        intersection estimate follows by inclusion-exclusion
+        ``est(A) + est(B) − est(A∪B)``.
+
+        Everything runs on the ≤ m-rows-per-group register tables
+        from :meth:`fit_grouped` — the 100 TB corpus is scanned once
+        to sketch, then any number of pairwise overlaps cost
+        O(pairs·m) sketch rows. Output: ``[ga, gb, est_a, est_b,
+        est_union, est_overlap]`` (overlap can be slightly negative
+        at sketch error scale; callers clamp if they need to).
+        """
+        regs = registers
+        groups = regs.select(F.col(group_col).alias("_g")).distinct()
+        pairs = (
+            groups.select(F.col("_g").alias("ga"))
+            .join(
+                groups.select(F.col("_g").alias("gb")),
+                F.col("ga") < F.col("gb"),
+            )
+        )
+        ra = regs.select(
+            F.col(group_col).alias("ga"), "register", "rho_max"
+        )
+        rb = regs.select(
+            F.col(group_col).alias("gb"), "register", "rho_max"
+        )
+        contrib = pairs.join(ra, on="ga").unionByName(
+            pairs.join(rb, on="gb")
+        )
+        union_regs = contrib.groupBy("ga", "gb", "register").agg(
+            F.max("rho_max").alias("rho_max")
+        )
+        est_u = self.estimate_grouped(union_regs, ["ga", "gb"]).select(
+            "ga", "gb", F.col("est").alias("est_union")
+        )
+        singles = self.estimate_grouped(regs, [group_col])
+        ea = singles.select(
+            F.col(group_col).alias("ga"), F.col("est").alias("est_a")
+        )
+        eb = singles.select(
+            F.col(group_col).alias("gb"), F.col("est").alias("est_b")
+        )
+        out = (
+            est_u.join(F.broadcast(ea), on="ga")
+            .join(F.broadcast(eb), on="gb")
+        )
+        overlap = stable_round(
+            F.col("est_a") + F.col("est_b") - F.col("est_union"), 4
+        )
+        return out.select(
+            "ga", "gb", "est_a", "est_b", "est_union",
+            overlap.alias("est_overlap"),
+        )
+
+
 class DSIRSelector:
     """Data Selection with Importance Resampling (Xie et al. 2023):
     score every raw document by how much more likely its hashed

@@ -3020,6 +3020,40 @@ def test_hyperloglog_accuracy(spark):
     assert hll.fit(toks).count() <= 1024
 
 
+def test_hyperloglog_overlap_grouped(spark):
+    """HLL set algebra: the pairwise union sketch is EXACTLY the
+    sketch of the concatenated groups (per-register max is
+    lossless), and inclusion-exclusion recovers planted overlaps
+    within sketch error."""
+    from replay_spark.preprocessing.text import HyperLogLog
+
+    rows = (
+        [("A", f"t{i}") for i in range(1000)]
+        + [("B", f"t{i}") for i in range(500, 1500)]  # |A∩B| = 500
+        + [("C", f"z{i}") for i in range(800)]        # disjoint
+    )
+    df = spark.createDataFrame(rows, "g string, token string")
+    hll = HyperLogLog(b=10)
+    regs = hll.fit_grouped(df, ["g"])
+    out = {
+        (r.ga, r.gb): r for r in hll.overlap_grouped(regs, "g").collect()
+    }
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = out[("A", "B")]
+    assert abs(ab.est_overlap - 500) / 500 < 0.25
+    assert abs(ab.est_union - 1500) / 1500 < 0.12
+    # disjoint pairs estimate near-zero overlap (sketch-error scale)
+    assert abs(out[("A", "C")].est_overlap) < 0.1 * 1800
+    # losslessness: union sketch == sketch of A ∪ B data
+    union_direct = hll.fit(
+        df.filter("g in ('A','B')").select("token")
+    )
+    ra = {r.register: r.rho_max for r in union_direct.collect()}
+    est_u_direct = hll.estimate(union_direct).collect()[0]["est"]
+    assert abs(est_u_direct - ab.est_union) < 1e-9
+    assert len(ra) <= 1024
+
+
 def test_hyperloglog_small_range_and_empty(spark):
     from replay_spark.preprocessing.text import HyperLogLog
 
