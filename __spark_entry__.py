@@ -5204,6 +5204,24 @@ def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll.overlap_grouped(regs, "source")
 
 
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan pairwise Pearson correlation over four integerized
+    lineitem measures: all 4+6 moments are conditional aggregates in
+    a single pass (vs 6 separate corr() jobs), every moment an exact
+    BIGINT, and the derived corr double follows a fixed IEEE
+    expression order that DuckDB replays bit-for-bit (stable-rounded
+    to 6)."""
+    from replay_spark.utils.spark_utils import corr_matrix
+
+    li = rsd.read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice")).alias("price_u"),
+        F.floor(F.col("l_discount") * 100).alias("disc_c"),
+        F.floor(F.col("l_tax") * 100).alias("tax_c"),
+    )
+    return corr_matrix(li, ["qty", "price_u", "disc_c", "tax_c"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: PopRec top-5 recommendations on sf0.001."""
     return q_poprec_recs(spark, "/root/testdata/sf0.001")
@@ -5497,6 +5515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_join": q_streaming_join,
         "q_anomaly_flags": q_anomaly_flags,
         "q_hll_overlap": q_hll_overlap,
+        "q_corr_matrix": q_corr_matrix,
     }
 
 
@@ -9377,6 +9396,61 @@ def oracle_sql() -> dict[str, str]:
                        AS max_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "q_corr_matrix": """
+            WITH v AS (
+                SELECT CAST(l_quantity AS BIGINT) AS qty,
+                       CAST(floor(l_extendedprice) AS BIGINT)
+                           AS price_u,
+                       CAST(floor(l_discount * 100) AS BIGINT)
+                           AS disc_c,
+                       CAST(floor(l_tax * 100) AS BIGINT) AS tax_c
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+                  AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+            m AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(qty) AS BIGINT) AS s_qty,
+                       CAST(sum(qty * qty) AS BIGINT) AS q_qty,
+                       CAST(sum(price_u) AS BIGINT) AS s_price,
+                       CAST(sum(price_u * price_u) AS BIGINT) AS q_price,
+                       CAST(sum(disc_c) AS BIGINT) AS s_disc,
+                       CAST(sum(disc_c * disc_c) AS BIGINT) AS q_disc,
+                       CAST(sum(tax_c) AS BIGINT) AS s_tax,
+                       CAST(sum(tax_c * tax_c) AS BIGINT) AS q_tax,
+                       CAST(sum(qty * price_u) AS BIGINT) AS d_qp,
+                       CAST(sum(qty * disc_c) AS BIGINT) AS d_qd,
+                       CAST(sum(qty * tax_c) AS BIGINT) AS d_qt,
+                       CAST(sum(price_u * disc_c) AS BIGINT) AS d_pd,
+                       CAST(sum(price_u * tax_c) AS BIGINT) AS d_pt,
+                       CAST(sum(disc_c * tax_c) AS BIGINT) AS d_dt
+                FROM v)
+            SELECT p.col_a, p.col_b, m.n,
+                   p.sum_a, p.sum_b, p.sumsq_a, p.sumsq_b, p.dot,
+                   CASE WHEN (CAST(m.n AS DOUBLE) * CAST(p.sumsq_a AS DOUBLE)
+                              - CAST(p.sum_a AS DOUBLE) * CAST(p.sum_a AS DOUBLE)) > 0
+                         AND (CAST(m.n AS DOUBLE) * CAST(p.sumsq_b AS DOUBLE)
+                              - CAST(p.sum_b AS DOUBLE) * CAST(p.sum_b AS DOUBLE)) > 0
+                        THEN round(
+                            (CAST(m.n AS DOUBLE) * CAST(p.dot AS DOUBLE)
+                             - CAST(p.sum_a AS DOUBLE) * CAST(p.sum_b AS DOUBLE))
+                            / (sqrt(CAST(m.n AS DOUBLE) * CAST(p.sumsq_a AS DOUBLE)
+                                    - CAST(p.sum_a AS DOUBLE) * CAST(p.sum_a AS DOUBLE))
+                               * sqrt(CAST(m.n AS DOUBLE) * CAST(p.sumsq_b AS DOUBLE)
+                                      - CAST(p.sum_b AS DOUBLE) * CAST(p.sum_b AS DOUBLE)))
+                            + 1e-9, 6)
+                   END AS corr
+            FROM m, LATERAL (VALUES
+                ('qty', 'price_u', s_qty, s_price, q_qty, q_price, d_qp),
+                ('qty', 'disc_c', s_qty, s_disc, q_qty, q_disc, d_qd),
+                ('qty', 'tax_c', s_qty, s_tax, q_qty, q_tax, d_qt),
+                ('price_u', 'disc_c', s_price, s_disc, q_price,
+                 q_disc, d_pd),
+                ('price_u', 'tax_c', s_price, s_tax, q_price,
+                 q_tax, d_pt),
+                ('disc_c', 'tax_c', s_disc, s_tax, q_disc, q_tax, d_dt)
+            ) AS p(col_a, col_b, sum_a, sum_b, sumsq_a, sumsq_b, dot)
         """,
         "q_hll_overlap": """
             WITH toks AS (

@@ -45,6 +45,7 @@ __all__ = [
     "asof_join",
     "range_join",
     "profile_columns",
+    "corr_matrix",
     "diagnose_skew",
 ]
 
@@ -818,6 +819,80 @@ def profile_columns(
         F.col("_p.n_distinct").alias("n_distinct"),
         F.col("_p.min_value").alias("min_value"),
         F.col("_p.max_value").alias("max_value"),
+    )
+
+
+def corr_matrix(
+    df: DataFrame, columns: Iterable[str], exact_integer: bool = True
+) -> DataFrame:
+    """Pairwise Pearson correlation over ``columns`` in ONE
+    map-side-combined scan: all p + p(p+1)/2 moments (per-column
+    sum/sumsq, per-pair dot product) are expressions in a single
+    ``agg`` — at 100 TB this replaces p²/2 separate ``corr()`` jobs
+    with one pass, the same argument as ``profile_columns``.
+
+    Output: one row per unordered pair (a < b in ``columns`` order)
+    with the EXACT BIGINT moments (``n, sum_a, sum_b, sumsq_a,
+    sumsq_b, dot``) plus the derived ``corr`` double, computed as
+    ``(n·dot − sa·sb) / (sqrt(n·qa − sa²) · sqrt(n·qb − sb²))`` in
+    that order and stable-rounded to 6 — engine-portable because
+    every operand is an exactly-representable integer (requires
+    integer-valued inputs when ``exact_integer=True``; pre-floor
+    doubles upstream). Zero-variance columns yield NULL corr.
+    Rows with a NULL in ANY of the columns are excluded wholesale
+    (listwise deletion) so every pair shares one consistent ``n``.
+    """
+    cols = list(columns)
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    clean = df.na.drop(subset=cols)
+    cast = "long" if exact_integer else "double"
+    vals = {c: F.col(c).cast(cast) for c in cols}
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(vals[c]).alias(f"_s_{c}"))
+        aggs.append(F.sum(vals[c] * vals[c]).alias(f"_q_{c}"))
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1:]
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum(vals[a] * vals[b]).alias(f"_d_{a}_{b}"))
+    one = clean.agg(*aggs)
+    structs = []
+    for a, b in pairs:
+        n = F.col("_n")
+        sa, sb = F.col(f"_s_{a}"), F.col(f"_s_{b}")
+        qa, qb = F.col(f"_q_{a}"), F.col(f"_q_{b}")
+        d = F.col(f"_d_{a}_{b}")
+        # derive in DOUBLE: n·q − s² overflows BIGINT once sums pass
+        # ~3e9 even though each stored moment still fits; double
+        # arithmetic in this fixed order is engine-portable
+        nd = n.cast("double")
+        sad, sbd = sa.cast("double"), sb.cast("double")
+        var_a = nd * qa.cast("double") - sad * sad
+        var_b = nd * qb.cast("double") - sbd * sbd
+        corr = F.when(
+            (var_a > 0) & (var_b > 0),
+            stable_round(
+                (nd * d.cast("double") - sad * sbd)
+                / (F.sqrt(var_a) * F.sqrt(var_b)),
+                6,
+            ),
+        )
+        structs.append(F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            n.alias("n"),
+            sa.alias("sum_a"),
+            sb.alias("sum_b"),
+            qa.alias("sumsq_a"),
+            qb.alias("sumsq_b"),
+            d.alias("dot"),
+            corr.alias("corr"),
+        ))
+    return one.select(F.explode(F.array(*structs)).alias("_p")).select(
+        "_p.col_a", "_p.col_b", "_p.n", "_p.sum_a", "_p.sum_b",
+        "_p.sumsq_a", "_p.sumsq_b", "_p.dot", "_p.corr"
     )
 
 

@@ -321,3 +321,43 @@ def test_exact_quantiles(spark):
     want = [s[max(1, math.ceil(p * len(s))) - 1] for p in probs]
     assert got == want
     assert exact_quantiles(df.limit(0), "x", [0.5]) == [None]
+
+
+def test_corr_matrix_one_pass(spark):
+    """Exact-moment pairwise correlation: perfect/anti/zero-variance
+    cases, listwise null handling, and the one-scan plan claim."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from replay_spark.utils.spark_utils import corr_matrix
+
+    rows = [(i, 2 * i, -3 * i + 7, 5) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "x long, y long, z long, c long")
+    out = {(r.col_a, r.col_b): r
+           for r in corr_matrix(df, ["x", "y", "z", "c"]).collect()}
+    assert out[("x", "y")].corr == 1.0       # y = 2x
+    assert out[("x", "z")].corr == -1.0      # z = -3x + 7
+    assert out[("x", "c")].corr is None      # zero variance
+    assert out[("y", "z")].corr == -1.0
+    m = out[("x", "y")]
+    n = 20
+    sx, sy = sum(range(1, 21)), 2 * sum(range(1, 21))
+    assert (m.n, m.sum_a, m.sum_b) == (n, sx, sy)
+    assert m.dot == sum(i * 2 * i for i in range(1, 21))
+
+    # listwise deletion: a null in ANY column drops the row for all
+    with_null = df.union(
+        spark.createDataFrame([(100, None, 1, 5)],
+                              "x long, y long, z long, c long")
+    )
+    out2 = corr_matrix(with_null, ["x", "y", "z", "c"]).collect()
+    assert all(r.n == 20 for r in out2)
+
+    # one scan no matter how many pairs
+    plan = (
+        corr_matrix(df, ["x", "y", "z", "c"])
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan.count("LogicalRDD") == 1
+    with pytest.raises(ValueError, match="two columns"):
+        corr_matrix(df, ["x"])
