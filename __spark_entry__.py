@@ -5222,6 +5222,73 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corr_matrix(li, ["qty", "price_u", "disc_c", "tax_c"])
 
 
+def q_streaming_lake_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingestion into the lakehouse: events
+    stream through foreachBatch into a LakeTable (one versioned
+    commit per micro-batch, batch-id idempotence in the txn log),
+    then a REPLAYED batch 0 is appended and must be skipped. The
+    table aggregate equals DuckDB's direct aggregate of the source —
+    duplicates would break the hash."""
+    import os
+    import shutil
+    import tempfile
+
+    from replay_spark.lake import LakeTable
+
+    for q in spark.streams.active:
+        if q.name == "q_lake_sink_stream":
+            q.stop()
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"rs_lakesink_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    t = LakeTable(spark, path)
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    link_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"rs_stream_events_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, "events.parquet")
+    if os.path.lexists(link) and os.path.realpath(link) != src:
+        os.unlink(link)
+    if not os.path.lexists(link):
+        os.symlink(src, link)
+    raw_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(link_dir)
+        .select(
+            "event_id", "user_id", "event_type",
+            F.floor("value").cast("long").alias("fv"),
+        )
+    )
+    sq = (
+        stream.writeStream.foreachBatch(t.streaming_sink("q_lake_sink"))
+        .queryName("q_lake_sink_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(300)
+    # crash-replay simulation: batch 0 arrives again — must be a no-op
+    replay = spark.read.parquet(src).select(
+        "event_id", "user_id", "event_type",
+        F.floor("value").cast("long").alias("fv"),
+    ).limit(100)
+    assert t.append_batch(replay, "q_lake_sink", 0) is None
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum("event_id").cast("long").alias("sum_ids"),
+            F.sum("fv").cast("long").alias("sum_fv"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: PopRec top-5 recommendations on sf0.001."""
     return q_poprec_recs(spark, "/root/testdata/sf0.001")
@@ -5516,6 +5583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anomaly_flags": q_anomaly_flags,
         "q_hll_overlap": q_hll_overlap,
         "q_corr_matrix": q_corr_matrix,
+        "q_streaming_lake_sink": q_streaming_lake_sink,
     }
 
 
@@ -9396,6 +9464,15 @@ def oracle_sql() -> dict[str, str]:
                        AS max_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "q_streaming_lake_sink": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(sum(event_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(floor(value)) AS BIGINT) AS sum_fv
+            FROM events
+            GROUP BY event_type
         """,
         "q_corr_matrix": """
             WITH v AS (

@@ -280,18 +280,20 @@ class LakeTable:
         remove: Sequence[str],
         schema: StructType,
         expected_version: int,
+        txn: Optional[dict] = None,
     ) -> int:
         os.makedirs(self._log_dir, exist_ok=True)
         version = expected_version
-        record = json.dumps(
-            {
-                "version": version,
-                "operation": operation,
-                "add": list(add),
-                "remove": list(remove),
-                "schema": json.dumps(schema.jsonValue()),
-            }
-        )
+        payload = {
+            "version": version,
+            "operation": operation,
+            "add": list(add),
+            "remove": list(remove),
+            "schema": json.dumps(schema.jsonValue()),
+        }
+        if txn:
+            payload["txn"] = txn
+        record = json.dumps(payload)
         name = os.path.join(self._log_dir, f"{version:010d}.json")
         if not _fs_write_exclusive(name, record):
             raise ConcurrentWriteError(f"version {version} already committed")
@@ -336,6 +338,53 @@ class LakeTable:
             except ConcurrentWriteError:
                 continue
         raise ConcurrentWriteError("append retries exhausted")
+
+    def last_committed_batch(self, app_id: str) -> Optional[int]:
+        """Highest streaming batch id committed under ``app_id``
+        (the Delta txn-action idempotence device), or None."""
+        best = None
+        for c in self._commits():
+            t = c.get("txn")
+            if t and t.get("app_id") == app_id:
+                b = int(t["batch_id"])
+                best = b if best is None or b > best else best
+        return best
+
+    def append_batch(
+        self, df: DataFrame, app_id: str, batch_id: int
+    ) -> Optional[int]:
+        """IDEMPOTENT append for exactly-once streaming ingestion:
+        the commit records ``(app_id, batch_id)``, and a replayed
+        batch (Structured Streaming re-runs the last micro-batch
+        after a crash) with ``batch_id <=`` the last committed one
+        is SKIPPED — at-least-once delivery plus idempotent commits
+        equals exactly-once table contents. Returns the committed
+        version, or None when skipped."""
+        last = self.last_committed_batch(app_id)
+        if last is not None and int(batch_id) <= last:
+            return None
+        files = self._write_data(df)
+        return self._commit(
+            "append",
+            files,
+            [],
+            df.schema,
+            self.latest_version() + 1,
+            txn={"app_id": app_id, "batch_id": int(batch_id)},
+        )
+
+    def streaming_sink(self, app_id: str):
+        """``foreachBatch`` adapter: ``writeStream.foreachBatch(
+        table.streaming_sink("my-app")).start()`` turns any stream
+        into exactly-once lake ingestion — every micro-batch lands
+        as one versioned commit, replays dedupe on batch id, and the
+        change feed / time travel / IVM machinery applies to the
+        live stream for free."""
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            self.append_batch(batch_df, app_id, batch_id)
+
+        return sink
 
     def overwrite(self, df: DataFrame) -> int:
         base_version = self.latest_version()

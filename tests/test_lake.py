@@ -187,6 +187,38 @@ def test_schema_evolution(table, spark):
     assert table.read(version=0).columns == ["k", "v"]
 
 
+def test_streaming_sink_exactly_once(table, spark, tmp_path):
+    """foreachBatch lake ingestion: every micro-batch is one commit,
+    a replayed batch id is skipped (idempotent), and the table holds
+    exactly the stream's rows."""
+    src = str(tmp_path / "stream_src")
+    spark.range(0, 100).selectExpr(
+        "id AS k", "id * 2 AS v"
+    ).repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    sq = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream.foreachBatch(table.streaming_sink("t_sink"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(120)
+    assert table.read().count() == 100
+    n_versions = table.latest_version() + 1
+    assert n_versions >= 2  # maxFilesPerTrigger=2 over 4 files
+    assert table.last_committed_batch("t_sink") == n_versions - 1
+    # replaying an already-committed batch is a no-op
+    dup = spark.range(500, 510).selectExpr("id AS k", "id * 2 AS v")
+    assert table.append_batch(dup, "t_sink", 0) is None
+    assert table.read().count() == 100
+    # a NEW batch id commits; a different app_id has its own ledger
+    assert table.append_batch(dup, "t_sink", 99) is not None
+    assert table.read().count() == 110
+    assert table.last_committed_batch("other") is None
+
+
 def test_refresh_aggregate_matches_full_recompute(table, spark):
     """IVM: snapshot agg + change feed == recomputed agg, including
     a group whose count drops to zero (it must vanish)."""
