@@ -5329,9 +5329,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     late-round-8 session-2 hash debuts (q_avi_meta, q_avi_frames,
     q_tfrecord_roundtrip, q_tfrecord_floats, q_global_shuffle,
     q_adpcm_roundtrip, q_zorder_pruning, q_triangle_count,
-    q_corpus_diff, q_wordpiece_tokens) — the r9 rotation
-    candidates, all hash-verified at sf0.01 AND sf0.1 but not in
-    this round's scored window.
+    q_corpus_diff, q_wordpiece_tokens) plus the fourteen round-8
+    session-3 hash debuts (q_lake_optimize, q_mp4_samples,
+    q_constraint_suite, q_timeseries_interpolate, q_heavy_hitters,
+    q_ivm_refresh, q_webm_frames, q_bucketed_join, q_streaming_join,
+    q_anomaly_flags, q_hll_overlap, q_corr_matrix,
+    q_streaming_lake_sink, and the session-2 lake trio
+    q_lake_timetravel/q_merge_upsert/q_scd2 et al.) — the r9
+    rotation candidates, all hash-verified at sf0.01 AND sf0.1 but
+    not in this round's scored window.
     Rows-only contracts inside the r8 window: exactly 9 (q_kmeans_fit,
     q_pca_fit, q_quality_classifier, q_textrank, q_bin_pack,
     q_pagerank, q_compression_ratio, q_spectrogram,

@@ -48,7 +48,6 @@ BENCH_QUERIES = [
     "q_repetition_stats",
     "q_document_chunks",
     "q_dedup_clusters",
-    "q_vocab_top_tokens",
     "q_tfidf_keywords",
     "q_contamination_report",
     "q_quality_filter",
@@ -77,7 +76,6 @@ BENCH_QUERIES = [
     # round-8 operators: clustering, layout, time-series grid, and
     # the distributed-path component propagation
     "q_kmeans_assign",
-    "q_zorder_keys",
     "q_timeseries_resample",
     "q_connected_components",
     # round-8 session-2 operators: container video decode through the
@@ -88,6 +86,14 @@ BENCH_QUERIES = [
     "q_tfrecord_roundtrip",
     "q_adpcm_roundtrip",
     "q_triangle_count",
+    # round-8 session-3: Misra-Gries heavy hitters (replaces
+    # q_vocab_top_tokens in the headline — the same top-token job
+    # with bounded shuffle state), the exact-integer rolling anomaly
+    # window, and the one-scan correlation matrix (q_vocab_top_tokens
+    # and q_zorder_keys left the headline — still gated + swept)
+    "q_heavy_hitters",
+    "q_anomaly_flags",
+    "q_corr_matrix",
 ]
 
 
