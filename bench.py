@@ -20,12 +20,16 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
 
 # Headline set: one per operator family — scan/agg, joins, windows,
 # the quadratic self-joins, the full recommend path, splitters,
-# text/dedup/ANN pipeline ops.
+# text/dedup/ANN pipeline ops. Kept to ~56 queries so the compact
+# stdout line carries the sf1 section inside the driver's 2000-char
+# capture (5 trivial sub-0.4s aggregation queries left the headline
+# in r8s3: q_user_stats, q_text_stats, q_sequence_tokenizer,
+# q_sessionize_composite, q_repetition_stats — all still
+# correctness-gated + swept).
 BENCH_QUERIES = [
     "q_pricing_summary",
     "q_nation_revenue",
     "q_top_k_recs",
-    "q_user_stats",
     "q_filter_num_interactions",
     "q_ratio_split_test",
     "q_poprec_recs",
@@ -33,19 +37,15 @@ BENCH_QUERIES = [
     "q_itemknn_similarity",
     "q_assoc_rules",
     "q_doc_dedup_exact",
-    "q_text_stats",
     "q_embedding_cosine_topk",
     "q_minhash_candidates",
     "q_simhash_fingerprints",
     "q_ngram_jaccard_pairs",
-    "q_sessionize_composite",
     "q_label_encode",
     "q_metric_per_user",
-    "q_sequence_tokenizer",
     "q_ivf_ann",
     "q_split_session_atomic",
     "q_e2e_eval",
-    "q_repetition_stats",
     "q_document_chunks",
     "q_dedup_clusters",
     "q_tfidf_keywords",
@@ -208,8 +208,7 @@ def main():
         "q_ngram_jaccard_capped",
         "q_sequence_pack",
         "q_source_cap",
-        "q_repetition_stats",
-        "q_contamination_report",
+            "q_contamination_report",
         "q_paragraph_dedup",
         "q_bigram_lm_scores",
         # BPE at sf1 stresses the bounded-word-type claim directly:
