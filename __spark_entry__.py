@@ -5289,6 +5289,23 @@ def q_streaming_lake_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles without a global sort: one keyed
+    window ranks each event_type's integerized values, the tiny
+    count table explodes into target ranks (max(1, ceil(p·n))), and
+    a rank join reads the answers — adding probabilities adds join
+    rows, not scans. DuckDB replays the identical rank formula."""
+    from replay_spark.utils.spark_utils import grouped_exact_quantiles
+
+    ev = rsd.read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return grouped_exact_quantiles(
+        ev, "event_type", "v", [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: PopRec top-5 recommendations on sf0.001."""
     return q_poprec_recs(spark, "/root/testdata/sf0.001")
@@ -5590,6 +5607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hll_overlap": q_hll_overlap,
         "q_corr_matrix": q_corr_matrix,
         "q_streaming_lake_sink": q_streaming_lake_sink,
+        "q_grouped_quantiles": q_grouped_quantiles,
     }
 
 
@@ -9470,6 +9488,30 @@ def oracle_sql() -> dict[str, str]:
                        AS max_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "q_grouped_quantiles": """
+            WITH v AS (
+                SELECT event_type,
+                       CAST(floor(value * 100) AS BIGINT) AS v
+                FROM events WHERE value IS NOT NULL),
+            r AS (
+                SELECT event_type, v,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY v) AS rn
+                FROM v),
+            c AS (
+                SELECT event_type, count(*) AS n
+                FROM v GROUP BY event_type),
+            t AS (
+                SELECT c.event_type, p.prob,
+                       greatest(1, CAST(ceil(p.prob * c.n) AS INT))
+                           AS k
+                FROM c, (VALUES (0.0), (0.1), (0.25), (0.5), (0.75),
+                                (0.9), (0.99), (1.0)) AS p(prob))
+            SELECT t.event_type, CAST(t.prob AS DOUBLE) AS prob,
+                   r.v AS value
+            FROM t JOIN r
+              ON r.event_type = t.event_type AND r.rn = t.k
         """,
         "q_streaming_lake_sink": """
             SELECT event_type,

@@ -361,3 +361,36 @@ def test_corr_matrix_one_pass(spark):
     assert plan.count("LogicalRDD") == 1
     with pytest.raises(ValueError, match="two columns"):
         corr_matrix(df, ["x"])
+
+
+def test_grouped_exact_quantiles(spark):
+    """Per-group rank semantics max(1, ceil(p*n)) vs brute force,
+    ties and nulls included."""
+    import math
+    import random
+
+    import pytest
+
+    from replay_spark.utils.spark_utils import grouped_exact_quantiles
+
+    random.seed(11)
+    rows = []
+    data = {}
+    for g, n in (("a", 101), ("b", 17), ("c", 1)):
+        vals = [random.randint(-50, 50) for _ in range(n)]
+        data[g] = sorted(vals)
+        rows += [(g, v) for v in vals]
+    rows.append(("a", None))  # nulls excluded from ranks
+    df = spark.createDataFrame(rows, "g string, v long")
+    probs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    out = grouped_exact_quantiles(df, "g", "v", probs)
+    got = {(r.g, r.prob): r.value for r in out.collect()}
+    for g, s in data.items():
+        for p in probs:
+            want = s[max(1, math.ceil(p * len(s))) - 1]
+            assert got[(g, p)] == want, (g, p)
+    assert len(got) == 3 * len(probs)
+    with pytest.raises(ValueError, match="outside"):
+        grouped_exact_quantiles(df, "g", "v", [1.5])
+    with pytest.raises(ValueError, match="at least one"):
+        grouped_exact_quantiles(df, "g", "v", [])
