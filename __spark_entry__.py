@@ -5306,6 +5306,36 @@ def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase conversion funnel (6-hour window,
+    strictly-increasing step times, earliest qualifying event per
+    user): k−1 keyed join+agg rounds, exact BIGINT counts. DuckDB
+    replays the same step algebra as chained CTEs."""
+    from replay_spark.analytics import FunnelAnalyzer
+
+    ev = rsd.read_table(spark, sf_dir, "events")
+    funnel = FunnelAnalyzer(
+        [
+            "event_type = 'view'",
+            "event_type = 'click'",
+            "event_type = 'purchase'",
+        ],
+        window_seconds=21600,
+    )
+    return funnel.counts(ev)
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: first-activity bucket per
+    user (exact integer epoch division), distinct (user, week)
+    activity joined back, counts per (cohort, offset). One scan +
+    two keyed aggs; offset 0 equals cohort size by construction."""
+    from replay_spark.analytics import CohortRetention
+
+    ev = rsd.read_table(spark, sf_dir, "events")
+    return CohortRetention(bucket_seconds=7 * 24 * 3600).transform(ev)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: PopRec top-5 recommendations on sf0.001."""
     return q_poprec_recs(spark, "/root/testdata/sf0.001")
@@ -5608,6 +5638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corr_matrix": q_corr_matrix,
         "q_streaming_lake_sink": q_streaming_lake_sink,
         "q_grouped_quantiles": q_grouped_quantiles,
+        "q_funnel": q_funnel,
+        "q_cohort_retention": q_cohort_retention,
     }
 
 
@@ -9487,6 +9519,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(CAST(floor(value) AS BIGINT)) AS BIGINT)
                        AS max_value
             FROM events
+            GROUP BY 1, 2
+        """,
+        "q_funnel": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS us, event_type
+                FROM events),
+            s1 AS (
+                SELECT user_id, min(us) AS t1
+                FROM e WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (
+                SELECT e.user_id, min(e.us) AS t2
+                FROM e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click'
+                  AND e.us > s1.t1
+                  AND e.us <= s1.t1 + 21600000000
+                GROUP BY e.user_id),
+            s3 AS (
+                SELECT e.user_id, min(e.us) AS t3
+                FROM e
+                JOIN s1 ON e.user_id = s1.user_id
+                JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase'
+                  AND e.us > s2.t2
+                  AND e.us <= s1.t1 + 21600000000
+                GROUP BY e.user_id)
+            SELECT 1 AS step, CAST(count(*) AS BIGINT) AS n_users
+            FROM s1
+            UNION ALL
+            SELECT 2, CAST(count(*) AS BIGINT) FROM s2
+            UNION ALL
+            SELECT 3, CAST(count(*) AS BIGINT) FROM s3
+        """,
+        "q_cohort_retention": """
+            WITH a AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 604800000000 AS b
+                FROM events),
+            c AS (
+                SELECT user_id, min(b) AS cohort
+                FROM a GROUP BY user_id)
+            SELECT CAST(c.cohort AS BIGINT) AS cohort_bucket,
+                   CAST(a.b - c.cohort AS BIGINT) AS offset,
+                   CAST(count(*) AS BIGINT) AS n_active
+            FROM a JOIN c ON a.user_id = c.user_id
             GROUP BY 1, 2
         """,
         "q_grouped_quantiles": """

@@ -1,0 +1,176 @@
+"""Product-analytics operators over event streams: funnels and
+cohort retention.
+
+The reference engine stops at recommendation metrics; a production
+event table also answers "how many users who did A then did B within
+an hour" (funnel) and "what fraction of January signups were still
+active k weeks later" (retention). Both are pure keyed
+DataFrame algebra here — no sessionization UDFs, no driver loops:
+
+* ``FunnelAnalyzer`` — k ordered steps become k−1 keyed join+agg
+  rounds: step i's table is ``events ⋈ reached_{i−1}`` on the user
+  key, filtered to ``prev_t < ts <= first_t + window``, aggregated to
+  the EARLIEST qualifying time per user. Every join is on the user
+  key (shuffle-partitioned once, reused), each round's right side
+  shrinks monotonically, and the final counts are one tiny agg per
+  step. Strictly-increasing timestamps between steps make the funnel
+  unambiguous (re-orderings of the same second don't double-count).
+* ``CohortRetention`` — one scan: each user's cohort is their
+  first-activity bucket (min over a keyed agg), the activity matrix
+  is ``distinct (user, bucket)`` joined back to cohorts, and the
+  output is (cohort, offset, n_active) with offset 0 equal to the
+  cohort size by construction.
+
+Both emit exact BIGINT counts, so the contract gates hash against
+DuckDB replays of the same algebra.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["FunnelAnalyzer", "CohortRetention"]
+
+
+class FunnelAnalyzer:
+    """Ordered-step conversion funnel within a time window.
+
+    ``steps`` is a list of step predicates — each a SQL boolean
+    expression string over the event columns (e.g. ``"event_type =
+    'click'"``). A user converts through step i when an event
+    matching step i occurs STRICTLY after their step-(i−1) time and
+    no later than ``window_seconds`` after their step-1 time (the
+    whole funnel must fit in the window, the common product
+    definition). Each user converts at their EARLIEST qualifying
+    time per step — deterministic regardless of partitioning.
+
+    ``transform`` returns per-user step times (``step_1 .. step_k``
+    as microsecond epochs, NULL once the user drops out);
+    ``counts`` rolls that up to ``[step, n_users]``.
+    """
+
+    def __init__(
+        self,
+        steps: Sequence[str],
+        user_column: str = "user_id",
+        time_column: str = "ts",
+        window_seconds: Optional[int] = 3600,
+    ):
+        if len(steps) < 2:
+            raise ValueError("a funnel needs at least two steps")
+        if window_seconds is not None and window_seconds < 1:
+            raise ValueError("window_seconds must be >= 1 or None")
+        self.steps = list(steps)
+        self.user_column = user_column
+        self.time_column = time_column
+        self.window_seconds = window_seconds
+
+    def _us(self) -> Column:
+        return F.expr(
+            f"unix_micros(CAST(`{self.time_column}` AS TIMESTAMP))"
+        )
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        u = self.user_column
+        events = df.select(
+            u,
+            self._us().alias("_us"),
+            *[
+                F.expr(s).cast("boolean").alias(f"_m{i}")
+                for i, s in enumerate(self.steps)
+            ],
+        )
+        reached = (
+            events.filter(F.col("_m0"))
+            .groupBy(u)
+            .agg(F.min("_us").alias("step_1"))
+        )
+        for i in range(1, len(self.steps)):
+            nxt = events.filter(F.col(f"_m{i}")).select(
+                u, F.col("_us").alias("_t")
+            )
+            cond = F.col("_t") > F.col(f"step_{i}")
+            if self.window_seconds is not None:
+                cond = cond & (
+                    F.col("_t")
+                    <= F.col("step_1") + self.window_seconds * 1_000_000
+                )
+            step_col = f"step_{i + 1}"
+            hits = (
+                nxt.join(reached, on=u)
+                .filter(cond)
+                .groupBy(u)
+                .agg(F.min("_t").alias(step_col))
+                .select(u, step_col)
+            )
+            reached = reached.join(hits, on=u, how="left")
+        return reached
+
+    def counts(self, df: DataFrame) -> DataFrame:
+        """``[step (1-based int), n_users]`` — one row per step."""
+        per_user = self.transform(df)
+        aggs = [
+            F.count(F.col(f"step_{i + 1}")).alias(f"_c{i + 1}")
+            for i in range(len(self.steps))
+        ]
+        one = per_user.agg(*aggs)
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(i + 1).alias("step"),
+                    F.col(f"_c{i + 1}").cast("long").alias("n_users"),
+                )
+                for i in range(len(self.steps))
+            ]
+        )
+        return one.select(F.explode(pairs).alias("_s")).select(
+            "_s.step", "_s.n_users"
+        )
+
+
+class CohortRetention:
+    """Cohort × offset retention matrix.
+
+    Users are cohorted by the bucket of their FIRST event
+    (``bucket = epoch_us div (bucket_seconds · 1e6)`` — the repo's
+    exact-integer time convention); a user is retained at offset k
+    when they have ANY event in ``cohort_bucket + k``. Output:
+    ``[cohort_bucket, offset, n_active]`` with exact counts (offset
+    0 is the cohort size).
+    """
+
+    def __init__(
+        self,
+        user_column: str = "user_id",
+        time_column: str = "ts",
+        bucket_seconds: int = 7 * 24 * 3600,
+        max_offset: Optional[int] = None,
+    ):
+        if bucket_seconds < 1:
+            raise ValueError("bucket_seconds must be >= 1")
+        self.user_column = user_column
+        self.time_column = time_column
+        self.bucket_seconds = bucket_seconds
+        self.max_offset = max_offset
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        u = self.user_column
+        bucket = F.expr(
+            f"unix_micros(CAST(`{self.time_column}` AS TIMESTAMP)) div "
+            f"{self.bucket_seconds * 1_000_000}"
+        ).cast("long")
+        activity = df.select(u, bucket.alias("_b")).distinct()
+        cohorts = activity.groupBy(u).agg(F.min("_b").alias("_cohort"))
+        joined = activity.join(cohorts, on=u).select(
+            u,
+            "_cohort",
+            (F.col("_b") - F.col("_cohort")).alias("offset"),
+        )
+        if self.max_offset is not None:
+            joined = joined.filter(F.col("offset") <= self.max_offset)
+        return joined.groupBy(
+            F.col("_cohort").alias("cohort_bucket"), "offset"
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_active"))

@@ -1,0 +1,79 @@
+"""Funnel and cohort-retention analytics operators."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+from replay_spark.analytics import CohortRetention, FunnelAnalyzer
+
+
+def _ts(minute):
+    return dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=minute)
+
+
+def test_funnel_ordered_steps_and_window(spark):
+    rows = [
+        # user 1 completes all three inside the window
+        (1, _ts(0), "view"), (1, _ts(5), "click"), (1, _ts(10), "buy"),
+        # user 2: click BEFORE view -> never reaches step 2
+        (2, _ts(5), "click"), (2, _ts(10), "view"),
+        # user 3: completes steps 1-2, step 3 lands past the window
+        (3, _ts(0), "view"), (3, _ts(30), "click"), (3, _ts(90), "buy"),
+        # user 4: same-time click (NOT strictly after) -> drops out
+        (4, _ts(0), "view"), (4, _ts(0), "click"),
+        # user 5: never does step 1
+        (5, _ts(0), "buy"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, et string")
+    funnel = FunnelAnalyzer(
+        ["et = 'view'", "et = 'click'", "et = 'buy'"],
+        window_seconds=3600,
+    )
+    per_user = {r.user_id: r for r in funnel.transform(df).collect()}
+    assert set(per_user) == {1, 2, 3, 4}  # user 5 never enters
+    assert per_user[1].step_3 is not None
+    assert per_user[2].step_2 is None
+    assert per_user[3].step_2 is not None and per_user[3].step_3 is None
+    assert per_user[4].step_2 is None  # strict ordering
+    counts = {r.step: r.n_users for r in funnel.counts(df).collect()}
+    assert counts == {1: 4, 2: 2, 3: 1}
+
+    # window=None disables the cap: user 3's late buy now counts
+    loose = FunnelAnalyzer(
+        ["et = 'view'", "et = 'click'", "et = 'buy'"],
+        window_seconds=None,
+    )
+    lc = {r.step: r.n_users for r in loose.counts(df).collect()}
+    assert lc[3] == 2
+    with pytest.raises(ValueError, match="two steps"):
+        FunnelAnalyzer(["et = 'view'"])
+
+
+def test_cohort_retention_matrix(spark):
+    day = 24 * 3600
+    rows = [
+        # cohort day 0: users 1, 2; user 1 returns day 1 and 3,
+        # user 2 returns day 1 only (two events same day dedupe)
+        (1, _ts(0)), (1, _ts(24 * 60)), (1, _ts(3 * 24 * 60)),
+        (2, _ts(10)), (2, _ts(24 * 60)), (2, _ts(24 * 60 + 5)),
+        # cohort day 2: user 3, never returns
+        (3, _ts(2 * 24 * 60)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    ret = CohortRetention(bucket_seconds=day)
+    out = {
+        (r.cohort_bucket, r.offset): r.n_active
+        for r in ret.transform(df).collect()
+    }
+    c0 = min(b for (b, _) in out)
+    assert out[(c0, 0)] == 2       # cohort size
+    assert out[(c0, 1)] == 2       # both return day 1
+    assert out[(c0, 3)] == 1       # only user 1
+    assert (c0, 2) not in out      # nobody active day 2
+    assert out[(c0 + 2, 0)] == 1   # user 3's cohort
+    # max_offset trims the matrix
+    trimmed = CohortRetention(bucket_seconds=day, max_offset=1)
+    assert max(r.offset for r in trimmed.transform(df).collect()) <= 1
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        CohortRetention(bucket_seconds=0)
