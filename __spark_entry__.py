@@ -5336,6 +5336,48 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CohortRetention(bucket_seconds=7 * 24 * 3600).transform(ev)
 
 
+def q_arrow_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC (Feather v2) sink/source roundtrip over real shard
+    files: documents export to ``shard-%05d.arrow`` (one writer task
+    per shard, key-sorted deterministic layout), read back through
+    the mapInPandas source, and every recovered field — negative
+    longs, utf-8 strings, nullable unions, long arrays — must match
+    what DuckDB recomputes from the original table."""
+    import os
+    import tempfile
+
+    from replay_spark.data.arrow_ipc import read_arrow_ipc, write_arrow_ipc
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    export = docs.select(
+        "doc_id",
+        "text",
+        (-F.col("doc_id") - 1).alias("neg"),
+        F.when(F.col("doc_id") % 3 == 0, F.col("doc_id") * 7).alias("opt"),
+        F.array(
+            F.length("text").cast("long"), F.col("doc_id") % 7
+        ).alias("lens"),
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"rs_ipc_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_arrow_ipc(export, out_dir, key_column="doc_id", num_shards=8)
+    back = read_arrow_ipc(spark, out_dir)
+    return back.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
+        "neg",
+        "opt",
+        F.aggregate(
+            "lens", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("lens_sum"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: PopRec top-5 recommendations on sf0.001."""
     return q_poprec_recs(spark, "/root/testdata/sf0.001")
@@ -5640,6 +5682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grouped_quantiles": q_grouped_quantiles,
         "q_funnel": q_funnel,
         "q_cohort_retention": q_cohort_retention,
+        "q_arrow_ipc": q_arrow_ipc,
     }
 
 
@@ -9520,6 +9563,15 @@ def oracle_sql() -> dict[str, str]:
                        AS max_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "q_arrow_ipc": """
+            SELECT doc_id,
+                   md5(text) AS text_md5,
+                   -doc_id - 1 AS neg,
+                   CASE WHEN doc_id % 3 = 0 THEN doc_id * 7
+                        ELSE NULL END AS opt,
+                   CAST(length(text) + doc_id % 7 AS BIGINT) AS lens_sum
+            FROM documents
         """,
         "q_funnel": """
             WITH e AS (

@@ -492,3 +492,53 @@ def test_avro_spark_roundtrip(spark, tmp_path):
             os.path.join(p2, s), "rb"
         ) as f2:
             assert f1.read() == f2.read(), s
+
+
+def test_arrow_ipc_roundtrip_and_determinism(spark, tmp_path):
+    """Arrow IPC sink/source: lossless roundtrip (longs, doubles,
+    strings, binary, arrays), byte-identical re-export, one file per
+    non-empty shard, and empty-dir read raises."""
+    import hashlib
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from replay_spark.data.arrow_ipc import read_arrow_ipc, write_arrow_ipc
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 0.5).alias("x"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"),
+        F.encode(F.concat(F.lit("b"), F.col("id")), "utf-8").alias("raw"),
+        F.array(F.col("id"), F.col("id") * 2).alias("arr"),
+    )
+    out = str(tmp_path / "ipc")
+    files = write_arrow_ipc(df, out, key_column="k", num_shards=4)
+    assert files == [f"shard-{i:05d}.arrow" for i in range(4)]
+    back = read_arrow_ipc(spark, out)
+    assert dict(back.dtypes) == dict(df.dtypes)
+    a = sorted(
+        (r.k, r.x, r.s, bytes(r.raw), tuple(r.arr)) for r in back.collect()
+    )
+    b = sorted(
+        (r.k, r.x, r.s, bytes(r.raw), tuple(r.arr)) for r in df.collect()
+    )
+    assert a == b
+
+    def digest(d):
+        h = hashlib.sha256()
+        for f in sorted(__import__("os").listdir(d)):
+            h.update(open(f"{d}/{f}", "rb").read())
+        return h.hexdigest()
+
+    out2 = str(tmp_path / "ipc2")
+    write_arrow_ipc(df.repartition(7), out2, key_column="k", num_shards=4)
+    assert digest(out) == digest(out2)  # layout is deterministic
+
+    with pytest.raises(FileNotFoundError):
+        read_arrow_ipc(spark, str(tmp_path / "nope" / "x"))
+    # an existing dir with no shards raises the module's own error
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError, match="no .arrow shards"):
+        read_arrow_ipc(spark, str(empty))
