@@ -5378,6 +5378,34 @@ def q_arrow_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition counts per user stream
+    (lead over (ts, event_id) — the unique tiebreaker makes the
+    chain deterministic) with exact ppm row shares. DuckDB replays
+    the identical window + integer division."""
+    from replay_spark.analytics import TransitionMatrix
+
+    ev = rsd.read_table(spark, sf_dir, "events")
+    tm = TransitionMatrix(tiebreak_column="event_id")
+    return tm.transform(ev)
+
+
+def q_ab_test_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout in one scan: users split into variants by
+    user_id parity, the integerized value is the metric — exact
+    BIGINT moments plus stable-rounded mean/variance doubles per
+    variant."""
+    from replay_spark.analytics import ab_test_summary
+
+    ev = rsd.read_table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 2 == 0, "control")
+        .otherwise("treatment")
+        .alias("variant"),
+        F.floor(F.col("value") * 100).cast("long").alias("m"),
+    )
+    return ab_test_summary(ev, "variant", "m")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: PopRec top-5 recommendations on sf0.001."""
     return q_poprec_recs(spark, "/root/testdata/sf0.001")
@@ -5683,6 +5711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_funnel": q_funnel,
         "q_cohort_retention": q_cohort_retention,
         "q_arrow_ipc": q_arrow_ipc,
+        "q_transition_matrix": q_transition_matrix,
+        "q_ab_test_summary": q_ab_test_summary,
     }
 
 
@@ -9563,6 +9593,47 @@ def oracle_sql() -> dict[str, str]:
                        AS max_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "q_transition_matrix": """
+            WITH p AS (
+                SELECT event_type AS from_state,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS to_state
+                FROM events),
+            c AS (
+                SELECT from_state, to_state,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM p WHERE to_state IS NOT NULL
+                GROUP BY from_state, to_state),
+            t AS (
+                SELECT from_state, sum(n) AS row_total
+                FROM c GROUP BY from_state)
+            SELECT c.from_state, c.to_state, c.n,
+                   CAST(c.n * 1000000 // t.row_total AS BIGINT)
+                       AS prob_ppm
+            FROM c JOIN t USING (from_state)
+        """,
+        "q_ab_test_summary": """
+            WITH v AS (
+                SELECT CASE WHEN user_id % 2 = 0 THEN 'control'
+                            ELSE 'treatment' END AS variant,
+                       CAST(floor(value * 100) AS BIGINT) AS m
+                FROM events WHERE value IS NOT NULL)
+            SELECT variant,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(m) AS BIGINT) AS metric_sum,
+                   CAST(sum(m * m) AS BIGINT) AS metric_sumsq,
+                   round(CAST(sum(m) AS DOUBLE) / count(*) + 1e-9, 6)
+                       AS mean,
+                   round((CAST(count(*) AS DOUBLE)
+                          * CAST(sum(m * m) AS DOUBLE)
+                          - CAST(sum(m) AS DOUBLE)
+                          * CAST(sum(m) AS DOUBLE))
+                         / (CAST(count(*) AS DOUBLE)
+                            * CAST(count(*) - 1 AS DOUBLE))
+                         + 1e-9, 6) AS variance
+            FROM v GROUP BY variant
         """,
         "q_arrow_ipc": """
             SELECT doc_id,

@@ -32,7 +32,123 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["FunnelAnalyzer", "CohortRetention"]
+__all__ = [
+    "FunnelAnalyzer",
+    "CohortRetention",
+    "TransitionMatrix",
+    "ab_test_summary",
+]
+
+
+class TransitionMatrix:
+    """First-order next-event transition counts (the Markov-chain
+    view of an event stream): for each user's time-ordered events,
+    count (from_state, to_state) adjacent pairs and derive the row
+    probability. One keyed window (``lead`` per user ordered by time
+    + a unique tiebreaker) and one aggregation — linear per key, the
+    same per-entity bound as the sessionizer.
+
+    ``prob_ppm`` is the exact integer parts-per-million share of the
+    from-state's outgoing transitions (``count·1e6 div row_total``)
+    so the output hashes cross-engine without float division.
+    """
+
+    def __init__(
+        self,
+        user_column: str = "user_id",
+        time_column: str = "ts",
+        state_column: str = "event_type",
+        tiebreak_column: Optional[str] = None,
+    ):
+        self.user_column = user_column
+        self.time_column = time_column
+        self.state_column = state_column
+        self.tiebreak_column = tiebreak_column
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        order = [F.col(self.time_column)]
+        if self.tiebreak_column:
+            order.append(F.col(self.tiebreak_column))
+        w = Window.partitionBy(self.user_column).orderBy(*order)
+        pairs = (
+            df.select(
+                self.user_column,
+                self.time_column,
+                *([self.tiebreak_column] if self.tiebreak_column else []),
+                F.col(self.state_column).alias("from_state"),
+            )
+            .withColumn(
+                "to_state", F.lead("from_state").over(w)
+            )
+            .filter(F.col("to_state").isNotNull())
+        )
+        counts = pairs.groupBy("from_state", "to_state").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        totals = counts.groupBy("from_state").agg(
+            F.sum("n").alias("_row_total")
+        )
+        return (
+            counts.join(F.broadcast(totals), on="from_state")
+            .select(
+                "from_state",
+                "to_state",
+                "n",
+                F.expr("CAST(n * 1000000 DIV _row_total AS BIGINT)")
+                .alias("prob_ppm"),
+            )
+        )
+
+
+def ab_test_summary(
+    df: DataFrame,
+    variant_column: str,
+    metric_column: str,
+) -> DataFrame:
+    """Per-variant experiment readout in ONE scan: exact BIGINT
+    moments (n, sum, sum of squares — integerize the metric
+    upstream) plus the derived mean and variance doubles. The Welch
+    t-statistic between any two variants follows from the moments
+    alone; keeping the statistic OUT of the frame keeps every hashed
+    column either exact-integer or a single fixed-order double
+    (``stable_round`` guarded), the repo's cross-engine contract.
+    """
+    v = F.col(metric_column).cast("long")
+    from replay_spark.utils.spark_utils import stable_round
+
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(variant_column)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(v).cast("long").alias("metric_sum"),
+            F.sum(v * v).cast("long").alias("metric_sumsq"),
+        )
+        .select(
+            variant_column,
+            "n",
+            "metric_sum",
+            "metric_sumsq",
+            stable_round(
+                F.col("metric_sum").cast("double") / F.col("n"), 6
+            ).alias("mean"),
+            stable_round(
+                (
+                    F.col("n").cast("double")
+                    * F.col("metric_sumsq").cast("double")
+                    - F.col("metric_sum").cast("double")
+                    * F.col("metric_sum").cast("double")
+                )
+                / (
+                    F.col("n").cast("double")
+                    * (F.col("n") - F.lit(1)).cast("double")
+                ),
+                6,
+            ).alias("variance"),
+        )
+    )
 
 
 class FunnelAnalyzer:

@@ -77,3 +77,37 @@ def test_cohort_retention_matrix(spark):
     assert max(r.offset for r in trimmed.transform(df).collect()) <= 1
     with pytest.raises(ValueError, match="bucket_seconds"):
         CohortRetention(bucket_seconds=0)
+
+
+def test_transition_matrix(spark):
+    rows = [
+        (1, _ts(0), 1, "a"), (1, _ts(1), 2, "b"), (1, _ts(2), 3, "a"),
+        (2, _ts(0), 4, "a"), (2, _ts(1), 5, "b"),
+        (3, _ts(0), 6, "c"),  # single event: no transitions
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, eid long, event_type string"
+    )
+    from replay_spark.analytics import TransitionMatrix
+
+    tm = TransitionMatrix(tiebreak_column="eid")
+    out = {(r.from_state, r.to_state): (r.n, r.prob_ppm)
+           for r in tm.transform(df).collect()}
+    assert out[("a", "b")] == (2, 1000000)  # a always goes to b
+    assert out[("b", "a")] == (1, 1000000)
+    assert ("c", "a") not in out and len(out) == 2
+
+
+def test_ab_test_summary(spark):
+    from replay_spark.analytics import ab_test_summary
+
+    rows = [("A", v) for v in (10, 20, 30)] + [("B", v) for v in (5, 5)]
+    rows.append(("A", None))
+    df = spark.createDataFrame(rows, "variant string, m long")
+    out = {r.variant: r for r in ab_test_summary(df, "variant", "m").collect()}
+    a = out["A"]
+    assert (a.n, a.metric_sum, a.metric_sumsq) == (3, 60, 1400)
+    assert a.mean == 20.0
+    assert a.variance == 100.0  # sample variance of 10,20,30
+    b = out["B"]
+    assert b.variance == 0.0 and b.mean == 5.0
