@@ -339,6 +339,72 @@ class LakeTable:
                 continue
         raise ConcurrentWriteError("append retries exhausted")
 
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE TO VERSION AS OF: commit a new version whose
+        live file set is exactly ``version``'s snapshot — time travel
+        made current, history preserved (nothing is deleted; the
+        change feed sees the delta like any other commit). Rolls back
+        bad writes without rewriting a byte of data."""
+        target = set(
+            os.path.relpath(p, self.path)
+            for p in self.snapshot_files(version=version)
+        )
+        target_schema = self._last_schema_json
+        current_version = self.latest_version()
+        if version == current_version:
+            return current_version
+        current = set(
+            os.path.relpath(p, self.path)
+            for p in self.snapshot_files(version=current_version)
+        )
+        schema = (
+            StructType.fromJson(json.loads(target_schema))
+            if target_schema
+            else StructType.fromJson(
+                json.loads(self._last_schema_json)
+            )
+        )
+        return self._commit(
+            "restore",
+            sorted(target - current),
+            sorted(current - target),
+            schema,
+            current_version + 1,
+        )
+
+    def vacuum(self, dry_run: bool = False) -> List[str]:
+        """Delete data files referenced by NO commit's live set or
+        removal history need — i.e. files on disk that no version of
+        the table can reach (failed writes, files removed and later
+        compacted away would still be needed for time travel, so
+        vacuum only drops files absent from EVERY commit's ``add``
+        list). Returns the deleted (or would-delete) relative paths.
+
+        Unlike Delta's retention-window vacuum this is maximally
+        conservative: every committed version stays readable forever;
+        only orphans from crashed writers go."""
+        referenced = set()
+        for c in self._commits():
+            referenced.update(c.get("add", []))
+        data_root = os.path.join(self.path, "data")
+        on_disk = []
+        for dirpath, _dirs, names in os.walk(data_root):
+            for n in names:
+                if n.endswith(".parquet"):
+                    on_disk.append(
+                        os.path.relpath(
+                            os.path.join(dirpath, n), self.path
+                        )
+                    )
+        orphans = sorted(f for f in on_disk if f not in referenced)
+        if not dry_run:
+            for f in orphans:
+                try:
+                    os.remove(os.path.join(self.path, f))
+                except OSError:
+                    pass
+        return orphans
+
     def last_committed_batch(self, app_id: str) -> Optional[int]:
         """Highest streaming batch id committed under ``app_id``
         (the Delta txn-action idempotence device), or None."""

@@ -187,6 +187,46 @@ def test_schema_evolution(table, spark):
     assert table.read(version=0).columns == ["k", "v"]
 
 
+def test_restore_and_vacuum(table, spark):
+    """RESTORE re-points the live set at an old snapshot as a NEW
+    commit (history intact, change feed sees the delta); vacuum
+    deletes only files no committed version references."""
+    import os
+
+    df0 = spark.range(0, 50).selectExpr("id AS k", "id * 2 AS v")
+    table.append(df0)                       # v0
+    table.append(
+        spark.range(100, 120).selectExpr("id AS k", "id * 2 AS v")
+    )                                       # v1
+    table.delete(F.col("k") < 10)           # v2
+    assert table.read().count() == 60
+    v = table.restore(0)                    # v3: back to the 50 rows
+    assert v == 3
+    assert table.read().count() == 50
+    assert {r.k for r in table.read().collect()} == set(range(50))
+    # history preserved: v2 still readable
+    assert table.read(version=2).count() == 60
+    hist = {r.version: r.operation for r in table.history().collect()}
+    assert hist[3] == "restore"
+    # restore to the current version is a no-op
+    assert table.restore(3) == 3
+
+    # vacuum: plant an orphan (crashed-writer debris) + check that
+    # files referenced by ANY commit survive
+    orphan_dir = os.path.join(table.path, "data", "deadbeef")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-junk.parquet")
+    open(orphan, "wb").write(b"junk")
+    gone = table.vacuum(dry_run=True)
+    assert gone == [os.path.relpath(orphan, table.path)]
+    assert os.path.exists(orphan)  # dry run deletes nothing
+    assert table.vacuum() == gone
+    assert not os.path.exists(orphan)
+    # every version still reads after vacuum
+    for ver, want in ((0, 50), (1, 70), (2, 60), (3, 50)):
+        assert table.read(version=ver).count() == want
+
+
 def test_streaming_sink_exactly_once(table, spark, tmp_path):
     """foreachBatch lake ingestion: every micro-batch is one commit,
     a replayed batch id is skipped (idempotent), and the table holds
