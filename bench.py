@@ -20,11 +20,14 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
 
 # Headline set: one per operator family — scan/agg, joins, windows,
 # the quadratic self-joins, the full recommend path, splitters,
-# text/dedup/ANN pipeline ops. Kept to ~56 queries so the compact
-# stdout line carries the sf1 section inside the driver's 2000-char
-# capture (5 trivial sub-0.4s aggregation queries left the headline
-# in r8s3: q_user_stats, q_text_stats, q_sequence_tokenizer,
-# q_sessionize_composite, q_repetition_stats — all still
+# text/dedup/ANN pipeline ops. Kept to ~52 queries so the compact
+# stdout line carries the sf1 section (now [min, median] pairs)
+# inside the driver's 2000-char capture. Trivial sub-0.4s queries
+# leave the headline when budget is needed (r8s3: q_user_stats,
+# q_text_stats, q_sequence_tokenizer, q_sessionize_composite,
+# q_repetition_stats; r9: q_doc_dedup_exact, q_kn_bigram_scores,
+# q_gopher_quality, and q_paragraph_dedup/q_bigram_lm_scores which
+# stay measured at 10x in the sf1 section — all still
 # correctness-gated + swept).
 BENCH_QUERIES = [
     "q_pricing_summary",
@@ -54,8 +57,6 @@ BENCH_QUERIES = [
     "q_unigram_lm_scores",
     "q_media_decode",
     "q_pipeline_eval",
-    "q_paragraph_dedup",
-    "q_bigram_lm_scores",
     "q_corpus_stats",
     "q_png_decode",
     "q_jpeg_decode",
@@ -69,8 +70,6 @@ BENCH_QUERIES = [
     "q_hnsw_ann",
     "q_jpeg12_decode",
     "q_warc_html_extract",
-    "q_kn_bigram_scores",
-    "q_gopher_quality",
     "q_ccnet_buckets",
     "q_dsir_weights",
     # round-8 operators: clustering, layout, time-series grid, and
@@ -229,10 +228,27 @@ def main():
         from make_scale_replica import ensure_replica
 
         sf1_dir = ensure_replica()
+        # warm the OS page cache over the replica inputs ONCE before
+        # any timing: the r8 driver box was contended and the first
+        # sf1 queries paid cold-disk reads inside their "warm" runs
+        # (q_contamination_report reported 10s vs a 3s quiet-box
+        # median). One untimed full scan per table makes every
+        # query's cold run an honest plan-execution cold, not an IO
+        # lottery.
+        import glob as _glob
+
+        for _tbl in sorted(_glob.glob(os.path.join(sf1_dir, "*.parquet"))):
+            try:
+                spark.read.parquet(_tbl).foreach(lambda _r: None)
+            except Exception:
+                pass
         for name in sf1_queries:
             try:
                 # same protocol as the headline set: discard one cold
-                # run, report the median of three warm runs
+                # run, then report BOTH min and median of three warm
+                # runs — min is the contention-free signal, a
+                # median far above min flags a noisy box instead of
+                # silently reading as a regression (r8 lesson)
                 spark.catalog.clearCache()
                 queries[name](spark, sf1_dir).count()
                 warms = []
@@ -240,9 +256,11 @@ def main():
                     t0 = time.time()
                     queries[name](spark, sf1_dir).count()
                     warms.append(time.time() - t0)
-                sf1_timings[name] = round(sorted(warms)[1], 3)
+                warms.sort()
+                sf1_timings[name] = [round(warms[0], 3), round(warms[1], 3)]
                 print(
-                    f"# sf1 {name}: {sf1_timings[name]}s", file=sys.stderr
+                    f"# sf1 {name}: min={warms[0]:.3f}s med={warms[1]:.3f}s",
+                    file=sys.stderr,
                 )
             except Exception as exc:  # pragma: no cover - defensive
                 sf1_timings[name] = None
@@ -286,8 +304,10 @@ def main():
             for k, v in timings.items()
         },
         "sf": sf,
+        # sf1 values are [min, median] of 3 warm runs (min = quiet
+        # signal; median >> min exposes box contention)
         "sf1": {
-            k: (round(v, 2) if v is not None else None)
+            k: ([round(x, 2) for x in v] if v is not None else None)
             for k, v in sf1_timings.items()
         },
         "cold_total": cold_total,

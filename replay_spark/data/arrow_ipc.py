@@ -49,14 +49,24 @@ def write_arrow_ipc(
     if num_shards < 1:
         raise ValueError("num_shards must be >= 1")
     os.makedirs(path, exist_ok=True)
+    # _tie: a full-row hash so duplicate keys sort deterministically
+    # (post-shuffle arrival order is not stable across runs); the
+    # byte-identical re-export property then holds for any key column
     tagged = df.withColumn(
         "_shard",
         F.pmod(F.xxhash64(F.col(key_column)), F.lit(num_shards)).cast(
             "int"
         ),
-    )
+    ).withColumn("_tie", F.xxhash64(*df.columns))
     key_col = key_column
     n_batch = int(batch_rows)
+    # derive the Arrow schema from the Spark schema, NOT from pandas
+    # inference: a nullable long column arrives in pandas as float64
+    # (None -> NaN), and inferred IPC files would silently store
+    # double — the round trip must be type-faithful
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(df.schema)
 
     def write_partition(batches):
         import pyarrow as pa
@@ -70,10 +80,16 @@ def write_arrow_ipc(
         for shard_id, parts in by_shard.items():
             import pandas as pd
 
-            merged = pd.concat(parts, ignore_index=True).sort_values(
-                key_col, kind="mergesort", ignore_index=True
+            merged = (
+                pd.concat(parts, ignore_index=True)
+                .sort_values(
+                    [key_col, "_tie"], kind="mergesort", ignore_index=True
+                )
+                .drop(columns=["_tie"])
             )
-            table = pa.Table.from_pandas(merged, preserve_index=False)
+            table = pa.Table.from_pandas(
+                merged, schema=arrow_schema, preserve_index=False
+            )
             fname = os.path.join(path, f"shard-{shard_id:05d}.arrow")
             opts = pa.ipc.IpcWriteOptions(compression=compression)
             with pa.OSFile(fname, "wb") as fh:

@@ -359,7 +359,12 @@ def write_avro(
     avro_schema = spark_to_avro_schema(df.schema)
     columns = df.columns
     shard = F.pmod(F.xxhash64(F.col(key_column)), F.lit(num_shards))
-    tagged = df.withColumn("_shard", shard.cast("int"))
+    # _tie: full-row hash tiebreaker — duplicate keys would otherwise
+    # sort in post-shuffle arrival order and re-exports of the same
+    # data would not be byte-identical
+    tagged = df.withColumn("_shard", shard.cast("int")).withColumn(
+        "_tie", F.xxhash64(*df.columns)
+    )
     key_col = key_column
 
     def write_partition(rows):
@@ -367,7 +372,9 @@ def write_avro(
         for row in rows:
             by_shard.setdefault(row["_shard"], []).append(row)
         for shard_id, samples in by_shard.items():
-            samples.sort(key=lambda r: (str(r[key_col]), r[key_col]))
+            samples.sort(
+                key=lambda r: (str(r[key_col]), r[key_col], r["_tie"])
+            )
             records = [
                 {c: row[c] for c in columns} for row in samples
             ]

@@ -152,7 +152,17 @@ def _encode_feature(value) -> bytes:
         )
         return _ld(1, payload)
     if isinstance(first, (float, np.floating)):
-        packed = np.asarray(items, dtype="<f4").tobytes()
+        # FloatList is float32 on the wire (tensorflow.train proto):
+        # float64 inputs narrow, and values beyond float32 range
+        # become +/-inf — the same IEEE-754 semantics a TF reader
+        # applies. The cast is intentional, so suppress numpy's
+        # overflow RuntimeWarning for exactly this statement.
+        with np.errstate(over="ignore"):
+            packed = (
+                np.asarray(items, dtype="<f8")
+                .astype("<f4")
+                .tobytes()
+            )
         return _ld(2, _ld(1, packed))
     if isinstance(first, (int, np.integer)):
         packed = b"".join(_varint(int(v)) for v in items)
@@ -367,7 +377,12 @@ def write_tfrecord(
         if shard_column
         else F.pmod(F.xxhash64(F.col(key_column)), F.lit(num_shards))
     )
-    tagged = df.withColumn("_shard", shard.cast("int"))
+    # _tie: full-row hash tiebreaker — duplicate keys would otherwise
+    # sort in post-shuffle arrival order and re-exports of the same
+    # data would not be byte-identical
+    tagged = df.withColumn("_shard", shard.cast("int")).withColumn(
+        "_tie", F.xxhash64(*df.columns)
+    )
     payload_cols = [c for c in df.columns if c != shard_column]
     key_col = key_column
 
@@ -376,7 +391,9 @@ def write_tfrecord(
         for row in rows:
             by_shard.setdefault(row["_shard"], []).append(row)
         for shard_id, samples in by_shard.items():
-            samples.sort(key=lambda r: (str(r[key_col]), r[key_col]))
+            samples.sort(
+                key=lambda r: (str(r[key_col]), r[key_col], r["_tie"])
+            )
             records = [
                 encode_example(_row_features(row, payload_cols, key_col))
                 for row in samples

@@ -38,10 +38,12 @@ class ConnectedComponents:
         self,
         max_iterations: int = 20,
         driver_threshold: int = 5_000_000,
+        jump_after_rounds: int = 3,
     ):
         self._engine = NearDupClusters(
             max_iterations=max_iterations,
             driver_threshold=driver_threshold,
+            jump_after_rounds=jump_after_rounds,
         )
 
     def components(

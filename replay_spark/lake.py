@@ -246,10 +246,11 @@ class LakeTable:
                     )
                 )
         if not parts:
+            all_commits = commits or self._commits()
+            if not all_commits:
+                raise FileNotFoundError(f"no commits at {self.path}")
             schema = StructType.fromJson(
-                json.loads(commits[-1]["schema"])
-                if commits
-                else json.loads(self._commits()[-1]["schema"])
+                json.loads(all_commits[-1]["schema"])
             )
             empty = self.spark.createDataFrame([], schema)
             return empty.withColumn(
@@ -550,7 +551,28 @@ class LakeTable:
         files = self.snapshot_files(version)
         if not files:
             raise FileNotFoundError(f"no snapshot at {self.path}@{version}")
-        return read_pruned(self.spark, files, bounds)
+        # mirror read()'s additive-schema handling: if the live
+        # commits carry more than one schema, the kept-file subset
+        # may consist solely of pre-evolution files — merge schemas
+        # so the residual filter on an evolved column still resolves
+        distinct_schemas = {
+            c.get("schema")
+            for c in self._commits()
+            if (version is None or c["version"] <= version)
+            and c.get("schema")
+        }
+        expected = None
+        if getattr(self, "_last_schema_json", None):
+            expected = StructType.fromJson(
+                json.loads(self._last_schema_json)
+            )
+        return read_pruned(
+            self.spark,
+            files,
+            bounds,
+            merge_schema=len(distinct_schemas) > 1,
+            expected_schema=expected,
+        )
 
     def merge(
         self,

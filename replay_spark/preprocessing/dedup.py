@@ -1011,6 +1011,7 @@ class NearDupClusters:
         self,
         max_iterations: int = 20,
         driver_threshold: int = 5_000_000,
+        jump_after_rounds: int = 3,
     ):
         # driver_threshold: candidate-pair sets are tiny relative to
         # the corpus after LSH/threshold pruning (pairs ≪ docs); below
@@ -1018,10 +1019,18 @@ class NearDupClusters:
         # instead of O(diameter) Spark rounds whose per-round job
         # overhead dominates on small graphs. Above it, the
         # distributed propagation runs — same components either way.
+        # jump_after_rounds: rounds of plain min-label propagation
+        # before the pointer-jumping self-join is enabled (0 = jump
+        # from round one). Near-clique graphs converge inside the
+        # plain rounds and never pay the jump join; deeper graphs
+        # get O(log diameter) once it kicks in.
         if max_iterations < 1:
             raise ValueError("max_iterations must be >= 1")
+        if jump_after_rounds < 0:
+            raise ValueError("jump_after_rounds must be >= 0")
         self.max_iterations = max_iterations
         self.driver_threshold = driver_threshold
+        self.jump_after_rounds = jump_after_rounds
 
     def components(
         self,
@@ -1117,7 +1126,7 @@ class NearDupClusters:
         # graph diameter; spent rounds' blocks are reclaimed by the
         # ContextCleaner when their RDDs fall out of scope
         changed = 0
-        for _ in range(self.max_iterations):
+        for round_idx in range(self.max_iterations):
             neighbor_min = (
                 edges.join(
                     labels.select(
@@ -1145,28 +1154,42 @@ class NearDupClusters:
             # pointer jumping (shortcutting): follow each node's label
             # to ITS label in the same round — the reachable-minimum
             # distance doubles per iteration, so convergence is
-            # O(log diameter) rounds instead of O(diameter); on a
-            # chain graph this is the difference between 4 rounds and
-            # ~diameter rounds of full keyed joins
-            # (labels table maps node -> label; look the label up as a
-            # node to jump one level toward the root — labels only
-            # ever take existing node ids, so the lookup always hits)
-            jump = stepped.alias("a").join(
-                stepped.select(
-                    F.col("node").alias("_jn"),
-                    F.col("label").alias("_jl"),
-                ),
-                F.col("a.label") == F.col("_jn"),
-                how="left",
-            )
-            new_labels = jump.select(
-                F.col("a.node").alias("node"),
-                F.least(
-                    F.col("a.label"),
-                    F.coalesce(F.col("_jl"), F.col("a.label")),
-                ).alias("label"),
-                F.col("a._old").alias("_old"),
-            ).localCheckpoint(eager=True)
+            # O(log diameter) rounds instead of O(diameter) on deep
+            # (chain-like) graphs. But the jump is a second full
+            # label-to-label self-join per round, and near-dup
+            # candidate graphs are near-cliques (diameter 2-4): there
+            # plain propagation already converges within ~3 rounds and
+            # the extra join is pure fixed cost (measured: the
+            # unconditional jump regressed the sf1 dedup-clusters
+            # bench 3.9s -> 6.1s while saving zero rounds). ADAPTIVE
+            # rule: run plain propagation for the first
+            # ``jump_after_rounds`` rounds; if still unconverged the
+            # graph is provably deeper than the common case (min-label
+            # distance covered so far >= round count), so enable the
+            # jump from then on and converge in O(log diameter).
+            if round_idx < self.jump_after_rounds:
+                new_labels = stepped.localCheckpoint(eager=True)
+            else:
+                # labels table maps node -> label; look the label up
+                # as a node to jump one level toward the root — labels
+                # only ever take existing node ids, so the lookup
+                # always hits
+                jump = stepped.alias("a").join(
+                    stepped.select(
+                        F.col("node").alias("_jn"),
+                        F.col("label").alias("_jl"),
+                    ),
+                    F.col("a.label") == F.col("_jn"),
+                    how="left",
+                )
+                new_labels = jump.select(
+                    F.col("a.node").alias("node"),
+                    F.least(
+                        F.col("a.label"),
+                        F.coalesce(F.col("_jl"), F.col("a.label")),
+                    ).alias("label"),
+                    F.col("a._old").alias("_old"),
+                ).localCheckpoint(eager=True)
             changed = new_labels.filter(F.col("label") < F.col("_old")).count()
             if labels.is_cached:
                 labels.unpersist()

@@ -35,6 +35,7 @@ __all__ = [
     "StreamingIntervalJoiner",
     "StreamingCountMinSketch",
     "StreamingHyperLogLog",
+    "StreamingSourceCapFilter",
     "streaming_exact_dedup",
 ]
 

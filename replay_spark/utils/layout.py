@@ -304,13 +304,24 @@ def prune_files(manifest: "DataFrame", bounds: dict) -> "DataFrame":
     return survivors.distinct()
 
 
-def read_pruned(spark, path: str, bounds: dict, manifest=None):
+def read_pruned(
+    spark,
+    path: str,
+    bounds: dict,
+    manifest=None,
+    merge_schema: bool = False,
+    expected_schema=None,
+):
     """Scan only the files :func:`prune_files` keeps, then re-apply
     the predicate as a residual filter (pruning is conservative, so
     the result is EXACTLY the full-scan answer). Returns
     ``(df, n_files_kept, n_files_total)``. The kept-file list is
     collected on the driver — O(files), the same scale every query
-    planner's file index already handles."""
+    planner's file index already handles. ``merge_schema`` mirrors
+    the full-scan reader's schema-evolution handling: when the file
+    set spans additive schema changes, the kept subset may otherwise
+    adopt the first file's (older) schema and the residual filter on
+    an evolved column would fail."""
     if manifest is None:
         manifest = collect_file_stats(spark, path, list(bounds))
     manifest = manifest.persist()
@@ -319,13 +330,29 @@ def read_pruned(spark, path: str, bounds: dict, manifest=None):
         kept = [r.file for r in prune_files(manifest, bounds).collect()]
     finally:
         manifest.unpersist()
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
     if not kept:
         first = path[0] if isinstance(path, (list, tuple)) else path
-        df = spark.read.parquet(first).limit(0)
+        df = reader.parquet(first).limit(0)
         n_kept = 0
     else:
-        df = spark.read.parquet(*kept)
+        df = reader.parquet(*kept)
         n_kept = len(kept)
+    if expected_schema is not None:
+        # schema evolution: when every kept file predates an added
+        # column, even mergeSchema can't surface it — align to the
+        # table schema so the residual filter (and the caller's
+        # projection) always resolves; absent columns read as null,
+        # matching the full-scan semantics
+        have = {f.name for f in df.schema.fields}
+        for fld in expected_schema.fields:
+            if fld.name not in have:
+                df = df.withColumn(
+                    fld.name, F.lit(None).cast(fld.dataType)
+                )
+        df = df.select(*[f.name for f in expected_schema.fields])
     pred = F.lit(True)
     for col, (lo, hi) in bounds.items():
         if lo is not None:

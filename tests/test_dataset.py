@@ -542,3 +542,83 @@ def test_arrow_ipc_roundtrip_and_determinism(spark, tmp_path):
     empty.mkdir()
     with pytest.raises(FileNotFoundError, match="no .arrow shards"):
         read_arrow_ipc(spark, str(empty))
+
+
+def test_arrow_ipc_nullable_int_schema_faithful(spark, tmp_path):
+    """A nullable long column (None -> NaN on the pandas hop) must
+    round-trip as long, not silently widen to double: the writer
+    derives the Arrow schema from df.schema instead of pandas
+    inference."""
+    from replay_spark.data.arrow_ipc import read_arrow_ipc, write_arrow_ipc
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "k long, v long"
+    )
+    out = str(tmp_path / "ipc_null")
+    write_arrow_ipc(df, out, key_column="k", num_shards=2)
+    import pyarrow as pa
+
+    shard = sorted(
+        f for f in __import__("os").listdir(out) if f.endswith(".arrow")
+    )[0]
+    with pa.memory_map(f"{out}/{shard}") as mm:
+        sch = pa.ipc.open_file(mm).schema
+    assert sch.field("v").type == pa.int64()
+    back = read_arrow_ipc(spark, out)
+    assert dict(back.dtypes)["v"] == "bigint"
+    got = {r.k: r.v for r in back.collect()}
+    assert got == {1: 10, 2: None, 3: 30}
+
+
+def test_sinks_deterministic_with_duplicate_keys(spark, tmp_path):
+    """Re-exports stay byte-identical when the sort key has
+    duplicates: the writers break ties with a full-row hash, not
+    post-shuffle arrival order."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from replay_spark.data.arrow_ipc import write_arrow_ipc
+    from replay_spark.data.avro import write_avro
+    from replay_spark.data.tfrecord import write_tfrecord
+
+    # many rows per key, distinguishable only by payload
+    df = spark.range(0, 300).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("payload")
+    )
+
+    def digest(d):
+        h = hashlib.sha256()
+        for f in sorted(os.listdir(d)):
+            h.update(open(os.path.join(d, f), "rb").read())
+        return h.hexdigest()
+
+    for name, writer in (
+        ("tfr", write_tfrecord),
+        ("avro", write_avro),
+        ("ipc", write_arrow_ipc),
+    ):
+        d1, d2 = str(tmp_path / f"{name}1"), str(tmp_path / f"{name}2")
+        writer(df.repartition(3), d1, key_column="k", num_shards=2)
+        writer(df.repartition(11), d2, key_column="k", num_shards=2)
+        assert digest(d1) == digest(d2), name
+
+
+def test_tfrecord_float32_narrowing_warns_nothing():
+    """float64 -> float32 narrowing (incl. out-of-range values that
+    become inf per IEEE-754) must not leak a numpy RuntimeWarning."""
+    import warnings
+
+    import numpy as np
+
+    from replay_spark.data.tfrecord import decode_example, encode_example
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        ex = encode_example({"f": [1e39, -1e40, 0.25]})
+    kind, vals = decode_example(ex)["f"]
+    assert kind == "float"
+    assert vals[0] == float(np.float32("inf"))
+    assert vals[1] == float(np.float32("-inf"))
+    assert vals[2] == 0.25

@@ -327,3 +327,32 @@ def test_optimize_zorder_and_pruned_read(table, spark):
     # optimize with no zorder degrades to plain compaction
     table.optimize(target_file_bytes=1 << 30)
     assert len(table.snapshot_files()) == 1
+
+
+def test_changes_on_empty_table_raises_clear_error(table, spark):
+    """changes() on a table with no commits at all must raise a
+    clear FileNotFoundError, not an IndexError from the empty-feed
+    schema fallback."""
+    with pytest.raises(FileNotFoundError, match="no commits"):
+        table.changes(0)
+
+
+def test_read_where_after_schema_evolution(table, spark):
+    """Stats-pruned reads on an evolved table: when the pruned file
+    subset consists solely of pre-evolution files, the evolved
+    column must still resolve (as null) — both for the residual
+    filter and the caller's projection."""
+    table.append(_df(spark, 0, 100).coalesce(1))  # v0: (k, v)
+    wider = _df(spark, 1000, 1100).withColumn("tag", F.lit("new"))
+    table.append(wider.coalesce(1), merge_schema=True)  # v1: (k, v, tag)
+    # bounds keep ONLY the v0 file (k < 100) — pre-evolution schema
+    pruned, kept, total = table.read_where({"k": (0, 99)})
+    assert kept < total
+    assert set(pruned.columns) == {"k", "v", "tag"}
+    rows = pruned.collect()
+    assert len(rows) == 100
+    assert all(r.tag is None for r in rows)
+    # a box that spans both files merges schemas
+    both, _, _ = table.read_where({"k": (50, 1050)})
+    got = {r.k: r.tag for r in both.collect()}
+    assert got[50] is None and got[1050] == "new"

@@ -577,6 +577,50 @@ def test_corpus_mixer_plan_fractions(spark):
     assert fr["code"] == pytest.approx(1.0)  # capped: only 200 available
 
 
+def test_near_dup_clusters_adaptive_jump_converges_deep_chain(spark):
+    """Pointer jumping is adaptive: plain propagation for the first
+    jump_after_rounds rounds, then the label-to-label jump join kicks
+    in and convergence becomes O(log diameter). A diameter-15 chain
+    must converge well inside 9 rounds (3 plain + ~log2(15) jumped) —
+    plain-only propagation would need 15."""
+    from replay_spark.preprocessing.dedup import NearDupClusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 16)], "id_a long, id_b long"
+    )
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)  # non-convergence warns
+        comps = (
+            NearDupClusters(
+                max_iterations=9, driver_threshold=0, jump_after_rounds=3
+            )
+            .components(chain)
+            .collect()
+        )
+    assert {(r["node"], r["component"]) for r in comps} == {
+        (i, 1) for i in range(1, 17)
+    }
+
+
+def test_near_dup_clusters_jump_after_zero_matches(spark):
+    """jump_after_rounds=0 (jump from round one, the pre-adaptive
+    behavior) produces the same components."""
+    from replay_spark.preprocessing.dedup import NearDupClusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (3, 4)], "id_a long, id_b long"
+    )
+    out = {
+        (r["node"], r["component"])
+        for r in NearDupClusters(driver_threshold=0, jump_after_rounds=0)
+        .components(pairs)
+        .collect()
+    }
+    assert out == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
 def test_near_dup_clusters_distributed_matches_driver(spark):
     """Both execution paths (driver union-find / distributed
     propagation) must produce identical components."""

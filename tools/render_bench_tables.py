@@ -78,20 +78,27 @@ def render(parsed: dict, source: str) -> str:
         f"Generated from `{source}` — do not hand-edit this table; "
         "rerun `python tools/render_bench_tables.py --write`.",
         "",
-        "| query | sf0.1 warm | sf1 (10× rows) | ratio |",
-        "|---|---|---|---|",
+        "| query | sf0.1 warm | sf1 min (10× rows) | sf1 median | ratio (min) |",
+        "|---|---|---|---|---|",
     ]
     for name, v1 in sf1.items():
         v01 = warm.get(name)
         if v1 is None:
-            row = f"| {name} | — | ERROR | — |"
-        elif v01:
+            row = f"| {name} | — | ERROR | — | — |"
+            lines.append(row)
+            continue
+        # r9+: sf1 values are [min, median]; older records are scalar
+        vmin, vmed = (v1[0], v1[1]) if isinstance(v1, list) else (v1, v1)
+        if v01:
             row = (
-                f"| {name} | {v01:.2f} s | {v1:.2f} s | "
-                f"{v1 / v01:.1f}× |"
+                f"| {name} | {v01:.2f} s | {vmin:.2f} s | {vmed:.2f} s | "
+                f"{vmin / v01:.1f}× |"
             )
         else:
-            row = f"| {name} | (not in headline set) | {v1:.2f} s | — |"
+            row = (
+                f"| {name} | (not in headline set) | {vmin:.2f} s | "
+                f"{vmed:.2f} s | — |"
+            )
         lines.append(row)
     total = parsed.get("value")
     cold = parsed.get("cold_total")
