@@ -2080,6 +2080,60 @@ def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return km.transform(emb).select("vec_id", "cluster")
 
 
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd STEP, hash-gated end-to-end (the r8 verdict's
+    q_ivf_ann_fixed recipe applied to the fit path): fixed start
+    centroids (embeddings of vec_id < 6) and
+    ``update_quantization=1e6``, so the centroid update sums exact
+    BIGINTs — order-free, hence engine-portable — and the new
+    centroid doubles are ``CAST(s AS DOUBLE)/CAST(n AS DOUBLE)/1e6``
+    in BOTH engines. DuckDB replays assign → integer sums → means →
+    re-assign with the same IEEE operation order, so post-step
+    cluster AND distance hash-match. Together with q_kmeans_assign
+    this hash-gates everything in Lloyd's loop; q_kmeans_fit keeps
+    the production float path (rows-only, pytest-pinned)."""
+    from replay_spark.ann import KMeansClusterer
+
+    emb = rsd.read_table(spark, sf_dir, "embeddings")
+    cents = [
+        r["embedding"]
+        for r in emb.filter("vec_id < 6").orderBy("vec_id").collect()
+    ]
+    km = KMeansClusterer(k=6, max_iter=1, update_quantization=1e6).fit(
+        emb, centroids=cents
+    )
+    return km.transform(emb).select(
+        "vec_id",
+        "cluster",
+        F.round(F.col("sq_dist") + F.lit(1e-9), 6).alias("sq_dist_r6"),
+    )
+
+
+def q_pca_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed half of PCA fit, hash-gated: with
+    ``quantization=1e6`` the one-pass (count, sum, Gram) partials
+    accumulate exact BIGINTs, so the covariance matrix is a pure
+    function of the data — independent of batching — and every entry
+    is replayable in SQL with the same IEEE operation order
+    (g/n/q/q - (s_i/n/q)(s_j/n/q)). Emitted as the integer-projected
+    upper triangle (floor(cov * 1e9 + 0.5) on bit-identical doubles
+    is exact). The driver-side eigendecomposition stays pinned by
+    planted-direction/orthonormality/numpy-parity tests
+    (q_pca_fit, rows-only)."""
+    import math
+
+    from replay_spark.ann import PCAProjector
+
+    emb = rsd.read_table(spark, sf_dir, "embeddings")
+    p = PCAProjector(k=4, quantization=1e6).fit(emb)
+    rows = [
+        (i, j, int(math.floor(p.covariance[i][j] * 1e9 + 0.5)))
+        for i in range(64)
+        for j in range(i, 64)
+    ]
+    return spark.createDataFrame(rows, "dim_i int, dim_j int, cov_q9 long")
+
+
 def q_webm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL EBML/WebM container gate — the Matroska twin of
     q_mp4_meta: deterministic WebM containers synthesized
@@ -5478,6 +5532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters": q_dedup_clusters,
         "q_kmeans_assign": q_kmeans_assign,
         "q_kmeans_fit": q_kmeans_fit,
+        "q_kmeans_step": q_kmeans_step,
+        "q_pca_cov": q_pca_cov,
         "q_url_canonicalize": q_url_canonicalize,
         "q_stratified_sample": q_stratified_sample,
         "q_zorder_keys": q_zorder_keys,
@@ -7256,6 +7312,99 @@ def oracle_sql() -> dict[str, str]:
                        ELSE 'raw text ' || CAST(doc_id AS VARCHAR)
                    END AS canonical_url
             FROM documents
+        """,
+        "q_kmeans_step": """
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+            c0 AS (
+                SELECT vec_id AS cluster, v AS cv
+                FROM e WHERE vec_id < 6),
+            d0 AS (
+                SELECT e.vec_id, c.cluster, e.v,
+                       list_reduce(
+                           list_transform(range(1, 65),
+                               i -> (e.v[CAST(i AS INT)]
+                                     - c.cv[CAST(i AS INT)])
+                                    * (e.v[CAST(i AS INT)]
+                                       - c.cv[CAST(i AS INT)])),
+                           (a, b) -> a + b) AS dist
+                FROM e, c0 c),
+            a0 AS (
+                SELECT vec_id, cluster, v FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY vec_id
+                        ORDER BY dist ASC, cluster ASC) AS rn
+                    FROM d0) t
+                WHERE rn = 1),
+            sums AS (
+                SELECT cluster, i AS dim,
+                       CAST(SUM(CAST(floor(v[CAST(i AS INT)]
+                               * 1000000.0 + 0.5) AS BIGINT))
+                            AS BIGINT) AS s,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM a0, range(1, 65) t(i)
+                GROUP BY cluster, i),
+            c1 AS (
+                SELECT cluster,
+                       list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                            / 1000000.0 ORDER BY dim) AS cv
+                FROM sums GROUP BY cluster),
+            d1 AS (
+                SELECT e.vec_id, c.cluster,
+                       list_reduce(
+                           list_transform(range(1, 65),
+                               i -> (e.v[CAST(i AS INT)]
+                                     - c.cv[CAST(i AS INT)])
+                                    * (e.v[CAST(i AS INT)]
+                                       - c.cv[CAST(i AS INT)])),
+                           (a, b) -> a + b) AS dist
+                FROM e, c1 c)
+            SELECT vec_id, cluster,
+                   round(dist + 1e-9, 6) AS sq_dist_r6
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id
+                    ORDER BY dist ASC, cluster ASC) AS rn
+                FROM d1) t
+            WHERE rn = 1
+        """,
+        "q_pca_cov": """
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+            qx AS (
+                SELECT vec_id, i AS dim,
+                       CAST(floor(v[CAST(i AS INT)] * 1000000.0 + 0.5)
+                            AS BIGINT) AS xq
+                FROM e, range(1, 65) t(i)),
+            s AS (
+                SELECT dim, CAST(SUM(xq) AS BIGINT) AS sv,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM qx GROUP BY dim),
+            g AS (
+                SELECT a.dim AS di, b.dim AS dj,
+                       CAST(SUM(a.xq * b.xq) AS BIGINT) AS gv
+                FROM qx a JOIN qx b
+                  ON a.vec_id = b.vec_id AND a.dim <= b.dim
+                GROUP BY a.dim, b.dim)
+            SELECT CAST(g.di - 1 AS INT) AS dim_i,
+                   CAST(g.dj - 1 AS INT) AS dim_j,
+                   CAST(floor(
+                       (CAST(g.gv AS DOUBLE) / CAST(sa.n AS DOUBLE)
+                            / 1000000.0 / 1000000.0
+                        - (CAST(sa.sv AS DOUBLE) / CAST(sa.n AS DOUBLE)
+                               / 1000000.0)
+                          * (CAST(sb.sv AS DOUBLE) / CAST(sb.n AS DOUBLE)
+                               / 1000000.0))
+                       * 1000000000.0 + 0.5) AS BIGINT) AS cov_q9
+            FROM g
+            JOIN s sa ON sa.dim = g.di
+            JOIN s sb ON sb.dim = g.dj
         """,
         "q_kmeans_assign": """
             WITH e AS (

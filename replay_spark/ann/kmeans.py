@@ -76,17 +76,32 @@ class KMeansClusterer:
         id_column: str = "vec_id",
         vector_column: str = "embedding",
         init: str = "farthest",
+        update_quantization: Optional[float] = None,
     ):
         if k < 1:
             raise ValueError("k must be >= 1")
         if init not in ("farthest", "hash"):
             raise ValueError("init must be 'farthest' or 'hash'")
+        if update_quantization is not None and update_quantization <= 0:
+            raise ValueError("update_quantization must be > 0")
         self.k = k
         self.max_iter = max_iter
         self.seed = seed
         self.id_column = id_column
         self.vector_column = vector_column
         self.init = init
+        # update_quantization: when set (e.g. 1e6), Lloyd centroid
+        # updates sum floor(x * q + 0.5) as exact BIGINTs instead of
+        # floating-point doubles. FP addition is not associative, so
+        # a plain double sum depends on partition count and reduce
+        # order — two runs of the SAME job on different cluster
+        # layouts can learn different last-ULP centroids. Quantized
+        # sums are order-free: fit() becomes bit-reproducible across
+        # partitionings, restarts, and engines, at a bounded
+        # quantization error of 0.5/q per component per step. This is
+        # the reproducible-training knob (and what makes a one-step
+        # Lloyd update hash-gateable against a SQL oracle).
+        self.update_quantization = update_quantization
         self.centroids: Optional[List[List[float]]] = None
 
     # -- internals ----------------------------------------------------
@@ -186,23 +201,39 @@ class KMeansClusterer:
         vecs = df.select(self._vec().alias("_v"))
         if self.max_iter > 1:
             vecs = vecs.persist()
+        q = self.update_quantization
         for _ in range(self.max_iter):
             assigned = vecs.select(
                 self._assign_expr().getField("cluster").alias("_c"),
                 F.col("_v"),
             )
-            sums = (
-                assigned.select(
-                    "_c", F.posexplode("_v").alias("_d", "_x")
+            exploded = assigned.select(
+                "_c", F.posexplode("_v").alias("_d", "_x")
+            )
+            if q is not None:
+                # exact integer partial sums: order-free, so the
+                # learned centroids do not depend on partitioning
+                exploded = exploded.withColumn(
+                    "_x",
+                    F.floor(F.col("_x") * F.lit(float(q)) + F.lit(0.5)),
                 )
-                .groupBy("_c", "_d")
+            sums = (
+                exploded.groupBy("_c", "_d")
                 .agg(F.sum("_x").alias("_s"), F.count("_x").alias("_n"))
                 .collect()
             )
             new = [list(c) for c in self.centroids]
             counts = [0] * self.k
             for r in sums:
-                new[r["_c"]][r["_d"]] = r["_s"] / r["_n"]
+                if q is not None:
+                    # double-cast BEFORE dividing (float(s)/float(n)),
+                    # matching SQL's CAST(s AS DOUBLE)/CAST(n AS
+                    # DOUBLE) — Python's int/int is correctly-rounded
+                    # rational division, which differs past 2^53
+                    mean = float(r["_s"]) / float(r["_n"]) / q
+                else:
+                    mean = r["_s"] / r["_n"]
+                new[r["_c"]][r["_d"]] = mean
                 counts[r["_c"]] = r["_n"]
             for c in range(self.k):
                 if counts[c] == 0:  # empty cluster: keep previous

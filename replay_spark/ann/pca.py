@@ -54,16 +54,30 @@ class PCAProjector:
         vector_column: str = "embedding",
         output_column: str = "pca",
         center: bool = True,
+        quantization: Optional[float] = None,
     ):
         if k < 1:
             raise ValueError("k must be >= 1")
+        if quantization is not None and quantization <= 0:
+            raise ValueError("quantization must be > 0")
         self.k = k
         self.vector_column = vector_column
         self.output_column = output_column
         self.center = center
+        # quantization: when set (e.g. 1e6), the one-pass partials
+        # accumulate floor(x * q + 0.5) as exact BIGINTs instead of
+        # float64 — FP addition is not associative, so plain double
+        # partials make the learned covariance (hence components)
+        # depend on row-to-batch placement; quantized sums are
+        # order-free, so fit() is bit-reproducible across
+        # partitionings and engines at a bounded error of 0.5/q per
+        # component. The reproducible-training knob (and what makes
+        # the covariance hash-gateable against a SQL oracle).
+        self.quantization = quantization
         self.mean: Optional[List[float]] = None
         self.components: Optional[List[List[float]]] = None
         self.explained_variance: Optional[List[float]] = None
+        self.covariance: Optional[List[List[float]]] = None
 
     def fit(
         self,
@@ -81,6 +95,7 @@ class PCAProjector:
             )
             return self
         vc = self.vector_column
+        q = self.quantization
 
         def partials(batches: Iterator[pd.DataFrame]):
             for pdf in batches:
@@ -89,6 +104,28 @@ class PCAProjector:
                 x = np.stack(
                     [np.asarray(v, dtype=np.float64) for v in pdf[vc]]
                 )
+                if q is not None:
+                    # exact integer accumulation (see __init__ note).
+                    # int64 matmul wraps silently on overflow, so
+                    # guard the worst-case bound explicitly — the
+                    # partial schema is int64 either way, so a
+                    # violation must fail loudly, not wrap
+                    xq = np.floor(x * q + 0.5).astype(np.int64)
+                    peak = int(np.abs(xq).max(initial=0))
+                    if peak * peak * len(xq) >= (1 << 62):
+                        raise OverflowError(
+                            "quantized Gram partial would overflow "
+                            "int64 — lower quantization or shrink "
+                            "spark.sql.execution.arrow.maxRecordsPerBatch"
+                        )
+                    yield pd.DataFrame(
+                        {
+                            "n": [len(xq)],
+                            "s": [xq.sum(axis=0).tolist()],
+                            "g": [(xq.T @ xq).ravel().tolist()],
+                        }
+                    )
+                    continue
                 yield pd.DataFrame(
                     {
                         "n": [len(x)],
@@ -97,10 +134,12 @@ class PCAProjector:
                     }
                 )
 
+        out_type = "long" if q is not None else "double"
         rows = (
             df.select(vc)
             .mapInPandas(
-                partials, schema="n long, s array<double>, g array<double>"
+                partials,
+                schema=f"n long, s array<{out_type}>, g array<{out_type}>",
             )
             .collect()
         )
@@ -108,6 +147,42 @@ class PCAProjector:
             raise ValueError("empty input")
         d = len(rows[0]["s"])
         n = sum(r["n"] for r in rows)
+        if q is not None:
+            # merge exact integer partials, THEN go to float exactly
+            # the way a SQL replay does: CAST(sum AS DOUBLE) / n / q
+            s_i = [0] * d
+            g_i = [[0] * d for _ in range(d)]
+            for r in rows:
+                for i, v in enumerate(r["s"]):
+                    s_i[i] += int(v)
+                flat = r["g"]
+                for i in range(d):
+                    base = i * d
+                    row_g = g_i[i]
+                    for j in range(d):
+                        row_g[j] += int(flat[base + j])
+            nf = float(n)
+            mu = np.array([float(v) / nf / q for v in s_i])
+            cov = np.array(
+                [
+                    [float(g_i[i][j]) / nf / q / q for j in range(d)]
+                    for i in range(d)
+                ]
+            )
+            if self.center:
+                cov = cov - np.outer(mu, mu)
+            self.covariance = cov.tolist()
+            vals, vecs = np.linalg.eigh(cov)
+            order = np.argsort(vals)[::-1][: self.k]
+            comps = vecs[:, order].T
+            for i in range(comps.shape[0]):
+                j = int(np.argmax(np.abs(comps[i])))
+                if comps[i, j] < 0:
+                    comps[i] = -comps[i]
+            self.mean = mu.tolist() if self.center else [0.0] * d
+            self.components = comps.tolist()
+            self.explained_variance = vals[order].tolist()
+            return self
         s = np.zeros(d)
         g = np.zeros((d, d))
         for r in rows:
@@ -115,6 +190,7 @@ class PCAProjector:
             g += np.asarray(r["g"]).reshape(d, d)
         mu = s / n
         cov = g / n - np.outer(mu, mu) if self.center else g / n
+        self.covariance = cov.tolist()
         vals, vecs = np.linalg.eigh(cov)  # ascending
         order = np.argsort(vals)[::-1][: self.k]
         comps = vecs[:, order].T  # k x d

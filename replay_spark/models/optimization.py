@@ -207,13 +207,38 @@ def optimize(
     budget: int = 10,
     higher_is_better: bool = True,
     seed: Optional[int] = 42,
+    **unsupported,
 ) -> dict:
     """Search ``param_borders`` for the best ``criterion`` value.
 
     ``model_factory(**params)`` builds a model; each trial runs
     fit → predict(k) → criterion(recs, test_interactions).
     Returns ``{"best_params", "best_value", "trials"}``.
+
+    **Optuna-substitution boundary.** The supported surface is
+    exactly this signature plus the two search-space formats
+    (``{param: [low, high] | [choices...]}`` and the reference's
+    ``{param: {"type": int|uniform|loguniform|loguniform_int|
+    categorical, "args": [...]}}``). Optuna-specific knobs from the
+    reference's mixin — custom ``sampler``/``pruner`` objects,
+    ``storage``/``study_name`` persistence, ``timeout``, callbacks,
+    multivariate TPE flags — are NOT emulated by the vendored
+    sampler and raise :class:`TypeError` immediately rather than
+    being silently dropped (a ported call must fail loudly at the
+    boundary, not appear to run with different semantics). When the
+    real optuna IS importable, the loop still exposes only this
+    subset; pass-through of optuna kwargs is deliberately not a
+    feature, so behavior is identical with and without optuna
+    installed.
     """
+    if unsupported:
+        raise TypeError(
+            "optimize() does not support optuna-specific kwargs "
+            f"{sorted(unsupported)}; supported kwargs: model_factory, "
+            "train_dataset, test_dataset, param_borders, criterion, "
+            "k, budget, higher_is_better, seed (see the docstring's "
+            "Optuna-substitution boundary note)"
+        )
     gt = test_dataset.interactions
     trials = []
 

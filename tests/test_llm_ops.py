@@ -4912,3 +4912,74 @@ def test_phrase_miner(spark):
     assert out[1] == "x a_b y"        # lowercase fold
     assert out[2] is None
     assert out[3] == "a a_b"          # greedy: first 'a' alone
+
+
+def test_kmeans_quantized_update_reproducible_and_close(spark):
+    """update_quantization makes Lloyd's centroid update order-free:
+    fits over different partitionings are bit-identical, and the
+    learned centroids sit within 0.5/q per component of the plain
+    float fit."""
+    from replay_spark.ann.kmeans import KMeansClusterer
+
+    rows = [
+        (i, [((i * 37 + d * 11) % 100) / 100.0 - 0.5 for d in range(8)])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [r["embedding"] for r in df.filter("vec_id < 4").collect()]
+    fit = lambda frame: KMeansClusterer(
+        k=4, max_iter=3, update_quantization=1e6
+    ).fit(frame, centroids=cents).centroids
+    a = fit(df.repartition(3))
+    b = fit(df.repartition(17))
+    assert a == b  # bit-identical across partitionings
+    plain = (
+        KMeansClusterer(k=4, max_iter=3)
+        .fit(df.repartition(3), centroids=cents)
+        .centroids
+    )
+    for ca, cp in zip(a, plain):
+        assert all(abs(x - y) < 1e-4 for x, y in zip(ca, cp))
+
+
+def test_pca_quantized_fit_reproducible_and_close(spark):
+    """quantization makes the one-pass covariance order-free:
+    identical across partitionings, covariance/components within
+    quantization error of the float fit, and transform output still
+    matches numpy PCA directions."""
+    import numpy as np
+
+    from replay_spark.ann import PCAProjector
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(150, 6) * np.array([3.0, 2.0, 1.0, 0.5, 0.2, 0.1])
+    rows = [(i, [float(x) for x in base[i]]) for i in range(150)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    p1 = PCAProjector(k=3, quantization=1e6).fit(df.repartition(2))
+    p2 = PCAProjector(k=3, quantization=1e6).fit(df.repartition(13))
+    assert p1.covariance == p2.covariance  # bit-identical
+    assert p1.components == p2.components
+    plain = PCAProjector(k=3).fit(df.repartition(2))
+    c_q = np.array(p1.covariance)
+    c_f = np.array(plain.covariance)
+    assert np.abs(c_q - c_f).max() < 1e-4
+    # component directions agree with numpy eigh on the exact data
+    x = base - base.mean(axis=0)
+    _, vecs = np.linalg.eigh(x.T @ x / len(x))
+    for i, comp in enumerate(np.array(p1.components)):
+        ref = vecs[:, -(i + 1)]
+        assert abs(abs(comp @ ref) - 1.0) < 1e-3
+
+
+def test_pca_quantized_overflow_guard(spark):
+    """The integer Gram partial refuses to overflow int64 silently."""
+    import pytest
+
+    from replay_spark.ann import PCAProjector
+
+    df = spark.createDataFrame(
+        [(0, [1e6, 1e6]), (1, [1e6, -1e6])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="overflow"):
+        PCAProjector(k=1, quantization=1e9).fit(df)

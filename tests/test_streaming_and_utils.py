@@ -630,3 +630,22 @@ def test_streaming_windowed_aggregator_batch(spark):
         .s
     )
     assert n == 2 * len(rows)
+
+
+def test_optimize_rejects_optuna_specific_kwargs():
+    """The Optuna-substitution boundary fails loudly: optuna-only
+    knobs (sampler/pruner/storage/timeout/...) raise TypeError with
+    the supported-kwargs list instead of being silently ignored."""
+    from types import SimpleNamespace
+
+    from replay_spark.models.optimization import optimize
+
+    with pytest.raises(TypeError, match="optuna-specific kwargs.*pruner"):
+        optimize(
+            model_factory=lambda **p: SimpleNamespace(),
+            train_dataset=SimpleNamespace(interactions=None),
+            test_dataset=SimpleNamespace(interactions=None),
+            param_borders={"x": [0.0, 1.0]},
+            criterion=lambda recs, gt: 0.0,
+            pruner=object(),
+        )
