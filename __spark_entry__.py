@@ -2676,6 +2676,95 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """asof_join direction="nearest" with tolerance: each non-residue
+    event matches the CLOSEST residue-0 event of the same user within
+    24h on either side (ties go backward — pandas merge_asof
+    semantics); DuckDB independently derives the winner with a
+    bounded candidate join + (|gap|, side) rank, so the one-shuffle
+    double-carry window merge is value-checked against brute force."""
+    from replay_spark.utils.spark_utils import asof_join
+
+    events = rsd.read_table(spark, sf_dir, "events")
+    left = events.filter(F.col("event_id") % 3 != 0).select(
+        "event_id", "ts", "user_id"
+    )
+    right = events.filter(F.col("event_id") % 3 == 0).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        left,
+        right,
+        on="ts",
+        by="user_id",
+        direction="nearest",
+        tolerance=24 * 3600.0,
+    )
+    return out.select(
+        "event_id",
+        F.col("event_id_right").alias("matched_event_id"),
+        F.round(F.col("value_right") + F.lit(1e-9), 6).alias(
+            "matched_value_r6"
+        ),
+    )
+
+
+def q_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature-store read path end to end: a label spine
+    (residue-1 events) picks up two feature views point-in-time
+    correctly — ``acct`` (residue-0 event values, 48 h ttl) from a
+    VERSION-PINNED LakeTable through the stats-pruned read_where
+    scan, and ``act`` (residue-2 event types, 6 h ttl) from a plain
+    DataFrame. DuckDB replays both with native ASOF JOINs + staleness
+    filters — no leakage, ttl nulls, and values must all agree."""
+    import os
+    import shutil
+    import tempfile
+
+    from replay_spark.feature_store import FeatureStore, FeatureView
+    from replay_spark.lake import LakeTable
+
+    events = rsd.read_table(spark, sf_dir, "events")
+    spine = events.filter(F.col("event_id") % 5 == 1).select(
+        "event_id", "user_id", "ts"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"rs_featstore_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    lake = LakeTable(spark, path)
+    lake.append(
+        events.filter(F.col("event_id") % 5 == 0)
+        .select("user_id", "ts", "value")
+        .repartition(4)
+    )
+    pinned = lake.latest_version()
+    act = events.filter(F.col("event_id") % 5 == 2).select(
+        "user_id", "ts", "event_type"
+    )
+    fs = FeatureStore(
+        [
+            FeatureView(
+                "acct",
+                lake,
+                ["user_id"],
+                ttl_seconds=48 * 3600.0,
+                version=pinned,
+            ),
+            FeatureView("act", act, ["user_id"], ttl_seconds=6 * 3600.0),
+        ]
+    )
+    out = fs.point_in_time_join(spine, spine_ts="ts")
+    return out.select(
+        "event_id",
+        F.round(F.col("acct__value") + F.lit(1e-9), 6).alias(
+            "acct_value_r6"
+        ),
+        F.col("act__event_type").alias("act_type"),
+    )
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join via time-bucketed equi-join: residue-0 events
     open 48-hour windows; every other event of the same user inside
@@ -5632,6 +5721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sentences": q_sentences,
         "q_blocklist": q_blocklist,
         "q_asof_join": q_asof_join,
+        "q_asof_nearest": q_asof_nearest,
+        "q_feature_store": q_feature_store,
         "q_range_join": q_range_join,
         "q_streaming_cms": q_streaming_cms,
         "q_simhash_pairs_md5": q_simhash_pairs_md5,
@@ -8037,6 +8128,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT v.token, v.maybe_present,
                    coalesce(t.is_member, false) AS is_member
             FROM v LEFT JOIN truth t USING (token)
+        """,
+        "q_asof_nearest": """
+            WITH l AS (
+                SELECT event_id, ts, user_id FROM events
+                WHERE event_id % 3 <> 0),
+            r AS (
+                SELECT user_id, ts, event_id, value FROM events
+                WHERE event_id % 3 = 0),
+            cand AS (
+                SELECT l.event_id,
+                       r.event_id AS r_id,
+                       r.value AS r_value,
+                       abs(epoch_us(l.ts) - epoch_us(r.ts)) AS gap,
+                       CASE WHEN r.ts <= l.ts THEN 0 ELSE 1 END AS side
+                FROM l JOIN r ON l.user_id = r.user_id
+                WHERE abs(epoch_us(l.ts) - epoch_us(r.ts))
+                      <= 86400000000),
+            best AS (
+                SELECT event_id, r_id, r_value FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY event_id
+                        ORDER BY gap ASC, side ASC) AS rn
+                    FROM cand) t
+                WHERE rn = 1)
+            SELECT l.event_id,
+                   b.r_id AS matched_event_id,
+                   round(b.r_value + 1e-9, 6) AS matched_value_r6
+            FROM l LEFT JOIN best b ON l.event_id = b.event_id
+        """,
+        "q_feature_store": """
+            WITH spine AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_id % 5 = 1),
+            v1 AS (
+                SELECT user_id, ts, value FROM events
+                WHERE event_id % 5 = 0),
+            v2 AS (
+                SELECT user_id, ts, event_type FROM events
+                WHERE event_id % 5 = 2)
+            SELECT s.event_id,
+                   CASE WHEN epoch_us(s.ts) - epoch_us(a.ts)
+                             <= 172800000000
+                        THEN round(a.value + 1e-9, 6) END
+                       AS acct_value_r6,
+                   CASE WHEN epoch_us(s.ts) - epoch_us(b.ts)
+                             <= 21600000000
+                        THEN b.event_type END AS act_type
+            FROM spine s
+            ASOF LEFT JOIN v1 a
+                 ON s.user_id = a.user_id AND s.ts >= a.ts
+            ASOF LEFT JOIN v2 b
+                 ON s.user_id = b.user_id AND s.ts >= b.ts
         """,
         "q_asof_join": """
             WITH l AS (

@@ -47,6 +47,13 @@ def get_spark_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # int64 micros, not deprecated INT96: INT96 timestamps carry
+        # NO parquet min/max statistics, which silently disables
+        # every stats-based file-skipping path (lake read_where,
+        # prune_files) on event-time columns — the single most
+        # valuable pruning dimension at 100 TB. Delta/Iceberg
+        # likewise mandate int64 timestamps.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("REPLAY_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

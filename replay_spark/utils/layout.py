@@ -177,7 +177,8 @@ _STATS_SCHEMA = (
     "file string, n_rows long, n_row_groups int, column string, "
     "null_count long, min_long long, max_long long, "
     "min_double double, max_double double, "
-    "min_str string, max_str string"
+    "min_str string, max_str string, "
+    "min_ts timestamp, max_ts timestamp"
 )
 
 
@@ -211,6 +212,8 @@ def collect_file_stats(spark, path: str, columns=None) -> "DataFrame":
     wanted = set(columns) if columns else None
 
     def footers(batches):
+        import datetime
+
         import pandas as pd
         import pyarrow.parquet as pq
 
@@ -238,17 +241,49 @@ def collect_file_stats(spark, path: str, columns=None) -> "DataFrame":
                         if isinstance(mn, bytes):
                             mn = mn.decode("utf-8", "replace")
                             mx = mx.decode("utf-8", "replace")
+                        if isinstance(mn, datetime.datetime):
+                            # normalize to UTC-naive: every session in
+                            # this engine pins session.timeZone=UTC, so
+                            # naive literals compare correctly; the
+                            # residual filter keeps the answer exact
+                            # regardless
+                            if mn.tzinfo is not None:
+                                mn = mn.astimezone(
+                                    datetime.timezone.utc
+                                ).replace(tzinfo=None)
+                                mx = mx.astimezone(
+                                    datetime.timezone.utc
+                                ).replace(tzinfo=None)
                         cur["min"] = (
                             mn if cur["min"] is None else min(cur["min"], mn)
                         )
                         cur["max"] = (
                             mx if cur["max"] is None else max(cur["max"], mx)
                         )
+                if not agg:
+                    # a file with zero stat-bearing columns must
+                    # still appear in the manifest — otherwise it
+                    # vanishes from both the kept list and the file
+                    # total (data loss, not just a missed prune)
+                    rows.append(
+                        {
+                            "file": fname,
+                            "n_rows": int(meta.num_rows),
+                            "n_row_groups": int(meta.num_row_groups),
+                            "column": None,
+                            "null_count": None,
+                            "min_long": None, "max_long": None,
+                            "min_double": None, "max_double": None,
+                            "min_str": None, "max_str": None,
+                            "min_ts": None, "max_ts": None,
+                        }
+                    )
                 for name, cur in sorted(agg.items()):
                     mn, mx = cur["min"], cur["max"]
                     is_bool = isinstance(mn, bool)
                     is_int = isinstance(mn, int) and not is_bool
                     is_float = isinstance(mn, float)
+                    is_dt = isinstance(mn, datetime.datetime)
                     rows.append(
                         {
                             "file": fname,
@@ -262,6 +297,8 @@ def collect_file_stats(spark, path: str, columns=None) -> "DataFrame":
                             "max_double": float(mx) if is_float else None,
                             "min_str": mn if isinstance(mn, str) else None,
                             "max_str": mx if isinstance(mx, str) else None,
+                            "min_ts": mn if is_dt else None,
+                            "max_ts": mx if is_dt else None,
                         }
                     )
             yield pd.DataFrame(
@@ -269,7 +306,8 @@ def collect_file_stats(spark, path: str, columns=None) -> "DataFrame":
                 columns=[
                     "file", "n_rows", "n_row_groups", "column",
                     "null_count", "min_long", "max_long", "min_double",
-                    "max_double", "min_str", "max_str",
+                    "max_double", "min_str", "max_str", "min_ts",
+                    "max_ts",
                 ],
             )
 
@@ -281,25 +319,40 @@ def prune_files(manifest: "DataFrame", bounds: dict) -> "DataFrame":
     interval (closed; ``None`` end = unbounded): a file survives iff
     each bounded column's [min, max] overlaps its interval — the
     standard conservative skip test (false positives possible, false
-    negatives impossible). Returns the manifest's distinct surviving
-    ``file`` rows."""
+    negatives impossible). A file with NO statistics for a bounded
+    column (writer skipped stats, all-null column, legacy INT96
+    timestamps) is KEPT — absence of evidence must never skip data.
+    Returns the manifest's distinct surviving ``file`` rows."""
+    all_files = manifest.select("file").distinct()
     if not bounds:
-        return manifest.select("file").distinct()
+        return all_files
     survivors = None
     for col, (lo, hi) in bounds.items():
         m = manifest.filter(F.col("column") == col)
+        import datetime as _dt
+
         typed_min = F.coalesce("min_long", "min_double")
         typed_max = F.coalesce("max_long", "max_double")
         if isinstance(lo, str) or isinstance(hi, str):
             typed_min, typed_max = F.col("min_str"), F.col("max_str")
+        elif isinstance(lo, (_dt.datetime, _dt.date)) or isinstance(
+            hi, (_dt.datetime, _dt.date)
+        ):
+            typed_min, typed_max = F.col("min_ts"), F.col("max_ts")
         cond = F.lit(True)
         if lo is not None:
             cond = cond & (typed_max >= F.lit(lo))
         if hi is not None:
             cond = cond & (typed_min <= F.lit(hi))
-        keep = m.filter(cond).select("file")
+        overlap = m.filter(cond).select("file")
+        # conservative: files with no stats row for this column
+        # cannot be excluded
+        no_stats = all_files.join(
+            m.select("file").distinct(), "file", "left_anti"
+        )
+        keep = overlap.unionByName(no_stats)
         survivors = keep if survivors is None else survivors.join(
-            keep, "file", "inner"
+            keep, "file", "left_semi"
         )
     return survivors.distinct()
 

@@ -664,9 +664,12 @@ def asof_join(
 ) -> DataFrame:
     """Temporal as-of join — the operator Spark's join family lacks:
     for each left row, attach the SINGLE nearest right row at-or-
-    before (``backward``) / at-or-after (``forward``) its ``on``
-    time within the same ``by`` keys; no match (or a match farther
-    than ``tolerance`` seconds) yields nulls.
+    before (``backward``) / at-or-after (``forward``) / on either
+    side (``nearest`` — ties go backward, pandas ``merge_asof``
+    semantics) of its ``on`` time within the same ``by`` keys; no
+    match (or a match farther than ``tolerance`` seconds) yields
+    nulls. ``nearest`` shares one hash exchange between its two
+    directional carries (two sorts, no extra shuffle).
 
     Plan shape (the 100 TB argument): both sides are UNIONED with a
     side tag, hash-shuffled ONCE on ``by``, and merged by a per-key
@@ -686,7 +689,7 @@ def asof_join(
     DuckDB's native ASOF JOIN has the same contract, which is what
     the ``q_asof_join`` gate cross-checks.
     """
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction: {direction!r}")
     by = [by] if isinstance(by, str) else list(by)
     payload = [c for c in right.columns if c not in by]
@@ -702,25 +705,63 @@ def asof_join(
         *left.columns, F.col(on).alias("_t"), F.lit(1).alias("_side")
     )
     u = l2.unionByName(r2, allowMissingColumns=True)
-    order = [F.col("_t").asc(), F.col("_side").asc()]
-    if direction == "forward":
-        order = [F.col("_t").desc(), F.col("_side").asc()]
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, 0)
+    tol_us = (
+        int(tolerance * 1_000_000) if tolerance is not None else None
     )
-    matched = u.withColumn(
-        "_rm", F.last("_rp", ignorenulls=True).over(w)
-    ).filter(F.col("_side") == 1)
-    ok = F.col("_rm").isNotNull()
-    if tolerance is not None:
-        gap_us = F.unix_micros(F.col("_t")) - F.unix_micros(
-            F.col("_rm")[on]
+
+    def _carry(dir_: str):
+        """Match struct + non-negative gap (µs) for one direction."""
+        order = [F.col("_t").asc(), F.col("_side").asc()]
+        if dir_ == "forward":
+            order = [F.col("_t").desc(), F.col("_side").asc()]
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
         )
-        if direction == "forward":
-            gap_us = -gap_us
-        ok = ok & (gap_us <= int(tolerance * 1_000_000))
+        m = F.last("_rp", ignorenulls=True).over(w)
+        gap = F.unix_micros(F.col("_t")) - F.unix_micros(m[on])
+        if dir_ == "forward":
+            gap = -gap
+        return m, gap
+
+    if direction == "nearest":
+        # both carries share the hash partitioning on ``by`` — one
+        # exchange, two sorts; candidates beyond tolerance are
+        # dropped BEFORE choosing, ties at equal gap go backward
+        # (pandas merge_asof semantics)
+        mb, gb = _carry("backward")
+        mf, gf = _carry("forward")
+        matched = (
+            u.withColumn("_rb", mb)
+            .withColumn("_gb", gb)
+            .withColumn("_rf", mf)
+            .withColumn("_gf", gf)
+            .filter(F.col("_side") == 1)
+        )
+        ok_b = F.col("_rb").isNotNull()
+        ok_f = F.col("_rf").isNotNull()
+        if tol_us is not None:
+            ok_b = ok_b & (F.col("_gb") <= F.lit(tol_us))
+            ok_f = ok_f & (F.col("_gf") <= F.lit(tol_us))
+        use_b = ok_b & (~ok_f | (F.col("_gb") <= F.col("_gf")))
+        chosen = F.when(use_b, F.col("_rb")).when(ok_f, F.col("_rf"))
+        matched = matched.withColumn("_rm", chosen)
+        ok = F.col("_rm").isNotNull()
+    else:
+        m, gap = _carry(direction)
+        matched = u.withColumn("_rm", m).filter(F.col("_side") == 1)
+        ok = F.col("_rm").isNotNull()
+        if tol_us is not None:
+            ok = ok & (
+                F.unix_micros(F.col("_t"))
+                - F.unix_micros(F.col("_rm")[on])
+                <= tol_us
+                if direction == "backward"
+                else F.unix_micros(F.col("_rm")[on])
+                - F.unix_micros(F.col("_t"))
+                <= tol_us
+            )
     out_cols = [F.col(c) for c in left.columns]
     out_cols += [
         F.when(ok, F.col("_rm")[c]).alias(f"{c}{suffix}") for c in payload

@@ -356,3 +356,66 @@ def test_read_where_after_schema_evolution(table, spark):
     both, _, _ = table.read_where({"k": (50, 1050)})
     got = {r.k: r.tag for r in both.collect()}
     assert got[50] is None and got[1050] == "new"
+
+
+def test_prune_files_conservative_without_stats(spark, tmp_path):
+    """A file with NO footer statistics for the bounded column must
+    be KEPT (absence of evidence never skips data), and a file with
+    zero stat-bearing columns must still count in the manifest."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from replay_spark.utils.layout import (
+        collect_file_stats,
+        prune_files,
+        read_pruned,
+    )
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    # normal file with stats: k in [0, 9]
+    pq.write_table(
+        pa.table({"k": list(range(10))}), str(d / "a.parquet")
+    )
+    # stats disabled: k in [100, 109] but the footer says nothing
+    pq.write_table(
+        pa.table({"k": list(range(100, 110))}),
+        str(d / "b.parquet"),
+        write_statistics=False,
+    )
+    man = collect_file_stats(spark, str(d), ["k"])
+    assert man.select("file").distinct().count() == 2
+    kept = {r.file for r in prune_files(man, {"k": (100, 200)}).collect()}
+    assert any(f.endswith("b.parquet") for f in kept)       # no stats -> kept
+    assert not any(f.endswith("a.parquet") for f in kept)   # stats -> pruned
+    df, n_kept, total = read_pruned(spark, str(d), {"k": (100, 200)})
+    assert (n_kept, total) == (1, 2)
+    assert sorted(r.k for r in df.collect()) == list(range(100, 110))
+
+
+def test_timestamp_stats_pruning(spark, tmp_path):
+    """Engine-written timestamps are int64 micros (not INT96), so
+    footer min/max exist and time-interval pruning works."""
+    import datetime
+
+    from replay_spark.utils.layout import read_pruned
+
+    d = str(tmp_path / "ts_parts")
+    jan = spark.createDataFrame(
+        [(i, datetime.datetime(2024, 1, 1 + i)) for i in range(5)],
+        "k long, ts timestamp",
+    )
+    jun = spark.createDataFrame(
+        [(i, datetime.datetime(2024, 6, 1 + i)) for i in range(5)],
+        "k long, ts timestamp",
+    )
+    jan.coalesce(1).write.parquet(d)
+    jun.coalesce(1).write.mode("append").parquet(d)
+    df, kept, total = read_pruned(
+        spark,
+        d,
+        {"ts": (datetime.datetime(2024, 5, 1), datetime.datetime(2024, 7, 1))},
+    )
+    assert kept < total
+    assert df.count() == 5
+    assert all(r.ts.month == 6 for r in df.collect())
