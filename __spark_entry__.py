@@ -5559,81 +5559,124 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     The driver scores the FIRST 50 entries — (a) + (a2) + (b) is
     EXACTLY 50 (checked by tests/test_entry_contract.py). Order for
-    r8: (a) 15 gates that debuted or changed this round — the
-    root-caused q_corpus_stats re-green (the r6/r7 red was DuckDB
-    HUGEINT sums turning float64 on the pandas fetch path, NOT
-    rounding; every oracle integer aggregate now carries CAST(... AS
-    BIGINT), swept repo-wide by tools/check_types.py) plus the three
-    sibling gates fixed by the same sweep (q_skew_report,
-    q_profile_columns, q_length_histogram), q_dedup_clusters after
-    the localCheckpoint lineage fix in the distributed propagation,
-    and the eight new operators: KMeansClusterer (hash assign +
-    rows fit), UrlCanonicalizer, StratifiedSampler, ZOrderLayout,
-    PCAProjector (hash project + rows fit), EmbeddingQuantizer,
-    ConnectedComponents (distributed path forced), and
-    TimeSeriesResampler; (a2) the 25 round-7 debuts that had not yet
-    been officially scored — 19 hash gates and the 6 documented
-    rows-only contracts (q_quality_classifier: seeded LogReg;
-    q_textrank: iterative PageRank; q_bin_pack: FFD heuristic;
-    q_pagerank: iterative; q_compression_ratio: zlib internals;
-    q_spectrogram: FFT); (b) 7 stale re-proves — q_thompson_scores
-    (last official row r3; seeded posterior, rows-only),
-    q_streaming_ucb and q_ngram_jaccard_capped (r4), and the four
-    stalest complex r5 hash gates including the q_pipeline_eval /
-    q_streaming_dedup / q_media_decode trio the r7 rotation dropped —
-    plus the 3 late-round-8 hash debuts (q_negative_sample,
-    q_rolling_features, q_chat_template), which displaced three
-    twice-proven simple r5 gates to (c); (c) everything else —
-    officially green in a prior round — still run in
-    tools/check_oracle and bench. The tail of (c) holds the ten
-    late-round-8 session-2 hash debuts (q_avi_meta, q_avi_frames,
-    q_tfrecord_roundtrip, q_tfrecord_floats, q_global_shuffle,
-    q_adpcm_roundtrip, q_zorder_pruning, q_triangle_count,
-    q_corpus_diff, q_wordpiece_tokens) plus the fourteen round-8
-    session-3 hash debuts (q_lake_optimize, q_mp4_samples,
-    q_constraint_suite, q_timeseries_interpolate, q_heavy_hitters,
-    q_ivm_refresh, q_webm_frames, q_bucketed_join, q_streaming_join,
-    q_anomaly_flags, q_hll_overlap, q_corr_matrix,
-    q_streaming_lake_sink, and the session-2 lake trio
-    q_lake_timetravel/q_merge_upsert/q_scd2 et al.) — the r9
-    rotation candidates, all hash-verified at sf0.01 AND sf0.1 but
-    not in this round's scored window.
-    Rows-only contracts inside the r8 window: exactly 9 (q_kmeans_fit,
-    q_pca_fit, q_quality_classifier, q_textrank, q_bin_pack,
-    q_pagerank, q_compression_ratio, q_spectrogram,
-    q_thompson_scores) — 41/50 hash-gated; the count is higher than
-    r7's 4 because this window debut-scores every remaining
-    never-scored gate, six of which are honestly non-SQL-expressible.
+    r9 (the hash-density round the r8 verdict asked for): (a) 12
+    gates that debuted or materially changed this round — the two
+    exact-integer fit gates the verdict requested (q_kmeans_step:
+    one full Lloyd step from fixed centroids with BIGINT component
+    sums; q_pca_cov: the integer-projected covariance the
+    distributed half of PCA fit produces — both hash twins of the
+    still-rows-only production float fits), the new feature-store
+    tier (q_asof_nearest: double-carry nearest direction;
+    q_feature_store: point-in-time join over a version-pinned lake
+    view + a DataFrame view), the two component gates after pointer
+    jumping became adaptive (q_dedup_clusters,
+    q_connected_components), the three sinks after the
+    duplicate-key sort tiebreaker + the Arrow-schema fidelity fix
+    (q_arrow_ipc, q_avro_roundtrip, q_tfrecord_roundtrip +
+    q_tfrecord_floats), q_lake_optimize after the
+    conservative-pruning fixes, and q_asof_join after the asof
+    refactor; (a2) 36 hash gates that had NEVER been officially
+    scored — the complete round-8 session-2/3 debut backlog
+    (lake/lakehouse: timetravel, merge, scd2, changes, IVM,
+    exactly-once sink, bucketed join, skew join; containers:
+    mp4/webm/avi/adpcm; quality/timeseries/sketch:
+    constraint_suite, interpolate, heavy_hitters, hll_overlap,
+    corr_matrix, anomaly_flags, exact/grouped quantiles; streaming:
+    interval join, windowed agg; text/format: wordpiece, unigram
+    tokenizers, bleu, rouge, phrase mining, global shuffle,
+    zorder pruning, triangle counting, corpus diff) plus the six
+    end-of-round analytics/format gates (funnel, cohort retention,
+    transition matrix, A/B summary, grouped quantiles, arrow IPC);
+    (b) the q_thompson_params hash swap for the r8 rows-only
+    q_thompson_scores, and the q_llm_e2e flagship re-prove (last
+    official row r6). EVERY entry in the r9 window is hash-gated —
+    0 rows-only contracts, 50/50 hash (r8 was 41/50); the six
+    honestly non-SQL rows-only contracts (q_quality_classifier,
+    q_textrank, q_bin_pack, q_pagerank, q_compression_ratio,
+    q_spectrogram) plus q_kmeans_fit/q_pca_fit (whose hash twins
+    are scored above) all sit in (c), officially green in r8.
+    (c) everything else — officially green in a prior round —
+    still run in tools/check_oracle at both scales and in bench.
     """
     return {
-        # -- (a) round-8 debuts + gates whose internals or
-        #        oracles changed this round: the root-caused
-        #        q_corpus_stats re-green (HUGEINT->float64
-        #        pandas-path casts; same fix in q_skew_report /
-        #        q_profile_columns / q_length_histogram), the
-        #        localCheckpoint-fixed component propagation
-        #        (q_dedup_clusters, q_connected_components), and
-        #        the eight new operators -----------------------
+        # -- (a) round-9 debuts + gates whose internals changed
+        #        this round: the exact-integer fit gates
+        #        (q_kmeans_step, q_pca_cov), the feature-store
+        #        tier (q_asof_nearest, q_feature_store), the
+        #        adaptive-pointer-jumping components, the
+        #        tiebreaker-sorted sinks, and the pruning-fixed
+        #        lake read path ------------------------------
+        "q_kmeans_step": q_kmeans_step,
+        "q_pca_cov": q_pca_cov,
+        "q_asof_nearest": q_asof_nearest,
+        "q_feature_store": q_feature_store,
+        "q_dedup_clusters": q_dedup_clusters,
+        "q_connected_components": q_connected_components,
+        "q_arrow_ipc": q_arrow_ipc,
+        "q_avro_roundtrip": q_avro_roundtrip,
+        "q_tfrecord_roundtrip": q_tfrecord_roundtrip,
+        "q_tfrecord_floats": q_tfrecord_floats,
+        "q_lake_optimize": q_lake_optimize,
+        "q_asof_join": q_asof_join,
+        # -- (a2) never-scored hash debuts from round-8
+        #        sessions 2/3 + the end-of-round analytics/
+        #        format tiers — every tier represented -------
+        "q_mp4_samples": q_mp4_samples,
+        "q_webm_frames": q_webm_frames,
+        "q_constraint_suite": q_constraint_suite,
+        "q_timeseries_interpolate": q_timeseries_interpolate,
+        "q_heavy_hitters": q_heavy_hitters,
+        "q_ivm_refresh": q_ivm_refresh,
+        "q_bucketed_join": q_bucketed_join,
+        "q_streaming_join": q_streaming_join,
+        "q_anomaly_flags": q_anomaly_flags,
+        "q_hll_overlap": q_hll_overlap,
+        "q_corr_matrix": q_corr_matrix,
+        "q_streaming_lake_sink": q_streaming_lake_sink,
+        "q_grouped_quantiles": q_grouped_quantiles,
+        "q_funnel": q_funnel,
+        "q_cohort_retention": q_cohort_retention,
+        "q_transition_matrix": q_transition_matrix,
+        "q_ab_test_summary": q_ab_test_summary,
+        "q_avi_meta": q_avi_meta,
+        "q_avi_frames": q_avi_frames,
+        "q_global_shuffle": q_global_shuffle,
+        "q_adpcm_roundtrip": q_adpcm_roundtrip,
+        "q_zorder_pruning": q_zorder_pruning,
+        "q_triangle_count": q_triangle_count,
+        "q_corpus_diff": q_corpus_diff,
+        "q_wordpiece_tokens": q_wordpiece_tokens,
+        "q_unigram_tokens": q_unigram_tokens,
+        "q_lake_timetravel": q_lake_timetravel,
+        "q_merge_upsert": q_merge_upsert,
+        "q_scd2": q_scd2,
+        "q_bleu_counts": q_bleu_counts,
+        "q_rouge_l": q_rouge_l,
+        "q_skew_join": q_skew_join,
+        "q_exact_quantiles": q_exact_quantiles,
+        "q_phrase_scores": q_phrase_scores,
+        "q_streaming_window": q_streaming_window,
+        "q_lake_changes": q_lake_changes,
+        # -- (b) hash-density swap + flagship re-prove:
+        #        q_thompson_params (hash twin of the r8 rows-
+        #        only q_thompson_scores) and q_llm_e2e --------
+        "q_thompson_params": q_thompson_params,
+        "q_llm_e2e": q_llm_e2e,
+        # -- (c) officially green in a prior round — still run
+        #        in tools/check_oracle (both scales) and bench
         "q_corpus_stats": q_corpus_stats,
         "q_skew_report": q_skew_report,
         "q_profile_columns": q_profile_columns,
         "q_length_histogram": q_length_histogram,
-        "q_dedup_clusters": q_dedup_clusters,
         "q_kmeans_assign": q_kmeans_assign,
         "q_kmeans_fit": q_kmeans_fit,
-        "q_kmeans_step": q_kmeans_step,
-        "q_pca_cov": q_pca_cov,
         "q_url_canonicalize": q_url_canonicalize,
         "q_stratified_sample": q_stratified_sample,
         "q_zorder_keys": q_zorder_keys,
         "q_pca_project": q_pca_project,
         "q_pca_fit": q_pca_fit,
         "q_embedding_quantize": q_embedding_quantize,
-        "q_connected_components": q_connected_components,
         "q_timeseries_resample": q_timeseries_resample,
-        # -- (a2) round-7 debuts that had not yet been scored:
-        #        19 hash gates + the 6 documented rows-only
-        #        contracts (classifier/graph/FFT/zlib tiers) ---
         "q_crawl_e2e": q_crawl_e2e,
         "q_kn_bigram_scores": q_kn_bigram_scores,
         "q_readability": q_readability,
@@ -5659,10 +5702,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank": q_pagerank,
         "q_compression_ratio": q_compression_ratio,
         "q_spectrogram": q_spectrogram,
-        # -- (b) the stalest gates (last official row r3-r5):
-        #        q_thompson_scores (r3), the r4 pair, and the
-        #        seven stalest r5 hash gates incl. the trio the
-        #        r7 rotation dropped from (b) ------------------
         "q_thompson_scores": q_thompson_scores,
         "q_streaming_ucb": q_streaming_ucb,
         "q_ngram_jaccard_capped": q_ngram_jaccard_capped,
@@ -5670,19 +5709,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_dedup": q_streaming_dedup,
         "q_media_decode": q_media_decode,
         "q_sessionize": q_sessionize,
-        # (b continued) the three late-round-8 hash debuts take the
-        # last three slots from twice-proven simple r5 gates
-        # (q_lang_id / q_nation_revenue / q_quality_filter → (c),
-        # still swept + benched)
         "q_negative_sample": q_negative_sample,
         "q_rolling_features": q_rolling_features,
         "q_chat_template": q_chat_template,
-        # -- (c) officially green in r4-r7, rotating out -- still
-        #        run in tools/check_oracle and bench -------------
         "q_lang_id": q_lang_id,
         "q_nation_revenue": q_nation_revenue,
         "q_quality_filter": q_quality_filter,
-        "q_llm_e2e": q_llm_e2e,
         "q_pq_ann_fixed": q_pq_ann_fixed,
         "q_mp4_meta": q_mp4_meta,
         "q_gif_decode": q_gif_decode,
@@ -5720,9 +5752,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hll_distinct": q_hll_distinct,
         "q_sentences": q_sentences,
         "q_blocklist": q_blocklist,
-        "q_asof_join": q_asof_join,
-        "q_asof_nearest": q_asof_nearest,
-        "q_feature_store": q_feature_store,
         "q_range_join": q_range_join,
         "q_streaming_cms": q_streaming_cms,
         "q_simhash_pairs_md5": q_simhash_pairs_md5,
@@ -5760,7 +5789,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_metric_cat_diversity": q_metric_cat_diversity,
         "q_filter_entity_days_last": q_filter_entity_days_last,
         "q_filter_first_interactions": q_filter_first_interactions,
-        "q_thompson_params": q_thompson_params,
         "q_item_recency": q_item_recency,
         "q_item_distribution": q_item_distribution,
         "q_itemknn_predict_pairs": q_itemknn_predict_pairs,
@@ -5817,49 +5845,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_slim_similarity": q_slim_similarity,
         "q_minhash_candidates": q_minhash_candidates,
         "q_simhash_fingerprints": q_simhash_fingerprints,
-        # (c continued) late-round-8 session-2 debuts — r9 rotation
-        # candidates, unscored this round
-        "q_avi_meta": q_avi_meta,
-        "q_avi_frames": q_avi_frames,
-        "q_tfrecord_roundtrip": q_tfrecord_roundtrip,
-        "q_tfrecord_floats": q_tfrecord_floats,
-        "q_global_shuffle": q_global_shuffle,
-        "q_adpcm_roundtrip": q_adpcm_roundtrip,
-        "q_zorder_pruning": q_zorder_pruning,
-        "q_triangle_count": q_triangle_count,
-        "q_corpus_diff": q_corpus_diff,
-        "q_wordpiece_tokens": q_wordpiece_tokens,
-        "q_unigram_tokens": q_unigram_tokens,
-        "q_lake_timetravel": q_lake_timetravel,
-        "q_merge_upsert": q_merge_upsert,
-        "q_scd2": q_scd2,
-        "q_bleu_counts": q_bleu_counts,
-        "q_rouge_l": q_rouge_l,
-        "q_avro_roundtrip": q_avro_roundtrip,
-        "q_skew_join": q_skew_join,
-        "q_exact_quantiles": q_exact_quantiles,
-        "q_phrase_scores": q_phrase_scores,
-        "q_streaming_window": q_streaming_window,
-        "q_lake_changes": q_lake_changes,
-        "q_lake_optimize": q_lake_optimize,
-        "q_mp4_samples": q_mp4_samples,
-        "q_constraint_suite": q_constraint_suite,
-        "q_timeseries_interpolate": q_timeseries_interpolate,
-        "q_heavy_hitters": q_heavy_hitters,
-        "q_ivm_refresh": q_ivm_refresh,
-        "q_webm_frames": q_webm_frames,
-        "q_bucketed_join": q_bucketed_join,
-        "q_streaming_join": q_streaming_join,
-        "q_anomaly_flags": q_anomaly_flags,
-        "q_hll_overlap": q_hll_overlap,
-        "q_corr_matrix": q_corr_matrix,
-        "q_streaming_lake_sink": q_streaming_lake_sink,
-        "q_grouped_quantiles": q_grouped_quantiles,
-        "q_funnel": q_funnel,
-        "q_cohort_retention": q_cohort_retention,
-        "q_arrow_ipc": q_arrow_ipc,
-        "q_transition_matrix": q_transition_matrix,
-        "q_ab_test_summary": q_ab_test_summary,
     }
 
 
