@@ -5153,6 +5153,52 @@ def q_ivm_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_materialized_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVM end to end (MaterializedAggregate): a lake base
+    table takes two appends and a delete, and the maintained
+    count/sum view is REFRESHED after every commit — so the final
+    state was reached through three incremental change-feed merges
+    (the first a full materialization, then signed deltas), each
+    committed to the view's own versioned table with a replay-safe
+    txn marker. DuckDB computes the final view directly from the
+    residue predicates; the hash matches only if every incremental
+    hop landed exactly on the full recompute."""
+    import os
+    import shutil
+    import tempfile
+
+    from replay_spark.lake import LakeTable, MaterializedAggregate
+
+    ev = rsd.read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base_path = os.path.join(tempfile.gettempdir(), f"rs_mav_b_{tag}")
+    view_path = os.path.join(tempfile.gettempdir(), f"rs_mav_v_{tag}")
+    shutil.rmtree(base_path, ignore_errors=True)
+    shutil.rmtree(view_path, ignore_errors=True)
+    t = LakeTable(spark, base_path)
+    view = MaterializedAggregate(
+        t,
+        view_path,
+        group_columns=["g"],
+        sum_columns={"sum_eid": "event_id"},
+    )
+    rows = ev.withColumn("g", F.col("user_id") % 10)
+    t.append(rows.filter(F.col("event_id") % 3 == 0))
+    assert view.refresh() is not None
+    t.append(rows.filter(F.col("event_id") % 3 == 1))
+    assert view.refresh() is not None
+    t.delete(F.col("user_id") % 7 == 0)
+    assert view.refresh() is not None
+    assert view.refresh() is None  # current -> replay-safe skip
+    return view.read().select(
+        "g",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("sum_eid").cast("long").alias("sum_eid"),
+    )
+
+
 def q_webm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebM Cluster/SimpleBlock mux/demux end to end — the EBML twin
     of q_mp4_samples: each document's text becomes doc_id%4+1 frame
@@ -5615,8 +5661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_arrow_ipc": q_arrow_ipc,
         "q_avro_roundtrip": q_avro_roundtrip,
         "q_tfrecord_roundtrip": q_tfrecord_roundtrip,
-        "q_tfrecord_floats": q_tfrecord_floats,
         "q_lake_optimize": q_lake_optimize,
+        "q_materialized_agg": q_materialized_agg,
         "q_asof_join": q_asof_join,
         # -- (a2) never-scored hash debuts from round-8
         #        sessions 2/3 + the end-of-round analytics/
@@ -5664,6 +5710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_llm_e2e": q_llm_e2e,
         # -- (c) officially green in a prior round — still run
         #        in tools/check_oracle (both scales) and bench
+        "q_tfrecord_floats": q_tfrecord_floats,
         "q_corpus_stats": q_corpus_stats,
         "q_skew_report": q_skew_report,
         "q_profile_columns": q_profile_columns,
@@ -10303,6 +10350,14 @@ def oracle_sql() -> dict[str, str]:
                        AS BLOB)) AS INT) AS n_bytes
             FROM documents, (VALUES (0), (1), (2), (3)) AS g(i)
             WHERE i <= doc_id % 3 + 1
+        """,
+        "q_materialized_agg": """
+            SELECT CAST(user_id % 10 AS BIGINT) AS g,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(event_id) AS BIGINT) AS sum_eid
+            FROM events
+            WHERE event_id % 3 IN (0, 1) AND user_id % 7 <> 0
+            GROUP BY 1
         """,
         "q_ivm_refresh": """
             SELECT doc_id % 7 AS g,

@@ -57,6 +57,7 @@ from pyspark.sql.types import StructType
 __all__ = [
     "LakeTable",
     "ConcurrentWriteError",
+    "MaterializedAggregate",
     "merge_into",
     "apply_scd2",
     "refresh_aggregate",
@@ -453,7 +454,11 @@ class LakeTable:
 
         return sink
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, txn: Optional[dict] = None) -> int:
+        """Replace the table contents. ``txn`` records an
+        ``{app_id, batch_id}`` idempotence marker in the commit —
+        the device :class:`MaterializedAggregate` uses to make view
+        refreshes replay-safe."""
         base_version = self.latest_version()
         prior = [
             os.path.relpath(p, self.path)
@@ -461,7 +466,8 @@ class LakeTable:
         ] if base_version >= 0 else []
         files = self._write_data(df)
         return self._commit(
-            "overwrite", files, prior, df.schema, base_version + 1
+            "overwrite", files, prior, df.schema, base_version + 1,
+            txn=txn,
         )
 
     def delete(self, condition) -> int:
@@ -756,3 +762,98 @@ def apply_scd2(
         F.lit(True).alias(is_current),
     )
     return closed.unionByName(fresh.select(*closed.columns))
+
+
+class MaterializedAggregate:
+    """A continuously-maintained aggregate VIEW over a
+    :class:`LakeTable` — streaming IVM end to end, composing three
+    proven pieces: the exactly-once lake sink (txn idempotence), the
+    change data feed, and :func:`refresh_aggregate`.
+
+    The view is itself a LakeTable (versioned, time-travelable);
+    each :meth:`refresh` reads ONLY the base commits since the last
+    refresh through the change feed and merges signed per-group
+    deltas into the maintained snapshot — cost follows the changes,
+    never the 100 TB base. The view commit records
+    ``txn={app_id, batch_id=base_version}``, so a replayed refresh
+    (crash between base commit and view commit, foreachBatch re-run)
+    is SKIPPED — the view is exactly-once with respect to base
+    versions.
+
+    ``streaming_sink`` returns a ``foreachBatch`` callable that
+    lands each micro-batch in the base table (idempotent append)
+    AND refreshes the view in the same hook: a live, incrementally-
+    maintained aggregate over a stream with exactly-once semantics
+    on both tables.
+    """
+
+    def __init__(
+        self,
+        base: "LakeTable",
+        view_path: str,
+        group_columns: Sequence[str],
+        count_column: str = "n_rows",
+        sum_columns: Optional[dict] = None,
+        name: str = "ivm",
+    ):
+        self.base = base
+        self.view = LakeTable(base.spark, view_path)
+        self.group_columns = list(group_columns)
+        self.count_column = count_column
+        self.sum_columns = dict(sum_columns or {})
+        self._app_id = f"ivm:{name}"
+
+    def _full_aggregate(self, df: DataFrame) -> DataFrame:
+        aggs = [
+            F.count(F.lit(1)).cast("long").alias(self.count_column)
+        ]
+        for out_col, src_col in self.sum_columns.items():
+            aggs.append(F.sum(src_col).alias(out_col))
+        return df.groupBy(*self.group_columns).agg(*aggs)
+
+    def last_refreshed_version(self) -> Optional[int]:
+        return self.view.last_committed_batch(self._app_id)
+
+    def refresh(self) -> Optional[int]:
+        """Advance the view to the base table's latest version.
+        Returns the new view version, or None when already current
+        (or when this exact refresh already committed — replay)."""
+        base_v = self.base.latest_version()
+        if base_v < 0:
+            return None
+        last = self.last_refreshed_version()
+        if last is not None and base_v <= last:
+            return None
+        txn = {"app_id": self._app_id, "batch_id": base_v}
+        if last is None:
+            # first materialization: one full aggregate of the base
+            snapshot = self._full_aggregate(
+                self.base.read(version=base_v)
+            )
+            return self.view.overwrite(snapshot, txn=txn)
+        changes = self.base.changes(last, base_v)
+        refreshed = refresh_aggregate(
+            self.view.read(),
+            changes,
+            self.group_columns,
+            count_column=self.count_column,
+            sum_columns=self.sum_columns,
+        )
+        # the refreshed plan reads the view's CURRENT files, which
+        # the overwrite is about to replace — materialize first
+        # (the round-7 recacheByPath lesson: read-modify-overwrite
+        # must sever lineage from the files it rewrites)
+        refreshed = refreshed.localCheckpoint(eager=True)
+        return self.view.overwrite(refreshed, txn=txn)
+
+    def read(self) -> DataFrame:
+        return self.view.read()
+
+    def streaming_sink(self, app_id: str):
+        """``foreachBatch`` adapter: exactly-once base ingestion +
+        incremental view refresh per micro-batch."""
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            self.base.append_batch(batch_df, app_id, batch_id)
+            self.refresh()
+
+        return sink

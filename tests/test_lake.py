@@ -419,3 +419,73 @@ def test_timestamp_stats_pruning(spark, tmp_path):
     assert kept < total
     assert df.count() == 5
     assert all(r.ts.month == 6 for r in df.collect())
+
+
+def test_materialized_aggregate_refresh_matches_full(table, spark, tmp_path):
+    """MaterializedAggregate: the incrementally-maintained view
+    equals a full recompute after appends AND deletes; replayed
+    refreshes are skipped (exactly-once per base version)."""
+    from replay_spark.lake import MaterializedAggregate
+
+    view = MaterializedAggregate(
+        table,
+        str(tmp_path / "view"),
+        group_columns=["g"],
+        sum_columns={"sum_v": "v"},
+    )
+    df0 = spark.range(0, 40).selectExpr(
+        "id AS k", "id % 4 AS g", "id * 3 AS v"
+    )
+    table.append(df0)                                      # base v0
+    assert view.refresh() is not None
+    assert view.refresh() is None                          # current -> skip
+
+    def full():
+        return {
+            (r.g, r.n_rows, r.sum_v)
+            for r in table.read()
+            .groupBy("g")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum("v").alias("sum_v"),
+            )
+            .collect()
+        }
+
+    def view_rows():
+        return {
+            (r.g, r.n_rows, r.sum_v) for r in view.read().collect()
+        }
+
+    assert view_rows() == full()
+    table.append(
+        spark.range(100, 120).selectExpr("id AS k", "id % 4 AS g", "id * 3 AS v")
+    )                                                      # base v1
+    table.delete(F.col("g") == 2)                          # base v2
+    assert view.refresh() is not None
+    assert view_rows() == full()
+    assert 2 not in {r.g for r in view.read().collect()}
+    # the view is itself versioned: the pre-delete state time-travels
+    assert view.view.latest_version() == 1
+    v0_groups = {r.g for r in view.view.read(version=0).collect()}
+    assert v0_groups == {0, 1, 2, 3}
+
+
+def test_materialized_aggregate_streaming_sink(table, spark, tmp_path):
+    """foreachBatch adapter: base ingestion + view refresh per
+    micro-batch, both idempotent on replay."""
+    from replay_spark.lake import MaterializedAggregate
+
+    view = MaterializedAggregate(
+        table, str(tmp_path / "v2"), group_columns=["g"]
+    )
+    sink = view.streaming_sink("app-x")
+    b0 = spark.range(0, 10).selectExpr("id AS k", "id % 2 AS g")
+    sink(b0, 0)
+    sink(b0, 0)  # replay: base skips, view already at base version
+    assert table.read().count() == 10
+    got = {(r.g, r.n_rows) for r in view.read().collect()}
+    assert got == {(0, 5), (1, 5)}
+    sink(spark.range(10, 16).selectExpr("id AS k", "id % 2 AS g"), 1)
+    got = {(r.g, r.n_rows) for r in view.read().collect()}
+    assert got == {(0, 8), (1, 8)}
