@@ -5153,6 +5153,59 @@ def q_ivm_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lake_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-log checkpointing (the Delta-checkpoint device): six
+    commits land, a checkpoint materializes the folded state, two
+    more commits follow, and the read folds checkpoint + 2-commit
+    tail instead of the 8-commit log (asserted in-gate by counting
+    commit-file opens). The answer must equal DuckDB's recompute
+    from the residue predicates — acceleration changes metadata
+    cost, never results."""
+    import os
+    import shutil
+    import tempfile
+
+    import replay_spark.lake as lakemod
+
+    ev = rsd.read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"rs_lakeck_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = lakemod.LakeTable(spark, path)
+    for r in range(5):
+        t.append(ev.filter(F.col("event_id") % 10 == r))  # v0..v4
+    t.delete(F.col("user_id") % 9 == 0)                   # v5
+    assert t.checkpoint() == 5
+    t.append(ev.filter(F.col("event_id") % 10 == 5))      # v6
+    t.delete(F.col("user_id") % 9 == 1)                   # v7
+    reads = []
+    orig = lakemod._fs_read
+
+    def counting_read(p):
+        reads.append(p)
+        return orig(p)
+
+    lakemod._fs_read = counting_read
+    try:
+        out = lakemod.LakeTable(spark, path).read()
+        out = out.groupBy((F.col("user_id") % 5).alias("g")).agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("event_id").cast("long").alias("sum_eid"),
+        )
+        n_commit_opens = sum(
+            1
+            for p in reads
+            if p.endswith(".json")
+            and not os.path.basename(p).startswith("_checkpoint")
+        )
+    finally:
+        lakemod._fs_read = orig
+    assert n_commit_opens == 2, n_commit_opens  # v6+v7 only
+    return out
+
+
 def q_materialized_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming IVM end to end (MaterializedAggregate): a lake base
     table takes two appends and a delete, and the maintained
@@ -5711,6 +5764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (c) officially green in a prior round — still run
         #        in tools/check_oracle (both scales) and bench
         "q_tfrecord_floats": q_tfrecord_floats,
+        "q_lake_checkpoint": q_lake_checkpoint,
         "q_corpus_stats": q_corpus_stats,
         "q_skew_report": q_skew_report,
         "q_profile_columns": q_profile_columns,
@@ -10350,6 +10404,16 @@ def oracle_sql() -> dict[str, str]:
                        AS BLOB)) AS INT) AS n_bytes
             FROM documents, (VALUES (0), (1), (2), (3)) AS g(i)
             WHERE i <= doc_id % 3 + 1
+        """,
+        "q_lake_checkpoint": """
+            SELECT CAST(user_id % 5 AS BIGINT) AS g,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(event_id) AS BIGINT) AS sum_eid
+            FROM events
+            WHERE ((event_id % 10 <= 4 AND user_id % 9 <> 0)
+                   OR event_id % 10 = 5)
+              AND user_id % 9 <> 1
+            GROUP BY 1
         """,
         "q_materialized_agg": """
             SELECT CAST(user_id % 10 AS BIGINT) AS g,

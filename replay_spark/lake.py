@@ -120,18 +120,121 @@ class LakeTable:
 
     # -- log ---------------------------------------------------------------
 
-    def _commits(self) -> List[dict]:
+    def _commit_names(self) -> List[tuple]:
+        """(version, filename) for every commit file, sorted — the
+        version parses from the NAME, so selecting a log suffix
+        never opens the files it skips."""
         out = []
         for name in _fs_list(self._log_dir):
-            if name.endswith(".json"):
-                out.append(json.loads(_fs_read(os.path.join(self._log_dir, name))))
-        out.sort(key=lambda c: c["version"])
+            if name.endswith(".json") and not name.startswith("_"):
+                try:
+                    out.append((int(name[:-5]), name))
+                except ValueError:
+                    continue
+        out.sort()
+        return out
+
+    def _commits(self, after: int = -1) -> List[dict]:
+        """Commit records with version > ``after`` (ascending).
+        Reads only the selected suffix of the log — pair with a
+        checkpoint to keep metadata cost O(tail), not O(history)."""
+        out = []
+        for version, name in self._commit_names():
+            if version <= after:
+                continue
+            out.append(json.loads(_fs_read(os.path.join(self._log_dir, name))))
         return out
 
     def latest_version(self) -> int:
         """-1 when the table does not exist yet."""
-        commits = self._commits()
-        return commits[-1]["version"] if commits else -1
+        names = self._commit_names()
+        return names[-1][0] if names else -1
+
+    # -- checkpoints ---------------------------------------------------------
+
+    def _latest_checkpoint(
+        self, version: Optional[int] = None
+    ) -> Optional[dict]:
+        """Newest checkpoint at or before ``version`` (None = any)."""
+        best = None
+        for name in _fs_list(self._log_dir):
+            if not (
+                name.startswith("_checkpoint_") and name.endswith(".json")
+            ):
+                continue
+            v = int(name[len("_checkpoint_"):-5])
+            if version is not None and v > version:
+                continue
+            if best is None or v > best[0]:
+                best = (v, name)
+        if best is None:
+            return None
+        return json.loads(
+            _fs_read(os.path.join(self._log_dir, best[1]))
+        )
+
+    def checkpoint(self) -> int:
+        """Materialize the current log state (live file list, table
+        schema, distinct-schema set, txn high-water marks) into ONE
+        ``_checkpoint_<version>.json`` — the Delta-checkpoint device
+        that keeps metadata reads O(tail) instead of O(commits):
+        every snapshot/read/txn lookup afterwards folds the newest
+        checkpoint plus only the commits behind it. Commit files are
+        NOT deleted (time travel to pre-checkpoint versions still
+        folds the raw log). Returns the checkpointed version."""
+        version = self.latest_version()
+        if version < 0:
+            raise FileNotFoundError(f"no commits at {self.path}")
+        live, schema_json, schemas, txns = self._fold_state(version)
+        payload = json.dumps(
+            {
+                "version": version,
+                "live": live,
+                "schema": schema_json,
+                "schemas": sorted(schemas),
+                "txns": txns,
+            }
+        )
+        name = os.path.join(
+            self._log_dir, f"_checkpoint_{version:010d}.json"
+        )
+        if not _fs_write_exclusive(name, payload):
+            raise ConcurrentWriteError(
+                f"checkpoint at version {version} already exists"
+            )
+        return version
+
+    def _fold_state(self, version: Optional[int] = None):
+        """(live_relpaths, schema_json, distinct_schemas, txn_map) as
+        of ``version``, starting from the newest usable checkpoint."""
+        live: List[str] = []
+        schema_json = None
+        schemas: set = set()
+        txns: dict = {}
+        start = -1
+        ckpt = self._latest_checkpoint(version)
+        if ckpt is not None:
+            live = list(ckpt["live"])
+            schema_json = ckpt.get("schema")
+            schemas = set(ckpt.get("schemas") or [])
+            txns = dict(ckpt.get("txns") or {})
+            start = ckpt["version"]
+        for c in self._commits(after=start):
+            if version is not None and c["version"] > version:
+                break
+            for r in c.get("remove", []):
+                live.remove(r)
+            live.extend(c.get("add", []))
+            schema_json = c.get("schema", schema_json)
+            if c.get("schema"):
+                schemas.add(c["schema"])
+            t = c.get("txn")
+            if t:
+                app = t["app_id"]
+                b = int(t["batch_id"])
+                if app not in txns or b > txns[app]:
+                    txns[app] = b
+        return live, schema_json, schemas, txns
 
     def history(self) -> DataFrame:
         """One row per commit: version, operation, files added/removed."""
@@ -150,16 +253,9 @@ class LakeTable:
         )
 
     def snapshot_files(self, version: Optional[int] = None) -> List[str]:
-        """Live data files (absolute paths) as of ``version``."""
-        live: List[str] = []
-        schema_json = None
-        for c in self._commits():
-            if version is not None and c["version"] > version:
-                break
-            for r in c.get("remove", []):
-                live.remove(r)
-            live.extend(c.get("add", []))
-            schema_json = c.get("schema", schema_json)
+        """Live data files (absolute paths) as of ``version`` —
+        checkpoint + log-tail fold."""
+        live, schema_json, _, _ = self._fold_state(version)
         self._last_schema_json = schema_json
         return [os.path.join(self.path, p) for p in live]
 
@@ -169,18 +265,14 @@ class LakeTable:
         ``merge_schema=True``), the scan merges parquet schemas and
         columns absent from older files read as null — Iceberg-style
         additive evolution."""
-        files = self.snapshot_files(version)
+        live, schema_json, distinct_schemas, _ = self._fold_state(version)
+        self._last_schema_json = schema_json
+        files = [os.path.join(self.path, p) for p in live]
         if not files:
-            if getattr(self, "_last_schema_json", None):
-                schema = StructType.fromJson(json.loads(self._last_schema_json))
+            if schema_json:
+                schema = StructType.fromJson(json.loads(schema_json))
                 return self.spark.createDataFrame([], schema)
             raise FileNotFoundError(f"no snapshot at {self.path}@{version}")
-        distinct_schemas = {
-            c.get("schema")
-            for c in self._commits()
-            if (version is None or c["version"] <= version)
-            and c.get("schema")
-        }
         reader = self.spark.read
         if len(distinct_schemas) > 1:
             reader = reader.option("mergeSchema", "true")
@@ -207,8 +299,8 @@ class LakeTable:
             end_version = self.latest_version()
         commits = [
             c
-            for c in self._commits()
-            if start_version < c["version"] <= end_version
+            for c in self._commits(after=start_version)
+            if c["version"] <= end_version
         ]
         parts: List[DataFrame] = []
 
@@ -409,14 +501,11 @@ class LakeTable:
 
     def last_committed_batch(self, app_id: str) -> Optional[int]:
         """Highest streaming batch id committed under ``app_id``
-        (the Delta txn-action idempotence device), or None."""
-        best = None
-        for c in self._commits():
-            t = c.get("txn")
-            if t and t.get("app_id") == app_id:
-                b = int(t["batch_id"])
-                best = b if best is None or b > best else best
-        return best
+        (the Delta txn-action idempotence device), or None.
+        Checkpoint-accelerated: folds the newest checkpoint's txn
+        high-water marks plus only the log tail."""
+        _, _, _, txns = self._fold_state(None)
+        return txns.get(app_id)
 
     def append_batch(
         self, df: DataFrame, app_id: str, batch_id: int
@@ -561,12 +650,7 @@ class LakeTable:
         # commits carry more than one schema, the kept-file subset
         # may consist solely of pre-evolution files — merge schemas
         # so the residual filter on an evolved column still resolves
-        distinct_schemas = {
-            c.get("schema")
-            for c in self._commits()
-            if (version is None or c["version"] <= version)
-            and c.get("schema")
-        }
+        _, _, distinct_schemas, _ = self._fold_state(version)
         expected = None
         if getattr(self, "_last_schema_json", None):
             expected = StructType.fromJson(

@@ -489,3 +489,70 @@ def test_materialized_aggregate_streaming_sink(table, spark, tmp_path):
     sink(spark.range(10, 16).selectExpr("id AS k", "id % 2 AS g"), 1)
     got = {(r.g, r.n_rows) for r in view.read().collect()}
     assert got == {(0, 8), (1, 8)}
+
+
+def test_checkpoint_accelerated_log(table, spark):
+    """Checkpoints: after checkpoint(), snapshot/read/txn lookups
+    fold checkpoint + tail only (verified by counting commit-file
+    reads), every answer is unchanged, and pre-checkpoint time
+    travel still works from the raw log."""
+    import replay_spark.lake as lakemod
+
+    for i in range(6):
+        table.append(
+            spark.range(i * 10, i * 10 + 10).selectExpr(
+                "id AS k", "id * 2 AS v"
+            ).coalesce(1)
+        )
+    table.delete(F.col("k") < 5)                     # v6
+    table.append_batch(
+        spark.range(100, 105).selectExpr("id AS k", "id * 2 AS v"),
+        "appZ",
+        7,
+    )                                                # v7 (txn)
+    before = {r.k for r in table.read().collect()}
+    ck = table.checkpoint()
+    assert ck == 7
+    # duplicate checkpoint at the same version conflicts
+    with pytest.raises(lakemod.ConcurrentWriteError):
+        table.checkpoint()
+    # tail commits after the checkpoint
+    table.append(
+        spark.range(200, 203).selectExpr("id AS k", "id * 2 AS v")
+    )                                                # v8
+
+    reads = []
+    orig = lakemod._fs_read
+
+    def counting_read(path):
+        reads.append(path)
+        return orig(path)
+
+    lakemod._fs_read = counting_read
+    try:
+        t2 = lakemod.LakeTable(spark, table.path)
+        after = {r.k for r in t2.read().collect()}
+        commit_reads = [
+            p for p in reads
+            if p.endswith(".json")
+            and not os.path.basename(p).startswith("_checkpoint")
+        ]
+        # only the tail (v8) behind the checkpoint is opened
+        assert len(commit_reads) == 1, commit_reads
+        assert os.path.basename(commit_reads[0]) == f"{8:010d}.json"
+    finally:
+        lakemod._fs_read = orig
+    assert after == before | {200, 201, 202}
+    # txn high-water mark survives through the checkpoint
+    assert table.last_committed_batch("appZ") == 7
+    assert table.append_batch(
+        spark.range(0, 1).selectExpr("id AS k", "id AS v"), "appZ", 7
+    ) is None
+    # pre-checkpoint time travel folds the raw log
+    assert table.read(version=2).count() == 30
+    # checkpoint on an empty table is a clear error
+    import tempfile
+
+    empty = lakemod.LakeTable(spark, tempfile.mkdtemp(prefix="rs_ck_"))
+    with pytest.raises(FileNotFoundError):
+        empty.checkpoint()
