@@ -30,6 +30,30 @@ from replay_spark.utils.spark_utils import stable_round
 __all__ = ["BruteForceANN", "IVFANN", "LSHANN", "PQANN", "IVFPQANN"]
 
 
+def _lloyd_update(x, cents, iters):
+    """Driver-side Lloyd iterations via the matmul expansion
+    ``|x-c|^2 = |x|^2 - 2 x.c + |c|^2`` and a bincount centroid
+    update. The naive broadcast form materializes an (n, k, d)
+    temporary per iteration — measured 4.6 s of a 7 s sf1 PQ fit at
+    n=20k (the r8 bench drift); this form is O(n·k) flops through
+    BLAS with O(n·k) memory and runs the same fit in ~0.2 s. Only
+    TRAINING uses it: encode/assign paths keep the literal
+    ``(a-b)^2`` sums their hash oracles replay term-for-term."""
+    import numpy as np
+
+    x2 = (x * x).sum(1)[:, None]
+    k = len(cents)
+    for _ in range(iters):
+        d2 = x2 - 2.0 * (x @ cents.T) + (cents * cents).sum(1)[None, :]
+        assign = d2.argmin(1)
+        counts = np.bincount(assign, minlength=k)
+        sums = np.zeros_like(cents)
+        np.add.at(sums, assign, x)
+        nz = counts > 0
+        cents[nz] = sums[nz] / counts[nz, None]
+    return cents
+
+
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
@@ -458,14 +482,7 @@ class PQANN:
         for j in range(self.m):
             sub = x[:, j * dsub : (j + 1) * dsub]
             cents = sub[rng.choice(len(sub), size=ksub, replace=False)].copy()
-            for _ in range(self.iters):
-                d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
-                assign = d2.argmin(1)
-                for c in range(ksub):
-                    mask = assign == c
-                    if mask.any():
-                        cents[c] = sub[mask].mean(0)
-            books.append(cents)
+            books.append(_lloyd_update(sub, cents, self.iters))
         self.codebooks = np.stack(books)  # (m, ksub, dsub)
         self._corpus = corpus
         self._codes = self._encode(corpus).persist()
@@ -670,18 +687,9 @@ class IVFPQANN:
         self._corpus: Optional[DataFrame] = None
 
     def _kmeans(self, x, k, rng):
-        import numpy as np
-
         k = min(k, len(x))
         cents = x[rng.choice(len(x), size=k, replace=False)].copy()
-        for _ in range(self.iters):
-            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
-            assign = d2.argmin(1)
-            for c in range(k):
-                mask = assign == c
-                if mask.any():
-                    cents[c] = x[mask].mean(0)
-        return cents
+        return _lloyd_update(x, cents, self.iters)
 
     def fit(self, corpus: DataFrame) -> "IVFPQANN":
         import numpy as np
@@ -697,7 +705,13 @@ class IVFPQANN:
         rng = np.random.default_rng(self.seed)
         self.centroids = self._kmeans(x, self.num_cells, rng)
         # residual codebooks: train on sample residuals vs own cell
-        d2 = ((x[:, None, :] - self.centroids[None, :, :]) ** 2).sum(-1)
+        # (matmul expansion — the broadcast form is an (n, cells, d)
+        # temporary, ~650 MB at the sf1 sample size)
+        d2 = (
+            (x * x).sum(1)[:, None]
+            - 2.0 * (x @ self.centroids.T)
+            + (self.centroids * self.centroids).sum(1)[None, :]
+        )
         resid = x - self.centroids[d2.argmin(1)]
         dsub = self.dim // self.m
         self.codebooks = np.stack(
