@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "q_heavy_hitters",
     "q_anomaly_flags",
     "q_corr_matrix",
+    "q_feature_store",
+    "q_materialized_agg",
 ]
 
 
