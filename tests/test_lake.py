@@ -556,3 +556,62 @@ def test_checkpoint_accelerated_log(table, spark):
     empty = lakemod.LakeTable(spark, tempfile.mkdtemp(prefix="rs_ck_"))
     with pytest.raises(FileNotFoundError):
         empty.checkpoint()
+
+
+def test_partitioned_append_and_log_pruning(table, spark):
+    """partition_by: files land hive-partitioned with their partition
+    values recorded in the commit; read_where prunes them from log
+    metadata alone, the answer equals the full-scan filter, and the
+    partition columns stay physical (rewrites compose)."""
+    df = spark.range(0, 400).selectExpr(
+        "id AS k", "id % 4 AS bucket", "id * 2 AS v"
+    )
+    table.append(df, partition_by=["bucket"])
+    # files are per-partition and carry pvals in the log
+    _, _, _, _, parts = table._fold_state(None)
+    assert parts and all("bucket" in p for p in parts.values())
+    assert {p["bucket"] for p in parts.values()} == {"0", "1", "2", "3"}
+    # read(): self-contained files, partition column physical
+    assert table.read().columns == ["k", "bucket", "v"]
+    assert table.read().count() == 400
+    # log-level pruning: bucket bound keeps only matching files
+    pruned, kept, total = table.read_where({"bucket": (1, 2)})
+    assert total == len(parts)
+    assert 0 < kept < total
+    want = df.filter("bucket BETWEEN 1 AND 2").agg(
+        F.sum("v").alias("s")
+    ).collect()[0].s
+    assert pruned.agg(F.sum("v").alias("s")).collect()[0].s == want
+    # a bound excluding every partition: zero scans, empty frame,
+    # schema intact
+    none_df, kept0, _ = table.read_where({"bucket": (9, 9)})
+    assert kept0 == 0 and none_df.count() == 0
+    assert none_df.columns == ["k", "bucket", "v"]
+    # combined partition + stats bound
+    both, kept2, _ = table.read_where({"bucket": (0, 0), "k": (0, 50)})
+    assert kept2 <= kept
+    assert both.count() == df.filter(
+        "bucket = 0 AND k <= 50"
+    ).count()
+
+
+def test_partitioned_table_delete_and_checkpoint(table, spark):
+    """Rewrites on a partitioned table stay correct (rewritten files
+    lose their log pvals but keep the physical column — conservative
+    keep), and checkpoints carry the partition metadata."""
+    df = spark.range(0, 100).selectExpr("id AS k", "id % 2 AS bucket")
+    table.append(df, partition_by=["bucket"])
+    table.delete(F.col("k") < 10)
+    assert table.read().count() == 90
+    # pruning still exact after the rewrite
+    pruned, kept, total = table.read_where({"bucket": (1, 1)})
+    assert pruned.count() == 45
+    table.checkpoint()
+    table.append(
+        spark.range(100, 110).selectExpr("id AS k", "id % 2 AS bucket"),
+        partition_by=["bucket"],
+    )
+    _, _, _, _, parts = table._fold_state(None)
+    assert parts  # survived the checkpoint + tail merge
+    pruned2, _, _ = table.read_where({"bucket": (0, 0)})
+    assert pruned2.count() == 45 + 5
