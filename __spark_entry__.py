@@ -359,6 +359,35 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_doc_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed TF-IDF document embeddings (DocumentEmbedder, md5
+    family): tokenize → bucket-hash → tf·idf → L2 normalize, all JVM
+    higher-order expressions. DuckDB replays the ENTIRE pipeline —
+    regex tokens, 15-hex-digit md5 fold, bucket df/idf (driver
+    Python's ln and DuckDB's ln are the same libm on this box; the
+    quotient is exact-int-over-exact-int in both), ordered
+    sum-of-squares norm — and the embeddings are emitted as
+    integer-projected micro-units (floor(x·1e6+0.5) on bit-identical
+    doubles; doubles never stringify cross-engine)."""
+    from replay_spark.preprocessing import DocumentEmbedder
+
+    docs = rsd.read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    emb = DocumentEmbedder(dim=16, hash_family="md5").fit(docs)
+    out = emb.transform(docs)
+    return out.select(
+        "doc_id",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("string"),
+            ),
+        ).alias("emb_q6"),
+    )
+
+
 def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-group documents by content."""
     docs = rsd.read_table(spark, sf_dir, "documents")
@@ -5798,6 +5827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfrecord_floats": q_tfrecord_floats,
         "q_lake_checkpoint": q_lake_checkpoint,
         "q_lake_partition": q_lake_partition,
+        "q_doc_embed": q_doc_embed,
         "q_corpus_stats": q_corpus_stats,
         "q_skew_report": q_skew_report,
         "q_profile_columns": q_profile_columns,
@@ -10447,6 +10477,66 @@ def oracle_sql() -> dict[str, str]:
                    OR event_id % 10 = 5)
               AND user_id % 9 <> 1
             GROUP BY 1
+        """,
+        "q_doc_embed": """
+            WITH toks AS (
+                SELECT doc_id, t AS token
+                FROM documents,
+                     unnest(regexp_extract_all(
+                         trim(lower(text)), '[a-z0-9'']+')) AS u(t)
+                WHERE t <> ''),
+            hashed AS (
+                SELECT doc_id,
+                       CAST(list_reduce(list_transform(range(1, 16),
+                           j -> CAST(strpos('0123456789abcdef',
+                                    substr(md5(token),
+                                           CAST(j AS INT), 1)) - 1
+                                AS BIGINT)),
+                           (acc, x) -> acc * 16 + x) % 16
+                           AS BIGINT) AS bucket
+                FROM toks),
+            tf AS (
+                SELECT doc_id, bucket,
+                       CAST(COUNT(*) AS BIGINT) AS tf
+                FROM hashed GROUP BY doc_id, bucket),
+            dfreq AS (
+                SELECT bucket,
+                       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                FROM hashed GROUP BY bucket),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+            grid AS (
+                SELECT d.doc_id, CAST(g.b AS BIGINT) AS bucket
+                FROM documents d, range(0, 16) g(b)),
+            w AS (
+                SELECT grid.doc_id, grid.bucket,
+                       COALESCE(
+                           CAST(tf.tf AS DOUBLE)
+                           * (ln(CAST(n.n + 1 AS DOUBLE)
+                                 / CAST(COALESCE(dfreq.df, 0) + 1
+                                        AS DOUBLE)) + 1.0),
+                           0.0) AS wt
+                FROM grid
+                LEFT JOIN tf ON tf.doc_id = grid.doc_id
+                            AND tf.bucket = grid.bucket
+                LEFT JOIN dfreq ON dfreq.bucket = grid.bucket
+                CROSS JOIN n),
+            nrm AS (
+                SELECT doc_id,
+                       sqrt(list_reduce(
+                           list_transform(list(wt ORDER BY bucket),
+                               x -> x * x),
+                           (a, b) -> a + b)) AS nn,
+                       list(wt ORDER BY bucket) AS ws
+                FROM w GROUP BY doc_id)
+            SELECT doc_id,
+                   array_to_string(
+                       list_transform(ws,
+                           x -> CAST(CAST(floor(
+                               (CASE WHEN nn > 0 THEN x / nn
+                                     ELSE x END) * 1000000.0 + 0.5)
+                               AS BIGINT) AS VARCHAR)),
+                       ',') AS emb_q6
+            FROM nrm
         """,
         "q_lake_partition": """
             SELECT CAST(user_id % 8 AS BIGINT) AS bucket,

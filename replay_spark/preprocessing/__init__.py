@@ -3,6 +3,7 @@ from replay_spark.preprocessing.discretizer import (  # noqa: F401
     GreedyDiscretizingRule,
     QuantileDiscretizingRule,
 )
+from replay_spark.preprocessing.embedder import DocumentEmbedder  # noqa: F401
 from replay_spark.preprocessing.history_based_fp import (  # noqa: F401
     ConditionalPopularityProcessor,
     HistoryBasedFeaturesProcessor,

@@ -4983,3 +4983,53 @@ def test_pca_quantized_overflow_guard(spark):
     )
     with pytest.raises(Exception, match="overflow"):
         PCAProjector(k=1, quantization=1e9).fit(df)
+
+
+def test_document_embedder(spark):
+    """Hashed TF-IDF embeddings: fixed dim, L2-normalized, idf
+    down-weights ubiquitous tokens, empty docs embed as zeros, and
+    md5/xxhash64 families agree on shape."""
+    import math
+
+    from replay_spark.preprocessing import DocumentEmbedder
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana apple"),
+            (1, "apple cherry"),
+            (2, "apple banana"),
+            (3, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    emb = DocumentEmbedder(dim=16, hash_family="md5").fit(docs)
+    out = {r.doc_id: list(r.embedding) for r in emb.transform(docs).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert all(len(v) == 16 for v in out.values())
+    for d in (0, 1, 2):
+        assert math.isclose(
+            sum(x * x for x in out[d]), 1.0, rel_tol=1e-9
+        )
+    assert out[3] == [0.0] * 16
+    # idf: 'apple' (df=3) weighs less than 'cherry' (df=1) in doc 1
+    bucket = lambda tok: int(
+        __import__("hashlib").md5(tok.encode()).hexdigest()[:15], 16
+    ) % 16
+    b_apple, b_cherry = bucket("apple"), bucket("cherry")
+    assert b_apple != b_cherry  # planted tokens land apart at dim=16
+    assert out[1][b_cherry] > out[1][b_apple] > 0
+    # deterministic across repartitionings
+    out2 = {
+        r.doc_id: list(r.embedding)
+        for r in emb.transform(docs.repartition(7)).collect()
+    }
+    assert out == out2
+    # feeds the ANN tier end to end
+    from replay_spark.ann import BruteForceANN
+
+    vecs = emb.transform(docs).filter("doc_id < 3").select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    nn = BruteForceANN().search(vecs, vecs, k=1)
+    best = {r.query_id: r.neighbor_id for r in nn.collect()}
+    assert best[0] == 2  # shares apple+banana

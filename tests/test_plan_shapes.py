@@ -403,3 +403,28 @@ def test_triangle_counter(spark):
     assert tris == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]
     per = {r.node: r.n_triangles for r in tc.transform(df).collect()}
     assert per == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 6: 0, 7: 0, 8: 0, 9: 0}
+
+
+def test_asof_nearest_single_exchange(spark):
+    """direction='nearest' runs BOTH directional carries under ONE
+    hash exchange on the keys (two sorts, two windows) — no second
+    shuffle for the forward pass."""
+    import datetime
+    import re
+
+    from replay_spark.utils.spark_utils import asof_join
+
+    left = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1, 10))], "k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1, 9), 5.0)],
+        "k long, ts timestamp, v double",
+    )
+    out = asof_join(
+        left, right, on="ts", by="k", direction="nearest",
+        tolerance=3600.0,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert len(re.findall(r"\bWindow ", plan)) == 2
