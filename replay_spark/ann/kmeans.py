@@ -202,6 +202,32 @@ class KMeansClusterer:
         if self.max_iter > 1:
             vecs = vecs.persist()
         q = self.update_quantization
+        if q is not None:
+            # overflow guard: the per-(cluster, dim) partial sums are
+            # plain BIGINTs; non-ANSI sum(long) wraps SILENTLY, so a
+            # sum that can exceed 2^62 must fail loudly (same
+            # contract as the PCA path) — bound by
+            # n * (max|x| * q + 0.5)
+            bound = vecs.select(
+                F.count(F.lit(1)).alias("_n"),
+                F.max(
+                    F.aggregate(
+                        "_v",
+                        F.lit(0.0),
+                        lambda acc, x: F.greatest(acc, F.abs(x)),
+                    )
+                ).alias("_m"),
+            ).collect()[0]
+            worst = int(bound["_n"]) * (
+                float(bound["_m"] or 0.0) * float(q) + 0.5
+            )
+            if worst > float(2**62):
+                raise OverflowError(
+                    "quantized Lloyd update could overflow BIGINT: "
+                    f"n*max|x|*q ≈ {worst:.3g} > 2^62; lower "
+                    "update_quantization (or pass None for plain "
+                    "double sums)"
+                )
         for _ in range(self.max_iter):
             assigned = vecs.select(
                 self._assign_expr().getField("cluster").alias("_c"),

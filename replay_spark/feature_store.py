@@ -114,9 +114,13 @@ class FeatureStore:
                     # older than spine_min - ttl can never attach
                     import datetime
 
-                    lo = lo - datetime.timedelta(
-                        seconds=view.ttl_seconds
-                    )
+                    if isinstance(lo, (int, float)):
+                        # numeric-epoch spine timestamps
+                        lo = lo - view.ttl_seconds
+                    else:
+                        lo = lo - datetime.timedelta(
+                            seconds=view.ttl_seconds
+                        )
                 else:
                     # no ttl = unbounded backward lookback — only the
                     # upper end (nothing AFTER the latest spine row
@@ -124,7 +128,25 @@ class FeatureStore:
                     lo = None
                 bounds = (lo, hi)
             feat_df, feats = self._resolve_view(view, bounds)
+            out_names = list(feats)
             if view.timestamp_column != spine_ts:
+                if spine_ts in view.entity_columns:
+                    raise ValueError(
+                        f"FeatureView {view.name!r}: entity column "
+                        f"{spine_ts!r} collides with the spine "
+                        "timestamp name — rename one of them"
+                    )
+                if spine_ts in feats:
+                    # a feature shadows the spine-time name: move it
+                    # aside so the renamed as-of 'on' column stays
+                    # unambiguous; output alias keeps the real name
+                    shadow = f"__feat__{spine_ts}"
+                    feat_df = feat_df.withColumnRenamed(
+                        spine_ts, shadow
+                    )
+                    feats = [
+                        shadow if c == spine_ts else c for c in feats
+                    ]
                 feat_df = feat_df.withColumnRenamed(
                     view.timestamp_column, spine_ts
                 )
@@ -138,8 +160,8 @@ class FeatureStore:
                 suffix="__r",
             )
             renames = [F.col(c) for c in out.columns] + [
-                F.col(f"{c}__r").alias(f"{view.name}__{c}")
-                for c in feats
+                F.col(f"{c}__r").alias(f"{view.name}__{n}")
+                for c, n in zip(feats, out_names)
             ]
             out = joined.select(*renames)
         return out

@@ -162,7 +162,13 @@ class LakeTable:
                 name.startswith("_checkpoint_") and name.endswith(".json")
             ):
                 continue
-            v = int(name[len("_checkpoint_"):-5])
+            try:
+                v = int(name[len("_checkpoint_"):-5])
+            except ValueError:
+                # stray/malformed checkpoint filename must not break
+                # every metadata read — same tolerance as
+                # _commit_names
+                continue
             if version is not None and v > version:
                 continue
             if best is None or v > best[0]:

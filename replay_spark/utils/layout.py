@@ -254,6 +254,20 @@ def collect_file_stats(spark, path: str, columns=None) -> "DataFrame":
                                 mx = mx.astimezone(
                                     datetime.timezone.utc
                                 ).replace(tzinfo=None)
+                        elif isinstance(mn, datetime.date):
+                            # date32 stats arrive as datetime.date;
+                            # promote to midnight datetime so they
+                            # land in min_ts/max_ts (date values ARE
+                            # whole days, so midnight is exact —
+                            # otherwise the stats row carries all-NULL
+                            # typed min/max and a date-bounded prune
+                            # would drop the file)
+                            mn = datetime.datetime.combine(
+                                mn, datetime.time()
+                            )
+                            mx = datetime.datetime.combine(
+                                mx, datetime.time()
+                            )
                         cur["min"] = (
                             mn if cur["min"] is None else min(cur["min"], mn)
                         )
@@ -340,10 +354,14 @@ def prune_files(manifest: "DataFrame", bounds: dict) -> "DataFrame":
         ):
             typed_min, typed_max = F.col("min_ts"), F.col("max_ts")
         cond = F.lit(True)
+        # NULL typed min/max (stats row exists but the value landed in
+        # a different typed slot, or the writer recorded no usable
+        # min/max) must KEEP the file — coalesce to true so a NULL
+        # comparison can never exclude (false negatives impossible)
         if lo is not None:
-            cond = cond & (typed_max >= F.lit(lo))
+            cond = cond & F.coalesce(typed_max >= F.lit(lo), F.lit(True))
         if hi is not None:
-            cond = cond & (typed_min <= F.lit(hi))
+            cond = cond & F.coalesce(typed_min <= F.lit(hi), F.lit(True))
         overlap = m.filter(cond).select("file")
         # conservative: files with no stats row for this column
         # cannot be excluded

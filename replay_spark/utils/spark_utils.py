@@ -705,9 +705,18 @@ def asof_join(
         *left.columns, F.col(on).alias("_t"), F.lit(1).alias("_side")
     )
     u = l2.unionByName(r2, allowMissingColumns=True)
-    tol_us = (
-        int(tolerance * 1_000_000) if tolerance is not None else None
-    )
+    # numeric 'on' columns (epoch seconds, sequence numbers) are
+    # first-class: gaps and tolerance stay in the column's own units
+    # (pandas merge_asof semantics); timestamps convert to µs
+    _t_is_ts = dict(u.dtypes)["_t"].startswith("timestamp")
+    if _t_is_ts:
+        _units = F.unix_micros
+        tol_us = (
+            int(tolerance * 1_000_000) if tolerance is not None else None
+        )
+    else:
+        _units = lambda c: c.cast("double")  # noqa: E731
+        tol_us = float(tolerance) if tolerance is not None else None
 
     def _carry(dir_: str):
         """Match struct + non-negative gap (µs) for one direction."""
@@ -720,7 +729,7 @@ def asof_join(
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         m = F.last("_rp", ignorenulls=True).over(w)
-        gap = F.unix_micros(F.col("_t")) - F.unix_micros(m[on])
+        gap = _units(F.col("_t")) - _units(m[on])
         if dir_ == "forward":
             gap = -gap
         return m, gap
@@ -754,12 +763,10 @@ def asof_join(
         ok = F.col("_rm").isNotNull()
         if tol_us is not None:
             ok = ok & (
-                F.unix_micros(F.col("_t"))
-                - F.unix_micros(F.col("_rm")[on])
+                _units(F.col("_t")) - _units(F.col("_rm")[on])
                 <= tol_us
                 if direction == "backward"
-                else F.unix_micros(F.col("_rm")[on])
-                - F.unix_micros(F.col("_t"))
+                else _units(F.col("_rm")[on]) - _units(F.col("_t"))
                 <= tol_us
             )
     out_cols = [F.col(c) for c in left.columns]

@@ -162,3 +162,81 @@ def test_asof_join_nearest_no_tolerance(spark):
     )
     out = asof_join(left, right, on="ts", by="k", direction="nearest")
     assert out.collect()[0].v_right == 5.0
+
+
+def test_point_in_time_join_feature_named_like_spine_ts(spark):
+    """A feature column literally named like the spine timestamp must
+    not make the as-of 'on' column ambiguous (r9 ADVICE): it is moved
+    aside internally and comes back under its real name."""
+    spine = spark.createDataFrame(
+        [(1, _ts(10))], "user_id long, ts timestamp"
+    )
+    feats = spark.createDataFrame(
+        [(1, _ts(9), _ts(8), 5.0)],
+        "user_id long, obs_ts timestamp, ts timestamp, score double",
+    )
+    fs = FeatureStore(
+        [
+            FeatureView(
+                name="u",
+                source=feats,
+                entity_columns=["user_id"],
+                timestamp_column="obs_ts",
+            )
+        ]
+    )
+    out = fs.point_in_time_join(spine)
+    row = out.collect()[0]
+    assert row.u__score == 5.0
+    assert row.u__ts == _ts(8)          # the shadowed feature survives
+    assert row.ts == _ts(10)            # spine time untouched
+
+
+def test_point_in_time_join_entity_collision_raises(spark):
+    spine = spark.createDataFrame(
+        [(1, _ts(10))], "ts long, t timestamp"
+    )
+    feats = spark.createDataFrame(
+        [(1, _ts(9), 5.0)], "ts long, obs_ts timestamp, score double"
+    )
+    fs = FeatureStore(
+        [
+            FeatureView(
+                name="u",
+                source=feats,
+                entity_columns=["ts"],
+                timestamp_column="obs_ts",
+            )
+        ]
+    )
+    with pytest.raises(ValueError, match="collides"):
+        fs.point_in_time_join(spine, spine_ts="ts")
+
+
+def test_point_in_time_join_numeric_epoch_ttl_prune(spark, tmp_path):
+    """ttl lookback on a numeric-epoch spine timestamp must subtract
+    seconds numerically, not via timedelta (r9 ADVICE TypeError)."""
+    from replay_spark.lake import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "epoch_feats"))
+    t.append(
+        spark.createDataFrame(
+            [(1, 1000.0, 7.0)], "user_id long, obs_ts double, f double"
+        ).coalesce(1)
+    )
+    spine = spark.createDataFrame(
+        [(1, 1900.0)], "user_id long, obs_ts double"
+    )
+    fs = FeatureStore(
+        [
+            FeatureView(
+                name="u",
+                source=t,
+                entity_columns=["user_id"],
+                timestamp_column="obs_ts",
+                ttl_seconds=3600.0,
+            )
+        ]
+    )
+    out = fs.point_in_time_join(spine, spine_ts="obs_ts", prune=True)
+    assert out.collect()[0].u__f == 7.0

@@ -615,3 +615,96 @@ def test_partitioned_table_delete_and_checkpoint(table, spark):
     assert parts  # survived the checkpoint + tail merge
     pruned2, _, _ = table.read_where({"bucket": (0, 0)})
     assert pruned2.count() == 45 + 5
+
+
+def test_date_typed_stats_pruning(spark, tmp_path):
+    """date32 columns: pyarrow footer stats arrive as datetime.date —
+    they must be promoted into min_ts/max_ts (r9 ADVICE: all-NULL
+    typed stats silently pruned EVERY file, returning an empty frame
+    instead of the full-scan answer)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from replay_spark.utils.layout import read_pruned
+
+    d = tmp_path / "dates"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {"d": pa.array(
+                [datetime.date(2024, 1, 1 + i) for i in range(5)],
+                type=pa.date32(),
+            ), "k": list(range(5))}
+        ),
+        str(d / "jan.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"d": pa.array(
+                [datetime.date(2024, 6, 1 + i) for i in range(5)],
+                type=pa.date32(),
+            ), "k": list(range(5))}
+        ),
+        str(d / "jun.parquet"),
+    )
+    df, kept, total = read_pruned(
+        spark,
+        str(d),
+        {"d": (datetime.date(2024, 5, 1), datetime.date(2024, 7, 1))},
+    )
+    assert (kept, total) == (1, 2)
+    assert df.count() == 5
+    assert all(r.d.month == 6 for r in df.collect())
+    # datetime bounds against the date-typed stats also prune exactly
+    df2, kept2, _ = read_pruned(
+        spark,
+        str(d),
+        {"d": (datetime.datetime(2024, 1, 1), datetime.datetime(2024, 2, 1))},
+    )
+    assert kept2 == 1 and df2.count() == 5
+
+
+def test_prune_files_null_typed_stats_kept(spark, tmp_path):
+    """A stats row whose typed min/max are all NULL (value landed in
+    no typed slot) must KEEP the file — the NULL comparison may never
+    exclude (false-negatives-impossible contract)."""
+    from replay_spark.utils.layout import collect_file_stats, prune_files
+
+    d = tmp_path / "nulls"
+    d.mkdir()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"k": list(range(10))}), str(d / "a.parquet"))
+    man = collect_file_stats(spark, str(d), ["k"])
+    # simulate the failure shape: stats row exists, typed slots NULL
+    nulled = man.select(
+        "file", "n_rows", "n_row_groups", "column", "null_count",
+        *[
+            F.lit(None).cast(man.schema[c].dataType).alias(c)
+            for c in [
+                "min_long", "max_long", "min_double", "max_double",
+                "min_str", "max_str", "min_ts", "max_ts",
+            ]
+        ],
+    )
+    kept = prune_files(nulled, {"k": (1000, 2000)}).count()
+    assert kept == 1
+
+
+def test_latest_checkpoint_tolerates_malformed_name(table, spark):
+    """One malformed _checkpoint_*.json must not break metadata reads
+    (r9 ADVICE: unguarded int() parse raised ValueError forever)."""
+    import os
+
+    table.append(_df(spark, 0, 5).coalesce(1))
+    table.checkpoint()
+    bad = os.path.join(table._log_dir, "_checkpoint_garbage.json")
+    with open(bad, "w") as f:
+        f.write("{}")
+    # every metadata read still works and still uses the good one
+    assert table.read().count() == table.read(
+        version=table.latest_version()
+    ).count()

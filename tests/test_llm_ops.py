@@ -5033,3 +5033,24 @@ def test_document_embedder(spark):
     nn = BruteForceANN().search(vecs, vecs, k=1)
     best = {r.query_id: r.neighbor_id for r in nn.collect()}
     assert best[0] == 2  # shares apple+banana
+
+
+def test_kmeans_quantized_update_overflow_guard(spark):
+    """Quantized Lloyd sums are plain BIGINTs; a sum that could pass
+    2^62 must raise OverflowError instead of wrapping silently (r9
+    ADVICE — same loud-failure contract as the PCA path)."""
+    import pytest as _pytest
+
+    from replay_spark.ann.kmeans import KMeansClusterer
+
+    df = spark.createDataFrame(
+        [(i, [1e9, -1e9]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    km = KMeansClusterer(k=2, max_iter=1, update_quantization=1e12)
+    with _pytest.raises(OverflowError, match="update_quantization"):
+        km.fit(df, centroids=[[0.0, 0.0], [1e9, -1e9]])
+    # a sane quantization on the same data still fits
+    km2 = KMeansClusterer(k=2, max_iter=1, update_quantization=1e3)
+    km2.fit(df, centroids=[[0.0, 0.0], [1e9, -1e9]])
+    assert len(km2.centroids) == 2
