@@ -5267,6 +5267,68 @@ def q_lake_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lake_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-window VACUUM (the Delta GC device): five commits
+    land (appends + file-rewriting deletes) with a checkpoint in the
+    middle, then ``vacuum(horizon_version=3)`` deletes every data
+    file reachable ONLY from versions < 3. In-gate assertions pin
+    the contract: files actually left disk (kept < total), every
+    version >= horizon reads EXACTLY its pre-vacuum answer, a
+    pre-horizon time travel raises the clear error, and the horizon
+    only ratchets upward. The surviving latest snapshot must equal
+    DuckDB's recompute from the residue predicates."""
+    import os
+    import shutil
+    import tempfile
+
+    from replay_spark.lake import LakeTable
+
+    ev = rsd.read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"rs_lakevac_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = LakeTable(spark, path)
+    t.append(ev.filter(F.col("event_id") % 10 <= 4))        # v0
+    t.delete(F.col("user_id") % 9 == 0)                     # v1 rewrite
+    t.append(ev.filter(F.col("event_id") % 10 == 5))        # v2
+    t.delete(F.col("user_id") % 9 == 1)                     # v3 rewrite
+    assert t.checkpoint() == 3
+    t.append(ev.filter(F.col("event_id") % 10 == 6))        # v4
+    pre = {v: t.read(version=v).count() for v in (3, 4)}
+
+    def _count_files():
+        return sum(
+            1
+            for _dp, _d, names in os.walk(os.path.join(path, "data"))
+            for n in names
+            if n.endswith(".parquet")
+        )
+
+    before = _count_files()
+    gone = t.vacuum(horizon_version=3)
+    assert gone, "pre-horizon-only files must be deleted"
+    assert _count_files() == before - len(gone) < before
+    assert t.earliest_readable_version() == 3
+    for v in (3, 4):  # every retained version still reads exactly
+        assert t.read(version=v).count() == pre[v], v
+    try:
+        t.read(version=2)
+        raise AssertionError("pre-horizon travel must raise")
+    except ValueError as e:
+        assert "no longer possible" in str(e)
+    try:
+        t.vacuum(horizon_version=1)
+        raise AssertionError("horizon must only ratchet upward")
+    except ValueError as e:
+        assert "ratchet" in str(e)
+    return t.read().groupBy((F.col("user_id") % 5).alias("g")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("event_id").cast("long").alias("sum_eid"),
+    )
+
+
 def q_materialized_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming IVM end to end (MaterializedAggregate): a lake base
     table takes two appends and a delete, and the maintained
@@ -5827,6 +5889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfrecord_floats": q_tfrecord_floats,
         "q_lake_checkpoint": q_lake_checkpoint,
         "q_lake_partition": q_lake_partition,
+        "q_lake_vacuum": q_lake_vacuum,
         "q_doc_embed": q_doc_embed,
         "q_corpus_stats": q_corpus_stats,
         "q_skew_report": q_skew_report,
@@ -10537,6 +10600,16 @@ def oracle_sql() -> dict[str, str]:
                                AS BIGINT) AS VARCHAR)),
                        ',') AS emb_q6
             FROM nrm
+        """,
+        "q_lake_vacuum": """
+            SELECT CAST(user_id % 5 AS BIGINT) AS g,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(event_id) AS BIGINT) AS sum_eid
+            FROM events
+            WHERE (event_id % 10 <= 4 AND user_id % 9 NOT IN (0, 1))
+               OR (event_id % 10 = 5 AND user_id % 9 <> 1)
+               OR event_id % 10 = 6
+            GROUP BY 1
         """,
         "q_lake_partition": """
             SELECT CAST(user_id % 8 AS BIGINT) AS bucket,

@@ -271,6 +271,7 @@ class LakeTable:
     def snapshot_files(self, version: Optional[int] = None) -> List[str]:
         """Live data files (absolute paths) as of ``version`` —
         checkpoint + log-tail fold."""
+        self._check_time_travel(version)
         live, schema_json, _, _, _ = self._fold_state(version)
         self._last_schema_json = schema_json
         return [os.path.join(self.path, p) for p in live]
@@ -281,6 +282,7 @@ class LakeTable:
         ``merge_schema=True``), the scan merges parquet schemas and
         columns absent from older files read as null — Iceberg-style
         additive evolution."""
+        self._check_time_travel(version)
         live, schema_json, distinct_schemas, _, _ = self._fold_state(version)
         self._last_schema_json = schema_json
         files = [os.path.join(self.path, p) for p in live]
@@ -313,6 +315,9 @@ class LakeTable:
         """
         if end_version is None:
             end_version = self.latest_version()
+        # CDF over (start, end] reads files from commits start+1..end
+        # — all of those versions must still be reachable
+        self._check_time_travel(start_version + 1)
         commits = [
             c
             for c in self._commits(after=start_version)
@@ -548,20 +553,72 @@ class LakeTable:
             current_version + 1,
         )
 
-    def vacuum(self, dry_run: bool = False) -> List[str]:
-        """Delete data files referenced by NO commit's live set or
-        removal history need — i.e. files on disk that no version of
-        the table can reach (failed writes, files removed and later
-        compacted away would still be needed for time travel, so
-        vacuum only drops files absent from EVERY commit's ``add``
-        list). Returns the deleted (or would-delete) relative paths.
+    def _vacuum_horizon(self) -> int:
+        """Earliest still-readable version (-1 = everything): the
+        durable high-water mark written by retention vacuums."""
+        try:
+            payload = json.loads(
+                _fs_read(os.path.join(self._log_dir, "_vacuum.json"))
+            )
+            return int(payload["horizon"])
+        except (OSError, ValueError, KeyError, TypeError):
+            return -1
 
-        Unlike Delta's retention-window vacuum this is maximally
-        conservative: every committed version stays readable forever;
-        only orphans from crashed writers go."""
-        referenced = set()
-        for c in self._commits():
-            referenced.update(c.get("add", []))
+    def earliest_readable_version(self) -> int:
+        """First version time travel can still reach (0 if the table
+        has never been retention-vacuumed)."""
+        return max(0, self._vacuum_horizon())
+
+    def _check_time_travel(self, version: Optional[int]) -> None:
+        if version is None:
+            return
+        h = self._vacuum_horizon()
+        if version < h:
+            raise ValueError(
+                f"time travel to version {version} is no longer "
+                f"possible: vacuum removed data files only reachable "
+                f"from versions before {h} (earliest readable "
+                f"version). Lower the vacuum horizon next time if "
+                "older snapshots must stay readable."
+            )
+
+    def vacuum(
+        self,
+        horizon_version: Optional[int] = None,
+        retain_last: Optional[int] = None,
+        dry_run: bool = False,
+    ) -> List[str]:
+        """Delete unreachable data files. With no arguments this is
+        maximally conservative — only ORPHANS go (files on disk that
+        appear in NO commit's ``add`` list: crashed writers); every
+        committed version stays readable forever.
+
+        With a retention window (``horizon_version=h``, or
+        ``retain_last=k`` ≡ ``h = latest - k + 1``) this is the
+        Delta-style VACUUM: a data file is deleted iff NO version
+        ``>= h`` can reach it — i.e. it is outside
+        ``live(h) ∪ {adds after h}`` (a file added and removed
+        INSIDE the window is in some retained live set, so it
+        stays). ``live(h)`` folds through the newest checkpoint, so
+        vacuum respects checkpointed live sets. The horizon is
+        persisted (``_log/_vacuum.json``); time travel to any
+        version below it then raises a clear error instead of a
+        partial scan, and the horizon only ratchets upward.
+
+        Returns the deleted (or would-delete) relative paths.
+        Commit files are never deleted — history() stays complete."""
+        latest = self.latest_version()
+        if latest < 0:
+            raise FileNotFoundError(f"no commits at {self.path}")
+        if retain_last is not None:
+            if retain_last < 1:
+                raise ValueError("retain_last must be >= 1")
+            h = latest - retain_last + 1
+            if horizon_version is not None and horizon_version != h:
+                raise ValueError(
+                    "pass horizon_version OR retain_last, not both"
+                )
+            horizon_version = h
         data_root = os.path.join(self.path, "data")
         on_disk = []
         for dirpath, _dirs, names in os.walk(data_root):
@@ -572,14 +629,44 @@ class LakeTable:
                             os.path.join(dirpath, n), self.path
                         )
                     )
-        orphans = sorted(f for f in on_disk if f not in referenced)
+        if horizon_version is None:
+            referenced = set()
+            ckpt = self._latest_checkpoint()
+            if ckpt is not None:
+                # commits are never deleted, so every checkpointed
+                # live file also appears in some commit's add list —
+                # folding it anyway keeps the invariant explicit
+                referenced.update(ckpt.get("live") or [])
+            for c in self._commits():
+                referenced.update(c.get("add", []))
+            doomed = sorted(f for f in on_disk if f not in referenced)
+            new_horizon = None
+        else:
+            h = max(0, min(int(horizon_version), latest))
+            prior = self._vacuum_horizon()
+            if h < prior:
+                raise ValueError(
+                    f"vacuum horizon can only ratchet upward: "
+                    f"{h} < current horizon {prior}"
+                )
+            reachable, *_ = self._fold_state(h)
+            reachable = set(reachable)
+            for c in self._commits(after=h):
+                reachable.update(c.get("add", []))
+            doomed = sorted(f for f in on_disk if f not in reachable)
+            new_horizon = h
         if not dry_run:
-            for f in orphans:
+            for f in doomed:
                 try:
                     os.remove(os.path.join(self.path, f))
                 except OSError:
                     pass
-        return orphans
+            if new_horizon is not None and new_horizon > self._vacuum_horizon():
+                with open(
+                    os.path.join(self._log_dir, "_vacuum.json"), "w"
+                ) as fh:
+                    fh.write(json.dumps({"horizon": new_horizon}))
+        return doomed
 
     def last_committed_batch(self, app_id: str) -> Optional[int]:
         """Highest streaming batch id committed under ``app_id``
@@ -732,6 +819,7 @@ class LakeTable:
         pruning (one metadata task per file)."""
         from replay_spark.utils.layout import read_pruned
 
+        self._check_time_travel(version)
         live, schema_json, distinct_schemas, _, parts = self._fold_state(
             version
         )

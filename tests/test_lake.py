@@ -708,3 +708,87 @@ def test_latest_checkpoint_tolerates_malformed_name(table, spark):
     assert table.read().count() == table.read(
         version=table.latest_version()
     ).count()
+
+
+def test_vacuum_retention_window(table, spark):
+    """Delta-style retention vacuum: files only reachable from
+    versions BELOW the horizon are deleted; every version >= horizon
+    still reads EXACTLY; pre-horizon time travel raises a clear
+    error; the horizon only ratchets upward."""
+    import os
+
+    table.append(_df(spark, 0, 50).coalesce(1))      # v0
+    table.delete(F.col("k") < 10)                    # v1 (rewrites)
+    table.append(_df(spark, 100, 120).coalesce(1))   # v2
+    table.delete(F.col("k") >= 115)                  # v3 (rewrites)
+    want = {
+        v: sorted(r.k for r in table.read(version=v).collect())
+        for v in range(4)
+    }
+    files_before = {
+        f
+        for dirpath, _d, names in os.walk(os.path.join(table.path, "data"))
+        for f in names
+        if f.endswith(".parquet")
+    }
+    gone = table.vacuum(horizon_version=2)
+    assert gone, "v0/v1-only files should be deleted"
+    # (a) every retained version reads exactly as before
+    for v in (2, 3):
+        got = sorted(r.k for r in table.read(version=v).collect())
+        assert got == want[v]
+    assert sorted(r.k for r in table.read().collect()) == want[3]
+    # (b) pre-horizon time travel raises a clear error
+    for v in (0, 1):
+        with pytest.raises(ValueError, match="no longer possible"):
+            table.read(version=v)
+        with pytest.raises(ValueError, match="no longer possible"):
+            table.read_where({"k": (0, 5)}, version=v)
+    with pytest.raises(ValueError, match="no longer possible"):
+        table.changes(0, 1)
+    # CDF inside the retained window still works
+    assert table.changes(2, 3).count() > 0
+    assert table.earliest_readable_version() == 2
+    # horizon can only ratchet upward
+    with pytest.raises(ValueError, match="ratchet"):
+        table.vacuum(horizon_version=1)
+    # files actually left disk
+    files_after = {
+        f
+        for dirpath, _d, names in os.walk(os.path.join(table.path, "data"))
+        for f in names
+        if f.endswith(".parquet")
+    }
+    assert files_after < files_before
+    # retain_last spelling: keep latest only
+    table.vacuum(retain_last=1)
+    assert table.earliest_readable_version() == 3
+    assert sorted(r.k for r in table.read().collect()) == want[3]
+
+
+def test_vacuum_respects_checkpointed_live_sets(table, spark):
+    """A file whose add-commit precedes a checkpoint but that is
+    still live must SURVIVE a retention vacuum whose fold starts at
+    that checkpoint (live(h) comes through the checkpoint)."""
+    table.append(_df(spark, 0, 10).coalesce(1))      # v0 — stays live
+    table.append(_df(spark, 10, 20).coalesce(1))     # v1
+    table.checkpoint()                               # ckpt @ v1
+    table.delete(F.col("k") >= 15)                   # v2 rewrite of v1's file
+    gone = table.vacuum(horizon_version=2)
+    # only v1's pre-rewrite file is vacuumable; v0's is live at v2
+    assert table.read().count() == 15
+    assert sorted(r.k for r in table.read().collect()) == list(range(15))
+    assert gone  # the rewritten-away file went
+    # orphan-only vacuum still conservative after a checkpoint
+    assert table.vacuum() == []
+
+
+def test_vacuum_keeps_files_added_and_removed_inside_window(table, spark):
+    """A file added AND removed within the retained window is in
+    some retained live set — it must survive."""
+    table.append(_df(spark, 0, 10).coalesce(1))      # v0
+    table.append(_df(spark, 10, 20).coalesce(1))     # v1 (in-window add)
+    table.delete(F.col("k") >= 10)                   # v2 removes v1's file
+    gone = table.vacuum(horizon_version=1)
+    assert gone == []  # nothing reachable only below v1
+    assert table.read(version=1).count() == 20  # still exact
