@@ -5267,6 +5267,45 @@ def q_lake_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file Bloom skip indexes (the equality complement of the
+    footer min/max stats): documents land in 8 hash-bucketed files,
+    so every file's [min, max] doc_id interval spans the whole
+    domain and interval stats can prune NOTHING for a point
+    predicate — the bloom sidecars must do it. Four point lookups
+    each assert kept < total in-gate; the unioned answer must equal
+    DuckDB's recompute (false positives only ever over-read, the
+    residual filter keeps the answer exact)."""
+    import os
+    import shutil
+    import tempfile
+    from functools import reduce
+
+    from replay_spark.lake import LakeTable
+
+    docs = rsd.read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"rs_bloomskip_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = LakeTable(spark, path)
+    t.enable_bloom_index(["doc_id"])
+    for r in range(8):
+        t.append(docs.filter(F.col("doc_id") % 8 == r).coalesce(1))
+    outs = []
+    for probe in (3, 17, 42, 101):
+        df, kept, total = t.read_where({"doc_id": (probe, probe)})
+        assert total == 8 and 0 < kept < total, (probe, kept, total)
+        outs.append(
+            df.select(
+                "doc_id",
+                F.length("text").cast("long").alias("n_chars"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
 def q_lake_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention-window VACUUM (the Delta GC device): five commits
     land (appends + file-rewriting deletes) with a checkpoint in the
@@ -5890,6 +5929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lake_checkpoint": q_lake_checkpoint,
         "q_lake_partition": q_lake_partition,
         "q_lake_vacuum": q_lake_vacuum,
+        "q_bloom_skip": q_bloom_skip,
         "q_doc_embed": q_doc_embed,
         "q_corpus_stats": q_corpus_stats,
         "q_skew_report": q_skew_report,
@@ -10600,6 +10640,12 @@ def oracle_sql() -> dict[str, str]:
                                AS BIGINT) AS VARCHAR)),
                        ',') AS emb_q6
             FROM nrm
+        """,
+        "q_bloom_skip": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
+            WHERE doc_id IN (3, 17, 42, 101)
         """,
         "q_lake_vacuum": """
             SELECT CAST(user_id % 5 AS BIGINT) AS g,

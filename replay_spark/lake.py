@@ -435,6 +435,109 @@ class LakeTable:
         files.sort()
         return files, parts
 
+    # -- bloom skip indexes --------------------------------------------------
+
+    def _bloom_config(self) -> Optional[dict]:
+        try:
+            return json.loads(
+                _fs_read(
+                    os.path.join(self._log_dir, "_bloom_index.json")
+                )
+            )
+        except (OSError, ValueError):
+            return None
+
+    def _bloom_sidecar(self, rel: str, column: str) -> str:
+        flat = rel.replace(os.sep, "__").replace("/", "__")
+        return os.path.join(
+            self._log_dir, "blooms", f"{flat}.{column}.json"
+        )
+
+    def enable_bloom_index(
+        self,
+        columns: Sequence[str],
+        bits_per_key: int = 10,
+        num_hashes: int = 7,
+    ) -> None:
+        """Declare equality-skip Bloom indexes over ``columns`` —
+        the point-predicate complement of the footer min/max stats
+        (which can't prune ``k = v`` when every file spans the key
+        domain: hash-distributed ids, fingerprints). Every future
+        commit builds one sidecar bitset per (added file, column) —
+        a parallel metadata pass over ONLY the new files — and the
+        current live files are indexed immediately. ``read_where``
+        consults the bitsets for point bounds; files without a
+        sidecar are kept (no false negatives, ever)."""
+        cfg = {
+            "columns": sorted(set(columns)),
+            "bits_per_key": int(bits_per_key),
+            "num_hashes": int(num_hashes),
+        }
+        os.makedirs(self._log_dir, exist_ok=True)
+        with open(
+            os.path.join(self._log_dir, "_bloom_index.json"), "w"
+        ) as fh:
+            fh.write(json.dumps(cfg))
+        if self.latest_version() >= 0:
+            self._write_blooms(
+                [
+                    os.path.relpath(p, self.path)
+                    for p in self.snapshot_files()
+                ],
+                cfg,
+            )
+
+    def _write_blooms(self, rel_files: Sequence[str], cfg: dict) -> None:
+        from replay_spark.utils.bloom_index import build_file_blooms
+
+        todo = [
+            rel
+            for rel in rel_files
+            if not all(
+                os.path.exists(self._bloom_sidecar(rel, c))
+                for c in cfg["columns"]
+            )
+        ]
+        if not todo:
+            return
+        rows = build_file_blooms(
+            self.spark,
+            [os.path.join(self.path, r) for r in todo],
+            cfg["columns"],
+            bits_per_key=cfg["bits_per_key"],
+            num_hashes=cfg["num_hashes"],
+        )
+        os.makedirs(os.path.join(self._log_dir, "blooms"), exist_ok=True)
+        for r in rows:
+            rel = os.path.relpath(r["file"], self.path)
+            with open(self._bloom_sidecar(rel, r["column"]), "w") as fh:
+                fh.write(
+                    json.dumps(
+                        {
+                            "m": r["m"],
+                            "k": r["k"],
+                            "n_keys": r["n_keys"],
+                            "bits": r["bits"],
+                        }
+                    )
+                )
+
+    def _bloom_admits(self, rel: str, points: dict) -> bool:
+        """Conservative: False only when SOME indexed column's
+        bitset says the probed value is definitely absent."""
+        from replay_spark.utils.bloom_index import bloom_might_contain
+
+        for col, val in points.items():
+            try:
+                bloom = json.loads(
+                    _fs_read(self._bloom_sidecar(rel, col))
+                )
+            except (OSError, ValueError):
+                continue  # no sidecar -> keep
+            if not bloom_might_contain(bloom, val):
+                return False
+        return True
+
     def _commit(
         self,
         operation: str,
@@ -445,6 +548,13 @@ class LakeTable:
         txn: Optional[dict] = None,
         parts: Optional[dict] = None,
     ) -> int:
+        cfg = self._bloom_config()
+        if cfg and add:
+            # sidecars are keyed by data-file path, not version, so
+            # building BEFORE the commit race is idempotent (retries
+            # skip files already indexed); orphaned sidecars from a
+            # failed commit go with their orphan files at vacuum
+            self._write_blooms(list(add), cfg)
         os.makedirs(self._log_dir, exist_ok=True)
         version = expected_version
         payload = {
@@ -656,11 +766,18 @@ class LakeTable:
             doomed = sorted(f for f in on_disk if f not in reachable)
             new_horizon = h
         if not dry_run:
+            cfg = self._bloom_config()
             for f in doomed:
                 try:
                     os.remove(os.path.join(self.path, f))
                 except OSError:
                     pass
+                if cfg:  # bloom sidecars die with their data file
+                    for c in cfg["columns"]:
+                        try:
+                            os.remove(self._bloom_sidecar(f, c))
+                        except OSError:
+                            pass
             if new_horizon is not None and new_horizon > self._vacuum_horizon():
                 with open(
                     os.path.join(self._log_dir, "_vacuum.json"), "w"
@@ -835,6 +952,25 @@ class LakeTable:
             for rel in live
             if self._partition_overlaps(parts.get(rel), bounds, expected)
         ]
+        # Tier 1b, BLOOM SIDECARS: point predicates (lo == hi) on a
+        # bloom-indexed column skip files whose bitset proves the
+        # value absent — the equality case footer min/max can't
+        # prune when every file spans the key domain
+        cfg = self._bloom_config()
+        if cfg and kept_rel:
+            points = {
+                c: lo
+                for c, (lo, hi) in bounds.items()
+                if c in cfg["columns"]
+                and lo is not None
+                and lo == hi
+            }
+            if points:
+                kept_rel = [
+                    rel
+                    for rel in kept_rel
+                    if self._bloom_admits(rel, points)
+                ]
         if not kept_rel:
             # every file excluded by log metadata alone: empty frame
             # with the table schema, zero scans

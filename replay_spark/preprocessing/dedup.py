@@ -1540,11 +1540,25 @@ class IncrementalDeduplicator:
         text_column: str = "text",
         id_column: str = "doc_id",
         normalized: bool = False,
+        bloom_index: bool = False,
+        bloom_probe_limit: int = 100_000,
     ):
         self.store_path = store_path
         self.text_column = text_column
         self.id_column = id_column
         self.normalized = normalized
+        # bloom_index=True keeps one Bloom sidecar per store file
+        # (built at append time over ONLY the new files) and, for a
+        # batch with <= bloom_probe_limit distinct hashes, scans only
+        # the store files whose bitset might contain some batch hash
+        # — the anti-join then reads a store SUBSET instead of every
+        # file. Larger batches fall back to the full-store anti-join
+        # (correct at any scale); pruning is conservative (files
+        # without a sidecar are kept), so results never change.
+        self.bloom_index = bloom_index
+        self.bloom_probe_limit = int(bloom_probe_limit)
+        self.last_store_files_scanned: Optional[int] = None
+        self.last_store_files_total: Optional[int] = None
 
     def _hash(self):
         text = F.col(self.text_column)
@@ -1568,6 +1582,88 @@ class IncrementalDeduplicator:
 
         shutil.rmtree(self.store_path, ignore_errors=True)
 
+    def _store_files(self):
+        import os
+
+        if not os.path.isdir(self.store_path):
+            return []
+        return sorted(
+            os.path.join(self.store_path, f)
+            for f in os.listdir(self.store_path)
+            if f.endswith(".parquet")
+        )
+
+    def _bloom_sidecar(self, fpath):
+        import os
+
+        return os.path.join(
+            self.store_path,
+            "_blooms",
+            os.path.basename(fpath) + ".json",
+        )
+
+    def _store_pruned(self, spark, batch_hashes_df) -> DataFrame:
+        """Store hashes from ONLY the files whose Bloom bitset might
+        contain some batch hash (conservative; falls back to the
+        full store for oversized batches or missing sidecars)."""
+        import json as _json
+
+        from replay_spark.utils.bloom_index import bloom_might_contain
+
+        files = self._store_files()
+        self.last_store_files_total = len(files)
+        if not files:
+            self.last_store_files_scanned = 0
+            return spark.createDataFrame([], "content_hash string")
+        probe = batch_hashes_df.limit(
+            self.bloom_probe_limit + 1
+        ).collect()
+        if len(probe) > self.bloom_probe_limit:
+            self.last_store_files_scanned = len(files)
+            return spark.read.parquet(self.store_path)
+        hashes = [r[0] for r in probe]
+        admitted = []
+        for f in files:
+            try:
+                with open(self._bloom_sidecar(f)) as fh:
+                    bloom = _json.load(fh)
+            except (OSError, ValueError):
+                admitted.append(f)  # no sidecar -> keep
+                continue
+            if any(bloom_might_contain(bloom, h) for h in hashes):
+                admitted.append(f)
+        self.last_store_files_scanned = len(admitted)
+        if not admitted:
+            return spark.createDataFrame([], "content_hash string")
+        return spark.read.parquet(*admitted)
+
+    def _index_new_store_files(self, spark, before) -> None:
+        import os
+
+        from replay_spark.utils.bloom_index import build_file_blooms
+
+        new = [f for f in self._store_files() if f not in set(before)]
+        if not new:
+            return
+        rows = build_file_blooms(spark, new, ["content_hash"])
+        os.makedirs(
+            os.path.join(self.store_path, "_blooms"), exist_ok=True
+        )
+        import json as _json
+
+        for r in rows:
+            with open(self._bloom_sidecar(r["file"]), "w") as fh:
+                fh.write(
+                    _json.dumps(
+                        {
+                            "m": r["m"],
+                            "k": r["k"],
+                            "n_keys": r["n_keys"],
+                            "bits": r["bits"],
+                        }
+                    )
+                )
+
     def transform(self, batch_df: DataFrame) -> DataFrame:
         """Surviving rows of this batch (original columns); the
         store is advanced by their hashes before returning."""
@@ -1576,9 +1672,14 @@ class IncrementalDeduplicator:
         hashed = batch_df.withColumn("_h", self._hash())
         first = hashed.groupBy("_h").agg(F.min(idc).alias(idc))
         in_batch_first = hashed.join(first, on=["_h", idc])
-        seen = self._store(spark).withColumnRenamed(
-            "content_hash", "_h"
-        )
+        if self.bloom_index:
+            seen = self._store_pruned(
+                spark, in_batch_first.select("_h").distinct()
+            ).withColumnRenamed("content_hash", "_h")
+        else:
+            seen = self._store(spark).withColumnRenamed(
+                "content_hash", "_h"
+            )
         survivors = in_batch_first.join(seen, on="_h", how="left_anti")
         # materialize survivors BEFORE the append touches the store —
         # and TRUNCATE lineage: a persist() is not enough, because
@@ -1587,9 +1688,12 @@ class IncrementalDeduplicator:
         # survivors against the already-advanced store (observed: a
         # batch deduping itself to zero rows)
         survivors = survivors.localCheckpoint(eager=True)
+        before = self._store_files() if self.bloom_index else None
         survivors.select(
             F.col("_h").alias("content_hash")
         ).write.mode("append").parquet(self.store_path)
+        if self.bloom_index:
+            self._index_new_store_files(spark, before)
         return survivors.drop("_h")
 
 

@@ -792,3 +792,67 @@ def test_vacuum_keeps_files_added_and_removed_inside_window(table, spark):
     gone = table.vacuum(horizon_version=1)
     assert gone == []  # nothing reachable only below v1
     assert table.read(version=1).count() == 20  # still exact
+
+
+def test_bloom_skip_index_point_reads(table, spark):
+    """Bloom sidecars prune point predicates that min/max stats
+    can't (every file spans the key domain); results stay EXACT and
+    files without sidecars are kept."""
+    # k % 4 buckets: every file's [min,max] covers the whole domain
+    base = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    table.append(base.filter(F.col("k") % 4 == 0).coalesce(1))
+    table.enable_bloom_index(["k"])      # indexes the existing file
+    for r in (1, 2, 3):                  # commit-time sidecar writes
+        table.append(base.filter(F.col("k") % 4 == r).coalesce(1))
+    # every present key reads exactly (no false negatives), and the
+    # scan skips files (only ~1 of 4 can contain the key)
+    for probe in (0, 5, 42, 399):
+        df, kept, total = table.read_where({"k": (probe, probe)})
+        assert total == 4
+        assert kept < total, probe
+        rows = df.filter(F.col("k") == probe).collect()
+        assert [(r.k, r.v) for r in rows] == [(probe, probe * 10)]
+    # absent key: exact empty answer (possibly after over-reading)
+    df, kept, total = table.read_where({"k": (100000, 100000)})
+    assert df.filter(F.col("k") == 100000).count() == 0
+    # range bounds don't consult blooms — still exact
+    df, _, _ = table.read_where({"k": (10, 20)})
+    assert df.filter(F.col("k").between(10, 20)).count() == 11
+
+
+def test_bloom_index_false_positive_only_overreads(table, spark):
+    """Property: for EVERY key in the table, the bloom-pruned kept
+    set includes the file that holds it (no false negatives); false
+    positives only ever over-read."""
+    import os
+
+    rows = [(h, i) for i, h in enumerate(
+        ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+         "eta", "theta", "iota", "kappa", "mu", "nu"]
+    )]
+    df = spark.createDataFrame(rows, "fp string, n long")
+    table.enable_bloom_index(["fp"], bits_per_key=10, num_hashes=7)
+    for part in range(3):
+        table.append(
+            df.filter(F.col("n") % 3 == part).coalesce(1)
+        )
+    want = {fp: n for fp, n in rows}
+    for fp, n in rows:
+        got, kept, total = table.read_where({"fp": (fp, fp)})
+        hit = got.filter(F.col("fp") == fp).collect()
+        assert [(r.fp, r.n) for r in hit] == [(fp, n)]
+        assert 1 <= kept <= total == 3
+    # absent keys: answer exact-empty regardless of over-read
+    for fp in ("omega", "psi", "chi"):
+        got, kept, total = table.read_where({"fp": (fp, fp)})
+        assert got.filter(F.col("fp") == fp).count() == 0
+    # vacuum removes sidecars with their files
+    table.delete(F.col("n") % 3 == 0)
+    gone = table.vacuum(retain_last=1)
+    assert gone
+    blooms = os.listdir(os.path.join(table._log_dir, "blooms"))
+    for f in gone:
+        flat = f.replace(os.sep, "__").replace("/", "__")
+        assert f"{flat}.fp.json" not in blooms

@@ -5054,3 +5054,37 @@ def test_kmeans_quantized_update_overflow_guard(spark):
     km2 = KMeansClusterer(k=2, max_iter=1, update_quantization=1e3)
     km2.fit(df, centroids=[[0.0, 0.0], [1e9, -1e9]])
     assert len(km2.centroids) == 2
+
+
+def test_incremental_dedup_bloom_pruned_store_scan(spark, tmp_path):
+    """bloom_index=True: the anti-join reads only the store files
+    whose Bloom sidecar might contain a batch hash — asserted via
+    the scanned/total telemetry — and the surviving rows are
+    IDENTICAL to the unpruned path on the same batch sequence."""
+    from replay_spark.preprocessing.dedup import IncrementalDeduplicator
+
+    batches = [
+        [(0, "alpha"), (1, "beta"), (2, "alpha")],
+        [(10, "gamma"), (11, "delta")],
+        [(20, "epsilon"), (21, "zeta")],
+        # replays: beta (batch 1) + delta (batch 2) + a fresh doc
+        [(30, "beta"), (31, "delta"), (32, "eta")],
+    ]
+    dfs = [
+        spark.createDataFrame(rows, "doc_id long, text string")
+        for rows in batches
+    ]
+    plain = IncrementalDeduplicator(str(tmp_path / "plain"))
+    bloom = IncrementalDeduplicator(
+        str(tmp_path / "bloom"), bloom_index=True
+    )
+    for i, df in enumerate(dfs):
+        want = sorted(r.doc_id for r in plain.transform(df).collect())
+        got = sorted(r.doc_id for r in bloom.transform(df).collect())
+        assert got == want, i
+    # the final batch's probes hit files from batches 1 and 2 only:
+    # batch 3's store file (epsilon/zeta) must have been skipped
+    assert bloom.last_store_files_total >= 3
+    assert bloom.last_store_files_scanned < bloom.last_store_files_total
+    # the _blooms sidecar dir never breaks plain store reads
+    assert bloom._store(spark).count() == 7
