@@ -5693,6 +5693,85 @@ def q_streaming_lake_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming feature freshness end to end: feature observations
+    stream through foreachBatch into a feature LakeTable in THREE
+    micro-batches (maxFilesPerTrigger=1, batch-id idempotence — a
+    replayed batch 0 is asserted skipped), then a point-in-time join
+    at a fixed cutoff with a 7-day ttl reads the freshest
+    non-leaking feature per user. The answer must equal DuckDB's
+    batch recompute from the raw source — exactly-once ingestion
+    plus as-of semantics, or the hash breaks."""
+    import os
+    import shutil
+    import tempfile
+
+    from replay_spark.feature_store import FeatureStore, FeatureView
+    from replay_spark.lake import LakeTable
+
+    for q in spark.streams.active:
+        if q.name == "q_fs_stream":
+            q.stop()
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    tmp = tempfile.gettempdir()
+    src_dir = os.path.join(tmp, f"rs_fs_src_{tag}")
+    lake_dir = os.path.join(tmp, f"rs_fs_lake_{tag}")
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    ev = rsd.read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("fv"),
+    )
+    for r in range(3):  # three source files -> three micro-batches
+        ev.filter(F.col("event_id") % 3 == r).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    t = LakeTable(spark, lake_dir)
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src_dir)
+    sq = (
+        stream.writeStream.foreachBatch(t.streaming_sink("q_fs_app"))
+        .queryName("q_fs_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(300)
+    assert t.last_committed_batch("q_fs_app") == 2  # 3 micro-batches
+    # crash-replay: batch 0 again -> must be skipped (exactly-once)
+    assert t.append_batch(ev.limit(50), "q_fs_app", 0) is None
+    # freshness read: latest observation at-or-before the cutoff,
+    # no staler than 7 days (one (user, ts) row per key so the as-of
+    # match is deterministic)
+    obs = (
+        t.read()
+        .groupBy("user_id", "ts")
+        .agg(F.max("fv").alias("fv"))
+    )
+    cutoff = "2024-01-20 00:00:00"
+    spine = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("ts", F.lit(cutoff).cast("timestamp"))
+    )
+    fs = FeatureStore(
+        [
+            FeatureView(
+                name="user",
+                source=obs,
+                entity_columns=["user_id"],
+                features=["fv"],
+                timestamp_column="ts",
+                ttl_seconds=7 * 86400,
+            )
+        ]
+    )
+    out = fs.point_in_time_join(spine, spine_ts="ts", prune=False)
+    return out.select("user_id", F.col("user__fv").alias("user_fv"))
+
+
 def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group quantiles without a global sort: one keyed
     window ranks each event_type's integerized values, the tiny
@@ -5894,6 +5973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hll_overlap": q_hll_overlap,
         "q_corr_matrix": q_corr_matrix,
         "q_streaming_lake_sink": q_streaming_lake_sink,
+        "q_streaming_feature_store": q_streaming_feature_store,
         "q_grouped_quantiles": q_grouped_quantiles,
         "q_funnel": q_funnel,
         "q_cohort_retention": q_cohort_retention,
@@ -10255,6 +10335,27 @@ def oracle_sql() -> dict[str, str]:
                    r.v AS value
             FROM t JOIN r
               ON r.event_type = t.event_type AND r.rn = t.k
+        """,
+        "q_streaming_feature_store": """
+            WITH obs AS (
+                SELECT user_id, ts,
+                       CAST(max(CAST(floor(value * 100) AS BIGINT))
+                            AS BIGINT) AS fv
+                FROM events GROUP BY 1, 2),
+            eligible AS (
+                SELECT user_id, ts, fv FROM obs
+                WHERE ts <= TIMESTAMP '2024-01-20 00:00:00'
+                  AND ts >= TIMESTAMP '2024-01-20 00:00:00'
+                          - INTERVAL 7 DAY),
+            latest AS (
+                SELECT user_id, max(ts) AS mts
+                FROM eligible GROUP BY 1),
+            users AS (SELECT DISTINCT user_id FROM events)
+            SELECT u.user_id, e.fv AS user_fv
+            FROM users u
+            LEFT JOIN latest l ON l.user_id = u.user_id
+            LEFT JOIN eligible e
+                   ON e.user_id = l.user_id AND e.ts = l.mts
         """,
         "q_streaming_lake_sink": """
             SELECT event_type,
