@@ -225,6 +225,23 @@ def main():
         "q_substring_dedup",
     ]
     sf1_timings = {}
+    sf1_canaries = {}
+
+    def _cpu_canary() -> float:
+        # fixed pure-CPU reference loop (400k chained md5 rounds,
+        # ~0.2 s on a quiet box): timed immediately before each sf1
+        # query so box contention is SELF-EVIDENT in the JSON — the
+        # r9 driver read q_dedup_clusters at 15.5 s where three
+        # quiet-box runs agreed on ~4 s, and nothing in the record
+        # could tell a hot box from a regression
+        import hashlib
+
+        t0 = time.time()
+        h = b"replay-spark-canary"
+        for _ in range(400_000):
+            h = hashlib.md5(h).digest()
+        return time.time() - t0
+
     try:
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
         from make_scale_replica import ensure_replica
@@ -252,6 +269,7 @@ def main():
                 # median far above min flags a noisy box instead of
                 # silently reading as a regression (r8 lesson)
                 spark.catalog.clearCache()
+                sf1_canaries[name] = round(_cpu_canary(), 3)
                 queries[name](spark, sf1_dir).count()
                 warms = []
                 for _ in range(3):
@@ -261,7 +279,8 @@ def main():
                 warms.sort()
                 sf1_timings[name] = [round(warms[0], 3), round(warms[1], 3)]
                 print(
-                    f"# sf1 {name}: min={warms[0]:.3f}s med={warms[1]:.3f}s",
+                    f"# sf1 {name}: min={warms[0]:.3f}s med={warms[1]:.3f}s"
+                    f" canary={sf1_canaries[name]:.3f}s",
                     file=sys.stderr,
                 )
             except Exception as exc:  # pragma: no cover - defensive
@@ -289,6 +308,7 @@ def main():
         "queries_cold": cold_timings,
         "sf": sf,
         "sf1": sf1_timings,
+        "sf1_canary_per_query": sf1_canaries,
     }
     print("# FULL " + json.dumps(verbose), file=sys.stderr)
     cold_total = round(
@@ -314,9 +334,21 @@ def main():
         },
         "cold_total": cold_total,
     }
+    if sf1_canaries:
+        cvals = sorted(sf1_canaries.values())
+        # [min, median, max] of the fixed-work CPU canary timed
+        # before each sf1 query: a quiet box reads ~0.2 s flat;
+        # max >> min means the box was contended DURING the sf1
+        # section and its numbers must be discounted accordingly
+        compact["sf1_canary"] = [
+            round(cvals[0], 2),
+            round(cvals[len(cvals) // 2], 2),
+            round(cvals[-1], 2),
+        ]
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # trim, never truncate: drop sf1 (in stderr)
         compact.pop("sf1")
+        compact.pop("sf1_canary", None)
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
 
