@@ -5306,6 +5306,52 @@ def q_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), outs)
 
 
+def q_lake_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy CLONE + divergent evolution: events land in a
+    source table, a shallow clone references its files without
+    copying a byte (asserted in-gate: the clone's data dir holds no
+    parquet), then the CLONE deletes one user slice while the SOURCE
+    appends more rows — the clone's answer must reflect its delete
+    but not the source's append, and the source must not see the
+    clone's delete (both asserted). DuckDB recomputes the clone's
+    final state from the residue predicates."""
+    import os
+    import shutil
+    import tempfile
+
+    from replay_spark.lake import LakeTable
+
+    ev = rsd.read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    src_path = os.path.join(tempfile.gettempdir(), f"rs_clonesrc_{tag}")
+    dst_path = os.path.join(tempfile.gettempdir(), f"rs_clonedst_{tag}")
+    shutil.rmtree(src_path, ignore_errors=True)
+    shutil.rmtree(dst_path, ignore_errors=True)
+    t = LakeTable(spark, src_path)
+    t.append(ev.filter(F.col("event_id") % 10 <= 6))        # v0
+    t.delete(F.col("user_id") % 11 == 0)                    # v1
+    c = t.clone(dst_path)
+    data_dir = os.path.join(dst_path, "data")
+    assert not os.path.isdir(data_dir) or not any(
+        n.endswith(".parquet")
+        for _d, _s, names in os.walk(data_dir)
+        for n in names
+    ), "shallow clone must copy zero data files"
+    c.delete(F.col("user_id") % 9 == 2)       # clone-only rewrite
+    t.append(ev.filter(F.col("event_id") % 10 == 7))  # source-only
+    src_n = t.read().count()
+    assert (
+        t.read().filter(F.col("user_id") % 9 == 2).count() > 0
+    ), "source must not see the clone's delete"
+    assert src_n > c.read().count()  # source kept its append
+    return c.read().groupBy((F.col("user_id") % 6).alias("g")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("event_id").cast("long").alias("sum_eid"),
+    )
+
+
 def q_lake_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention-window VACUUM (the Delta GC device): five commits
     land (appends + file-rewriting deletes) with a checkpoint in the
@@ -6010,6 +6056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lake_partition": q_lake_partition,
         "q_lake_vacuum": q_lake_vacuum,
         "q_bloom_skip": q_bloom_skip,
+        "q_lake_clone": q_lake_clone,
         "q_doc_embed": q_doc_embed,
         "q_corpus_stats": q_corpus_stats,
         "q_skew_report": q_skew_report,
@@ -10741,6 +10788,16 @@ def oracle_sql() -> dict[str, str]:
                                AS BIGINT) AS VARCHAR)),
                        ',') AS emb_q6
             FROM nrm
+        """,
+        "q_lake_clone": """
+            SELECT CAST(user_id % 6 AS BIGINT) AS g,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(event_id) AS BIGINT) AS sum_eid
+            FROM events
+            WHERE event_id % 10 <= 6
+              AND user_id % 11 <> 0
+              AND user_id % 9 <> 2
+            GROUP BY 1
         """,
         "q_bloom_skip": """
             SELECT doc_id,

@@ -663,6 +663,92 @@ class LakeTable:
             current_version + 1,
         )
 
+    def clone(
+        self,
+        dest_path: str,
+        version: Optional[int] = None,
+        deep: bool = False,
+    ) -> "LakeTable":
+        """CLONE TABLE (Delta-shaped): a new table whose v0 commit
+        references this table's live files — ``deep=False`` copies
+        ZERO data bytes (pure metadata, O(files) log entries), so a
+        100 TB table clones in milliseconds; ``deep=True`` copies the
+        files for a physically independent table. Either way the two
+        tables evolve independently afterwards: the clone's
+        deletes/merges rewrite into its OWN data directory and the
+        source never sees them (file-granular rewrites carry
+        untouched source files by reference). Partition-value
+        metadata rides along, so log-level pruning works on the
+        clone.
+
+        Shallow-clone caveats (same as Delta's): a retention
+        ``vacuum`` on the SOURCE can delete files the clone still
+        references — deep-clone or compact the clone first if the
+        source will be vacuumed; streaming txn high-water marks are
+        NOT copied (the clone is a new table for ingestion
+        purposes); bloom sidecars are not copied (reads stay correct,
+        point-skip just starts cold). A multi-schema source (appends
+        under ``merge_schema=True``) cannot be represented in one
+        commit — ``compact()`` the source first to unify files."""
+        src_version = (
+            self.latest_version() if version is None else version
+        )
+        self._check_time_travel(src_version)
+        live, schema_json, schemas, _txns, parts = self._fold_state(
+            src_version
+        )
+        if not live:
+            raise FileNotFoundError(
+                f"no snapshot at {self.path}@{src_version}"
+            )
+        shapes = {
+            tuple(
+                (f["name"], json.dumps(f["type"]))
+                for f in json.loads(s).get("fields", [])
+            )
+            for s in schemas
+        }
+        if len(shapes) > 1:  # name+type only: nullability drift from
+            # delete-rewrites is read-compatible and must not block
+            raise ValueError(
+                "cannot shallow-clone a multi-schema table in one "
+                "commit; compact() the source first"
+            )
+        out = LakeTable(self.spark, dest_path)
+        if out.latest_version() >= 0:
+            raise ValueError(f"clone target {dest_path!r} exists")
+        schema = StructType.fromJson(json.loads(schema_json))
+        if deep:
+            add, cparts = [], {}
+            for rel in live:
+                src = os.path.join(self.path, rel)
+                dst_rel = os.path.join(
+                    "data", os.path.basename(rel)
+                )
+                dst = os.path.join(dest_path, dst_rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.copyfile(src, dst)
+                add.append(dst_rel)
+                if rel in parts:
+                    cparts[dst_rel] = parts[rel]
+        else:
+            add = [
+                os.path.relpath(
+                    os.path.join(self.path, rel), dest_path
+                )
+                for rel in live
+            ]
+            cparts = {
+                os.path.relpath(
+                    os.path.join(self.path, k), dest_path
+                ): v
+                for k, v in parts.items()
+            }
+        out._commit(
+            "clone", sorted(add), [], schema, 0, parts=cparts or None
+        )
+        return out
+
     def _vacuum_horizon(self) -> int:
         """Earliest still-readable version (-1 = everything): the
         durable high-water mark written by retention vacuums."""
@@ -854,7 +940,7 @@ class LakeTable:
         base_version = self.latest_version()
         current = self.read(version=base_version)
         affected = {
-            _local_path(r["f"])
+            os.path.normpath(_local_path(r["f"]))
             for r in current.filter(cond)
             .select(F.input_file_name().alias("f"))
             .distinct()
@@ -863,7 +949,13 @@ class LakeTable:
         if not affected:
             return base_version
         live = self.snapshot_files(version=base_version)
-        touched = [p for p in live if p in affected]
+        # normalize: shallow-clone entries join to un-normalized
+        # ``clone/../source/data/...`` paths
+        touched = [
+            p
+            for p in live
+            if os.path.normpath(os.path.abspath(p)) in affected
+        ]
         # delete rows where cond is TRUE; NULL-cond rows survive
         survivors = self.spark.read.parquet(*touched).filter(
             ~F.coalesce(cond, F.lit(False))
@@ -1051,14 +1143,18 @@ class LakeTable:
         current = self.read(version=base_version)
         keys = source.select(*on).distinct()
         affected = {
-            _local_path(r["f"])
+            os.path.normpath(_local_path(r["f"]))
             for r in current.join(F.broadcast(keys), list(on), "left_semi")
             .select(F.input_file_name().alias("f"))
             .distinct()
             .collect()
         }
         live = self.snapshot_files(version=base_version)
-        touched = [p for p in live if p in affected]
+        touched = [
+            p
+            for p in live
+            if os.path.normpath(os.path.abspath(p)) in affected
+        ]
         base = (
             self.spark.read.parquet(*touched)
             if touched

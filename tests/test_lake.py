@@ -856,3 +856,55 @@ def test_bloom_index_false_positive_only_overreads(table, spark):
     for f in gone:
         flat = f.replace(os.sep, "__").replace("/", "__")
         assert f"{flat}.fp.json" not in blooms
+
+
+def test_shallow_clone_zero_copy_divergent_evolution(table, spark, tmp_path):
+    """Shallow CLONE copies zero data bytes; afterwards source and
+    clone evolve independently (the clone's delete rewrites into its
+    own data dir; the source never sees it)."""
+    table.append(_df(spark, 0, 20).coalesce(1))
+    table.append(_df(spark, 20, 40).coalesce(1))
+    dest = str(tmp_path / "clone")
+    c = table.clone(dest)
+    # zero data files copied
+    assert not os.path.isdir(os.path.join(dest, "data")) or not any(
+        n.endswith(".parquet")
+        for _d, _s, names in os.walk(os.path.join(dest, "data"))
+        for n in names
+    )
+    assert sorted(r.k for r in c.read().collect()) == list(range(40))
+    # divergent evolution
+    c.delete(F.col("k") < 10)
+    table.append(_df(spark, 40, 45).coalesce(1))
+    assert sorted(r.k for r in c.read().collect()) == list(range(10, 40))
+    assert sorted(r.k for r in table.read().collect()) == list(range(45))
+    # clone time travel to v0 still sees the full snapshot
+    assert c.read(version=0).count() == 40
+    # merge on the clone rewrites clone-side only
+    src = spark.createDataFrame([(15, -1)], "k long, v long")
+    c.merge(src, on=["k"])
+    got = {r.k: r.v for r in c.read().collect()}
+    assert got[15] == -1 and got[16] == 160
+    assert {r.k: r.v for r in table.read().collect()}[15] == 150
+
+
+def test_clone_versions_deep_and_guards(table, spark, tmp_path):
+    table.append(_df(spark, 0, 10).coalesce(1))
+    table.append(_df(spark, 10, 20).coalesce(1))
+    # clone at an old version
+    c0 = table.clone(str(tmp_path / "c0"), version=0)
+    assert c0.read().count() == 10
+    # deep clone is physically independent
+    d = table.clone(str(tmp_path / "deep"), deep=True)
+    assert d.read().count() == 20
+    table.delete(F.col("k") < 5)
+    table.vacuum(retain_last=1)      # source GC
+    assert d.read().count() == 20    # deep clone unaffected
+    # target-exists guard
+    with pytest.raises(ValueError, match="exists"):
+        table.clone(str(tmp_path / "deep"))
+    # multi-schema guard
+    wider = _df(spark, 20, 22).withColumn("tag", F.lit("x"))
+    table.append(wider, merge_schema=True)
+    with pytest.raises(ValueError, match="compact"):
+        table.clone(str(tmp_path / "c2"))
