@@ -5835,6 +5835,42 @@ def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HdrHistogram-style quantile sketch (the sketch tier's
+    quantile leg): integerized event values bucket via exact
+    bitlen/power-of-two arithmetic (never ln — libm-portable), ONE
+    map-side-combined count agg builds the bounded per-type sketch,
+    and quantile reads are a rank join over the tiny bucket table.
+    DuckDB replays bucket → cumulate → rank-select → lower-bound
+    term for term; per-type sketch sizes are asserted bounded
+    in-gate."""
+    from replay_spark.preprocessing.text import HdrQuantileSketch
+
+    ev = rsd.read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    ).filter(F.col("v").isNotNull())
+    sk = HdrQuantileSketch(precision_bits=7, value_column="v")
+    sketch = sk.fit_grouped(ev, "event_type").persist()
+    # bounded state: each type's sketch is ≤ (64-7)·128 buckets no
+    # matter how many rows fed it
+    max_buckets = (
+        sketch.groupBy("event_type")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert max_buckets <= 57 * 128, max_buckets
+    out = sk.quantiles_grouped(
+        sketch, "event_type", [0.5, 0.9, 0.99, 1.0]
+    )
+    out = out.select(
+        "event_type", "prob", F.col("value").cast("long").alias("value")
+    )
+    sketch.unpersist()
+    return out
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view → click → purchase conversion funnel (6-hour window,
     strictly-increasing step times, earliest qualifying event per
@@ -6021,6 +6057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_lake_sink": q_streaming_lake_sink,
         "q_streaming_feature_store": q_streaming_feature_store,
         "q_grouped_quantiles": q_grouped_quantiles,
+        "q_hdr_quantiles": q_hdr_quantiles,
         "q_funnel": q_funnel,
         "q_cohort_retention": q_cohort_retention,
         "q_transition_matrix": q_transition_matrix,
@@ -10264,6 +10301,44 @@ def oracle_sql() -> dict[str, str]:
                        AS max_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "q_hdr_quantiles": """
+            WITH vals AS (
+                SELECT event_type,
+                       CAST(floor(value * 100) AS BIGINT) AS v
+                FROM events WHERE value IS NOT NULL),
+            b AS (
+                SELECT event_type,
+                       CASE WHEN v < 128 THEN v
+                            ELSE (length(bin(v)) - 1 - 7) * 128
+                                 + CAST(floor(v / power(2.0,
+                                       length(bin(v)) - 1 - 7))
+                                   AS BIGINT) END AS bucket,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM vals GROUP BY 1, 2),
+            c AS (
+                SELECT event_type, bucket, cnt,
+                       sum(cnt) OVER (PARTITION BY event_type
+                                      ORDER BY bucket) AS cum
+                FROM b),
+            n AS (
+                SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+                FROM b GROUP BY 1),
+            t AS (
+                SELECT event_type, CAST(num AS DOUBLE) / den AS prob,
+                       greatest(CAST(1 AS BIGINT),
+                                (n * num + den - 1) // den) AS r
+                FROM n, (VALUES (1, 2), (9, 10), (99, 100), (1, 1))
+                     AS probs(num, den))
+            SELECT t.event_type, t.prob,
+                   CAST(CASE WHEN c.bucket < 128 THEN c.bucket
+                        ELSE (c.bucket % 128 + 128)
+                             * CAST(power(2.0,
+                                   CAST(c.bucket // 128 AS INT) - 1)
+                               AS BIGINT) END AS BIGINT) AS value
+            FROM t JOIN c
+              ON c.event_type = t.event_type
+             AND c.cum >= t.r AND c.cum - c.cnt < t.r
         """,
         "q_transition_matrix": """
             WITH p AS (

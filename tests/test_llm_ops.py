@@ -5088,3 +5088,74 @@ def test_incremental_dedup_bloom_pruned_store_scan(spark, tmp_path):
     assert bloom.last_store_files_scanned < bloom.last_store_files_total
     # the _blooms sidecar dir never breaks plain store reads
     assert bloom._store(spark).count() == 7
+
+
+def test_hdr_quantile_sketch_error_bound_and_merge(spark):
+    """HdrQuantileSketch: every quantile estimate is within 2^-k
+    relative of the exact quantile; shard sketches merged bucket-wise
+    equal the whole-corpus sketch; grouped path matches per-group."""
+    from replay_spark.preprocessing.text import HdrQuantileSketch
+    from replay_spark.utils.spark_utils import grouped_exact_quantiles
+
+    rows = [
+        ("a", (7 * i * i + 3 * i) % 100_000) for i in range(2000)
+    ] + [("b", (13 * i + 1) % 500) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    sk = HdrQuantileSketch(precision_bits=7, value_column="v")
+    probs = [0.1, 0.5, 0.9, 0.99, 1.0]
+    sketch = sk.fit_grouped(df, "g")
+    est = {
+        (r.g, r.prob): r.value
+        for r in sk.quantiles_grouped(sketch, "g", probs).collect()
+    }
+    exact = {
+        (r.g, r.prob): r.value
+        for r in grouped_exact_quantiles(df, "g", "v", probs).collect()
+    }
+    assert set(est) == set(exact)
+    for key, ex in exact.items():
+        lo = est[key]
+        # lower bound of the bucket holding the exact value:
+        # lo <= exact < lo * (1 + 2^-k) (+1 for the exact region)
+        assert lo <= ex, (key, lo, ex)
+        assert ex <= lo + max(1, lo >> 7), (key, lo, ex)
+    # mergeability: shard sketches add bucket-wise to the full one
+    sh1 = sk.fit_grouped(df.filter("v % 2 = 0"), "g")
+    sh2 = sk.fit_grouped(df.filter("v % 2 = 1"), "g")
+    merged = HdrQuantileSketch.merge(sh1, sh2)
+    full = {
+        (r.g, r.bucket): r.cnt for r in sketch.collect()
+    }
+    assert {
+        (r.g, r.bucket): r.cnt for r in merged.collect()
+    } == full
+    # bounded state: far fewer buckets than distinct values
+    assert sketch.filter("g = 'a'").count() < 600
+
+
+def test_hdr_quantile_sketch_bucket_sql_parity(spark):
+    """The bucket_sql() formula run in DuckDB assigns every value to
+    the same bucket as the Spark expression."""
+    import duckdb
+
+    from replay_spark.preprocessing.text import HdrQuantileSketch
+
+    vals = list(range(0, 4096)) + [
+        2**p + d for p in range(12, 40) for d in (-1, 0, 1, 12345 % (2**p))
+    ]
+    vals = sorted({v for v in vals if v >= 0})
+    sk = HdrQuantileSketch(precision_bits=7, value_column="v")
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r.v: r.b
+        for r in df.select("v", sk._bucket().alias("b")).collect()
+    }
+    sql = sk.bucket_sql("v")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    want = dict(con.execute(f"SELECT v, {sql} FROM t").fetchall())
+    assert got == want
+    # monotone in v (bucket boundaries never invert)
+    bs = [got[v] for v in vals]
+    assert bs == sorted(bs)
