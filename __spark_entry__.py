@@ -3275,6 +3275,49 @@ def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming/batch parity for the Hdr quantile sketch: event
+    values stream in (availableNow), bucket counts accumulate as a
+    streaming aggregation (bounded state per type), and the
+    quantile rank-join over the materialized sink must HASH-match
+    the batch oracle — the streaming sketch IS the batch sketch."""
+    import os
+
+    from replay_spark.streaming import StreamingHdrQuantiles
+
+    for q in spark.streams.active:
+        if q.name == "q_streaming_hdr_sink":
+            q.stop()
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    link_dir = _stream_link_dir(src, "rs_stream_hdr")
+    raw_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(link_dir)
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("v"),
+        )
+    )
+    shdr = StreamingHdrQuantiles(
+        precision_bits=7, value_column="v",
+        group_columns=["event_type"],
+    )
+    sq = (
+        shdr.aggregate(stream)
+        .writeStream.format("memory")
+        .queryName("q_streaming_hdr_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(300)
+    sink = spark.table("q_streaming_hdr_sink")
+    return shdr.quantiles(sink, [0.5, 0.9, 0.99, 1.0]).select(
+        "event_type", "prob", F.col("value").cast("long").alias("value")
+    )
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew diagnosis on events.user_id: top-10 heavy
     keys with shares plus the cardinality/max-share summary row —
@@ -6123,6 +6166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hash_split": q_hash_split,
         "q_fuzzy_pairs": q_fuzzy_pairs,
         "q_streaming_hll": q_streaming_hll,
+        "q_streaming_hdr": q_streaming_hdr,
         "q_script_detect": q_script_detect,
         "q_incremental_dedup": q_incremental_dedup,
         "q_media_validate": q_media_validate,
@@ -11068,4 +11112,5 @@ def oracle_sql() -> dict[str, str]:
     # the stream IS the batch in one availableNow micro-batch
     oracles["q_streaming_cms"] = oracles["q_cms_counts"]
     oracles["q_streaming_hll"] = oracles["q_hll_distinct"]
+    oracles["q_streaming_hdr"] = oracles["q_hdr_quantiles"]
     return oracles

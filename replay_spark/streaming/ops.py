@@ -35,6 +35,7 @@ __all__ = [
     "StreamingIntervalJoiner",
     "StreamingCountMinSketch",
     "StreamingHyperLogLog",
+    "StreamingHdrQuantiles",
     "StreamingSourceCapFilter",
     "streaming_exact_dedup",
 ]
@@ -395,6 +396,58 @@ class StreamingHyperLogLog:
         """One-row estimate from a materialized register sink (same
         contract as the batch class)."""
         return self.hll.estimate(registers)
+
+
+class StreamingHdrQuantiles:
+    """HdrQuantileSketch as a streaming stateful aggregation — the
+    quantile leg of the streaming sketch family (CMS, HLL, Hdr):
+    bucket-wise COUNT is commutative, so per-(group, bucket) state
+    folds every micro-batch in and stays ≤ (64−k)·2^k rows per group
+    no matter the stream length — approximate quantiles over an
+    unbounded value stream in bounded memory. ``aggregate`` returns
+    the streaming bucket-count plan (complete/update mode);
+    ``quantiles`` reuses the batch rank-join against the
+    materialized sink, so streaming and batch sketches are
+    interchangeable (pinned by ``q_streaming_hdr`` hash-matching the
+    batch oracle)."""
+
+    def __init__(
+        self,
+        precision_bits: int = 7,
+        value_column: str = "v",
+        group_columns=(),
+    ):
+        from replay_spark.preprocessing.text import HdrQuantileSketch
+
+        self.sketch = HdrQuantileSketch(
+            precision_bits=precision_bits, value_column=value_column
+        )
+        self.group_columns = (
+            [group_columns]
+            if isinstance(group_columns, str)
+            else list(group_columns)
+        )
+
+    def aggregate(self, stream: DataFrame) -> DataFrame:
+        """Streaming bucket counts (complete/update mode)."""
+        vc = self.sketch.value_column
+        clean = stream.select(*self.group_columns, vc).filter(
+            F.col(vc).isNotNull()
+        )
+        return (
+            clean.withColumn("bucket", self.sketch._bucket())
+            .groupBy(*self.group_columns, "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    def quantiles(self, sink: DataFrame, probs) -> DataFrame:
+        """Rank-join quantile read over a materialized sink (same
+        contract as the batch class)."""
+        if self.group_columns:
+            return self.sketch.quantiles_grouped(
+                sink, self.group_columns, probs
+            )
+        return self.sketch.quantiles(sink, probs)
 
 
 class StreamingWindowedAggregator:
