@@ -5878,6 +5878,37 @@ def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-core peeling: a ring over all doc_ids (every
+    node degree ≥ 2) plus depth-3 pendant chains hanging off every
+    7th node — 2-core peeling must dissolve the chains tip-first
+    over THREE removal rounds (asserted in-gate: rounds_ in [3, 5])
+    and keep exactly the ring. DuckDB unrolls five peeling rounds as
+    nested CTEs (padding is sound — peeling is idempotent at its
+    fixpoint) and must land on the same core."""
+    from replay_spark.graph import KCoreDecomposition
+
+    docs = rsd.read_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    ring = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") + 1) % n).alias("dst"),
+    )
+    anchors = docs.filter(F.col("doc_id") % 7 == 0)
+    chains = None
+    for hop in range(3):
+        seg = anchors.select(
+            (F.col("doc_id") + hop * n).alias("src"),
+            (F.col("doc_id") + (hop + 1) * n).alias("dst"),
+        )
+        chains = seg if chains is None else chains.unionByName(seg)
+    edges = ring.unionByName(chains)
+    kc = KCoreDecomposition()
+    core = kc.core(edges, 2)
+    assert 3 <= kc.rounds_ <= 5, kc.rounds_
+    return core.select(F.col("node").cast("long").alias("node"))
+
+
 def q_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HdrHistogram-style quantile sketch (the sketch tier's
     quantile leg): integerized event values bucket via exact
@@ -6100,6 +6131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_lake_sink": q_streaming_lake_sink,
         "q_streaming_feature_store": q_streaming_feature_store,
         "q_grouped_quantiles": q_grouped_quantiles,
+        "q_kcore": q_kcore,
         "q_hdr_quantiles": q_hdr_quantiles,
         "q_funnel": q_funnel,
         "q_cohort_retention": q_cohort_retention,
@@ -10345,6 +10377,54 @@ def oracle_sql() -> dict[str, str]:
                        AS max_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "q_kcore": """
+            WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n
+                       FROM documents),
+            raw AS (
+                SELECT doc_id AS s, (doc_id + 1) % (SELECT n FROM n) AS d
+                FROM documents
+                UNION ALL
+                SELECT doc_id + h * (SELECT n FROM n),
+                       doc_id + (h + 1) * (SELECT n FROM n)
+                FROM documents, (VALUES (0), (1), (2)) AS hops(h)
+                WHERE doc_id % 7 = 0),
+            e0 AS (
+                SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                FROM raw WHERE s <> d),
+            d1 AS (SELECT node, count(*) c FROM (
+                       SELECT a AS node FROM e0
+                       UNION ALL SELECT b FROM e0) GROUP BY 1),
+            n1 AS (SELECT node FROM d1 WHERE c >= 2),
+            e1 AS (SELECT a, b FROM e0
+                   WHERE a IN (SELECT node FROM n1)
+                     AND b IN (SELECT node FROM n1)),
+            d2 AS (SELECT node, count(*) c FROM (
+                       SELECT a AS node FROM e1
+                       UNION ALL SELECT b FROM e1) GROUP BY 1),
+            n2 AS (SELECT node FROM d2 WHERE c >= 2),
+            e2 AS (SELECT a, b FROM e1
+                   WHERE a IN (SELECT node FROM n2)
+                     AND b IN (SELECT node FROM n2)),
+            d3 AS (SELECT node, count(*) c FROM (
+                       SELECT a AS node FROM e2
+                       UNION ALL SELECT b FROM e2) GROUP BY 1),
+            n3 AS (SELECT node FROM d3 WHERE c >= 2),
+            e3 AS (SELECT a, b FROM e2
+                   WHERE a IN (SELECT node FROM n3)
+                     AND b IN (SELECT node FROM n3)),
+            d4 AS (SELECT node, count(*) c FROM (
+                       SELECT a AS node FROM e3
+                       UNION ALL SELECT b FROM e3) GROUP BY 1),
+            n4 AS (SELECT node FROM d4 WHERE c >= 2),
+            e4 AS (SELECT a, b FROM e3
+                   WHERE a IN (SELECT node FROM n4)
+                     AND b IN (SELECT node FROM n4)),
+            d5 AS (SELECT node, count(*) c FROM (
+                       SELECT a AS node FROM e4
+                       UNION ALL SELECT b FROM e4) GROUP BY 1)
+            SELECT CAST(node AS BIGINT) AS node
+            FROM d5 WHERE c >= 2
         """,
         "q_hdr_quantiles": """
             WITH vals AS (

@@ -21,7 +21,12 @@ from pyspark.sql import DataFrame
 from replay_spark.preprocessing.dedup import NearDupClusters
 from replay_spark.web import LinkGraphRank  # noqa: F401  (re-export)
 
-__all__ = ["ConnectedComponents", "LinkGraphRank", "TriangleCounter"]
+__all__ = [
+    "ConnectedComponents",
+    "KCoreDecomposition",
+    "LinkGraphRank",
+    "TriangleCounter",
+]
 
 
 class ConnectedComponents:
@@ -192,4 +197,127 @@ class TriangleCounter:
                 "node",
                 F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
             )
+        )
+
+
+class KCoreDecomposition:
+    """k-core extraction and core numbers on an undirected edge list
+    — the degeneracy-ordering signal behind community detection,
+    spam/bot-net pruning, and graph sparsification (Seidman 1983;
+    distributed peeling as in Montresor et al. 2013).
+
+    ``core(k)`` runs the standard peeling loop as pure DataFrame
+    algebra: per round, ONE degree aggregation over the surviving
+    edges plus two semi-joins to drop edges incident to sub-k nodes.
+    The frontier only shrinks, so per-round cost tracks the
+    remaining subgraph, and each round's edge set is eagerly
+    localCheckpoint-ed — O(1) logical-plan size no matter how many
+    rounds (the connected-components lesson; cache alone doubles the
+    plan per round and OOMs the optimizer). Rounds are bounded by
+    the peeling depth (≤ diameter-ish in practice, ``rounds_``
+    records the actual count — the ``q_kcore`` oracle unrolls a
+    fixed superset of rounds, which is sound because peeling is
+    idempotent at its fixpoint).
+
+    ``core_numbers(max_k)`` peels k = 1..max_k, feeding each k-core's
+    edges (a subset) into the next round — total cost is the sum of
+    monotonically shrinking peels, never max_k full-graph passes.
+    """
+
+    def __init__(
+        self,
+        src_column: str = "src",
+        dst_column: str = "dst",
+        max_iterations: int = 100,
+    ):
+        if max_iterations < 1:
+            raise ValueError("max_iterations must be >= 1")
+        self.src_column = src_column
+        self.dst_column = dst_column
+        self.max_iterations = max_iterations
+        self.rounds_ = 0
+
+    def _canonical(self, edges: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        s, d = self.src_column, self.dst_column
+        return (
+            edges.select(
+                F.least(s, d).alias("a"), F.greatest(s, d).alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    @staticmethod
+    def _surviving(e: DataFrame, k: int) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+        )
+        return deg.filter(F.col("_deg") >= k).select("node")
+
+    def _peel(self, e: DataFrame, k: int) -> DataFrame:
+        """Edges of the k-core of an already-canonical edge set."""
+        from pyspark.sql import functions as F
+
+        e = e.localCheckpoint(eager=True)
+        prev = e.count()
+        self.rounds_ = 0
+        for _ in range(self.max_iterations):
+            if prev == 0:
+                break
+            keep = self._surviving(e, k)
+            e2 = (
+                e.join(
+                    keep.withColumnRenamed("node", "a"), "a", "left_semi"
+                ).join(
+                    keep.withColumnRenamed("node", "b"), "b", "left_semi"
+                )
+            ).localCheckpoint(eager=True)
+            n = e2.count()
+            self.rounds_ += 1
+            e = e2
+            if n == prev:
+                break
+            prev = n
+        return e
+
+    def core(self, edges: DataFrame, k: int) -> DataFrame:
+        """``[node]`` — every node of the k-core (each has ≥ k
+        neighbors inside the core)."""
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        return self._surviving(self._peel(self._canonical(edges), k), k)
+
+    def core_numbers(self, edges: DataFrame, max_k: int) -> DataFrame:
+        """``[node, core]`` — the largest k ≤ ``max_k`` whose k-core
+        contains the node (nodes of the edge list only)."""
+        from pyspark.sql import functions as F
+
+        if max_k < 1:
+            raise ValueError("max_k must be >= 1")
+        e = self._canonical(edges)
+        out = None
+        for k in range(1, max_k + 1):
+            e = self._peel(e, k)  # k-core edges (subset of previous)
+            members = self._surviving(e, k).select(
+                "node", F.lit(k).alias("core")
+            )
+            if members.isEmpty():
+                break
+            out = (
+                members
+                if out is None
+                else out.unionByName(members)
+            )
+        if out is None:
+            schema = "node long, core int"
+            return edges.sparkSession.createDataFrame([], schema)
+        return out.groupBy("node").agg(
+            F.max("core").cast("int").alias("core")
         )

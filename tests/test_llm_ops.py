@@ -5159,3 +5159,40 @@ def test_hdr_quantile_sketch_bucket_sql_parity(spark):
     # monotone in v (bucket boundaries never invert)
     bs = [got[v] for v in vals]
     assert bs == sorted(bs)
+
+
+def test_kcore_decomposition(spark):
+    """k-core peeling: clique=3-core, triangle=2-core, chain=1-core;
+    iterative endpoint peeling handles deep chains; core_numbers
+    agrees with per-k membership."""
+    from replay_spark.graph import KCoreDecomposition
+
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    tri = [(8, 9), (9, 10), (8, 10)]
+    chain = [(i, i + 1) for i in range(20, 28)]
+    tail = [(11, 0)]
+    edges = spark.createDataFrame(
+        clique + tri + chain + tail, "src long, dst long"
+    )
+    kc = KCoreDecomposition()
+    assert sorted(
+        r.node for r in kc.core(edges, 3).collect()
+    ) == [0, 1, 2, 3]
+    assert sorted(
+        r.node for r in kc.core(edges, 2).collect()
+    ) == [0, 1, 2, 3, 8, 9, 10]
+    # chain peeling for k=2 must fully dissolve the chain (many
+    # rounds of endpoint removal), not stop after one
+    assert kc.rounds_ >= 4
+    got = {
+        r.node: r.core
+        for r in kc.core_numbers(edges, max_k=4).collect()
+    }
+    for n in range(4):
+        assert got[n] == 3
+    for n in (8, 9, 10):
+        assert got[n] == 2
+    for n in (11, 20, 27):
+        assert got[n] == 1
+    # empty k-core
+    assert kc.core(edges, 4).count() == 0
