@@ -5878,6 +5878,32 @@ def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free target encoding (leave-one-out): each event's
+    event_type encodes as the exact mean of every OTHER event's
+    integerized value in that type — one stats aggregation + one
+    join, the row's own label subtracted in the projection. Exact
+    BIGINT numerator/denominator pairs hash cross-engine (doubles
+    never enter the gate); DuckDB replays the same exclusion
+    algebra."""
+    from replay_spark.preprocessing.target_encoder import TargetEncoder
+
+    ev = rsd.read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("y"),
+    )
+    enc = TargetEncoder(
+        ["event_type"], "y", mode="loo", emit_fractions=True
+    ).transform(ev)
+    return enc.select(
+        "event_id",
+        "event_type",
+        F.col("event_type__te_num").alias("te_num"),
+        F.col("event_type__te_den").alias("te_den"),
+    )
+
+
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-core peeling: a ring over all doc_ids (every
     node degree ≥ 2) plus depth-3 pendant chains hanging off every
@@ -6131,6 +6157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_lake_sink": q_streaming_lake_sink,
         "q_streaming_feature_store": q_streaming_feature_store,
         "q_grouped_quantiles": q_grouped_quantiles,
+        "q_target_encode": q_target_encode,
         "q_kcore": q_kcore,
         "q_hdr_quantiles": q_hdr_quantiles,
         "q_funnel": q_funnel,
@@ -10377,6 +10404,34 @@ def oracle_sql() -> dict[str, str]:
                        AS max_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "q_target_encode": """
+            WITH v AS (
+                SELECT event_id, event_type,
+                       CAST(floor(value * 100) AS BIGINT) AS y
+                FROM events),
+            s AS (
+                SELECT event_type,
+                       CAST(sum(y) AS BIGINT) AS cs,
+                       CAST(count(y) AS BIGINT) AS cn
+                FROM v GROUP BY 1),
+            p AS (
+                SELECT CAST(sum(y) AS BIGINT) AS pn,
+                       CAST(count(y) AS BIGINT) AS pd
+                FROM v)
+            SELECT v.event_id, v.event_type,
+                   CAST(CASE WHEN cn - (CASE WHEN y IS NOT NULL
+                                        THEN 1 ELSE 0 END) <= 0
+                             THEN p.pn
+                             ELSE cs - coalesce(y, 0) END
+                        AS BIGINT) AS te_num,
+                   CAST(CASE WHEN cn - (CASE WHEN y IS NOT NULL
+                                        THEN 1 ELSE 0 END) <= 0
+                             THEN p.pd
+                             ELSE cn - (CASE WHEN y IS NOT NULL
+                                        THEN 1 ELSE 0 END) END
+                        AS BIGINT) AS te_den
+            FROM v JOIN s USING (event_type) CROSS JOIN p
         """,
         "q_kcore": """
             WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n

@@ -344,3 +344,71 @@ def test_abnormality_golden(spark):
     assert got[0][1] == pytest.approx(0.0)
     assert got[1][0] == pytest.approx(0.5)
     assert got[1][1] == pytest.approx(0.0)
+
+
+def test_target_encoder_loo_and_global(spark):
+    """Leave-one-out excludes exactly the row's own label; global
+    mode smooths toward the prior; singletons fall back to it."""
+    from replay_spark.preprocessing.target_encoder import TargetEncoder
+
+    df = spark.createDataFrame(
+        [
+            (0, "a", 10.0), (1, "a", 20.0), (2, "a", 30.0),
+            (3, "b", 100.0), (4, "b", 200.0),
+            (5, "c", 7.0),                    # singleton
+        ],
+        "id long, cat string, y double",
+    )
+    loo = TargetEncoder(["cat"], "y", mode="loo").transform(df)
+    got = {r.id: r.cat__te for r in loo.collect()}
+    assert got[0] == 25.0 and got[1] == 20.0 and got[2] == 15.0
+    assert got[3] == 200.0 and got[4] == 100.0
+    prior = (10 + 20 + 30 + 100 + 200 + 7) / 6
+    assert abs(got[5] - prior) < 1e-12          # singleton -> prior
+    glob = TargetEncoder(
+        ["cat"], "y", mode="global", smoothing=2.0
+    ).transform(df)
+    g = {r.id: r.cat__te for r in glob.collect()}
+    assert abs(g[0] - (60 + 2 * prior) / 5) < 1e-12
+    assert g[0] == g[1] == g[2]
+
+
+def test_target_encoder_kfold_out_of_fold(spark):
+    """kfold: every row's encoding equals the exact mean of its
+    category restricted to the OTHER folds (recomputed in Python
+    from the same md5 fold)."""
+    import hashlib
+
+    from replay_spark.preprocessing.target_encoder import TargetEncoder
+
+    rows = [(i, "ab"[i % 2], float((i * 7) % 23)) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, cat string, y double")
+    enc = TargetEncoder(
+        ["cat"], "y", mode="kfold", folds=4, id_column="id",
+        emit_fractions=True,
+    ).transform(df)
+    got = {r.id: (r.cat__te, r.cat__te_num, r.cat__te_den) for r in enc.collect()}
+
+    def fold(i):
+        h = int(hashlib.md5(f"te:{i}".encode()).hexdigest()[:15], 16)
+        return h % 4
+
+    by_cat = {}
+    for i, c, y in rows:
+        by_cat.setdefault(c, []).append((i, y))
+    for i, c, y in rows:
+        other = [yy for j, yy in by_cat[c] if fold(j) != fold(i)]
+        te, num, den = got[i]
+        assert den == len(other)
+        assert abs(te - sum(other) / len(other)) < 1e-9, i
+
+
+def test_target_encoder_guards(spark):
+    from replay_spark.preprocessing.target_encoder import TargetEncoder
+
+    with pytest.raises(ValueError, match="mode"):
+        TargetEncoder(["c"], mode="oof")
+    with pytest.raises(ValueError, match="id_column"):
+        TargetEncoder(["c"], mode="kfold")
+    with pytest.raises(ValueError, match="smoothing"):
+        TargetEncoder(["c"], mode="loo", smoothing=1.0)
