@@ -5878,6 +5878,71 @@ def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval end to end: the BM25 lexical ranking (fixed
+    two-token query) fuses with an embedding-cosine ranking (query
+    vector = vec_id 0, candidates = the doc_id-aligned embedding
+    prefix) via reciprocal rank fusion — the modern
+    lexical+vector-search shape. Both input rankings use
+    stable-rounded scores with id tie-breaks, the fused score sums
+    the two 1/(60+r) terms in fixed order, and the gate returns pure
+    integers (doc, per-source ranks, fused rank). DuckDB replays
+    BM25, the cosine top-N, and the fusion algebra."""
+    from replay_spark.preprocessing.text import (
+        BM25SearchScorer,
+        ReciprocalRankFusion,
+    )
+    from replay_spark.utils.spark_utils import stable_round
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    bm = BM25SearchScorer().score(docs, "data spark")
+    w_bm = Window.orderBy(
+        stable_round("bm25", 6).desc(), F.col("doc_id").asc()
+    )
+    r_bm = (
+        bm.withColumn("rank", F.row_number().over(w_bm))
+        .filter(F.col("rank") <= 100)
+        .select(F.lit(0).alias("query_id"), "doc_id", "rank")
+    )
+    emb = rsd.read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cos = stable_round(dot / (nrm(F.col("v")) * nrm(F.col("qv"))), 6)
+    w_cos = Window.orderBy(F.col("_cos").desc(), F.col("vec_id").asc())
+    r_cos = (
+        emb.filter(F.col("vec_id") < n_docs)
+        .crossJoin(F.broadcast(qv))
+        .withColumn("_cos", cos)
+        .withColumn("rank", F.row_number().over(w_cos))
+        .filter(F.col("rank") <= 100)
+        .select(
+            F.lit(0).alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            "rank",
+        )
+    )
+    fused = ReciprocalRankFusion(k=60).fuse(r_bm, r_cos)
+    return fused.filter(F.col("fused_rank") <= 50).select(
+        "doc_id",
+        F.col("fused_rank").cast("long").alias("fused_rank"),
+        F.col("_r0").alias("r_bm25"),
+        F.col("_r1").alias("r_cos"),
+    )
+
+
 def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-free target encoding (leave-one-out): each event's
     event_type encodes as the exact mean of every OTHER event's
@@ -6157,6 +6222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_lake_sink": q_streaming_lake_sink,
         "q_streaming_feature_store": q_streaming_feature_store,
         "q_grouped_quantiles": q_grouped_quantiles,
+        "q_rrf_hybrid": q_rrf_hybrid,
         "q_target_encode": q_target_encode,
         "q_kcore": q_kcore,
         "q_hdr_quantiles": q_hdr_quantiles,
@@ -10404,6 +10470,79 @@ def oracle_sql() -> dict[str, str]:
                        AS max_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "q_rrf_hybrid": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)),
+                                                 '\\s+')) AS token
+                FROM documents
+                WHERE trim(text) <> ''),
+            lens AS (
+                SELECT doc_id, count(*) AS dl FROM toks
+                GROUP BY doc_id),
+            stats AS (
+                SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+            tf AS (
+                SELECT doc_id, token, count(*) AS tf FROM toks
+                WHERE token IN ('data', 'spark')
+                GROUP BY doc_id, token),
+            dfreq AS (
+                SELECT token, count(*) AS df FROM tf GROUP BY token),
+            bm AS (
+                SELECT t.doc_id,
+                       round(sum(
+                           ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                           * t.tf * 2.2
+                           / (t.tf + 1.2 * (1.0 - 0.75
+                                + 0.75 * l.dl / s.avgdl))
+                       ) + 1e-9, 6) AS bm25
+                FROM tf t
+                JOIN dfreq d USING (token)
+                JOIN lens l USING (doc_id)
+                CROSS JOIN stats s
+                GROUP BY t.doc_id),
+            r_bm AS (
+                SELECT doc_id, rank FROM (
+                    SELECT doc_id, row_number() OVER (
+                        ORDER BY bm25 DESC, doc_id ASC) AS rank
+                    FROM bm) t WHERE rank <= 100),
+            e AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+            qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+            cosd AS (
+                SELECT e.vec_id AS doc_id,
+                       round(list_dot_product(e.v, qv.q) /
+                             (sqrt(list_dot_product(e.v, e.v)) *
+                              sqrt(list_dot_product(qv.q, qv.q)))
+                             + 1e-9, 6) AS cos
+                FROM e CROSS JOIN qv
+                WHERE e.vec_id < (SELECT count(*) FROM documents)),
+            r_cos AS (
+                SELECT doc_id, rank FROM (
+                    SELECT doc_id, row_number() OVER (
+                        ORDER BY cos DESC, doc_id ASC) AS rank
+                    FROM cosd) t WHERE rank <= 100),
+            fused AS (
+                SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+                       CAST(b.rank AS BIGINT) AS r_bm25,
+                       CAST(c.rank AS BIGINT) AS r_cos,
+                       coalesce(1.0 / (60.0 + b.rank), 0.0)
+                       + coalesce(1.0 / (60.0 + c.rank), 0.0)
+                           AS score
+                FROM r_bm b FULL JOIN r_cos c
+                  ON b.doc_id = c.doc_id)
+            SELECT doc_id, fused_rank, r_bm25, r_cos FROM (
+                SELECT doc_id,
+                       CAST(row_number() OVER (
+                           ORDER BY score DESC, doc_id ASC)
+                            AS BIGINT) AS fused_rank,
+                       r_bm25, r_cos
+                FROM fused) t
+            WHERE fused_rank <= 50
         """,
         "q_target_encode": """
             WITH v AS (

@@ -45,6 +45,7 @@ __all__ = [
     "InvertedIndex",
     "FuzzyTokenMatcher",
     "BM25SearchScorer",
+    "ReciprocalRankFusion",
     "TfIdfKeywords",
     "UnigramLMScorer",
     "BigramLMScorer",
@@ -1635,6 +1636,82 @@ class BM25SearchScorer:
             .withColumn("bm25", total)
             .filter(F.col("n_hits") > 0)
             .select(idc, "n_hits", "bm25")
+        )
+
+
+class ReciprocalRankFusion:
+    """Hybrid-retrieval rank fusion (Cormack, Clarke & Büttcher
+    2009, "Reciprocal rank fusion outperforms Condorcet and
+    individual rank learning methods"): combine any number of
+    per-query rankings — BM25, ANN cosine, recency, a reranker —
+    into one list via ``score(d) = Σ_i 1/(k + rank_i(d))``, the
+    standard device behind hybrid lexical+vector search.
+
+    Determinism by construction: each input ranking contributes via
+    a CONDITIONAL MIN per source (one groupBy over the unioned
+    lists), and the fused score sums the per-source terms in FIXED
+    source order — never a float sum whose association depends on
+    partitioning. Ties (permuted rank pairs give equal scores) break
+    on the document id, so the fused ranking is bit-stable and the
+    ``q_rrf_hybrid`` gate hashes pure integers. Scale shape: one
+    shuffle on (query, doc) over the CANDIDATE LISTS (top-N per
+    ranker — thousands of rows per query, never the corpus), then
+    one per-query window over ≤ Σ N rows. No reference counterpart
+    (retrieval-tier extension).
+    """
+
+    def __init__(
+        self,
+        k: int = 60,
+        query_column: str = "query_id",
+        id_column: str = "doc_id",
+        rank_column: str = "rank",
+    ):
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        self.k = k
+        self.query_column = query_column
+        self.id_column = id_column
+        self.rank_column = rank_column
+
+    def fuse(self, *rankings: DataFrame) -> DataFrame:
+        """``[query, doc, rrf_score, fused_rank]`` from ≥ 1 ranking
+        frames ``[query, doc, rank]`` (1-based ranks; a doc absent
+        from a ranker contributes nothing for it)."""
+        if not rankings:
+            raise ValueError("need at least one ranking")
+        q, d, r = self.query_column, self.id_column, self.rank_column
+        tagged = None
+        for i, rk in enumerate(rankings):
+            part = rk.select(
+                F.col(q), F.col(d),
+                F.lit(i).alias("_src"),
+                F.col(r).cast("long").alias("_r"),
+            )
+            tagged = part if tagged is None else tagged.unionByName(part)
+        per_src = tagged.groupBy(q, d).agg(
+            *[
+                F.min(F.when(F.col("_src") == i, F.col("_r"))).alias(
+                    f"_r{i}"
+                )
+                for i in range(len(rankings))
+            ]
+        )
+        score = None
+        for i in range(len(rankings)):  # fixed-order float sum
+            term = F.coalesce(
+                F.lit(1.0) / (F.lit(float(self.k)) + F.col(f"_r{i}")),
+                F.lit(0.0),
+            )
+            score = term if score is None else score + term
+        w = Window.partitionBy(q).orderBy(
+            F.col("rrf_score").desc(), F.col(d).asc()
+        )
+        return (
+            per_src.withColumn("rrf_score", score)
+            .withColumn("fused_rank", F.row_number().over(w))
+            .select(q, d, "rrf_score", "fused_rank",
+                    *[f"_r{i}" for i in range(len(rankings))])
         )
 
 

@@ -5196,3 +5196,33 @@ def test_kcore_decomposition(spark):
         assert got[n] == 1
     # empty k-core
     assert kc.core(edges, 4).count() == 0
+
+
+def test_reciprocal_rank_fusion(spark):
+    """RRF: fused score = sum of 1/(k+rank) over present sources;
+    ties (swapped rank pairs) break on doc id; absent docs
+    contribute nothing for that source."""
+    from replay_spark.preprocessing.text import ReciprocalRankFusion
+
+    r1 = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id long, doc_id long, rank long",
+    )
+    r2 = spark.createDataFrame(
+        [(0, 11, 1), (0, 10, 2), (0, 13, 1)],  # 13 only in source 2
+        "query_id long, doc_id long, rank long",
+    )
+    out = {
+        r.doc_id: (r.fused_rank, r.rrf_score)
+        for r in ReciprocalRankFusion(k=60).fuse(r1, r2).collect()
+    }
+    # docs 10 and 11 have swapped (1,2)/(2,1) -> equal score, tie
+    # breaks on id: 10 before 11
+    assert out[10][0] == 1 and out[11][0] == 2
+    assert abs(out[10][1] - (1 / 61 + 1 / 62)) < 1e-12
+    assert abs(out[13][1] - 1 / 61) < 1e-12  # missing source -> 0
+    assert out[12][0] == 4
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ReciprocalRankFusion(k=0)
