@@ -6144,70 +6144,112 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered queries, ordered for the driver's 50-query window.
 
-    The driver scores the FIRST 50 entries — (a) + (a2) + (b) is
-    EXACTLY 50 (checked by tests/test_entry_contract.py). Order for
-    r9 (the hash-density round the r8 verdict asked for): (a) 12
-    gates that debuted or materially changed this round — the two
-    exact-integer fit gates the verdict requested (q_kmeans_step:
-    one full Lloyd step from fixed centroids with BIGINT component
-    sums; q_pca_cov: the integer-projected covariance the
-    distributed half of PCA fit produces — both hash twins of the
-    still-rows-only production float fits), the new feature-store
-    tier (q_asof_nearest: double-carry nearest direction;
-    q_feature_store: point-in-time join over a version-pinned lake
-    view + a DataFrame view), the two component gates after pointer
-    jumping became adaptive (q_dedup_clusters,
-    q_connected_components), the three sinks after the
-    duplicate-key sort tiebreaker + the Arrow-schema fidelity fix
-    (q_arrow_ipc, q_avro_roundtrip, q_tfrecord_roundtrip +
-    q_tfrecord_floats), q_lake_optimize after the
-    conservative-pruning fixes, and q_asof_join after the asof
-    refactor; (a2) 36 hash gates that had NEVER been officially
-    scored — the complete round-8 session-2/3 debut backlog
-    (lake/lakehouse: timetravel, merge, scd2, changes, IVM,
-    exactly-once sink, bucketed join, skew join; containers:
-    mp4/webm/avi/adpcm; quality/timeseries/sketch:
-    constraint_suite, interpolate, heavy_hitters, hll_overlap,
-    corr_matrix, anomaly_flags, exact/grouped quantiles; streaming:
-    interval join, windowed agg; text/format: wordpiece, unigram
-    tokenizers, bleu, rouge, phrase mining, global shuffle,
-    zorder pruning, triangle counting, corpus diff) plus the six
-    end-of-round analytics/format gates (funnel, cohort retention,
-    transition matrix, A/B summary, grouped quantiles, arrow IPC);
-    (b) the q_thompson_params hash swap for the r8 rows-only
-    q_thompson_scores, and the q_llm_e2e flagship re-prove (last
-    official row r6). EVERY entry in the r9 window is hash-gated —
-    0 rows-only contracts, 50/50 hash (r8 was 41/50); the six
-    honestly non-SQL rows-only contracts (q_quality_classifier,
-    q_textrank, q_bin_pack, q_pagerank, q_compression_ratio,
-    q_spectrogram) plus q_kmeans_fit/q_pca_fit (whose hash twins
-    are scored above) all sit in (c), officially green in r8.
-    (c) everything else — officially green in a prior round —
-    still run in tools/check_oracle at both scales and in bench.
+    The driver scores the FIRST 50 entries — sections (a)..(b) sum
+    to EXACTLY 50 (pinned by tests/test_entry_contract.py), and every
+    one carries a value-hash oracle (50/50 hash, the bar since r9).
+    Order for r10: (a) the 9 round-10 debuts — the lakehouse GC/skip/
+    clone tier (q_lake_vacuum: retention-window GC with a durable
+    ratcheting horizon; q_bloom_skip: per-file Bloom sidecars pruning
+    point predicates interval stats can't; q_lake_clone: zero-copy
+    shallow clone with divergent evolution), streaming feature
+    freshness (q_streaming_feature_store: exactly-once micro-batch
+    ingestion + point-in-time read == batch recompute), the Hdr
+    quantile sketch batch + streaming (q_hdr_quantiles,
+    q_streaming_hdr), k-core peeling (q_kcore), leakage-free target
+    encoding (q_target_encode), and RRF hybrid search (q_rrf_hybrid);
+    (a2) the 4 r9 debuts that missed the r9 window (q_doc_embed,
+    q_lake_checkpoint, q_lake_partition, q_tfrecord_floats);
+    (a3) 6 gates whose code paths materially changed this round —
+    asof_join grew numeric-'on' units (q_asof_join, q_asof_nearest,
+    q_feature_store), the kmeans quantized update gained its
+    overflow guard (q_kmeans_step), the lake read path gained the
+    time-travel guard + date-stats fix (q_lake_optimize), and
+    IncrementalDeduplicator's store scan was refactored for bloom
+    pruning (q_incremental_dedup); (b) the 31 stalest official
+    scores — the COMPLETE r5 cohort (14), all of r6 (5), and the 12
+    oldest r7 gates — so no official score in the board is older
+    than r7 after this round. The honestly non-SQL rows-only
+    contracts (see test_entry_contract.py's allowlist) all sit in
+    (c), officially green in prior rounds.
+    (c) everything else — officially green in a prior round — still
+    run in tools/check_oracle at both scales and in bench.
     """
     return {
-        # -- (a) round-9 debuts + gates whose internals changed
-        #        this round: the exact-integer fit gates
-        #        (q_kmeans_step, q_pca_cov), the feature-store
-        #        tier (q_asof_nearest, q_feature_store), the
-        #        adaptive-pointer-jumping components, the
-        #        tiebreaker-sorted sinks, and the pruning-fixed
-        #        lake read path ------------------------------
-        "q_kmeans_step": q_kmeans_step,
-        "q_pca_cov": q_pca_cov,
+        # -- (a) round-10 debuts: lakehouse GC/skip/clone tier
+        #        (retention vacuum, bloom sidecars, zero-copy
+        #        clone), streaming feature freshness, the Hdr
+        #        quantile sketch (batch + streaming), k-core
+        #        peeling, target encoding, RRF hybrid search --
+        "q_lake_vacuum": q_lake_vacuum,
+        "q_bloom_skip": q_bloom_skip,
+        "q_lake_clone": q_lake_clone,
+        "q_streaming_feature_store": q_streaming_feature_store,
+        "q_hdr_quantiles": q_hdr_quantiles,
+        "q_streaming_hdr": q_streaming_hdr,
+        "q_kcore": q_kcore,
+        "q_target_encode": q_target_encode,
+        "q_rrf_hybrid": q_rrf_hybrid,
+        # -- (a2) round-9 debuts that missed the r9 window ----
+        "q_doc_embed": q_doc_embed,
+        "q_lake_checkpoint": q_lake_checkpoint,
+        "q_lake_partition": q_lake_partition,
+        "q_tfrecord_floats": q_tfrecord_floats,
+        # -- (a3) gates whose code paths materially changed
+        #        this round: asof_join numeric-'on' units (and
+        #        its two dependents), the kmeans overflow
+        #        guard, the lake read path (time-travel guard +
+        #        date-stats fix), IncrementalDeduplicator's
+        #        store-scan refactor ---------------------------
+        "q_asof_join": q_asof_join,
         "q_asof_nearest": q_asof_nearest,
         "q_feature_store": q_feature_store,
+        "q_kmeans_step": q_kmeans_step,
+        "q_lake_optimize": q_lake_optimize,
+        "q_incremental_dedup": q_incremental_dedup,
+        # -- (b) stalest official scores re-proved: the full
+        #        r5 cohort (14), r6 (5), and the 12 oldest r7
+        #        gates — every one hash-green in its last
+        #        official round and in every sweep since -------
+        "q_doc_dedup_exact": q_doc_dedup_exact,
+        "q_doc_dedup_normalized": q_doc_dedup_normalized,
+        "q_document_chunks": q_document_chunks,
+        "q_document_chunks_overlap": q_document_chunks_overlap,
+        "q_embedding_neardup": q_embedding_neardup,
+        "q_horizontal_explode": q_horizontal_explode,
+        "q_lang_id": q_lang_id,
+        "q_multimodal_meta": q_multimodal_meta,
+        "q_nation_revenue": q_nation_revenue,
+        "q_pii_scrub": q_pii_scrub,
+        "q_quality_filter": q_quality_filter,
+        "q_text_quality": q_text_quality,
+        "q_text_stats": q_text_stats,
+        "q_top_parts_by_size": q_top_parts_by_size,
+        "q_jpeg_decode": q_jpeg_decode,
+        "q_label_encode": q_label_encode,
+        "q_paragraph_dedup": q_paragraph_dedup,
+        "q_png_decode": q_png_decode,
+        "q_source_cap": q_source_cap,
+        "q_audio_decode": q_audio_decode,
+        "q_audio_frames": q_audio_frames,
+        "q_bigram_lm_scores": q_bigram_lm_scores,
+        "q_blocklist": q_blocklist,
+        "q_c4_clean": q_c4_clean,
+        "q_ccnet_buckets": q_ccnet_buckets,
+        "q_cms_counts": q_cms_counts,
+        "q_contamination_report": q_contamination_report,
+        "q_doc_fingerprints_md5": q_doc_fingerprints_md5,
+        "q_dsir_weights": q_dsir_weights,
+        "q_embedding_cosine_topk": q_embedding_cosine_topk,
+        "q_gif_decode": q_gif_decode,
+        # -- (c) officially green in a prior round — still run
+        #        in tools/check_oracle (both scales) and bench
+        "q_pca_cov": q_pca_cov,
         "q_dedup_clusters": q_dedup_clusters,
         "q_connected_components": q_connected_components,
         "q_arrow_ipc": q_arrow_ipc,
         "q_avro_roundtrip": q_avro_roundtrip,
         "q_tfrecord_roundtrip": q_tfrecord_roundtrip,
-        "q_lake_optimize": q_lake_optimize,
         "q_materialized_agg": q_materialized_agg,
-        "q_asof_join": q_asof_join,
-        # -- (a2) never-scored hash debuts from round-8
-        #        sessions 2/3 + the end-of-round analytics/
-        #        format tiers — every tier represented -------
         "q_mp4_samples": q_mp4_samples,
         "q_webm_frames": q_webm_frames,
         "q_constraint_suite": q_constraint_suite,
@@ -6220,12 +6262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hll_overlap": q_hll_overlap,
         "q_corr_matrix": q_corr_matrix,
         "q_streaming_lake_sink": q_streaming_lake_sink,
-        "q_streaming_feature_store": q_streaming_feature_store,
         "q_grouped_quantiles": q_grouped_quantiles,
-        "q_rrf_hybrid": q_rrf_hybrid,
-        "q_target_encode": q_target_encode,
-        "q_kcore": q_kcore,
-        "q_hdr_quantiles": q_hdr_quantiles,
         "q_funnel": q_funnel,
         "q_cohort_retention": q_cohort_retention,
         "q_transition_matrix": q_transition_matrix,
@@ -6249,20 +6286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_phrase_scores": q_phrase_scores,
         "q_streaming_window": q_streaming_window,
         "q_lake_changes": q_lake_changes,
-        # -- (b) hash-density swap + flagship re-prove:
-        #        q_thompson_params (hash twin of the r8 rows-
-        #        only q_thompson_scores) and q_llm_e2e --------
         "q_thompson_params": q_thompson_params,
         "q_llm_e2e": q_llm_e2e,
-        # -- (c) officially green in a prior round — still run
-        #        in tools/check_oracle (both scales) and bench
-        "q_tfrecord_floats": q_tfrecord_floats,
-        "q_lake_checkpoint": q_lake_checkpoint,
-        "q_lake_partition": q_lake_partition,
-        "q_lake_vacuum": q_lake_vacuum,
-        "q_bloom_skip": q_bloom_skip,
-        "q_lake_clone": q_lake_clone,
-        "q_doc_embed": q_doc_embed,
         "q_corpus_stats": q_corpus_stats,
         "q_skew_report": q_skew_report,
         "q_profile_columns": q_profile_columns,
@@ -6291,9 +6316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hash_split": q_hash_split,
         "q_fuzzy_pairs": q_fuzzy_pairs,
         "q_streaming_hll": q_streaming_hll,
-        "q_streaming_hdr": q_streaming_hdr,
         "q_script_detect": q_script_detect,
-        "q_incremental_dedup": q_incremental_dedup,
         "q_media_validate": q_media_validate,
         "q_hash_sample": q_hash_sample,
         "q_quality_classifier": q_quality_classifier,
@@ -6312,12 +6335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_negative_sample": q_negative_sample,
         "q_rolling_features": q_rolling_features,
         "q_chat_template": q_chat_template,
-        "q_lang_id": q_lang_id,
-        "q_nation_revenue": q_nation_revenue,
-        "q_quality_filter": q_quality_filter,
         "q_pq_ann_fixed": q_pq_ann_fixed,
         "q_mp4_meta": q_mp4_meta,
-        "q_gif_decode": q_gif_decode,
         "q_gif_frames": q_gif_frames,
         "q_semantic_dedup": q_semantic_dedup,
         "q_substring_dedup": q_substring_dedup,
@@ -6330,57 +6349,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivfpq_ann": q_ivfpq_ann,
         "q_image_phash_dedup": q_image_phash_dedup,
         "q_ivf_ann_fixed": q_ivf_ann_fixed,
-        "q_doc_fingerprints_md5": q_doc_fingerprints_md5,
         "q_repetition_stats": q_repetition_stats,
-        "q_bigram_lm_scores": q_bigram_lm_scores,
         "q_unigram_lm_scores": q_unigram_lm_scores,
         "q_tfidf_keywords": q_tfidf_keywords,
         "q_user_stats": q_user_stats,
         "q_pricing_summary": q_pricing_summary,
-        "q_embedding_cosine_topk": q_embedding_cosine_topk,
         "q_sessionize_composite": q_sessionize_composite,
         "q_sequence_pack": q_sequence_pack,
         "q_bpe_tokens": q_bpe_tokens,
         "q_gopher_quality": q_gopher_quality,
-        "q_c4_clean": q_c4_clean,
-        "q_ccnet_buckets": q_ccnet_buckets,
-        "q_dsir_weights": q_dsir_weights,
-        "q_audio_frames": q_audio_frames,
         "q_image_resize": q_image_resize,
         "q_robots_filter": q_robots_filter,
-        "q_cms_counts": q_cms_counts,
         "q_hll_distinct": q_hll_distinct,
         "q_sentences": q_sentences,
-        "q_blocklist": q_blocklist,
         "q_range_join": q_range_join,
         "q_streaming_cms": q_streaming_cms,
         "q_simhash_pairs_md5": q_simhash_pairs_md5,
-        "q_audio_decode": q_audio_decode,
         "q_video_frames": q_video_frames,
         "q_vocab_top_tokens": q_vocab_top_tokens,
         "q_minhash_candidates_md5": q_minhash_candidates_md5,
         "q_streaming_sessionize": q_streaming_sessionize,
         "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "q_contamination_report": q_contamination_report,
         "q_abnormality": q_abnormality,
-        "q_pii_scrub": q_pii_scrub,
-        "q_document_chunks": q_document_chunks,
-        "q_document_chunks_overlap": q_document_chunks_overlap,
-        "q_doc_dedup_exact": q_doc_dedup_exact,
-        "q_doc_dedup_normalized": q_doc_dedup_normalized,
-        "q_text_quality": q_text_quality,
-        "q_text_stats": q_text_stats,
         "q_token_counts": q_token_counts,
-        "q_top_parts_by_size": q_top_parts_by_size,
-        "q_embedding_neardup": q_embedding_neardup,
-        "q_multimodal_meta": q_multimodal_meta,
-        "q_horizontal_explode": q_horizontal_explode,
         "q_unique_entities": q_unique_entities,
         "q_log_info_row": q_log_info_row,
-        "q_source_cap": q_source_cap,
-        "q_paragraph_dedup": q_paragraph_dedup,
-        "q_png_decode": q_png_decode,
-        "q_jpeg_decode": q_jpeg_decode,
         "q_wilson_scores": q_wilson_scores,
         "q_ucb_scores": q_ucb_scores,
         "q_klucb_scores": q_klucb_scores,
@@ -6404,7 +6397,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_querypoprec_scores": q_querypoprec_scores,
         "q_itemknn_similarity": q_itemknn_similarity,
         "q_assoc_rules": q_assoc_rules,
-        "q_label_encode": q_label_encode,
         "q_dataset_encode": q_dataset_encode,
         "q_log_stat_features": q_log_stat_features,
         "q_fallback_merge": q_fallback_merge,
