@@ -32,8 +32,6 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
 BENCH_QUERIES = [
     "q_pricing_summary",
     "q_nation_revenue",
-    "q_top_k_recs",
-    "q_filter_num_interactions",
     "q_ratio_split_test",
     "q_poprec_recs",
     "q_wilson_scores",
@@ -58,12 +56,10 @@ BENCH_QUERIES = [
     "q_media_decode",
     "q_pipeline_eval",
     "q_corpus_stats",
-    "q_png_decode",
     "q_jpeg_decode",
     "q_bpe_tokens",
     "q_llm_e2e",
     "q_pq_ann_fixed",
-    "q_mp4_meta",
     "q_gif_decode",
     "q_semantic_dedup",
     "q_substring_dedup",
@@ -95,6 +91,14 @@ BENCH_QUERIES = [
     "q_corr_matrix",
     "q_feature_store",
     "q_materialized_agg",
+    # round-10 operators: the sketch-tier quantile leg, hybrid
+    # retrieval fusion, k-core peeling, and target encoding
+    # (q_top_k_recs / q_filter_num_interactions / q_png_decode /
+    # q_mp4_meta left the headline — still gated + swept)
+    "q_hdr_quantiles",
+    "q_rrf_hybrid",
+    "q_kcore",
+    "q_target_encode",
 ]
 
 

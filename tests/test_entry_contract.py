@@ -105,3 +105,73 @@ def test_every_registered_gate_listed_in_coverage_md():
     assert not missing, (
         f"gates registered but not listed in COVERAGE.md: {missing}"
     )
+
+
+def test_readme_bench_table_synced_to_newest_bench_json():
+    """The r6/r8/r9 verdicts each caught the README bench tables
+    drifting from the shipped numbers. Mechanical sync contract:
+    (a) the 'Generated from `X`' banner names a file that EXISTS in
+    the repo; (b) the README/PLANS table blocks are BYTE-IDENTICAL
+    to what tools/render_bench_tables.py renders from that file —
+    hand-edits are impossible, not just bounded; (c) the headline
+    total stays inside a coarse sanity band of the newest committed
+    BENCH_r*.json (quiet-box-vs-driver gaps run ~25%; the r9 rot —
+    2.5x-stale sf1 rows from a file not in the repo — cannot)."""
+    import glob
+    import json
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    readme = open(os.path.join(root, "README.md")).read()
+    start = readme.index("<!-- BENCH_SF1_TABLE start")
+    end = readme.index("BENCH_SF1_TABLE end") + len(
+        "BENCH_SF1_TABLE end -->"
+    )
+    block = readme[start:end]
+    m = re.search(r"Generated from `([^`]+)`", block)
+    assert m, "bench table banner missing"
+    src = m.group(1)
+    src_path = None
+    for cand in (os.path.join(root, src),
+                 os.path.join(root, "bench_runs", src)):
+        if os.path.exists(cand):
+            src_path = cand
+            break
+    assert src_path, (
+        f"bench table banner names a file not in the repo: {src}"
+    )
+    # (b) regeneration fidelity: README block == rendered block
+    sys.path.insert(0, os.path.join(root, "tools"))
+    import render_bench_tables as rbt
+
+    parsed, _ = rbt._load(src_path)
+    rendered = rbt.render(parsed, src)
+    assert block.strip() == rendered.strip(), (
+        "README bench table differs from a fresh render of its own "
+        "banner source — rerun tools/render_bench_tables.py --write"
+    )
+    plans = open(os.path.join(root, "PLANS.md")).read()
+    assert rendered.strip() in plans, (
+        "PLANS.md bench table differs from the render — rerun "
+        "tools/render_bench_tables.py --write"
+    )
+    # (c) coarse sanity vs the newest driver record
+    t = re.search(r"Headline warm total ([0-9.]+) s", block)
+    assert t, "bench table missing headline total"
+    readme_total = float(t.group(1))
+    newest = None
+    for p in sorted(glob.glob(os.path.join(root, "BENCH_r*.json")),
+                    reverse=True):
+        rec = json.load(open(p))
+        parsed = rec.get("parsed") if isinstance(rec, dict) else None
+        if parsed and parsed.get("value"):
+            newest = (p, float(parsed["value"]))
+            break
+    assert newest, "no parsable BENCH_r*.json"
+    path, bench_total = newest
+    ratio = readme_total / bench_total
+    assert 0.6 <= ratio <= 1.4, (
+        f"README headline total {readme_total}s is not in the same "
+        f"ballpark as {os.path.basename(path)}'s {bench_total}s "
+        f"(ratio {ratio:.2f}) — stale table or a real regression"
+    )
