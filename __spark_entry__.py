@@ -5878,6 +5878,40 @@ def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis):
+    top-100 docs by stable-rounded ln(u)/w with md5-derived u and
+    w = length+1 — deterministic membership AND order, selected via
+    salted two-phase top-k (no global total order of the corpus).
+    DuckDB replays the hash, the key, and the ranking."""
+    from replay_spark.preprocessing.text import WeightedSampler
+
+    docs = rsd.read_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.length("text") + 1).cast("double").alias("weight")
+    )
+    ws = WeightedSampler(k=100, weight_column="weight",
+                         key_column="doc_id", seed=0)
+    return ws.ranked(docs)
+
+
+def q_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional aggregate lattice: CUBE over (event_type,
+    user bucket) — all four grouping sets in ONE pass with
+    grouping_id disambiguating total/marginal rows (Catalyst expands
+    the lattice map-side; no per-set rescan). DuckDB replays the
+    same CUBE + GROUPING()."""
+    ev = rsd.read_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 4).alias("ub"),
+        "event_id",
+    )
+    return ev.cube("event_type", "ub").agg(
+        F.grouping_id("event_type", "ub").cast("long").alias("gid"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("event_id").cast("long").alias("sum_eid"),
+    )
+
+
 def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval end to end: the BM25 lexical ranking (fixed
     two-token query) fuses with an embedding-cosine ranking (query
@@ -6242,7 +6276,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_cosine_topk": q_embedding_cosine_topk,
         "q_gif_decode": q_gif_decode,
         # -- (c) officially green in a prior round — still run
-        #        in tools/check_oracle (both scales) and bench
+        #        in tools/check_oracle (both scales) and bench;
+        #        late-r10 debuts (r11 rotation candidates) lead
+        "q_cube_rollup": q_cube_rollup,
+        "q_weighted_sample": q_weighted_sample,
         "q_pca_cov": q_pca_cov,
         "q_dedup_clusters": q_dedup_clusters,
         "q_connected_components": q_connected_components,
@@ -10462,6 +10499,45 @@ def oracle_sql() -> dict[str, str]:
                        AS max_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "q_weighted_sample": """
+            WITH w AS (
+                SELECT doc_id,
+                       CAST(length(text) + 1 AS DOUBLE) AS wt
+                FROM documents),
+            h AS (
+                SELECT doc_id, wt,
+                       list_reduce(list_transform(range(1, 16),
+                           j -> CAST(strpos('0123456789abcdef',
+                                    substr(md5('ws0:' ||
+                                              CAST(doc_id AS VARCHAR)),
+                                           CAST(j AS INT), 1)) - 1
+                                AS BIGINT)),
+                           (acc, x) -> acc * 16 + x) AS hv
+                FROM w),
+            r AS (
+                SELECT doc_id,
+                       round(ln((hv + 1)
+                                / 1152921504606846976.0) / wt
+                             + 1e-9, 9) AS r
+                FROM h)
+            SELECT doc_id, sample_rank FROM (
+                SELECT doc_id,
+                       CAST(row_number() OVER (
+                           ORDER BY r DESC, doc_id ASC) AS BIGINT)
+                           AS sample_rank
+                FROM r) t
+            WHERE sample_rank <= 100
+        """,
+        "q_cube_rollup": """
+            SELECT event_type,
+                   CAST(user_id % 4 AS BIGINT) AS ub,
+                   CAST(GROUPING(event_type) * 2
+                        + GROUPING(user_id % 4) AS BIGINT) AS gid,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(event_id) AS BIGINT) AS sum_eid
+            FROM events
+            GROUP BY CUBE (event_type, user_id % 4)
         """,
         "q_rrf_hybrid": """
             WITH toks AS (

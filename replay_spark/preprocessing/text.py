@@ -39,6 +39,7 @@ __all__ = [
     "HashSplitter",
     "ScriptDetector",
     "HashSampler",
+    "WeightedSampler",
     "LengthHistogram",
     "CorpusMixer",
     "VocabBuilder",
@@ -794,6 +795,105 @@ class HashSampler:
             )
         thr_expr = thr_expr.otherwise(F.lit(0))  # unlisted groups drop
         return df.filter(bucket < thr_expr)
+
+
+class WeightedSampler:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006, "Weighted random sampling with a reservoir"): keep the
+    ``k`` rows with the largest ``u^(1/w)`` keys — equivalently the
+    largest ``ln(u)/w`` — which draws each subset with probability
+    proportional to its weights, the quality-weighted
+    document-selection primitive ("sample 1M docs ∝ quality score").
+
+    Determinism: ``u`` derives from ``md5(seed:key)`` (a pure
+    function of the row, the StratifiedSampler device), so re-runs
+    and engines agree row-for-row; the selection key is
+    stable-rounded with the id as tie-break, so the cross-engine
+    ``ln`` last-ulp class can't flip membership.
+
+    Plan shape — no global total order: rank within ``salts`` hash
+    buckets first (every global winner is a bucket winner), then an
+    exact rank over the bounded ``<= salts·k`` survivors, then one
+    LEFT SEMI join back (AQE broadcasts the key set) so full-width
+    rows never shuffle. No reference counterpart (training-data
+    extension).
+    """
+
+    def __init__(
+        self,
+        k: int,
+        weight_column: str = "weight",
+        key_column: str = "doc_id",
+        seed: int = 0,
+        salts: int = 32,
+    ):
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        if salts < 1:
+            raise ValueError("salts must be >= 1")
+        self.k = k
+        self.weight_column = weight_column
+        self.key_column = key_column
+        self.seed = seed
+        self.salts = salts
+
+    def _selection_key(self) -> Column:
+        from replay_spark.utils.spark_utils import stable_round
+
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(f"ws{self.seed}"),
+                        F.col(self.key_column).cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+        return stable_round(
+            F.log(u) / F.col(self.weight_column).cast("double"), 9
+        )
+
+    def ranked(self, df: DataFrame) -> DataFrame:
+        """``[key, sample_rank]`` — the ``k`` winners (weights must
+        be > 0; nulls/non-positives are excluded)."""
+        kc = self.key_column
+        slim = df.select(kc, self.weight_column).filter(
+            F.col(self.weight_column).isNotNull()
+            & (F.col(self.weight_column) > 0)
+        )
+        scored = slim.select(
+            kc, self._selection_key().alias("_r")
+        ).withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col(kc)), F.lit(self.salts)),
+        )
+        w_local = Window.partitionBy("_salt").orderBy(
+            F.col("_r").desc(), F.col(kc).asc()
+        )
+        local = scored.withColumn(
+            "_rn", F.row_number().over(w_local)
+        ).filter(F.col("_rn") <= self.k)
+        w_global = Window.orderBy(F.col("_r").desc(), F.col(kc).asc())
+        return (
+            local.withColumn("sample_rank", F.row_number().over(w_global))
+            .filter(F.col("sample_rank") <= self.k)
+            .select(kc, F.col("sample_rank").cast("long").alias("sample_rank"))
+        )
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """The sampled rows of ``df`` (original columns)."""
+        return df.join(
+            self.ranked(df).select(self.key_column),
+            on=self.key_column,
+            how="left_semi",
+        )
 
 
 class StratifiedSampler:

@@ -5226,3 +5226,45 @@ def test_reciprocal_rank_fusion(spark):
 
     with _pytest.raises(ValueError):
         ReciprocalRankFusion(k=0)
+
+
+def test_weighted_sampler_properties(spark):
+    """E-S weighted sampling: deterministic per seed, exactly k
+    rows, non-positive weights excluded, and across seeds a
+    10x-weighted item is selected far more often than a 1x one."""
+    from replay_spark.preprocessing.text import WeightedSampler
+
+    rows = [(i, 10.0 if i < 20 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, weight double")
+    ws = WeightedSampler(k=40, seed=0)
+    got1 = sorted(r.doc_id for r in ws.transform(df).collect())
+    got2 = sorted(r.doc_id for r in ws.transform(df).collect())
+    assert got1 == got2 and len(got1) == 40          # deterministic
+    ranked = ws.ranked(df)
+    assert ranked.count() == 40
+    assert sorted(r.sample_rank for r in ranked.collect()) == list(
+        range(1, 41)
+    )
+    heavy_hits = 0
+    for seed in range(8):
+        sel = {
+            r.doc_id
+            for r in WeightedSampler(k=40, seed=seed)
+            .transform(df)
+            .collect()
+        }
+        heavy_hits += len(sel & set(range(20)))
+    # heavy items are 10% of rows but ~10x weight: expect most of the
+    # 20 heavy ids selected per draw (E-S gives them ~10x inclusion
+    # odds); 8 seeds x 20 -> well above the uniform ~32 total
+    assert heavy_hits > 80, heavy_hits
+    # non-positive / null weights never selected
+    df2 = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)],
+        "doc_id long, weight double",
+    )
+    sel = sorted(
+        r.doc_id
+        for r in WeightedSampler(k=10, seed=1).transform(df2).collect()
+    )
+    assert sel == [1, 5]

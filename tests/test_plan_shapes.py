@@ -428,3 +428,56 @@ def test_asof_nearest_single_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert len(re.findall(r"\bWindow ", plan)) == 2
+
+
+def test_hdr_sketch_fit_is_map_side_combined(sf):
+    """The Hdr sketch build must be ONE partial/final HashAggregate
+    pair around one exchange — bounded map-side state is the whole
+    point of a sketch."""
+    from replay_spark.preprocessing.text import HdrQuantileSketch
+
+    ev = sf("events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    )
+    sk = HdrQuantileSketch(precision_bits=7, value_column="v")
+    nodes = _nodes(_plan(sk.fit_grouped(ev, "event_type")))
+    assert nodes.count("HashAggregate") == 2
+    assert nodes.count("Exchange") == 1
+
+
+def test_target_encoder_loo_single_stats_exchange(sf):
+    """LOO target encoding = one stats aggregation joined back; the
+    category-stats side must be the only grouped exchange and the
+    join must broadcast the tiny stats table."""
+    from replay_spark.preprocessing.target_encoder import TargetEncoder
+
+    ev = sf("events").select(
+        "event_id", "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("y"),
+    )
+    enc = TargetEncoder(["event_type"], "y", mode="loo").transform(ev)
+    nodes = _nodes(_plan(enc))
+    assert "BroadcastHashJoin" in nodes
+    assert "SortMergeJoin" not in nodes
+
+
+def test_rrf_fuse_single_grouped_exchange(spark):
+    """RRF fusion over candidate lists: one grouped exchange for the
+    conditional-MIN collapse; the per-query window reuses that same
+    partitioning (no second full exchange of the fused rows)."""
+    from replay_spark.preprocessing.text import ReciprocalRankFusion
+
+    r1 = spark.createDataFrame(
+        [(0, i, i + 1) for i in range(50)],
+        "query_id long, doc_id long, rank long",
+    )
+    r2 = spark.createDataFrame(
+        [(0, i * 2, i + 1) for i in range(50)],
+        "query_id long, doc_id long, rank long",
+    )
+    fused = ReciprocalRankFusion(k=60).fuse(r1, r2)
+    nodes = _nodes(_plan(fused))
+    # one exchange on (query, doc) for the agg + one on (query) for
+    # the ranking window — and nothing else
+    assert nodes.count("Exchange") <= 2, nodes
