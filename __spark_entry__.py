@@ -5878,6 +5878,35 @@ def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize + median/IQR scaling with EXACT per-type quantiles
+    (the grouped rank-join device, exact-rational ranks): values
+    clip to [P1, P99], scale as exact integer ppm
+    floor((clipped − median)·1e6 / IQR) — no engine-rounded doubles.
+    DuckDB replays ranks, clip, and the ppm arithmetic."""
+    from replay_spark.preprocessing.scaler import RobustScaler
+
+    ev = rsd.read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    ).filter(F.col("v").isNotNull())
+    rs = RobustScaler(
+        value_column="v",
+        group_columns=["event_type"],
+        lower=0.01,
+        upper=0.99,
+        emit_ppm=True,
+    ).fit(ev)
+    out = rs.transform(ev)
+    return out.select(
+        "event_id",
+        "event_type",
+        F.col("v__clipped").cast("long").alias("clipped"),
+        F.col("v__scaled_ppm").alias("scaled_ppm"),
+    )
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (Efraimidis–Spirakis):
     top-100 docs by stable-rounded ln(u)/w with md5-derived u and
@@ -6280,6 +6309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #        late-r10 debuts (r11 rotation candidates) lead
         "q_cube_rollup": q_cube_rollup,
         "q_weighted_sample": q_weighted_sample,
+        "q_robust_scale": q_robust_scale,
         "q_pca_cov": q_pca_cov,
         "q_dedup_clusters": q_dedup_clusters,
         "q_connected_components": q_connected_components,
@@ -10499,6 +10529,51 @@ def oracle_sql() -> dict[str, str]:
                        AS max_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "q_robust_scale": """
+            WITH v AS (
+                SELECT event_id, event_type,
+                       CAST(floor(value * 100) AS BIGINT) AS v
+                FROM events WHERE value IS NOT NULL),
+            r AS (
+                SELECT event_type, v,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY v) AS rn
+                FROM v),
+            c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                  FROM v GROUP BY 1),
+            t AS (
+                SELECT c.event_type, p.num, p.den,
+                       greatest(CAST(1 AS BIGINT),
+                                (c.n * p.num + p.den - 1) // p.den)
+                           AS k
+                FROM c, (VALUES (1, 100), (1, 4), (1, 2), (3, 4),
+                                (99, 100)) AS p(num, den)),
+            q AS (
+                SELECT t.event_type,
+                       min(CASE WHEN t.num = 1 AND t.den = 100
+                                THEN r.v END) AS lo,
+                       min(CASE WHEN t.num = 1 AND t.den = 4
+                                THEN r.v END) AS q25,
+                       min(CASE WHEN t.num = 1 AND t.den = 2
+                                THEN r.v END) AS med,
+                       min(CASE WHEN t.num = 3 AND t.den = 4
+                                THEN r.v END) AS q75,
+                       min(CASE WHEN t.num = 99 AND t.den = 100
+                                THEN r.v END) AS hi
+                FROM t JOIN r
+                  ON r.event_type = t.event_type AND r.rn = t.k
+                GROUP BY 1)
+            SELECT v.event_id, v.event_type,
+                   CAST(greatest(q.lo, least(q.hi, v.v))
+                        AS BIGINT) AS clipped,
+                   CAST(CASE WHEN q.q75 - q.q25 = 0 THEN 0
+                        ELSE floor(
+                            (greatest(q.lo, least(q.hi, v.v))
+                             - q.med) * 1000000
+                            / (q.q75 - q.q25)) END
+                        AS BIGINT) AS scaled_ppm
+            FROM v JOIN q USING (event_type)
         """,
         "q_weighted_sample": """
             WITH w AS (

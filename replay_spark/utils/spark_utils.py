@@ -1095,6 +1095,21 @@ def grouped_exact_quantiles(
     w = Window.partitionBy(*groups).orderBy(F.col(value_col))
     ranked = clean.withColumn("_rn", F.row_number().over(w))
     counts = clean.groupBy(*groups).agg(F.count(F.lit(1)).alias("_n"))
+    # ranks in EXACT rational arithmetic — float ceil(p·n) is
+    # engine-dependent whenever p·n lands on an integer (double 0.99
+    # gives 0.99·2500 = 2475.0000000000005 → ceil 2476; decimal
+    # engines give 2475): ceil(n·num/den) = (n·num + den − 1) div den
+    # with the minimal num/den of p
+    from fractions import Fraction
+
+    def _rank(p):
+        frac = Fraction(str(float(p))).limit_denominator(10**6)
+        num, den = frac.numerator, frac.denominator
+        exact = F.floor(
+            (F.col("_n") * F.lit(num) + F.lit(den - 1)) / F.lit(den)
+        ).cast("int")
+        return F.greatest(F.lit(1), exact)
+
     targets = counts.select(
         *groups,
         F.explode(
@@ -1102,10 +1117,7 @@ def grouped_exact_quantiles(
                 *[
                     F.struct(
                         F.lit(float(p)).alias("prob"),
-                        F.greatest(
-                            F.lit(1),
-                            F.ceil(F.lit(float(p)) * F.col("_n")),
-                        ).cast("int").alias("_k"),
+                        _rank(p).alias("_k"),
                     )
                     for p in probs
                 ]
@@ -1141,7 +1153,7 @@ def exact_quantiles(
     acceptable; use this when the number must be exact (discretizer
     cut points, SLA percentiles).
     """
-    import math
+    from fractions import Fraction
 
     probs = list(probs)
     if not probs:
@@ -1153,6 +1165,10 @@ def exact_quantiles(
     for p in probs:
         if not 0.0 <= p <= 1.0:
             raise ValueError(f"prob {p} outside [0, 1]")
-        k = max(1, math.ceil(p * n))
+        # exact rational ceil — float ceil(p·n) overshoots by one
+        # whenever p·n lands on an integer (0.99·2500 in doubles is
+        # 2475.0000000000005)
+        frac = Fraction(str(float(p))).limit_denominator(10**6)
+        k = max(1, -((-n * frac.numerator) // frac.denominator))
         out.append(kth_smallest(df, colname, k))
     return out

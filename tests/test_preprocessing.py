@@ -412,3 +412,35 @@ def test_target_encoder_guards(spark):
         TargetEncoder(["c"], mode="kfold")
     with pytest.raises(ValueError, match="smoothing"):
         TargetEncoder(["c"], mode="loo", smoothing=1.0)
+
+
+def test_robust_scaler(spark):
+    """Winsorization clips to exact group quantiles; scaled value is
+    (clipped - median)/IQR; zero-IQR groups scale to 0."""
+    from replay_spark.preprocessing.scaler import RobustScaler
+
+    rows = [("a", i) for i in range(1, 101)] + [
+        ("a", 100000),               # outlier to clip
+        ("b", 5), ("b", 5), ("b", 5),  # zero IQR
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    rs = RobustScaler(
+        value_column="v", group_columns=["g"],
+        lower=0.01, upper=0.99, emit_ppm=True,
+    ).fit(df)
+    out = {
+        (r.g, r.v): (r.v__clipped, r.v__scaled, r.v__scaled_ppm)
+        for r in rs.transform(df).collect()
+    }
+    # group a: n=101 -> P99 rank = ceil(101*99/100) = 100 -> value 100
+    assert out[("a", 100000)][0] == 100       # outlier clipped
+    assert out[("a", 1)][0] == 2              # P1 rank 2 -> clip up
+    med, q25, q75 = 51, 26, 76                # ranks 51/26/76
+    assert out[("a", 51)][1] == 0.0
+    assert abs(out[("a", 76)][1] - 0.5) < 1e-12
+    assert out[("a", 76)][2] == 500000
+    # zero-IQR group scales to 0
+    assert out[("b", 5)][1] == 0.0 and out[("b", 5)][2] == 0
+    # ungrouped mode
+    rs2 = RobustScaler(value_column="v").fit(df)
+    assert "v__scaled" in rs2.transform(df).columns
