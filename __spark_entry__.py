@@ -5878,6 +5878,57 @@ def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lake_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental log-replay replication: three commits sync to a
+    replica, two more land, a SECOND sync copies only the delta
+    (asserted in-gate via the replica's data-file count), and every
+    version of the replica time-travels identically to the source.
+    The replica's final snapshot must equal DuckDB's recompute from
+    the residue predicates — byte-fidelity DR, not re-derivation."""
+    import os
+    import shutil
+    import tempfile
+
+    from replay_spark.lake import LakeTable
+
+    ev = rsd.read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    src_path = os.path.join(tempfile.gettempdir(), f"rs_repsrc_{tag}")
+    dst_path = os.path.join(tempfile.gettempdir(), f"rs_repdst_{tag}")
+    shutil.rmtree(src_path, ignore_errors=True)
+    shutil.rmtree(dst_path, ignore_errors=True)
+    t = LakeTable(spark, src_path)
+    t.append(ev.filter(F.col("event_id") % 10 <= 4))        # v0
+    t.delete(F.col("user_id") % 9 == 0)                     # v1
+    t.append(ev.filter(F.col("event_id") % 10 == 5))        # v2
+    assert t.replicate(dst_path) == 2
+
+    def _count_files(p):
+        return sum(
+            1
+            for _d, _s, ns in os.walk(os.path.join(p, "data"))
+            for n in ns
+            if n.endswith(".parquet")
+        )
+
+    before = _count_files(dst_path)
+    t.append(ev.filter(F.col("event_id") % 10 == 6))        # v3
+    t.delete(F.col("user_id") % 9 == 1)                     # v4
+    assert t.replicate(dst_path) == 4
+    assert _count_files(dst_path) > before  # delta actually copied
+    rep = LakeTable(spark, dst_path)
+    for v in (0, 2, 4):  # replica time-travels identically
+        assert (
+            rep.read(version=v).count() == t.read(version=v).count()
+        ), v
+    return rep.read().groupBy((F.col("user_id") % 7).alias("g")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("event_id").cast("long").alias("sum_eid"),
+    )
+
+
 def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorize + median/IQR scaling with EXACT per-type quantiles
     (the grouped rank-join device, exact-rational ranks): values
@@ -6310,6 +6361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cube_rollup": q_cube_rollup,
         "q_weighted_sample": q_weighted_sample,
         "q_robust_scale": q_robust_scale,
+        "q_lake_replicate": q_lake_replicate,
         "q_pca_cov": q_pca_cov,
         "q_dedup_clusters": q_dedup_clusters,
         "q_connected_components": q_connected_components,
@@ -10529,6 +10581,15 @@ def oracle_sql() -> dict[str, str]:
                        AS max_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "q_lake_replicate": """
+            SELECT CAST(user_id % 7 AS BIGINT) AS g,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(event_id) AS BIGINT) AS sum_eid
+            FROM events
+            WHERE (event_id % 10 <= 4 AND user_id % 9 NOT IN (0, 1))
+               OR (event_id % 10 IN (5, 6) AND user_id % 9 <> 1)
+            GROUP BY 1
         """,
         "q_robust_scale": """
             WITH v AS (

@@ -908,3 +908,52 @@ def test_clone_versions_deep_and_guards(table, spark, tmp_path):
     table.append(wider, merge_schema=True)
     with pytest.raises(ValueError, match="compact"):
         table.clone(str(tmp_path / "c2"))
+
+
+def test_replicate_log_replay(table, spark, tmp_path):
+    """Incremental replication: replica equals the source at EVERY
+    version; a second sync copies only the new commits; lineage and
+    divergence guards fire; vacuumed sources raise with the file
+    named."""
+    dest = str(tmp_path / "replica")
+    table.append(_df(spark, 0, 20).coalesce(1))     # v0
+    table.delete(F.col("k") < 5)                    # v1
+    table.append(_df(spark, 20, 30).coalesce(1))    # v2
+    assert table.replicate(dest) == 2
+    rep = LakeTable(spark, dest)
+    for v in range(3):
+        assert (
+            sorted(r.k for r in rep.read(version=v).collect())
+            == sorted(r.k for r in table.read(version=v).collect())
+        ), v
+    # incremental: two more commits, re-sync
+    table.append(_df(spark, 30, 35).coalesce(1))    # v3
+    table.delete(F.col("k") >= 33)                  # v4
+    n_files_before = sum(
+        1 for _d, _s, ns in os.walk(os.path.join(dest, "data"))
+        for n in ns if n.endswith(".parquet")
+    )
+    assert table.replicate(dest) == 4
+    n_files_after = sum(
+        1 for _d, _s, ns in os.walk(os.path.join(dest, "data"))
+        for n in ns if n.endswith(".parquet")
+    )
+    assert n_files_after > n_files_before
+    assert sorted(r.k for r in rep.read().collect()) == sorted(
+        r.k for r in table.read().collect()
+    )
+    # re-sync with nothing new is a no-op
+    assert table.replicate(dest) == 4
+    # change feed carries over verbatim
+    assert rep.changes(2, 4).count() == table.changes(2, 4).count()
+    # divergence guard: a foreign table is rejected
+    other = LakeTable(spark, str(tmp_path / "other"))
+    other.append(_df(spark, 0, 3).coalesce(1))
+    with pytest.raises(ValueError, match="replica"):
+        table.replicate(str(tmp_path / "other"))
+    # vacuumed source: pre-horizon files are gone -> clear error
+    table.vacuum(retain_last=1)
+    gone_dest = str(tmp_path / "from_vacuumed")
+    import pytest as _p
+    with _p.raises(FileNotFoundError, match="vacuumed"):
+        table.replicate(gone_dest)
