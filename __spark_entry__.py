@@ -6261,7 +6261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver scores the FIRST 50 entries — sections (a)..(b) sum
     to EXACTLY 50 (pinned by tests/test_entry_contract.py), and every
     one carries a value-hash oracle (50/50 hash, the bar since r9).
-    Order for r10: (a) the 9 round-10 debuts — the lakehouse GC/skip/
+    Order for r10: (a) the 13 round-10 debuts — the lakehouse GC/skip/
     clone tier (q_lake_vacuum: retention-window GC with a durable
     ratcheting horizon; q_bloom_skip: per-file Bloom sidecars pruning
     point predicates interval stats can't; q_lake_clone: zero-copy
@@ -6279,10 +6279,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     overflow guard (q_kmeans_step), the lake read path gained the
     time-travel guard + date-stats fix (q_lake_optimize), and
     IncrementalDeduplicator's store scan was refactored for bloom
-    pruning (q_incremental_dedup); (b) the 31 stalest official
-    scores — the COMPLETE r5 cohort (14), all of r6 (5), and the 12
-    oldest r7 gates — so no official score in the board is older
-    than r7 after this round. The honestly non-SQL rows-only
+    pruning (q_incremental_dedup); (b) the 27 stalest official
+    scores — the COMPLETE r5 cohort (14), all of r6 (5), and 8 of
+    the oldest r7 gates — so no official score in the board is older
+    than r7 after this round (4 r7 gates head section (c) for the
+    r11 rotation). The honestly non-SQL rows-only
     contracts (see test_entry_contract.py's allowlist) all sit in
     (c), officially green in prior rounds.
     (c) everything else — officially green in a prior round — still
@@ -6303,6 +6304,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kcore": q_kcore,
         "q_target_encode": q_target_encode,
         "q_rrf_hybrid": q_rrf_hybrid,
+        "q_cube_rollup": q_cube_rollup,
+        "q_weighted_sample": q_weighted_sample,
+        "q_robust_scale": q_robust_scale,
+        "q_lake_replicate": q_lake_replicate,
         # -- (a2) round-9 debuts that missed the r9 window ----
         "q_doc_embed": q_doc_embed,
         "q_lake_checkpoint": q_lake_checkpoint,
@@ -6321,7 +6326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lake_optimize": q_lake_optimize,
         "q_incremental_dedup": q_incremental_dedup,
         # -- (b) stalest official scores re-proved: the full
-        #        r5 cohort (14), r6 (5), and the 12 oldest r7
+        #        r5 cohort (14), r6 (5), and 8 of the oldest r7
         #        gates — every one hash-green in its last
         #        official round and in every sweep since -------
         "q_doc_dedup_exact": q_doc_dedup_exact,
@@ -6351,17 +6356,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ccnet_buckets": q_ccnet_buckets,
         "q_cms_counts": q_cms_counts,
         "q_contamination_report": q_contamination_report,
-        "q_doc_fingerprints_md5": q_doc_fingerprints_md5,
-        "q_dsir_weights": q_dsir_weights,
-        "q_embedding_cosine_topk": q_embedding_cosine_topk,
-        "q_gif_decode": q_gif_decode,
         # -- (c) officially green in a prior round — still run
         #        in tools/check_oracle (both scales) and bench;
         #        late-r10 debuts (r11 rotation candidates) lead
-        "q_cube_rollup": q_cube_rollup,
-        "q_weighted_sample": q_weighted_sample,
-        "q_robust_scale": q_robust_scale,
-        "q_lake_replicate": q_lake_replicate,
+        "q_dsir_weights": q_dsir_weights,
+        "q_embedding_cosine_topk": q_embedding_cosine_topk,
+        "q_gif_decode": q_gif_decode,
+        "q_doc_fingerprints_md5": q_doc_fingerprints_md5,
         "q_pca_cov": q_pca_cov,
         "q_dedup_clusters": q_dedup_clusters,
         "q_connected_components": q_connected_components,
