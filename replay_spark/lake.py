@@ -580,6 +580,7 @@ class LakeTable:
         max_retries: int = 3,
         merge_schema: bool = False,
         partition_by: Optional[Sequence[str]] = None,
+        constraints=None,
     ) -> int:
         """Add rows; blind appends never conflict logically, so a
         version race just retries at the next version. A schema that
@@ -593,7 +594,27 @@ class LakeTable:
         then prunes those files from log metadata alone, before any
         footer is opened (the Delta partition-pruning shape). Files
         stay self-contained (the partition columns remain physical),
-        so every other operation is unchanged."""
+        so every other operation is unchanged.
+
+        ``constraints`` (a :class:`replay_spark.quality.
+        ConstraintSuite`) gates the write — the quality half of
+        schema-on-write: the batch is verified BEFORE any file
+        lands, and a failing constraint raises ``ValueError`` naming
+        it, so bad data never becomes a committed version (one extra
+        scan of the NEW batch only)."""
+        if constraints is not None:
+            report = constraints.run(df).collect()
+            failed = [r for r in report if not r["passed"]]
+            if failed:
+                detail = "; ".join(
+                    f"{r['constraint']}({r['column']}): "
+                    f"{r['metric_num']}/{r['metric_den']}"
+                    for r in failed
+                )
+                raise ValueError(
+                    f"append rejected — {len(failed)} constraint(s) "
+                    f"failed: {detail}"
+                )
         current = self.latest_version()
         if current >= 0 and not merge_schema:
             self.snapshot_files(version=current)
@@ -748,6 +769,66 @@ class LakeTable:
             "clone", sorted(add), [], schema, 0, parts=cparts or None
         )
         return out
+
+    # -- tags ----------------------------------------------------------------
+
+    def _tags(self) -> dict:
+        try:
+            return json.loads(
+                _fs_read(os.path.join(self._log_dir, "_tags.json"))
+            )
+        except (OSError, ValueError):
+            return {}
+
+    def tag(self, name: str, version: Optional[int] = None) -> int:
+        """Name a version (Iceberg-tag shape): ``read(tag=name)``
+        then pins that snapshot forever — the device that makes
+        "the exact table train run 2024-07 saw" a stable reference
+        instead of a version number in a notebook. Tags are
+        immutable (re-tagging a name to a different version raises;
+        delete first with :meth:`untag`), and tagging below the
+        vacuum horizon raises — a tag must stay readable."""
+        if not name or "/" in name or name.startswith("_"):
+            raise ValueError(f"invalid tag name: {name!r}")
+        latest = self.latest_version()
+        if latest < 0:
+            raise FileNotFoundError(f"no commits at {self.path}")
+        version = latest if version is None else int(version)
+        if not 0 <= version <= latest:
+            raise ValueError(f"no version {version} to tag")
+        self._check_time_travel(version)
+        tags = self._tags()
+        if name in tags and tags[name] != version:
+            raise ValueError(
+                f"tag {name!r} already pins version {tags[name]}; "
+                "untag() first"
+            )
+        tags[name] = version
+        with open(
+            os.path.join(self._log_dir, "_tags.json"), "w"
+        ) as fh:
+            fh.write(json.dumps(tags))
+        return version
+
+    def untag(self, name: str) -> None:
+        tags = self._tags()
+        tags.pop(name, None)
+        with open(
+            os.path.join(self._log_dir, "_tags.json"), "w"
+        ) as fh:
+            fh.write(json.dumps(tags))
+
+    def resolve_tag(self, name: str) -> int:
+        tags = self._tags()
+        if name not in tags:
+            raise KeyError(
+                f"unknown tag {name!r}; known: {sorted(tags)}"
+            )
+        return int(tags[name])
+
+    def read_tag(self, name: str) -> DataFrame:
+        """The snapshot a tag pins (``read(version=resolve_tag)``)."""
+        return self.read(version=self.resolve_tag(name))
 
     def replicate(self, dest_path: str) -> int:
         """Incremental LOG-REPLAY replication (DR / cross-region
@@ -913,6 +994,16 @@ class LakeTable:
                 raise ValueError(
                     f"vacuum horizon can only ratchet upward: "
                     f"{h} < current horizon {prior}"
+                )
+            pinned = {
+                n: v for n, v in self._tags().items() if v < h
+            }
+            if pinned:
+                # tags promise readability — refuse to GC under them
+                raise ValueError(
+                    f"tags pin versions below the horizon {h}: "
+                    f"{pinned}; untag() them first or lower the "
+                    "horizon"
                 )
             reachable, *_ = self._fold_state(h)
             reachable = set(reachable)

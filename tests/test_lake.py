@@ -957,3 +957,50 @@ def test_replicate_log_replay(table, spark, tmp_path):
     import pytest as _p
     with _p.raises(FileNotFoundError, match="vacuumed"):
         table.replicate(gone_dest)
+
+
+def test_tags_pin_versions(table, spark):
+    """Tags name snapshots immutably; retention vacuum refuses to GC
+    under a tag; read_tag reads the pinned version."""
+    table.append(_df(spark, 0, 10).coalesce(1))      # v0
+    table.delete(F.col("k") < 3)                     # v1
+    table.append(_df(spark, 10, 15).coalesce(1))     # v2
+    assert table.tag("train-2024-07", version=0) == 0
+    assert table.tag("latest-good") == 2             # default: latest
+    assert sorted(r.k for r in table.read_tag("train-2024-07").collect()) \
+        == list(range(10))
+    # immutability
+    with pytest.raises(ValueError, match="already pins"):
+        table.tag("train-2024-07", version=1)
+    with pytest.raises(KeyError):
+        table.read_tag("nope")
+    # vacuum under a tag refuses
+    with pytest.raises(ValueError, match="tags pin"):
+        table.vacuum(horizon_version=2)
+    table.untag("train-2024-07")
+    gone = table.vacuum(horizon_version=2)
+    assert gone  # now it can GC
+    # the surviving tag still reads
+    assert table.read_tag("latest-good").count() == 12
+    # tagging below the horizon refuses
+    with pytest.raises(ValueError, match="no longer possible"):
+        table.tag("too-old", version=0)
+
+
+def test_append_constraints_gate_the_write(table, spark):
+    """ConstraintSuite-gated appends: a failing batch never becomes
+    a version; a passing batch commits normally."""
+    from replay_spark.quality import ConstraintSuite
+
+    suite = (
+        ConstraintSuite()
+        .is_complete("k")
+        .is_non_negative("v")
+    )
+    table.append(_df(spark, 0, 5).coalesce(1), constraints=suite)
+    assert table.latest_version() == 0
+    bad = spark.createDataFrame([(99, -5)], "k long, v long")
+    with pytest.raises(ValueError, match="constraint"):
+        table.append(bad, constraints=suite)
+    assert table.latest_version() == 0          # nothing committed
+    assert table.read().count() == 5
