@@ -283,6 +283,24 @@ def q_poprec_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recs.select("query_id", "item_id", F.round("rating", 6).alias("rating"))
 
 
+def q_markov_rec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov next-item recommendation end to end: fit
+    estimates the transition matrix from each user's time-ordered
+    sequence (one lead window + one count agg), predict scores
+    P(next | last_item(u)), seen items filter out, deterministic
+    top-5. DuckDB replays sequence → counts → last item → exclusion
+    → ranking; ratings are exact BIGINT ratios rounded identically."""
+    from replay_spark.models import MarkovRec
+
+    ds = _dataset(spark, sf_dir)
+    recs = MarkovRec().fit_predict(ds, k=5)
+    from replay_spark.utils.spark_utils import stable_round
+
+    return recs.select(
+        "query_id", "item_id", stable_round("rating", 6).alias("rating")
+    )
+
+
 def q_querypoprec_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from replay_spark.models import QueryPopRec
 
@@ -6359,6 +6377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (c) officially green in a prior round — still run
         #        in tools/check_oracle (both scales) and bench;
         #        late-r10 debuts (r11 rotation candidates) lead
+        "q_markov_rec": q_markov_rec,
         "q_dsir_weights": q_dsir_weights,
         "q_embedding_cosine_topk": q_embedding_cosine_topk,
         "q_gif_decode": q_gif_decode,
@@ -6723,6 +6742,48 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY rating DESC, item_id ASC) AS rn
                 FROM unseen)
             SELECT query_id, item_id, round(rating, 6) AS rating
+            FROM final WHERE rn <= 5
+        """,
+        "q_markov_rec": f"""
+            WITH {W},
+            seq AS (
+                SELECT query_id, item_id,
+                       lead(item_id) OVER (
+                           PARTITION BY query_id
+                           ORDER BY ts, item_id) AS nxt
+                FROM interactions),
+            cnt AS (
+                SELECT item_id AS prev, nxt AS item_id,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+            tot AS (SELECT prev, CAST(sum(c) AS BIGINT) AS t
+                    FROM cnt GROUP BY 1),
+            trans AS (
+                SELECT prev, item_id,
+                       CAST(c AS DOUBLE) / CAST(t AS DOUBLE) AS rating
+                FROM cnt JOIN tot USING (prev)),
+            last AS (
+                SELECT query_id, item_id AS prev FROM (
+                    SELECT query_id, item_id,
+                           row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY ts DESC, item_id DESC) AS rn
+                    FROM interactions) x WHERE rn = 1),
+            cand AS (
+                SELECT l.query_id, tr.item_id, tr.rating
+                FROM last l JOIN trans tr ON tr.prev = l.prev),
+            unseen AS (
+                SELECT c.* FROM cand c
+                ANTI JOIN interactions i
+                ON c.query_id = i.query_id AND c.item_id = i.item_id),
+            final AS (
+                SELECT query_id, item_id, rating,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY rating DESC, item_id ASC) AS rn
+                FROM unseen)
+            SELECT query_id, item_id,
+                   round(rating + 1e-9, 6) AS rating
             FROM final WHERE rn <= 5
         """,
         "q_querypoprec_scores": f"""

@@ -8,4 +8,5 @@ from replay_spark.models.als import ALSWrap, ClusterRec  # noqa: F401
 from replay_spark.models.word2vec import Word2VecRec  # noqa: F401
 from replay_spark.models.slim import SLIM  # noqa: F401
 from replay_spark.models.cat_pop_rec import CatPopRec  # noqa: F401
+from replay_spark.models.markov_rec import MarkovRec  # noqa: F401
 from replay_spark.models.lin_ucb import LinUCB  # noqa: F401

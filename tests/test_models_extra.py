@@ -316,3 +316,60 @@ def test_model_optimize_method(spark, tmp_path):
             budget=2,
         )
     assert main_p and fb_p is None  # PopRec has no search space
+
+
+def test_markov_rec_transitions_and_predict(spark):
+    """MarkovRec: transition probabilities from consecutive pairs;
+    predict scores P(next | last item); seen filtering + top-k via
+    the base machinery; predict-time dataset redefines 'last'."""
+    import datetime
+
+    from replay_spark.data.dataset import Dataset
+    from replay_spark.models import MarkovRec
+
+    def _t(m):
+        return datetime.datetime(2024, 1, 1, 0, m)
+
+    rows = [
+        # user 0: A -> B -> A -> C   (A->B, B->A, A->C)
+        (0, 10, _t(0), 1.0), (0, 11, _t(1), 1.0),
+        (0, 10, _t(2), 1.0), (0, 12, _t(3), 1.0),
+        # user 1: B -> A             (B->A)
+        (1, 11, _t(0), 1.0), (1, 10, _t(1), 1.0),
+        # user 2: A -> B             (A->B)
+        (2, 10, _t(0), 1.0), (2, 11, _t(1), 1.0),
+    ]
+    inter = spark.createDataFrame(
+        rows, "query_id long, item_id long, timestamp timestamp, rating double"
+    )
+    from replay_spark.data.schema import (
+        FeatureHint,
+        FeatureInfo,
+        FeatureSchema,
+        FeatureType,
+    )
+
+    schema = FeatureSchema([
+        FeatureInfo("query_id", FeatureType.CATEGORICAL, FeatureHint.QUERY_ID),
+        FeatureInfo("item_id", FeatureType.CATEGORICAL, FeatureHint.ITEM_ID),
+        FeatureInfo("timestamp", FeatureType.NUMERICAL, FeatureHint.TIMESTAMP),
+        FeatureInfo("rating", FeatureType.NUMERICAL, FeatureHint.RATING),
+    ])
+    ds = Dataset(schema, inter, check_consistency=False)
+    m = MarkovRec().fit(ds)
+    trans = {
+        (r["_prev"], r.item_id): r.rating
+        for r in m.transitions.collect()
+    }
+    # from A(10): ->B twice, ->C once; from B(11): ->A twice
+    assert abs(trans[(10, 11)] - 2 / 3) < 1e-12
+    assert abs(trans[(10, 12)] - 1 / 3) < 1e-12
+    assert trans[(11, 10)] == 1.0
+    # user 1's last item is A(10): unseen next = B? B(11) seen by u1,
+    # C(12) not seen -> only C survives the seen filter
+    recs = m.predict(ds, k=5)
+    got = {(r.query_id, r.item_id) for r in recs.collect()}
+    assert (1, 12) in got
+    assert (1, 11) not in got          # seen
+    # user 0's last is C(12): no outgoing transitions -> no recs
+    assert not any(q == 0 for q, _ in got)
