@@ -5896,6 +5896,54 @@ def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lake_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-embedded column stats (the Delta dataSkipping shape):
+    documents land in 8 range-chunked commits, each carrying its
+    files' min/max doc_id IN the commit record, and a range read
+    prunes files during the driver-side FOLD — zero file I/O at that
+    tier (telemetry asserted in-gate: log-level kept < total). The
+    pruned answer must equal DuckDB's recompute."""
+    import os
+    import shutil
+    import tempfile
+
+    from replay_spark.lake import LakeTable
+
+    docs = rsd.read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    n = docs.count()
+    chunk = max(1, n // 8)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"rs_lakestats_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = LakeTable(spark, path)
+    t.enable_column_stats(["doc_id"])
+    for r in range(8):
+        part = docs.filter(
+            (F.col("doc_id") >= r * chunk)
+            & (
+                F.col("doc_id") < (r + 1) * chunk
+                if r < 7
+                else F.lit(True)
+            )
+        )
+        t.append(part.coalesce(1))
+    lo, hi = chunk, 3 * chunk - 1  # spans chunks 1-2 only
+    pruned, kept, total = t.read_where({"doc_id": (lo, hi)})
+    log_kept, log_total = t.last_log_pruned
+    assert log_total == 8 and 0 < log_kept < log_total, (
+        log_kept,
+        log_total,
+    )
+    return pruned.filter(
+        F.col("doc_id").between(lo, hi)
+    ).groupBy((F.col("doc_id") % 4).alias("g")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.length("text")).cast("long").alias("sum_chars"),
+    )
+
+
 def q_lake_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental log-replay replication: three commits sync to a
     replica, two more land, a SECOND sync copies only the delta
@@ -6378,6 +6426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #        in tools/check_oracle (both scales) and bench;
         #        late-r10 debuts (r11 rotation candidates) lead
         "q_markov_rec": q_markov_rec,
+        "q_lake_stats": q_lake_stats,
         "q_dsir_weights": q_dsir_weights,
         "q_embedding_cosine_topk": q_embedding_cosine_topk,
         "q_gif_decode": q_gif_decode,
@@ -10643,6 +10692,15 @@ def oracle_sql() -> dict[str, str]:
                        AS max_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "q_lake_stats": """
+            WITH n AS (SELECT count(*) // 8 AS chunk FROM documents)
+            SELECT CAST(doc_id % 4 AS BIGINT) AS g,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(length(text)) AS BIGINT) AS sum_chars
+            FROM documents, n
+            WHERE doc_id BETWEEN n.chunk AND 3 * n.chunk - 1
+            GROUP BY 1
         """,
         "q_lake_replicate": """
             SELECT CAST(user_id % 7 AS BIGINT) AS g,

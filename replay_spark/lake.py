@@ -191,7 +191,7 @@ class LakeTable:
         version = self.latest_version()
         if version < 0:
             raise FileNotFoundError(f"no commits at {self.path}")
-        live, schema_json, schemas, txns, parts = self._fold_state(version)
+        live, schema_json, schemas, txns, parts, stats = self._fold_state(version)
         payload = json.dumps(
             {
                 "version": version,
@@ -200,6 +200,7 @@ class LakeTable:
                 "schemas": sorted(schemas),
                 "txns": txns,
                 "parts": parts,
+                "stats": stats,
             }
         )
         name = os.path.join(
@@ -213,14 +214,17 @@ class LakeTable:
 
     def _fold_state(self, version: Optional[int] = None):
         """(live_relpaths, schema_json, distinct_schemas, txn_map,
-        parts_map) as of ``version``, starting from the newest usable
-        checkpoint. ``parts_map`` holds {relpath: {col: str_value}}
-        for partitioned files — the log-level pruning metadata."""
+        parts_map, stats_map) as of ``version``, starting from the
+        newest usable checkpoint. ``parts_map`` holds {relpath:
+        {col: str_value}} for partitioned files and ``stats_map``
+        holds {relpath: {col: {t, min, max}}} for stats-indexed
+        columns — the log-level pruning metadata."""
         live: List[str] = []
         schema_json = None
         schemas: set = set()
         txns: dict = {}
         parts: dict = {}
+        stats: dict = {}
         start = -1
         ckpt = self._latest_checkpoint(version)
         if ckpt is not None:
@@ -229,6 +233,7 @@ class LakeTable:
             schemas = set(ckpt.get("schemas") or [])
             txns = dict(ckpt.get("txns") or {})
             parts = dict(ckpt.get("parts") or {})
+            stats = dict(ckpt.get("stats") or {})
             start = ckpt["version"]
         for c in self._commits(after=start):
             if version is not None and c["version"] > version:
@@ -236,8 +241,10 @@ class LakeTable:
             for r in c.get("remove", []):
                 live.remove(r)
                 parts.pop(r, None)
+                stats.pop(r, None)
             live.extend(c.get("add", []))
             parts.update(c.get("parts") or {})
+            stats.update(c.get("stats") or {})
             schema_json = c.get("schema", schema_json)
             if c.get("schema"):
                 schemas.add(c["schema"])
@@ -247,10 +254,11 @@ class LakeTable:
                 b = int(t["batch_id"])
                 if app not in txns or b > txns[app]:
                     txns[app] = b
-        # only live files' partition values matter
+        # only live files' partition values / stats matter
         live_set = set(live)
         parts = {k: v for k, v in parts.items() if k in live_set}
-        return live, schema_json, schemas, txns, parts
+        stats = {k: v for k, v in stats.items() if k in live_set}
+        return live, schema_json, schemas, txns, parts, stats
 
     def history(self) -> DataFrame:
         """One row per commit: version, operation, files added/removed."""
@@ -272,7 +280,7 @@ class LakeTable:
         """Live data files (absolute paths) as of ``version`` —
         checkpoint + log-tail fold."""
         self._check_time_travel(version)
-        live, schema_json, _, _, _ = self._fold_state(version)
+        live, schema_json, _, _, _, _ = self._fold_state(version)
         self._last_schema_json = schema_json
         return [os.path.join(self.path, p) for p in live]
 
@@ -283,7 +291,7 @@ class LakeTable:
         columns absent from older files read as null — Iceberg-style
         additive evolution."""
         self._check_time_travel(version)
-        live, schema_json, distinct_schemas, _, _ = self._fold_state(version)
+        live, schema_json, distinct_schemas, _, _, _ = self._fold_state(version)
         self._last_schema_json = schema_json
         files = [os.path.join(self.path, p) for p in live]
         if not files:
@@ -435,6 +443,135 @@ class LakeTable:
         files.sort()
         return files, parts
 
+    # -- log-embedded column stats --------------------------------------------
+
+    def _stats_config(self) -> Optional[dict]:
+        try:
+            return json.loads(
+                _fs_read(
+                    os.path.join(self._log_dir, "_stats_columns.json")
+                )
+            )
+        except (OSError, ValueError):
+            return None
+
+    def enable_column_stats(self, columns: Sequence[str]) -> None:
+        """Record per-file min/max for ``columns`` IN the commit log
+        (the Delta ``dataSkippingNumIndexedCols`` shape): every
+        future commit embeds the stats of the files it adds — one
+        parallel footer pass over ONLY the new files — and
+        ``read_where`` then prunes range predicates during the
+        driver-side fold, before any parquet footer is opened. Live
+        files are indexed immediately. Conservative throughout:
+        files without a recorded stat for a column are kept."""
+        cfg = {"columns": sorted(set(columns))}
+        os.makedirs(self._log_dir, exist_ok=True)
+        with open(
+            os.path.join(self._log_dir, "_stats_columns.json"), "w"
+        ) as fh:
+            fh.write(json.dumps(cfg))
+        if self.latest_version() >= 0:
+            # backfill as a stats-only commit so the fold sees them
+            rels = [
+                os.path.relpath(p, self.path)
+                for p in self.snapshot_files()
+            ]
+            stats = self._stats_for_files(rels, cfg)
+            if stats:
+                live, schema_json, *_ = self._fold_state(
+                    self.latest_version()
+                )
+                payload = {
+                    "version": self.latest_version() + 1,
+                    "operation": "collect_stats",
+                    "add": [],
+                    "remove": [],
+                    "schema": schema_json,
+                    "stats": stats,
+                }
+                name = os.path.join(
+                    self._log_dir,
+                    f"{payload['version']:010d}.json",
+                )
+                if not _fs_write_exclusive(
+                    name, json.dumps(payload)
+                ):
+                    raise ConcurrentWriteError(
+                        f"version {payload['version']} already "
+                        "committed"
+                    )
+
+    def _stats_for_files(
+        self, rel_files: Sequence[str], cfg: dict
+    ) -> dict:
+        """{relpath: {col: {t, min, max}}} via one parallel footer
+        pass (collect_file_stats) over the given files."""
+        import datetime as _dt
+
+        from replay_spark.utils.layout import collect_file_stats
+
+        if not rel_files:
+            return {}
+        rows = collect_file_stats(
+            self.spark,
+            [os.path.join(self.path, r) for r in rel_files],
+            cfg["columns"],
+        ).collect()
+        out: dict = {}
+        for r in rows:
+            if r["column"] is None:
+                continue
+            rel = os.path.relpath(r["file"], self.path)
+            if r["min_long"] is not None:
+                ent = {"t": "long", "min": r["min_long"],
+                       "max": r["max_long"]}
+            elif r["min_double"] is not None:
+                ent = {"t": "double", "min": r["min_double"],
+                       "max": r["max_double"]}
+            elif r["min_str"] is not None:
+                ent = {"t": "str", "min": r["min_str"],
+                       "max": r["max_str"]}
+            elif r["min_ts"] is not None:
+                ent = {
+                    "t": "ts",
+                    "min": r["min_ts"].isoformat(),
+                    "max": r["max_ts"].isoformat(),
+                }
+            else:
+                continue
+            out.setdefault(rel, {})[r["column"]] = ent
+        return out
+
+    @staticmethod
+    def _stat_overlaps(ent: Optional[dict], lo, hi) -> bool:
+        """Conservative log-stat interval test: False ONLY when the
+        recorded [min, max] provably misses [lo, hi]; any doubt
+        (missing stat, type mismatch) keeps the file."""
+        if ent is None:
+            return True
+        import datetime as _dt
+
+        try:
+            mn, mx = ent["min"], ent["max"]
+            if ent.get("t") == "ts":
+                mn = _dt.datetime.fromisoformat(mn)
+                mx = _dt.datetime.fromisoformat(mx)
+                if isinstance(lo, _dt.date) and not isinstance(
+                    lo, _dt.datetime
+                ):
+                    lo = _dt.datetime.combine(lo, _dt.time())
+                if isinstance(hi, _dt.date) and not isinstance(
+                    hi, _dt.datetime
+                ):
+                    hi = _dt.datetime.combine(hi, _dt.time())
+            if lo is not None and mx < lo:
+                return False
+            if hi is not None and mn > hi:
+                return False
+        except (TypeError, KeyError, ValueError):
+            return True
+        return True
+
     # -- bloom skip indexes --------------------------------------------------
 
     def _bloom_config(self) -> Optional[dict]:
@@ -555,6 +692,12 @@ class LakeTable:
             # skip files already indexed); orphaned sidecars from a
             # failed commit go with their orphan files at vacuum
             self._write_blooms(list(add), cfg)
+        scfg = self._stats_config()
+        stats = (
+            self._stats_for_files(list(add), scfg)
+            if scfg and add
+            else None
+        )
         os.makedirs(self._log_dir, exist_ok=True)
         version = expected_version
         payload = {
@@ -568,6 +711,8 @@ class LakeTable:
             payload["txn"] = txn
         if parts:
             payload["parts"] = parts
+        if stats:
+            payload["stats"] = stats
         record = json.dumps(payload)
         name = os.path.join(self._log_dir, f"{version:010d}.json")
         if not _fs_write_exclusive(name, record):
@@ -715,7 +860,7 @@ class LakeTable:
             self.latest_version() if version is None else version
         )
         self._check_time_travel(src_version)
-        live, schema_json, schemas, _txns, parts = self._fold_state(
+        live, schema_json, schemas, _txns, parts, _stats = self._fold_state(
             src_version
         )
         if not live:
@@ -769,6 +914,10 @@ class LakeTable:
             "clone", sorted(add), [], schema, 0, parts=cparts or None
         )
         return out
+
+    # (clone note: log-embedded column stats do not carry over — the
+    # clone re-collects them lazily if enable_column_stats is called;
+    # reads stay correct either way, stats only ever skip)
 
     # -- tags ----------------------------------------------------------------
 
@@ -1036,7 +1185,7 @@ class LakeTable:
         (the Delta txn-action idempotence device), or None.
         Checkpoint-accelerated: folds the newest checkpoint's txn
         high-water marks plus only the log tail."""
-        _, _, _, txns, _ = self._fold_state(None)
+        _, _, _, txns, _, _ = self._fold_state(None)
         return txns.get(app_id)
 
     def append_batch(
@@ -1189,7 +1338,7 @@ class LakeTable:
         from replay_spark.utils.layout import read_pruned
 
         self._check_time_travel(version)
-        live, schema_json, distinct_schemas, _, parts = self._fold_state(
+        live, schema_json, distinct_schemas, _, parts, stats = self._fold_state(
             version
         )
         self._last_schema_json = schema_json
@@ -1204,6 +1353,21 @@ class LakeTable:
             for rel in live
             if self._partition_overlaps(parts.get(rel), bounds, expected)
         ]
+        # Tier 1a, LOG-EMBEDDED COLUMN STATS: commits carry per-file
+        # min/max for stats-indexed columns, so range bounds prune
+        # during the fold — zero file I/O, same conservative contract
+        if stats and kept_rel:
+            kept_rel = [
+                rel
+                for rel in kept_rel
+                if all(
+                    self._stat_overlaps(
+                        (stats.get(rel) or {}).get(c), lo, hi
+                    )
+                    for c, (lo, hi) in bounds.items()
+                )
+            ]
+        self.last_log_pruned = (len(kept_rel), total)
         # Tier 1b, BLOOM SIDECARS: point predicates (lo == hi) on a
         # bloom-indexed column skip files whose bitset proves the
         # value absent — the equality case footer min/max can't

@@ -568,7 +568,7 @@ def test_partitioned_append_and_log_pruning(table, spark):
     )
     table.append(df, partition_by=["bucket"])
     # files are per-partition and carry pvals in the log
-    _, _, _, _, parts = table._fold_state(None)
+    _, _, _, _, parts, _ = table._fold_state(None)
     assert parts and all("bucket" in p for p in parts.values())
     assert {p["bucket"] for p in parts.values()} == {"0", "1", "2", "3"}
     # read(): self-contained files, partition column physical
@@ -611,7 +611,7 @@ def test_partitioned_table_delete_and_checkpoint(table, spark):
         spark.range(100, 110).selectExpr("id AS k", "id % 2 AS bucket"),
         partition_by=["bucket"],
     )
-    _, _, _, _, parts = table._fold_state(None)
+    _, _, _, _, parts, _ = table._fold_state(None)
     assert parts  # survived the checkpoint + tail merge
     pruned2, _, _ = table.read_where({"bucket": (0, 0)})
     assert pruned2.count() == 45 + 5
@@ -1004,3 +1004,43 @@ def test_append_constraints_gate_the_write(table, spark):
         table.append(bad, constraints=suite)
     assert table.latest_version() == 0          # nothing committed
     assert table.read().count() == 5
+
+
+def test_log_embedded_column_stats_prune_in_fold(table, spark):
+    """enable_column_stats: commits carry per-file min/max; range
+    bounds prune files during the driver-side fold (telemetry
+    kept<total) with zero footer I/O at that tier; results stay
+    exact; checkpoints carry the stats."""
+    table.enable_column_stats(["k"])
+    # three disjoint ranges -> three commits with embedded stats
+    for lo in (0, 1000, 2000):
+        table.append(_df(spark, lo, lo + 100).coalesce(1))
+    df, kept, total = table.read_where({"k": (1000, 1050)})
+    assert table.last_log_pruned[0] < table.last_log_pruned[1] == 3
+    assert kept == 1 and total == 3
+    assert sorted(r.k for r in df.collect()) == list(range(1000, 1051))
+    # checkpoint then read again: stats come through the checkpoint
+    table.checkpoint()
+    df2, kept2, _ = table.read_where({"k": (2000, 2010)})
+    assert table.last_log_pruned[0] == 1
+    assert df2.count() == 11
+    # delete-rewrites re-collect stats for the new files
+    table.delete(F.col("k").between(1000, 1009))
+    df3, kept3, total3 = table.read_where({"k": (1000, 1050)})
+    assert df3.count() == 41
+    assert table.last_log_pruned[0] < table.last_log_pruned[1]
+
+
+def test_column_stats_backfill_existing_files(table, spark):
+    """enable_column_stats on a table with history backfills a
+    stats-only commit covering the current live files."""
+    table.append(_df(spark, 0, 50).coalesce(1))
+    table.append(_df(spark, 1000, 1050).coalesce(1))
+    v = table.latest_version()
+    table.enable_column_stats(["k"])
+    assert table.latest_version() == v + 1  # stats-only commit
+    _df_out, kept, total = table.read_where({"k": (0, 10)})
+    assert table.last_log_pruned == (1, 2)
+    assert _df_out.count() == 11
+    hist = {r.version: r.operation for r in table.history().collect()}
+    assert hist[v + 1] == "collect_stats"
