@@ -5896,6 +5896,22 @@ def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram binning: click-vs-rest labels against a
+    value-derived confidence, 10 equal-width bins, exact-integer
+    sufficient statistics per bin (counts, positives, per-row
+    integerized confidence sums — no order-dependent float sums).
+    DuckDB replays bin assignment and the BIGINT sums."""
+    from replay_spark.analytics import CalibrationReport
+
+    ev = rsd.read_table(spark, sf_dir, "events").select(
+        ((F.col("value") % 100) / 100.0).alias("confidence"),
+        (F.col("event_type") == "click").cast("int").alias("label"),
+    )
+    rep = CalibrationReport(n_bins=10).report(ev)
+    return rep
+
+
 def q_lake_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log-embedded column stats (the Delta dataSkipping shape):
     documents land in 8 range-chunked commits, each carrying its
@@ -6427,6 +6443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #        late-r10 debuts (r11 rotation candidates) lead
         "q_markov_rec": q_markov_rec,
         "q_lake_stats": q_lake_stats,
+        "q_calibration": q_calibration,
         "q_dsir_weights": q_dsir_weights,
         "q_embedding_cosine_topk": q_embedding_cosine_topk,
         "q_gif_decode": q_gif_decode,
@@ -10692,6 +10709,20 @@ def oracle_sql() -> dict[str, str]:
                        AS max_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "q_calibration": """
+            WITH v AS (
+                SELECT (value % 100) / 100.0 AS conf,
+                       CASE WHEN event_type = 'click' THEN 1
+                            ELSE 0 END AS label
+                FROM events WHERE value IS NOT NULL)
+            SELECT CAST(least(9, CAST(floor(conf * 10) AS INT))
+                        AS INT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(label) AS BIGINT) AS n_pos,
+                   CAST(sum(CAST(floor(conf * 1000000) AS BIGINT))
+                        AS BIGINT) AS sum_conf_ppm
+            FROM v GROUP BY 1
         """,
         "q_lake_stats": """
             WITH n AS (SELECT count(*) // 8 AS chunk FROM documents)

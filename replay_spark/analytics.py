@@ -36,6 +36,7 @@ __all__ = [
     "FunnelAnalyzer",
     "CohortRetention",
     "TransitionMatrix",
+    "CalibrationReport",
     "ab_test_summary",
 ]
 
@@ -290,3 +291,73 @@ class CohortRetention:
         return joined.groupBy(
             F.col("_cohort").alias("cohort_bucket"), "offset"
         ).agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+
+
+class CalibrationReport:
+    """Probability-calibration binning (the reliability-diagram /
+    expected-calibration-error input — Guo et al. 2017, "On
+    Calibration of Modern Neural Networks"): predictions bucket into
+    ``n_bins`` equal-width confidence bins and each bin reports
+    exact-integer sufficient statistics — count, positive-label
+    count, and the per-row-integerized confidence sum
+    (``floor(conf·1e6)`` summed as BIGINT, so the report never
+    contains an order-dependent float sum). ECE/MCE and the
+    reliability curve derive from the table driver-side or in SQL.
+
+    One map-side-combined aggregation to ≤ ``n_bins`` rows at any
+    input size; the ``q_calibration`` gate hashes the bin table
+    against DuckDB's replay. Confidences must lie in [0, 1]
+    (conf = 1.0 folds into the top bin).
+    """
+
+    def __init__(
+        self,
+        n_bins: int = 10,
+        confidence_column: str = "confidence",
+        label_column: str = "label",
+    ):
+        if n_bins < 1:
+            raise ValueError("n_bins must be >= 1")
+        self.n_bins = n_bins
+        self.confidence_column = confidence_column
+        self.label_column = label_column
+
+    def report(self, df: DataFrame) -> DataFrame:
+        """``[bin, n, n_pos, sum_conf_ppm]`` (bin = 0..n_bins−1)."""
+        conf = F.col(self.confidence_column)
+        lab = F.col(self.label_column).cast("long")
+        b = F.least(
+            F.lit(self.n_bins - 1),
+            F.floor(conf * F.lit(self.n_bins)).cast("int"),
+        )
+        return (
+            df.filter(conf.isNotNull())
+            .select(
+                b.alias("bin"),
+                lab.alias("_l"),
+                F.floor(conf * F.lit(1_000_000))
+                .cast("long")
+                .alias("_c"),
+            )
+            .groupBy("bin")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("_l").cast("long").alias("n_pos"),
+                F.sum("_c").cast("long").alias("sum_conf_ppm"),
+            )
+        )
+
+    def ece(self, report: DataFrame) -> float:
+        """Expected calibration error from a report table:
+        Σ_b (n_b/N)·|acc_b − conf_b| — a driver-side fold over
+        ≤ n_bins rows."""
+        rows = report.collect()
+        total = sum(r["n"] for r in rows)
+        if total == 0:
+            return 0.0
+        out = 0.0
+        for r in rows:
+            acc = r["n_pos"] / r["n"]
+            conf = r["sum_conf_ppm"] / (r["n"] * 1_000_000)
+            out += (r["n"] / total) * abs(acc - conf)
+        return out

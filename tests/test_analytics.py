@@ -111,3 +111,32 @@ def test_ab_test_summary(spark):
     assert a.variance == 100.0  # sample variance of 10,20,30
     b = out["B"]
     assert b.variance == 0.0 and b.mean == 5.0
+
+
+def test_calibration_report_and_ece(spark):
+    """Bin assignment (conf=1.0 folds into the top bin), exact
+    integer stats, and the ECE fold."""
+    from replay_spark.analytics import CalibrationReport
+
+    rows = [
+        (0.05, 0), (0.05, 0),          # bin 0: acc 0, conf 0.05
+        (0.95, 1), (0.95, 1),          # bin 9: acc 1, conf 0.95
+        (1.0, 1),                      # conf 1.0 -> bin 9
+        (0.55, 1), (0.55, 0),          # bin 5: acc 0.5, conf 0.55
+        (None, 1),                     # dropped
+    ]
+    df = spark.createDataFrame(rows, "confidence double, label int")
+    cr = CalibrationReport(n_bins=10)
+    rep = {r.bin: (r.n, r.n_pos, r.sum_conf_ppm)
+           for r in cr.report(df).collect()}
+    assert rep[0] == (2, 0, 100000)
+    assert rep[9] == (3, 3, 2900000)   # 0.95+0.95+1.0 in ppm
+    assert rep[5] == (2, 1, 1100000)
+    ece = cr.ece(cr.report(df))
+    # |0-0.05|*2/7 + |1-2.9/3|*3/7 + |0.5-0.55|*2/7
+    want = (abs(0 - 0.05) * 2 + abs(1 - 2.9 / 3) * 3
+            + abs(0.5 - 0.55) * 2) / 7
+    assert abs(ece - want) < 1e-9
+    import pytest as _p
+    with _p.raises(ValueError):
+        CalibrationReport(n_bins=0)
