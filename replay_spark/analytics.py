@@ -306,8 +306,9 @@ class CalibrationReport:
 
     One map-side-combined aggregation to ≤ ``n_bins`` rows at any
     input size; the ``q_calibration`` gate hashes the bin table
-    against DuckDB's replay. Confidences must lie in [0, 1]
-    (conf = 1.0 folds into the top bin).
+    against DuckDB's replay. Confidences are clamped to [0, 1]
+    (conf = 1.0 folds into the top bin); rows with NULL confidence
+    or NULL label are excluded from every statistic.
     """
 
     def __init__(
@@ -323,15 +324,28 @@ class CalibrationReport:
         self.label_column = label_column
 
     def report(self, df: DataFrame) -> DataFrame:
-        """``[bin, n, n_pos, sum_conf_ppm]`` (bin = 0..n_bins−1)."""
-        conf = F.col(self.confidence_column)
+        """``[bin, n, n_pos, sum_conf_ppm]`` (bin = 0..n_bins−1).
+
+        Rows with a NULL confidence OR a NULL label are dropped
+        (counting NULL labels in ``n`` while ``sum`` skips them in
+        ``n_pos`` would silently deflate per-bin accuracy and ECE);
+        confidences are clamped to [0, 1] so out-of-contract inputs
+        land in the edge bins instead of producing negative /
+        overflow bin ids."""
+        conf = F.least(
+            F.lit(1.0),
+            F.greatest(F.lit(0.0), F.col(self.confidence_column)),
+        )
         lab = F.col(self.label_column).cast("long")
         b = F.least(
             F.lit(self.n_bins - 1),
             F.floor(conf * F.lit(self.n_bins)).cast("int"),
         )
         return (
-            df.filter(conf.isNotNull())
+            df.filter(
+                F.col(self.confidence_column).isNotNull()
+                & F.col(self.label_column).isNotNull()
+            )
             .select(
                 b.alias("bin"),
                 lab.alias("_l"),

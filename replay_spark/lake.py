@@ -323,9 +323,11 @@ class LakeTable:
         """
         if end_version is None:
             end_version = self.latest_version()
-        # CDF over (start, end] reads files from commits start+1..end
-        # — all of those versions must still be reachable
-        self._check_time_travel(start_version + 1)
+        # CDF over (start, end] reads the REMOVE (pre-image) files of
+        # commits start+1..end; commit v's removed files were live at
+        # v-1 and are gone once vacuum's horizon passes v, so the
+        # earliest admissible start is the horizon itself.
+        self._check_time_travel(start_version)
         commits = [
             c
             for c in self._commits(after=start_version)
@@ -922,12 +924,33 @@ class LakeTable:
     # -- tags ----------------------------------------------------------------
 
     def _tags(self) -> dict:
-        try:
-            return json.loads(
-                _fs_read(os.path.join(self._log_dir, "_tags.json"))
-            )
-        except (OSError, ValueError):
+        """Read the tag pins. 'File absent' is the empty tag set;
+        'file present but unreadable/corrupt' RAISES — vacuum's
+        refuse-to-GC-under-tags guard consults this map, so silently
+        treating a torn file as 'no tags' would let GC delete a
+        pinned snapshot."""
+        path = os.path.join(self._log_dir, "_tags.json")
+        if not os.path.exists(path):
             return {}
+        try:
+            return json.loads(_fs_read(path))
+        except (OSError, ValueError) as exc:
+            raise ValueError(
+                f"tag file {path} exists but is unreadable/corrupt "
+                f"({exc}); refusing to treat it as 'no tags' — "
+                "restore or delete it explicitly"
+            ) from exc
+
+    def _write_tags(self, tags: dict) -> None:
+        """Atomic replace (temp file + rename) so a torn write can
+        never drop every tag pin."""
+        path = os.path.join(self._log_dir, "_tags.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(json.dumps(tags))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)
 
     def tag(self, name: str, version: Optional[int] = None) -> int:
         """Name a version (Iceberg-tag shape): ``read(tag=name)``
@@ -953,19 +976,13 @@ class LakeTable:
                 "untag() first"
             )
         tags[name] = version
-        with open(
-            os.path.join(self._log_dir, "_tags.json"), "w"
-        ) as fh:
-            fh.write(json.dumps(tags))
+        self._write_tags(tags)
         return version
 
     def untag(self, name: str) -> None:
         tags = self._tags()
         tags.pop(name, None)
-        with open(
-            os.path.join(self._log_dir, "_tags.json"), "w"
-        ) as fh:
-            fh.write(json.dumps(tags))
+        self._write_tags(tags)
 
     def resolve_tag(self, name: str) -> int:
         tags = self._tags()
@@ -1367,7 +1384,6 @@ class LakeTable:
                     for c, (lo, hi) in bounds.items()
                 )
             ]
-        self.last_log_pruned = (len(kept_rel), total)
         # Tier 1b, BLOOM SIDECARS: point predicates (lo == hi) on a
         # bloom-indexed column skip files whose bitset proves the
         # value absent — the equality case footer min/max can't
@@ -1387,6 +1403,10 @@ class LakeTable:
                     for rel in kept_rel
                     if self._bloom_admits(rel, points)
                 ]
+        # log-level telemetry covers BOTH log tiers (partition +
+        # stats fold AND bloom sidecars) — recorded only after the
+        # last zero-file-I/O prune so it never overstates kept files
+        self.last_log_pruned = (len(kept_rel), total)
         if not kept_rel:
             # every file excluded by log metadata alone: empty frame
             # with the table schema, zero scans

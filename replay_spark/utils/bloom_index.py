@@ -131,9 +131,22 @@ def build_file_blooms(
 
 def bloom_might_contain(bloom: dict, value) -> bool:
     """Membership probe: True = possibly present (keep the file),
-    False = DEFINITELY absent (safe to skip)."""
+    False = DEFINITELY absent (safe to skip).
+
+    The base64 bitset is decoded at most once per sidecar dict and
+    memoised under ``_bits`` — callers that probe the same sidecar
+    many times (IncrementalDeduplicator scans up to
+    ``bloom_probe_limit`` hashes per store file) pay the decode cost
+    once, not per probe.
+    """
     m, k = int(bloom["m"]), int(bloom["k"])
-    bits = base64.b64decode(bloom["bits"])
+    bits = bloom.get("_bits")
+    if bits is None:
+        bits = base64.b64decode(bloom["bits"])
+        try:
+            bloom["_bits"] = bits
+        except TypeError:  # immutable mapping — probe still correct
+            pass
     for p in _positions(value, m, k):
         if not (bits[p >> 3] >> (p & 7)) & 1:
             return False

@@ -140,3 +140,23 @@ def test_calibration_report_and_ece(spark):
     import pytest as _p
     with _p.raises(ValueError):
         CalibrationReport(n_bins=0)
+
+
+def test_calibration_null_labels_and_out_of_range_conf(spark):
+    """NULL labels are dropped from ALL statistics (not silently
+    counted in n while sum skips them in n_pos); out-of-contract
+    confidences clamp to [0, 1] instead of minting negative bins."""
+    from replay_spark.analytics import CalibrationReport
+
+    rows = [
+        (0.15, 1), (0.15, None),       # null label: fully dropped
+        (-0.4, 0),                     # clamps to 0.0 -> bin 0
+        (1.7, 1),                      # clamps to 1.0 -> bin 9
+    ]
+    df = spark.createDataFrame(rows, "confidence double, label int")
+    rep = {r.bin: (r.n, r.n_pos, r.sum_conf_ppm)
+           for r in CalibrationReport(n_bins=10).report(df).collect()}
+    assert rep[1] == (1, 1, 150000)    # the null-label row is gone
+    assert rep[0] == (1, 0, 0)         # clamped low
+    assert rep[9] == (1, 1, 1000000)   # clamped high
+    assert set(rep) == {0, 1, 9}

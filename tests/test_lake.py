@@ -1044,3 +1044,42 @@ def test_column_stats_backfill_existing_files(table, spark):
     assert _df_out.count() == 11
     hist = {r.version: r.operation for r in table.history().collect()}
     assert hist[v + 1] == "collect_stats"
+
+
+def test_cdf_guard_matches_vacuum_horizon(table, spark):
+    """changes(start, end) reads the REMOVE pre-images of commits
+    start+1..end — files live at start — so the earliest admissible
+    start IS the vacuum horizon: changes(h-1, h) must raise the
+    clear time-travel error, never a confusing PATH_NOT_FOUND."""
+    table.append(_df(spark, 0, 20).coalesce(1))      # v0
+    table.delete(F.col("k") < 5)                     # v1 rewrites v0's file
+    table.delete(F.col("k") < 10)                    # v2 rewrites v1's file
+    table.vacuum(horizon_version=2)
+    # start = h-1: commit h's diff needs files live at h-1 — gone
+    with pytest.raises(ValueError, match="no longer possible"):
+        table.changes(1, 2)
+    # start = h is the earliest valid CDF start after the vacuum
+    assert table.changes(2).count() == 0  # no commits after v2 yet
+    table.delete(F.col("k") >= 18)                   # v3
+    assert table.changes(2, 3).count() > 0
+
+
+def test_corrupt_tag_file_raises_not_silently_empty(table, spark):
+    """A present-but-corrupt _tags.json must RAISE (vacuum would
+    otherwise GC under pins it can no longer see); an absent file is
+    simply the empty tag set."""
+    table.append(_df(spark, 0, 10).coalesce(1))      # v0
+    table.append(_df(spark, 10, 15).coalesce(1))     # v1
+    assert table._tags() == {}                        # absent -> empty
+    table.tag("pin", version=0)
+    tag_path = os.path.join(table.path, "_log", "_tags.json")
+    assert os.path.exists(tag_path)
+    with open(tag_path, "w") as fh:
+        fh.write("{not json")                         # torn write
+    with pytest.raises(ValueError, match="unreadable/corrupt"):
+        table._tags()
+    with pytest.raises(ValueError, match="unreadable/corrupt"):
+        table.vacuum(horizon_version=1)               # refuses to GC blind
+    os.remove(tag_path)                               # operator resolves
+    assert table._tags() == {}
+    assert table.vacuum(horizon_version=1) is not None
