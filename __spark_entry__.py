@@ -3978,6 +3978,63 @@ def q_ivf_ann_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_save_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index persistence (reference index-store parity:
+    ``reference/replay/models/extensions/ann/index_stores/
+    shared_disk_index_store.py`` dumps a built index to shared disk
+    so later sessions load instead of rebuild): the IVF index from
+    q_ivf_ann_fixed is built, SAVED to parquet artifacts, loaded
+    back through utils.model_handler's class dispatch, and searched
+    — the loaded index's answer hash-matches the same DuckDB oracle
+    as a fresh build, proving the round trip is lossless."""
+    import os
+    import shutil
+    import tempfile
+
+    from replay_spark.ann import IVFANN
+    from replay_spark.utils import model_handler
+
+    emb = rsd.read_table(spark, sf_dir, "embeddings")
+    cents = [
+        r["embedding"]
+        for r in emb.filter("vec_id < 16").orderBy("vec_id").collect()
+    ]
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"rs_annidx_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    IVFANN(num_clusters=16, nprobe=2).fit(emb, centroids=cents).save(path)
+    loaded = model_handler.load(path, spark)
+    assert isinstance(loaded, IVFANN) and loaded.nprobe == 2
+    return loaded.search(emb.filter("vec_id < 20"), k=5).select(
+        "query_id", "neighbor_id", "cosine", "rank"
+    )
+
+
+def q_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN maintenance: the index is built on HALF the
+    corpus (even vec_ids) and the other half arrives later via
+    ``append`` — new vectors assigned to the FROZEN centroid set,
+    existing postings untouched, no re-train. Under frozen centroids
+    the appended index is EXACTLY the full-rebuild index, so the
+    search hash-matches the same full-corpus DuckDB oracle as
+    q_ivf_ann_fixed — the contract that makes append safe to run
+    per-batch at 100 TB (re-fit only on drift)."""
+    from replay_spark.ann import IVFANN
+
+    emb = rsd.read_table(spark, sf_dir, "embeddings")
+    cents = [
+        r["embedding"]
+        for r in emb.filter("vec_id < 16").orderBy("vec_id").collect()
+    ]
+    ann = IVFANN(num_clusters=16, nprobe=2).fit(
+        emb.filter("vec_id % 2 = 0"), centroids=cents
+    )
+    ann.append(emb.filter("vec_id % 2 = 1"))
+    return ann.search(emb.filter("vec_id < 20"), k=5).select(
+        "query_id", "neighbor_id", "cosine", "rank"
+    )
+
+
 def q_e2e_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end offline evaluation mirroring the reference's
     benchmark shape (BASELINE.md): time split -> fit/predict two
@@ -6444,6 +6501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_markov_rec": q_markov_rec,
         "q_lake_stats": q_lake_stats,
         "q_calibration": q_calibration,
+        "q_ann_save_load": q_ann_save_load,
+        "q_ann_incremental": q_ann_incremental,
         "q_dsir_weights": q_dsir_weights,
         "q_embedding_cosine_topk": q_embedding_cosine_topk,
         "q_gif_decode": q_gif_decode,
@@ -11742,4 +11801,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["q_streaming_cms"] = oracles["q_cms_counts"]
     oracles["q_streaming_hll"] = oracles["q_hll_distinct"]
     oracles["q_streaming_hdr"] = oracles["q_hdr_quantiles"]
+    # persistence/incremental gates share the fresh-build oracle:
+    # save->load->search must be lossless, and append under frozen
+    # centroids must equal the full rebuild — same answer by contract
+    oracles["q_ann_save_load"] = oracles["q_ivf_ann_fixed"]
+    oracles["q_ann_incremental"] = oracles["q_ivf_ann_fixed"]
     return oracles

@@ -167,6 +167,135 @@ class HNSWANN:
             self._insert(i, int(levels[i]))
         return self
 
+    def append(self, new_corpus: DataFrame) -> "HNSWANN":
+        """Incremental maintenance: insert NEW vectors into the
+        existing graph with the standard HNSW insert procedure —
+        exactly what hnswlib's ``add_items`` does to a built index
+        (the reference appends to its driver-built index the same
+        way). Level draws come from a generator seeded by
+        ``seed + current_size`` so repeated appends stay
+        deterministic; the ``max_elements`` driver bound applies to
+        the combined size."""
+        if self._vecs is None:
+            raise ValueError("HNSWANN must be fit before append")
+        n0 = len(self._ids)
+        rows = (
+            new_corpus.select(self.id_column, self.vector_column)
+            .orderBy(self.id_column)
+            .collect()
+        )
+        if n0 + len(rows) > self.max_elements:
+            raise ValueError(
+                f"append would grow the index to {n0 + len(rows)} "
+                f"vectors > max_elements={self.max_elements}"
+            )
+        if not rows:
+            return self
+        self._ids = np.concatenate(
+            [self._ids, np.array([r[0] for r in rows], dtype=np.int64)]
+        )
+        self._vecs = np.vstack(
+            [
+                self._vecs,
+                self._normalize(
+                    np.array([r[1] for r in rows], dtype=np.float64)
+                ),
+            ]
+        )
+        m_l = 1.0 / math.log(self.M)
+        rng = np.random.default_rng(self.seed + n0)
+        levels = np.floor(
+            -np.log(rng.uniform(1e-12, 1.0, size=len(rows))) * m_l
+        ).astype(int)
+        self._links.extend(
+            [[] for _ in range(levels[i] + 1)] for i in range(len(rows))
+        )
+        for i in range(len(rows)):
+            self._insert(n0 + i, int(levels[i]))
+        return self
+
+    # -- persistence (reference index-store parity, parquet-native) --------
+
+    def save(self, path: str) -> None:
+        """Vectors and adjacency as parquet (one row per node resp.
+        per (node, level) — EMPTY link lists included, they encode
+        the node's level count), entry point + max level in the
+        params sidecar. A later session loads the finished graph
+        instead of re-running the O(n·ef) build."""
+        import os
+
+        from replay_spark.ann.store import write_meta
+
+        if self._vecs is None:
+            raise ValueError("HNSWANN must be fit before save")
+        write_meta(
+            path,
+            type(self).__name__,
+            {
+                "M": self.M,
+                "ef_construction": self.ef_construction,
+                "ef_search": self.ef_search,
+                "max_elements": self.max_elements,
+                "seed": self.seed,
+                "id_column": self.id_column,
+                "vector_column": self.vector_column,
+                "entry": self._entry,
+                "max_level": self._max_level,
+            },
+        )
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        vec_rows = [
+            (i, int(self._ids[i]), [float(x) for x in self._vecs[i]])
+            for i in range(len(self._ids))
+        ]
+        spark.createDataFrame(
+            vec_rows, "node int, ext_id long, vec array<double>"
+        ).write.mode("overwrite").parquet(os.path.join(path, "vectors"))
+        link_rows = [
+            (i, lv, [int(n) for n in self._links[i][lv]])
+            for i in range(len(self._links))
+            for lv in range(len(self._links[i]))
+        ]
+        spark.createDataFrame(
+            link_rows, "node int, level int, neighbors array<int>"
+        ).write.mode("overwrite").parquet(os.path.join(path, "graph"))
+
+    @classmethod
+    def load(cls, path: str, spark=None) -> "HNSWANN":
+        import os
+
+        from replay_spark.ann.store import read_meta, resolve_spark
+
+        spark = resolve_spark(spark)
+        params = dict(read_meta(path)["params"])
+        entry = params.pop("entry")
+        max_level = params.pop("max_level")
+        self = cls(**params)
+        vec_rows = (
+            spark.read.parquet(os.path.join(path, "vectors"))
+            .orderBy("node")
+            .collect()
+        )
+        self._ids = np.array([r["ext_id"] for r in vec_rows], dtype=np.int64)
+        self._vecs = np.array(
+            [r["vec"] for r in vec_rows], dtype=np.float64
+        )
+        self._links = [[] for _ in range(len(vec_rows))]
+        for r in (
+            spark.read.parquet(os.path.join(path, "graph"))
+            .orderBy("node", "level")
+            .collect()
+        ):
+            node_links = self._links[r["node"]]
+            while len(node_links) <= r["level"]:
+                node_links.append([])
+            node_links[r["level"]] = list(r["neighbors"])
+        self._entry = entry
+        self._max_level = max_level
+        return self
+
     # -- distributed search ------------------------------------------------
 
     def _knn(self, q: np.ndarray, k: int):

@@ -19,6 +19,7 @@ the scoring loop.
 from __future__ import annotations
 
 import math
+import os
 import random
 from typing import Optional
 
@@ -75,6 +76,27 @@ class BruteForceANN:
         self.id_column = id_column
         self.vector_column = vector_column
 
+    def save(self, path: str) -> None:
+        """Stateless index: the saved artifact is the params sidecar
+        alone, so the class still participates in the uniform
+        save→load→search contract (and model_handler dispatch)."""
+        from replay_spark.ann.store import write_meta
+
+        write_meta(
+            path,
+            type(self).__name__,
+            {
+                "id_column": self.id_column,
+                "vector_column": self.vector_column,
+            },
+        )
+
+    @classmethod
+    def load(cls, path: str, spark=None) -> "BruteForceANN":
+        from replay_spark.ann.store import read_meta
+
+        return cls(**read_meta(path)["params"])
+
     def search(self, queries: DataFrame, corpus: DataFrame, k: int = 10) -> DataFrame:
         q = queries.select(
             F.col(self.id_column).alias("query_id"),
@@ -125,6 +147,58 @@ class IVFANN:
         self.max_iter = max_iter
         self.centroids = None  # list[list[float]]
         self._indexed: Optional[DataFrame] = None
+        # frozen-centroid assignment rule, recorded at fit time so
+        # append()/load() reproduce fit's partitioning exactly:
+        # "cosine" (fixed-centroid path) | "euclidean" (KMeans path)
+        self._assign: Optional[str] = None
+
+    def _centroid_df(self, spark) -> DataFrame:
+        return spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)],
+            "cluster int, centroid array<double>",
+        )
+
+    def _assigned(self, corpus: DataFrame) -> DataFrame:
+        """(neighbor_id, cv, cluster) under the FROZEN centroid set
+        and the recorded assignment rule — the shared kernel of the
+        fixed-centroid fit and incremental append."""
+        cdf = self._centroid_df(corpus.sparkSession)
+        prepared = corpus.select(
+            F.col(self.id_column),
+            _as_double(F.col(self.vector_column)).alias("v"),
+        )
+        if self._assign == "cosine":
+            score = stable_round(
+                _dot(F.col("v"), F.col("centroid"))
+                / (_norm(F.col("v")) * _norm(F.col("centroid"))),
+                6,
+            )
+            order = [F.col("_score").desc(), F.col("cluster").asc()]
+        else:  # euclidean — KMeans' assignment rule
+            score = F.aggregate(
+                F.zip_with(
+                    "v", "centroid", lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            order = [F.col("_score").asc(), F.col("cluster").asc()]
+        return (
+            prepared.crossJoin(F.broadcast(cdf))
+            .withColumn("_score", score)
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy(self.id_column).orderBy(*order)
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .select(
+                F.col(self.id_column).alias("neighbor_id"),
+                F.col("v").alias("cv"),
+                "cluster",
+            )
+        )
 
     def fit(self, corpus: DataFrame, centroids=None) -> "IVFANN":
         """Build the inverted file. With ``centroids`` (a list of
@@ -135,43 +209,9 @@ class IVFANN:
         (``q_ivf_ann_fixed``); production defaults to seeded KMeans."""
         if centroids is not None:
             self.centroids = [[float(x) for x in c] for c in centroids]
-            spark = corpus.sparkSession
-            cdf = spark.createDataFrame(
-                [(i, c) for i, c in enumerate(self.centroids)],
-                "cluster int, centroid array<double>",
-            )
-            prepared = corpus.select(
-                F.col(self.id_column),
-                _as_double(F.col(self.vector_column)).alias("v"),
-            )
-            assigned = (
-                prepared.crossJoin(F.broadcast(cdf))
-                .withColumn(
-                    "_cos",
-                    stable_round(
-                        _dot(F.col("v"), F.col("centroid"))
-                        / (_norm(F.col("v")) * _norm(F.col("centroid"))),
-                        6,
-                    ),
-                )
-                .withColumn(
-                    "_rn",
-                    F.row_number().over(
-                        Window.partitionBy(self.id_column).orderBy(
-                            F.col("_cos").desc(), F.col("cluster").asc()
-                        )
-                    ),
-                )
-                .filter(F.col("_rn") == 1)
-            )
+            self._assign = "cosine"
             self._indexed = (
-                assigned.select(
-                    F.col(self.id_column).alias("neighbor_id"),
-                    F.col("v").alias("cv"),
-                    "cluster",
-                )
-                .repartition("cluster")
-                .cache()
+                self._assigned(corpus).repartition("cluster").cache()
             )
             self._indexed.count()
             return self
@@ -191,6 +231,7 @@ class IVFANN:
         )
         model = kmeans.fit(prepared)
         self.centroids = [list(c) for c in model.clusterCenters()]
+        self._assign = "euclidean"
         self._indexed = (
             model.transform(prepared)
             .select(
@@ -202,6 +243,80 @@ class IVFANN:
             .cache()
         )
         self._indexed.count()
+        return self
+
+    def append(self, new_corpus: DataFrame) -> "IVFANN":
+        """Incremental index maintenance: assign NEW vectors to the
+        frozen centroid set (fit's exact assignment rule) and extend
+        the inverted file — no re-train, no re-scan of the existing
+        corpus. Under frozen centroids the result is EXACTLY the
+        index a full rebuild over old ∪ new would produce (the
+        ``q_ann_incremental`` hash gate proves it); after heavy
+        drift, re-``fit`` to move the centroids. Eager
+        localCheckpoint keeps the plan O(1) across many appends (the
+        connected-components lesson: cache alone doubles the lineage
+        per round)."""
+        if self._indexed is None:
+            raise RuntimeError("IVFANN is not fitted")
+        combined = (
+            self._indexed.unionByName(self._assigned(new_corpus))
+            .repartition("cluster")
+            .localCheckpoint(eager=True)
+        )
+        old = self._indexed
+        self._indexed = combined
+        old.unpersist()
+        return self
+
+    def save(self, path: str) -> None:
+        """Persist centroids + the inverted file as parquet under
+        ``path`` (plus the meta.json params sidecar) — the Spark
+        shape of the reference's shared-disk/HDFS index stores."""
+        from replay_spark.ann.store import write_meta
+
+        if self._indexed is None:
+            raise RuntimeError("IVFANN is not fitted")
+        write_meta(
+            path,
+            type(self).__name__,
+            {
+                "id_column": self.id_column,
+                "vector_column": self.vector_column,
+                "num_clusters": self.num_clusters,
+                "nprobe": self.nprobe,
+                "seed": self.seed,
+                "max_iter": self.max_iter,
+                "assign": self._assign,
+            },
+        )
+        spark = self._indexed.sparkSession
+        self._centroid_df(spark).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, "centroids"))
+        self._indexed.write.mode("overwrite").parquet(
+            os.path.join(path, "indexed")
+        )
+
+    @classmethod
+    def load(cls, path: str, spark=None) -> "IVFANN":
+        from replay_spark.ann.store import read_meta, resolve_spark
+
+        spark = resolve_spark(spark)
+        params = dict(read_meta(path)["params"])
+        assign = params.pop("assign", None)
+        self = cls(**params)
+        self._assign = assign
+        self.centroids = [
+            [float(x) for x in r["centroid"]]
+            for r in spark.read.parquet(os.path.join(path, "centroids"))
+            .orderBy("cluster")
+            .collect()
+        ]
+        self._indexed = (
+            spark.read.parquet(os.path.join(path, "indexed"))
+            .repartition("cluster")
+            .cache()
+        )
         return self
 
     def search(self, queries: DataFrame, k: int = 10) -> DataFrame:
@@ -299,6 +414,32 @@ class LSHANN:
         self.num_tables = num_tables
         self.target_bucket_size = target_bucket_size
         self.seed = seed
+
+    def save(self, path: str) -> None:
+        """The hyperplanes are a pure function of (seed, dim, table),
+        so the params sidecar IS the index — saved/loaded instances
+        bucket identically by construction."""
+        from replay_spark.ann.store import write_meta
+
+        write_meta(
+            path,
+            type(self).__name__,
+            {
+                "id_column": self.id_column,
+                "vector_column": self.vector_column,
+                "dim": self.dim,
+                "num_planes": self.num_planes,
+                "num_tables": self.num_tables,
+                "target_bucket_size": self.target_bucket_size,
+                "seed": self.seed,
+            },
+        )
+
+    @classmethod
+    def load(cls, path: str, spark=None) -> "LSHANN":
+        from replay_spark.ann.store import read_meta
+
+        return cls(**read_meta(path)["params"])
 
     def _resolve_planes(self, corpus: DataFrame) -> int:
         if self.num_planes is not None:
@@ -521,6 +662,99 @@ class PQANN:
         return df.select(idc, vc).mapInPandas(
             enc, schema="vec_id long, codes array<bigint>"
         )
+
+    def append(self, new_corpus: DataFrame) -> "PQANN":
+        """Incremental maintenance: encode NEW vectors under the
+        FROZEN codebooks and extend the code relation + refine
+        corpus — the standard PQ posture (faiss adds to a trained
+        index the same way; codebooks move only on re-train). Under
+        frozen codebooks the appended index's search is exactly the
+        full-rebuild-with-these-codebooks search."""
+        if self.codebooks is None or self._codes is None:
+            raise ValueError("PQANN must be fit before append")
+        idc, vc = self.id_column, self.vector_column
+        combined = (
+            self._codes.unionByName(self._encode(new_corpus))
+            .localCheckpoint(eager=True)
+        )
+        old = self._codes
+        self._codes = combined
+        old.unpersist()
+        self._corpus = self._corpus.select(idc, vc).unionByName(
+            new_corpus.select(idc, vc)
+        )
+        return self
+
+    def save(self, path: str) -> None:
+        """Persist codebooks + the 16-byte code relation + the
+        refine vectors as parquet (reference index-store parity; the
+        refine corpus is stored because the exact re-rank needs true
+        vectors — the faiss IndexRefineFlat construction)."""
+        from replay_spark.ann.store import write_meta
+
+        if self.codebooks is None or self._codes is None:
+            raise ValueError("PQANN must be fit before save")
+        write_meta(
+            path,
+            type(self).__name__,
+            {
+                "dim": self.dim,
+                "m": self.m,
+                "ksub": self.ksub,
+                "iters": self.iters,
+                "train_sample": self.train_sample,
+                "refine": self.refine,
+                "seed": self.seed,
+                "id_column": self.id_column,
+                "vector_column": self.vector_column,
+            },
+        )
+        spark = self._codes.sparkSession
+        books = [
+            (j, c, [float(x) for x in self.codebooks[j][c]])
+            for j in range(len(self.codebooks))
+            for c in range(len(self.codebooks[j]))
+        ]
+        spark.createDataFrame(
+            books, "subspace int, code int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "codebooks")
+        )
+        self._codes.write.mode("overwrite").parquet(
+            os.path.join(path, "codes")
+        )
+        self._corpus.select(self.id_column, self.vector_column).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, "corpus"))
+
+    @classmethod
+    def load(cls, path: str, spark=None) -> "PQANN":
+        import numpy as np
+
+        from replay_spark.ann.store import read_meta, resolve_spark
+
+        spark = resolve_spark(spark)
+        self = cls(**read_meta(path)["params"])
+        rows = (
+            spark.read.parquet(os.path.join(path, "codebooks"))
+            .orderBy("subspace", "code")
+            .collect()
+        )
+        m = max(r["subspace"] for r in rows) + 1
+        self.codebooks = np.stack(
+            [
+                np.array(
+                    [r["centroid"] for r in rows if r["subspace"] == j],
+                    dtype=np.float64,
+                )
+                for j in range(m)
+            ]
+        )
+        self._codes = spark.read.parquet(
+            os.path.join(path, "codes")
+        ).persist()
+        self._corpus = spark.read.parquet(os.path.join(path, "corpus"))
+        return self
 
     def search(self, queries: DataFrame, k: int = 10) -> DataFrame:
         """Exactly the BruteForceANN output shape: (query_id,
@@ -760,6 +994,117 @@ class IVFPQANN:
         return df.select(idc, vc).mapInPandas(
             enc, schema="vec_id long, cell int, codes array<bigint>"
         )
+
+    def append(self, new_corpus: DataFrame) -> "IVFPQANN":
+        """Incremental maintenance under frozen coarse centroids AND
+        frozen residual codebooks: one encode pass over the new
+        vectors extends the cell-keyed code relation; existing codes
+        are untouched. Re-``fit`` when drift makes the cells stale."""
+        if self.codebooks is None or self._codes is None:
+            raise ValueError("IVFPQANN must be fit before append")
+        idc, vc = self.id_column, self.vector_column
+        combined = (
+            self._codes.unionByName(self._encode(new_corpus))
+            .localCheckpoint(eager=True)
+        )
+        old = self._codes
+        self._codes = combined
+        old.unpersist()
+        self._corpus = self._corpus.select(idc, vc).unionByName(
+            new_corpus.select(idc, vc)
+        )
+        return self
+
+    def save(self, path: str) -> None:
+        """Coarse centroids + residual codebooks + cell-keyed codes +
+        refine vectors, all parquet under ``path``."""
+        from replay_spark.ann.store import write_meta
+
+        if self.codebooks is None or self._codes is None:
+            raise ValueError("IVFPQANN must be fit before save")
+        write_meta(
+            path,
+            type(self).__name__,
+            {
+                "dim": self.dim,
+                "num_cells": self.num_cells,
+                "nprobe": self.nprobe,
+                "m": self.m,
+                "ksub": self.ksub,
+                "iters": self.iters,
+                "train_sample": self.train_sample,
+                "refine": self.refine,
+                "seed": self.seed,
+                "id_column": self.id_column,
+                "vector_column": self.vector_column,
+            },
+        )
+        spark = self._codes.sparkSession
+        spark.createDataFrame(
+            [
+                (i, [float(x) for x in c])
+                for i, c in enumerate(self.centroids)
+            ],
+            "cell int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "centroids")
+        )
+        books = [
+            (j, c, [float(x) for x in self.codebooks[j][c]])
+            for j in range(len(self.codebooks))
+            for c in range(len(self.codebooks[j]))
+        ]
+        spark.createDataFrame(
+            books, "subspace int, code int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "codebooks")
+        )
+        self._codes.write.mode("overwrite").parquet(
+            os.path.join(path, "codes")
+        )
+        self._corpus.select(self.id_column, self.vector_column).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, "corpus"))
+
+    @classmethod
+    def load(cls, path: str, spark=None) -> "IVFPQANN":
+        import numpy as np
+
+        from replay_spark.ann.store import read_meta, resolve_spark
+
+        spark = resolve_spark(spark)
+        self = cls(**read_meta(path)["params"])
+        self.centroids = np.array(
+            [
+                r["centroid"]
+                for r in spark.read.parquet(
+                    os.path.join(path, "centroids")
+                )
+                .orderBy("cell")
+                .collect()
+            ],
+            dtype=np.float64,
+        )
+        rows = (
+            spark.read.parquet(os.path.join(path, "codebooks"))
+            .orderBy("subspace", "code")
+            .collect()
+        )
+        m = max(r["subspace"] for r in rows) + 1
+        self.codebooks = np.stack(
+            [
+                np.array(
+                    [r["centroid"] for r in rows if r["subspace"] == j],
+                    dtype=np.float64,
+                )
+                for j in range(m)
+            ]
+        )
+        self._codes = spark.read.parquet(
+            os.path.join(path, "codes")
+        ).persist()
+        self._corpus = spark.read.parquet(os.path.join(path, "corpus"))
+        return self
 
     def search(self, queries: DataFrame, k: int = 10) -> DataFrame:
         import numpy as np

@@ -16,13 +16,24 @@ __all__ = ["save", "load"]
 
 
 def _registry() -> dict:
+    import replay_spark.ann as a
     import replay_spark.models as m
 
-    return {
+    reg = {
         name: cls
         for name, cls in vars(m).items()
         if isinstance(cls, type)
     }
+    # ANN indexes share the meta.json {"class": ...} contract, so a
+    # saved index loads through the same front door as any model
+    reg.update(
+        {
+            name: cls
+            for name, cls in vars(a).items()
+            if isinstance(cls, type)
+        }
+    )
+    return reg
 
 
 def save(model, path: str) -> None:
