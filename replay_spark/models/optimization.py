@@ -24,7 +24,13 @@ from typing import Callable, Optional
 
 from replay_spark.data.dataset import Dataset
 
-__all__ = ["optimize"]
+__all__ = [
+    "MedianPruner",
+    "Study",
+    "TrialPruned",
+    "optimize",
+    "optimize_objective",
+]
 
 try:  # pragma: no cover - optional dependency
     import optuna
@@ -197,6 +203,223 @@ class _TPESampler:
         return params
 
 
+class TrialPruned(Exception):
+    """Raised inside an objective to abandon the running trial (the
+    optuna.TrialPruned shape); ``optimize_objective`` records the
+    trial as pruned with its last reported intermediate value."""
+
+
+class MedianPruner:
+    """Median early-stopping rule (the Optuna ``MedianPruner``
+    semantics, reference ``models/optimization/optuna_mixin.py``'s
+    pruner hook): prune at step ``s`` when the trial's reported value
+    is strictly worse than the MEDIAN of completed trials' values at
+    the same step. ``n_startup_trials`` completed trials are required
+    before any pruning; the first ``n_warmup_steps`` steps of every
+    trial are never pruned."""
+
+    def __init__(self, n_startup_trials: int = 5, n_warmup_steps: int = 0):
+        if n_startup_trials < 0 or n_warmup_steps < 0:
+            raise ValueError("pruner thresholds must be >= 0")
+        self.n_startup_trials = n_startup_trials
+        self.n_warmup_steps = n_warmup_steps
+
+    def should_prune(
+        self,
+        step: int,
+        value: float,
+        completed_histories: list,
+        higher_is_better: bool,
+    ) -> bool:
+        if step < self.n_warmup_steps:
+            return False
+        at_step = sorted(
+            h[step] for h in completed_histories if step in h
+        )
+        if len(at_step) < self.n_startup_trials:
+            return False
+        n = len(at_step)
+        # exact median: mean of the two middle order statistics
+        median = (
+            at_step[n // 2]
+            if n % 2
+            else (at_step[n // 2 - 1] + at_step[n // 2]) / 2.0
+        )
+        return value < median if higher_is_better else value > median
+
+
+class _Trial:
+    """Per-trial handle passed to objectives: ``report(value, step)``
+    then ``should_prune()`` between training steps — exactly the
+    optuna.Trial intermediate-value surface."""
+
+    def __init__(self, pruner, completed_histories, higher_is_better):
+        self._pruner = pruner
+        self._histories = completed_histories
+        self._higher = higher_is_better
+        self.intermediate: dict = {}
+
+    def report(self, value: float, step: int) -> None:
+        self.intermediate[int(step)] = float(value)
+
+    def should_prune(self) -> bool:
+        if self._pruner is None or not self.intermediate:
+            return False
+        step = max(self.intermediate)
+        return self._pruner.should_prune(
+            step, self.intermediate[step], self._histories, self._higher
+        )
+
+
+class Study:
+    """Trial ledger with JSON save/resume (the reference's
+    ``storage``/``study_name`` persistence, minus the RDB): every
+    trial records decoded params, the sampler-coordinate raws, the
+    final value, completed/pruned state, and intermediate values.
+    ``save(path)`` writes one JSON file; ``Study.load(path)`` resumes
+    — a later ``optimize_objective(..., study=loaded)`` run seeds its
+    TPE history with the stored trials and appends new ones."""
+
+    def __init__(self, higher_is_better: bool = True, seed: Optional[int] = 42):
+        self.higher_is_better = higher_is_better
+        self.seed = seed
+        self.trials: list = []
+
+    def _completed(self) -> list:
+        return [t for t in self.trials if t["state"] == "complete"]
+
+    @property
+    def best_trial(self) -> Optional[dict]:
+        done = self._completed()
+        if not done:
+            return None
+        return (max if self.higher_is_better else min)(
+            done, key=lambda t: t["value"]
+        )
+
+    @property
+    def best_params(self) -> Optional[dict]:
+        best = self.best_trial
+        return None if best is None else best["params"]
+
+    @property
+    def best_value(self) -> Optional[float]:
+        best = self.best_trial
+        return None if best is None else best["value"]
+
+    def save(self, path: str) -> None:
+        import json
+        import os
+
+        payload = json.dumps(
+            {
+                "higher_is_better": self.higher_is_better,
+                "seed": self.seed,
+                "trials": self.trials,
+            },
+            indent=1,
+        )
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(payload)
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "Study":
+        import json
+
+        with open(path) as fh:
+            raw = json.loads(fh.read())
+        study = cls(
+            higher_is_better=raw["higher_is_better"], seed=raw["seed"]
+        )
+        study.trials = [
+            {
+                **t,
+                "intermediate": {
+                    int(k): v for k, v in (t.get("intermediate") or {}).items()
+                },
+            }
+            for t in raw["trials"]
+        ]
+        return study
+
+
+def optimize_objective(
+    objective: Callable,
+    param_borders: dict,
+    budget: int = 10,
+    higher_is_better: bool = True,
+    seed: Optional[int] = 42,
+    pruner: Optional[MedianPruner] = None,
+    study: Optional[Study] = None,
+) -> Study:
+    """Generic TPE loop over an arbitrary objective.
+
+    ``objective(params, trial)`` returns the trial value; iterative
+    objectives call ``trial.report(value, step)`` +
+    ``trial.should_prune()`` between steps and raise
+    :class:`TrialPruned` to abandon a bad trial early (its last
+    reported value is recorded, state ``"pruned"``). Pass a
+    :class:`Study` to RESUME: stored trials seed the sampler's
+    history and ``budget`` counts only NEW trials; determinism under
+    resume comes from re-seeding the sampler with
+    ``seed + len(study.trials)``, so run→save→load→run reproduces a
+    single longer run's trial-count trajectory without replaying old
+    trials.
+    """
+    study = study or Study(higher_is_better=higher_is_better, seed=seed)
+    norm = _normalize_space(param_borders)
+    sampler = _TPESampler(
+        _sampler_space(norm), (seed or 0) + len(study.trials)
+    )
+    # TPE history: completed trials, plus pruned trials at their last
+    # reported value (a pruned trial is evidence of a bad region)
+    def _history() -> list:
+        out = []
+        for t in study.trials:
+            if t["state"] == "complete":
+                out.append({"params": t["raw"], "value": t["value"]})
+            elif t["intermediate"]:
+                out.append(
+                    {
+                        "params": t["raw"],
+                        "value": t["intermediate"][max(t["intermediate"])],
+                    }
+                )
+        return out
+
+    for _ in range(budget):
+        raw = sampler.suggest(_history(), higher_is_better)
+        params = _decode_params(norm, raw)
+        completed_histories = [
+            t["intermediate"]
+            for t in study.trials
+            if t["state"] == "complete" and t["intermediate"]
+        ]
+        trial = _Trial(pruner, completed_histories, higher_is_better)
+        try:
+            value = objective(params, trial)
+            state = "complete"
+        except TrialPruned:
+            value = (
+                trial.intermediate[max(trial.intermediate)]
+                if trial.intermediate
+                else None
+            )
+            state = "pruned"
+        study.trials.append(
+            {
+                "params": params,
+                "raw": raw,
+                "value": value,
+                "state": state,
+                "intermediate": dict(trial.intermediate),
+            }
+        )
+    return study
+
+
 def optimize(
     model_factory: Callable[..., object],
     train_dataset: Dataset,
@@ -219,17 +442,21 @@ def optimize(
     exactly this signature plus the two search-space formats
     (``{param: [low, high] | [choices...]}`` and the reference's
     ``{param: {"type": int|uniform|loguniform|loguniform_int|
-    categorical, "args": [...]}}``). Optuna-specific knobs from the
-    reference's mixin — custom ``sampler``/``pruner`` objects,
-    ``storage``/``study_name`` persistence, ``timeout``, callbacks,
-    multivariate TPE flags — are NOT emulated by the vendored
-    sampler and raise :class:`TypeError` immediately rather than
-    being silently dropped (a ported call must fail loudly at the
-    boundary, not appear to run with different semantics). When the
-    real optuna IS importable, the loop still exposes only this
-    subset; pass-through of optuna kwargs is deliberately not a
-    feature, so behavior is identical with and without optuna
-    installed.
+    categorical, "args": [...]}}``). Median pruning and study
+    persistence ARE covered — by this package's own
+    :class:`MedianPruner` / :class:`Study` through
+    :func:`optimize_objective` (fit→predict→metric trials are
+    single-shot, so pruning only has meaning for iterative
+    objectives that report intermediate values). OPTUNA-OBJECT knobs
+    from the reference's mixin — custom optuna ``sampler``/``pruner``
+    instances, RDB ``storage``/``study_name``, ``timeout``,
+    callbacks, multivariate TPE flags — are NOT emulated and raise
+    :class:`TypeError` immediately rather than being silently
+    dropped (a ported call must fail loudly at the boundary, not
+    appear to run with different semantics). When the real optuna IS
+    importable, the loop still exposes only this subset;
+    pass-through of optuna kwargs is deliberately not a feature, so
+    behavior is identical with and without optuna installed.
     """
     if unsupported:
         raise TypeError(
@@ -290,20 +517,15 @@ def optimize(
         RuntimeWarning,
         stacklevel=2,
     )
-    norm = _normalize_space(param_borders)
-    sampler = _TPESampler(_sampler_space(norm), seed)
-    internal_trials: list = []
-    best_params, best_value = None, None
-    for _ in range(budget):
-        raw = sampler.suggest(internal_trials, higher_is_better)
-        params = _decode_params(norm, raw)
-        value = objective(params)
-        internal_trials.append({"params": raw, "value": value})
-        better = (
-            best_value is None
-            or (higher_is_better and value > best_value)
-            or (not higher_is_better and value < best_value)
-        )
-        if better:
-            best_params, best_value = params, value
-    return {"best_params": best_params, "best_value": best_value, "trials": trials}
+    study = optimize_objective(
+        lambda params, _trial: objective(params),
+        param_borders,
+        budget=budget,
+        higher_is_better=higher_is_better,
+        seed=seed,
+    )
+    return {
+        "best_params": study.best_params,
+        "best_value": study.best_value,
+        "trials": trials,
+    }

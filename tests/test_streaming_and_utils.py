@@ -649,3 +649,86 @@ def test_optimize_rejects_optuna_specific_kwargs():
             criterion=lambda recs, gt: 0.0,
             pruner=object(),
         )
+
+
+def test_median_pruner_and_study_resume(tmp_path):
+    """Optuna-delta surface: MedianPruner early-stops bad trials
+    (seeded, reproducible), Study JSON save/resume continues the
+    search with the stored trials as TPE history."""
+    from replay_spark.models.optimization import (
+        MedianPruner,
+        Study,
+        TrialPruned,
+        optimize_objective,
+    )
+
+    steps_run = {}
+
+    def make_objective(log):
+        def obj(params, trial):
+            x = params["x"]
+            n = 0
+            for step in range(5):
+                trial.report(x * (step + 1) / 5.0, step)
+                n += 1
+                if trial.should_prune():
+                    log[len(log)] = n
+                    raise TrialPruned()
+            log[len(log)] = n
+            return x
+        return obj
+
+    pruner = MedianPruner(n_startup_trials=3)
+    s1 = optimize_objective(
+        make_objective(steps_run), {"x": [0.0, 1.0]},
+        budget=12, seed=7, pruner=pruner,
+    )
+    states = [t["state"] for t in s1.trials]
+    assert "pruned" in states and "complete" in states
+    # pruned trials stopped early; completed ran all 5 steps
+    for i, t in enumerate(s1.trials):
+        assert steps_run[i] == (5 if t["state"] == "complete" else steps_run[i])
+        if t["state"] == "pruned":
+            assert steps_run[i] < 5
+            assert t["value"] == pytest.approx(
+                t["intermediate"][max(t["intermediate"])]
+            )
+    # best comes from completed trials only
+    assert s1.best_value == max(
+        t["value"] for t in s1.trials if t["state"] == "complete"
+    )
+    # seeded reproducibility: identical rerun
+    s2 = optimize_objective(
+        make_objective({}), {"x": [0.0, 1.0]},
+        budget=12, seed=7, pruner=MedianPruner(n_startup_trials=3),
+    )
+    assert [(t["state"], t["params"], t["value"]) for t in s1.trials] == [
+        (t["state"], t["params"], t["value"]) for t in s2.trials
+    ]
+
+    # save → load → resume: history carries, budget counts new trials
+    path = str(tmp_path / "study.json")
+    s1.save(path)
+    r1 = optimize_objective(
+        make_objective({}), {"x": [0.0, 1.0]},
+        budget=4, seed=7, pruner=MedianPruner(n_startup_trials=3),
+        study=Study.load(path),
+    )
+    r2 = optimize_objective(
+        make_objective({}), {"x": [0.0, 1.0]},
+        budget=4, seed=7, pruner=MedianPruner(n_startup_trials=3),
+        study=Study.load(path),
+    )
+    assert len(r1.trials) == 16
+    assert [t["params"] for t in r1.trials] == [t["params"] for t in r2.trials]
+    # resume never degrades the best (it keeps old trials)
+    assert r1.best_value >= s1.best_value
+    # intermediate keys survive the JSON round trip as ints
+    assert all(
+        isinstance(k, int)
+        for t in r1.trials
+        for k in t["intermediate"]
+    )
+
+    with pytest.raises(ValueError):
+        MedianPruner(n_startup_trials=-1)
