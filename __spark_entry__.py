@@ -5971,38 +5971,52 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lake_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log-embedded column stats (the Delta dataSkipping shape):
-    documents land in 8 range-chunked commits, each carrying its
-    files' min/max doc_id IN the commit record, and a range read
-    prunes files during the driver-side FOLD — zero file I/O at that
-    tier (telemetry asserted in-gate: log-level kept < total). The
-    pruned answer must equal DuckDB's recompute."""
+    documents land in 8 rank-chunked commits (chunk boundaries =
+    order statistics of doc_id, so the gate is id-distribution-
+    robust), each carrying its files' min/max doc_id IN the commit
+    record, and a range read prunes files during the driver-side
+    FOLD — zero file I/O at that tier (telemetry asserted in-gate:
+    log-level kept < total). The pruned answer must equal DuckDB's
+    rank-window recompute."""
     import os
     import shutil
     import tempfile
 
     from replay_spark.lake import LakeTable
 
+    from replay_spark.utils.spark_utils import ordered_row_numbers
+
     docs = rsd.read_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
     n = docs.count()
-    chunk = max(1, n // 8)
+    # RANK-chunked commits (not value-chunked): the chunk boundaries
+    # are order statistics of doc_id, so the gate holds under ANY id
+    # distribution — the sf1 bench replica's doc_ids live in 10
+    # disjoint shard offsets where naive value chunks collapse to 2
+    # non-empty files
+    chunked = ordered_row_numbers(
+        docs, [F.col("doc_id")], out_col="_rn"
+    ).withColumn(
+        "_chunk", F.expr(f"CAST(((_rn - 1) * 8) DIV {n} AS INT)")
+    )
     tag = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(tempfile.gettempdir(), f"rs_lakestats_{tag}")
     shutil.rmtree(path, ignore_errors=True)
     t = LakeTable(spark, path)
     t.enable_column_stats(["doc_id"])
     for r in range(8):
-        part = docs.filter(
-            (F.col("doc_id") >= r * chunk)
-            & (
-                F.col("doc_id") < (r + 1) * chunk
-                if r < 7
-                else F.lit(True)
-            )
+        part = chunked.filter(F.col("_chunk") == r).select(
+            "doc_id", "text"
         )
         t.append(part.coalesce(1))
-    lo, hi = chunk, 3 * chunk - 1  # spans chunks 1-2 only
+    b = (
+        chunked.filter(F.col("_chunk").isin(1, 2))
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .first()
+    )
+    lo, hi = b["lo"], b["hi"]  # spans rank-chunks 1-2 only
+    chunked.unpersist()
     pruned, kept, total = t.read_where({"doc_id": (lo, hi)})
     log_kept, log_total = t.last_log_pruned
     assert log_total == 8 and 0 < log_kept < log_total, (
@@ -10784,12 +10798,16 @@ def oracle_sql() -> dict[str, str]:
             FROM v GROUP BY 1
         """,
         "q_lake_stats": """
-            WITH n AS (SELECT count(*) // 8 AS chunk FROM documents)
+            WITH nn AS (SELECT count(*) AS c FROM documents),
+            r AS (
+                SELECT doc_id, text,
+                       row_number() OVER (ORDER BY doc_id) - 1 AS rn
+                FROM documents)
             SELECT CAST(doc_id % 4 AS BIGINT) AS g,
                    CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(sum(length(text)) AS BIGINT) AS sum_chars
-            FROM documents, n
-            WHERE doc_id BETWEEN n.chunk AND 3 * n.chunk - 1
+            FROM r, nn
+            WHERE rn * 8 // nn.c IN (1, 2)
             GROUP BY 1
         """,
         "q_lake_replicate": """

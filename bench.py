@@ -161,6 +161,23 @@ def main():
 
     queries = entrymod.queries()
 
+    def _cpu_canary() -> float:
+        # fixed pure-CPU reference loop (400k chained md5 rounds,
+        # ~0.2 s on a quiet box): timed immediately before each
+        # measured query so box contention is SELF-EVIDENT in the
+        # JSON — the r9 driver read q_dedup_clusters at 15.5 s where
+        # three quiet-box runs agreed on ~4 s, and the r10 driver's
+        # headline ran ~1.3x hot with nothing in the record to tell
+        # a hot box from a regression. The compact line ships
+        # [min, median, max] for BOTH the headline and sf1 sections.
+        import hashlib
+
+        t0 = time.time()
+        h = b"replay-spark-canary"
+        for _ in range(400_000):
+            h = hashlib.md5(h).digest()
+        return time.time() - t0
+
     def run_once(name):
         start = time.time()
         n = queries[name](spark, SF_DIR).count()
@@ -173,6 +190,7 @@ def main():
     # ship unflagged in round 5 (warm exceeded cold in the same file);
     # median-of-3 tames outliers in BOTH directions.
     timings, cold_timings = {}, {}
+    headline_canaries = {}
     total = 0.0
     for name in BENCH_QUERIES:
         try:
@@ -180,6 +198,7 @@ def main():
             # from) another query's cached intermediates — keeps the
             # warm number attributable to the query itself
             spark.catalog.clearCache()
+            headline_canaries[name] = round(_cpu_canary(), 3)
             _, cold = run_once(name)
             cold_timings[name] = cold
             warms = []
@@ -190,7 +209,8 @@ def main():
             timings[name] = elapsed
             total += elapsed
             print(
-                f"# {name}: {n} rows in {elapsed}s (cold {cold}s)",
+                f"# {name}: {n} rows in {elapsed}s (cold {cold}s, "
+                f"canary {headline_canaries[name]}s)",
                 file=sys.stderr,
             )
         except Exception as exc:
@@ -227,24 +247,18 @@ def main():
         # shard suffixes keep cross-shard windows disjoint, so the
         # removed set (and rebuild) stays proportional, not quadratic
         "q_substring_dedup",
+        # round-11: the lakehouse/feature-store tier at 10x — the
+        # 100 TB substrate previously had zero scale datapoints. The
+        # replica's events table is 10x rows in user-disjoint shards,
+        # so the PIT as-of join and the IVM group-by scale with rows;
+        # q_lake_stats exercises log-embedded stats pruning over the
+        # 10x documents corpus.
+        "q_feature_store",
+        "q_materialized_agg",
+        "q_lake_stats",
     ]
     sf1_timings = {}
     sf1_canaries = {}
-
-    def _cpu_canary() -> float:
-        # fixed pure-CPU reference loop (400k chained md5 rounds,
-        # ~0.2 s on a quiet box): timed immediately before each sf1
-        # query so box contention is SELF-EVIDENT in the JSON — the
-        # r9 driver read q_dedup_clusters at 15.5 s where three
-        # quiet-box runs agreed on ~4 s, and nothing in the record
-        # could tell a hot box from a regression
-        import hashlib
-
-        t0 = time.time()
-        h = b"replay-spark-canary"
-        for _ in range(400_000):
-            h = hashlib.md5(h).digest()
-        return time.time() - t0
 
     try:
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
@@ -313,6 +327,7 @@ def main():
         "sf": sf,
         "sf1": sf1_timings,
         "sf1_canary_per_query": sf1_canaries,
+        "headline_canary_per_query": headline_canaries,
     }
     print("# FULL " + json.dumps(verbose), file=sys.stderr)
     cold_total = round(
@@ -338,6 +353,18 @@ def main():
         },
         "cold_total": cold_total,
     }
+    if headline_canaries:
+        hvals = sorted(headline_canaries.values())
+        # [min, median, max] of the fixed-work CPU canary timed
+        # before each headline query: ~0.2 s flat on a quiet box;
+        # max >> min means the headline section itself ran contended
+        # and its totals must be discounted accordingly (the r10
+        # driver's apparent +1.3-1.5x movers were exactly this)
+        compact["headline_canary"] = [
+            round(hvals[0], 2),
+            round(hvals[len(hvals) // 2], 2),
+            round(hvals[-1], 2),
+        ]
     if sf1_canaries:
         cvals = sorted(sf1_canaries.values())
         # [min, median, max] of the fixed-work CPU canary timed

@@ -36,7 +36,11 @@ DEFAULT_OUT = os.path.join(
 
 def _source_manifest(src_dir: str, factor: int) -> dict:
     out = {"factor": factor}
-    for name in ("documents.parquet", "embeddings.parquet"):
+    for name in (
+        "documents.parquet",
+        "embeddings.parquet",
+        "events.parquet",
+    ):
         p = os.path.join(src_dir, name)
         st = os.stat(p)
         out[name] = [st.st_size, int(st.st_mtime)]
@@ -50,9 +54,14 @@ def ensure_replica(
 ) -> str:
     docs_out = os.path.join(out_dir, "documents.parquet")
     embs_out = os.path.join(out_dir, "embeddings.parquet")
+    evts_out = os.path.join(out_dir, "events.parquet")
     manifest_path = os.path.join(out_dir, "source_manifest.json")
     manifest = _source_manifest(src_dir, factor)
-    if os.path.exists(docs_out) and os.path.exists(embs_out):
+    if (
+        os.path.exists(docs_out)
+        and os.path.exists(embs_out)
+        and os.path.exists(evts_out)
+    ):
         try:
             with open(manifest_path) as fh:
                 if json.load(fh) == manifest:
@@ -66,6 +75,7 @@ def ensure_replica(
     con = duckdb.connect()
     src_docs = os.path.join(src_dir, "documents.parquet")
     src_embs = os.path.join(src_dir, "embeddings.parquet")
+    src_evts = os.path.join(src_dir, "events.parquet")
     con.execute(
         f"""
         COPY (
@@ -92,6 +102,22 @@ def ensure_replica(
             FROM read_parquet('{src_embs}'), range({factor}) k(k)
             ORDER BY vec_id
         ) TO '{embs_out}' (FORMAT PARQUET)
+        """
+    )
+    # events: 10x rows in USER-disjoint shards (user_id + k*10^7,
+    # event_id + k*10^9) — user-keyed joins/aggregations (the
+    # feature-store PIT join, the IVM group-by) scale linearly with
+    # rows, which is what a real 10x user base does; timestamps and
+    # payloads stay bit-identical so per-user work is unchanged.
+    con.execute(
+        f"""
+        COPY (
+            SELECT event_id + k.k * 1000000000 AS event_id, ts,
+                   user_id + k.k * 10000000 AS user_id,
+                   event_type, value, props
+            FROM read_parquet('{src_evts}'), range({factor}) k(k)
+            ORDER BY event_id
+        ) TO '{evts_out}' (FORMAT PARQUET)
         """
     )
     con.close()
