@@ -6414,42 +6414,125 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver scores the FIRST 50 entries — sections (a)..(b) sum
     to EXACTLY 50 (pinned by tests/test_entry_contract.py), and every
     one carries a value-hash oracle (50/50 hash, the bar since r9).
-    Order for r10: (a) the 13 round-10 debuts — the lakehouse GC/skip/
-    clone tier (q_lake_vacuum: retention-window GC with a durable
-    ratcheting horizon; q_bloom_skip: per-file Bloom sidecars pruning
-    point predicates interval stats can't; q_lake_clone: zero-copy
-    shallow clone with divergent evolution), streaming feature
-    freshness (q_streaming_feature_store: exactly-once micro-batch
-    ingestion + point-in-time read == batch recompute), the Hdr
-    quantile sketch batch + streaming (q_hdr_quantiles,
-    q_streaming_hdr), k-core peeling (q_kcore), leakage-free target
-    encoding (q_target_encode), and RRF hybrid search (q_rrf_hybrid);
-    (a2) the 4 r9 debuts that missed the r9 window (q_doc_embed,
-    q_lake_checkpoint, q_lake_partition, q_tfrecord_floats);
-    (a3) 6 gates whose code paths materially changed this round —
-    asof_join grew numeric-'on' units (q_asof_join, q_asof_nearest,
-    q_feature_store), the kmeans quantized update gained its
-    overflow guard (q_kmeans_step), the lake read path gained the
-    time-travel guard + date-stats fix (q_lake_optimize), and
-    IncrementalDeduplicator's store scan was refactored for bloom
-    pruning (q_incremental_dedup); (b) the 27 stalest official
-    scores — the COMPLETE r5 cohort (14), all of r6 (5), and 8 of
-    the oldest r7 gates — so no official score in the board is older
-    than r7 after this round (4 r7 gates head section (c) for the
-    r11 rotation). The honestly non-SQL rows-only
-    contracts (see test_entry_contract.py's allowlist) all sit in
-    (c), officially green in prior rounds.
+
+    Rotation policy (stated, and satisfiable by the arithmetic): each
+    round's window = this round's debuts + gates whose code paths
+    materially changed + the GENUINELY oldest official scores, oldest
+    round first. At ~250 registered gates and 50 slots a full
+    official cycle takes ~5 rounds and grows with the registry — so
+    old official scores are EXPECTED in the board's tail; the
+    mitigation is the per-round full-registry sweep
+    (tools/check_oracle.py at sf0.01 AND sf0.1), which re-verifies
+    every gate every round regardless of window position.
+
+    Staleness ledger — machine-checked against CORRECTNESS_r*.json by
+    tests/test_entry_contract.py::test_staleness_ledger_matches_files
+    (numbers recomputed from the files, never hand-asserted): as of
+    r10 the oldest official hash-gate score is r5 (19 gates), and 5
+    hash gates await a first official score. (The r10 docstring
+    claimed no score predated r7; recomputation showed 67 gates at
+    r4-r6 — that claim class is now computed, not asserted.)
+
+    Order for r11: (a) the 5 never-officially-scored hash gates —
+    the two r11 debuts (q_ann_save_load: ANN index persistence,
+    save→load→search hash-matches the fresh-build oracle;
+    q_ann_incremental: append under frozen centroids == full
+    rebuild) and the three late-r10 debuts (q_markov_rec,
+    q_lake_stats, q_calibration); (a2) the 3 gates whose code paths
+    materially changed this round — the CDF earliest-start guard now
+    equals the vacuum horizon (q_lake_vacuum), bloom probes decode
+    the bitset once per sidecar + log telemetry records after the
+    bloom tier (q_bloom_skip), and the bloom-pruned incremental
+    store scan (q_incremental_dedup); (b) the 42 stalest official
+    scores, oldest first — the COMPLETE r5 cohort (19) and the 23
+    alphabetically-first of the 31 r6-scored hash gates. The
+    honestly non-SQL rows-only contracts (see
+    test_entry_contract.py's allowlist) all sit in (c), officially
+    green in prior rounds.
     (c) everything else — officially green in a prior round — still
-    run in tools/check_oracle at both scales and in bench.
+    run in tools/check_oracle at both scales and in bench; the 8
+    remaining r6-scored hash gates lead as r12 rotation candidates.
     """
     return {
-        # -- (a) round-10 debuts: lakehouse GC/skip/clone tier
-        #        (retention vacuum, bloom sidecars, zero-copy
-        #        clone), streaming feature freshness, the Hdr
-        #        quantile sketch (batch + streaming), k-core
-        #        peeling, target encoding, RRF hybrid search --
+        # -- (a) round-11 debuts + gates awaiting a FIRST
+        #        official score: ANN index persistence
+        #        (save->load->search == fresh build) and
+        #        incremental append (frozen centroids ==
+        #        full rebuild), then the three late-r10
+        #        debuts the r10 window closed before ------
+        "q_ann_save_load": q_ann_save_load,
+        "q_ann_incremental": q_ann_incremental,
+        "q_markov_rec": q_markov_rec,
+        "q_lake_stats": q_lake_stats,
+        "q_calibration": q_calibration,
+        # -- (a2) gates whose code paths materially changed
+        #        this round: the CDF/vacuum horizon guard
+        #        (q_lake_vacuum exercises changes() against
+        #        the horizon), bloom-sidecar probe caching +
+        #        post-bloom telemetry (q_bloom_skip), and the
+        #        bloom-pruned store scan (q_incremental_dedup)
         "q_lake_vacuum": q_lake_vacuum,
         "q_bloom_skip": q_bloom_skip,
+        "q_incremental_dedup": q_incremental_dedup,
+        # -- (b) the 42 genuinely stalest official scores,
+        #        oldest first: the COMPLETE r5 cohort (19)
+        #        and the 23 alphabetically-first of the 31
+        #        r6-scored hash gates (the other 8 head
+        #        section (c) for the r12 rotation) ---------
+        "q_abnormality": q_abnormality,
+        "q_filter_consecutive_dups": q_filter_consecutive_dups,
+        "q_filter_entity_days": q_filter_entity_days,
+        "q_filter_global_days": q_filter_global_days,
+        "q_filter_low_rating": q_filter_low_rating,
+        "q_filter_min_count": q_filter_min_count,
+        "q_filter_num_interactions": q_filter_num_interactions,
+        "q_filter_time_period": q_filter_time_period,
+        "q_last_n_split_test": q_last_n_split_test,
+        "q_log_info_row": q_log_info_row,
+        "q_metric_per_user": q_metric_per_user,
+        "q_metric_per_user_2": q_metric_per_user_2,
+        "q_poprec_popularity": q_poprec_popularity,
+        "q_random_rec_distribution": q_random_rec_distribution,
+        "q_ratio_split_bysize_test": q_ratio_split_bysize_test,
+        "q_time_split_test": q_time_split_test,
+        "q_token_counts": q_token_counts,
+        "q_top_k_recs": q_top_k_recs,
+        "q_unique_entities": q_unique_entities,
+        "q_assoc_rules": q_assoc_rules,
+        "q_cat_pop_rec": q_cat_pop_rec,
+        "q_conditional_popularity": q_conditional_popularity,
+        "q_dataset_encode": q_dataset_encode,
+        "q_fallback_merge": q_fallback_merge,
+        "q_filter_entity_days_last": q_filter_entity_days_last,
+        "q_filter_first_interactions": q_filter_first_interactions,
+        "q_filter_quantile_items": q_filter_quantile_items,
+        "q_item_distribution": q_item_distribution,
+        "q_item_recency": q_item_recency,
+        "q_itemknn_bm25_similarity": q_itemknn_bm25_similarity,
+        "q_itemknn_predict_pairs": q_itemknn_predict_pairs,
+        "q_itemknn_similarity": q_itemknn_similarity,
+        "q_klucb_scores": q_klucb_scores,
+        "q_knn_nearest_items": q_knn_nearest_items,
+        "q_lin_ucb_recs": q_lin_ucb_recs,
+        "q_log_stat_features": q_log_stat_features,
+        "q_metric_cat_diversity": q_metric_cat_diversity,
+        "q_metric_coverage": q_metric_coverage,
+        "q_metric_mean_ci": q_metric_mean_ci,
+        "q_metric_unexpectedness": q_metric_unexpectedness,
+        "q_poprec_recs": q_poprec_recs,
+        "q_querypoprec_scores": q_querypoprec_scores,
+        # -- (c) officially green in a prior round — still
+        #        run in tools/check_oracle at both scales
+        #        and in bench; the 8 remaining r6-scored
+        #        hash gates lead as r12 rotation candidates
+        "q_ratio_split_test": q_ratio_split_test,
+        "q_sequence_encode": q_sequence_encode,
+        "q_sequence_tokenizer": q_sequence_tokenizer,
+        "q_split_new_users_test": q_split_new_users_test,
+        "q_split_session_atomic": q_split_session_atomic,
+        "q_tensor_sequences": q_tensor_sequences,
+        "q_ucb_scores": q_ucb_scores,
+        "q_wilson_scores": q_wilson_scores,
         "q_lake_clone": q_lake_clone,
         "q_streaming_feature_store": q_streaming_feature_store,
         "q_hdr_quantiles": q_hdr_quantiles,
@@ -6461,27 +6544,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_sample": q_weighted_sample,
         "q_robust_scale": q_robust_scale,
         "q_lake_replicate": q_lake_replicate,
-        # -- (a2) round-9 debuts that missed the r9 window ----
         "q_doc_embed": q_doc_embed,
         "q_lake_checkpoint": q_lake_checkpoint,
         "q_lake_partition": q_lake_partition,
         "q_tfrecord_floats": q_tfrecord_floats,
-        # -- (a3) gates whose code paths materially changed
-        #        this round: asof_join numeric-'on' units (and
-        #        its two dependents), the kmeans overflow
-        #        guard, the lake read path (time-travel guard +
-        #        date-stats fix), IncrementalDeduplicator's
-        #        store-scan refactor ---------------------------
         "q_asof_join": q_asof_join,
         "q_asof_nearest": q_asof_nearest,
         "q_feature_store": q_feature_store,
         "q_kmeans_step": q_kmeans_step,
         "q_lake_optimize": q_lake_optimize,
-        "q_incremental_dedup": q_incremental_dedup,
-        # -- (b) stalest official scores re-proved: the full
-        #        r5 cohort (14), r6 (5), and 8 of the oldest r7
-        #        gates — every one hash-green in its last
-        #        official round and in every sweep since -------
         "q_doc_dedup_exact": q_doc_dedup_exact,
         "q_doc_dedup_normalized": q_doc_dedup_normalized,
         "q_document_chunks": q_document_chunks,
@@ -6509,14 +6580,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ccnet_buckets": q_ccnet_buckets,
         "q_cms_counts": q_cms_counts,
         "q_contamination_report": q_contamination_report,
-        # -- (c) officially green in a prior round — still run
-        #        in tools/check_oracle (both scales) and bench;
-        #        late-r10 debuts (r11 rotation candidates) lead
-        "q_markov_rec": q_markov_rec,
-        "q_lake_stats": q_lake_stats,
-        "q_calibration": q_calibration,
-        "q_ann_save_load": q_ann_save_load,
-        "q_ann_incremental": q_ann_incremental,
         "q_dsir_weights": q_dsir_weights,
         "q_embedding_cosine_topk": q_embedding_cosine_topk,
         "q_gif_decode": q_gif_decode,
@@ -6648,42 +6711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_candidates_md5": q_minhash_candidates_md5,
         "q_streaming_sessionize": q_streaming_sessionize,
         "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "q_abnormality": q_abnormality,
-        "q_token_counts": q_token_counts,
-        "q_unique_entities": q_unique_entities,
-        "q_log_info_row": q_log_info_row,
-        "q_wilson_scores": q_wilson_scores,
-        "q_ucb_scores": q_ucb_scores,
-        "q_klucb_scores": q_klucb_scores,
-        "q_lin_ucb_recs": q_lin_ucb_recs,
-        "q_metric_unexpectedness": q_metric_unexpectedness,
-        "q_metric_cat_diversity": q_metric_cat_diversity,
-        "q_filter_entity_days_last": q_filter_entity_days_last,
-        "q_filter_first_interactions": q_filter_first_interactions,
-        "q_item_recency": q_item_recency,
-        "q_item_distribution": q_item_distribution,
-        "q_itemknn_predict_pairs": q_itemknn_predict_pairs,
-        "q_conditional_popularity": q_conditional_popularity,
-        "q_cat_pop_rec": q_cat_pop_rec,
-        "q_metric_mean_ci": q_metric_mean_ci,
         "q_doc_fingerprints": q_doc_fingerprints,
-        "q_sequence_encode": q_sequence_encode,
-        "q_knn_nearest_items": q_knn_nearest_items,
-        "q_sequence_tokenizer": q_sequence_tokenizer,
-        "q_ratio_split_test": q_ratio_split_test,
-        "q_poprec_recs": q_poprec_recs,
-        "q_querypoprec_scores": q_querypoprec_scores,
-        "q_itemknn_similarity": q_itemknn_similarity,
-        "q_assoc_rules": q_assoc_rules,
-        "q_dataset_encode": q_dataset_encode,
-        "q_log_stat_features": q_log_stat_features,
-        "q_fallback_merge": q_fallback_merge,
-        "q_metric_coverage": q_metric_coverage,
-        "q_tensor_sequences": q_tensor_sequences,
-        "q_split_new_users_test": q_split_new_users_test,
-        "q_split_session_atomic": q_split_session_atomic,
-        "q_itemknn_bm25_similarity": q_itemknn_bm25_similarity,
-        "q_filter_quantile_items": q_filter_quantile_items,
         "q_cluster_rec": q_cluster_rec,
         "q_als_recs": q_als_recs,
         "q_word2vec_recs": q_word2vec_recs,
@@ -6696,22 +6724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kfolds_sizes": q_kfolds_sizes,
         "q_two_stage_split_sizes": q_two_stage_split_sizes,
         "q_random_next_n_split": q_random_next_n_split,
-        "q_filter_num_interactions": q_filter_num_interactions,
-        "q_filter_entity_days": q_filter_entity_days,
-        "q_filter_global_days": q_filter_global_days,
-        "q_filter_low_rating": q_filter_low_rating,
         "q_filter_interaction_entries": q_filter_interaction_entries,
-        "q_filter_min_count": q_filter_min_count,
-        "q_filter_time_period": q_filter_time_period,
-        "q_filter_consecutive_dups": q_filter_consecutive_dups,
-        "q_last_n_split_test": q_last_n_split_test,
-        "q_ratio_split_bysize_test": q_ratio_split_bysize_test,
-        "q_time_split_test": q_time_split_test,
-        "q_poprec_popularity": q_poprec_popularity,
-        "q_random_rec_distribution": q_random_rec_distribution,
-        "q_metric_per_user_2": q_metric_per_user_2,
-        "q_metric_per_user": q_metric_per_user,
-        "q_top_k_recs": q_top_k_recs,
         "q_slim_similarity": q_slim_similarity,
         "q_minhash_candidates": q_minhash_candidates,
         "q_simhash_fingerprints": q_simhash_fingerprints,

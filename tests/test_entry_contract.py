@@ -175,3 +175,64 @@ def test_readme_bench_table_synced_to_newest_bench_json():
         f"ballpark as {os.path.basename(path)}'s {bench_total}s "
         f"(ratio {ratio:.2f}) — stale table or a real regression"
     )
+
+
+def test_staleness_ledger_matches_files():
+    """The r10 docstring claimed 'no official score predates r7';
+    recomputation over the CORRECTNESS files showed 67 gates at
+    r4-r6. This test makes that claim class impossible to hand-wave:
+    the queries() docstring must carry a staleness ledger whose
+    numbers are RECOMPUTED here from CORRECTNESS_r*.json — 'as of
+    rM' pins the file set, so the claim stays true after later
+    rounds land new files."""
+    import glob
+    import json
+
+    doc = entrymod.queries.__doc__
+    m = re.search(
+        r"as of\s+r(\d+) the oldest official hash-gate score is "
+        r"r(\d+) \((\d+) gates\), and (\d+) hash gates await a "
+        r"first official score",
+        " ".join(doc.split()),
+    )
+    assert m, "queries() docstring is missing the staleness ledger"
+    as_of, oldest_claim, n_oldest_claim, n_unscored_claim = map(
+        int, m.groups()
+    )
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        if rnd > as_of:
+            continue
+        for gate in json.load(open(path)):
+            last[gate] = max(rnd, last.get(gate, 0))
+    assert any(last.values()), "no CORRECTNESS files up to the as-of round"
+
+    hash_gates = [q for q in entrymod.queries() if q in entrymod.oracle_sql()]
+    scored = {q: last[q] for q in hash_gates if q in last}
+    oldest = min(scored.values())
+    n_oldest = sum(1 for v in scored.values() if v == oldest)
+    n_unscored = sum(1 for q in hash_gates if q not in last)
+    assert (oldest, n_oldest, n_unscored) == (
+        oldest_claim,
+        n_oldest_claim,
+        n_unscored_claim,
+    ), (
+        f"staleness ledger drifted: docstring says oldest r"
+        f"{oldest_claim} ({n_oldest_claim} gates) / {n_unscored_claim}"
+        f" unscored, files say oldest r{oldest} ({n_oldest} gates) / "
+        f"{n_unscored} unscored — update the queries() docstring"
+    )
+    # the rotation policy must actually hold: every hash gate with
+    # the OLDEST official score is either inside the scored window
+    # or younger gates were not preferred over it... the enforceable
+    # core: the window's section (b) must contain gates AT the
+    # oldest round (rotating toward anything else strands the tail)
+    window = list(entrymod.queries())[:50]
+    oldest_in_window = [q for q in window if scored.get(q) == oldest]
+    assert oldest_in_window, (
+        f"no gate with the oldest official score (r{oldest}) is in "
+        "the scored window — the rotation is not consuming the tail"
+    )
