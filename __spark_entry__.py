@@ -5969,6 +5969,28 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep
 
 
+def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift monitoring (the feature-store PSI input):
+    events split into a reference half and a current half (by
+    event_id parity), the numeric ``value`` column bins by the
+    REFERENCE's exact decile edges (order statistics at exact
+    rational ranks) and ``event_type`` by reference frequency order
+    — the report is pure BIGINT counts per (column, bin), zero-
+    filled full outer across sides. DuckDB replays the edge ranks,
+    the >=-edge bin arithmetic, and the category indexing exactly."""
+    from replay_spark.analytics import DriftReport
+
+    ev = rsd.read_table(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    dr = DriftReport(
+        numeric_columns=["value"],
+        categorical_columns=["event_type"],
+        n_bins=10,
+    ).fit(ref)
+    return dr.report(cur).withColumnRenamed("column", "col_name")
+
+
 def q_lake_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log-embedded column stats (the Delta dataSkipping shape):
     documents land in 8 rank-chunked commits (chunk boundaries =
@@ -6428,29 +6450,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Staleness ledger — machine-checked against CORRECTNESS_r*.json by
     tests/test_entry_contract.py::test_staleness_ledger_matches_files
     (numbers recomputed from the files, never hand-asserted): as of
-    r10 the oldest official hash-gate score is r5 (19 gates), and 5
+    r10 the oldest official hash-gate score is r5 (19 gates), and 6
     hash gates await a first official score. (The r10 docstring
     claimed no score predated r7; recomputation showed 67 gates at
     r4-r6 — that claim class is now computed, not asserted.)
 
-    Order for r11: (a) the 5 never-officially-scored hash gates —
-    the two r11 debuts (q_ann_save_load: ANN index persistence,
-    save→load→search hash-matches the fresh-build oracle;
-    q_ann_incremental: append under frozen centroids == full
-    rebuild) and the three late-r10 debuts (q_markov_rec,
+    Order for r11: (a) the 6 never-officially-scored hash gates —
+    the three r11 debuts (q_drift_report: snapshot drift monitoring,
+    exact-integer PSI/chi-square bins; q_ann_save_load: ANN index
+    persistence, save→load→search hash-matches the fresh-build
+    oracle; q_ann_incremental: append under frozen centroids ==
+    full rebuild) and the three late-r10 debuts (q_markov_rec,
     q_lake_stats, q_calibration); (a2) the 3 gates whose code paths
     materially changed this round — the CDF earliest-start guard now
     equals the vacuum horizon (q_lake_vacuum), bloom probes decode
     the bitset once per sidecar + log telemetry records after the
     bloom tier (q_bloom_skip), and the bloom-pruned incremental
-    store scan (q_incremental_dedup); (b) the 42 stalest official
-    scores, oldest first — the COMPLETE r5 cohort (19) and the 23
+    store scan (q_incremental_dedup); (b) the 41 stalest official
+    scores, oldest first — the COMPLETE r5 cohort (19) and the 22
     alphabetically-first of the 31 r6-scored hash gates. The
     honestly non-SQL rows-only contracts (see
     test_entry_contract.py's allowlist) all sit in (c), officially
     green in prior rounds.
     (c) everything else — officially green in a prior round — still
-    run in tools/check_oracle at both scales and in bench; the 8
+    run in tools/check_oracle at both scales and in bench; the 9
     remaining r6-scored hash gates lead as r12 rotation candidates.
     """
     return {
@@ -6460,6 +6483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #        incremental append (frozen centroids ==
         #        full rebuild), then the three late-r10
         #        debuts the r10 window closed before ------
+        "q_drift_report": q_drift_report,
         "q_ann_save_load": q_ann_save_load,
         "q_ann_incremental": q_ann_incremental,
         "q_markov_rec": q_markov_rec,
@@ -6520,11 +6544,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_metric_mean_ci": q_metric_mean_ci,
         "q_metric_unexpectedness": q_metric_unexpectedness,
         "q_poprec_recs": q_poprec_recs,
-        "q_querypoprec_scores": q_querypoprec_scores,
         # -- (c) officially green in a prior round — still
         #        run in tools/check_oracle at both scales
         #        and in bench; the 8 remaining r6-scored
         #        hash gates lead as r12 rotation candidates
+        "q_querypoprec_scores": q_querypoprec_scores,
         "q_ratio_split_test": q_ratio_split_test,
         "q_sequence_encode": q_sequence_encode,
         "q_sequence_tokenizer": q_sequence_tokenizer,
@@ -10809,6 +10833,68 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(conf * 1000000) AS BIGINT))
                         AS BIGINT) AS sum_conf_ppm
             FROM v GROUP BY 1
+        """,
+        "q_drift_report": """
+            WITH ref AS (SELECT * FROM events WHERE event_id % 2 = 0),
+            cur AS (SELECT * FROM events WHERE event_id % 2 = 1),
+            rv AS (
+                SELECT CAST(value AS DOUBLE) AS v,
+                       row_number() OVER (ORDER BY CAST(value AS DOUBLE)) AS rn
+                FROM ref WHERE value IS NOT NULL),
+            nn AS (SELECT count(*) AS c FROM rv),
+            edges AS (
+                SELECT j, (SELECT rv.v FROM rv, nn
+                           WHERE rv.rn = greatest(1, (nn.c * j + 9) // 10)) AS ev
+                FROM range(1, 10) t(j)),
+            cats AS (
+                SELECT event_type AS v, count(*) AS n
+                FROM ref WHERE event_type IS NOT NULL GROUP BY 1),
+            idx AS (
+                SELECT v, row_number() OVER (ORDER BY n DESC, v ASC) - 1 AS i
+                FROM cats),
+            kk AS (SELECT count(*) AS k FROM idx WHERE i < 100),
+            nb_ref AS (
+                SELECT CASE WHEN value IS NULL THEN -1
+                       ELSE (SELECT count(*) FROM edges e
+                             WHERE CAST(ref.value AS DOUBLE) >= e.ev) END AS bin
+                FROM ref),
+            nb_cur AS (
+                SELECT CASE WHEN value IS NULL THEN -1
+                       ELSE (SELECT count(*) FROM edges e
+                             WHERE CAST(cur.value AS DOUBLE) >= e.ev) END AS bin
+                FROM cur),
+            cb_ref AS (
+                SELECT CASE WHEN event_type IS NULL THEN -1
+                       ELSE coalesce((SELECT i FROM idx
+                                      WHERE v = ref.event_type AND i < 100),
+                                     (SELECT k FROM kk)) END AS bin
+                FROM ref),
+            cb_cur AS (
+                SELECT CASE WHEN event_type IS NULL THEN -1
+                       ELSE coalesce((SELECT i FROM idx
+                                      WHERE v = cur.event_type AND i < 100),
+                                     (SELECT k FROM kk)) END AS bin
+                FROM cur),
+            br AS (
+                SELECT 'value' AS col_name, bin, count(*) AS n
+                FROM nb_ref GROUP BY 2
+                UNION ALL
+                SELECT 'event_type', bin, count(*) FROM cb_ref GROUP BY 2),
+            bc AS (
+                SELECT 'value' AS col_name, bin, count(*) AS n
+                FROM nb_cur GROUP BY 2
+                UNION ALL
+                SELECT 'event_type', bin, count(*) FROM cb_cur GROUP BY 2),
+            ab AS (
+                SELECT col_name, bin FROM br
+                UNION
+                SELECT col_name, bin FROM bc)
+            SELECT ab.col_name AS col_name, CAST(ab.bin AS INT) AS bin,
+                   CAST(coalesce(br.n, 0) AS BIGINT) AS n_ref,
+                   CAST(coalesce(bc.n, 0) AS BIGINT) AS n_cur
+            FROM ab
+            LEFT JOIN br ON ab.col_name = br.col_name AND ab.bin = br.bin
+            LEFT JOIN bc ON ab.col_name = bc.col_name AND ab.bin = bc.bin
         """,
         "q_lake_stats": """
             WITH nn AS (SELECT count(*) AS c FROM documents),

@@ -37,6 +37,7 @@ __all__ = [
     "CohortRetention",
     "TransitionMatrix",
     "CalibrationReport",
+    "DriftReport",
     "ab_test_summary",
 ]
 
@@ -375,3 +376,190 @@ class CalibrationReport:
             conf = r["sum_conf_ppm"] / (r["n"] * 1_000_000)
             out += (r["n"] / total) * abs(acc - conf)
         return out
+
+
+class DriftReport:
+    """Population-drift binning between a REFERENCE snapshot and a
+    CURRENT snapshot — the PSI / chi-square input that feature-store
+    monitoring runs per refresh (pair it with lake time travel:
+    ``fit(t.read(version=n)).report(t.read())`` is "did anything
+    drift since the model trained?").
+
+    * NUMERIC columns bin by the reference's ``n_bins``-quantile
+      edges, computed as EXACT order statistics (rank = exact
+      rational ``ceil(j·n/n_bins)`` — the engine-reproducible device
+      every sketch here uses); values bin as
+      ``Σ_j 1[v ≥ edge_j]`` so the assignment is pure arithmetic on
+      a frozen edge list.
+    * CATEGORICAL (string) columns bin by the reference's
+      ``max_categories`` most frequent values (count desc, value asc
+      — deterministic), everything else into an OTHER bucket
+      (bin = K), so cardinality is bounded at any scale.
+    * NULLs land in bin −1 on both sides — nullity drift is drift.
+
+    ``report`` returns exact BIGINT sufficient statistics
+    ``[column, bin, n_ref, n_cur]`` (≤ bins+2 rows per column at any
+    input size — ONE map-side-combined aggregation per side, columns
+    exploded in the same pass); :meth:`psi` and :meth:`chi2` are
+    driver-side folds over that tiny table, mirroring
+    :class:`CalibrationReport`'s integer-stats-then-fold shape. No
+    reference counterpart (ML-ops extension).
+    """
+
+    def __init__(
+        self,
+        numeric_columns: Sequence[str] = (),
+        categorical_columns: Sequence[str] = (),
+        n_bins: int = 10,
+        max_categories: int = 100,
+    ):
+        if not numeric_columns and not categorical_columns:
+            raise ValueError("give at least one column to monitor")
+        if n_bins < 2:
+            raise ValueError("n_bins must be >= 2")
+        if max_categories < 1:
+            raise ValueError("max_categories must be >= 1")
+        self.numeric_columns = list(numeric_columns)
+        self.categorical_columns = list(categorical_columns)
+        self.n_bins = n_bins
+        self.max_categories = max_categories
+        self.edges_: Optional[dict] = None   # col -> [edge values]
+        self.cats_: Optional[dict] = None    # col -> [category values]
+        self._ref_counts: Optional[list] = None  # (col, bin, n_ref)
+
+    def _bin_expr(self, col: str) -> Column:
+        v = F.col(col)
+        if col in self.edges_:
+            edges = self.edges_[col]
+            assigned = F.aggregate(
+                F.array(*[F.lit(float(e)) for e in edges]),
+                F.lit(0),
+                lambda acc, e: acc
+                + F.when(v.cast("double") >= e, F.lit(1)).otherwise(
+                    F.lit(0)
+                ),
+            )
+        else:
+            cats = self.cats_[col]
+            mapping = F.map_from_arrays(
+                F.array(*[F.lit(c) for c in cats]),
+                F.array(*[F.lit(i) for i in range(len(cats))]),
+            )
+            assigned = F.coalesce(
+                mapping.getItem(v.cast("string")), F.lit(len(cats))
+            )
+        return F.when(v.isNull(), F.lit(-1)).otherwise(assigned)
+
+    def _binned(self, df: DataFrame) -> DataFrame:
+        """One pass for ALL monitored columns: explode a (column,
+        bin) struct array, then one map-side-combined count."""
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    self._bin_expr(c).cast("int").alias("bin"),
+                )
+                for c in self.numeric_columns + self.categorical_columns
+            ]
+        )
+        return (
+            df.select(F.explode(pairs).alias("_p"))
+            .groupBy(F.col("_p.column").alias("column"), F.col("_p.bin").alias("bin"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    def fit(self, ref: DataFrame) -> "DriftReport":
+        from replay_spark.utils.spark_utils import exact_quantiles
+
+        self.edges_, self.cats_ = {}, {}
+        for c in self.numeric_columns:
+            probs = [j / self.n_bins for j in range(1, self.n_bins)]
+            self.edges_[c] = exact_quantiles(
+                ref.select(F.col(c).cast("double").alias(c)), c, probs
+            )
+        for c in self.categorical_columns:
+            rows = (
+                ref.filter(F.col(c).isNotNull())
+                .groupBy(F.col(c).cast("string").alias("v"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.col("n").desc(), F.col("v").asc())
+                .limit(self.max_categories)
+                .collect()
+            )
+            self.cats_[c] = [r["v"] for r in rows]
+        self._ref_counts = [
+            (r["column"], r["bin"], r["n"])
+            for r in self._binned(ref).collect()
+        ]
+        return self
+
+    def report(self, cur: DataFrame) -> DataFrame:
+        """``[column, bin, n_ref, n_cur]`` — full outer over the two
+        sides' bin tables, zero-filled (a bin present in only one
+        side is maximal drift evidence, not a dropped row)."""
+        if self._ref_counts is None:
+            raise ValueError("DriftReport must be fit before report")
+        spark = cur.sparkSession
+        ref_df = spark.createDataFrame(
+            self._ref_counts, "column string, bin int, n_ref long"
+        )
+        cur_df = self._binned(cur).withColumnRenamed("n", "n_cur")
+        return (
+            ref_df.join(cur_df, on=["column", "bin"], how="full_outer")
+            .select(
+                "column",
+                "bin",
+                F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+                F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+            )
+        )
+
+    @staticmethod
+    def psi(report: DataFrame, epsilon: float = 1e-6) -> dict:
+        """Per-column Population Stability Index from a report table:
+        Σ_b (p_b − q_b)·ln(p_b/q_b), zero shares clamped to
+        ``epsilon`` — a driver fold over ≤ bins+2 rows per column.
+        Rule of thumb: <0.1 stable, 0.1-0.25 moderate, >0.25 major."""
+        import math
+        from collections import defaultdict
+
+        rows = report.collect()
+        tot_r: dict = defaultdict(int)
+        tot_c: dict = defaultdict(int)
+        for r in rows:
+            tot_r[r["column"]] += r["n_ref"]
+            tot_c[r["column"]] += r["n_cur"]
+        out: dict = defaultdict(float)
+        for r in rows:
+            if not tot_r[r["column"]] or not tot_c[r["column"]]:
+                continue
+            p = max(r["n_ref"] / tot_r[r["column"]], epsilon)
+            q = max(r["n_cur"] / tot_c[r["column"]], epsilon)
+            out[r["column"]] += (p - q) * math.log(p / q)
+        return dict(out)
+
+    @staticmethod
+    def chi2(report: DataFrame) -> dict:
+        """Per-column Pearson chi-square statistic of the 2×B
+        contingency table (homogeneity test input; compare against
+        the chi2 critical value for B−1 dof)."""
+        from collections import defaultdict
+
+        rows = report.collect()
+        tot_r: dict = defaultdict(int)
+        tot_c: dict = defaultdict(int)
+        for r in rows:
+            tot_r[r["column"]] += r["n_ref"]
+            tot_c[r["column"]] += r["n_cur"]
+        out: dict = defaultdict(float)
+        for r in rows:
+            col = r["column"]
+            n = tot_r[col] + tot_c[col]
+            b = r["n_ref"] + r["n_cur"]
+            if not b or not tot_r[col] or not tot_c[col]:
+                continue
+            e_ref = b * tot_r[col] / n
+            e_cur = b * tot_c[col] / n
+            out[col] += (r["n_ref"] - e_ref) ** 2 / e_ref
+            out[col] += (r["n_cur"] - e_cur) ** 2 / e_cur
+        return dict(out)

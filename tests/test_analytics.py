@@ -160,3 +160,55 @@ def test_calibration_null_labels_and_out_of_range_conf(spark):
     assert rep[0] == (1, 0, 0)         # clamped low
     assert rep[9] == (1, 1, 1000000)   # clamped high
     assert set(rep) == {0, 1, 9}
+
+
+def test_drift_report_bins_psi_chi2(spark):
+    """Numeric quantile bins from the REFERENCE side, categorical
+    top-K + OTHER, NULL bucket on both sides, zero-filled full outer
+    bins, and the psi/chi2 driver folds."""
+    from replay_spark.analytics import DriftReport
+
+    ref_rows = [(float(i), "a" if i % 2 else "b") for i in range(1, 21)]
+    ref_rows.append((None, None))
+    ref = spark.createDataFrame(ref_rows, "x double, c string")
+    # current: shifted distribution + a category the ref never saw
+    cur_rows = [(float(i) + 10.0, "a") for i in range(1, 21)]
+    cur_rows += [(5.0, "z"), (None, "a")]
+    cur = spark.createDataFrame(cur_rows, "x double, c string")
+
+    dr = DriftReport(
+        numeric_columns=["x"], categorical_columns=["c"], n_bins=4
+    ).fit(ref)
+    # edges = exact quartiles of 1..20: ranks ceil(5)=5, 10, 15
+    assert dr.edges_["x"] == [5.0, 10.0, 15.0]
+    # categories by (count desc, value asc): 'a' (10) ties 'b' (10)
+    assert dr.cats_["c"] == ["a", "b"]
+
+    rep = {
+        (r["column"], r["bin"]): (r["n_ref"], r["n_cur"])
+        for r in dr.report(cur).collect()
+    }
+    # ref x: bins 0..3 hold 4,5,5,6 (v>=edge count), null bucket 1
+    assert rep[("x", -1)] == (1, 1)
+    assert rep[("x", 0)] == (4, 0)      # cur has nothing below 5
+    assert rep[("x", 3)][0] == 6
+    assert rep[("x", 3)][1] == 16       # cur mass piled at the top
+    # categorical: 'z' is OTHER (bin 2), present only in cur
+    assert rep[("c", 2)] == (0, 1)
+    assert rep[("c", -1)] == (1, 0)
+    assert rep[("c", 0)] == (10, 21)
+
+    out = dr.report(cur)
+    psi = DriftReport.psi(out)
+    chi2 = DriftReport.chi2(out)
+    assert psi["x"] > 0.25, psi          # major numeric drift
+    assert psi["c"] > 0.1
+    assert chi2["x"] > 0 and chi2["c"] > 0
+    # no drift -> psi ~ 0
+    same = dr.report(ref)
+    assert DriftReport.psi(same)["x"] < 1e-9
+
+    with pytest.raises(ValueError):
+        DriftReport()
+    with pytest.raises(ValueError, match="fit before"):
+        DriftReport(numeric_columns=["x"]).report(cur)
