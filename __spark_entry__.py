@@ -4035,6 +4035,49 @@ def q_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lake_vector_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF-maintained vector index over a lake table: embeddings
+    land in a LakeTable (half at v0), the IVF index builds once
+    (frozen deterministic centroids), then the table takes an append
+    (v1) AND a delete (v2) and the index REFRESHES from the change
+    feed alone — touched ids anti-joined out, current rows of those
+    ids re-assigned under the frozen quantizer, churn-proportional
+    work. The refreshed index's search hash-matches a DuckDB IVF
+    replay over the FINAL snapshot (deletes gone, appends present) —
+    proving refresh == rebuild without the rebuild."""
+    import os
+    import shutil
+    import tempfile
+
+    from replay_spark.ann import LakeVectorIndex
+    from replay_spark.lake import LakeTable
+
+    emb = rsd.read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = [
+        r["embedding"]
+        for r in emb.filter("vec_id < 16").orderBy("vec_id").collect()
+    ]
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    tbl_path = os.path.join(tempfile.gettempdir(), f"rs_lvitbl_{tag}")
+    idx_path = os.path.join(tempfile.gettempdir(), f"rs_lviidx_{tag}")
+    shutil.rmtree(tbl_path, ignore_errors=True)
+    shutil.rmtree(idx_path, ignore_errors=True)
+    t = LakeTable(spark, tbl_path)
+    t.append(emb.filter(F.col("vec_id") % 2 == 0).coalesce(1))  # v0
+    lvi = LakeVectorIndex(
+        spark, idx_path, t, num_clusters=16, nprobe=2
+    ).build(centroids=cents)
+    t.append(emb.filter(F.col("vec_id") % 2 == 1).coalesce(1))  # v1
+    t.delete(F.col("vec_id") % 7 == 3)                          # v2
+    lvi.refresh()
+    assert lvi.indexed_version() == 2
+    return lvi.search(emb.filter("vec_id < 20"), k=5).select(
+        "query_id", "neighbor_id", "cosine", "rank"
+    )
+
+
 def q_e2e_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end offline evaluation mirroring the reference's
     benchmark shape (BASELINE.md): time split -> fit/predict two
@@ -6450,30 +6493,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Staleness ledger — machine-checked against CORRECTNESS_r*.json by
     tests/test_entry_contract.py::test_staleness_ledger_matches_files
     (numbers recomputed from the files, never hand-asserted): as of
-    r10 the oldest official hash-gate score is r5 (19 gates), and 6
+    r10 the oldest official hash-gate score is r5 (19 gates), and 7
     hash gates await a first official score. (The r10 docstring
     claimed no score predated r7; recomputation showed 67 gates at
     r4-r6 — that claim class is now computed, not asserted.)
 
-    Order for r11: (a) the 6 never-officially-scored hash gates —
-    the three r11 debuts (q_drift_report: snapshot drift monitoring,
-    exact-integer PSI/chi-square bins; q_ann_save_load: ANN index
-    persistence, save→load→search hash-matches the fresh-build
-    oracle; q_ann_incremental: append under frozen centroids ==
-    full rebuild) and the three late-r10 debuts (q_markov_rec,
+    Order for r11: (a) the 7 never-officially-scored hash gates —
+    the four r11 debuts (q_drift_report: snapshot drift monitoring,
+    exact-integer PSI/chi-square bins; q_lake_vector_index:
+    CDF-refreshed vector index over a lake table, refresh == rebuild
+    under frozen centroids; q_ann_save_load: ANN index persistence,
+    save→load→search hash-matches the fresh-build oracle;
+    q_ann_incremental: append under frozen centroids == full
+    rebuild) and the three late-r10 debuts (q_markov_rec,
     q_lake_stats, q_calibration); (a2) the 3 gates whose code paths
     materially changed this round — the CDF earliest-start guard now
     equals the vacuum horizon (q_lake_vacuum), bloom probes decode
     the bitset once per sidecar + log telemetry records after the
     bloom tier (q_bloom_skip), and the bloom-pruned incremental
-    store scan (q_incremental_dedup); (b) the 41 stalest official
-    scores, oldest first — the COMPLETE r5 cohort (19) and the 22
+    store scan (q_incremental_dedup); (b) the 40 stalest official
+    scores, oldest first — the COMPLETE r5 cohort (19) and the 21
     alphabetically-first of the 31 r6-scored hash gates. The
     honestly non-SQL rows-only contracts (see
     test_entry_contract.py's allowlist) all sit in (c), officially
     green in prior rounds.
     (c) everything else — officially green in a prior round — still
-    run in tools/check_oracle at both scales and in bench; the 9
+    run in tools/check_oracle at both scales and in bench; the 10
     remaining r6-scored hash gates lead as r12 rotation candidates.
     """
     return {
@@ -6484,6 +6529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #        full rebuild), then the three late-r10
         #        debuts the r10 window closed before ------
         "q_drift_report": q_drift_report,
+        "q_lake_vector_index": q_lake_vector_index,
         "q_ann_save_load": q_ann_save_load,
         "q_ann_incremental": q_ann_incremental,
         "q_markov_rec": q_markov_rec,
@@ -6543,11 +6589,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_metric_coverage": q_metric_coverage,
         "q_metric_mean_ci": q_metric_mean_ci,
         "q_metric_unexpectedness": q_metric_unexpectedness,
-        "q_poprec_recs": q_poprec_recs,
         # -- (c) officially green in a prior round — still
         #        run in tools/check_oracle at both scales
         #        and in bench; the 8 remaining r6-scored
         #        hash gates lead as r12 rotation candidates
+        "q_poprec_recs": q_poprec_recs,
         "q_querypoprec_scores": q_querypoprec_scores,
         "q_ratio_split_test": q_ratio_split_test,
         "q_sequence_encode": q_sequence_encode,
@@ -8496,6 +8542,52 @@ def oracle_sql() -> dict[str, str]:
                 JOIN assign a ON a.cluster = p.cluster
                 JOIN e ON e.vec_id = a.vec_id
                 WHERE e.vec_id <> q.qid)
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM scored) t
+            WHERE rank <= 5
+        """,
+        "q_lake_vector_index": """
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+            cents AS (SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < 16),
+            -- the FINAL snapshot: both halves appended, the delete applied
+            corp AS (SELECT * FROM e WHERE vec_id % 7 <> 3),
+            assign AS (
+                SELECT vec_id, cluster FROM (
+                    SELECT c0.vec_id, c.cluster,
+                           row_number() OVER (PARTITION BY c0.vec_id ORDER BY
+                               round(list_dot_product(c0.v, c.cv) /
+                                     (sqrt(list_dot_product(c0.v, c0.v)) *
+                                      sqrt(list_dot_product(c.cv, c.cv))) + 1e-9, 6) DESC,
+                               c.cluster ASC) AS rn
+                    FROM corp c0, cents c) t
+                WHERE rn = 1),
+            q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+            probe AS (
+                SELECT qid, cluster FROM (
+                    SELECT q.qid, c.cluster,
+                           row_number() OVER (PARTITION BY q.qid ORDER BY
+                               round(list_dot_product(q.qv, c.cv) /
+                                     (sqrt(list_dot_product(q.qv, q.qv)) *
+                                      sqrt(list_dot_product(c.cv, c.cv))) + 1e-9, 6) DESC,
+                               c.cluster ASC) AS rn
+                    FROM q, cents c) t
+                WHERE rn <= 2),
+            scored AS (
+                SELECT q.qid AS query_id, e2.vec_id AS neighbor_id,
+                       round(list_dot_product(q.qv, e2.v) /
+                             (sqrt(list_dot_product(q.qv, q.qv)) *
+                              sqrt(list_dot_product(e2.v, e2.v))) + 1e-9, 6) AS cosine
+                FROM probe p
+                JOIN q ON p.qid = q.qid
+                JOIN assign a ON a.cluster = p.cluster
+                JOIN corp e2 ON e2.vec_id = a.vec_id
+                WHERE e2.vec_id <> q.qid)
             SELECT query_id, neighbor_id, cosine, rank FROM (
                 SELECT *, row_number() OVER (
                     PARTITION BY query_id

@@ -234,3 +234,50 @@ def test_stateless_classes_and_dispatch(spark, corpus):
         fh.write(json.dumps(meta))
     with pytest.raises(ValueError, match="format_version"):
         load_index(p2, spark)
+
+
+def test_lake_vector_index_cdf_refresh_exact(spark, corpus):
+    """build at v0, append + delete on the source table, refresh via
+    the change feed — the refreshed index answers EXACTLY like a
+    fresh full build over the current snapshot; the cursor ratchets
+    and a no-op refresh is a no-op."""
+    from replay_spark.ann import IVFANN, LakeVectorIndex
+    from replay_spark.lake import LakeTable
+
+    cents = [
+        r.embedding
+        for r in corpus.filter("vec_id < 8").orderBy("vec_id").collect()
+    ]
+    tbl_path = tempfile.mkdtemp(prefix="rs_lvi_tbl_")
+    idx_path = tempfile.mkdtemp(prefix="rs_lvi_idx_")
+    t = LakeTable(spark, tbl_path)
+    t.append(corpus.filter("vec_id % 2 = 0").coalesce(1))       # v0
+    lvi = LakeVectorIndex(
+        spark, idx_path, t, num_clusters=8, nprobe=2
+    ).build(centroids=cents)
+    assert lvi.indexed_version() == 0
+
+    t.append(corpus.filter("vec_id % 2 = 1").coalesce(1))       # v1
+    t.delete(F.col("vec_id") % 7 == 3)                          # v2
+    lvi.refresh()
+    assert lvi.indexed_version() == 2
+
+    queries = corpus.filter("vec_id < 10")
+    got = _rows(lvi.search(queries, k=5))
+    fresh = IVFANN(num_clusters=8, nprobe=2).fit(
+        t.read(), centroids=cents
+    )
+    assert got == _rows(fresh.search(queries, k=5))
+    # deleted ids never surface as neighbors
+    assert not [r for r in got if r[1] % 7 == 3]
+    # no-op refresh keeps the cursor
+    lvi.refresh()
+    assert lvi.indexed_version() == 2
+    # a second handle loads the persisted index cold
+    lvi2 = LakeVectorIndex(spark, idx_path, t, num_clusters=8, nprobe=2)
+    assert _rows(lvi2.search(queries, k=5)) == got
+    with pytest.raises(ValueError, match="build"):
+        LakeVectorIndex(
+            spark, tempfile.mkdtemp(), t, num_clusters=8
+        ).refresh()
+    t.drop()
