@@ -256,6 +256,9 @@ def main():
         "q_feature_store",
         "q_materialized_agg",
         "q_lake_stats",
+        # round-11: incremental ANN maintenance at 10x vectors —
+        # half-build + frozen-centroid append must stay linear
+        "q_ann_incremental",
     ]
     sf1_timings = {}
     sf1_canaries = {}
