@@ -104,6 +104,40 @@ class KMeansClusterer:
         self.update_quantization = update_quantization
         self.centroids: Optional[List[List[float]]] = None
 
+    def save(self, path: str) -> None:
+        """Fitted centroids are the whole model — they live in the
+        meta.json sidecar (the ann.store contract), so a saved
+        clusterer assigns identically in any later session."""
+        from replay_spark.ann.store import write_meta
+
+        if self.centroids is None:
+            raise ValueError("KMeansClusterer must be fit before save")
+        write_meta(
+            path,
+            type(self).__name__,
+            {
+                "k": self.k,
+                "max_iter": self.max_iter,
+                "seed": self.seed,
+                "id_column": self.id_column,
+                "vector_column": self.vector_column,
+                "init": self.init,
+                "update_quantization": self.update_quantization,
+            },
+            state={"centroids": self.centroids},
+        )
+
+    @classmethod
+    def load(cls, path: str, spark=None) -> "KMeansClusterer":
+        from replay_spark.ann.store import read_meta
+
+        meta = read_meta(path)
+        self = cls(**meta["params"])
+        self.centroids = [
+            [float(x) for x in c] for c in meta["state"]["centroids"]
+        ]
+        return self
+
     # -- internals ----------------------------------------------------
 
     def _vec(self) -> Column:

@@ -204,6 +204,44 @@ class PCAProjector:
         self.explained_variance = vals[order].tolist()
         return self
 
+    def save(self, path: str) -> None:
+        """Mean/components/variances/covariance are the whole model
+        — persisted in the meta.json sidecar (ann.store contract)."""
+        from replay_spark.ann.store import write_meta
+
+        if self.components is None:
+            raise ValueError("PCAProjector must be fit before save")
+        write_meta(
+            path,
+            type(self).__name__,
+            {
+                "k": self.k,
+                "vector_column": self.vector_column,
+                "output_column": self.output_column,
+                "center": self.center,
+                "quantization": self.quantization,
+            },
+            state={
+                "mean": self.mean,
+                "components": self.components,
+                "explained_variance": self.explained_variance,
+                "covariance": self.covariance,
+            },
+        )
+
+    @classmethod
+    def load(cls, path: str, spark=None) -> "PCAProjector":
+        from replay_spark.ann.store import read_meta
+
+        meta = read_meta(path)
+        self = cls(**meta["params"])
+        st = meta["state"]
+        self.mean = st["mean"]
+        self.components = st["components"]
+        self.explained_variance = st["explained_variance"]
+        self.covariance = st["covariance"]
+        return self
+
     def transform(self, df: DataFrame) -> DataFrame:
         if self.components is None:
             raise ValueError("fit() first (or pass components to fit)")

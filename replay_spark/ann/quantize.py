@@ -55,6 +55,37 @@ class EmbeddingQuantizer:
         self.mode = mode
         self.global_scale: Optional[float] = None
 
+    def save(self, path: str) -> None:
+        """The model is the params plus (in global mode) one scalar
+        scale — all sidecar-resident (ann.store contract)."""
+        from replay_spark.ann.store import write_meta
+
+        if self.mode == "global" and self.global_scale is None:
+            raise ValueError(
+                "EmbeddingQuantizer(mode='global') must be fit "
+                "before save"
+            )
+        write_meta(
+            path,
+            type(self).__name__,
+            {
+                "vector_column": self.vector_column,
+                "codes_column": self.codes_column,
+                "scale_column": self.scale_column,
+                "mode": self.mode,
+            },
+            state={"global_scale": self.global_scale},
+        )
+
+    @classmethod
+    def load(cls, path: str, spark=None) -> "EmbeddingQuantizer":
+        from replay_spark.ann.store import read_meta
+
+        meta = read_meta(path)
+        self = cls(**meta["params"])
+        self.global_scale = meta["state"]["global_scale"]
+        return self
+
     def _vec(self) -> Column:
         return F.transform(
             F.col(self.vector_column), lambda x: x.cast("double")

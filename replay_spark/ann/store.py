@@ -45,20 +45,24 @@ _FORMAT_VERSION = 1
 _META = "meta.json"
 
 
-def write_meta(path: str, class_name: str, params: dict) -> None:
+def write_meta(
+    path: str, class_name: str, params: dict, state: Optional[dict] = None
+) -> None:
+    """``params`` reconstruct the instance (constructor kwargs);
+    ``state`` is small fitted driver state (centroid lists, PCA
+    components, scalar scales) for classes whose whole model fits in
+    the sidecar — big artifacts go to parquet instead."""
     os.makedirs(path, exist_ok=True)
+    payload = {
+        "class": class_name,
+        "format_version": _FORMAT_VERSION,
+        "params": params,
+    }
+    if state is not None:
+        payload["state"] = state
     tmp = os.path.join(path, _META + ".tmp")
     with open(tmp, "w") as fh:
-        fh.write(
-            json.dumps(
-                {
-                    "class": class_name,
-                    "format_version": _FORMAT_VERSION,
-                    "params": params,
-                },
-                indent=1,
-            )
-        )
+        fh.write(json.dumps(payload, indent=1))
     os.replace(tmp, os.path.join(path, _META))
 
 
@@ -89,19 +93,32 @@ def save_index(index, path: str) -> None:
 
 
 def load_index(path: str, spark: Optional[SparkSession] = None):
-    """Restore whatever ANN index class was saved at ``path``."""
+    """Restore whatever ANN-tier class was saved at ``path``."""
     from replay_spark.ann import (
         BruteForceANN,
+        EmbeddingQuantizer,
         HNSWANN,
         IVFANN,
         IVFPQANN,
+        KMeansClusterer,
         LSHANN,
+        PCAProjector,
         PQANN,
     )
 
     classes = {
         c.__name__: c
-        for c in (BruteForceANN, IVFANN, LSHANN, PQANN, IVFPQANN, HNSWANN)
+        for c in (
+            BruteForceANN,
+            IVFANN,
+            LSHANN,
+            PQANN,
+            IVFPQANN,
+            HNSWANN,
+            KMeansClusterer,
+            PCAProjector,
+            EmbeddingQuantizer,
+        )
     }
     meta = read_meta(path)
     cls = classes.get(meta["class"])

@@ -430,6 +430,7 @@ def optimize(
     budget: int = 10,
     higher_is_better: bool = True,
     seed: Optional[int] = 42,
+    study: Optional[Study] = None,
     **unsupported,
 ) -> dict:
     """Search ``param_borders`` for the best ``criterion`` value.
@@ -463,7 +464,7 @@ def optimize(
             "optimize() does not support optuna-specific kwargs "
             f"{sorted(unsupported)}; supported kwargs: model_factory, "
             "train_dataset, test_dataset, param_borders, criterion, "
-            "k, budget, higher_is_better, seed (see the docstring's "
+            "k, budget, higher_is_better, seed, study (see the docstring's "
             "Optuna-substitution boundary note)"
         )
     gt = test_dataset.interactions
@@ -523,9 +524,11 @@ def optimize(
         budget=budget,
         higher_is_better=higher_is_better,
         seed=seed,
+        study=study,
     )
     return {
         "best_params": study.best_params,
         "best_value": study.best_value,
         "trials": trials,
+        "study": study,
     }

@@ -281,3 +281,47 @@ def test_lake_vector_index_cdf_refresh_exact(spark, corpus):
             spark, tempfile.mkdtemp(), t, num_clusters=8
         ).refresh()
     t.drop()
+
+
+def test_sidecar_state_classes_roundtrip(spark, corpus):
+    """KMeansClusterer / PCAProjector / EmbeddingQuantizer persist
+    their whole model in the meta.json sidecar and restore through
+    load_index's shared dispatch."""
+    from replay_spark.ann import (
+        EmbeddingQuantizer,
+        KMeansClusterer,
+        PCAProjector,
+    )
+
+    km = KMeansClusterer(k=4, max_iter=3, seed=2).fit(corpus)
+    p1 = tempfile.mkdtemp(prefix="rs_kmidx_")
+    km.save(p1)
+    km2 = load_index(p1, spark)
+    assert isinstance(km2, KMeansClusterer)
+    assert km2.centroids == km.centroids
+    a = sorted(
+        (r.vec_id, r.cluster)
+        for r in km.transform(corpus.filter("vec_id < 10")).collect()
+    )
+    b = sorted(
+        (r.vec_id, r.cluster)
+        for r in km2.transform(corpus.filter("vec_id < 10")).collect()
+    )
+    assert a == b
+
+    pca = PCAProjector(k=3).fit(corpus)
+    p2 = tempfile.mkdtemp(prefix="rs_pcaidx_")
+    pca.save(p2)
+    pca2 = load_index(p2, spark)
+    assert pca2.components == pca.components
+    assert pca2.mean == pca.mean
+
+    q = EmbeddingQuantizer(mode="global").fit(corpus)
+    p3 = tempfile.mkdtemp(prefix="rs_sq8idx_")
+    q.save(p3)
+    q2 = load_index(p3, spark)
+    assert q2.global_scale == q.global_scale
+    with pytest.raises(ValueError, match="fit"):
+        KMeansClusterer(k=2).save(tempfile.mkdtemp())
+    with pytest.raises(ValueError, match="fit"):
+        EmbeddingQuantizer(mode="global").save(tempfile.mkdtemp())
