@@ -446,7 +446,7 @@ class DriftReport:
                 F.array(*[F.lit(i) for i in range(len(cats))]),
             )
             assigned = F.coalesce(
-                mapping.getItem(v.cast("string")), F.lit(len(cats))
+                F.element_at(mapping, v.cast("string")), F.lit(len(cats))
             )
         return F.when(v.isNull(), F.lit(-1)).otherwise(assigned)
 
