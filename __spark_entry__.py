@@ -6034,6 +6034,51 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dr.report(cur).withColumnRenamed("column", "col_name")
 
 
+def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming/batch parity for drift monitoring: the DriftReport
+    fits on the frozen reference half (batch), the CURRENT half
+    STREAMS in (availableNow) and its bin counts accumulate as a
+    streaming aggregation with state bounded by columns×(bins+2)
+    rows; the report joined over the materialized sink must
+    HASH-match the batch oracle — the streaming monitor IS the batch
+    report."""
+    import os
+
+    from replay_spark.analytics import DriftReport
+    from replay_spark.streaming import StreamingDriftMonitor
+
+    for q in spark.streams.active:
+        if q.name == "q_streaming_drift_sink":
+            q.stop()
+    ev = rsd.read_table(spark, sf_dir, "events")
+    dr = DriftReport(
+        numeric_columns=["value"],
+        categorical_columns=["event_type"],
+        n_bins=10,
+    ).fit(ev.filter(F.col("event_id") % 2 == 0))
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    link_dir = _stream_link_dir(src, "rs_stream_drift")
+    raw_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(link_dir)
+        .filter(F.col("event_id") % 2 == 1)
+        .select("value", "event_type")
+    )
+    mon = StreamingDriftMonitor(dr)
+    sq = (
+        mon.aggregate(stream)
+        .writeStream.format("memory")
+        .queryName("q_streaming_drift_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(300)
+    sink = spark.table("q_streaming_drift_sink")
+    return mon.report(sink).withColumnRenamed("column", "col_name")
+
+
 def q_lake_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log-embedded column stats (the Delta dataSkipping shape):
     documents land in 8 rank-chunked commits (chunk boundaries =
@@ -6493,14 +6538,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Staleness ledger — machine-checked against CORRECTNESS_r*.json by
     tests/test_entry_contract.py::test_staleness_ledger_matches_files
     (numbers recomputed from the files, never hand-asserted): as of
-    r10 the oldest official hash-gate score is r5 (19 gates), and 7
+    r10 the oldest official hash-gate score is r5 (19 gates), and 8
     hash gates await a first official score. (The r10 docstring
     claimed no score predated r7; recomputation showed 67 gates at
     r4-r6 — that claim class is now computed, not asserted.)
 
-    Order for r11: (a) the 7 never-officially-scored hash gates —
-    the four r11 debuts (q_drift_report: snapshot drift monitoring,
-    exact-integer PSI/chi-square bins; q_lake_vector_index:
+    Order for r11: (a) the 8 never-officially-scored hash gates —
+    the five r11 debuts (q_drift_report: snapshot drift monitoring,
+    exact-integer PSI/chi-square bins; q_streaming_drift: the same
+    report as a bounded-state streaming aggregation, batch-parity
+    gated; q_lake_vector_index:
     CDF-refreshed vector index over a lake table, refresh == rebuild
     under frozen centroids; q_ann_save_load: ANN index persistence,
     save→load→search hash-matches the fresh-build oracle;
@@ -6511,14 +6558,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     equals the vacuum horizon (q_lake_vacuum), bloom probes decode
     the bitset once per sidecar + log telemetry records after the
     bloom tier (q_bloom_skip), and the bloom-pruned incremental
-    store scan (q_incremental_dedup); (b) the 40 stalest official
-    scores, oldest first — the COMPLETE r5 cohort (19) and the 21
+    store scan (q_incremental_dedup); (b) the 39 stalest official
+    scores, oldest first — the COMPLETE r5 cohort (19) and the 20
     alphabetically-first of the 31 r6-scored hash gates. The
     honestly non-SQL rows-only contracts (see
     test_entry_contract.py's allowlist) all sit in (c), officially
     green in prior rounds.
     (c) everything else — officially green in a prior round — still
-    run in tools/check_oracle at both scales and in bench; the 10
+    run in tools/check_oracle at both scales and in bench; the 11
     remaining r6-scored hash gates lead as r12 rotation candidates.
     """
     return {
@@ -6529,6 +6576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #        full rebuild), then the three late-r10
         #        debuts the r10 window closed before ------
         "q_drift_report": q_drift_report,
+        "q_streaming_drift": q_streaming_drift,
         "q_lake_vector_index": q_lake_vector_index,
         "q_ann_save_load": q_ann_save_load,
         "q_ann_incremental": q_ann_incremental,
@@ -6588,11 +6636,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_metric_cat_diversity": q_metric_cat_diversity,
         "q_metric_coverage": q_metric_coverage,
         "q_metric_mean_ci": q_metric_mean_ci,
-        "q_metric_unexpectedness": q_metric_unexpectedness,
         # -- (c) officially green in a prior round — still
         #        run in tools/check_oracle at both scales
         #        and in bench; the 8 remaining r6-scored
         #        hash gates lead as r12 rotation candidates
+        "q_metric_unexpectedness": q_metric_unexpectedness,
         "q_poprec_recs": q_poprec_recs,
         "q_querypoprec_scores": q_querypoprec_scores,
         "q_ratio_split_test": q_ratio_split_test,
@@ -12013,6 +12061,7 @@ def oracle_sql() -> dict[str, str]:
     # persistence/incremental gates share the fresh-build oracle:
     # save->load->search must be lossless, and append under frozen
     # centroids must equal the full rebuild — same answer by contract
+    oracles["q_streaming_drift"] = oracles["q_drift_report"]
     oracles["q_ann_save_load"] = oracles["q_ivf_ann_fixed"]
     oracles["q_ann_incremental"] = oracles["q_ivf_ann_fixed"]
     return oracles

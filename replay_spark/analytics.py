@@ -499,13 +499,22 @@ class DriftReport:
         side is maximal drift evidence, not a dropped row)."""
         if self._ref_counts is None:
             raise ValueError("DriftReport must be fit before report")
-        spark = cur.sparkSession
+        return self.report_from_counts(
+            self._binned(cur).withColumnRenamed("n", "n_cur")
+        )
+
+    def report_from_counts(self, cur_counts: DataFrame) -> DataFrame:
+        """Assemble the report from PRE-AGGREGATED current-side bin
+        counts ``[column, bin, n_cur]`` — the hook the streaming
+        monitor uses against its materialized sink."""
+        if self._ref_counts is None:
+            raise ValueError("DriftReport must be fit before report")
+        spark = cur_counts.sparkSession
         ref_df = spark.createDataFrame(
             self._ref_counts, "column string, bin int, n_ref long"
         )
-        cur_df = self._binned(cur).withColumnRenamed("n", "n_cur")
         return (
-            ref_df.join(cur_df, on=["column", "bin"], how="full_outer")
+            ref_df.join(cur_counts, on=["column", "bin"], how="full_outer")
             .select(
                 "column",
                 "bin",

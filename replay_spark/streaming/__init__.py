@@ -4,6 +4,7 @@ from replay_spark.streaming.ops import (  # noqa: F401
     StreamingSourceCapFilter,
     StreamingStatefulSessionizer,
     StreamingCountMinSketch,
+    StreamingDriftMonitor,
     StreamingHdrQuantiles,
     StreamingHyperLogLog,
     StreamingUCB,

@@ -596,3 +596,39 @@ class StreamingIntervalJoiner:
             right[c] for c in right.columns if c not in self.key_columns
         ]
         return joined.select(*keep)
+
+
+class StreamingDriftMonitor:
+    """Snapshot drift as a streaming stateful aggregation — the
+    production posture of :class:`~replay_spark.analytics.
+    DriftReport`: the reference is FROZEN at fit time (its quantile
+    edges, category order, and bin counts ride the fitted report),
+    and the live side's bin counts are a plain streaming
+    groupBy-count whose state is bounded by
+    ``columns × (bins + 2)`` rows REGARDLESS of stream length.
+    ``aggregate`` returns the streaming register plan (complete /
+    update output mode); ``report`` joins the materialized sink
+    against the frozen reference counts, so the streaming report IS
+    the batch report — pinned by the ``q_streaming_drift`` gate,
+    which hash-matches the BATCH oracle SQL. psi()/chi2() then run
+    on the result exactly as in batch.
+    """
+
+    def __init__(self, drift):
+        if drift._ref_counts is None:
+            raise ValueError(
+                "fit the DriftReport on the reference before "
+                "streaming the current side"
+            )
+        self.drift = drift
+
+    def aggregate(self, stream: DataFrame) -> DataFrame:
+        """Streaming plan: ≤ columns·(bins+2) count rows."""
+        return self.drift._binned(stream)
+
+    def report(self, sink: DataFrame) -> DataFrame:
+        """``[column, bin, n_ref, n_cur]`` from a materialized sink
+        (same contract as the batch ``DriftReport.report``)."""
+        return self.drift.report_from_counts(
+            sink.withColumnRenamed("n", "n_cur")
+        )

@@ -732,3 +732,15 @@ def test_median_pruner_and_study_resume(tmp_path):
 
     with pytest.raises(ValueError):
         MedianPruner(n_startup_trials=-1)
+
+
+def test_streaming_drift_monitor_guard():
+    """The monitor refuses an unfitted DriftReport (the reference
+    must be frozen before the stream starts)."""
+    import pytest as _p
+
+    from replay_spark.analytics import DriftReport
+    from replay_spark.streaming import StreamingDriftMonitor
+
+    with _p.raises(ValueError, match="fit the DriftReport"):
+        StreamingDriftMonitor(DriftReport(numeric_columns=["x"]))
