@@ -348,10 +348,15 @@ def main():
             for k, v in timings.items()
         },
         "sf": sf,
-        # sf1 values are [min, median] of 3 warm runs (min = quiet
-        # signal; median >> min exposes box contention)
+        # compact sf1 values are the MEDIAN of 3 warm runs as a
+        # single scalar (r11 format change: the [min, median] pairs
+        # overflowed the driver's 2000-char capture once the
+        # lakehouse legs joined the section; the pairs still ship in
+        # the stderr FULL line / bench_runs/r{N}.out, and the
+        # contention signal min-vs-median carried now rides the
+        # sf1_canary / headline_canary triplets instead)
         "sf1": {
-            k: ([round(x, 2) for x in v] if v is not None else None)
+            k: (round(v[1], 2) if v is not None else None)
             for k, v in sf1_timings.items()
         },
         "cold_total": cold_total,
@@ -380,9 +385,15 @@ def main():
             round(cvals[-1], 2),
         ]
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # trim, never truncate: drop sf1 (in stderr)
-        compact.pop("sf1")
-        compact.pop("sf1_canary", None)
+    # trim, never truncate: drop the LONGEST-named sf1 entries one at
+    # a time (full values are in the stderr FULL line) and record how
+    # many were dropped, instead of nuking the whole section
+    dropped = 0
+    while len(line) > 1900 and compact.get("sf1"):
+        victim = max(compact["sf1"], key=len)
+        compact["sf1"].pop(victim)
+        dropped += 1
+        compact["sf1_dropped"] = dropped
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
 

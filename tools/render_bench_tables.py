@@ -54,7 +54,19 @@ def _load(path: str | None) -> tuple[dict, str]:
                 return rec, os.path.basename(p)
         except ValueError:
             pass
-        # fall back: last JSON-parsable line in the file
+        # fall back: prefer the stderr "# FULL {...}" record (it
+        # carries the [min, median] sf1 pairs the r11 compact line
+        # dropped for capture-window budget), else the last
+        # JSON-parsable line in the file
+        for line in reversed(text.splitlines()):
+            line = line.strip()
+            if line.startswith("# FULL {"):
+                try:
+                    rec = json.loads(line[len("# FULL ") :])
+                except ValueError:
+                    continue
+                if "queries" in rec:
+                    return rec, os.path.basename(p)
         for line in reversed(text.splitlines()):
             line = line.strip()
             if line.startswith("{"):
