@@ -268,6 +268,24 @@ class IVFANN:
         old.unpersist()
         return self
 
+    def remove(self, ids: DataFrame) -> "IVFANN":
+        """Drop vectors by id — the delete half of incremental
+        maintenance (one anti-join against the posting relation; the
+        first column of ``ids`` is the id). Pairs with ``append``:
+        LakeVectorIndex folds a change feed as remove-then-append."""
+        if self._indexed is None:
+            raise RuntimeError("IVFANN is not fitted")
+        col = ids.columns[0]
+        combined = self._indexed.join(
+            ids.select(F.col(col).alias("neighbor_id")).distinct(),
+            on="neighbor_id",
+            how="left_anti",
+        ).localCheckpoint(eager=True)
+        old = self._indexed
+        self._indexed = combined
+        old.unpersist()
+        return self
+
     def save(self, path: str) -> None:
         """Persist centroids + the inverted file as parquet under
         ``path`` (plus the meta.json params sidecar) — the Spark

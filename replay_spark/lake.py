@@ -47,6 +47,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from typing import List, Optional, Sequence
 
@@ -261,7 +262,9 @@ class LakeTable:
         return live, schema_json, schemas, txns, parts, stats
 
     def history(self) -> DataFrame:
-        """One row per commit: version, operation, files added/removed."""
+        """One row per commit: version, operation, files
+        added/removed, commit timestamp (unix micros; file-mtime
+        fallback for pre-r11 logs)."""
         commits = self._commits()
         rows = [
             (
@@ -269,12 +272,53 @@ class LakeTable:
                 c["operation"],
                 len(c.get("add", [])),
                 len(c.get("remove", [])),
+                self._commit_ts(c),
             )
             for c in commits
         ]
         return self.spark.createDataFrame(
-            rows, "version INT, operation STRING, n_added INT, n_removed INT"
+            rows,
+            "version INT, operation STRING, n_added INT, "
+            "n_removed INT, commit_ts LONG",
         )
+
+    def _commit_ts(self, c: dict) -> int:
+        ts = c.get("commit_ts")
+        if ts is not None:
+            return int(ts)
+        # pre-commit_ts logs: the commit file's mtime (the Delta
+        # fallback — good enough for coarse AS OF resolution)
+        name = os.path.join(self._log_dir, f"{c['version']:010d}.json")
+        try:
+            return int(os.path.getmtime(name) * 1_000_000)
+        except OSError:
+            return 0
+
+    def version_as_of(self, timestamp) -> int:
+        """Resolve a wall-clock time to the NEWEST version committed
+        at or before it (Delta's ``TIMESTAMP AS OF``). ``timestamp``
+        is unix SECONDS (int/float), unix MICROS (int > 1e12), or a
+        ``datetime``. Raises when the time predates the first
+        commit."""
+        import datetime as _dt
+
+        if isinstance(timestamp, _dt.datetime):
+            ts_us = int(timestamp.timestamp() * 1_000_000)
+        else:
+            t = float(timestamp)
+            ts_us = int(t if t > 1e12 else t * 1_000_000)
+        best = None
+        for c in self._commits():
+            if self._commit_ts(c) <= ts_us and (
+                best is None or c["version"] > best
+            ):
+                best = c["version"]
+        if best is None:
+            raise ValueError(
+                f"no commit at or before the requested time at "
+                f"{self.path} (earliest commit is newer)"
+            )
+        return best
 
     def snapshot_files(self, version: Optional[int] = None) -> List[str]:
         """Live data files (absolute paths) as of ``version`` —
@@ -284,12 +328,19 @@ class LakeTable:
         self._last_schema_json = schema_json
         return [os.path.join(self.path, p) for p in live]
 
-    def read(self, version: Optional[int] = None) -> DataFrame:
-        """The table as of ``version`` (default: latest). When
-        commits carry different schemas (appends with
-        ``merge_schema=True``), the scan merges parquet schemas and
-        columns absent from older files read as null — Iceberg-style
-        additive evolution."""
+    def read(
+        self, version: Optional[int] = None, as_of=None
+    ) -> DataFrame:
+        """The table as of ``version`` (default: latest), or as of a
+        wall-clock time via ``as_of`` (seconds / micros / datetime —
+        resolved through :meth:`version_as_of`). When commits carry
+        different schemas (appends with ``merge_schema=True``), the
+        scan merges parquet schemas and columns absent from older
+        files read as null — Iceberg-style additive evolution."""
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("give version OR as_of, not both")
+            version = self.version_as_of(as_of)
         self._check_time_travel(version)
         live, schema_json, distinct_schemas, _, _, _ = self._fold_state(version)
         self._last_schema_json = schema_json
@@ -705,6 +756,10 @@ class LakeTable:
         payload = {
             "version": version,
             "operation": operation,
+            # wall-clock commit time (unix micros) — the TIMESTAMP
+            # AS OF resolution key; absent in pre-r11 logs, where
+            # version_as_of falls back to the commit file's mtime
+            "commit_ts": int(time.time() * 1_000_000),
             "add": list(add),
             "remove": list(remove),
             "schema": json.dumps(schema.jsonValue()),

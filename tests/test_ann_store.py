@@ -325,3 +325,28 @@ def test_sidecar_state_classes_roundtrip(spark, corpus):
         KMeansClusterer(k=2).save(tempfile.mkdtemp())
     with pytest.raises(ValueError, match="fit"):
         EmbeddingQuantizer(mode="global").save(tempfile.mkdtemp())
+
+
+def test_ivf_remove_exact(spark, corpus):
+    """remove(ids) == fit on the remaining corpus (frozen
+    centroids): the delete half of incremental maintenance."""
+    cents = [
+        r.embedding
+        for r in corpus.filter("vec_id < 8").orderBy("vec_id").collect()
+    ]
+    queries = corpus.filter("vec_id < 6")
+    full = IVFANN(num_clusters=8, nprobe=2).fit(corpus, centroids=cents)
+    full.remove(corpus.filter("vec_id % 5 = 4").select("vec_id"))
+    want = IVFANN(num_clusters=8, nprobe=2).fit(
+        corpus.filter("vec_id % 5 != 4"), centroids=cents
+    )
+    assert _rows(full.search(queries, k=5)) == _rows(
+        want.search(queries, k=5)
+    )
+    assert not [
+        r
+        for r in full.search(queries, k=5).collect()
+        if r.neighbor_id % 5 == 4
+    ]
+    with pytest.raises(RuntimeError, match="not fitted"):
+        IVFANN().remove(corpus.select("vec_id"))

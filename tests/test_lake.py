@@ -1083,3 +1083,40 @@ def test_corrupt_tag_file_raises_not_silently_empty(table, spark):
     os.remove(tag_path)                               # operator resolves
     assert table._tags() == {}
     assert table.vacuum(horizon_version=1) is not None
+
+
+def test_timestamp_as_of_time_travel(table, spark):
+    """Delta TIMESTAMP AS OF: commits carry commit_ts (unix micros),
+    version_as_of resolves wall-clock times (seconds / micros /
+    datetime) to the newest version at-or-before, read(as_of=...)
+    delegates, pre-first-commit times raise, and pre-commit_ts logs
+    fall back to the commit file's mtime."""
+    import datetime
+    import json as _json
+    import time as _time
+
+    table.append(_df(spark, 0, 5).coalesce(1))       # v0
+    _time.sleep(0.05)
+    t_mid = _time.time()
+    _time.sleep(0.05)
+    table.append(_df(spark, 5, 9).coalesce(1))       # v1
+    hist = {r.version: r.commit_ts for r in table.history().collect()}
+    assert hist[0] < hist[1]
+    assert table.version_as_of(t_mid) == 0
+    assert table.version_as_of(_time.time()) == 1
+    assert table.version_as_of(datetime.datetime.now()) == 1
+    assert table.version_as_of(int(t_mid * 1_000_000)) == 0  # micros
+    assert table.read(as_of=t_mid).count() == 5
+    assert table.read(as_of=_time.time()).count() == 9
+    with pytest.raises(ValueError, match="no commit at or before"):
+        table.version_as_of(hist[0] / 1_000_000 - 10.0)
+    with pytest.raises(ValueError, match="not both"):
+        table.read(version=0, as_of=t_mid)
+    # mtime fallback: strip commit_ts from v0's record
+    name = os.path.join(table.path, "_log", f"{0:010d}.json")
+    rec = _json.loads(open(name).read())
+    rec.pop("commit_ts")
+    with open(name, "w") as fh:
+        fh.write(_json.dumps(rec))
+    assert table.version_as_of(_time.time()) == 1
+    assert table.read(as_of=_time.time() + 1).count() == 9
