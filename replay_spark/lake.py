@@ -858,12 +858,14 @@ class LakeTable:
         live file set is exactly ``version``'s snapshot — time travel
         made current, history preserved (nothing is deleted; the
         change feed sees the delta like any other commit). Rolls back
-        bad writes without rewriting a byte of data."""
-        target = set(
-            os.path.relpath(p, self.path)
-            for p in self.snapshot_files(version=version)
+        bad writes without rewriting a byte of data. Re-added
+        files' partition values are re-recorded in the restore
+        commit, so log-level pruning survives the rollback."""
+        self._check_time_travel(version)
+        tgt_live, target_schema, _, _, tgt_parts, _ = self._fold_state(
+            version
         )
-        target_schema = self._last_schema_json
+        target = set(tgt_live)
         current_version = self.latest_version()
         if version == current_version:
             return current_version
@@ -878,12 +880,16 @@ class LakeTable:
                 json.loads(self._last_schema_json)
             )
         )
+        add = sorted(target - current)
+        add_set = set(add)
+        parts = {k: v for k, v in tgt_parts.items() if k in add_set}
         return self._commit(
             "restore",
-            sorted(target - current),
+            add,
             sorted(current - target),
             schema,
             current_version + 1,
+            parts=parts or None,
         )
 
     def clone(

@@ -1120,3 +1120,18 @@ def test_timestamp_as_of_time_travel(table, spark):
         fh.write(_json.dumps(rec))
     assert table.version_as_of(_time.time()) == 1
     assert table.read(as_of=_time.time() + 1).count() == 9
+
+
+def test_restore_rerecords_partition_values(table, spark):
+    """A restore that re-adds partitioned files must re-record their
+    partition values in the restore commit — log-level pruning
+    (zero file I/O) keeps working after the rollback."""
+    df = _df(spark, 0, 40).withColumn("p", (F.col("k") % 4).cast("int"))
+    table.append(df, partition_by=["p"])              # v0 partitioned
+    table.delete(F.col("p") == 1)                     # v1 drops p=1
+    table.restore(0)                                  # v2 re-adds them
+    out, kept, total = table.read_where({"p": (1, 1)})
+    assert out.count() == 10
+    assert table.last_log_pruned[0] < table.last_log_pruned[1], (
+        "re-added files lost their partition values: log pruning dead"
+    )
