@@ -412,7 +412,15 @@ class DriftReport:
         categorical_columns: Sequence[str] = (),
         n_bins: int = 10,
         max_categories: int = 100,
+        exact_edges: bool = True,
     ):
+        """``exact_edges=False`` switches the reference-side quantile
+        edges to ``approxQuantile`` (relative error 1e-3, ONE pass
+        for all edges instead of ~2 per edge) — the 100 TB fit path
+        when bit-reproducible edges aren't required; binning,
+        reporting, and the psi/chi2 folds are unchanged. The hash
+        gate keeps ``True`` (exact rational ranks replay in any
+        engine)."""
         if not numeric_columns and not categorical_columns:
             raise ValueError("give at least one column to monitor")
         if n_bins < 2:
@@ -423,6 +431,7 @@ class DriftReport:
         self.categorical_columns = list(categorical_columns)
         self.n_bins = n_bins
         self.max_categories = max_categories
+        self.exact_edges = exact_edges
         self.edges_: Optional[dict] = None   # col -> [edge values]
         self.cats_: Optional[dict] = None    # col -> [category values]
         self._ref_counts: Optional[list] = None  # (col, bin, n_ref)
@@ -474,9 +483,13 @@ class DriftReport:
         self.edges_, self.cats_ = {}, {}
         for c in self.numeric_columns:
             probs = [j / self.n_bins for j in range(1, self.n_bins)]
-            self.edges_[c] = exact_quantiles(
-                ref.select(F.col(c).cast("double").alias(c)), c, probs
-            )
+            cast = ref.select(F.col(c).cast("double").alias(c))
+            if self.exact_edges:
+                self.edges_[c] = exact_quantiles(cast, c, probs)
+            else:
+                self.edges_[c] = cast.stat.approxQuantile(
+                    c, probs, 1e-3
+                )
         for c in self.categorical_columns:
             rows = (
                 ref.filter(F.col(c).isNotNull())

@@ -481,3 +481,21 @@ def test_rrf_fuse_single_grouped_exchange(spark):
     # one exchange on (query, doc) for the agg + one on (query) for
     # the ranking window — and nothing else
     assert nodes.count("Exchange") <= 2, nodes
+
+
+def test_drift_binning_single_shuffle(sf):
+    """DriftReport's current-side pass is ONE map-side-combined
+    aggregation over the exploded (column, bin) pairs — exactly one
+    Exchange, with partial_count visible below it."""
+    from replay_spark.analytics import DriftReport
+
+    ev = sf("events")
+    dr = DriftReport(
+        numeric_columns=["value"],
+        categorical_columns=["event_type"],
+        n_bins=4,
+    ).fit(ev.filter(F.col("event_id") % 2 == 0))
+    plan = _plan(dr._binned(ev.filter(F.col("event_id") % 2 == 1)))
+    nodes = _nodes(plan)
+    assert nodes.count("Exchange") == 1, nodes
+    assert "partial_count" in plan
