@@ -6034,6 +6034,36 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dr.report(cur).withColumnRenamed("column", "col_name")
 
 
+def q_sampled_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled ranking evaluation (the SASRec/NCF '99 negatives'
+    protocol, 20 here): each user's LAST interaction is the test
+    positive, negatives are the md5-smallest unseen items
+    (deterministic in (seed, query, positive, candidate) — no RNG),
+    candidates score by train popularity with NULLs (cold items)
+    ranking last, and the output is each positive's exact 1-based
+    rank. DuckDB replays the leave-last-out split, the md5 negative
+    draw, the popularity join, and the final window end to end."""
+    from replay_spark.metrics import SampledRankingEvaluator
+
+    inter = _interactions(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("timestamp").desc(), F.col("item_id").asc()
+    )
+    ranked = inter.withColumn("_rn", F.row_number().over(w)).cache()
+    test = ranked.filter("_rn = 1").select("query_id", "item_id")
+    train = ranked.filter("_rn > 1").select("query_id", "item_id")
+    items = inter.select("item_id").distinct()
+    ev = SampledRankingEvaluator(n_negatives=20, seed=11)
+    cand = ev.candidates(test, items, seen=train)
+    pop = train.groupBy("item_id").agg(
+        F.count(F.lit(1)).cast("long").alias("rating")
+    )
+    scored = cand.join(pop, on="item_id", how="left")
+    out = ev.evaluate(scored)
+    ranked.unpersist()
+    return out
+
+
 def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming/batch parity for drift monitoring: the DriftReport
     fits on the frozen reference half (batch), the CURRENT half
@@ -6538,16 +6568,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Staleness ledger — machine-checked against CORRECTNESS_r*.json by
     tests/test_entry_contract.py::test_staleness_ledger_matches_files
     (numbers recomputed from the files, never hand-asserted): as of
-    r10 the oldest official hash-gate score is r5 (19 gates), and 8
+    r10 the oldest official hash-gate score is r5 (19 gates), and 9
     hash gates await a first official score. (The r10 docstring
     claimed no score predated r7; recomputation showed 67 gates at
     r4-r6 — that claim class is now computed, not asserted.)
 
-    Order for r11: (a) the 8 never-officially-scored hash gates —
-    the five r11 debuts (q_drift_report: snapshot drift monitoring,
+    Order for r11: (a) the 9 never-officially-scored hash gates —
+    the six r11 debuts (q_drift_report: snapshot drift monitoring,
     exact-integer PSI/chi-square bins; q_streaming_drift: the same
     report as a bounded-state streaming aggregation, batch-parity
-    gated; q_lake_vector_index:
+    gated; q_sampled_eval: SASRec-protocol sampled ranking
+    evaluation, md5-deterministic negatives; q_lake_vector_index:
     CDF-refreshed vector index over a lake table, refresh == rebuild
     under frozen centroids; q_ann_save_load: ANN index persistence,
     save→load→search hash-matches the fresh-build oracle;
@@ -6558,14 +6589,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     equals the vacuum horizon (q_lake_vacuum), bloom probes decode
     the bitset once per sidecar + log telemetry records after the
     bloom tier (q_bloom_skip), and the bloom-pruned incremental
-    store scan (q_incremental_dedup); (b) the 39 stalest official
-    scores, oldest first — the COMPLETE r5 cohort (19) and the 20
+    store scan (q_incremental_dedup); (b) the 38 stalest official
+    scores, oldest first — the COMPLETE r5 cohort (19) and the 19
     alphabetically-first of the 31 r6-scored hash gates. The
     honestly non-SQL rows-only contracts (see
     test_entry_contract.py's allowlist) all sit in (c), officially
     green in prior rounds.
     (c) everything else — officially green in a prior round — still
-    run in tools/check_oracle at both scales and in bench; the 11
+    run in tools/check_oracle at both scales and in bench; the 12
     remaining r6-scored hash gates lead as r12 rotation candidates.
     """
     return {
@@ -6577,6 +6608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #        debuts the r10 window closed before ------
         "q_drift_report": q_drift_report,
         "q_streaming_drift": q_streaming_drift,
+        "q_sampled_eval": q_sampled_eval,
         "q_lake_vector_index": q_lake_vector_index,
         "q_ann_save_load": q_ann_save_load,
         "q_ann_incremental": q_ann_incremental,
@@ -6635,11 +6667,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_log_stat_features": q_log_stat_features,
         "q_metric_cat_diversity": q_metric_cat_diversity,
         "q_metric_coverage": q_metric_coverage,
-        "q_metric_mean_ci": q_metric_mean_ci,
         # -- (c) officially green in a prior round — still
         #        run in tools/check_oracle at both scales
         #        and in bench; the 8 remaining r6-scored
         #        hash gates lead as r12 rotation candidates
+        "q_metric_mean_ci": q_metric_mean_ci,
         "q_metric_unexpectedness": q_metric_unexpectedness,
         "q_poprec_recs": q_poprec_recs,
         "q_querypoprec_scores": q_querypoprec_scores,
@@ -10973,6 +11005,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(conf * 1000000) AS BIGINT))
                         AS BIGINT) AS sum_conf_ppm
             FROM v GROUP BY 1
+        """,
+        "q_sampled_eval": f"""
+            WITH {W},
+            lr AS (
+                SELECT query_id, item_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY ts DESC, item_id ASC) AS rn
+                FROM interactions),
+            test AS (
+                SELECT DISTINCT query_id, item_id AS pos
+                FROM lr WHERE rn = 1),
+            train AS (
+                SELECT DISTINCT query_id, item_id FROM lr WHERE rn > 1),
+            items AS (SELECT DISTINCT item_id FROM interactions),
+            ni AS (SELECT count(*) AS n FROM items),
+            thr AS (
+                SELECT CAST((CAST(160 AS HUGEINT) *
+                             CAST(1152921504606846976 AS HUGEINT))
+                            // CAST(n AS HUGEINT) AS BIGINT) AS t
+                FROM ni),
+            hashed AS (
+                SELECT t.query_id, t.pos, i.item_id,
+                       list_reduce(list_transform(range(1, 16),
+                           j -> CAST(strpos('0123456789abcdef',
+                                    substr(md5('11:' ||
+                                               CAST(t.query_id AS VARCHAR) || ':' ||
+                                               CAST(t.pos AS VARCHAR) || ':' ||
+                                               CAST(i.item_id AS VARCHAR)),
+                                           CAST(j AS INT), 1)) - 1
+                                AS BIGINT)),
+                           (acc, x) -> acc * 16 + x) AS h
+                FROM test t, items i),
+            negs AS (
+                SELECT query_id, pos, item_id FROM (
+                    SELECT h.query_id, h.pos, h.item_id,
+                           row_number() OVER (
+                               PARTITION BY h.query_id, h.pos
+                               ORDER BY h.h ASC, h.item_id ASC) AS r
+                    FROM hashed h, thr
+                    WHERE h.h < thr.t
+                      AND h.item_id <> h.pos
+                      AND NOT EXISTS (SELECT 1 FROM train tr
+                                      WHERE tr.query_id = h.query_id
+                                        AND tr.item_id = h.item_id)
+                ) s WHERE r <= 20),
+            cand AS (
+                SELECT query_id, pos, item_id FROM negs
+                UNION ALL
+                SELECT query_id, pos, pos FROM test),
+            pop AS (
+                -- popularity counts interaction MULTIPLICITY (the
+                -- Spark side counts train rows, not distinct pairs)
+                SELECT item_id, CAST(count(*) AS BIGINT) AS rating
+                FROM lr WHERE rn > 1 GROUP BY 1),
+            scored AS (
+                SELECT c.query_id, c.pos, c.item_id, p.rating
+                FROM cand c LEFT JOIN pop p ON c.item_id = p.item_id)
+            SELECT query_id, pos AS item_id, CAST(rank AS INT) AS rank
+            FROM (
+                SELECT query_id, pos, item_id,
+                       row_number() OVER (PARTITION BY query_id, pos
+                           ORDER BY rating DESC NULLS LAST,
+                                    item_id ASC) AS rank
+                FROM scored) t
+            WHERE item_id = pos
         """,
         "q_drift_report": """
             WITH ref AS (SELECT * FROM events WHERE event_id % 2 = 0),

@@ -19,3 +19,4 @@ from replay_spark.metrics.metrics import (  # noqa: F401
     Unexpectedness,
 )
 from replay_spark.metrics.experiment import Experiment, OfflineMetrics  # noqa: F401
+from replay_spark.metrics.sampled import SampledRankingEvaluator  # noqa: F401

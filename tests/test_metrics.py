@@ -162,3 +162,56 @@ def test_offline_metrics_and_experiment(recs, ground_truth, spark):
     exp = Experiment([NDCG(2)], ground_truth)
     exp.add_result("model_a", recs)
     assert "NDCG@2" in exp.results.columns
+
+
+def test_sampled_ranking_evaluator(spark):
+    """Deterministic md5 negatives (seen + self excluded), positive
+    rank by score with item tie-break, NULL scores rank last, and
+    the HR/NDCG fold."""
+    from replay_spark.metrics import SampledRankingEvaluator
+
+    test = spark.createDataFrame(
+        [(1, 100), (2, 101)], "query_id long, item_id long"
+    )
+    items = spark.createDataFrame(
+        [(i,) for i in range(100, 110)], "item_id long"
+    )
+    seen = spark.createDataFrame(
+        [(1, 105), (1, 106), (2, 100)], "query_id long, item_id long"
+    )
+    ev = SampledRankingEvaluator(n_negatives=3, seed=7)
+    cand = ev.candidates(test, items, seen=seen)
+    got = {
+        (r.query_id, r.item_id) for r in cand.collect()
+    }
+    # positives present; 3 negatives each; exclusions respected
+    assert (1, 100) in got and (2, 101) in got
+    per_q = cand.groupBy("query_id").count().collect()
+    assert all(r["count"] == 4 for r in per_q)
+    assert (1, 105) not in got and (1, 106) not in got  # seen
+    assert (2, 100) not in got or (2, 101) in got       # seen for q2
+    # determinism: second call identical
+    assert got == {
+        (r.query_id, r.item_id)
+        for r in ev.candidates(test, items, seen=seen).collect()
+    }
+
+    # score: item 100 best for q1 (rank 1); for q2, make two
+    # negatives outscore the positive -> rank 3
+    def score(q, i):
+        if q == 1:
+            return 10.0 if i == 100 else 1.0
+        return 5.0 if i == 101 else (9.0 if i % 2 == 0 else None)
+
+    scored = cand.toPandas()
+    scored["rating"] = [
+        score(q, i) for q, i in zip(scored.query_id, scored.item_id)
+    ]
+    scored_df = spark.createDataFrame(scored)
+    ranks = {r.query_id: r.rank for r in ev.evaluate(scored_df).collect()}
+    assert ranks[1] == 1
+    assert ranks[2] >= 2  # beaten by the 9.0 negatives
+    m = SampledRankingEvaluator.metrics(ev.evaluate(scored_df), k=1)
+    assert m["n"] == 2 and 0 <= m["hr"] <= 1 and 0 <= m["ndcg"] <= 1
+    with pytest.raises(ValueError):
+        SampledRankingEvaluator(n_negatives=0)
