@@ -413,8 +413,16 @@ class DriftReport:
         n_bins: int = 10,
         max_categories: int = 100,
         exact_edges: bool = True,
+        segment_column: Optional[str] = None,
     ):
-        """``exact_edges=False`` switches the reference-side quantile
+        """``segment_column`` adds SEGMENTED drift: bin edges and
+        category order stay GLOBAL (fitted on the whole reference, so
+        segments are comparable on one scale), but counts, the
+        report, and the psi/chi2 folds key by (segment, column) —
+        "which traffic source drifted?" in the same single-pass
+        plan, just a wider group key.
+
+        ``exact_edges=False`` switches the reference-side quantile
         edges to ``approxQuantile`` (relative error 1e-3, ONE pass
         for all edges instead of ~2 per edge) — the 100 TB fit path
         when bit-reproducible edges aren't required; binning,
@@ -432,6 +440,7 @@ class DriftReport:
         self.n_bins = n_bins
         self.max_categories = max_categories
         self.exact_edges = exact_edges
+        self.segment_column = segment_column
         self.edges_: Optional[dict] = None   # col -> [edge values]
         self.cats_: Optional[dict] = None    # col -> [category values]
         self._ref_counts: Optional[list] = None  # (col, bin, n_ref)
@@ -459,9 +468,16 @@ class DriftReport:
             )
         return F.when(v.isNull(), F.lit(-1)).otherwise(assigned)
 
+    def _keys(self) -> list:
+        base = ["column", "bin"]
+        return (
+            ["segment"] + base if self.segment_column is not None else base
+        )
+
     def _binned(self, df: DataFrame) -> DataFrame:
         """One pass for ALL monitored columns: explode a (column,
-        bin) struct array, then one map-side-combined count."""
+        bin) struct array, then one map-side-combined count (keyed
+        by segment too when configured)."""
         pairs = F.array(
             *[
                 F.struct(
@@ -471,9 +487,16 @@ class DriftReport:
                 for c in self.numeric_columns + self.categorical_columns
             ]
         )
+        cols = [F.explode(pairs).alias("_p")]
+        keys = [F.col("_p.column").alias("column"), F.col("_p.bin").alias("bin")]
+        if self.segment_column is not None:
+            cols = [
+                F.col(self.segment_column).cast("string").alias("segment")
+            ] + cols
+            keys = [F.col("segment")] + keys
         return (
-            df.select(F.explode(pairs).alias("_p"))
-            .groupBy(F.col("_p.column").alias("column"), F.col("_p.bin").alias("bin"))
+            df.select(*cols)
+            .groupBy(*keys)
             .agg(F.count(F.lit(1)).cast("long").alias("n"))
         )
 
@@ -500,8 +523,9 @@ class DriftReport:
                 .collect()
             )
             self.cats_[c] = [r["v"] for r in rows]
+        keys = self._keys()
         self._ref_counts = [
-            (r["column"], r["bin"], r["n"])
+            tuple(r[k] for k in keys) + (r["n"],)
             for r in self._binned(ref).collect()
         ]
         return self
@@ -523,17 +547,19 @@ class DriftReport:
         if self._ref_counts is None:
             raise ValueError("DriftReport must be fit before report")
         spark = cur_counts.sparkSession
-        ref_df = spark.createDataFrame(
-            self._ref_counts, "column string, bin int, n_ref long"
+        keys = self._keys()
+        schema = ", ".join(
+            [
+                f"{k} {'int' if k == 'bin' else 'string'}"
+                for k in keys
+            ]
+            + ["n_ref long"]
         )
-        return (
-            ref_df.join(cur_counts, on=["column", "bin"], how="full_outer")
-            .select(
-                "column",
-                "bin",
-                F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
-                F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
-            )
+        ref_df = spark.createDataFrame(self._ref_counts, schema)
+        return ref_df.join(cur_counts, on=keys, how="full_outer").select(
+            *keys,
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
         )
 
     @staticmethod
@@ -546,18 +572,24 @@ class DriftReport:
         from collections import defaultdict
 
         rows = report.collect()
+        has_seg = "segment" in report.columns
+
+        def key(r):
+            return (r["segment"], r["column"]) if has_seg else r["column"]
+
         tot_r: dict = defaultdict(int)
         tot_c: dict = defaultdict(int)
         for r in rows:
-            tot_r[r["column"]] += r["n_ref"]
-            tot_c[r["column"]] += r["n_cur"]
+            tot_r[key(r)] += r["n_ref"]
+            tot_c[key(r)] += r["n_cur"]
         out: dict = defaultdict(float)
         for r in rows:
-            if not tot_r[r["column"]] or not tot_c[r["column"]]:
+            k = key(r)
+            if not tot_r[k] or not tot_c[k]:
                 continue
-            p = max(r["n_ref"] / tot_r[r["column"]], epsilon)
-            q = max(r["n_cur"] / tot_c[r["column"]], epsilon)
-            out[r["column"]] += (p - q) * math.log(p / q)
+            p = max(r["n_ref"] / tot_r[k], epsilon)
+            q = max(r["n_cur"] / tot_c[k], epsilon)
+            out[k] += (p - q) * math.log(p / q)
         return dict(out)
 
     @staticmethod
@@ -568,20 +600,25 @@ class DriftReport:
         from collections import defaultdict
 
         rows = report.collect()
+        has_seg = "segment" in report.columns
+
+        def key(r):
+            return (r["segment"], r["column"]) if has_seg else r["column"]
+
         tot_r: dict = defaultdict(int)
         tot_c: dict = defaultdict(int)
         for r in rows:
-            tot_r[r["column"]] += r["n_ref"]
-            tot_c[r["column"]] += r["n_cur"]
+            tot_r[key(r)] += r["n_ref"]
+            tot_c[key(r)] += r["n_cur"]
         out: dict = defaultdict(float)
         for r in rows:
-            col = r["column"]
-            n = tot_r[col] + tot_c[col]
+            k = key(r)
+            n = tot_r[k] + tot_c[k]
             b = r["n_ref"] + r["n_cur"]
-            if not b or not tot_r[col] or not tot_c[col]:
+            if not b or not tot_r[k] or not tot_c[k]:
                 continue
-            e_ref = b * tot_r[col] / n
-            e_cur = b * tot_c[col] / n
-            out[col] += (r["n_ref"] - e_ref) ** 2 / e_ref
-            out[col] += (r["n_cur"] - e_cur) ** 2 / e_cur
+            e_ref = b * tot_r[k] / n
+            e_cur = b * tot_c[k] / n
+            out[k] += (r["n_ref"] - e_ref) ** 2 / e_ref
+            out[k] += (r["n_cur"] - e_cur) ** 2 / e_cur
         return dict(out)

@@ -212,3 +212,34 @@ def test_drift_report_bins_psi_chi2(spark):
         DriftReport()
     with pytest.raises(ValueError, match="fit before"):
         DriftReport(numeric_columns=["x"]).report(cur)
+
+
+def test_drift_report_segmented(spark):
+    """segment_column: global edges, per-(segment, column) counts
+    and psi — the drifted segment stands out while the stable one
+    reads ~0."""
+    from replay_spark.analytics import DriftReport
+
+    ref = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 21)]
+        + [("b", float(i)) for i in range(1, 21)],
+        "seg string, x double",
+    )
+    cur = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 21)]          # unchanged
+        + [("b", float(i) + 12.0) for i in range(1, 21)],  # shifted
+        "seg string, x double",
+    )
+    dr = DriftReport(
+        numeric_columns=["x"], n_bins=4, segment_column="seg"
+    ).fit(ref)
+    rep = dr.report(cur)
+    assert set(rep.columns) == {"segment", "column", "bin", "n_ref", "n_cur"}
+    rows = {(r.segment, r.bin): (r.n_ref, r.n_cur) for r in rep.collect()}
+    assert rows[("a", 0)][0] == rows[("a", 0)][1]        # stable seg
+    assert rows[("b", 3)][1] > rows[("b", 3)][0]         # piled high
+    psi = DriftReport.psi(rep)
+    assert psi[("a", "x")] < 1e-9
+    assert psi[("b", "x")] > 0.25
+    chi2 = DriftReport.chi2(rep)
+    assert chi2[("b", "x")] > chi2[("a", "x")]
