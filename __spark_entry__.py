@@ -6034,6 +6034,50 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dr.report(cur).withColumnRenamed("column", "col_name")
 
 
+def q_lake_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp time travel (Delta TIMESTAMP AS OF): events land at
+    v0, a delete commits at v1, and a wall-clock instant BETWEEN the
+    two commit timestamps (read from history()'s commit_ts) must
+    resolve to v0 — the pre-delete snapshot. Asserted in-gate: the
+    midpoint resolves to 0, 'now' resolves to the latest version and
+    sees the delete. DuckDB recomputes the v0 state from the residue
+    predicates."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from replay_spark.lake import LakeTable
+
+    ev = rsd.read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"rs_lakeasof_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = LakeTable(spark, path)
+    t.append(ev.filter(F.col("event_id") % 10 <= 5).coalesce(2))  # v0
+    t.delete(F.col("user_id") % 7 == 2)                           # v1
+    ts = {r.version: r.commit_ts for r in t.history().collect()}
+    mid = (ts[0] + ts[1]) // 2 if ts[1] > ts[0] else ts[0]
+    assert t.version_as_of(mid) == 0
+    assert t.version_as_of(_time.time()) == 1
+    assert (
+        t.read(as_of=_time.time())
+        .filter(F.col("user_id") % 7 == 2)
+        .count()
+        == 0
+    ), "latest must see the delete"
+    return (
+        t.read(as_of=mid)
+        .groupBy((F.col("user_id") % 6).alias("g"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("event_id").cast("long").alias("sum_eid"),
+        )
+    )
+
+
 def q_sampled_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled ranking evaluation (the SASRec/NCF '99 negatives'
     protocol, 20 here): each user's LAST interaction is the test
@@ -6568,13 +6612,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Staleness ledger — machine-checked against CORRECTNESS_r*.json by
     tests/test_entry_contract.py::test_staleness_ledger_matches_files
     (numbers recomputed from the files, never hand-asserted): as of
-    r10 the oldest official hash-gate score is r5 (19 gates), and 9
+    r10 the oldest official hash-gate score is r5 (19 gates), and 10
     hash gates await a first official score. (The r10 docstring
     claimed no score predated r7; recomputation showed 67 gates at
     r4-r6 — that claim class is now computed, not asserted.)
 
-    Order for r11: (a) the 9 never-officially-scored hash gates —
-    the six r11 debuts (q_drift_report: snapshot drift monitoring,
+    Order for r11: (a) the 10 never-officially-scored hash gates —
+    the seven r11 debuts (q_lake_as_of: Delta TIMESTAMP AS OF
+    resolution; q_drift_report: snapshot drift monitoring,
     exact-integer PSI/chi-square bins; q_streaming_drift: the same
     report as a bounded-state streaming aggregation, batch-parity
     gated; q_sampled_eval: SASRec-protocol sampled ranking
@@ -6589,14 +6634,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     equals the vacuum horizon (q_lake_vacuum), bloom probes decode
     the bitset once per sidecar + log telemetry records after the
     bloom tier (q_bloom_skip), and the bloom-pruned incremental
-    store scan (q_incremental_dedup); (b) the 38 stalest official
-    scores, oldest first — the COMPLETE r5 cohort (19) and the 19
+    store scan (q_incremental_dedup); (b) the 37 stalest official
+    scores, oldest first — the COMPLETE r5 cohort (19) and the 18
     alphabetically-first of the 31 r6-scored hash gates. The
     honestly non-SQL rows-only contracts (see
     test_entry_contract.py's allowlist) all sit in (c), officially
     green in prior rounds.
     (c) everything else — officially green in a prior round — still
-    run in tools/check_oracle at both scales and in bench; the 12
+    run in tools/check_oracle at both scales and in bench; the 13
     remaining r6-scored hash gates lead as r12 rotation candidates.
     """
     return {
@@ -6609,6 +6654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_drift_report": q_drift_report,
         "q_streaming_drift": q_streaming_drift,
         "q_sampled_eval": q_sampled_eval,
+        "q_lake_as_of": q_lake_as_of,
         "q_lake_vector_index": q_lake_vector_index,
         "q_ann_save_load": q_ann_save_load,
         "q_ann_incremental": q_ann_incremental,
@@ -6666,11 +6712,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lin_ucb_recs": q_lin_ucb_recs,
         "q_log_stat_features": q_log_stat_features,
         "q_metric_cat_diversity": q_metric_cat_diversity,
-        "q_metric_coverage": q_metric_coverage,
         # -- (c) officially green in a prior round — still
         #        run in tools/check_oracle at both scales
         #        and in bench; the 8 remaining r6-scored
         #        hash gates lead as r12 rotation candidates
+        "q_metric_coverage": q_metric_coverage,
         "q_metric_mean_ci": q_metric_mean_ci,
         "q_metric_unexpectedness": q_metric_unexpectedness,
         "q_poprec_recs": q_poprec_recs,
@@ -11005,6 +11051,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(conf * 1000000) AS BIGINT))
                         AS BIGINT) AS sum_conf_ppm
             FROM v GROUP BY 1
+        """,
+        "q_lake_as_of": """
+            SELECT CAST(user_id % 6 AS BIGINT) AS g,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(event_id) AS BIGINT) AS sum_eid
+            FROM events
+            WHERE event_id % 10 <= 5
+            GROUP BY 1
         """,
         "q_sampled_eval": f"""
             WITH {W},
