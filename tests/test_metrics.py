@@ -215,3 +215,27 @@ def test_sampled_ranking_evaluator(spark):
     assert m["n"] == 2 and 0 <= m["hr"] <= 1 and 0 <= m["ndcg"] <= 1
     with pytest.raises(ValueError):
         SampledRankingEvaluator(n_negatives=0)
+
+
+def test_sampled_eval_threshold_prefilter_is_lossless(spark):
+    """The hash-threshold prefilter is a pure optimization: with a
+    catalog large enough to engage it, the selected negatives are
+    IDENTICAL to the unfiltered rank cut (the kept hashes are the
+    globally smallest, which all fall below the threshold)."""
+    from replay_spark.metrics import SampledRankingEvaluator
+
+    test = spark.createDataFrame(
+        [(1, 7), (2, 1900)], "query_id long, item_id long"
+    )
+    items = spark.createDataFrame(
+        [(i,) for i in range(2000)], "item_id long"
+    )
+    with_thr = SampledRankingEvaluator(n_negatives=5, seed=3, oversample=8)
+    assert 2000 > 4 * 5 * 8  # threshold engages
+    no_thr = SampledRankingEvaluator(
+        n_negatives=5, seed=3, oversample=2000
+    )  # budget >= catalog -> prefilter skipped
+    a = {(r.query_id, r.item_id) for r in with_thr.candidates(test, items).collect()}
+    b = {(r.query_id, r.item_id) for r in no_thr.candidates(test, items).collect()}
+    assert a == b
+    assert len(a) == 2 * 6  # 5 negatives + the positive per query
