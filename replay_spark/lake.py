@@ -1353,18 +1353,52 @@ class LakeTable:
             "delete", files, remove, current.schema, base_version + 1
         )
 
+    def _partition_columns(self, version: Optional[int] = None):
+        """The table's partition columns when EVERY live file carries
+        the same recorded partition-key set, else None — the guard
+        that lets compaction stay partition-preserving."""
+        live, _, _, _, parts, _ = self._fold_state(version)
+        if not live:
+            return None
+        keysets = set()
+        for rel in live:
+            p = parts.get(rel)
+            if not p:
+                return None
+            keysets.add(tuple(sorted(p)))
+        if len(keysets) != 1:
+            return None
+        return list(keysets.pop())
+
     def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> int:
         """Rewrite the live files into ~``target_file_bytes`` ones;
-        same rows, new layout, one atomic swap."""
+        same rows, new layout, one atomic swap. PARTITION-PRESERVING
+        on partitioned tables: rows re-shuffle on the partition
+        columns and land in fresh hive dirs whose values are
+        re-recorded in the commit — compaction never silently kills
+        the zero-I/O log-pruning tier (on an unpartitioned table the
+        path is the plain size-targeted rewrite)."""
         base_version = self.latest_version()
         live = self.snapshot_files(version=base_version)
         if not live:
             return base_version
+        current = self.read(version=base_version)
+        remove = [os.path.relpath(p, self.path) for p in live]
+        pb = self._partition_columns(base_version)
+        if pb:
+            arranged = current.repartition(*pb)
+            files, new_parts = self._write_data_partitioned(arranged, pb)
+            return self._commit(
+                "compact",
+                files,
+                remove,
+                current.schema,
+                base_version + 1,
+                parts=new_parts,
+            )
         total = sum(os.path.getsize(p) for p in live)
         n = max(1, -(-total // target_file_bytes))
-        current = self.read(version=base_version)
         files = self._write_data(current, num_files=int(n))
-        remove = [os.path.relpath(p, self.path) for p in live]
         return self._commit(
             "compact", files, remove, current.schema, base_version + 1
         )
@@ -1387,13 +1421,34 @@ class LakeTable:
         live = self.snapshot_files(version=base_version)
         if not live:
             return base_version
+        current = self.read(version=base_version)
+        remove = [os.path.relpath(p, self.path) for p in live]
+        z = ZOrderLayout(list(zorder_by))
+        pb = self._partition_columns(base_version)
+        if pb:
+            # partition-preserving Z-ORDER: rows shuffle on the
+            # partition columns, cluster by the Morton key WITHIN
+            # each task, and land in fresh hive dirs whose values are
+            # re-recorded — Delta's per-partition OPTIMIZE shape
+            arranged = (
+                z.transform(current)
+                .repartition(*pb)
+                .sortWithinPartitions(z.output_column)
+                .drop(z.output_column)
+            )
+            files, new_parts = self._write_data_partitioned(arranged, pb)
+            return self._commit(
+                "optimize",
+                files,
+                remove,
+                current.schema,
+                base_version + 1,
+                parts=new_parts,
+            )
         total = sum(os.path.getsize(p) for p in live)
         n = int(max(1, -(-total // target_file_bytes)))
-        current = self.read(version=base_version)
-        z = ZOrderLayout(list(zorder_by))
         laid = z.layout(current, num_partitions=n).drop(z.output_column)
         files = self._write_data(laid)  # keeps the range partitioning
-        remove = [os.path.relpath(p, self.path) for p in live]
         return self._commit(
             "optimize", files, remove, current.schema, base_version + 1
         )

@@ -1135,3 +1135,37 @@ def test_restore_rerecords_partition_values(table, spark):
     assert table.last_log_pruned[0] < table.last_log_pruned[1], (
         "re-added files lost their partition values: log pruning dead"
     )
+
+
+def test_compact_and_optimize_preserve_partition_pruning(table, spark):
+    """Compaction/optimize on a partitioned table must re-record the
+    new files' partition values — the zero-I/O log-pruning tier
+    survives layout maintenance (was: conservative full keep)."""
+    df = _df(spark, 0, 400).withColumn(
+        "p", (F.col("k") % 4).cast("int")
+    )
+    table.append(df.filter("p <= 1"), partition_by=["p"])   # v0
+    table.append(df.filter("p >= 2"), partition_by=["p"])   # v1
+    table.compact()                                          # v2
+    out, kept, total = table.read_where({"p": (3, 3)})
+    assert out.count() == 100
+    log_kept, log_total = table.last_log_pruned
+    assert log_kept < log_total, "compaction lost partition values"
+    # z-ordered optimize keeps them too
+    table.optimize(zorder_by=["k"])                          # v3
+    out2, _, _ = table.read_where({"p": (0, 0)})
+    assert out2.count() == 100
+    assert table.last_log_pruned[0] < table.last_log_pruned[1]
+    # every retained version still reads exactly
+    assert table.read(version=1).count() == 400
+    assert table.read().count() == 400
+    hist = {r.version: r.operation for r in table.history().collect()}
+    assert hist[2] == "compact" and hist[3] == "optimize"
+    # unpartitioned tables keep the plain size-targeted path
+    import tempfile
+
+    t2 = LakeTable(spark, tempfile.mkdtemp(prefix="rs_lake_np_"))
+    t2.append(_df(spark, 0, 100))
+    t2.compact()
+    assert t2.read().count() == 100
+    t2.drop()
