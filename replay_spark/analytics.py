@@ -506,7 +506,13 @@ class DriftReport:
         self.edges_, self.cats_ = {}, {}
         for c in self.numeric_columns:
             probs = [j / self.n_bins for j in range(1, self.n_bins)]
-            cast = ref.select(F.col(c).cast("double").alias(c))
+            # NULLs live in their own -1 bin; they must not count
+            # toward the quantile ranks (exact_quantiles sorts nulls
+            # first, shifting every edge to rank k-m otherwise). The
+            # approx path and the DuckDB oracle already exclude them.
+            cast = ref.select(F.col(c).cast("double").alias(c)).filter(
+                F.col(c).isNotNull()
+            )
             if self.exact_edges:
                 self.edges_[c] = exact_quantiles(cast, c, probs)
             else:

@@ -216,7 +216,7 @@ class HNSWANN:
 
     # -- persistence (reference index-store parity, parquet-native) --------
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, spark=None) -> None:
         """Vectors and adjacency as parquet (one row per node resp.
         per (node, level) — EMPTY link lists included, they encode
         the node's level count), entry point + max level in the
@@ -224,7 +224,7 @@ class HNSWANN:
         instead of re-running the O(n·ef) build."""
         import os
 
-        from replay_spark.ann.store import write_meta
+        from replay_spark.ann.store import resolve_spark, write_meta
 
         if self._vecs is None:
             raise ValueError("HNSWANN must be fit before save")
@@ -243,9 +243,7 @@ class HNSWANN:
                 "max_level": self._max_level,
             },
         )
-        from pyspark.sql import SparkSession
-
-        spark = SparkSession.getActiveSession()
+        spark = resolve_spark(spark)
         vec_rows = [
             (i, int(self._ids[i]), [float(x) for x in self._vecs[i]])
             for i in range(len(self._ids))

@@ -82,7 +82,7 @@ def resolve_spark(spark: Optional[SparkSession]) -> SparkSession:
     spark = spark or SparkSession.getActiveSession()
     if spark is None:
         raise ValueError(
-            "no active SparkSession; pass spark= to load the index"
+            "no active SparkSession; pass spark= explicitly"
         )
     return spark
 

@@ -291,13 +291,20 @@ class LakeTable:
         name = os.path.join(self._log_dir, f"{c['version']:010d}.json")
         try:
             return int(os.path.getmtime(name) * 1_000_000)
-        except OSError:
-            return 0
+        except OSError as exc:
+            # Returning 0 would make an unreadable commit resolve as
+            # "committed at epoch" and let AS OF pick a version NEWER
+            # than the requested instant — fail loudly instead.
+            raise OSError(
+                f"cannot stat commit file {name} for AS OF "
+                f"resolution (pre-commit_ts log)"
+            ) from exc
 
     def version_as_of(self, timestamp) -> int:
         """Resolve a wall-clock time to the NEWEST version committed
         at or before it (Delta's ``TIMESTAMP AS OF``). ``timestamp``
-        is unix SECONDS (int/float), unix MICROS (int > 1e12), or a
+        is unix SECONDS (int/float < 1e12), unix MILLIS (1e12..1e15 —
+        the JS ``Date.now()`` band), unix MICROS (>= 1e15), or a
         ``datetime``. Raises when the time predates the first
         commit."""
         import datetime as _dt
@@ -306,7 +313,15 @@ class LakeTable:
             ts_us = int(timestamp.timestamp() * 1_000_000)
         else:
             t = float(timestamp)
-            ts_us = int(t if t > 1e12 else t * 1_000_000)
+            if t >= 1e15:
+                ts_us = int(t)  # already micros
+            elif t > 1e12:
+                # millisecond band (~2001..33658 AD in ms): treating
+                # it as micros would land near epoch 1970 and
+                # mis-resolve silently
+                ts_us = int(t * 1_000)
+            else:
+                ts_us = int(t * 1_000_000)
         best = None
         for c in self._commits():
             if self._commit_ts(c) <= ts_us and (
@@ -1370,11 +1385,76 @@ class LakeTable:
             return None
         return list(keysets.pop())
 
+    def _partition_arranged(
+        self,
+        df: DataFrame,
+        pb: Sequence[str],
+        base_version: int,
+        target_file_bytes: int,
+    ) -> DataFrame:
+        """Shuffle rows to their hive partition, SPLITTING fat
+        partitions into ~``target_file_bytes`` buckets via a
+        per-partition salt. ``repartition(*pb)`` alone lands one file
+        per partition per task — at 100 TB a fat partition would
+        become one giant file; here each partition gets
+        ``ceil(bytes / target)`` salt buckets sized from the live
+        files' recorded partition values (driver-side metadata only,
+        no data I/O)."""
+        live, _, _, _, parts, _ = self._fold_state(base_version)
+        sizes: dict = {}
+        for rel in live:
+            key = tuple(sorted((parts.get(rel) or {}).items()))
+            try:
+                b = os.path.getsize(os.path.join(self.path, rel))
+            except OSError:
+                b = 0
+            sizes[key] = sizes.get(key, 0) + b
+        n_files = {
+            k: int(max(1, -(-b // target_file_bytes)))
+            for k, b in sizes.items()
+        }
+        if all(n == 1 for n in n_files.values()):
+            return df.repartition(*pb)
+        # dense global bucket ids: partition tuple -> [offset,
+        # offset+n); repartitionByRange with an EXPLICIT partition
+        # count pins one bucket per output task (AQE won't coalesce
+        # a user-specified count), so each hive dir gets exactly its
+        # ceil(bytes/target) files
+        rows, offset = [], 0
+        for k, n in sorted(n_files.items()):
+            rows.append(tuple(dict(k).get(c) for c in pb) + (n, offset))
+            offset += n
+        total_buckets = offset
+        schema = (
+            ", ".join(f"`_pv_{c}` string" for c in pb)
+            + ", `_nf` int, `_off` int"
+        )
+        lut = self.spark.createDataFrame(rows, schema)
+        cond = None
+        for c in pb:
+            e = F.col(c).cast("string").eqNullSafe(F.col(f"_pv_{c}"))
+            cond = e if cond is None else (cond & e)
+        data_cols = list(df.columns)
+        out = (
+            df.join(F.broadcast(lut), cond, "left")
+            .withColumn(
+                "_bucket",
+                F.coalesce(F.col("_off"), F.lit(0))
+                + F.pmod(
+                    F.xxhash64(*[F.col(c) for c in data_cols]),
+                    F.coalesce(F.col("_nf"), F.lit(1)),
+                ),
+            )
+            .repartitionByRange(total_buckets, F.col("_bucket"))
+        )
+        return out.select(*data_cols)
+
     def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> int:
         """Rewrite the live files into ~``target_file_bytes`` ones;
         same rows, new layout, one atomic swap. PARTITION-PRESERVING
         on partitioned tables: rows re-shuffle on the partition
-        columns and land in fresh hive dirs whose values are
+        columns (fat partitions split into ~target-sized salt
+        buckets) and land in fresh hive dirs whose values are
         re-recorded in the commit — compaction never silently kills
         the zero-I/O log-pruning tier (on an unpartitioned table the
         path is the plain size-targeted rewrite)."""
@@ -1386,7 +1466,9 @@ class LakeTable:
         remove = [os.path.relpath(p, self.path) for p in live]
         pb = self._partition_columns(base_version)
         if pb:
-            arranged = current.repartition(*pb)
+            arranged = self._partition_arranged(
+                current, pb, base_version, target_file_bytes
+            )
             files, new_parts = self._write_data_partitioned(arranged, pb)
             return self._commit(
                 "compact",
@@ -1427,12 +1509,18 @@ class LakeTable:
         pb = self._partition_columns(base_version)
         if pb:
             # partition-preserving Z-ORDER: rows shuffle on the
-            # partition columns, cluster by the Morton key WITHIN
-            # each task, and land in fresh hive dirs whose values are
-            # re-recorded — Delta's per-partition OPTIMIZE shape
+            # partition columns (fat partitions salt-split to
+            # ~target-sized buckets), cluster by the Morton key
+            # WITHIN each task, and land in fresh hive dirs whose
+            # values are re-recorded — Delta's per-partition
+            # OPTIMIZE shape
             arranged = (
-                z.transform(current)
-                .repartition(*pb)
+                self._partition_arranged(
+                    z.transform(current),
+                    pb,
+                    base_version,
+                    target_file_bytes,
+                )
                 .sortWithinPartitions(z.output_column)
                 .drop(z.output_column)
             )
@@ -1594,17 +1682,32 @@ class LakeTable:
         on: Sequence[str],
         when_matched: str = "update",
         when_not_matched: str = "insert",
+        broadcast_key_limit: int = 1_000_000,
     ) -> int:
         """MERGE INTO this table (see :func:`merge_into`). File
         granularity: rewrites the files containing matched keys (one
         key-scan to find them), carries the rest by reference, and
-        appends the merged output."""
+        appends the merged output.
+
+        The touched-file key scan broadcasts the source's distinct
+        keys only while they are provably small (≤
+        ``broadcast_key_limit`` rows — right for the common CDC-delta
+        source); a large backfill source falls back to a shuffled
+        semi-join instead of OOMing executors on the broadcast."""
         base_version = self.latest_version()
         current = self.read(version=base_version)
         keys = source.select(*on).distinct()
+        # Cheap exact gate: LIMIT n+1 + count touches at most
+        # limit+1 rows of the distinct-key relation, so the probe
+        # itself never materializes an unbounded set on the driver.
+        small = (
+            keys.limit(broadcast_key_limit + 1).count()
+            <= broadcast_key_limit
+        )
+        key_side = F.broadcast(keys) if small else keys
         affected = {
             os.path.normpath(_local_path(r["f"]))
-            for r in current.join(F.broadcast(keys), list(on), "left_semi")
+            for r in current.join(key_side, list(on), "left_semi")
             .select(F.input_file_name().alias("f"))
             .distinct()
             .collect()

@@ -98,15 +98,44 @@ class SampledRankingEvaluator:
         ).distinct()
         cand = items.select(F.col(ic)).distinct()
         n_items = cand.count()
+        budget = self.n_negatives * self.oversample
+        threshold = (
+            (budget * (1 << 60)) // n_items
+            if n_items > 4 * budget
+            else None
+        )
+        negs = self._negatives(pos, cand, seen, threshold)
+        if threshold is not None:
+            # The threshold is sized from the FULL catalog but the
+            # seen anti-join runs after it, so a positive whose seen
+            # set covers ≳ (1 - 1/oversample) of the catalog can come
+            # up short. Lossless by construction: re-run just those
+            # positives through the unfiltered path (the short set is
+            # empty in the common case, so the fallback cross join
+            # generates zero rows).
+            kept = negs.groupBy(qc, "_pos").agg(
+                F.count(F.lit(1)).alias("_n")
+            )
+            short = kept.filter(
+                F.col("_n") < F.lit(self.n_negatives)
+            ).select(qc, "_pos")
+            refill = self._negatives(short, cand, seen, None)
+            negs = negs.join(
+                short, on=[qc, "_pos"], how="left_anti"
+            ).unionByName(refill)
+        positives = pos.select(qc, "_pos", F.col("_pos").alias(ic))
+        return negs.unionByName(positives)
+
+    def _negatives(self, pos, cand, seen, threshold):
+        """Hash-smallest ``n_negatives`` unseen items per positive;
+        with ``threshold`` set, the cross join is pre-filtered inside
+        codegen so the shuffle sees ~oversample·n_neg rows per
+        positive instead of the catalog."""
+        qc, ic = self.query_column, self.item_column
         paired = pos.crossJoin(cand).withColumn(
             "_h", self._hash(F.col(qc), F.col("_pos"), F.col(ic))
         )
-        budget = self.n_negatives * self.oversample
-        if n_items > 4 * budget:
-            # threshold prefilter: survivors ~ Binomial(n_items,
-            # budget/n_items) per positive — the shuffle sees
-            # ~budget rows per test row instead of the catalog
-            threshold = (budget * (1 << 60)) // n_items
+        if threshold is not None:
             paired = paired.filter(F.col("_h") < F.lit(threshold))
         negs = paired.filter(F.col(ic) != F.col("_pos"))
         if seen is not None:
@@ -116,13 +145,11 @@ class SampledRankingEvaluator:
         w = Window.partitionBy(qc, "_pos").orderBy(
             F.col("_h").asc(), F.col(ic).asc()
         )
-        negs = (
+        return (
             negs.withColumn("_r", F.row_number().over(w))
             .filter(F.col("_r") <= self.n_negatives)
             .select(qc, "_pos", ic)
         )
-        positives = pos.select(qc, "_pos", F.col("_pos").alias(ic))
-        return negs.unionByName(positives)
 
     def evaluate(self, scored: DataFrame) -> DataFrame:
         """``[query, _pos, rank]`` — the positive's 1-based rank

@@ -112,6 +112,23 @@ def test_lake_merge_file_granularity(table, spark):
     assert hist[v] == 1  # only the file containing k=2 was rewritten
 
 
+def test_lake_merge_large_source_shuffled_semi_join(table, spark):
+    """A backfill-sized source (keys > broadcast_key_limit) must take
+    the shuffled semi-join path and still merge correctly."""
+    table.append(_df(spark, 0, 50).coalesce(1))
+    table.append(_df(spark, 100, 150).coalesce(1))
+    src = spark.range(0, 30).select(
+        F.col("id").alias("k"), F.lit(-7).alias("v")
+    )
+    v = table.merge(src, on=["k"], broadcast_key_limit=10)
+    got = {r.k: r.v for r in table.read().collect()}
+    assert all(got[k] == -7 for k in range(30))
+    assert got[40] == 400 and got[100] == 1000
+    assert len(got) == 100
+    hist = {r.version: r.n_removed for r in table.history().collect()}
+    assert hist[v] == 1  # only the 0..49 file was rewritten
+
+
 def test_merge_into_algebra(spark):
     tgt = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
     src = spark.createDataFrame([(2, "B"), (4, "D")], "k long, v string")
@@ -1169,3 +1186,45 @@ def test_compact_and_optimize_preserve_partition_pruning(table, spark):
     t2.compact()
     assert t2.read().count() == 100
     t2.drop()
+
+
+def test_partitioned_compact_splits_fat_partition(table, spark):
+    """Partitioned compact honors target_file_bytes WITHIN a
+    partition: a fat partition splits into multiple ~target-sized
+    files (not one giant file per partition) and log pruning still
+    works afterwards."""
+    import collections
+
+    df = _df(spark, 0, 5000).withColumn(
+        "p",
+        F.when(F.col("k") < 4500, F.lit(0)).otherwise(F.lit(1)).cast(
+            "int"
+        ),
+    ).withColumn("pad", F.sha2(F.col("k").cast("string"), 512))
+    table.append(df, partition_by=["p"])
+    fat_bytes = sum(
+        os.path.getsize(f)
+        for f in table.snapshot_files()
+        if "_p_p=0" in f
+    )
+    # target ~ a third of the fat partition -> expect >= 3 files there
+    table.compact(target_file_bytes=max(1, fat_bytes // 3))
+    per_part = collections.Counter()
+    for f in table.snapshot_files():
+        seg = [s for s in f.split(os.sep) if s.startswith("_p_p=")]
+        per_part[seg[0]] += 1
+    assert per_part["_p_p=0"] >= 3, per_part
+    assert per_part["_p_p=1"] >= 1
+    assert table.read().count() == 5000
+    out, kept, total = table.read_where({"p": (1, 1)})
+    assert out.count() == 500
+    log_kept, log_total = table.last_log_pruned
+    assert log_kept < log_total, "salted compact lost partition values"
+    # a huge target keeps the one-file-per-partition fast path
+    table.compact(target_file_bytes=1 << 40)
+    per_part2 = collections.Counter()
+    for f in table.snapshot_files():
+        seg = [s for s in f.split(os.sep) if s.startswith("_p_p=")]
+        per_part2[seg[0]] += 1
+    assert per_part2["_p_p=0"] == 1 and per_part2["_p_p=1"] == 1
+    assert table.read().count() == 5000
