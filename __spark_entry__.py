@@ -6078,6 +6078,80 @@ def q_lake_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lake_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style column mapping (name mode): RENAME/DROP COLUMN as
+    metadata-only commits — zero data rewritten (asserted in-gate:
+    the live file set is unchanged across the rename and every era's
+    files carry ONE physical schema under the original names).
+    Story: v0 appends documents as (doc_id, lang, n_chars); v1
+    renames n_chars→chars; v2 appends NEW rows under the new logical
+    name (they land in the OLD physical slot); v3 drops lang. The
+    output unions a v0-era aggregate (old names, old rows) with the
+    final-era aggregate (new names, lang invisible, both eras'
+    rows); DuckDB replays both eras from the documents residues.
+
+    The reference has no table format (no counterpart file); this
+    follows the public Delta Lake column-mapping protocol
+    re-expressed for this log (replay_spark/lake.py:rename_column)."""
+    import os
+    import shutil
+    import tempfile
+
+    from replay_spark.lake import LakeTable
+
+    docs = rsd.read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"rs_lakerename_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = LakeTable(spark, path)
+    t.append(docs.filter(F.col("doc_id") % 3 != 0).coalesce(2))  # v0
+    files_v0 = set(t.snapshot_files())
+    t.rename_column("n_chars", "chars")                          # v1
+    assert set(t.snapshot_files()) == files_v0, "rename rewrote data"
+    t.append(
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "lang", F.col("n_chars").alias("chars"))
+        .coalesce(1)
+    )                                                            # v2
+    t.drop_column("lang")                                        # v3
+    assert t.read().columns == ["doc_id", "chars"]
+    assert t.read(version=0).columns == ["doc_id", "lang", "n_chars"]
+    import pyarrow.parquet as pq
+
+    phys = {
+        tuple(pq.read_schema(f).names) for f in t.snapshot_files()
+    }
+    assert phys == {("doc_id", "lang", "n_chars")}, phys
+    era0 = (
+        t.read(version=0)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .select(
+            F.lit("v0").alias("era"), "lang", "n_rows", "sum_chars"
+        )
+    )
+    final = (
+        t.read()
+        .groupBy((F.col("doc_id") % 5).cast("bigint").alias("g"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("chars").cast("long").alias("sum_chars"),
+        )
+        .select(
+            F.lit("final").alias("era"),
+            F.col("g").cast("string").alias("lang"),
+            "n_rows",
+            "sum_chars",
+        )
+    )
+    return era0.unionByName(final)
+
+
 def q_sampled_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled ranking evaluation (the SASRec/NCF '99 negatives'
     protocol, 20 here): each user's LAST interaction is the test
@@ -6924,6 +6998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_slim_similarity": q_slim_similarity,
         "q_minhash_candidates": q_minhash_candidates,
         "q_simhash_fingerprints": q_simhash_fingerprints,
+        "q_lake_rename": q_lake_rename,
     }
 
 
@@ -11059,6 +11134,20 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_id % 10 <= 5
             GROUP BY 1
+        """,
+        "q_lake_rename": """
+            SELECT 'v0' AS era, lang,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents
+            WHERE doc_id % 3 <> 0
+            GROUP BY lang
+            UNION ALL
+            SELECT 'final' AS era, CAST(doc_id % 5 AS VARCHAR) AS lang,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents
+            GROUP BY doc_id % 5
         """,
         "q_sampled_eval": f"""
             WITH {W},

@@ -53,7 +53,7 @@ from typing import List, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 __all__ = [
     "LakeTable",
@@ -63,6 +63,12 @@ __all__ = [
     "apply_scd2",
     "refresh_aggregate",
 ]
+
+
+# sentinel: distinguishes "commit does not touch the column mapping"
+# (key absent, fold keeps the previous mapping) from "commit sets the
+# mapping to None" (restore to an unmapped era)
+_MAPPING_UNSET = object()
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -192,7 +198,7 @@ class LakeTable:
         version = self.latest_version()
         if version < 0:
             raise FileNotFoundError(f"no commits at {self.path}")
-        live, schema_json, schemas, txns, parts, stats = self._fold_state(version)
+        live, schema_json, schemas, txns, parts, stats, mapping = self._fold_state(version)
         payload = json.dumps(
             {
                 "version": version,
@@ -202,6 +208,7 @@ class LakeTable:
                 "txns": txns,
                 "parts": parts,
                 "stats": stats,
+                "mapping": mapping,
             }
         )
         name = os.path.join(
@@ -215,17 +222,22 @@ class LakeTable:
 
     def _fold_state(self, version: Optional[int] = None):
         """(live_relpaths, schema_json, distinct_schemas, txn_map,
-        parts_map, stats_map) as of ``version``, starting from the
-        newest usable checkpoint. ``parts_map`` holds {relpath:
-        {col: str_value}} for partitioned files and ``stats_map``
-        holds {relpath: {col: {t, min, max}}} for stats-indexed
-        columns — the log-level pruning metadata."""
+        parts_map, stats_map, mapping) as of ``version``, starting
+        from the newest usable checkpoint. ``parts_map`` holds
+        {relpath: {col: str_value}} for partitioned files and
+        ``stats_map`` holds {relpath: {col: {t, min, max}}} for
+        stats-indexed columns — the log-level pruning metadata.
+        ``mapping`` is the column mapping {logical: physical} (None
+        on an unmapped table); it persists across commits that don't
+        carry the ``column_mapping`` key and changes only at
+        rename/drop/restore commits that do."""
         live: List[str] = []
         schema_json = None
         schemas: set = set()
         txns: dict = {}
         parts: dict = {}
         stats: dict = {}
+        mapping = None
         start = -1
         ckpt = self._latest_checkpoint(version)
         if ckpt is not None:
@@ -235,6 +247,7 @@ class LakeTable:
             txns = dict(ckpt.get("txns") or {})
             parts = dict(ckpt.get("parts") or {})
             stats = dict(ckpt.get("stats") or {})
+            mapping = ckpt.get("mapping")
             start = ckpt["version"]
         for c in self._commits(after=start):
             if version is not None and c["version"] > version:
@@ -249,6 +262,8 @@ class LakeTable:
             schema_json = c.get("schema", schema_json)
             if c.get("schema"):
                 schemas.add(c["schema"])
+            if "column_mapping" in c:
+                mapping = c["column_mapping"]
             t = c.get("txn")
             if t:
                 app = t["app_id"]
@@ -259,7 +274,7 @@ class LakeTable:
         live_set = set(live)
         parts = {k: v for k, v in parts.items() if k in live_set}
         stats = {k: v for k, v in stats.items() if k in live_set}
-        return live, schema_json, schemas, txns, parts, stats
+        return live, schema_json, schemas, txns, parts, stats, mapping
 
     def history(self) -> DataFrame:
         """One row per commit: version, operation, files
@@ -339,7 +354,7 @@ class LakeTable:
         """Live data files (absolute paths) as of ``version`` —
         checkpoint + log-tail fold."""
         self._check_time_travel(version)
-        live, schema_json, _, _, _, _ = self._fold_state(version)
+        live, schema_json, _, _, _, _, _ = self._fold_state(version)
         self._last_schema_json = schema_json
         return [os.path.join(self.path, p) for p in live]
 
@@ -357,7 +372,7 @@ class LakeTable:
                 raise ValueError("give version OR as_of, not both")
             version = self.version_as_of(as_of)
         self._check_time_travel(version)
-        live, schema_json, distinct_schemas, _, _, _ = self._fold_state(version)
+        live, schema_json, distinct_schemas, _, _, _, mapping = self._fold_state(version)
         self._last_schema_json = schema_json
         files = [os.path.join(self.path, p) for p in live]
         if not files:
@@ -368,7 +383,175 @@ class LakeTable:
         reader = self.spark.read
         if len(distinct_schemas) > 1:
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*files)
+        return self._apply_mapping(
+            reader.parquet(*files), mapping, schema_json
+        )
+
+    # -- column mapping (rename/drop WITHOUT rewrite) ------------------------
+    #
+    # Delta-style name mapping: every logical column owns a STABLE
+    # physical name (the name it was first written under); data files
+    # only ever see physical names, renames and drops are metadata-only
+    # commits, and reads alias physical -> logical. An unmapped table
+    # (mapping None) behaves exactly as before — zero read/write
+    # overhead until the first rename/drop.
+    # Cites reference behavior gap: the reference (sb-ai-lab/RePlay)
+    # has no table format at all; this follows the public Delta Lake
+    # column-mapping protocol (name mode) re-expressed for this log.
+
+    def _mapping(self, version: Optional[int] = None):
+        return self._fold_state(version)[6]
+
+    def _apply_mapping(self, df, mapping, schema_json):
+        """Physical scan -> logical frame: alias mapped columns,
+        fill physical columns missing from every live file (possible
+        after restore across eras) with typed nulls."""
+        if mapping is None:
+            return df
+        types = {}
+        if schema_json:
+            for f in StructType.fromJson(json.loads(schema_json)):
+                types[f.name] = f.dataType
+        cols = []
+        for logical, physical in mapping.items():
+            if physical in df.columns:
+                cols.append(F.col(physical).alias(logical))
+            else:
+                t = types.get(logical)
+                lit = F.lit(None).cast(t) if t is not None else F.lit(None)
+                cols.append(lit.alias(logical))
+        return df.select(*cols)
+
+    @staticmethod
+    def _to_physical(df, mapping, keep=()):
+        """Logical frame -> physical columns for a file write (the
+        inverse of :meth:`_apply_mapping`); ``keep`` passes helper
+        columns (z-order keys) through untouched."""
+        if mapping is None:
+            return df
+        cols = [
+            F.col(l).alias(p)
+            for l, p in mapping.items()
+            if l in df.columns
+        ]
+        cols += [F.col(c) for c in keep if c in df.columns]
+        return df.select(*cols)
+
+    def _identity_mapping(self, schema_json: str) -> dict:
+        return {
+            f["name"]: f["name"]
+            for f in json.loads(schema_json).get("fields", [])
+        }
+
+    def _guard_indexed_column(self, name: str, op: str) -> None:
+        scfg = self._stats_config()
+        if scfg and name in scfg.get("columns", []):
+            raise ValueError(
+                f"cannot {op} column {name!r}: it is stats-indexed "
+                f"(enable_column_stats) — re-enable stats without it "
+                f"first"
+            )
+        bcfg = self._bloom_config()
+        if bcfg and name in bcfg.get("columns", []):
+            raise ValueError(
+                f"cannot {op} column {name!r}: it is bloom-indexed "
+                f"(enable_bloom_index) — re-enable the index without "
+                f"it first"
+            )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """RENAME COLUMN without rewriting a byte of data: a
+        metadata-only commit updates the logical schema and points
+        the new logical name at the old PHYSICAL name. Time travel
+        to pre-rename versions still reads the old name; appends
+        after the rename write the new logical column into the old
+        physical slot, so every file era stays one physical
+        schema."""
+        base = self.latest_version()
+        if base < 0:
+            raise FileNotFoundError(f"no commits at {self.path}")
+        _, schema_json, _, _, _, _, mapping = self._fold_state(base)
+        if not schema_json:
+            raise ValueError("table has no recorded schema")
+        if mapping is None:
+            mapping = self._identity_mapping(schema_json)
+        if old not in mapping:
+            raise ValueError(f"no such column: {old!r}")
+        if new in mapping:
+            raise ValueError(f"column {new!r} already exists")
+        # stats/bloom configs are keyed by PHYSICAL name, which a
+        # rename never changes — indexed columns rename freely
+        new_mapping = {
+            (new if k == old else k): v for k, v in mapping.items()
+        }
+        sj = json.loads(schema_json)
+        for f in sj.get("fields", []):
+            if f["name"] == old:
+                f["name"] = new
+        schema = StructType.fromJson(sj)
+        return self._commit(
+            "rename_column", [], [], schema, base + 1,
+            mapping=new_mapping,
+        )
+
+    def drop_column(self, name: str) -> int:
+        """DROP COLUMN without rewriting data: metadata-only — the
+        physical column stays in existing files (time travel still
+        sees it) but vanishes from the logical schema; the next
+        rewrite of a file (delete/compact/merge) physically sheds
+        it. Partition columns can't be dropped (the layout and the
+        log-pruning metadata are keyed on them)."""
+        base = self.latest_version()
+        if base < 0:
+            raise FileNotFoundError(f"no commits at {self.path}")
+        _, schema_json, _, _, _, _, mapping = self._fold_state(base)
+        if not schema_json:
+            raise ValueError("table has no recorded schema")
+        if mapping is None:
+            mapping = self._identity_mapping(schema_json)
+        if name not in mapping:
+            raise ValueError(f"no such column: {name!r}")
+        if len(mapping) == 1:
+            raise ValueError("cannot drop the table's only column")
+        self._guard_indexed_column(mapping[name], "drop")
+        pb = self._partition_columns(base)
+        if pb and mapping[name] in pb:
+            raise ValueError(
+                f"cannot drop partition column {name!r}"
+            )
+        new_mapping = {
+            k: v for k, v in mapping.items() if k != name
+        }
+        sj = json.loads(schema_json)
+        sj["fields"] = [
+            f for f in sj.get("fields", []) if f["name"] != name
+        ]
+        schema = StructType.fromJson(sj)
+        return self._commit(
+            "drop_column", [], [], schema, base + 1,
+            mapping=new_mapping,
+        )
+
+    def _fresh_physical(self, logical: str, mapping: dict) -> str:
+        """Physical name for a NEW logical column on a mapped table:
+        the logical name itself unless some era already used it
+        (e.g. drop then re-add — the old files still carry the old
+        physical column, which must not be resurrected)."""
+        used = set(mapping.values())
+        for c in self._commits():
+            m = c.get("column_mapping")
+            if m:
+                used.update(m.values())
+            s = c.get("schema")
+            if s:
+                # pre-mapping eras wrote files under the then-logical
+                # names — those are physical names on disk too
+                used.update(
+                    f["name"] for f in json.loads(s).get("fields", [])
+                )
+        if logical not in used:
+            return logical
+        return f"{logical}_{uuid.uuid4().hex[:8]}"
 
     def changes(
         self, start_version: int, end_version: Optional[int] = None
@@ -399,6 +582,13 @@ class LakeTable:
             for c in self._commits(after=start_version)
             if c["version"] <= end_version
         ]
+        # column-mapped tables: files carry PHYSICAL names across
+        # every era; present the whole feed under the END version's
+        # logical names (a column renamed mid-feed appears under its
+        # new name throughout — physical identity is stable)
+        _, end_schema_json, _, _, _, _, end_mapping = self._fold_state(
+            end_version
+        )
         parts: List[DataFrame] = []
 
         def _read_files(rel: List[str]) -> Optional[DataFrame]:
@@ -430,6 +620,7 @@ class LakeTable:
             for df, kind in ((ins, "insert"), (dels, "delete")):
                 if df is None:
                     continue
+                df = self._apply_mapping(df, end_mapping, end_schema_json)
                 parts.append(
                     df.withColumn("_change_type", F.lit(kind)).withColumn(
                         "_commit_version", F.lit(c["version"]).cast("int")
@@ -532,6 +723,9 @@ class LakeTable:
         driver-side fold, before any parquet footer is opened. Live
         files are indexed immediately. Conservative throughout:
         files without a recorded stat for a column are kept."""
+        mapping = self._mapping()
+        if mapping is not None:
+            columns = [mapping.get(c, c) for c in columns]
         cfg = {"columns": sorted(set(columns))}
         os.makedirs(self._log_dir, exist_ok=True)
         with open(
@@ -673,6 +867,9 @@ class LakeTable:
         current live files are indexed immediately. ``read_where``
         consults the bitsets for point bounds; files without a
         sidecar are kept (no false negatives, ever)."""
+        mapping = self._mapping()
+        if mapping is not None:
+            columns = [mapping.get(c, c) for c in columns]
         cfg = {
             "columns": sorted(set(columns)),
             "bits_per_key": int(bits_per_key),
@@ -752,6 +949,7 @@ class LakeTable:
         expected_version: int,
         txn: Optional[dict] = None,
         parts: Optional[dict] = None,
+        mapping: object = _MAPPING_UNSET,
     ) -> int:
         cfg = self._bloom_config()
         if cfg and add:
@@ -785,6 +983,10 @@ class LakeTable:
             payload["parts"] = parts
         if stats:
             payload["stats"] = stats
+        if mapping is not _MAPPING_UNSET:
+            # explicit None is meaningful (restore to an unmapped
+            # era); ABSENCE of the key means "mapping unchanged"
+            payload["column_mapping"] = mapping
         record = json.dumps(payload)
         name = os.path.join(self._log_dir, f"{version:010d}.json")
         if not _fs_write_exclusive(name, record):
@@ -853,16 +1055,33 @@ class LakeTable:
                     "append schema differs from table schema; pass "
                     "merge_schema=True for additive evolution"
                 )
+        mapping = self._mapping(current) if current >= 0 else None
+        new_mapping = _MAPPING_UNSET
+        out = df
+        pb = list(partition_by) if partition_by else None
+        if mapping is not None:
+            fresh = {
+                c: self._fresh_physical(c, mapping)
+                for c in df.columns
+                if c not in mapping
+            }
+            if fresh:
+                mapping = {**mapping, **fresh}
+                new_mapping = mapping
+            out = self._to_physical(df, mapping)
+            if pb:
+                pb = [mapping[c] for c in pb]
         parts = None
-        if partition_by:
-            files, parts = self._write_data_partitioned(df, partition_by)
+        if pb:
+            files, parts = self._write_data_partitioned(out, pb)
         else:
-            files = self._write_data(df)
+            files = self._write_data(out)
         for _ in range(max_retries):
             try:
                 return self._commit(
                     "append", files, [], df.schema,
                     self.latest_version() + 1, parts=parts,
+                    mapping=new_mapping,
                 )
             except ConcurrentWriteError:
                 continue
@@ -877,7 +1096,7 @@ class LakeTable:
         files' partition values are re-recorded in the restore
         commit, so log-level pruning survives the rollback."""
         self._check_time_travel(version)
-        tgt_live, target_schema, _, _, tgt_parts, _ = self._fold_state(
+        tgt_live, target_schema, _, _, tgt_parts, _, tgt_mapping = self._fold_state(
             version
         )
         target = set(tgt_live)
@@ -898,6 +1117,9 @@ class LakeTable:
         add = sorted(target - current)
         add_set = set(add)
         parts = {k: v for k, v in tgt_parts.items() if k in add_set}
+        # restore the target era's column mapping too (explicit None
+        # resets a mapped table back to its unmapped era)
+        cur_mapping = self._mapping(current_version)
         return self._commit(
             "restore",
             add,
@@ -905,6 +1127,11 @@ class LakeTable:
             schema,
             current_version + 1,
             parts=parts or None,
+            mapping=(
+                tgt_mapping
+                if tgt_mapping != cur_mapping
+                else _MAPPING_UNSET
+            ),
         )
 
     def clone(
@@ -938,7 +1165,7 @@ class LakeTable:
             self.latest_version() if version is None else version
         )
         self._check_time_travel(src_version)
-        live, schema_json, schemas, _txns, parts, _stats = self._fold_state(
+        live, schema_json, schemas, _txns, parts, _stats, mapping = self._fold_state(
             src_version
         )
         if not live:
@@ -953,11 +1180,31 @@ class LakeTable:
             for s in schemas
         }
         if len(shapes) > 1:  # name+type only: nullability drift from
-            # delete-rewrites is read-compatible and must not block
-            raise ValueError(
-                "cannot shallow-clone a multi-schema table in one "
-                "commit; compact() the source first"
-            )
+            # delete-rewrites is read-compatible and must not block.
+            # On a column-mapped table LOGICAL schemas drift at every
+            # rename while the files stay one PHYSICAL schema — check
+            # the footers (O(files) metadata reads) before refusing.
+            phys_ok = False
+            if mapping is not None:
+                try:
+                    import pyarrow.parquet as _pq
+
+                    phys = {
+                        tuple(
+                            _pq.read_schema(
+                                os.path.join(self.path, rel)
+                            ).names
+                        )
+                        for rel in live
+                    }
+                    phys_ok = len(phys) == 1
+                except Exception:
+                    phys_ok = False
+            if not phys_ok:
+                raise ValueError(
+                    "cannot shallow-clone a multi-schema table in one "
+                    "commit; compact() the source first"
+                )
         out = LakeTable(self.spark, dest_path)
         if out.latest_version() >= 0:
             raise ValueError(f"clone target {dest_path!r} exists")
@@ -989,7 +1236,8 @@ class LakeTable:
                 for k, v in parts.items()
             }
         out._commit(
-            "clone", sorted(add), [], schema, 0, parts=cparts or None
+            "clone", sorted(add), [], schema, 0, parts=cparts or None,
+            mapping=(mapping if mapping is not None else _MAPPING_UNSET),
         )
         return out
 
@@ -1278,7 +1526,7 @@ class LakeTable:
         (the Delta txn-action idempotence device), or None.
         Checkpoint-accelerated: folds the newest checkpoint's txn
         high-water marks plus only the log tail."""
-        _, _, _, txns, _, _ = self._fold_state(None)
+        _, _, _, txns, _, _, _ = self._fold_state(None)
         return txns.get(app_id)
 
     def append_batch(
@@ -1327,10 +1575,23 @@ class LakeTable:
             os.path.relpath(p, self.path)
             for p in self.snapshot_files(version=base_version)
         ] if base_version >= 0 else []
-        files = self._write_data(df)
+        mapping = self._mapping(base_version) if base_version >= 0 else None
+        new_mapping = _MAPPING_UNSET
+        out = df
+        if mapping is not None:
+            # keep physical slots for surviving logical columns,
+            # assign fresh ones for new columns, forget the rest
+            kept = {
+                c: mapping.get(c) or self._fresh_physical(c, mapping)
+                for c in df.columns
+            }
+            if kept != mapping:
+                new_mapping = kept
+            mapping = kept
+            out = self._to_physical(df, mapping)
         return self._commit(
-            "overwrite", files, prior, df.schema, base_version + 1,
-            txn=txn,
+            "overwrite", self._write_data(out), prior, df.schema,
+            base_version + 1, txn=txn, mapping=new_mapping,
         )
 
     def delete(self, condition) -> int:
@@ -1358,11 +1619,16 @@ class LakeTable:
             for p in live
             if os.path.normpath(os.path.abspath(p)) in affected
         ]
-        # delete rows where cond is TRUE; NULL-cond rows survive
-        survivors = self.spark.read.parquet(*touched).filter(
-            ~F.coalesce(cond, F.lit(False))
-        )
-        files = self._write_data(survivors)
+        # delete rows where cond is TRUE; NULL-cond rows survive.
+        # On a mapped table the touched files carry PHYSICAL names:
+        # alias to logical for the condition, back to physical for
+        # the rewrite (which also sheds logically-dropped columns).
+        mapping = self._mapping(base_version)
+        raw = self.spark.read.parquet(*touched)
+        survivors = self._apply_mapping(
+            raw, mapping, getattr(self, "_last_schema_json", None)
+        ).filter(~F.coalesce(cond, F.lit(False)))
+        files = self._write_data(self._to_physical(survivors, mapping))
         remove = [os.path.relpath(p, self.path) for p in touched]
         return self._commit(
             "delete", files, remove, current.schema, base_version + 1
@@ -1372,7 +1638,7 @@ class LakeTable:
         """The table's partition columns when EVERY live file carries
         the same recorded partition-key set, else None — the guard
         that lets compaction stay partition-preserving."""
-        live, _, _, _, parts, _ = self._fold_state(version)
+        live, _, _, _, parts, _, _ = self._fold_state(version)
         if not live:
             return None
         keysets = set()
@@ -1400,7 +1666,7 @@ class LakeTable:
         ``ceil(bytes / target)`` salt buckets sized from the live
         files' recorded partition values (driver-side metadata only,
         no data I/O)."""
-        live, _, _, _, parts, _ = self._fold_state(base_version)
+        live, _, _, _, parts, _, _ = self._fold_state(base_version)
         sizes: dict = {}
         for rel in live:
             key = tuple(sorted((parts.get(rel) or {}).items()))
@@ -1464,10 +1730,12 @@ class LakeTable:
             return base_version
         current = self.read(version=base_version)
         remove = [os.path.relpath(p, self.path) for p in live]
+        mapping = self._mapping(base_version)
+        phys = self._to_physical(current, mapping)
         pb = self._partition_columns(base_version)
         if pb:
             arranged = self._partition_arranged(
-                current, pb, base_version, target_file_bytes
+                phys, pb, base_version, target_file_bytes
             )
             files, new_parts = self._write_data_partitioned(arranged, pb)
             return self._commit(
@@ -1480,7 +1748,7 @@ class LakeTable:
             )
         total = sum(os.path.getsize(p) for p in live)
         n = max(1, -(-total // target_file_bytes))
-        files = self._write_data(current, num_files=int(n))
+        files = self._write_data(phys, num_files=int(n))
         return self._commit(
             "compact", files, remove, current.schema, base_version + 1
         )
@@ -1505,6 +1773,7 @@ class LakeTable:
             return base_version
         current = self.read(version=base_version)
         remove = [os.path.relpath(p, self.path) for p in live]
+        mapping = self._mapping(base_version)
         z = ZOrderLayout(list(zorder_by))
         pb = self._partition_columns(base_version)
         if pb:
@@ -1516,7 +1785,11 @@ class LakeTable:
             # OPTIMIZE shape
             arranged = (
                 self._partition_arranged(
-                    z.transform(current),
+                    self._to_physical(
+                        z.transform(current),
+                        mapping,
+                        keep=(z.output_column,),
+                    ),
                     pb,
                     base_version,
                     target_file_bytes,
@@ -1535,7 +1808,10 @@ class LakeTable:
             )
         total = sum(os.path.getsize(p) for p in live)
         n = int(max(1, -(-total // target_file_bytes)))
-        laid = z.layout(current, num_partitions=n).drop(z.output_column)
+        laid = self._to_physical(
+            z.layout(current, num_partitions=n).drop(z.output_column),
+            mapping,
+        )
         files = self._write_data(laid)  # keeps the range partitioning
         return self._commit(
             "optimize", files, remove, current.schema, base_version + 1
@@ -1559,7 +1835,7 @@ class LakeTable:
         from replay_spark.utils.layout import read_pruned
 
         self._check_time_travel(version)
-        live, schema_json, distinct_schemas, _, parts, stats = self._fold_state(
+        live, schema_json, distinct_schemas, _, parts, stats, mapping = self._fold_state(
             version
         )
         self._last_schema_json = schema_json
@@ -1568,11 +1844,33 @@ class LakeTable:
         expected = None
         if schema_json:
             expected = StructType.fromJson(json.loads(schema_json))
+        # column-mapped tables: files, parts and stats are keyed by
+        # PHYSICAL names — translate the bound keys and the expected
+        # schema, prune physically, alias back to logical at the end
+        phys_bounds = bounds
+        phys_expected = expected
+        if mapping is not None:
+            phys_bounds = {
+                mapping.get(c, c): v for c, v in bounds.items()
+            }
+            if expected is not None:
+                phys_expected = StructType(
+                    [
+                        StructField(
+                            mapping.get(f.name, f.name),
+                            f.dataType,
+                            f.nullable,
+                        )
+                        for f in expected.fields
+                    ]
+                )
         total = len(live)
         kept_rel = [
             rel
             for rel in live
-            if self._partition_overlaps(parts.get(rel), bounds, expected)
+            if self._partition_overlaps(
+                parts.get(rel), phys_bounds, phys_expected
+            )
         ]
         # Tier 1a, LOG-EMBEDDED COLUMN STATS: commits carry per-file
         # min/max for stats-indexed columns, so range bounds prune
@@ -1585,7 +1883,7 @@ class LakeTable:
                     self._stat_overlaps(
                         (stats.get(rel) or {}).get(c), lo, hi
                     )
-                    for c, (lo, hi) in bounds.items()
+                    for c, (lo, hi) in phys_bounds.items()
                 )
             ]
         # Tier 1b, BLOOM SIDECARS: point predicates (lo == hi) on a
@@ -1596,7 +1894,7 @@ class LakeTable:
         if cfg and kept_rel:
             points = {
                 c: lo
-                for c, (lo, hi) in bounds.items()
+                for c, (lo, hi) in phys_bounds.items()
                 if c in cfg["columns"]
                 and lo is not None
                 and lo == hi
@@ -1620,11 +1918,11 @@ class LakeTable:
         df, n_kept, _ = read_pruned(
             self.spark,
             files,
-            bounds,
+            phys_bounds,
             merge_schema=len(distinct_schemas) > 1,
-            expected_schema=expected,
+            expected_schema=phys_expected,
         )
-        return df, n_kept, total
+        return self._apply_mapping(df, mapping, schema_json), n_kept, total
 
     @staticmethod
     def _partition_overlaps(
@@ -1718,15 +2016,20 @@ class LakeTable:
             for p in live
             if os.path.normpath(os.path.abspath(p)) in affected
         ]
+        mapping = self._mapping(base_version)
         base = (
-            self.spark.read.parquet(*touched)
+            self._apply_mapping(
+                self.spark.read.parquet(*touched),
+                mapping,
+                getattr(self, "_last_schema_json", None),
+            )
             if touched
             else current.limit(0)
         )
         merged = merge_into(
             base, source, on, when_matched, when_not_matched
         )
-        files = self._write_data(merged)
+        files = self._write_data(self._to_physical(merged, mapping))
         remove = [os.path.relpath(p, self.path) for p in touched]
         return self._commit(
             "merge", files, remove, current.schema, base_version + 1

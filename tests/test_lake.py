@@ -585,7 +585,7 @@ def test_partitioned_append_and_log_pruning(table, spark):
     )
     table.append(df, partition_by=["bucket"])
     # files are per-partition and carry pvals in the log
-    _, _, _, _, parts, _ = table._fold_state(None)
+    _, _, _, _, parts, _, _ = table._fold_state(None)
     assert parts and all("bucket" in p for p in parts.values())
     assert {p["bucket"] for p in parts.values()} == {"0", "1", "2", "3"}
     # read(): self-contained files, partition column physical
@@ -628,7 +628,7 @@ def test_partitioned_table_delete_and_checkpoint(table, spark):
         spark.range(100, 110).selectExpr("id AS k", "id % 2 AS bucket"),
         partition_by=["bucket"],
     )
-    _, _, _, _, parts, _ = table._fold_state(None)
+    _, _, _, _, parts, _, _ = table._fold_state(None)
     assert parts  # survived the checkpoint + tail merge
     pruned2, _, _ = table.read_where({"bucket": (0, 0)})
     assert pruned2.count() == 45 + 5
@@ -1228,3 +1228,141 @@ def test_partitioned_compact_splits_fat_partition(table, spark):
         per_part2[seg[0]] += 1
     assert per_part2["_p_p=0"] == 1 and per_part2["_p_p=1"] == 1
     assert table.read().count() == 5000
+
+
+# -- column mapping (rename/drop without rewrite) ---------------------------
+
+
+def test_rename_column_metadata_only(table, spark):
+    table.append(_df(spark, 0, 5).coalesce(1))            # v0
+    files_before = set(table.snapshot_files())
+    v = table.rename_column("v", "value")                 # v1
+    assert set(table.snapshot_files()) == files_before    # zero rewrite
+    assert table.read().columns == ["k", "value"]
+    assert {r.k: r.value for r in table.read().collect()} == {
+        i: i * 10 for i in range(5)
+    }
+    # time travel to pre-rename still reads the old name
+    assert table.read(version=0).columns == ["k", "v"]
+    # append under the NEW logical name lands in the old physical slot
+    table.append(
+        spark.createDataFrame([(100, 1000)], "k long, value long")
+    )
+    got = {r.k: r.value for r in table.read().collect()}
+    assert got[100] == 1000 and got[2] == 20 and len(got) == 6
+    # the whole table is still ONE physical schema (no mergeSchema need)
+    import pyarrow.parquet as pq
+
+    phys = {
+        tuple(pq.read_schema(f).names) for f in table.snapshot_files()
+    }
+    assert phys == {("k", "v")}
+    # rename back and forth
+    table.rename_column("value", "v2")
+    assert table.read().columns == ["k", "v2"]
+    with pytest.raises(ValueError):
+        table.rename_column("nope", "x")
+    with pytest.raises(ValueError):
+        table.rename_column("v2", "k")
+
+
+def test_drop_column_and_readd(table, spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k long, s string, v long"
+    )
+    table.append(df.coalesce(1))                          # v0
+    table.drop_column("s")                                # v1
+    assert table.read().columns == ["k", "v"]
+    assert table.read(version=0).columns == ["k", "s", "v"]
+    # a rewrite physically sheds the dropped column
+    table.delete(F.col("k") == 1)                         # v2
+    import pyarrow.parquet as pq
+
+    phys_cols = {
+        n for f in table.snapshot_files() for n in pq.read_schema(f).names
+    }
+    assert "s" not in phys_cols
+    # re-adding the same logical name gets a FRESH physical slot
+    table.append(
+        spark.createDataFrame([(3, 30, "c")], "k long, v long, s string"),
+        merge_schema=True,
+    )                                                     # v3
+    rows = {r.k: (r.v, r.s) for r in table.read().collect()}
+    assert rows[3] == (30, "c")
+    assert rows[2] == (20, None)  # old rows: new column is null
+    # and the old era's s values did NOT resurrect
+    assert table.read(version=0).filter("k = 1").count() == 1
+    with pytest.raises(ValueError):
+        table.drop_column("absent")
+
+
+def test_rename_then_lake_ops_compose(table, spark):
+    """delete / merge / compact / changes / checkpoint all stay
+    correct across a rename boundary."""
+    table.append(_df(spark, 0, 10).coalesce(1))           # v0
+    table.rename_column("v", "val")                       # v1
+    table.delete(F.col("val") == 30)                      # v2 (logical cond)
+    assert sorted(r.k for r in table.read().collect()) == [
+        0, 1, 2, 4, 5, 6, 7, 8, 9
+    ]
+    src = spark.createDataFrame([(4, -4), (40, -40)], "k long, val long")
+    table.merge(src, on=["k"])                            # v3
+    got = {r.k: r.val for r in table.read().collect()}
+    assert got[4] == -4 and got[40] == -40 and got[5] == 50
+    table.compact(target_file_bytes=1 << 30)              # v4
+    assert {r.k: r.val for r in table.read().collect()} == got
+    # CDF across the rename: end-version logical names throughout
+    ch = table.changes(1, 3).collect()
+    assert {r.k for r in ch if r._change_type == "delete"} == {3, 4}
+    assert "val" in table.changes(0).columns
+    # checkpoint carries the mapping
+    table.checkpoint()
+    assert table.read().columns == ["k", "val"]
+    assert {r.k: r.val for r in table.read().collect()} == got
+
+
+def test_rename_partition_column_pruning_survives(table, spark):
+    df = _df(spark, 0, 200).withColumn(
+        "p", (F.col("k") % 4).cast("int")
+    )
+    table.append(df, partition_by=["p"])                  # v0
+    table.rename_column("p", "bucket")                    # v1
+    out, kept, total = table.read_where({"bucket": (2, 2)})
+    assert out.count() == 50
+    assert out.columns == ["k", "v", "bucket"]
+    log_kept, log_total = table.last_log_pruned
+    assert log_kept < log_total, "rename broke log pruning"
+    # partitioned compact still works (physical partition cols)
+    table.compact()
+    out2, _, _ = table.read_where({"bucket": (2, 2)})
+    assert out2.count() == 50
+    assert table.last_log_pruned[0] < table.last_log_pruned[1]
+    # dropping a partition column is refused
+    with pytest.raises(ValueError):
+        table.drop_column("bucket")
+
+
+def test_restore_across_mapping_eras(table, spark):
+    table.append(_df(spark, 0, 5).coalesce(1))            # v0 unmapped
+    table.rename_column("v", "val")                       # v1 mapped
+    table.append(
+        spark.createDataFrame([(9, 90)], "k long, val long")
+    )                                                     # v2
+    table.restore(0)                                      # v3: unmapped era
+    assert table.read().columns == ["k", "v"]
+    assert table.read().count() == 5
+    table.restore(2)                                      # v4: mapped again
+    assert table.read().columns == ["k", "val"]
+    assert table.read().count() == 6
+
+
+def test_clone_carries_mapping(table, spark):
+    import tempfile
+
+    table.append(_df(spark, 0, 5).coalesce(1))
+    table.rename_column("v", "val")
+    dest = tempfile.mkdtemp(prefix="rs_lake_clone_") + "/t"
+    out = table.clone(dest)
+    assert out.read().columns == ["k", "val"]
+    assert out.read().count() == 5
+    out.drop()
