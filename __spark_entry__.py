@@ -3978,6 +3978,31 @@ def q_ivf_ann_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_ann_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF under metric='l2' with a deterministic quantizer
+    (centroids = embeddings of vec_id < 16, min-squared-L2
+    assignment, stable-rounded 6 dp): probe selection, the
+    partition-pruned scan AND the final distance ranking all run
+    under the reference's euclidean distance
+    (reference/replay/utils/spark_utils.py:624-651 'euclidian' —
+    the ANN tier's first non-cosine metric gate). DuckDB replays the
+    term-wise (x-y)^2 fold via list_zip, so the squared distance is
+    the SAME summation order as Spark's zip_with fold."""
+    from replay_spark.ann import IVFANN
+
+    emb = rsd.read_table(spark, sf_dir, "embeddings")
+    cents = [
+        r["embedding"]
+        for r in emb.filter("vec_id < 16").orderBy("vec_id").collect()
+    ]
+    ann = IVFANN(num_clusters=16, nprobe=2, metric="l2").fit(
+        emb, centroids=cents
+    )
+    return ann.search(emb.filter("vec_id < 20"), k=5).select(
+        "query_id", "neighbor_id", "distance", "rank"
+    )
+
+
 def q_ann_save_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN index persistence (reference index-store parity:
     ``reference/replay/models/extensions/ann/index_stores/
@@ -6999,6 +7024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_candidates": q_minhash_candidates,
         "q_simhash_fingerprints": q_simhash_fingerprints,
         "q_lake_rename": q_lake_rename,
+        "q_ivf_ann_l2": q_ivf_ann_l2,
     }
 
 
@@ -8747,6 +8773,50 @@ def oracle_sql() -> dict[str, str]:
                 SELECT *, row_number() OVER (
                     PARTITION BY query_id
                     ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM scored) t
+            WHERE rank <= 5
+        """,
+        "q_ivf_ann_l2": """
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+            cents AS (SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < 16),
+            assign AS (
+                SELECT vec_id, cluster FROM (
+                    SELECT e.vec_id, c.cluster,
+                           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                               round(list_sum(list_transform(
+                                   list_zip(e.v, c.cv),
+                                   z -> (z[1] - z[2]) * (z[1] - z[2]))) + 1e-9, 6) ASC,
+                               c.cluster ASC) AS rn
+                    FROM e, cents c) t
+                WHERE rn = 1),
+            q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+            probe AS (
+                SELECT qid, cluster FROM (
+                    SELECT q.qid, c.cluster,
+                           row_number() OVER (PARTITION BY q.qid ORDER BY
+                               round(list_sum(list_transform(
+                                   list_zip(q.qv, c.cv),
+                                   z -> (z[1] - z[2]) * (z[1] - z[2]))) + 1e-9, 6) ASC,
+                               c.cluster ASC) AS rn
+                    FROM q, cents c) t
+                WHERE rn <= 2),
+            scored AS (
+                SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                       round(list_sum(list_transform(
+                           list_zip(q.qv, e.v),
+                           z -> (z[1] - z[2]) * (z[1] - z[2]))) + 1e-9, 6) AS distance
+                FROM probe p
+                JOIN q ON p.qid = q.qid
+                JOIN assign a ON a.cluster = p.cluster
+                JOIN e ON e.vec_id = a.vec_id
+                WHERE e.vec_id <> q.qid)
+            SELECT query_id, neighbor_id, distance, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY distance ASC, neighbor_id ASC) AS rank
                 FROM scored) t
             WHERE rank <= 5
         """,

@@ -51,7 +51,10 @@ class HNSWANN:
         seed: int = 42,
         id_column: str = "vec_id",
         vector_column: str = "embedding",
+        metric: str = "cosine",
     ):
+        from replay_spark.ann.search import _check_metric
+
         if M < 2:
             raise ValueError("M must be >= 2")
         if ef_construction < 1 or ef_search < 1:
@@ -63,6 +66,7 @@ class HNSWANN:
         self.seed = seed
         self.id_column = id_column
         self.vector_column = vector_column
+        self.metric = _check_metric(metric)
         self._ids: Optional[np.ndarray] = None
         self._vecs: Optional[np.ndarray] = None
         self._links: Optional[list] = None  # per node: list per level
@@ -77,13 +81,26 @@ class HNSWANN:
         n[n == 0] = 1.0
         return x / n
 
+    def _prep(self, x: np.ndarray) -> np.ndarray:
+        return self._normalize(x) if self.metric == "cosine" else x
+
+    def _d(self, a: np.ndarray, b: np.ndarray) -> float:
+        """Graph distance under the index metric (smaller = closer):
+        cosine -> 1 - dot (normalized vectors), dot -> -dot (the
+        hnswlib 'ip' space), l2 -> squared L2."""
+        if self.metric == "l2":
+            diff = a - b
+            return float(diff @ diff)
+        d = float(a @ b)
+        return -d if self.metric == "dot" else 1.0 - d
+
     def _search_layer(self, q: np.ndarray, entry: int, ef: int, level: int):
         """Beam search on one layer: returns [(dist, node)] ascending,
         at most ef entries. dist = 1 - cosine (vectors normalized)."""
         import heapq
 
         vecs, links = self._vecs, self._links
-        d0 = 1.0 - float(vecs[entry] @ q)
+        d0 = self._d(vecs[entry], q)
         visited = {entry}
         cand = [(d0, entry)]  # min-heap by dist
         best = [(-d0, entry)]  # max-heap (neg) of current top-ef
@@ -95,7 +112,7 @@ class HNSWANN:
                 if nb in visited:
                     continue
                 visited.add(nb)
-                dn = 1.0 - float(vecs[nb] @ q)
+                dn = self._d(vecs[nb], q)
                 if len(best) < ef or dn < -best[0][0]:
                     heapq.heappush(cand, (dn, nb))
                     heapq.heappush(best, (-dn, nb))
@@ -126,7 +143,7 @@ class HNSWANN:
                     # prune to the cap closest (deterministic: dist
                     # then node index)
                     dists = sorted(
-                        (1.0 - float(vecs[m] @ vecs[n]), m) for m in lst
+                        (self._d(vecs[m], vecs[n]), m) for m in lst
                     )
                     links[n][lv] = [m for _, m in dists[:cap]]
             ep = found[0][1]
@@ -150,7 +167,7 @@ class HNSWANN:
             .collect()
         )
         self._ids = np.array([r[0] for r in rows], dtype=np.int64)
-        self._vecs = self._normalize(
+        self._vecs = self._prep(
             np.array([r[1] for r in rows], dtype=np.float64)
         )
         m_l = 1.0 / math.log(self.M)
@@ -197,7 +214,7 @@ class HNSWANN:
         self._vecs = np.vstack(
             [
                 self._vecs,
-                self._normalize(
+                self._prep(
                     np.array([r[1] for r in rows], dtype=np.float64)
                 ),
             ]
@@ -239,6 +256,7 @@ class HNSWANN:
                 "seed": self.seed,
                 "id_column": self.id_column,
                 "vector_column": self.vector_column,
+                "metric": self.metric,
                 "entry": self._entry,
                 "max_level": self._max_level,
             },
@@ -313,43 +331,55 @@ class HNSWANN:
             raise ValueError("HNSWANN must be fit before search")
         idc, vc = self.id_column, self.vector_column
         index = self
-        normalize = self._normalize
+        metric = self.metric
+        out_col = {"cosine": "cosine", "dot": "score", "l2": "distance"}[
+            metric
+        ]
+        desc = metric != "l2"
         # over-fetch one so a query that finds itself still returns k
         kk = k + 1
 
         def walk(batches):
             for pdf in batches:
-                x = normalize(
+                x = index._prep(
                     np.array(list(pdf[vc]), dtype=np.float64).reshape(
                         len(pdf), -1
                     )
                 )
-                qids, nids, coss = [], [], []
+                qids, nids, scores = [], [], []
                 for qid, q in zip(pdf[idc], x):
                     for dist, node in index._knn(q, kk):
                         if int(index._ids[node]) == int(qid):
                             continue
                         qids.append(int(qid))
                         nids.append(int(index._ids[node]))
-                        coss.append(1.0 - dist)
+                        # invert the graph distance back to the
+                        # metric's reported score
+                        if metric == "cosine":
+                            scores.append(1.0 - dist)
+                        elif metric == "dot":
+                            scores.append(-dist)
+                        else:
+                            scores.append(dist)
                 yield pd.DataFrame(
                     {
                         "query_id": pd.Series(qids, dtype="int64"),
                         "neighbor_id": pd.Series(nids, dtype="int64"),
-                        "cosine_raw": pd.Series(coss, dtype="float64"),
+                        "score_raw": pd.Series(scores, dtype="float64"),
                     }
                 )
 
         out = queries.select(idc, vc).mapInPandas(
             walk,
-            schema="query_id long, neighbor_id long, cosine_raw double",
+            schema="query_id long, neighbor_id long, score_raw double",
         )
         w = Window.partitionBy("query_id").orderBy(
-            F.col("cosine").desc(), F.col("neighbor_id").asc()
+            F.col(out_col).desc() if desc else F.col(out_col).asc(),
+            F.col("neighbor_id").asc(),
         )
         return (
-            out.withColumn("cosine", stable_round("cosine_raw", 6))
+            out.withColumn(out_col, stable_round("score_raw", 6))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "cosine", "rank")
+            .select("query_id", "neighbor_id", out_col, "rank")
         )

@@ -69,12 +69,82 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
-class BruteForceANN:
-    """Exact cosine top-k: queries × corpus."""
+def _sqdist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
-    def __init__(self, id_column: str = "vec_id", vector_column: str = "embedding"):
+
+# the reference's vector distance family (cosine / dot / euclidean —
+# reference/replay/utils/spark_utils.py:624-651, base_rec.py:740-792)
+# re-expressed as higher-order SQL expressions. Each metric defines
+# (score expression, score column name, better-is-higher).
+_METRICS = ("cosine", "dot", "l2")
+
+
+def _check_metric(metric: str) -> str:
+    if metric not in _METRICS:
+        raise ValueError(
+            f"metric must be one of {_METRICS}, got {metric!r}"
+        )
+    return metric
+
+
+def _prep_fn(metric):
+    """Executor-safe vector prep: a plain closure (never a bound
+    method — capturing one pickles the index object and its cached
+    DataFrames into the UDF, SPARK-5063)."""
+    normalize = PQANN._normalize
+    if metric == "cosine":
+        return normalize
+    return lambda x: x
+
+
+def _cell_order_fn(metric):
+    """Executor-safe per-row cell ranking (best first) under the
+    metric: dot ranks by MAX inner product (the faiss
+    METRIC_INNER_PRODUCT coarse rule), cosine/l2 by MIN L2 (cosine
+    vectors are already normalized)."""
+    import numpy as np
+
+    if metric == "dot":
+        return lambda x, cents: np.argsort(-(x @ cents.T), axis=1)
+
+    def order(x, cents):
+        d2 = (
+            (x * x).sum(1)[:, None]
+            - 2.0 * (x @ cents.T)
+            + (cents * cents).sum(1)[None, :]
+        )
+        return np.argsort(d2, axis=1)
+
+    return order
+
+
+def _score_parts(metric, qv, cv):
+    """(expr, out_col, descending) for ranking corpus vectors."""
+    if metric == "cosine":
+        return _dot(qv, cv) / (_norm(qv) * _norm(cv)), "cosine", True
+    if metric == "dot":
+        return _dot(qv, cv), "score", True
+    return _sqdist(qv, cv), "distance", False  # l2 (squared)
+
+
+class BruteForceANN:
+    """Exact top-k: queries × corpus (``metric``: cosine / dot /
+    l2 — the reference's vector distance family)."""
+
+    def __init__(
+        self,
+        id_column: str = "vec_id",
+        vector_column: str = "embedding",
+        metric: str = "cosine",
+    ):
         self.id_column = id_column
         self.vector_column = vector_column
+        self.metric = _check_metric(metric)
 
     def save(self, path: str) -> None:
         """Stateless index: the saved artifact is the params sidecar
@@ -88,6 +158,7 @@ class BruteForceANN:
             {
                 "id_column": self.id_column,
                 "vector_column": self.vector_column,
+                "metric": self.metric,
             },
         )
 
@@ -106,20 +177,18 @@ class BruteForceANN:
             F.col(self.id_column).alias("neighbor_id"),
             _as_double(F.col(self.vector_column)).alias("cv"),
         )
+        expr, out_col, desc = _score_parts(
+            self.metric, F.col("qv"), F.col("cv")
+        )
         scored = (
             F.broadcast(q)
             .crossJoin(c)
             .filter(F.col("neighbor_id") != F.col("query_id"))
-            .select(
-                "query_id",
-                "neighbor_id",
-                (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias(
-                    "cosine"
-                ),
-            )
+            .select("query_id", "neighbor_id", expr.alias(out_col))
         )
         w = Window.partitionBy("query_id").orderBy(
-            F.col("cosine").desc(), F.col("neighbor_id").asc()
+            F.col(out_col).desc() if desc else F.col(out_col).asc(),
+            F.col("neighbor_id").asc(),
         )
         return (
             scored.withColumn("rank", F.row_number().over(w))
@@ -138,6 +207,7 @@ class IVFANN:
         nprobe: int = 2,
         seed: Optional[int] = 42,
         max_iter: int = 10,
+        metric: str = "cosine",
     ):
         self.id_column = id_column
         self.vector_column = vector_column
@@ -145,11 +215,14 @@ class IVFANN:
         self.nprobe = nprobe
         self.seed = seed
         self.max_iter = max_iter
+        self.metric = _check_metric(metric)
         self.centroids = None  # list[list[float]]
         self._indexed: Optional[DataFrame] = None
         # frozen-centroid assignment rule, recorded at fit time so
         # append()/load() reproduce fit's partitioning exactly:
-        # "cosine" (fixed-centroid path) | "euclidean" (KMeans path)
+        # "cosine" / "dot" (fixed-centroid paths, matching the
+        # metric) | "euclidean" (KMeans path, and the fixed-centroid
+        # rule for metric='l2')
         self._assign: Optional[str] = None
 
     def _centroid_df(self, spark) -> DataFrame:
@@ -174,13 +247,24 @@ class IVFANN:
                 6,
             )
             order = [F.col("_score").desc(), F.col("cluster").asc()]
-        else:  # euclidean — KMeans' assignment rule
-            score = F.aggregate(
-                F.zip_with(
-                    "v", "centroid", lambda x, y: (x - y) * (x - y)
+        elif self._assign == "dot":
+            score = stable_round(
+                _dot(F.col("v"), F.col("centroid")), 6
+            )
+            order = [F.col("_score").desc(), F.col("cluster").asc()]
+        else:  # euclidean — KMeans' assignment rule (stable-rounded
+            # like the cosine branch so fixed-centroid L2 assignment
+            # is engine-reproducible; the q_ivf_ann_l2 gate replays
+            # exactly this ranking in SQL)
+            score = stable_round(
+                F.aggregate(
+                    F.zip_with(
+                        "v", "centroid", lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
                 ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+                6,
             )
             order = [F.col("_score").asc(), F.col("cluster").asc()]
         return (
@@ -206,10 +290,17 @@ class IVFANN:
         assigned to its max-cosine centroid (rounded to 6 dp, cluster
         index as tie-break) — a fully deterministic, SQL-reproducible
         quantizer used by the hash-gated contract query
-        (``q_ivf_ann_fixed``); production defaults to seeded KMeans."""
+        (``q_ivf_ann_fixed``); production defaults to seeded KMeans.
+        The fixed-centroid assignment rule follows the metric:
+        max-cosine / max-dot / min-L2 (each deterministic and
+        SQL-replayable — the L2 path is the ``q_ivf_ann_l2`` gate)."""
         if centroids is not None:
             self.centroids = [[float(x) for x in c] for c in centroids]
-            self._assign = "cosine"
+            self._assign = {
+                "cosine": "cosine",
+                "dot": "dot",
+                "l2": "euclidean",
+            }[self.metric]
             self._indexed = (
                 self._assigned(corpus).repartition("cluster").cache()
             )
@@ -304,6 +395,7 @@ class IVFANN:
                 "nprobe": self.nprobe,
                 "seed": self.seed,
                 "max_iter": self.max_iter,
+                "metric": self.metric,
                 "assign": self._assign,
             },
         )
@@ -347,50 +439,50 @@ class IVFANN:
             [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)],
             "cluster int, centroid array<double>",
         )
+        # probe selection uses the metric's own centroid affinity,
+        # rounded so it is reproducible across engines (the
+        # hash-gated fixed-centroid queries rank on exactly this
+        # value in SQL); stable_round guards the .xxx5
+        # decimal-boundary divergence (d25b766)
+        probe_expr, _, probe_desc = _score_parts(
+            self.metric, F.col("qv"), F.col("centroid")
+        )
         probed = (
             queries.select(
                 F.col(self.id_column).alias("query_id"),
                 _as_double(F.col(self.vector_column)).alias("qv"),
             )
             .crossJoin(F.broadcast(centroids))
-            .withColumn(
-                "_c_cos",
-                # rounded so probe selection is reproducible across
-                # engines (the hash-gated fixed-centroid query ranks
-                # on exactly this value in SQL); stable_round guards
-                # the .xxx5 decimal-boundary divergence (d25b766)
-                stable_round(
-                    _dot(F.col("qv"), F.col("centroid"))
-                    / (_norm(F.col("qv")) * _norm(F.col("centroid"))),
-                    6,
-                ),
-            )
+            .withColumn("_c_aff", stable_round(probe_expr, 6))
             .withColumn(
                 "_c_rank",
                 F.row_number().over(
                     Window.partitionBy("query_id").orderBy(
-                        F.col("_c_cos").desc(), F.col("cluster").asc()
+                        F.col("_c_aff").desc()
+                        if probe_desc
+                        else F.col("_c_aff").asc(),
+                        F.col("cluster").asc(),
                     )
                 ),
             )
             .filter(F.col("_c_rank") <= self.nprobe)
         )
         q = probed.select("query_id", "qv", "cluster")
+        expr, out_col, desc = _score_parts(
+            self.metric, F.col("qv"), F.col("cv")
+        )
         scored = (
             q.join(self._indexed, on="cluster")
             .filter(F.col("neighbor_id") != F.col("query_id"))
             .select(
                 "query_id",
                 "neighbor_id",
-                stable_round(
-                    _dot(F.col("qv"), F.col("cv"))
-                    / (_norm(F.col("qv")) * _norm(F.col("cv"))),
-                    6,
-                ).alias("cosine"),
+                stable_round(expr, 6).alias(out_col),
             )
         )
         w = Window.partitionBy("query_id").orderBy(
-            F.col("cosine").desc(), F.col("neighbor_id").asc()
+            F.col(out_col).desc() if desc else F.col(out_col).asc(),
+            F.col("neighbor_id").asc(),
         )
         return (
             scored.withColumn("rank", F.row_number().over(w))
@@ -578,6 +670,7 @@ class PQANN:
         seed: int = 42,
         id_column: str = "vec_id",
         vector_column: str = "embedding",
+        metric: str = "cosine",
     ):
         if dim % m != 0:
             raise ValueError(f"m={m} must divide dim={dim}")
@@ -592,6 +685,7 @@ class PQANN:
         self.seed = seed
         self.id_column = id_column
         self.vector_column = vector_column
+        self.metric = _check_metric(metric)
         self.codebooks = None  # (m, ksub, dsub) after fit
         self._codes: Optional[DataFrame] = None
         self._corpus: Optional[DataFrame] = None
@@ -603,6 +697,11 @@ class PQANN:
         n = np.linalg.norm(x, axis=1, keepdims=True)
         n[n == 0] = 1.0
         return x / n
+
+    def _prep(self, x):
+        """cosine works on L2-normalized vectors (so squared-L2 ADC
+        order == cosine order); dot / l2 quantize the RAW vectors."""
+        return _prep_fn(self.metric)(x)
 
     def fit(self, corpus: DataFrame, codebooks=None) -> "PQANN":
         """Train (seeded k-means on a bounded driver sample) or, with
@@ -632,7 +731,7 @@ class PQANN:
             .select(self.vector_column)
             .collect()
         )
-        x = self._normalize(
+        x = self._prep(
             np.array([r[0] for r in sample], dtype=np.float64)
         )
         rng = np.random.default_rng(self.seed)
@@ -654,11 +753,11 @@ class PQANN:
         books = self.codebooks
         m, dsub = self.m, self.dim // self.m
         idc, vc = self.id_column, self.vector_column
-        normalize = self._normalize
+        prep = _prep_fn(self.metric)
 
         def enc(batches):
             for pdf in batches:
-                x = normalize(
+                x = prep(
                     np.array(list(pdf[vc]), dtype=np.float64).reshape(
                         len(pdf), -1
                     )
@@ -725,6 +824,7 @@ class PQANN:
                 "seed": self.seed,
                 "id_column": self.id_column,
                 "vector_column": self.vector_column,
+                "metric": self.metric,
             },
         )
         spark = self._codes.sparkSession
@@ -776,7 +876,8 @@ class PQANN:
 
     def search(self, queries: DataFrame, k: int = 10) -> DataFrame:
         """Exactly the BruteForceANN output shape: (query_id,
-        neighbor_id, cosine, rank) — ADC shortlist, exact re-rank."""
+        neighbor_id, <score col>, rank) — ADC shortlist, exact
+        re-rank under the index metric (cosine / dot / l2)."""
         import numpy as np
         import pandas as pd
 
@@ -785,11 +886,12 @@ class PQANN:
         books = self.codebooks
         m, dsub = self.m, self.dim // self.m
         idc, vc = self.id_column, self.vector_column
-        normalize = self._normalize
+        prep = _prep_fn(self.metric)
+        is_dot = self.metric == "dot"
 
         def luts(batches):
             for pdf in batches:
-                x = normalize(
+                x = prep(
                     np.array(list(pdf[vc]), dtype=np.float64).reshape(
                         len(pdf), -1
                     )
@@ -799,12 +901,23 @@ class PQANN:
                     # LUT entries in exact micro-units (bigint): the
                     # ADC sum downstream is INTEGER addition — no
                     # float summation-order divergence anywhere in
-                    # the shortlist ranking, in any engine
+                    # the shortlist ranking, in any engine. cosine/l2
+                    # entries are per-subspace squared distances
+                    # (minimize); dot entries are per-subspace inner
+                    # products against the reconstruction (maximize —
+                    # the faiss METRIC_INNER_PRODUCT ADC).
                     lut = [
                         np.floor(
                             (
-                                ((books[j] - row[j * dsub : (j + 1) * dsub]) ** 2)
-                                .sum(1)
+                                (
+                                    books[j]
+                                    @ row[j * dsub : (j + 1) * dsub]
+                                    if is_dot
+                                    else (
+                                        (books[j] - row[j * dsub : (j + 1) * dsub])
+                                        ** 2
+                                    ).sum(1)
+                                )
                                 + 1e-9
                             )
                             * 1e6
@@ -839,7 +952,8 @@ class PQANN:
             )
         )
         w = Window.partitionBy("query_id").orderBy(
-            F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+            F.col("adc_dist").desc() if is_dot else F.col("adc_dist").asc(),
+            F.col("neighbor_id").asc(),
         )
         shortlist = (
             adc.withColumn("_r", F.row_number().over(w))
@@ -855,23 +969,23 @@ class PQANN:
             F.col(idc).alias("neighbor_id"),
             _as_double(F.col(vc)).alias("cv"),
         )
+        # rank on the stable-rounded exact score so the final cut is
+        # reproducible across engines
+        expr, out_col, desc = _score_parts(
+            self.metric, F.col("qv"), F.col("cv")
+        )
         rer = (
             shortlist.join(F.broadcast(qv), on="query_id")
             .join(cv, on="neighbor_id")
             .select(
                 "query_id",
                 "neighbor_id",
-                # rank on the stable-rounded cosine so the final cut
-                # is reproducible across engines
-                stable_round(
-                    _dot(F.col("qv"), F.col("cv"))
-                    / (_norm(F.col("qv")) * _norm(F.col("cv"))),
-                    6,
-                ).alias("cosine"),
+                stable_round(expr, 6).alias(out_col),
             )
         )
         w2 = Window.partitionBy("query_id").orderBy(
-            F.col("cosine").desc(), F.col("neighbor_id").asc()
+            F.col(out_col).desc() if desc else F.col(out_col).asc(),
+            F.col("neighbor_id").asc(),
         )
         return (
             rer.withColumn("rank", F.row_number().over(w2))
@@ -917,6 +1031,7 @@ class IVFPQANN:
         seed: int = 42,
         id_column: str = "vec_id",
         vector_column: str = "embedding",
+        metric: str = "cosine",
     ):
         if dim % m != 0:
             raise ValueError(f"m={m} must divide dim={dim}")
@@ -933,6 +1048,7 @@ class IVFPQANN:
         self.seed = seed
         self.id_column = id_column
         self.vector_column = vector_column
+        self.metric = _check_metric(metric)
         self.centroids = None  # (num_cells, dim)
         self.codebooks = None  # (m, ksub, dsub)
         self._codes: Optional[DataFrame] = None
@@ -942,6 +1058,15 @@ class IVFPQANN:
         k = min(k, len(x))
         cents = x[rng.choice(len(x), size=k, replace=False)].copy()
         return _lloyd_update(x, cents, self.iters)
+
+    def _prep(self, x):
+        return _prep_fn(self.metric)(x)
+
+    def _cell_order(self, x, cents):
+        """Per-row cell ranking under the index metric — see
+        ``_cell_order_fn``. Encode-assign and search-probe use the
+        SAME rule — a mismatch craters recall."""
+        return _cell_order_fn(self.metric)(x, cents)
 
     def fit(self, corpus: DataFrame) -> "IVFPQANN":
         import numpy as np
@@ -953,18 +1078,15 @@ class IVFPQANN:
             .select(self.vector_column)
             .collect()
         )
-        x = PQANN._normalize(np.array([r[0] for r in sample], dtype=np.float64))
+        x = self._prep(np.array([r[0] for r in sample], dtype=np.float64))
         rng = np.random.default_rng(self.seed)
         self.centroids = self._kmeans(x, self.num_cells, rng)
         # residual codebooks: train on sample residuals vs own cell
         # (matmul expansion — the broadcast form is an (n, cells, d)
-        # temporary, ~650 MB at the sf1 sample size)
-        d2 = (
-            (x * x).sum(1)[:, None]
-            - 2.0 * (x @ self.centroids.T)
-            + (self.centroids * self.centroids).sum(1)[None, :]
-        )
-        resid = x - self.centroids[d2.argmin(1)]
+        # temporary, ~650 MB at the sf1 sample size); cell assignment
+        # follows the index metric's rule
+        cell = self._cell_order(x, self.centroids)[:, 0]
+        resid = x - self.centroids[cell]
         dsub = self.dim // self.m
         self.codebooks = np.stack(
             [
@@ -983,16 +1105,17 @@ class IVFPQANN:
         cents, books = self.centroids, self.codebooks
         m, dsub = self.m, self.dim // self.m
         idc, vc = self.id_column, self.vector_column
+        prep = _prep_fn(self.metric)
+        cell_order = _cell_order_fn(self.metric)
 
         def enc(batches):
             for pdf in batches:
-                x = PQANN._normalize(
+                x = prep(
                     np.array(list(pdf[vc]), dtype=np.float64).reshape(
                         len(pdf), -1
                     )
                 )
-                d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
-                cell = d2.argmin(1)
+                cell = cell_order(x, cents)[:, 0]
                 resid = x - cents[cell]
                 codes = np.empty((len(pdf), m), dtype=np.int64)
                 for j in range(m):
@@ -1055,6 +1178,7 @@ class IVFPQANN:
                 "seed": self.seed,
                 "id_column": self.id_column,
                 "vector_column": self.vector_column,
+                "metric": self.metric,
             },
         )
         spark = self._codes.sparkSession
@@ -1133,42 +1257,78 @@ class IVFPQANN:
         cents, books = self.centroids, self.codebooks
         m, dsub, nprobe = self.m, self.dim // self.m, self.nprobe
         idc, vc = self.id_column, self.vector_column
+        prep = _prep_fn(self.metric)
+        cell_order = _cell_order_fn(self.metric)
+        is_dot = self.metric == "dot"
 
         def luts(batches):
             for pdf in batches:
-                x = PQANN._normalize(
+                x = prep(
                     np.array(list(pdf[vc]), dtype=np.float64).reshape(
                         len(pdf), -1
                     )
                 )
-                d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
-                probes = np.argsort(d2, axis=1)[:, :nprobe]
-                qids, cells, tables = [], [], []
+                probes = cell_order(x, cents)[:, :nprobe]
+                qids, cells, tables, biases = [], [], [], []
                 for qi, row in enumerate(x):
                     for cell in probes[qi]:
                         r = row - cents[cell]
-                        tables.append(
-                            [
-                                np.floor(
-                                    (
-                                        ((books[j] - r[j * dsub : (j + 1) * dsub]) ** 2)
-                                        .sum(1)
-                                        + 1e-9
+                        if is_dot:
+                            # ADC dot = q·c_cell (bias) + q·codeword
+                            # per subspace — additive like the L2 form
+                            tables.append(
+                                [
+                                    np.floor(
+                                        (
+                                            books[j]
+                                            @ row[j * dsub : (j + 1) * dsub]
+                                            + 1e-9
+                                        )
+                                        * 1e6
+                                        + 0.5
+                                    ).astype(np.int64).tolist()
+                                    for j in range(m)
+                                ]
+                            )
+                            biases.append(
+                                int(
+                                    np.floor(
+                                        (row @ cents[cell] + 1e-9) * 1e6
+                                        + 0.5
                                     )
-                                    * 1e6
-                                    + 0.5
-                                ).astype(np.int64).tolist()
-                                for j in range(m)
-                            ]
-                        )
+                                )
+                            )
+                        else:
+                            tables.append(
+                                [
+                                    np.floor(
+                                        (
+                                            ((books[j] - r[j * dsub : (j + 1) * dsub]) ** 2)
+                                            .sum(1)
+                                            + 1e-9
+                                        )
+                                        * 1e6
+                                        + 0.5
+                                    ).astype(np.int64).tolist()
+                                    for j in range(m)
+                                ]
+                            )
+                            biases.append(0)
                         qids.append(pdf[idc].values[qi])
                         cells.append(int(cell))
                 yield pd.DataFrame(
-                    {"query_id": qids, "cell": cells, "lut": tables}
+                    {
+                        "query_id": qids,
+                        "cell": cells,
+                        "lut": tables,
+                        "bias": biases,
+                    }
                 )
 
         q = queries.select(idc, vc).mapInPandas(
-            luts, schema="query_id long, cell int, lut array<array<bigint>>"
+            luts,
+            schema="query_id long, cell int, "
+            "lut array<array<bigint>>, bias long",
         )
         adc = (
             # keyed join on cell == the inverted-file pruning: only
@@ -1186,13 +1346,14 @@ class IVFPQANN:
                         "lut",
                         lambda c, row: F.element_at(row, (c + 1).cast("int")),
                     ),
-                    F.lit(0).cast("long"),
+                    F.col("bias"),
                     lambda acc, x: acc + x,
                 ).alias("adc_dist"),
             )
         )
         w = Window.partitionBy("query_id").orderBy(
-            F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+            F.col("adc_dist").desc() if is_dot else F.col("adc_dist").asc(),
+            F.col("neighbor_id").asc(),
         )
         shortlist = (
             adc.withColumn("_r", F.row_number().over(w))
@@ -1205,23 +1366,23 @@ class IVFPQANN:
         cv = self._corpus.select(
             F.col(idc).alias("neighbor_id"), _as_double(F.col(vc)).alias("cv")
         )
+        expr, out_col, desc = _score_parts(
+            self.metric, F.col("qv"), F.col("cv")
+        )
         rer = (
             shortlist.join(F.broadcast(qv), on="query_id")
             .join(cv, on="neighbor_id")
             .select(
                 "query_id",
                 "neighbor_id",
-                # rank on the stable-rounded cosine so the final cut
-                # is reproducible across engines
-                stable_round(
-                    _dot(F.col("qv"), F.col("cv"))
-                    / (_norm(F.col("qv")) * _norm(F.col("cv"))),
-                    6,
-                ).alias("cosine"),
+                # rank on the stable-rounded exact score so the
+                # final cut is reproducible across engines
+                stable_round(expr, 6).alias(out_col),
             )
         )
         w2 = Window.partitionBy("query_id").orderBy(
-            F.col("cosine").desc(), F.col("neighbor_id").asc()
+            F.col(out_col).desc() if desc else F.col(out_col).asc(),
+            F.col("neighbor_id").asc(),
         )
         return (
             rer.withColumn("rank", F.row_number().over(w2))
