@@ -6059,6 +6059,33 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dr.report(cur).withColumnRenamed("column", "col_name")
 
 
+def q_drift_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmented drift: bin edges stay GLOBAL (fitted on the whole
+    reference half, so segments compare on one scale) but the
+    BIGINT bin counts, the zero-filled full outer, and the PSI fold
+    key by (segment, column) — "which traffic slice drifted?" from
+    the same single-pass plan (analytics.py:DriftReport
+    segment_column). The in-gate assert proves the psi fold keys by
+    (segment, column) tuples. DuckDB replays the global edge ranks,
+    then the per-segment >=-edge bin arithmetic on both sides."""
+    from replay_spark.analytics import DriftReport
+
+    ev = rsd.read_table(spark, sf_dir, "events").withColumn(
+        "seg", (F.col("user_id") % 3).cast("string")
+    )
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    dr = DriftReport(
+        numeric_columns=["value"], n_bins=10, segment_column="seg"
+    ).fit(ref)
+    rep = dr.report(cur)
+    psi = DriftReport.psi(rep)
+    assert psi and all(
+        isinstance(k, tuple) and len(k) == 2 for k in psi
+    ), "segmented psi must key by (segment, column)"
+    return rep.withColumnRenamed("column", "col_name")
+
+
 def q_lake_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timestamp time travel (Delta TIMESTAMP AS OF): events land at
     v0, a delete commits at v1, and a wall-clock instant BETWEEN the
@@ -7025,6 +7052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_fingerprints": q_simhash_fingerprints,
         "q_lake_rename": q_lake_rename,
         "q_ivf_ann_l2": q_ivf_ann_l2,
+        "q_drift_segmented": q_drift_segmented,
     }
 
 
@@ -11345,6 +11373,47 @@ def oracle_sql() -> dict[str, str]:
             FROM ab
             LEFT JOIN br ON ab.col_name = br.col_name AND ab.bin = br.bin
             LEFT JOIN bc ON ab.col_name = bc.col_name AND ab.bin = bc.bin
+        """,
+        "q_drift_segmented": """
+            WITH ref AS (
+                SELECT CAST(user_id % 3 AS VARCHAR) AS seg,
+                       CAST(value AS DOUBLE) AS v
+                FROM events WHERE event_id % 2 = 0),
+            cur AS (
+                SELECT CAST(user_id % 3 AS VARCHAR) AS seg,
+                       CAST(value AS DOUBLE) AS v
+                FROM events WHERE event_id % 2 = 1),
+            rv AS (
+                SELECT v, row_number() OVER (ORDER BY v) AS rn
+                FROM ref WHERE v IS NOT NULL),
+            nn AS (SELECT count(*) AS c FROM rv),
+            edges AS (
+                SELECT j, (SELECT rv.v FROM rv, nn
+                           WHERE rv.rn = greatest(1, (nn.c * j + 9) // 10)) AS ev
+                FROM range(1, 10) t(j)),
+            nb_ref AS (
+                SELECT seg, CASE WHEN v IS NULL THEN -1
+                       ELSE (SELECT count(*) FROM edges e
+                             WHERE ref.v >= e.ev) END AS bin
+                FROM ref),
+            nb_cur AS (
+                SELECT seg, CASE WHEN v IS NULL THEN -1
+                       ELSE (SELECT count(*) FROM edges e
+                             WHERE cur.v >= e.ev) END AS bin
+                FROM cur),
+            br AS (SELECT seg, bin, count(*) AS n FROM nb_ref GROUP BY 1, 2),
+            bc AS (SELECT seg, bin, count(*) AS n FROM nb_cur GROUP BY 1, 2),
+            ab AS (
+                SELECT seg, bin FROM br
+                UNION
+                SELECT seg, bin FROM bc)
+            SELECT ab.seg AS segment, 'value' AS col_name,
+                   CAST(ab.bin AS INT) AS bin,
+                   CAST(coalesce(br.n, 0) AS BIGINT) AS n_ref,
+                   CAST(coalesce(bc.n, 0) AS BIGINT) AS n_cur
+            FROM ab
+            LEFT JOIN br ON ab.seg = br.seg AND ab.bin = br.bin
+            LEFT JOIN bc ON ab.seg = bc.seg AND ab.bin = bc.bin
         """,
         "q_lake_stats": """
             WITH nn AS (SELECT count(*) AS c FROM documents),

@@ -115,11 +115,23 @@ class Experiment:
         ground_truth: DataFrame,
         train: Optional[DataFrame] = None,
         base_recommendations: Optional[DataFrame] = None,
+        sampled_evaluator=None,
+        sampled_ks=(10,),
     ):
+        """``sampled_evaluator`` (a :class:`replay_spark.metrics.
+        SampledRankingEvaluator`) opts the experiment into the
+        sampled-ranking protocol: :meth:`add_sampled_result` then
+        lands ``SampledHitRate@k`` / ``SampledNDCG@k`` columns in the
+        SAME results row as the full-catalog metrics, so both
+        protocols report through one table (the reference keeps all
+        model comparison in Experiment — this keeps the sampled
+        protocol there too)."""
         self.metrics = metrics
         self.ground_truth = ground_truth
         self.train = train
         self.base_recommendations = base_recommendations
+        self.sampled_evaluator = sampled_evaluator
+        self.sampled_ks = tuple(sampled_ks)
         self.results = pd.DataFrame()
 
     def add_result(self, name: str, recommendations: DataFrame) -> None:
@@ -131,6 +143,28 @@ class Experiment:
         )
         for metric_name, value in values.items():
             self.results.loc[name, metric_name] = value
+
+    def add_sampled_result(
+        self, name: str, scored_candidates: DataFrame
+    ) -> None:
+        """Sampled-protocol twin of :meth:`add_result`:
+        ``scored_candidates`` is the evaluator's ``candidates`` frame
+        with the model's score in the evaluator's rating column
+        (typically ``model.predict_pairs`` over the candidate pairs,
+        joined back). Ranks fold once; one column pair per k."""
+        if self.sampled_evaluator is None:
+            raise ValueError(
+                "construct Experiment with sampled_evaluator= to add "
+                "sampled results"
+            )
+        ranks = self.sampled_evaluator.evaluate(scored_candidates).cache()
+        try:
+            for k in self.sampled_ks:
+                m = self.sampled_evaluator.metrics(ranks, k)
+                self.results.loc[name, f"SampledHitRate@{k}"] = m["hr"]
+                self.results.loc[name, f"SampledNDCG@{k}"] = m["ndcg"]
+        finally:
+            ranks.unpersist()
 
     def compare(self, baseline: str) -> pd.DataFrame:
         """Percent change of every row vs the named baseline row."""

@@ -239,3 +239,49 @@ def test_sampled_eval_threshold_prefilter_is_lossless(spark):
     b = {(r.query_id, r.item_id) for r in no_thr.candidates(test, items).collect()}
     assert a == b
     assert len(a) == 2 * 6  # 5 negatives + the positive per query
+
+
+def test_experiment_sampled_protocol_matches_full(spark):
+    """With n_negatives covering the WHOLE catalog the sampled
+    protocol degenerates to full-catalog ranking, so
+    SampledHitRate@k / SampledNDCG@k must EQUAL HitRate@k / NDCG@k
+    computed from the same scores — and both land in one Experiment
+    results row."""
+    from replay_spark.metrics import SampledRankingEvaluator
+
+    n_items = 10
+    users = [1, 2, 3]
+    gt_rows = [(1, 4), (2, 7), (3, 0)]  # one positive per user
+    items = spark.createDataFrame(
+        [(i,) for i in range(n_items)], "item_id long"
+    )
+
+    def score(u, i):
+        # unique within each user -> no tie-break ambiguity
+        return float((u * 31 + i * 17) % 101) + i * 1e-3
+
+    rec_rows = [
+        (u, i, score(u, i)) for u in users for i in range(n_items)
+    ]
+    recs = spark.createDataFrame(
+        rec_rows, "query_id long, item_id long, rating double"
+    )
+    gt = spark.createDataFrame(gt_rows, "query_id long, item_id long")
+    ev = SampledRankingEvaluator(n_negatives=n_items - 1, seed=3)
+    exp = Experiment(
+        [HitRate(3), NDCG(3)],
+        gt,
+        sampled_evaluator=ev,
+        sampled_ks=(3,),
+    )
+    exp.add_result("m", recs)
+    cand = ev.candidates(gt, items)
+    scored = cand.join(recs, on=["query_id", "item_id"], how="left")
+    exp.add_sampled_result("m", scored)
+    row = exp.results.loc["m"]
+    assert row["SampledHitRate@3"] == pytest.approx(row["HitRate@3"])
+    assert row["SampledNDCG@3"] == pytest.approx(row["NDCG@3"])
+    # guard: evaluator not configured -> clear error
+    exp2 = Experiment([HitRate(3)], gt)
+    with pytest.raises(ValueError, match="sampled_evaluator"):
+        exp2.add_sampled_result("m", scored)
