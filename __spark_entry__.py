@@ -6738,48 +6738,112 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Staleness ledger — machine-checked against CORRECTNESS_r*.json by
     tests/test_entry_contract.py::test_staleness_ledger_matches_files
     (numbers recomputed from the files, never hand-asserted): as of
-    r10 the oldest official hash-gate score is r5 (19 gates), and 10
+    r11 the oldest official hash-gate score is r6 (13 gates), and 3
     hash gates await a first official score. (The r10 docstring
     claimed no score predated r7; recomputation showed 67 gates at
     r4-r6 — that claim class is now computed, not asserted.)
 
-    Order for r11: (a) the 10 never-officially-scored hash gates —
-    the seven r11 debuts (q_lake_as_of: Delta TIMESTAMP AS OF
-    resolution; q_drift_report: snapshot drift monitoring,
-    exact-integer PSI/chi-square bins; q_streaming_drift: the same
-    report as a bounded-state streaming aggregation, batch-parity
-    gated; q_sampled_eval: SASRec-protocol sampled ranking
-    evaluation, md5-deterministic negatives; q_lake_vector_index:
-    CDF-refreshed vector index over a lake table, refresh == rebuild
-    under frozen centroids; q_ann_save_load: ANN index persistence,
-    save→load→search hash-matches the fresh-build oracle;
-    q_ann_incremental: append under frozen centroids == full
-    rebuild) and the three late-r10 debuts (q_markov_rec,
-    q_lake_stats, q_calibration); (a2) the 3 gates whose code paths
-    materially changed this round — the CDF earliest-start guard now
-    equals the vacuum horizon (q_lake_vacuum), bloom probes decode
-    the bitset once per sidecar + log telemetry records after the
-    bloom tier (q_bloom_skip), and the bloom-pruned incremental
-    store scan (q_incremental_dedup); (b) the 37 stalest official
-    scores, oldest first — the COMPLETE r5 cohort (19) and the 18
-    alphabetically-first of the 31 r6-scored hash gates. The
+    Order for r12: (a) the 3 never-officially-scored hash gates —
+    this round's debuts (q_lake_rename: Delta-style column mapping,
+    RENAME/DROP COLUMN without rewriting data files, per-era
+    physical-name resolution; q_ivf_ann_l2: the ANN metric= option's
+    L2 path under a deterministic quantizer; q_drift_segmented:
+    DriftReport(segment_column=...) — per-segment PSI on GLOBAL
+    reference edges, replayed in DuckDB); (a2) the 4 gates whose
+    code paths materially changed this round — DriftReport.fit now
+    null-filters the reference column before computing exact
+    quantile edges (q_drift_report, q_streaming_drift), the
+    sampled-eval hash-threshold prefilter now verifies each query
+    kept n_negatives survivors and falls back to the unfiltered path
+    (q_sampled_eval), and LakeTable.merge() size-gates the
+    touched-file key broadcast instead of hinting unconditionally
+    (q_merge_upsert); (b) the 43 stalest official scores, oldest
+    first — the COMPLETE r6 cohort (13) and the 30
+    alphabetically-first of the 35 r7-scored hash gates. The
     honestly non-SQL rows-only contracts (see
     test_entry_contract.py's allowlist) all sit in (c), officially
     green in prior rounds.
     (c) everything else — officially green in a prior round — still
-    run in tools/check_oracle at both scales and in bench; the 13
-    remaining r6-scored hash gates lead as r12 rotation candidates.
+    run in tools/check_oracle at both scales and in bench; the 5
+    remaining r7-scored hash gates lead as r13 rotation candidates.
     """
     return {
-        # -- (a) round-11 debuts + gates awaiting a FIRST
-        #        official score: ANN index persistence
-        #        (save->load->search == fresh build) and
-        #        incremental append (frozen centroids ==
-        #        full rebuild), then the three late-r10
-        #        debuts the r10 window closed before ------
+        # -- (a) round-12 debuts awaiting a FIRST official
+        #        score: Delta-style column mapping (rename/
+        #        drop without rewrite), the ANN L2 metric
+        #        path, and segmented drift -----------------
+        "q_lake_rename": q_lake_rename,
+        "q_ivf_ann_l2": q_ivf_ann_l2,
+        "q_drift_segmented": q_drift_segmented,
+        # -- (a2) gates whose code paths materially changed
+        #        this round: DriftReport.fit now null-filters
+        #        before exact edges (q_drift_report,
+        #        q_streaming_drift), the sampled-eval
+        #        prefilter verifies per-query fill and falls
+        #        back losslessly (q_sampled_eval), and merge's
+        #        touched-file key join is size-gated instead
+        #        of unconditionally broadcast (q_merge_upsert)
         "q_drift_report": q_drift_report,
-        "q_streaming_drift": q_streaming_drift,
         "q_sampled_eval": q_sampled_eval,
+        "q_streaming_drift": q_streaming_drift,
+        "q_merge_upsert": q_merge_upsert,
+        # -- (b) the 43 genuinely stalest official scores,
+        #        oldest first: the COMPLETE r6 cohort (13)
+        #        and the 30 alphabetically-first of the 35
+        #        r7-scored hash gates (the other 5 head
+        #        section (c) for the r13 rotation) ---------
+        "q_metric_coverage": q_metric_coverage,
+        "q_metric_mean_ci": q_metric_mean_ci,
+        "q_metric_unexpectedness": q_metric_unexpectedness,
+        "q_poprec_recs": q_poprec_recs,
+        "q_querypoprec_scores": q_querypoprec_scores,
+        "q_ratio_split_test": q_ratio_split_test,
+        "q_sequence_encode": q_sequence_encode,
+        "q_sequence_tokenizer": q_sequence_tokenizer,
+        "q_split_new_users_test": q_split_new_users_test,
+        "q_split_session_atomic": q_split_session_atomic,
+        "q_tensor_sequences": q_tensor_sequences,
+        "q_ucb_scores": q_ucb_scores,
+        "q_wilson_scores": q_wilson_scores,
+        "q_doc_fingerprints_md5": q_doc_fingerprints_md5,
+        "q_dsir_weights": q_dsir_weights,
+        "q_embedding_cosine_topk": q_embedding_cosine_topk,
+        "q_gif_decode": q_gif_decode,
+        "q_gif_frames": q_gif_frames,
+        "q_gopher_quality": q_gopher_quality,
+        "q_hll_distinct": q_hll_distinct,
+        "q_image_phash_dedup": q_image_phash_dedup,
+        "q_image_resize": q_image_resize,
+        "q_ivf_ann_fixed": q_ivf_ann_fixed,
+        "q_jpeg12_decode": q_jpeg12_decode,
+        "q_minhash_candidates_md5": q_minhash_candidates_md5,
+        "q_mp4_meta": q_mp4_meta,
+        "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "q_pq_ann_fixed": q_pq_ann_fixed,
+        "q_pricing_summary": q_pricing_summary,
+        "q_range_join": q_range_join,
+        "q_repetition_stats": q_repetition_stats,
+        "q_robots_filter": q_robots_filter,
+        "q_semantic_dedup": q_semantic_dedup,
+        "q_sentences": q_sentences,
+        "q_sequence_pack": q_sequence_pack,
+        "q_sessionize_composite": q_sessionize_composite,
+        "q_simhash_pairs_md5": q_simhash_pairs_md5,
+        "q_streaming_cms": q_streaming_cms,
+        "q_streaming_sessionize": q_streaming_sessionize,
+        "q_substring_dedup": q_substring_dedup,
+        "q_tfidf_keywords": q_tfidf_keywords,
+        "q_unigram_lm_scores": q_unigram_lm_scores,
+        "q_url_filter": q_url_filter,
+        # -- (c) officially green in a prior round — still
+        #        run in tools/check_oracle at both scales
+        #        and in bench; the 5 remaining r7-scored
+        #        hash gates lead as r13 rotation candidates
+        "q_user_stats": q_user_stats,
+        "q_video_frames": q_video_frames,
+        "q_vocab_top_tokens": q_vocab_top_tokens,
+        "q_warc_html_extract": q_warc_html_extract,
+        "q_webm_meta": q_webm_meta,
         "q_lake_as_of": q_lake_as_of,
         "q_lake_vector_index": q_lake_vector_index,
         "q_ann_save_load": q_ann_save_load,
@@ -6787,20 +6851,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_markov_rec": q_markov_rec,
         "q_lake_stats": q_lake_stats,
         "q_calibration": q_calibration,
-        # -- (a2) gates whose code paths materially changed
-        #        this round: the CDF/vacuum horizon guard
-        #        (q_lake_vacuum exercises changes() against
-        #        the horizon), bloom-sidecar probe caching +
-        #        post-bloom telemetry (q_bloom_skip), and the
-        #        bloom-pruned store scan (q_incremental_dedup)
         "q_lake_vacuum": q_lake_vacuum,
         "q_bloom_skip": q_bloom_skip,
         "q_incremental_dedup": q_incremental_dedup,
-        # -- (b) the 42 genuinely stalest official scores,
-        #        oldest first: the COMPLETE r5 cohort (19)
-        #        and the 23 alphabetically-first of the 31
-        #        r6-scored hash gates (the other 8 head
-        #        section (c) for the r12 rotation) ---------
         "q_abnormality": q_abnormality,
         "q_filter_consecutive_dups": q_filter_consecutive_dups,
         "q_filter_entity_days": q_filter_entity_days,
@@ -6838,23 +6891,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lin_ucb_recs": q_lin_ucb_recs,
         "q_log_stat_features": q_log_stat_features,
         "q_metric_cat_diversity": q_metric_cat_diversity,
-        # -- (c) officially green in a prior round — still
-        #        run in tools/check_oracle at both scales
-        #        and in bench; the 8 remaining r6-scored
-        #        hash gates lead as r12 rotation candidates
-        "q_metric_coverage": q_metric_coverage,
-        "q_metric_mean_ci": q_metric_mean_ci,
-        "q_metric_unexpectedness": q_metric_unexpectedness,
-        "q_poprec_recs": q_poprec_recs,
-        "q_querypoprec_scores": q_querypoprec_scores,
-        "q_ratio_split_test": q_ratio_split_test,
-        "q_sequence_encode": q_sequence_encode,
-        "q_sequence_tokenizer": q_sequence_tokenizer,
-        "q_split_new_users_test": q_split_new_users_test,
-        "q_split_session_atomic": q_split_session_atomic,
-        "q_tensor_sequences": q_tensor_sequences,
-        "q_ucb_scores": q_ucb_scores,
-        "q_wilson_scores": q_wilson_scores,
         "q_lake_clone": q_lake_clone,
         "q_streaming_feature_store": q_streaming_feature_store,
         "q_hdr_quantiles": q_hdr_quantiles,
@@ -6902,10 +6938,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ccnet_buckets": q_ccnet_buckets,
         "q_cms_counts": q_cms_counts,
         "q_contamination_report": q_contamination_report,
-        "q_dsir_weights": q_dsir_weights,
-        "q_embedding_cosine_topk": q_embedding_cosine_topk,
-        "q_gif_decode": q_gif_decode,
-        "q_doc_fingerprints_md5": q_doc_fingerprints_md5,
         "q_pca_cov": q_pca_cov,
         "q_dedup_clusters": q_dedup_clusters,
         "q_connected_components": q_connected_components,
@@ -6940,7 +6972,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wordpiece_tokens": q_wordpiece_tokens,
         "q_unigram_tokens": q_unigram_tokens,
         "q_lake_timetravel": q_lake_timetravel,
-        "q_merge_upsert": q_merge_upsert,
         "q_scd2": q_scd2,
         "q_bleu_counts": q_bleu_counts,
         "q_rouge_l": q_rouge_l,
@@ -6998,41 +7029,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_negative_sample": q_negative_sample,
         "q_rolling_features": q_rolling_features,
         "q_chat_template": q_chat_template,
-        "q_pq_ann_fixed": q_pq_ann_fixed,
-        "q_mp4_meta": q_mp4_meta,
-        "q_gif_frames": q_gif_frames,
-        "q_semantic_dedup": q_semantic_dedup,
-        "q_substring_dedup": q_substring_dedup,
         "q_hnsw_ann": q_hnsw_ann,
-        "q_webm_meta": q_webm_meta,
-        "q_jpeg12_decode": q_jpeg12_decode,
-        "q_warc_html_extract": q_warc_html_extract,
-        "q_url_filter": q_url_filter,
         "q_pq_ann": q_pq_ann,
         "q_ivfpq_ann": q_ivfpq_ann,
-        "q_image_phash_dedup": q_image_phash_dedup,
-        "q_ivf_ann_fixed": q_ivf_ann_fixed,
-        "q_repetition_stats": q_repetition_stats,
-        "q_unigram_lm_scores": q_unigram_lm_scores,
-        "q_tfidf_keywords": q_tfidf_keywords,
-        "q_user_stats": q_user_stats,
-        "q_pricing_summary": q_pricing_summary,
-        "q_sessionize_composite": q_sessionize_composite,
-        "q_sequence_pack": q_sequence_pack,
         "q_bpe_tokens": q_bpe_tokens,
-        "q_gopher_quality": q_gopher_quality,
-        "q_image_resize": q_image_resize,
-        "q_robots_filter": q_robots_filter,
-        "q_hll_distinct": q_hll_distinct,
-        "q_sentences": q_sentences,
-        "q_range_join": q_range_join,
-        "q_streaming_cms": q_streaming_cms,
-        "q_simhash_pairs_md5": q_simhash_pairs_md5,
-        "q_video_frames": q_video_frames,
-        "q_vocab_top_tokens": q_vocab_top_tokens,
-        "q_minhash_candidates_md5": q_minhash_candidates_md5,
-        "q_streaming_sessionize": q_streaming_sessionize,
-        "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "q_doc_fingerprints": q_doc_fingerprints,
         "q_cluster_rec": q_cluster_rec,
         "q_als_recs": q_als_recs,
@@ -7050,9 +7050,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_slim_similarity": q_slim_similarity,
         "q_minhash_candidates": q_minhash_candidates,
         "q_simhash_fingerprints": q_simhash_fingerprints,
-        "q_lake_rename": q_lake_rename,
-        "q_ivf_ann_l2": q_ivf_ann_l2,
-        "q_drift_segmented": q_drift_segmented,
     }
 
 
