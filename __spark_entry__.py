@@ -23,6 +23,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 import replay_spark.datasets as rsd
+from replay_spark.utils.spark_utils import (
+    ensure_min_parallelism as _par,
+)
 from replay_spark.data import (
     Dataset,
     FeatureHint,
@@ -1509,7 +1512,7 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         png_image_decoder,
     )
 
-    emb = rsd.read_table(spark, sf_dir, "embeddings")
+    emb = _par(rsd.read_table(spark, sf_dir, "embeddings"))
 
     def build(batches):
         for pdf in batches:
@@ -1570,7 +1573,7 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_ppm,
     )
 
-    emb = rsd.read_table(spark, sf_dir, "embeddings")
+    emb = _par(rsd.read_table(spark, sf_dir, "embeddings"))
 
     def build(batches):
         for pdf in batches:
@@ -1655,7 +1658,7 @@ def q_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from replay_spark.multimodal import build_mp4_container, mp4_metadata
 
-    emb = rsd.read_table(spark, sf_dir, "embeddings")
+    emb = _par(rsd.read_table(spark, sf_dir, "embeddings"))
     codecs = ["avc1", "hvc1", "mp4a"]
 
     def build(batches):
@@ -1698,7 +1701,7 @@ def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from replay_spark.multimodal import MediaProcessor, encode_gif
     from replay_spark.multimodal import gif_image_decoder
 
-    emb = rsd.read_table(spark, sf_dir, "embeddings")
+    emb = _par(rsd.read_table(spark, sf_dir, "embeddings"))
 
     def build(batches):
         for pdf in batches:
@@ -1748,7 +1751,7 @@ def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_gif_frames,
     )
 
-    emb = rsd.read_table(spark, sf_dir, "embeddings")
+    emb = _par(rsd.read_table(spark, sf_dir, "embeddings"))
 
     def build(batches):
         for pdf in batches:
@@ -2192,7 +2195,7 @@ def q_webm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from replay_spark.multimodal import build_webm_container, webm_metadata
 
-    emb = rsd.read_table(spark, sf_dir, "embeddings")
+    emb = _par(rsd.read_table(spark, sf_dir, "embeddings"))
     codecs = ["V_VP9", "V_AV1", "A_OPUS"]
 
     def build(batches):
@@ -2253,7 +2256,7 @@ def q_jpeg12_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from replay_spark.jpeg import decode_jpeg, encode_jpeg
 
-    emb = rsd.read_table(spark, sf_dir, "embeddings")
+    emb = _par(rsd.read_table(spark, sf_dir, "embeddings"))
 
     def roundtrip(batches):
         for pdf in batches:
@@ -2290,7 +2293,7 @@ def q_warc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from replay_spark.web import HtmlTextExtractor, build_warc, warc_records
 
-    docs = rsd.read_table(spark, sf_dir, "documents")
+    docs = _par(rsd.read_table(spark, sf_dir, "documents"))
 
     def wrap(batches):
         for pdf in batches:
@@ -2515,7 +2518,7 @@ def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from replay_spark.multimodal import AudioFrameFeaturizer, encode_wav
 
-    emb = rsd.read_table(spark, sf_dir, "embeddings")
+    emb = _par(rsd.read_table(spark, sf_dir, "embeddings"))
 
     def build(batches):
         for pdf in batches:
@@ -2559,7 +2562,7 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_ppm,
     )
 
-    emb = rsd.read_table(spark, sf_dir, "embeddings")
+    emb = _par(rsd.read_table(spark, sf_dir, "embeddings"))
 
     def build(batches):
         for pdf in batches:
@@ -2910,7 +2913,7 @@ def q_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from replay_spark.multimodal import SpectrogramFeaturizer, encode_wav
 
-    emb = rsd.read_table(spark, sf_dir, "embeddings")
+    emb = _par(rsd.read_table(spark, sf_dir, "embeddings"))
 
     def build(batches):
         for pdf in batches:
@@ -3010,7 +3013,7 @@ def q_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_ppm,
     )
 
-    emb = rsd.read_table(spark, sf_dir, "embeddings")
+    emb = _par(rsd.read_table(spark, sf_dir, "embeddings"))
 
     def build(batches):
         for pdf in batches:
@@ -3414,7 +3417,7 @@ def q_media_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         validate_media,
     )
 
-    emb = rsd.read_table(spark, sf_dir, "embeddings")
+    emb = _par(rsd.read_table(spark, sf_dir, "embeddings"))
 
     def build(batches):
         for pdf in batches:
@@ -3496,7 +3499,7 @@ def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by goldens."""
     from replay_spark.preprocessing.text import TextRankSummarizer
 
-    docs = rsd.read_table(spark, sf_dir, "documents").withColumn(
+    docs = _par(rsd.read_table(spark, sf_dir, "documents")).withColumn(
         "text", F.replace(F.col("text"), F.lit(" a "), F.lit(". "))
     )
     return TextRankSummarizer(num_sentences=2).transform(docs)
@@ -3520,7 +3523,7 @@ def q_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         warc_records,
     )
 
-    docs = rsd.read_table(spark, sf_dir, "documents")
+    docs = _par(rsd.read_table(spark, sf_dir, "documents"))
 
     def wrap(batches):
         for pdf in batches:
@@ -3746,7 +3749,7 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from replay_spark.jpeg import encode_jpeg, jpeg_image_decoder
     from replay_spark.multimodal import MediaProcessor
 
-    emb = rsd.read_table(spark, sf_dir, "embeddings")
+    emb = _par(rsd.read_table(spark, sf_dir, "embeddings"))
 
     def build(batches):
         for pdf in batches:
@@ -3822,7 +3825,7 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from replay_spark.multimodal import MediaProcessor, encode_ppm, ppm_image_decoder
 
-    emb = rsd.read_table(spark, sf_dir, "embeddings")
+    emb = _par(rsd.read_table(spark, sf_dir, "embeddings"))
 
     def build(batches):
         for pdf in batches:
@@ -3868,7 +3871,7 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         wav_audio_decoder,
     )
 
-    emb = rsd.read_table(spark, sf_dir, "embeddings")
+    emb = _par(rsd.read_table(spark, sf_dir, "embeddings"))
 
     def build(batches):
         for pdf in batches:
@@ -3918,7 +3921,7 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         ppm_image_decoder,
     )
 
-    emb = rsd.read_table(spark, sf_dir, "embeddings")
+    emb = _par(rsd.read_table(spark, sf_dir, "embeddings"))
 
     def build(batches):
         for pdf in batches:
@@ -4437,7 +4440,7 @@ def q_avi_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from replay_spark.multimodal import avi_metadata, build_avi_container
 
-    emb = rsd.read_table(spark, sf_dir, "embeddings")
+    emb = _par(rsd.read_table(spark, sf_dir, "embeddings"))
 
     def build(batches):
         for pdf in batches:
@@ -4496,7 +4499,7 @@ def q_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_avi_frames,
     )
 
-    emb = rsd.read_table(spark, sf_dir, "embeddings")
+    emb = _par(rsd.read_table(spark, sf_dir, "embeddings"))
 
     def build(batches):
         for pdf in batches:
@@ -4653,7 +4656,7 @@ def q_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_adpcm_wav,
     )
 
-    docs = rsd.read_table(spark, sf_dir, "documents")
+    docs = _par(rsd.read_table(spark, sf_dir, "documents"))
 
     def roundtrip(batches):
         for pdf in batches:
@@ -5230,7 +5233,7 @@ def q_mp4_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from replay_spark.multimodal import build_mp4_media, split_mp4_samples
 
-    docs = rsd.read_table(spark, sf_dir, "documents").select(
+    docs = _par(rsd.read_table(spark, sf_dir, "documents")).select(
         "doc_id", F.substring("text", 1, 80).alias("t")
     )
 
@@ -5657,7 +5660,7 @@ def q_webm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from replay_spark.multimodal import build_webm_media, split_webm_frames
 
-    docs = rsd.read_table(spark, sf_dir, "documents").select(
+    docs = _par(rsd.read_table(spark, sf_dir, "documents")).select(
         "doc_id", F.substring("text", 1, 60).alias("t")
     )
 
@@ -6655,7 +6658,7 @@ def q_arrow_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from replay_spark.data.arrow_ipc import read_arrow_ipc, write_arrow_ipc
 
-    docs = rsd.read_table(spark, sf_dir, "documents")
+    docs = _par(rsd.read_table(spark, sf_dir, "documents"))
     export = docs.select(
         "doc_id",
         "text",

@@ -394,3 +394,27 @@ def test_grouped_exact_quantiles(spark):
         grouped_exact_quantiles(df, "g", "v", [1.5])
     with pytest.raises(ValueError, match="at least one"):
         grouped_exact_quantiles(df, "g", "v", [])
+
+
+def test_ensure_min_parallelism(spark):
+    from replay_spark.utils.spark_utils import ensure_min_parallelism
+
+    cores = spark.sparkContext.defaultParallelism
+    # a 1-partition input with plenty of rows spreads to the cap
+    df = spark.range(0, 10_000, 1, 1)
+    out = ensure_min_parallelism(df, rows_per_task=256)
+    expected = min(cores, -(-10_000 // 256))
+    assert out.rdd.getNumPartitions() == expected
+    assert out.count() == 10_000
+    # tiny inputs stay meaty: 100 rows / 256-per-task = 1 partition,
+    # already satisfied -> unchanged plan (no shuffle added)
+    tiny = spark.range(0, 100, 1, 1)
+    assert ensure_min_parallelism(tiny, rows_per_task=256) is tiny
+    # already-parallel inputs short-circuit without counting
+    wide = spark.range(0, 100, 1, cores)
+    assert ensure_min_parallelism(wide) is wide
+    # explicit cap wins over defaultParallelism
+    out2 = ensure_min_parallelism(
+        spark.range(0, 10_000, 1, 1), min_partitions=2, rows_per_task=10
+    )
+    assert out2.rdd.getNumPartitions() == 2
