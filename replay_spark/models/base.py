@@ -635,25 +635,48 @@ class NonPersonalizedRecommender(BaseRecommender, ABC):
 
         import numpy as np
 
-        def sample_for_query(pdf: pd.DataFrame) -> pd.DataFrame:
-            query_id = pdf[query_col].iloc[0]
-            n = int(min(k_local + pdf["num_items"].iloc[0], len(item_ids)))
+        def sample_for_query(query_id, num_items) -> tuple:
+            n = int(min(k_local + num_items, len(item_ids)))
             local_rng = np.random.default_rng(
                 None if seed is None else seed + int(query_id)
             )
             chosen = local_rng.choice(len(item_ids), size=n, p=probs, replace=False)
+            return [query_id] * n, item_ids[chosen], ratings[chosen]
+
+        def sample_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            # one applyInPandas group per BUCKET of queries, not per
+            # query: the per-group pandas construction overhead
+            # (~1-2 ms) dominates at 10⁴+ queries. Per-query draws
+            # stay seeded by query id, so the output is identical to
+            # the per-query grouping.
+            qs, its, rs = [], [], []
+            for qid, ni in zip(pdf[query_col], pdf["num_items"]):
+                a, b, c = sample_for_query(qid, ni)
+                qs.extend(a)
+                its.append(b)
+                rs.append(c)
             return pd.DataFrame(
                 {
-                    query_col: [query_id] * n,
-                    item_col: item_ids[chosen],
-                    rating_col: ratings[chosen],
+                    query_col: qs,
+                    item_col: np.concatenate(its) if its else [],
+                    rating_col: np.concatenate(rs) if rs else [],
                 }
             )
 
         schema_item_type = dict(selected.dtypes)[item_col]
-        return queries.groupBy(query_col).applyInPandas(
-            sample_for_query,
-            schema=f"{query_col} long, {item_col} {schema_item_type}, {rating_col} double",
+        n_buckets = max(
+            2 * queries.sparkSession.sparkContext.defaultParallelism, 8
+        )
+        return (
+            queries.withColumn(
+                "_bucket", F.pmod(F.xxhash64(query_col), F.lit(n_buckets))
+            )
+            .groupBy("_bucket")
+            .applyInPandas(
+                sample_bucket,
+                schema=f"{query_col} long, {item_col} {schema_item_type}, "
+                f"{rating_col} double",
+            )
         )
 
     def _predict_pairs(

@@ -139,9 +139,8 @@ class SLIM(NeighbourRec):
         # workers can't import replay_spark from disk
         elastic_net_cd = _elastic_net_cd
 
-        def slim_column(group: pd.DataFrame) -> pd.DataFrame:
+        def slim_column(target_item) -> tuple:
             X_cols_b, sq_norms_b, items_b, n_users_b = bc.value
-            target_item = group["item_idx_one"].iloc[0]
             j = int(np.searchsorted(items_b, target_item))
             y = np.zeros(n_users_b)
             t_rows, t_vals = X_cols_b[j]
@@ -150,18 +149,43 @@ class SLIM(NeighbourRec):
                 X_cols_b, y, sq_norms_b, alpha, l1_ratio, skip_idx=j
             )
             good = np.argwhere(w > 0).reshape(-1)
+            return items_b[good], target_item, w[good]
+
+        def slim_bucket(group: pd.DataFrame) -> pd.DataFrame:
+            # several target items per applyInPandas group: amortizes
+            # the per-group pandas overhead; each column's coordinate
+            # descent is unchanged, so weights are identical
+            ones, twos, sims = [], [], []
+            for target_item in group["item_idx_one"]:
+                a, t, c = slim_column(target_item)
+                ones.append(a)
+                twos.extend([t] * len(a))
+                sims.append(c)
             return pd.DataFrame(
                 {
-                    "item_idx_one": items_b[good],
-                    "item_idx_two": target_item,
-                    "similarity": w[good],
+                    "item_idx_one": (
+                        np.concatenate(ones) if ones else []
+                    ),
+                    "item_idx_two": twos,
+                    "similarity": (
+                        np.concatenate(sims) if sims else []
+                    ),
                 }
             )
 
         item_df = spark.createDataFrame(
             [(int(i),) for i in items], st.StructType([st.StructField("item_idx_one", st.LongType())])
         )
-        self.similarity = item_df.groupBy("item_idx_one").applyInPandas(
-            slim_column, "item_idx_one long, item_idx_two long, similarity double"
+        n_buckets = max(2 * sc.defaultParallelism, 8)
+        self.similarity = (
+            item_df.withColumn(
+                "_bucket",
+                F.pmod(F.xxhash64("item_idx_one"), F.lit(n_buckets)),
+            )
+            .groupBy("_bucket")
+            .applyInPandas(
+                slim_bucket,
+                "item_idx_one long, item_idx_two long, similarity double",
+            )
         )
         self.similarity.cache().count()

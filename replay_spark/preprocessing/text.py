@@ -1447,26 +1447,35 @@ class TextRankSummarizer:
             text_column=self.text_column, id_column=idc
         ).transform(df)
 
-        def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values("sentence_index")
+        def summarize_doc(doc_id, pdf: pd.DataFrame) -> tuple:
             sents = list(pdf["sentence"])
             n = len(sents)
-            doc_id = pdf[idc].iloc[0]
             if n <= k:
                 keep = list(range(n))
             else:
                 token_sets = [
                     set(s.lower().split()) for s in sents
                 ]
-                W = np.zeros((n, n))
-                for i in range(n):
-                    for j in range(i + 1, n):
-                        inter = len(token_sets[i] & token_sets[j])
-                        if inter:
-                            denom = np.log(len(token_sets[i]) + 1) + np.log(
-                                len(token_sets[j]) + 1
-                            )
-                            W[i, j] = W[j, i] = inter / denom
+                # pairwise overlap counts as ONE binary-incidence
+                # matmul instead of n²/2 Python set intersections —
+                # the counts are exact small integers either way, so
+                # W is bit-identical to the loop form while long
+                # documents (hundreds of sentences) drop from
+                # seconds to milliseconds
+                vocab: dict = {}
+                for ts in token_sets:
+                    for t in ts:
+                        if t not in vocab:
+                            vocab[t] = len(vocab)
+                M = np.zeros((n, max(1, len(vocab))))
+                for i, ts in enumerate(token_sets):
+                    for t in ts:
+                        M[i, vocab[t]] = 1.0
+                inter = M @ M.T
+                lens = np.log(M.sum(axis=1) + 1)
+                denom = lens[:, None] + lens[None, :]
+                W = np.where(inter > 0, inter / np.maximum(denom, 1e-300), 0.0)
+                np.fill_diagonal(W, 0.0)
                 row_sums = W.sum(axis=1)
                 r = np.full(n, 1.0 / n)
                 for _ in range(iters):
@@ -1481,21 +1490,40 @@ class TextRankSummarizer:
                 )[:k]
                 keep = sorted(order)
             summary = " ".join(sents[i] for i in keep)
+            return (doc_id, summary, n, len(keep))
+
+        def summarize_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            # one pandas groupby per BUCKET of complete documents:
+            # applyInPandas pays ~1-2 ms of DataFrame construction
+            # per group, so one group per document is 10 s of pure
+            # overhead at 5 000 docs — bucketing by hash(id) keeps
+            # each document intact while amortizing that cost over
+            # hundreds of docs per group
+            pdf = pdf.sort_values([idc, "sentence_index"])
+            rows = [
+                summarize_doc(doc_id, g)
+                for doc_id, g in pdf.groupby(idc, sort=False)
+            ]
             return pd.DataFrame(
-                {
-                    idc: [doc_id],
-                    "summary": [summary],
-                    "n_sentences_in": [n],
-                    "n_sentences_out": [len(keep)],
-                }
+                rows,
+                columns=[idc, "summary", "n_sentences_in", "n_sentences_out"],
             )
 
         import pandas as pd  # noqa: F811
 
-        return sentences.groupBy(idc).applyInPandas(
-            summarize,
-            schema=f"{idc} long, summary string, "
-            "n_sentences_in long, n_sentences_out long",
+        n_buckets = max(
+            2 * df.sparkSession.sparkContext.defaultParallelism, 8
+        )
+        return (
+            sentences.withColumn(
+                "_bucket", F.pmod(F.xxhash64(idc), F.lit(n_buckets))
+            )
+            .groupBy("_bucket")
+            .applyInPandas(
+                summarize_bucket,
+                schema=f"{idc} long, summary string, "
+                "n_sentences_in long, n_sentences_out long",
+            )
         )
 
 

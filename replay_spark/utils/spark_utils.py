@@ -435,13 +435,33 @@ def sample_top_k_recs(
         probs = pdf["_prob"].to_numpy()
         probs = probs / probs.sum()
         chosen = local_rng.choice(len(pdf), size=n, p=probs, replace=False)
-        return pdf.iloc[chosen].drop(columns=["_prob"])
+        return pdf.iloc[chosen]
+
+    def sample_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        # bucket of complete query groups per applyInPandas call —
+        # per-query grouping pays ~1-2 ms of pandas construction per
+        # group, which dominates at 10⁴+ queries; draws stay seeded
+        # per query id so the output rows are identical
+        out = [
+            sample_group(g)
+            for _, g in pdf.groupby(query_column, sort=False)
+        ]
+        return pd.concat(out).drop(columns=["_bucket", "_prob"])
 
     schema_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in pairs.drop("_prob").schema.fields
     )
-    return pairs.groupBy(query_column).applyInPandas(sample_group, schema_fields)
+    n_buckets = max(
+        2 * pairs.sparkSession.sparkContext.defaultParallelism, 8
+    )
+    return (
+        pairs.withColumn(
+            "_bucket", F.pmod(F.xxhash64(query_column), F.lit(n_buckets))
+        )
+        .groupBy("_bucket")
+        .applyInPandas(sample_bucket, schema_fields)
+    )
 
 
 def horizontal_explode(
