@@ -744,3 +744,142 @@ def test_streaming_drift_monitor_guard():
 
     with _p.raises(ValueError, match="fit the DriftReport"):
         StreamingDriftMonitor(DriftReport(numeric_columns=["x"]))
+
+
+def test_grid_sampler_exhaustive_and_resume(tmp_path):
+    from replay_spark.models.optimization import (
+        GridSampler,
+        Study,
+        optimize_objective,
+    )
+
+    seen = []
+
+    def obj(params, _trial):
+        seen.append((params["x"], params["cat"]))
+        return -((params["x"] - 3) ** 2)
+
+    grid = GridSampler({"x": [1, 2, 3, 4], "cat": ["a", "b"]})
+    study = optimize_objective(
+        obj, {"x": [0, 10], "cat": ["a", "b", "c"]},
+        budget=100, sampler=grid,
+    )
+    # exhausts exactly the 8 grid points, best at x=3
+    assert len(study.trials) == 8
+    assert sorted(set(seen)) == sorted(
+        (x, c) for x in (1, 2, 3, 4) for c in ("a", "b")
+    )
+    assert study.best_params["x"] == 3
+    # resume skips already-tried points
+    path = str(tmp_path / "study.json")
+    study.save(path)
+    resumed = Study.load(path)
+    seen.clear()
+    study2 = optimize_objective(
+        obj, {"x": [0, 10], "cat": ["a", "b", "c"]},
+        budget=100, sampler=GridSampler({"x": [1, 2, 3, 4, 5], "cat": ["a", "b"]}),
+        study=resumed,
+    )
+    assert sorted(seen) == [(5, "a"), (5, "b")]
+    assert len(study2.trials) == 10
+
+
+def test_random_sampler_seeded():
+    from replay_spark.models.optimization import (
+        RandomSampler,
+        optimize_objective,
+    )
+
+    def obj(params, _t):
+        return params["x"]
+
+    a = optimize_objective(
+        obj, {"x": [0.0, 1.0]}, budget=6, seed=7,
+        sampler=RandomSampler(),
+    )
+    b = optimize_objective(
+        obj, {"x": [0.0, 1.0]}, budget=6, seed=7,
+        sampler=RandomSampler(),
+    )
+    assert [t["value"] for t in a.trials] == [t["value"] for t in b.trials]
+
+
+def test_cmaes_converges_on_sphere():
+    from replay_spark.models.optimization import (
+        CmaEsSampler,
+        optimize_objective,
+    )
+
+    def obj(params, _t):
+        return (params["x"] - 0.7) ** 2 + (params["y"] + 0.3) ** 2
+
+    study = optimize_objective(
+        obj,
+        {"x": [-2.0, 2.0], "y": [-2.0, 2.0]},
+        budget=120,
+        higher_is_better=False,
+        seed=3,
+        sampler=CmaEsSampler(seed=3),
+    )
+    assert study.best_value < 0.01
+    assert abs(study.best_params["x"] - 0.7) < 0.15
+    assert abs(study.best_params["y"] + 0.3) < 0.15
+
+
+def test_cmaes_rejects_categorical():
+    import pytest
+
+    from replay_spark.models.optimization import (
+        CmaEsSampler,
+        optimize_objective,
+    )
+
+    with pytest.raises(ValueError, match="categorical"):
+        optimize_objective(
+            lambda p, t: 0.0,
+            {"x": [0.0, 1.0], "mode": ["a", "b", "c"]},
+            budget=2,
+            sampler=CmaEsSampler(),
+        )
+
+
+def test_multi_objective_pareto_front(tmp_path):
+    from replay_spark.models.optimization import (
+        MOStudy,
+        optimize_objective_multi,
+    )
+
+    # classic Schaffer N.1: minimize (x^2, (x-2)^2); the Pareto set
+    # is x in [0, 2]
+    def obj(params):
+        x = params["x"]
+        return x * x, (x - 2) ** 2
+
+    study = optimize_objective_multi(
+        obj, {"x": [-5.0, 5.0]}, directions=("min", "min"),
+        budget=60, seed=11,
+    )
+    front = study.best_trials
+    assert front
+    for t in front:
+        assert -0.5 <= t["params"]["x"] <= 2.5
+    # the front is mutually nondominated
+    from replay_spark.models.optimization import _dominates
+
+    signs = [-1, -1]
+    for a in front:
+        for b in front:
+            assert not _dominates(a["values"], b["values"], signs)
+    # at least one point near each end of the true front
+    xs = sorted(t["params"]["x"] for t in front)
+    assert xs[0] < 1.0 and xs[-1] > 1.0
+    # save / resume round trip
+    path = str(tmp_path / "mo.json")
+    study.save(path)
+    loaded = MOStudy.load(path)
+    assert loaded.directions == ("min", "min")
+    more = optimize_objective_multi(
+        obj, {"x": [-5.0, 5.0]}, directions=("min", "min"),
+        budget=5, seed=11, study=loaded,
+    )
+    assert len(more.trials) == 65
