@@ -6207,6 +6207,64 @@ def q_lake_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     return era0.unionByName(final)
 
 
+def q_lake_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion vectors (merge-on-read row-level deletes): two
+    successive ``delete(..., mode="dv")`` commits record doomed rows
+    as (file, row_index) sidecar pairs and rewrite NOTHING (asserted
+    in-gate: both commits add AND remove zero data files) — at
+    100 TB a sub-percent delete costs kilobytes, not a terabyte
+    rewrite. The output unions three views DuckDB replays from the
+    raw documents: the post-first-delete snapshot (time travel
+    through a vector), the final snapshot (two vectors, overlapping
+    files, pointer-replacement semantics), and the change feed's
+    delete rows for the SECOND commit (already-deleted rows must not
+    re-report). The reference has no table format (no counterpart
+    file); this follows the public Delta Lake deletion-vector
+    protocol shape re-expressed for this log
+    (replay_spark/lake.py:delete, mode="dv")."""
+    import os
+    import shutil
+    import tempfile
+
+    from replay_spark.lake import LakeTable
+
+    docs = rsd.read_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"rs_lakedv_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = LakeTable(spark, path)
+    t.append(docs.repartition(4))
+    v1 = t.delete("doc_id % 7 = 3", mode="dv")
+    v2 = t.delete("n_chars < 500", mode="dv")
+    for c in t._commits():
+        if c["version"] in (v1, v2):
+            assert c["add"] == [] and c["remove"] == [], (
+                "dv delete rewrote data files"
+            )
+            assert c.get("dv"), "dv delete recorded no vectors"
+
+    def agg(df, snap):
+        return df.groupBy(
+            (F.col("doc_id") % 10).cast("bigint").alias("bucket")
+        ).agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        ).select(F.lit(snap).alias("snap"), "*")
+
+    mid = agg(t.read(version=v1), "v1")
+    fin = agg(t.read(version=v2), "v2")
+    cdf = agg(
+        t.changes(v1, v2)
+        .filter(F.col("_change_type") == "delete")
+        .select("doc_id", "n_chars"),
+        "cdf_del",
+    )
+    return mid.unionByName(fin).unionByName(cdf)
+
+
 def q_sampled_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled ranking evaluation (the SASRec/NCF '99 negatives'
     protocol, 20 here): each user's LAST interaction is the test
@@ -6741,18 +6799,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Staleness ledger — machine-checked against CORRECTNESS_r*.json by
     tests/test_entry_contract.py::test_staleness_ledger_matches_files
     (numbers recomputed from the files, never hand-asserted): as of
-    r11 the oldest official hash-gate score is r6 (13 gates), and 3
+    r11 the oldest official hash-gate score is r6 (13 gates), and 4
     hash gates await a first official score. (The r10 docstring
     claimed no score predated r7; recomputation showed 67 gates at
     r4-r6 — that claim class is now computed, not asserted.)
 
-    Order for r12: (a) the 3 never-officially-scored hash gates —
+    Order for r12: (a) the 4 never-officially-scored hash gates —
     this round's debuts (q_lake_rename: Delta-style column mapping,
     RENAME/DROP COLUMN without rewriting data files, per-era
-    physical-name resolution; q_ivf_ann_l2: the ANN metric= option's
-    L2 path under a deterministic quantizer; q_drift_segmented:
-    DriftReport(segment_column=...) — per-segment PSI on GLOBAL
-    reference edges, replayed in DuckDB); (a2) the 4 gates whose
+    physical-name resolution; q_lake_dv: deletion vectors —
+    merge-on-read row-level deletes, zero data files rewritten,
+    time travel + CDF through the vectors; q_ivf_ann_l2: the ANN
+    metric= option's L2 path under a deterministic quantizer;
+    q_drift_segmented: DriftReport(segment_column=...) — per-segment
+    PSI on GLOBAL reference edges, replayed in DuckDB); (a2) the 4
+    gates whose
     code paths materially changed this round — DriftReport.fit now
     null-filters the reference column before computing exact
     quantile edges (q_drift_report, q_streaming_drift), the
@@ -6760,22 +6821,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     kept n_negatives survivors and falls back to the unfiltered path
     (q_sampled_eval), and LakeTable.merge() size-gates the
     touched-file key broadcast instead of hinting unconditionally
-    (q_merge_upsert); (b) the 43 stalest official scores, oldest
-    first — the COMPLETE r6 cohort (13) and the 30
+    (q_merge_upsert); (b) the 42 stalest official scores, oldest
+    first — the COMPLETE r6 cohort (13) and the 29
     alphabetically-first of the 35 r7-scored hash gates. The
     honestly non-SQL rows-only contracts (see
     test_entry_contract.py's allowlist) all sit in (c), officially
     green in prior rounds.
     (c) everything else — officially green in a prior round — still
-    run in tools/check_oracle at both scales and in bench; the 5
+    run in tools/check_oracle at both scales and in bench; the 6
     remaining r7-scored hash gates lead as r13 rotation candidates.
     """
     return {
         # -- (a) round-12 debuts awaiting a FIRST official
         #        score: Delta-style column mapping (rename/
-        #        drop without rewrite), the ANN L2 metric
+        #        drop without rewrite), deletion vectors
+        #        (merge-on-read deletes), the ANN L2 metric
         #        path, and segmented drift -----------------
         "q_lake_rename": q_lake_rename,
+        "q_lake_dv": q_lake_dv,
         "q_ivf_ann_l2": q_ivf_ann_l2,
         "q_drift_segmented": q_drift_segmented,
         # -- (a2) gates whose code paths materially changed
@@ -6790,10 +6853,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sampled_eval": q_sampled_eval,
         "q_streaming_drift": q_streaming_drift,
         "q_merge_upsert": q_merge_upsert,
-        # -- (b) the 43 genuinely stalest official scores,
+        # -- (b) the 42 genuinely stalest official scores,
         #        oldest first: the COMPLETE r6 cohort (13)
-        #        and the 30 alphabetically-first of the 35
-        #        r7-scored hash gates (the other 5 head
+        #        and the 29 alphabetically-first of the 35
+        #        r7-scored hash gates (the other 6 head
         #        section (c) for the r13 rotation) ---------
         "q_metric_coverage": q_metric_coverage,
         "q_metric_mean_ci": q_metric_mean_ci,
@@ -6837,11 +6900,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_substring_dedup": q_substring_dedup,
         "q_tfidf_keywords": q_tfidf_keywords,
         "q_unigram_lm_scores": q_unigram_lm_scores,
-        "q_url_filter": q_url_filter,
         # -- (c) officially green in a prior round — still
         #        run in tools/check_oracle at both scales
-        #        and in bench; the 5 remaining r7-scored
+        #        and in bench; the 6 remaining r7-scored
         #        hash gates lead as r13 rotation candidates
+        "q_url_filter": q_url_filter,
         "q_user_stats": q_user_stats,
         "q_video_frames": q_video_frames,
         "q_vocab_top_tokens": q_vocab_top_tokens,
@@ -11232,6 +11295,30 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_id % 10 <= 5
             GROUP BY 1
+        """,
+        "q_lake_dv": """
+            WITH v1 AS (
+                SELECT doc_id, n_chars FROM documents
+                WHERE NOT (doc_id % 7 = 3)
+            ),
+            v2 AS (
+                SELECT doc_id, n_chars FROM v1
+                WHERE NOT (n_chars < 500)
+            ),
+            cdf_del AS (
+                SELECT doc_id, n_chars FROM v1
+                WHERE n_chars < 500
+            ),
+            u AS (
+                SELECT 'v1' AS snap, * FROM v1
+                UNION ALL SELECT 'v2', * FROM v2
+                UNION ALL SELECT 'cdf_del', * FROM cdf_del
+            )
+            SELECT snap, doc_id % 10 AS bucket,
+                   COUNT(*) AS n_rows,
+                   SUM(doc_id) AS sum_doc_id,
+                   SUM(n_chars) AS sum_chars
+            FROM u GROUP BY snap, bucket
         """,
         "q_lake_rename": """
             SELECT 'v0' AS era, lang,

@@ -198,7 +198,7 @@ class LakeTable:
         version = self.latest_version()
         if version < 0:
             raise FileNotFoundError(f"no commits at {self.path}")
-        live, schema_json, schemas, txns, parts, stats, mapping = self._fold_state(version)
+        live, schema_json, schemas, txns, parts, stats, mapping, dvs = self._fold_state(version)
         payload = json.dumps(
             {
                 "version": version,
@@ -209,6 +209,7 @@ class LakeTable:
                 "parts": parts,
                 "stats": stats,
                 "mapping": mapping,
+                "dvs": dvs,
             }
         )
         name = os.path.join(
@@ -238,6 +239,7 @@ class LakeTable:
         parts: dict = {}
         stats: dict = {}
         mapping = None
+        dvs: dict = {}
         start = -1
         ckpt = self._latest_checkpoint(version)
         if ckpt is not None:
@@ -248,6 +250,7 @@ class LakeTable:
             parts = dict(ckpt.get("parts") or {})
             stats = dict(ckpt.get("stats") or {})
             mapping = ckpt.get("mapping")
+            dvs = dict(ckpt.get("dvs") or {})
             start = ckpt["version"]
         for c in self._commits(after=start):
             if version is not None and c["version"] > version:
@@ -256,9 +259,16 @@ class LakeTable:
                 live.remove(r)
                 parts.pop(r, None)
                 stats.pop(r, None)
+                dvs.pop(r, None)
             live.extend(c.get("add", []))
             parts.update(c.get("parts") or {})
             stats.update(c.get("stats") or {})
+            for f, dv in (c.get("dv") or {}).items():
+                # explicit None clears (restore to a pre-delete era)
+                if dv is None:
+                    dvs.pop(f, None)
+                else:
+                    dvs[f] = dv
             schema_json = c.get("schema", schema_json)
             if c.get("schema"):
                 schemas.add(c["schema"])
@@ -274,7 +284,7 @@ class LakeTable:
         live_set = set(live)
         parts = {k: v for k, v in parts.items() if k in live_set}
         stats = {k: v for k, v in stats.items() if k in live_set}
-        return live, schema_json, schemas, txns, parts, stats, mapping
+        return live, schema_json, schemas, txns, parts, stats, mapping, dvs
 
     def history(self) -> DataFrame:
         """One row per commit: version, operation, files
@@ -354,7 +364,7 @@ class LakeTable:
         """Live data files (absolute paths) as of ``version`` —
         checkpoint + log-tail fold."""
         self._check_time_travel(version)
-        live, schema_json, _, _, _, _, _ = self._fold_state(version)
+        live, schema_json, _, _, _, _, _, _ = self._fold_state(version)
         self._last_schema_json = schema_json
         return [os.path.join(self.path, p) for p in live]
 
@@ -372,20 +382,17 @@ class LakeTable:
                 raise ValueError("give version OR as_of, not both")
             version = self.version_as_of(as_of)
         self._check_time_travel(version)
-        live, schema_json, distinct_schemas, _, _, _, mapping = self._fold_state(version)
+        live, schema_json, distinct_schemas, _, _, _, mapping, dvs = self._fold_state(version)
         self._last_schema_json = schema_json
-        files = [os.path.join(self.path, p) for p in live]
-        if not files:
+        if not live:
             if schema_json:
                 schema = StructType.fromJson(json.loads(schema_json))
                 return self.spark.createDataFrame([], schema)
             raise FileNotFoundError(f"no snapshot at {self.path}@{version}")
-        reader = self.spark.read
-        if len(distinct_schemas) > 1:
-            reader = reader.option("mergeSchema", "true")
-        return self._apply_mapping(
-            reader.parquet(*files), mapping, schema_json
+        scan = self._scan_with_dv(
+            live, dvs, merge_schema=len(distinct_schemas) > 1
         )
+        return self._apply_mapping(scan, mapping, schema_json)
 
     # -- column mapping (rename/drop WITHOUT rewrite) ------------------------
     #
@@ -402,10 +409,11 @@ class LakeTable:
     def _mapping(self, version: Optional[int] = None):
         return self._fold_state(version)[6]
 
-    def _apply_mapping(self, df, mapping, schema_json):
+    def _apply_mapping(self, df, mapping, schema_json, keep=()):
         """Physical scan -> logical frame: alias mapped columns,
         fill physical columns missing from every live file (possible
-        after restore across eras) with typed nulls."""
+        after restore across eras) with typed nulls. ``keep`` passes
+        helper columns (materialized DV meta) through untouched."""
         if mapping is None:
             return df
         types = {}
@@ -420,6 +428,7 @@ class LakeTable:
                 t = types.get(logical)
                 lit = F.lit(None).cast(t) if t is not None else F.lit(None)
                 cols.append(lit.alias(logical))
+        cols += [F.col(c) for c in keep if c in df.columns]
         return df.select(*cols)
 
     @staticmethod
@@ -436,6 +445,151 @@ class LakeTable:
         ]
         cols += [F.col(c) for c in keep if c in df.columns]
         return df.select(*cols)
+
+    # -- deletion vectors (merge-on-read row-level deletes) ------------------
+    #
+    # Delta-style DVs re-expressed for this log: ``delete(cond,
+    # mode="dv")`` records the doomed rows' (file, row_index) pairs in
+    # a parquet sidecar under ``_dv/`` instead of rewriting data files
+    # — a 0.1% delete on a 100 TB table writes kilobytes, not
+    # terabytes. Reads anti-join the scan against the pairs on
+    # (parquet ``_metadata.file_path``, ``_metadata.row_index``);
+    # rewriting operations (compact/optimize/merge/delete-rewrite)
+    # materialize survivors and the commit's ``remove`` pops the
+    # pointers. The join key is the path suffix after the LAST
+    # ``/data/`` segment (data-file dirs are uuid4, globally unique),
+    # so shallow clones — whose commit keys are ``../src/data/...`` —
+    # resolve the same sidecar rows without knowing the source root.
+    # Cites reference behavior gap: the reference has no table format;
+    # this follows the public Delta Lake deletion-vector protocol
+    # shape (merge-on-read, vector-per-file, replaced-on-update).
+
+    _DV_BROADCAST_LIMIT = 1_000_000
+
+    @staticmethod
+    def _dv_scan_key():
+        """Join key for the SCAN side: file-path suffix after the
+        last '/data/'."""
+        return F.substring_index(
+            F.col("_metadata.file_path"), "/data/", -1
+        )
+
+    @staticmethod
+    def _dv_file_key(col):
+        """Join key for a stored table-relative path (possibly
+        ``../src/data/...`` on a clone)."""
+        return F.substring_index(
+            F.concat(F.lit("/"), col.cast("string")), "/data/", -1
+        )
+
+    @staticmethod
+    def _dv_suffix(rel: str) -> str:
+        """Driver-side twin of :meth:`_dv_file_key`."""
+        return ("/" + rel.replace(os.sep, "/")).rsplit("/data/", 1)[-1]
+
+    def _dv_rows(
+        self, dvs: dict, files_rel: Optional[List[str]] = None
+    ) -> Optional[DataFrame]:
+        """(file, row_index) pairs deleted from ``files_rel``
+        (default all dv'd files) — one filtered read per distinct
+        sidecar, restricted BY SUFFIX KEY to the files whose CURRENT
+        pointer is that sidecar (a replaced sidecar may hold stale
+        rows for repointed files; a clone's pointer keys differ from
+        the sidecar's stored strings, the suffix key matches both)."""
+        wanted = dvs if files_rel is None else {
+            f: dv for f, dv in dvs.items() if f in set(files_rel)
+        }
+        if not wanted:
+            return None
+        by_sidecar: dict = {}
+        for f, dv in wanted.items():
+            by_sidecar.setdefault(dv, []).append(self._dv_suffix(f))
+        out = None
+        for dv, keys in sorted(by_sidecar.items()):
+            part = self.spark.read.parquet(
+                os.path.join(self.path, dv)
+            ).filter(self._dv_file_key(F.col("file")).isin(keys))
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    def _apply_dv(self, scan: DataFrame, dv_rows: DataFrame) -> DataFrame:
+        """Anti-join a frame carrying materialized ``_fp``/``_ri``
+        meta columns against deleted (file, row_index) pairs. The
+        pair relation is broadcast while provably small (same
+        limit-probe device as merge)."""
+        pairs = dv_rows.select(
+            self._dv_file_key(F.col("file")).alias("_dv_key"),
+            F.col("row_index").cast("long").alias("_dv_ri"),
+        )
+        small = (
+            pairs.limit(self._DV_BROADCAST_LIMIT + 1).count()
+            <= self._DV_BROADCAST_LIMIT
+        )
+        right = F.broadcast(pairs) if small else pairs
+        cond = (
+            F.substring_index(F.col("_fp"), "/data/", -1)
+            == F.col("_dv_key")
+        ) & (F.col("_ri") == F.col("_dv_ri"))
+        return scan.join(right, cond, "left_anti")
+
+    @staticmethod
+    def _with_meta(scan: DataFrame) -> DataFrame:
+        """Materialize the parquet metadata columns the DV machinery
+        joins on — hidden ``_metadata`` refs do not survive joins, so
+        they become ordinary columns up front."""
+        return scan.select(
+            "*",
+            F.col("_metadata.file_path").alias("_fp"),
+            F.col("_metadata.row_index").cast("long").alias("_ri"),
+        )
+
+    def _scan_with_dv(
+        self,
+        files_rel: List[str],
+        dvs: dict,
+        merge_schema: bool = False,
+        keep_meta: bool = False,
+    ) -> DataFrame:
+        """Physical-schema scan of ``files_rel`` with deletion
+        vectors applied — the shared reader under read()/rewrites.
+        Clean files take the plain zero-overhead path; only dv'd
+        files pay the anti-join. ``keep_meta`` carries ``_fp``/
+        ``_ri`` (file path, row index) into the result."""
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        dvd = [f for f in files_rel if f in dvs]
+        clean = [f for f in files_rel if f not in dvs]
+        parts = []
+        if clean:
+            scan = reader.parquet(
+                *[os.path.join(self.path, p) for p in clean]
+            )
+            parts.append(self._with_meta(scan) if keep_meta else scan)
+        if dvd:
+            scan = self._with_meta(
+                reader.parquet(
+                    *[os.path.join(self.path, p) for p in dvd]
+                )
+            )
+            kept = self._apply_dv(scan, self._dv_rows(dvs, dvd))
+            parts.append(kept if keep_meta else kept.drop("_fp", "_ri"))
+        if not parts:
+            raise FileNotFoundError(f"no files to scan at {self.path}")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
+    def _write_dv_sidecar(self, pairs: DataFrame) -> str:
+        """Write (file, row_index) pairs as a new sidecar; returns
+        its table-relative path."""
+        rel = os.path.join("_dv", uuid.uuid4().hex)
+        pairs.select(
+            F.col("file").cast("string"),
+            F.col("row_index").cast("long"),
+        ).coalesce(1).write.parquet(os.path.join(self.path, rel))
+        return rel
 
     def _identity_mapping(self, schema_json: str) -> dict:
         return {
@@ -470,7 +624,7 @@ class LakeTable:
         base = self.latest_version()
         if base < 0:
             raise FileNotFoundError(f"no commits at {self.path}")
-        _, schema_json, _, _, _, _, mapping = self._fold_state(base)
+        _, schema_json, _, _, _, _, mapping, _ = self._fold_state(base)
         if not schema_json:
             raise ValueError("table has no recorded schema")
         if mapping is None:
@@ -504,7 +658,7 @@ class LakeTable:
         base = self.latest_version()
         if base < 0:
             raise FileNotFoundError(f"no commits at {self.path}")
-        _, schema_json, _, _, _, _, mapping = self._fold_state(base)
+        _, schema_json, _, _, _, _, mapping, _ = self._fold_state(base)
         if not schema_json:
             raise ValueError("table has no recorded schema")
         if mapping is None:
@@ -586,7 +740,7 @@ class LakeTable:
         # every era; present the whole feed under the END version's
         # logical names (a column renamed mid-feed appears under its
         # new name throughout — physical identity is stable)
-        _, end_schema_json, _, _, _, _, end_mapping = self._fold_state(
+        _, end_schema_json, _, _, _, _, end_mapping, _ = self._fold_state(
             end_version
         )
         parts: List[DataFrame] = []
@@ -598,12 +752,75 @@ class LakeTable:
                 *[os.path.join(self.path, p) for p in rel]
             )
 
+        # running DV state from the feed start: a commit's "dv" key
+        # repoints files without touching add/remove, so its row
+        # delta is (pairs_after \ pairs_before) deletes plus
+        # (pairs_before \ pairs_after) inserts (restore un-deletes)
+        dv_state = dict(self._fold_state(start_version)[7]) if (
+            start_version >= 0
+        ) else {}
+
+        def _dv_pairs(f: str, dv: Optional[str]) -> Optional[DataFrame]:
+            if dv is None:
+                return None
+            return self._dv_rows({f: dv}, [f])
+
         for c in commits:
             op = c["operation"]
+            dv_updates = c.get("dv") or {}
+            for f, new_dv in dv_updates.items():
+                if f in c.get("remove", []) or f in c.get("add", []):
+                    continue  # rewritten files diff through add/remove
+                before = _dv_pairs(f, dv_state.get(f))
+                after = _dv_pairs(f, new_dv)
+                file_scan = self._with_meta(
+                    self.spark.read.parquet(os.path.join(self.path, f))
+                )
+
+                def _rows_at(pairs):
+                    kept = self._apply_dv(file_scan, pairs) if (
+                        pairs is not None
+                    ) else file_scan
+                    return kept.drop("_fp", "_ri")
+
+                visible_before = _rows_at(before)
+                visible_after = _rows_at(after)
+                for df, kind in (
+                    (visible_before.exceptAll(visible_after), "delete"),
+                    (visible_after.exceptAll(visible_before), "insert"),
+                ):
+                    df = self._apply_mapping(
+                        df, end_mapping, end_schema_json
+                    )
+                    parts.append(
+                        df.withColumn(
+                            "_change_type", F.lit(kind)
+                        ).withColumn(
+                            "_commit_version",
+                            F.lit(c["version"]).cast("int"),
+                        )
+                    )
+            for f, new_dv in dv_updates.items():
+                if new_dv is None:
+                    dv_state.pop(f, None)
+                else:
+                    dv_state[f] = new_dv
             if op == "compact":
+                for f in c.get("remove", []):
+                    dv_state.pop(f, None)
                 continue
             added = _read_files(c.get("add", []))
-            removed = _read_files(c.get("remove", []))
+            # pre-image files read through their PRE-commit deletion
+            # vectors — otherwise a rewrite touching a dv'd file
+            # re-reports its already-deleted rows as deletes
+            removed_rel = c.get("remove", [])
+            removed_dvs = {
+                f: dv_state[f] for f in removed_rel if f in dv_state
+            }
+            if removed_rel and removed_dvs:
+                removed = self._scan_with_dv(removed_rel, dv_state)
+            else:
+                removed = _read_files(removed_rel)
             if op == "append":
                 ins, dels = added, None
             else:  # delete / overwrite / merge: diff rewritten files
@@ -626,6 +843,8 @@ class LakeTable:
                         "_commit_version", F.lit(c["version"]).cast("int")
                     )
                 )
+            for f in c.get("remove", []):
+                dv_state.pop(f, None)
         if not parts:
             all_commits = commits or self._commits()
             if not all_commits:
@@ -950,6 +1169,7 @@ class LakeTable:
         txn: Optional[dict] = None,
         parts: Optional[dict] = None,
         mapping: object = _MAPPING_UNSET,
+        dv: Optional[dict] = None,
     ) -> int:
         cfg = self._bloom_config()
         if cfg and add:
@@ -987,6 +1207,10 @@ class LakeTable:
             # explicit None is meaningful (restore to an unmapped
             # era); ABSENCE of the key means "mapping unchanged"
             payload["column_mapping"] = mapping
+        if dv is not None:
+            # deletion-vector pointer updates: {file: sidecar_rel}
+            # re-points, {file: None} clears (restore)
+            payload["dv"] = dv
         record = json.dumps(payload)
         name = os.path.join(self._log_dir, f"{version:010d}.json")
         if not _fs_write_exclusive(name, record):
@@ -1096,7 +1320,7 @@ class LakeTable:
         files' partition values are re-recorded in the restore
         commit, so log-level pruning survives the rollback."""
         self._check_time_travel(version)
-        tgt_live, target_schema, _, _, tgt_parts, _, tgt_mapping = self._fold_state(
+        tgt_live, target_schema, _, _, tgt_parts, _, tgt_mapping, tgt_dvs = self._fold_state(
             version
         )
         target = set(tgt_live)
@@ -1120,6 +1344,18 @@ class LakeTable:
         # restore the target era's column mapping too (explicit None
         # resets a mapped table back to its unmapped era)
         cur_mapping = self._mapping(current_version)
+        # deletion vectors restore with the era: re-point every
+        # target-live file whose effective post-restore pointer
+        # (popped if re-added, else the current one) differs from the
+        # target's — None entries CLEAR (un-delete; the change feed
+        # reports the reappearing rows as inserts)
+        cur_dvs = self._fold_state(current_version)[7]
+        dv_diff = {}
+        for f in target:
+            want = tgt_dvs.get(f)
+            have = None if f in add_set else cur_dvs.get(f)
+            if want != have:
+                dv_diff[f] = want
         return self._commit(
             "restore",
             add,
@@ -1132,6 +1368,7 @@ class LakeTable:
                 if tgt_mapping != cur_mapping
                 else _MAPPING_UNSET
             ),
+            dv=dv_diff or None,
         )
 
     def clone(
@@ -1165,7 +1402,7 @@ class LakeTable:
             self.latest_version() if version is None else version
         )
         self._check_time_travel(src_version)
-        live, schema_json, schemas, _txns, parts, _stats, mapping = self._fold_state(
+        live, schema_json, schemas, _txns, parts, _stats, mapping, src_dvs = self._fold_state(
             src_version
         )
         if not live:
@@ -1210,6 +1447,13 @@ class LakeTable:
             raise ValueError(f"clone target {dest_path!r} exists")
         schema = StructType.fromJson(json.loads(schema_json))
         if deep:
+            if src_dvs:
+                # deep clone flattens file layout, which breaks the
+                # /data/-suffix DV join key — materialize first
+                raise ValueError(
+                    "cannot deep-clone a table with deletion "
+                    "vectors; compact() the source first"
+                )
             add, cparts = [], {}
             for rel in live:
                 src = os.path.join(self.path, rel)
@@ -1235,9 +1479,24 @@ class LakeTable:
                 ): v
                 for k, v in parts.items()
             }
+        cdvs = None
+        if src_dvs and not deep:
+            # shallow clone: re-key both pointer and sidecar paths
+            # into the clone's frame of reference; the /data/-suffix
+            # join key keeps the sidecar rows resolvable
+            cdvs = {
+                os.path.relpath(
+                    os.path.join(self.path, f), dest_path
+                ): os.path.relpath(
+                    os.path.join(self.path, dv), dest_path
+                )
+                for f, dv in src_dvs.items()
+                if f in set(live)
+            }
         out._commit(
             "clone", sorted(add), [], schema, 0, parts=cparts or None,
             mapping=(mapping if mapping is not None else _MAPPING_UNSET),
+            dv=cdvs,
         )
         return out
 
@@ -1369,6 +1628,18 @@ class LakeTable:
                 continue
             record = _fs_read(os.path.join(self._log_dir, name))
             payload = json.loads(record)
+            for dv in set(
+                v for v in (payload.get("dv") or {}).values() if v
+            ):
+                src_dv = os.path.join(self.path, dv)
+                dst_dv = os.path.join(dest_path, dv)
+                if not os.path.exists(src_dv):
+                    raise FileNotFoundError(
+                        f"cannot replicate commit {version}: DV "
+                        f"sidecar {dv!r} is gone (vacuumed?)"
+                    )
+                if not os.path.exists(dst_dv):
+                    shutil.copytree(src_dv, dst_dv)
             for rel in payload.get("add", []):
                 src_file = os.path.join(self.path, rel)
                 dst_file = os.path.join(dest_path, rel)
@@ -1465,6 +1736,11 @@ class LakeTable:
                             os.path.join(dirpath, n), self.path
                         )
                     )
+        dv_root = os.path.join(self.path, "_dv")
+        dv_on_disk = sorted(
+            os.path.join("_dv", n)
+            for n in (_fs_list(dv_root) if os.path.isdir(dv_root) else [])
+        )
         if horizon_version is None:
             referenced = set()
             ckpt = self._latest_checkpoint()
@@ -1476,6 +1752,16 @@ class LakeTable:
             for c in self._commits():
                 referenced.update(c.get("add", []))
             doomed = sorted(f for f in on_disk if f not in referenced)
+            # conservative: a sidecar survives while ANY commit
+            # points at it (commits are never deleted)
+            dv_referenced = set()
+            for c in self._commits():
+                dv_referenced.update(
+                    v for v in (c.get("dv") or {}).values() if v
+                )
+            doomed_dvs = [
+                d for d in dv_on_disk if d not in dv_referenced
+            ]
             new_horizon = None
         else:
             h = max(0, min(int(horizon_version), latest))
@@ -1495,13 +1781,22 @@ class LakeTable:
                     f"{pinned}; untag() them first or lower the "
                     "horizon"
                 )
-            reachable, *_ = self._fold_state(h)
-            reachable = set(reachable)
+            fold_h = self._fold_state(h)
+            reachable = set(fold_h[0])
+            dv_referenced = set(fold_h[7].values())
             for c in self._commits(after=h):
                 reachable.update(c.get("add", []))
+                dv_referenced.update(
+                    v for v in (c.get("dv") or {}).values() if v
+                )
             doomed = sorted(f for f in on_disk if f not in reachable)
+            doomed_dvs = [
+                d for d in dv_on_disk if d not in dv_referenced
+            ]
             new_horizon = h
         if not dry_run:
+            for d in doomed_dvs:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
             cfg = self._bloom_config()
             for f in doomed:
                 try:
@@ -1519,14 +1814,14 @@ class LakeTable:
                     os.path.join(self._log_dir, "_vacuum.json"), "w"
                 ) as fh:
                     fh.write(json.dumps({"horizon": new_horizon}))
-        return doomed
+        return doomed + doomed_dvs
 
     def last_committed_batch(self, app_id: str) -> Optional[int]:
         """Highest streaming batch id committed under ``app_id``
         (the Delta txn-action idempotence device), or None.
         Checkpoint-accelerated: folds the newest checkpoint's txn
         high-water marks plus only the log tail."""
-        _, _, _, txns, _, _, _ = self._fold_state(None)
+        _, _, _, txns, _, _, _, _ = self._fold_state(None)
         return txns.get(app_id)
 
     def append_batch(
@@ -1594,51 +1889,139 @@ class LakeTable:
             base_version + 1, txn=txn, mapping=new_mapping,
         )
 
-    def delete(self, condition) -> int:
+    def delete(self, condition, mode: str = "rewrite") -> int:
         """Remove rows matching ``condition`` (a Column or SQL
-        string) by rewriting ONLY the files that contain matches —
-        one ``input_file_name()`` scan finds them; every other live
-        file carries over by reference."""
+        string).
+
+        ``mode="rewrite"`` (default): rewrite ONLY the files that
+        contain matches; every other live file carries over by
+        reference. ``mode="dv"``: merge-on-read DELETION VECTORS —
+        record the doomed rows' (file, row_index) pairs in a
+        ``_dv/`` sidecar and rewrite NOTHING; reads anti-join the
+        pairs out. At 100 TB a sub-percent delete costs kilobytes of
+        sidecar instead of terabytes of rewrite; compact()/
+        optimize() later materialize survivors and drop the vectors.
+        Either way, rows where the condition is NULL survive, and
+        rows already dv-deleted are never double-counted (the
+        matching scan is DV-aware)."""
+        if mode not in ("rewrite", "dv"):
+            raise ValueError(
+                f"mode must be 'rewrite' or 'dv', got {mode!r}"
+            )
         cond = F.expr(condition) if isinstance(condition, str) else condition
         base_version = self.latest_version()
-        current = self.read(version=base_version)
+        (
+            live, schema_json, distinct_schemas,
+            _, _, _, mapping, dvs,
+        ) = self._fold_state(base_version)
+        self._last_schema_json = schema_json
+        if not live:
+            return base_version
+        # ONE scan finds matching rows' files (and, for dv mode,
+        # their row indexes); on a mapped table the condition runs
+        # over logical aliases with the meta columns carried through
+        scan = self._scan_with_dv(
+            live, dvs,
+            merge_schema=len(distinct_schemas) > 1,
+            keep_meta=True,
+        )
+        logical = self._apply_mapping(
+            scan, mapping, schema_json, keep=("_fp", "_ri")
+        )
+        pairs = logical.filter(F.coalesce(cond, F.lit(False))).select(
+            "_fp", "_ri"
+        )
+        schema = StructType.fromJson(json.loads(schema_json))
+        if mode == "dv":
+            return self._delete_dv(
+                pairs, live, dvs, schema, base_version
+            )
         affected = {
-            os.path.normpath(_local_path(r["f"]))
-            for r in current.filter(cond)
-            .select(F.input_file_name().alias("f"))
-            .distinct()
-            .collect()
+            os.path.normpath(_local_path(r["_fp"]))
+            for r in pairs.select("_fp").distinct().collect()
         }
         if not affected:
             return base_version
-        live = self.snapshot_files(version=base_version)
+        live_abs = self.snapshot_files(version=base_version)
         # normalize: shallow-clone entries join to un-normalized
         # ``clone/../source/data/...`` paths
         touched = [
             p
-            for p in live
+            for p in live_abs
             if os.path.normpath(os.path.abspath(p)) in affected
         ]
+        touched_rel = [os.path.relpath(p, self.path) for p in touched]
         # delete rows where cond is TRUE; NULL-cond rows survive.
         # On a mapped table the touched files carry PHYSICAL names:
         # alias to logical for the condition, back to physical for
         # the rewrite (which also sheds logically-dropped columns).
-        mapping = self._mapping(base_version)
-        raw = self.spark.read.parquet(*touched)
+        # The DV-aware scan keeps previously-dv-deleted rows out of
+        # the survivor set; the remove pops their pointers.
+        raw = self._scan_with_dv(touched_rel, dvs)
         survivors = self._apply_mapping(
-            raw, mapping, getattr(self, "_last_schema_json", None)
+            raw, mapping, schema_json
         ).filter(~F.coalesce(cond, F.lit(False)))
         files = self._write_data(self._to_physical(survivors, mapping))
-        remove = [os.path.relpath(p, self.path) for p in touched]
         return self._commit(
-            "delete", files, remove, current.schema, base_version + 1
+            "delete", files, touched_rel, schema, base_version + 1
+        )
+
+    def _delete_dv(
+        self,
+        pairs: DataFrame,
+        live: List[str],
+        dvs: dict,
+        schema: StructType,
+        base_version: int,
+    ) -> int:
+        """Commit a deletion-vector update from matched (_fp, _ri)
+        pairs: resolve file paths to live relpaths via a broadcast
+        O(files) lookup, merge with the touched files' EXISTING
+        vectors (pointer-replacement semantics: one sidecar holds a
+        file's complete vector), write one new sidecar, commit the
+        repoints. The pair relation itself never touches the driver
+        — only the distinct touched-file list does."""
+        lookup = self.spark.createDataFrame(
+            [(self._dv_suffix(rel), rel) for rel in live],
+            "suffix string, file string",
+        )
+        new_pairs = (
+            pairs.withColumn(
+                "suffix", F.substring_index(F.col("_fp"), "/data/", -1)
+            )
+            .join(F.broadcast(lookup), "suffix")
+            .select(
+                F.col("file"),
+                F.col("_ri").cast("long").alias("row_index"),
+            )
+        )
+        touched = sorted(
+            r["file"]
+            for r in new_pairs.select("file").distinct().collect()
+        )
+        if not touched:
+            return base_version
+        merged = new_pairs
+        existing = self._dv_rows(dvs, touched)
+        if existing is not None:
+            merged = merged.unionByName(
+                existing.select("file", "row_index")
+            )
+        sidecar = self._write_dv_sidecar(merged.distinct())
+        return self._commit(
+            "delete",
+            [],
+            [],
+            schema,
+            base_version + 1,
+            dv={f: sidecar for f in touched},
         )
 
     def _partition_columns(self, version: Optional[int] = None):
         """The table's partition columns when EVERY live file carries
         the same recorded partition-key set, else None — the guard
         that lets compaction stay partition-preserving."""
-        live, _, _, _, parts, _, _ = self._fold_state(version)
+        live, _, _, _, parts, _, _, _ = self._fold_state(version)
         if not live:
             return None
         keysets = set()
@@ -1666,7 +2049,7 @@ class LakeTable:
         ``ceil(bytes / target)`` salt buckets sized from the live
         files' recorded partition values (driver-side metadata only,
         no data I/O)."""
-        live, _, _, _, parts, _, _ = self._fold_state(base_version)
+        live, _, _, _, parts, _, _, _ = self._fold_state(base_version)
         sizes: dict = {}
         for rel in live:
             key = tuple(sorted((parts.get(rel) or {}).items()))
@@ -1835,7 +2218,7 @@ class LakeTable:
         from replay_spark.utils.layout import read_pruned
 
         self._check_time_travel(version)
-        live, schema_json, distinct_schemas, _, parts, stats, mapping = self._fold_state(
+        live, schema_json, distinct_schemas, _, parts, stats, mapping, dvs = self._fold_state(
             version
         )
         self._last_schema_json = schema_json
@@ -1915,12 +2298,26 @@ class LakeTable:
             empty = self.spark.createDataFrame([], expected)
             return empty, 0, total
         files = [os.path.join(self.path, p) for p in kept_rel]
+        # deletion vectors: kept dv'd files anti-join their pairs on
+        # the RAW scan (before schema alignment / residual filter) —
+        # conservative pruning composes, vectors only remove rows
+        dv_hook = None
+        kept_dvs = {f: dv for f, dv in dvs.items() if f in set(kept_rel)}
+        if kept_dvs:
+            dv_pairs = self._dv_rows(dvs, list(kept_dvs))
+
+            def dv_hook(scan):  # noqa: F811
+                return self._apply_dv(
+                    self._with_meta(scan), dv_pairs
+                ).drop("_fp", "_ri")
+
         df, n_kept, _ = read_pruned(
             self.spark,
             files,
             phys_bounds,
             merge_schema=len(distinct_schemas) > 1,
             expected_schema=phys_expected,
+            raw_transform=dv_hook,
         )
         return self._apply_mapping(df, mapping, schema_json), n_kept, total
 
@@ -1993,6 +2390,11 @@ class LakeTable:
         source); a large backfill source falls back to a shuffled
         semi-join instead of OOMing executors on the broadcast."""
         base_version = self.latest_version()
+        (
+            live_rel, schema_json, distinct_schemas,
+            _, _, _, mapping, dvs,
+        ) = self._fold_state(base_version)
+        self._last_schema_json = schema_json
         current = self.read(version=base_version)
         keys = source.select(*on).distinct()
         # Cheap exact gate: LIMIT n+1 + count touches at most
@@ -2003,10 +2405,22 @@ class LakeTable:
             <= broadcast_key_limit
         )
         key_side = F.broadcast(keys) if small else keys
+        # materialized _fp (not input_file_name(), which cannot
+        # resolve over the DV-aware union scan)
+        meta_scan = self._apply_mapping(
+            self._scan_with_dv(
+                live_rel, dvs,
+                merge_schema=len(distinct_schemas) > 1,
+                keep_meta=True,
+            ),
+            mapping,
+            schema_json,
+            keep=("_fp", "_ri"),
+        )
         affected = {
-            os.path.normpath(_local_path(r["f"]))
-            for r in current.join(key_side, list(on), "left_semi")
-            .select(F.input_file_name().alias("f"))
+            os.path.normpath(_local_path(r["_fp"]))
+            for r in meta_scan.join(key_side, list(on), "left_semi")
+            .select("_fp")
             .distinct()
             .collect()
         }
@@ -2016,10 +2430,12 @@ class LakeTable:
             for p in live
             if os.path.normpath(os.path.abspath(p)) in affected
         ]
-        mapping = self._mapping(base_version)
+        touched_rel_scan = [
+            os.path.relpath(p, self.path) for p in touched
+        ]
         base = (
             self._apply_mapping(
-                self.spark.read.parquet(*touched),
+                self._scan_with_dv(touched_rel_scan, dvs),
                 mapping,
                 getattr(self, "_last_schema_json", None),
             )

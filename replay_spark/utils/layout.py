@@ -382,6 +382,7 @@ def read_pruned(
     manifest=None,
     merge_schema: bool = False,
     expected_schema=None,
+    raw_transform=None,
 ):
     """Scan only the files :func:`prune_files` keeps, then re-apply
     the predicate as a residual filter (pruning is conservative, so
@@ -411,6 +412,12 @@ def read_pruned(
     else:
         df = reader.parquet(*kept)
         n_kept = len(kept)
+        if raw_transform is not None:
+            # caller hook over the RAW scan (deletion-vector
+            # anti-join needs parquet _metadata, which later
+            # projections drop; an empty kept-set has no rows to
+            # filter)
+            df = raw_transform(df)
     if expected_schema is not None:
         # schema evolution: when every kept file predates an added
         # column, even mergeSchema can't surface it — align to the

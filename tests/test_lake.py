@@ -585,7 +585,7 @@ def test_partitioned_append_and_log_pruning(table, spark):
     )
     table.append(df, partition_by=["bucket"])
     # files are per-partition and carry pvals in the log
-    _, _, _, _, parts, _, _ = table._fold_state(None)
+    _, _, _, _, parts, _, _, _ = table._fold_state(None)
     assert parts and all("bucket" in p for p in parts.values())
     assert {p["bucket"] for p in parts.values()} == {"0", "1", "2", "3"}
     # read(): self-contained files, partition column physical
@@ -628,7 +628,7 @@ def test_partitioned_table_delete_and_checkpoint(table, spark):
         spark.range(100, 110).selectExpr("id AS k", "id % 2 AS bucket"),
         partition_by=["bucket"],
     )
-    _, _, _, _, parts, _, _ = table._fold_state(None)
+    _, _, _, _, parts, _, _, _ = table._fold_state(None)
     assert parts  # survived the checkpoint + tail merge
     pruned2, _, _ = table.read_where({"bucket": (0, 0)})
     assert pruned2.count() == 45 + 5

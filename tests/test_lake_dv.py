@@ -1,0 +1,190 @@
+"""Deletion vectors (merge-on-read row-level deletes): read paths,
+history interplay (time travel / restore / CDF), rewrite
+materialization, retention GC, clone/replicate carry."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from replay_spark.lake import LakeTable
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.range(0, 100).withColumn("v", F.col("id") * 2).repartition(4)
+    )
+    return t
+
+
+def test_dv_delete_basic(table):
+    v1 = table.delete("id % 10 = 3", mode="dv")
+    assert table.read().count() == 90
+    assert table.read().filter("id % 10 = 3").count() == 0
+    # no data file was rewritten
+    c = [x for x in table._commits() if x["version"] == v1][0]
+    assert c["add"] == [] and c["remove"] == []
+    assert len(c["dv"]) >= 1
+    # full row content intact for survivors
+    got = table.read().agg(F.sum("v")).collect()[0][0]
+    assert got == sum(2 * i for i in range(100) if i % 10 != 3)
+
+
+def test_dv_second_delete_merges_pointers(table):
+    table.delete("id % 10 = 3", mode="dv")
+    table.delete("id < 5", mode="dv")
+    assert table.read().count() == 86
+    dvs = table._fold_state(None)[7]
+    # every touched file points at ONE sidecar holding its whole
+    # vector
+    for f in dvs:
+        pairs = table._dv_rows(dvs, [f])
+        assert pairs.count() >= 1
+
+
+def test_dv_time_travel(table):
+    v1 = table.delete("id % 10 = 3", mode="dv")
+    v2 = table.delete("id < 5", mode="dv")
+    assert table.read(version=0).count() == 100
+    assert table.read(version=v1).count() == 90
+    assert table.read(version=v2).count() == 86
+
+
+def test_dv_rewrite_delete_respects_vectors(table):
+    table.delete("id = 93", mode="dv")
+    table.delete("id >= 90", mode="rewrite")
+    assert table.read().count() == 90
+    dvs = table._fold_state(None)[7]
+    assert dvs == {}  # touched file rewritten, pointer popped
+
+
+def test_dv_compact_materializes(table):
+    table.delete("id % 2 = 0", mode="dv")
+    table.compact()
+    assert table._fold_state(None)[7] == {}
+    assert table.read().count() == 50
+    assert table.read().filter("id % 2 = 0").count() == 0
+
+
+def test_dv_checkpoint_carries_vectors(table):
+    table.delete("id = 7", mode="dv")
+    table.checkpoint()
+    table.append(
+        table.spark.range(100, 110).withColumn("v", F.lit(0).cast("long"))
+    )
+    assert table.read().count() == 109
+    assert table.read().filter("id = 7").count() == 0
+
+
+def test_dv_read_where_applies_vectors(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "w"))
+    t.append(
+        spark.range(0, 100)
+        .withColumn("bucket", (F.col("id") % 4).cast("string"))
+        .withColumn("v", F.col("id") * 2),
+        partition_by=["bucket"],
+    )
+    t.delete("id % 10 = 1", mode="dv")
+    df, kept, total = t.read_where({"bucket": ("1", "1")})
+    rows = df.collect()
+    ids = sorted(r["id"] for r in rows)
+    assert ids == [i for i in range(100) if i % 4 == 1 and i % 10 != 1]
+    assert kept <= total
+
+
+def test_dv_cdf_reports_deletes_once(table):
+    v1 = table.delete("id % 10 = 3", mode="dv")
+    feed = table.changes(0)
+    dels = feed.filter("_change_type = 'delete'")
+    assert dels.count() == 10
+    assert set(r["_commit_version"] for r in dels.collect()) == {v1}
+    # rewrite touching the same file afterwards must not re-report
+    v2 = table.delete("id >= 90", mode="rewrite")
+    feed2 = table.changes(v1)
+    dels2 = feed2.filter("_change_type = 'delete'").collect()
+    ids2 = sorted(r["id"] for r in dels2)
+    assert ids2 == [90, 91, 92, 94, 95, 96, 97, 98, 99]
+    assert all(r["_commit_version"] == v2 for r in dels2)
+
+
+def test_dv_restore_undeletes_and_cdf_inserts(table):
+    v1 = table.delete("id % 10 = 3", mode="dv")
+    v2 = table.restore(0)
+    assert table.read().count() == 100
+    assert table._fold_state(None)[7] == {}
+    feed = table.changes(v1)
+    ins = feed.filter("_change_type = 'insert'").collect()
+    assert sorted(r["id"] for r in ins) == [i for i in range(100) if i % 10 == 3]
+    assert all(r["_commit_version"] == v2 for r in ins)
+    # restore BACK to the deleted era re-applies the vector
+    table.restore(v1)
+    assert table.read().count() == 90
+
+
+def test_dv_vacuum_gc_keeps_referenced_sidecars(table):
+    table.delete("id = 1", mode="dv")
+    table.delete("id = 2", mode="dv")  # replaces pointers per file
+    # orphan-only vacuum never deletes a commit-referenced sidecar
+    doomed = table.vacuum()
+    assert all(not d.startswith("_dv") for d in doomed)
+    # retention vacuum: compact first so no version >= h references
+    # the sidecars, then they go
+    table.compact()
+    latest = table.latest_version()
+    doomed = table.vacuum(horizon_version=latest)
+    gone_dvs = [d for d in doomed if d.startswith("_dv")]
+    assert len(gone_dvs) == 2
+    assert not os.path.isdir(os.path.join(table.path, "_dv")) or not os.listdir(
+        os.path.join(table.path, "_dv")
+    )
+    assert table.read().count() == 98
+
+
+def test_dv_shallow_clone_carries_vectors(spark, table, tmp_path):
+    table.delete("id % 10 = 3", mode="dv")
+    c = table.clone(str(tmp_path / "c"))
+    assert c.read().count() == 90
+    assert c.read().filter("id % 10 = 3").count() == 0
+    # clone can dv-delete further without affecting the source
+    c.delete("id = 0", mode="dv")
+    assert c.read().count() == 89
+    assert table.read().count() == 90
+
+
+def test_dv_deep_clone_refuses(table, tmp_path):
+    table.delete("id = 1", mode="dv")
+    with pytest.raises(ValueError, match="deletion"):
+        table.clone(str(tmp_path / "d"), deep=True)
+
+
+def test_dv_replicate_copies_sidecars(spark, table, tmp_path):
+    table.delete("id % 10 = 3", mode="dv")
+    dest = str(tmp_path / "r")
+    table.replicate(dest)
+    r = LakeTable(spark, dest)
+    assert r.read().count() == 90
+    assert r.read().filter("id % 10 = 3").count() == 0
+
+
+def test_dv_merge_respects_vectors(spark, table):
+    table.delete("id = 5", mode="dv")
+    src = spark.createDataFrame(
+        [(5, 999), (200, 400)], "id long, v long"
+    )
+    table.merge(src, on=["id"])
+    out = {r["id"]: r["v"] for r in table.read().collect()}
+    # id=5 was dv-deleted; merge re-inserts it as not-matched
+    assert out[5] == 999 and out[200] == 400
+    assert table.read().count() == 101
+
+
+def test_dv_on_column_mapped_table(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "m"))
+    t.append(spark.range(0, 20).withColumn("v", F.col("id") * 3))
+    t.rename_column("v", "w")
+    t.delete("w >= 30", mode="dv")
+    got = sorted(r["w"] for r in t.read().collect())
+    assert got == [3 * i for i in range(10)]
+    assert "w" in t.read().columns
