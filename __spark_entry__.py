@@ -3981,6 +3981,33 @@ def q_ivf_ann_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (the Qdrant/Milvus pre-filtering
+    shape): payload attributes ride INTO the inverted file at fit
+    (attribute_columns=["label"]) and ``search(where=...)`` prunes
+    candidates BEFORE any distance math — top-k among admissible
+    vectors in the probed clusters, same probe set as the unfiltered
+    gate. Deterministic quantizer (centroids = embeddings of
+    vec_id < 16, max-cosine assignment), so DuckDB replays the whole
+    probe → filter → rank pipeline (q_ivf_ann_fixed's oracle plus
+    one WHERE on the candidate side). Extends the reference's vector
+    family (reference/replay/utils/spark_utils.py:624-651) with the
+    metadata-filter capability real vector stores pair with it."""
+    from replay_spark.ann import IVFANN
+
+    emb = rsd.read_table(spark, sf_dir, "embeddings")
+    cents = [
+        r["embedding"]
+        for r in emb.filter("vec_id < 16").orderBy("vec_id").collect()
+    ]
+    ann = IVFANN(
+        num_clusters=16, nprobe=2, attribute_columns=["label"]
+    ).fit(emb, centroids=cents)
+    return ann.search(
+        emb.filter("vec_id < 20"), k=5, where="label % 3 = 1"
+    ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
 def q_ivf_ann_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF under metric='l2' with a deterministic quantizer
     (centroids = embeddings of vec_id < 16, min-squared-L2
@@ -6799,17 +6826,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Staleness ledger — machine-checked against CORRECTNESS_r*.json by
     tests/test_entry_contract.py::test_staleness_ledger_matches_files
     (numbers recomputed from the files, never hand-asserted): as of
-    r11 the oldest official hash-gate score is r6 (13 gates), and 4
+    r11 the oldest official hash-gate score is r6 (13 gates), and 5
     hash gates await a first official score. (The r10 docstring
     claimed no score predated r7; recomputation showed 67 gates at
     r4-r6 — that claim class is now computed, not asserted.)
 
-    Order for r12: (a) the 4 never-officially-scored hash gates —
+    Order for r12: (a) the 5 never-officially-scored hash gates —
     this round's debuts (q_lake_rename: Delta-style column mapping,
     RENAME/DROP COLUMN without rewriting data files, per-era
     physical-name resolution; q_lake_dv: deletion vectors —
     merge-on-read row-level deletes, zero data files rewritten,
-    time travel + CDF through the vectors; q_ivf_ann_l2: the ANN
+    time travel + CDF through the vectors; q_ann_filtered: filtered
+    vector search — payload attributes in the inverted file,
+    where= pre-filters candidates before distance math;
+    q_ivf_ann_l2: the ANN
     metric= option's L2 path under a deterministic quantizer;
     q_drift_segmented: DriftReport(segment_column=...) — per-segment
     PSI on GLOBAL reference edges, replayed in DuckDB); (a2) the 4
@@ -6821,24 +6851,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     kept n_negatives survivors and falls back to the unfiltered path
     (q_sampled_eval), and LakeTable.merge() size-gates the
     touched-file key broadcast instead of hinting unconditionally
-    (q_merge_upsert); (b) the 42 stalest official scores, oldest
-    first — the COMPLETE r6 cohort (13) and the 29
+    (q_merge_upsert); (b) the 41 stalest official scores, oldest
+    first — the COMPLETE r6 cohort (13) and the 28
     alphabetically-first of the 35 r7-scored hash gates. The
     honestly non-SQL rows-only contracts (see
     test_entry_contract.py's allowlist) all sit in (c), officially
     green in prior rounds.
     (c) everything else — officially green in a prior round — still
-    run in tools/check_oracle at both scales and in bench; the 6
+    run in tools/check_oracle at both scales and in bench; the 7
     remaining r7-scored hash gates lead as r13 rotation candidates.
     """
     return {
         # -- (a) round-12 debuts awaiting a FIRST official
         #        score: Delta-style column mapping (rename/
         #        drop without rewrite), deletion vectors
-        #        (merge-on-read deletes), the ANN L2 metric
-        #        path, and segmented drift -----------------
+        #        (merge-on-read deletes), filtered vector
+        #        search, the ANN L2 metric path, and
+        #        segmented drift ---------------------------
         "q_lake_rename": q_lake_rename,
         "q_lake_dv": q_lake_dv,
+        "q_ann_filtered": q_ann_filtered,
         "q_ivf_ann_l2": q_ivf_ann_l2,
         "q_drift_segmented": q_drift_segmented,
         # -- (a2) gates whose code paths materially changed
@@ -6853,10 +6885,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sampled_eval": q_sampled_eval,
         "q_streaming_drift": q_streaming_drift,
         "q_merge_upsert": q_merge_upsert,
-        # -- (b) the 42 genuinely stalest official scores,
+        # -- (b) the 41 genuinely stalest official scores,
         #        oldest first: the COMPLETE r6 cohort (13)
-        #        and the 29 alphabetically-first of the 35
-        #        r7-scored hash gates (the other 6 head
+        #        and the 28 alphabetically-first of the 35
+        #        r7-scored hash gates (the other 7 head
         #        section (c) for the r13 rotation) ---------
         "q_metric_coverage": q_metric_coverage,
         "q_metric_mean_ci": q_metric_mean_ci,
@@ -6899,11 +6931,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_sessionize": q_streaming_sessionize,
         "q_substring_dedup": q_substring_dedup,
         "q_tfidf_keywords": q_tfidf_keywords,
-        "q_unigram_lm_scores": q_unigram_lm_scores,
         # -- (c) officially green in a prior round — still
         #        run in tools/check_oracle at both scales
-        #        and in bench; the 6 remaining r7-scored
+        #        and in bench; the 7 remaining r7-scored
         #        hash gates lead as r13 rotation candidates
+        "q_unigram_lm_scores": q_unigram_lm_scores,
         "q_url_filter": q_url_filter,
         "q_user_stats": q_user_stats,
         "q_video_frames": q_video_frames,
@@ -11295,6 +11327,51 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_id % 10 <= 5
             GROUP BY 1
+        """,
+        "q_ann_filtered": """
+            WITH e AS (
+                SELECT vec_id, label,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+            cents AS (SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < 16),
+            assign AS (
+                SELECT vec_id, cluster FROM (
+                    SELECT e.vec_id, c.cluster,
+                           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                               round(list_dot_product(e.v, c.cv) /
+                                     (sqrt(list_dot_product(e.v, e.v)) *
+                                      sqrt(list_dot_product(c.cv, c.cv))) + 1e-9, 6) DESC,
+                               c.cluster ASC) AS rn
+                    FROM e, cents c) t
+                WHERE rn = 1),
+            q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+            probe AS (
+                SELECT qid, cluster FROM (
+                    SELECT q.qid, c.cluster,
+                           row_number() OVER (PARTITION BY q.qid ORDER BY
+                               round(list_dot_product(q.qv, c.cv) /
+                                     (sqrt(list_dot_product(q.qv, q.qv)) *
+                                      sqrt(list_dot_product(c.cv, c.cv))) + 1e-9, 6) DESC,
+                               c.cluster ASC) AS rn
+                    FROM q, cents c) t
+                WHERE rn <= 2),
+            scored AS (
+                SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                       round(list_dot_product(q.qv, e.v) /
+                             (sqrt(list_dot_product(q.qv, q.qv)) *
+                              sqrt(list_dot_product(e.v, e.v))) + 1e-9, 6) AS cosine
+                FROM probe p
+                JOIN q ON p.qid = q.qid
+                JOIN assign a ON a.cluster = p.cluster
+                JOIN e ON e.vec_id = a.vec_id
+                WHERE e.vec_id <> q.qid
+                  AND e.label % 3 = 1)
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM scored) t
+            WHERE rank <= 5
         """,
         "q_lake_dv": """
             WITH v1 AS (

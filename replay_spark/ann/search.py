@@ -21,7 +21,7 @@ from __future__ import annotations
 import math
 import os
 import random
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -168,7 +168,26 @@ class BruteForceANN:
 
         return cls(**read_meta(path)["params"])
 
-    def search(self, queries: DataFrame, corpus: DataFrame, k: int = 10) -> DataFrame:
+    def search(
+        self,
+        queries: DataFrame,
+        corpus: DataFrame,
+        k: int = 10,
+        where=None,
+        filter_ids: Optional[DataFrame] = None,
+    ) -> DataFrame:
+        """Exact top-k; ``where`` (over corpus columns) and/or
+        ``filter_ids`` (one-column admissible-id frame) restrict the
+        candidate set BEFORE scoring — the exact-filtered baseline
+        the approximate filtered searches are judged against."""
+        if where is not None:
+            cond = F.expr(where) if isinstance(where, str) else where
+            corpus = corpus.filter(cond)
+        if filter_ids is not None:
+            ids = filter_ids.select(
+                F.col(filter_ids.columns[0]).alias(self.id_column)
+            ).distinct()
+            corpus = corpus.join(ids, self.id_column, "left_semi")
         q = queries.select(
             F.col(self.id_column).alias("query_id"),
             _as_double(F.col(self.vector_column)).alias("qv"),
@@ -208,6 +227,7 @@ class IVFANN:
         seed: Optional[int] = 42,
         max_iter: int = 10,
         metric: str = "cosine",
+        attribute_columns: Sequence[str] = (),
     ):
         self.id_column = id_column
         self.vector_column = vector_column
@@ -216,6 +236,11 @@ class IVFANN:
         self.seed = seed
         self.max_iter = max_iter
         self.metric = _check_metric(metric)
+        # payload attributes carried INTO the inverted file so
+        # filtered search (``search(where=...)``) prunes candidates
+        # before any distance math — the pre-filtering strategy
+        # real vector stores use for selective predicates
+        self.attribute_columns = list(attribute_columns)
         self.centroids = None  # list[list[float]]
         self._indexed: Optional[DataFrame] = None
         # frozen-centroid assignment rule, recorded at fit time so
@@ -239,6 +264,7 @@ class IVFANN:
         prepared = corpus.select(
             F.col(self.id_column),
             _as_double(F.col(self.vector_column)).alias("v"),
+            *[F.col(c) for c in self.attribute_columns],
         )
         if self._assign == "cosine":
             score = stable_round(
@@ -281,6 +307,7 @@ class IVFANN:
                 F.col(self.id_column).alias("neighbor_id"),
                 F.col("v").alias("cv"),
                 "cluster",
+                *[F.col(c) for c in self.attribute_columns],
             )
         )
 
@@ -313,6 +340,7 @@ class IVFANN:
         prepared = corpus.select(
             F.col(self.id_column),
             _as_double(F.col(self.vector_column)).alias("v"),
+            *[F.col(c) for c in self.attribute_columns],
         ).withColumn("features", array_to_vector("v"))
         kmeans = KMeans(
             k=self.num_clusters,
@@ -329,6 +357,7 @@ class IVFANN:
                 F.col(self.id_column).alias("neighbor_id"),
                 F.col("v").alias("cv"),
                 F.col("prediction").alias("cluster"),
+                *[F.col(c) for c in self.attribute_columns],
             )
             .repartition("cluster")
             .cache()
@@ -396,6 +425,7 @@ class IVFANN:
                 "seed": self.seed,
                 "max_iter": self.max_iter,
                 "metric": self.metric,
+                "attribute_columns": self.attribute_columns,
                 "assign": self._assign,
             },
         )
@@ -429,7 +459,21 @@ class IVFANN:
         )
         return self
 
-    def search(self, queries: DataFrame, k: int = 10) -> DataFrame:
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        where=None,
+        filter_ids: Optional[DataFrame] = None,
+    ) -> DataFrame:
+        """Top-k per query; ``where`` (SQL string or Column over the
+        ``attribute_columns`` carried at fit) and/or ``filter_ids``
+        (a one-column frame of admissible neighbor ids) PRE-FILTER
+        the inverted file before any distance math — filtered vector
+        search with the same probe set, so the result is exactly the
+        top-k among admissible candidates in the probed clusters
+        (SQL-replayable; a very selective filter empties some probes
+        — raise ``nprobe`` to taste, as real vector stores do)."""
         if self._indexed is None:
             raise RuntimeError("IVFANN is not fitted")
         spark = queries.sparkSession
@@ -471,8 +515,17 @@ class IVFANN:
         expr, out_col, desc = _score_parts(
             self.metric, F.col("qv"), F.col("cv")
         )
+        indexed = self._indexed
+        if where is not None:
+            cond = F.expr(where) if isinstance(where, str) else where
+            indexed = indexed.filter(cond)
+        if filter_ids is not None:
+            ids = filter_ids.select(
+                F.col(filter_ids.columns[0]).alias("neighbor_id")
+            ).distinct()
+            indexed = indexed.join(ids, "neighbor_id", "left_semi")
         scored = (
-            q.join(self._indexed, on="cluster")
+            q.join(indexed, on="cluster")
             .filter(F.col("neighbor_id") != F.col("query_id"))
             .select(
                 "query_id",
@@ -874,10 +927,18 @@ class PQANN:
         self._corpus = spark.read.parquet(os.path.join(path, "corpus"))
         return self
 
-    def search(self, queries: DataFrame, k: int = 10) -> DataFrame:
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        filter_ids: Optional[DataFrame] = None,
+    ) -> DataFrame:
         """Exactly the BruteForceANN output shape: (query_id,
         neighbor_id, <score col>, rank) — ADC shortlist, exact
-        re-rank under the index metric (cosine / dot / l2)."""
+        re-rank under the index metric (cosine / dot / l2).
+        ``filter_ids`` (one-column admissible-id frame) semi-joins
+        the code relation BEFORE the ADC scan — pre-filtered search,
+        so the shortlist is drawn entirely from admissible ids."""
         import numpy as np
         import pandas as pd
 
@@ -933,9 +994,15 @@ class PQANN:
         q = queries.select(idc, vc).mapInPandas(
             luts, schema="query_id long, lut array<array<bigint>>"
         )
+        codes = self._codes
+        if filter_ids is not None:
+            ids = filter_ids.select(
+                F.col(filter_ids.columns[0]).alias(idc)
+            ).distinct()
+            codes = codes.join(ids, idc, "left_semi")
         adc = (
             F.broadcast(q)
-            .crossJoin(self._codes)
+            .crossJoin(codes)
             .filter(F.col("vec_id") != F.col("query_id"))
             .select(
                 "query_id",
@@ -1248,7 +1315,15 @@ class IVFPQANN:
         self._corpus = spark.read.parquet(os.path.join(path, "corpus"))
         return self
 
-    def search(self, queries: DataFrame, k: int = 10) -> DataFrame:
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        filter_ids: Optional[DataFrame] = None,
+    ) -> DataFrame:
+        """``filter_ids`` (one-column admissible-id frame)
+        semi-joins the code relation BEFORE the per-cell ADC scan —
+        pre-filtered search over the same probe set."""
         import numpy as np
         import pandas as pd
 
@@ -1330,12 +1405,18 @@ class IVFPQANN:
             schema="query_id long, cell int, "
             "lut array<array<bigint>>, bias long",
         )
+        codes = self._codes
+        if filter_ids is not None:
+            ids = filter_ids.select(
+                F.col(filter_ids.columns[0]).alias(idc)
+            ).distinct()
+            codes = codes.join(ids, idc, "left_semi")
         adc = (
             # keyed join on cell == the inverted-file pruning: only
             # probed cells' code lists are scanned (AQE broadcasts
             # the query/LUT side when small)
             F.broadcast(q)
-            .join(self._codes, on="cell")
+            .join(codes, on="cell")
             .filter(F.col("vec_id") != F.col("query_id"))
             .select(
                 "query_id",

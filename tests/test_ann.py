@@ -1,0 +1,65 @@
+
+
+def test_filtered_search_matches_brute_filter(spark):
+    import pyspark.sql.functions as F
+
+    from replay_spark.ann import BruteForceANN, IVFANN
+
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)], i % 4)
+        for i in range(120)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    queries = corpus.filter("vec_id < 6")
+    # exact filtered baseline
+    exact = BruteForceANN().search(
+        queries, corpus, k=3, where="label = 2"
+    )
+    for r in exact.collect():
+        assert r["neighbor_id"] % 4 == 2
+    # IVF with one cluster == exhaustive scan -> must equal exact
+    ann = IVFANN(num_clusters=1, nprobe=1, attribute_columns=["label"])
+    ann.fit(corpus, centroids=[[1.0] * 8])
+    approx = ann.search(queries, k=3, where="label = 2")
+    a = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in approx.collect()}
+    e = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in exact.collect()}
+    assert a == e
+    # filter_ids variant agrees with where on the same admissible set
+    ids = corpus.filter("label = 2").select("vec_id")
+    by_ids = ann.search(queries, k=3, filter_ids=ids)
+    b = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in by_ids.collect()}
+    assert b == e
+    # save/load keeps the attributes
+    import tempfile, os
+    path = os.path.join(tempfile.mkdtemp(), "ivf")
+    ann.save(path)
+    loaded = IVFANN.load(path, spark)
+    l = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in loaded.search(queries, k=3, where="label = 2").collect()
+    }
+    assert l == e
+
+
+def test_filtered_search_pq_ids(spark):
+    import random
+
+    from replay_spark.ann import PQANN
+
+    rng = random.Random(9)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(80)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    ann = PQANN(dim=8, m=2, ksub=8, seed=1).fit(corpus)
+    ids = corpus.filter("vec_id % 2 = 0").select("vec_id")
+    out = ann.search(corpus.filter("vec_id < 4"), k=3, filter_ids=ids)
+    for r in out.collect():
+        assert r["neighbor_id"] % 2 == 0
