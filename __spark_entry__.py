@@ -392,7 +392,7 @@ def q_doc_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles; doubles never stringify cross-engine)."""
     from replay_spark.preprocessing import DocumentEmbedder
 
-    docs = rsd.read_table(spark, sf_dir, "documents").select(
+    docs = _par(rsd.read_table(spark, sf_dir, "documents")).select(
         "doc_id", "text"
     )
     emb = DocumentEmbedder(dim=16, hash_family="md5").fit(docs)
@@ -3721,7 +3721,7 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     algebra is pinned by golden + parity tests)."""
     from replay_spark.preprocessing.bpe import BPETokenizer
 
-    docs = rsd.read_table(spark, sf_dir, "documents")
+    docs = _par(rsd.read_table(spark, sf_dir, "documents"))
     bpe = BPETokenizer(num_merges=100).fit(docs)
     out = bpe.transform(docs)
     return out.select(
@@ -4818,7 +4818,7 @@ def q_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules."""
     from replay_spark.preprocessing.bpe import WordPieceTokenizer
 
-    docs = rsd.read_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _par(rsd.read_table(spark, sf_dir, "documents")).select("doc_id")
     roots = ["abc", "defg", "hi"]
     conts = ["xyz", "uvw"]
     word = F.concat(
@@ -4855,7 +4855,7 @@ def q_unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id → word → segmentation rules."""
     from replay_spark.preprocessing.unigram import UnigramTokenizer
 
-    docs = rsd.read_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _par(rsd.read_table(spark, sf_dir, "documents")).select("doc_id")
     # doc_id % 3 picks the word; % 5 == 0 appends a second word
     word = F.concat(
         F.element_at(
