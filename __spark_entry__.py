@@ -6292,6 +6292,61 @@ def q_lake_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mid.unionByName(fin).unionByName(cdf)
 
 
+def q_lake_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style partition-spec evolution: era 1 lands documents
+    partitioned by lang, era 2 by (lang, bucket) — NO rewrite of era-1
+    files, and read_where prunes EACH ERA by its own recorded
+    partition values (era-1 files carry no bucket value, so a bucket
+    bound keeps them conservatively; a lang bound prunes both eras
+    with zero file I/O). Output: the lang-bound scan, the
+    bucket-bound scan, and the full-table aggregate — all replayed by
+    DuckDB from the raw documents, so the union hash-matches only if
+    mixed-spec pruning lost and invented nothing. The reference has
+    no table format; this follows the Iceberg partition-evolution
+    contract (spec v2 §partition-evolution) re-expressed for this
+    log's per-file partition-value metadata."""
+    import os
+    import shutil
+    import tempfile
+
+    from replay_spark.lake import LakeTable
+
+    docs = rsd.read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % 5).cast("string").alias("bucket"),
+        "n_chars",
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"rs_lakepe_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = LakeTable(spark, path)
+    t.append(docs.filter("doc_id % 2 = 0"), partition_by=["lang"])
+    t.append(
+        docs.filter("doc_id % 2 = 1"), partition_by=["lang", "bucket"]
+    )
+
+    def agg(df, leg):
+        return df.groupBy("lang").agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        ).select(F.lit(leg).alias("leg"), "*")
+
+    lang0 = sorted(
+        r["lang"] for r in docs.select("lang").distinct().collect()
+    )[0]
+    by_lang, _, _ = t.read_where({"lang": (lang0, lang0)})
+    by_bucket, _, _ = t.read_where({"bucket": ("2", "2")})
+    return (
+        agg(by_lang, "lang_bound")
+        .unionByName(
+            agg(by_bucket.filter(F.col("bucket") == "2"), "bucket_bound")
+        )
+        .unionByName(agg(t.read(), "full"))
+    )
+
+
 def q_sampled_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled ranking evaluation (the SASRec/NCF '99 negatives'
     protocol, 20 here): each user's LAST interaction is the test
@@ -6826,12 +6881,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Staleness ledger — machine-checked against CORRECTNESS_r*.json by
     tests/test_entry_contract.py::test_staleness_ledger_matches_files
     (numbers recomputed from the files, never hand-asserted): as of
-    r11 the oldest official hash-gate score is r6 (13 gates), and 5
+    r11 the oldest official hash-gate score is r6 (13 gates), and 6
     hash gates await a first official score. (The r10 docstring
     claimed no score predated r7; recomputation showed 67 gates at
     r4-r6 — that claim class is now computed, not asserted.)
 
-    Order for r12: (a) the 5 never-officially-scored hash gates —
+    Order for r12: (a) the 6 never-officially-scored hash gates —
     this round's debuts (q_lake_rename: Delta-style column mapping,
     RENAME/DROP COLUMN without rewriting data files, per-era
     physical-name resolution; q_lake_dv: deletion vectors —
@@ -6839,6 +6894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     time travel + CDF through the vectors; q_ann_filtered: filtered
     vector search — payload attributes in the inverted file,
     where= pre-filters candidates before distance math;
+    q_lake_partition_evolution: Iceberg-style partition-spec
+    evolution, per-era zero-I/O pruning over mixed specs;
     q_ivf_ann_l2: the ANN
     metric= option's L2 path under a deterministic quantizer;
     q_drift_segmented: DriftReport(segment_column=...) — per-segment
@@ -6851,14 +6908,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     kept n_negatives survivors and falls back to the unfiltered path
     (q_sampled_eval), and LakeTable.merge() size-gates the
     touched-file key broadcast instead of hinting unconditionally
-    (q_merge_upsert); (b) the 41 stalest official scores, oldest
-    first — the COMPLETE r6 cohort (13) and the 28
+    (q_merge_upsert); (b) the 40 stalest official scores, oldest
+    first — the COMPLETE r6 cohort (13) and the 27
     alphabetically-first of the 35 r7-scored hash gates. The
     honestly non-SQL rows-only contracts (see
     test_entry_contract.py's allowlist) all sit in (c), officially
     green in prior rounds.
     (c) everything else — officially green in a prior round — still
-    run in tools/check_oracle at both scales and in bench; the 7
+    run in tools/check_oracle at both scales and in bench; the 8
     remaining r7-scored hash gates lead as r13 rotation candidates.
     """
     return {
@@ -6866,11 +6923,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #        score: Delta-style column mapping (rename/
         #        drop without rewrite), deletion vectors
         #        (merge-on-read deletes), filtered vector
-        #        search, the ANN L2 metric path, and
-        #        segmented drift ---------------------------
+        #        search, partition-spec evolution, the ANN
+        #        L2 metric path, and segmented drift -------
         "q_lake_rename": q_lake_rename,
         "q_lake_dv": q_lake_dv,
         "q_ann_filtered": q_ann_filtered,
+        "q_lake_partition_evolution": q_lake_partition_evolution,
         "q_ivf_ann_l2": q_ivf_ann_l2,
         "q_drift_segmented": q_drift_segmented,
         # -- (a2) gates whose code paths materially changed
@@ -6885,10 +6943,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sampled_eval": q_sampled_eval,
         "q_streaming_drift": q_streaming_drift,
         "q_merge_upsert": q_merge_upsert,
-        # -- (b) the 41 genuinely stalest official scores,
+        # -- (b) the 40 genuinely stalest official scores,
         #        oldest first: the COMPLETE r6 cohort (13)
-        #        and the 28 alphabetically-first of the 35
-        #        r7-scored hash gates (the other 7 head
+        #        and the 27 alphabetically-first of the 35
+        #        r7-scored hash gates (the other 8 head
         #        section (c) for the r13 rotation) ---------
         "q_metric_coverage": q_metric_coverage,
         "q_metric_mean_ci": q_metric_mean_ci,
@@ -6930,11 +6988,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_cms": q_streaming_cms,
         "q_streaming_sessionize": q_streaming_sessionize,
         "q_substring_dedup": q_substring_dedup,
-        "q_tfidf_keywords": q_tfidf_keywords,
         # -- (c) officially green in a prior round — still
         #        run in tools/check_oracle at both scales
-        #        and in bench; the 7 remaining r7-scored
+        #        and in bench; the 8 remaining r7-scored
         #        hash gates lead as r13 rotation candidates
+        "q_tfidf_keywords": q_tfidf_keywords,
         "q_unigram_lm_scores": q_unigram_lm_scores,
         "q_url_filter": q_url_filter,
         "q_user_stats": q_user_stats,
@@ -11327,6 +11385,26 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_id % 10 <= 5
             GROUP BY 1
+        """,
+        "q_lake_partition_evolution": """
+            WITH d AS (
+                SELECT doc_id, lang,
+                       CAST(doc_id % 5 AS VARCHAR) AS bucket, n_chars
+                FROM documents
+            ),
+            lang0 AS (SELECT min(lang) AS l FROM d),
+            u AS (
+                SELECT 'lang_bound' AS leg, * FROM d
+                WHERE lang = (SELECT l FROM lang0)
+                UNION ALL
+                SELECT 'bucket_bound', * FROM d WHERE bucket = '2'
+                UNION ALL
+                SELECT 'full', * FROM d
+            )
+            SELECT leg, lang, COUNT(*) AS n_rows,
+                   SUM(doc_id) AS sum_doc_id,
+                   SUM(n_chars) AS sum_chars
+            FROM u GROUP BY leg, lang
         """,
         "q_ann_filtered": """
             WITH e AS (

@@ -1366,3 +1366,32 @@ def test_clone_carries_mapping(table, spark):
     assert out.read().columns == ["k", "val"]
     assert out.read().count() == 5
     out.drop()
+
+
+def test_partition_spec_evolution_prunes_per_era(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from replay_spark.lake import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "pe"))
+    df = spark.range(0, 100).select(
+        "id",
+        (F.col("id") % 4).cast("string").alias("b"),
+        (F.col("id") % 10).cast("string").alias("c"),
+    )
+    t.append(df.filter("id < 50"), partition_by=["b"])
+    t.append(df.filter("id >= 50"), partition_by=["b", "c"])
+    # bound on the shared column prunes BOTH eras
+    out, kept, total = t.read_where({"b": ("1", "1")})
+    assert sorted(r["id"] for r in out.collect()) == [
+        i for i in range(100) if i % 4 == 1
+    ]
+    assert kept < total
+    # bound on the evolved column: era-1 files (no recorded c) are
+    # kept conservatively, era-2 files prune; result still exact
+    out2, kept2, total2 = t.read_where({"c": ("3", "3")})
+    assert sorted(r["id"] for r in out2.collect()) == [
+        i for i in range(100) if i % 10 == 3
+    ]
+    assert kept2 < total2
+    assert t.read().count() == 100
