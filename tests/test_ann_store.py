@@ -350,3 +350,35 @@ def test_ivf_remove_exact(spark, corpus):
     ]
     with pytest.raises(RuntimeError, match="not fitted"):
         IVFANN().remove(corpus.select("vec_id"))
+
+
+def test_lake_vector_index_tracks_deletion_vectors(spark, corpus):
+    """A merge-on-read dv-delete on the source table flows through
+    the change feed, so refresh() drops the deleted vectors from the
+    index without any file rewrite having happened."""
+    from replay_spark.ann import IVFANN, LakeVectorIndex
+    from replay_spark.lake import LakeTable
+
+    cents = [
+        r.embedding
+        for r in corpus.filter("vec_id < 8").orderBy("vec_id").collect()
+    ]
+    tbl_path = tempfile.mkdtemp(prefix="rs_lvidv_tbl_")
+    idx_path = tempfile.mkdtemp(prefix="rs_lvidv_idx_")
+    t = LakeTable(spark, tbl_path)
+    t.append(corpus.coalesce(2))
+    lvi = LakeVectorIndex(
+        spark, idx_path, t, num_clusters=8, nprobe=2
+    ).build(centroids=cents)
+
+    t.delete("vec_id % 5 = 2", mode="dv")  # no data file rewritten
+    lvi.refresh()
+
+    queries = corpus.filter("vec_id < 10")
+    got = _rows(lvi.search(queries, k=5))
+    fresh = IVFANN(num_clusters=8, nprobe=2).fit(
+        t.read(), centroids=cents
+    )
+    assert got == _rows(fresh.search(queries, k=5))
+    assert not [r for r in got if r[1] % 5 == 2]
+    t.drop()
