@@ -6347,6 +6347,68 @@ def q_lake_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lake_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE ... SET in merge-on-read mode: ONE atomic commit
+    dv-deletes the old row versions and adds a file with the new
+    versions — the touched files are never rewritten (asserted
+    in-gate: the commit removes zero files and carries both an add
+    and a vector). Output: the final snapshot aggregate plus the
+    change feed's delete AND insert legs for the update commit —
+    DuckDB replays all three from the raw documents, so the hash
+    matches only if exactly the matched rows changed, to exactly the
+    SET values, with old versions fed to the CDF as deletes. The
+    reference has no table format; this is the Delta merge-on-read
+    UPDATE shape on this log (replay_spark/lake.py:update)."""
+    import os
+    import shutil
+    import tempfile
+
+    from replay_spark.lake import LakeTable
+
+    docs = rsd.read_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"rs_lakeupd_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = LakeTable(spark, path)
+    t.append(docs.repartition(4))
+    v = t.update(
+        "doc_id % 9 = 2", {"n_chars": "n_chars + 100000"}, mode="dv"
+    )
+    c = [x for x in t._commits() if x["version"] == v][0]
+    assert c["operation"] == "update" and not c["remove"], c
+    assert c["add"] and c.get("dv"), c
+
+    def agg(df, leg):
+        return df.groupBy(
+            (F.col("doc_id") % 10).cast("bigint").alias("bucket")
+        ).agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        ).select(F.lit(leg).alias("leg"), "*")
+
+    feed = t.changes(v - 1, v)
+    return (
+        agg(t.read(), "final")
+        .unionByName(
+            agg(
+                feed.filter(F.col("_change_type") == "delete")
+                .select("doc_id", "n_chars"),
+                "cdf_del",
+            )
+        )
+        .unionByName(
+            agg(
+                feed.filter(F.col("_change_type") == "insert")
+                .select("doc_id", "n_chars"),
+                "cdf_ins",
+            )
+        )
+    )
+
+
 def q_sampled_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled ranking evaluation (the SASRec/NCF '99 negatives'
     protocol, 20 here): each user's LAST interaction is the test
@@ -6881,12 +6943,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Staleness ledger — machine-checked against CORRECTNESS_r*.json by
     tests/test_entry_contract.py::test_staleness_ledger_matches_files
     (numbers recomputed from the files, never hand-asserted): as of
-    r11 the oldest official hash-gate score is r6 (13 gates), and 6
+    r11 the oldest official hash-gate score is r6 (13 gates), and 7
     hash gates await a first official score. (The r10 docstring
     claimed no score predated r7; recomputation showed 67 gates at
     r4-r6 — that claim class is now computed, not asserted.)
 
-    Order for r12: (a) the 6 never-officially-scored hash gates —
+    Order for r12: (a) the 7 never-officially-scored hash gates —
     this round's debuts (q_lake_rename: Delta-style column mapping,
     RENAME/DROP COLUMN without rewriting data files, per-era
     physical-name resolution; q_lake_dv: deletion vectors —
@@ -6896,6 +6958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     where= pre-filters candidates before distance math;
     q_lake_partition_evolution: Iceberg-style partition-spec
     evolution, per-era zero-I/O pruning over mixed specs;
+    q_lake_update: merge-on-read UPDATE — one atomic commit
+    dv-deletes old row versions and adds the new ones;
     q_ivf_ann_l2: the ANN
     metric= option's L2 path under a deterministic quantizer;
     q_drift_segmented: DriftReport(segment_column=...) — per-segment
@@ -6908,27 +6972,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     kept n_negatives survivors and falls back to the unfiltered path
     (q_sampled_eval), and LakeTable.merge() size-gates the
     touched-file key broadcast instead of hinting unconditionally
-    (q_merge_upsert); (b) the 40 stalest official scores, oldest
-    first — the COMPLETE r6 cohort (13) and the 27
+    (q_merge_upsert); (b) the 39 stalest official scores, oldest
+    first — the COMPLETE r6 cohort (13) and the 26
     alphabetically-first of the 35 r7-scored hash gates. The
     honestly non-SQL rows-only contracts (see
     test_entry_contract.py's allowlist) all sit in (c), officially
     green in prior rounds.
     (c) everything else — officially green in a prior round — still
-    run in tools/check_oracle at both scales and in bench; the 8
+    run in tools/check_oracle at both scales and in bench; the 9
     remaining r7-scored hash gates lead as r13 rotation candidates.
     """
     return {
         # -- (a) round-12 debuts awaiting a FIRST official
         #        score: Delta-style column mapping (rename/
         #        drop without rewrite), deletion vectors
-        #        (merge-on-read deletes), filtered vector
-        #        search, partition-spec evolution, the ANN
-        #        L2 metric path, and segmented drift -------
+        #        (merge-on-read deletes + UPDATE), filtered
+        #        vector search, partition-spec evolution,
+        #        the ANN L2 metric path, segmented drift ---
         "q_lake_rename": q_lake_rename,
         "q_lake_dv": q_lake_dv,
         "q_ann_filtered": q_ann_filtered,
         "q_lake_partition_evolution": q_lake_partition_evolution,
+        "q_lake_update": q_lake_update,
         "q_ivf_ann_l2": q_ivf_ann_l2,
         "q_drift_segmented": q_drift_segmented,
         # -- (a2) gates whose code paths materially changed
@@ -6943,10 +7008,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sampled_eval": q_sampled_eval,
         "q_streaming_drift": q_streaming_drift,
         "q_merge_upsert": q_merge_upsert,
-        # -- (b) the 40 genuinely stalest official scores,
+        # -- (b) the 39 genuinely stalest official scores,
         #        oldest first: the COMPLETE r6 cohort (13)
-        #        and the 27 alphabetically-first of the 35
-        #        r7-scored hash gates (the other 8 head
+        #        and the 26 alphabetically-first of the 35
+        #        r7-scored hash gates (the other 9 head
         #        section (c) for the r13 rotation) ---------
         "q_metric_coverage": q_metric_coverage,
         "q_metric_mean_ci": q_metric_mean_ci,
@@ -6987,11 +7052,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_pairs_md5": q_simhash_pairs_md5,
         "q_streaming_cms": q_streaming_cms,
         "q_streaming_sessionize": q_streaming_sessionize,
-        "q_substring_dedup": q_substring_dedup,
         # -- (c) officially green in a prior round — still
         #        run in tools/check_oracle at both scales
-        #        and in bench; the 8 remaining r7-scored
+        #        and in bench; the 9 remaining r7-scored
         #        hash gates lead as r13 rotation candidates
+        "q_substring_dedup": q_substring_dedup,
         "q_tfidf_keywords": q_tfidf_keywords,
         "q_unigram_lm_scores": q_unigram_lm_scores,
         "q_url_filter": q_url_filter,
@@ -11385,6 +11450,30 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_id % 10 <= 5
             GROUP BY 1
+        """,
+        "q_lake_update": """
+            WITH d AS (SELECT doc_id, n_chars FROM documents),
+            fin AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 9 = 2
+                            THEN n_chars + 100000 ELSE n_chars END
+                       AS n_chars
+                FROM d
+            ),
+            dels AS (SELECT doc_id, n_chars FROM d WHERE doc_id % 9 = 2),
+            ins AS (
+                SELECT doc_id, n_chars + 100000 AS n_chars FROM d
+                WHERE doc_id % 9 = 2
+            ),
+            u AS (
+                SELECT 'final' AS leg, * FROM fin
+                UNION ALL SELECT 'cdf_del', * FROM dels
+                UNION ALL SELECT 'cdf_ins', * FROM ins
+            )
+            SELECT leg, doc_id % 10 AS bucket, COUNT(*) AS n_rows,
+                   SUM(doc_id) AS sum_doc_id,
+                   SUM(n_chars) AS sum_chars
+            FROM u GROUP BY leg, bucket
         """,
         "q_lake_partition_evolution": """
             WITH d AS (

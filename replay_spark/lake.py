@@ -1973,6 +1973,8 @@ class LakeTable:
         dvs: dict,
         schema: StructType,
         base_version: int,
+        add_files: Sequence[str] = (),
+        operation: str = "delete",
     ) -> int:
         """Commit a deletion-vector update from matched (_fp, _ri)
         pairs: resolve file paths to live relpaths via a broadcast
@@ -2009,12 +2011,107 @@ class LakeTable:
             )
         sidecar = self._write_dv_sidecar(merged.distinct())
         return self._commit(
-            "delete",
-            [],
+            operation,
+            list(add_files),
             [],
             schema,
             base_version + 1,
             dv={f: sidecar for f in touched},
+        )
+
+    def update(self, condition, set: dict, mode: str = "rewrite") -> int:
+        """UPDATE ... SET: assign new values to rows matching
+        ``condition``. ``set`` maps column → expression (SQL string
+        or Column); assignments are cast to the column's existing
+        type, so the table schema never drifts.
+
+        ``mode="rewrite"``: rewrite only the files containing
+        matches (non-matching rows in those files carry over
+        unchanged). ``mode="dv"``: merge-on-read — ONE atomic commit
+        dv-deletes the old row versions and adds a file with the new
+        versions; at 100 TB a sub-percent update writes the changed
+        rows only, never the touched terabytes. The change feed
+        reports old versions as deletes and new versions as inserts
+        either way."""
+        if mode not in ("rewrite", "dv"):
+            raise ValueError(
+                f"mode must be 'rewrite' or 'dv', got {mode!r}"
+            )
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        base_version = self.latest_version()
+        (
+            live, schema_json, distinct_schemas,
+            _, _, _, mapping, dvs,
+        ) = self._fold_state(base_version)
+        self._last_schema_json = schema_json
+        if not live:
+            return base_version
+        schema = StructType.fromJson(json.loads(schema_json))
+        names = {f.name for f in schema.fields}
+        unknown = {c for c in set} - names
+        if unknown:
+            raise ValueError(f"SET names unknown columns: {sorted(unknown)}")
+        types = {f.name: f.dataType for f in schema.fields}
+        assigns = {
+            c: (F.expr(e) if isinstance(e, str) else e).cast(types[c])
+            for c, e in set.items()
+        }
+        cond_t = F.coalesce(cond, F.lit(False))
+        scan = self._scan_with_dv(
+            live, dvs,
+            merge_schema=len(distinct_schemas) > 1,
+            keep_meta=True,
+        )
+        logical = self._apply_mapping(
+            scan, mapping, schema_json, keep=("_fp", "_ri")
+        )
+        matched = logical.filter(cond_t)
+        if matched.limit(1).count() == 0:
+            return base_version
+        if mode == "dv":
+            updated = matched.select(
+                *[
+                    assigns.get(f.name, F.col(f.name)).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+            files = self._write_data(self._to_physical(updated, mapping))
+            return self._delete_dv(
+                matched.select("_fp", "_ri"),
+                live,
+                dvs,
+                schema,
+                base_version,
+                add_files=files,
+                operation="update",
+            )
+        affected = {
+            os.path.normpath(_local_path(r["_fp"]))
+            for r in matched.select("_fp").distinct().collect()
+        }
+        live_abs = self.snapshot_files(version=base_version)
+        touched = [
+            p
+            for p in live_abs
+            if os.path.normpath(os.path.abspath(p)) in affected
+        ]
+        touched_rel = [os.path.relpath(p, self.path) for p in touched]
+        raw = self._apply_mapping(
+            self._scan_with_dv(touched_rel, dvs), mapping, schema_json
+        )
+        rewritten = raw.select(
+            *[
+                F.when(cond_t, assigns[f.name])
+                .otherwise(F.col(f.name))
+                .alias(f.name)
+                if f.name in assigns
+                else F.col(f.name)
+                for f in schema.fields
+            ]
+        )
+        files = self._write_data(self._to_physical(rewritten, mapping))
+        return self._commit(
+            "update", files, touched_rel, schema, base_version + 1
         )
 
     def _partition_columns(self, version: Optional[int] = None):

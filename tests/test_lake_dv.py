@@ -188,3 +188,60 @@ def test_dv_on_column_mapped_table(spark, tmp_path):
     got = sorted(r["w"] for r in t.read().collect())
     assert got == [3 * i for i in range(10)]
     assert "w" in t.read().columns
+
+
+def test_update_rewrite(table):
+    v = table.update("id % 10 = 4", {"v": "v + 1000"})
+    rows = {r["id"]: r["v"] for r in table.read().collect()}
+    for i in range(100):
+        assert rows[i] == 2 * i + (1000 if i % 10 == 4 else 0)
+    assert table.read().count() == 100
+    # time travel pre-update
+    assert {r["id"]: r["v"] for r in table.read(version=v - 1).collect()}[4] == 8
+    # unknown column is loud
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unknown"):
+        table.update("id = 1", {"nope": "1"})
+
+
+def test_update_dv_one_atomic_commit(table):
+    v = table.update("id % 10 = 4", {"v": "v + 1000"}, mode="dv")
+    c = [x for x in table._commits() if x["version"] == v][0]
+    assert c["operation"] == "update"
+    assert c["add"] and not c["remove"] and c.get("dv")
+    rows = {r["id"]: r["v"] for r in table.read().collect()}
+    assert table.read().count() == 100
+    for i in range(100):
+        assert rows[i] == 2 * i + (1000 if i % 10 == 4 else 0)
+    # CDF: old versions delete, new versions insert, same commit
+    feed = table.changes(v - 1, v)
+    dels = feed.filter("_change_type = 'delete'").collect()
+    ins = feed.filter("_change_type = 'insert'").collect()
+    assert sorted(r["id"] for r in dels) == [i for i in range(100) if i % 10 == 4]
+    assert sorted(r["v"] for r in ins) == sorted(
+        2 * i + 1000 for i in range(100) if i % 10 == 4
+    )
+    # stacking: dv update then dv delete of an updated row
+    table.delete("id = 14", mode="dv")
+    assert table.read().count() == 99
+    assert table.read().filter("id = 14").count() == 0
+
+
+def test_update_dv_on_mapped_table(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from replay_spark.lake import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "um"))
+    t.append(spark.range(0, 30).withColumn("v", F.col("id") * 2))
+    t.rename_column("v", "w")
+    t.update("w >= 40", {"w": "w * 10"}, mode="dv")
+    rows = {r["id"]: r["w"] for r in t.read().collect()}
+    for i in range(30):
+        assert rows[i] == (2 * i * 10 if 2 * i >= 40 else 2 * i)
+
+
+def test_update_no_match_is_noop(table):
+    before = table.latest_version()
+    assert table.update("id = -1", {"v": "0"}, mode="dv") == before
+    assert table.update("id = -1", {"v": "0"}) == before
