@@ -1860,6 +1860,52 @@ class LakeTable:
 
         return sink
 
+    def merge_batch(
+        self,
+        df: DataFrame,
+        on: Sequence[str],
+        app_id: str,
+        batch_id: int,
+        when_matched: str = "update",
+        when_not_matched: str = "insert",
+    ) -> Optional[int]:
+        """IDEMPOTENT MERGE for exactly-once CDC apply: the merge
+        commit records ``(app_id, batch_id)`` and a replayed
+        micro-batch with ``batch_id <=`` the last committed one is
+        SKIPPED — upsert streams (Debezium-style change capture) get
+        the same exactly-once contract append_batch gives inserts.
+        An empty batch commits nothing (replaying it is a no-op
+        anyway); the first batch into an EMPTY table is a plain
+        idempotent append (there is nothing to match against).
+        Returns the committed version, or None when skipped."""
+        last = self.last_committed_batch(app_id)
+        if last is not None and int(batch_id) <= last:
+            return None
+        if df.limit(1).count() == 0:
+            return None
+        if self.latest_version() < 0:
+            return self.append_batch(df, app_id, batch_id)
+        return self.merge(
+            df,
+            on,
+            when_matched=when_matched,
+            when_not_matched=when_not_matched,
+            txn={"app_id": app_id, "batch_id": int(batch_id)},
+        )
+
+    def streaming_merge_sink(self, on: Sequence[str], app_id: str):
+        """``foreachBatch`` adapter for CDC upsert streams:
+        ``writeStream.foreachBatch(table.streaming_merge_sink(
+        ["id"], "cdc-app")).start()`` — each micro-batch MERGEs into
+        the table exactly once (matched rows update, new rows
+        insert), and the change feed / IVM / vector-index refresh
+        machinery sees honest row-level deltas."""
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            self.merge_batch(batch_df, list(on), app_id, batch_id)
+
+        return sink
+
     def overwrite(self, df: DataFrame, txn: Optional[dict] = None) -> int:
         """Replace the table contents. ``txn`` records an
         ``{app_id, batch_id}`` idempotence marker in the commit —
@@ -2475,6 +2521,7 @@ class LakeTable:
         when_matched: str = "update",
         when_not_matched: str = "insert",
         broadcast_key_limit: int = 1_000_000,
+        txn: Optional[dict] = None,
     ) -> int:
         """MERGE INTO this table (see :func:`merge_into`). File
         granularity: rewrites the files containing matched keys (one
@@ -2545,7 +2592,8 @@ class LakeTable:
         files = self._write_data(self._to_physical(merged, mapping))
         remove = [os.path.relpath(p, self.path) for p in touched]
         return self._commit(
-            "merge", files, remove, current.schema, base_version + 1
+            "merge", files, remove, current.schema, base_version + 1,
+            txn=txn,
         )
 
     def drop(self) -> None:

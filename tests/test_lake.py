@@ -1395,3 +1395,33 @@ def test_partition_spec_evolution_prunes_per_era(spark, tmp_path):
     ]
     assert kept2 < total2
     assert t.read().count() == 100
+
+
+def test_merge_batch_exactly_once_cdc(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from replay_spark.lake import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "cdc"))
+    b0 = spark.range(0, 10).withColumn("v", F.col("id") * 2)
+    # first batch into an empty table appends
+    assert t.merge_batch(b0, ["id"], "cdc", 0) == 0
+    # CDC batch: update id<3, insert 100..102
+    b1 = spark.createDataFrame(
+        [(0, 999), (1, 998), (2, 997), (100, 1), (101, 2), (102, 3)],
+        "id long, v long",
+    )
+    v = t.merge_batch(b1, ["id"], "cdc", 1)
+    assert v == 1
+    rows = {r["id"]: r["v"] for r in t.read().collect()}
+    assert rows[0] == 999 and rows[2] == 997 and rows[100] == 1
+    assert rows[5] == 10 and len(rows) == 13
+    # replayed batch is skipped, table unchanged
+    assert t.merge_batch(b1, ["id"], "cdc", 1) is None
+    assert t.latest_version() == v
+    # empty batch commits nothing
+    assert t.merge_batch(b1.limit(0), ["id"], "cdc", 2) is None
+    # the sink adapter wires the same path
+    sink = t.streaming_merge_sink(["id"], "cdc")
+    sink(spark.createDataFrame([(0, 5)], "id long, v long"), 3)
+    assert {r["id"]: r["v"] for r in t.read().collect()}[0] == 5
