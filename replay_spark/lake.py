@@ -369,17 +369,27 @@ class LakeTable:
         return [os.path.join(self.path, p) for p in live]
 
     def read(
-        self, version: Optional[int] = None, as_of=None
+        self, version: Optional[int] = None, as_of=None,
+        tag: Optional[str] = None,
     ) -> DataFrame:
-        """The table as of ``version`` (default: latest), or as of a
+        """The table as of ``version`` (default: latest), as of a
         wall-clock time via ``as_of`` (seconds / micros / datetime —
-        resolved through :meth:`version_as_of`). When commits carry
+        resolved through :meth:`version_as_of`), or at a named
+        snapshot via ``tag`` (see :meth:`tag`). When commits carry
         different schemas (appends with ``merge_schema=True``), the
         scan merges parquet schemas and columns absent from older
         files read as null — Iceberg-style additive evolution."""
+        if sum(x is not None for x in (version, as_of, tag)) > 1:
+            raise ValueError("give ONE of version / as_of / tag")
+        if tag is not None:
+            tags = self._tags()
+            if tag not in tags:
+                raise KeyError(
+                    f"no tag {tag!r} at {self.path}; have "
+                    f"{sorted(tags)}"
+                )
+            version = tags[tag]
         if as_of is not None:
-            if version is not None:
-                raise ValueError("give version OR as_of, not both")
             version = self.version_as_of(as_of)
         self._check_time_travel(version)
         live, schema_json, distinct_schemas, _, _, _, mapping, dvs = self._fold_state(version)

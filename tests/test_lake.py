@@ -1425,3 +1425,20 @@ def test_merge_batch_exactly_once_cdc(spark, tmp_path):
     sink = t.streaming_merge_sink(["id"], "cdc")
     sink(spark.createDataFrame([(0, 5)], "id long, v long"), 3)
     assert {r["id"]: r["v"] for r in t.read().collect()}[0] == 5
+
+
+def test_read_by_tag(spark, tmp_path):
+    import pytest as _pt
+
+    from replay_spark.lake import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "tagread"))
+    t.append(spark.range(0, 10))
+    t.tag("train-2024-07")
+    t.append(spark.range(10, 30))
+    assert t.read(tag="train-2024-07").count() == 10
+    assert t.read().count() == 30
+    with _pt.raises(KeyError, match="no tag"):
+        t.read(tag="nope")
+    with _pt.raises(ValueError, match="ONE of"):
+        t.read(version=0, tag="train-2024-07")
