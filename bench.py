@@ -259,6 +259,15 @@ def main():
         # round-11: incremental ANN maintenance at 10x vectors —
         # half-build + frozen-centroid append must stay linear
         "q_ann_incremental",
+        # round-12: merge-on-read row-level DML at 10x — deletion
+        # vectors and UPDATE write changed rows/pairs only, so both
+        # legs must scale with the MATCHED set, not the corpus; the
+        # filtered-ANN leg scales with probed-cluster rows; textrank
+        # pins the bucketed applyInPandas cost at 10x documents
+        "q_lake_dv",
+        "q_lake_update",
+        "q_ann_filtered",
+        "q_textrank",
     ]
     sf1_timings = {}
     sf1_canaries = {}

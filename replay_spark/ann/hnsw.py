@@ -321,10 +321,25 @@ class HNSWANN:
         found = self._search_layer(q, ep, max(self.ef_search, k), 0)
         return found[:k]
 
-    def search(self, queries: DataFrame, k: int = 10) -> DataFrame:
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        filter_ids: Optional[DataFrame] = None,
+        filter_oversample: int = 4,
+    ) -> DataFrame:
         """(query_id, neighbor_id, cosine, rank) — the graph walk runs
         executor-side over Arrow batches; the index rides the closure
-        broadcast."""
+        broadcast.
+
+        ``filter_ids`` (one-column admissible-id frame) POST-filters:
+        a graph walk cannot pre-prune without breaking connectivity
+        (the hnswlib approach is the same), so the walk over-fetches
+        ``k * filter_oversample`` candidates, drops inadmissible
+        ones, and cuts to k. A very selective filter can return
+        FEWER than k rows per query — raise ``filter_oversample``
+        (cost is walk depth, not corpus scans), or use the IVF/PQ
+        pre-filtering indexes when filters are the common case."""
         import pandas as pd
 
         if self._vecs is None:
@@ -337,7 +352,10 @@ class HNSWANN:
         ]
         desc = metric != "l2"
         # over-fetch one so a query that finds itself still returns k
-        kk = k + 1
+        # (times the oversample when a post-filter will drop rows)
+        kk = k + 1 if filter_ids is None else k * max(
+            1, int(filter_oversample)
+        ) + 1
 
         def walk(batches):
             for pdf in batches:
@@ -373,6 +391,11 @@ class HNSWANN:
             walk,
             schema="query_id long, neighbor_id long, score_raw double",
         )
+        if filter_ids is not None:
+            ids = filter_ids.select(
+                F.col(filter_ids.columns[0]).alias("neighbor_id")
+            ).distinct()
+            out = out.join(ids, "neighbor_id", "left_semi")
         w = Window.partitionBy("query_id").orderBy(
             F.col(out_col).desc() if desc else F.col(out_col).asc(),
             F.col("neighbor_id").asc(),

@@ -63,3 +63,28 @@ def test_filtered_search_pq_ids(spark):
     out = ann.search(corpus.filter("vec_id < 4"), k=3, filter_ids=ids)
     for r in out.collect():
         assert r["neighbor_id"] % 2 == 0
+
+
+def test_filtered_search_hnsw_oversample(spark):
+    import random
+
+    from replay_spark.ann import HNSWANN
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(100)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    ann = HNSWANN(M=8, ef_construction=32, ef_search=32, seed=1).fit(corpus)
+    ids = corpus.filter("vec_id % 2 = 1").select("vec_id")
+    out = ann.search(
+        corpus.filter("vec_id < 4"), k=3, filter_ids=ids,
+        filter_oversample=8,
+    )
+    rows_out = out.collect()
+    assert rows_out
+    for r in rows_out:
+        assert r["neighbor_id"] % 2 == 1
+        assert r["rank"] <= 3
