@@ -11470,9 +11470,10 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT 'cdf_del', * FROM dels
                 UNION ALL SELECT 'cdf_ins', * FROM ins
             )
-            SELECT leg, doc_id % 10 AS bucket, COUNT(*) AS n_rows,
-                   SUM(doc_id) AS sum_doc_id,
-                   SUM(n_chars) AS sum_chars
+            SELECT leg, doc_id % 10 AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM u GROUP BY leg, bucket
         """,
         "q_lake_partition_evolution": """
@@ -11490,9 +11491,9 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT 'full', * FROM d
             )
-            SELECT leg, lang, COUNT(*) AS n_rows,
-                   SUM(doc_id) AS sum_doc_id,
-                   SUM(n_chars) AS sum_chars
+            SELECT leg, lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM u GROUP BY leg, lang
         """,
         "q_ann_filtered": """
@@ -11559,9 +11560,9 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT 'cdf_del', * FROM cdf_del
             )
             SELECT snap, doc_id % 10 AS bucket,
-                   COUNT(*) AS n_rows,
-                   SUM(doc_id) AS sum_doc_id,
-                   SUM(n_chars) AS sum_chars
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM u GROUP BY snap, bucket
         """,
         "q_lake_rename": """
