@@ -3731,6 +3731,46 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bytelevel_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-style byte-level BPE: published pretoken regex +
+    reversible byte↔unicode table, merges learned over the mapped
+    alphabet — no unknown tokens, and decode is the exact inverse
+    (the gate asserts the LOSSLESS round trip in-gate over every
+    document before returning counts; rows-only like q_bpe_tokens:
+    the merge loop is iterative, not SQL)."""
+    from replay_spark.preprocessing.bpe import ByteLevelBPETokenizer
+
+    docs = _par(rsd.read_table(spark, sf_dir, "documents"))
+    bpe = ByteLevelBPETokenizer(num_merges=100).fit(docs)
+    out = bpe.transform(docs)
+
+    import pandas as pd
+
+    def check_roundtrip(batches):
+        dec = ByteLevelBPETokenizer.decode_tokens
+        for pdf in batches:
+            ok = [
+                dec(toks) == (text or "")
+                for text, toks in zip(pdf["text"], pdf["tokens"])
+            ]
+            if not all(ok):
+                raise AssertionError("byte-level BPE round trip broke")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_tokens": [len(t) for t in pdf["tokens"]],
+                    "n_chars_decoded": [
+                        len(dec(t)) for t in pdf["tokens"]
+                    ],
+                }
+            )
+
+    return out.select("doc_id", "text", "tokens").mapInPandas(
+        check_roundtrip,
+        schema="doc_id long, n_tokens long, n_chars_decoded long",
+    )
+
+
 def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL JPEG-codec gate: each embedding's mean is quantized to a
     solid 16×16 grayscale image, encoded — alternating per id between
@@ -7254,6 +7294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pq_ann": q_pq_ann,
         "q_ivfpq_ann": q_ivfpq_ann,
         "q_bpe_tokens": q_bpe_tokens,
+        "q_bytelevel_bpe": q_bytelevel_bpe,
         "q_doc_fingerprints": q_doc_fingerprints,
         "q_cluster_rec": q_cluster_rec,
         "q_als_recs": q_als_recs,

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 from replay_spark.preprocessing.text import tokenize_expr
 
-__all__ = ["BPETokenizer", "WordPieceTokenizer"]
+__all__ = ["BPETokenizer", "ByteLevelBPETokenizer", "WordPieceTokenizer"]
 
 _EOW = "</w>"
 
@@ -126,9 +126,14 @@ class BPETokenizer:
             wf.unpersist()
         return self
 
+    def _symbols(self, word: str) -> tuple:
+        """Initial symbol sequence for a word type (subclass hook:
+        byte-level maps UTF-8 bytes instead of chars+EOW)."""
+        return _word_symbols(word)
+
     def _fit_driver(self, word_freqs: dict) -> list:
         """Standard in-memory BPE over the word-type dict."""
-        symbols = {w: _word_symbols(w) for w in word_freqs}
+        symbols = {w: self._symbols(w) for w in word_freqs}
         merges: list = []
         for _ in range(self.num_merges):
             counts: dict = {}
@@ -273,7 +278,7 @@ class BPETokenizer:
     # -- inference -----------------------------------------------------------
 
     def _encode_word(self, word: str, ranks: dict) -> list:
-        syms = list(_word_symbols(word))
+        syms = list(self._symbols(word))
         while len(syms) > 1:
             best_rank, best_i = None, None
             for i in range(len(syms) - 1):
@@ -446,3 +451,175 @@ class WordPieceTokenizer:
                 yield pdf
 
         return df.mapInPandas(process, schema=out_schema)
+
+
+def bytes_to_unicode() -> dict:
+    """The GPT-2 reversible byte → printable-unicode-char table
+    (Radford et al. 2019, public ``encoder.py``): the 188 printable
+    latin-1 bytes map to themselves, the rest to U+0100.. — every
+    byte gets a VISIBLE single-char symbol, so BPE merges operate on
+    strings while staying exactly byte-level."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+_BYTE_TO_CHAR = bytes_to_unicode()
+_CHAR_TO_BYTE = {c: b for b, c in _BYTE_TO_CHAR.items()}
+
+# GPT-2 pretokenization, Python-re approximation of the published
+# \p{L}/\p{N} pattern: [^\W\d_] ≈ \p{L} and \d ≈ \p{N} (Nd only —
+# the rare Nl/No codepoints fall into the punctuation run; an honest,
+# documented deviation). Leading spaces attach to the following
+# pretoken, contractions split as their own pretokens, trailing
+# whitespace runs stay whole — the properties downstream merges need.
+import re as _re
+
+_GPT2_PRETOKEN = _re.compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+"
+)
+
+
+def _byte_map_word(pretoken: str) -> str:
+    return "".join(_BYTE_TO_CHAR[b] for b in pretoken.encode("utf-8"))
+
+
+class ByteLevelBPETokenizer(BPETokenizer):
+    """GPT-2-style byte-level BPE: pretokenize with the published
+    regex (spaces attach to the next pretoken), map each pretoken's
+    UTF-8 bytes through the reversible byte↔unicode table, and learn
+    merges over the mapped alphabet — NO unknown tokens ever
+    (any byte sequence tokenizes), and ``decode_tokens`` is the exact
+    inverse (round-trip property-tested). Word-type table stays
+    Heaps-law bounded like the base class; training runs the driver
+    loop (the distributed batcher's symbolizer is char+EOW — above
+    ``driver_threshold`` word types this class raises rather than
+    silently training the wrong alphabet).
+
+    No reference counterpart (LLM-pipeline extension); byte table and
+    pretoken regex follow the public GPT-2 encoder."""
+
+    def __init__(
+        self,
+        num_merges: int = 200,
+        text_column: str = "text",
+        min_pair_count: int = 2,
+        driver_threshold: int = 1_000_000,
+    ):
+        super().__init__(
+            num_merges=num_merges,
+            text_column=text_column,
+            lowercase=False,
+            min_pair_count=min_pair_count,
+            driver_threshold=driver_threshold,
+        )
+
+    def _symbols(self, word: str) -> tuple:
+        # `word` is already byte-mapped (see _word_freqs/transform):
+        # each char IS one byte symbol
+        return tuple(word)
+
+    @staticmethod
+    def _pretokens(text: str) -> list:
+        return _GPT2_PRETOKEN.findall(text or "")
+
+    def _word_freqs(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+
+        text_column = self.text_column
+        pretokens = self._pretokens
+
+        def explode_words(batches: Iterator) -> Iterator:
+            for pdf in batches:
+                counts: dict = {}
+                for text in pdf[text_column]:
+                    for w in pretokens(text):
+                        m = _byte_map_word(w)
+                        counts[m] = counts.get(m, 0) + 1
+                yield pd.DataFrame(
+                    {
+                        "word": list(counts),
+                        "freq": list(counts.values()),
+                    }
+                )
+
+        return (
+            df.select(text_column)
+            .mapInPandas(explode_words, schema="word string, freq long")
+            .groupBy("word")
+            .agg(F.sum("freq").alias("freq"))
+        )
+
+    def fit(self, df: DataFrame) -> "ByteLevelBPETokenizer":
+        wf = self._word_freqs(df).persist()
+        try:
+            n_types = wf.count()
+            if n_types > self.driver_threshold:
+                raise ValueError(
+                    f"{n_types} byte-level word types exceed "
+                    f"driver_threshold={self.driver_threshold}; "
+                    "raise it (the table is Heaps-law bounded) or "
+                    "use the word-level BPETokenizer's distributed "
+                    "trainer"
+                )
+            rows = wf.collect()
+            self.merges = self._fit_driver(
+                {r["word"]: r["freq"] for r in rows}
+            )
+        finally:
+            wf.unpersist()
+        return self
+
+    def transform(
+        self, df: DataFrame, output_column: str = "tokens"
+    ) -> DataFrame:
+        if self.merges is None:
+            raise ValueError(
+                "ByteLevelBPETokenizer must be fit before transform"
+            )
+        ranks = {pair: i for i, pair in enumerate(self.merges)}
+        text_column = self.text_column
+        encode_word = self._encode_word
+        pretokens = self._pretokens
+        out_schema = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in df.schema.fields
+        ) + f", `{output_column}` array<string>"
+
+        def process(batches: Iterator) -> Iterator:
+            cache: dict = {}
+            for pdf in batches:
+                toks = []
+                for text in pdf[text_column]:
+                    doc = []
+                    for w in pretokens(text):
+                        m = _byte_map_word(w)
+                        hit = cache.get(m)
+                        if hit is None:
+                            hit = encode_word(m, ranks)
+                            cache[m] = hit
+                        doc.extend(hit)
+                    toks.append(doc)
+                pdf[output_column] = toks
+                yield pdf
+
+        return df.mapInPandas(process, schema=out_schema)
+
+    @staticmethod
+    def decode_tokens(tokens) -> str:
+        """Exact inverse of ``transform`` over one document's token
+        list: mapped chars → bytes → UTF-8 text."""
+        data = bytes(
+            _CHAR_TO_BYTE[c] for tok in tokens for c in tok
+        )
+        return data.decode("utf-8", errors="replace")
