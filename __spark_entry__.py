@@ -3771,6 +3771,50 @@ def q_bytelevel_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_metric_repository(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style metric repository + anomaly gate: two recorded
+    verification runs (completeness of a column nulled on different
+    moduli), then a third run anomaly-checked against history with
+    the relative-rate-of-change strategy — DuckDB recomputes every
+    run's violation fraction, the admissible band from the LAST run,
+    and the verdict. The repository itself is a LakeTable, so the
+    quality history gets time travel/CDF for free (Schelter et al.
+    VLDB'18 re-expressed; the reference has no data-quality tier)."""
+    import os
+    import shutil
+    import tempfile
+
+    from replay_spark.quality import ConstraintSuite, MetricRepository
+
+    docs = rsd.read_table(spark, sf_dir, "documents")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"rs_metricrepo_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    repo = MetricRepository(spark, path)
+    suite = ConstraintSuite().is_complete("v")
+
+    def batch(k):
+        return docs.selectExpr(
+            "doc_id",
+            f"CASE WHEN doc_id % {k} = 0 THEN NULL ELSE n_chars END AS v",
+        )
+
+    repo.record(suite.run(batch(10)), "r0", 100)
+    repo.record(suite.run(batch(12)), "r1", 101)
+    chk = repo.anomaly_check(
+        suite.run(batch(3)), strategy="relative", threshold=0.5
+    )
+    return chk.select(
+        "constraint",
+        "column",
+        stable_round(F.col("metric"), 6).alias("metric"),
+        stable_round(F.col("expected_lo"), 6).alias("expected_lo"),
+        stable_round(F.col("expected_hi"), 6).alias("expected_hi"),
+        F.col("n_history").cast("long").alias("n_history"),
+        "is_anomaly",
+    )
+
+
 def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL JPEG-codec gate: each embedding's mean is quantized to a
     solid 16×16 grayscale image, encoded — alternating per id between
@@ -6983,12 +7027,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Staleness ledger — machine-checked against CORRECTNESS_r*.json by
     tests/test_entry_contract.py::test_staleness_ledger_matches_files
     (numbers recomputed from the files, never hand-asserted): as of
-    r11 the oldest official hash-gate score is r6 (13 gates), and 7
+    r11 the oldest official hash-gate score is r6 (13 gates), and 8
     hash gates await a first official score. (The r10 docstring
     claimed no score predated r7; recomputation showed 67 gates at
     r4-r6 — that claim class is now computed, not asserted.)
 
-    Order for r12: (a) the 7 never-officially-scored hash gates —
+    Order for r12: (a) the 8 never-officially-scored hash gates —
     this round's debuts (q_lake_rename: Delta-style column mapping,
     RENAME/DROP COLUMN without rewriting data files, per-era
     physical-name resolution; q_lake_dv: deletion vectors —
@@ -7000,7 +7044,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     evolution, per-era zero-I/O pruning over mixed specs;
     q_lake_update: merge-on-read UPDATE — one atomic commit
     dv-deletes old row versions and adds the new ones;
-    q_ivf_ann_l2: the ANN
+    q_metric_repository: Deequ-style metric history + anomaly gate
+    over a LakeTable; q_ivf_ann_l2: the ANN
     metric= option's L2 path under a deterministic quantizer;
     q_drift_segmented: DriftReport(segment_column=...) — per-segment
     PSI on GLOBAL reference edges, replayed in DuckDB); (a2) the 4
@@ -7012,14 +7057,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     kept n_negatives survivors and falls back to the unfiltered path
     (q_sampled_eval), and LakeTable.merge() size-gates the
     touched-file key broadcast instead of hinting unconditionally
-    (q_merge_upsert); (b) the 39 stalest official scores, oldest
-    first — the COMPLETE r6 cohort (13) and the 26
+    (q_merge_upsert); (b) the 38 stalest official scores, oldest
+    first — the COMPLETE r6 cohort (13) and the 25
     alphabetically-first of the 35 r7-scored hash gates. The
     honestly non-SQL rows-only contracts (see
     test_entry_contract.py's allowlist) all sit in (c), officially
     green in prior rounds.
     (c) everything else — officially green in a prior round — still
-    run in tools/check_oracle at both scales and in bench; the 9
+    run in tools/check_oracle at both scales and in bench; the 10
     remaining r7-scored hash gates lead as r13 rotation candidates.
     """
     return {
@@ -7028,12 +7073,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #        drop without rewrite), deletion vectors
         #        (merge-on-read deletes + UPDATE), filtered
         #        vector search, partition-spec evolution,
-        #        the ANN L2 metric path, segmented drift ---
+        #        the metric-repository anomaly gate, the ANN
+        #        L2 metric path, and segmented drift -------
         "q_lake_rename": q_lake_rename,
         "q_lake_dv": q_lake_dv,
         "q_ann_filtered": q_ann_filtered,
         "q_lake_partition_evolution": q_lake_partition_evolution,
         "q_lake_update": q_lake_update,
+        "q_metric_repository": q_metric_repository,
         "q_ivf_ann_l2": q_ivf_ann_l2,
         "q_drift_segmented": q_drift_segmented,
         # -- (a2) gates whose code paths materially changed
@@ -7048,10 +7095,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sampled_eval": q_sampled_eval,
         "q_streaming_drift": q_streaming_drift,
         "q_merge_upsert": q_merge_upsert,
-        # -- (b) the 39 genuinely stalest official scores,
+        # -- (b) the 38 genuinely stalest official scores,
         #        oldest first: the COMPLETE r6 cohort (13)
-        #        and the 26 alphabetically-first of the 35
-        #        r7-scored hash gates (the other 9 head
+        #        and the 25 alphabetically-first of the 35
+        #        r7-scored hash gates (the other 10 head
         #        section (c) for the r13 rotation) ---------
         "q_metric_coverage": q_metric_coverage,
         "q_metric_mean_ci": q_metric_mean_ci,
@@ -7091,11 +7138,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize_composite": q_sessionize_composite,
         "q_simhash_pairs_md5": q_simhash_pairs_md5,
         "q_streaming_cms": q_streaming_cms,
-        "q_streaming_sessionize": q_streaming_sessionize,
         # -- (c) officially green in a prior round — still
         #        run in tools/check_oracle at both scales
-        #        and in bench; the 9 remaining r7-scored
+        #        and in bench; the 10 remaining r7-scored
         #        hash gates lead as r13 rotation candidates
+        "q_streaming_sessionize": q_streaming_sessionize,
         "q_substring_dedup": q_substring_dedup,
         "q_tfidf_keywords": q_tfidf_keywords,
         "q_unigram_lm_scores": q_unigram_lm_scores,
@@ -11581,6 +11628,26 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY cosine DESC, neighbor_id ASC) AS rank
                 FROM scored) t
             WHERE rank <= 5
+        """,
+        "q_metric_repository": """
+            WITH n AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM documents
+            ),
+            f AS (
+                SELECT
+                    (SELECT COUNT(*) FROM documents WHERE doc_id % 12 = 0)
+                        / total AS last_f,
+                    (SELECT COUNT(*) FROM documents WHERE doc_id % 3 = 0)
+                        / total AS x
+                FROM n
+            )
+            SELECT 'complete(v)' AS constraint, 'v' AS "column",
+                   round(x + 1e-9, 6) AS metric,
+                   round(last_f / 1.5 + 1e-9, 6) AS expected_lo,
+                   round(last_f * 1.5 + 1e-9, 6) AS expected_hi,
+                   CAST(2 AS BIGINT) AS n_history,
+                   (x < last_f / 1.5 OR x > last_f * 1.5) AS is_anomaly
+            FROM f
         """,
         "q_lake_dv": """
             WITH v1 AS (

@@ -29,7 +29,7 @@ from typing import List, Optional, Sequence, Tuple
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ConstraintSuite"]
+__all__ = ["ConstraintSuite", "MetricRepository"]
 
 
 class ConstraintSuite:
@@ -256,3 +256,149 @@ class ConstraintSuite:
         ]
         if failed:
             raise ValueError("constraints failed: " + "; ".join(failed))
+
+
+class MetricRepository:
+    """Deequ-style metric repository + anomaly detection: persist
+    every verification run's constraint metrics in a
+    :class:`replay_spark.lake.LakeTable` (time travel, CDF and tags
+    apply to the quality history itself), then check a NEW report
+    against the trailing window before accepting a batch — the
+    "yesterday's completeness was 0.99, today's is 0.2, block the
+    pipeline" device (Schelter et al., VLDB 2018, re-expressed for
+    this log).
+
+    Strategies (per (constraint, column), metric = num/den):
+
+    * ``"stddev"`` — anomalous when |x − mean(history)| > k·std
+      (Deequ's OnlineNormal shape; k = ``threshold``, std of the
+      trailing ``window`` runs, never flags with < 2 history runs);
+    * ``"relative"`` — rate of change vs the LAST run outside
+      [1/(1+threshold), 1+threshold] (RelativeRateOfChange);
+    * ``"absolute"`` — |x − last| > threshold (AbsoluteChange).
+
+    History is bounded (runs × constraints rows); the fold is a
+    driver pass over that tiny table, the data-sized work happened
+    inside ``ConstraintSuite.run``'s one scan."""
+
+    def __init__(self, spark, path: str):
+        from replay_spark.lake import LakeTable
+
+        self.spark = spark
+        self.table = LakeTable(spark, path)
+
+    def record(
+        self, report: DataFrame, run_key: str, run_ts: int
+    ) -> int:
+        """Append one verification run. ``run_ts`` is the caller's
+        clock (unix seconds or any monotonic int — kept explicit so
+        history replays deterministically)."""
+        stamped = report.select(
+            F.lit(run_key).alias("run_key"),
+            F.lit(int(run_ts)).cast("long").alias("run_ts"),
+            "constraint",
+            "column",
+            F.col("metric_num").cast("long"),
+            F.col("metric_den").cast("long"),
+            "passed",
+        )
+        return self.table.append(stamped)
+
+    def history(self) -> DataFrame:
+        return self.table.read()
+
+    def anomaly_check(
+        self,
+        report: DataFrame,
+        strategy: str = "stddev",
+        threshold: float = 3.0,
+        window: int = 10,
+    ) -> DataFrame:
+        """One row per (constraint, column) of ``report``:
+        ``metric`` (num/den of the new run), ``expected_lo``/
+        ``expected_hi`` (the strategy's admissible band from
+        history), ``n_history``, ``is_anomaly``. Constraints with no
+        usable history are never anomalous (n_history reflects it)."""
+        if strategy not in ("stddev", "relative", "absolute"):
+            raise ValueError(f"unknown strategy {strategy!r}")
+        hist = [
+            r.asDict()
+            for r in self.history()
+            .orderBy(F.col("run_ts").desc())
+            .collect()
+        ]
+        by_key: dict = {}
+        for r in hist:
+            key = (r["constraint"], r["column"])
+            if len(by_key.setdefault(key, [])) < window:
+                den = r["metric_den"] or 0
+                by_key[key].append(
+                    (r["metric_num"] / den) if den else 0.0
+                )
+        rows = []
+        for r in report.collect():
+            key = (r["constraint"], r["column"])
+            den = r["metric_den"] or 0
+            x = (r["metric_num"] / den) if den else 0.0
+            past = by_key.get(key, [])
+            lo = hi = None
+            anomalous = False
+            if strategy == "stddev" and len(past) >= 2:
+                m = sum(past) / len(past)
+                var = sum((p - m) ** 2 for p in past) / len(past)
+                band = threshold * (var ** 0.5)
+                lo, hi = m - band, m + band
+                anomalous = not (lo <= x <= hi)
+            elif strategy == "relative" and past:
+                last = past[0]
+                if last > 0:
+                    lo, hi = last / (1 + threshold), last * (1 + threshold)
+                    anomalous = not (lo <= x <= hi)
+                else:
+                    lo = hi = 0.0
+                    anomalous = x > 0
+            elif strategy == "absolute" and past:
+                last = past[0]
+                lo, hi = last - threshold, last + threshold
+                anomalous = not (lo <= x <= hi)
+            rows.append(
+                (
+                    r["constraint"],
+                    r["column"],
+                    float(x),
+                    lo,
+                    hi,
+                    len(past),
+                    bool(anomalous),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "constraint string, column string, metric double, "
+            "expected_lo double, expected_hi double, "
+            "n_history int, is_anomaly boolean",
+        )
+
+    def record_if_normal(
+        self,
+        report: DataFrame,
+        run_key: str,
+        run_ts: int,
+        strategy: str = "stddev",
+        threshold: float = 3.0,
+        window: int = 10,
+    ) -> int:
+        """Gatekeeper compose: anomaly-check the report against
+        history and RAISE (recording nothing) when any constraint is
+        anomalous; otherwise record and return the version."""
+        bad = [
+            f"{r.constraint}({r.column}): {r.metric:.4f} outside "
+            f"[{r.expected_lo}, {r.expected_hi}]"
+            for r in self.anomaly_check(
+                report, strategy, threshold, window
+            ).collect()
+            if r.is_anomaly
+        ]
+        if bad:
+            raise ValueError("metric anomalies: " + "; ".join(bad))
+        return self.record(report, run_key, run_ts)

@@ -108,3 +108,41 @@ def test_satisfies_null_predicate_counts_as_false(spark):
         .collect()[0]
     )
     assert r.metric_num == 1 and r.metric_den == 2 and not r.passed
+
+
+def test_metric_repository_anomaly_detection(spark, tmp_path):
+    import pytest as _pt
+
+    from replay_spark.quality import ConstraintSuite, MetricRepository
+
+    repo = MetricRepository(spark, str(tmp_path / "metrics"))
+    suite = ConstraintSuite().is_complete("v")
+
+    def batch(null_every):
+        return spark.range(0, 1000).selectExpr(
+            "id", f"CASE WHEN id % {null_every} = 0 THEN NULL ELSE id END AS v"
+        )
+
+    # five stable runs: ~0.1% nulls
+    for i in range(5):
+        repo.record(suite.run(batch(1000)), f"run-{i}", 100 + i)
+    assert repo.history().count() == 5
+    # a normal sixth run is not anomalous and records
+    ok = suite.run(batch(1000))
+    chk = repo.anomaly_check(ok, strategy="relative", threshold=0.5)
+    assert all(not r.is_anomaly for r in chk.collect())
+    repo.record_if_normal(ok, "run-5", 105, strategy="relative",
+                          threshold=0.5)
+    # a corrupted batch (20% nulls) is anomalous under relative AND
+    # absolute strategies, and the gatekeeper refuses to record it
+    bad = suite.run(batch(5))
+    chk2 = repo.anomaly_check(bad, strategy="relative", threshold=0.5)
+    flagged = [r for r in chk2.collect() if r.is_anomaly]
+    assert flagged and flagged[0].n_history >= 1
+    with _pt.raises(ValueError, match="anomalies"):
+        repo.record_if_normal(bad, "run-6", 106, strategy="absolute",
+                              threshold=0.05)
+    assert repo.history().count() == 6  # the bad run never landed
+    # stddev needs >= 2 history points and flags the same outlier
+    chk3 = repo.anomaly_check(bad, strategy="stddev", threshold=3.0)
+    assert any(r.is_anomaly for r in chk3.collect())
