@@ -770,31 +770,45 @@ class LakeTable:
             start_version >= 0
         ) else {}
 
-        def _dv_pairs(f: str, dv: Optional[str]) -> Optional[DataFrame]:
-            if dv is None:
-                return None
-            return self._dv_rows({f: dv}, [f])
-
         for c in commits:
             op = c["operation"]
             dv_updates = c.get("dv") or {}
-            for f, new_dv in dv_updates.items():
-                if f in c.get("remove", []) or f in c.get("add", []):
-                    continue  # rewritten files diff through add/remove
-                before = _dv_pairs(f, dv_state.get(f))
-                after = _dv_pairs(f, new_dv)
+            repointed = [
+                f
+                for f in dv_updates
+                if f not in c.get("remove", [])
+                and f not in c.get("add", [])
+            ]  # rewritten files diff through add/remove instead
+            if repointed:
+                # ONE scan of all repointed files per commit (not
+                # one plan per file — a wide dv commit would
+                # otherwise explode the feed's plan), diffed under
+                # the pre- and post-commit vectors
                 file_scan = self._with_meta(
-                    self.spark.read.parquet(os.path.join(self.path, f))
+                    self.spark.read.parquet(
+                        *[os.path.join(self.path, f) for f in repointed]
+                    )
                 )
+                before_map = {
+                    f: dv_state[f] for f in repointed if f in dv_state
+                }
+                after_map = {
+                    f: dv_updates[f]
+                    for f in repointed
+                    if dv_updates[f] is not None
+                }
 
-                def _rows_at(pairs):
+                def _rows_at(dv_map):
+                    pairs = self._dv_rows(dv_map, list(dv_map)) if (
+                        dv_map
+                    ) else None
                     kept = self._apply_dv(file_scan, pairs) if (
                         pairs is not None
                     ) else file_scan
                     return kept.drop("_fp", "_ri")
 
-                visible_before = _rows_at(before)
-                visible_after = _rows_at(after)
+                visible_before = _rows_at(before_map)
+                visible_after = _rows_at(after_map)
                 for df, kind in (
                     (visible_before.exceptAll(visible_after), "delete"),
                     (visible_after.exceptAll(visible_before), "insert"),
