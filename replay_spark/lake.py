@@ -474,8 +474,6 @@ class LakeTable:
     # this follows the public Delta Lake deletion-vector protocol
     # shape (merge-on-read, vector-per-file, replaced-on-update).
 
-    _DV_BROADCAST_LIMIT = 1_000_000
-
     @staticmethod
     def _dv_scan_key():
         """Join key for the SCAN side: file-path suffix after the
@@ -522,18 +520,33 @@ class LakeTable:
             out = part if out is None else out.unionByName(part)
         return out
 
-    def _apply_dv(self, scan: DataFrame, dv_rows: DataFrame) -> DataFrame:
+    _DV_BROADCAST_BYTES = 32 * 1024 * 1024
+
+    def _dv_bytes(self, dv_map: dict) -> int:
+        """Total on-disk bytes of the distinct sidecars in a pointer
+        map — the zero-job broadcast gate for :meth:`_apply_dv`
+        (driver-side stat calls, O(sidecars))."""
+        total = 0
+        for dv in set(dv_map.values()):
+            root = os.path.join(self.path, dv)
+            try:
+                for name in _fs_list(root):
+                    total += os.path.getsize(os.path.join(root, name))
+            except OSError:
+                return self._DV_BROADCAST_BYTES + 1  # unknown: no hint
+        return total
+
+    def _apply_dv(
+        self, scan: DataFrame, dv_rows: DataFrame, small: bool = True
+    ) -> DataFrame:
         """Anti-join a frame carrying materialized ``_fp``/``_ri``
-        meta columns against deleted (file, row_index) pairs. The
-        pair relation is broadcast while provably small (same
-        limit-probe device as merge)."""
+        meta columns against deleted (file, row_index) pairs.
+        ``small`` (decided by the caller from SIDECAR FILE SIZES —
+        :meth:`_dv_bytes`, zero Spark jobs) adds the broadcast hint;
+        a large vector set falls back to a shuffled anti-join."""
         pairs = dv_rows.select(
             self._dv_file_key(F.col("file")).alias("_dv_key"),
             F.col("row_index").cast("long").alias("_dv_ri"),
-        )
-        small = (
-            pairs.limit(self._DV_BROADCAST_LIMIT + 1).count()
-            <= self._DV_BROADCAST_LIMIT
         )
         right = F.broadcast(pairs) if small else pairs
         cond = (
@@ -582,7 +595,12 @@ class LakeTable:
                     *[os.path.join(self.path, p) for p in dvd]
                 )
             )
-            kept = self._apply_dv(scan, self._dv_rows(dvs, dvd))
+            sub = {f: dvs[f] for f in dvd}
+            kept = self._apply_dv(
+                scan,
+                self._dv_rows(dvs, dvd),
+                small=self._dv_bytes(sub) <= self._DV_BROADCAST_BYTES,
+            )
             parts.append(kept if keep_meta else kept.drop("_fp", "_ri"))
         if not parts:
             raise FileNotFoundError(f"no files to scan at {self.path}")
@@ -799,12 +817,15 @@ class LakeTable:
                 }
 
                 def _rows_at(dv_map):
-                    pairs = self._dv_rows(dv_map, list(dv_map)) if (
-                        dv_map
-                    ) else None
-                    kept = self._apply_dv(file_scan, pairs) if (
-                        pairs is not None
-                    ) else file_scan
+                    if not dv_map:
+                        return file_scan.drop("_fp", "_ri")
+                    pairs = self._dv_rows(dv_map, list(dv_map))
+                    kept = self._apply_dv(
+                        file_scan,
+                        pairs,
+                        small=self._dv_bytes(dv_map)
+                        <= self._DV_BROADCAST_BYTES,
+                    )
                     return kept.drop("_fp", "_ri")
 
                 visible_before = _rows_at(before_map)
@@ -2472,10 +2493,13 @@ class LakeTable:
         kept_dvs = {f: dv for f, dv in dvs.items() if f in set(kept_rel)}
         if kept_dvs:
             dv_pairs = self._dv_rows(dvs, list(kept_dvs))
+            dv_small = (
+                self._dv_bytes(kept_dvs) <= self._DV_BROADCAST_BYTES
+            )
 
             def dv_hook(scan):  # noqa: F811
                 return self._apply_dv(
-                    self._with_meta(scan), dv_pairs
+                    self._with_meta(scan), dv_pairs, small=dv_small
                 ).drop("_fp", "_ri")
 
         df, n_kept, _ = read_pruned(

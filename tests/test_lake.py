@@ -1127,7 +1127,7 @@ def test_timestamp_as_of_time_travel(table, spark):
     assert table.read(as_of=_time.time()).count() == 9
     with pytest.raises(ValueError, match="no commit at or before"):
         table.version_as_of(hist[0] / 1_000_000 - 10.0)
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="ONE of"):
         table.read(version=0, as_of=t_mid)
     # mtime fallback: strip commit_ts from v0's record
     name = os.path.join(table.path, "_log", f"{0:010d}.json")
