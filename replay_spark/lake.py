@@ -120,10 +120,26 @@ class LakeTable:
     schema JSON of the table as of this commit).
     """
 
-    def __init__(self, spark: SparkSession, path: str):
+    #: reader features THIS implementation understands; a commit
+    #: written with a feature outside this set makes every read
+    #: raise instead of silently returning wrong rows (the Delta
+    #: minReaderVersion/tableFeatures device)
+    SUPPORTED_FEATURES = frozenset(
+        {"column_mapping", "deletion_vectors"}
+    )
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        auto_checkpoint_every: Optional[int] = 10,
+    ):
         self.spark = spark
         self.path = path
         self._log_dir = os.path.join(path, "_log")
+        # Delta checkpoints every 10 commits by default; None
+        # disables (tests that pin exact log layouts pass None)
+        self.auto_checkpoint_every = auto_checkpoint_every
 
     # -- log ---------------------------------------------------------------
 
@@ -216,8 +232,15 @@ class LakeTable:
             self._log_dir, f"_checkpoint_{version:010d}.json"
         )
         if not _fs_write_exclusive(name, payload):
+            # fold state is deterministic per version, so an existing
+            # identical checkpoint (auto-checkpoint, or a concurrent
+            # writer that won the race) makes this call idempotent;
+            # a DIFFERENT payload means log corruption — refuse
+            if _fs_read(name) == payload:
+                return version
             raise ConcurrentWriteError(
-                f"checkpoint at version {version} already exists"
+                f"checkpoint at version {version} exists with "
+                "DIFFERENT content — log corruption"
             )
         return version
 
@@ -255,6 +278,14 @@ class LakeTable:
         for c in self._commits(after=start):
             if version is not None and c["version"] > version:
                 break
+            unknown = set(c.get("features") or []) - self.SUPPORTED_FEATURES
+            if unknown:
+                raise ValueError(
+                    f"commit {c['version']} at {self.path} uses table "
+                    f"features this reader does not support: "
+                    f"{sorted(unknown)} — upgrade replay_spark before "
+                    "reading (refusing is the only safe answer)"
+                )
             for r in c.get("remove", []):
                 live.remove(r)
                 parts.pop(r, None)
@@ -1256,10 +1287,23 @@ class LakeTable:
             # deletion-vector pointer updates: {file: sidecar_rel}
             # re-points, {file: None} clears (restore)
             payload["dv"] = dv
+        features = []
+        if payload.get("column_mapping"):
+            features.append("column_mapping")
+        if payload.get("dv"):
+            features.append("deletion_vectors")
+        if features:
+            payload["features"] = features
         record = json.dumps(payload)
         name = os.path.join(self._log_dir, f"{version:010d}.json")
         if not _fs_write_exclusive(name, record):
             raise ConcurrentWriteError(f"version {version} already committed")
+        every = self.auto_checkpoint_every
+        if every and version > 0 and version % every == 0:
+            try:
+                self.checkpoint()
+            except ConcurrentWriteError:
+                pass  # a concurrent writer checkpointed this version
         return version
 
     def append(

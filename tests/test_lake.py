@@ -530,9 +530,21 @@ def test_checkpoint_accelerated_log(table, spark):
     before = {r.k for r in table.read().collect()}
     ck = table.checkpoint()
     assert ck == 7
-    # duplicate checkpoint at the same version conflicts
+    # duplicate checkpoint at the same version is IDEMPOTENT
+    # (deterministic fold -> identical payload; auto-checkpoints
+    # would otherwise break explicit calls), while a DIFFERENT
+    # payload still refuses
+    assert table.checkpoint() == ck
+    ck_path = os.path.join(
+        table._log_dir, f"_checkpoint_{ck:010d}.json"
+    )
+    good = open(ck_path).read()
+    with open(ck_path, "w") as fh:
+        fh.write(good + " ")  # same JSON, different bytes
     with pytest.raises(lakemod.ConcurrentWriteError):
         table.checkpoint()
+    with open(ck_path, "w") as fh:
+        fh.write(good)
     # tail commits after the checkpoint
     table.append(
         spark.range(200, 203).selectExpr("id AS k", "id * 2 AS v")
@@ -1442,3 +1454,40 @@ def test_read_by_tag(spark, tmp_path):
         t.read(tag="nope")
     with _pt.raises(ValueError, match="ONE of"):
         t.read(version=0, tag="train-2024-07")
+
+
+def test_reader_feature_guard_and_auto_checkpoint(spark, tmp_path):
+    import json as _json
+    import os as _os
+
+    import pytest as _pt
+
+    from replay_spark.lake import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "fg"), auto_checkpoint_every=5)
+    for i in range(11):
+        t.append(spark.range(i, i + 1))
+    # auto-checkpoints landed at versions 5 and 10
+    ckpts = [
+        n for n in _os.listdir(t._log_dir) if n.startswith("_checkpoint")
+    ]
+    assert sorted(ckpts) == [
+        "_checkpoint_0000000005.json",
+        "_checkpoint_0000000010.json",
+    ]
+    assert t.read().count() == 11
+    # dv/mapping commits record their feature flags
+    t.delete("id = 3", mode="dv")
+    c = t._commits()[-1]
+    assert c["features"] == ["deletion_vectors"]
+    # a commit with an unknown feature makes reads refuse loudly
+    v = t.latest_version() + 1
+    path = _os.path.join(t._log_dir, f"{v:010d}.json")
+    with open(path, "w") as fh:
+        fh.write(_json.dumps({
+            "version": v, "operation": "append", "add": [],
+            "remove": [], "schema": c["schema"],
+            "features": ["quantum_vectors"],
+        }))
+    with _pt.raises(ValueError, match="quantum_vectors"):
+        t.read()
