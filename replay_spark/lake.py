@@ -2330,16 +2330,85 @@ class LakeTable:
         )
         return out.select(*data_cols)
 
-    def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> int:
-        """Rewrite the live files into ~``target_file_bytes`` ones;
+    def _partition_selected(
+        self, base_version: int, partition_filter: dict
+    ):
+        """Live files PROVABLY inside every (col == value) of
+        ``partition_filter`` per their recorded partition values —
+        the selection a partition-scoped rewrite may touch. Files
+        without a recorded value are excluded (a rewrite must only
+        move rows it can prove belong to the target partition)."""
+        fold = self._fold_state(base_version)
+        live, parts = fold[0], fold[4]
+        selected = []
+        for rel in live:
+            p = parts.get(rel) or {}
+            if all(
+                c in p and p[c] == (None if v is None else str(v))
+                for c, v in partition_filter.items()
+            ):
+                selected.append(rel)
+        return selected
+
+    def compact(
+        self,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        partition_filter: Optional[dict] = None,
+    ) -> int:
+        """Rewrite live files into ~``target_file_bytes`` ones;
         same rows, new layout, one atomic swap. PARTITION-PRESERVING
         on partitioned tables: rows re-shuffle on the partition
         columns (fat partitions split into ~target-sized salt
         buckets) and land in fresh hive dirs whose values are
         re-recorded in the commit — compaction never silently kills
         the zero-I/O log-pruning tier (on an unpartitioned table the
-        path is the plain size-targeted rewrite)."""
+        path is the plain size-targeted rewrite).
+
+        ``partition_filter`` ({col: value}) scopes the rewrite to
+        ONE partition's files — Delta's ``OPTIMIZE ... WHERE``: at
+        100 TB the hot partition compacts in minutes while the other
+        files carry by reference, untouched. Scoped rewrites go
+        through the DV-aware scan, so the compacted partition's
+        deletion vectors materialize away while other partitions
+        keep theirs."""
         base_version = self.latest_version()
+        if partition_filter:
+            fold = self._fold_state(base_version)
+            dvs = fold[7]
+            mapping = fold[6]
+            schema_json = fold[1]
+            selected = self._partition_selected(
+                base_version, partition_filter
+            )
+            if not selected:
+                return base_version
+            rows = self._scan_with_dv(selected, dvs)
+            total = sum(
+                os.path.getsize(os.path.join(self.path, p))
+                for p in selected
+            )
+            n = int(max(1, -(-total // target_file_bytes)))
+            # record the MAXIMAL provable partition metadata for the
+            # rewritten files: every item all selected inputs agree
+            # on (always includes the filter columns); values the
+            # inputs disagree on are honestly dropped — read_where
+            # keeps files without a recorded column conservatively
+            parts_map = fold[4]
+            common = None
+            for rel in selected:
+                items = set((parts_map.get(rel) or {}).items())
+                common = items if common is None else (common & items)
+            pvals = dict(sorted(common or []))
+            files = self._write_data(rows, num_files=n)
+            schema = StructType.fromJson(json.loads(schema_json))
+            return self._commit(
+                "compact",
+                files,
+                selected,
+                schema,
+                base_version + 1,
+                parts={f: pvals for f in files},
+            )
         live = self.snapshot_files(version=base_version)
         if not live:
             return base_version

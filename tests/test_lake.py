@@ -1491,3 +1491,46 @@ def test_reader_feature_guard_and_auto_checkpoint(spark, tmp_path):
         }))
     with _pt.raises(ValueError, match="quantum_vectors"):
         t.read()
+
+
+def test_partition_scoped_compact(spark, tmp_path):
+    import os as _os
+
+    import pyspark.sql.functions as F
+
+    from replay_spark.lake import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "pc"), auto_checkpoint_every=None)
+    df = spark.range(0, 400).select(
+        "id", (F.col("id") % 4).cast("string").alias("b")
+    )
+    # many small files per partition
+    for lo in range(0, 400, 100):
+        t.append(
+            df.filter((F.col("id") >= lo) & (F.col("id") < lo + 100)),
+            partition_by=["b"],
+        )
+    live_before = set(t.snapshot_files())
+    n_b1_before = len(t._partition_selected(t.latest_version(), {"b": "1"}))
+    assert n_b1_before >= 4
+    # dv-delete some rows inside the target partition
+    t.delete("id = 1", mode="dv")
+    v = t.compact(partition_filter={"b": "1"})
+    # only b=1 files were touched; every other live file identical
+    live_after = set(t.snapshot_files())
+    untouched = {
+        p for p in live_before
+        if "_p_b=1" not in p and _os.path.basename(p) in
+        {_os.path.basename(q) for q in live_after}
+    }
+    assert untouched  # other partitions carried by reference
+    # correctness: rows unchanged except the dv-deleted one
+    assert t.read().count() == 399
+    assert t.read().filter("b = '1'").count() == 99
+    # the compacted partition's vector materialized away
+    assert t._fold_state(None)[7] == {}
+    # pruning still works on the rewritten files
+    out, kept, total = t.read_where({"b": ("1", "1")})
+    assert out.count() == 99 and kept < total
+    # scoping to a missing partition is a no-op
+    assert t.compact(partition_filter={"b": "9"}) == v
