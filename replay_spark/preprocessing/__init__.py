@@ -28,3 +28,8 @@ from replay_spark.preprocessing.filters import (  # noqa: F401
     TimePeriodFilter,
     filter_cold,
 )
+from replay_spark.preprocessing.bpe import (  # noqa: F401
+    BPETokenizer,
+    ByteLevelBPETokenizer,
+    WordPieceTokenizer,
+)
