@@ -329,13 +329,16 @@ class LakeTable:
                 len(c.get("add", [])),
                 len(c.get("remove", [])),
                 self._commit_ts(c),
+                json.dumps(c["user_metadata"], sort_keys=True)
+                if c.get("user_metadata")
+                else None,
             )
             for c in commits
         ]
         return self.spark.createDataFrame(
             rows,
             "version INT, operation STRING, n_added INT, "
-            "n_removed INT, commit_ts LONG",
+            "n_removed INT, commit_ts LONG, user_metadata STRING",
         )
 
     def _commit_ts(self, c: dict) -> int:
@@ -1246,6 +1249,7 @@ class LakeTable:
         parts: Optional[dict] = None,
         mapping: object = _MAPPING_UNSET,
         dv: Optional[dict] = None,
+        user_metadata: Optional[dict] = None,
     ) -> int:
         cfg = self._bloom_config()
         if cfg and add:
@@ -1287,6 +1291,11 @@ class LakeTable:
             # deletion-vector pointer updates: {file: sidecar_rel}
             # re-points, {file: None} clears (restore)
             payload["dv"] = dv
+        if user_metadata:
+            # Delta commitInfo.userMetadata: caller-supplied audit
+            # context (job id, ticket, pipeline run) riding the
+            # commit record — surfaced by history()
+            payload["user_metadata"] = dict(user_metadata)
         features = []
         if payload.get("column_mapping"):
             features.append("column_mapping")
@@ -1313,6 +1322,7 @@ class LakeTable:
         merge_schema: bool = False,
         partition_by: Optional[Sequence[str]] = None,
         constraints=None,
+        user_metadata: Optional[dict] = None,
     ) -> int:
         """Add rows; blind appends never conflict logically, so a
         version race just retries at the next version. A schema that
@@ -1395,6 +1405,7 @@ class LakeTable:
                     "append", files, [], df.schema,
                     self.latest_version() + 1, parts=parts,
                     mapping=new_mapping,
+                    user_metadata=user_metadata,
                 )
             except ConcurrentWriteError:
                 continue

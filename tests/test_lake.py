@@ -1534,3 +1534,21 @@ def test_partition_scoped_compact(spark, tmp_path):
     assert out.count() == 99 and kept < total
     # scoping to a missing partition is a no-op
     assert t.compact(partition_filter={"b": "9"}) == v
+
+
+def test_commit_user_metadata(spark, tmp_path):
+    import json as _json
+
+    from replay_spark.lake import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "um2"))
+    t.append(
+        spark.range(0, 5),
+        user_metadata={"job": "nightly-ingest", "ticket": "DATA-42"},
+    )
+    t.append(spark.range(5, 10))
+    hist = {r["version"]: r["user_metadata"] for r in t.history().collect()}
+    assert _json.loads(hist[0]) == {
+        "job": "nightly-ingest", "ticket": "DATA-42"
+    }
+    assert hist[1] is None
