@@ -133,6 +133,8 @@ class LakeTable:
         spark: SparkSession,
         path: str,
         auto_checkpoint_every: Optional[int] = 10,
+        auto_compact_small_files: Optional[int] = None,
+        small_file_bytes: int = 16 * 1024 * 1024,
     ):
         self.spark = spark
         self.path = path
@@ -140,6 +142,14 @@ class LakeTable:
         # Delta checkpoints every 10 commits by default; None
         # disables (tests that pin exact log layouts pass None)
         self.auto_checkpoint_every = auto_checkpoint_every
+        # opt-in write-time compaction (the Delta autoCompact shape):
+        # after an append, if MORE than this many live files are
+        # under small_file_bytes, compact() runs in the same call —
+        # streaming micro-batches stop accreting a thousand tiny
+        # files without a separate maintenance job. Off by default:
+        # maintenance windows are a deliberate choice at 100 TB.
+        self.auto_compact_small_files = auto_compact_small_files
+        self.small_file_bytes = small_file_bytes
 
     # -- log ---------------------------------------------------------------
 
@@ -1399,17 +1409,39 @@ class LakeTable:
             files, parts = self._write_data_partitioned(out, pb)
         else:
             files = self._write_data(out)
+        version = None
         for _ in range(max_retries):
             try:
-                return self._commit(
+                version = self._commit(
                     "append", files, [], df.schema,
                     self.latest_version() + 1, parts=parts,
                     mapping=new_mapping,
                     user_metadata=user_metadata,
                 )
+                break
             except ConcurrentWriteError:
                 continue
-        raise ConcurrentWriteError("append retries exhausted")
+        if version is None:
+            raise ConcurrentWriteError("append retries exhausted")
+        limit = self.auto_compact_small_files
+        if limit:
+            small = 0
+            for rel in self._fold_state(version)[0]:
+                try:
+                    if (
+                        os.path.getsize(os.path.join(self.path, rel))
+                        < self.small_file_bytes
+                    ):
+                        small += 1
+                except OSError:
+                    continue
+            if small > limit:
+                version = self.compact(
+                    target_file_bytes=max(
+                        self.small_file_bytes * 8, 128 * 1024 * 1024
+                    )
+                )
+        return version
 
     def restore(self, version: int) -> int:
         """RESTORE TABLE TO VERSION AS OF: commit a new version whose

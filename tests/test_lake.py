@@ -1552,3 +1552,22 @@ def test_commit_user_metadata(spark, tmp_path):
         "job": "nightly-ingest", "ticket": "DATA-42"
     }
     assert hist[1] is None
+
+
+def test_auto_compact_small_files(spark, tmp_path):
+    from replay_spark.lake import LakeTable
+
+    t = LakeTable(
+        spark,
+        str(tmp_path / "ac"),
+        auto_checkpoint_every=None,
+        auto_compact_small_files=4,
+    )
+    for i in range(6):
+        t.append(spark.range(i * 10, i * 10 + 10).coalesce(1))
+    # the 5th/6th append crossed the threshold -> a compact commit
+    ops = [c["operation"] for c in t._commits()]
+    assert "compact" in ops
+    assert t.read().count() == 60
+    # post-compact live layout is small
+    assert len(t.snapshot_files()) < 5
