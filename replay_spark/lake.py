@@ -327,6 +327,44 @@ class LakeTable:
         stats = {k: v for k, v in stats.items() if k in live_set}
         return live, schema_json, schemas, txns, parts, stats, mapping, dvs
 
+    def detail(self) -> dict:
+        """DESCRIBE DETAIL: one dict of table facts — version, file
+        count/bytes, partition columns, active table features,
+        deletion-vector stats, checkpoint/vacuum state. Driver-side
+        metadata only (O(files) stat calls), no data I/O."""
+        version = self.latest_version()
+        if version < 0:
+            raise FileNotFoundError(f"no commits at {self.path}")
+        fold = self._fold_state(version)
+        live, schema_json, _, txns, parts, stats, mapping, dvs = fold
+        total = 0
+        for rel in live:
+            try:
+                total += os.path.getsize(os.path.join(self.path, rel))
+            except OSError:
+                pass
+        pcols = self._partition_columns(version)
+        features = []
+        if mapping is not None:
+            features.append("column_mapping")
+        if dvs:
+            features.append("deletion_vectors")
+        ckpt = self._latest_checkpoint(version)
+        return {
+            "path": self.path,
+            "version": version,
+            "num_files": len(live),
+            "size_bytes": total,
+            "partition_columns": pcols or [],
+            "features": features,
+            "num_dv_files": len(dvs),
+            "dv_bytes": self._dv_bytes(dvs) if dvs else 0,
+            "stats_indexed": bool(stats),
+            "checkpoint_version": ckpt["version"] if ckpt else None,
+            "vacuum_horizon": self._vacuum_horizon(),
+            "txn_app_ids": sorted(txns),
+        }
+
     def history(self) -> DataFrame:
         """One row per commit: version, operation, files
         added/removed, commit timestamp (unix micros; file-mtime

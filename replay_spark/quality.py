@@ -29,7 +29,7 @@ from typing import List, Optional, Sequence, Tuple
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ConstraintSuite", "MetricRepository"]
+__all__ = ["ConstraintSuite", "MetricRepository", "StreamingQualityMonitor"]
 
 
 class ConstraintSuite:
@@ -321,12 +321,15 @@ class MetricRepository:
         usable history are never anomalous (n_history reflects it)."""
         if strategy not in ("stddev", "relative", "absolute"):
             raise ValueError(f"unknown strategy {strategy!r}")
-        hist = [
-            r.asDict()
-            for r in self.history()
-            .orderBy(F.col("run_ts").desc())
-            .collect()
-        ]
+        if self.table.latest_version() < 0:
+            hist = []  # empty repository: nothing is anomalous yet
+        else:
+            hist = [
+                r.asDict()
+                for r in self.history()
+                .orderBy(F.col("run_ts").desc())
+                .collect()
+            ]
         by_key: dict = {}
         for r in hist:
             key = (r["constraint"], r["column"])
@@ -402,3 +405,64 @@ class MetricRepository:
         if bad:
             raise ValueError("metric anomalies: " + "; ".join(bad))
         return self.record(report, run_key, run_ts)
+
+
+class StreamingQualityMonitor:
+    """Continuous data quality on a stream: a ``foreachBatch``
+    adapter that runs a :class:`ConstraintSuite` over every
+    micro-batch, records its metrics in a :class:`MetricRepository`
+    (run_key = the batch id, so replays upsert the same history
+    row set idempotently via the repository's lake txn machinery is
+    NOT needed — metric rows are append-only facts keyed by batch),
+    and appends flagged rows to an ``<path>_anomalies`` lake table
+    when a strategy is set — the streaming half of the Deequ shape:
+    drift in completeness/uniqueness/bounds surfaces within one
+    micro-batch, with the full history queryable (and
+    time-travelable) as a table.
+
+    State is bounded: per batch the data-sized work is the suite's
+    ONE scan; everything recorded is constraints × batches rows.
+    """
+
+    def __init__(
+        self,
+        repository: MetricRepository,
+        suite: ConstraintSuite,
+        strategy: Optional[str] = "relative",
+        threshold: float = 1.0,
+        window: int = 20,
+    ):
+        self.repository = repository
+        self.suite = suite
+        self.strategy = strategy
+        self.threshold = threshold
+        self.window = window
+        from replay_spark.lake import LakeTable
+
+        self.anomalies = LakeTable(
+            repository.spark, repository.table.path + "_anomalies"
+        )
+
+    def sink(self):
+        """``writeStream.foreachBatch(monitor.sink()).start()``."""
+
+        def _sink(batch_df, batch_id: int) -> None:
+            self.process_batch(batch_df, int(batch_id))
+
+        return _sink
+
+    def process_batch(self, batch_df, batch_id: int) -> None:
+        report = self.suite.run(batch_df)
+        if self.strategy is not None:
+            chk = self.repository.anomaly_check(
+                report,
+                strategy=self.strategy,
+                threshold=self.threshold,
+                window=self.window,
+            )
+            flagged = chk.filter(F.col("is_anomaly")).withColumn(
+                "batch_id", F.lit(int(batch_id)).cast("long")
+            )
+            if flagged.limit(1).count() > 0:
+                self.anomalies.append(flagged)
+        self.repository.record(report, f"batch-{batch_id}", batch_id)

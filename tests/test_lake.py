@@ -1571,3 +1571,22 @@ def test_auto_compact_small_files(spark, tmp_path):
     assert t.read().count() == 60
     # post-compact live layout is small
     assert len(t.snapshot_files()) < 5
+
+
+def test_describe_detail(spark, tmp_path):
+    from replay_spark.lake import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "dd"))
+    t.append(
+        spark.range(0, 100).selectExpr(
+            "id", "CAST(id % 2 AS STRING) AS b"
+        ),
+        partition_by=["b"],
+    )
+    t.delete("id = 5", mode="dv")
+    d = t.detail()
+    assert d["version"] == 1 and d["num_files"] >= 2
+    assert d["partition_columns"] == ["b"]
+    assert d["features"] == ["deletion_vectors"]
+    assert d["num_dv_files"] == 1 and d["dv_bytes"] > 0
+    assert d["size_bytes"] > 0 and d["checkpoint_version"] is None

@@ -146,3 +146,36 @@ def test_metric_repository_anomaly_detection(spark, tmp_path):
     # stddev needs >= 2 history points and flags the same outlier
     chk3 = repo.anomaly_check(bad, strategy="stddev", threshold=3.0)
     assert any(r.is_anomaly for r in chk3.collect())
+
+
+def test_streaming_quality_monitor(spark, tmp_path):
+    from replay_spark.quality import (
+        ConstraintSuite,
+        MetricRepository,
+        StreamingQualityMonitor,
+    )
+
+    repo = MetricRepository(spark, str(tmp_path / "sq"))
+    suite = ConstraintSuite().is_complete("v")
+    mon = StreamingQualityMonitor(
+        repo, suite, strategy="relative", threshold=1.0
+    )
+    sink = mon.sink()
+
+    def batch(null_every):
+        return spark.range(0, 500).selectExpr(
+            "id",
+            f"CASE WHEN id % {null_every} = 0 THEN NULL ELSE id END AS v",
+        )
+
+    # three healthy micro-batches build history, no anomalies table
+    for b in range(3):
+        sink(batch(100), b)
+    assert repo.history().count() == 3
+    assert mon.anomalies.latest_version() < 0
+    # a corrupted batch flags and lands in the anomalies table
+    sink(batch(2), 3)
+    rows = mon.anomalies.read().collect()
+    assert rows and rows[0]["batch_id"] == 3 and rows[0]["is_anomaly"]
+    # history keeps recording regardless (facts, not gatekeeping)
+    assert repo.history().count() == 4
