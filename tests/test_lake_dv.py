@@ -245,3 +245,95 @@ def test_update_no_match_is_noop(table):
     before = table.latest_version()
     assert table.update("id = -1", {"v": "0"}, mode="dv") == before
     assert table.update("id = -1", {"v": "0"}) == before
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@st.composite
+def _dv_ops(draw):
+    """A random interleaving of table operations."""
+    ops = []
+    n = draw(st.integers(min_value=3, max_value=7))
+    for _ in range(n):
+        kind = draw(st.sampled_from(
+            ["append", "dv_delete", "rw_delete", "update_dv", "restore",
+             "compact"]
+        ))
+        if kind == "append":
+            lo = draw(st.integers(min_value=0, max_value=900))
+            ops.append(("append", lo, lo + draw(
+                st.integers(min_value=5, max_value=60))))
+        elif kind in ("dv_delete", "rw_delete"):
+            ops.append((kind, draw(st.integers(min_value=2, max_value=9))))
+        elif kind == "update_dv":
+            ops.append((kind, draw(st.integers(min_value=2, max_value=9))))
+        elif kind == "restore":
+            ops.append(("restore", draw(st.floats(min_value=0.0,
+                                                  max_value=1.0))))
+        else:
+            ops.append(("compact",))
+    return ops
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_dv_ops())
+def test_dv_fold_matches_python_model(spark, tmp_path_factory, ops):
+    """Model-based invariant: after ANY interleaving of append /
+    dv-delete / rewrite-delete / dv-update / restore / compact, every
+    version's read() equals a plain-Python replay of the same ops —
+    the whole DV fold (pointer replacement, rewrite pops, restore
+    re-points, compaction materialization) against one oracle."""
+    import pyspark.sql.functions as F
+
+    from replay_spark.lake import LakeTable
+
+    path = str(tmp_path_factory.mktemp("dvprop") / "t")
+    t = LakeTable(spark, path, auto_checkpoint_every=3)
+    t.append(spark.range(0, 50).withColumn("v", F.col("id")))
+    model = {i: i for i in range(50)}          # id -> v
+    snapshots = {0: dict(model)}
+
+    for op in ops:
+        if op[0] == "append":
+            _, lo, hi = op
+            lo, hi = lo + 1000, hi + 1000      # fresh ids
+            t.append(
+                spark.range(lo, hi).withColumn("v", F.col("id"))
+            )
+            model.update({i: i for i in range(lo, hi)})
+        elif op[0] in ("dv_delete", "rw_delete"):
+            m = op[1]
+            t.delete(
+                f"id % {m} = 1",
+                mode="dv" if op[0] == "dv_delete" else "rewrite",
+            )
+            model = {k: v for k, v in model.items() if k % m != 1}
+        elif op[0] == "update_dv":
+            m = op[1]
+            t.update(f"id % {m} = 0", {"v": "v + 10000"}, mode="dv")
+            model = {
+                k: (v + 10000 if k % m == 0 else v)
+                for k, v in model.items()
+            }
+        elif op[0] == "restore":
+            frac = op[1]
+            versions = sorted(snapshots)
+            target = versions[int(frac * (len(versions) - 1))]
+            t.restore(target)
+            model = dict(snapshots[target])
+        else:
+            t.compact()
+        snapshots[t.latest_version()] = dict(model)
+
+    # terminal snapshot AND every recorded version match the model
+    for ver, want in snapshots.items():
+        got = {
+            r["id"]: r["v"]
+            for r in t.read(version=ver).collect()
+        }
+        assert got == want, f"version {ver} diverged"
