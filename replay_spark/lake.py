@@ -327,6 +327,22 @@ class LakeTable:
         stats = {k: v for k, v in stats.items() if k in live_set}
         return live, schema_json, schemas, txns, parts, stats, mapping, dvs
 
+    def to_view(
+        self,
+        name: str,
+        version: Optional[int] = None,
+        as_of=None,
+        tag: Optional[str] = None,
+    ) -> str:
+        """Register this table (or a time-travel snapshot of it) as a
+        temp view so plain ``spark.sql`` queries run over the lake —
+        DVs, column mapping and schema evolution all resolved by
+        :meth:`read` before the view exists. Returns ``name``."""
+        self.read(version=version, as_of=as_of, tag=tag).createOrReplaceTempView(
+            name
+        )
+        return name
+
     def detail(self) -> dict:
         """DESCRIBE DETAIL: one dict of table facts — version, file
         count/bytes, partition columns, active table features,

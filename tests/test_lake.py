@@ -1590,3 +1590,15 @@ def test_describe_detail(spark, tmp_path):
     assert d["features"] == ["deletion_vectors"]
     assert d["num_dv_files"] == 1 and d["dv_bytes"] > 0
     assert d["size_bytes"] > 0 and d["checkpoint_version"] is None
+
+
+def test_to_view_sql_access(spark, tmp_path):
+    from replay_spark.lake import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "tv"))
+    t.append(spark.range(0, 10))
+    t.delete("id >= 8", mode="dv")
+    t.to_view("lake_now")
+    t.to_view("lake_v0", version=0)
+    assert spark.sql("SELECT COUNT(*) c FROM lake_now").collect()[0].c == 8
+    assert spark.sql("SELECT COUNT(*) c FROM lake_v0").collect()[0].c == 10
