@@ -2193,9 +2193,12 @@ class LakeTable:
         survivors = self._apply_mapping(
             raw, mapping, schema_json
         ).filter(~F.coalesce(cond, F.lit(False)))
-        files = self._write_data(self._to_physical(survivors, mapping))
+        files, new_parts = self._write_rewrite(
+            survivors, mapping, base_version
+        )
         return self._commit(
-            "delete", files, touched_rel, schema, base_version + 1
+            "delete", files, touched_rel, schema, base_version + 1,
+            parts=new_parts,
         )
 
     def _delete_dv(
@@ -2341,10 +2344,29 @@ class LakeTable:
                 for f in schema.fields
             ]
         )
-        files = self._write_data(self._to_physical(rewritten, mapping))
-        return self._commit(
-            "update", files, touched_rel, schema, base_version + 1
+        files, new_parts = self._write_rewrite(
+            rewritten, mapping, base_version
         )
+        return self._commit(
+            "update", files, touched_rel, schema, base_version + 1,
+            parts=new_parts,
+        )
+
+    def _write_rewrite(
+        self, rows: DataFrame, mapping, base_version: int
+    ):
+        """Write a rewrite's surviving rows, PRESERVING partition
+        metadata when the table has uniform partition columns (the
+        r11 compact() lesson applied to delete/update rewrites:
+        without this, every rewritten file silently drops out of the
+        zero-I/O log-pruning tier). Returns (files, parts|None)."""
+        phys = self._to_physical(rows, mapping)
+        pb = self._partition_columns(base_version)
+        if pb and all(c in phys.columns for c in pb):
+            return self._write_data_partitioned(
+                phys.repartition(*pb), pb
+            )
+        return self._write_data(phys), None
 
     def _partition_columns(self, version: Optional[int] = None):
         """The table's partition columns when EVERY live file carries

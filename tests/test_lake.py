@@ -1602,3 +1602,29 @@ def test_to_view_sql_access(spark, tmp_path):
     t.to_view("lake_v0", version=0)
     assert spark.sql("SELECT COUNT(*) c FROM lake_now").collect()[0].c == 8
     assert spark.sql("SELECT COUNT(*) c FROM lake_v0").collect()[0].c == 10
+
+
+def test_rewrite_dml_preserves_partition_pruning(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from replay_spark.lake import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "rp"), auto_checkpoint_every=None)
+    t.append(
+        spark.range(0, 200).select(
+            "id", (F.col("id") % 4).cast("string").alias("b"),
+            (F.col("id") * 2).alias("v"),
+        ),
+        partition_by=["b"],
+    )
+    t.delete("id = 5")                       # rewrite-mode
+    t.update("id = 6", {"v": "999"})         # rewrite-mode
+    # every live file still carries partition values -> pruning works
+    fold = t._fold_state(None)
+    live, parts = fold[0], fold[4]
+    assert all(parts.get(f, {}).get("b") is not None for f in live)
+    out, kept, total = t.read_where({"b": ("2", "2")})
+    assert kept < total
+    rows = {r["id"]: r["v"] for r in out.collect()}
+    assert 5 not in rows and rows[6] == 999
+    assert set(rows) == {i for i in range(200) if i % 4 == 2 and i != 5}
