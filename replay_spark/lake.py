@@ -242,17 +242,36 @@ class LakeTable:
             self._log_dir, f"_checkpoint_{version:010d}.json"
         )
         if not _fs_write_exclusive(name, payload):
-            # fold state is deterministic per version, so an existing
-            # identical checkpoint (auto-checkpoint, or a concurrent
-            # writer that won the race) makes this call idempotent;
-            # a DIFFERENT payload means log corruption — refuse
-            if _fs_read(name) == payload:
+            # fold state is deterministic per version UP TO dict/list
+            # ordering: two writers folding the same version from
+            # different checkpoint bases can legitimately produce
+            # byte-different JSON (live/parts insertion order), so the
+            # idempotence check compares PARSED payloads with the
+            # order-free collections canonicalized; a semantically
+            # different payload means log corruption — refuse
+            try:
+                existing = json.loads(_fs_read(name))
+            except (OSError, ValueError):
+                existing = None
+            if existing is not None and self._ckpt_canonical(
+                existing
+            ) == self._ckpt_canonical(json.loads(payload)):
                 return version
             raise ConcurrentWriteError(
                 f"checkpoint at version {version} exists with "
                 "DIFFERENT content — log corruption"
             )
         return version
+
+    @staticmethod
+    def _ckpt_canonical(p: dict) -> dict:
+        """Checkpoint payload with its order-free collections
+        (live file list, distinct-schema set) sorted — dict equality
+        is already key-order-insensitive, lists are not."""
+        q = dict(p)
+        q["live"] = sorted(q.get("live") or [])
+        q["schemas"] = sorted(q.get("schemas") or [])
+        return q
 
     def _fold_state(self, version: Optional[int] = None):
         """(live_relpaths, schema_json, distinct_schemas, txn_map,
@@ -952,7 +971,15 @@ class LakeTable:
                 for f in c.get("remove", []):
                     dv_state.pop(f, None)
                 continue
-            added = _read_files(c.get("add", []))
+            # added files read through the POST-commit deletion
+            # vectors — a commit that re-adds a file together with a
+            # dv pointer (restore across a compact back to a dv'd
+            # era) must not report dv-deleted rows as inserts
+            added_rel = c.get("add", [])
+            if any(f in dv_state for f in added_rel):
+                added = self._scan_with_dv(added_rel, dv_state)
+            else:
+                added = _read_files(added_rel)
             # pre-image files read through their PRE-commit deletion
             # vectors — otherwise a rewrite touching a dv'd file
             # re-reports its already-deleted rows as deletes
@@ -2209,6 +2236,7 @@ class LakeTable:
         schema: StructType,
         base_version: int,
         add_files: Sequence[str] = (),
+        add_parts: Optional[dict] = None,
         operation: str = "delete",
     ) -> int:
         """Commit a deletion-vector update from matched (_fp, _ri)
@@ -2251,6 +2279,7 @@ class LakeTable:
             [],
             schema,
             base_version + 1,
+            parts=add_parts,
             dv={f: sidecar for f in touched},
         )
 
@@ -2310,7 +2339,14 @@ class LakeTable:
                     for f in schema.fields
                 ]
             )
-            files = self._write_data(self._to_physical(updated, mapping))
+            # route the new-row-version file through the
+            # partition-preserving writer: on a partitioned table the
+            # added file must carry partition values or
+            # _partition_columns() goes None for the whole table,
+            # silently disabling log pruning + partition compaction
+            files, new_parts = self._write_rewrite(
+                updated, mapping, base_version
+            )
             return self._delete_dv(
                 matched.select("_fp", "_ri"),
                 live,
@@ -2318,6 +2354,7 @@ class LakeTable:
                 schema,
                 base_version,
                 add_files=files,
+                add_parts=new_parts,
                 operation="update",
             )
         affected = {
@@ -2501,7 +2538,19 @@ class LakeTable:
             )
             if not selected:
                 return base_version
-            rows = self._scan_with_dv(selected, dvs)
+            # schema-evolved tables: the selected files may span
+            # schema eras — merge parquet schemas exactly like read()
+            # does, else the multi-file scan adopts ONE file's schema
+            # and silently drops columns present only in other eras
+            rows = self._scan_with_dv(
+                selected, dvs, merge_schema=len(fold[2]) > 1
+            )
+            # align to the commit-schema physical columns (mapped
+            # tables): fills physical slots absent from every
+            # selected file with typed nulls
+            rows = self._to_physical(
+                self._apply_mapping(rows, mapping, schema_json), mapping
+            )
             total = sum(
                 os.path.getsize(os.path.join(self.path, p))
                 for p in selected

@@ -287,13 +287,10 @@ class MetricRepository:
         self.spark = spark
         self.table = LakeTable(spark, path)
 
-    def record(
+    def _stamp(
         self, report: DataFrame, run_key: str, run_ts: int
-    ) -> int:
-        """Append one verification run. ``run_ts`` is the caller's
-        clock (unix seconds or any monotonic int — kept explicit so
-        history replays deterministically)."""
-        stamped = report.select(
+    ) -> DataFrame:
+        return report.select(
             F.lit(run_key).alias("run_key"),
             F.lit(int(run_ts)).cast("long").alias("run_ts"),
             "constraint",
@@ -302,7 +299,29 @@ class MetricRepository:
             F.col("metric_den").cast("long"),
             "passed",
         )
-        return self.table.append(stamped)
+
+    def record(
+        self, report: DataFrame, run_key: str, run_ts: int
+    ) -> int:
+        """Append one verification run. ``run_ts`` is the caller's
+        clock (unix seconds or any monotonic int — kept explicit so
+        history replays deterministically)."""
+        return self.table.append(self._stamp(report, run_key, run_ts))
+
+    def record_batch(
+        self, report: DataFrame, batch_id: int,
+        app_id: Optional[str] = None,
+    ) -> int:
+        """Exactly-once record for streaming micro-batches: the lake
+        txn marker (``app_id``, ``batch_id``) makes a replayed
+        ``foreachBatch`` call a no-op instead of appending duplicate
+        history rows — duplicates would consume anomaly-window slots
+        and collapse the stddev band toward zero."""
+        return self.table.append_batch(
+            self._stamp(report, f"batch-{batch_id}", int(batch_id)),
+            app_id=app_id or ("quality-monitor@" + self.table.path),
+            batch_id=int(batch_id),
+        )
 
     def history(self) -> DataFrame:
         return self.table.read()
@@ -411,9 +430,9 @@ class StreamingQualityMonitor:
     """Continuous data quality on a stream: a ``foreachBatch``
     adapter that runs a :class:`ConstraintSuite` over every
     micro-batch, records its metrics in a :class:`MetricRepository`
-    (run_key = the batch id, so replays upsert the same history
-    row set idempotently via the repository's lake txn machinery is
-    NOT needed — metric rows are append-only facts keyed by batch),
+    EXACTLY ONCE (the lake txn marker keyed by batch id makes a
+    replayed micro-batch — failure recovery — a no-op instead of a
+    duplicate history row set that would collapse the stddev band),
     and appends flagged rows to an ``<path>_anomalies`` lake table
     when a strategy is set — the streaming half of the Deequ shape:
     drift in completeness/uniqueness/bounds surfaces within one
@@ -464,5 +483,10 @@ class StreamingQualityMonitor:
                 "batch_id", F.lit(int(batch_id)).cast("long")
             )
             if flagged.limit(1).count() > 0:
-                self.anomalies.append(flagged)
-        self.repository.record(report, f"batch-{batch_id}", batch_id)
+                # txn-marked: a replayed batch never double-appends
+                self.anomalies.append_batch(
+                    flagged,
+                    app_id="quality-anomalies@" + self.anomalies.path,
+                    batch_id=int(batch_id),
+                )
+        self.repository.record_batch(report, int(batch_id))

@@ -531,9 +531,11 @@ def test_checkpoint_accelerated_log(table, spark):
     ck = table.checkpoint()
     assert ck == 7
     # duplicate checkpoint at the same version is IDEMPOTENT
-    # (deterministic fold -> identical payload; auto-checkpoints
-    # would otherwise break explicit calls), while a DIFFERENT
-    # payload still refuses
+    # (deterministic fold -> semantically identical payload;
+    # auto-checkpoints would otherwise break explicit calls) — and
+    # the comparison is SEMANTIC, so byte-different serializations
+    # of the same state (a concurrent writer folding from a
+    # different base) are accepted, not mistaken for corruption
     assert table.checkpoint() == ck
     ck_path = os.path.join(
         table._log_dir, f"_checkpoint_{ck:010d}.json"
@@ -541,8 +543,7 @@ def test_checkpoint_accelerated_log(table, spark):
     good = open(ck_path).read()
     with open(ck_path, "w") as fh:
         fh.write(good + " ")  # same JSON, different bytes
-    with pytest.raises(lakemod.ConcurrentWriteError):
-        table.checkpoint()
+    assert table.checkpoint() == ck
     with open(ck_path, "w") as fh:
         fh.write(good)
     # tail commits after the checkpoint
@@ -1628,3 +1629,65 @@ def test_rewrite_dml_preserves_partition_pruning(spark, tmp_path):
     rows = {r["id"]: r["v"] for r in out.collect()}
     assert 5 not in rows and rows[6] == 999
     assert set(rows) == {i for i in range(200) if i % 4 == 2 and i != 5}
+
+
+def test_partition_scoped_compact_schema_evolved(spark, tmp_path):
+    """ADVICE r12: compact(partition_filter=) on a schema-evolved
+    table must merge parquet schemas across eras (like read()),
+    else columns present only in some selected files are silently
+    dropped from the rewritten files — permanent data loss."""
+    t = LakeTable(spark, str(tmp_path / "sec"))
+    t.append(
+        spark.range(0, 10).select(
+            "id", F.lit("1").alias("b"), (F.col("id") * 2).alias("v")
+        ),
+        partition_by=["b"],
+    )
+    t.append(
+        spark.range(10, 20).select(
+            "id",
+            F.lit("1").alias("b"),
+            (F.col("id") * 2).alias("v"),
+            (F.col("id") * 10).alias("extra"),
+        ),
+        partition_by=["b"],
+        merge_schema=True,
+    )
+    t.compact(partition_filter={"b": "1"})
+    got = t.read()
+    assert "extra" in got.columns
+    assert got.count() == 20
+    rows = {r["id"]: r["extra"] for r in got.collect()}
+    assert all(rows[i] == i * 10 for i in range(10, 20))
+    assert all(rows[i] is None for i in range(10))
+
+
+def test_checkpoint_semantic_idempotence(spark, tmp_path):
+    """ADVICE r12: two writers folding the same version from
+    different checkpoint bases can produce byte-different but
+    semantically equal JSON (list/dict ordering) — checkpoint()
+    compares parsed payloads, raising only on REAL divergence."""
+    import json as _json
+
+    t = LakeTable(spark, str(tmp_path / "ckse"), auto_checkpoint_every=None)
+    t.append(spark.range(0, 5).select("id", (F.col("id") * 2).alias("v")))
+    t.append(spark.range(5, 9).select("id", (F.col("id") * 2).alias("v")))
+    v = t.checkpoint()
+    name = os.path.join(t._log_dir, f"_checkpoint_{v:010d}.json")
+    with open(name) as fh:
+        payload = _json.load(fh)
+    assert len(payload["live"]) >= 2
+    reordered = dict(payload)
+    reordered["live"] = list(reversed(payload["live"]))
+    with open(name, "w") as fh:
+        fh.write(_json.dumps(reordered))
+    assert t.checkpoint() == v  # byte-different, semantically equal
+    # REAL corruption still refuses: a filename/content version
+    # mismatch makes the recomputed fold genuinely diverge (a
+    # self-consistent edit would just become the new fold base)
+    corrupted = dict(payload)
+    corrupted["version"] = v - 1
+    with open(name, "w") as fh:
+        fh.write(_json.dumps(corrupted))
+    with pytest.raises(ConcurrentWriteError):
+        t.checkpoint()

@@ -337,3 +337,48 @@ def test_dv_fold_matches_python_model(spark, tmp_path_factory, ops):
             for r in t.read(version=ver).collect()
         }
         assert got == want, f"version {ver} diverged"
+
+
+def test_cdf_restore_readds_dvd_file_without_phantom_inserts(table):
+    """ADVICE r12: a restore that re-adds files TOGETHER with dv
+    pointers (restoring across a compact back to a dv'd era) must
+    read the added set through the post-commit vectors — otherwise
+    the change feed resurrects dv-deleted rows as phantom inserts."""
+    v_dv = table.delete("id % 10 = 3", mode="dv")
+    v_compact = table.compact()
+    v_restore = table.restore(v_dv)
+    # visible rows identical across the restore -> zero net delta
+    feed = table.changes(v_compact, v_restore)
+    assert feed.count() == 0
+    # and the restored snapshot still hides the dv-deleted rows
+    assert table.read().count() == 90
+    assert table.read().filter("id % 10 = 3").count() == 0
+
+
+def test_update_dv_preserves_partition_metadata(spark, tmp_path):
+    """ADVICE r12: update(mode='dv') routes its new-row-version file
+    through the partition-preserving writer, so a partitioned table
+    keeps its zero-I/O log-pruning tier after a merge-on-read
+    update."""
+    t = LakeTable(spark, str(tmp_path / "pdv"))
+    t.append(
+        spark.range(0, 80).select(
+            "id",
+            (F.col("id") % 4).cast("string").alias("b"),
+            (F.col("id") * 2).alias("v"),
+        ),
+        partition_by=["b"],
+    )
+    assert t._partition_columns() == ["b"]
+    t.update("id = 6", {"v": "999"}, mode="dv")
+    # partition metadata survives: every live file carries values
+    assert t._partition_columns() == ["b"]
+    fold = t._fold_state(None)
+    live, parts = fold[0], fold[4]
+    assert all(parts.get(f, {}).get("b") is not None for f in live)
+    # log-level pruning still prunes, and the update is visible
+    out, kept, total = t.read_where({"b": ("2", "2")})
+    assert kept < total
+    rows = {r["id"]: r["v"] for r in out.collect()}
+    assert rows[6] == 999
+    assert set(rows) == {i for i in range(80) if i % 4 == 2}

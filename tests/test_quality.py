@@ -179,3 +179,41 @@ def test_streaming_quality_monitor(spark, tmp_path):
     assert rows and rows[0]["batch_id"] == 3 and rows[0]["is_anomaly"]
     # history keeps recording regardless (facts, not gatekeeping)
     assert repo.history().count() == 4
+
+
+def test_streaming_quality_monitor_replay_idempotent(spark, tmp_path):
+    """ADVICE r12: a replayed foreachBatch micro-batch (failure
+    recovery) must not append duplicate history rows — duplicates
+    would consume anomaly-window slots and collapse the stddev band
+    toward zero."""
+    from replay_spark.quality import (
+        ConstraintSuite,
+        MetricRepository,
+        StreamingQualityMonitor,
+    )
+
+    repo = MetricRepository(spark, str(tmp_path / "sqr"))
+    suite = ConstraintSuite().is_complete("v")
+    mon = StreamingQualityMonitor(
+        repo, suite, strategy="relative", threshold=1.0
+    )
+    sink = mon.sink()
+
+    def batch(null_every):
+        return spark.range(0, 200).selectExpr(
+            "id",
+            f"CASE WHEN id % {null_every} = 0 THEN NULL ELSE id END AS v",
+        )
+
+    sink(batch(100), 0)
+    sink(batch(100), 1)
+    sink(batch(100), 1)  # replayed micro-batch: exactly-once no-op
+    assert repo.history().count() == 2
+    assert (
+        repo.history().select("run_key").distinct().count() == 2
+    )
+    # a replayed ANOMALOUS batch doesn't double-append flags either
+    sink(batch(2), 2)
+    sink(batch(2), 2)
+    assert mon.anomalies.read().count() == 1
+    assert repo.history().count() == 3
