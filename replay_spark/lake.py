@@ -1406,6 +1406,114 @@ class LakeTable:
                 pass  # a concurrent writer checkpointed this version
         return version
 
+    @staticmethod
+    def _schema_shape(schema_json: str) -> list:
+        """names + types only — nullability differences are
+        write-compatible (parquet re-reads report every column
+        nullable)."""
+        return sorted(
+            (f["name"], json.dumps(f["type"], sort_keys=True))
+            for f in json.loads(schema_json).get("fields", [])
+        )
+
+    def _check_logical_conflict(
+        self,
+        operation: str,
+        remove: Sequence[str],
+        dv: Optional[dict],
+        base_schema_json: str,
+        commits: List[dict],
+    ) -> None:
+        """Delta-style conflict detection for a commit prepared
+        against a now-stale snapshot: raise ``ConcurrentWriteError``
+        unless every intervening commit is LOGICALLY DISJOINT from
+        this one, in which case the caller may safely re-commit at
+        the new tip.
+
+        The matrix (WriteSerializable, the Delta default):
+
+        * a concurrent **append** never conflicts with a rewrite /
+          dv / compact — appended rows were not visible to this
+          operation's predicate scan and stay live untouched;
+        * a concurrent commit that **removed or dv-repointed any
+          file this commit removes or dv-repoints** conflicts —
+          this commit's rewrite/merged-vector decisions about those
+          files are stale (delete-vs-compact of the same file, two
+          dv-deletes of the same file, …);
+        * a concurrent **schema or column-mapping change**
+          (merge-schema append, rename/drop, restore across eras)
+          conflicts with everything — the prepared files were
+          written under the old physical schema.
+        """
+        mine = set(remove) | set(dv or {})
+        base_shape = self._schema_shape(base_schema_json)
+        for c in commits:
+            if "column_mapping" in c:
+                raise ConcurrentWriteError(
+                    f"{operation} conflicts with concurrent "
+                    f"{c['operation']} at version {c['version']}: "
+                    f"column mapping changed"
+                )
+            if c.get("schema") and self._schema_shape(
+                c["schema"]
+            ) != base_shape:
+                raise ConcurrentWriteError(
+                    f"{operation} conflicts with concurrent "
+                    f"{c['operation']} at version {c['version']}: "
+                    f"table schema changed"
+                )
+            theirs = set(c.get("remove") or []) | set(c.get("dv") or {})
+            overlap = mine & theirs
+            if overlap:
+                raise ConcurrentWriteError(
+                    f"{operation} conflicts with concurrent "
+                    f"{c['operation']} at version {c['version']}: "
+                    f"both touch {sorted(overlap)[:3]}"
+                )
+
+    def _commit_reconciled(
+        self,
+        operation: str,
+        add: Sequence[str],
+        remove: Sequence[str],
+        schema: StructType,
+        base_version: int,
+        txn: Optional[dict] = None,
+        parts: Optional[dict] = None,
+        dv: Optional[dict] = None,
+        user_metadata: Optional[dict] = None,
+        max_retries: int = 3,
+    ) -> int:
+        """Commit at ``base_version + 1``; on a version collision,
+        re-read the log and RETRY AT THE TIP iff every commit that
+        won the race is logically disjoint (see
+        :meth:`_check_logical_conflict`) — a dv-delete racing an
+        append no longer loses, while a dv-delete racing a compact
+        of the same file still fails, as it must."""
+        base_schema_json = json.dumps(schema.jsonValue())
+        attempt = base_version
+        for _ in range(max_retries + 1):
+            try:
+                return self._commit(
+                    operation, add, remove, schema, attempt + 1,
+                    txn=txn, parts=parts, dv=dv,
+                    user_metadata=user_metadata,
+                )
+            except ConcurrentWriteError:
+                tip = self.latest_version()
+                intervening = [
+                    c
+                    for c in self._commits(after=attempt)
+                    if c["version"] <= tip
+                ]
+                self._check_logical_conflict(
+                    operation, remove, dv, base_schema_json, intervening
+                )
+                attempt = tip
+        raise ConcurrentWriteError(
+            f"{operation} retries exhausted at {self.path}"
+        )
+
     def append(
         self,
         df: DataFrame,
@@ -2223,8 +2331,8 @@ class LakeTable:
         files, new_parts = self._write_rewrite(
             survivors, mapping, base_version
         )
-        return self._commit(
-            "delete", files, touched_rel, schema, base_version + 1,
+        return self._commit_reconciled(
+            "delete", files, touched_rel, schema, base_version,
             parts=new_parts,
         )
 
@@ -2273,12 +2381,12 @@ class LakeTable:
                 existing.select("file", "row_index")
             )
         sidecar = self._write_dv_sidecar(merged.distinct())
-        return self._commit(
+        return self._commit_reconciled(
             operation,
             list(add_files),
             [],
             schema,
-            base_version + 1,
+            base_version,
             parts=add_parts,
             dv={f: sidecar for f in touched},
         )
@@ -2384,8 +2492,8 @@ class LakeTable:
         files, new_parts = self._write_rewrite(
             rewritten, mapping, base_version
         )
-        return self._commit(
-            "update", files, touched_rel, schema, base_version + 1,
+        return self._commit_reconciled(
+            "update", files, touched_rel, schema, base_version,
             parts=new_parts,
         )
 
@@ -2569,12 +2677,12 @@ class LakeTable:
             pvals = dict(sorted(common or []))
             files = self._write_data(rows, num_files=n)
             schema = StructType.fromJson(json.loads(schema_json))
-            return self._commit(
+            return self._commit_reconciled(
                 "compact",
                 files,
                 selected,
                 schema,
-                base_version + 1,
+                base_version,
                 parts={f: pvals for f in files},
             )
         live = self.snapshot_files(version=base_version)
@@ -2590,19 +2698,19 @@ class LakeTable:
                 phys, pb, base_version, target_file_bytes
             )
             files, new_parts = self._write_data_partitioned(arranged, pb)
-            return self._commit(
+            return self._commit_reconciled(
                 "compact",
                 files,
                 remove,
                 current.schema,
-                base_version + 1,
+                base_version,
                 parts=new_parts,
             )
         total = sum(os.path.getsize(p) for p in live)
         n = max(1, -(-total // target_file_bytes))
         files = self._write_data(phys, num_files=int(n))
-        return self._commit(
-            "compact", files, remove, current.schema, base_version + 1
+        return self._commit_reconciled(
+            "compact", files, remove, current.schema, base_version
         )
 
     def optimize(
@@ -2650,12 +2758,12 @@ class LakeTable:
                 .drop(z.output_column)
             )
             files, new_parts = self._write_data_partitioned(arranged, pb)
-            return self._commit(
+            return self._commit_reconciled(
                 "optimize",
                 files,
                 remove,
                 current.schema,
-                base_version + 1,
+                base_version,
                 parts=new_parts,
             )
         total = sum(os.path.getsize(p) for p in live)
@@ -2665,8 +2773,8 @@ class LakeTable:
             mapping,
         )
         files = self._write_data(laid)  # keeps the range partitioning
-        return self._commit(
-            "optimize", files, remove, current.schema, base_version + 1
+        return self._commit_reconciled(
+            "optimize", files, remove, current.schema, base_version
         )
 
     def read_where(
@@ -2920,8 +3028,8 @@ class LakeTable:
         )
         files = self._write_data(self._to_physical(merged, mapping))
         remove = [os.path.relpath(p, self.path) for p in touched]
-        return self._commit(
-            "merge", files, remove, current.schema, base_version + 1,
+        return self._commit_reconciled(
+            "merge", files, remove, current.schema, base_version,
             txn=txn,
         )
 
