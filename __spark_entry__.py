@@ -6493,6 +6493,70 @@ def q_lake_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lake_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDF source for a LakeTable — the read-side half of
+    the exactly-once loop: ``LakeChangeStream`` tails ``changes()``
+    from a durable cursor in commit-bounded micro-batches (rate
+    limit 1 commit/batch here), piping each batch into a SINK lake
+    table through the txn-marked exactly-once sink. The gate also
+    simulates the crash window (sink landed, cursor not yet
+    advanced): the replayed batch id is skipped, asserted in-gate by
+    sink count == batch feed count. Output: the SINK's contents —
+    i.e. the streamed change batches, folded by (change_type,
+    commit_version) — which DuckDB replays from the raw documents
+    commit by commit, so the hash matches only if streaming
+    delivered exactly the batch change feed, exactly once. The
+    reference has no table format or change feed; this follows the
+    public Delta CDF-streaming contract (startingVersion +
+    rate-limited triggers) re-expressed for this log
+    (replay_spark/streaming/cdf.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from replay_spark.lake import LakeTable
+    from replay_spark.streaming import LakeChangeStream
+
+    docs = rsd.read_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(tempfile.gettempdir(), f"rs_lakestream_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    src = LakeTable(spark, os.path.join(base, "src"))
+    src.append(docs.filter("doc_id % 2 = 0").repartition(4))   # v0
+    src.append(docs.filter("doc_id % 2 = 1").repartition(4))   # v1
+    src.delete("doc_id % 7 = 3", mode="dv")                    # v2
+    src.update("doc_id % 11 = 5", {"n_chars": "-n_chars"}, mode="dv")  # v3
+
+    sink = LakeTable(spark, os.path.join(base, "sink"))
+    ck = os.path.join(base, "ckpt")
+    stream = LakeChangeStream(
+        src, ck, starting_version=-1, max_commits_per_batch=1
+    )
+    # crash-replay half: the FIRST batch lands in the sink but the
+    # cursor never advances (crash between sink and cursor) — the
+    # recovery drain replays it under the same batch id, which the
+    # txn sink skips
+    df0, end0 = stream.next_batch()
+    sink.append_batch(df0, app_id="lake-cdf@" + ck, batch_id=end0)
+    tip = src.latest_version()
+    n = stream.pipe_to(sink)
+    assert n == tip + 1, "one micro-batch per commit (rate limit 1)"
+    assert stream.cursor() == tip and stream.next_batch() is None
+    got = sink.read()
+    feed_n = src.changes(-1, tip).count()
+    assert got.count() == feed_n, "exactly-once: replay deduped"
+    return got.groupBy(
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").cast("int").alias("commit_version"),
+    ).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
 def q_sampled_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled ranking evaluation (the SASRec/NCF '99 negatives'
     protocol, 20 here): each user's LAST interaction is the test
@@ -7075,6 +7139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #        vector search, partition-spec evolution,
         #        the metric-repository anomaly gate, the ANN
         #        L2 metric path, and segmented drift -------
+        "q_lake_stream_source": q_lake_stream_source,
         "q_lake_rename": q_lake_rename,
         "q_lake_dv": q_lake_dv,
         "q_ann_filtered": q_ann_filtered,
@@ -11648,6 +11713,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2 AS BIGINT) AS n_history,
                    (x < last_f / 1.5 OR x > last_f * 1.5) AS is_anomaly
             FROM f
+        """,
+        "q_lake_stream_source": """
+            WITH d AS (SELECT doc_id, n_chars FROM documents),
+            legs AS (
+                SELECT 'insert' AS change_type, 0 AS commit_version,
+                       doc_id, n_chars
+                FROM d WHERE doc_id % 2 = 0
+                UNION ALL
+                SELECT 'insert', 1, doc_id, n_chars
+                FROM d WHERE doc_id % 2 = 1
+                UNION ALL
+                SELECT 'delete', 2, doc_id, n_chars
+                FROM d WHERE doc_id % 7 = 3
+                UNION ALL
+                SELECT 'delete', 3, doc_id, n_chars
+                FROM d WHERE doc_id % 11 = 5 AND NOT doc_id % 7 = 3
+                UNION ALL
+                SELECT 'insert', 3, doc_id, -n_chars
+                FROM d WHERE doc_id % 11 = 5 AND NOT doc_id % 7 = 3
+            )
+            SELECT change_type,
+                   CAST(commit_version AS INT) AS commit_version,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM legs GROUP BY change_type, commit_version
         """,
         "q_lake_dv": """
             WITH v1 AS (

@@ -1,3 +1,4 @@
+from replay_spark.streaming.cdf import LakeChangeStream  # noqa: F401
 from replay_spark.streaming.ops import (  # noqa: F401
     StreamingIntervalJoiner,
     StreamingSessionizer,
