@@ -52,6 +52,7 @@ class HNSWANN:
         id_column: str = "vec_id",
         vector_column: str = "embedding",
         metric: str = "cosine",
+        exact_filter_threshold: int = 50_000,
     ):
         from replay_spark.ann.search import _check_metric
 
@@ -67,6 +68,10 @@ class HNSWANN:
         self.id_column = id_column
         self.vector_column = vector_column
         self.metric = _check_metric(metric)
+        # filtered search: admissible sets at or below this size are
+        # answered EXACTLY (vectorized scan of just those vectors)
+        # instead of post-filtering an oversampled walk
+        self.exact_filter_threshold = int(exact_filter_threshold)
         self._ids: Optional[np.ndarray] = None
         self._vecs: Optional[np.ndarray] = None
         self._links: Optional[list] = None  # per node: list per level
@@ -327,19 +332,30 @@ class HNSWANN:
         k: int = 10,
         filter_ids: Optional[DataFrame] = None,
         filter_oversample: int = 4,
+        max_widen_retries: int = 3,
     ) -> DataFrame:
         """(query_id, neighbor_id, cosine, rank) — the graph walk runs
         executor-side over Arrow batches; the index rides the closure
         broadcast.
 
-        ``filter_ids`` (one-column admissible-id frame) POST-filters:
-        a graph walk cannot pre-prune without breaking connectivity
-        (the hnswlib approach is the same), so the walk over-fetches
-        ``k * filter_oversample`` candidates, drops inadmissible
-        ones, and cuts to k. A very selective filter can return
-        FEWER than k rows per query — raise ``filter_oversample``
-        (cost is walk depth, not corpus scans), or use the IVF/PQ
-        pre-filtering indexes when filters are the common case."""
+        ``filter_ids`` (one-column admissible-id frame) filters in
+        two regimes, the strategy real vector stores use:
+
+        * **selective filter** (admissible set <=
+          ``exact_filter_threshold`` ids): EXACT search over just
+          the admissible vectors, vectorized inside the same Arrow
+          walk — a graph walk cannot pre-prune without breaking
+          connectivity, and post-filtering a selective walk
+          underfills, so scanning the (small) admissible set
+          directly is both exact and cheaper. Always returns k when
+          >= k admissible vectors exist.
+        * **broad filter**: the walk over-fetches
+          ``k * filter_oversample`` candidates and POST-filters;
+          queries that come up SHORT of k are automatically
+          re-walked at doubled oversample, up to
+          ``max_widen_retries`` times — each retry re-walks ONLY
+          the underfilled queries, and the common fully-filled case
+          pays a single tiny count job."""
         import pandas as pd
 
         if self._vecs is None:
@@ -351,58 +367,158 @@ class HNSWANN:
             metric
         ]
         desc = metric != "l2"
-        # over-fetch one so a query that finds itself still returns k
-        # (times the oversample when a post-filter will drop rows)
-        kk = k + 1 if filter_ids is None else k * max(
-            1, int(filter_oversample)
-        ) + 1
 
-        def walk(batches):
-            for pdf in batches:
-                x = index._prep(
-                    np.array(list(pdf[vc]), dtype=np.float64).reshape(
-                        len(pdf), -1
+        def make_walk(kk: int):
+            def walk(batches):
+                for pdf in batches:
+                    x = index._prep(
+                        np.array(
+                            list(pdf[vc]), dtype=np.float64
+                        ).reshape(len(pdf), -1)
                     )
-                )
-                qids, nids, scores = [], [], []
-                for qid, q in zip(pdf[idc], x):
-                    for dist, node in index._knn(q, kk):
-                        if int(index._ids[node]) == int(qid):
-                            continue
-                        qids.append(int(qid))
-                        nids.append(int(index._ids[node]))
-                        # invert the graph distance back to the
-                        # metric's reported score
-                        if metric == "cosine":
-                            scores.append(1.0 - dist)
-                        elif metric == "dot":
-                            scores.append(-dist)
-                        else:
-                            scores.append(dist)
-                yield pd.DataFrame(
-                    {
-                        "query_id": pd.Series(qids, dtype="int64"),
-                        "neighbor_id": pd.Series(nids, dtype="int64"),
-                        "score_raw": pd.Series(scores, dtype="float64"),
-                    }
-                )
+                    qids, nids, scores = [], [], []
+                    for qid, q in zip(pdf[idc], x):
+                        for dist, node in index._knn(q, kk):
+                            if int(index._ids[node]) == int(qid):
+                                continue
+                            qids.append(int(qid))
+                            nids.append(int(index._ids[node]))
+                            # invert the graph distance back to the
+                            # metric's reported score
+                            if metric == "cosine":
+                                scores.append(1.0 - dist)
+                            elif metric == "dot":
+                                scores.append(-dist)
+                            else:
+                                scores.append(dist)
+                    yield pd.DataFrame(
+                        {
+                            "query_id": pd.Series(qids, dtype="int64"),
+                            "neighbor_id": pd.Series(
+                                nids, dtype="int64"
+                            ),
+                            "score_raw": pd.Series(
+                                scores, dtype="float64"
+                            ),
+                        }
+                    )
 
-        out = queries.select(idc, vc).mapInPandas(
-            walk,
-            schema="query_id long, neighbor_id long, score_raw double",
-        )
+            return walk
+
+        ids_rel = None
+        exact_nodes = None
         if filter_ids is not None:
-            ids = filter_ids.select(
+            ids_rel = filter_ids.select(
                 F.col(filter_ids.columns[0]).alias("neighbor_id")
             ).distinct()
-            out = out.join(ids, "neighbor_id", "left_semi")
+            n_adm = ids_rel.count()
+            if n_adm <= self.exact_filter_threshold:
+                adm = np.array(
+                    [r["neighbor_id"] for r in ids_rel.collect()],
+                    dtype=np.int64,
+                )
+                exact_nodes = np.nonzero(np.isin(self._ids, adm))[0]
+
+        def make_exact(kk: int):
+            sub = index._vecs[exact_nodes]
+            sub_ids = index._ids[exact_nodes]
+
+            def exact(batches):
+                for pdf in batches:
+                    x = index._prep(
+                        np.array(
+                            list(pdf[vc]), dtype=np.float64
+                        ).reshape(len(pdf), -1)
+                    )
+                    qids, nids, scores = [], [], []
+                    for qid, q in zip(pdf[idc], x):
+                        if metric == "l2":
+                            diff = sub - q
+                            dists = np.einsum("ij,ij->i", diff, diff)
+                        else:
+                            dots = sub @ q
+                            dists = -dots if metric == "dot" else 1.0 - dots
+                        # ties break on id so the kk cut is stable
+                        order = np.lexsort((sub_ids, dists))[:kk]
+                        for node in order:
+                            nid = int(sub_ids[node])
+                            if nid == int(qid):
+                                continue
+                            qids.append(int(qid))
+                            nids.append(nid)
+                            d = float(dists[node])
+                            if metric == "cosine":
+                                scores.append(1.0 - d)
+                            elif metric == "dot":
+                                scores.append(-d)
+                            else:
+                                scores.append(d)
+                    yield pd.DataFrame(
+                        {
+                            "query_id": pd.Series(qids, dtype="int64"),
+                            "neighbor_id": pd.Series(
+                                nids, dtype="int64"
+                            ),
+                            "score_raw": pd.Series(
+                                scores, dtype="float64"
+                            ),
+                        }
+                    )
+
+            return exact
+
         w = Window.partitionBy("query_id").orderBy(
             F.col(out_col).desc() if desc else F.col(out_col).asc(),
             F.col("neighbor_id").asc(),
         )
-        return (
-            out.withColumn(out_col, stable_round("score_raw", 6))
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", out_col, "rank")
-        )
+
+        def topk(
+            qdf: DataFrame, kk: int, exact: bool = False
+        ) -> DataFrame:
+            raw = qdf.select(idc, vc).mapInPandas(
+                make_exact(kk) if exact else make_walk(kk),
+                schema="query_id long, neighbor_id long, "
+                "score_raw double",
+            )
+            if ids_rel is not None and not exact:
+                raw = raw.join(ids_rel, "neighbor_id", "left_semi")
+            return (
+                raw.withColumn(out_col, stable_round("score_raw", 6))
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id", out_col, "rank")
+            )
+
+        # over-fetch one so a query that finds itself still returns k
+        # (times the oversample when a post-filter will drop rows)
+        if filter_ids is None:
+            return topk(queries, k + 1)
+        if exact_nodes is not None:
+            return topk(queries, k + 1, exact=True)
+        kk = k * max(1, int(filter_oversample)) + 1
+        parts = []
+        pending = queries
+        for attempt in range(max_widen_retries + 1):
+            cur = topk(pending, kk).cache()
+            if attempt == max_widen_retries:
+                parts.append(cur)  # retry budget spent: keep best
+                break
+            filled = (
+                cur.groupBy("query_id")
+                .agg(F.count("*").alias("_n"))
+                .filter(F.col("_n") >= k)
+                .select("query_id")
+            )
+            parts.append(cur.join(filled, "query_id", "left_semi"))
+            pending = pending.join(
+                filled.withColumnRenamed("query_id", idc),
+                idc,
+                "left_anti",
+            )
+            if pending.limit(1).count() == 0:
+                break
+            kk = (kk - 1) * 2 + 1  # doubled oversample re-walk
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out

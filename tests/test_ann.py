@@ -88,3 +88,106 @@ def test_filtered_search_hnsw_oversample(spark):
     for r in rows_out:
         assert r["neighbor_id"] % 2 == 1
         assert r["rank"] <= 3
+
+
+def test_filtered_search_hnsw_auto_widens_to_k(spark):
+    """r12 verdict task: a 1%-selective filter must still return
+    exactly k per query — underfilled queries re-walk at doubled
+    oversample (bounded retries) instead of shipping <k rows."""
+    import random
+
+    from replay_spark.ann import HNSWANN
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(500)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    ann = HNSWANN(M=8, ef_construction=48, ef_search=48, seed=1).fit(
+        corpus
+    )
+    # ~1% admissible (5 of 500) with k=3: the default oversample
+    # (k*4+1 = 13 candidates) virtually never catches 3 of them
+    ids = corpus.filter("vec_id % 100 = 7").select("vec_id")
+    out = ann.search(
+        corpus.filter("vec_id < 6"),
+        k=3,
+        filter_ids=ids,
+        filter_oversample=4,
+    )
+    got = out.collect()
+    per_query = {}
+    for r in got:
+        assert r["neighbor_id"] % 100 == 7
+        per_query.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(per_query) == {0, 1, 2, 3, 4, 5}
+    for qid, ranks in per_query.items():
+        assert sorted(ranks) == [1, 2, 3], (qid, ranks)
+
+
+def test_filtered_search_hnsw_fewer_than_k_admissible(spark):
+    """When the corpus has FEWER than k admissible vectors, widening
+    stops at the retry budget and returns what exists."""
+    import random
+
+    from replay_spark.ann import HNSWANN
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(120)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    ann = HNSWANN(M=8, ef_construction=48, ef_search=48, seed=1).fit(
+        corpus
+    )
+    ids = corpus.filter("vec_id IN (50, 51)").select("vec_id")
+    out = ann.search(
+        corpus.filter("vec_id < 2"), k=5, filter_ids=ids,
+        max_widen_retries=2,
+    )
+    per_query = {}
+    for r in out.collect():
+        assert r["neighbor_id"] in (50, 51)
+        per_query.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for qid, nbrs in per_query.items():
+        assert nbrs == {50, 51}
+
+
+def test_filtered_search_hnsw_widening_path(spark):
+    """The broad-filter regime (exact fallback disabled): underfilled
+    queries re-walk at doubled oversample until k admissible rows
+    fill — the post-filter never ships short results while
+    admissible neighbors remain reachable."""
+    import random
+
+    from replay_spark.ann import HNSWANN
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(500)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    ann = HNSWANN(
+        M=8, ef_construction=48, ef_search=48, seed=1,
+        exact_filter_threshold=0,  # force the walk+widen path
+    ).fit(corpus)
+    ids = corpus.filter("vec_id % 2 = 1").select("vec_id")
+    out = ann.search(
+        corpus.filter("vec_id < 6"),
+        k=3,
+        filter_ids=ids,
+        filter_oversample=1,  # deliberately too small: must widen
+    )
+    per_query = {}
+    for r in out.collect():
+        assert r["neighbor_id"] % 2 == 1
+        per_query.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(per_query) == {0, 1, 2, 3, 4, 5}
+    for qid, ranks in per_query.items():
+        assert sorted(ranks) == [1, 2, 3], (qid, ranks)
