@@ -33,7 +33,7 @@ def main():
         FeatureType,
     )
     from replay_spark.metrics import NDCG
-    from replay_spark.models import ItemKNN, PopRec
+    from replay_spark.models import ALSWrap, ItemKNN, PopRec, SLIM, Word2VecRec
 
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
@@ -93,6 +93,21 @@ def main():
         "NDCG@10 metric pass",
         lambda: NDCG(10)(knn_recs, gt),
     )
+
+    # the remaining models BASELINE.md publishes times for (r12
+    # verdict task #7): Implicit ALS, Word2Vec, SLIM — same corpus,
+    # reference-notebook hyperparameters
+    als = ALSWrap(rank=10, seed=42)
+    timed("ALS fit", lambda: als.fit(ds))
+    timed("ALS predict k=10", lambda: als.predict(ds, k=10))
+
+    w2v = Word2VecRec(rank=100, window_size=1, seed=42)
+    timed("Word2Vec fit", lambda: w2v.fit(ds))
+    timed("Word2Vec predict k=10", lambda: w2v.predict(ds, k=10))
+
+    slim = SLIM(beta=0.0048, lambda_=0.038, seed=42)
+    timed("SLIM fit", lambda: slim.fit(ds))
+    timed("SLIM predict k=10", lambda: slim.predict(ds, k=10))
 
 
 if __name__ == "__main__":
