@@ -7096,80 +7096,121 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Staleness ledger — machine-checked against CORRECTNESS_r*.json by
     tests/test_entry_contract.py::test_staleness_ledger_matches_files
     (numbers recomputed from the files, never hand-asserted): as of
-    r11 the oldest official hash-gate score is r6 (13 gates), and 8
-    hash gates await a first official score. (The r10 docstring
-    claimed no score predated r7; recomputation showed 67 gates at
-    r4-r6 — that claim class is now computed, not asserted.)
+    r12 the oldest official hash-gate score is r7 (10 gates), and 1
+    hash gates await a first official score (this round's debut).
+    (The r10 docstring claimed no score predated r7; recomputation
+    showed 67 gates at r4-r6 — that claim class is computed, not
+    asserted.)
 
-    Order for r12: (a) the 8 never-officially-scored hash gates —
-    this round's debuts (q_lake_rename: Delta-style column mapping,
-    RENAME/DROP COLUMN without rewriting data files, per-era
-    physical-name resolution; q_lake_dv: deletion vectors —
-    merge-on-read row-level deletes, zero data files rewritten,
-    time travel + CDF through the vectors; q_ann_filtered: filtered
-    vector search — payload attributes in the inverted file,
-    where= pre-filters candidates before distance math;
-    q_lake_partition_evolution: Iceberg-style partition-spec
-    evolution, per-era zero-I/O pruning over mixed specs;
-    q_lake_update: merge-on-read UPDATE — one atomic commit
-    dv-deletes old row versions and adds the new ones;
-    q_metric_repository: Deequ-style metric history + anomaly gate
-    over a LakeTable; q_ivf_ann_l2: the ANN
-    metric= option's L2 path under a deterministic quantizer;
-    q_drift_segmented: DriftReport(segment_column=...) — per-segment
-    PSI on GLOBAL reference edges, replayed in DuckDB); (a2) the 4
-    gates whose
-    code paths materially changed this round — DriftReport.fit now
-    null-filters the reference column before computing exact
-    quantile edges (q_drift_report, q_streaming_drift), the
-    sampled-eval hash-threshold prefilter now verifies each query
-    kept n_negatives survivors and falls back to the unfiltered path
-    (q_sampled_eval), and LakeTable.merge() size-gates the
-    touched-file key broadcast instead of hinting unconditionally
-    (q_merge_upsert); (b) the 38 stalest official scores, oldest
-    first — the COMPLETE r6 cohort (13) and the 25
-    alphabetically-first of the 35 r7-scored hash gates. The
+    Order for r13: (a) the 1 never-officially-scored hash gate —
+    this round's debut (q_lake_stream_source: the streaming CDF
+    source — LakeChangeStream tails changes() from a durable cursor
+    in rate-limited commit slices, composing exactly-once with the
+    txn-marked lake sinks; the gate replays the streamed batches
+    commit-by-commit in DuckDB including the crash-replay window);
+    (a2) the 3 gates whose code paths materially changed this round
+    — the lake DML commit path gained Delta-style logical conflict
+    reconciliation (delete/update/compact/optimize/merge retry at
+    the tip iff intervening commits are logically disjoint), the
+    change feed reads re-added files through their post-commit
+    deletion vectors, and compact(partition_filter=) merges schemas
+    across eras (q_lake_dv); the dv-mode UPDATE add routes through
+    the partition-preserving writer (q_lake_update); merge commits
+    reconcile on version collisions (q_merge_upsert); (b) the 46
+    stalest official scores, oldest first — the COMPLETE remaining
+    r7 cohort (10, closing the r12 verdict's rotation debt) and the
+    36 alphabetically-first of the 38 r8-scored hash gates. The
     honestly non-SQL rows-only contracts (see
     test_entry_contract.py's allowlist) all sit in (c), officially
     green in prior rounds.
     (c) everything else — officially green in a prior round — still
-    run in tools/check_oracle at both scales and in bench; the 10
-    remaining r7-scored hash gates lead as r13 rotation candidates.
+    run in tools/check_oracle at both scales and in bench; the 2
+    remaining r8-scored hash gates (q_webdataset, q_zorder_keys)
+    lead as r14 rotation candidates.
     """
     return {
-        # -- (a) round-12 debuts awaiting a FIRST official
-        #        score: Delta-style column mapping (rename/
-        #        drop without rewrite), deletion vectors
-        #        (merge-on-read deletes + UPDATE), filtered
-        #        vector search, partition-spec evolution,
-        #        the metric-repository anomaly gate, the ANN
-        #        L2 metric path, and segmented drift -------
+        # -- (a) round-13 debut awaiting a FIRST official
+        #        score: the streaming CDF source (LakeChangeStream
+        #        — cursor-tailed change batches, exactly-once with
+        #        the txn sinks) --------------------------------
         "q_lake_stream_source": q_lake_stream_source,
-        "q_lake_rename": q_lake_rename,
+        # -- (a2) gates whose code paths materially changed
+        #        this round: the lake DML commit path gained
+        #        Delta-style logical conflict reconciliation and
+        #        the CDF now reads re-added files through their
+        #        post-commit deletion vectors (q_lake_dv); the
+        #        dv-mode UPDATE add routes through the
+        #        partition-preserving writer (q_lake_update);
+        #        merge commits reconcile on version collisions
+        #        (q_merge_upsert) ------------------------------
         "q_lake_dv": q_lake_dv,
+        "q_lake_update": q_lake_update,
+        "q_merge_upsert": q_merge_upsert,
+        # -- (b) the 46 genuinely stalest official scores,
+        #        oldest first: the COMPLETE remaining r7 cohort
+        #        (10 — closing the r12 verdict's rotation debt)
+        #        and the 36 alphabetically-first of the 38
+        #        r8-scored hash gates (the other 2 head section
+        #        (c) for the r14 rotation) ---------------------
+        "q_streaming_sessionize": q_streaming_sessionize,
+        "q_substring_dedup": q_substring_dedup,
+        "q_tfidf_keywords": q_tfidf_keywords,
+        "q_unigram_lm_scores": q_unigram_lm_scores,
+        "q_url_filter": q_url_filter,
+        "q_user_stats": q_user_stats,
+        "q_video_frames": q_video_frames,
+        "q_vocab_top_tokens": q_vocab_top_tokens,
+        "q_warc_html_extract": q_warc_html_extract,
+        "q_webm_meta": q_webm_meta,
+        "q_bloom_membership": q_bloom_membership,
+        "q_bm25_search": q_bm25_search,
+        "q_chat_template": q_chat_template,
+        "q_corpus_stats": q_corpus_stats,
+        "q_crawl_e2e": q_crawl_e2e,
+        "q_embedding_quantize": q_embedding_quantize,
+        "q_fuzzy_pairs": q_fuzzy_pairs,
+        "q_hash_sample": q_hash_sample,
+        "q_hash_split": q_hash_split,
+        "q_hll_grouped": q_hll_grouped,
+        "q_html_links": q_html_links,
+        "q_image_augment": q_image_augment,
+        "q_inverted_index": q_inverted_index,
+        "q_kmeans_assign": q_kmeans_assign,
+        "q_kn_bigram_scores": q_kn_bigram_scores,
+        "q_length_histogram": q_length_histogram,
+        "q_media_decode": q_media_decode,
+        "q_media_validate": q_media_validate,
+        "q_negative_sample": q_negative_sample,
+        "q_ngram_jaccard_capped": q_ngram_jaccard_capped,
+        "q_pca_project": q_pca_project,
+        "q_pipeline_eval": q_pipeline_eval,
+        "q_profile_columns": q_profile_columns,
+        "q_readability": q_readability,
+        "q_rolling_features": q_rolling_features,
+        "q_script_detect": q_script_detect,
+        "q_sessionize": q_sessionize,
+        "q_skew_report": q_skew_report,
+        "q_stratified_sample": q_stratified_sample,
+        "q_streaming_dedup": q_streaming_dedup,
+        "q_streaming_hll": q_streaming_hll,
+        "q_streaming_source_cap": q_streaming_source_cap,
+        "q_streaming_ucb": q_streaming_ucb,
+        "q_text_normalize": q_text_normalize,
+        "q_timeseries_resample": q_timeseries_resample,
+        "q_url_canonicalize": q_url_canonicalize,
+        # -- (c) officially green in a prior round — still
+        #        run in tools/check_oracle at both scales
+        #        and in bench; q_webdataset + q_zorder_keys
+        #        (r8) lead as r14 rotation candidates ----------
+        "q_lake_rename": q_lake_rename,
         "q_ann_filtered": q_ann_filtered,
         "q_lake_partition_evolution": q_lake_partition_evolution,
-        "q_lake_update": q_lake_update,
         "q_metric_repository": q_metric_repository,
         "q_ivf_ann_l2": q_ivf_ann_l2,
         "q_drift_segmented": q_drift_segmented,
-        # -- (a2) gates whose code paths materially changed
-        #        this round: DriftReport.fit now null-filters
-        #        before exact edges (q_drift_report,
-        #        q_streaming_drift), the sampled-eval
-        #        prefilter verifies per-query fill and falls
-        #        back losslessly (q_sampled_eval), and merge's
-        #        touched-file key join is size-gated instead
-        #        of unconditionally broadcast (q_merge_upsert)
         "q_drift_report": q_drift_report,
         "q_sampled_eval": q_sampled_eval,
         "q_streaming_drift": q_streaming_drift,
-        "q_merge_upsert": q_merge_upsert,
-        # -- (b) the 38 genuinely stalest official scores,
-        #        oldest first: the COMPLETE r6 cohort (13)
-        #        and the 25 alphabetically-first of the 35
-        #        r7-scored hash gates (the other 10 head
-        #        section (c) for the r13 rotation) ---------
         "q_metric_coverage": q_metric_coverage,
         "q_metric_mean_ci": q_metric_mean_ci,
         "q_metric_unexpectedness": q_metric_unexpectedness,
@@ -7208,20 +7249,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize_composite": q_sessionize_composite,
         "q_simhash_pairs_md5": q_simhash_pairs_md5,
         "q_streaming_cms": q_streaming_cms,
-        # -- (c) officially green in a prior round — still
-        #        run in tools/check_oracle at both scales
-        #        and in bench; the 10 remaining r7-scored
-        #        hash gates lead as r13 rotation candidates
-        "q_streaming_sessionize": q_streaming_sessionize,
-        "q_substring_dedup": q_substring_dedup,
-        "q_tfidf_keywords": q_tfidf_keywords,
-        "q_unigram_lm_scores": q_unigram_lm_scores,
-        "q_url_filter": q_url_filter,
-        "q_user_stats": q_user_stats,
-        "q_video_frames": q_video_frames,
-        "q_vocab_top_tokens": q_vocab_top_tokens,
-        "q_warc_html_extract": q_warc_html_extract,
-        "q_webm_meta": q_webm_meta,
         "q_lake_as_of": q_lake_as_of,
         "q_lake_vector_index": q_lake_vector_index,
         "q_ann_save_load": q_ann_save_load,
@@ -7360,37 +7387,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lake_changes": q_lake_changes,
         "q_thompson_params": q_thompson_params,
         "q_llm_e2e": q_llm_e2e,
-        "q_corpus_stats": q_corpus_stats,
-        "q_skew_report": q_skew_report,
-        "q_profile_columns": q_profile_columns,
-        "q_length_histogram": q_length_histogram,
-        "q_kmeans_assign": q_kmeans_assign,
         "q_kmeans_fit": q_kmeans_fit,
-        "q_url_canonicalize": q_url_canonicalize,
-        "q_stratified_sample": q_stratified_sample,
         "q_zorder_keys": q_zorder_keys,
-        "q_pca_project": q_pca_project,
         "q_pca_fit": q_pca_fit,
-        "q_embedding_quantize": q_embedding_quantize,
-        "q_timeseries_resample": q_timeseries_resample,
-        "q_crawl_e2e": q_crawl_e2e,
-        "q_kn_bigram_scores": q_kn_bigram_scores,
-        "q_readability": q_readability,
-        "q_streaming_source_cap": q_streaming_source_cap,
-        "q_bloom_membership": q_bloom_membership,
-        "q_html_links": q_html_links,
-        "q_image_augment": q_image_augment,
         "q_webdataset": q_webdataset,
-        "q_text_normalize": q_text_normalize,
-        "q_inverted_index": q_inverted_index,
-        "q_bm25_search": q_bm25_search,
-        "q_hll_grouped": q_hll_grouped,
-        "q_hash_split": q_hash_split,
-        "q_fuzzy_pairs": q_fuzzy_pairs,
-        "q_streaming_hll": q_streaming_hll,
-        "q_script_detect": q_script_detect,
-        "q_media_validate": q_media_validate,
-        "q_hash_sample": q_hash_sample,
         "q_quality_classifier": q_quality_classifier,
         "q_textrank": q_textrank,
         "q_bin_pack": q_bin_pack,
@@ -7398,15 +7398,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_compression_ratio": q_compression_ratio,
         "q_spectrogram": q_spectrogram,
         "q_thompson_scores": q_thompson_scores,
-        "q_streaming_ucb": q_streaming_ucb,
-        "q_ngram_jaccard_capped": q_ngram_jaccard_capped,
-        "q_pipeline_eval": q_pipeline_eval,
-        "q_streaming_dedup": q_streaming_dedup,
-        "q_media_decode": q_media_decode,
-        "q_sessionize": q_sessionize,
-        "q_negative_sample": q_negative_sample,
-        "q_rolling_features": q_rolling_features,
-        "q_chat_template": q_chat_template,
         "q_hnsw_ann": q_hnsw_ann,
         "q_pq_ann": q_pq_ann,
         "q_ivfpq_ann": q_ivfpq_ann,
