@@ -6562,6 +6562,71 @@ def q_lake_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lakefeed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE ``spark.readStream`` over a LakeTable — a PySpark
+    Python DataSource ("lakefeed"), so the lake composes with the
+    whole Structured Streaming surface. The gate lands documents in
+    two append commits plus a layout-only compact (which must
+    contribute nothing), streams the table into a parquet sink
+    through a real StreamingQuery (driver plans commit metadata
+    only; each added file reads executor-side via one
+    InputPartition), restarts the stream from Spark's own checkpoint
+    after a third append — only the new commit flows, asserted
+    in-gate by exact row count — and returns the sink's aggregate,
+    which DuckDB replays from the raw documents. Hash-matches only
+    if streaming delivered every appended row exactly once. The
+    reference has no table format; this follows the Delta
+    streaming-source contract via the public PySpark DataSource API
+    (replay_spark/streaming/lakefeed.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from replay_spark.lake import LakeTable
+    from replay_spark.streaming import register_lakefeed
+
+    docs = rsd.read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(tempfile.gettempdir(), f"rs_lakefeed_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    src = LakeTable(spark, os.path.join(base, "src"))
+    src.append(docs.filter("doc_id % 3 = 0").repartition(2))
+    src.append(docs.filter("doc_id % 3 = 1").repartition(2))
+    src.compact()  # layout-only: the stream must NOT re-emit rows
+    register_lakefeed(spark)
+    out = os.path.join(base, "out")
+    ck = os.path.join(base, "ck")
+
+    def drain():
+        q = (
+            spark.readStream.format("lakefeed")
+            .option("path", src.path)
+            .option("startingVersion", "-1")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    drain()
+    n_first = spark.read.parquet(out).count()
+    src.append(docs.filter("doc_id % 3 = 2").repartition(2))
+    drain()  # restart from Spark's checkpoint: only the new commit
+    sink = spark.read.parquet(out)
+    n_new = docs.filter("doc_id % 3 = 2").count()
+    assert sink.count() == n_first + n_new, "restart re-emitted rows"
+    return sink.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
 def q_sampled_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled ranking evaluation (the SASRec/NCF '99 negatives'
     protocol, 20 here): each user's LAST interaction is the test
@@ -7096,18 +7161,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Staleness ledger — machine-checked against CORRECTNESS_r*.json by
     tests/test_entry_contract.py::test_staleness_ledger_matches_files
     (numbers recomputed from the files, never hand-asserted): as of
-    r12 the oldest official hash-gate score is r7 (10 gates), and 1
-    hash gates await a first official score (this round's debut).
+    r12 the oldest official hash-gate score is r7 (10 gates), and 2
+    hash gates await a first official score (this round's debuts).
     (The r10 docstring claimed no score predated r7; recomputation
     showed 67 gates at r4-r6 — that claim class is computed, not
     asserted.)
 
-    Order for r13: (a) the 1 never-officially-scored hash gate —
-    this round's debut (q_lake_stream_source: the streaming CDF
+    Order for r13: (a) the 2 never-officially-scored hash gates —
+    this round's debuts (q_lake_stream_source: the streaming CDF
     source — LakeChangeStream tails changes() from a durable cursor
     in rate-limited commit slices, composing exactly-once with the
     txn-marked lake sinks; the gate replays the streamed batches
-    commit-by-commit in DuckDB including the crash-replay window);
+    commit-by-commit in DuckDB including the crash-replay window;
+    q_lakefeed_stream: the NATIVE spark.readStream source — a
+    PySpark Python DataSource tailing append commits file-per-
+    partition, restart exactly-once from Spark's own checkpoint,
+    asserted in-gate across a real stream restart);
     (a2) the 3 gates whose code paths materially changed this round
     — the lake DML commit path gained Delta-style logical conflict
     reconciliation (delete/update/compact/optimize/merge retry at
@@ -7116,24 +7185,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     deletion vectors, and compact(partition_filter=) merges schemas
     across eras (q_lake_dv); the dv-mode UPDATE add routes through
     the partition-preserving writer (q_lake_update); merge commits
-    reconcile on version collisions (q_merge_upsert); (b) the 46
+    reconcile on version collisions (q_merge_upsert); (b) the 45
     stalest official scores, oldest first — the COMPLETE remaining
     r7 cohort (10, closing the r12 verdict's rotation debt) and the
-    36 alphabetically-first of the 38 r8-scored hash gates. The
+    35 alphabetically-first of the 38 r8-scored hash gates. The
     honestly non-SQL rows-only contracts (see
     test_entry_contract.py's allowlist) all sit in (c), officially
     green in prior rounds.
     (c) everything else — officially green in a prior round — still
-    run in tools/check_oracle at both scales and in bench; the 2
-    remaining r8-scored hash gates (q_webdataset, q_zorder_keys)
-    lead as r14 rotation candidates.
+    run in tools/check_oracle at both scales and in bench; the 3
+    remaining r8-scored hash gates (q_url_canonicalize,
+    q_webdataset, q_zorder_keys) lead as r14 rotation candidates.
     """
     return {
-        # -- (a) round-13 debut awaiting a FIRST official
+        # -- (a) round-13 debuts awaiting a FIRST official
         #        score: the streaming CDF source (LakeChangeStream
         #        — cursor-tailed change batches, exactly-once with
-        #        the txn sinks) --------------------------------
+        #        the txn sinks) and the NATIVE readStream source
+        #        (lakefeed PySpark DataSource) ------------------
         "q_lake_stream_source": q_lake_stream_source,
+        "q_lakefeed_stream": q_lakefeed_stream,
         # -- (a2) gates whose code paths materially changed
         #        this round: the lake DML commit path gained
         #        Delta-style logical conflict reconciliation and
@@ -7146,11 +7217,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lake_dv": q_lake_dv,
         "q_lake_update": q_lake_update,
         "q_merge_upsert": q_merge_upsert,
-        # -- (b) the 46 genuinely stalest official scores,
+        # -- (b) the 45 genuinely stalest official scores,
         #        oldest first: the COMPLETE remaining r7 cohort
         #        (10 — closing the r12 verdict's rotation debt)
-        #        and the 36 alphabetically-first of the 38
-        #        r8-scored hash gates (the other 2 head section
+        #        and the 35 alphabetically-first of the 38
+        #        r8-scored hash gates (the other 3 head section
         #        (c) for the r14 rotation) ---------------------
         "q_streaming_sessionize": q_streaming_sessionize,
         "q_substring_dedup": q_substring_dedup,
@@ -7197,11 +7268,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_ucb": q_streaming_ucb,
         "q_text_normalize": q_text_normalize,
         "q_timeseries_resample": q_timeseries_resample,
-        "q_url_canonicalize": q_url_canonicalize,
         # -- (c) officially green in a prior round — still
         #        run in tools/check_oracle at both scales
-        #        and in bench; q_webdataset + q_zorder_keys
-        #        (r8) lead as r14 rotation candidates ----------
+        #        and in bench; q_url_canonicalize, q_webdataset,
+        #        q_zorder_keys (r8) lead as r14 candidates ------
+        "q_url_canonicalize": q_url_canonicalize,
         "q_lake_rename": q_lake_rename,
         "q_ann_filtered": q_ann_filtered,
         "q_lake_partition_evolution": q_lake_partition_evolution,
@@ -11709,6 +11780,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2 AS BIGINT) AS n_history,
                    (x < last_f / 1.5 OR x > last_f * 1.5) AS is_anomaly
             FROM f
+        """,
+        "q_lakefeed_stream": """
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang
         """,
         "q_lake_stream_source": """
             WITH d AS (SELECT doc_id, n_chars FROM documents),

@@ -1,0 +1,245 @@
+"""Native ``spark.readStream`` source for a
+:class:`~replay_spark.lake.LakeTable` — a PySpark 4 Python
+DataSource (``pyspark.sql.datasource``) so the lake composes with
+the WHOLE Structured Streaming surface: watermarks, windowed
+aggregations, stream-stream joins, any sink.
+
+Semantics follow Delta's table streaming: the source tails APPEND
+commits (each added file's rows stream exactly once, at commit
+granularity); layout-only commits (compact/optimize) and
+metadata-only commits (rename/checkpoint) are transparently ignored;
+a commit that CHANGES data (delete/update/merge/overwrite/restore)
+fails the stream unless ``skipChangeCommits=true`` (Delta's option
+of the same name) — change feeds belong to
+:class:`~replay_spark.streaming.cdf.LakeChangeStream`, which replays
+deletes/updates as typed change rows.
+
+Scale shape: the driver-side reader touches ONLY commit metadata
+(O(files) JSON); each added file becomes one ``InputPartition`` read
+executor-side with pyarrow, so a backlogged table fans out file-per-
+task exactly like a parquet scan. ``maxCommitsPerTrigger`` bounds a
+micro-batch. Offsets are plain ``{"version": N}`` dicts riding
+Spark's own streaming checkpoint — restart-exactly-once comes from
+Spark's offset log plus the source's deterministic
+commit-to-partition mapping.
+
+Trigger note: Spark's Python sources do not implement
+``Trigger.AvailableNow`` — it falls back to single-batch execution
+(harmless when ``maxCommitsPerTrigger`` covers the backlog); for a
+rate-limited catch-up use a processing-time trigger and
+``processAllAvailable()``. The Python DataSource protocol exposes
+no admission-control hook, so ``maxCommitsPerTrigger`` bounds every
+micro-batch AFTER the first of a session (the first drains to the
+tip).
+
+Cites reference behavior gap: the reference (sb-ai-lab/RePlay) has
+no table format; this follows the public Delta streaming-source
+contract (startingVersion, skipChangeCommits, rate limiting)
+re-expressed for this log via the public PySpark DataSource API.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Optional, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+__all__ = ["LakeFeedDataSource", "register_lakefeed"]
+
+# The registered DataSource class is cloudpickled into Spark's Python
+# runner processes, which may not have this package on sys.path (the
+# driver added it manually, or runs from a different cwd). Capture
+# the package parent at definition time so the runner can self-heal
+# the import — a plain string survives pickling by value.
+_PKG_PARENT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def _import_lake_table():
+    try:
+        from replay_spark.lake import LakeTable
+    except ModuleNotFoundError:
+        import sys
+
+        if _PKG_PARENT not in sys.path:
+            sys.path.insert(0, _PKG_PARENT)
+        from replay_spark.lake import LakeTable
+    return LakeTable
+
+# operations that never carry data changes a streaming reader must
+# surface: layout-only rewrites and metadata-only commits
+_LAYOUT_OPS = {"compact", "optimize"}
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, abs_path: str, arrow_schema, rename: dict):
+        self.abs_path = abs_path
+        self.arrow_schema = arrow_schema  # pa.Schema (picklable)
+        self.rename = rename  # physical -> logical column names
+
+
+class _LakeFeedReader(DataSourceStreamReader):
+    def __init__(self, path: str, schema: StructType, options: dict):
+        self.path = path
+        # metadata-only handle: log folding is pure file I/O
+        self.table = _import_lake_table()(None, path)
+        self.skip_change_commits = (
+            str(options.get("skipchangecommits", "false")).lower()
+            == "true"
+        )
+        self.max_commits = int(options.get("maxcommitspertrigger", 100))
+        if self.max_commits < 1:
+            raise ValueError("maxCommitsPerTrigger must be >= 1")
+        sv = options.get("startingversion")
+        self._starting_version = (
+            int(sv) if sv is not None else self.table.latest_version()
+        )
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self._schema = schema
+        self._arrow_schema = to_arrow_schema(schema)
+        # column mapping at stream start: physical file names ->
+        # the logical names this stream presents
+        mapping = self.table._mapping(None)
+        self._rename = (
+            {phys: logical for logical, phys in mapping.items()}
+            if mapping
+            else {}
+        )
+        # rate-limit cursor: advances as batches are planned and
+        # committed. The Python DataSource protocol has no
+        # admission-control hook (Delta's latestOffset(start, limit)
+        # shape), and the engine may ask for latestOffset BEFORE
+        # initialOffset — so the FIRST batch of a session is
+        # unbounded (it simply drains to the tip) and every
+        # subsequent batch honors maxCommitsPerTrigger
+        self._pos: Optional[int] = None
+
+    # -- offsets -------------------------------------------------------------
+
+    def initialOffset(self) -> dict:
+        self._pos = self._starting_version
+        return {"version": self._starting_version}
+
+    def latestOffset(self) -> dict:
+        tip = self.table.latest_version()
+        base = self._pos if self._pos is not None else tip
+        end = min(tip, base + self.max_commits) if tip > base else base
+        return {"version": end}
+
+    def commit(self, end: dict) -> None:
+        # Spark's checkpoint owns the offsets; track the engine's
+        # authoritative position for the rate-limit cursor
+        self._pos = int(end["version"])
+
+    def stop(self) -> None:
+        pass
+
+    # -- planning (driver, metadata-only) -------------------------------------
+
+    def partitions(
+        self, start: dict, end: dict
+    ) -> Sequence[InputPartition]:
+        lo, hi = int(start["version"]), int(end["version"])
+        self._pos = hi
+        parts = []
+        for c in self.table._commits(after=lo):
+            if c["version"] > hi:
+                break
+            op = c["operation"]
+            add, remove = c.get("add") or [], c.get("remove") or []
+            dv = c.get("dv") or {}
+            if op == "append" and not remove and not dv:
+                for rel in add:
+                    parts.append(
+                        _FilePartition(
+                            os.path.join(self.path, rel),
+                            self._arrow_schema,
+                            self._rename,
+                        )
+                    )
+                continue
+            if op in _LAYOUT_OPS or (not add and not remove and not dv):
+                continue  # layout-only / metadata-only: same rows
+            if not self.skip_change_commits:
+                raise RuntimeError(
+                    f"lakefeed: commit {c['version']} ({op}) changes "
+                    "existing data; streaming reads tail appends only."
+                    " Set skipChangeCommits=true to skip such commits"
+                    " (Delta semantics), or consume row-level changes"
+                    " through LakeChangeStream instead."
+                )
+        # empty batches still need a schema-correct zero-row answer;
+        # Spark handles an empty partition list
+        return parts
+
+    # -- execution (executors, pyarrow) ----------------------------------------
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.abs_path)
+        if partition.rename:
+            tbl = tbl.rename_columns(
+                [partition.rename.get(n, n) for n in tbl.column_names]
+            )
+        want = partition.arrow_schema
+        cols = []
+        for field in want:
+            if field.name in tbl.column_names:
+                cols.append(
+                    tbl.column(field.name).cast(field.type)
+                )
+            else:  # schema-evolved older era: typed nulls
+                cols.append(pa.nulls(len(tbl), type=field.type))
+        aligned = pa.table(cols, schema=want)
+        for batch in aligned.to_batches():
+            yield batch
+
+
+class LakeFeedDataSource(DataSource):
+    """``spark.readStream.format("lakefeed").option("path", p)``.
+
+    Options: ``path`` (required), ``startingVersion`` (default: the
+    table tip when the stream starts — new appends only; ``-1``
+    replays every append), ``maxCommitsPerTrigger`` (default 100),
+    ``skipChangeCommits`` (default false).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "lakefeed"
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("lakefeed requires .option('path', ...)")
+        return path
+
+    def schema(self):
+        t = _import_lake_table()(None, self._path())
+        version = t.latest_version()
+        if version < 0:
+            raise FileNotFoundError(f"no commits at {self._path()}")
+        _, schema_json, _, _, _, _, mapping, _ = t._fold_state(version)
+        schema = StructType.fromJson(json.loads(schema_json))
+        return schema
+
+    def streamReader(self, schema: StructType) -> _LakeFeedReader:
+        return _LakeFeedReader(self._path(), schema, dict(self.options))
+
+
+def register_lakefeed(spark) -> None:
+    """Register the source on a session:
+    ``register_lakefeed(spark)`` then
+    ``spark.readStream.format("lakefeed")...``."""
+    spark.dataSource.register(LakeFeedDataSource)

@@ -1,0 +1,159 @@
+"""Native readStream source for LakeTable (PySpark Python
+DataSource): append tailing, restart exactly-once via Spark's own
+checkpoint, rate limiting, change-commit semantics, column mapping."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from replay_spark.lake import LakeTable
+from replay_spark.streaming import register_lakefeed
+
+
+@pytest.fixture(autouse=True)
+def _register(spark):
+    register_lakefeed(spark)
+
+
+def _drain(spark, path, out, ck, **options):
+    reader = (
+        spark.readStream.format("lakefeed")
+        .option("path", path)
+        .option("startingVersion", "-1")
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_lakefeed_tails_appends_exactly_once(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(0, 50).select("id", (F.col("id") * 2).alias("v")))
+    t.append(spark.range(50, 100).select("id", (F.col("id") * 2).alias("v")))
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _drain(spark, t.path, out, ck)
+    assert spark.read.parquet(out).count() == 100
+    # restart from Spark's checkpoint: ONLY the new append flows
+    t.append(spark.range(100, 120).select("id", (F.col("id") * 2).alias("v")))
+    _drain(spark, t.path, out, ck)
+    got = spark.read.parquet(out)
+    assert got.count() == 120 and got.distinct().count() == 120
+    assert got.agg(F.sum("id")).collect()[0][0] == sum(range(120))
+
+
+def test_lakefeed_rate_limit_bounds_batches(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(0, 10).select("id", (F.col("id") * 2).alias("v")))
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    # the session's FIRST batch is unbounded (the Python DataSource
+    # protocol has no admission-control hook); every later batch
+    # honors maxCommitsPerTrigger — so append AFTER the stream opens
+    # and count the planned batches
+    q = (
+        spark.readStream.format("lakefeed")
+        .option("path", t.path)
+        .option("startingVersion", "-1")
+        .option("maxCommitsPerTrigger", "1")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    q.processAllAvailable()
+    for i in range(1, 4):
+        t.append(
+            spark.range(i * 10, i * 10 + 10).select(
+                "id", (F.col("id") * 2).alias("v")
+            )
+        )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == 40 and got.distinct().count() == 40
+    # one offset file per planned micro-batch: the 3 appended commits
+    # arrive rate-limited at 1 commit/batch after the initial batch
+    offsets = [
+        n for n in os.listdir(os.path.join(ck, "offsets"))
+        if not n.startswith(".")
+    ]
+    assert len(offsets) >= 4
+
+
+def test_lakefeed_change_commit_fails_without_option(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(0, 50).select("id", (F.col("id") * 2).alias("v")))
+    t.delete("id < 5", mode="dv")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    with pytest.raises(StreamingQueryException, match="skipChangeCommits"):
+        _drain(spark, t.path, out, ck)
+
+
+def test_lakefeed_skip_change_commits(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(0, 50).select("id", (F.col("id") * 2).alias("v")))
+    t.delete("id < 5", mode="dv")          # change commit: skipped
+    t.compact()                            # layout-only: ignored
+    t.append(spark.range(50, 60).select("id", (F.col("id") * 2).alias("v")))
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _drain(spark, t.path, out, ck, skipChangeCommits="true")
+    got = spark.read.parquet(out)
+    # appends stream their rows as appended (Delta semantics): the
+    # dv-delete is skipped, the compact adds nothing, no duplicates
+    assert got.count() == 60 and got.distinct().count() == 60
+
+
+def test_lakefeed_presents_logical_names_on_mapped_table(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(0, 30).select("id", (F.col("id") * 2).alias("v")))
+    t.rename_column("v", "value")
+    t.append(
+        spark.range(30, 40).select("id", (F.col("id") * 2).alias("value"))
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _drain(spark, t.path, out, ck)
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"id", "value"}
+    assert got.count() == 40
+    assert (
+        got.agg(F.sum("value")).collect()[0][0]
+        == sum(2 * i for i in range(40))
+    )
+
+
+def test_lakefeed_composes_with_streaming_agg(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(0, 100).select("id", (F.col("id") % 5).alias("g")))
+    agg = (
+        spark.readStream.format("lakefeed")
+        .option("path", t.path)
+        .option("startingVersion", "-1")
+        .load()
+        .groupBy("g")
+        .agg(F.count("*").alias("n"), F.sum("id").alias("s"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("lakefeed_agg")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {r["g"]: (r["n"], r["s"]) for r in spark.table("lakefeed_agg").collect()}
+    assert rows == {
+        g: (20, sum(i for i in range(100) if i % 5 == g)) for g in range(5)
+    }
