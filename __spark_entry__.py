@@ -6627,6 +6627,68 @@ def q_lakefeed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lake_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints stored IN the table log (Delta's
+    delta.constraints.* shape): ADD CONSTRAINT validates existing
+    rows in one scan, every later writer enforces the stored
+    expression set (one aggregate scan per written batch, all
+    constraints together), NULL satisfies (SQL CHECK semantics),
+    and violating writes are rejected BEFORE any commit — asserted
+    in-gate for append and UPDATE. Output: the final snapshot
+    aggregate after a mixed append (some NULLs, all admissible),
+    replayed by DuckDB from the raw documents — hash-matches only if
+    exactly the admissible writes landed. The reference has no table
+    format (replay_spark/lake.py add_constraint/drop_constraint)."""
+    import os
+    import shutil
+    import tempfile
+
+    from replay_spark.lake import LakeTable
+
+    docs = rsd.read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"rs_lakecons_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = LakeTable(spark, path)
+    t.append(docs.filter("doc_id % 3 = 0"))
+    t.add_constraint("chars_nonneg", "n_chars >= 0")
+    t.add_constraint("lang_present", "lang IS NOT NULL")
+    # NULL n_chars SATISFIES a CHECK (SQL semantics) — this commits
+    t.append(
+        docs.filter("doc_id % 3 = 1").selectExpr(
+            "doc_id",
+            "lang",
+            "CASE WHEN doc_id % 9 = 1 THEN NULL ELSE n_chars END AS n_chars",
+        )
+    )
+    # violating writes are rejected before any commit
+    pre = t.latest_version()
+    try:
+        t.append(
+            docs.filter("doc_id % 3 = 2").selectExpr(
+                "doc_id", "lang", "-1 AS n_chars"
+            )
+        )
+        raise AssertionError("violating append was accepted")
+    except ValueError:
+        pass
+    try:
+        t.update("doc_id % 5 = 0", {"n_chars": "-7"}, mode="dv")
+        raise AssertionError("violating update was accepted")
+    except ValueError:
+        pass
+    assert t.latest_version() == pre, "rejected write left a commit"
+    assert set(t.table_constraints()) == {"chars_nonneg", "lang_present"}
+    return t.read().groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.count("n_chars").cast("long").alias("n_chars_present"),
+    )
+
+
 def q_sampled_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled ranking evaluation (the SASRec/NCF '99 negatives'
     protocol, 20 here): each user's LAST interaction is the test
@@ -7161,13 +7223,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Staleness ledger — machine-checked against CORRECTNESS_r*.json by
     tests/test_entry_contract.py::test_staleness_ledger_matches_files
     (numbers recomputed from the files, never hand-asserted): as of
-    r12 the oldest official hash-gate score is r7 (10 gates), and 2
+    r12 the oldest official hash-gate score is r7 (10 gates), and 3
     hash gates await a first official score (this round's debuts).
     (The r10 docstring claimed no score predated r7; recomputation
     showed 67 gates at r4-r6 — that claim class is computed, not
     asserted.)
 
-    Order for r13: (a) the 2 never-officially-scored hash gates —
+    Order for r13: (a) the 3 never-officially-scored hash gates —
     this round's debuts (q_lake_stream_source: the streaming CDF
     source — LakeChangeStream tails changes() from a durable cursor
     in rate-limited commit slices, composing exactly-once with the
@@ -7176,7 +7238,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_lakefeed_stream: the NATIVE spark.readStream source — a
     PySpark Python DataSource tailing append commits file-per-
     partition, restart exactly-once from Spark's own checkpoint,
-    asserted in-gate across a real stream restart);
+    asserted in-gate across a real stream restart;
+    q_lake_constraints: CHECK constraints stored in the log —
+    ADD CONSTRAINT validates existing rows, every writer enforces,
+    NULL satisfies, rejected writes never commit);
     (a2) the 3 gates whose code paths materially changed this round
     — the lake DML commit path gained Delta-style logical conflict
     reconciliation (delete/update/compact/optimize/merge retry at
@@ -7185,26 +7250,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     deletion vectors, and compact(partition_filter=) merges schemas
     across eras (q_lake_dv); the dv-mode UPDATE add routes through
     the partition-preserving writer (q_lake_update); merge commits
-    reconcile on version collisions (q_merge_upsert); (b) the 45
+    reconcile on version collisions (q_merge_upsert); (b) the 44
     stalest official scores, oldest first — the COMPLETE remaining
     r7 cohort (10, closing the r12 verdict's rotation debt) and the
-    35 alphabetically-first of the 38 r8-scored hash gates. The
+    34 alphabetically-first of the 38 r8-scored hash gates. The
     honestly non-SQL rows-only contracts (see
     test_entry_contract.py's allowlist) all sit in (c), officially
     green in prior rounds.
     (c) everything else — officially green in a prior round — still
-    run in tools/check_oracle at both scales and in bench; the 3
-    remaining r8-scored hash gates (q_url_canonicalize,
-    q_webdataset, q_zorder_keys) lead as r14 rotation candidates.
+    run in tools/check_oracle at both scales and in bench; the 4
+    remaining r8-scored hash gates (q_timeseries_resample,
+    q_url_canonicalize, q_webdataset, q_zorder_keys) lead as r14
+    rotation candidates.
     """
     return {
         # -- (a) round-13 debuts awaiting a FIRST official
         #        score: the streaming CDF source (LakeChangeStream
         #        — cursor-tailed change batches, exactly-once with
-        #        the txn sinks) and the NATIVE readStream source
-        #        (lakefeed PySpark DataSource) ------------------
+        #        the txn sinks), the NATIVE readStream source
+        #        (lakefeed PySpark DataSource), and log-stored
+        #        CHECK constraints -----------------------------
         "q_lake_stream_source": q_lake_stream_source,
         "q_lakefeed_stream": q_lakefeed_stream,
+        "q_lake_constraints": q_lake_constraints,
         # -- (a2) gates whose code paths materially changed
         #        this round: the lake DML commit path gained
         #        Delta-style logical conflict reconciliation and
@@ -7217,11 +7285,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lake_dv": q_lake_dv,
         "q_lake_update": q_lake_update,
         "q_merge_upsert": q_merge_upsert,
-        # -- (b) the 45 genuinely stalest official scores,
+        # -- (b) the 44 genuinely stalest official scores,
         #        oldest first: the COMPLETE remaining r7 cohort
         #        (10 — closing the r12 verdict's rotation debt)
-        #        and the 35 alphabetically-first of the 38
-        #        r8-scored hash gates (the other 3 head section
+        #        and the 34 alphabetically-first of the 38
+        #        r8-scored hash gates (the other 4 head section
         #        (c) for the r14 rotation) ---------------------
         "q_streaming_sessionize": q_streaming_sessionize,
         "q_substring_dedup": q_substring_dedup,
@@ -7267,11 +7335,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_source_cap": q_streaming_source_cap,
         "q_streaming_ucb": q_streaming_ucb,
         "q_text_normalize": q_text_normalize,
-        "q_timeseries_resample": q_timeseries_resample,
         # -- (c) officially green in a prior round — still
         #        run in tools/check_oracle at both scales
-        #        and in bench; q_url_canonicalize, q_webdataset,
-        #        q_zorder_keys (r8) lead as r14 candidates ------
+        #        and in bench; q_timeseries_resample,
+        #        q_url_canonicalize, q_webdataset, q_zorder_keys
+        #        (r8) lead as r14 candidates --------------------
+        "q_timeseries_resample": q_timeseries_resample,
         "q_url_canonicalize": q_url_canonicalize,
         "q_lake_rename": q_lake_rename,
         "q_ann_filtered": q_ann_filtered,
@@ -11780,6 +11849,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2 AS BIGINT) AS n_history,
                    (x < last_f / 1.5 OR x > last_f * 1.5) AS is_anomaly
             FROM f
+        """,
+        "q_lake_constraints": """
+            WITH rows_in AS (
+                SELECT doc_id, lang, n_chars FROM documents
+                WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT doc_id, lang,
+                       CASE WHEN doc_id % 9 = 1 THEN NULL
+                            ELSE n_chars END AS n_chars
+                FROM documents WHERE doc_id % 3 = 1
+            )
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(COUNT(n_chars) AS BIGINT) AS n_chars_present
+            FROM rows_in GROUP BY lang
         """,
         "q_lakefeed_stream": """
             SELECT lang,

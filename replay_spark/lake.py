@@ -236,6 +236,7 @@ class LakeTable:
                 "stats": stats,
                 "mapping": mapping,
                 "dvs": dvs,
+                "constraints": self._table_constraints(version),
             }
         )
         name = os.path.join(
@@ -271,6 +272,8 @@ class LakeTable:
         q = dict(p)
         q["live"] = sorted(q.get("live") or [])
         q["schemas"] = sorted(q.get("schemas") or [])
+        # pre-constraints checkpoints lack the key; absent == empty
+        q["constraints"] = q.get("constraints") or {}
         return q
 
     def _fold_state(self, version: Optional[int] = None):
@@ -346,6 +349,117 @@ class LakeTable:
         stats = {k: v for k, v in stats.items() if k in live_set}
         return live, schema_json, schemas, txns, parts, stats, mapping, dvs
 
+    # -- CHECK constraints (stored in the log, enforced on every write) ------
+    #
+    # Delta-style table constraints: ``ALTER TABLE ADD CONSTRAINT``
+    # re-expressed for this log. The expression set lives in commit
+    # records (and checkpoints), so EVERY writer enforces it — unlike
+    # the caller-supplied ``append(constraints=...)`` suite, which
+    # only gates that one call. SQL-standard semantics: a row
+    # violates a CHECK only when the expression evaluates to FALSE
+    # (NULL satisfies). Enforcement costs one aggregate scan of the
+    # written batch for ALL constraints together.
+    # Cites reference behavior gap: the reference has no table
+    # format; this follows the public Delta constraints protocol
+    # (delta.constraints.* table properties) for this log.
+
+    def _table_constraints(self, version: Optional[int] = None) -> dict:
+        """{name: sql_expr} in force as of ``version`` — its own
+        lightweight fold (checkpoint base + commit tail), separate
+        from _fold_state so the 8-tuple contract stays stable."""
+        cons: dict = {}
+        start = -1
+        ckpt = self._latest_checkpoint(version)
+        if ckpt is not None:
+            cons = dict(ckpt.get("constraints") or {})
+            start = ckpt["version"]
+        for c in self._commits(after=start):
+            if version is not None and c["version"] > version:
+                break
+            for name, expr in (c.get("constraints") or {}).items():
+                if expr is None:
+                    cons.pop(name, None)
+                else:
+                    cons[name] = expr
+        return cons
+
+    def table_constraints(self) -> dict:
+        """The CHECK constraints currently in force."""
+        return self._table_constraints(None)
+
+    def _enforce_table_constraints(
+        self, df: DataFrame, version: Optional[int] = None
+    ) -> None:
+        """One aggregate scan counting violations of every stored
+        constraint over ``df`` (rows about to be written); raises
+        ``ValueError`` naming each violated constraint. NULL
+        satisfies (SQL CHECK semantics)."""
+        cons = self._table_constraints(version)
+        if not cons:
+            return
+        checks = [
+            F.count(
+                F.when(
+                    ~F.coalesce(
+                        F.expr(expr).cast("boolean"), F.lit(True)
+                    ),
+                    1,
+                )
+            ).alias(name)
+            for name, expr in sorted(cons.items())
+        ]
+        row = df.agg(*checks).collect()[0]
+        bad = [
+            f"{n} ({cons[n]!r}): {row[n]} row(s)"
+            for n in sorted(cons)
+            if row[n] > 0
+        ]
+        if bad:
+            raise ValueError(
+                "CHECK constraint violation — write rejected, nothing "
+                "committed: " + "; ".join(bad)
+            )
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """ADD CONSTRAINT name CHECK (expr): validates the EXISTING
+        table satisfies ``expr`` (one scan, like Delta), then commits
+        the constraint as metadata — every later write by any writer
+        enforces it until :meth:`drop_constraint`."""
+        if not name or not name.isidentifier():
+            raise ValueError(f"constraint name must be an identifier: {name!r}")
+        base = self.latest_version()
+        if base < 0:
+            raise FileNotFoundError(f"no commits at {self.path}")
+        existing = self._table_constraints(base)
+        if name in existing:
+            raise ValueError(f"constraint {name!r} already exists")
+        current = self.read(version=base)
+        n_bad = current.filter(
+            ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+        ).limit(1).count()
+        if n_bad:
+            raise ValueError(
+                f"cannot add constraint {name!r}: existing rows "
+                f"violate {expr!r}"
+            )
+        schema = StructType.fromJson(json.loads(self._last_schema_json))
+        return self._commit(
+            "add_constraint", [], [], schema, base + 1,
+            constraint_update={name: expr},
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        """DROP CONSTRAINT: metadata commit clearing ``name``."""
+        base = self.latest_version()
+        if name not in self._table_constraints(base):
+            raise KeyError(f"no constraint {name!r} at {self.path}")
+        self.snapshot_files(version=base)  # refresh _last_schema_json
+        schema = StructType.fromJson(json.loads(self._last_schema_json))
+        return self._commit(
+            "drop_constraint", [], [], schema, base + 1,
+            constraint_update={name: None},
+        )
+
     def to_view(
         self,
         name: str,
@@ -384,6 +498,7 @@ class LakeTable:
             features.append("column_mapping")
         if dvs:
             features.append("deletion_vectors")
+        cons = self._table_constraints(version)
         ckpt = self._latest_checkpoint(version)
         return {
             "path": self.path,
@@ -398,6 +513,7 @@ class LakeTable:
             "checkpoint_version": ckpt["version"] if ckpt else None,
             "vacuum_horizon": self._vacuum_horizon(),
             "txn_app_ids": sorted(txns),
+            "constraints": dict(sorted(cons.items())),
         }
 
     def history(self) -> DataFrame:
@@ -1341,6 +1457,7 @@ class LakeTable:
         mapping: object = _MAPPING_UNSET,
         dv: Optional[dict] = None,
         user_metadata: Optional[dict] = None,
+        constraint_update: Optional[dict] = None,
     ) -> int:
         cfg = self._bloom_config()
         if cfg and add:
@@ -1387,6 +1504,10 @@ class LakeTable:
             # context (job id, ticket, pipeline run) riding the
             # commit record — surfaced by history()
             payload["user_metadata"] = dict(user_metadata)
+        if constraint_update is not None:
+            # CHECK constraint delta: {name: expr} adds,
+            # {name: None} drops (fold in _table_constraints)
+            payload["constraints"] = dict(constraint_update)
         features = []
         if payload.get("column_mapping"):
             features.append("column_mapping")
@@ -1461,6 +1582,14 @@ class LakeTable:
                     f"{operation} conflicts with concurrent "
                     f"{c['operation']} at version {c['version']}: "
                     f"table schema changed"
+                )
+            if c.get("constraints"):
+                # rows this commit writes were never validated
+                # against the concurrently added/changed CHECK set
+                raise ConcurrentWriteError(
+                    f"{operation} conflicts with concurrent "
+                    f"{c['operation']} at version {c['version']}: "
+                    f"table constraints changed"
                 )
             theirs = set(c.get("remove") or []) | set(c.get("dv") or {})
             overlap = mine & theirs
@@ -1557,6 +1686,10 @@ class LakeTable:
                     f"failed: {detail}"
                 )
         current = self.latest_version()
+        # stored CHECK constraints gate EVERY writer (the
+        # caller-supplied suite above gates only this call)
+        if current >= 0:
+            self._enforce_table_constraints(df, current)
         if current >= 0 and not merge_schema:
             self.snapshot_files(version=current)
             stored = getattr(self, "_last_schema_json", None)
@@ -1609,6 +1742,16 @@ class LakeTable:
                 )
                 break
             except ConcurrentWriteError:
+                # a concurrent writer may have ADDED a constraint
+                # this batch was never checked against — re-enforce
+                # before retrying at the new tip
+                tip = self.latest_version()
+                if self._table_constraints(tip) != (
+                    self._table_constraints(current)
+                    if current >= 0
+                    else {}
+                ):
+                    self._enforce_table_constraints(df, tip)
                 continue
         if version is None:
             raise ConcurrentWriteError("append retries exhausted")
@@ -1814,10 +1957,12 @@ class LakeTable:
                 for f, dv in src_dvs.items()
                 if f in set(live)
             }
+        cons = self._table_constraints(version)
         out._commit(
             "clone", sorted(add), [], schema, 0, parts=cparts or None,
             mapping=(mapping if mapping is not None else _MAPPING_UNSET),
             dv=cdvs,
+            constraint_update=cons or None,
         )
         return out
 
@@ -2158,6 +2303,7 @@ class LakeTable:
         last = self.last_committed_batch(app_id)
         if last is not None and int(batch_id) <= last:
             return None
+        self._enforce_table_constraints(df)
         files = self._write_data(df)
         return self._commit(
             "append",
@@ -2233,6 +2379,8 @@ class LakeTable:
         the device :class:`MaterializedAggregate` uses to make view
         refreshes replay-safe."""
         base_version = self.latest_version()
+        if base_version >= 0:
+            self._enforce_table_constraints(df, base_version)
         prior = [
             os.path.relpath(p, self.path)
             for p in self.snapshot_files(version=base_version)
@@ -2447,6 +2595,7 @@ class LakeTable:
                     for f in schema.fields
                 ]
             )
+            self._enforce_table_constraints(updated, base_version)
             # route the new-row-version file through the
             # partition-preserving writer: on a partitioned table the
             # added file must carry partition values or
@@ -2489,6 +2638,7 @@ class LakeTable:
                 for f in schema.fields
             ]
         )
+        self._enforce_table_constraints(rewritten, base_version)
         files, new_parts = self._write_rewrite(
             rewritten, mapping, base_version
         )
@@ -3026,6 +3176,7 @@ class LakeTable:
         merged = merge_into(
             base, source, on, when_matched, when_not_matched
         )
+        self._enforce_table_constraints(merged, base_version)
         files = self._write_data(self._to_physical(merged, mapping))
         remove = [os.path.relpath(p, self.path) for p in touched]
         return self._commit_reconciled(

@@ -1691,3 +1691,76 @@ def test_checkpoint_semantic_idempotence(spark, tmp_path):
         fh.write(_json.dumps(corrupted))
     with pytest.raises(ConcurrentWriteError):
         t.checkpoint()
+
+
+def test_check_constraints_stored_and_enforced(spark, tmp_path):
+    """Delta-style CHECK constraints live in the log: every writer
+    enforces them, NULL satisfies (SQL semantics), drop lifts."""
+    t = LakeTable(spark, str(tmp_path / "cc"))
+    t.append(spark.range(0, 20).selectExpr("id", "id * 2 AS v"))
+    v = t.add_constraint("v_nonneg", "v >= 0")
+    assert t.table_constraints() == {"v_nonneg": "v >= 0"}
+    assert t.detail()["constraints"] == {"v_nonneg": "v >= 0"}
+    # violating append rejected, nothing committed
+    with pytest.raises(ValueError, match="v_nonneg"):
+        t.append(spark.range(20, 25).selectExpr("id", "-id AS v"))
+    assert t.latest_version() == v
+    # satisfying append (incl. NULLs — SQL CHECK semantics) passes
+    t.append(
+        spark.range(20, 25).selectExpr(
+            "id", "CASE WHEN id = 22 THEN NULL ELSE id * 2 END AS v"
+        )
+    )
+    assert t.read().count() == 25
+    # a second writer handle enforces too (the point of storing it)
+    t2 = LakeTable(spark, str(tmp_path / "cc"))
+    with pytest.raises(ValueError, match="v_nonneg"):
+        t2.append(spark.range(0, 1).selectExpr("id", "-5 AS v"))
+    # UPDATE assignments are checked (both modes)
+    with pytest.raises(ValueError, match="v_nonneg"):
+        t.update("id = 3", {"v": "-1"}, mode="dv")
+    with pytest.raises(ValueError, match="v_nonneg"):
+        t.update("id = 3", {"v": "-1"})
+    # drop lifts enforcement
+    t.drop_constraint("v_nonneg")
+    t.append(spark.range(30, 31).selectExpr("id", "-id AS v"))
+    assert t.table_constraints() == {}
+
+
+def test_add_constraint_validates_existing_rows(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "ccv"))
+    t.append(spark.range(0, 10).selectExpr("id", "id - 5 AS v"))
+    base = t.latest_version()
+    with pytest.raises(ValueError, match="existing rows violate"):
+        t.add_constraint("v_nonneg", "v >= 0")
+    assert t.latest_version() == base  # nothing committed
+    t.add_constraint("v_bounded", "v < 100")  # existing data passes
+    assert "v_bounded" in t.table_constraints()
+
+
+def test_constraints_survive_checkpoint_and_clone(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "ccc"), auto_checkpoint_every=None)
+    t.append(spark.range(0, 10).selectExpr("id", "id * 2 AS v"))
+    t.add_constraint("v_nonneg", "v >= 0")
+    t.checkpoint()
+    t.append(spark.range(10, 15).selectExpr("id", "id * 2 AS v"))
+    fresh = LakeTable(spark, str(tmp_path / "ccc"))
+    assert fresh.table_constraints() == {"v_nonneg": "v >= 0"}
+    with pytest.raises(ValueError, match="v_nonneg"):
+        fresh.append(spark.range(0, 1).selectExpr("id", "-1 AS v"))
+    clone = t.clone(str(tmp_path / "ccc_clone"))
+    assert clone.table_constraints() == {"v_nonneg": "v >= 0"}
+    with pytest.raises(ValueError, match="v_nonneg"):
+        clone.append(spark.range(0, 1).selectExpr("id", "-1 AS v"))
+
+
+def test_merge_checks_constraints(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "ccm"))
+    t.append(spark.range(0, 10).selectExpr("id AS k", "id * 2 AS v"))
+    t.add_constraint("v_nonneg", "v >= 0")
+    src = spark.range(5, 12).selectExpr("id AS k", "-1 AS v")
+    with pytest.raises(ValueError, match="v_nonneg"):
+        t.merge(src, on=["k"])
+    ok = spark.range(5, 12).selectExpr("id AS k", "id * 3 AS v")
+    t.merge(ok, on=["k"])
+    assert t.read().count() == 12
