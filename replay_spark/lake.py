@@ -2768,6 +2768,7 @@ class LakeTable:
         self,
         target_file_bytes: int = 128 * 1024 * 1024,
         partition_filter: Optional[dict] = None,
+        zorder_by: Optional[Sequence[str]] = None,
     ) -> int:
         """Rewrite live files into ~``target_file_bytes`` ones;
         same rows, new layout, one atomic swap. PARTITION-PRESERVING
@@ -2784,7 +2785,13 @@ class LakeTable:
         files carry by reference, untouched. Scoped rewrites go
         through the DV-aware scan, so the compacted partition's
         deletion vectors materialize away while other partitions
-        keep theirs."""
+        keep theirs.
+
+        ``zorder_by`` (with ``partition_filter``) Morton-clusters
+        the scoped rewrite — ``OPTIMIZE ... WHERE ... ZORDER BY``,
+        the hot-partition clustering move: range-partitioned on the
+        z-key into ~target-sized files sorted within, so footer
+        min/max stats skip files on later box queries."""
         base_version = self.latest_version()
         if partition_filter:
             fold = self._fold_state(base_version)
@@ -2803,17 +2810,32 @@ class LakeTable:
             rows = self._scan_with_dv(
                 selected, dvs, merge_schema=len(fold[2]) > 1
             )
-            # align to the commit-schema physical columns (mapped
-            # tables): fills physical slots absent from every
-            # selected file with typed nulls
-            rows = self._to_physical(
-                self._apply_mapping(rows, mapping, schema_json), mapping
-            )
             total = sum(
                 os.path.getsize(os.path.join(self.path, p))
                 for p in selected
             )
             n = int(max(1, -(-total // target_file_bytes)))
+            # align to the commit-schema physical columns (mapped
+            # tables): fills physical slots absent from every
+            # selected file with typed nulls. zorder_by names are
+            # LOGICAL, so the z-key computes on the logical frame
+            logical = self._apply_mapping(rows, mapping, schema_json)
+            if zorder_by:
+                from replay_spark.utils.layout import ZOrderLayout
+
+                z = ZOrderLayout(list(zorder_by))
+                rows = (
+                    self._to_physical(
+                        z.transform(logical),
+                        mapping,
+                        keep=(z.output_column,),
+                    )
+                    .repartitionByRange(int(n), z.output_column)
+                    .sortWithinPartitions(z.output_column)
+                    .drop(z.output_column)
+                )
+            else:
+                rows = self._to_physical(logical, mapping)
             # record the MAXIMAL provable partition metadata for the
             # rewritten files: every item all selected inputs agree
             # on (always includes the filter columns); values the
@@ -2825,7 +2847,11 @@ class LakeTable:
                 items = set((parts_map.get(rel) or {}).items())
                 common = items if common is None else (common & items)
             pvals = dict(sorted(common or []))
-            files = self._write_data(rows, num_files=n)
+            # a z-ordered scoped rewrite keeps its range layout
+            # (coalescing would merge the sorted ranges back)
+            files = self._write_data(
+                rows, num_files=None if zorder_by else n
+            )
             schema = StructType.fromJson(json.loads(schema_json))
             return self._commit_reconciled(
                 "compact",
@@ -2867,12 +2893,21 @@ class LakeTable:
         self,
         zorder_by: Optional[Sequence[str]] = None,
         target_file_bytes: int = 128 * 1024 * 1024,
+        partition_filter: Optional[dict] = None,
     ) -> int:
         """Delta-style OPTIMIZE: rewrite the live files into
         ~``target_file_bytes`` ones, optionally Z-order-clustered on
         ``zorder_by`` — same rows, new layout, one atomic swap.
         After a z-ordered optimize, :meth:`read_where` box queries
-        skip most files via footer statistics."""
+        skip most files via footer statistics. ``partition_filter``
+        scopes the rewrite to one partition (``OPTIMIZE ... WHERE
+        ... ZORDER BY`` — see :meth:`compact`)."""
+        if partition_filter:
+            return self.compact(
+                target_file_bytes,
+                partition_filter=partition_filter,
+                zorder_by=zorder_by,
+            )
         if not zorder_by:
             return self.compact(target_file_bytes)
         from replay_spark.utils.layout import ZOrderLayout

@@ -1764,3 +1764,62 @@ def test_merge_checks_constraints(spark, tmp_path):
     ok = spark.range(5, 12).selectExpr("id AS k", "id * 3 AS v")
     t.merge(ok, on=["k"])
     assert t.read().count() == 12
+
+
+def test_partition_scoped_zorder_optimize(spark, tmp_path):
+    """OPTIMIZE ... WHERE ... ZORDER BY: the hot partition's files
+    rewrite range-clustered on the z-key; other partitions carry by
+    reference untouched, partition metadata survives."""
+    t = LakeTable(spark, str(tmp_path / "zw"), auto_checkpoint_every=None)
+    t.append(
+        spark.range(0, 20000).select(
+            "id",
+            (F.col("id") % 2).cast("string").alias("b"),
+            (F.col("id") * 7 % 1000).alias("x"),
+            (F.col("id") * 13 % 1000).alias("y"),
+        ),
+        partition_by=["b"],
+    )
+    before = set(t._fold_state(None)[0])
+    other_before = {f for f in before if "/b=0/" in f or "b=0" in f}
+    t.optimize(
+        zorder_by=["x", "y"],
+        target_file_bytes=24 * 1024,
+        partition_filter={"b": "1"},
+    )
+    after = set(t._fold_state(None)[0])
+    # untouched partition's files carried by reference
+    assert other_before <= after
+    # rows preserved exactly
+    got = t.read()
+    assert got.count() == 20000
+    assert got.agg(F.sum("x")).collect()[0][0] == sum(
+        i * 7 % 1000 for i in range(20000)
+    )
+    # partition metadata survives on the rewritten files
+    assert t._partition_columns() == ["b"]
+    # z-clustering narrows per-file x-ranges: with the scoped files
+    # range-partitioned on the Morton key, at least one rewritten
+    # file must NOT span the full x domain
+    import pyarrow.parquet as pq
+
+    new_files = sorted(after - before)
+    assert len(new_files) >= 2  # multiple target-sized files
+
+    def x_range(rel):
+        md = pq.read_metadata(os.path.join(t.path, rel))
+        mins, maxs = [], []
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            for j in range(rg.num_columns):
+                col = rg.column(j)
+                if col.path_in_schema == "x":
+                    mins.append(col.statistics.min)
+                    maxs.append(col.statistics.max)
+        return min(mins), max(maxs)
+
+    spans = [x_range(rel) for rel in new_files]
+    # z-clustering: at least one rewritten file covers a PROPER
+    # subrange of the full x domain (0..999), so footer stats can
+    # skip it on a box query
+    assert any(hi - lo < 900 for lo, hi in spans), spans
