@@ -300,6 +300,12 @@ def main():
         "q_lake_update",
         "q_ann_filtered",
         "q_textrank",
+        # round-13: the streaming CDF source replays the full change
+        # feed in rate-limited slices at 10x (cost tracks churn, not
+        # corpus), and constraint enforcement adds one aggregate
+        # scan per written batch (must scale with the batch)
+        "q_lake_stream_source",
+        "q_lake_constraints",
     ]
     sf1_timings = {}
     sf1_canaries = {}

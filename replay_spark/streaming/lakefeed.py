@@ -187,23 +187,25 @@ class _LakeFeedReader(DataSourceStreamReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(partition.abs_path)
-        if partition.rename:
-            tbl = tbl.rename_columns(
-                [partition.rename.get(n, n) for n in tbl.column_names]
-            )
         want = partition.arrow_schema
-        cols = []
-        for field in want:
-            if field.name in tbl.column_names:
-                cols.append(
-                    tbl.column(field.name).cast(field.type)
+        rename = partition.rename
+        # stream row-group batches — a task never holds more than
+        # one Arrow batch of a (possibly 1 GB) file in memory
+        pf = pq.ParquetFile(partition.abs_path)
+        for rb in pf.iter_batches():
+            tbl = pa.Table.from_batches([rb])
+            if rename:
+                tbl = tbl.rename_columns(
+                    [rename.get(n, n) for n in tbl.column_names]
                 )
-            else:  # schema-evolved older era: typed nulls
-                cols.append(pa.nulls(len(tbl), type=field.type))
-        aligned = pa.table(cols, schema=want)
-        for batch in aligned.to_batches():
-            yield batch
+            cols = []
+            for field in want:
+                if field.name in tbl.column_names:
+                    cols.append(tbl.column(field.name).cast(field.type))
+                else:  # schema-evolved older era: typed nulls
+                    cols.append(pa.nulls(len(tbl), type=field.type))
+            for batch in pa.table(cols, schema=want).to_batches():
+                yield batch
 
 
 class LakeFeedDataSource(DataSource):
