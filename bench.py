@@ -473,19 +473,23 @@ def main():
     # trim, never truncate: drop the LONGEST-named sf1 entries one at
     # a time (full values are in the stderr FULL line) and record how
     # many were dropped, instead of nuking the whole section
-    dropped = 0
-    while len(line) > 1900 and compact.get("sf1"):
-        victim = max(compact["sf1"], key=len)
-        compact["sf1"].pop(victim)
-        dropped += 1
-        compact["sf1_dropped"] = dropped
-        line = json.dumps(compact, separators=(",", ":"))
+    # the reprobed audit trail yields BEFORE scale evidence: drop
+    # reprobed entries first (both readings stay in the stderr FULL
+    # line), then sf1 entries only if still over budget — the r13
+    # run showed reprobed crowding 11 sf1 legs out of the capture
     while len(line) > 1900 and compact.get("reprobed"):
         victim = max(compact["reprobed"], key=len)
         compact["reprobed"].pop(victim)
         compact["reprobed_dropped"] = (
             compact.get("reprobed_dropped", 0) + 1
         )
+        line = json.dumps(compact, separators=(",", ":"))
+    dropped = 0
+    while len(line) > 1900 and compact.get("sf1"):
+        victim = max(compact["sf1"], key=len)
+        compact["sf1"].pop(victim)
+        dropped += 1
+        compact["sf1_dropped"] = dropped
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
 
