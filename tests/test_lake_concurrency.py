@@ -212,3 +212,139 @@ def t1_schema(t):
     from pyspark.sql.types import StructType
 
     return StructType.fromJson(json.loads(t._fold_state(None)[1]))
+
+
+# -- property: racing writers never corrupt state ---------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_OPS = st.sampled_from(
+    ["append", "dv_delete", "rw_delete", "update_dv", "compact"]
+)
+
+
+def _apply_model(model, op, step):
+    """Python model of one op (mirrors _run_op's predicates)."""
+    if op == "append":
+        lo = 1000 + step * 100
+        model.update({i: i * 2 for i in range(lo, lo + 20)})
+    elif op in ("dv_delete", "rw_delete"):
+        m = 7 + step % 3
+        for k in [k for k in model if k % m == 1]:
+            model.pop(k)
+    elif op == "update_dv":
+        m = 5 + step % 3
+        for k in list(model):
+            if k % m == 0:
+                model[k] = model[k] + 10000
+    # compact: layout-only
+
+
+def _run_op(t, spark, op, step):
+    import pyspark.sql.functions as F
+
+    if op == "append":
+        lo = 1000 + step * 100
+        t.append(
+            spark.range(lo, lo + 20).select(
+                "id", (F.col("id") * 2).alias("v")
+            )
+        )
+    elif op == "dv_delete":
+        t.delete(f"id % {7 + step % 3} = 1", mode="dv")
+    elif op == "rw_delete":
+        t.delete(f"id % {7 + step % 3} = 1")
+    elif op == "update_dv":
+        t.update(f"id % {5 + step % 3} = 0", {"v": "v + 10000"}, mode="dv")
+    else:
+        t.compact()
+
+
+_PATCH_POINT = {
+    "append": "_write_data",
+    "dv_delete": "_write_dv_sidecar",
+    "rw_delete": "_write_data",
+    "update_dv": "_write_dv_sidecar",
+    "compact": "_write_data",
+}
+
+
+@given(
+    pairs=st.lists(st.tuples(_OPS, _OPS), min_size=1, max_size=3),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_racing_writers_match_python_model(spark, tmp_path_factory, pairs):
+    """Under ARBITRARY two-writer races, the table always equals the
+    Python model of 'racer applied; main applied iff it did not
+    raise' — a failed commit leaves no partial effects, a reconciled
+    commit composes with the racer's, and reads never see a torn
+    state."""
+    import pyspark.sql.functions as F
+
+    base = tmp_path_factory.mktemp("race")
+    t1 = LakeTable(spark, str(base / "t"))
+    t2 = LakeTable(spark, str(base / "t"))
+    t1.append(
+        spark.range(0, 100).select("id", (F.col("id") * 2).alias("v"))
+    )
+    model = {i: i * 2 for i in range(100)}
+
+    for step, (main_op, racer_op) in enumerate(pairs):
+        # racer fires between main's snapshot scan and its commit
+        racer_step = 50 + step
+
+        def racer(op=racer_op, s=racer_step):
+            _run_op(t2, spark, op, s)
+
+        point = _PATCH_POINT[main_op]
+        orig = getattr(t1, point)
+        fired = {"done": False}
+
+        def wrapped(*a, **k):
+            out = orig(*a, **k)
+            if not fired["done"]:
+                fired["done"] = True
+                racer()
+            return out
+
+        setattr(t1, point, wrapped)
+        try:
+            # model order: main's predicate SCANNED the pre-racer
+            # snapshot, but on a successful reconcile its effects
+            # apply on top of the racer's commit
+            pre = dict(model)
+            _apply_model(model, racer_op, racer_step)
+            try:
+                _run_op(t1, spark, main_op, step)
+                # main applied. WriteSerializable semantics: its
+                # predicate scanned the PRE-racer snapshot, so rows
+                # the racer appended are NOT subject to it — apply
+                # main's matches from the pre view only (keys both
+                # writers touched live in the same file and would
+                # have raised instead of landing here)
+                if main_op == "append":
+                    _apply_model(model, main_op, step)
+                elif main_op in ("dv_delete", "rw_delete"):
+                    m = 7 + step % 3
+                    for k in [k for k in pre if k % m == 1]:
+                        model.pop(k, None)
+                elif main_op == "update_dv":
+                    m = 5 + step % 3
+                    for k in pre:
+                        if k % m == 0 and k in model:
+                            model[k] = model[k] + 10000
+                # compact: layout-only
+            except ConcurrentWriteError:
+                pass  # main not applied, racer's state stands
+        finally:
+            setattr(t1, point, orig)
+        got = {r["id"]: r["v"] for r in t1.read().collect()}
+        assert got == model, (
+            f"step {step}: main={main_op} racer={racer_op} diverged "
+            f"({len(got)} vs {len(model)} rows)"
+        )
