@@ -318,9 +318,17 @@ def test_racing_writers_match_python_model(spark, tmp_path_factory, pairs):
             # snapshot, but on a successful reconcile its effects
             # apply on top of the racer's commit
             pre = dict(model)
-            _apply_model(model, racer_op, racer_step)
+            raised = False
             try:
                 _run_op(t1, spark, main_op, step)
+            except ConcurrentWriteError:
+                raised = True
+            # the racer only lands if main reached its write stage —
+            # a no-op main (every match already deleted) returns
+            # before the patch point and no race happens at all
+            if fired["done"]:
+                _apply_model(model, racer_op, racer_step)
+            if not raised:
                 # main applied. WriteSerializable semantics: its
                 # predicate scanned the PRE-racer snapshot, so rows
                 # the racer appended are NOT subject to it — apply
@@ -339,8 +347,6 @@ def test_racing_writers_match_python_model(spark, tmp_path_factory, pairs):
                         if k % m == 0 and k in model:
                             model[k] = model[k] + 10000
                 # compact: layout-only
-            except ConcurrentWriteError:
-                pass  # main not applied, racer's state stands
         finally:
             setattr(t1, point, orig)
         got = {r["id"]: r["v"] for r in t1.read().collect()}
