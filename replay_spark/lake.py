@@ -519,7 +519,8 @@ class LakeTable:
     def history(self) -> DataFrame:
         """One row per commit: version, operation, files
         added/removed, commit timestamp (unix micros; file-mtime
-        fallback for pre-r11 logs)."""
+        fallback for pre-r11 logs), bytes added and dv pointers
+        repointed (operation metrics; null for pre-r13 commits)."""
         commits = self._commits()
         rows = [
             (
@@ -531,13 +532,16 @@ class LakeTable:
                 json.dumps(c["user_metadata"], sort_keys=True)
                 if c.get("user_metadata")
                 else None,
+                (c.get("operation_metrics") or {}).get("added_bytes"),
+                (c.get("operation_metrics") or {}).get("num_dv_files"),
             )
             for c in commits
         ]
         return self.spark.createDataFrame(
             rows,
             "version INT, operation STRING, n_added INT, "
-            "n_removed INT, commit_ts LONG, user_metadata STRING",
+            "n_removed INT, commit_ts LONG, user_metadata STRING, "
+            "added_bytes LONG, num_dv_files INT",
         )
 
     def _commit_ts(self, c: dict) -> int:
@@ -1508,6 +1512,24 @@ class LakeTable:
             # CHECK constraint delta: {name: expr} adds,
             # {name: None} drops (fold in _table_constraints)
             payload["constraints"] = dict(constraint_update)
+        # Delta commitInfo.operationMetrics shape: cheap O(add)
+        # driver-side stats riding every commit — history() surfaces
+        # them, so "which commit wrote the terabyte" answers from
+        # metadata alone
+        added_bytes = 0
+        for rel in add:
+            try:
+                added_bytes += os.path.getsize(
+                    os.path.join(self.path, rel)
+                )
+            except OSError:
+                pass
+        payload["operation_metrics"] = {
+            "num_added_files": len(add),
+            "num_removed_files": len(remove),
+            "added_bytes": added_bytes,
+            "num_dv_files": len(dv) if dv else 0,
+        }
         features = []
         if payload.get("column_mapping"):
             features.append("column_mapping")

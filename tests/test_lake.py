@@ -1823,3 +1823,17 @@ def test_partition_scoped_zorder_optimize(spark, tmp_path):
     # subrange of the full x domain (0..999), so footer stats can
     # skip it on a box query
     assert any(hi - lo < 900 for lo, hi in spans), spans
+
+
+def test_history_operation_metrics(spark, tmp_path):
+    """Commits carry Delta-style operation metrics (cheap O(add)
+    driver stats) surfaced by history() — 'which commit wrote the
+    bytes' answers from metadata alone."""
+    t = LakeTable(spark, str(tmp_path / "om"))
+    t.append(spark.range(0, 50).selectExpr("id", "id * 2 AS v"))
+    t.delete("id % 10 = 3", mode="dv")
+    hist = {r.version: r for r in t.history().collect()}
+    assert hist[0].added_bytes > 0 and hist[0].n_added >= 1
+    assert hist[0].num_dv_files == 0
+    assert hist[1].num_dv_files >= 1
+    assert hist[1].n_added == 0 and hist[1].added_bytes == 0
