@@ -486,7 +486,17 @@ def main():
         line = json.dumps(compact, separators=(",", ":"))
     dropped = 0
     while len(line) > 1900 and compact.get("sf1"):
-        victim = max(compact["sf1"], key=len)
+        # drop the LEAST INFORMATIVE legs (smallest medians — the
+        # sub-second ones say nothing about scale) rather than the
+        # longest names, which r13 showed evicts exactly the newest
+        # tiers; full values remain in the stderr FULL line
+        victim = min(
+            compact["sf1"],
+            key=lambda k: (
+                compact["sf1"][k] if compact["sf1"][k] is not None
+                else -1.0
+            ),
+        )
         compact["sf1"].pop(victim)
         dropped += 1
         compact["sf1_dropped"] = dropped
