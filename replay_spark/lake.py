@@ -237,6 +237,7 @@ class LakeTable:
                 "mapping": mapping,
                 "dvs": dvs,
                 "constraints": self._table_constraints(version),
+                "generated": self._generated_columns(version),
             }
         )
         name = os.path.join(
@@ -272,8 +273,9 @@ class LakeTable:
         q = dict(p)
         q["live"] = sorted(q.get("live") or [])
         q["schemas"] = sorted(q.get("schemas") or [])
-        # pre-constraints checkpoints lack the key; absent == empty
+        # pre-constraints checkpoints lack the keys; absent == empty
         q["constraints"] = q.get("constraints") or {}
+        q["generated"] = q.get("generated") or {}
         return q
 
     def _fold_state(self, version: Optional[int] = None):
@@ -420,6 +422,127 @@ class LakeTable:
                 "committed: " + "; ".join(bad)
             )
 
+    # -- generated columns (computed on write, validated if given) -----------
+
+    def _generated_columns(self, version: Optional[int] = None) -> dict:
+        """{column: sql_expr} generation rules in force — same fold
+        shape as :meth:`_table_constraints`."""
+        gens: dict = {}
+        start = -1
+        ckpt = self._latest_checkpoint(version)
+        if ckpt is not None:
+            gens = dict(ckpt.get("generated") or {})
+            start = ckpt["version"]
+        for c in self._commits(after=start):
+            if version is not None and c["version"] > version:
+                break
+            for name, expr in (c.get("generated") or {}).items():
+                if expr is None:
+                    gens.pop(name, None)
+                else:
+                    gens[name] = expr
+        return gens
+
+    def generated_columns(self) -> dict:
+        """The generation rules currently in force."""
+        return self._generated_columns(None)
+
+    def set_generated_column(self, name: str, expr: str) -> int:
+        """Declare ``name`` GENERATED ALWAYS AS (expr) — Delta's
+        generated-columns device re-expressed for this log: a writer
+        that OMITS the column gets it computed from ``expr`` (cast to
+        the column's schema type); a writer that supplies it has the
+        values VALIDATED against ``expr`` (NULL-safe equality, one
+        aggregate scan merged into the write) so the invariant can
+        never drift. The classic use: derive a partition date from an
+        event timestamp without every writer re-implementing it —
+        ``partition_by`` the generated column and log pruning works.
+        Existing rows are validated before the rule commits."""
+        base = self.latest_version()
+        if base < 0:
+            raise FileNotFoundError(f"no commits at {self.path}")
+        _, schema_json, _, _, _, _, _, _ = self._fold_state(base)
+        schema = StructType.fromJson(json.loads(schema_json))
+        names = {f.name for f in schema.fields}
+        if name not in names:
+            raise ValueError(
+                f"generated column {name!r} must already exist in the "
+                f"table schema (have {sorted(names)})"
+            )
+        current = self.read(version=base)
+        t = {f.name: f.dataType for f in schema.fields}[name]
+        bad = current.filter(
+            ~(
+                F.col(name).eqNullSafe(F.expr(expr).cast(t))
+            )
+        ).limit(1).count()
+        if bad:
+            raise ValueError(
+                f"cannot declare {name!r} generated: existing rows "
+                f"do not match {expr!r}"
+            )
+        return self._commit(
+            "set_generated_column", [], [], schema, base + 1,
+            generated_update={name: expr},
+        )
+
+    def drop_generated_column(self, name: str) -> int:
+        """Remove the generation rule (the column stays)."""
+        base = self.latest_version()
+        if name not in self._generated_columns(base):
+            raise KeyError(f"no generated column {name!r} at {self.path}")
+        self.snapshot_files(version=base)
+        schema = StructType.fromJson(json.loads(self._last_schema_json))
+        return self._commit(
+            "drop_generated_column", [], [], schema, base + 1,
+            generated_update={name: None},
+        )
+
+    def _apply_generated(
+        self, df: DataFrame, version: Optional[int] = None
+    ) -> DataFrame:
+        """Fill omitted generated columns from their expressions and
+        VALIDATE supplied ones (one aggregate scan for all rules) —
+        called on the logical frame before an append lands."""
+        gens = self._generated_columns(version)
+        if not gens:
+            return df
+        _, schema_json, _, _, _, _, _, _ = self._fold_state(version)
+        types = {}
+        if schema_json:
+            for f in StructType.fromJson(json.loads(schema_json)):
+                types[f.name] = f.dataType
+        checks = []
+        for name, expr in sorted(gens.items()):
+            gen = F.expr(expr)
+            if name in types:
+                gen = gen.cast(types[name])
+            if name not in df.columns:
+                df = df.withColumn(name, gen)
+            else:
+                checks.append(
+                    F.count(
+                        F.when(~F.col(name).eqNullSafe(gen), 1)
+                    ).alias(name)
+                )
+        if checks:
+            row = df.agg(*checks).collect()[0]
+            bad = [
+                f"{n} != ({gens[n]}): {row[n]} row(s)"
+                for n in sorted(gens)
+                if n in df.columns and row[n] and row[n] > 0
+            ]
+            if bad:
+                raise ValueError(
+                    "generated-column mismatch — write rejected, "
+                    "nothing committed: " + "; ".join(bad)
+                )
+        # filled columns land at the END; present them in the stored
+        # schema order so the append's shape check stays happy
+        if types and set(df.columns) == set(types):
+            df = df.select(*types.keys())
+        return df
+
     def add_constraint(self, name: str, expr: str) -> int:
         """ADD CONSTRAINT name CHECK (expr): validates the EXISTING
         table satisfies ``expr`` (one scan, like Delta), then commits
@@ -514,6 +637,9 @@ class LakeTable:
             "vacuum_horizon": self._vacuum_horizon(),
             "txn_app_ids": sorted(txns),
             "constraints": dict(sorted(cons.items())),
+            "generated_columns": dict(
+                sorted(self._generated_columns(version).items())
+            ),
         }
 
     def history(self) -> DataFrame:
@@ -1462,6 +1588,7 @@ class LakeTable:
         dv: Optional[dict] = None,
         user_metadata: Optional[dict] = None,
         constraint_update: Optional[dict] = None,
+        generated_update: Optional[dict] = None,
     ) -> int:
         cfg = self._bloom_config()
         if cfg and add:
@@ -1512,6 +1639,9 @@ class LakeTable:
             # CHECK constraint delta: {name: expr} adds,
             # {name: None} drops (fold in _table_constraints)
             payload["constraints"] = dict(constraint_update)
+        if generated_update is not None:
+            # generated-column delta, same fold contract
+            payload["generated"] = dict(generated_update)
         # Delta commitInfo.operationMetrics shape: cheap O(add)
         # driver-side stats riding every commit — history() surfaces
         # them, so "which commit wrote the terabyte" answers from
@@ -1605,13 +1735,14 @@ class LakeTable:
                     f"{c['operation']} at version {c['version']}: "
                     f"table schema changed"
                 )
-            if c.get("constraints"):
+            if c.get("constraints") or c.get("generated"):
                 # rows this commit writes were never validated
-                # against the concurrently added/changed CHECK set
+                # against the concurrently added/changed CHECK or
+                # generated-column rule set
                 raise ConcurrentWriteError(
                     f"{operation} conflicts with concurrent "
                     f"{c['operation']} at version {c['version']}: "
-                    f"table constraints changed"
+                    f"table constraints/generation rules changed"
                 )
             theirs = set(c.get("remove") or []) | set(c.get("dv") or {})
             overlap = mine & theirs
@@ -1708,9 +1839,12 @@ class LakeTable:
                     f"failed: {detail}"
                 )
         current = self.latest_version()
-        # stored CHECK constraints gate EVERY writer (the
-        # caller-supplied suite above gates only this call)
         if current >= 0:
+            # fill omitted generated columns / validate supplied ones
+            # BEFORE the schema-shape check sees the frame
+            df = self._apply_generated(df, current)
+            # stored CHECK constraints gate EVERY writer (the
+            # caller-supplied suite above gates only this call)
             self._enforce_table_constraints(df, current)
         if current >= 0 and not merge_schema:
             self.snapshot_files(version=current)
@@ -1766,8 +1900,18 @@ class LakeTable:
             except ConcurrentWriteError:
                 # a concurrent writer may have ADDED a constraint
                 # this batch was never checked against — re-enforce
-                # before retrying at the new tip
+                # before retrying at the new tip; a generation-rule
+                # change cannot be patched post-write, so it fails
                 tip = self.latest_version()
+                if self._generated_columns(tip) != (
+                    self._generated_columns(current)
+                    if current >= 0
+                    else {}
+                ):
+                    raise ConcurrentWriteError(
+                        "append conflicts with a concurrent "
+                        "generated-column change"
+                    )
                 if self._table_constraints(tip) != (
                     self._table_constraints(current)
                     if current >= 0
@@ -1980,11 +2124,13 @@ class LakeTable:
                 if f in set(live)
             }
         cons = self._table_constraints(version)
+        gens = self._generated_columns(version)
         out._commit(
             "clone", sorted(add), [], schema, 0, parts=cparts or None,
             mapping=(mapping if mapping is not None else _MAPPING_UNSET),
             dv=cdvs,
             constraint_update=cons or None,
+            generated_update=gens or None,
         )
         return out
 
@@ -2325,6 +2471,7 @@ class LakeTable:
         last = self.last_committed_batch(app_id)
         if last is not None and int(batch_id) <= last:
             return None
+        df = self._apply_generated(df)
         self._enforce_table_constraints(df)
         files = self._write_data(df)
         return self._commit(
@@ -2402,6 +2549,7 @@ class LakeTable:
         refreshes replay-safe."""
         base_version = self.latest_version()
         if base_version >= 0:
+            df = self._apply_generated(df, base_version)
             self._enforce_table_constraints(df, base_version)
         prior = [
             os.path.relpath(p, self.path)
@@ -2617,6 +2765,7 @@ class LakeTable:
                     for f in schema.fields
                 ]
             )
+            self._apply_generated(updated, base_version)
             self._enforce_table_constraints(updated, base_version)
             # route the new-row-version file through the
             # partition-preserving writer: on a partitioned table the
@@ -2660,6 +2809,7 @@ class LakeTable:
                 for f in schema.fields
             ]
         )
+        self._apply_generated(rewritten, base_version)
         self._enforce_table_constraints(rewritten, base_version)
         files, new_parts = self._write_rewrite(
             rewritten, mapping, base_version
@@ -3233,6 +3383,7 @@ class LakeTable:
         merged = merge_into(
             base, source, on, when_matched, when_not_matched
         )
+        merged = self._apply_generated(merged, base_version)
         self._enforce_table_constraints(merged, base_version)
         files = self._write_data(self._to_physical(merged, mapping))
         remove = [os.path.relpath(p, self.path) for p in touched]

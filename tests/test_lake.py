@@ -1837,3 +1837,99 @@ def test_history_operation_metrics(spark, tmp_path):
     assert hist[0].num_dv_files == 0
     assert hist[1].num_dv_files >= 1
     assert hist[1].n_added == 0 and hist[1].added_bytes == 0
+
+
+def test_generated_columns_fill_and_validate(spark, tmp_path):
+    """GENERATED ALWAYS AS: omitted -> computed on write; supplied ->
+    validated (NULL-safe); partition_by on the generated column keeps
+    log pruning working — the derive-a-date use case."""
+    t = LakeTable(spark, str(tmp_path / "gen"))
+    t.append(
+        spark.range(0, 40).selectExpr(
+            "id", "id * 2 AS v", "CAST(id % 4 AS STRING) AS bucket"
+        )
+    )
+    t.set_generated_column("bucket", "CAST(id % 4 AS STRING)")
+    assert t.generated_columns() == {"bucket": "CAST(id % 4 AS STRING)"}
+    assert t.detail()["generated_columns"]
+    # writer omits the column: computed
+    t.append(spark.range(40, 60).selectExpr("id", "id * 2 AS v"))
+    rows = {r["id"]: r["bucket"] for r in t.read().collect()}
+    assert len(rows) == 60
+    assert all(rows[i] == str(i % 4) for i in range(60))
+    # writer supplies WRONG values: rejected, nothing committed
+    pre = t.latest_version()
+    with pytest.raises(ValueError, match="generated-column mismatch"):
+        t.append(
+            spark.range(60, 70).selectExpr(
+                "id", "id * 2 AS v", "'9' AS bucket"
+            )
+        )
+    assert t.latest_version() == pre
+    # supplying CORRECT values passes
+    t.append(
+        spark.range(60, 70).selectExpr(
+            "id", "id * 2 AS v", "CAST(id % 4 AS STRING) AS bucket"
+        )
+    )
+    assert t.read().count() == 70
+    # update that would break the invariant is rejected (both modes)
+    with pytest.raises(ValueError, match="generated-column mismatch"):
+        t.update("id = 3", {"bucket": "'7'"}, mode="dv")
+    with pytest.raises(ValueError, match="generated-column mismatch"):
+        t.update("id = 3", {"bucket": "'7'"})
+    # dropping the rule lifts enforcement
+    t.drop_generated_column("bucket")
+    t.append(
+        spark.range(70, 72).selectExpr("id", "id * 2 AS v", "'9' AS bucket")
+    )
+    assert t.generated_columns() == {}
+
+
+def test_set_generated_column_validates_existing(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "genv"))
+    t.append(
+        spark.range(0, 10).selectExpr("id", "CAST(id AS STRING) AS b")
+    )
+    with pytest.raises(ValueError, match="existing rows"):
+        t.set_generated_column("b", "CAST(id + 1 AS STRING)")
+    with pytest.raises(ValueError, match="must already exist"):
+        t.set_generated_column("nope", "id")
+
+
+def test_generated_column_partitioned_append(spark, tmp_path):
+    """Writers omit the partition column entirely; the rule computes
+    it and partition_by records per-file values for log pruning."""
+    t = LakeTable(spark, str(tmp_path / "genp"))
+    t.append(
+        spark.range(0, 40).selectExpr(
+            "id", "id * 2 AS v", "CAST(id % 2 AS STRING) AS b"
+        ),
+        partition_by=["b"],
+    )
+    t.set_generated_column("b", "CAST(id % 2 AS STRING)")
+    t.append(
+        spark.range(40, 80).selectExpr("id", "id * 2 AS v"),
+        partition_by=["b"],
+    )
+    assert t._partition_columns() == ["b"]
+    out, kept, total = t.read_where({"b": ("1", "1")})
+    assert kept < total
+    assert sorted(r["id"] for r in out.collect()) == [
+        i for i in range(80) if i % 2 == 1
+    ]
+
+
+def test_generated_columns_survive_checkpoint_and_clone(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "genc"), auto_checkpoint_every=None)
+    t.append(
+        spark.range(0, 10).selectExpr("id", "CAST(id % 3 AS STRING) AS g")
+    )
+    t.set_generated_column("g", "CAST(id % 3 AS STRING)")
+    t.checkpoint()
+    fresh = LakeTable(spark, str(tmp_path / "genc"))
+    assert fresh.generated_columns() == {"g": "CAST(id % 3 AS STRING)"}
+    fresh.append(spark.range(10, 14).selectExpr("id"))
+    assert fresh.read().filter("g IS NULL").count() == 0
+    clone = t.clone(str(tmp_path / "genc_clone"))
+    assert clone.generated_columns() == {"g": "CAST(id % 3 AS STRING)"}
