@@ -6689,6 +6689,70 @@ def q_lake_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lake_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated columns (Delta GENERATED ALWAYS AS) stored in the
+    log: after the rule is declared (validating existing rows), a
+    writer that OMITS the column gets it computed from the stored
+    expression — here a bucket derived from doc_id, used as the
+    partition column, so log pruning works though no writer ever
+    supplies it — and a writer that supplies WRONG values is
+    rejected before any commit (asserted in-gate). Output: the final
+    snapshot aggregate BY THE GENERATED COLUMN plus a log-pruned
+    read of one bucket, both replayed by DuckDB from the raw
+    documents — hash-matches only if every fill computed exactly the
+    declared expression. (replay_spark/lake.py
+    set_generated_column)."""
+    import os
+    import shutil
+    import tempfile
+
+    from replay_spark.lake import LakeTable
+
+    docs = rsd.read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"rs_lakegen_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = LakeTable(spark, path)
+    t.append(
+        docs.filter("doc_id % 3 = 0").selectExpr(
+            "doc_id", "lang", "n_chars",
+            "CAST(doc_id % 5 AS STRING) AS bucket",
+        ),
+        partition_by=["bucket"],
+    )
+    t.set_generated_column("bucket", "CAST(doc_id % 5 AS STRING)")
+    # writers omit the column entirely from here on: computed + the
+    # per-file partition values still recorded for log pruning
+    t.append(docs.filter("doc_id % 3 = 1"), partition_by=["bucket"])
+    t.append(docs.filter("doc_id % 3 = 2"), partition_by=["bucket"])
+    pre = t.latest_version()
+    try:
+        t.append(
+            docs.filter("doc_id % 3 = 0").selectExpr(
+                "doc_id", "lang", "n_chars", "'9' AS bucket"
+            )
+        )
+        raise AssertionError("wrong generated values were accepted")
+    except ValueError:
+        pass
+    assert t.latest_version() == pre, "rejected write left a commit"
+    pruned, kept, total = t.read_where({"bucket": ("2", "2")})
+    assert kept < total, "log pruning lost on generated partition"
+    full = t.read().groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    ).select(F.lit("full").alias("leg"), "*")
+    one = pruned.filter(F.col("bucket") == "2").groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    ).select(F.lit("pruned").alias("leg"), "*")
+    return full.unionByName(one)
+
+
 def q_sampled_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled ranking evaluation (the SASRec/NCF '99 negatives'
     protocol, 20 here): each user's LAST interaction is the test
@@ -7223,13 +7287,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Staleness ledger — machine-checked against CORRECTNESS_r*.json by
     tests/test_entry_contract.py::test_staleness_ledger_matches_files
     (numbers recomputed from the files, never hand-asserted): as of
-    r12 the oldest official hash-gate score is r7 (10 gates), and 3
+    r12 the oldest official hash-gate score is r7 (10 gates), and 4
     hash gates await a first official score (this round's debuts).
     (The r10 docstring claimed no score predated r7; recomputation
     showed 67 gates at r4-r6 — that claim class is computed, not
     asserted.)
 
-    Order for r13: (a) the 3 never-officially-scored hash gates —
+    Order for r13: (a) the 4 never-officially-scored hash gates —
     this round's debuts (q_lake_stream_source: the streaming CDF
     source — LakeChangeStream tails changes() from a durable cursor
     in rate-limited commit slices, composing exactly-once with the
@@ -7241,7 +7305,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     asserted in-gate across a real stream restart;
     q_lake_constraints: CHECK constraints stored in the log —
     ADD CONSTRAINT validates existing rows, every writer enforces,
-    NULL satisfies, rejected writes never commit);
+    NULL satisfies, rejected writes never commit;
+    q_lake_generated: generated columns — omitted columns computed
+    from the stored expression into a partition_by'd slot with log
+    pruning intact, wrong supplied values rejected in-gate);
     (a2) the 3 gates whose code paths materially changed this round
     — the lake DML commit path gained Delta-style logical conflict
     reconciliation (delete/update/compact/optimize/merge retry at
@@ -7250,29 +7317,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     deletion vectors, and compact(partition_filter=) merges schemas
     across eras (q_lake_dv); the dv-mode UPDATE add routes through
     the partition-preserving writer (q_lake_update); merge commits
-    reconcile on version collisions (q_merge_upsert); (b) the 44
+    reconcile on version collisions (q_merge_upsert); (b) the 43
     stalest official scores, oldest first — the COMPLETE remaining
     r7 cohort (10, closing the r12 verdict's rotation debt) and the
-    34 alphabetically-first of the 38 r8-scored hash gates. The
+    33 alphabetically-first of the 38 r8-scored hash gates. The
     honestly non-SQL rows-only contracts (see
     test_entry_contract.py's allowlist) all sit in (c), officially
     green in prior rounds.
     (c) everything else — officially green in a prior round — still
-    run in tools/check_oracle at both scales and in bench; the 4
-    remaining r8-scored hash gates (q_timeseries_resample,
-    q_url_canonicalize, q_webdataset, q_zorder_keys) lead as r14
-    rotation candidates.
+    run in tools/check_oracle at both scales and in bench; the 5
+    remaining r8-scored hash gates (q_text_normalize,
+    q_timeseries_resample, q_url_canonicalize, q_webdataset,
+    q_zorder_keys) lead as r14 rotation candidates.
     """
     return {
         # -- (a) round-13 debuts awaiting a FIRST official
         #        score: the streaming CDF source (LakeChangeStream
         #        — cursor-tailed change batches, exactly-once with
         #        the txn sinks), the NATIVE readStream source
-        #        (lakefeed PySpark DataSource), and log-stored
-        #        CHECK constraints -----------------------------
+        #        (lakefeed PySpark DataSource), log-stored CHECK
+        #        constraints, and generated columns -------------
         "q_lake_stream_source": q_lake_stream_source,
         "q_lakefeed_stream": q_lakefeed_stream,
         "q_lake_constraints": q_lake_constraints,
+        "q_lake_generated": q_lake_generated,
         # -- (a2) gates whose code paths materially changed
         #        this round: the lake DML commit path gained
         #        Delta-style logical conflict reconciliation and
@@ -7285,11 +7353,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lake_dv": q_lake_dv,
         "q_lake_update": q_lake_update,
         "q_merge_upsert": q_merge_upsert,
-        # -- (b) the 44 genuinely stalest official scores,
+        # -- (b) the 43 genuinely stalest official scores,
         #        oldest first: the COMPLETE remaining r7 cohort
         #        (10 — closing the r12 verdict's rotation debt)
-        #        and the 34 alphabetically-first of the 38
-        #        r8-scored hash gates (the other 4 head section
+        #        and the 33 alphabetically-first of the 38
+        #        r8-scored hash gates (the other 5 head section
         #        (c) for the r14 rotation) ---------------------
         "q_streaming_sessionize": q_streaming_sessionize,
         "q_substring_dedup": q_substring_dedup,
@@ -7334,12 +7402,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_hll": q_streaming_hll,
         "q_streaming_source_cap": q_streaming_source_cap,
         "q_streaming_ucb": q_streaming_ucb,
-        "q_text_normalize": q_text_normalize,
         # -- (c) officially green in a prior round — still
         #        run in tools/check_oracle at both scales
-        #        and in bench; q_timeseries_resample,
-        #        q_url_canonicalize, q_webdataset, q_zorder_keys
-        #        (r8) lead as r14 candidates --------------------
+        #        and in bench; q_text_normalize,
+        #        q_timeseries_resample, q_url_canonicalize,
+        #        q_webdataset, q_zorder_keys (r8) lead as r14
+        #        candidates -------------------------------------
+        "q_text_normalize": q_text_normalize,
         "q_timeseries_resample": q_timeseries_resample,
         "q_url_canonicalize": q_url_canonicalize,
         "q_lake_rename": q_lake_rename,
@@ -11849,6 +11918,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2 AS BIGINT) AS n_history,
                    (x < last_f / 1.5 OR x > last_f * 1.5) AS is_anomaly
             FROM f
+        """,
+        "q_lake_generated": """
+            SELECT 'full' AS leg, CAST(doc_id % 5 AS VARCHAR) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY doc_id % 5
+            UNION ALL
+            SELECT 'pruned', '2',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(doc_id) AS BIGINT),
+                   CAST(SUM(n_chars) AS BIGINT)
+            FROM documents WHERE doc_id % 5 = 2
         """,
         "q_lake_constraints": """
             WITH rows_in AS (
