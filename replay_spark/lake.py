@@ -513,6 +513,7 @@ class LakeTable:
             for f in StructType.fromJson(json.loads(schema_json)):
                 types[f.name] = f.dataType
         checks = []
+        supplied = []
         for name, expr in sorted(gens.items()):
             gen = F.expr(expr)
             if name in types:
@@ -520,17 +521,22 @@ class LakeTable:
             if name not in df.columns:
                 df = df.withColumn(name, gen)
             else:
+                supplied.append(name)
                 checks.append(
                     F.count(
                         F.when(~F.col(name).eqNullSafe(gen), 1)
                     ).alias(name)
                 )
         if checks:
+            # only the SUPPLIED columns were aggregated; the fill loop
+            # above has already added the omitted ones to df.columns,
+            # so indexing row[] by df-membership would hit missing
+            # Row fields on mixed supplied/omitted writers
             row = df.agg(*checks).collect()[0]
             bad = [
                 f"{n} != ({gens[n]}): {row[n]} row(s)"
-                for n in sorted(gens)
-                if n in df.columns and row[n] and row[n] > 0
+                for n in supplied
+                if row[n] and row[n] > 0
             ]
             if bad:
                 raise ValueError(

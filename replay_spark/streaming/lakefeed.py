@@ -27,10 +27,14 @@ Trigger note: Spark's Python sources do not implement
 ``Trigger.AvailableNow`` — it falls back to single-batch execution
 (harmless when ``maxCommitsPerTrigger`` covers the backlog); for a
 rate-limited catch-up use a processing-time trigger and
-``processAllAvailable()``. The Python DataSource protocol exposes
-no admission-control hook, so ``maxCommitsPerTrigger`` bounds every
-micro-batch AFTER the first of a session (the first drains to the
-tip).
+``processAllAvailable()``. ``maxCommitsPerTrigger`` bounds EVERY
+micro-batch including the first of a session: on a fresh start the
+engine asks ``latestOffset`` before ``initialOffset``, so the first
+answer bounds from the resolved starting version; on a restart the
+engine replays ``partitions(checkpoint, checkpoint_end)`` before the
+first ``latestOffset`` (observed against Spark 4.1), which re-anchors
+the rate-limit cursor at the checkpoint — a backlogged table catches
+up in bounded slices in both cases.
 
 Cites reference behavior gap: the reference (sb-ai-lab/RePlay) has
 no table format; this follows the public Delta streaming-source
@@ -99,8 +103,9 @@ class _LakeFeedReader(DataSourceStreamReader):
         if self.max_commits < 1:
             raise ValueError("maxCommitsPerTrigger must be >= 1")
         sv = options.get("startingversion")
+        self._session_tip = self.table.latest_version()
         self._starting_version = (
-            int(sv) if sv is not None else self.table.latest_version()
+            int(sv) if sv is not None else self._session_tip
         )
         from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -114,13 +119,24 @@ class _LakeFeedReader(DataSourceStreamReader):
             if mapping
             else {}
         )
+        # shape of the schema this stream presents — a later commit
+        # that changes it (rename/drop/add) fails the stream like
+        # Delta's source does, instead of silently surfacing typed
+        # nulls / stale names under the stream-start schema
+        self._start_shape = self.table._schema_shape(
+            json.dumps(schema.jsonValue())
+        )
         # rate-limit cursor: advances as batches are planned and
         # committed. The Python DataSource protocol has no
         # admission-control hook (Delta's latestOffset(start, limit)
-        # shape), and the engine may ask for latestOffset BEFORE
-        # initialOffset — so the FIRST batch of a session is
-        # unbounded (it simply drains to the tip) and every
-        # subsequent batch honors maxCommitsPerTrigger
+        # shape), and on a FRESH start the engine asks latestOffset
+        # BEFORE initialOffset — so when the cursor is still unknown
+        # we bound from the resolved starting version. On a RESTART
+        # the engine replays partitions(checkpoint_start,
+        # checkpoint_end) before the first latestOffset (observed,
+        # Spark 4.1), which re-anchors the cursor at the checkpoint —
+        # bounding from _starting_version can therefore never hand
+        # the engine an offset behind its own log
         self._pos: Optional[int] = None
 
     # -- offsets -------------------------------------------------------------
@@ -131,14 +147,21 @@ class _LakeFeedReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         tip = self.table.latest_version()
-        base = self._pos if self._pos is not None else tip
+        base = (
+            self._pos
+            if self._pos is not None
+            else self._starting_version
+        )
         end = min(tip, base + self.max_commits) if tip > base else base
         return {"version": end}
 
     def commit(self, end: dict) -> None:
         # Spark's checkpoint owns the offsets; track the engine's
-        # authoritative position for the rate-limit cursor
-        self._pos = int(end["version"])
+        # authoritative position for the rate-limit cursor (monotonic:
+        # the cursor never moves backwards within a session)
+        v = int(end["version"])
+        if self._pos is None or v > self._pos:
+            self._pos = v
 
     def stop(self) -> None:
         pass
@@ -149,12 +172,52 @@ class _LakeFeedReader(DataSourceStreamReader):
         self, start: dict, end: dict
     ) -> Sequence[InputPartition]:
         lo, hi = int(start["version"]), int(end["version"])
-        self._pos = hi
+        if self._pos is None or hi > self._pos:
+            self._pos = hi
+        # plan-time vacuum guard: a batch over (lo, hi] reads files
+        # added by commits > lo, which a retention vacuum may have
+        # compacted away once its horizon passes them. Raise the same
+        # clear below-horizon error time travel raises, HERE, instead
+        # of a raw file-read failure mid-job on an executor.
+        if hi > lo:
+            h = self.table._vacuum_horizon()
+            if lo < h:
+                raise ValueError(
+                    f"lakefeed: streaming cursor at version {lo} is "
+                    f"below the vacuum horizon {h} (earliest readable "
+                    "version) — vacuum removed data files this batch "
+                    "needs. Restart the stream from a fresh "
+                    "checkpoint with startingVersion >= the horizon, "
+                    "and lower the vacuum horizon next time if "
+                    "backlogged streams must stay replayable."
+                )
         parts = []
         for c in self.table._commits(after=lo):
             if c["version"] > hi:
                 break
             op = c["operation"]
+            # a schema change MID-STREAM (rename/drop via column
+            # mapping, or any shape change after the tip this session
+            # started from) fails the stream — Delta semantics: the
+            # user restarts and the new session re-resolves schema()
+            # and the rename map at the new tip. Silently continuing
+            # would surface renamed columns under stale names / typed
+            # nulls. Commits AT OR BELOW the session tip are history:
+            # replay over older eras is read under the stream-start
+            # schema (final rename map + typed null-fill in read()).
+            if c["version"] > self._session_tip and (
+                "column_mapping" in c
+                or (
+                    c.get("schema")
+                    and self.table._schema_shape(c["schema"])
+                    != self._start_shape
+                )
+            ):
+                raise RuntimeError(
+                    f"lakefeed: commit {c['version']} ({op}) changes "
+                    "the table schema (rename/drop/add); restart the "
+                    "stream to pick up the new schema"
+                )
             add, remove = c.get("add") or [], c.get("remove") or []
             dv = c.get("dv") or {}
             if op == "append" and not remove and not dv:

@@ -1886,6 +1886,37 @@ def test_generated_columns_fill_and_validate(spark, tmp_path):
     assert t.generated_columns() == {}
 
 
+def test_generated_columns_mixed_supplied_and_omitted(spark, tmp_path):
+    """Two generation rules; a writer supplies one column and omits
+    the other in a single append. The validation report must only
+    index the SUPPLIED columns (the fill loop adds the omitted one to
+    df.columns before the report is built) — a valid append commits,
+    an invalid one names only the offending supplied column."""
+    t = LakeTable(spark, str(tmp_path / "genmix"))
+    t.append(
+        spark.range(0, 20).selectExpr(
+            "id",
+            "CAST(id % 3 AS STRING) AS b",
+            "id * 2 AS dbl",
+        )
+    )
+    t.set_generated_column("b", "CAST(id % 3 AS STRING)")
+    t.set_generated_column("dbl", "id * 2")
+    # supplies b (correct), omits dbl: must commit, dbl filled
+    t.append(
+        spark.range(20, 30).selectExpr("id", "CAST(id % 3 AS STRING) AS b")
+    )
+    rows = {r["id"]: (r["b"], r["dbl"]) for r in t.read().collect()}
+    assert len(rows) == 30
+    assert all(rows[i] == (str(i % 3), i * 2) for i in range(30))
+    # supplies b (WRONG), omits dbl: rejected, message names only b
+    pre = t.latest_version()
+    with pytest.raises(ValueError, match="generated-column mismatch") as ei:
+        t.append(spark.range(30, 35).selectExpr("id", "'9' AS b"))
+    assert "b != " in str(ei.value) and "dbl" not in str(ei.value)
+    assert t.latest_version() == pre
+
+
 def test_set_generated_column_validates_existing(spark, tmp_path):
     t = LakeTable(spark, str(tmp_path / "genv"))
     t.append(

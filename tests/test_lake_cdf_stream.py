@@ -127,3 +127,25 @@ def test_cursor_moves_forward_only(table, tmp_path):
     stream.commit(table.latest_version())
     with pytest.raises(ValueError, match="forward"):
         stream.commit(0)
+
+
+def test_stream_below_vacuum_horizon_raises_clear_error(
+    spark, tmp_path
+):
+    """A backlogged cursor below the vacuum horizon raises the clear
+    below-horizon error AT BATCH-PLAN TIME (the same one time travel
+    raises), not a raw file-read failure mid-job."""
+    t = LakeTable(spark, str(tmp_path / "src"))
+    for i in range(3):
+        t.append(
+            spark.range(i * 10, (i + 1) * 10).select(
+                "id", (F.col("id") * 2).alias("v")
+            )
+        )
+    t.compact()
+    t.vacuum(retain_last=1)
+    stream = LakeChangeStream(
+        t, str(tmp_path / "ckpt"), starting_version=-1
+    )
+    with pytest.raises(ValueError, match="no longer possible"):
+        stream.next_batch()

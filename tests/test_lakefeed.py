@@ -54,10 +54,8 @@ def test_lakefeed_rate_limit_bounds_batches(spark, tmp_path):
     t = LakeTable(spark, str(tmp_path / "t"))
     t.append(spark.range(0, 10).select("id", (F.col("id") * 2).alias("v")))
     out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
-    # the session's FIRST batch is unbounded (the Python DataSource
-    # protocol has no admission-control hook); every later batch
-    # honors maxCommitsPerTrigger — so append AFTER the stream opens
-    # and count the planned batches
+    # every batch honors maxCommitsPerTrigger; append AFTER the
+    # stream opens and count the planned batches
     q = (
         spark.readStream.format("lakefeed")
         .option("path", t.path)
@@ -88,6 +86,83 @@ def test_lakefeed_rate_limit_bounds_batches(spark, tmp_path):
         if not n.startswith(".")
     ]
     assert len(offsets) >= 4
+
+
+def test_lakefeed_first_batch_honors_rate_limit(spark, tmp_path):
+    """A FRESH stream over a 10-commit backlog with
+    maxCommitsPerTrigger=2 catches up in 5 bounded micro-batches —
+    the engine asks latestOffset before initialOffset, and the
+    source bounds from the resolved starting version instead of
+    draining the whole backlog into one giant batch."""
+    t = LakeTable(spark, str(tmp_path / "t"))
+    for i in range(10):
+        t.append(
+            spark.range(i * 10, i * 10 + 10).select(
+                "id", (F.col("id") * 2).alias("v")
+            )
+        )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("lakefeed")
+        .option("path", t.path)
+        .option("startingVersion", "-1")
+        .option("maxCommitsPerTrigger", "2")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == 100 and got.distinct().count() == 100
+    # one offset file per planned micro-batch: 10 commits at
+    # 2/trigger = at least 5 planned batches (was 1 when the first
+    # batch drained to the tip)
+    offsets = [
+        n for n in os.listdir(os.path.join(ck, "offsets"))
+        if not n.startswith(".")
+    ]
+    assert len(offsets) >= 5
+
+
+def test_lakefeed_mid_stream_schema_change_fails(spark, tmp_path):
+    """A rename or shape-changing commit AFTER the session tip fails
+    the stream (Delta semantics: restart to adopt the new schema);
+    schema history at or below the session tip stays replayable."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(0, 20).select("id", (F.col("id") * 2).alias("v")))
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("lakefeed")
+        .option("path", t.path)
+        .option("startingVersion", "-1")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    q.processAllAvailable()
+    t.rename_column("v", "value")
+    t.append(
+        spark.range(20, 30).select("id", (F.col("id") * 2).alias("value"))
+    )
+    with pytest.raises(StreamingQueryException, match="restart the stream"):
+        q.processAllAvailable()
+        q.awaitTermination(60)
+    # a fresh session re-resolves schema() + the rename map at the
+    # new tip and replays the whole history under the new names
+    out2, ck2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    _drain(spark, t.path, out2, ck2)
+    got = spark.read.parquet(out2)
+    assert set(got.columns) == {"id", "value"}
+    assert got.count() == 30 and got.distinct().count() == 30
 
 
 def test_lakefeed_change_commit_fails_without_option(spark, tmp_path):
@@ -157,3 +232,25 @@ def test_lakefeed_composes_with_streaming_agg(spark, tmp_path):
     assert rows == {
         g: (20, sum(i for i in range(100) if i % 5 == g)) for g in range(5)
     }
+
+
+def test_lakefeed_below_vacuum_horizon_raises_clear_error(spark, tmp_path):
+    """append x3 -> compact -> vacuum(retain_last=1) -> fresh stream
+    with startingVersion=-1: the batch plan raises the clear
+    below-horizon error, not a mid-job executor read failure."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    for i in range(3):
+        t.append(
+            spark.range(i * 10, (i + 1) * 10).select(
+                "id", (F.col("id") * 2).alias("v")
+            )
+        )
+    t.compact()
+    t.vacuum(retain_last=1)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    with pytest.raises(
+        StreamingQueryException, match="below the vacuum horizon"
+    ):
+        _drain(spark, t.path, out, ck)
