@@ -490,12 +490,13 @@ def main():
         # sub-second ones say nothing about scale) rather than the
         # longest names, which r13 showed evicts exactly the newest
         # tiers; full values remain in the stderr FULL line
+        # type-stable key: values are [min, med] lists, but a failed
+        # leg is recorded as None — comparing a float sentinel to a
+        # list raises TypeError, so substitute a LIST sentinel and
+        # rank on the median
         victim = min(
             compact["sf1"],
-            key=lambda k: (
-                compact["sf1"][k] if compact["sf1"][k] is not None
-                else -1.0
-            ),
+            key=lambda k: (compact["sf1"][k] or [-1.0, -1.0])[-1],
         )
         compact["sf1"].pop(victim)
         dropped += 1

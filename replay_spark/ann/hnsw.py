@@ -499,7 +499,16 @@ class HNSWANN:
         parts = []
         pending = queries
         for attempt in range(max_widen_retries + 1):
-            cur = topk(pending, kk).cache()
+            # localCheckpoint, not cache(): each attempt's walk is
+            # read twice (the filled split + the final union), but the
+            # returned frame is lazy, so an explicit unpersist here
+            # would force a recompute downstream and a cache() entry
+            # would pin executor storage FOREVER (CacheManager entries
+            # outlive the Python refs). Checkpoint blocks are released
+            # by the ContextCleaner once the result is dropped, so
+            # repeated filtered searches in one session don't
+            # accumulate storage.
+            cur = topk(pending, kk).localCheckpoint(eager=True)
             if attempt == max_widen_retries:
                 parts.append(cur)  # retry budget spent: keep best
                 break

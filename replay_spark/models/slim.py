@@ -118,11 +118,16 @@ class SLIM(NeighbourRec):
         vals = pdf[self.rating_column].to_numpy(dtype=np.float64)
         n_users = len(users)
         n_items = len(items)
-        # CSC-like column store (no scipy dependency needed)
-        X_cols = []
-        for j in range(n_items):
-            mask = cols == j
-            X_cols.append((rows[mask], vals[mask]))
+        # CSC-like column store (no scipy dependency needed) — built
+        # in ONE argsort pass over the coordinates: a per-item boolean
+        # mask would rescan the full nnz arrays n_items times,
+        # O(n_items * nnz) on the driver
+        order = np.argsort(cols, kind="stable")
+        counts = np.bincount(cols, minlength=n_items)
+        splits = np.cumsum(counts)[:-1]
+        X_cols = list(
+            zip(np.split(rows[order], splits), np.split(vals[order], splits))
+        )
         col_sq_norms = np.array([float(v @ v) for _, v in X_cols])
 
         alpha = self.beta + self.lambda_
