@@ -6753,6 +6753,73 @@ def q_lake_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return full.unionByName(one)
 
 
+def q_lake_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL DML on a lake view: ``UPDATE``, ``DELETE``, and
+    ``MERGE INTO`` statements against a ``to_view`` name route
+    through the table's file-granular Python DML (lake_sql's thin
+    SQL dispatch), then the refreshed view answers plain
+    ``spark.sql`` reads. Asserted in-gate: the statements land as
+    real update/delete/merge commits in history(). Output: the final
+    snapshot aggregate read BACK THROUGH spark.sql on the view —
+    DuckDB replays the update (CASE), delete (WHERE NOT), and merge
+    (source replaces matches + inserts the rest) from the raw
+    documents, so the hash matches only if each statement executed
+    its exact SQL semantics. The reference has no table format or
+    SQL DML; this follows Delta's SQL DML surface on this log
+    (replay_spark/lake_sql.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from replay_spark.lake import LakeTable
+    from replay_spark.lake_sql import lake_sql
+
+    docs = rsd.read_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"rs_lakesqldml_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = LakeTable(spark, path)
+    t.append(docs.repartition(4))
+    view = f"sqldml_{tag.replace('.', '_')}"
+    t.to_view(view)
+    v1 = lake_sql(
+        spark,
+        f"UPDATE {view} SET n_chars = n_chars + 1000 "
+        "WHERE doc_id % 7 = 3",
+    )
+    v2 = lake_sql(spark, f"DELETE FROM {view} WHERE doc_id % 11 = 5")
+    # merge source: every doc_id % 13 = 1 key re-valued (matched ->
+    # replaced; the ones the DELETE removed -> re-inserted), plus
+    # brand-new keys shifted above the corpus
+    docs.filter("doc_id % 17 = 2").selectExpr(
+        "doc_id + 1000000 AS doc_id", "n_chars"
+    ).unionByName(
+        docs.filter("doc_id % 13 = 1").selectExpr(
+            "doc_id", "CAST(-5 AS " + dict(docs.dtypes)["n_chars"] + ") AS n_chars"
+        )
+    ).createOrReplaceTempView(f"{view}_src")
+    v3 = lake_sql(
+        spark,
+        f"MERGE INTO {view} t USING {view}_src s ON t.doc_id = s.doc_id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert v1 < v2 < v3 == t.latest_version(), (v1, v2, v3)
+    ops = [r.operation for r in t.history().collect()]
+    assert {"update", "delete", "merge"} <= set(ops), ops
+    return spark.sql(
+        f"""
+        SELECT CAST(doc_id % 10 AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM {view} GROUP BY bucket
+        """
+    )
+
+
 def q_sampled_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled ranking evaluation (the SASRec/NCF '99 negatives'
     protocol, 20 here): each user's LAST interaction is the test
@@ -7271,94 +7338,139 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered queries, ordered for the driver's 50-query window.
 
     The driver scores the FIRST 50 entries — sections (a)..(b) sum
-    to EXACTLY 50 (pinned by tests/test_entry_contract.py), and every
-    one carries a value-hash oracle (50/50 hash, the bar since r9).
+    to EXACTLY 50 (pinned by tests/test_entry_contract.py).
 
-    Rotation policy (stated, and satisfiable by the arithmetic): each
-    round's window = this round's debuts + gates whose code paths
-    materially changed + the GENUINELY oldest official scores, oldest
-    round first. At ~250 registered gates and 50 slots a full
-    official cycle takes ~5 rounds and grows with the registry — so
-    old official scores are EXPECTED in the board's tail; the
-    mitigation is the per-round full-registry sweep
-    (tools/check_oracle.py at sf0.01 AND sf0.1), which re-verifies
-    every gate every round regardless of window position.
+    Rotation policy: each round's window = this round's debuts +
+    gates whose code paths materially changed + the GENUINELY oldest
+    official scores over the FULL registry (hash AND rows-only),
+    oldest round first. At ~270 registered gates and 50 slots a full
+    official cycle takes ~5 rounds — old official scores are EXPECTED
+    in the board's tail; the mitigation is the per-round
+    full-registry sweep (tools/check_oracle.py at sf0.01 AND sf0.1),
+    which re-verifies every gate every round regardless of window
+    position.
+
+    The r14 window deliberately carries 31 rows-only gates: the r13
+    verdict flagged the rows-only tail as officially dark (10 gates
+    unscored since r4, q_bytelevel_bpe never scored), so this round
+    clears the ENTIRE pre-r9 tail in one sweep. Rows-only entries get
+    the driver's weaker rows+schema check by design (each is
+    non-SQL-expressible — seeded RNG, iterative solvers — and each
+    carries a pytest golden or a hash-gated md5/fixed twin; see
+    test_entry_contract.py's allowlist). From r15 the window reverts
+    to hash-dominant rotation over the r9+ cohorts.
 
     Staleness ledger — machine-checked against CORRECTNESS_r*.json by
     tests/test_entry_contract.py::test_staleness_ledger_matches_files
     (numbers recomputed from the files, never hand-asserted): as of
-    r12 the oldest official hash-gate score is r7 (10 gates), and 4
-    hash gates await a first official score (this round's debuts).
-    (The r10 docstring claimed no score predated r7; recomputation
-    showed 67 gates at r4-r6 — that claim class is computed, not
-    asserted.)
+    r13 the oldest official hash-gate score is r8 (5 gates), and 1
+    hash gates await a first official score; over the full registry
+    the oldest official score is r4 (10 gates), and 2 gates of any
+    kind await a first official score.
 
-    Order for r13: (a) the 4 never-officially-scored hash gates —
-    this round's debuts (q_lake_stream_source: the streaming CDF
-    source — LakeChangeStream tails changes() from a durable cursor
-    in rate-limited commit slices, composing exactly-once with the
-    txn-marked lake sinks; the gate replays the streamed batches
-    commit-by-commit in DuckDB including the crash-replay window;
-    q_lakefeed_stream: the NATIVE spark.readStream source — a
-    PySpark Python DataSource tailing append commits file-per-
-    partition, restart exactly-once from Spark's own checkpoint,
-    asserted in-gate across a real stream restart;
-    q_lake_constraints: CHECK constraints stored in the log —
-    ADD CONSTRAINT validates existing rows, every writer enforces,
-    NULL satisfies, rejected writes never commit;
-    q_lake_generated: generated columns — omitted columns computed
-    from the stored expression into a partition_by'd slot with log
-    pruning intact, wrong supplied values rejected in-gate);
-    (a2) the 3 gates whose code paths materially changed this round
-    — the lake DML commit path gained Delta-style logical conflict
-    reconciliation (delete/update/compact/optimize/merge retry at
-    the tip iff intervening commits are logically disjoint), the
-    change feed reads re-added files through their post-commit
-    deletion vectors, and compact(partition_filter=) merges schemas
-    across eras (q_lake_dv); the dv-mode UPDATE add routes through
-    the partition-preserving writer (q_lake_update); merge commits
-    reconcile on version collisions (q_merge_upsert); (b) the 43
-    stalest official scores, oldest first — the COMPLETE remaining
-    r7 cohort (10, closing the r12 verdict's rotation debt) and the
-    33 alphabetically-first of the 38 r8-scored hash gates. The
-    honestly non-SQL rows-only contracts (see
-    test_entry_contract.py's allowlist) all sit in (c), officially
-    green in prior rounds.
-    (c) everything else — officially green in a prior round — still
-    run in tools/check_oracle at both scales and in bench; the 5
-    remaining r8-scored hash gates (q_text_normalize,
-    q_timeseries_resample, q_url_canonicalize, q_webdataset,
-    q_zorder_keys) lead as r14 rotation candidates.
+    Order for r14: (a) the 2 never-officially-scored gates — this
+    round's debut q_lake_sql_dml (SQL UPDATE / DELETE / MERGE INTO
+    statements against a to_view name, parsed by lake_sql's thin
+    dispatcher and routed through the table's file-granular Python
+    DML, view refreshed after each statement; DuckDB replays all
+    three statements from the raw documents) and q_bytelevel_bpe
+    (registered r9, never window-scored; rows-only — iterative BPE
+    merges — golden+parity pytest);
+    (a2) the 4 gates whose code paths materially changed this round —
+    lakefeed gained a bounded FIRST micro-batch (maxCommitsPerTrigger
+    now holds from stream start), fail-the-stream on mid-stream
+    schema changes, and a plan-time vacuum-horizon guard
+    (q_lakefeed_stream); generated-column validation no longer
+    crashes on writers that supply one generated column and omit
+    another (q_lake_generated); the constraint/generated-column rule
+    folds are memoized per resolved version across every writer
+    (q_lake_constraints, q_llm_e2e — the commit-heavy pipeline that
+    motivated the memo);
+    (b) the ENTIRE pre-r9 official-score tail, oldest first: the r4
+    cohort (10 rows-only), r5 (1), r6 (6), r7 (4), r8 (14 — including
+    the 5 r8 hash gates q_text_normalize, q_timeseries_resample,
+    q_url_canonicalize, q_webdataset, q_zorder_keys), then the 9
+    alphabetically-first r9 hash gates to fill the window;
+    (c) everything else — officially green in a prior round (r9+) —
+    still run in tools/check_oracle at both scales and in bench.
     """
     return {
-        # -- (a) round-13 debuts awaiting a FIRST official
-        #        score: the streaming CDF source (LakeChangeStream
-        #        — cursor-tailed change batches, exactly-once with
-        #        the txn sinks), the NATIVE readStream source
-        #        (lakefeed PySpark DataSource), log-stored CHECK
-        #        constraints, and generated columns -------------
-        "q_lake_stream_source": q_lake_stream_source,
+        # -- (a) never-officially-scored gates: this round's
+        #        debut (q_lake_sql_dml — SQL UPDATE/DELETE/MERGE on a
+        #        to_view name routed through the lake's Python DML)
+        #        and q_bytelevel_bpe, registered r9 but never
+        #        window-scored (rows-only: iterative merges;
+        #        golden+parity pytest) ------------------------------
+        "q_lake_sql_dml": q_lake_sql_dml,
+        "q_bytelevel_bpe": q_bytelevel_bpe,
+        # -- (a2) gates whose code paths materially changed this
+        #        round: lakefeed gained the bounded first batch,
+        #        mid-stream schema-change failure, and the plan-time
+        #        vacuum guard (q_lakefeed_stream); generated-column
+        #        validation fixed for mixed supplied/omitted writers
+        #        (q_lake_generated); the constraint/generated rule
+        #        folds are memoized per version across every writer
+        #        (q_lake_constraints, q_llm_e2e) --------------------
         "q_lakefeed_stream": q_lakefeed_stream,
-        "q_lake_constraints": q_lake_constraints,
         "q_lake_generated": q_lake_generated,
-        # -- (a2) gates whose code paths materially changed
-        #        this round: the lake DML commit path gained
-        #        Delta-style logical conflict reconciliation and
-        #        the CDF now reads re-added files through their
-        #        post-commit deletion vectors (q_lake_dv); the
-        #        dv-mode UPDATE add routes through the
-        #        partition-preserving writer (q_lake_update);
-        #        merge commits reconcile on version collisions
-        #        (q_merge_upsert) ------------------------------
+        "q_lake_constraints": q_lake_constraints,
+        "q_llm_e2e": q_llm_e2e,
+        # -- (b) the ENTIRE pre-r9 official-score tail, oldest
+        #        first — the r4 cohort (10), r5 (1), r6 (6), r7 (4),
+        #        r8 (14, incl. the 5 r8 hash gates) — closing the
+        #        r13 verdict's rows-only-darkness debt in one sweep —
+        #        plus the 9 alphabetically-first r9 hash gates ------
+        "q_corpus_mix": q_corpus_mix,
+        "q_discretize_greedy": q_discretize_greedy,
+        "q_discretize_quantile": q_discretize_quantile,
+        "q_kfolds_sizes": q_kfolds_sizes,
+        "q_minhash_candidates": q_minhash_candidates,
+        "q_random_next_n_split": q_random_next_n_split,
+        "q_sample_top_k": q_sample_top_k,
+        "q_simhash_fingerprints": q_simhash_fingerprints,
+        "q_slim_similarity": q_slim_similarity,
+        "q_two_stage_split_sizes": q_two_stage_split_sizes,
+        "q_filter_interaction_entries": q_filter_interaction_entries,
+        "q_als_recs": q_als_recs,
+        "q_cluster_rec": q_cluster_rec,
+        "q_doc_fingerprints": q_doc_fingerprints,
+        "q_e2e_eval": q_e2e_eval,
+        "q_ivf_ann": q_ivf_ann,
+        "q_word2vec_recs": q_word2vec_recs,
+        "q_bpe_tokens": q_bpe_tokens,
+        "q_hnsw_ann": q_hnsw_ann,
+        "q_ivfpq_ann": q_ivfpq_ann,
+        "q_pq_ann": q_pq_ann,
+        "q_bin_pack": q_bin_pack,
+        "q_compression_ratio": q_compression_ratio,
+        "q_kmeans_fit": q_kmeans_fit,
+        "q_pagerank": q_pagerank,
+        "q_pca_fit": q_pca_fit,
+        "q_quality_classifier": q_quality_classifier,
+        "q_spectrogram": q_spectrogram,
+        "q_text_normalize": q_text_normalize,
+        "q_textrank": q_textrank,
+        "q_thompson_scores": q_thompson_scores,
+        "q_timeseries_resample": q_timeseries_resample,
+        "q_url_canonicalize": q_url_canonicalize,
+        "q_webdataset": q_webdataset,
+        "q_zorder_keys": q_zorder_keys,
+        "q_ab_test_summary": q_ab_test_summary,
+        "q_adpcm_roundtrip": q_adpcm_roundtrip,
+        "q_anomaly_flags": q_anomaly_flags,
+        "q_arrow_ipc": q_arrow_ipc,
+        "q_avi_frames": q_avi_frames,
+        "q_avi_meta": q_avi_meta,
+        "q_avro_roundtrip": q_avro_roundtrip,
+        "q_bleu_counts": q_bleu_counts,
+        "q_bucketed_join": q_bucketed_join,
+        # -- (c) everything else — officially green in a prior
+        #        round (r9+) — still run in tools/check_oracle at
+        #        both scales and in bench --------------------------
+        "q_lake_stream_source": q_lake_stream_source,
         "q_lake_dv": q_lake_dv,
         "q_lake_update": q_lake_update,
         "q_merge_upsert": q_merge_upsert,
-        # -- (b) the 43 genuinely stalest official scores,
-        #        oldest first: the COMPLETE remaining r7 cohort
-        #        (10 — closing the r12 verdict's rotation debt)
-        #        and the 33 alphabetically-first of the 38
-        #        r8-scored hash gates (the other 5 head section
-        #        (c) for the r14 rotation) ---------------------
         "q_streaming_sessionize": q_streaming_sessionize,
         "q_substring_dedup": q_substring_dedup,
         "q_tfidf_keywords": q_tfidf_keywords,
@@ -7402,15 +7514,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_hll": q_streaming_hll,
         "q_streaming_source_cap": q_streaming_source_cap,
         "q_streaming_ucb": q_streaming_ucb,
-        # -- (c) officially green in a prior round — still
-        #        run in tools/check_oracle at both scales
-        #        and in bench; q_text_normalize,
-        #        q_timeseries_resample, q_url_canonicalize,
-        #        q_webdataset, q_zorder_keys (r8) lead as r14
-        #        candidates -------------------------------------
-        "q_text_normalize": q_text_normalize,
-        "q_timeseries_resample": q_timeseries_resample,
-        "q_url_canonicalize": q_url_canonicalize,
         "q_lake_rename": q_lake_rename,
         "q_ann_filtered": q_ann_filtered,
         "q_lake_partition_evolution": q_lake_partition_evolution,
@@ -7555,8 +7658,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pca_cov": q_pca_cov,
         "q_dedup_clusters": q_dedup_clusters,
         "q_connected_components": q_connected_components,
-        "q_arrow_ipc": q_arrow_ipc,
-        "q_avro_roundtrip": q_avro_roundtrip,
         "q_tfrecord_roundtrip": q_tfrecord_roundtrip,
         "q_materialized_agg": q_materialized_agg,
         "q_mp4_samples": q_mp4_samples,
@@ -7565,9 +7666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_timeseries_interpolate": q_timeseries_interpolate,
         "q_heavy_hitters": q_heavy_hitters,
         "q_ivm_refresh": q_ivm_refresh,
-        "q_bucketed_join": q_bucketed_join,
         "q_streaming_join": q_streaming_join,
-        "q_anomaly_flags": q_anomaly_flags,
         "q_hll_overlap": q_hll_overlap,
         "q_corr_matrix": q_corr_matrix,
         "q_streaming_lake_sink": q_streaming_lake_sink,
@@ -7575,11 +7674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_funnel": q_funnel,
         "q_cohort_retention": q_cohort_retention,
         "q_transition_matrix": q_transition_matrix,
-        "q_ab_test_summary": q_ab_test_summary,
-        "q_avi_meta": q_avi_meta,
-        "q_avi_frames": q_avi_frames,
         "q_global_shuffle": q_global_shuffle,
-        "q_adpcm_roundtrip": q_adpcm_roundtrip,
         "q_zorder_pruning": q_zorder_pruning,
         "q_triangle_count": q_triangle_count,
         "q_corpus_diff": q_corpus_diff,
@@ -7587,7 +7682,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unigram_tokens": q_unigram_tokens,
         "q_lake_timetravel": q_lake_timetravel,
         "q_scd2": q_scd2,
-        "q_bleu_counts": q_bleu_counts,
         "q_rouge_l": q_rouge_l,
         "q_skew_join": q_skew_join,
         "q_exact_quantiles": q_exact_quantiles,
@@ -7595,40 +7689,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_window": q_streaming_window,
         "q_lake_changes": q_lake_changes,
         "q_thompson_params": q_thompson_params,
-        "q_llm_e2e": q_llm_e2e,
-        "q_kmeans_fit": q_kmeans_fit,
-        "q_zorder_keys": q_zorder_keys,
-        "q_pca_fit": q_pca_fit,
-        "q_webdataset": q_webdataset,
-        "q_quality_classifier": q_quality_classifier,
-        "q_textrank": q_textrank,
-        "q_bin_pack": q_bin_pack,
-        "q_pagerank": q_pagerank,
-        "q_compression_ratio": q_compression_ratio,
-        "q_spectrogram": q_spectrogram,
-        "q_thompson_scores": q_thompson_scores,
-        "q_hnsw_ann": q_hnsw_ann,
-        "q_pq_ann": q_pq_ann,
-        "q_ivfpq_ann": q_ivfpq_ann,
-        "q_bpe_tokens": q_bpe_tokens,
-        "q_bytelevel_bpe": q_bytelevel_bpe,
-        "q_doc_fingerprints": q_doc_fingerprints,
-        "q_cluster_rec": q_cluster_rec,
-        "q_als_recs": q_als_recs,
-        "q_word2vec_recs": q_word2vec_recs,
-        "q_ivf_ann": q_ivf_ann,
-        "q_e2e_eval": q_e2e_eval,
-        "q_sample_top_k": q_sample_top_k,
-        "q_discretize_quantile": q_discretize_quantile,
-        "q_discretize_greedy": q_discretize_greedy,
-        "q_corpus_mix": q_corpus_mix,
-        "q_kfolds_sizes": q_kfolds_sizes,
-        "q_two_stage_split_sizes": q_two_stage_split_sizes,
-        "q_random_next_n_split": q_random_next_n_split,
-        "q_filter_interaction_entries": q_filter_interaction_entries,
-        "q_slim_similarity": q_slim_similarity,
-        "q_minhash_candidates": q_minhash_candidates,
-        "q_simhash_fingerprints": q_simhash_fingerprints,
     }
 
 
@@ -11833,6 +11893,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM u GROUP BY leg, bucket
+        """,
+        "q_lake_sql_dml": """
+            WITH d AS (SELECT doc_id, n_chars FROM documents),
+            upd AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 3
+                            THEN n_chars + 1000 ELSE n_chars END
+                       AS n_chars
+                FROM d
+            ),
+            del AS (SELECT * FROM upd WHERE NOT (doc_id % 11 = 5)),
+            src AS (
+                SELECT doc_id + 1000000 AS doc_id, n_chars FROM d
+                WHERE doc_id % 17 = 2
+                UNION ALL
+                SELECT doc_id, -5 AS n_chars FROM d WHERE doc_id % 13 = 1
+            ),
+            merged AS (
+                SELECT * FROM del
+                WHERE doc_id NOT IN (SELECT doc_id FROM src)
+                UNION ALL
+                SELECT * FROM src
+            )
+            SELECT CAST(doc_id % 10 AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM merged GROUP BY bucket
         """,
         "q_lake_partition_evolution": """
             WITH d AS (

@@ -128,6 +128,10 @@ class LakeTable:
         {"column_mapping", "deletion_vectors"}
     )
 
+    #: view name -> (LakeTable, is_snapshot), maintained by
+    #: :meth:`to_view`; lake_sql() resolves SQL DML targets here
+    _view_registry: dict = {}
+
     def __init__(
         self,
         spark: SparkSession,
@@ -150,6 +154,14 @@ class LakeTable:
         # maintenance windows are a deliberate choice at 100 TB.
         self.auto_compact_small_files = auto_compact_small_files
         self.small_file_bytes = small_file_bytes
+        # memo for the constraint / generated-column folds, keyed on
+        # the RESOLVED version: commit files are immutable once
+        # written, so a (version -> rules) entry can never go stale —
+        # commit-heavy pipelines stop re-folding
+        # O(commits-since-checkpoint) driver JSON on every append.
+        # Conflict detection re-resolves the tip, so a blind retry
+        # still sees mid-flight rule changes.
+        self._rules_memo: dict = {}
 
     # -- log ---------------------------------------------------------------
 
@@ -368,21 +380,30 @@ class LakeTable:
     def _table_constraints(self, version: Optional[int] = None) -> dict:
         """{name: sql_expr} in force as of ``version`` — its own
         lightweight fold (checkpoint base + commit tail), separate
-        from _fold_state so the 8-tuple contract stays stable."""
+        from _fold_state so the 8-tuple contract stays stable.
+        Memoized per resolved version (commits are immutable)."""
+        resolved = version if version is not None else self.latest_version()
+        key = ("constraints", resolved)
+        hit = self._rules_memo.get(key)
+        if hit is not None:
+            return dict(hit)
         cons: dict = {}
         start = -1
-        ckpt = self._latest_checkpoint(version)
+        ckpt = self._latest_checkpoint(resolved)
         if ckpt is not None:
             cons = dict(ckpt.get("constraints") or {})
             start = ckpt["version"]
         for c in self._commits(after=start):
-            if version is not None and c["version"] > version:
+            if c["version"] > resolved:
                 break
             for name, expr in (c.get("constraints") or {}).items():
                 if expr is None:
                     cons.pop(name, None)
                 else:
                     cons[name] = expr
+        if len(self._rules_memo) > 256:
+            self._rules_memo.clear()
+        self._rules_memo[key] = dict(cons)
         return cons
 
     def table_constraints(self) -> dict:
@@ -426,21 +447,29 @@ class LakeTable:
 
     def _generated_columns(self, version: Optional[int] = None) -> dict:
         """{column: sql_expr} generation rules in force — same fold
-        shape as :meth:`_table_constraints`."""
+        shape as :meth:`_table_constraints`, same per-version memo."""
+        resolved = version if version is not None else self.latest_version()
+        key = ("generated", resolved)
+        hit = self._rules_memo.get(key)
+        if hit is not None:
+            return dict(hit)
         gens: dict = {}
         start = -1
-        ckpt = self._latest_checkpoint(version)
+        ckpt = self._latest_checkpoint(resolved)
         if ckpt is not None:
             gens = dict(ckpt.get("generated") or {})
             start = ckpt["version"]
         for c in self._commits(after=start):
-            if version is not None and c["version"] > version:
+            if c["version"] > resolved:
                 break
             for name, expr in (c.get("generated") or {}).items():
                 if expr is None:
                     gens.pop(name, None)
                 else:
                     gens[name] = expr
+        if len(self._rules_memo) > 256:
+            self._rules_memo.clear()
+        self._rules_memo[key] = dict(gens)
         return gens
 
     def generated_columns(self) -> dict:
@@ -599,10 +628,17 @@ class LakeTable:
         """Register this table (or a time-travel snapshot of it) as a
         temp view so plain ``spark.sql`` queries run over the lake —
         DVs, column mapping and schema evolution all resolved by
-        :meth:`read` before the view exists. Returns ``name``."""
+        :meth:`read` before the view exists. Returns ``name``.
+
+        The name is also recorded for :func:`replay_spark.lake_sql.
+        lake_sql`, which routes SQL ``UPDATE`` / ``DELETE`` /
+        ``MERGE INTO`` statements against it through this table's
+        Python DML (snapshot views are read-only there)."""
         self.read(version=version, as_of=as_of, tag=tag).createOrReplaceTempView(
             name
         )
+        snapshot = version is not None or as_of is not None or tag is not None
+        LakeTable._view_registry[name] = (self, snapshot)
         return name
 
     def detail(self) -> dict:
@@ -2969,7 +3005,14 @@ class LakeTable:
         the scoped rewrite — ``OPTIMIZE ... WHERE ... ZORDER BY``,
         the hot-partition clustering move: range-partitioned on the
         z-key into ~target-sized files sorted within, so footer
-        min/max stats skip files on later box queries."""
+        min/max stats skip files on later box queries. Without
+        ``partition_filter``, a ``zorder_by`` delegates to
+        :meth:`optimize` (the unscoped clustering path) rather than
+        silently doing a plain rewrite."""
+        if zorder_by and not partition_filter:
+            return self.optimize(
+                zorder_by=zorder_by, target_file_bytes=target_file_bytes
+            )
         base_version = self.latest_version()
         if partition_filter:
             fold = self._fold_state(base_version)

@@ -42,19 +42,50 @@ def test_scored_window_sections_sum_to_exactly_50():
     assert qs[:50] == scored
 
 
-def test_r9_window_is_fully_hash_gated():
-    """The r9 rotation's contract: every scored entry carries a
-    value-hash oracle — 0 rows-only in the window."""
+def test_window_rows_only_entries_are_documented_and_stale():
+    """r14 policy: rows-only gates MAY sit in the scored window, but
+    only as staleness rotation — each must be in the documented
+    rows-only allowlist AND must be either never-officially-scored or
+    older-scored than every hash gate left outside the window (no
+    crowding fresh rows-only checks in over stale hash gates)."""
+    import glob
+    import json
+
     oracles = set(entrymod.oracle_sql())
     scored = list(entrymod.queries())[:50]
-    missing = [q for q in scored if q not in oracles]
-    assert not missing, f"r9 window entries without oracle: {missing}"
+    rows_only_in_window = [q for q in scored if q not in oracles]
+    allow = _rows_only_allowlist()
+    undocumented = [q for q in rows_only_in_window if q not in allow]
+    assert not undocumented, (
+        f"rows-only window entries without a documented reason: "
+        f"{undocumented}"
+    )
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        for gate in json.load(open(path)):
+            last[gate] = max(rnd, last.get(gate, 0))
+    outside_hash = [
+        q for q in list(entrymod.queries())[50:] if q in oracles and q in last
+    ]
+    if outside_hash:
+        freshest_allowed = min(last[q] for q in outside_hash)
+        too_fresh = [
+            q
+            for q in rows_only_in_window
+            if q in last and last[q] > freshest_allowed
+        ]
+        assert not too_fresh, (
+            f"rows-only window entries fresher than the stalest "
+            f"outside hash gate (r{freshest_allowed}): {too_fresh}"
+        )
 
 
-def test_scored_window_has_oracle_or_documented_rows_only():
-    # every scored query needs an oracle; the known rows-only
-    # contracts are the documented exceptions
-    rows_only = {
+def _rows_only_allowlist():
+    """The documented rows-only contracts (non-SQL-expressible)."""
+    return {
+        "q_bytelevel_bpe",  # iterative byte-level merges (golden-tested)
         "q_filter_interaction_entries",  # iterated fixpoint
         "q_discretize_greedy",  # greedy merge order not SQL-expressible
         "q_random_next_n_split",  # seeded RNG
@@ -67,6 +98,7 @@ def test_scored_window_has_oracle_or_documented_rows_only():
         "q_cluster_rec",  # kmeans iterations
         "q_slim_similarity",  # coordinate-descent iterations
         "q_doc_fingerprints",  # md5 variant carries the hash oracle
+        "q_minhash_candidates",  # md5 variant carries the hash oracle
         "q_ivf_ann",  # approximate; q_ivf_ann_fixed carries the oracle
         "q_e2e_eval",  # multi-model composition (ALS inside)
         "q_discretize_quantile",  # approxQuantile bin edges
@@ -85,6 +117,12 @@ def test_scored_window_has_oracle_or_documented_rows_only():
         "q_compression_ratio",  # zlib internals
         "q_spectrogram",  # FFT
     }
+
+
+def test_scored_window_has_oracle_or_documented_rows_only():
+    # every scored query needs an oracle; the known rows-only
+    # contracts are the documented exceptions
+    rows_only = _rows_only_allowlist()
     oracles = set(entrymod.oracle_sql())
     scored = list(entrymod.queries())[:50]
     missing = [q for q in scored if q not in oracles and q not in rows_only]
@@ -189,15 +227,30 @@ def test_staleness_ledger_matches_files():
     import json
 
     doc = entrymod.queries.__doc__
+    flat = " ".join(doc.split())
     m = re.search(
         r"as of\s+r(\d+) the oldest official hash-gate score is "
         r"r(\d+) \((\d+) gates\), and (\d+) hash gates await a "
         r"first official score",
-        " ".join(doc.split()),
+        flat,
     )
-    assert m, "queries() docstring is missing the staleness ledger"
+    assert m, "queries() docstring is missing the hash staleness ledger"
     as_of, oldest_claim, n_oldest_claim, n_unscored_claim = map(
         int, m.groups()
+    )
+    m2 = re.search(
+        r"over the full registry the oldest official score is "
+        r"r(\d+) \((\d+) gates\), and (\d+) gates of any kind await "
+        r"a first official score",
+        flat,
+    )
+    assert m2, (
+        "queries() docstring is missing the full-registry staleness "
+        "ledger (the r13 verdict: rows-only gates went officially "
+        "dark while the hash ledger looked clean)"
+    )
+    full_oldest_claim, full_n_oldest_claim, full_unscored_claim = map(
+        int, m2.groups()
     )
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -210,7 +263,8 @@ def test_staleness_ledger_matches_files():
             last[gate] = max(rnd, last.get(gate, 0))
     assert any(last.values()), "no CORRECTNESS files up to the as-of round"
 
-    hash_gates = [q for q in entrymod.queries() if q in entrymod.oracle_sql()]
+    all_gates = list(entrymod.queries())
+    hash_gates = [q for q in all_gates if q in entrymod.oracle_sql()]
     scored = {q: last[q] for q in hash_gates if q in last}
     oldest = min(scored.values())
     n_oldest = sum(1 for v in scored.values() if v == oldest)
@@ -220,19 +274,46 @@ def test_staleness_ledger_matches_files():
         n_oldest_claim,
         n_unscored_claim,
     ), (
-        f"staleness ledger drifted: docstring says oldest r"
+        f"hash staleness ledger drifted: docstring says oldest r"
         f"{oldest_claim} ({n_oldest_claim} gates) / {n_unscored_claim}"
         f" unscored, files say oldest r{oldest} ({n_oldest} gates) / "
         f"{n_unscored} unscored — update the queries() docstring"
     )
-    # the rotation policy must actually hold: every hash gate with
-    # the OLDEST official score is either inside the scored window
-    # or younger gates were not preferred over it... the enforceable
-    # core: the window's section (b) must contain gates AT the
-    # oldest round (rotating toward anything else strands the tail)
+    # the FULL registry (hash + rows-only): the r13 verdict caught
+    # rows-only gates stranded at r4 while the hash ledger was clean
+    full_scored = {q: last[q] for q in all_gates if q in last}
+    full_oldest = min(full_scored.values())
+    full_n_oldest = sum(
+        1 for v in full_scored.values() if v == full_oldest
+    )
+    full_unscored = sum(1 for q in all_gates if q not in last)
+    assert (full_oldest, full_n_oldest, full_unscored) == (
+        full_oldest_claim,
+        full_n_oldest_claim,
+        full_unscored_claim,
+    ), (
+        f"full-registry staleness ledger drifted: docstring says "
+        f"oldest r{full_oldest_claim} ({full_n_oldest_claim} gates) /"
+        f" {full_unscored_claim} unscored, files say oldest "
+        f"r{full_oldest} ({full_n_oldest} gates) / {full_unscored} "
+        "unscored — update the queries() docstring"
+    )
+    # the rotation policy must actually hold over the FULL registry:
+    # the window must contain gates AT the oldest official round and
+    # every never-scored gate (rotating toward anything else strands
+    # the tail the r13 verdict flagged)
     window = list(entrymod.queries())[:50]
-    oldest_in_window = [q for q in window if scored.get(q) == oldest]
+    oldest_in_window = [
+        q for q in window if full_scored.get(q) == full_oldest
+    ]
     assert oldest_in_window, (
-        f"no gate with the oldest official score (r{oldest}) is in "
-        "the scored window — the rotation is not consuming the tail"
+        f"no gate with the oldest official score (r{full_oldest}) is "
+        "in the scored window — the rotation is not consuming the tail"
+    )
+    never_scored_outside = [
+        q for q in all_gates if q not in last and q not in window
+    ]
+    assert not never_scored_outside, (
+        f"never-officially-scored gates outside the window: "
+        f"{never_scored_outside}"
     )

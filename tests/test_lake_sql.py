@@ -1,0 +1,130 @@
+"""SQL DML on lake views: UPDATE / DELETE / MERGE INTO statements
+against a to_view name route through the table's Python DML."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from replay_spark.lake import LakeTable
+from replay_spark.lake_sql import lake_sql
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.range(0, 40).select(
+            "id",
+            (F.col("id") * 2).alias("v"),
+            (F.col("id") % 4).cast("string").alias("g"),
+        )
+    )
+    t.to_view("sqlt")
+    return t
+
+
+def test_sql_update_routes_through_dml(spark, table):
+    ver = lake_sql(
+        spark, "UPDATE sqlt SET v = v + 100, g = 'hot' WHERE id < 5"
+    )
+    assert ver == table.latest_version()
+    rows = {r["id"]: (r["v"], r["g"]) for r in table.read().collect()}
+    assert rows[3] == (106, "hot") and rows[10] == (20, "2")
+    # the view was refreshed: spark.sql sees the write
+    assert (
+        spark.sql("SELECT v FROM sqlt WHERE id = 3").collect()[0][0] == 106
+    )
+    # history records a real update commit
+    ops = [r.operation for r in table.history().collect()]
+    assert "update" in ops
+
+
+def test_sql_delete_and_where_less_delete(spark, table):
+    lake_sql(spark, "DELETE FROM sqlt WHERE id % 2 = 0")
+    assert sorted(r["id"] for r in table.read().collect()) == list(
+        range(1, 40, 2)
+    )
+    lake_sql(spark, "DELETE FROM sqlt")
+    assert table.read().count() == 0
+
+
+def test_sql_update_dv_mode(spark, table):
+    lake_sql(spark, "UPDATE sqlt SET v = 0 WHERE id = 7", mode="dv")
+    assert table.detail()["num_dv_files"] >= 1
+    rows = {r["id"]: r["v"] for r in table.read().collect()}
+    assert rows[7] == 0 and len(rows) == 40
+
+
+def test_sql_merge_update_and_insert(spark, table):
+    spark.range(38, 44).select(
+        "id", F.lit(-1).alias("v"), F.lit("m").alias("g")
+    ).createOrReplaceTempView("src")
+    lake_sql(
+        spark,
+        "MERGE INTO sqlt t USING src s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    rows = {r["id"]: (r["v"], r["g"]) for r in table.read().collect()}
+    assert len(rows) == 44
+    assert rows[37] == (74, "1")           # untouched
+    assert all(rows[i] == (-1, "m") for i in range(38, 44))
+
+
+def test_sql_merge_delete_and_subquery_source(spark, table):
+    lake_sql(
+        spark,
+        "MERGE INTO sqlt USING (SELECT id FROM sqlt WHERE id >= 30) s "
+        "ON sqlt.id = s.id WHEN MATCHED THEN DELETE",
+    )
+    assert sorted(r["id"] for r in table.read().collect()) == list(range(30))
+
+
+def test_sql_select_passthrough_and_unregistered(spark, table):
+    df = lake_sql(spark, "SELECT count(*) AS n FROM sqlt")
+    assert df.collect()[0]["n"] == 40
+    # DML on a non-lake name falls through to spark.sql's own error
+    with pytest.raises(Exception):
+        lake_sql(spark, "DELETE FROM not_a_lake_view WHERE 1=1")
+
+
+def test_sql_dml_on_snapshot_view_rejected(spark, table):
+    table.append(spark.range(40, 50).select(
+        "id", (F.col("id") * 2).alias("v"), F.lit("x").alias("g")
+    ))
+    table.to_view("snap", version=0)
+    with pytest.raises(ValueError, match="time-travel snapshot"):
+        lake_sql(spark, "DELETE FROM snap WHERE id = 1")
+
+
+def test_sql_merge_rich_clauses_rejected(spark, table):
+    spark.range(0, 3).select(
+        "id", F.lit(0).alias("v"), F.lit("z").alias("g")
+    ).createOrReplaceTempView("src2")
+    with pytest.raises(ValueError, match="richer"):
+        lake_sql(
+            spark,
+            "MERGE INTO sqlt USING src2 ON sqlt.id = src2.id "
+            "WHEN MATCHED THEN UPDATE SET v = 9",
+        )
+    with pytest.raises(ValueError, match="WHEN MATCHED"):
+        lake_sql(
+            spark,
+            "MERGE INTO sqlt USING src2 ON sqlt.id = src2.id "
+            "WHEN NOT MATCHED THEN INSERT *",
+        )
+    with pytest.raises(ValueError, match="equality"):
+        lake_sql(
+            spark,
+            "MERGE INTO sqlt USING src2 ON sqlt.id >= src2.id "
+            "WHEN MATCHED THEN DELETE",
+        )
+
+
+def test_sql_set_parses_commas_inside_calls(spark, table):
+    lake_sql(
+        spark,
+        "UPDATE sqlt SET g = concat(g, '-', cast(v AS string)) "
+        "WHERE id = 1",
+    )
+    rows = {r["id"]: r["g"] for r in table.read().collect()}
+    assert rows[1] == "1-2" and rows[2] == "2"
