@@ -1,5 +1,5 @@
-"""SQL DML over lake views — ``UPDATE`` / ``DELETE`` / ``MERGE INTO``
-statements against a :meth:`LakeTable.to_view` name, routed through
+"""SQL DML over lake views — ``INSERT`` / ``UPDATE`` / ``DELETE`` /
+``MERGE INTO`` statements against a :meth:`LakeTable.to_view` name, routed through
 the table's existing Python DML (same commits, same change feed,
 same constraints), so a user coming from Delta SQL keeps their
 statements.
@@ -80,6 +80,12 @@ _MERGE_RE = re.compile(
 )
 _ASSIGN_RE = re.compile(
     r"^\s*`?(?P<col>[A-Za-z_]\w*)`?\s*=\s*(?P<expr>.+)$", re.DOTALL
+)
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+(?P<kind>INTO|OVERWRITE)\s+(?:TABLE\s+)?"
+    r"(?P<name>[A-Za-z_]\w*)\s+(?P<query>(?:SELECT|VALUES|TABLE|\()"
+    r".*)$",
+    re.IGNORECASE | re.DOTALL,
 )
 _MATCHED_RE = re.compile(
     r"WHEN\s+MATCHED\s+THEN\s+(?:UPDATE\s+SET\s+\*|DELETE)",
@@ -164,8 +170,8 @@ def _parse_on_keys(on_clause: str, aliases: set) -> List[str]:
 
 
 def lake_sql(spark, statement: str, mode: str = "rewrite"):
-    """Execute ``statement``. DML (``UPDATE`` / ``DELETE`` /
-    ``MERGE INTO``) whose target is a lake view registered by
+    """Execute ``statement``. DML (``INSERT [INTO|OVERWRITE]`` /
+    ``UPDATE`` / ``DELETE`` / ``MERGE INTO``) whose target is a lake view registered by
     :meth:`LakeTable.to_view` routes through the table's Python DML
     and returns the new commit version (int); everything else runs
     through ``spark.sql`` and returns its DataFrame.
@@ -214,6 +220,30 @@ def lake_sql(spark, statement: str, mode: str = "rewrite"):
         if m and m.group("name") in registry:
             table = _resolve(m.group("name"))
             version = table.delete(m.group("where") or "true", mode=mode)
+            table.to_view(m.group("name"))
+            return version
+    elif first == "INSERT":
+        m = _INSERT_RE.match(stmt)
+        if m and m.group("name") in registry:
+            table = _resolve(m.group("name"))
+            df = spark.sql(m.group("query"))
+            # SQL INSERT binds by POSITION (Delta semantics): rename
+            # the query's output into the table's schema order after
+            # an arity check, so `INSERT INTO v SELECT a, b` works
+            # whatever the SELECT aliases are
+            target_cols = table.read().columns
+            if len(df.columns) != len(target_cols):
+                raise ValueError(
+                    f"lake_sql: INSERT query produces "
+                    f"{len(df.columns)} columns, view "
+                    f"{m.group('name')!r} has {len(target_cols)}"
+                )
+            df = df.toDF(*target_cols)
+            version = (
+                table.overwrite(df)
+                if m.group("kind").upper() == "OVERWRITE"
+                else table.append(df)
+            )
             table.to_view(m.group("name"))
             return version
     elif first == "MERGE":

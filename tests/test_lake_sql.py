@@ -128,3 +128,27 @@ def test_sql_set_parses_commas_inside_calls(spark, table):
     )
     rows = {r["id"]: r["g"] for r in table.read().collect()}
     assert rows[1] == "1-2" and rows[2] == "2"
+
+
+def test_sql_insert_into_and_overwrite(spark, table):
+    ver = lake_sql(
+        spark,
+        "INSERT INTO sqlt SELECT id, id * 3 AS x, 'new' AS y "
+        "FROM range(100, 105)",
+    )
+    assert ver == table.latest_version()
+    rows = {r["id"]: (r["v"], r["g"]) for r in table.read().collect()}
+    assert len(rows) == 45
+    assert all(rows[i] == (i * 3, "new") for i in range(100, 105))
+    # positional binding: arity mismatch is a clear error
+    with pytest.raises(ValueError, match="columns"):
+        lake_sql(spark, "INSERT INTO sqlt SELECT id FROM range(5)")
+    lake_sql(
+        spark,
+        "INSERT OVERWRITE sqlt "
+        "SELECT id, id AS a, 'ow' AS b FROM range(0, 7)",
+    )
+    got = table.read().collect()
+    assert len(got) == 7 and all(r["g"] == "ow" for r in got)
+    # overwrite landed as a single new version readable via the view
+    assert spark.sql("SELECT COUNT(*) FROM sqlt").collect()[0][0] == 7
