@@ -24,17 +24,19 @@ Spark's offset log plus the source's deterministic
 commit-to-partition mapping.
 
 Trigger note: Spark's Python sources do not implement
-``Trigger.AvailableNow`` — it falls back to single-batch execution
-(harmless when ``maxCommitsPerTrigger`` covers the backlog); for a
-rate-limited catch-up use a processing-time trigger and
-``processAllAvailable()``. ``maxCommitsPerTrigger`` bounds EVERY
-micro-batch including the first of a session: on a fresh start the
-engine asks ``latestOffset`` before ``initialOffset``, so the first
-answer bounds from the resolved starting version; on a restart the
-engine replays ``partitions(checkpoint, checkpoint_end)`` before the
-first ``latestOffset`` (observed against Spark 4.1), which re-anchors
-the rate-limit cursor at the checkpoint — a backlogged table catches
-up in bounded slices in both cases.
+``Trigger.AvailableNow`` — it falls back to single-batch execution.
+Rate limiting is therefore OPT-IN: without ``maxCommitsPerTrigger``
+every batch drains to the tip (availableNow processes the whole
+backlog in its one batch, Delta's default posture); with it, EVERY
+micro-batch is bounded — including the first of a session: on a
+fresh start the engine asks ``latestOffset`` before
+``initialOffset``, so the first answer bounds from the resolved
+starting version; on a restart the engine replays
+``partitions(checkpoint, checkpoint_end)`` before the first
+``latestOffset`` (observed against Spark 4.1), which re-anchors the
+rate-limit cursor at the checkpoint. Rate-limited catch-up pairs
+with a processing-time trigger + ``processAllAvailable()`` —
+availableNow would stop after one slice.
 
 Cites reference behavior gap: the reference (sb-ai-lab/RePlay) has
 no table format; this follows the public Delta streaming-source
@@ -99,8 +101,17 @@ class _LakeFeedReader(DataSourceStreamReader):
             str(options.get("skipchangecommits", "false")).lower()
             == "true"
         )
-        self.max_commits = int(options.get("maxcommitspertrigger", 100))
-        if self.max_commits < 1:
+        # rate limiting is OPT-IN (Delta-style): without the option
+        # every batch drains to the tip, so Trigger.AvailableNow —
+        # which Spark runs as a single batch for Python sources —
+        # processes the whole backlog. Setting maxCommitsPerTrigger
+        # bounds EVERY batch (including the session's first), which
+        # pairs with a processing-time trigger + processAllAvailable
+        # for bounded catch-up; under availableNow it would stop
+        # after one slice.
+        raw = options.get("maxcommitspertrigger")
+        self.max_commits = int(raw) if raw is not None else None
+        if self.max_commits is not None and self.max_commits < 1:
             raise ValueError("maxCommitsPerTrigger must be >= 1")
         sv = options.get("startingversion")
         self._session_tip = self.table.latest_version()
@@ -152,7 +163,10 @@ class _LakeFeedReader(DataSourceStreamReader):
             if self._pos is not None
             else self._starting_version
         )
-        end = min(tip, base + self.max_commits) if tip > base else base
+        if self.max_commits is None or tip <= base:
+            end = tip if tip > base else base
+        else:
+            end = min(tip, base + self.max_commits)
         return {"version": end}
 
     def commit(self, end: dict) -> None:
@@ -276,7 +290,9 @@ class LakeFeedDataSource(DataSource):
 
     Options: ``path`` (required), ``startingVersion`` (default: the
     table tip when the stream starts — new appends only; ``-1``
-    replays every append), ``maxCommitsPerTrigger`` (default 100),
+    replays every append), ``maxCommitsPerTrigger`` (default:
+    unlimited — set it to rate-limit every micro-batch, and pair it
+    with a processing-time trigger, not availableNow),
     ``skipChangeCommits`` (default false).
     """
 

@@ -254,3 +254,21 @@ def test_lakefeed_below_vacuum_horizon_raises_clear_error(spark, tmp_path):
         StreamingQueryException, match="below the vacuum horizon"
     ):
         _drain(spark, t.path, out, ck)
+
+
+def test_lakefeed_available_now_default_drains_backlog(spark, tmp_path):
+    """Without maxCommitsPerTrigger, every batch drains to the tip —
+    so Trigger.AvailableNow (single-batch for Python sources)
+    processes the WHOLE backlog. Rate limiting is opt-in; this pins
+    the default posture."""
+    t = LakeTable(spark, str(tmp_path / "t"))
+    for i in range(6):
+        t.append(
+            spark.range(i * 10, (i + 1) * 10).select(
+                "id", (F.col("id") * 2).alias("v")
+            )
+        )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _drain(spark, t.path, out, ck)
+    got = spark.read.parquet(out)
+    assert got.count() == 60 and got.distinct().count() == 60
