@@ -7,7 +7,11 @@ statements.
 ``to_view`` registers the name; :func:`lake_sql` parses the statement
 with a thin dispatcher (identifier target, top-level-comma SET list,
 equality-key merge ON) and calls ``update()`` / ``delete()`` /
-``merge()``. Anything that is not DML on a registered lake view —
+``merge()`` / ``append()`` / ``overwrite()``. The maintenance
+vocabulary rides along: ``OPTIMIZE name [WHERE col = val]
+[ZORDER BY (c1, c2)]``, ``VACUUM name [RETAIN n VERSIONS] [DRY
+RUN]`` (bare VACUUM = orphan-only GC), ``DESCRIBE HISTORY name``,
+and ``RESTORE name TO VERSION AS OF n``. Anything that is not DML on a registered lake view —
 every SELECT, and DML in dialect corners the thin parser does not
 cover — falls through to ``spark.sql`` untouched, which for
 unregistered views keeps Spark's own error surface. After a DML the
@@ -86,6 +90,28 @@ _INSERT_RE = re.compile(
     r"(?P<name>[A-Za-z_]\w*)\s+(?P<query>(?:SELECT|VALUES|TABLE|\()"
     r".*)$",
     re.IGNORECASE | re.DOTALL,
+)
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+(?P<name>[A-Za-z_]\w*)"
+    r"(?:\s+WHERE\s+`?(?P<pcol>[A-Za-z_]\w*)`?\s*=\s*(?P<pval>"
+    r"'[^']*'|\"[^\"]*\"|\S+))?"
+    r"(?:\s+ZORDER\s+BY\s+\(?(?P<zcols>[^)]+?)\)?)?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_VACUUM_RE = re.compile(
+    r"^\s*VACUUM\s+(?P<name>[A-Za-z_]\w*)"
+    r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS?)?"
+    r"(?:\s+(?P<dry>DRY\s+RUN))?\s*$",
+    re.IGNORECASE,
+)
+_HISTORY_RE = re.compile(
+    r"^\s*DESCRIBE\s+HISTORY\s+(?P<name>[A-Za-z_]\w*)\s*$",
+    re.IGNORECASE,
+)
+_RESTORE_RE = re.compile(
+    r"^\s*RESTORE\s+(?:TABLE\s+)?(?P<name>[A-Za-z_]\w*)\s+TO\s+"
+    r"VERSION\s+AS\s+OF\s+(?P<v>\d+)\s*$",
+    re.IGNORECASE,
 )
 _MATCHED_RE = re.compile(
     r"WHEN\s+MATCHED\s+THEN\s+(?:UPDATE\s+SET\s+\*|DELETE)",
@@ -203,7 +229,46 @@ def lake_sql(spark, statement: str, mode: str = "rewrite"):
             )
         return table
 
-    if first == "UPDATE":
+    if first == "OPTIMIZE":
+        m = _OPTIMIZE_RE.match(stmt)
+        if m and m.group("name") in registry:
+            table = _resolve(m.group("name"))
+            pf = None
+            if m.group("pcol"):
+                val = m.group("pval")
+                if val[0] in "'\"" and val[0] == val[-1]:
+                    val = val[1:-1]
+                pf = {m.group("pcol"): val}
+            z = (
+                [c.strip().strip("`") for c in m.group("zcols").split(",")]
+                if m.group("zcols")
+                else None
+            )
+            version = table.optimize(zorder_by=z, partition_filter=pf)
+            table.to_view(m.group("name"))
+            return version
+    elif first == "VACUUM":
+        m = _VACUUM_RE.match(stmt)
+        if m and m.group("name") in registry:
+            table = _resolve(m.group("name"))
+            # bare VACUUM = orphan-only GC (maximally conservative);
+            # RETAIN n VERSIONS ratchets the retention horizon
+            return table.vacuum(
+                retain_last=int(m.group("n")) if m.group("n") else None,
+                dry_run=bool(m.group("dry")),
+            )
+    elif first == "DESCRIBE":
+        m = _HISTORY_RE.match(stmt)
+        if m and m.group("name") in registry:
+            return _resolve(m.group("name")).history()
+    elif first == "RESTORE":
+        m = _RESTORE_RE.match(stmt)
+        if m and m.group("name") in registry:
+            table = _resolve(m.group("name"))
+            version = table.restore(int(m.group("v")))
+            table.to_view(m.group("name"))
+            return version
+    elif first == "UPDATE":
         m = _UPDATE_RE.match(stmt)
         if m and m.group("name") in registry:
             table = _resolve(m.group("name"))

@@ -152,3 +152,43 @@ def test_sql_insert_into_and_overwrite(spark, table):
     assert len(got) == 7 and all(r["g"] == "ow" for r in got)
     # overwrite landed as a single new version readable via the view
     assert spark.sql("SELECT COUNT(*) FROM sqlt").collect()[0][0] == 7
+
+
+def test_sql_maintenance_statements(spark, table, tmp_path):
+    # DESCRIBE HISTORY returns the history frame
+    hist = lake_sql(spark, "DESCRIBE HISTORY sqlt")
+    assert "operation" in hist.columns and hist.count() >= 1
+    # OPTIMIZE ZORDER BY clusters (new commit, same rows)
+    pre = table.latest_version()
+    lake_sql(spark, "OPTIMIZE sqlt ZORDER BY (g, id)")
+    assert table.latest_version() > pre
+    assert table.read().count() == 40
+    # RESTORE rolls back to the pre-optimize snapshot (same rows here)
+    lake_sql(spark, f"RESTORE sqlt TO VERSION AS OF {pre}")
+    assert table.read().count() == 40
+    # VACUUM RETAIN 1 VERSIONS DRY RUN lists but deletes nothing
+    listed = lake_sql(spark, "VACUUM sqlt RETAIN 1 VERSIONS DRY RUN")
+    assert isinstance(listed, list)
+    assert table.read(version=pre).count() == 40  # nothing deleted
+    # real vacuum: pre-horizon time travel dies, tip still reads
+    lake_sql(spark, "VACUUM sqlt RETAIN 1 VERSIONS")
+    assert table.read().count() == 40
+
+
+def test_sql_optimize_scoped_where(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "p"))
+    t.append(
+        spark.range(0, 40).select(
+            "id", (F.col("id") % 2).cast("string").alias("p")
+        ),
+        partition_by=["p"],
+    )
+    t.append(
+        spark.range(40, 80).select(
+            "id", (F.col("id") % 2).cast("string").alias("p")
+        ),
+        partition_by=["p"],
+    )
+    t.to_view("sqlopt")
+    lake_sql(spark, "OPTIMIZE sqlopt WHERE p = '1' ZORDER BY (id)")
+    assert sorted(r["id"] for r in t.read().collect()) == list(range(80))
