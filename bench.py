@@ -306,6 +306,11 @@ def main():
         # scan per written batch (must scale with the batch)
         "q_lake_stream_source",
         "q_lake_constraints",
+        # round-14: SQL DML at 10x — update/delete/merge through the
+        # lake_sql dispatch must keep the file-granular cost model
+        # (rewrites scale with TOUCHED files, merge with the matched
+        # key set, never the corpus)
+        "q_lake_sql_dml",
     ]
     sf1_timings = {}
     sf1_canaries = {}
@@ -490,13 +495,16 @@ def main():
         # sub-second ones say nothing about scale) rather than the
         # longest names, which r13 showed evicts exactly the newest
         # tiers; full values remain in the stderr FULL line
-        # type-stable key: values are [min, med] lists, but a failed
-        # leg is recorded as None — comparing a float sentinel to a
-        # list raises TypeError, so substitute a LIST sentinel and
-        # rank on the median
+        # type-stable key: compact sf1 values are rounded median
+        # FLOATS, with None for a failed leg — coalesce None to a
+        # float sentinel so mixed entries never compare across types
         victim = min(
             compact["sf1"],
-            key=lambda k: (compact["sf1"][k] or [-1.0, -1.0])[-1],
+            key=lambda k: (
+                compact["sf1"][k]
+                if compact["sf1"][k] is not None
+                else -1.0
+            ),
         )
         compact["sf1"].pop(victim)
         dropped += 1
