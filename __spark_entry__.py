@@ -6921,11 +6921,19 @@ def q_lake_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distribution — the sf1 bench replica's doc_ids live in 10
     # disjoint shard offsets where naive value chunks collapse to 2
     # non-empty files
-    chunked = ordered_row_numbers(
-        docs, [F.col("doc_id")], out_col="_rn"
-    ).withColumn(
-        "_chunk", F.expr(f"CAST(((_rn - 1) * 8) DIV {n} AS INT)")
+    # rank the KEY COLUMN alone, then join the chunk assignment back:
+    # range-exchanging the wide text rows through the global sort was
+    # the dominant cost at the 10x bench scale (7.3s of 8s) — and at
+    # 100 TB you never sort wide rows to compute their rank. The
+    # joined frame is cached once so the 8 per-chunk appends don't
+    # re-scan the corpus
+    chunk_map = ordered_row_numbers(
+        docs.select("doc_id"), [F.col("doc_id")], out_col="_rn"
+    ).select(
+        "doc_id",
+        F.expr(f"CAST(((_rn - 1) * 8) DIV {n} AS INT)").alias("_chunk"),
     )
+    chunked = docs.join(chunk_map, "doc_id").cache()
     tag = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(tempfile.gettempdir(), f"rs_lakestats_{tag}")
     shutil.rmtree(path, ignore_errors=True)

@@ -192,3 +192,79 @@ def test_sql_optimize_scoped_where(spark, tmp_path):
     t.to_view("sqlopt")
     lake_sql(spark, "OPTIMIZE sqlopt WHERE p = '1' ZORDER BY (id)")
     assert sorted(r["id"] for r in t.read().collect()) == list(range(80))
+
+
+# -- property: SQL statements == the Python API on the same table ---------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_COND = st.sampled_from(
+    [
+        "id % {m} = 1",
+        "v > {m} * 7",
+        "id % {m} = 0 AND v < 60",
+        "id < {m} * 3 OR v >= 70",
+        "g IN ('1', '2') AND id % {m} = 0",
+    ]
+)
+_SET = st.sampled_from(
+    [
+        {"v": "v + {m}"},
+        {"v": "v * 2", "g": "concat(g, '-u')"},
+        {"g": "CASE WHEN id % {m} = 0 THEN 'a' ELSE g END"},
+    ]
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cond=_COND,
+    assigns=_SET,
+    m=st.integers(min_value=2, max_value=6),
+    delete_after=st.booleans(),
+    mode=st.sampled_from(["rewrite", "dv"]),
+)
+def test_sql_statements_equal_python_api(
+    spark, tmp_path_factory, cond, assigns, m, delete_after, mode
+):
+    """UPDATE/DELETE through lake_sql's parser lands the SAME final
+    table as the equivalent .update()/.delete() calls — randomized
+    conditions (AND/OR, IN, arithmetic), SET lists (multi-column,
+    CASE, nested calls), and both DML modes."""
+    import pyspark.sql.functions as F
+
+    base = tmp_path_factory.mktemp("sqlprop")
+    seed = spark.range(0, 60).select(
+        "id",
+        (F.col("id") * 2 % 97).alias("v"),
+        (F.col("id") % 4).cast("string").alias("g"),
+    )
+    cond_s = cond.format(m=m)
+    set_s = {k: v.format(m=m) for k, v in assigns.items()}
+
+    t_sql = LakeTable(spark, str(base / "sql"))
+    t_sql.append(seed)
+    t_sql.to_view("sqlprop_v")
+    set_clause = ", ".join(f"{k} = {v}" for k, v in set_s.items())
+    lake_sql(
+        spark,
+        f"UPDATE sqlprop_v SET {set_clause} WHERE {cond_s}",
+        mode=mode,
+    )
+    if delete_after:
+        lake_sql(spark, f"DELETE FROM sqlprop_v WHERE {cond_s}", mode=mode)
+
+    t_py = LakeTable(spark, str(base / "py"))
+    t_py.append(seed)
+    t_py.update(cond_s, set_s, mode=mode)
+    if delete_after:
+        t_py.delete(cond_s, mode=mode)
+
+    got = sorted(map(tuple, t_sql.read().collect()))
+    want = sorted(map(tuple, t_py.read().collect()))
+    assert got == want
