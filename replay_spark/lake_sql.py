@@ -11,7 +11,10 @@ equality-key merge ON) and calls ``update()`` / ``delete()`` /
 vocabulary rides along: ``OPTIMIZE name [WHERE col = val]
 [ZORDER BY (c1, c2)]``, ``VACUUM name [RETAIN n VERSIONS] [DRY
 RUN]`` (bare VACUUM = orphan-only GC), ``DESCRIBE HISTORY name``,
-and ``RESTORE name TO VERSION AS OF n``. Anything that is not DML on a registered lake view —
+and ``RESTORE name TO VERSION AS OF n``; ``CREATE [OR REPLACE]
+TABLE name LOCATION 'path' [PARTITIONED BY (cols)] AS query``
+creates (or version-overwrites — the old snapshot stays
+time-travelable) a lake table and registers the view. Anything that is not DML on a registered lake view —
 every SELECT, and DML in dialect corners the thin parser does not
 cover — falls through to ``spark.sql`` untouched, which for
 unregistered views keeps Spark's own error surface. After a DML the
@@ -89,6 +92,13 @@ _INSERT_RE = re.compile(
     r"^\s*INSERT\s+(?P<kind>INTO|OVERWRITE)\s+(?:TABLE\s+)?"
     r"(?P<name>[A-Za-z_]\w*)\s+(?P<query>(?:SELECT|VALUES|TABLE|\()"
     r".*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?P<name>[A-Za-z_]\w*)"
+    r"\s+LOCATION\s+'(?P<path>[^']+)'"
+    r"(?:\s+PARTITIONED\s+BY\s+\(?(?P<pcols>[^)]+?)\)?)?"
+    r"\s+AS\s+(?P<query>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _OPTIMIZE_RE = re.compile(
@@ -229,7 +239,32 @@ def lake_sql(spark, statement: str, mode: str = "rewrite"):
             )
         return table
 
-    if first == "OPTIMIZE":
+    if first == "CREATE":
+        m = _CREATE_RE.match(stmt)
+        if m:
+            replace = bool(
+                re.match(r"^\s*CREATE\s+OR\s+REPLACE\b", stmt, re.IGNORECASE)
+            )
+            table = LakeTable(spark, m.group("path"))
+            exists = table.latest_version() >= 0
+            if exists and not replace:
+                raise ValueError(
+                    f"lake_sql: a lake table already exists at "
+                    f"{m.group('path')!r}; use CREATE OR REPLACE TABLE"
+                )
+            df = spark.sql(m.group("query"))
+            pcols = (
+                [c.strip().strip("`") for c in m.group("pcols").split(",")]
+                if m.group("pcols")
+                else None
+            )
+            if exists:
+                version = table.overwrite(df)
+            else:
+                version = table.append(df, partition_by=pcols)
+            table.to_view(m.group("name"))
+            return version
+    elif first == "OPTIMIZE":
         m = _OPTIMIZE_RE.match(stmt)
         if m and m.group("name") in registry:
             table = _resolve(m.group("name"))

@@ -268,3 +268,50 @@ def test_sql_statements_equal_python_api(
     got = sorted(map(tuple, t_sql.read().collect()))
     want = sorted(map(tuple, t_py.read().collect()))
     assert got == want
+
+
+def test_sql_create_table_as_select(spark, tmp_path):
+    p = str(tmp_path / "ctas")
+    ver = lake_sql(
+        spark,
+        f"CREATE TABLE ctas_v LOCATION '{p}' AS "
+        "SELECT id, id * 2 AS v, CAST(id % 3 AS STRING) AS part "
+        "FROM range(0, 30)",
+    )
+    assert ver == 0
+    assert spark.sql("SELECT COUNT(*) FROM ctas_v").collect()[0][0] == 30
+    # plain CREATE refuses to clobber; OR REPLACE is a versioned
+    # overwrite (old snapshot stays time-travelable)
+    with pytest.raises(ValueError, match="already exists"):
+        lake_sql(
+            spark,
+            f"CREATE TABLE ctas_v LOCATION '{p}' AS SELECT 1 AS x",
+        )
+    lake_sql(
+        spark,
+        f"CREATE OR REPLACE TABLE ctas_v LOCATION '{p}' AS "
+        "SELECT id, id AS v, 'r' AS part FROM range(0, 5)",
+    )
+    t = LakeTable(spark, p)
+    assert spark.sql("SELECT COUNT(*) FROM ctas_v").collect()[0][0] == 5
+    assert t.read(version=0).count() == 30
+    # and the full SQL lifecycle continues on the created table
+    lake_sql(spark, "UPDATE ctas_v SET v = v + 100 WHERE id < 2")
+    assert (
+        spark.sql("SELECT SUM(v) FROM ctas_v").collect()[0][0]
+        == sum(range(5)) + 200
+    )
+
+
+def test_sql_create_table_partitioned(spark, tmp_path):
+    p = str(tmp_path / "ctasp")
+    lake_sql(
+        spark,
+        f"CREATE TABLE ctasp_v LOCATION '{p}' PARTITIONED BY (part) AS "
+        "SELECT id, CAST(id % 2 AS STRING) AS part FROM range(0, 40)",
+    )
+    t = LakeTable(spark, p)
+    assert t._partition_columns() == ["part"]
+    out, kept, total = t.read_where({"part": ("1", "1")})
+    assert kept < total
+    assert out.count() == 20
