@@ -1976,7 +1976,10 @@ class LakeTable:
                 except OSError:
                     continue
             if small > limit:
-                version = self.compact(
+                # bin-pack ONLY the small-file tail (Delta autoCompact
+                # semantics) — the write-time hook must never balloon
+                # into a full-table rewrite on a 100 TB table
+                version = self.compact_small_files(
                     target_file_bytes=max(
                         self.small_file_bytes * 8, 128 * 1024 * 1024
                     )
@@ -3108,6 +3111,82 @@ class LakeTable:
         files = self._write_data(phys, num_files=int(n))
         return self._commit_reconciled(
             "compact", files, remove, current.schema, base_version
+        )
+
+    def compact_small_files(
+        self,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        small_file_bytes: Optional[int] = None,
+    ) -> int:
+        """Bin-pack ONLY the live files smaller than
+        ``small_file_bytes`` (default: the instance's
+        ``small_file_bytes``) into ~``target_file_bytes`` ones —
+        Delta's OPTIMIZE semantics: files already at a healthy size
+        carry by reference, untouched. This is the maintenance move
+        that stays cheap at 100 TB: a table accreting streaming
+        micro-batch files rewrites ONLY the small-file tail, never
+        the terabytes that are already well-laid-out (the plain
+        :meth:`compact` is a full rewrite by design — it exists to
+        materialize deletion vectors away and re-cluster).
+
+        Small files are grouped by their recorded partition values,
+        each group rewritten DV-aware into its own bin-packed files
+        carrying the SAME partition metadata (log pruning survives),
+        all swapped in ONE atomic commit. Singleton groups are left
+        alone — rewriting one small file gains nothing. Returns the
+        new version (or the current one when there is nothing to
+        pack)."""
+        threshold = (
+            small_file_bytes
+            if small_file_bytes is not None
+            else self.small_file_bytes
+        )
+        base_version = self.latest_version()
+        if base_version < 0:
+            return base_version
+        fold = self._fold_state(base_version)
+        live, schema_json, schemas, _, parts_map, _, mapping, dvs = fold
+        self._last_schema_json = schema_json
+        sizes = {}
+        for rel in live:
+            try:
+                sizes[rel] = os.path.getsize(os.path.join(self.path, rel))
+            except OSError:
+                continue
+        groups: dict = {}
+        for rel, size in sizes.items():
+            if size < threshold:
+                key = tuple(sorted((parts_map.get(rel) or {}).items()))
+                groups.setdefault(key, []).append(rel)
+        adds: List[str] = []
+        removes: List[str] = []
+        new_parts: dict = {}
+        for key, rels in sorted(groups.items()):
+            if len(rels) < 2:
+                continue
+            rows = self._scan_with_dv(
+                rels, dvs, merge_schema=len(schemas) > 1
+            )
+            logical = self._apply_mapping(rows, mapping, schema_json)
+            rows = self._to_physical(logical, mapping)
+            total = sum(sizes[r] for r in rels)
+            n = int(max(1, -(-total // target_file_bytes)))
+            files = self._write_data(rows, num_files=n)
+            adds.extend(files)
+            removes.extend(rels)
+            if key:
+                for f in files:
+                    new_parts[f] = dict(key)
+        if not removes:
+            return base_version
+        schema = StructType.fromJson(json.loads(schema_json))
+        return self._commit_reconciled(
+            "compact",
+            adds,
+            removes,
+            schema,
+            base_version,
+            parts=new_parts or None,
         )
 
     def optimize(

@@ -1964,3 +1964,60 @@ def test_generated_columns_survive_checkpoint_and_clone(spark, tmp_path):
     assert fresh.read().filter("g IS NULL").count() == 0
     clone = t.clone(str(tmp_path / "genc_clone"))
     assert clone.generated_columns() == {"g": "CAST(id % 3 AS STRING)"}
+
+
+def test_compact_small_files_leaves_big_files_alone(spark, tmp_path):
+    """Delta OPTIMIZE semantics: bin-pack only the small-file tail;
+    a healthy file carries by reference, untouched — the maintenance
+    move that stays cheap at scale."""
+    t = LakeTable(spark, str(tmp_path / "csf"), auto_checkpoint_every=None)
+    # one "big" file (relative to the tiny threshold we pass below)
+    t.append(spark.range(0, 5000).selectExpr("id", "id * 2 AS v").coalesce(1))
+    big = set(t.snapshot_files())
+    assert len(big) == 1
+    for i in range(4):
+        t.append(
+            spark.range(5000 + i * 10, 5010 + i * 10).selectExpr(
+                "id", "id * 2 AS v"
+            ).coalesce(1)
+        )
+    pre = t.latest_version()
+    threshold = os.path.getsize(next(iter(big)))  # small = below big
+    v = t.compact_small_files(small_file_bytes=threshold)
+    assert v == pre + 1
+    after = set(t.snapshot_files())
+    assert big <= after, "the big file must carry by reference"
+    assert len(after) == 2  # big + one packed file
+    assert t.read().count() == 5040
+    assert sorted(r["id"] for r in t.read().collect()) == list(range(5040))
+    # idempotent: nothing left to pack
+    assert t.compact_small_files(small_file_bytes=threshold) == v
+
+
+def test_compact_small_files_partition_grouped_and_dv_aware(spark, tmp_path):
+    """Small files pack WITHIN their partition value (log pruning
+    survives via re-recorded partition metadata) and the rewrite
+    materializes deletion vectors away for the packed files."""
+    t = LakeTable(spark, str(tmp_path / "csfp"), auto_checkpoint_every=None)
+    for i in range(3):
+        t.append(
+            spark.range(i * 20, (i + 1) * 20).selectExpr(
+                "id", "CAST(id % 2 AS STRING) AS b"
+            ),
+            partition_by=["b"],
+        )
+    t.delete("id = 7", mode="dv")
+    assert t.detail()["num_dv_files"] >= 1
+    v = t.compact_small_files(small_file_bytes=10 * 1024 * 1024)
+    assert v == t.latest_version()
+    # partition pruning still works on the packed layout
+    out, kept, total = t.read_where({"b": ("1", "1")})
+    assert kept < total
+    assert sorted(r["id"] for r in out.collect()) == [
+        i for i in range(60) if i % 2 == 1 and i != 7
+    ]
+    # all small files were packed per partition: 2 files remain and
+    # the dv died with its rewritten file
+    assert len(t.snapshot_files()) == 2
+    assert t.detail()["num_dv_files"] == 0
+    assert t.read().count() == 59
