@@ -272,3 +272,60 @@ def test_lakefeed_available_now_default_drains_backlog(spark, tmp_path):
     _drain(spark, t.path, out, ck)
     got = spark.read.parquet(out)
     assert got.count() == 60 and got.distinct().count() == 60
+
+
+def test_lakefeed_rate_limited_restart_mid_backlog(spark, tmp_path):
+    """Stop a rate-limited stream mid-catch-up and restart from the
+    checkpoint: the replayed partitions() call anchors the rate
+    cursor at the checkpoint, so the new session stays bounded and
+    the table lands exactly once."""
+    t = LakeTable(spark, str(tmp_path / "t"))
+    for i in range(10):
+        t.append(
+            spark.range(i * 10, (i + 1) * 10).select(
+                "id", (F.col("id") * 2).alias("v")
+            )
+        )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def run(stop_early):
+        q = (
+            spark.readStream.format("lakefeed")
+            .option("path", t.path)
+            .option("startingVersion", "-1")
+            .option("maxCommitsPerTrigger", "3")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+        if stop_early:
+            import time
+
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                try:
+                    if spark.read.parquet(out).count() >= 30:
+                        break
+                except Exception:
+                    pass
+                time.sleep(0.2)
+        else:
+            q.processAllAvailable()
+        q.stop()
+
+    run(stop_early=True)
+    mid = spark.read.parquet(out).count()
+    assert 30 <= mid < 100, mid  # stopped mid-backlog, bounded slices
+    run(stop_early=False)
+    got = spark.read.parquet(out)
+    assert got.count() == 100 and got.distinct().count() == 100
+    # at 3 commits/trigger, 10 commits need >= 4 planned batches
+    # across both sessions
+    offsets = [
+        n for n in os.listdir(os.path.join(ck, "offsets"))
+        if not n.startswith(".")
+    ]
+    assert len(offsets) >= 4
