@@ -6820,6 +6820,64 @@ def q_lake_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lake_autocompact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file bin-packing (Delta autoCompact/OPTIMIZE semantics):
+    ``compact_small_files`` rewrites ONLY the live files under the
+    size threshold — the big file carries by reference (asserted
+    in-gate by relpath identity), small files pack per partition
+    value with the partition metadata re-recorded (log pruning
+    asserted in-gate), one atomic commit. Output: the final snapshot
+    aggregate plus a pruned-partition leg, both replayed by DuckDB
+    from the raw documents — the hash matches only if packing moved
+    every row exactly once and lost none. (replay_spark/lake.py
+    compact_small_files)."""
+    import os
+    import shutil
+    import tempfile
+
+    from replay_spark.lake import LakeTable
+
+    docs = rsd.read_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars",
+        (F.col("doc_id") % 3).cast("string").alias("b"),
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"rs_lakeac_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = LakeTable(spark, path)
+    # one healthy file (most of the corpus), then a tail of small
+    # per-partition appends — the streaming micro-batch shape
+    t.append(
+        docs.filter("doc_id % 11 != 3").coalesce(1), partition_by=["b"]
+    )
+    big = set(t.snapshot_files())
+    for r in range(4):
+        t.append(
+            docs.filter(f"doc_id % 11 = 3 AND doc_id % 4 = {r}")
+            .coalesce(1),
+            partition_by=["b"],
+        )
+    threshold = min(os.path.getsize(p) for p in big)
+    v = t.compact_small_files(small_file_bytes=threshold)
+    assert v == t.latest_version()
+    after = set(t.snapshot_files())
+    assert big <= after, "healthy files must carry by reference"
+    assert len(after) < len(big) + 4, "small tail was not packed"
+    pruned, kept, total = t.read_where({"b": ("1", "1")})
+    assert kept < total, "log pruning lost on the packed layout"
+    agg = t.read().groupBy("b").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    ).select(F.lit("full").alias("leg"), "*")
+    one = pruned.filter(F.col("b") == "1").groupBy("b").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    ).select(F.lit("pruned").alias("leg"), "*")
+    return agg.unionByName(one)
+
+
 def q_sampled_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled ranking evaluation (the SASRec/NCF '99 negatives'
     protocol, 20 here): each user's LAST interaction is the test
@@ -7371,17 +7429,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Staleness ledger — machine-checked against CORRECTNESS_r*.json by
     tests/test_entry_contract.py::test_staleness_ledger_matches_files
     (numbers recomputed from the files, never hand-asserted): as of
-    r13 the oldest official hash-gate score is r8 (5 gates), and 1
+    r13 the oldest official hash-gate score is r8 (5 gates), and 2
     hash gates await a first official score; over the full registry
-    the oldest official score is r4 (10 gates), and 2 gates of any
+    the oldest official score is r4 (10 gates), and 3 gates of any
     kind await a first official score.
 
-    Order for r14: (a) the 2 never-officially-scored gates — this
-    round's debut q_lake_sql_dml (SQL UPDATE / DELETE / MERGE INTO
+    Order for r14: (a) the 3 never-officially-scored gates — this
+    round's debuts q_lake_sql_dml (SQL UPDATE / DELETE / MERGE INTO
     statements against a to_view name, parsed by lake_sql's thin
     dispatcher and routed through the table's file-granular Python
     DML, view refreshed after each statement; DuckDB replays all
-    three statements from the raw documents) and q_bytelevel_bpe
+    three statements from the raw documents), q_lake_autocompact (Delta
+    autoCompact semantics: compact_small_files bin-packs ONLY the
+    small-file tail per partition value, healthy files carry by
+    reference, log pruning survives — asserted in-gate), and
+    q_bytelevel_bpe
     (registered r9, never window-scored; rows-only — iterative BPE
     merges — golden+parity pytest);
     (a2) the 4 gates whose code paths materially changed this round —
@@ -7397,8 +7459,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (b) the ENTIRE pre-r9 official-score tail, oldest first: the r4
     cohort (10 rows-only), r5 (1), r6 (6), r7 (4), r8 (14 — including
     the 5 r8 hash gates q_text_normalize, q_timeseries_resample,
-    q_url_canonicalize, q_webdataset, q_zorder_keys), then the 9
-    alphabetically-first r9 hash gates to fill the window;
+    q_url_canonicalize, q_webdataset, q_zorder_keys), then the 8
+    alphabetically-first r9 hash gates to fill the window
+    (q_bucketed_join ceded its slot to the q_lake_autocompact debut
+    and leads section (c));
     (c) everything else — officially green in a prior round (r9+) —
     still run in tools/check_oracle at both scales and in bench.
     """
@@ -7410,6 +7474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #        window-scored (rows-only: iterative merges;
         #        golden+parity pytest) ------------------------------
         "q_lake_sql_dml": q_lake_sql_dml,
+        "q_lake_autocompact": q_lake_autocompact,
         "q_bytelevel_bpe": q_bytelevel_bpe,
         # -- (a2) gates whose code paths materially changed this
         #        round: lakefeed gained the bounded first batch,
@@ -7471,8 +7536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_avi_meta": q_avi_meta,
         "q_avro_roundtrip": q_avro_roundtrip,
         "q_bleu_counts": q_bleu_counts,
-        "q_bucketed_join": q_bucketed_join,
         # -- (c) everything else — officially green in a prior
+        "q_bucketed_join": q_bucketed_join,
         #        round (r9+) — still run in tools/check_oracle at
         #        both scales and in bench --------------------------
         "q_lake_stream_source": q_lake_stream_source,
@@ -11901,6 +11966,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM u GROUP BY leg, bucket
+        """,
+        "q_lake_autocompact": """
+            WITH d AS (
+                SELECT doc_id, n_chars,
+                       CAST(doc_id % 3 AS VARCHAR) AS b
+                FROM documents
+            ),
+            u AS (
+                SELECT 'full' AS leg, b,
+                       CAST(COUNT(*) AS BIGINT) AS n_rows,
+                       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+                       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+                FROM d GROUP BY b
+                UNION ALL
+                SELECT 'pruned', b,
+                       CAST(COUNT(*) AS BIGINT),
+                       CAST(SUM(doc_id) AS BIGINT),
+                       CAST(SUM(n_chars) AS BIGINT)
+                FROM d WHERE b = '1' GROUP BY b
+            )
+            SELECT * FROM u
         """,
         "q_lake_sql_dml": """
             WITH d AS (SELECT doc_id, n_chars FROM documents),
