@@ -186,24 +186,48 @@ class _LakeFeedReader(DataSourceStreamReader):
         self, start: dict, end: dict
     ) -> Sequence[InputPartition]:
         lo, hi = int(start["version"]), int(end["version"])
-        if self._pos is None or hi > self._pos:
-            self._pos = hi
+        # defensive protocol check: the engine must never hand a
+        # batch whose end trails its start. If any Spark version /
+        # restart path skips the replay that re-anchors the rate
+        # cursor, latestOffset could bound from _starting_version
+        # and regress behind the checkpoint; planning that "batch"
+        # as empty would let commit() move the checkpoint BACKWARDS
+        # and replay already-committed commits (duplicates). Fail
+        # loudly instead — a restart re-resolves the cursor.
+        if hi < lo:
+            raise RuntimeError(
+                f"lakefeed: offset regression — batch end version "
+                f"{hi} is behind batch start {lo}. This indicates "
+                "the rate-limit cursor lost the checkpoint position "
+                "(engine protocol change?); restart the stream so "
+                "the cursor re-anchors from the checkpoint."
+            )
+        # anchor the rate cursor to the engine's authoritative
+        # position so it can never trail the checkpoint
+        anchor = max(lo, hi)
+        if self._pos is None or anchor > self._pos:
+            self._pos = anchor
         # plan-time vacuum guard: a batch over (lo, hi] reads files
-        # added by commits > lo, which a retention vacuum may have
-        # compacted away once its horizon passes them. Raise the same
-        # clear below-horizon error time travel raises, HERE, instead
-        # of a raw file-read failure mid-job on an executor.
+        # added by commits >= lo + 1, which a retention vacuum may
+        # have compacted away once its horizon passes them. Raise
+        # the same clear below-horizon error time travel raises,
+        # HERE, instead of a raw file-read failure mid-job on an
+        # executor. A checkpoint sitting at exactly h - 1 still
+        # reads commit h — only lo + 1 < h is unreadable.
         if hi > lo:
             h = self.table._vacuum_horizon()
-            if lo < h:
+            if lo + 1 < h:
                 raise ValueError(
                     f"lakefeed: streaming cursor at version {lo} is "
                     f"below the vacuum horizon {h} (earliest readable "
                     "version) — vacuum removed data files this batch "
                     "needs. Restart the stream from a fresh "
-                    "checkpoint with startingVersion >= the horizon, "
-                    "and lower the vacuum horizon next time if "
-                    "backlogged streams must stay replayable."
+                    f"checkpoint with startingVersion={h - 1} "
+                    "(startingVersion is an exclusive cursor: the "
+                    "stream reads commits AFTER it, so h-1 starts at "
+                    "the horizon itself), and lower the vacuum "
+                    "horizon next time if backlogged streams must "
+                    "stay replayable."
                 )
         parts = []
         for c in self.table._commits(after=lo):

@@ -329,3 +329,101 @@ def test_lakefeed_rate_limited_restart_mid_backlog(spark, tmp_path):
         if not n.startswith(".")
     ]
     assert len(offsets) >= 4
+
+
+def test_lakefeed_cursor_at_horizon_minus_one_still_reads(spark, tmp_path):
+    """Off-by-one guard (r14 advice): a batch (lo, hi] reads commits
+    >= lo+1, so a checkpoint sitting at exactly horizon-1 is fully
+    readable — the vacuum guard must NOT fail it. Drain to the tip,
+    compact+vacuum so the horizon moves past the drained commits,
+    append once more, and restart from the checkpoint: the new commit
+    flows and nothing raises."""
+    t = LakeTable(spark, str(tmp_path / "t"))
+    for i in range(3):
+        t.append(
+            spark.range(i * 10, (i + 1) * 10).select(
+                "id", (F.col("id") * 2).alias("v")
+            )
+        )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _drain(spark, t.path, out, ck)  # checkpoint now at the tip (v2)
+    assert spark.read.parquet(out).count() == 30
+    # horizon moves to the compact commit; checkpoint (v2) == h-1
+    t.compact()  # v3
+    t.vacuum(retain_last=1)
+    h = t._vacuum_horizon()
+    assert h == 3
+    t.append(
+        spark.range(30, 40).select("id", (F.col("id") * 2).alias("v"))
+    )  # v4
+    _drain(spark, t.path, out, ck)  # must not raise; reads v4 only
+    got = spark.read.parquet(out)
+    assert got.count() == 40 and got.distinct().count() == 40
+
+
+def test_lakefeed_partitions_rejects_offset_regression(spark, tmp_path):
+    """Defensive protocol check (r14 advice): hi < lo means the rate
+    cursor lost the checkpoint position; planning an empty batch
+    would move the checkpoint backwards and duplicate commits on the
+    next batch. partitions() must raise, not plan."""
+    from replay_spark.streaming.lakefeed import _LakeFeedReader
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(0, 10).select("id", (F.col("id") * 2).alias("v")))
+    t.append(spark.range(10, 20).select("id", (F.col("id") * 2).alias("v")))
+    reader = _LakeFeedReader(t.path, t.read().schema, {})
+    with pytest.raises(RuntimeError, match="offset regression"):
+        reader.partitions({"version": 1}, {"version": 0})
+
+
+def test_lakefeed_vacuum_error_advice_is_followable(spark, tmp_path):
+    """The below-horizon error must name a startingVersion that, when
+    followed literally, reads the commit AT the horizon (cursor is
+    exclusive — the stream reads commits AFTER it). Parse the advised
+    value out of the message and verify a fresh stream from it drains
+    the horizon commit's rows. (When the horizon commit is
+    layout-only — e.g. a compact — the feed still opens cleanly from
+    the advised version but correctly yields no rows for it; full
+    contents then need a batch backfill + tail, Delta semantics.)"""
+    import re as _re
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    for i in range(2):
+        t.append(
+            spark.range(i * 10, (i + 1) * 10).select(
+                "id", (F.col("id") * 2).alias("v")
+            )
+        )
+    t.compact()  # v2
+    t.append(
+        spark.range(20, 30).select("id", (F.col("id") * 2).alias("v"))
+    )  # v3
+    t.vacuum(retain_last=1)
+    h = t._vacuum_horizon()
+    assert h >= 3  # horizon commit (v3) is an append
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    with pytest.raises(StreamingQueryException) as exc:
+        _drain(spark, t.path, out, ck)
+    m = _re.search(r"startingVersion=(-?\d+)", str(exc.value))
+    assert m, str(exc.value)
+    advised = int(m.group(1))
+    assert advised == h - 1
+    out2, ck2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    q = (
+        spark.readStream.format("lakefeed")
+        .option("path", t.path)
+        .option("startingVersion", str(advised))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", ck2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # the append AT the horizon flows; nothing raises
+    got = spark.read.parquet(out2)
+    assert got.count() == 10
+    assert got.agg(F.sum("id")).collect()[0][0] == sum(range(20, 30))
