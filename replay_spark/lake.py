@@ -46,10 +46,11 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
-from typing import List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -105,6 +106,21 @@ def _fs_list(path: str) -> List[str]:
         return sorted(os.listdir(path))
     except FileNotFoundError:
         return []
+
+
+def _view_fingerprint(spark, name: str) -> Optional[str]:
+    """Stable identity for a temp view's CURRENT definition: the
+    analyzed plan with per-analysis expression ids stripped. Lets
+    lake_sql detect that a plain ``createOrReplaceTempView`` has
+    shadowed a lake-registered name (routing DML at the old table
+    would silently mutate it AND re-register over the user's view).
+    None when the plan is not introspectable (e.g. Spark Connect) —
+    callers then skip the shadow check."""
+    try:
+        plan = spark.table(name)._jdf.queryExecution().analyzed().toString()
+        return re.sub(r"#\d+", "#", plan)
+    except Exception:
+        return None
 
 
 class LakeTable:
@@ -638,7 +654,22 @@ class LakeTable:
             name
         )
         snapshot = version is not None or as_of is not None or tag is not None
-        LakeTable._view_registry[name] = (self, snapshot)
+        # the entry stores the PATH, not the table: lake_sql
+        # reconstructs a LakeTable on demand (state lives on disk),
+        # so the registry never pins table objects — or, through
+        # them, SparkSessions — for the process lifetime. The
+        # session is a weak ref for same-session routing checks, and
+        # the fingerprint (analyzed plan, exprIds stripped) lets
+        # lake_sql detect a plain createOrReplaceTempView shadowing
+        # the name
+        import weakref
+
+        LakeTable._view_registry[name] = {
+            "path": self.path,
+            "snapshot": snapshot,
+            "session": weakref.ref(self.spark),
+            "fingerprint": _view_fingerprint(self.spark, name),
+        }
         return name
 
     def detail(self) -> dict:
@@ -1045,6 +1076,39 @@ class LakeTable:
                 f"(enable_bloom_index) — re-enable the index without "
                 f"it first"
             )
+
+    def add_column(self, name: str, dtype: str) -> int:
+        """ADD COLUMN without rewriting a byte of data: a
+        metadata-only commit extends the logical schema with a
+        nullable column and assigns it a fresh physical slot.
+        Existing files lack the physical column, so reads null-fill
+        it (``_apply_mapping``'s missing-physical path — the same
+        device restore-across-eras uses); later appends write real
+        values into the slot. ``dtype`` is a DDL type string
+        (``"int"``, ``"array<string>"``, ...)."""
+        from pyspark.sql.types import DataType
+
+        base = self.latest_version()
+        if base < 0:
+            raise FileNotFoundError(f"no commits at {self.path}")
+        _, schema_json, _, _, _, _, mapping, _ = self._fold_state(base)
+        if not schema_json:
+            raise ValueError("table has no recorded schema")
+        if mapping is None:
+            mapping = self._identity_mapping(schema_json)
+        if name in mapping:
+            raise ValueError(f"column {name!r} already exists")
+        dt = DataType.fromDDL(dtype)
+        new_mapping = {**mapping, name: self._fresh_physical(name, mapping)}
+        sj = json.loads(schema_json)
+        sj["fields"].append(
+            StructField(name, dt, True).jsonValue()
+        )
+        schema = StructType.fromJson(sj)
+        return self._commit(
+            "add_column", [], [], schema, base + 1,
+            mapping=new_mapping,
+        )
 
     def rename_column(self, old: str, new: str) -> int:
         """RENAME COLUMN without rewriting a byte of data: a
@@ -2587,11 +2651,20 @@ class LakeTable:
 
         return sink
 
-    def overwrite(self, df: DataFrame, txn: Optional[dict] = None) -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        txn: Optional[dict] = None,
+        partition_by: Optional[Sequence[str]] = None,
+    ) -> int:
         """Replace the table contents. ``txn`` records an
         ``{app_id, batch_id}`` idempotence marker in the commit —
         the device :class:`MaterializedAggregate` uses to make view
-        refreshes replay-safe."""
+        refreshes replay-safe. ``partition_by`` hive-partitions the
+        replacement files and records their partition values in the
+        commit (same log-pruning contract as :meth:`append`) — so a
+        ``CREATE OR REPLACE ... PARTITIONED BY`` keeps pruning
+        instead of silently dropping it."""
         base_version = self.latest_version()
         if base_version >= 0:
             df = self._apply_generated(df, base_version)
@@ -2614,9 +2687,18 @@ class LakeTable:
                 new_mapping = kept
             mapping = kept
             out = self._to_physical(df, mapping)
+        pb = list(partition_by) if partition_by else None
+        if pb and mapping is not None:
+            pb = [mapping[c] for c in pb]
+        parts = None
+        if pb:
+            files, parts = self._write_data_partitioned(out, pb)
+        else:
+            files = self._write_data(out)
         return self._commit(
-            "overwrite", self._write_data(out), prior, df.schema,
+            "overwrite", files, prior, df.schema,
             base_version + 1, txn=txn, mapping=new_mapping,
+            parts=parts,
         )
 
     def delete(self, condition, mode: str = "rewrite") -> int:
@@ -3444,11 +3526,19 @@ class LakeTable:
         when_not_matched: str = "insert",
         broadcast_key_limit: int = 1_000_000,
         txn: Optional[dict] = None,
+        matched_condition: Optional[str] = None,
+        update_set: Optional[Dict[str, str]] = None,
     ) -> int:
         """MERGE INTO this table (see :func:`merge_into`). File
         granularity: rewrites the files containing matched keys (one
         key-scan to find them), carries the rest by reference, and
-        appends the merged output.
+        appends the merged output. ``matched_condition`` /
+        ``update_set`` add Delta's ``WHEN MATCHED AND <cond>`` and
+        column-level ``UPDATE SET c = expr`` (target columns bare,
+        source columns as ``source.<col>``); the touched-file scan
+        still keys on the join columns alone, so condition-false
+        matches rewrite unchanged — a superset rewrite, never a
+        wrong one.
 
         The touched-file key scan broadcasts the source's distinct
         keys only while they are provably small (≤
@@ -3509,7 +3599,8 @@ class LakeTable:
             else current.limit(0)
         )
         merged = merge_into(
-            base, source, on, when_matched, when_not_matched
+            base, source, on, when_matched, when_not_matched,
+            matched_condition=matched_condition, update_set=update_set,
         )
         merged = self._apply_generated(merged, base_version)
         self._enforce_table_constraints(merged, base_version)
@@ -3574,31 +3665,116 @@ def refresh_aggregate(
     return merged.select(*cols).filter(F.col(count_column) > 0)
 
 
+_SOURCE_REF_RE = re.compile(r"\bsource\s*\.\s*`?(\w+)`?")
+
+
+def _rewrite_source_refs(expr: str, source_cols: Sequence[str]) -> str:
+    """Rewrite ``source.<col>`` references in a merge expression to
+    the renamed join-side columns (``__s_<col>``); key columns (not
+    renamed — the join coalesces them) stay bare."""
+    renamed = set(source_cols)
+
+    def sub(m: "re.Match") -> str:
+        c = m.group(1)
+        return f"`__s_{c}`" if c in renamed else f"`{c}`"
+
+    return _SOURCE_REF_RE.sub(sub, expr)
+
+
 def merge_into(
     target: DataFrame,
     source: DataFrame,
     on: Sequence[str],
     when_matched: str = "update",
     when_not_matched: str = "insert",
+    matched_condition: Optional[str] = None,
+    update_set: Optional[Dict[str, str]] = None,
 ) -> DataFrame:
     """MERGE semantics as pure DataFrame algebra (schemas must
     match). ``when_matched``: ``"update"`` (source row replaces
     target row) or ``"delete"``; ``when_not_matched``: ``"insert"``
     or ``"ignore"``. Rows only in the target always survive.
 
-    Everything is anti/semi joins on the key columns — no row-level
-    merge logic, so the plan broadcasts when the source is small and
-    shuffles only on the keys otherwise.
+    ``matched_condition`` (Delta's ``WHEN MATCHED AND <cond>``): a
+    SQL expression evaluated per matched pair — target columns BARE,
+    source columns as ``source.<col>``; matched rows where it is
+    false or NULL take no action (the target row survives).
+    ``update_set`` (Delta's column-level ``UPDATE SET c = expr``):
+    per-column expressions over the same namespace; unmentioned
+    target columns keep their values. Source must carry one row per
+    key when either is used (same multiple-match hazard Delta
+    errors on).
+
+    The plain whole-row path is anti/semi joins on the key columns —
+    no row-level merge logic, so the plan broadcasts when the source
+    is small and shuffles only on the keys otherwise. The
+    conditional/column-level path swaps the matched semi-join for
+    ONE inner join on the same keys (same shuffle/broadcast shape)
+    so both sides' columns are in scope for the expressions.
     """
     if when_matched not in ("update", "delete"):
         raise ValueError("when_matched must be 'update' or 'delete'")
     if when_not_matched not in ("insert", "ignore"):
         raise ValueError("when_not_matched must be 'insert' or 'ignore'")
+    if update_set and when_matched != "update":
+        raise ValueError("update_set requires when_matched='update'")
     on = list(on)
-    untouched = target.join(source, on, "left_anti")
-    parts = [untouched]
+    if matched_condition is None and update_set is None:
+        untouched = target.join(source, on, "left_anti")
+        parts = [untouched]
+        if when_matched == "update":
+            parts.append(source.join(target, on, "left_semi"))
+        if when_not_matched == "insert":
+            parts.append(source.join(target, on, "left_anti"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+    if update_set:
+        unknown = sorted(set(update_set) - set(target.columns))
+        if unknown:
+            raise ValueError(
+                f"update_set names columns not in the target: {unknown}"
+            )
+        bad_keys = sorted(set(update_set) & set(on))
+        if bad_keys:
+            raise ValueError(
+                f"update_set cannot assign merge key columns: {bad_keys}"
+            )
+    nonkey_src = [c for c in source.columns if c not in on]
+    src_ren = source.select(
+        *on, *[F.col(c).alias(f"__s_{c}") for c in nonkey_src]
+    )
+    joined = target.join(src_ren, on, "inner")
+    if matched_condition is not None:
+        cond = F.expr(_rewrite_source_refs(matched_condition, nonkey_src))
+    else:
+        cond = F.lit(True)
+    acted_on = F.coalesce(cond, F.lit(False))
+    untouched = target.join(source.select(*on).distinct(), on, "left_anti")
+    kept = joined.filter(~acted_on).select(*target.columns)
+    parts = [untouched, kept]
     if when_matched == "update":
-        parts.append(source.join(target, on, "left_semi"))
+        if update_set:
+            rewritten = {
+                c: _rewrite_source_refs(e, nonkey_src)
+                for c, e in update_set.items()
+            }
+            proj = [
+                F.expr(rewritten[c]).cast(target.schema[c].dataType).alias(c)
+                if c in rewritten
+                else F.col(c)
+                for c in target.columns
+            ]
+        else:
+            # whole-row replace: source value wherever the source has
+            # the column, target value otherwise
+            proj = [
+                F.col(f"__s_{c}").alias(c) if c in nonkey_src else F.col(c)
+                for c in target.columns
+            ]
+        parts.append(joined.filter(acted_on).select(*proj))
+    # when_matched == "delete": acted rows simply drop
     if when_not_matched == "insert":
         parts.append(source.join(target, on, "left_anti"))
     out = parts[0]

@@ -14,7 +14,16 @@ RUN]`` (bare VACUUM = orphan-only GC), ``DESCRIBE HISTORY name``,
 and ``RESTORE name TO VERSION AS OF n``; ``CREATE [OR REPLACE]
 TABLE name LOCATION 'path' [PARTITIONED BY (cols)] AS query``
 creates (or version-overwrites — the old snapshot stays
-time-travelable) a lake table and registers the view. Anything that is not DML on a registered lake view —
+time-travelable, and the replacement keeps its PARTITIONED BY) a
+lake table and registers the view. Schema evolution and constraints
+ride the same dispatcher: ``ALTER TABLE name ADD COLUMN c type`` /
+``RENAME COLUMN a TO b`` / ``DROP COLUMN c`` (all metadata-only
+commits) and ``ADD CONSTRAINT n CHECK (expr)`` / ``DROP CONSTRAINT
+n``. ``MERGE`` takes ``WHEN MATCHED [AND <cond>] THEN UPDATE SET *
+| UPDATE SET c = expr, ... | DELETE`` plus ``WHEN NOT MATCHED THEN
+INSERT *``; ``INSERT INTO|OVERWRITE v [(c1, c2, ...)]`` binds by
+position without the list and by NAME with it (unlisted generated
+columns are computed, other unlisted columns null-fill). Anything that is not DML on a registered lake view —
 every SELECT, and DML in dialect corners the thin parser does not
 cover — falls through to ``spark.sql`` untouched, which for
 unregistered views keeps Spark's own error surface. After a DML the
@@ -86,14 +95,22 @@ _MERGE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _ASSIGN_RE = re.compile(
-    r"^\s*`?(?P<col>[A-Za-z_]\w*)`?\s*=\s*(?P<expr>.+)$", re.DOTALL
+    r"^\s*(?:[A-Za-z_]\w*\s*\.\s*)?"  # optional target qualifier
+    r"`?(?P<col>[A-Za-z_]\w*)`?\s*=\s*(?P<expr>.+)$",
+    re.DOTALL,
 )
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+(?P<kind>INTO|OVERWRITE)\s+(?:TABLE\s+)?"
-    r"(?P<name>[A-Za-z_]\w*)\s+(?P<query>(?:SELECT|VALUES|TABLE|\()"
+    r"(?P<name>[A-Za-z_]\w*)\s*"
+    r"(?:\(\s*(?P<cols>`?[A-Za-z_]\w*`?(?:\s*,\s*`?[A-Za-z_]\w*`?)*)"
+    r"\s*\)\s*)?"
+    r"(?P<query>(?:SELECT|VALUES|TABLE|WITH|\()"
     r".*)$",
     re.IGNORECASE | re.DOTALL,
 )
+# keywords that start a parenthesized QUERY, not a column list:
+# `INSERT INTO v (SELECT ...)` must not parse "SELECT" as a column
+_QUERY_STARTERS = {"select", "values", "table", "with"}
 _CREATE_RE = re.compile(
     r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?P<name>[A-Za-z_]\w*)"
     r"\s+LOCATION\s+'(?P<path>[^']+)'"
@@ -124,13 +141,42 @@ _RESTORE_RE = re.compile(
     re.IGNORECASE,
 )
 _MATCHED_RE = re.compile(
-    r"WHEN\s+MATCHED\s+THEN\s+(?:UPDATE\s+SET\s+\*|DELETE)",
-    re.IGNORECASE,
+    r"WHEN\s+MATCHED\s*"
+    r"(?:AND\s+(?P<cond>.+?)\s+)?"
+    r"THEN\s+(?P<action>UPDATE\s+SET\s+.+?|DELETE)\s*"
+    r"(?=WHEN\s+NOT\s+MATCHED|$)",
+    re.IGNORECASE | re.DOTALL,
 )
 _NOT_MATCHED_RE = re.compile(
     r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*", re.IGNORECASE
 )
+_ALTER_ADD_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+ADD\s+COLUMNS?\s+"
+    r"\(?\s*`?(?P<col>[A-Za-z_]\w*)`?\s+(?P<type>[^)]+?)\s*\)?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_RENAME_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+RENAME\s+COLUMN\s+"
+    r"`?(?P<old>[A-Za-z_]\w*)`?\s+TO\s+`?(?P<new>[A-Za-z_]\w*)`?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_DROP_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+DROP\s+COLUMNS?\s+"
+    r"\(?\s*`?(?P<col>[A-Za-z_]\w*)`?\s*\)?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_ADD_CONSTRAINT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+ADD\s+CONSTRAINT\s+"
+    r"(?P<cname>[A-Za-z_]\w*)\s+CHECK\s*\((?P<expr>.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_DROP_CONSTRAINT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+DROP\s+CONSTRAINT\s+"
+    r"(?P<cname>[A-Za-z_]\w*)\s*$",
+    re.IGNORECASE,
+)
 _RESERVED_AFTER_SOURCE = {"on"}
+_QUAL_REF_RE = re.compile(r"\b([A-Za-z_]\w*)\s*\.\s*`?(\w+)`?")
 
 
 def _split_set_where(body: str) -> Tuple[str, Optional[str]]:
@@ -179,6 +225,26 @@ def _parse_assignments(set_clause: str) -> Dict[str, str]:
     return out
 
 
+def _rewrite_merge_refs(
+    expr: str, target_quals: set, source_quals: set
+) -> str:
+    """Map the statement's alias-qualified references onto
+    :func:`merge_into`'s expression namespace: target columns BARE,
+    source columns as ``source.<col>``. Unknown qualifiers (struct
+    field access, function-result fields) pass through untouched."""
+
+    def sub(m: "re.Match") -> str:
+        q, c = m.group(1), m.group(2)
+        ql = q.lower()
+        if ql in source_quals:
+            return f"source.`{c}`"
+        if ql in target_quals:
+            return f"`{c}`"
+        return m.group(0)
+
+    return _QUAL_REF_RE.sub(sub, expr)
+
+
 def _parse_on_keys(on_clause: str, aliases: set) -> List[str]:
     """Equality-key ON: ``a.k = b.k [AND ...]`` where both sides name
     the SAME column (possibly alias-qualified) -> [k, ...]."""
@@ -216,28 +282,68 @@ def lake_sql(spark, statement: str, mode: str = "rewrite"):
     rewrite, default) or ``"dv"`` (merge-on-read deletion vectors).
     Supported DML subset: identifier view names, ``SET col = expr``
     lists, any WHERE expression, and equality-key ``MERGE`` with
-    ``UPDATE SET * | DELETE`` / ``INSERT *`` actions — the shapes the
+    ``WHEN MATCHED [AND <cond>] THEN UPDATE SET * | UPDATE SET
+    c = expr, ... | DELETE`` / ``WHEN NOT MATCHED THEN INSERT *``
+    actions (merge expressions may qualify columns with either
+    side's alias), plus by-name ``INSERT INTO v (c1, c2)`` and
+    ``ALTER TABLE`` column/constraint evolution — the shapes the
     Python API expresses; richer statements raise with a pointer to
     the Python method.
     """
     from replay_spark.lake import LakeTable
 
+    from replay_spark.lake import _view_fingerprint
+
     stmt = statement.strip().rstrip(";").strip()
     first = stmt.split(None, 1)[0].upper() if stmt else ""
-    registry = LakeTable._view_registry
+
+    class _Registry:
+        """Live lake-view lookup with staleness checks: a name only
+        routes to a table's DML while (a) the registering
+        SparkSession is THIS session, (b) the temp view still exists
+        in the catalog, and (c) its current plan matches the one
+        to_view registered (a plain createOrReplaceTempView that
+        shadows the name changes the plan → fall through to
+        spark.sql instead of mutating the old table behind it)."""
+
+        def _entry(self, name: str):
+            entry = LakeTable._view_registry.get(name)
+            if entry is None:
+                return None
+            session = entry["session"]()
+            if session is None or session is not spark:
+                return None
+            try:
+                if not spark.catalog.tableExists(name):
+                    LakeTable._view_registry.pop(name, None)
+                    return None
+            except Exception:
+                pass
+            fp = entry["fingerprint"]
+            if fp is not None:
+                current = _view_fingerprint(spark, name)
+                if current is not None and current != fp:
+                    # shadowed by a different view definition
+                    LakeTable._view_registry.pop(name, None)
+                    return None
+            return entry
+
+        def __contains__(self, name: str) -> bool:
+            return self._entry(name) is not None
+
+    registry = _Registry()
 
     def _resolve(name: str) -> "LakeTable":
-        entry = registry.get(name)
+        entry = registry._entry(name)
         if entry is None:
             raise KeyError(name)
-        table, snapshot = entry
-        if snapshot:
+        if entry["snapshot"]:
             raise ValueError(
                 f"lake_sql: view {name!r} is a time-travel snapshot; "
                 "DML targets the live table — register the tip with "
                 f"to_view({name!r}) first"
             )
-        return table
+        return LakeTable(spark, entry["path"])
 
     if first == "CREATE":
         m = _CREATE_RE.match(stmt)
@@ -259,7 +365,11 @@ def lake_sql(spark, statement: str, mode: str = "rewrite"):
                 else None
             )
             if exists:
-                version = table.overwrite(df)
+                # pass the parsed partition columns through — a
+                # CREATE OR REPLACE ... PARTITIONED BY must agree
+                # with a fresh CREATE (r14 advice: silently dropping
+                # the clause loses pruning on the replacement)
+                version = table.overwrite(df, partition_by=pcols)
             else:
                 version = table.append(df, partition_by=pcols)
             table.to_view(m.group("name"))
@@ -303,6 +413,47 @@ def lake_sql(spark, statement: str, mode: str = "rewrite"):
             version = table.restore(int(m.group("v")))
             table.to_view(m.group("name"))
             return version
+    elif first == "ALTER":
+        for rx, op in (
+            (_ALTER_RENAME_COL_RE, "rename"),
+            (_ALTER_DROP_CONSTRAINT_RE, "drop_constraint"),
+            (_ALTER_ADD_CONSTRAINT_RE, "add_constraint"),
+            (_ALTER_DROP_COL_RE, "drop_col"),
+            (_ALTER_ADD_COL_RE, "add_col"),
+        ):
+            m = rx.match(stmt)
+            if m and m.group("name") in registry:
+                table = _resolve(m.group("name"))
+                if op == "rename":
+                    version = table.rename_column(
+                        m.group("old"), m.group("new")
+                    )
+                elif op == "drop_constraint":
+                    version = table.drop_constraint(m.group("cname"))
+                elif op == "add_constraint":
+                    version = table.add_constraint(
+                        m.group("cname"), m.group("expr").strip()
+                    )
+                elif op == "drop_col":
+                    version = table.drop_column(m.group("col"))
+                else:
+                    dtype = m.group("type").strip()
+                    # a top-level comma means a multi-column list
+                    # (commas INSIDE map<...>/struct<...> are fine)
+                    depth = 0
+                    for ch in dtype:
+                        if ch == "<":
+                            depth += 1
+                        elif ch == ">":
+                            depth -= 1
+                        elif ch == "," and depth == 0:
+                            raise ValueError(
+                                "lake_sql: ALTER TABLE ADD COLUMN "
+                                "takes one column per statement"
+                            )
+                    version = table.add_column(m.group("col"), dtype)
+                table.to_view(m.group("name"))
+                return version
     elif first == "UPDATE":
         m = _UPDATE_RE.match(stmt)
         if m and m.group("name") in registry:
@@ -326,19 +477,83 @@ def lake_sql(spark, statement: str, mode: str = "rewrite"):
         m = _INSERT_RE.match(stmt)
         if m and m.group("name") in registry:
             table = _resolve(m.group("name"))
-            df = spark.sql(m.group("query"))
-            # SQL INSERT binds by POSITION (Delta semantics): rename
-            # the query's output into the table's schema order after
-            # an arity check, so `INSERT INTO v SELECT a, b` works
-            # whatever the SELECT aliases are
+            cols_raw = m.group("cols")
+            query = m.group("query")
+            col_list = None
+            if cols_raw is not None:
+                col_list = [
+                    c.strip().strip("`") for c in cols_raw.split(",")
+                ]
+                if (
+                    len(col_list) == 1
+                    and col_list[0].lower() in _QUERY_STARTERS
+                ):
+                    # `INSERT INTO v (SELECT)` corner: a one-token
+                    # parenthesized query, not a column list —
+                    # reassemble the original text
+                    col_list = None
+                    query = f"({cols_raw}) {query}".strip()
+            df = spark.sql(query)
             target_cols = table.read().columns
-            if len(df.columns) != len(target_cols):
-                raise ValueError(
-                    f"lake_sql: INSERT query produces "
-                    f"{len(df.columns)} columns, view "
-                    f"{m.group('name')!r} has {len(target_cols)}"
-                )
-            df = df.toDF(*target_cols)
+            if col_list is not None:
+                # by-NAME binding (Delta/Spark `INSERT INTO v (a, b)`):
+                # the query's output binds positionally to the listed
+                # columns; unlisted GENERATED columns are omitted (the
+                # write computes them), other unlisted columns fill
+                # with typed nulls
+                dup = {c for c in col_list if col_list.count(c) > 1}
+                if dup:
+                    raise ValueError(
+                        f"lake_sql: INSERT column list repeats "
+                        f"{sorted(dup)}"
+                    )
+                unknown = [c for c in col_list if c not in target_cols]
+                if unknown:
+                    raise ValueError(
+                        f"lake_sql: INSERT column list names columns "
+                        f"not in view {m.group('name')!r}: {unknown}"
+                    )
+                if len(df.columns) != len(col_list):
+                    raise ValueError(
+                        f"lake_sql: INSERT query produces "
+                        f"{len(df.columns)} columns, the column list "
+                        f"names {len(col_list)}"
+                    )
+                df = df.toDF(*col_list)
+                from pyspark.sql import functions as _F
+
+                schema = table.read().schema
+                gens = set(table.generated_columns())
+                proj = []
+                for c in target_cols:
+                    if c in col_list:
+                        # store-assignment cast (Delta semantics):
+                        # `INSERT INTO v (id) SELECT 900` binds an
+                        # int literal into a bigint column
+                        proj.append(
+                            _F.col(c).cast(schema[c].dataType).alias(c)
+                        )
+                    elif c in gens:
+                        continue  # the write fills it
+                    else:
+                        proj.append(
+                            _F.lit(None)
+                            .cast(schema[c].dataType)
+                            .alias(c)
+                        )
+                df = df.select(*proj)
+            else:
+                # SQL INSERT binds by POSITION (Delta semantics):
+                # rename the query's output into the table's schema
+                # order after an arity check, so `INSERT INTO v
+                # SELECT a, b` works whatever the SELECT aliases are
+                if len(df.columns) != len(target_cols):
+                    raise ValueError(
+                        f"lake_sql: INSERT query produces "
+                        f"{len(df.columns)} columns, view "
+                        f"{m.group('name')!r} has {len(target_cols)}"
+                    )
+                df = df.toDF(*target_cols)
             version = (
                 table.overwrite(df)
                 if m.group("kind").upper() == "OVERWRITE"
@@ -375,10 +590,11 @@ def lake_sql(spark, statement: str, mode: str = "rewrite"):
                 re.findall(r"WHEN\s+", clauses, flags=re.IGNORECASE)
             ):
                 raise ValueError(
-                    "lake_sql: MERGE supports WHEN MATCHED THEN "
-                    "UPDATE SET * | DELETE and WHEN NOT MATCHED THEN "
-                    "INSERT * only; use LakeTable.merge() for richer "
-                    "clauses"
+                    "lake_sql: MERGE supports one WHEN MATCHED "
+                    "[AND <cond>] THEN UPDATE SET * | UPDATE SET "
+                    "c = expr, ... | DELETE clause and one WHEN NOT "
+                    "MATCHED THEN INSERT * clause; use "
+                    "LakeTable.merge() for richer shapes"
                 )
             if matched is None:
                 # insert-only MERGE has no Python equivalent here
@@ -390,16 +606,44 @@ def lake_sql(spark, statement: str, mode: str = "rewrite"):
                     "semantics append source.join(target, keys, "
                     "'left_anti') instead"
                 )
-            when_matched = (
-                "delete"
-                if matched and matched.group(0).upper().endswith("DELETE")
-                else "update"
-            )
+            # expression namespace rewrite: the statement's aliases
+            # -> merge_into's (target bare, source as `source.c`)
+            tq = {
+                a.lower()
+                for a in (m.group("target"), m.group("talias"))
+                if a
+            }
+            sq = {
+                a.lower()
+                for a in (
+                    src if not src.startswith("(") else None, salias,
+                )
+                if a
+            }
+            action = matched.group("action").strip()
+            action_up = action.upper()
+            when_matched = "delete" if action_up == "DELETE" else "update"
+            update_set = None
+            if when_matched == "update":
+                set_body = action[len("UPDATE"):].strip()
+                set_body = set_body[len("SET"):].strip()
+                if set_body != "*":
+                    raw = _parse_assignments(set_body)
+                    update_set = {}
+                    for col, expr in raw.items():
+                        update_set[col] = _rewrite_merge_refs(
+                            expr, tq, sq
+                        )
+            cond = matched.group("cond")
+            if cond is not None:
+                cond = _rewrite_merge_refs(cond.strip(), tq, sq)
             version = table.merge(
                 source_df,
                 on=keys,
                 when_matched=when_matched,
                 when_not_matched="insert" if not_matched else "ignore",
+                matched_condition=cond,
+                update_set=update_set,
             )
             table.to_view(m.group("target"))
             return version

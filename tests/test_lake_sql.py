@@ -100,11 +100,13 @@ def test_sql_merge_rich_clauses_rejected(spark, table):
     spark.range(0, 3).select(
         "id", F.lit(0).alias("v"), F.lit("z").alias("g")
     ).createOrReplaceTempView("src2")
+    # conditional INSERT clauses remain outside the subset
     with pytest.raises(ValueError, match="richer"):
         lake_sql(
             spark,
             "MERGE INTO sqlt USING src2 ON sqlt.id = src2.id "
-            "WHEN MATCHED THEN UPDATE SET v = 9",
+            "WHEN MATCHED THEN DELETE "
+            "WHEN NOT MATCHED AND src2.v > 0 THEN INSERT *",
         )
     with pytest.raises(ValueError, match="WHEN MATCHED"):
         lake_sql(
@@ -315,3 +317,227 @@ def test_sql_create_table_partitioned(spark, tmp_path):
     out, kept, total = t.read_where({"part": ("1", "1")})
     assert kept < total
     assert out.count() == 20
+
+
+# -- r15 widened subset: conditional MERGE, column-level SET in MERGE,
+#    by-name INSERT, ALTER TABLE, CREATE OR REPLACE PARTITIONED BY ----
+
+
+def test_sql_merge_matched_condition(spark, table):
+    """WHEN MATCHED AND <cond>: condition-false matches keep the
+    target row; condition-true matches take the action."""
+    spark.sql(
+        "SELECT id, id * 100 AS v, 'S' AS g FROM range(0, 50)"
+    ).createOrReplaceTempView("msrc")
+    lake_sql(
+        spark,
+        "MERGE INTO sqlt AS t USING msrc AS s ON t.id = s.id "
+        "WHEN MATCHED AND t.id % 2 = 0 THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    rows = {r["id"]: (r["v"], r["g"]) for r in table.read().collect()}
+    assert rows[2] == (200, "S")  # condition true: replaced
+    assert rows[3] == (6, "3")  # condition false: untouched
+    assert rows[45] == (4500, "S")  # not matched: inserted
+    assert len(rows) == 50
+
+
+def test_sql_merge_column_level_set(spark, table):
+    """Column-level UPDATE SET with both aliases in the expressions;
+    unmentioned columns keep the target's values."""
+    spark.sql(
+        "SELECT id, id AS v, 'S' AS g FROM range(0, 40)"
+    ).createOrReplaceTempView("msrc2")
+    lake_sql(
+        spark,
+        "MERGE INTO sqlt t USING msrc2 s ON t.id = s.id "
+        "WHEN MATCHED AND s.v > 10 THEN "
+        "UPDATE SET t.v = t.v + s.v, g = concat(t.g, '+')",
+    )
+    rows = {r["id"]: (r["v"], r["g"]) for r in table.read().collect()}
+    assert rows[20] == (60, "0+")  # 40 + 20, g suffixed
+    assert rows[5] == (10, "1")  # cond false: untouched
+    assert len(rows) == 40
+
+
+def test_sql_merge_conditional_delete(spark, table):
+    spark.sql(
+        "SELECT id, 0 AS v, 'x' AS g FROM range(0, 40)"
+    ).createOrReplaceTempView("msrc3")
+    lake_sql(
+        spark,
+        "MERGE INTO sqlt USING msrc3 ON sqlt.id = msrc3.id "
+        "WHEN MATCHED AND sqlt.v >= 60 THEN DELETE",
+    )
+    ids = sorted(r["id"] for r in table.read().collect())
+    assert ids == list(range(30))  # v = 2*id >= 60 <=> id >= 30
+
+
+def test_sql_insert_by_name(spark, table):
+    """INSERT INTO v (cols) binds the query output to the NAMED
+    columns; unlisted columns fill with typed nulls."""
+    lake_sql(
+        spark,
+        "INSERT INTO sqlt (g, id) SELECT 'nw', 900",
+    )
+    row = [r for r in table.read().collect() if r["id"] == 900][0]
+    assert row["g"] == "nw" and row["v"] is None
+
+
+def test_sql_insert_by_name_errors(spark, table):
+    with pytest.raises(ValueError, match="repeats"):
+        lake_sql(spark, "INSERT INTO sqlt (id, id) SELECT 1, 2")
+    with pytest.raises(ValueError, match="not in view"):
+        lake_sql(spark, "INSERT INTO sqlt (id, nope) SELECT 1, 2")
+    with pytest.raises(ValueError, match="column list names"):
+        lake_sql(spark, "INSERT INTO sqlt (id, v) SELECT 1")
+
+
+def test_sql_insert_parenthesized_query_still_works(spark, table):
+    before = table.read().count()
+    lake_sql(
+        spark,
+        "INSERT INTO sqlt (SELECT id, id AS v, 'p' AS g "
+        "FROM range(500, 503))",
+    )
+    assert table.read().count() == before + 3
+
+
+def test_sql_insert_by_name_omits_generated_columns(spark, tmp_path):
+    """Unlisted GENERATED columns are omitted from the bound frame so
+    the write computes them (not null-filled)."""
+    t = LakeTable(spark, str(tmp_path / "gen"))
+    t.append(
+        spark.range(3).select(
+            "id", (F.col("id") * 2).alias("twice")
+        )
+    )
+    t.set_generated_column("twice", "id * 2")
+    t.to_view("gent")
+    lake_sql(spark, "INSERT INTO gent (id) SELECT 7")
+    rows = {r["id"]: r["twice"] for r in t.read().collect()}
+    assert rows[7] == 14  # computed, not null
+
+
+def test_sql_alter_table_columns_and_constraints(spark, table):
+    lake_sql(spark, "ALTER TABLE sqlt ADD COLUMN score double")
+    assert "score" in spark.table("sqlt").columns
+    assert all(
+        r["score"] is None for r in spark.table("sqlt").collect()
+    )
+    lake_sql(spark, "ALTER TABLE sqlt RENAME COLUMN score TO rating")
+    cols = spark.table("sqlt").columns
+    assert "rating" in cols and "score" not in cols
+    lake_sql(
+        spark,
+        "ALTER TABLE sqlt ADD CONSTRAINT nonneg CHECK (v >= 0 OR v IS NULL)",
+    )
+    with pytest.raises(ValueError, match="constraint"):
+        lake_sql(
+            spark,
+            "INSERT INTO sqlt SELECT -1 AS id, -5 AS v, 'x' AS g, "
+            "1.0 AS rating",
+        )
+    lake_sql(spark, "ALTER TABLE sqlt DROP CONSTRAINT nonneg")
+    lake_sql(spark, "ALTER TABLE sqlt DROP COLUMN rating")
+    assert "rating" not in spark.table("sqlt").columns
+    # all metadata-only: no data files rewritten by the ALTERs
+    ops = [r.operation for r in table.history().collect()]
+    assert {"add_column", "rename_column", "drop_column",
+            "add_constraint", "drop_constraint"} <= set(ops)
+
+
+def test_sql_alter_add_column_complex_type_and_multi_rejected(
+    spark, table
+):
+    lake_sql(spark, "ALTER TABLE sqlt ADD COLUMN m map<string,int>")
+    assert dict(spark.table("sqlt").dtypes)["m"] == "map<string,int>"
+    with pytest.raises(ValueError, match="one column per statement"):
+        lake_sql(spark, "ALTER TABLE sqlt ADD COLUMNS (a int, b int)")
+
+
+def test_sql_create_or_replace_keeps_partitioning(spark, tmp_path):
+    """CREATE OR REPLACE ... PARTITIONED BY must agree with a fresh
+    CREATE: the replacement keeps partition metadata (log pruning)."""
+    p = str(tmp_path / "ct")
+    lake_sql(
+        spark,
+        f"CREATE TABLE corp LOCATION '{p}' PARTITIONED BY (p) "
+        "AS SELECT id, id % 2 AS p FROM range(10)",
+    )
+    lake_sql(
+        spark,
+        f"CREATE OR REPLACE TABLE corp LOCATION '{p}' "
+        "PARTITIONED BY (p) AS SELECT id, id % 3 AS p FROM range(30)",
+    )
+    t = LakeTable(spark, p)
+    assert t._partition_columns(t.latest_version()) == ["p"]
+    assert spark.table("corp").count() == 30
+    # pruning metadata works: read_where prunes from the log alone
+    df, kept, total = t.read_where({"p": (1, 1)})
+    assert df.count() == 10
+    assert kept < total  # files actually pruned by the log
+
+
+def test_sql_conditional_merge_equals_python_api(spark, tmp_path):
+    """The SQL conditional/column-set MERGE lands the same table as
+    the Python merge() with matched_condition/update_set."""
+    seed = spark.range(0, 60).select(
+        "id", (F.col("id") * 3 % 53).alias("v"),
+        (F.col("id") % 5).cast("string").alias("g"),
+    )
+    src = spark.range(30, 90).select(
+        "id", (F.col("id") * 7 % 41).alias("v"), F.lit("s").alias("g")
+    )
+    src.createOrReplaceTempView("pmsrc")
+
+    t_sql = LakeTable(spark, str(tmp_path / "sql"))
+    t_sql.append(seed)
+    t_sql.to_view("pm_v")
+    lake_sql(
+        spark,
+        "MERGE INTO pm_v t USING pmsrc s ON t.id = s.id "
+        "WHEN MATCHED AND s.v > t.v THEN "
+        "UPDATE SET v = s.v + 1, g = upper(t.g) "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+
+    t_py = LakeTable(spark, str(tmp_path / "py"))
+    t_py.append(seed)
+    t_py.merge(
+        src,
+        on=["id"],
+        matched_condition="source.v > v",
+        update_set={"v": "source.v + 1", "g": "upper(g)"},
+        when_not_matched="insert",
+    )
+    got = sorted(map(tuple, t_sql.read().collect()))
+    want = sorted(map(tuple, t_py.read().collect()))
+    assert got == want
+
+
+def test_sql_stale_view_registration_falls_through(spark, table):
+    """r14 advice: a lake-registered name that the user later drops
+    or shadows with a plain createOrReplaceTempView must NOT route
+    DML at the old table — lake_sql falls through to spark.sql."""
+    # shadow with a different DataFrame under the same name
+    spark.range(3).select(
+        "id", F.lit(1).alias("v"), F.lit("x").alias("g")
+    ).createOrReplaceTempView("sqlt")
+    before = sorted(map(tuple, table.read().collect()))
+    with pytest.raises(Exception):  # spark.sql can't UPDATE a temp view
+        lake_sql(spark, "UPDATE sqlt SET v = 0")
+    # the lake table was NOT mutated, the user's view NOT replaced
+    assert sorted(map(tuple, table.read().collect())) == before
+    assert spark.table("sqlt").count() == 3
+    # re-registering restores DML routing
+    table.to_view("sqlt")
+    lake_sql(spark, "UPDATE sqlt SET v = 0 WHERE id = 1")
+    assert {r["id"]: r["v"] for r in table.read().collect()}[1] == 0
+
+
+def test_sql_dropped_view_falls_through(spark, table):
+    spark.catalog.dropTempView("sqlt")
+    with pytest.raises(Exception):
+        lake_sql(spark, "DELETE FROM sqlt WHERE id = 0")
+    assert table.read().count() == 40  # untouched
