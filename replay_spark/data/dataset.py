@@ -51,6 +51,7 @@ class Dataset:
         self._query_features = query_features
         self._item_features = item_features
         self._categorical_encoded = categorical_encoded
+        self._interaction_count: Optional[int] = None
         self._fill_feature_sources()
         self._set_cardinality_callbacks()
         if check_consistency:
@@ -65,6 +66,15 @@ class Dataset:
     @property
     def interactions(self) -> DataFrame:
         return self._interactions
+
+    @property
+    def interaction_count(self) -> int:
+        """Memoized row count of the interactions frame — consumers
+        that size work by nnz (ALS block sizing, bandit totals)
+        share one job instead of each recounting."""
+        if self._interaction_count is None:
+            self._interaction_count = self._interactions.count()
+        return self._interaction_count
 
     @property
     def query_features(self) -> Optional[DataFrame]:

@@ -3243,9 +3243,8 @@ class LakeTable:
         adds: List[str] = []
         removes: List[str] = []
         new_parts: dict = {}
-        for key, rels in sorted(groups.items()):
-            if len(rels) < 2:
-                continue
+
+        def _pack(key: tuple, rels: List[str]):
             rows = self._scan_with_dv(
                 rels, dvs, merge_schema=len(schemas) > 1
             )
@@ -3253,7 +3252,30 @@ class LakeTable:
             rows = self._to_physical(logical, mapping)
             total = sum(sizes[r] for r in rels)
             n = int(max(1, -(-total // target_file_bytes)))
-            files = self._write_data(rows, num_files=n)
+            return key, rels, self._write_data(rows, num_files=n)
+
+        todo = [
+            (key, rels)
+            for key, rels in sorted(groups.items())
+            if len(rels) >= 2
+        ]
+        # a 100 TB table accreting small files across thousands of
+        # partition values must not serialize thousands of tiny
+        # Spark jobs on the driver: group writes submit through a
+        # bounded thread pool (Spark job submission is thread-safe;
+        # uuid write dirs never collide), and the single reconciled
+        # commit below swaps every group atomically either way
+        if len(todo) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(8, len(todo))
+            ) as pool:
+                packed = list(pool.map(lambda kr: _pack(*kr), todo))
+        else:
+            packed = [_pack(key, rels) for key, rels in todo]
+        # deterministic commit order regardless of completion order
+        for key, rels, files in sorted(packed, key=lambda t: t[0]):
             adds.extend(files)
             removes.extend(rels)
             if key:

@@ -69,7 +69,7 @@ class ALSWrap(BaseRecommender, ItemVectorModel):
             # count). Size blocks by RATINGS (~1M per block, floor
             # 10 = MLlib's own default), capped at the cluster's
             # parallelism so a 100 TB corpus still fans out fully.
-            nnz = dataset.interactions.count()
+            nnz = dataset.interaction_count
             par = dataset.interactions.sparkSession.sparkContext.defaultParallelism
             blocks = max(1, min(max(10, nnz // 1_000_000), par))
             if self._num_item_blocks is None:

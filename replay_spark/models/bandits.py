@@ -149,7 +149,7 @@ class UCB(NonPersonalizedRecommender):
             F.sum(self.rating_column).alias("pos"),
             F.count(self.rating_column).alias("total"),
         )
-        self.full_count = dataset.interactions.count()
+        self.full_count = dataset.interaction_count
         self._calc_item_popularity()
 
     def refit(self, dataset: Dataset) -> None:
@@ -163,7 +163,7 @@ class UCB(NonPersonalizedRecommender):
             .groupBy(self.item_column)
             .agg(F.sum("pos").alias("pos"), F.sum("total").alias("total"))
         )
-        self.full_count += dataset.interactions.count()
+        self.full_count += dataset.interaction_count
         self._calc_item_popularity()
 
     def _calc_item_popularity(self):
@@ -210,7 +210,7 @@ class KLUCB(NonPersonalizedRecommender):
 
     def _fit(self, dataset: Dataset) -> None:
         self._check_rating(dataset)
-        full_count = dataset.interactions.count()
+        full_count = dataset.interaction_count
         counts = dataset.interactions.groupBy(self.item_column).agg(
             F.sum(self.rating_column).alias("pos"),
             F.count(self.rating_column).alias("total"),

@@ -2021,3 +2021,41 @@ def test_compact_small_files_partition_grouped_and_dv_aware(spark, tmp_path):
     assert len(t.snapshot_files()) == 2
     assert t.detail()["num_dv_files"] == 0
     assert t.read().count() == 59
+
+
+def test_compact_small_files_many_partition_groups_concurrent(
+    spark, tmp_path
+):
+    """r14 finding: group writes submit through a bounded thread
+    pool instead of one serial Spark job per partition value. Over
+    ~50 partition values the packed result must be exactly what the
+    serial loop produced: same survivors, per-value single packed
+    file, partition metadata re-recorded (pruning works), one
+    atomic commit."""
+    t = LakeTable(spark, str(tmp_path / "many"), auto_checkpoint_every=None)
+    n_vals = 50
+    for batch in range(2):  # 2 small files per partition value
+        t.append(
+            spark.range(batch * 500, (batch + 1) * 500).selectExpr(
+                "id", f"CAST(id % {n_vals} AS STRING) AS b"
+            ),
+            partition_by=["b"],
+        )
+    pre_files = len(t.snapshot_files())
+    assert pre_files >= 2 * n_vals  # several small files per value
+    pre_version = t.latest_version()
+    v = t.compact_small_files(small_file_bytes=10 * 1024 * 1024)
+    # ONE commit
+    assert v == pre_version + 1 == t.latest_version()
+    # each value's small files packed into 1
+    assert len(t.snapshot_files()) == n_vals
+    # rows intact
+    assert sorted(r["id"] for r in t.read().collect()) == list(range(1000))
+    # partition metadata re-recorded: log pruning still works
+    out, kept, total = t.read_where({"b": ("7", "7")})
+    assert kept == 1 and total == n_vals
+    assert sorted(r["id"] for r in out.collect()) == [
+        i for i in range(1000) if i % n_vals == 7
+    ]
+    # idempotent: nothing left to pack
+    assert t.compact_small_files(small_file_bytes=10 * 1024 * 1024) == v
