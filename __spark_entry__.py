@@ -6820,6 +6820,171 @@ def q_lake_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lake_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 widened SQL DML subset: by-NAME ``INSERT INTO v (c1, c2)``
+    (unlisted columns null-fill typed), conditional ``MERGE`` with
+    column-level ``UPDATE SET c = expr`` over both sides' aliases
+    (``WHEN MATCHED AND <cond>`` — condition-false matches keep the
+    target row), and a second conditional-DELETE merge. DuckDB
+    replays every step from the raw documents (left join + CASE for
+    the conditional column-set, anti-join for inserts, a guarded
+    NOT-IN for the conditional delete), so the hash matches only if
+    each clause executed its exact Delta semantics. Statements parse
+    in replay_spark/lake_sql.py and execute through merge_into's
+    single inner-join conditional path (replay_spark/lake.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from replay_spark.lake import LakeTable
+    from replay_spark.lake_sql import lake_sql
+
+    docs = rsd.read_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "lang"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"rs_lakesqlmrg_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = LakeTable(spark, path)
+    t.append(docs.repartition(4))
+    view = f"sqlmrg_{tag.replace('.', '_')}"
+    t.to_view(view)
+    # by-name INSERT, column list deliberately out of schema order;
+    # lang is unlisted -> typed NULL fill
+    v1 = lake_sql(
+        spark,
+        f"INSERT INTO {view} (n_chars, doc_id) "
+        f"SELECT n_chars + 7, doc_id + 2000000 FROM {view} "
+        "WHERE doc_id % 19 = 4",
+    )
+    # conditional merge with column-level SET: matched keys update
+    # only when the condition over BOTH sides holds; fresh keys
+    # (shifted above the corpus) insert whole-row
+    docs.filter("doc_id % 3 = 0").selectExpr(
+        "doc_id", "n_chars * 2 AS n_chars", "'xx' AS lang"
+    ).unionByName(
+        docs.filter("doc_id % 23 = 7").selectExpr(
+            "doc_id + 3000000 AS doc_id", "n_chars", "'nw' AS lang"
+        )
+    ).createOrReplaceTempView(f"{view}_src")
+    v2 = lake_sql(
+        spark,
+        f"MERGE INTO {view} t USING {view}_src s ON t.doc_id = s.doc_id "
+        "WHEN MATCHED AND (t.n_chars + s.n_chars) % 4 < 2 THEN "
+        "UPDATE SET n_chars = t.n_chars + s.n_chars, "
+        "lang = concat(t.lang, '+') "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    # conditional DELETE: only odd-n_chars matches die
+    docs.filter("doc_id % 13 = 1").createOrReplaceTempView(
+        f"{view}_dsrc"
+    )
+    v3 = lake_sql(
+        spark,
+        f"MERGE INTO {view} t USING {view}_dsrc s "
+        "ON t.doc_id = s.doc_id "
+        "WHEN MATCHED AND t.n_chars % 2 = 1 THEN DELETE",
+    )
+    assert v1 < v2 < v3 == t.latest_version(), (v1, v2, v3)
+    ops = [r.operation for r in t.history().collect()]
+    assert ops.count("merge") >= 2 and "append" in ops, ops
+    return spark.sql(
+        f"""
+        SELECT CAST(doc_id % 10 AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null_lang,
+               CAST(SUM(CASE WHEN lang LIKE '%+' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_updated
+        FROM {view} GROUP BY bucket
+        """
+    )
+
+
+def q_lake_sql_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL schema evolution + constraints on a lake view: ``ALTER
+    TABLE ADD COLUMN`` (metadata-only — old files read typed NULL),
+    a by-name INSERT writing the new column, ``RENAME COLUMN``
+    (metadata-only, old files still null under the new name), ``ADD
+    CONSTRAINT`` (asserted in-gate: a violating INSERT raises and
+    commits NOTHING), an UPDATE over the evolved schema, and ``DROP
+    CONSTRAINT``. In-gate asserts pin that the ALTERs are pure log
+    commits (zero data files added). DuckDB replays the surviving
+    statements from the raw documents. (replay_spark/lake_sql.py,
+    lake.py add_column/rename_column/add_constraint)."""
+    import os
+    import shutil
+    import tempfile
+
+    from replay_spark.lake import LakeTable
+    from replay_spark.lake_sql import lake_sql
+
+    docs = rsd.read_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"rs_lakesqlalt_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = LakeTable(spark, path)
+    t.append(docs.repartition(4))
+    view = f"sqlalt_{tag.replace('.', '_')}"
+    t.to_view(view)
+    pre_files = len(t.snapshot_files())
+    docs.createOrReplaceTempView(f"{view}_raw")
+    lake_sql(spark, f"ALTER TABLE {view} ADD COLUMN flag string")
+    lake_sql(
+        spark,
+        f"INSERT INTO {view} (doc_id, n_chars, flag) "
+        f"SELECT doc_id + 1000000, n_chars, 'new' FROM {view}_raw "
+        "WHERE doc_id % 5 = 0",
+    )
+    lake_sql(spark, f"ALTER TABLE {view} RENAME COLUMN flag TO status")
+    lake_sql(
+        spark,
+        f"ALTER TABLE {view} ADD CONSTRAINT nonneg "
+        "CHECK (n_chars >= 0 OR n_chars IS NULL)",
+    )
+    try:
+        lake_sql(
+            spark,
+            f"INSERT INTO {view} (doc_id, n_chars) SELECT -1, -100",
+        )
+        raise AssertionError("constraint did not gate the INSERT")
+    except ValueError:
+        pass
+    v_upd = lake_sql(
+        spark,
+        f"UPDATE {view} SET status = 'old' "
+        "WHERE status IS NULL AND doc_id % 2 = 0",
+    )
+    lake_sql(spark, f"ALTER TABLE {view} DROP CONSTRAINT nonneg")
+    assert v_upd < t.latest_version()
+    # the ALTERs were metadata-only: exactly ONE data-file batch
+    # (the by-name INSERT) landed beyond the seed append
+    hist = {
+        r.operation: r for r in t.history().collect()
+    }
+    assert {"add_column", "rename_column", "add_constraint",
+            "drop_constraint", "update"} <= set(hist), sorted(hist)
+    assert len(t.snapshot_files(version=2)) > pre_files  # insert added
+    return spark.sql(
+        f"""
+        SELECT CAST(doc_id % 10 AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(SUM(CASE WHEN status = 'new' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new,
+               CAST(SUM(CASE WHEN status = 'old' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_old,
+               CAST(SUM(CASE WHEN status IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null
+        FROM {view} GROUP BY bucket
+        """
+    )
+
+
 def q_lake_autocompact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file bin-packing (Delta autoCompact/OPTIMIZE semantics):
     ``compact_small_files`` rewrites ONLY the live files under the
@@ -7416,83 +7581,115 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     which re-verifies every gate every round regardless of window
     position.
 
-    The r14 window deliberately carries 31 rows-only gates: the r13
-    verdict flagged the rows-only tail as officially dark (10 gates
-    unscored since r4, q_bytelevel_bpe never scored), so this round
-    clears the ENTIRE pre-r9 tail in one sweep. Rows-only entries get
-    the driver's weaker rows+schema check by design (each is
-    non-SQL-expressible — seeded RNG, iterative solvers — and each
-    carries a pytest golden or a hash-gated md5/fixed twin; see
-    test_entry_contract.py's allowlist). From r15 the window reverts
-    to hash-dominant rotation over the r9+ cohorts.
+    The r15 window is FULLY hash-gated (50/50 — the r14 verdict's
+    task #2: revert to hash-dominant rotation after r14's planned
+    rows-only sweep cleared the pre-r9 official-score tail). The 31
+    rows-only gates r14 just officially rows-scored rotate back into
+    (c); every one keeps its pytest golden and/or hash-gated twin,
+    and the full-registry sweep re-verifies all of them every round.
 
     Staleness ledger — machine-checked against CORRECTNESS_r*.json by
-    tests/test_entry_contract.py::test_staleness_ledger_matches_files
-    (numbers recomputed from the files, never hand-asserted): as of
-    r13 the oldest official hash-gate score is r8 (5 gates), and 2
-    hash gates await a first official score; over the full registry
-    the oldest official score is r4 (10 gates), and 3 gates of any
-    kind await a first official score.
+    tests/test_entry_contract.py (numbers recomputed from the files,
+    never hand-asserted): as of r14 the oldest official hash-gate
+    score is r9 (35 gates), and 2 hash gates await a first official
+    score (this round's two debuts); over the full registry the
+    oldest official score is r9 (35 gates), and 2 gates of any kind
+    await a first official score. The whole r9 cohort and both
+    debuts are in this window.
 
-    Order for r14: (a) the 3 never-officially-scored gates — this
-    round's debuts q_lake_sql_dml (SQL UPDATE / DELETE / MERGE INTO
-    statements against a to_view name, parsed by lake_sql's thin
-    dispatcher and routed through the table's file-granular Python
-    DML, view refreshed after each statement; DuckDB replays all
-    three statements from the raw documents), q_lake_autocompact (Delta
-    autoCompact semantics: compact_small_files bin-packs ONLY the
-    small-file tail per partition value, healthy files carry by
-    reference, log pruning survives — asserted in-gate), and
-    q_bytelevel_bpe
-    (registered r9, never window-scored; rows-only — iterative BPE
-    merges — golden+parity pytest);
-    (a2) the 4 gates whose code paths materially changed this round —
-    lakefeed gained a bounded FIRST micro-batch (maxCommitsPerTrigger
-    now holds from stream start), fail-the-stream on mid-stream
-    schema changes, and a plan-time vacuum-horizon guard
-    (q_lakefeed_stream); generated-column validation no longer
-    crashes on writers that supply one generated column and omit
-    another (q_lake_generated); the constraint/generated-column rule
-    folds are memoized per resolved version across every writer
-    (q_lake_constraints, q_llm_e2e — the commit-heavy pipeline that
-    motivated the memo);
-    (b) the ENTIRE pre-r9 official-score tail, oldest first: the r4
-    cohort (10 rows-only), r5 (1), r6 (6), r7 (4), r8 (14 — including
-    the 5 r8 hash gates q_text_normalize, q_timeseries_resample,
-    q_url_canonicalize, q_webdataset, q_zorder_keys), then the 8
-    alphabetically-first r9 hash gates to fill the window
-    (q_bucketed_join ceded its slot to the q_lake_autocompact debut
-    and leads section (c));
-    (c) everything else — officially green in a prior round (r9+) —
-    still run in tools/check_oracle at both scales and in bench.
+    Order for r15: (a) this round's debuts — q_lake_sql_merge (the
+    widened SQL DML subset: by-name INSERT with typed null-fill,
+    conditional MERGE with column-level UPDATE SET over both sides'
+    aliases, conditional DELETE; DuckDB replays every clause) and
+    q_lake_sql_alter (SQL schema evolution: ADD/RENAME COLUMN as
+    metadata-only commits, ADD/DROP CONSTRAINT enforcement asserted
+    in-gate, UPDATE over the evolved schema);
+    (a2) the 3 gates whose code paths materially changed this round —
+    q_lake_sql_dml (parser restructure + stale-view registry guard),
+    q_lake_autocompact (concurrent group packing),
+    q_lakefeed_stream (offset-regression guard, vacuum-horizon
+    off-by-one fix);
+    (b) the ENTIRE r9 official-score cohort (35 hash gates,
+    alphabetical — the genuinely oldest official scores), then the
+    10 alphabetically-first r10 hash gates to fill the window;
+    (c) everything else — officially green in a prior round — still
+    run in tools/check_oracle at both scales and in bench.
     """
     return {
-        # -- (a) never-officially-scored gates: this round's
-        #        debut (q_lake_sql_dml — SQL UPDATE/DELETE/MERGE on a
-        #        to_view name routed through the lake's Python DML)
-        #        and q_bytelevel_bpe, registered r9 but never
-        #        window-scored (rows-only: iterative merges;
-        #        golden+parity pytest) ------------------------------
+        # -- (a) this round's debuts: the widened SQL DML subset
+        #        (conditional MERGE with column-level SET + by-name
+        #        INSERT — q_lake_sql_merge) and SQL schema evolution
+        #        + constraints (ALTER TABLE — q_lake_sql_alter),
+        #        both hash-gated ------------------------------------
+        "q_lake_sql_merge": q_lake_sql_merge,
+        "q_lake_sql_alter": q_lake_sql_alter,
+        # -- (a2) gates whose code paths materially changed this
+        #        round: the lake_sql parser grew the conditional
+        #        merge / by-name insert / ALTER surface and the
+        #        stale-view registry guard (q_lake_sql_dml);
+        #        compact_small_files group writes now submit through
+        #        a bounded thread pool (q_lake_autocompact); lakefeed
+        #        gained the offset-regression guard and the
+        #        vacuum-horizon off-by-one fix (q_lakefeed_stream) --
         "q_lake_sql_dml": q_lake_sql_dml,
         "q_lake_autocompact": q_lake_autocompact,
-        "q_bytelevel_bpe": q_bytelevel_bpe,
-        # -- (a2) gates whose code paths materially changed this
-        #        round: lakefeed gained the bounded first batch,
-        #        mid-stream schema-change failure, and the plan-time
-        #        vacuum guard (q_lakefeed_stream); generated-column
-        #        validation fixed for mixed supplied/omitted writers
-        #        (q_lake_generated); the constraint/generated rule
-        #        folds are memoized per version across every writer
-        #        (q_lake_constraints, q_llm_e2e) --------------------
         "q_lakefeed_stream": q_lakefeed_stream,
+        # -- (b) hash-dominant rotation (r14 verdict task #2): the
+        #        ENTIRE r9 official-score cohort (35 hash gates,
+        #        alphabetical), then the 10 alphabetically-first r10
+        #        hash gates to fill the window ----------------------
+        "q_bucketed_join": q_bucketed_join,
+        "q_cohort_retention": q_cohort_retention,
+        "q_connected_components": q_connected_components,
+        "q_constraint_suite": q_constraint_suite,
+        "q_corpus_diff": q_corpus_diff,
+        "q_corr_matrix": q_corr_matrix,
+        "q_dedup_clusters": q_dedup_clusters,
+        "q_exact_quantiles": q_exact_quantiles,
+        "q_funnel": q_funnel,
+        "q_global_shuffle": q_global_shuffle,
+        "q_grouped_quantiles": q_grouped_quantiles,
+        "q_heavy_hitters": q_heavy_hitters,
+        "q_hll_overlap": q_hll_overlap,
+        "q_ivm_refresh": q_ivm_refresh,
+        "q_lake_changes": q_lake_changes,
+        "q_lake_timetravel": q_lake_timetravel,
+        "q_materialized_agg": q_materialized_agg,
+        "q_mp4_samples": q_mp4_samples,
+        "q_pca_cov": q_pca_cov,
+        "q_phrase_scores": q_phrase_scores,
+        "q_rouge_l": q_rouge_l,
+        "q_scd2": q_scd2,
+        "q_skew_join": q_skew_join,
+        "q_streaming_join": q_streaming_join,
+        "q_streaming_lake_sink": q_streaming_lake_sink,
+        "q_streaming_window": q_streaming_window,
+        "q_tfrecord_roundtrip": q_tfrecord_roundtrip,
+        "q_thompson_params": q_thompson_params,
+        "q_timeseries_interpolate": q_timeseries_interpolate,
+        "q_transition_matrix": q_transition_matrix,
+        "q_triangle_count": q_triangle_count,
+        "q_unigram_tokens": q_unigram_tokens,
+        "q_webm_frames": q_webm_frames,
+        "q_wordpiece_tokens": q_wordpiece_tokens,
+        "q_zorder_pruning": q_zorder_pruning,
+        "q_asof_join": q_asof_join,
+        "q_asof_nearest": q_asof_nearest,
+        "q_audio_decode": q_audio_decode,
+        "q_audio_frames": q_audio_frames,
+        "q_bigram_lm_scores": q_bigram_lm_scores,
+        "q_blocklist": q_blocklist,
+        "q_c4_clean": q_c4_clean,
+        "q_ccnet_buckets": q_ccnet_buckets,
+        "q_cms_counts": q_cms_counts,
+        "q_contamination_report": q_contamination_report,
+        # -- (c) everything else — officially green in a prior
+        #        round — still run in tools/check_oracle at both
+        #        scales and in bench --------------------------------
+        "q_bytelevel_bpe": q_bytelevel_bpe,
         "q_lake_generated": q_lake_generated,
         "q_lake_constraints": q_lake_constraints,
         "q_llm_e2e": q_llm_e2e,
-        # -- (b) the ENTIRE pre-r9 official-score tail, oldest
-        #        first — the r4 cohort (10), r5 (1), r6 (6), r7 (4),
-        #        r8 (14, incl. the 5 r8 hash gates) — closing the
-        #        r13 verdict's rows-only-darkness debt in one sweep —
-        #        plus the 9 alphabetically-first r9 hash gates ------
         "q_corpus_mix": q_corpus_mix,
         "q_discretize_greedy": q_discretize_greedy,
         "q_discretize_quantile": q_discretize_quantile,
@@ -7536,10 +7733,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_avi_meta": q_avi_meta,
         "q_avro_roundtrip": q_avro_roundtrip,
         "q_bleu_counts": q_bleu_counts,
-        # -- (c) everything else — officially green in a prior
-        "q_bucketed_join": q_bucketed_join,
-        #        round (r9+) — still run in tools/check_oracle at
-        #        both scales and in bench --------------------------
         "q_lake_stream_source": q_lake_stream_source,
         "q_lake_dv": q_lake_dv,
         "q_lake_update": q_lake_update,
@@ -7696,8 +7889,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lake_checkpoint": q_lake_checkpoint,
         "q_lake_partition": q_lake_partition,
         "q_tfrecord_floats": q_tfrecord_floats,
-        "q_asof_join": q_asof_join,
-        "q_asof_nearest": q_asof_nearest,
         "q_feature_store": q_feature_store,
         "q_kmeans_step": q_kmeans_step,
         "q_lake_optimize": q_lake_optimize,
@@ -7720,48 +7911,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_paragraph_dedup": q_paragraph_dedup,
         "q_png_decode": q_png_decode,
         "q_source_cap": q_source_cap,
-        "q_audio_decode": q_audio_decode,
-        "q_audio_frames": q_audio_frames,
-        "q_bigram_lm_scores": q_bigram_lm_scores,
-        "q_blocklist": q_blocklist,
-        "q_c4_clean": q_c4_clean,
-        "q_ccnet_buckets": q_ccnet_buckets,
-        "q_cms_counts": q_cms_counts,
-        "q_contamination_report": q_contamination_report,
-        "q_pca_cov": q_pca_cov,
-        "q_dedup_clusters": q_dedup_clusters,
-        "q_connected_components": q_connected_components,
-        "q_tfrecord_roundtrip": q_tfrecord_roundtrip,
-        "q_materialized_agg": q_materialized_agg,
-        "q_mp4_samples": q_mp4_samples,
-        "q_webm_frames": q_webm_frames,
-        "q_constraint_suite": q_constraint_suite,
-        "q_timeseries_interpolate": q_timeseries_interpolate,
-        "q_heavy_hitters": q_heavy_hitters,
-        "q_ivm_refresh": q_ivm_refresh,
-        "q_streaming_join": q_streaming_join,
-        "q_hll_overlap": q_hll_overlap,
-        "q_corr_matrix": q_corr_matrix,
-        "q_streaming_lake_sink": q_streaming_lake_sink,
-        "q_grouped_quantiles": q_grouped_quantiles,
-        "q_funnel": q_funnel,
-        "q_cohort_retention": q_cohort_retention,
-        "q_transition_matrix": q_transition_matrix,
-        "q_global_shuffle": q_global_shuffle,
-        "q_zorder_pruning": q_zorder_pruning,
-        "q_triangle_count": q_triangle_count,
-        "q_corpus_diff": q_corpus_diff,
-        "q_wordpiece_tokens": q_wordpiece_tokens,
-        "q_unigram_tokens": q_unigram_tokens,
-        "q_lake_timetravel": q_lake_timetravel,
-        "q_scd2": q_scd2,
-        "q_rouge_l": q_rouge_l,
-        "q_skew_join": q_skew_join,
-        "q_exact_quantiles": q_exact_quantiles,
-        "q_phrase_scores": q_phrase_scores,
-        "q_streaming_window": q_streaming_window,
-        "q_lake_changes": q_lake_changes,
-        "q_thompson_params": q_thompson_params,
     }
 
 
@@ -12015,6 +12164,82 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM merged GROUP BY bucket
+        """,
+        "q_lake_sql_merge": """
+            WITH d AS (SELECT doc_id, n_chars, lang FROM documents),
+            ins AS (
+                SELECT doc_id + 2000000 AS doc_id,
+                       n_chars + 7 AS n_chars,
+                       CAST(NULL AS VARCHAR) AS lang
+                FROM d WHERE doc_id % 19 = 4
+            ),
+            t1 AS (SELECT * FROM d UNION ALL SELECT * FROM ins),
+            src AS (
+                SELECT doc_id, n_chars * 2 AS n_chars, 'xx' AS lang
+                FROM d WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT doc_id + 3000000, n_chars, 'nw'
+                FROM d WHERE doc_id % 23 = 7
+            ),
+            m1 AS (
+                SELECT t.doc_id,
+                       CASE WHEN s.doc_id IS NOT NULL
+                                 AND (t.n_chars + s.n_chars) % 4 < 2
+                            THEN t.n_chars + s.n_chars
+                            ELSE t.n_chars END AS n_chars,
+                       CASE WHEN s.doc_id IS NOT NULL
+                                 AND (t.n_chars + s.n_chars) % 4 < 2
+                            THEN t.lang || '+' ELSE t.lang END AS lang
+                FROM t1 t LEFT JOIN src s ON t.doc_id = s.doc_id
+                UNION ALL
+                SELECT s.doc_id, s.n_chars, s.lang FROM src s
+                WHERE s.doc_id NOT IN (SELECT doc_id FROM t1)
+            ),
+            dsrc AS (SELECT doc_id FROM d WHERE doc_id % 13 = 1),
+            fin AS (
+                SELECT * FROM m1
+                WHERE NOT (doc_id IN (SELECT doc_id FROM dsrc)
+                           AND n_chars % 2 = 1)
+            )
+            SELECT CAST(doc_id % 10 AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null_lang,
+                   CAST(SUM(CASE WHEN lang LIKE '%+' THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_updated
+            FROM fin GROUP BY bucket
+        """,
+        "q_lake_sql_alter": """
+            WITH d AS (SELECT doc_id, n_chars FROM documents),
+            t0 AS (
+                SELECT doc_id, n_chars,
+                       CAST(NULL AS VARCHAR) AS status
+                FROM d
+            ),
+            ins AS (
+                SELECT doc_id + 1000000 AS doc_id, n_chars,
+                       'new' AS status
+                FROM d WHERE doc_id % 5 = 0
+            ),
+            t1 AS (SELECT * FROM t0 UNION ALL SELECT * FROM ins),
+            fin AS (
+                SELECT doc_id, n_chars,
+                       CASE WHEN status IS NULL AND doc_id % 2 = 0
+                            THEN 'old' ELSE status END AS status
+                FROM t1
+            )
+            SELECT CAST(doc_id % 10 AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(SUM(CASE WHEN status = 'new' THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_new,
+                   CAST(SUM(CASE WHEN status = 'old' THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_old,
+                   CAST(SUM(CASE WHEN status IS NULL THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_null
+            FROM fin GROUP BY bucket
         """,
         "q_lake_partition_evolution": """
             WITH d AS (
