@@ -311,6 +311,12 @@ def main():
         # (rewrites scale with TOUCHED files, merge with the matched
         # key set, never the corpus)
         "q_lake_sql_dml",
+        # round-15: the widened subset at 10x — the conditional
+        # column-set merge runs ONE inner join on the merge keys
+        # (same shuffle shape as the whole-row semi-join path), and
+        # the by-name insert is a straight projected append; cost
+        # must track matched keys + inserted rows, never the corpus
+        "q_lake_sql_merge",
     ]
     sf1_timings = {}
     sf1_canaries = {}

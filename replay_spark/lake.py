@@ -3763,19 +3763,27 @@ def merge_into(
             raise ValueError(
                 f"update_set cannot assign merge key columns: {bad_keys}"
             )
+    # ONE pass over the target: left-join the (renamed) source and
+    # project untouched / condition-false / acted rows with per-row
+    # CASE logic — at 100 TB the target streams through a single
+    # key join instead of three (anti + kept + acted) scans. A
+    # marker column makes "matched" unambiguous even when every
+    # source payload column is NULL.
     nonkey_src = [c for c in source.columns if c not in on]
     src_ren = source.select(
-        *on, *[F.col(c).alias(f"__s_{c}") for c in nonkey_src]
+        *on,
+        F.lit(1).alias("__s_matched"),
+        *[F.col(c).alias(f"__s_{c}") for c in nonkey_src],
     )
-    joined = target.join(src_ren, on, "inner")
+    joined = target.join(src_ren, on, "left")
     if matched_condition is not None:
         cond = F.expr(_rewrite_source_refs(matched_condition, nonkey_src))
     else:
         cond = F.lit(True)
-    acted_on = F.coalesce(cond, F.lit(False))
-    untouched = target.join(source.select(*on).distinct(), on, "left_anti")
-    kept = joined.filter(~acted_on).select(*target.columns)
-    parts = [untouched, kept]
+    # condition NULL (or row unmatched) -> no action, row survives
+    acted = F.col("__s_matched").isNotNull() & F.coalesce(
+        cond, F.lit(False)
+    )
     if when_matched == "update":
         if update_set:
             rewritten = {
@@ -3783,25 +3791,32 @@ def merge_into(
                 for c, e in update_set.items()
             }
             proj = [
-                F.expr(rewritten[c]).cast(target.schema[c].dataType).alias(c)
+                F.when(
+                    acted,
+                    F.expr(rewritten[c]).cast(target.schema[c].dataType),
+                )
+                .otherwise(F.col(c))
+                .alias(c)
                 if c in rewritten
                 else F.col(c)
                 for c in target.columns
             ]
         else:
-            # whole-row replace: source value wherever the source has
-            # the column, target value otherwise
+            # whole-row replace: source value wherever the source
+            # has the column, target value otherwise
             proj = [
-                F.col(f"__s_{c}").alias(c) if c in nonkey_src else F.col(c)
+                F.when(acted, F.col(f"__s_{c}"))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in nonkey_src
+                else F.col(c)
                 for c in target.columns
             ]
-        parts.append(joined.filter(acted_on).select(*proj))
-    # when_matched == "delete": acted rows simply drop
+        out = joined.select(*proj)
+    else:  # delete: acted rows drop, everything else survives
+        out = joined.filter(~acted).select(*target.columns)
     if when_not_matched == "insert":
-        parts.append(source.join(target, on, "left_anti"))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+        out = out.unionByName(source.join(target, on, "left_anti"))
     return out
 
 

@@ -541,3 +541,114 @@ def test_sql_dropped_view_falls_through(spark, table):
     with pytest.raises(Exception):
         lake_sql(spark, "DELETE FROM sqlt WHERE id = 0")
     assert table.read().count() == 40  # untouched
+
+
+_MERGE_COND = st.sampled_from(
+    [
+        None,
+        "s.v > t.v",
+        "(t.v + s.v) % {m} = 0",
+        "t.g IN ('1', '2') AND s.v % {m} != 1",
+        "s.v < {m} * 9",
+    ]
+)
+_MERGE_SET = st.sampled_from(
+    [
+        None,  # UPDATE SET *
+        {"v": "s.v"},
+        {"v": "t.v + s.v", "g": "concat(t.g, '-m')"},
+        {"g": "CASE WHEN s.v % {m} = 0 THEN 'z' ELSE t.g END"},
+    ]
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cond=_MERGE_COND,
+    assigns=_MERGE_SET,
+    m=st.integers(min_value=2, max_value=6),
+    delete_action=st.booleans(),
+    insert=st.booleans(),
+)
+def test_sql_merge_statements_equal_python_api(
+    spark, tmp_path_factory, cond, assigns, m, delete_action, insert
+):
+    """Randomized conditional MERGE through lake_sql's parser lands
+    the SAME final table as the equivalent .merge() call — random
+    matched conditions (both aliases, arithmetic, IN), random SET
+    shapes (whole-row / single column / multi-column with CASE),
+    both matched actions, with and without NOT MATCHED INSERT."""
+    import pyspark.sql.functions as F
+
+    if delete_action:
+        assigns = None  # DELETE has no SET list
+    base = tmp_path_factory.mktemp("mrgprop")
+    seed = spark.range(0, 50).select(
+        "id",
+        (F.col("id") * 3 % 41).alias("v"),
+        (F.col("id") % 4).cast("string").alias("g"),
+    )
+    src = spark.range(25, 70).select(
+        "id",
+        (F.col("id") * 7 % 37).alias("v"),
+        F.lit("s").alias("g"),
+    )
+    src.createOrReplaceTempView("mrgprop_src")
+    cond_s = cond.format(m=m) if cond else None
+    set_s = (
+        {k: v.format(m=m) for k, v in assigns.items()} if assigns else None
+    )
+
+    t_sql = LakeTable(spark, str(base / "sql"))
+    t_sql.append(seed)
+    t_sql.to_view("mrgprop_v")
+    action = (
+        "DELETE"
+        if delete_action
+        else (
+            "UPDATE SET "
+            + ", ".join(f"{k} = {v}" for k, v in set_s.items())
+            if set_s
+            else "UPDATE SET *"
+        )
+    )
+    stmt = (
+        "MERGE INTO mrgprop_v t USING mrgprop_src s ON t.id = s.id "
+        + (
+            f"WHEN MATCHED AND {cond_s} THEN {action} "
+            if cond_s
+            else f"WHEN MATCHED THEN {action} "
+        )
+        + ("WHEN NOT MATCHED THEN INSERT *" if insert else "")
+    )
+    lake_sql(spark, stmt)
+
+    # Python twin: rewrite alias-qualified refs to merge_into's
+    # namespace (target bare, source as `source.c`)
+    def to_py(e):
+        return (
+            e.replace("s.v", "source.v")
+            .replace("s.g", "source.g")
+            .replace("t.v", "v")
+            .replace("t.g", "g")
+        )
+
+    t_py = LakeTable(spark, str(base / "py"))
+    t_py.append(seed)
+    t_py.merge(
+        src,
+        on=["id"],
+        when_matched="delete" if delete_action else "update",
+        when_not_matched="insert" if insert else "ignore",
+        matched_condition=to_py(cond_s) if cond_s else None,
+        update_set=(
+            {k: to_py(v) for k, v in set_s.items()} if set_s else None
+        ),
+    )
+    got = sorted(map(tuple, t_sql.read().collect()))
+    want = sorted(map(tuple, t_py.read().collect()))
+    assert got == want
