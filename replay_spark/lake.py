@@ -3550,6 +3550,10 @@ class LakeTable:
         txn: Optional[dict] = None,
         matched_condition: Optional[str] = None,
         update_set: Optional[Dict[str, str]] = None,
+        not_matched_condition: Optional[str] = None,
+        when_not_matched_by_source: str = "ignore",
+        not_matched_by_source_condition: Optional[str] = None,
+        update_set_by_source: Optional[Dict[str, str]] = None,
     ) -> int:
         """MERGE INTO this table (see :func:`merge_into`). File
         granularity: rewrites the files containing matched keys (one
@@ -3560,7 +3564,11 @@ class LakeTable:
         source columns as ``source.<col>``); the touched-file scan
         still keys on the join columns alone, so condition-false
         matches rewrite unchanged — a superset rewrite, never a
-        wrong one.
+        wrong one. ``not_matched_condition`` filters inserts.
+        ``when_not_matched_by_source`` (+condition/update map) acts
+        on target rows with NO source match — those rows can live in
+        ANY file, so a by-source clause rewrites every live file
+        (the same full-table cost Delta pays for it).
 
         The touched-file key scan broadcasts the source's distinct
         keys only while they are provably small (≤
@@ -3574,40 +3582,53 @@ class LakeTable:
         ) = self._fold_state(base_version)
         self._last_schema_json = schema_json
         current = self.read(version=base_version)
-        keys = source.select(*on).distinct()
-        # Cheap exact gate: LIMIT n+1 + count touches at most
-        # limit+1 rows of the distinct-key relation, so the probe
-        # itself never materializes an unbounded set on the driver.
-        small = (
-            keys.limit(broadcast_key_limit + 1).count()
-            <= broadcast_key_limit
-        )
-        key_side = F.broadcast(keys) if small else keys
-        # materialized _fp (not input_file_name(), which cannot
-        # resolve over the DV-aware union scan)
-        meta_scan = self._apply_mapping(
-            self._scan_with_dv(
-                live_rel, dvs,
-                merge_schema=len(distinct_schemas) > 1,
-                keep_meta=True,
-            ),
-            mapping,
-            schema_json,
-            keep=("_fp", "_ri"),
-        )
-        affected = {
-            os.path.normpath(_local_path(r["_fp"]))
-            for r in meta_scan.join(key_side, list(on), "left_semi")
-            .select("_fp")
-            .distinct()
-            .collect()
-        }
         live = self.snapshot_files(version=base_version)
-        touched = [
-            p
-            for p in live
-            if os.path.normpath(os.path.abspath(p)) in affected
-        ]
+        if when_not_matched_by_source != "ignore":
+            # by-source clauses act on rows whose keys are NOT in
+            # the source — they can live in ANY file, so every live
+            # file is in scope (Delta pays the same full-table cost)
+            touched = list(live)
+        elif when_matched == "ignore":
+            # insert-only merge: no existing row changes, so no file
+            # rewrites — the commit is a pure append of the
+            # anti-joined inserts (the touched-file key scan is
+            # skipped entirely)
+            touched = []
+        else:
+            keys = source.select(*on).distinct()
+            # Cheap exact gate: LIMIT n+1 + count touches at most
+            # limit+1 rows of the distinct-key relation, so the
+            # probe itself never materializes an unbounded set on
+            # the driver.
+            small = (
+                keys.limit(broadcast_key_limit + 1).count()
+                <= broadcast_key_limit
+            )
+            key_side = F.broadcast(keys) if small else keys
+            # materialized _fp (not input_file_name(), which cannot
+            # resolve over the DV-aware union scan)
+            meta_scan = self._apply_mapping(
+                self._scan_with_dv(
+                    live_rel, dvs,
+                    merge_schema=len(distinct_schemas) > 1,
+                    keep_meta=True,
+                ),
+                mapping,
+                schema_json,
+                keep=("_fp", "_ri"),
+            )
+            affected = {
+                os.path.normpath(_local_path(r["_fp"]))
+                for r in meta_scan.join(key_side, list(on), "left_semi")
+                .select("_fp")
+                .distinct()
+                .collect()
+            }
+            touched = [
+                p
+                for p in live
+                if os.path.normpath(os.path.abspath(p)) in affected
+            ]
         touched_rel_scan = [
             os.path.relpath(p, self.path) for p in touched
         ]
@@ -3620,10 +3641,48 @@ class LakeTable:
             if touched
             else current.limit(0)
         )
-        merged = merge_into(
-            base, source, on, when_matched, when_not_matched,
-            matched_condition=matched_condition, update_set=update_set,
-        )
+        if (
+            when_matched == "ignore"
+            and when_not_matched_by_source == "ignore"
+        ):
+            # insert-only: anti-join against the FULL current table
+            # (not the empty touched base — existing keys anywhere
+            # must suppress their inserts); nothing rewrites
+            if when_not_matched == "insert":
+                # cast to the table schema: the union path coerces
+                # types implicitly (INT literal into BIGINT col);
+                # this direct append must do the same or mixed-type
+                # files break later merged-schema reads
+                merged = source.join(
+                    current, list(on), "left_anti"
+                ).select(
+                    *[
+                        F.col(c)
+                        .cast(current.schema[c].dataType)
+                        .alias(c)
+                        for c in current.columns
+                    ]
+                )
+                if not_matched_condition is not None:
+                    merged = merged.filter(
+                        F.coalesce(
+                            F.expr(not_matched_condition), F.lit(False)
+                        )
+                    )
+            else:  # ignore + ignore: a no-op merge
+                merged = current.limit(0)
+        else:
+            merged = merge_into(
+                base, source, on, when_matched, when_not_matched,
+                matched_condition=matched_condition,
+                update_set=update_set,
+                not_matched_condition=not_matched_condition,
+                when_not_matched_by_source=when_not_matched_by_source,
+                not_matched_by_source_condition=(
+                    not_matched_by_source_condition
+                ),
+                update_set_by_source=update_set_by_source,
+            )
         merged = self._apply_generated(merged, base_version)
         self._enforce_table_constraints(merged, base_version)
         files = self._write_data(self._to_physical(merged, mapping))
@@ -3711,11 +3770,16 @@ def merge_into(
     when_not_matched: str = "insert",
     matched_condition: Optional[str] = None,
     update_set: Optional[Dict[str, str]] = None,
+    not_matched_condition: Optional[str] = None,
+    when_not_matched_by_source: str = "ignore",
+    not_matched_by_source_condition: Optional[str] = None,
+    update_set_by_source: Optional[Dict[str, str]] = None,
 ) -> DataFrame:
     """MERGE semantics as pure DataFrame algebra (schemas must
     match). ``when_matched``: ``"update"`` (source row replaces
     target row) or ``"delete"``; ``when_not_matched``: ``"insert"``
-    or ``"ignore"``. Rows only in the target always survive.
+    or ``"ignore"``. Rows only in the target survive unless a
+    by-source clause says otherwise.
 
     ``matched_condition`` (Delta's ``WHEN MATCHED AND <cond>``): a
     SQL expression evaluated per matched pair — target columns BARE,
@@ -3723,29 +3787,71 @@ def merge_into(
     false or NULL take no action (the target row survives).
     ``update_set`` (Delta's column-level ``UPDATE SET c = expr``):
     per-column expressions over the same namespace; unmentioned
-    target columns keep their values. Source must carry one row per
-    key when either is used (same multiple-match hazard Delta
-    errors on).
+    target columns keep their values. ``not_matched_condition``
+    (Delta's ``WHEN NOT MATCHED AND <cond>``): filters which
+    unmatched SOURCE rows insert (source columns BARE — there is no
+    target row in scope). ``when_not_matched_by_source`` (Delta's
+    ``WHEN NOT MATCHED BY SOURCE``): ``"delete"``, ``"update"``
+    (with ``update_set_by_source`` — target columns only), or
+    ``"ignore"`` (default) for TARGET rows with no source match,
+    optionally gated by ``not_matched_by_source_condition`` (target
+    columns only). Source must carry one row per key when any
+    conditional/column-level option is used (same multiple-match
+    hazard Delta errors on).
 
     The plain whole-row path is anti/semi joins on the key columns —
     no row-level merge logic, so the plan broadcasts when the source
     is small and shuffles only on the keys otherwise. The
-    conditional/column-level path swaps the matched semi-join for
-    ONE inner join on the same keys (same shuffle/broadcast shape)
-    so both sides' columns are in scope for the expressions.
+    conditional/column-level/by-source path streams the target
+    through ONE left join + per-row CASE projection (same
+    shuffle/broadcast shape) so both sides' columns are in scope.
     """
-    if when_matched not in ("update", "delete"):
-        raise ValueError("when_matched must be 'update' or 'delete'")
+    if when_matched not in ("update", "delete", "ignore"):
+        raise ValueError(
+            "when_matched must be 'update', 'delete' or 'ignore'"
+        )
     if when_not_matched not in ("insert", "ignore"):
         raise ValueError("when_not_matched must be 'insert' or 'ignore'")
+    if when_not_matched_by_source not in ("update", "delete", "ignore"):
+        raise ValueError(
+            "when_not_matched_by_source must be 'update', 'delete' "
+            "or 'ignore'"
+        )
     if update_set and when_matched != "update":
         raise ValueError("update_set requires when_matched='update'")
+    if update_set_by_source and when_not_matched_by_source != "update":
+        raise ValueError(
+            "update_set_by_source requires "
+            "when_not_matched_by_source='update'"
+        )
+    if (
+        when_not_matched_by_source == "update"
+        and not update_set_by_source
+    ):
+        raise ValueError(
+            "when_not_matched_by_source='update' needs "
+            "update_set_by_source (there is no source row to copy)"
+        )
+    if not_matched_condition is not None and when_not_matched != "insert":
+        raise ValueError(
+            "not_matched_condition requires when_not_matched='insert'"
+        )
     on = list(on)
-    if matched_condition is None and update_set is None:
-        untouched = target.join(source, on, "left_anti")
-        parts = [untouched]
-        if when_matched == "update":
-            parts.append(source.join(target, on, "left_semi"))
+    rich = (
+        matched_condition is not None
+        or update_set is not None
+        or not_matched_condition is not None
+        or when_not_matched_by_source != "ignore"
+    )
+    if not rich:
+        if when_matched == "ignore":
+            # insert-only merge: every target row survives as-is
+            parts = [target]
+        else:
+            untouched = target.join(source, on, "left_anti")
+            parts = [untouched]
+            if when_matched == "update":
+                parts.append(source.join(target, on, "left_semi"))
         if when_not_matched == "insert":
             parts.append(source.join(target, on, "left_anti"))
         out = parts[0]
@@ -3776,47 +3882,72 @@ def merge_into(
         *[F.col(c).alias(f"__s_{c}") for c in nonkey_src],
     )
     joined = target.join(src_ren, on, "left")
+    matched = F.col("__s_matched").isNotNull()
     if matched_condition is not None:
         cond = F.expr(_rewrite_source_refs(matched_condition, nonkey_src))
     else:
         cond = F.lit(True)
     # condition NULL (or row unmatched) -> no action, row survives
-    acted = F.col("__s_matched").isNotNull() & F.coalesce(
-        cond, F.lit(False)
+    acted = matched & F.coalesce(cond, F.lit(False))
+    if not_matched_by_source_condition is not None:
+        bs_cond = F.expr(not_matched_by_source_condition)
+    else:
+        bs_cond = F.lit(True)
+    bs_acted = (
+        (~matched) & F.coalesce(bs_cond, F.lit(False))
+        if when_not_matched_by_source != "ignore"
+        else F.lit(False)
     )
-    if when_matched == "update":
+
+    def _matched_proj(c: "str"):
+        """Value of column ``c`` for a matched-and-acted row."""
+        if when_matched != "update":
+            return None
         if update_set:
-            rewritten = {
-                c: _rewrite_source_refs(e, nonkey_src)
-                for c, e in update_set.items()
-            }
-            proj = [
-                F.when(
-                    acted,
-                    F.expr(rewritten[c]).cast(target.schema[c].dataType),
-                )
-                .otherwise(F.col(c))
-                .alias(c)
-                if c in rewritten
-                else F.col(c)
-                for c in target.columns
-            ]
-        else:
-            # whole-row replace: source value wherever the source
-            # has the column, target value otherwise
-            proj = [
-                F.when(acted, F.col(f"__s_{c}"))
-                .otherwise(F.col(c))
-                .alias(c)
-                if c in nonkey_src
-                else F.col(c)
-                for c in target.columns
-            ]
-        out = joined.select(*proj)
-    else:  # delete: acted rows drop, everything else survives
-        out = joined.filter(~acted).select(*target.columns)
+            if c in update_set:
+                return F.expr(
+                    _rewrite_source_refs(update_set[c], nonkey_src)
+                ).cast(target.schema[c].dataType)
+            return None  # unmentioned column keeps the target value
+        if c in nonkey_src:
+            return F.col(f"__s_{c}")  # whole-row replace
+        return None
+
+    def _by_source_proj(c: "str"):
+        """Value of column ``c`` for an unmatched-by-source acted
+        row (update action only; target columns in scope)."""
+        if when_not_matched_by_source != "update":
+            return None
+        if update_set_by_source and c in update_set_by_source:
+            return F.expr(update_set_by_source[c]).cast(
+                target.schema[c].dataType
+            )
+        return None
+
+    proj = []
+    for c in target.columns:
+        mv, bv = _matched_proj(c), _by_source_proj(c)
+        col = F.col(c)
+        if bv is not None:
+            col = F.when(bs_acted, bv).otherwise(col)
+        if mv is not None:
+            col = F.when(acted, mv).otherwise(col)
+        proj.append(col.alias(c))
+    out = joined
+    if when_matched == "delete":
+        out = out.filter(~acted)
+    if when_not_matched_by_source == "delete":
+        out = out.filter(~bs_acted)
+    out = out.select(*proj)
     if when_not_matched == "insert":
-        out = out.unionByName(source.join(target, on, "left_anti"))
+        inserts = source.join(target, on, "left_anti")
+        if not_matched_condition is not None:
+            inserts = inserts.filter(
+                F.coalesce(
+                    F.expr(not_matched_condition), F.lit(False)
+                )
+            )
+        out = out.unionByName(inserts)
     return out
 
 

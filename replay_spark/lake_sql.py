@@ -20,8 +20,10 @@ ride the same dispatcher: ``ALTER TABLE name ADD COLUMN c type`` /
 ``RENAME COLUMN a TO b`` / ``DROP COLUMN c`` (all metadata-only
 commits) and ``ADD CONSTRAINT n CHECK (expr)`` / ``DROP CONSTRAINT
 n``. ``MERGE`` takes ``WHEN MATCHED [AND <cond>] THEN UPDATE SET *
-| UPDATE SET c = expr, ... | DELETE`` plus ``WHEN NOT MATCHED THEN
-INSERT *``; ``INSERT INTO|OVERWRITE v [(c1, c2, ...)]`` binds by
+| UPDATE SET c = expr, ... | DELETE``, ``WHEN NOT MATCHED [AND
+<cond>] THEN INSERT *`` (insert-only merges append file-granularly
+with zero rewrites), and ``WHEN NOT MATCHED BY SOURCE [AND <cond>]
+THEN UPDATE SET ... | DELETE`` (full-table scope, like Delta); ``INSERT INTO|OVERWRITE v [(c1, c2, ...)]`` binds by
 position without the list and by NAME with it (unlisted generated
 columns are computed, other unlisted columns null-fill). Anything that is not DML on a registered lake view —
 every SELECT, and DML in dialect corners the thin parser does not
@@ -148,7 +150,16 @@ _MATCHED_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _NOT_MATCHED_RE = re.compile(
-    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*", re.IGNORECASE
+    r"WHEN\s+NOT\s+MATCHED\s*(?!BY\s+SOURCE)"
+    r"(?:AND\s+(?P<cond>.+?)\s+)?THEN\s+INSERT\s+\*",
+    re.IGNORECASE | re.DOTALL,
+)
+_BY_SOURCE_RE = re.compile(
+    r"WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s*"
+    r"(?:AND\s+(?P<cond>.+?)\s+)?THEN\s+"
+    r"(?P<action>UPDATE\s+SET\s+.+?|DELETE)\s*"
+    r"(?=WHEN\s+(?:NOT\s+)?MATCHED|$)",
+    re.IGNORECASE | re.DOTALL,
 )
 _ALTER_ADD_COL_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+ADD\s+COLUMNS?\s+"
@@ -585,26 +596,19 @@ def lake_sql(spark, statement: str, mode: str = "rewrite"):
             clauses = m.group("clauses")
             matched = _MATCHED_RE.search(clauses)
             not_matched = _NOT_MATCHED_RE.search(clauses)
-            covered = bool(matched) + bool(not_matched)
+            by_source = _BY_SOURCE_RE.search(clauses)
+            covered = bool(matched) + bool(not_matched) + bool(by_source)
             if covered != len(
                 re.findall(r"WHEN\s+", clauses, flags=re.IGNORECASE)
             ):
                 raise ValueError(
                     "lake_sql: MERGE supports one WHEN MATCHED "
                     "[AND <cond>] THEN UPDATE SET * | UPDATE SET "
-                    "c = expr, ... | DELETE clause and one WHEN NOT "
-                    "MATCHED THEN INSERT * clause; use "
+                    "c = expr, ... | DELETE clause, one WHEN NOT "
+                    "MATCHED [AND <cond>] THEN INSERT * clause, and "
+                    "one WHEN NOT MATCHED BY SOURCE [AND <cond>] "
+                    "THEN UPDATE SET ... | DELETE clause; use "
                     "LakeTable.merge() for richer shapes"
-                )
-            if matched is None:
-                # insert-only MERGE has no Python equivalent here
-                # (merge() always acts on matches); appending the
-                # anti-join is a different statement — say so
-                raise ValueError(
-                    "lake_sql: MERGE needs a WHEN MATCHED clause "
-                    "(UPDATE SET * or DELETE); for insert-only "
-                    "semantics append source.join(target, keys, "
-                    "'left_anti') instead"
                 )
             # expression namespace rewrite: the statement's aliases
             # -> merge_into's (target bare, source as `source.c`)
@@ -620,23 +624,68 @@ def lake_sql(spark, statement: str, mode: str = "rewrite"):
                 )
                 if a
             }
-            action = matched.group("action").strip()
-            action_up = action.upper()
-            when_matched = "delete" if action_up == "DELETE" else "update"
+            when_matched = "ignore"
             update_set = None
-            if when_matched == "update":
-                set_body = action[len("UPDATE"):].strip()
-                set_body = set_body[len("SET"):].strip()
-                if set_body != "*":
-                    raw = _parse_assignments(set_body)
-                    update_set = {}
-                    for col, expr in raw.items():
-                        update_set[col] = _rewrite_merge_refs(
-                            expr, tq, sq
+            cond = None
+            if matched is not None:
+                action = matched.group("action").strip()
+                when_matched = (
+                    "delete"
+                    if action.upper() == "DELETE"
+                    else "update"
+                )
+                if when_matched == "update":
+                    set_body = action[len("UPDATE"):].strip()
+                    set_body = set_body[len("SET"):].strip()
+                    if set_body != "*":
+                        raw = _parse_assignments(set_body)
+                        update_set = {
+                            col: _rewrite_merge_refs(expr, tq, sq)
+                            for col, expr in raw.items()
+                        }
+                cond = matched.group("cond")
+                if cond is not None:
+                    cond = _rewrite_merge_refs(cond.strip(), tq, sq)
+            nm_cond = not_matched.group("cond") if not_matched else None
+            if nm_cond is not None:
+                # insert conditions see SOURCE columns only (bare in
+                # merge_into's namespace — there is no target row);
+                # target-alias refs stay qualified and fail clearly
+                nm_cond = _rewrite_merge_refs(nm_cond.strip(), sq, set())
+            bs_action = "ignore"
+            bs_cond = None
+            bs_set = None
+            if by_source is not None:
+                act = by_source.group("action").strip()
+                if act.upper() == "DELETE":
+                    bs_action = "delete"
+                else:
+                    bs_action = "update"
+                    set_body = act[len("UPDATE"):].strip()
+                    set_body = set_body[len("SET"):].strip()
+                    if set_body == "*":
+                        raise ValueError(
+                            "lake_sql: WHEN NOT MATCHED BY SOURCE "
+                            "cannot UPDATE SET * (there is no source "
+                            "row to copy) — name the columns"
                         )
-            cond = matched.group("cond")
-            if cond is not None:
-                cond = _rewrite_merge_refs(cond.strip(), tq, sq)
+                    # target columns only in scope: strip target
+                    # qualifiers, leave source refs to fail clearly
+                    bs_set = {
+                        col: _rewrite_merge_refs(expr, tq, set())
+                        for col, expr in _parse_assignments(
+                            set_body
+                        ).items()
+                    }
+                bs_cond = by_source.group("cond")
+                if bs_cond is not None:
+                    bs_cond = _rewrite_merge_refs(
+                        bs_cond.strip(), tq, set()
+                    )
+            if matched is None and not_matched is None and by_source is None:
+                raise ValueError(
+                    "lake_sql: MERGE has no recognizable WHEN clause"
+                )
             version = table.merge(
                 source_df,
                 on=keys,
@@ -644,6 +693,10 @@ def lake_sql(spark, statement: str, mode: str = "rewrite"):
                 when_not_matched="insert" if not_matched else "ignore",
                 matched_condition=cond,
                 update_set=update_set,
+                not_matched_condition=nm_cond,
+                when_not_matched_by_source=bs_action,
+                not_matched_by_source_condition=bs_cond,
+                update_set_by_source=bs_set,
             )
             table.to_view(m.group("target"))
             return version

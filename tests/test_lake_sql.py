@@ -100,19 +100,21 @@ def test_sql_merge_rich_clauses_rejected(spark, table):
     spark.range(0, 3).select(
         "id", F.lit(0).alias("v"), F.lit("z").alias("g")
     ).createOrReplaceTempView("src2")
-    # conditional INSERT clauses remain outside the subset
-    with pytest.raises(ValueError, match="richer"):
+    # multiple WHEN MATCHED clauses remain outside the subset
+    with pytest.raises(ValueError, match="richer|clause"):
         lake_sql(
             spark,
             "MERGE INTO sqlt USING src2 ON sqlt.id = src2.id "
-            "WHEN MATCHED THEN DELETE "
-            "WHEN NOT MATCHED AND src2.v > 0 THEN INSERT *",
+            "WHEN MATCHED AND sqlt.v > 0 THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET * ",
         )
-    with pytest.raises(ValueError, match="WHEN MATCHED"):
+    # explicit INSERT column lists inside MERGE remain outside
+    with pytest.raises(ValueError, match="richer|clause"):
         lake_sql(
             spark,
             "MERGE INTO sqlt USING src2 ON sqlt.id = src2.id "
-            "WHEN NOT MATCHED THEN INSERT *",
+            "WHEN NOT MATCHED THEN INSERT (id, v, g) "
+            "VALUES (src2.id, src2.v, src2.g)",
         )
     with pytest.raises(ValueError, match="equality"):
         lake_sql(
@@ -652,3 +654,135 @@ def test_sql_merge_statements_equal_python_api(
     got = sorted(map(tuple, t_sql.read().collect()))
     want = sorted(map(tuple, t_py.read().collect()))
     assert got == want
+
+
+# -- r15 late additions: full Delta MERGE clause vocabulary ---------------
+
+
+def test_sql_merge_insert_only(spark, table):
+    """Insert-only MERGE (standard Delta): existing keys suppress
+    their inserts, no file rewrites (pure append commit)."""
+    spark.sql(
+        "SELECT id, 0 AS v, 'i' AS g FROM range(35, 45)"
+    ).createOrReplaceTempView("iosrc")
+    pre_files = set(table.snapshot_files())
+    lake_sql(
+        spark,
+        "MERGE INTO sqlt USING iosrc ON sqlt.id = iosrc.id "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    rows = {r["id"]: (r["v"], r["g"]) for r in table.read().collect()}
+    assert len(rows) == 45
+    assert rows[38] == (76, "2")  # existing key untouched
+    assert rows[42] == (0, "i")  # new key inserted
+    # file granularity: every pre-existing file carried by reference
+    assert pre_files <= set(table.snapshot_files())
+
+
+def test_sql_merge_conditional_insert(spark, table):
+    spark.sql(
+        "SELECT id, id AS v, 'ci' AS g FROM range(35, 60)"
+    ).createOrReplaceTempView("cisrc")
+    lake_sql(
+        spark,
+        "MERGE INTO sqlt t USING cisrc s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED AND s.v % 2 = 0 THEN INSERT *",
+    )
+    rows = {r["id"]: r["g"] for r in table.read().collect()}
+    # only EVEN new ids inserted; matched ids (35-39) replaced
+    assert all(rows[i] == "ci" for i in range(35, 40))
+    assert all(rows.get(i) == "ci" for i in range(40, 60, 2))
+    assert all(i not in rows for i in range(41, 60, 2))
+
+
+def test_sql_merge_not_matched_by_source_delete(spark, table):
+    """BY SOURCE DELETE: target rows with no source match die —
+    the sync-to-source shape."""
+    spark.sql(
+        "SELECT id, 1 AS v, 's' AS g FROM range(10, 20)"
+    ).createOrReplaceTempView("bssrc")
+    lake_sql(
+        spark,
+        "MERGE INTO sqlt USING bssrc ON sqlt.id = bssrc.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+    )
+    rows = {r["id"]: (r["v"], r["g"]) for r in table.read().collect()}
+    assert sorted(rows) == list(range(10, 20))
+    assert all(rows[i] == (1, "s") for i in range(10, 20))
+
+
+def test_sql_merge_not_matched_by_source_update_with_cond(spark, table):
+    spark.sql(
+        "SELECT id, 1 AS v, 's' AS g FROM range(0, 10)"
+    ).createOrReplaceTempView("bs2src")
+    lake_sql(
+        spark,
+        "MERGE INTO sqlt t USING bs2src s ON t.id = s.id "
+        "WHEN NOT MATCHED BY SOURCE AND t.id % 2 = 0 THEN "
+        "UPDATE SET g = 'stale'",
+    )
+    rows = {r["id"]: r["g"] for r in table.read().collect()}
+    assert len(rows) == 40
+    assert rows[12] == "stale" and rows[13] == "1"  # cond split
+    assert rows[4] == "0"  # matched: untouched (no WHEN MATCHED)
+
+
+def test_python_merge_by_source_equals_sql(spark, tmp_path):
+    seed = spark.range(0, 40).select(
+        "id", (F.col("id") * 2 % 31).alias("v"),
+        (F.col("id") % 3).cast("string").alias("g"),
+    )
+    src = spark.range(10, 50).select(
+        "id", (F.col("id") * 5 % 29).alias("v"), F.lit("s").alias("g")
+    )
+    src.createOrReplaceTempView("pbs_src")
+    t_sql = LakeTable(spark, str(tmp_path / "sql"))
+    t_sql.append(seed)
+    t_sql.to_view("pbs_v")
+    lake_sql(
+        spark,
+        "MERGE INTO pbs_v t USING pbs_src s ON t.id = s.id "
+        "WHEN MATCHED AND s.v > t.v THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED AND s.v % 3 = 0 THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE AND t.v < 15 THEN DELETE",
+    )
+    t_py = LakeTable(spark, str(tmp_path / "py"))
+    t_py.append(seed)
+    t_py.merge(
+        src,
+        on=["id"],
+        matched_condition="source.v > v",
+        update_set={"v": "source.v"},
+        when_not_matched="insert",
+        not_matched_condition="v % 3 = 0",
+        when_not_matched_by_source="delete",
+        not_matched_by_source_condition="v < 15",
+    )
+    got = sorted(map(tuple, t_sql.read().collect()))
+    want = sorted(map(tuple, t_py.read().collect()))
+    assert got == want
+
+
+def test_merge_into_by_source_dataframe_semantics(spark):
+    from replay_spark.lake import merge_into
+
+    t = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c"), (4, 40, "d")],
+        "id int, v int, g string",
+    )
+    s = spark.createDataFrame(
+        [(2, 200, "B"), (3, 5, "C")], "id int, v int, g string"
+    )
+    out = merge_into(
+        t, s, ["id"],
+        when_matched="ignore",
+        when_not_matched="ignore",
+        when_not_matched_by_source="update",
+        update_set_by_source={"g": "concat(g, '!')"},
+        not_matched_by_source_condition="v >= 40",
+    ).orderBy("id").collect()
+    assert [(r.id, r.v, r.g) for r in out] == [
+        (1, 10, "a"), (2, 20, "b"), (3, 30, "c"), (4, 40, "d!")
+    ]
