@@ -3554,6 +3554,7 @@ class LakeTable:
         when_not_matched_by_source: str = "ignore",
         not_matched_by_source_condition: Optional[str] = None,
         update_set_by_source: Optional[Dict[str, str]] = None,
+        matched_clauses: Optional[List[dict]] = None,
     ) -> int:
         """MERGE INTO this table (see :func:`merge_into`). File
         granularity: rewrites the files containing matched keys (one
@@ -3588,7 +3589,7 @@ class LakeTable:
             # the source — they can live in ANY file, so every live
             # file is in scope (Delta pays the same full-table cost)
             touched = list(live)
-        elif when_matched == "ignore":
+        elif when_matched == "ignore" and matched_clauses is None:
             # insert-only merge: no existing row changes, so no file
             # rewrites — the commit is a pure append of the
             # anti-joined inserts (the touched-file key scan is
@@ -3643,6 +3644,7 @@ class LakeTable:
         )
         if (
             when_matched == "ignore"
+            and matched_clauses is None
             and when_not_matched_by_source == "ignore"
         ):
             # insert-only: anti-join against the FULL current table
@@ -3682,6 +3684,7 @@ class LakeTable:
                     not_matched_by_source_condition
                 ),
                 update_set_by_source=update_set_by_source,
+                matched_clauses=matched_clauses,
             )
         merged = self._apply_generated(merged, base_version)
         self._enforce_table_constraints(merged, base_version)
@@ -3774,6 +3777,7 @@ def merge_into(
     when_not_matched_by_source: str = "ignore",
     not_matched_by_source_condition: Optional[str] = None,
     update_set_by_source: Optional[Dict[str, str]] = None,
+    matched_clauses: Optional[List[dict]] = None,
 ) -> DataFrame:
     """MERGE semantics as pure DataFrame algebra (schemas must
     match). ``when_matched``: ``"update"`` (source row replaces
@@ -3836,12 +3840,45 @@ def merge_into(
         raise ValueError(
             "not_matched_condition requires when_not_matched='insert'"
         )
+    # matched_clauses: the MULTI-CLAUSE form (Delta's several WHEN
+    # MATCHED clauses, first-true-condition wins). Each clause is
+    # {"action": "update"|"delete", "condition": str|None,
+    # "set": dict|None}; only the LAST may omit its condition. When
+    # given, it supersedes when_matched/matched_condition/update_set.
+    if matched_clauses is not None:
+        if matched_condition is not None or update_set is not None:
+            raise ValueError(
+                "pass either matched_clauses or "
+                "matched_condition/update_set, not both"
+            )
+        if not matched_clauses:
+            raise ValueError("matched_clauses must not be empty")
+        for i, cl in enumerate(matched_clauses):
+            if cl.get("action") not in ("update", "delete"):
+                raise ValueError(
+                    f"matched_clauses[{i}].action must be 'update' "
+                    "or 'delete'"
+                )
+            if cl.get("set") and cl["action"] != "update":
+                raise ValueError(
+                    f"matched_clauses[{i}]: set requires action "
+                    "'update'"
+                )
+            if (
+                cl.get("condition") is None
+                and i != len(matched_clauses) - 1
+            ):
+                raise ValueError(
+                    "only the last matched clause may omit its "
+                    "condition (every earlier row would be shadowed)"
+                )
     on = list(on)
     rich = (
         matched_condition is not None
         or update_set is not None
         or not_matched_condition is not None
         or when_not_matched_by_source != "ignore"
+        or matched_clauses is not None
     )
     if not rich:
         if when_matched == "ignore":
@@ -3858,23 +3895,43 @@ def merge_into(
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
-    if update_set:
-        unknown = sorted(set(update_set) - set(target.columns))
-        if unknown:
-            raise ValueError(
-                f"update_set names columns not in the target: {unknown}"
-            )
-        bad_keys = sorted(set(update_set) & set(on))
-        if bad_keys:
-            raise ValueError(
-                f"update_set cannot assign merge key columns: {bad_keys}"
-            )
+    # normalize the single-clause scalar form into the clause list
+    if matched_clauses is None:
+        if when_matched == "ignore":
+            clauses: List[dict] = []
+        else:
+            clauses = [
+                {
+                    "action": when_matched,
+                    "condition": matched_condition,
+                    "set": update_set,
+                }
+            ]
+    else:
+        clauses = list(matched_clauses)
+    for i, cl in enumerate(clauses):
+        cset = cl.get("set")
+        if cset:
+            unknown = sorted(set(cset) - set(target.columns))
+            if unknown:
+                raise ValueError(
+                    f"matched clause {i}: set names columns not in "
+                    f"the target: {unknown}"
+                )
+            bad_keys = sorted(set(cset) & set(on))
+            if bad_keys:
+                raise ValueError(
+                    f"matched clause {i}: cannot assign merge key "
+                    f"columns: {bad_keys}"
+                )
     # ONE pass over the target: left-join the (renamed) source and
     # project untouched / condition-false / acted rows with per-row
     # CASE logic — at 100 TB the target streams through a single
     # key join instead of three (anti + kept + acted) scans. A
     # marker column makes "matched" unambiguous even when every
-    # source payload column is NULL.
+    # source payload column is NULL. Multiple matched clauses chain
+    # first-true-condition-wins: clause i acts only where every
+    # earlier clause's condition was false/NULL.
     nonkey_src = [c for c in source.columns if c not in on]
     src_ren = source.select(
         *on,
@@ -3883,12 +3940,20 @@ def merge_into(
     )
     joined = target.join(src_ren, on, "left")
     matched = F.col("__s_matched").isNotNull()
-    if matched_condition is not None:
-        cond = F.expr(_rewrite_source_refs(matched_condition, nonkey_src))
-    else:
-        cond = F.lit(True)
-    # condition NULL (or row unmatched) -> no action, row survives
-    acted = matched & F.coalesce(cond, F.lit(False))
+    preds = []
+    prior_unfired = F.lit(True)
+    for cl in clauses:
+        if cl.get("condition") is not None:
+            fired = F.coalesce(
+                F.expr(
+                    _rewrite_source_refs(cl["condition"], nonkey_src)
+                ),
+                F.lit(False),
+            )
+        else:
+            fired = F.lit(True)
+        preds.append(matched & prior_unfired & fired)
+        prior_unfired = prior_unfired & ~fired
     if not_matched_by_source_condition is not None:
         bs_cond = F.expr(not_matched_by_source_condition)
     else:
@@ -3899,14 +3964,15 @@ def merge_into(
         else F.lit(False)
     )
 
-    def _matched_proj(c: "str"):
-        """Value of column ``c`` for a matched-and-acted row."""
-        if when_matched != "update":
+    def _clause_proj(cl: dict, c: "str"):
+        """Value of column ``c`` when ``cl`` fires (update only)."""
+        if cl["action"] != "update":
             return None
-        if update_set:
-            if c in update_set:
+        cset = cl.get("set")
+        if cset:
+            if c in cset:
                 return F.expr(
-                    _rewrite_source_refs(update_set[c], nonkey_src)
+                    _rewrite_source_refs(cset[c], nonkey_src)
                 ).cast(target.schema[c].dataType)
             return None  # unmentioned column keeps the target value
         if c in nonkey_src:
@@ -3926,16 +3992,20 @@ def merge_into(
 
     proj = []
     for c in target.columns:
-        mv, bv = _matched_proj(c), _by_source_proj(c)
         col = F.col(c)
+        bv = _by_source_proj(c)
         if bv is not None:
             col = F.when(bs_acted, bv).otherwise(col)
-        if mv is not None:
-            col = F.when(acted, mv).otherwise(col)
+        # predicates are pairwise disjoint, so wrap order is free
+        for cl, pred in zip(clauses, preds):
+            cv = _clause_proj(cl, c)
+            if cv is not None:
+                col = F.when(pred, cv).otherwise(col)
         proj.append(col.alias(c))
     out = joined
-    if when_matched == "delete":
-        out = out.filter(~acted)
+    for cl, pred in zip(clauses, preds):
+        if cl["action"] == "delete":
+            out = out.filter(~pred)
     if when_not_matched_by_source == "delete":
         out = out.filter(~bs_acted)
     out = out.select(*proj)

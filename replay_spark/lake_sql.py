@@ -137,6 +137,10 @@ _HISTORY_RE = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+(?P<name>[A-Za-z_]\w*)\s*$",
     re.IGNORECASE,
 )
+_DETAIL_RE = re.compile(
+    r"^\s*DESCRIBE\s+DETAIL\s+(?P<name>[A-Za-z_]\w*)\s*$",
+    re.IGNORECASE,
+)
 _RESTORE_RE = re.compile(
     r"^\s*RESTORE\s+(?:TABLE\s+)?(?P<name>[A-Za-z_]\w*)\s+TO\s+"
     r"VERSION\s+AS\s+OF\s+(?P<v>\d+)\s*$",
@@ -146,7 +150,7 @@ _MATCHED_RE = re.compile(
     r"WHEN\s+MATCHED\s*"
     r"(?:AND\s+(?P<cond>.+?)\s+)?"
     r"THEN\s+(?P<action>UPDATE\s+SET\s+.+?|DELETE)\s*"
-    r"(?=WHEN\s+NOT\s+MATCHED|$)",
+    r"(?=WHEN\s+(?:NOT\s+)?MATCHED|$)",
     re.IGNORECASE | re.DOTALL,
 )
 _NOT_MATCHED_RE = re.compile(
@@ -417,6 +421,37 @@ def lake_sql(spark, statement: str, mode: str = "rewrite"):
         m = _HISTORY_RE.match(stmt)
         if m and m.group("name") in registry:
             return _resolve(m.group("name")).history()
+        m = _DETAIL_RE.match(stmt)
+        if m and m.group("name") in registry:
+            # one-row frame of table facts (Delta's DESCRIBE DETAIL
+            # shape); complex values render as JSON strings so the
+            # row stays flat and stable
+            import json as _json
+
+            from pyspark.sql.types import (
+                DoubleType,
+                LongType,
+                StringType,
+                StructField as _SF,
+                StructType as _ST,
+            )
+
+            detail = _resolve(m.group("name")).detail()
+            row, fields = {}, []
+            for k, v in sorted(detail.items()):
+                if isinstance(v, bool):
+                    v = str(v)
+                if isinstance(v, int):
+                    t = LongType()
+                elif isinstance(v, float):
+                    t = DoubleType()
+                else:
+                    t = StringType()
+                    if v is not None and not isinstance(v, str):
+                        v = _json.dumps(v, sort_keys=True, default=str)
+                row[k] = v
+                fields.append(_SF(k, t, True))
+            return spark.createDataFrame([row], _ST(fields))
     elif first == "RESTORE":
         m = _RESTORE_RE.match(stmt)
         if m and m.group("name") in registry:
@@ -594,17 +629,21 @@ def lake_sql(spark, statement: str, mode: str = "rewrite"):
             }
             keys = _parse_on_keys(m.group("on"), aliases)
             clauses = m.group("clauses")
-            matched = _MATCHED_RE.search(clauses)
+            matched_list = list(_MATCHED_RE.finditer(clauses))
             not_matched = _NOT_MATCHED_RE.search(clauses)
             by_source = _BY_SOURCE_RE.search(clauses)
-            covered = bool(matched) + bool(not_matched) + bool(by_source)
+            covered = (
+                len(matched_list) + bool(not_matched) + bool(by_source)
+            )
             if covered != len(
-                re.findall(r"WHEN\s+", clauses, flags=re.IGNORECASE)
+                re.findall(r"WHEN\s+(?:NOT\s+)?MATCHED", clauses,
+                           flags=re.IGNORECASE)
             ):
                 raise ValueError(
-                    "lake_sql: MERGE supports one WHEN MATCHED "
+                    "lake_sql: MERGE supports WHEN MATCHED "
                     "[AND <cond>] THEN UPDATE SET * | UPDATE SET "
-                    "c = expr, ... | DELETE clause, one WHEN NOT "
+                    "c = expr, ... | DELETE clauses (several, "
+                    "first-true-condition wins), one WHEN NOT "
                     "MATCHED [AND <cond>] THEN INSERT * clause, and "
                     "one WHEN NOT MATCHED BY SOURCE [AND <cond>] "
                     "THEN UPDATE SET ... | DELETE clause; use "
@@ -624,28 +663,34 @@ def lake_sql(spark, statement: str, mode: str = "rewrite"):
                 )
                 if a
             }
-            when_matched = "ignore"
-            update_set = None
-            cond = None
-            if matched is not None:
-                action = matched.group("action").strip()
-                when_matched = (
-                    "delete"
-                    if action.upper() == "DELETE"
-                    else "update"
-                )
-                if when_matched == "update":
+            m_clauses = []
+            for mm in matched_list:
+                action = mm.group("action").strip()
+                cl = {"action": "delete", "condition": None, "set": None}
+                if action.upper() != "DELETE":
+                    cl["action"] = "update"
                     set_body = action[len("UPDATE"):].strip()
                     set_body = set_body[len("SET"):].strip()
                     if set_body != "*":
-                        raw = _parse_assignments(set_body)
-                        update_set = {
+                        cl["set"] = {
                             col: _rewrite_merge_refs(expr, tq, sq)
-                            for col, expr in raw.items()
+                            for col, expr in _parse_assignments(
+                                set_body
+                            ).items()
                         }
-                cond = matched.group("cond")
-                if cond is not None:
-                    cond = _rewrite_merge_refs(cond.strip(), tq, sq)
+                if mm.group("cond") is not None:
+                    cl["condition"] = _rewrite_merge_refs(
+                        mm.group("cond").strip(), tq, sq
+                    )
+                m_clauses.append(cl)
+            when_matched = "ignore"
+            update_set = None
+            cond = None
+            if len(m_clauses) == 1:
+                when_matched = m_clauses[0]["action"]
+                update_set = m_clauses[0]["set"]
+                cond = m_clauses[0]["condition"]
+                m_clauses = []
             nm_cond = not_matched.group("cond") if not_matched else None
             if nm_cond is not None:
                 # insert conditions see SOURCE columns only (bare in
@@ -682,7 +727,7 @@ def lake_sql(spark, statement: str, mode: str = "rewrite"):
                     bs_cond = _rewrite_merge_refs(
                         bs_cond.strip(), tq, set()
                     )
-            if matched is None and not_matched is None and by_source is None:
+            if not matched_list and not_matched is None and by_source is None:
                 raise ValueError(
                     "lake_sql: MERGE has no recognizable WHEN clause"
                 )
@@ -693,6 +738,7 @@ def lake_sql(spark, statement: str, mode: str = "rewrite"):
                 when_not_matched="insert" if not_matched else "ignore",
                 matched_condition=cond,
                 update_set=update_set,
+                matched_clauses=m_clauses or None,
                 not_matched_condition=nm_cond,
                 when_not_matched_by_source=bs_action,
                 not_matched_by_source_condition=bs_cond,

@@ -100,13 +100,13 @@ def test_sql_merge_rich_clauses_rejected(spark, table):
     spark.range(0, 3).select(
         "id", F.lit(0).alias("v"), F.lit("z").alias("g")
     ).createOrReplaceTempView("src2")
-    # multiple WHEN MATCHED clauses remain outside the subset
-    with pytest.raises(ValueError, match="richer|clause"):
+    # BY SOURCE has no source row to copy: SET * is rejected
+    with pytest.raises(ValueError, match="no source row"):
         lake_sql(
             spark,
             "MERGE INTO sqlt USING src2 ON sqlt.id = src2.id "
-            "WHEN MATCHED AND sqlt.v > 0 THEN DELETE "
-            "WHEN MATCHED THEN UPDATE SET * ",
+            "WHEN MATCHED THEN DELETE "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *",
         )
     # explicit INSERT column lists inside MERGE remain outside
     with pytest.raises(ValueError, match="richer|clause"):
@@ -786,3 +786,69 @@ def test_merge_into_by_source_dataframe_semantics(spark):
     assert [(r.id, r.v, r.g) for r in out] == [
         (1, 10, "a"), (2, 20, "b"), (3, 30, "c"), (4, 40, "d!")
     ]
+
+
+def test_sql_describe_detail(spark, table):
+    df = lake_sql(spark, "DESCRIBE DETAIL sqlt")
+    row = df.collect()[0].asDict()
+    assert row["version"] == table.latest_version()
+    assert row["num_files"] == len(table.snapshot_files())
+
+
+def test_sql_merge_multiple_matched_clauses(spark, table):
+    """Several WHEN MATCHED clauses, first-true-condition wins
+    (Delta semantics); the clause without a condition must be last."""
+    spark.sql(
+        "SELECT id, id AS v, 'm' AS g FROM range(0, 40)"
+    ).createOrReplaceTempView("mmsrc")
+    lake_sql(
+        spark,
+        "MERGE INTO sqlt t USING mmsrc s ON t.id = s.id "
+        "WHEN MATCHED AND t.id < 10 THEN DELETE "
+        "WHEN MATCHED AND t.id < 20 THEN UPDATE SET g = 'mid' "
+        "WHEN MATCHED THEN UPDATE SET g = 'high'",
+    )
+    rows = {r["id"]: r["g"] for r in table.read().collect()}
+    assert sorted(rows) == list(range(10, 40))  # first clause deleted
+    assert all(rows[i] == "mid" for i in range(10, 20))
+    assert all(rows[i] == "high" for i in range(20, 40))
+
+
+def test_sql_merge_nonlast_unconditional_clause_rejected(spark, table):
+    spark.sql(
+        "SELECT id, 0 AS v, 'x' AS g FROM range(3)"
+    ).createOrReplaceTempView("mm2src")
+    with pytest.raises(ValueError, match="last matched clause"):
+        lake_sql(
+            spark,
+            "MERGE INTO sqlt USING mm2src ON sqlt.id = mm2src.id "
+            "WHEN MATCHED THEN DELETE "
+            "WHEN MATCHED AND sqlt.v > 5 THEN UPDATE SET *",
+        )
+
+
+def test_python_merge_multiple_clauses_first_wins(spark, tmp_path):
+    from replay_spark.lake import merge_into
+
+    t = spark.createDataFrame(
+        [(1, 5, "a"), (2, 15, "b"), (3, 25, "c"), (9, 0, "z")],
+        "id int, v int, g string",
+    )
+    s = spark.createDataFrame(
+        [(1, 0, "s"), (2, 0, "s"), (3, 0, "s"), (4, 0, "s")],
+        "id int, v int, g string",
+    )
+    out = merge_into(
+        t, s, ["id"],
+        matched_clauses=[
+            {"action": "update", "condition": "v < 10",
+             "set": {"g": "'low'"}},
+            {"action": "update", "condition": "v < 20",
+             "set": {"g": "'mid'"}},
+            {"action": "delete", "condition": None, "set": None},
+        ],
+        when_not_matched="ignore",
+    ).orderBy("id").collect()
+    assert [(r.id, r.g) for r in out] == [
+        (1, "low"), (2, "mid"), (9, "z")
+    ]  # 3 deleted by the fall-through clause; 9 unmatched survives
