@@ -6903,6 +6903,79 @@ def q_lake_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lake_sql_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rest of the Delta MERGE clause vocabulary through SQL:
+    MULTIPLE ``WHEN MATCHED`` clauses (first-true-condition wins —
+    a conditional DELETE shadowing a fall-through column-set
+    UPDATE), a conditional ``WHEN NOT MATCHED AND <cond>`` insert
+    filter, and a second sync-to-source statement with ``WHEN NOT
+    MATCHED BY SOURCE AND <cond> THEN DELETE`` (acts on target rows
+    with NO source match — full-table scope by necessity). DuckDB
+    replays the clause chain with a left join + ordered CASE and
+    the by-source delete with a guarded NOT-IN, so the hash matches
+    only under exact first-wins ordering and per-clause conditions.
+    (replay_spark/lake_sql.py clause parsing; lake.py merge_into
+    matched_clauses / when_not_matched_by_source.)"""
+    import os
+    import shutil
+    import tempfile
+
+    from replay_spark.lake import LakeTable
+    from replay_spark.lake_sql import lake_sql
+
+    docs = rsd.read_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "lang"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"rs_lakesqlsync_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = LakeTable(spark, path)
+    t.append(docs.repartition(4))
+    view = f"sqlsync_{tag.replace('.', '_')}"
+    t.to_view(view)
+    # merge source: every even doc_id re-valued + shifted new keys
+    docs.filter("doc_id % 2 = 0").selectExpr(
+        "doc_id", "n_chars + 5 AS n_chars", "'up' AS lang"
+    ).unionByName(
+        docs.filter("doc_id % 31 = 3").selectExpr(
+            "doc_id + 4000000 AS doc_id", "n_chars", "'nw' AS lang"
+        )
+    ).createOrReplaceTempView(f"{view}_src")
+    v1 = lake_sql(
+        spark,
+        f"MERGE INTO {view} t USING {view}_src s ON t.doc_id = s.doc_id "
+        "WHEN MATCHED AND t.n_chars % 3 = 0 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars, "
+        "lang = concat(t.lang, '-u') "
+        "WHEN NOT MATCHED AND s.n_chars % 2 = 0 THEN INSERT *",
+    )
+    # sync-to-source: rows absent from the keep-list die (scoped by
+    # a target-side condition)
+    docs.filter("doc_id % 3 != 1").select("doc_id").createOrReplaceTempView(
+        f"{view}_keep"
+    )
+    v2 = lake_sql(
+        spark,
+        f"MERGE INTO {view} t USING {view}_keep k "
+        "ON t.doc_id = k.doc_id "
+        "WHEN NOT MATCHED BY SOURCE AND t.doc_id % 5 = 1 THEN DELETE",
+    )
+    assert v1 < v2 == t.latest_version(), (v1, v2)
+    ops = [r.operation for r in t.history().collect()]
+    assert ops.count("merge") >= 2, ops
+    return spark.sql(
+        f"""
+        SELECT CAST(doc_id % 10 AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(SUM(CASE WHEN lang LIKE '%-u' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_updated
+        FROM {view} GROUP BY bucket
+        """
+    )
+
+
 def q_lake_sql_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL schema evolution + constraints on a lake view: ``ALTER
     TABLE ADD COLUMN`` (metadata-only — old files read typed NULL),
@@ -7591,10 +7664,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Staleness ledger — machine-checked against CORRECTNESS_r*.json by
     tests/test_entry_contract.py (numbers recomputed from the files,
     never hand-asserted): as of r14 the oldest official hash-gate
-    score is r9 (35 gates), and 2 hash gates await a first official
-    score (this round's two debuts); over the full registry the
-    oldest official score is r9 (35 gates), and 2 gates of any kind
-    await a first official score. The whole r9 cohort and both
+    score is r9 (35 gates), and 3 hash gates await a first official
+    score (this round's three debuts); over the full registry the
+    oldest official score is r9 (35 gates), and 3 gates of any kind
+    await a first official score. The whole r9 cohort and all three
     debuts are in this window.
 
     Order for r15: (a) this round's debuts — q_lake_sql_merge (the
@@ -7603,7 +7676,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     aliases, conditional DELETE; DuckDB replays every clause) and
     q_lake_sql_alter (SQL schema evolution: ADD/RENAME COLUMN as
     metadata-only commits, ADD/DROP CONSTRAINT enforcement asserted
-    in-gate, UPDATE over the evolved schema);
+    in-gate, UPDATE over the evolved schema), and q_lake_sql_sync
+    (the rest of the MERGE vocabulary: multiple first-wins WHEN
+    MATCHED clauses, conditional NOT MATCHED inserts, and WHEN NOT
+    MATCHED BY SOURCE sync-to-source deletes);
     (a2) the 3 gates whose code paths materially changed this round —
     q_lake_sql_dml (parser restructure + stale-view registry guard),
     q_lake_autocompact (concurrent group packing),
@@ -7611,7 +7687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     off-by-one fix);
     (b) the ENTIRE r9 official-score cohort (35 hash gates,
     alphabetical — the genuinely oldest official scores), then the
-    10 alphabetically-first r10 hash gates to fill the window;
+    9 alphabetically-first r10 hash gates to fill the window;
     (c) everything else — officially green in a prior round — still
     run in tools/check_oracle at both scales and in bench.
     """
@@ -7623,6 +7699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #        both hash-gated ------------------------------------
         "q_lake_sql_merge": q_lake_sql_merge,
         "q_lake_sql_alter": q_lake_sql_alter,
+        "q_lake_sql_sync": q_lake_sql_sync,
         # -- (a2) gates whose code paths materially changed this
         #        round: the lake_sql parser grew the conditional
         #        merge / by-name insert / ALTER surface and the
@@ -7682,10 +7759,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_c4_clean": q_c4_clean,
         "q_ccnet_buckets": q_ccnet_buckets,
         "q_cms_counts": q_cms_counts,
-        "q_contamination_report": q_contamination_report,
         # -- (c) everything else — officially green in a prior
         #        round — still run in tools/check_oracle at both
         #        scales and in bench --------------------------------
+        "q_contamination_report": q_contamination_report,
         "q_bytelevel_bpe": q_bytelevel_bpe,
         "q_lake_generated": q_lake_generated,
         "q_lake_constraints": q_lake_constraints,
@@ -12208,6 +12285,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_null_lang,
                    CAST(SUM(CASE WHEN lang LIKE '%+' THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_updated
+            FROM fin GROUP BY bucket
+        """,
+        "q_lake_sql_sync": """
+            WITH d AS (SELECT doc_id, n_chars, lang FROM documents),
+            src AS (
+                SELECT doc_id, n_chars + 5 AS n_chars, 'up' AS lang
+                FROM d WHERE doc_id % 2 = 0
+                UNION ALL
+                SELECT doc_id + 4000000, n_chars, 'nw'
+                FROM d WHERE doc_id % 31 = 3
+            ),
+            j AS (
+                SELECT t.doc_id, t.n_chars, t.lang,
+                       s.doc_id AS sid, s.n_chars AS sn
+                FROM d t LEFT JOIN src s ON t.doc_id = s.doc_id
+            ),
+            after1 AS (
+                SELECT doc_id,
+                       CASE WHEN sid IS NOT NULL
+                                 AND NOT (n_chars % 3 = 0)
+                            THEN sn ELSE n_chars END AS n_chars,
+                       CASE WHEN sid IS NOT NULL
+                                 AND NOT (n_chars % 3 = 0)
+                            THEN lang || '-u' ELSE lang END AS lang
+                FROM j
+                WHERE NOT (sid IS NOT NULL AND n_chars % 3 = 0)
+                UNION ALL
+                SELECT s.doc_id, s.n_chars, s.lang FROM src s
+                WHERE s.doc_id NOT IN (SELECT doc_id FROM d)
+                  AND s.n_chars % 2 = 0
+            ),
+            keep AS (SELECT doc_id FROM d WHERE doc_id % 3 != 1),
+            fin AS (
+                SELECT * FROM after1
+                WHERE NOT (doc_id NOT IN (SELECT doc_id FROM keep)
+                           AND doc_id % 5 = 1)
+            )
+            SELECT CAST(doc_id % 10 AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(SUM(CASE WHEN lang LIKE '%-u' THEN 1 ELSE 0
                         END) AS BIGINT) AS n_updated
             FROM fin GROUP BY bucket
         """,
