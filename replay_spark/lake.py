@@ -66,6 +66,10 @@ __all__ = [
 ]
 
 
+# sentinel: overwrite(partition_by=...) omitted -> inherit the
+# table's current partition columns (explicit None = drop them)
+_PB_INHERIT = object()
+
 # sentinel: distinguishes "commit does not touch the column mapping"
 # (key absent, fold keeps the previous mapping) from "commit sets the
 # mapping to None" (restore to an unmapped era)
@@ -669,6 +673,16 @@ class LakeTable:
             "snapshot": snapshot,
             "session": weakref.ref(self.spark),
             "fingerprint": _view_fingerprint(self.spark, name),
+            # constructor options travel with the entry so lake_sql's
+            # reconstructed table behaves like the registering one
+            # (checkpoint cadence, write-time auto-compaction)
+            "init": {
+                "auto_checkpoint_every": self.auto_checkpoint_every,
+                "auto_compact_small_files": (
+                    self.auto_compact_small_files
+                ),
+                "small_file_bytes": self.small_file_bytes,
+            },
         }
         return name
 
@@ -2655,16 +2669,22 @@ class LakeTable:
         self,
         df: DataFrame,
         txn: Optional[dict] = None,
-        partition_by: Optional[Sequence[str]] = None,
+        partition_by=_PB_INHERIT,
     ) -> int:
         """Replace the table contents. ``txn`` records an
         ``{app_id, batch_id}`` idempotence marker in the commit —
         the device :class:`MaterializedAggregate` uses to make view
         refreshes replay-safe. ``partition_by`` hive-partitions the
         replacement files and records their partition values in the
-        commit (same log-pruning contract as :meth:`append`) — so a
-        ``CREATE OR REPLACE ... PARTITIONED BY`` keeps pruning
-        instead of silently dropping it."""
+        commit (same log-pruning contract as :meth:`append`).
+
+        Default (argument omitted): the replacement INHERITS the
+        table's current partition columns — an ``INSERT OVERWRITE``
+        on a partitioned table must not silently degrade log pruning
+        to full scans. Pass an explicit list to re-partition, or
+        ``None`` to drop partitioning (what ``CREATE OR REPLACE``
+        without a PARTITIONED BY clause means — a new table
+        definition)."""
         base_version = self.latest_version()
         if base_version >= 0:
             df = self._apply_generated(df, base_version)
@@ -2687,6 +2707,25 @@ class LakeTable:
                 new_mapping = kept
             mapping = kept
             out = self._to_physical(df, mapping)
+        if partition_by is _PB_INHERIT:
+            phys_pb = (
+                self._partition_columns(base_version)
+                if base_version >= 0
+                else None
+            )
+            if phys_pb and mapping is not None:
+                # recorded partition columns are PHYSICAL names;
+                # translate back to logical for the shared path below
+                inv = {p: l for l, p in mapping.items()}
+                partition_by = [inv.get(p, p) for p in phys_pb]
+            else:
+                partition_by = phys_pb
+            # a replacement that drops a partition column cannot
+            # keep the layout — fall back to unpartitioned
+            if partition_by and not all(
+                c in df.columns for c in partition_by
+            ):
+                partition_by = None
         pb = list(partition_by) if partition_by else None
         if pb and mapping is not None:
             pb = [mapping[c] for c in pb]
@@ -3268,14 +3307,15 @@ class LakeTable:
         if len(todo) > 1:
             from concurrent.futures import ThreadPoolExecutor
 
+            # pool.map preserves input order, and todo is sorted by
+            # partition key — the commit below is deterministic
             with ThreadPoolExecutor(
                 max_workers=min(8, len(todo))
             ) as pool:
                 packed = list(pool.map(lambda kr: _pack(*kr), todo))
         else:
             packed = [_pack(key, rels) for key, rels in todo]
-        # deterministic commit order regardless of completion order
-        for key, rels, files in sorted(packed, key=lambda t: t[0]):
+        for key, rels, files in packed:
             adds.extend(files)
             removes.extend(rels)
             if key:
@@ -3651,13 +3691,22 @@ class LakeTable:
             # (not the empty touched base — existing keys anywhere
             # must suppress their inserts); nothing rewrites
             if when_not_matched == "insert":
+                merged = source.join(current, list(on), "left_anti")
+                # filter on RAW source rows (before projection), so
+                # conditions may reference source-only columns and
+                # see pre-cast values — same contract as the rich
+                # path, which filters the anti-join directly
+                if not_matched_condition is not None:
+                    merged = merged.filter(
+                        F.coalesce(
+                            F.expr(not_matched_condition), F.lit(False)
+                        )
+                    )
                 # cast to the table schema: the union path coerces
                 # types implicitly (INT literal into BIGINT col);
                 # this direct append must do the same or mixed-type
                 # files break later merged-schema reads
-                merged = source.join(
-                    current, list(on), "left_anti"
-                ).select(
+                merged = merged.select(
                     *[
                         F.col(c)
                         .cast(current.schema[c].dataType)
@@ -3665,12 +3714,6 @@ class LakeTable:
                         for c in current.columns
                     ]
                 )
-                if not_matched_condition is not None:
-                    merged = merged.filter(
-                        F.coalesce(
-                            F.expr(not_matched_condition), F.lit(False)
-                        )
-                    )
             else:  # ignore + ignore: a no-op merge
                 merged = current.limit(0)
         else:
@@ -3755,14 +3798,18 @@ _SOURCE_REF_RE = re.compile(r"\bsource\s*\.\s*`?(\w+)`?")
 def _rewrite_source_refs(expr: str, source_cols: Sequence[str]) -> str:
     """Rewrite ``source.<col>`` references in a merge expression to
     the renamed join-side columns (``__s_<col>``); key columns (not
-    renamed — the join coalesces them) stay bare."""
+    renamed — the join coalesces them) stay bare. Quoted string
+    literals are never rewritten (``'source.bak'`` stays a
+    literal)."""
+    from replay_spark.lake_sql import _sub_outside_quotes
+
     renamed = set(source_cols)
 
     def sub(m: "re.Match") -> str:
         c = m.group(1)
         return f"`__s_{c}`" if c in renamed else f"`{c}`"
 
-    return _SOURCE_REF_RE.sub(sub, expr)
+    return _sub_outside_quotes(_SOURCE_REF_RE, sub, expr)
 
 
 def merge_into(
@@ -3908,17 +3955,32 @@ def merge_into(
                 }
             ]
     else:
-        clauses = list(matched_clauses)
+        clauses = [dict(cl) for cl in matched_clauses]
+    # SET keys resolve case-insensitively onto the target's stored
+    # casing (Spark identifier semantics)
+    by_lower = {c.lower(): c for c in target.columns}
+    keys_lower = {k.lower() for k in on}
+    if update_set_by_source:
+        update_set_by_source = {
+            by_lower.get(k.lower(), k): v
+            for k, v in update_set_by_source.items()
+        }
     for i, cl in enumerate(clauses):
         cset = cl.get("set")
         if cset:
+            cset = {
+                by_lower.get(k.lower(), k): v for k, v in cset.items()
+            }
+            cl["set"] = cset
             unknown = sorted(set(cset) - set(target.columns))
             if unknown:
                 raise ValueError(
                     f"matched clause {i}: set names columns not in "
                     f"the target: {unknown}"
                 )
-            bad_keys = sorted(set(cset) & set(on))
+            bad_keys = sorted(
+                k for k in cset if k.lower() in keys_lower
+            )
             if bad_keys:
                 raise ValueError(
                     f"matched clause {i}: cannot assign merge key "

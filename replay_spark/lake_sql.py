@@ -167,9 +167,48 @@ _BY_SOURCE_RE = re.compile(
 )
 _ALTER_ADD_COL_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+ADD\s+COLUMNS?\s+"
-    r"\(?\s*`?(?P<col>[A-Za-z_]\w*)`?\s+(?P<type>[^)]+?)\s*\)?\s*$",
+    r"(?P<body>.+?)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _parse_add_column(body: str) -> Tuple[str, str]:
+    """``[ ( ] col type [ ) ]`` with depth-aware comma detection so
+    ``decimal(10,2)`` / ``map<string,int>`` parse and a genuine
+    multi-column list raises the one-per-statement error."""
+    body = body.strip()
+    # strip ONE wrapping paren pair (the whole body, not a type's)
+    if body.startswith("(") and body.endswith(")"):
+        depth = 0
+        wraps = True
+        for i, ch in enumerate(body):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i != len(body) - 1:
+                    wraps = False
+                    break
+        if wraps:
+            body = body[1:-1].strip()
+    depth = 0
+    for ch in body:
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            raise ValueError(
+                "lake_sql: ALTER TABLE ADD COLUMN takes one column "
+                "per statement"
+            )
+    m = re.match(r"^`?([A-Za-z_]\w*)`?\s+(.+)$", body, re.DOTALL)
+    if not m:
+        raise ValueError(
+            f"lake_sql: cannot parse ADD COLUMN body {body!r} "
+            "(expected `column type`)"
+        )
+    return m.group(1), m.group(2).strip()
 _ALTER_RENAME_COL_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+RENAME\s+COLUMN\s+"
     r"`?(?P<old>[A-Za-z_]\w*)`?\s+TO\s+`?(?P<new>[A-Za-z_]\w*)`?\s*$",
@@ -240,13 +279,53 @@ def _parse_assignments(set_clause: str) -> Dict[str, str]:
     return out
 
 
+def _outside_quotes_spans(expr: str) -> List[Tuple[int, int, bool]]:
+    """Split ``expr`` into (start, end, is_quoted) spans so rewrites
+    can skip string literals — ``SET note = 't.bak'`` must not have
+    its LITERAL rewritten as a column reference."""
+    spans = []
+    i, start = 0, 0
+    quote: Optional[str] = None
+    while i < len(expr):
+        ch = expr[i]
+        if quote:
+            if ch == quote:
+                # SQL doubles quotes to escape them ('it''s')
+                if i + 1 < len(expr) and expr[i + 1] == quote:
+                    i += 2
+                    continue
+                spans.append((start, i + 1, True))
+                start = i + 1
+                quote = None
+        elif ch in ("'", '"'):
+            if start < i:
+                spans.append((start, i, False))
+            start = i
+            quote = ch
+        i += 1
+    if start < len(expr):
+        spans.append((start, len(expr), quote is not None))
+    return spans
+
+
+def _sub_outside_quotes(pattern: "re.Pattern", repl, expr: str) -> str:
+    """``pattern.sub(repl, ...)`` applied only OUTSIDE quoted string
+    literals."""
+    out = []
+    for s, e, quoted in _outside_quotes_spans(expr):
+        seg = expr[s:e]
+        out.append(seg if quoted else pattern.sub(repl, seg))
+    return "".join(out)
+
+
 def _rewrite_merge_refs(
     expr: str, target_quals: set, source_quals: set
 ) -> str:
     """Map the statement's alias-qualified references onto
     :func:`merge_into`'s expression namespace: target columns BARE,
     source columns as ``source.<col>``. Unknown qualifiers (struct
-    field access, function-result fields) pass through untouched."""
+    field access, function-result fields) pass through untouched;
+    quoted string literals are never rewritten."""
 
     def sub(m: "re.Match") -> str:
         q, c = m.group(1), m.group(2)
@@ -257,7 +336,7 @@ def _rewrite_merge_refs(
             return f"`{c}`"
         return m.group(0)
 
-    return _QUAL_REF_RE.sub(sub, expr)
+    return _sub_outside_quotes(_QUAL_REF_RE, sub, expr)
 
 
 def _parse_on_keys(on_clause: str, aliases: set) -> List[str]:
@@ -321,7 +400,20 @@ def lake_sql(spark, statement: str, mode: str = "rewrite"):
         shadows the name changes the plan → fall through to
         spark.sql instead of mutating the old table behind it)."""
 
+        def __init__(self):
+            # one staleness check per statement: __contains__ and
+            # _resolve share the result instead of re-running the
+            # catalog lookup + plan fingerprint 2-3x per DML
+            self._memo: Dict[str, Optional[dict]] = {}
+
         def _entry(self, name: str):
+            if name in self._memo:
+                return self._memo[name]
+            result = self._check(name)
+            self._memo[name] = result
+            return result
+
+        def _check(self, name: str):
             entry = LakeTable._view_registry.get(name)
             if entry is None:
                 return None
@@ -348,6 +440,12 @@ def lake_sql(spark, statement: str, mode: str = "rewrite"):
 
     registry = _Registry()
 
+    def _table_for(entry: dict) -> "LakeTable":
+        # rebuild with the REGISTERING table's constructor options
+        # (checkpoint cadence, write-time auto-compaction) so SQL
+        # DML behaves exactly like the Python API on the same table
+        return LakeTable(spark, entry["path"], **entry.get("init", {}))
+
     def _resolve(name: str) -> "LakeTable":
         entry = registry._entry(name)
         if entry is None:
@@ -358,7 +456,7 @@ def lake_sql(spark, statement: str, mode: str = "rewrite"):
                 "DML targets the live table — register the tip with "
                 f"to_view({name!r}) first"
             )
-        return LakeTable(spark, entry["path"])
+        return _table_for(entry)
 
     if first == "CREATE":
         m = _CREATE_RE.match(stmt)
@@ -420,12 +518,15 @@ def lake_sql(spark, statement: str, mode: str = "rewrite"):
     elif first == "DESCRIBE":
         m = _HISTORY_RE.match(stmt)
         if m and m.group("name") in registry:
-            return _resolve(m.group("name")).history()
+            # read-only: snapshot views are served too
+            return _table_for(registry._entry(m.group("name"))).history()
         m = _DETAIL_RE.match(stmt)
         if m and m.group("name") in registry:
             # one-row frame of table facts (Delta's DESCRIBE DETAIL
             # shape); complex values render as JSON strings so the
-            # row stays flat and stable
+            # row stays flat and stable. Read-only: snapshot views
+            # are served too (detail() is always about the live
+            # table at the path, like Delta's)
             import json as _json
 
             from pyspark.sql.types import (
@@ -436,7 +537,9 @@ def lake_sql(spark, statement: str, mode: str = "rewrite"):
                 StructType as _ST,
             )
 
-            detail = _resolve(m.group("name")).detail()
+            detail = _table_for(
+                registry._entry(m.group("name"))
+            ).detail()
             row, fields = {}, []
             for k, v in sorted(detail.items()):
                 if isinstance(v, bool):
@@ -483,21 +586,8 @@ def lake_sql(spark, statement: str, mode: str = "rewrite"):
                 elif op == "drop_col":
                     version = table.drop_column(m.group("col"))
                 else:
-                    dtype = m.group("type").strip()
-                    # a top-level comma means a multi-column list
-                    # (commas INSIDE map<...>/struct<...> are fine)
-                    depth = 0
-                    for ch in dtype:
-                        if ch == "<":
-                            depth += 1
-                        elif ch == ">":
-                            depth -= 1
-                        elif ch == "," and depth == 0:
-                            raise ValueError(
-                                "lake_sql: ALTER TABLE ADD COLUMN "
-                                "takes one column per statement"
-                            )
-                    version = table.add_column(m.group("col"), dtype)
+                    col, dtype = _parse_add_column(m.group("body"))
+                    version = table.add_column(col, dtype)
                 table.to_view(m.group("name"))
                 return version
     elif first == "UPDATE":
@@ -540,35 +630,39 @@ def lake_sql(spark, statement: str, mode: str = "rewrite"):
                     col_list = None
                     query = f"({cols_raw}) {query}".strip()
             df = spark.sql(query)
-            target_cols = table.read().columns
+            schema = table.read().schema  # one snapshot resolve
+            target_cols = schema.names
             if col_list is not None:
                 # by-NAME binding (Delta/Spark `INSERT INTO v (a, b)`):
                 # the query's output binds positionally to the listed
                 # columns; unlisted GENERATED columns are omitted (the
                 # write computes them), other unlisted columns fill
-                # with typed nulls
-                dup = {c for c in col_list if col_list.count(c) > 1}
+                # with typed nulls. Names resolve case-INsensitively
+                # (Spark identifier semantics) onto the stored casing.
+                by_lower = {c.lower(): c for c in target_cols}
+                resolved = [by_lower.get(c.lower(), c) for c in col_list]
+                dup = {c for c in resolved if resolved.count(c) > 1}
                 if dup:
                     raise ValueError(
                         f"lake_sql: INSERT column list repeats "
                         f"{sorted(dup)}"
                     )
-                unknown = [c for c in col_list if c not in target_cols]
+                unknown = [c for c in resolved if c not in target_cols]
                 if unknown:
                     raise ValueError(
                         f"lake_sql: INSERT column list names columns "
                         f"not in view {m.group('name')!r}: {unknown}"
                     )
-                if len(df.columns) != len(col_list):
+                if len(df.columns) != len(resolved):
                     raise ValueError(
                         f"lake_sql: INSERT query produces "
                         f"{len(df.columns)} columns, the column list "
-                        f"names {len(col_list)}"
+                        f"names {len(resolved)}"
                     )
+                col_list = resolved
                 df = df.toDF(*col_list)
                 from pyspark.sql import functions as _F
 
-                schema = table.read().schema
                 gens = set(table.generated_columns())
                 proj = []
                 for c in target_cols:
@@ -599,7 +693,17 @@ def lake_sql(spark, statement: str, mode: str = "rewrite"):
                         f"{len(df.columns)} columns, view "
                         f"{m.group('name')!r} has {len(target_cols)}"
                     )
+                from pyspark.sql import functions as _F
+
                 df = df.toDF(*target_cols)
+                # store-assignment casts (Delta semantics): an INT
+                # literal binds into a BIGINT column
+                df = df.select(
+                    *[
+                        _F.col(c).cast(schema[c].dataType).alias(c)
+                        for c in target_cols
+                    ]
+                )
             version = (
                 table.overwrite(df)
                 if m.group("kind").upper() == "OVERWRITE"

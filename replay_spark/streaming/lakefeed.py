@@ -203,10 +203,10 @@ class _LakeFeedReader(DataSourceStreamReader):
                 "the cursor re-anchors from the checkpoint."
             )
         # anchor the rate cursor to the engine's authoritative
-        # position so it can never trail the checkpoint
-        anchor = max(lo, hi)
-        if self._pos is None or anchor > self._pos:
-            self._pos = anchor
+        # position so it can never trail the checkpoint (hi >= lo
+        # holds — the guard above raised otherwise)
+        if self._pos is None or hi > self._pos:
+            self._pos = hi
         # plan-time vacuum guard: a batch over (lo, hi] reads files
         # added by commits >= lo + 1, which a retention vacuum may
         # have compacted away once its horizon passes them. Raise

@@ -852,3 +852,113 @@ def test_python_merge_multiple_clauses_first_wins(spark, tmp_path):
     assert [(r.id, r.g) for r in out] == [
         (1, "low"), (2, "mid"), (9, "z")
     ]  # 3 deleted by the fall-through clause; 9 unmatched survives
+
+
+# -- r15 code-review regression fixes -------------------------------------
+
+
+def test_merge_string_literals_not_rewritten(spark, table):
+    """Alias-qualified-looking tokens INSIDE string literals must
+    stay literals — 's.bak' is data, not a source column ref."""
+    spark.sql(
+        "SELECT id, 0 AS v, 'x' AS g FROM range(0, 5)"
+    ).createOrReplaceTempView("litsrc")
+    lake_sql(
+        spark,
+        "MERGE INTO sqlt t USING litsrc s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET g = 't.bak'",
+    )
+    rows = {r["id"]: r["g"] for r in table.read().collect()}
+    assert all(rows[i] == "t.bak" for i in range(5))
+    assert rows[10] == "2"  # unmatched untouched
+
+
+def test_sql_alter_add_column_parameterized_types(spark, table):
+    lake_sql(spark, "ALTER TABLE sqlt ADD COLUMN price decimal(10,2)")
+    assert dict(spark.table("sqlt").dtypes)["price"] == "decimal(10,2)"
+    lake_sql(spark, "ALTER TABLE sqlt ADD COLUMNS (note varchar(20))")
+    assert "note" in spark.table("sqlt").columns
+    with pytest.raises(ValueError, match="one column per statement"):
+        lake_sql(
+            spark,
+            "ALTER TABLE sqlt ADD COLUMNS (a decimal(3,1), b int)",
+        )
+
+
+def test_sql_registry_preserves_constructor_options(spark, tmp_path):
+    """lake_sql's reconstructed table must behave like the
+    registering one: auto_checkpoint_every=None writes no
+    checkpoint files through SQL DML either."""
+    import os
+
+    t = LakeTable(
+        spark, str(tmp_path / "opt"), auto_checkpoint_every=None
+    )
+    for i in range(12):  # past the default cadence of 10
+        t.append(spark.range(i, i + 1).selectExpr("id", "id AS v"))
+    t.to_view("optv")
+    lake_sql(spark, "INSERT INTO optv SELECT 99, 99")
+    log = os.path.join(t.path, "_log")
+    assert not [
+        n for n in os.listdir(log) if n.startswith("_checkpoint")
+    ], "SQL DML ran with default checkpoint cadence"
+
+
+def test_sql_insert_overwrite_keeps_partitioning(spark, tmp_path):
+    """INSERT OVERWRITE on a partitioned table inherits the
+    partition layout (log pruning survives) — r15 review fix."""
+    p = str(tmp_path / "iow")
+    lake_sql(
+        spark,
+        f"CREATE TABLE iowv LOCATION '{p}' PARTITIONED BY (b) "
+        "AS SELECT id, CAST(id % 2 AS STRING) AS b FROM range(10)",
+    )
+    lake_sql(
+        spark,
+        "INSERT OVERWRITE iowv "
+        "SELECT id, CAST(id % 2 AS STRING) AS b FROM range(20)",
+    )
+    t = LakeTable(spark, p)
+    assert t._partition_columns(t.latest_version()) == ["b"]
+    df, kept, total = t.read_where({"b": ("1", "1")})
+    assert kept < total and df.count() == 10
+
+
+def test_sql_describe_readonly_serves_snapshot_views(spark, table):
+    table.append(
+        spark.range(40, 45).selectExpr(
+            "id", "id * 2 AS v", "'s' AS g"
+        )
+    )
+    table.to_view("snapro", version=0)
+    hist = lake_sql(spark, "DESCRIBE HISTORY snapro")
+    assert hist.count() >= 1
+    det = lake_sql(spark, "DESCRIBE DETAIL snapro").collect()[0]
+    assert det["version"] == table.latest_version()
+
+
+def test_sql_insert_column_list_case_insensitive(spark, table):
+    lake_sql(spark, "INSERT INTO sqlt (G, Id) SELECT 'ci', 700")
+    row = [r for r in table.read().collect() if r["id"] == 700][0]
+    assert row["g"] == "ci" and row["v"] is None
+
+
+def test_python_insert_only_condition_on_source_only_column(
+    spark, tmp_path
+):
+    """Insert-only merge conditions filter RAW source rows, so they
+    may reference source-only columns dropped by the final
+    projection."""
+    t = LakeTable(spark, str(tmp_path / "io"))
+    t.append(spark.range(5).selectExpr("id", "id AS v"))
+    src = spark.range(3, 9).selectExpr(
+        "id", "id AS v", "id % 2 AS priority"
+    )
+    t.merge(
+        src,
+        on=["id"],
+        when_matched="ignore",
+        not_matched_condition="priority = 1",
+    )
+    ids = sorted(r["id"] for r in t.read().collect())
+    assert ids == [0, 1, 2, 3, 4, 5, 7]  # only odd new ids inserted
