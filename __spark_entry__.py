@@ -180,6 +180,22 @@ def _emit(inter: DataFrame) -> DataFrame:
     )
 
 
+def _local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Driver-built result frame, routed through pandas: a plain
+    ``createDataFrame(list)`` parallelizes ANY list into
+    defaultParallelism Python slices (a 32-task job to count 3 rows,
+    and ``coalesce(1)`` over it costs ~4 s serializing the slices
+    through one Python worker); the pandas path lands in a handful of
+    partitions and transfers columnar when Arrow is enabled."""
+    import pandas as pd
+
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame(rows, schema)
+    names = [f.strip().split()[0] for f in schema.split(",")]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=names), schema)
+
+
 def q_filter_min_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from replay_spark.preprocessing import MinCountFilter
 
@@ -911,7 +927,7 @@ def q_metric_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     recs, _ = _metric_frames(spark, sf_dir)
     inter = _interactions(spark, sf_dir)
     value = Coverage(5)(recs, inter)["Coverage@5"]
-    return spark.createDataFrame([(round(value, 6),)], "coverage double")
+    return _local_df(spark, [(round(value, 6),)], "coverage double")
 
 
 def q_slim_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1193,7 +1209,8 @@ def q_metric_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     recs, gt = _metric_frames(spark, sf_dir)
     mean_v = list(NDCG(5, mode=Mean())(recs, gt).values())[0]
     ci_v = list(NDCG(5, mode=ConfidenceInterval(0.95))(recs, gt).values())[0]
-    return spark.createDataFrame(
+    return _local_df(
+        spark,
         [(round(float(mean_v), 5), round(float(ci_v), 5))],
         "ndcg_mean double, ndcg_ci double",
     )
@@ -1424,7 +1441,7 @@ def q_pipeline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     lifecycle (§3.1+§3.3 of SURVEY.md) verified value-exactly against
     one composed DuckDB oracle (split + recommend + metric kernels +
     mean descriptor in a single SQL)."""
-    from replay_spark.metrics import MRR, NDCG, HitRate
+    from replay_spark.metrics import MRR, NDCG, HitRate, OfflineMetrics
     from replay_spark.models import PopRec
     from replay_spark.splitters import TimeSplitter
 
@@ -1434,18 +1451,22 @@ def q_pipeline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_df = test_df.cache()
     train = Dataset(_SCHEMA, train_df, check_consistency=False)
     recs = PopRec().fit_predict(train, k=5)
+    # one shared enrichment + one fused aggregation job for all three
+    # metric kernels (was: three independent dup-check + enrichment +
+    # avg chains over the same recs — identical values, 1/3 the jobs)
+    vals = OfflineMetrics([HitRate(5), MRR(5), NDCG(5)])(recs, test_df)
     rows = [
-        (name, round(float(list(metric(recs, test_df).values())[0]), 5))
-        for name, metric in (
-            ("hitrate", HitRate(5)),
-            ("mrr", MRR(5)),
-            ("ndcg", NDCG(5)),
+        (name, round(float(vals[key]), 5))
+        for name, key in (
+            ("hitrate", "HitRate@5"),
+            ("mrr", "MRR@5"),
+            ("ndcg", "NDCG@5"),
         )
     ]
     recs.unpersist()
     train_df.unpersist()
     test_df.unpersist()
-    return spark.createDataFrame(rows, "metric string, value double")
+    return _local_df(spark, rows, "metric string, value double")
 
 
 def q_abnormality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2181,7 +2202,7 @@ def q_pca_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(64)
         for j in range(i, 64)
     ]
-    return spark.createDataFrame(rows, "dim_i int, dim_j int, cov_q9 long")
+    return _local_df(spark, rows, "dim_i int, dim_j int, cov_q9 long")
 
 
 def q_webm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4253,7 +4274,9 @@ def q_e2e_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     train_df.unpersist()
     test_df.unpersist()
-    return spark.createDataFrame(rows, "model string, metric string, value double")
+    return _local_df(
+        spark, rows, "model string, metric string, value double"
+    )
 
 
 def q_ratio_split_bysize_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4370,7 +4393,7 @@ def q_log_info_row(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     inter = rsd.load_interactions(spark, sf_dir)
     info = get_log_info(inter, "query_id", "item_id")
-    return spark.createDataFrame([(info,)], "info string")
+    return _local_df(spark, [(info,)], "info string")
 
 
 def q_discretize_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4418,8 +4441,9 @@ def q_two_stage_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     train, test = TwoStageSplitter(
         first_divide_size=0.5, second_divide_size=0.3, seed=42
     ).split(inter)
-    return spark.createDataFrame(
-        [(train.count(), test.count())], "train_rows long, test_rows long"
+    return _local_df(
+        spark, [(train.count(), test.count())],
+        "train_rows long, test_rows long",
     )
 
 
@@ -4538,9 +4562,7 @@ def q_kfolds_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         (i, train.count(), test.count())
         for i, (train, test) in enumerate(folds.split(inter))
     ]
-    return spark.createDataFrame(
-        rows, "fold int, train_rows long, test_rows long"
-    )
+    return _local_df(spark, rows, "fold int, train_rows long, test_rows long")
 
 
 def q_avi_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5180,8 +5202,8 @@ def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = rsd.read_table(spark, sf_dir, "lineitem")
     probs = [0.01, 0.25, 0.5, 0.9, 0.99]
     vals = exact_quantiles(li, "l_extendedprice", probs)
-    return spark.createDataFrame(
-        list(zip(probs, vals)), "prob double, value double"
+    return _local_df(
+        spark, list(zip(probs, vals)), "prob double, value double"
     )
 
 

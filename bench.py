@@ -113,6 +113,10 @@ def main():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # guide §6: Arrow for driver<->JVM transfers (createDataFrame
+        # from pandas / toPandas) — scale-independent, affects only
+        # the driver boundary, never executor-side plans
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("REPLAY_SPARK_DRIVER_MEM", "16g"))

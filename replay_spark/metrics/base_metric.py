@@ -63,11 +63,14 @@ class Metric:
             .count()
         )
         if dup > 0:
-            import warnings
+            self._warn_duplicates()
 
-            warnings.warn(
-                f"There are duplicated (query, item) pairs in recommendations"
-            )
+    def _warn_duplicates(self) -> None:
+        import warnings
+
+        warnings.warn(
+            "There are duplicated (query, item) pairs in recommendations"
+        )
 
     def _get_items_list_per_user(
         self, recommendations: DataFrame, extra_column: Optional[str] = None

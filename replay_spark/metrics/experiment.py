@@ -58,36 +58,58 @@ class OfflineMetrics:
             from replay_spark.metrics.descriptors import Mean
 
             first = shared[0]
-            first._check_duplicates(recommendations)
             enriched = first._get_enriched_recommendations(
                 recommendations, ground_truth
-            ).cache()
+            )
             # Mean-mode metrics fold into ONE aggregation job: every
             # (metric, k) per-user kernel becomes a column of a single
-            # select and a single avg() pass over the cached enriched
-            # frame — 1 Spark job instead of len(metrics)×len(topk)
+            # select and a single avg() pass over the enriched frame —
+            # 1 Spark job instead of len(metrics)×len(topk). The
+            # duplicate check rides the SAME job as an extra max()
+            # column (a (query,item) duplicate in the recs is a
+            # repeated entry in that query's pred list), instead of
+            # its own groupBy+count action over the recs; duplicates
+            # of queries absent from ground_truth are not flagged —
+            # they cannot affect any metric value.
             fused = [m for m in shared if type(m._mode) is Mean]
-            for metric in (m for m in shared if m not in fused):
-                results.update(metric._compute(enriched))
-            if len(fused) == 1:
-                results.update(fused[0]._compute(enriched))
-            elif fused:
-                cols, slots = [], []
-                for m in fused:
-                    for k in m.topk:
-                        slots.append((m, k))
-                        cols.append(
-                            m._per_user_value(k).alias(f"_v{len(cols)}")
-                        )
-                row = enriched.select(*cols).agg(
-                    *[F.avg(f"_v{i}").alias(f"_a{i}") for i in range(len(cols))]
+            rest_shared = [m for m in shared if m not in fused]
+            if rest_shared:
+                enriched = enriched.cache()
+            cols, slots = [], []
+            for m in fused:
+                for k in m.topk:
+                    slots.append((m, k))
+                    cols.append(
+                        m._per_user_value(k).alias(f"_v{len(cols)}")
+                    )
+            dup_flag = F.max(
+                F.when(
+                    F.size("pred_item_id")
+                    > F.size(F.array_distinct("pred_item_id")),
+                    1,
+                ).otherwise(0)
+            ).alias("_dup")
+            if fused:
+                row = enriched.select(*cols, "pred_item_id").agg(
+                    *[
+                        F.avg(f"_v{i}").alias(f"_a{i}")
+                        for i in range(len(cols))
+                    ],
+                    dup_flag,
                 ).first()
+                if row["_dup"]:
+                    first._warn_duplicates()
                 per_metric: dict = {}
                 for i, (m, k) in enumerate(slots):
                     per_metric.setdefault(id(m), (m, {}))[1][k] = row[f"_a{i}"]
                 for m, values in per_metric.values():
                     results.update(m._aggregate_results(values))
-            enriched.unpersist()
+            else:
+                first._check_duplicates(recommendations)
+            for metric in rest_shared:
+                results.update(metric._compute(enriched))
+            if rest_shared:
+                enriched.unpersist()
         for metric in rest:
             if isinstance(metric, (Coverage, Novelty, Surprisal)):
                 if train is None:

@@ -55,6 +55,7 @@ def main():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", "4045")
@@ -121,7 +122,7 @@ def main():
                         f"  job {j['jobId']:>4} {dur:6.3f}s "
                         f"stages={len(j.get('stageIds', []))} "
                         f"tasks={j.get('numTasks', 0):>4} "
-                        f"{(j.get('description') or j.get('name', ''))[:100]}"
+                        f"{j.get('name', '')[:80]}"
                     )
                 print(f"  -- {len(sel)} jobs, sum job wall {total:.2f}s")
             except Exception as exc:
