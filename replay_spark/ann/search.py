@@ -257,56 +257,76 @@ class IVFANN:
         )
 
     def _assigned(self, corpus: DataFrame) -> DataFrame:
-        """(neighbor_id, cv, cluster) under the FROZEN centroid set
-        and the recorded assignment rule — the shared kernel of the
-        fixed-centroid fit and incremental append."""
-        cdf = self._centroid_df(corpus.sparkSession)
-        prepared = corpus.select(
-            F.col(self.id_column),
-            _as_double(F.col(self.vector_column)).alias("v"),
-            *[F.col(c) for c in self.attribute_columns],
+        """(neighbor_id, cv, cnorm, cluster) under the FROZEN
+        centroid set and the recorded assignment rule — the shared
+        kernel of the fixed-centroid fit and incremental append.
+
+        One narrow projection per row: the per-centroid affinities
+        are a ``transform`` over a literal centroid array and the
+        winning cluster is ``array_position`` of the best rounded
+        score (first occurrence == the old ``row_number`` tie-break
+        to the lowest cluster index). The previous shape crossJoined
+        the corpus against the centroid table and ranked with a
+        window — a num_clusters× row blowup through a shuffle+sort
+        whose per-pair fold math is identical to this projection's
+        (same stable_round(fold) on the same doubles, so the
+        assignment — and every hash gate over it — is unchanged).
+        ``ensure_min_parallelism`` spreads the interpreted
+        higher-order-function math across cores when the scan has
+        fewer splits than the cluster (a no-op at scale)."""
+        from replay_spark.utils.spark_utils import ensure_min_parallelism
+
+        cents = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in c])
+                for c in self.centroids
+            ]
+        )
+        prepared = ensure_min_parallelism(
+            corpus.select(
+                F.col(self.id_column),
+                _as_double(F.col(self.vector_column)).alias("v"),
+                *[F.col(c) for c in self.attribute_columns],
+            )
         )
         if self._assign == "cosine":
-            score = stable_round(
-                _dot(F.col("v"), F.col("centroid"))
-                / (_norm(F.col("v")) * _norm(F.col("centroid"))),
-                6,
+            score = lambda c: stable_round(  # noqa: E731
+                _dot(F.col("v"), c) / (_norm(F.col("v")) * _norm(c)), 6
             )
-            order = [F.col("_score").desc(), F.col("cluster").asc()]
+            best = F.array_max
         elif self._assign == "dot":
-            score = stable_round(
-                _dot(F.col("v"), F.col("centroid")), 6
-            )
-            order = [F.col("_score").desc(), F.col("cluster").asc()]
+            score = lambda c: stable_round(_dot(F.col("v"), c), 6)  # noqa: E731
+            best = F.array_max
         else:  # euclidean — KMeans' assignment rule (stable-rounded
             # like the cosine branch so fixed-centroid L2 assignment
             # is engine-reproducible; the q_ivf_ann_l2 gate replays
             # exactly this ranking in SQL)
-            score = stable_round(
+            score = lambda c: stable_round(  # noqa: E731
                 F.aggregate(
                     F.zip_with(
-                        "v", "centroid", lambda x, y: (x - y) * (x - y)
+                        "v", c, lambda x, y: (x - y) * (x - y)
                     ),
                     F.lit(0.0),
                     lambda acc, x: acc + x,
                 ),
                 6,
             )
-            order = [F.col("_score").asc(), F.col("cluster").asc()]
+            best = F.array_min
+        scores = F.transform(cents, score)
         return (
-            prepared.crossJoin(F.broadcast(cdf))
-            .withColumn("_score", score)
-            .withColumn(
-                "_rn",
-                F.row_number().over(
-                    Window.partitionBy(self.id_column).orderBy(*order)
-                ),
-            )
-            .filter(F.col("_rn") == 1)
+            prepared.withColumn("_scores", scores)
             .select(
                 F.col(self.id_column).alias("neighbor_id"),
                 F.col("v").alias("cv"),
-                "cluster",
+                _norm(F.col("v")).alias("cnorm"),
+                (
+                    F.array_position(
+                        F.col("_scores"), best(F.col("_scores"))
+                    )
+                    - 1
+                )
+                .cast("int")
+                .alias("cluster"),
                 *[F.col(c) for c in self.attribute_columns],
             )
         )
@@ -356,6 +376,7 @@ class IVFANN:
             .select(
                 F.col(self.id_column).alias("neighbor_id"),
                 F.col("v").alias("cv"),
+                _norm(F.col("v")).alias("cnorm"),
                 F.col("prediction").alias("cluster"),
                 *[F.col(c) for c in self.attribute_columns],
             )
@@ -452,11 +473,11 @@ class IVFANN:
             .orderBy("cluster")
             .collect()
         ]
-        self._indexed = (
-            spark.read.parquet(os.path.join(path, "indexed"))
-            .repartition("cluster")
-            .cache()
-        )
+        indexed = spark.read.parquet(os.path.join(path, "indexed"))
+        if "cnorm" not in indexed.columns:
+            # indexes saved before the norm column existed
+            indexed = indexed.withColumn("cnorm", _norm(F.col("cv")))
+        self._indexed = indexed.repartition("cluster").cache()
         return self
 
     def search(
@@ -511,10 +532,27 @@ class IVFANN:
             )
             .filter(F.col("_c_rank") <= self.nprobe)
         )
-        q = probed.select("query_id", "qv", "cluster")
-        expr, out_col, desc = _score_parts(
-            self.metric, F.col("qv"), F.col("cv")
-        )
+        if self.metric == "cosine":
+            # norms are a per-row invariant: the corpus norm is
+            # stored in the inverted file, the query norm computed
+            # once per probed query — the per-candidate expression
+            # keeps the same doubles (identical fold, identical
+            # product) while dropping two 64-element folds per pair
+            q = probed.select(
+                "query_id",
+                "qv",
+                _norm(F.col("qv")).alias("qnorm"),
+                "cluster",
+            )
+            expr = _dot(F.col("qv"), F.col("cv")) / (
+                F.col("qnorm") * F.col("cnorm")
+            )
+            out_col, desc = "cosine", True
+        else:
+            q = probed.select("query_id", "qv", "cluster")
+            expr, out_col, desc = _score_parts(
+                self.metric, F.col("qv"), F.col("cv")
+            )
         indexed = self._indexed
         if where is not None:
             cond = F.expr(where) if isinstance(where, str) else where
@@ -829,7 +867,9 @@ class PQANN:
                     {"vec_id": pdf[idc].values, "codes": list(codes)}
                 )
 
-        return df.select(idc, vc).mapInPandas(
+        from replay_spark.utils.spark_utils import ensure_min_parallelism
+
+        return ensure_min_parallelism(df.select(idc, vc)).mapInPandas(
             enc, schema="vec_id long, codes array<bigint>"
         )
 
@@ -1199,7 +1239,9 @@ class IVFPQANN:
                     }
                 )
 
-        return df.select(idc, vc).mapInPandas(
+        from replay_spark.utils.spark_utils import ensure_min_parallelism
+
+        return ensure_min_parallelism(df.select(idc, vc)).mapInPandas(
             enc, schema="vec_id long, cell int, codes array<bigint>"
         )
 
