@@ -123,6 +123,39 @@ def _cell_order_fn(metric):
     return order
 
 
+def _cents_expr(centroids):
+    """The centroid set as ONE parsed ``array(array(...))`` SQL
+    expression. Building the same literal with nested ``F.lit`` costs
+    one py4j round-trip per element (~0.7 s for 16x64 doubles, paid
+    per fit/append/search); one expr string parses JVM-side in ~4 ms.
+    ``repr`` emits the shortest exact decimal, and Spark's ``D``
+    literal parses back to the identical double."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
+            for c in centroids
+        )
+        + ")"
+    )
+
+
+def _centroid_table(spark, centroids):
+    """(cluster int, centroid array<double>) built JVM-side from the
+    literal expression — no Python-parallelized local frame (which
+    lands in defaultParallelism slices and pays a 32-task broadcast
+    build per search)."""
+    return (
+        spark.range(1)
+        .select(
+            F.posexplode(_cents_expr(centroids)).alias(
+                "cluster", "centroid"
+            )
+        )
+        .select(F.col("cluster").cast("int").alias("cluster"), "centroid")
+    )
+
+
 def _score_parts(metric, qv, cv):
     """(expr, out_col, descending) for ranking corpus vectors."""
     if metric == "cosine":
@@ -251,10 +284,7 @@ class IVFANN:
         self._assign: Optional[str] = None
 
     def _centroid_df(self, spark) -> DataFrame:
-        return spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)],
-            "cluster int, centroid array<double>",
-        )
+        return _centroid_table(spark, self.centroids)
 
     def _assigned(self, corpus: DataFrame) -> DataFrame:
         """(neighbor_id, cv, cnorm, cluster) under the FROZEN
@@ -276,12 +306,7 @@ class IVFANN:
         fewer splits than the cluster (a no-op at scale)."""
         from replay_spark.utils.spark_utils import ensure_min_parallelism
 
-        cents = F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in c])
-                for c in self.centroids
-            ]
-        )
+        cents = _cents_expr(self.centroids)
         prepared = ensure_min_parallelism(
             corpus.select(
                 F.col(self.id_column),
@@ -500,10 +525,7 @@ class IVFANN:
         spark = queries.sparkSession
         # centroids as a tiny broadcast table — a join keeps the plan
         # small, vs embedding num_clusters*dim literals per row
-        centroids = spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)],
-            "cluster int, centroid array<double>",
-        )
+        centroids = _centroid_table(spark, self.centroids)
         # probe selection uses the metric's own centroid affinity,
         # rounded so it is reproducible across engines (the
         # hash-gated fixed-centroid queries rank on exactly this
