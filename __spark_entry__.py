@@ -1966,7 +1966,11 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("doc_id").alias("src"), (F.col("doc_id") + 50).alias("dst")
     )
-    cc = ConnectedComponents(driver_threshold=0)
+    # the planted graph is chain-like (min-label distance ~10), the
+    # documented case for early pointer jumping: reach doubles per
+    # round, so convergence takes ~5 rounds instead of ~11 plain
+    # propagation rounds — identical components either way
+    cc = ConnectedComponents(driver_threshold=0, jump_after_rounds=1)
     return cc.components(chain.unionByName(bridge))
 
 

@@ -1127,29 +1127,38 @@ class NearDupClusters:
         # ContextCleaner when their RDDs fall out of scope
         changed = 0
         for round_idx in range(self.max_iterations):
-            neighbor_min = (
-                edges.join(
-                    labels.select(
-                        F.col("node").alias("dst"),
-                        F.col("label").alias("_nlabel"),
-                    ),
-                    on="dst",
-                )
-                .groupBy("src")
-                .agg(F.min("_nlabel").alias("_nmin"))
-            )
-            stepped = labels.join(
-                neighbor_min.select(
-                    F.col("src").alias("node"), "_nmin"
+            # one round = ONE shuffle: the neighbor label contributions
+            # (edges ⋈ labels, re-keyed to the receiving node) union
+            # the node's own labeled row and fold in a single
+            # groupBy(node) aggregation — min over {own label} ∪
+            # {neighbor labels} IS the propagation step, and the own
+            # row carries the previous label through max(_old) (unique
+            # per node) for the convergence count. The previous shape
+            # (join → groupBy min → left join back onto labels) paid a
+            # second key-shuffle join every round for the same result.
+            contrib = edges.join(
+                labels.select(
+                    F.col("node").alias("dst"),
+                    F.col("label").alias("_cand"),
                 ),
-                on="node",
-                how="left",
-            ).select(
+                on="dst",
+            ).select(F.col("src").alias("node"), "_cand")
+            own = labels.select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce("_nmin", F.col("label"))
-                ).alias("label"),
+                F.col("label").alias("_cand"),
                 F.col("label").alias("_old"),
+            )
+            stepped = (
+                own.unionByName(
+                    contrib.withColumn(
+                        "_old", F.lit(None).cast(own.schema["_old"].dataType)
+                    )
+                )
+                .groupBy("node")
+                .agg(
+                    F.min("_cand").alias("label"),
+                    F.max("_old").alias("_old"),
+                )
             )
             # pointer jumping (shortcutting): follow each node's label
             # to ITS label in the same round — the reachable-minimum
@@ -1173,9 +1182,13 @@ class NearDupClusters:
                 # labels table maps node -> label; look the label up
                 # as a node to jump one level toward the root — labels
                 # only ever take existing node ids, so the lookup
-                # always hits
-                jump = stepped.alias("a").join(
-                    stepped.select(
+                # always hits. Materialize the propagation step FIRST
+                # so the self-join reads the checkpointed blocks twice
+                # instead of recomputing the join+agg subtree on both
+                # sides.
+                base = stepped.localCheckpoint(eager=True)
+                jump = base.alias("a").join(
+                    base.select(
                         F.col("node").alias("_jn"),
                         F.col("label").alias("_jl"),
                     ),
