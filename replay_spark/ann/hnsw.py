@@ -99,30 +99,52 @@ class HNSWANN:
         d = float(a @ b)
         return -d if self.metric == "dot" else 1.0 - d
 
+    def _d_to(self, q: np.ndarray):
+        """``node index -> distance to q`` closure for the build/walk
+        hot loops — the same per-pair ``ddot`` arithmetic as ``_d``
+        (NOT a batched matrix-vector product: gemv rows and ddot
+        round differently, and the graph must not depend on call
+        shape), minus the per-call method dispatch and metric
+        branches."""
+        vecs = self._vecs
+        if self.metric == "l2":
+            def dist(i):
+                diff = vecs[i] - q
+                return float(diff @ diff)
+        elif self.metric == "dot":
+            def dist(i):
+                return -float(vecs[i] @ q)
+        else:
+            def dist(i):
+                return 1.0 - float(vecs[i] @ q)
+        return dist
+
     def _search_layer(self, q: np.ndarray, entry: int, ef: int, level: int):
         """Beam search on one layer: returns [(dist, node)] ascending,
         at most ef entries. dist = 1 - cosine (vectors normalized)."""
-        import heapq
+        from heapq import heappop, heappush
 
-        vecs, links = self._vecs, self._links
-        d0 = self._d(vecs[entry], q)
+        links = self._links
+        dist = self._d_to(q)
+        d0 = dist(entry)
         visited = {entry}
+        visited_add = visited.add
         cand = [(d0, entry)]  # min-heap by dist
         best = [(-d0, entry)]  # max-heap (neg) of current top-ef
         while cand:
-            d, node = heapq.heappop(cand)
-            if d > -best[0][0] and len(best) >= ef:
+            d, node = heappop(cand)
+            if len(best) >= ef and d > -best[0][0]:
                 break
             for nb in links[node][level]:
                 if nb in visited:
                     continue
-                visited.add(nb)
-                dn = self._d(vecs[nb], q)
+                visited_add(nb)
+                dn = dist(nb)
                 if len(best) < ef or dn < -best[0][0]:
-                    heapq.heappush(cand, (dn, nb))
-                    heapq.heappush(best, (-dn, nb))
+                    heappush(cand, (dn, nb))
+                    heappush(best, (-dn, nb))
                     if len(best) > ef:
-                        heapq.heappop(best)
+                        heappop(best)
         return sorted((-nd, node) for nd, node in best)
 
     def _insert(self, i: int, level: int) -> None:
@@ -146,10 +168,9 @@ class HNSWANN:
                 lst.append(i)
                 if len(lst) > cap:
                     # prune to the cap closest (deterministic: dist
-                    # then node index)
-                    dists = sorted(
-                        (self._d(vecs[m], vecs[n]), m) for m in lst
-                    )
+                    # then node index; same per-pair ddot as _d)
+                    dist_n = self._d_to(vecs[n])
+                    dists = sorted((dist_n(m), m) for m in lst)
                     links[n][lv] = [m for _, m in dists[:cap]]
             ep = found[0][1]
         if level > self._max_level:
