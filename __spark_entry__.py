@@ -187,13 +187,9 @@ def _local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
     and ``coalesce(1)`` over it costs ~4 s serializing the slices
     through one Python worker); the pandas path lands in a handful of
     partitions and transfers columnar when Arrow is enabled."""
-    import pandas as pd
+    from replay_spark.utils.spark_utils import local_df
 
-    rows = list(rows)
-    if not rows:
-        return spark.createDataFrame(rows, schema)
-    names = [f.strip().split()[0] for f in schema.split(",")]
-    return spark.createDataFrame(pd.DataFrame(rows, columns=names), schema)
+    return local_df(spark, rows, schema)
 
 
 def q_filter_min_count(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -123,9 +123,11 @@ def read_arrow_ipc(spark: SparkSession, path: str) -> DataFrame:
     with pa.memory_map(files[0]) as mm:
         arrow_schema = pa.ipc.open_file(mm).schema
     spark_schema = from_arrow_schema(arrow_schema)
-    file_df = spark.createDataFrame(
-        [(f,) for f in files], "file string"
-    ).repartition(len(files), "file")
+    from replay_spark.utils.spark_utils import local_df
+
+    file_df = local_df(spark, [(f,) for f in files], "file string").repartition(
+        len(files), "file"
+    )
 
     def read_partition(batches):
         import pyarrow as pa

@@ -415,9 +415,9 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
             end = _header_end(head)
     avro_schema, _ = parse_ocf(head[:end])
     out_schema = avro_to_spark_schema(avro_schema)
-    shard_df = spark.createDataFrame(
-        [(s,) for s in shards], "shard_path string"
-    )
+    from replay_spark.utils.spark_utils import local_df
+
+    shard_df = local_df(spark, [(s,) for s in shards], "shard_path string")
     names = [f.name for f in out_schema.fields]
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

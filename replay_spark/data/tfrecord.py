@@ -442,9 +442,9 @@ def read_tfrecord(
         for f in os.listdir(path)
         if f.endswith(".tfrecord")
     )
-    shard_df = spark.createDataFrame(
-        [(s,) for s in shards], "shard_path string"
-    )
+    from replay_spark.utils.spark_utils import local_df
+
+    shard_df = local_df(spark, [(s,) for s in shards], "shard_path string")
     spec = dict(feature_spec)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

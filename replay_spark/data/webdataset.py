@@ -113,9 +113,9 @@ def read_webdataset(
         for f in os.listdir(path)
         if f.startswith("shard-") and f.endswith(".tar")
     )
-    shard_df = spark.createDataFrame(
-        [(s,) for s in shards], "shard_path string"
-    )
+    from replay_spark.utils.spark_utils import local_df
+
+    shard_df = local_df(spark, [(s,) for s in shards], "shard_path string")
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

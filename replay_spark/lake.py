@@ -2838,7 +2838,10 @@ class LakeTable:
         file's complete vector), write one new sidecar, commit the
         repoints. The pair relation itself never touches the driver
         — only the distinct touched-file list does."""
-        lookup = self.spark.createDataFrame(
+        from replay_spark.utils.spark_utils import local_df
+
+        lookup = local_df(
+            self.spark,
             [(self._dv_suffix(rel), rel) for rel in live],
             "suffix string, file string",
         )
@@ -3062,7 +3065,9 @@ class LakeTable:
             ", ".join(f"`_pv_{c}` string" for c in pb)
             + ", `_nf` int, `_off` int"
         )
-        lut = self.spark.createDataFrame(rows, schema)
+        from replay_spark.utils.spark_utils import local_df
+
+        lut = local_df(self.spark, rows, schema)
         cond = None
         for c in pb:
             e = F.col(c).cast("string").eqNullSafe(F.col(f"_pv_{c}"))

@@ -1098,7 +1098,9 @@ class NearDupClusters:
         schema = pairs.select(
             F.col(id_a).alias("node"), F.col(id_a).alias("component")
         ).schema
-        return spark.createDataFrame(out, schema)
+        from replay_spark.utils.spark_utils import local_df
+
+        return local_df(spark, out, schema)
 
     def _components_distributed(
         self, pairs: DataFrame, id_a: str, id_b: str

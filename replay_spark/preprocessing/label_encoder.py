@@ -57,7 +57,9 @@ def _dense_ordered_codes(
     for pid, cnt in counts:
         rows.append((pid, acc))
         acc += cnt
-    offsets = spark.createDataFrame(rows, "_pid int, _offset long")
+    from replay_spark.utils.spark_utils import local_df
+
+    offsets = local_df(spark, rows, "_pid int, _offset long")
     out = numbered.join(F.broadcast(offsets), on="_pid").select(
         column,
         (F.col("_local") + F.col("_offset")).alias(encoded_column),

@@ -76,7 +76,9 @@ def build_file_blooms(
     bpk, k = int(bits_per_key), int(num_hashes)
     if bpk < 1 or k < 1:
         raise ValueError("need bits_per_key >= 1 and num_hashes >= 1")
-    file_df = spark.createDataFrame([(f,) for f in files], "file string")
+    from replay_spark.utils.spark_utils import local_df
+
+    file_df = local_df(spark, [(f,) for f in files], "file string")
 
     def tasks(batches):
         import pandas as pd

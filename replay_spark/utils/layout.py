@@ -208,7 +208,9 @@ def collect_file_stats(spark, path: str, columns=None) -> "DataFrame":
         )
     if not files:
         raise ValueError(f"no parquet files under {path!r}")
-    file_df = spark.createDataFrame([(f,) for f in files], "file string")
+    from replay_spark.utils.spark_utils import local_df
+
+    file_df = local_df(spark, [(f,) for f in files], "file string")
     wanted = set(columns) if columns else None
 
     def footers(batches):

@@ -48,7 +48,37 @@ __all__ = [
     "corr_matrix",
     "grouped_exact_quantiles",
     "diagnose_skew",
+    "local_df",
 ]
+
+
+def local_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Small driver-local rows -> DataFrame through pandas.
+
+    A plain ``createDataFrame(list)`` parallelizes ANY list into
+    ``defaultParallelism`` Python slices — a 32-task Python-worker
+    job to materialize a 3-row control frame, paid on every action
+    over it. The pandas route lands in O(rows) partitions and
+    transfers columnar when Arrow is enabled (~0.1 s vs ~0.5 s warm
+    per action at 32 cores). Use for SMALL metadata/control frames
+    of plain values (int/float/str/bytes, no nulls in numeric
+    columns — pandas would promote those to NaN floats); falls back
+    to the plain path for empty input.
+    """
+    import pandas as pd
+
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame(rows, schema)
+    if isinstance(schema, str):
+        names = [
+            f.strip().split()[0].strip("`") for f in schema.split(",")
+        ]
+    else:
+        names = list(schema.names)
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=names), schema
+    )
 
 
 def stable_round(col: Union[str, Column], scale: int = 6) -> Column:
@@ -149,8 +179,8 @@ def _add_partition_offsets(
     for pid, tot in totals:
         rows.append((pid, acc))
         acc += tot if tot is not None else 0
-    offsets = spark_df.sparkSession.createDataFrame(
-        rows, "_pid int, _offset long"
+    offsets = local_df(
+        spark_df.sparkSession, rows, "_pid int, _offset long"
     )
     return (
         numbered.join(F.broadcast(offsets), on="_pid")
