@@ -441,21 +441,25 @@ class SimHashDeduplicator:
         exploded = df.select(
             self.id_column, F.explode(tokens).alias("token")
         ).withColumn("h", h)
+        # the per-bit sums and the bit-packing fold are built as
+        # parsed SQL strings: the Column-API form costs ~8 py4j
+        # round-trips per bit (~1 s of driver time for 64 bits,
+        # per call) for the identical integer expressions
         bit_sums = [
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
+            F.expr(
+                f"sum(CASE WHEN (shiftright(h, {i}) & 1) = 1 "
+                "THEN 1 ELSE -1 END)"
             ).alias(f"_b{i}")
             for i in range(self.num_bits)
         ]
         agg = exploded.groupBy(self.id_column).agg(*bit_sums)
-        fingerprint = None
-        for i in range(self.num_bits):
-            bit = F.when(F.col(f"_b{i}") > 0, F.lit(1).cast("long")).otherwise(
-                F.lit(0).cast("long")
+        fingerprint = F.expr(
+            " ^ ".join(
+                f"shiftleft(CASE WHEN _b{i} > 0 THEN CAST(1 AS BIGINT) "
+                f"ELSE CAST(0 AS BIGINT) END, {i})"
+                for i in range(self.num_bits)
             )
-            term = F.shiftleft(bit, i)
-            fingerprint = term if fingerprint is None else fingerprint.bitwiseXOR(term)
+        )
         return agg.select(self.id_column, fingerprint.alias("simhash"))
 
     def candidate_pairs(self, df: DataFrame) -> DataFrame:
