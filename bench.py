@@ -113,6 +113,17 @@ def main():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # guide §2: let AQE size CACHED plans' partitions from data
+        # volume too (off by default for historical conservatism) —
+        # a cached tiny frame otherwise keeps all
+        # spark.sql.shuffle.partitions partitions and every consumer
+        # stage schedules that many near-empty tasks; at scale the
+        # same setting coalesces toward the advisory partition size,
+        # so the knob is scale-adaptive, not a local[32] constant
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         # guide §6: Arrow for driver<->JVM transfers (createDataFrame
         # from pandas / toPandas) — scale-independent, affects only
         # the driver boundary, never executor-side plans

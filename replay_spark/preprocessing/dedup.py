@@ -312,13 +312,16 @@ class MinHashLSHDeduplicator:
         # map-side-combined (post-combine volume is docs*k rows, then
         # docs rows).
         mersenne = (1 << 31) - 1
-        slot_hashes = F.array(
-            *[
-                F.pmod(
-                    F.col("_h1") + F.lit(i) * F.col("_h2"), F.lit(mersenne)
-                )
+        # one parsed expr string instead of k Column-API pmods (~5
+        # py4j round-trips each, ~0.3 s of driver time per call at
+        # k=64) — identical integer expressions
+        slot_hashes = F.expr(
+            "array("
+            + ",".join(
+                f"pmod(_h1 + {i} * _h2, {mersenne})"
                 for i in range(self.num_hashes)
-            ]
+            )
+            + ")"
         )
         per_slot = shingled.select(
             self.id_column, F.posexplode(slot_hashes).alias("_slot", "_g")
