@@ -3133,10 +3133,24 @@ class DSIRSelector:
         """``[<id_column>, n_features, log_weight]`` for every raw
         document (higher = more target-like)."""
         idc, B = self.id_column, self.num_buckets
-        raw_feats = self._features(raw_df)
+        # ONE tokenize+md5 pass over the raw corpus: the per-doc
+        # bucket multiplicities feed both the corpus bucket table
+        # (second-level sum) and the scoring join — previously the
+        # feature explode ran twice (once per consumer), a full extra
+        # corpus pass. The persisted frame is one row per (doc,
+        # distinct bucket) — far smaller than the feature stream —
+        # and is the amortization point that makes the single pass
+        # real (without it lineage recompute brings the second pass
+        # back).
+        raw_doc_buckets = (
+            self._features(raw_df)
+            .groupBy(idc, "_b")
+            .agg(F.count("*").alias("_n"))
+            .persist()
+        )
         tgt_feats = self._features(target_df)
-        raw_counts = raw_feats.groupBy("_b").agg(
-            F.count("*").alias("_cr")
+        raw_counts = raw_doc_buckets.groupBy("_b").agg(
+            F.sum("_n").alias("_cr")
         ).persist()
         tgt_counts = tgt_feats.groupBy("_b").agg(
             F.count("*").alias("_ct")
@@ -3159,11 +3173,13 @@ class DSIRSelector:
         )
         lut = buckets.select("_b", log_ratio.alias("_lr"))
         return (
-            raw_feats.join(F.broadcast(lut), on="_b")
+            raw_doc_buckets.join(F.broadcast(lut), on="_b")
             .groupBy(idc)
             .agg(
-                F.count("*").alias("n_features"),
-                stable_round(F.sum("_lr"), 6).alias("log_weight"),
+                F.sum("_n").alias("n_features"),
+                stable_round(
+                    F.sum(F.col("_n") * F.col("_lr")), 6
+                ).alias("log_weight"),
             )
         )
 
