@@ -51,9 +51,46 @@ class Metric:
     def __call__(
         self, recommendations: DataFrame, ground_truth: DataFrame
     ) -> dict:
-        self._check_duplicates(recommendations)
         enriched = self._get_enriched_recommendations(recommendations, ground_truth)
+        fused = self._compute_mean_fused(enriched)
+        if fused is not None:
+            return fused
+        self._check_duplicates(recommendations)
         return self._compute(enriched)
+
+    def _compute_mean_fused(self, enriched: DataFrame):
+        """Mean-mode fast path: every k's per-user kernel AND the
+        duplicate check ride ONE aggregation job over the enriched
+        frame (the dup check is a max() column — a (query, item)
+        duplicate in the recs is a repeated entry in that query's
+        pred list; duplicates of queries absent from the ground truth
+        cannot affect any metric value). Identical avg() doubles to
+        the per-k ``_compute`` path. Returns None for non-Mean modes
+        (they keep the generic path)."""
+        from replay_spark.metrics.descriptors import Mean
+
+        if type(self._mode) is not Mean:
+            return None
+        cols = [
+            self._per_user_value(k).alias(f"_v{i}")
+            for i, k in enumerate(self.topk)
+        ]
+        dup_flag = F.max(
+            F.when(
+                F.size("pred_item_id")
+                > F.size(F.array_distinct("pred_item_id")),
+                1,
+            ).otherwise(0)
+        ).alias("_dup")
+        row = enriched.select(*cols, "pred_item_id").agg(
+            *[F.avg(f"_v{i}").alias(f"_a{i}") for i in range(len(cols))],
+            dup_flag,
+        ).first()
+        if row["_dup"]:
+            self._warn_duplicates()
+        return self._aggregate_results(
+            {k: row[f"_a{i}"] for i, k in enumerate(self.topk)}
+        )
 
     def _check_duplicates(self, recommendations: DataFrame) -> None:
         dup = (
