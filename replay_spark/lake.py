@@ -1299,26 +1299,55 @@ class LakeTable:
                     if dv_updates[f] is not None
                 }
 
-                def _rows_at(dv_map):
-                    if not dv_map:
-                        return file_scan.drop("_fp", "_ri")
-                    pairs = self._dv_rows(dv_map, list(dv_map))
-                    kept = self._apply_dv(
-                        file_scan,
-                        pairs,
-                        small=self._dv_bytes(dv_map)
-                        <= self._DV_BROADCAST_BYTES,
+                # a dv repoint changes visibility by ROW POSITION, so
+                # the commit's delta is a set difference of the (file,
+                # row_index) vectors themselves — O(changed positions)
+                # — followed by one semi-join to fetch those rows.
+                # (The previous shape materialized both full kept-row
+                # sets and exceptAll'd them twice: two wide shuffles
+                # of every surviving row in the touched files.)
+                def _pos(dv_map):
+                    pairs = (
+                        self._dv_rows(dv_map, list(dv_map))
+                        if dv_map
+                        else None
                     )
-                    return kept.drop("_fp", "_ri")
+                    if pairs is None:
+                        return None
+                    return pairs.select(
+                        self._dv_file_key(F.col("file")).alias("_dv_key"),
+                        F.col("row_index").cast("long").alias("_dv_ri"),
+                    )
 
-                visible_before = _rows_at(before_map)
-                visible_after = _rows_at(after_map)
-                for df, kind in (
-                    (visible_before.exceptAll(visible_after), "delete"),
-                    (visible_after.exceptAll(visible_before), "insert"),
+                bpos, apos = _pos(before_map), _pos(after_map)
+                del_pos = (
+                    apos.exceptAll(bpos) if bpos is not None else apos
+                ) if apos is not None else None
+                ins_pos = (
+                    bpos.exceptAll(apos) if apos is not None else bpos
+                ) if bpos is not None else None
+                small = self._dv_bytes(
+                    {**before_map, **after_map}
+                ) <= self._DV_BROADCAST_BYTES
+
+                def _rows_for(pos):
+                    right = F.broadcast(pos) if small else pos
+                    cond = (
+                        F.substring_index(F.col("_fp"), "/data/", -1)
+                        == F.col("_dv_key")
+                    ) & (F.col("_ri") == F.col("_dv_ri"))
+                    return file_scan.join(right, cond, "left_semi").drop(
+                        "_fp", "_ri"
+                    )
+
+                for pos, kind in (
+                    (del_pos, "delete"),
+                    (ins_pos, "insert"),
                 ):
+                    if pos is None:
+                        continue
                     df = self._apply_mapping(
-                        df, end_mapping, end_schema_json
+                        _rows_for(pos), end_mapping, end_schema_json
                     )
                     parts.append(
                         df.withColumn(
