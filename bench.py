@@ -127,6 +127,13 @@ def main():
         # guide §6: Arrow for driver<->JVM transfers (createDataFrame
         # from pandas / toPandas) — scale-independent, affects only
         # the driver boundary, never executor-side plans
+        # (measured and rejected: coalescePartitions.parallelismFirst=
+        # false — the docs' production advice — cut the headline ~1 s
+        # but serialized the CPU-dense sf1 legs, where per-byte CPU
+        # cost dwarfs the 64 MB advisory target: dedup_clusters 3.2 ->
+        # 15.9 s, textrank 1.2 -> 3.6 s, ivf_ann 2.3 -> 4.3 s. This
+        # workload's stages are CPU-bound at small bytes, so
+        # parallelism-first is the right default here.)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
