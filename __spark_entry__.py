@@ -1180,15 +1180,16 @@ def q_cat_pop_rec(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = _interactions(spark, sf_dir).withColumn(
         "category", F.pmod("item_id", F.lit(5)).cast("long")
     )
-    tree = spark.createDataFrame(
+    tree = _local_df(
+        spark,
         [(100, 0), (100, 1), (101, 2), (101, 3), (101, 4), (102, 100), (102, 101)],
         "parent_cat long, category long",
     )
     model = CatPopRec(cat_tree=tree, rating_column=None).fit(
         inter.select("query_id", "item_id", "category")
     )
-    cats = spark.createDataFrame(
-        [(c,) for c in [0, 1, 2, 3, 4, 100, 101, 102]], "category long"
+    cats = _local_df(
+        spark, [(c,) for c in [0, 1, 2, 3, 4, 100, 101, 102]], "category long"
     )
     recs = model.predict(cats, k=3)
     return recs.select(

@@ -36,7 +36,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from replay_spark.utils.spark_utils import stable_round
+from replay_spark.utils.spark_utils import local_df, stable_round
 
 __all__ = ["HNSWANN"]
 
@@ -292,16 +292,18 @@ class HNSWANN:
             (i, int(self._ids[i]), [float(x) for x in self._vecs[i]])
             for i in range(len(self._ids))
         ]
-        spark.createDataFrame(
-            vec_rows, "node int, ext_id long, vec array<double>"
+        # driver-local frames via local_df: O(rows) partitions instead
+        # of defaultParallelism Python slices per write
+        local_df(
+            spark, vec_rows, "node int, ext_id long, vec array<double>"
         ).write.mode("overwrite").parquet(os.path.join(path, "vectors"))
         link_rows = [
             (i, lv, [int(n) for n in self._links[i][lv]])
             for i in range(len(self._links))
             for lv in range(len(self._links[i]))
         ]
-        spark.createDataFrame(
-            link_rows, "node int, level int, neighbors array<int>"
+        local_df(
+            spark, link_rows, "node int, level int, neighbors array<int>"
         ).write.mode("overwrite").parquet(os.path.join(path, "graph"))
 
     @classmethod

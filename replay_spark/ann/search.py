@@ -26,7 +26,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from replay_spark.utils.spark_utils import stable_round
+from replay_spark.utils.spark_utils import local_df, stable_round
 
 __all__ = ["BruteForceANN", "IVFANN", "LSHANN", "PQANN", "IVFPQANN"]
 
@@ -948,8 +948,11 @@ class PQANN:
             for j in range(len(self.codebooks))
             for c in range(len(self.codebooks[j]))
         ]
-        spark.createDataFrame(
-            books, "subspace int, code int, centroid array<double>"
+        # driver-local control frame: the pandas route lands in O(rows)
+        # partitions instead of a defaultParallelism-slice Python job
+        # (the coalesce(1) over that was the measured worst case)
+        local_df(
+            spark, books, "subspace int, code int, centroid array<double>"
         ).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(path, "codebooks")
         )
@@ -1313,7 +1316,11 @@ class IVFPQANN:
             },
         )
         spark = self._codes.sparkSession
-        spark.createDataFrame(
+        # driver-local control frames via local_df: O(rows) partitions
+        # instead of a defaultParallelism-slice Python job under the
+        # coalesce(1) (the measured worst case)
+        local_df(
+            spark,
             [
                 (i, [float(x) for x in c])
                 for i, c in enumerate(self.centroids)
@@ -1327,8 +1334,8 @@ class IVFPQANN:
             for j in range(len(self.codebooks))
             for c in range(len(self.codebooks[j]))
         ]
-        spark.createDataFrame(
-            books, "subspace int, code int, centroid array<double>"
+        local_df(
+            spark, books, "subspace int, code int, centroid array<double>"
         ).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(path, "codebooks")
         )

@@ -220,9 +220,15 @@ class SparkSequentialDataset:
         return np.asarray(rows[0][0])
 
     def filter_by_query_id(self, query_ids_to_keep) -> "SparkSequentialDataset":
+        from replay_spark.utils.spark_utils import local_df
+
         spark = self._sequences.sparkSession
-        keep = spark.createDataFrame(
-            [(int(q),) for q in query_ids_to_keep], f"{self._query_id_column} long"
+        # driver-local id frame via pandas: O(rows) partitions instead
+        # of defaultParallelism Python slices
+        keep = local_df(
+            spark,
+            [(int(q),) for q in query_ids_to_keep],
+            f"{self._query_id_column} long",
         )
         return SparkSequentialDataset(
             self._tensor_schema,

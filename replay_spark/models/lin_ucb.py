@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from replay_spark.data.dataset import Dataset
 from replay_spark.models.base import BaseRecommender
-from replay_spark.utils.spark_utils import vector_dot_expr
+from replay_spark.utils.spark_utils import local_df, vector_dot_expr
 
 __all__ = ["LinUCB"]
 
@@ -211,7 +211,10 @@ class LinUCB(BaseRecommender):
             )
             for item in self._arm_vec
         ]
-        arms = spark.createDataFrame(
+        # driver-local arm-state frame via pandas: O(rows) partitions
+        # instead of defaultParallelism Python slices
+        arms = local_df(
+            spark,
             arm_rows,
             f"{self.item_column} long, theta array<double>, a_inv array<double>",
         )

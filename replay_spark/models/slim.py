@@ -178,8 +178,12 @@ class SLIM(NeighbourRec):
                 }
             )
 
-        item_df = spark.createDataFrame(
-            [(int(i),) for i in items], st.StructType([st.StructField("item_idx_one", st.LongType())])
+        from replay_spark.utils.spark_utils import local_df
+
+        # driver-local id frame via pandas: O(rows) partitions instead
+        # of defaultParallelism Python slices
+        item_df = local_df(
+            spark, [(int(i),) for i in items], "item_idx_one long"
         )
         n_buckets = max(2 * sc.defaultParallelism, 8)
         self.similarity = (

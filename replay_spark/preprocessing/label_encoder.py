@@ -96,10 +96,15 @@ class LabelEncodingRule:
         self.default_value = default_value
         self._mapping_df: Optional[DataFrame] = None
         if mapping is not None:
+            from replay_spark.utils.spark_utils import local_df
+
             spark = SparkSession.getActiveSession()
-            self._mapping_df = spark.createDataFrame(
+            # driver-local mapping frame via pandas: O(rows) partitions
+            # instead of defaultParallelism Python slices per action
+            self._mapping_df = local_df(
+                spark,
                 [(k, v) for k, v in mapping.items()],
-                schema=f"{column} string, {self.encoded_column} long",
+                f"{column} string, {self.encoded_column} long",
             )
         self._is_fitted = mapping is not None
 
