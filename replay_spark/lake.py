@@ -1554,15 +1554,25 @@ class LakeTable:
         pass (collect_file_stats) over the given files."""
         import datetime as _dt
 
-        from replay_spark.utils.layout import collect_file_stats
+        from replay_spark.utils.layout import (
+            collect_file_stats,
+            collect_file_stats_rows,
+        )
 
         if not rel_files:
             return {}
-        rows = collect_file_stats(
-            self.spark,
-            [os.path.join(self.path, r) for r in rel_files],
-            cfg["columns"],
-        ).collect()
+        paths = [os.path.join(self.path, r) for r in rel_files]
+        if len(paths) <= 16:
+            # per-commit stats cover only the files that commit adds —
+            # usually a handful. Reading those footers on the driver
+            # (same code as the distributed pass) skips a whole Spark
+            # job (~0.1 s task scheduling + Python-worker round-trip)
+            # per commit; backfills over many files still fan out.
+            rows = collect_file_stats_rows(paths, cfg["columns"])
+        else:
+            rows = collect_file_stats(
+                self.spark, paths, cfg["columns"]
+            ).collect()
         out: dict = {}
         for r in rows:
             if r["column"] is None:

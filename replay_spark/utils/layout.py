@@ -38,6 +38,7 @@ __all__ = [
     "ZOrderLayout",
     "compact_parquet",
     "collect_file_stats",
+    "collect_file_stats_rows",
     "prune_files",
     "read_pruned",
 ]
@@ -182,6 +183,120 @@ _STATS_SCHEMA = (
 )
 
 
+def _footer_rows(fname: str, wanted) -> list:
+    """Per-file stats rows from ONE parquet footer — the shared core
+    of the distributed manifest pass (``collect_file_stats``) and the
+    zero-job driver path (``collect_file_stats_rows``). Returns the
+    exact dict-rows the mapInPandas batch yields for that file, in
+    the same (sorted-column) order."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(fname).metadata
+    schema = meta.schema
+    agg: dict = {}
+    for rg in range(meta.num_row_groups):
+        group = meta.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            name = schema.column(ci).name
+            if wanted is not None and name not in wanted:
+                continue
+            stats = col.statistics
+            if stats is None or not stats.has_min_max:
+                continue
+            cur = agg.setdefault(
+                name, {"null": 0, "min": None, "max": None}
+            )
+            cur["null"] += int(stats.null_count or 0)
+            mn, mx = stats.min, stats.max
+            if isinstance(mn, bytes):
+                mn = mn.decode("utf-8", "replace")
+                mx = mx.decode("utf-8", "replace")
+            if isinstance(mn, datetime.datetime):
+                # normalize to UTC-naive: every session in this
+                # engine pins session.timeZone=UTC, so naive literals
+                # compare correctly; the residual filter keeps the
+                # answer exact regardless
+                if mn.tzinfo is not None:
+                    mn = mn.astimezone(
+                        datetime.timezone.utc
+                    ).replace(tzinfo=None)
+                    mx = mx.astimezone(
+                        datetime.timezone.utc
+                    ).replace(tzinfo=None)
+            elif isinstance(mn, datetime.date):
+                # date32 stats arrive as datetime.date; promote to
+                # midnight datetime so they land in min_ts/max_ts
+                # (date values ARE whole days, so midnight is exact —
+                # otherwise the stats row carries all-NULL typed
+                # min/max and a date-bounded prune would drop the
+                # file)
+                mn = datetime.datetime.combine(mn, datetime.time())
+                mx = datetime.datetime.combine(mx, datetime.time())
+            cur["min"] = mn if cur["min"] is None else min(cur["min"], mn)
+            cur["max"] = mx if cur["max"] is None else max(cur["max"], mx)
+    rows = []
+    if not agg:
+        # a file with zero stat-bearing columns must still appear in
+        # the manifest — otherwise it vanishes from both the kept
+        # list and the file total (data loss, not just a missed
+        # prune)
+        rows.append(
+            {
+                "file": fname,
+                "n_rows": int(meta.num_rows),
+                "n_row_groups": int(meta.num_row_groups),
+                "column": None,
+                "null_count": None,
+                "min_long": None, "max_long": None,
+                "min_double": None, "max_double": None,
+                "min_str": None, "max_str": None,
+                "min_ts": None, "max_ts": None,
+            }
+        )
+    for name, cur in sorted(agg.items()):
+        mn, mx = cur["min"], cur["max"]
+        is_bool = isinstance(mn, bool)
+        is_int = isinstance(mn, int) and not is_bool
+        is_float = isinstance(mn, float)
+        import datetime as _dt
+
+        is_dt = isinstance(mn, _dt.datetime)
+        rows.append(
+            {
+                "file": fname,
+                "n_rows": int(meta.num_rows),
+                "n_row_groups": int(meta.num_row_groups),
+                "column": name,
+                "null_count": cur["null"],
+                "min_long": int(mn) if is_int else None,
+                "max_long": int(mx) if is_int else None,
+                "min_double": float(mn) if is_float else None,
+                "max_double": float(mx) if is_float else None,
+                "min_str": mn if isinstance(mn, str) else None,
+                "max_str": mx if isinstance(mx, str) else None,
+                "min_ts": mn if is_dt else None,
+                "max_ts": mx if is_dt else None,
+            }
+        )
+    return rows
+
+
+def collect_file_stats_rows(files, columns=None) -> list:
+    """Driver-side footer pass: the same rows ``collect_file_stats``
+    would produce, as plain dicts, with ZERO Spark jobs. The right
+    tool when the file list is a handful (a single commit's adds):
+    launching a distributed job to read a few footers costs ~0.1 s of
+    task scheduling + a Python-worker round-trip per call, while the
+    driver reads the same footers with the same code in ~1 ms each.
+    Large lists (backfill, OPTIMIZE) belong on the distributed pass —
+    O(files) tiny tasks across the cluster."""
+    wanted = set(columns) if columns else None
+    return [r for f in sorted(files) for r in _footer_rows(f, wanted)]
+
+
 def collect_file_stats(spark, path: str, columns=None) -> "DataFrame":
     """Per-file column statistics from parquet FOOTERS only — the
     data-skipping manifest a lakehouse table format (Delta/Iceberg/
@@ -214,109 +329,12 @@ def collect_file_stats(spark, path: str, columns=None) -> "DataFrame":
     wanted = set(columns) if columns else None
 
     def footers(batches):
-        import datetime
-
         import pandas as pd
-        import pyarrow.parquet as pq
 
         for pdf in batches:
             rows = []
             for fname in pdf["file"]:
-                meta = pq.ParquetFile(fname).metadata
-                schema = meta.schema
-                agg: dict = {}
-                for rg in range(meta.num_row_groups):
-                    group = meta.row_group(rg)
-                    for ci in range(group.num_columns):
-                        col = group.column(ci)
-                        name = schema.column(ci).name
-                        if wanted is not None and name not in wanted:
-                            continue
-                        stats = col.statistics
-                        if stats is None or not stats.has_min_max:
-                            continue
-                        cur = agg.setdefault(
-                            name, {"null": 0, "min": None, "max": None}
-                        )
-                        cur["null"] += int(stats.null_count or 0)
-                        mn, mx = stats.min, stats.max
-                        if isinstance(mn, bytes):
-                            mn = mn.decode("utf-8", "replace")
-                            mx = mx.decode("utf-8", "replace")
-                        if isinstance(mn, datetime.datetime):
-                            # normalize to UTC-naive: every session in
-                            # this engine pins session.timeZone=UTC, so
-                            # naive literals compare correctly; the
-                            # residual filter keeps the answer exact
-                            # regardless
-                            if mn.tzinfo is not None:
-                                mn = mn.astimezone(
-                                    datetime.timezone.utc
-                                ).replace(tzinfo=None)
-                                mx = mx.astimezone(
-                                    datetime.timezone.utc
-                                ).replace(tzinfo=None)
-                        elif isinstance(mn, datetime.date):
-                            # date32 stats arrive as datetime.date;
-                            # promote to midnight datetime so they
-                            # land in min_ts/max_ts (date values ARE
-                            # whole days, so midnight is exact —
-                            # otherwise the stats row carries all-NULL
-                            # typed min/max and a date-bounded prune
-                            # would drop the file)
-                            mn = datetime.datetime.combine(
-                                mn, datetime.time()
-                            )
-                            mx = datetime.datetime.combine(
-                                mx, datetime.time()
-                            )
-                        cur["min"] = (
-                            mn if cur["min"] is None else min(cur["min"], mn)
-                        )
-                        cur["max"] = (
-                            mx if cur["max"] is None else max(cur["max"], mx)
-                        )
-                if not agg:
-                    # a file with zero stat-bearing columns must
-                    # still appear in the manifest — otherwise it
-                    # vanishes from both the kept list and the file
-                    # total (data loss, not just a missed prune)
-                    rows.append(
-                        {
-                            "file": fname,
-                            "n_rows": int(meta.num_rows),
-                            "n_row_groups": int(meta.num_row_groups),
-                            "column": None,
-                            "null_count": None,
-                            "min_long": None, "max_long": None,
-                            "min_double": None, "max_double": None,
-                            "min_str": None, "max_str": None,
-                            "min_ts": None, "max_ts": None,
-                        }
-                    )
-                for name, cur in sorted(agg.items()):
-                    mn, mx = cur["min"], cur["max"]
-                    is_bool = isinstance(mn, bool)
-                    is_int = isinstance(mn, int) and not is_bool
-                    is_float = isinstance(mn, float)
-                    is_dt = isinstance(mn, datetime.datetime)
-                    rows.append(
-                        {
-                            "file": fname,
-                            "n_rows": int(meta.num_rows),
-                            "n_row_groups": int(meta.num_row_groups),
-                            "column": name,
-                            "null_count": cur["null"],
-                            "min_long": int(mn) if is_int else None,
-                            "max_long": int(mx) if is_int else None,
-                            "min_double": float(mn) if is_float else None,
-                            "max_double": float(mx) if is_float else None,
-                            "min_str": mn if isinstance(mn, str) else None,
-                            "max_str": mx if isinstance(mx, str) else None,
-                            "min_ts": mn if is_dt else None,
-                            "max_ts": mx if is_dt else None,
-                        }
-                    )
+                rows.extend(_footer_rows(fname, wanted))
             yield pd.DataFrame(
                 rows,
                 columns=[
