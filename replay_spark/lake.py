@@ -850,7 +850,10 @@ class LakeTable:
                 return self.spark.createDataFrame([], schema)
             raise FileNotFoundError(f"no snapshot at {self.path}@{version}")
         scan = self._scan_with_dv(
-            live, dvs, merge_schema=len(distinct_schemas) > 1
+            live, dvs, merge_schema=len(distinct_schemas) > 1,
+            schema_json=self._uniform_schema(
+                distinct_schemas, mapping, schema_json
+            ),
         )
         return self._apply_mapping(scan, mapping, schema_json)
 
@@ -964,9 +967,15 @@ class LakeTable:
             by_sidecar.setdefault(dv, []).append(self._dv_suffix(f))
         out = None
         for dv, keys in sorted(by_sidecar.items()):
-            part = self.spark.read.parquet(
-                os.path.join(self.path, dv)
-            ).filter(self._dv_file_key(F.col("file")).isin(keys))
+            # sidecar schema is engine-enforced at write
+            # (_write_dv_sidecar casts to exactly these two columns);
+            # passing it skips the per-read footer-inference job —
+            # paid per sidecar per commit on the DV/CDF paths
+            part = (
+                self.spark.read.schema("file string, row_index long")
+                .parquet(os.path.join(self.path, dv))
+                .filter(self._dv_file_key(F.col("file")).isin(keys))
+            )
             out = part if out is None else out.unionByName(part)
         return out
 
@@ -1016,21 +1025,44 @@ class LakeTable:
             F.col("_metadata.row_index").cast("long").alias("_ri"),
         )
 
+    @staticmethod
+    def _uniform_schema(schemas, mapping, schema_json):
+        """Explicit read schema for the live-file scan, or None.
+
+        Safe ONLY when the table has never evolved (one schema era —
+        ``schemas`` accumulates every schema commit the fold saw) and
+        carries no column mapping: then every data file's physical
+        layout IS the logical schema, so handing it to the reader is
+        a no-op for results and skips the footer schema-inference job
+        ``read.parquet`` otherwise runs at plan time — paid once per
+        scan, i.e. per DML/read call."""
+        if mapping is None and schema_json and len(schemas) == 1:
+            return schema_json
+        return None
+
     def _scan_with_dv(
         self,
         files_rel: List[str],
         dvs: dict,
         merge_schema: bool = False,
         keep_meta: bool = False,
+        schema_json: Optional[str] = None,
     ) -> DataFrame:
         """Physical-schema scan of ``files_rel`` with deletion
         vectors applied — the shared reader under read()/rewrites.
         Clean files take the plain zero-overhead path; only dv'd
         files pay the anti-join. ``keep_meta`` carries ``_fp``/
-        ``_ri`` (file path, row index) into the result."""
+        ``_ri`` (file path, row index) into the result.
+        ``schema_json`` (from :meth:`_uniform_schema`'s guard) skips
+        footer schema inference when the caller proved every file
+        shares that exact physical schema."""
         reader = self.spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
+        elif schema_json:
+            reader = reader.schema(
+                StructType.fromJson(json.loads(schema_json))
+            )
         dvd = [f for f in files_rel if f in dvs]
         clean = [f for f in files_rel if f not in dvs]
         parts = []
@@ -1251,15 +1283,28 @@ class LakeTable:
         # every era; present the whole feed under the END version's
         # logical names (a column renamed mid-feed appears under its
         # new name throughout — physical identity is stable)
-        _, end_schema_json, _, _, _, _, end_mapping, _ = self._fold_state(
-            end_version
+        (
+            _, end_schema_json, end_schemas, _, _, _, end_mapping, _,
+        ) = self._fold_state(end_version)
+        # every file the feed reads (added, pre-image or repointed)
+        # was written under a schema commit the end_version fold saw
+        # (checkpoints carry the full distinct-schema set), so the
+        # one-era guard that skips footer inference on snapshot scans
+        # applies to the whole feed as well
+        uniform = self._uniform_schema(
+            end_schemas, end_mapping, end_schema_json
         )
         parts: List[DataFrame] = []
 
         def _read_files(rel: List[str]) -> Optional[DataFrame]:
             if not rel:
                 return None
-            return self.spark.read.parquet(
+            reader = self.spark.read
+            if uniform:
+                reader = reader.schema(
+                    StructType.fromJson(json.loads(uniform))
+                )
+            return reader.parquet(
                 *[os.path.join(self.path, p) for p in rel]
             )
 
@@ -1286,9 +1331,7 @@ class LakeTable:
                 # otherwise explode the feed's plan), diffed under
                 # the pre- and post-commit vectors
                 file_scan = self._with_meta(
-                    self.spark.read.parquet(
-                        *[os.path.join(self.path, f) for f in repointed]
-                    )
+                    _read_files(repointed)
                 )
                 before_map = {
                     f: dv_state[f] for f in repointed if f in dv_state
@@ -1372,7 +1415,9 @@ class LakeTable:
             # era) must not report dv-deleted rows as inserts
             added_rel = c.get("add", [])
             if any(f in dv_state for f in added_rel):
-                added = self._scan_with_dv(added_rel, dv_state)
+                added = self._scan_with_dv(
+                    added_rel, dv_state, schema_json=uniform
+                )
             else:
                 added = _read_files(added_rel)
             # pre-image files read through their PRE-commit deletion
@@ -1383,7 +1428,9 @@ class LakeTable:
                 f: dv_state[f] for f in removed_rel if f in dv_state
             }
             if removed_rel and removed_dvs:
-                removed = self._scan_with_dv(removed_rel, dv_state)
+                removed = self._scan_with_dv(
+                    removed_rel, dv_state, schema_json=uniform
+                )
             else:
                 removed = _read_files(removed_rel)
             if op == "append":
@@ -2814,6 +2861,9 @@ class LakeTable:
             live, dvs,
             merge_schema=len(distinct_schemas) > 1,
             keep_meta=True,
+            schema_json=self._uniform_schema(
+                distinct_schemas, mapping, schema_json
+            ),
         )
         logical = self._apply_mapping(
             scan, mapping, schema_json, keep=("_fp", "_ri")
@@ -2847,7 +2897,12 @@ class LakeTable:
         # the rewrite (which also sheds logically-dropped columns).
         # The DV-aware scan keeps previously-dv-deleted rows out of
         # the survivor set; the remove pops their pointers.
-        raw = self._scan_with_dv(touched_rel, dvs)
+        raw = self._scan_with_dv(
+            touched_rel, dvs,
+            schema_json=self._uniform_schema(
+                distinct_schemas, mapping, schema_json
+            ),
+        )
         survivors = self._apply_mapping(
             raw, mapping, schema_json
         ).filter(~F.coalesce(cond, F.lit(False)))
@@ -2959,6 +3014,9 @@ class LakeTable:
             live, dvs,
             merge_schema=len(distinct_schemas) > 1,
             keep_meta=True,
+            schema_json=self._uniform_schema(
+                distinct_schemas, mapping, schema_json
+            ),
         )
         logical = self._apply_mapping(
             scan, mapping, schema_json, keep=("_fp", "_ri")
@@ -3005,7 +3063,14 @@ class LakeTable:
         ]
         touched_rel = [os.path.relpath(p, self.path) for p in touched]
         raw = self._apply_mapping(
-            self._scan_with_dv(touched_rel, dvs), mapping, schema_json
+            self._scan_with_dv(
+                touched_rel, dvs,
+                schema_json=self._uniform_schema(
+                    distinct_schemas, mapping, schema_json
+                ),
+            ),
+            mapping,
+            schema_json,
         )
         rewritten = raw.select(
             *[
@@ -3197,7 +3262,10 @@ class LakeTable:
             # does, else the multi-file scan adopts ONE file's schema
             # and silently drops columns present only in other eras
             rows = self._scan_with_dv(
-                selected, dvs, merge_schema=len(fold[2]) > 1
+                selected, dvs, merge_schema=len(fold[2]) > 1,
+                schema_json=self._uniform_schema(
+                    fold[2], mapping, schema_json
+                ),
             )
             total = sum(
                 os.path.getsize(os.path.join(self.path, p))
@@ -3329,7 +3397,10 @@ class LakeTable:
 
         def _pack(key: tuple, rels: List[str]):
             rows = self._scan_with_dv(
-                rels, dvs, merge_schema=len(schemas) > 1
+                rels, dvs, merge_schema=len(schemas) > 1,
+                schema_json=self._uniform_schema(
+                    schemas, mapping, schema_json
+                ),
             )
             logical = self._apply_mapping(rows, mapping, schema_json)
             rows = self._to_physical(logical, mapping)
@@ -3697,6 +3768,9 @@ class LakeTable:
                     live_rel, dvs,
                     merge_schema=len(distinct_schemas) > 1,
                     keep_meta=True,
+                    schema_json=self._uniform_schema(
+                        distinct_schemas, mapping, schema_json
+                    ),
                 ),
                 mapping,
                 schema_json,
@@ -3719,7 +3793,12 @@ class LakeTable:
         ]
         base = (
             self._apply_mapping(
-                self._scan_with_dv(touched_rel_scan, dvs),
+                self._scan_with_dv(
+                    touched_rel_scan, dvs,
+                    schema_json=self._uniform_schema(
+                        distinct_schemas, mapping, schema_json
+                    ),
+                ),
                 mapping,
                 getattr(self, "_last_schema_json", None),
             )
