@@ -106,9 +106,25 @@ class BaseRecommender(ABC):
         self._fit_items_base = items.distinct().cache()
         self.fit_queries = F.broadcast(self._fit_queries_base)
         self.fit_items = F.broadcast(self._fit_items_base)
-        if dataset.query_features is None and dataset.item_features is None:
+        # universe sizes are LAZY: most models never read them on the
+        # fit/predict path, and an unread count is a whole skipped
+        # action chain (the agg is a full distinct-shuffle of the log
+        # at scale). First property access runs the same combined agg
+        # the eager path ran — identical values, just on demand.
+        for stale in ("_num_queries", "_num_items"):
+            if hasattr(self, stale):
+                delattr(self, stale)
+        self._universe_from_interactions = (
+            dataset.query_features is None and dataset.item_features is None
+        )
+        self._universe_interactions = dataset.interactions
+        self._fit(dataset)
+        return self
+
+    def _compute_universe_counts(self) -> None:
+        if getattr(self, "_universe_from_interactions", False):
             # both universes come from interactions → one combined job
-            row = dataset.interactions.agg(
+            row = self._universe_interactions.agg(
                 F.countDistinct(self.query_column).alias("q"),
                 F.countDistinct(self.item_column).alias("i"),
             ).first()
@@ -116,15 +132,17 @@ class BaseRecommender(ABC):
         else:
             self._num_queries = self.fit_queries.count()
             self._num_items = self.fit_items.count()
-        self._fit(dataset)
-        return self
 
     @property
     def queries_count(self) -> int:
+        if not hasattr(self, "_num_queries"):
+            self._compute_universe_counts()
         return self._num_queries
 
     @property
     def items_count(self) -> int:
+        if not hasattr(self, "_num_items"):
+            self._compute_universe_counts()
         return self._num_items
 
     @abstractmethod
@@ -243,7 +261,7 @@ class BaseRecommender(ABC):
         """Default: full predict joined back onto the pairs."""
         queries = pairs.select(self.query_column).distinct()
         items = pairs.select(self.item_column).distinct()
-        full = self._predict(dataset, self._num_items, queries, items, False)
+        full = self._predict(dataset, self.items_count, queries, items, False)
         return full.join(pairs, on=[self.query_column, self.item_column], how="inner")
 
     # -- shared helpers ----------------------------------------------------
@@ -447,6 +465,13 @@ class BaseRecommender(ABC):
             self.fit_items.write.mode("overwrite").parquet(str(base / "fit_items.parquet"))
 
     def _save_scalars(self) -> dict:
+        # a fit model always persists its universe sizes (loaded
+        # models have no interactions to recount) — force the lazy
+        # computation here so saved artifacts match the eager era
+        if not hasattr(self, "_num_items") and getattr(
+            self, "_universe_interactions", None
+        ) is not None:
+            self._compute_universe_counts()
         out = {}
         for attr in ("fill", "_num_queries", "_num_items", "full_count"):
             if hasattr(self, attr):
@@ -541,7 +566,15 @@ class NonPersonalizedRecommender(BaseRecommender, ABC):
             F.col(self.rating_column).desc(),
             F.col(self.item_column).desc(),
         ]
-        if (getattr(self, "_num_items", 0) or 0) > 1_000_000:
+        n_items = getattr(self, "_num_items", None)
+        if n_items is None and getattr(
+            self, "_universe_interactions", None
+        ) is not None:
+            # fit model, count not yet pulled: the branch choice needs
+            # the true size (a >1M catalog must NOT take the one-task
+            # window), so this is a genuine consumer of the lazy count
+            n_items = self.items_count
+        if (n_items or 0) > 1_000_000:
             # item universe too large for a one-task window: two-phase
             # range-partition numbering (same ranks, no global sort)
             from replay_spark.utils.spark_utils import ordered_row_numbers
