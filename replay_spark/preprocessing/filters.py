@@ -330,11 +330,15 @@ class QuantileItemsFilter(_BaseFilter):
         n_items = items_distribution.count()
         h = (n_items - 1) * self.alpha_quantile
         lo_k, hi_k = int(math.floor(h)) + 1, int(math.ceil(h)) + 1
-        lo_val = kth_smallest(items_distribution, "counts_items", lo_k)
+        lo_val = kth_smallest(
+            items_distribution, "counts_items", lo_k, n=n_items
+        )
         hi_val = (
             lo_val
             if hi_k == lo_k
-            else kth_smallest(items_distribution, "counts_items", hi_k)
+            else kth_smallest(
+                items_distribution, "counts_items", hi_k, n=n_items
+            )
         )
         count_threshold = (lo_val + hi_val) / 2.0
         df_with_counts = df.join(items_distribution, on=self.item_column).join(

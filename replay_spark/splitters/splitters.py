@@ -174,8 +174,13 @@ class TimeSplitter(Splitter):
                 else F.col(self.timestamp_column)
             )
             nums = interactions.select(num.alias("_ts_num"))
-            test_start_idx = int(nums.count() * (1 - threshold)) + 1
-            cut = self._kth_smallest(nums, "_ts_num", test_start_idx)
+            n_rows = nums.count()
+            test_start_idx = int(n_rows * (1 - threshold)) + 1
+            # n is already known — skip kth_smallest's first-pass
+            # recount of the same frame
+            cut = self._kth_smallest(
+                nums, "_ts_num", test_start_idx, n=n_rows
+            )
             if cut is None:
                 raise ValueError(
                     "time_threshold fraction leaves no test rows"

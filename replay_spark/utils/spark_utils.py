@@ -225,6 +225,7 @@ def kth_smallest(
     k: int,
     max_slice: int = 1_000_000,
     rel_err: float = 1e-4,
+    n: Optional[int] = None,
 ):
     """Exact k-th smallest value of a numeric column, distributed —
     no global sort.
@@ -240,7 +241,11 @@ def kth_smallest(
 
     cur, cur_k = df, k
     for _ in range(8):
-        n = cur.count()
+        # callers that already counted the frame pass ``n`` to skip
+        # the first-pass recount action; later passes recount their
+        # (filtered) slice as before
+        if n is None:
+            n = cur.count()
         if n <= max_slice:
             break
         p = cur_k / n
@@ -256,6 +261,7 @@ def kth_smallest(
             (sfn.col(colname) >= lo) & (sfn.col(colname) <= hi)
         )
         cur_k = cur_k - c_lo
+        n = None
     return cur.sort(colname).limit(cur_k).agg(sfn.max(colname)).first()[0]
 
 
@@ -1220,7 +1226,7 @@ def exact_quantiles(
         # 2475.0000000000005)
         frac = Fraction(str(float(p))).limit_denominator(10**6)
         k = max(1, -((-n * frac.numerator) // frac.denominator))
-        out.append(kth_smallest(df, colname, k))
+        out.append(kth_smallest(df, colname, k, n=n))
     return out
 
 
