@@ -2059,3 +2059,30 @@ def test_compact_small_files_many_partition_groups_concurrent(
     ]
     # idempotent: nothing left to pack
     assert t.compact_small_files(small_file_bytes=10 * 1024 * 1024) == v
+
+
+def test_uniform_schema_guard(spark, tmp_path):
+    """The explicit-read-schema shortcut applies ONLY to single-era,
+    unmapped tables; schema evolution or column mapping must keep
+    the inference/mergeSchema path (results over evolved tables are
+    covered by the evolution tests — this pins the guard itself)."""
+    t = LakeTable(spark, str(tmp_path / "u"))
+    t.append(spark.range(3).select(F.col("id").alias("a")))
+    (
+        live, schema_json, schemas, _, _, _, mapping, _,
+    ) = t._fold_state(t.latest_version())
+    assert t._uniform_schema(schemas, mapping, schema_json) == schema_json
+    # two schema eras -> no shortcut
+    t.append(
+        spark.range(2).select(
+            F.col("id").alias("a"), F.lit("x").alias("b")
+        ),
+        merge_schema=True,
+    )
+    (
+        live, schema_json2, schemas2, _, _, _, mapping2, _,
+    ) = t._fold_state(t.latest_version())
+    assert len(schemas2) > 1
+    assert t._uniform_schema(schemas2, mapping2, schema_json2) is None
+    # any column mapping -> no shortcut
+    assert t._uniform_schema(schemas, {"a": "c0"}, schema_json) is None

@@ -377,3 +377,27 @@ def test_query_pop_rec_reference_doctest(spark):
         for r in recs.collect()
     }
     assert got == {(1, 1): 0.666667, (3, 3): 1.0}
+
+
+def test_universe_counts_lazy_and_saved(spark, dataset):
+    """fit() must not run the universe countDistinct action eagerly:
+    the memo appears only on first queries_count/items_count access,
+    the values match a direct computation, and _save_scalars still
+    carries both (forced for saved artifacts)."""
+    from pyspark.sql import functions as F
+
+    model = ItemKNN(num_neighbours=2).fit(dataset)
+    assert not hasattr(model, "_num_queries")
+    assert not hasattr(model, "_num_items")
+    row = dataset.interactions.agg(
+        F.countDistinct("query_id").alias("q"),
+        F.countDistinct("item_id").alias("i"),
+    ).first()
+    assert model.queries_count == row["q"]
+    assert model.items_count == row["i"]
+    assert hasattr(model, "_num_queries")
+
+    fresh = ItemKNN(num_neighbours=2).fit(dataset)
+    scalars = fresh._save_scalars()
+    assert scalars["_num_queries"] == row["q"]
+    assert scalars["_num_items"] == row["i"]

@@ -418,3 +418,25 @@ def test_ensure_min_parallelism(spark):
         spark.range(0, 10_000, 1, 1), min_partitions=2, rows_per_task=10
     )
     assert out2.rdd.getNumPartitions() == 2
+
+
+def test_kth_smallest_known_count_matches(spark):
+    """Passing the caller's known row count (n=) must change nothing:
+    same value with and without, including when the bracketing loop
+    runs and must recount its own filtered slices."""
+    import random
+
+    from replay_spark.utils.spark_utils import kth_smallest
+
+    random.seed(11)
+    vals = [random.randint(0, 10**9) for _ in range(20000)]
+    df = spark.createDataFrame([(v,) for v in vals], "t long")
+    svals = sorted(vals)
+    for k in (1, 5000, 20000):
+        plain = kth_smallest(df, "t", k, max_slice=1500, rel_err=1e-3)
+        with_n = kth_smallest(
+            df, "t", k, max_slice=1500, rel_err=1e-3, n=len(vals)
+        )
+        assert plain == with_n == svals[k - 1]
+    # single-pass path (n below max_slice) too
+    assert kth_smallest(df, "t", 7, n=len(vals)) == svals[6]
