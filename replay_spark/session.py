@@ -14,7 +14,38 @@ from typing import Optional
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark_session", "State"]
+__all__ = ["default_session_conf", "get_spark_session", "State"]
+
+
+def default_session_conf(shuffle_partitions: int) -> dict:
+    """The engine's session defaults (also mirrored by bench.py).
+
+    Each entry is scale-parameterised, not a local constant:
+    AQE sizes partitions from observed data volume; the
+    cached-plan flag lets AQE re-size CACHED frames too (otherwise
+    ``spark.sql.shuffle.partitions`` is frozen into the
+    InMemoryRelation and every consumer of a tiny cached frame
+    schedules near-empty tasks — the model-lifecycle paths cache
+    train/test/recs and pay that dozens of times; at 100 TB the same
+    flag coalesces toward ``advisoryPartitionSizeInBytes``); Arrow
+    affects only the driver<->Python boundary.
+    """
+    return {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        # int64 micros, not deprecated INT96: INT96 timestamps carry
+        # NO parquet min/max statistics, which silently disables
+        # every stats-based file-skipping path (lake read_where,
+        # prune_files) on event-time columns — the single most
+        # valuable pruning dimension at 100 TB. Delta/Iceberg
+        # likewise mandate int64 timestamps.
+        "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+    }
 
 
 def get_spark_session(
@@ -38,25 +69,12 @@ def get_spark_session(
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or max(int(cpus) * 2, 8)
 
-    builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        # int64 micros, not deprecated INT96: INT96 timestamps carry
-        # NO parquet min/max statistics, which silently disables
-        # every stats-based file-skipping path (lake read_where,
-        # prune_files) on event-time columns — the single most
-        # valuable pruning dimension at 100 TB. Delta/Iceberg
-        # likewise mandate int64 timestamps.
-        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-        .config("spark.driver.memory", os.environ.get("REPLAY_SPARK_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
-    )
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for key, value in default_session_conf(shuffle_partitions).items():
+        builder = builder.config(key, value)
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("REPLAY_SPARK_DRIVER_MEM", "8g")
+    ).config("spark.ui.enabled", "false")
     if extra_conf:
         for key, value in extra_conf.items():
             builder = builder.config(key, value)
