@@ -856,10 +856,10 @@ class PQANN:
             books.append(_lloyd_update(sub, cents, self.iters))
         self.codebooks = np.stack(books)  # (m, ksub, dsub)
         self._corpus = corpus
-        self._codes = self._encode(corpus).persist()
+        self._codes = self._encode(corpus, n=n).persist()
         return self
 
-    def _encode(self, df: DataFrame) -> DataFrame:
+    def _encode(self, df: DataFrame, n: Optional[int] = None) -> DataFrame:
         import numpy as np
         import pandas as pd
 
@@ -891,9 +891,16 @@ class PQANN:
 
         from replay_spark.utils.spark_utils import ensure_min_parallelism
 
-        return ensure_min_parallelism(df.select(idc, vc)).mapInPandas(
-            enc, schema="vec_id long, codes array<bigint>"
-        )
+        # rows_per_task sized to the MEASURED encode kernel (~10-20
+        # µs/row: argmin over m×ksub integerized distances), not the
+        # JPEG-decode default of 256 (ms/row): a 2 000-row gate input
+        # is a 20 ms single task, so repartitioning it was pure
+        # overhead (the one real r15 PERF regression, q_pq_ann_fixed
+        # 0.72 -> 1.05 s); a 20 000-row 10× input still fans out to
+        # ~10 meaty tasks, keeping the sf1 win.
+        return ensure_min_parallelism(
+            df.select(idc, vc), rows_per_task=2048, n=n
+        ).mapInPandas(enc, schema="vec_id long, codes array<bigint>")
 
     def append(self, new_corpus: DataFrame) -> "PQANN":
         """Incremental maintenance: encode NEW vectors under the
@@ -1227,10 +1234,10 @@ class IVFPQANN:
             ]
         )
         self._corpus = corpus
-        self._codes = self._encode(corpus).persist()
+        self._codes = self._encode(corpus, n=n).persist()
         return self
 
-    def _encode(self, df: DataFrame) -> DataFrame:
+    def _encode(self, df: DataFrame, n: Optional[int] = None) -> DataFrame:
         import numpy as np
         import pandas as pd
 
@@ -1266,9 +1273,12 @@ class IVFPQANN:
 
         from replay_spark.utils.spark_utils import ensure_min_parallelism
 
-        return ensure_min_parallelism(df.select(idc, vc)).mapInPandas(
-            enc, schema="vec_id long, cell int, codes array<bigint>"
-        )
+        # same kernel-matched task sizing as PQANN._encode (see the
+        # comment there): gate-scale inputs stay one task, 10× inputs
+        # fan out to meaty tasks
+        return ensure_min_parallelism(
+            df.select(idc, vc), rows_per_task=2048, n=n
+        ).mapInPandas(enc, schema="vec_id long, cell int, codes array<bigint>")
 
     def append(self, new_corpus: DataFrame) -> "IVFPQANN":
         """Incremental maintenance under frozen coarse centroids AND

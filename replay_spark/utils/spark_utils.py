@@ -1234,6 +1234,7 @@ def ensure_min_parallelism(
     df: DataFrame,
     min_partitions: Optional[int] = None,
     rows_per_task: int = 256,
+    n: Optional[int] = None,
 ) -> DataFrame:
     """Round-robin repartition a DataFrame UP toward
     ``min_partitions`` (default ``sparkContext.defaultParallelism``)
@@ -1265,12 +1266,28 @@ def ensure_min_parallelism(
     (so the shuffle moves only surviving rows). JVM-only pipelines
     don't need it: their aggregations re-shuffle to
     ``spark.sql.shuffle.partitions`` anyway.
+
+    ``n``: callers that already know the row count (a ``fit`` that
+    counted the corpus one line earlier) pass it to skip the
+    small-path count job entirely; partitioning is a no-results
+    concern, so a stale-but-close count is harmless.
     """
     cap = min_partitions
     if cap is None:
         cap = df.sparkSession.sparkContext.defaultParallelism
     if cap <= 1:
         return df
+    if n is not None:
+        # known-count fast path: decide the target BEFORE touching
+        # df.rdd — when one task suffices, skip plan finalization and
+        # the count job both (the r15 bench measured that machinery
+        # at ~0.3 s on the tiny-input PQ encode path)
+        target = min(cap, -(-n // max(1, rows_per_task)))
+        if target <= 1:
+            return df
+        if df.rdd.getNumPartitions() >= target:
+            return df
+        return df.repartition(target)
     current = df.rdd.getNumPartitions()
     if current >= cap:
         return df

@@ -418,6 +418,16 @@ def test_ensure_min_parallelism(spark):
         spark.range(0, 10_000, 1, 1), min_partitions=2, rows_per_task=10
     )
     assert out2.rdd.getNumPartitions() == 2
+    # known-count fast path: same partitioning decisions as the
+    # counted path, no internal count job
+    df1 = spark.range(0, 10_000, 1, 1)
+    out3 = ensure_min_parallelism(df1, rows_per_task=256, n=10_000)
+    assert out3.rdd.getNumPartitions() == expected
+    assert out3.count() == 10_000
+    # ... and a known-tiny input returns the frame untouched before
+    # any plan finalization (one task is optimal there)
+    tiny2 = spark.range(0, 100, 1, 1)
+    assert ensure_min_parallelism(tiny2, rows_per_task=256, n=100) is tiny2
 
 
 def test_kth_smallest_known_count_matches(spark):
