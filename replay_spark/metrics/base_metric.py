@@ -130,11 +130,24 @@ class Metric:
             selection.append(F.col(f"pred.{extra_column}").alias(extra_column))
         return recs.select(*selection)
 
-    def _get_enriched_recommendations(
-        self, recommendations: DataFrame, ground_truth: DataFrame
-    ) -> DataFrame:
-        gt = ground_truth.groupBy(self.query_column).agg(
+    def _grouped_ground_truth(self, ground_truth: DataFrame) -> DataFrame:
+        return ground_truth.groupBy(self.query_column).agg(
             F.collect_set(self.item_column).alias("ground_truth")
+        )
+
+    def _get_enriched_recommendations(
+        self,
+        recommendations: DataFrame,
+        ground_truth: DataFrame,
+        gt_grouped: Optional[DataFrame] = None,
+    ) -> DataFrame:
+        """``gt_grouped``: a pre-grouped (and typically cached) ground
+        truth — Experiment passes it so evaluating N models shuffles
+        the test set once, not once per model."""
+        gt = (
+            gt_grouped
+            if gt_grouped is not None
+            else self._grouped_ground_truth(ground_truth)
         )
         pred = self._get_items_list_per_user(recommendations)
         return pred.join(gt, on=self.query_column, how="right")

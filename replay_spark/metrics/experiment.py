@@ -48,6 +48,7 @@ class OfflineMetrics:
         ground_truth: DataFrame,
         train: Optional[DataFrame] = None,
         base_recommendations: Optional[DataFrame] = None,
+        gt_grouped: Optional[DataFrame] = None,
     ) -> dict:
         results: dict = {}
         shared = [m for m in self.metrics if isinstance(m, _SHARED_PASS)]
@@ -59,7 +60,7 @@ class OfflineMetrics:
 
             first = shared[0]
             enriched = first._get_enriched_recommendations(
-                recommendations, ground_truth
+                recommendations, ground_truth, gt_grouped=gt_grouped
             )
             # Mean-mode metrics fold into ONE aggregation job: every
             # (metric, k) per-user kernel becomes a column of a single
@@ -155,13 +156,24 @@ class Experiment:
         self.sampled_evaluator = sampled_evaluator
         self.sampled_ks = tuple(sampled_ks)
         self.results = pd.DataFrame()
+        self._gt_grouped: Optional[DataFrame] = None
 
     def add_result(self, name: str, recommendations: DataFrame) -> None:
+        shared = [m for m in self.metrics if isinstance(m, _SHARED_PASS)]
+        if shared and self._gt_grouped is None:
+            # the per-query ground-truth arrays are identical for
+            # every model — group (a full test-set shuffle at scale)
+            # once and cache the small result for the experiment's
+            # lifetime instead of re-grouping per add_result
+            self._gt_grouped = shared[0]._grouped_ground_truth(
+                self.ground_truth
+            ).cache()
         values = OfflineMetrics(self.metrics)(
             recommendations,
             self.ground_truth,
             self.train,
             self.base_recommendations,
+            gt_grouped=self._gt_grouped,
         )
         for metric_name, value in values.items():
             self.results.loc[name, metric_name] = value

@@ -310,12 +310,14 @@ class BaseRecommender(ABC):
     ):
         """Per-query seen-interaction stats shared across one predict
         call: (cached stats frame [query, seen_count, num_items],
-        max seen_count, max num_items).
+        broadcast 1-row frame [_max_seen, _max_items]).
 
-        One interaction scan + one scalar-pull job feed both the
-        global rank cap in ``_predict`` (distinct count) and the
-        depth caps in ``_filter_seen`` (raw count) — previously two
-        independent scans each ending in its own ``first()``.
+        The max scalars ride the plan as a broadcast 1-row aggregate
+        instead of a driver ``first()``: the rank-cap filters consume
+        them as columns, so the whole predict needs no extra action —
+        previously every predict paid a scalar-pull job chain (and at
+        scale that job is a full scan of the per-query stats) before
+        any recommendation work could even be planned.
         """
         scoped = (
             interactions.join(queries, on=self.query_column)
@@ -330,10 +332,13 @@ class BaseRecommender(ABC):
             )
             .cache()
         )
-        row = stats.agg(
-            F.max("seen_count").alias("_ms"), F.max("num_items").alias("_md")
-        ).first()
-        return stats, (row["_ms"] or 0), (row["_md"] or 0)
+        maxes = F.broadcast(
+            stats.agg(
+                F.coalesce(F.max("seen_count"), F.lit(0)).alias("_max_seen"),
+                F.coalesce(F.max("num_items"), F.lit(0)).alias("_max_items"),
+            )
+        )
+        return stats, maxes
 
     def _filter_seen(
         self,
@@ -351,8 +356,12 @@ class BaseRecommender(ABC):
         anti join on the seen pairs.
         """
         if seen_stats is not None:
-            stats, max_seen, _ = seen_stats
+            stats, maxes = seen_stats
             num_seen = stats.select(self.query_column, "seen_count")
+            # broadcast 1-row cap: same integer comparison as the old
+            # driver-pulled literal, zero extra actions
+            max_seen_cap = F.col("_max_seen") + F.lit(k)
+            recs = recs.crossJoin(maxes.select("_max_seen"))
         else:
             num_seen = (
                 interactions.join(queries, on=self.query_column)
@@ -361,6 +370,7 @@ class BaseRecommender(ABC):
             )
             max_seen_row = num_seen.agg(F.max("seen_count")).first()
             max_seen = max_seen_row[0] if max_seen_row and max_seen_row[0] else 0
+            max_seen_cap = F.lit(max_seen + k)
         recs = recs.withColumn(
             "temp_rank",
             F.row_number().over(
@@ -368,7 +378,9 @@ class BaseRecommender(ABC):
                     F.col(self.rating_column).desc(), F.col(self.item_column).asc()
                 )
             ),
-        ).filter(F.col("temp_rank") <= F.lit(max_seen + k))
+        ).filter(F.col("temp_rank") <= max_seen_cap)
+        if seen_stats is not None:
+            recs = recs.drop("_max_seen")
         recs = (
             recs.join(num_seen, on=self.query_column, how="left")
             .fillna(0, subset=["seen_count"])
@@ -588,10 +600,17 @@ class NonPersonalizedRecommender(BaseRecommender, ABC):
             shared = getattr(self, "_shared_seen_stats", None)
             if shared is not None:
                 # predict() already computed + cached per-query stats;
-                # reuse instead of re-scanning interactions
-                stats, _, max_seen = shared
+                # reuse instead of re-scanning interactions — and take
+                # the global rank cap as a broadcast 1-row column, so
+                # no scalar-pull action runs here either
+                stats, maxes = shared
                 query_to_num_items = stats.select(
                     self.query_column, "num_items"
+                )
+                selected = (
+                    selected.crossJoin(maxes.select("_max_items"))
+                    .filter(F.col("rank") <= k + F.col("_max_items"))
+                    .drop("_max_items")
                 )
             else:
                 query_to_num_items = (
@@ -599,17 +618,16 @@ class NonPersonalizedRecommender(BaseRecommender, ABC):
                     .groupBy(self.query_column)
                     .agg(F.countDistinct(self.item_column).alias("num_items"))
                 )
-                max_seen = None
             queries_with_num = queries.join(
                 query_to_num_items, on=self.query_column, how="left"
             ).fillna(0, subset=["num_items"])
-            if max_seen is None:
+            if shared is None:
                 max_seen = (
                     queries_with_num.agg(
                         F.coalesce(F.max("num_items"), F.lit(0))
                     ).first()[0]
                 )
-            selected = selected.filter(F.col("rank") <= k + max_seen)
+                selected = selected.filter(F.col("rank") <= k + max_seen)
             return queries_with_num.join(
                 selected, on=(F.col("rank") <= k + F.col("num_items")), how="left"
             ).drop("rank", "num_items")

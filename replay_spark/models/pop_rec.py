@@ -41,20 +41,41 @@ class PopRec(NonPersonalizedRecommender):
             agg = F.sum(self.rating_column).alias(self.rating_column)
         else:
             agg = F.countDistinct(self.query_column).alias(self.rating_column)
+        # the popularity divisor (universe query count) rides the plan
+        # as a broadcast 1-row aggregate instead of a driver-pulled
+        # literal: the count of the cached fit-time query universe is
+        # the same value queries_count computes (interactions plus the
+        # optional feature union, distinct), but reading it eagerly
+        # cost a whole extra action chain per fit — a full
+        # distinct-shuffle of the log at scale
+        n_q = F.broadcast(
+            self._fit_queries_base.agg(F.count(F.lit(1)).alias("_nq"))
+        )
         self.item_popularity = (
             dataset.interactions.groupBy(self.item_column)
             .agg(agg)
+            .crossJoin(n_q)
             .withColumn(
-                self.rating_column, F.col(self.rating_column) / F.lit(self.queries_count)
+                self.rating_column, F.col(self.rating_column) / F.col("_nq")
             )
+            .drop("_nq")
             .cache()
         )
-        # one action both materializes the cache and pulls the fill
-        # scalar (was: .count() then a second min-agg job)
-        self.fill = (
-            self.item_popularity.agg(F.min(self.rating_column)).first()[0]
-            * self.cold_weight
-        )
+        # ONE action materializes the popularity cache and pulls every
+        # scalar the lifecycle needs: the fill value, the exact item
+        # universe size (the per-item grouping already IS the distinct
+        # item set of the log) and the query universe size (re-read
+        # from the materialized cached universe — same job)
+        row = self.item_popularity.crossJoin(n_q).agg(
+            F.min(self.rating_column).alias("_fill"),
+            F.count(F.lit(1)).alias("_ni"),
+            F.max("_nq").alias("_nq"),
+        ).first()
+        self.fill = row["_fill"] * self.cold_weight
+        if row["_nq"] is not None:
+            self._num_queries = row["_nq"]
+        if dataset.item_features is None:
+            self._num_items = row["_ni"]
 
 
 class QueryPopRec(BaseRecommender):
