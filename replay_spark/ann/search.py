@@ -344,13 +344,21 @@ class IVFANN:
                 F.col(self.id_column).alias("neighbor_id"),
                 F.col("v").alias("cv"),
                 _norm(F.col("v")).alias("cnorm"),
-                (
-                    F.array_position(
-                        F.col("_scores"), best(F.col("_scores"))
-                    )
-                    - 1
+                # coalesce(0): a zero-norm (or null) vector under
+                # cosine NULLs every score (divide-by-zero), so
+                # array_position returns NULL — the pre-r15
+                # row_number path tie-broke such rows to cluster 0;
+                # keep that so edge rows never silently vanish from
+                # the inverted file
+                F.coalesce(
+                    (
+                        F.array_position(
+                            F.col("_scores"), best(F.col("_scores"))
+                        )
+                        - 1
+                    ).cast("int"),
+                    F.lit(0),
                 )
-                .cast("int")
                 .alias("cluster"),
                 *[F.col(c) for c in self.attribute_columns],
             )
@@ -1029,36 +1037,54 @@ class PQANN:
                         len(pdf), -1
                     )
                 )
-                tables = []
-                for row in x:
-                    # LUT entries in exact micro-units (bigint): the
-                    # ADC sum downstream is INTEGER addition — no
-                    # float summation-order divergence anywhere in
-                    # the shortlist ranking, in any engine. cosine/l2
-                    # entries are per-subspace squared distances
-                    # (minimize); dot entries are per-subspace inner
-                    # products against the reconstruction (maximize —
-                    # the faiss METRIC_INNER_PRODUCT ADC).
-                    lut = [
+                # LUT entries in exact micro-units (bigint): the
+                # ADC sum downstream is INTEGER addition — no
+                # float summation-order divergence anywhere in
+                # the shortlist ranking, in any engine. cosine/l2
+                # entries are per-subspace squared distances
+                # (minimize); dot entries are per-subspace inner
+                # products against the reconstruction (maximize —
+                # the faiss METRIC_INNER_PRODUCT ADC).
+                if not is_dot:
+                    # one vectorized pass over ALL queries: the
+                    # subtract-square-sum reduces the same contiguous
+                    # dsub axis per (query, codeword) as the per-row
+                    # form, so every double is identical — only the
+                    # dot branch must stay per-row (BLAS gemv/gemm
+                    # call shapes round differently on this libm)
+                    per_j = [
                         np.floor(
                             (
                                 (
-                                    books[j]
-                                    @ row[j * dsub : (j + 1) * dsub]
-                                    if is_dot
-                                    else (
-                                        (books[j] - row[j * dsub : (j + 1) * dsub])
-                                        ** 2
-                                    ).sum(1)
-                                )
+                                    (
+                                        x[:, None, j * dsub : (j + 1) * dsub]
+                                        - books[j][None, :, :]
+                                    )
+                                    ** 2
+                                ).sum(-1)
                                 + 1e-9
                             )
                             * 1e6
                             + 0.5
-                        ).astype(np.int64).tolist()
+                        ).astype(np.int64)
                         for j in range(m)
                     ]
-                    tables.append(lut)
+                    tables = np.stack(per_j, axis=1).tolist()
+                else:
+                    tables = []
+                    for row in x:
+                        lut = [
+                            np.floor(
+                                (
+                                    books[j] @ row[j * dsub : (j + 1) * dsub]
+                                    + 1e-9
+                                )
+                                * 1e6
+                                + 0.5
+                            ).astype(np.int64).tolist()
+                            for j in range(m)
+                        ]
+                        tables.append(lut)
                 yield pd.DataFrame(
                     {"query_id": pdf[idc].values, "lut": tables}
                 )
@@ -1425,6 +1451,43 @@ class IVFPQANN:
                     )
                 )
                 probes = cell_order(x, cents)[:, :nprobe]
+                if not is_dot:
+                    # vectorized over every (query, probed cell) pair —
+                    # same elementwise residual subtraction and the
+                    # same contiguous dsub reduction as the per-row
+                    # form, so every double (and thus every integer
+                    # LUT entry) is identical; the dot branch stays
+                    # per-row (BLAS call-shape rounding)
+                    p = probes.shape[1]
+                    cellv = probes.reshape(-1)
+                    rflat = np.repeat(x, p, axis=0) - cents[cellv]
+                    per_j = [
+                        np.floor(
+                            (
+                                (
+                                    (
+                                        rflat[:, None, j * dsub : (j + 1) * dsub]
+                                        - books[j][None, :, :]
+                                    )
+                                    ** 2
+                                ).sum(-1)
+                                + 1e-9
+                            )
+                            * 1e6
+                            + 0.5
+                        ).astype(np.int64)
+                        for j in range(m)
+                    ]
+                    tables = np.stack(per_j, axis=1).tolist()
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.repeat(pdf[idc].values, p),
+                            "cell": cellv.astype("int32"),
+                            "lut": tables,
+                            "bias": np.zeros(len(cellv), dtype=np.int64),
+                        }
+                    )
+                    continue
                 qids, cells, tables, biases = [], [], [], []
                 for qi, row in enumerate(x):
                     for cell in probes[qi]:

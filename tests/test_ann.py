@@ -191,3 +191,48 @@ def test_filtered_search_hnsw_widening_path(spark):
     assert set(per_query) == {0, 1, 2, 3, 4, 5}
     for qid, ranks in per_query.items():
         assert sorted(ranks) == [1, 2, 3], (qid, ranks)
+
+
+def test_vectorized_lut_bit_identical_to_per_row():
+    """The r16 LUT vectorization (one numpy pass over all queries /
+    probe pairs) must produce EXACTLY the per-row integer tables: the
+    subtract-square-sum reduces the same contiguous dsub axis either
+    way, so every double — and every floored micro-unit — matches."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    m, ksub, dsub = 8, 16, 8
+    books = rng.normal(size=(m, ksub, dsub))
+    x = rng.normal(size=(40, m * dsub))
+    # PQ form: query vs codeword
+    for j in range(m):
+        per_row = np.stack(
+            [
+                np.floor(
+                    (((books[j] - row[j * dsub : (j + 1) * dsub]) ** 2).sum(1) + 1e-9)
+                    * 1e6
+                    + 0.5
+                ).astype(np.int64)
+                for row in x
+            ]
+        )
+        vec = np.floor(
+            (
+                ((x[:, None, j * dsub : (j + 1) * dsub] - books[j][None, :, :]) ** 2).sum(-1)
+                + 1e-9
+            )
+            * 1e6
+            + 0.5
+        ).astype(np.int64)
+        assert (per_row == vec).all()
+    # IVFPQ form: residual (repeat minus fancy-indexed centroids)
+    cents = rng.normal(size=(4, m * dsub))
+    probes = rng.integers(0, 4, size=(40, 2))
+    p = probes.shape[1]
+    rflat = np.repeat(x, p, axis=0) - cents[probes.reshape(-1)]
+    i = 0
+    for qi, row in enumerate(x):
+        for cell in probes[qi]:
+            r = row - cents[cell]
+            assert (r == rflat[i]).all()
+            i += 1
