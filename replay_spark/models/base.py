@@ -114,24 +114,18 @@ class BaseRecommender(ABC):
         for stale in ("_num_queries", "_num_items"):
             if hasattr(self, stale):
                 delattr(self, stale)
-        self._universe_from_interactions = (
-            dataset.query_features is None and dataset.item_features is None
-        )
-        self._universe_interactions = dataset.interactions
         self._fit(dataset)
         return self
 
     def _compute_universe_counts(self) -> None:
-        if getattr(self, "_universe_from_interactions", False):
-            # both universes come from interactions → one combined job
-            row = self._universe_interactions.agg(
-                F.countDistinct(self.query_column).alias("q"),
-                F.countDistinct(self.item_column).alias("i"),
-            ).first()
-            self._num_queries, self._num_items = row["q"], row["i"]
-        else:
-            self._num_queries = self.fit_queries.count()
-            self._num_items = self.fit_items.count()
+        # count the CACHED fit-time universes (identical values to a
+        # countDistinct over the log: the bases ARE the distinct id
+        # sets, features union included). Pinned to fit-time state —
+        # no live reference to the interactions frame survives fit —
+        # and when another consumer already materialized the caches
+        # these are cache-scan cheap, never a log re-aggregation.
+        self._num_queries = self._fit_queries_base.count()
+        self._num_items = self._fit_items_base.count()
 
     @property
     def queries_count(self) -> int:
@@ -481,7 +475,7 @@ class BaseRecommender(ABC):
         # models have no interactions to recount) — force the lazy
         # computation here so saved artifacts match the eager era
         if not hasattr(self, "_num_items") and getattr(
-            self, "_universe_interactions", None
+            self, "_fit_queries_base", None
         ) is not None:
             self._compute_universe_counts()
         out = {}
@@ -580,7 +574,7 @@ class NonPersonalizedRecommender(BaseRecommender, ABC):
         ]
         n_items = getattr(self, "_num_items", None)
         if n_items is None and getattr(
-            self, "_universe_interactions", None
+            self, "_fit_queries_base", None
         ) is not None:
             # fit model, count not yet pulled: the branch choice needs
             # the true size (a >1M catalog must NOT take the one-task

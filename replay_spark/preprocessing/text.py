@@ -3172,7 +3172,7 @@ class DSIRSelector:
             / (F.col("_nr") + F.lit(float(B)))
         )
         lut = buckets.select("_b", log_ratio.alias("_lr"))
-        return (
+        out = (
             raw_doc_buckets.join(F.broadcast(lut), on="_b")
             .groupBy(idc)
             .agg(
@@ -3182,6 +3182,14 @@ class DSIRSelector:
                 ).alias("log_weight"),
             )
         )
+        # materialize the (one row per doc) result eagerly so the
+        # intermediate persists can be RELEASED here instead of
+        # pinning the cache manager for the session — raw_doc_buckets
+        # is the largest frame in the method and previously leaked
+        out = out.localCheckpoint(eager=True)
+        for frame in (raw_doc_buckets, raw_counts, tgt_counts):
+            frame.unpersist()
+        return out
 
     def select(
         self, raw_df: DataFrame, target_df: DataFrame, n: int

@@ -67,15 +67,28 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
     """
     import pandas as pd
 
+    from pyspark.sql.types import NumericType, StructType
+
     rows = list(rows)
     if not rows:
         return spark.createDataFrame(rows, schema)
-    if isinstance(schema, str):
-        names = [
-            f.strip().split()[0].strip("`") for f in schema.split(",")
-        ]
-    else:
-        names = list(schema.names)
+    # real DDL parse (a naive comma-split mis-reads nested types like
+    # map<string,int> / decimal(10,2)); None in a NUMERIC column would
+    # become NaN through pandas — fall back to the plain row path for
+    # those rows, correctness over the fast lane
+    struct = (
+        StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    )
+    names = [f.name for f in struct.fields]
+    numeric_idx = [
+        i
+        for i, f in enumerate(struct.fields)
+        if isinstance(f.dataType, NumericType)
+    ]
+    if numeric_idx and any(
+        row[i] is None for row in rows for i in numeric_idx
+    ):
+        return spark.createDataFrame(rows, schema)
     return spark.createDataFrame(
         pd.DataFrame(rows, columns=names), schema
     )
