@@ -1029,16 +1029,36 @@ class LakeTable:
     def _uniform_schema(schemas, mapping, schema_json):
         """Explicit read schema for the live-file scan, or None.
 
-        Safe ONLY when the table has never evolved (one schema era —
-        ``schemas`` accumulates every schema commit the fold saw) and
-        carries no column mapping: then every data file's physical
-        layout IS the logical schema, so handing it to the reader is
-        a no-op for results and skips the footer schema-inference job
-        ``read.parquet`` otherwise runs at plan time — paid once per
-        scan, i.e. per DML/read call."""
-        if mapping is None and schema_json and len(schemas) == 1:
+        Safe when the table carries no column mapping AND either it
+        has never evolved (one schema era — ``schemas`` accumulates
+        every schema commit the fold saw), or every era is a typed
+        PREFIX of the latest schema (pure additive evolution, the
+        append-mostly common case): then reading every file with the
+        latest schema null-fills the appended columns by name —
+        exactly the mergeSchema result, field order included — while
+        skipping the footer schema-inference job ``read.parquet``
+        otherwise runs at plan time, paid once per scan, i.e. per
+        DML/read/feed call. Renames/drops (mapped tables), type
+        changes and non-append reorders fall back to inference."""
+        if mapping is not None or not schema_json:
+            return None
+        if len(schemas) == 1:
             return schema_json
-        return None
+        try:
+            latest = [
+                (f["name"], f.get("type"))
+                for f in json.loads(schema_json)["fields"]
+            ]
+            for s in schemas:
+                fields = [
+                    (f["name"], f.get("type"))
+                    for f in json.loads(s)["fields"]
+                ]
+                if fields != latest[: len(fields)]:
+                    return None
+        except Exception:
+            return None
+        return schema_json
 
     def _scan_with_dv(
         self,
@@ -1057,12 +1077,15 @@ class LakeTable:
         footer schema inference when the caller proved every file
         shares that exact physical schema."""
         reader = self.spark.read
-        if merge_schema:
-            reader = reader.option("mergeSchema", "true")
-        elif schema_json:
+        if schema_json:
+            # caller proved every file's fields are a typed prefix of
+            # this schema — explicit read == mergeSchema result, no
+            # inference job, so it wins even when merge was requested
             reader = reader.schema(
                 StructType.fromJson(json.loads(schema_json))
             )
+        elif merge_schema:
+            reader = reader.option("mergeSchema", "true")
         dvd = [f for f in files_rel if f in dvs]
         clean = [f for f in files_rel if f not in dvs]
         parts = []

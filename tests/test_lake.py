@@ -2062,17 +2062,23 @@ def test_compact_small_files_many_partition_groups_concurrent(
 
 
 def test_uniform_schema_guard(spark, tmp_path):
-    """The explicit-read-schema shortcut applies ONLY to single-era,
-    unmapped tables; schema evolution or column mapping must keep
-    the inference/mergeSchema path (results over evolved tables are
-    covered by the evolution tests — this pins the guard itself)."""
+    """The explicit-read-schema shortcut applies to single-era tables
+    and (r16) to ADDITIVE multi-era tables, where every era is a typed
+    prefix of the latest schema — reading old files with the latest
+    schema null-fills appended columns by name, exactly the
+    mergeSchema result. Column mapping, type changes and non-prefix
+    evolution must keep the inference/mergeSchema path (results over
+    evolved tables are covered by the evolution tests — this pins the
+    guard itself)."""
+    import json as _json
+
     t = LakeTable(spark, str(tmp_path / "u"))
     t.append(spark.range(3).select(F.col("id").alias("a")))
     (
         live, schema_json, schemas, _, _, _, mapping, _,
     ) = t._fold_state(t.latest_version())
     assert t._uniform_schema(schemas, mapping, schema_json) == schema_json
-    # two schema eras -> no shortcut
+    # two ADDITIVE schema eras -> latest schema is handed to the reader
     t.append(
         spark.range(2).select(
             F.col("id").alias("a"), F.lit("x").alias("b")
@@ -2083,6 +2089,31 @@ def test_uniform_schema_guard(spark, tmp_path):
         live, schema_json2, schemas2, _, _, _, mapping2, _,
     ) = t._fold_state(t.latest_version())
     assert len(schemas2) > 1
-    assert t._uniform_schema(schemas2, mapping2, schema_json2) is None
+    assert t._uniform_schema(schemas2, mapping2, schema_json2) == schema_json2
+    # ... and the evolved snapshot reads correctly through it
+    got = {
+        (r["a"], r["b"]) for r in t.read().collect()
+    }
+    assert got == {(0, None), (1, None), (2, None), (0, "x"), (1, "x")}
+    # a TYPE change across eras -> no shortcut
+    retyped = _json.loads(schema_json2)
+    for f in retyped["fields"]:
+        if f["name"] == "a":
+            f["type"] = "string"
+    assert (
+        t._uniform_schema(
+            schemas2, mapping2, _json.dumps(retyped)
+        )
+        is None
+    )
+    # a non-prefix era (column dropped from latest) -> no shortcut
+    dropped = _json.loads(schema_json2)
+    dropped["fields"] = [
+        f for f in dropped["fields"] if f["name"] != "a"
+    ]
+    assert (
+        t._uniform_schema(schemas2, mapping2, _json.dumps(dropped))
+        is None
+    )
     # any column mapping -> no shortcut
     assert t._uniform_schema(schemas, {"a": "c0"}, schema_json) is None
