@@ -43,7 +43,7 @@ class ConnectedComponents:
         self,
         max_iterations: int = 20,
         driver_threshold: int = 5_000_000,
-        jump_after_rounds: int = 3,
+        jump_after_rounds="auto",
     ):
         self._engine = NearDupClusters(
             max_iterations=max_iterations,

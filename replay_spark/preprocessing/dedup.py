@@ -1018,7 +1018,7 @@ class NearDupClusters:
         self,
         max_iterations: int = 20,
         driver_threshold: int = 5_000_000,
-        jump_after_rounds: int = 3,
+        jump_after_rounds="auto",
     ):
         # driver_threshold: candidate-pair sets are tiny relative to
         # the corpus after LSH/threshold pruning (pairs ≪ docs); below
@@ -1030,11 +1030,18 @@ class NearDupClusters:
         # before the pointer-jumping self-join is enabled (0 = jump
         # from round one). Near-clique graphs converge inside the
         # plain rounds and never pay the jump join; deeper graphs
-        # get O(log diameter) once it kicks in.
+        # get O(log diameter) once it kicks in. "auto" derives the
+        # trigger from the measured per-round label-change count
+        # instead of a hand-tuned round number: a near-clique's
+        # change count COLLAPSES round over round (most nodes adopt
+        # the component min in round one), while a deep chain's stays
+        # near-flat (the frontier advances one hop per round) — so
+        # the jump turns on as soon as a round's change count fails
+        # to halve, and stays on.
         if max_iterations < 1:
             raise ValueError("max_iterations must be >= 1")
-        if jump_after_rounds < 0:
-            raise ValueError("jump_after_rounds must be >= 0")
+        if jump_after_rounds != "auto" and jump_after_rounds < 0:
+            raise ValueError("jump_after_rounds must be >= 0 or 'auto'")
         self.max_iterations = max_iterations
         self.driver_threshold = driver_threshold
         self.jump_after_rounds = jump_after_rounds
@@ -1135,7 +1142,12 @@ class NearDupClusters:
         # graph diameter; spent rounds' blocks are reclaimed by the
         # ContextCleaner when their RDDs fall out of scope
         changed = 0
+        auto = self.jump_after_rounds == "auto"
+        jump_on = False
+        prev_changed: Optional[int] = None
+        self.last_rounds_ = 0
         for round_idx in range(self.max_iterations):
+            self.last_rounds_ = round_idx + 1
             # one round = ONE shuffle: the neighbor label contributions
             # (edges ⋈ labels, re-keyed to the receiving node) union
             # the node's own labeled row and fold in a single
@@ -1185,7 +1197,10 @@ class NearDupClusters:
             # graph is provably deeper than the common case (min-label
             # distance covered so far >= round count), so enable the
             # jump from then on and converge in O(log diameter).
-            if round_idx < self.jump_after_rounds:
+            plain_round = (
+                not jump_on if auto else round_idx < self.jump_after_rounds
+            )
+            if plain_round:
                 new_labels = stepped.localCheckpoint(eager=True)
             else:
                 # labels table maps node -> label; look the label up
@@ -1218,6 +1233,17 @@ class NearDupClusters:
             labels = new_labels.select("node", "label")
             if changed == 0:
                 break
+            if (
+                auto
+                and not jump_on
+                and prev_changed is not None
+                and changed * 2 >= prev_changed
+            ):
+                # change rate not collapsing -> the frontier is
+                # advancing hop-by-hop (deep graph); switch to
+                # pointer jumping for every remaining round
+                jump_on = True
+            prev_changed = changed
         else:
             if changed > 0:
                 warnings.warn(

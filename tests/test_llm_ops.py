@@ -5268,3 +5268,34 @@ def test_weighted_sampler_properties(spark):
         for r in WeightedSampler(k=10, seed=1).transform(df2).collect()
     )
     assert sel == [1, 5]
+
+
+def test_near_dup_clusters_auto_jump(spark):
+    """The "auto" trigger (r16 default) derives the jump from the
+    measured change rate: a deep chain enables it (converging well
+    inside plain-propagation bounds, same components), while a star
+    graph converges in the same round count as any hand-tuned
+    setting — no jump join is ever paid there."""
+    from replay_spark.preprocessing.dedup import NearDupClusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 16)], "id_a long, id_b long"
+    )
+    auto = NearDupClusters(max_iterations=9, driver_threshold=0)
+    comps = auto.components(chain).collect()
+    assert {(r["node"], r["component"]) for r in comps} == {
+        (i, 1) for i in range(1, 17)
+    }
+    assert auto.last_rounds_ <= 7  # plain-only would need 15
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 30)] + [(100, 100 + i) for i in range(1, 30)],
+        "id_a long, id_b long",
+    )
+    auto_s = NearDupClusters(driver_threshold=0)
+    tuned_s = NearDupClusters(driver_threshold=0, jump_after_rounds=3)
+    got_auto = {(r["node"], r["component"]) for r in auto_s.components(star).collect()}
+    got_tuned = {(r["node"], r["component"]) for r in tuned_s.components(star).collect()}
+    assert got_auto == got_tuned
+    assert auto_s.last_rounds_ == tuned_s.last_rounds_
+
