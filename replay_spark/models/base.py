@@ -716,6 +716,15 @@ class NonPersonalizedRecommender(BaseRecommender, ABC):
             queries.withColumn(
                 "_bucket", F.pmod(F.xxhash64(query_col), F.lit(n_buckets))
             )
+            # numbered repartition pins the sampling stage's
+            # parallelism (AQE never coalesces REPARTITION_BY_NUM):
+            # the exchange carries a few bytes per query but each
+            # bucket is CPU-bound Python draws, and predict() caches
+            # the result — the cached-plan AQE conf would otherwise
+            # coalesce the tiny-byte shuffle onto one task (the SLIM
+            # solve measured 6.6 -> 20.9 s under exactly this
+            # collapse). groupBy reuses the pinned partitioning.
+            .repartition(n_buckets, "_bucket")
             .groupBy("_bucket")
             .applyInPandas(
                 sample_bucket,

@@ -34,7 +34,9 @@ __all__ = ["SLIM"]
 
 
 def _elastic_net_cd(
-    X_cols: list,
+    indptr: np.ndarray,
+    csc_rows: np.ndarray,
+    csc_vals: np.ndarray,
     y: np.ndarray,
     col_sq_norms: np.ndarray,
     alpha: float,
@@ -45,9 +47,15 @@ def _elastic_net_cd(
 ) -> np.ndarray:
     """Positive coordinate-descent ElasticNet on a sparse column set.
 
-    ``X_cols[j]`` is (row_indices, values) of column j.
+    Column ``j`` is ``(csc_rows, csc_vals)[indptr[j]:indptr[j+1]]`` —
+    three flat arrays instead of a per-column list of array pairs:
+    the broadcast of thousands of tiny numpy objects dominated each
+    Python worker's first-task deserialization; the flat form pickles
+    as three buffers. Per-column slices are views of the same values
+    in the same order, so every dot product and residual update is
+    bit-identical to the list-of-pairs form.
     """
-    n_cols = len(X_cols)
+    n_cols = len(indptr) - 1
     n = len(y)
     w = np.zeros(n_cols)
     residual = y.astype(np.float64).copy()
@@ -58,9 +66,11 @@ def _elastic_net_cd(
         for j in range(n_cols):
             if j == skip_idx:
                 continue
-            rows, vals = X_cols[j]
-            if len(rows) == 0 or col_sq_norms[j] == 0:
+            lo, hi = indptr[j], indptr[j + 1]
+            if lo == hi or col_sq_norms[j] == 0:
                 continue
+            rows = csc_rows[lo:hi]
+            vals = csc_vals[lo:hi]
             grad = vals @ residual[rows] + w[j] * col_sq_norms[j]
             new_w = max(0.0, (grad - l1)) / (col_sq_norms[j] + l2)
             delta = new_w - w[j]
@@ -124,11 +134,20 @@ class SLIM(NeighbourRec):
         # O(n_items * nnz) on the driver
         order = np.argsort(cols, kind="stable")
         counts = np.bincount(cols, minlength=n_items)
-        splits = np.cumsum(counts)[:-1]
-        X_cols = list(
-            zip(np.split(rows[order], splits), np.split(vals[order], splits))
+        indptr = np.concatenate(([0], np.cumsum(counts)))
+        csc_rows = rows[order]
+        csc_vals = vals[order]
+        # same per-column contiguous slices (and therefore the same
+        # dot-product doubles) as the former list-of-pairs split
+        col_sq_norms = np.array(
+            [
+                float(
+                    csc_vals[indptr[j] : indptr[j + 1]]
+                    @ csc_vals[indptr[j] : indptr[j + 1]]
+                )
+                for j in range(n_items)
+            ]
         )
-        col_sq_norms = np.array([float(v @ v) for _, v in X_cols])
 
         alpha = self.beta + self.lambda_
         l1_ratio = self.lambda_ / alpha
@@ -136,7 +155,9 @@ class SLIM(NeighbourRec):
 
         spark = SparkSession.getActiveSession()
         sc = spark.sparkContext
-        bc = sc.broadcast((X_cols, col_sq_norms, item_arr, n_users))
+        bc = sc.broadcast(
+            (indptr, csc_rows, csc_vals, col_sq_norms, item_arr, n_users)
+        )
 
         # note: replay_spark registers itself for cloudpickle by-value
         # serialization (see replay_spark/__init__.py), so this closure's
@@ -145,13 +166,14 @@ class SLIM(NeighbourRec):
         elastic_net_cd = _elastic_net_cd
 
         def slim_column(target_item) -> tuple:
-            X_cols_b, sq_norms_b, items_b, n_users_b = bc.value
+            indptr_b, rows_b, vals_b, sq_norms_b, items_b, n_users_b = bc.value
             j = int(np.searchsorted(items_b, target_item))
             y = np.zeros(n_users_b)
-            t_rows, t_vals = X_cols_b[j]
-            y[t_rows] = t_vals
+            lo, hi = indptr_b[j], indptr_b[j + 1]
+            y[rows_b[lo:hi]] = vals_b[lo:hi]
             w = elastic_net_cd(
-                X_cols_b, y, sq_norms_b, alpha, l1_ratio, skip_idx=j
+                indptr_b, rows_b, vals_b, y, sq_norms_b,
+                alpha, l1_ratio, skip_idx=j,
             )
             good = np.argwhere(w > 0).reshape(-1)
             return items_b[good], target_item, w[good]
@@ -191,6 +213,16 @@ class SLIM(NeighbourRec):
                 "_bucket",
                 F.pmod(F.xxhash64("item_idx_one"), F.lit(n_buckets)),
             )
+            # PIN the solve's parallelism with a numbered repartition
+            # (REPARTITION_BY_NUM — the one shuffle origin AQE never
+            # coalesces): the bucket exchange carries a few KB of item
+            # ids but each bucket is seconds of coordinate-descent
+            # CPU, so byte-targeted coalescing (which the cached-plan
+            # AQE conf applies to this cached frame) would collapse
+            # the whole solve onto one task — measured 6.6 -> 20.9 s
+            # on the ml1m-shaped corpus. groupBy reuses the pinned
+            # partitioning (same key), so no extra exchange.
+            .repartition(n_buckets, "_bucket")
             .groupBy("_bucket")
             .applyInPandas(
                 slim_bucket,

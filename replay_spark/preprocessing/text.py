@@ -1518,6 +1518,11 @@ class TextRankSummarizer:
             sentences.withColumn(
                 "_bucket", F.pmod(F.xxhash64(idc), F.lit(n_buckets))
             )
+            # numbered repartition: pin the TextRank stage's
+            # parallelism against byte-targeted AQE coalescing (see
+            # the SLIM solve note in models/slim.py — the per-bucket
+            # power-iteration is CPU-bound at small shuffle bytes)
+            .repartition(n_buckets, "_bucket")
             .groupBy("_bucket")
             .applyInPandas(
                 summarize_bucket,

@@ -508,6 +508,11 @@ def sample_top_k_recs(
         pairs.withColumn(
             "_bucket", F.pmod(F.xxhash64(query_column), F.lit(n_buckets))
         )
+        # numbered repartition: pin the CPU-dense sampling stage's
+        # parallelism against byte-targeted AQE coalescing (see the
+        # SLIM solve note in models/slim.py — tiny shuffle bytes,
+        # seconds of per-bucket Python)
+        .repartition(n_buckets, "_bucket")
         .groupBy("_bucket")
         .applyInPandas(sample_bucket, schema_fields)
     )

@@ -35,12 +35,19 @@ def main():
     from replay_spark.metrics import NDCG
     from replay_spark.models import ALSWrap, ItemKNN, PopRec, SLIM, Word2VecRec
 
+    # mirror the ENGINE session defaults (replay_spark.session), the
+    # same way bench.py does — this bench previously built a bare
+    # session without the Arrow driver-transfer conf, so SLIM's
+    # 1M-row toPandas collect ran on the pickled-row path (~4 s of
+    # its ~6 s warm fit) — a configuration a library user would
+    # never see
+    from replay_spark.session import default_session_conf
+
+    builder = SparkSession.builder.master(f"local[{CPUS}]")
+    for _k, _v in default_session_conf(int(CPUS)).items():
+        builder = builder.config(_k, _v)
     spark = (
-        SparkSession.builder.master(f"local[{CPUS}]")
-        .config("spark.sql.shuffle.partitions", str(int(CPUS)))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
+        builder.config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
         .getOrCreate()
     )
