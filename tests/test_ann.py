@@ -236,3 +236,61 @@ def test_vectorized_lut_bit_identical_to_per_row():
             r = row - cents[cell]
             assert (r == rflat[i]).all()
             i += 1
+
+
+def test_hnsw_row_cache_refreshes_and_never_pickles(spark):
+    """The _d_to hot-loop row cache (r16) is derived state: it must
+    refresh whenever _vecs is replaced (refit on same-length data,
+    append) and must not ride the executor closure pickle — a stale
+    cache would silently compute distances against the OLD corpus."""
+    import pickle
+    import random
+
+    import numpy as np
+
+    from replay_spark.ann import HNSWANN
+
+    rng = random.Random(7)
+
+    def frame(shift):
+        rows = [
+            (i, [rng.gauss(0, 1) + shift for _ in range(8)])
+            for i in range(60)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    ann = HNSWANN(M=4, ef_construction=16, ef_search=16, seed=1)
+    ann.fit(frame(0.0))
+    d_a = ann._d_to(ann._vecs[0])(1)
+    assert ann._rows_base is ann._vecs
+
+    # refit the SAME instance on same-length different data: the
+    # cached rows must follow the new _vecs (identity, not length)
+    ann.fit(frame(5.0))
+    assert ann._rows_base is ann._vecs
+    d_b = ann._d_to(ann._vecs[0])(1)
+    assert d_a != d_b
+    # cached row views alias the live matrix
+    assert ann._rows[3].base is ann._vecs
+
+    # append replaces _vecs via vstack: cache must refresh again
+    extra = spark.createDataFrame(
+        [(1000 + i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    ann._d_to(ann._vecs[0])  # warm the cache pre-append
+    ann.append(extra)
+    dist = ann._d_to(ann._vecs[0])
+    assert ann._rows_base is ann._vecs
+    assert len(ann._rows) == 65
+    # the appended rows are reachable through the refreshed cache
+    assert dist(64) == 1.0 - float(np.dot(ann._vecs[64], ann._vecs[0]))
+
+    # the derived cache never pickles (closure-broadcast hygiene)
+    state = ann.__getstate__()
+    assert state["_rows"] is None and state["_rows_base"] is None
+    ann2 = pickle.loads(pickle.dumps(ann))
+    q = ann._vecs[2].copy()
+    assert ann2._knn(q, 5) == ann._knn(q, 5)
